@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** §2.B — event-stream analytics, the batch analog of the reference's DAQ
+  * ingest path (cf. /root/reference/run/run_iceberg_daq.sh — fixed-rate
+  * event streams; config/base/dromaps — src→geo enrichment;
+  * file_transfer_scripts/insert_extra_fields.py — integrity metadata).
+  *
+  * The `events` parquet carries nanosecond timestamps, which Spark's parquet
+  * reader rejects by default; we read them as epoch-nanos longs
+  * (spark.sql.legacy.parquet.nanosAsLong) and truncate to microseconds —
+  * bit-identical to how DuckDB coerces ns→µs, so oracle parity holds.
+  */
+object Events {
+
+  /** events with `ts` as a proper µs TIMESTAMP. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.events(s, d).withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,4)")
+
+  /** Tumbling 1-hour window aggregation — the batch twin of the streaming
+    * ingest agg (§2.F). Epoch-aligned tumbling window ≡ date_trunc('hour'). */
+  def qEvtTumbling(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  def qEvtTumblingSql: String =
+    """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+      | count(*) AS n_events,
+      | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Gap-based sessionization (30-min inactivity gap) composed from lag +
+    * running sum — one shuffle on user_id, deterministic tiebreaks. */
+  def qEvtSessionize(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 30L * 60 * 1000000, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(run))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("sess_start"),
+        max(col("ts")).as("sess_end"))
+  }
+
+  def qEvtSessionizeSql: String =
+    """WITH flagged AS (
+      | SELECT user_id, event_id, ts,
+      |  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30*60*1000000
+      |       THEN 1 ELSE 0 END AS new_sess
+      | FROM events
+      | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      | SELECT user_id, ts,
+      |  CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      | FROM flagged)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      | min(ts) AS sess_start, max(ts) AS sess_end
+      |FROM sess GROUP BY user_id, session_id""".stripMargin
+
+  /** As-of join composed from an ignore-nulls running max over a window that
+    * excludes the current row: each purchase gets the user's most recent
+    * strictly-prior signup. No O(n²) range join, one shuffle on user_id. */
+  def qEvtAsof(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events(s, d)
+      .filter(col("event_type").isin("signup", "purchase"))
+      .withColumn("last_signup_ts",
+        max(when(col("event_type") === "signup", col("ts"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("last_signup_ts"))
+  }
+
+  def qEvtAsofSql: String =
+    """SELECT event_id, user_id, ts, last_signup_ts FROM (
+      | SELECT event_id, user_id, ts, event_type,
+      |  max(CASE WHEN event_type = 'signup' THEN ts END) OVER
+      |   (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_signup_ts
+      | FROM events WHERE event_type IN ('signup', 'purchase')) t
+      |WHERE event_type = 'purchase'""".stripMargin
+
+  /** Keep-latest-per-key dedup — the trigger-record dedup pattern
+    * (row_number over a desc-ordered per-key window). */
+  def qEvtDedupLatest(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"), col("value"))
+  }
+
+  def qEvtDedupLatestSql: String =
+    """SELECT event_id, user_id, event_type, ts, value FROM (
+      | SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+      | FROM events) t WHERE rn = 1""".stripMargin
+
+  /** JSON sidecar-metadata extraction + aggregation (cf. the reference's
+    * JSON metadata enrichment in insert_extra_fields.py). */
+  def qEvtJson(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("k")).cast("bigint").as("sum_k"),
+        max(col("k")).as("max_k"))
+
+  def qEvtJsonSql: String =
+    """SELECT event_type, count(*) AS n_events,
+      | CAST(sum(k) AS BIGINT) AS sum_k, max(k) AS max_k
+      |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events) t
+      |GROUP BY event_type""".stripMargin
+
+  /** Per-user profile aggregation. */
+  def qEvtUserStats(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"),
+        sum(dec(col("value"))).cast("double").as("total_value"),
+        min(col("ts")).as("first_ts"),
+        max(col("ts")).as("last_ts"))
+
+  def qEvtUserStatsSql: String =
+    """SELECT user_id, count(*) AS n_events,
+      | count(DISTINCT event_type) AS n_types,
+      | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+      | min(ts) AS first_ts, max(ts) AS last_ts
+      |FROM events GROUP BY user_id""".stripMargin
+
+  /** Broadcast readout-map enrichment: event_type → detector geography
+    * (det_id, crate_id) — the dromap join pattern
+    * (cf. config/base/dromaps/iceberg_dromap_wib_101.json geo_id fields).
+    * The map is a handful of rows: always broadcast, never shuffled. */
+  def qEvtGeoEnrich(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dromap = Seq(
+      ("click", 3, 1), ("view", 3, 2), ("purchase", 3, 3),
+      ("signup", 2, 1), ("error", 2, 2))
+      .toDF("event_type", "det_id", "crate_id")
+    events(s, d)
+      .join(broadcast(dromap), "event_type")
+      .groupBy(col("det_id"), col("crate_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+  }
+
+  def qEvtGeoEnrichSql: String =
+    """SELECT det_id, crate_id, count(*) AS n_events,
+      | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events JOIN (VALUES ('click',3,1),('view',3,2),('purchase',3,3),('signup',2,1),('error',2,2))
+      | AS m(event_type, det_id, crate_id) USING (event_type)
+      |GROUP BY det_id, crate_id""".stripMargin
+
+  /** Ingest-integrity checksums per event_type (cf. insert_extra_fields.py's
+    * adler32-per-file): CRC32 of each payload, aggregated. Rows-only check —
+    * DuckDB has no CRC32. */
+  def qEvtChecksum(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("crc", crc32(col("props").cast("binary")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("crc")).as("sum_crc"),
+        max(col("crc")).as("max_crc"))
+}

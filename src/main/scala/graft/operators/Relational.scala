@@ -1,0 +1,353 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** §2.A — relational/OLAP core over the star schema.
+  *
+  * Determinism discipline: every monetary aggregate is computed in
+  * DECIMAL(18,4) (exact integer-scaled arithmetic — identical results on any
+  * engine and any partitioning/accumulation order) and cast to double only in
+  * the final projection. Float-summation drift would otherwise break both the
+  * DuckDB hash-compare and cross-run reproducibility on a real cluster where
+  * partition count changes the accumulation order.
+  *
+  * Scale discipline: dims are broadcast; facts shuffle on join keys;
+  * aggregations are declarative (Catalyst emits map-side partial aggregates);
+  * top-K goes through orderBy+limit → TakeOrderedAndProject (no global sort).
+  */
+object Relational {
+
+  /** Exact decimal view of a double money/quantity column. */
+  private def dec(c: Column): Column = c.cast("decimal(18,4)")
+  private val oneD = lit(BigDecimal(1).setScale(4))
+
+  /** Pricing-summary aggregation (cf. TPC-H Q1 shape): grouped agg with
+    * map-side combine; 4-6 output rows regardless of input scale. */
+  def q1Agg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (oneD - dec(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        sum(dec(col("l_extendedprice")) * (oneD - dec(col("l_discount")))
+          * (oneD + dec(col("l_tax")))).cast("double").as("sum_charge"),
+        count(lit(1)).as("count_order"))
+
+  def q1AggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1.0000 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1.0000 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) * (CAST(1.0000 AS DECIMAL(18,4)) + CAST(l_tax AS DECIMAL(18,4)))) AS DOUBLE) AS sum_charge,
+      | count(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Selective filter + narrow projection — both pushed into the parquet
+    * scan (PushedFilters + 3-column ReadSchema). */
+  def q2FilterProject(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_quantity") < 5 && col("l_discount") > 0.05)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+
+  def q2FilterProjectSql: String =
+    "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem WHERE l_quantity < 5 AND l_discount > 0.05"
+
+  /** 3-way join + agg + top-N (cf. TPC-H Q3 shape). customer is
+    * broadcast-sized vs lineitem; orders⋈lineitem shuffles on orderkey. */
+  def q3JoinAgg(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val ord  = Tables.orders(s, d)
+    val li   = Tables.lineitem(s, d)
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(sum(dec(col("l_extendedprice")) * (oneD - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  def q3JoinAggSql: String =
+    """SELECT o_orderkey, o_orderdate,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1.0000 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY o_orderkey, o_orderdate
+      |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
+
+  /** 6-table join (cf. TPC-H Q5 shape): region/nation broadcast down the
+    * tree; the two fact tables meet in one shuffle join on orderkey. */
+  def q5MultiJoin(s: SparkSession, d: String): DataFrame = {
+    val reg = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    val nat = Tables.nation(s, d)
+    val cust = Tables.customer(s, d)
+    val sup = Tables.supplier(s, d)
+    val ord = Tables.orders(s, d)
+    val li  = Tables.lineitem(s, d)
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey")
+        && cust("c_nationkey") === sup("s_nationkey"))
+      .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+      .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * (oneD - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+  }
+
+  def q5MultiJoinSql: String =
+    """SELECT n_name,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1.0000 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY n_name""".stripMargin
+
+  /** Highly selective scan-aggregate (cf. TPC-H Q6): the whole query is one
+    * pushed-down scan + partial agg; no shuffle beyond the 1-row exchange. */
+  def q6SelectiveAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  def q6SelectiveAggSql: String =
+    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      | count(*) AS n_items
+      |FROM lineitem WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  /** Global top-K without a global sort: TakeOrderedAndProject keeps K rows
+    * per partition then merges — O(K) memory at any scale. */
+  def qSortLimit(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+
+  def qSortLimitSql: String =
+    "SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20"
+
+  /** Exact distinct aggregation (expands to two-phase agg under Catalyst). */
+  def qDistinctAgg(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .groupBy(col("c_mktsegment"))
+      .agg(countDistinct(col("c_nationkey")).as("n_nations"),
+        count(lit(1)).as("n_customers"))
+
+  def qDistinctAggSql: String =
+    "SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_nations, count(*) AS n_customers FROM customer GROUP BY c_mktsegment"
+
+  /** HLL-sketch distinct — the 100 TB path where exact distinct would
+    * shuffle every key. Rows-only check (sketch estimates are
+    * engine-specific by design). */
+  def qApproxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        count(lit(1)).as("n_rows"))
+
+  /** Window ranking: top-3 orders per customer by price (row_number with a
+    * total tiebreak → deterministic at any parallelism). */
+  def qWindowRank(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+  }
+
+  def qWindowRankSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      | SELECT o_custkey, o_orderkey, o_totalprice,
+      |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      | FROM orders) t WHERE rn <= 3""".stripMargin
+
+  /** Running (prefix) aggregation + lag over an ordered per-key window. */
+  def qWindowRunning(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wl = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        sum(dec(col("o_totalprice"))).over(w).cast("double").as("running_total"),
+        lag(col("o_totalprice"), 1).over(wl).as("prev_price"))
+  }
+
+  def qWindowRunningSql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+      | lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price
+      |FROM orders""".stripMargin
+
+  /** Hierarchical ROLLUP (flag → flag+status → grand total). */
+  def qRollup(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+
+  def qRollupSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty, count(*) AS n_rows
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
+  /** GROUPING SETS — two independent aggregation lattices in one pass. */
+  def qGroupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_li_gs")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty, count(*) AS n_rows
+        |FROM graft_li_gs GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin)
+  }
+
+  def qGroupingSetsSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty, count(*) AS n_rows
+      |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin
+
+  /** Left-semi join (EXISTS): customers that have at least one order.
+    * Semi-join keeps the build side to just the key column. */
+  def qSemiJoin(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+    val ord = Tables.orders(s, d)
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  def qSemiJoinSql: String =
+    "SELECT c_custkey, c_name FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
+
+  /** Left-anti join (NOT EXISTS): customers with no urgent order. */
+  def qAntiJoin(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+    val urgent = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+    cust.join(urgent, cust("c_custkey") === urgent("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+  }
+
+  def qAntiJoinSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin
+
+  /** Left-outer join + null-fill: per-customer order counts including
+    * order-less customers. */
+  def qOuterJoin(s: SparkSession, d: String): DataFrame = {
+    val ordAgg = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("cnt"), sum(dec(col("o_totalprice"))).as("tot"))
+    val cust = Tables.customer(s, d)
+    cust.join(ordAgg, cust("c_custkey") === ordAgg("o_custkey"), "left")
+      .select(col("c_custkey"),
+        coalesce(col("cnt"), lit(0L)).as("n_orders"),
+        coalesce(col("tot").cast("double"), lit(0.0)).as("total_spend"))
+  }
+
+  def qOuterJoinSql: String =
+    """SELECT c_custkey, coalesce(cnt, 0) AS n_orders,
+      | coalesce(CAST(tot AS DOUBLE), 0.0) AS total_spend
+      |FROM customer LEFT JOIN (
+      | SELECT o_custkey, count(*) AS cnt, sum(CAST(o_totalprice AS DECIMAL(18,4))) AS tot
+      | FROM orders GROUP BY o_custkey) o ON c_custkey = o_custkey""".stripMargin
+
+  /** Set union (distinct) of two heterogeneous filters. */
+  def qUnionAll(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+    val a = ord.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val b = ord.filter(col("o_totalprice") > 400000.0)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    a.union(b).distinct()
+  }
+
+  def qUnionAllSql: String =
+    """SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT'
+      |UNION
+      |SELECT o_orderkey, o_orderpriority FROM orders WHERE o_totalprice > 400000.0""".stripMargin
+
+  /** Conditional aggregation — manual pivot of order counts by status. */
+  def qCasePivot(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_f"),
+        sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_o"),
+        sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).as("n_p"))
+
+  def qCasePivotSql: String =
+    """SELECT o_orderpriority,
+      | CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+      | CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+      | CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
+  /** Post-aggregation filter (HAVING). */
+  def qHaving(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 15)
+
+  def qHavingSql: String =
+    "SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey HAVING count(*) >= 15"
+
+  /** Scalar subquery: orders above the global average price. The average is
+    * computed exactly (decimal sum / count) so the threshold is identical on
+    * every engine. */
+  def qScalarSubquery(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+    val avgRow = ord.agg(
+      (sum(dec(col("o_totalprice"))).cast("double") / count(lit(1))).as("avg_price"))
+    ord.join(broadcast(avgRow))
+      .filter(col("o_totalprice") > col("avg_price"))
+      .select(col("o_orderkey"), col("o_totalprice"))
+  }
+
+  def qScalarSubquerySql: String =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE o_totalprice > (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) FROM orders)""".stripMargin
+
+  /** String function suite on part. */
+  def qStringFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .filter(col("p_name").like("%a%"))
+      .select(col("p_partkey"),
+        upper(substring(col("p_name"), 1, 5)).as("name5"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+        length(col("p_name")).as("name_len"))
+
+  def qStringFuncsSql: String =
+    """SELECT p_partkey, upper(substr(p_name, 1, 5)) AS name5,
+      | p_brand || '-' || p_type AS brand_type, length(p_name) AS name_len
+      |FROM part WHERE p_name LIKE '%a%'""".stripMargin
+
+  /** Date bucketing: per-year/month order stats. */
+  def qDateFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("month_total"))
+
+  def qDateFuncsSql: String =
+    """SELECT CAST(extract(year FROM o_orderdate) AS INT) AS o_year,
+      | CAST(extract(month FROM o_orderdate) AS INT) AS o_month,
+      | count(*) AS n_orders,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS month_total
+      |FROM orders GROUP BY 1, 2""".stripMargin
+}

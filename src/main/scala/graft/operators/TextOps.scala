@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** §2.C — text analysis over `documents`, the language/quality/token layer a
+  * 100 TB training-data pipeline runs before dedup. All operators are pure
+  * column expressions (whole-stage codegen, no UDFs) and scale linearly —
+  * no shuffle except the final small aggregations.
+  */
+object TextOps {
+
+  /** Distinct-token-set of a document (lowercase word bags in this corpus). */
+  def tokens(c: Column): Column = split(trim(c), " +")
+
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Token counting + per-language corpus stats. */
+  def qDocTokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("n_tokens", size(tokens(col("text"))))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("bigint").as("total_tokens"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+
+  def qDocTokensSql: String =
+    """SELECT lang, count(*) AS n_docs,
+      | CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      | min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+      |FROM (SELECT lang, CAST(len(regexp_split_to_array(trim(text), ' +')) AS INT) AS n_tokens FROM documents) t
+      |GROUP BY lang""".stripMargin
+
+  /** Per-document quality features: token count, vocabulary diversity
+    * (distinct ratio), stopword ratio, chars-per-token; filtered to the
+    * "keep" set a pretraining pipeline would retain. */
+  def qDocQuality(s: SparkSession, d: String): DataFrame = {
+    val stopArr = array(stopwords.map(lit): _*)
+    Tables.documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_distinct", size(array_distinct(col("toks"))))
+      .withColumn("n_stop", size(array_intersect(col("toks"), stopArr)))
+      .filter(col("n_tokens") >= 12)
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        (col("n_distinct").cast("double") / col("n_tokens")).as("distinct_ratio"),
+        (col("n_stop").cast("double") / col("n_distinct")).as("stop_ratio"),
+        (col("n_chars").cast("double") / col("n_tokens")).as("chars_per_token"))
+  }
+
+  def qDocQualitySql: String = {
+    val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id, n_tokens, n_distinct,
+       | CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio,
+       | CAST(n_stop AS DOUBLE) / n_distinct AS stop_ratio,
+       | CAST(n_chars AS DOUBLE) / n_tokens AS chars_per_token
+       |FROM (SELECT doc_id, n_chars,
+       |  CAST(len(toks) AS INT) AS n_tokens,
+       |  CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+       |  CAST(len(list_intersect(list_distinct(toks), [$stopList])) AS INT) AS n_stop
+       | FROM (SELECT doc_id, n_chars, regexp_split_to_array(trim(text), ' +') AS toks FROM documents) x) t
+       |WHERE n_tokens >= 12""".stripMargin
+  }
+
+  /** Marker-word language-ID heuristic + accuracy against the labeled
+    * `lang` column. (A real n-gram profile model is engine-side identical;
+    * the fixed marker rule keeps the oracle expressible in ANSI SQL.) */
+  def qDocLangid(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("pred",
+        when(col("text").contains("data"), "en")
+          .when(col("text").contains("table"), "de")
+          .when(col("text").contains("query"), "fr")
+          .when(col("text").contains("row"), "es")
+          .otherwise("zh"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pred") === col("lang"), 1L).otherwise(0L)).as("n_correct"))
+      .withColumn("accuracy", col("n_correct").cast("double") / col("n_docs"))
+
+  def qDocLangidSql: String =
+    """SELECT lang, n_docs, n_correct, CAST(n_correct AS DOUBLE) / n_docs AS accuracy
+      |FROM (SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+      | FROM (SELECT lang,
+      |   CASE WHEN text LIKE '%data%' THEN 'en'
+      |        WHEN text LIKE '%table%' THEN 'de'
+      |        WHEN text LIKE '%query%' THEN 'fr'
+      |        WHEN text LIKE '%row%' THEN 'es'
+      |        ELSE 'zh' END AS pred
+      |  FROM documents) p GROUP BY lang) t""".stripMargin
+
+  /** 64-bit document fingerprint (xxHash64 of the normalized text) — the
+    * cheap exact-dup key a pipeline persists per shard. Rows-only check
+    * (hash function is engine-specific). */
+  def qDocFingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), xxhash64(trim(col("text"))).as("fingerprint"),
+        col("source"))
+}
