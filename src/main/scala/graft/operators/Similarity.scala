@@ -61,32 +61,44 @@ object Similarity {
       | WHERE e.vec_id <> 0)
       |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin
 
-  /** Number of hyperplanes = signature bits. 8 bits ≈ 256 buckets. */
-  val LshBits = 8
+  /** Multi-table random-hyperplane LSH: L independent tables of k sign-bits
+    * each. A neighbor is a candidate if it matches the probe's signature in
+    * ANY table — the standard recall/candidate-count dial (k shrinks
+    * buckets, L recovers recall). */
+  val LshTables = 8
+  val LshBits = 6
 
-  /** Deterministic pseudorandom unit hyperplanes (seed fixed → same
-    * signature on every executor / every run). */
+  /** Deterministic pseudorandom Gaussian hyperplanes (fixed seed → same
+    * signature on every executor / every run / every engine). */
   lazy val hyperplanes: Array[Array[Double]] = {
     val rnd = new scala.util.Random(42)
-    Array.fill(LshBits, 64)(rnd.nextGaussian())
+    Array.fill(LshTables * LshBits, 64)(rnd.nextGaussian())
   }
 
-  /** Signature = integer whose bit i is sign(v · h_i). Pure column expr. */
-  def lshSignature(vec: Column): Column =
+  /** Signature of table `t` = integer whose bit i is sign(v · h_{t·k+i}).
+    * Pure column expression — codegen'd, no UDF. */
+  def lshSignature(vec: Column, table: Int = 0): Column =
     (0 until LshBits).map { i =>
-      val h = array(hyperplanes(i).map(lit).toIndexedSeq: _*)
+      val h = array(hyperplanes(table * LshBits + i).map(lit).toIndexedSeq: _*)
       when(dot(vec, h) >= 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
 
-  /** LSH-bucketed ANN: probe only scans its own hyperplane bucket.
-    * Rows-only check; the spec measures recall vs qAnnBrute. */
+  /** All L table signatures as one array column. */
+  def lshSignatures(vec: Column): Column =
+    array((0 until LshTables).map(t => lshSignature(vec, t)): _*)
+
+  /** LSH-bucketed ANN: a probe only scans vectors sharing at least one of
+    * its L bucket keys, instead of the full table. At scale the exploded
+    * (table, sig) pairs are the shuffle key: each bucket is a tiny
+    * co-located scan, and the probe side is broadcast. Rows-only check;
+    * the spec measures recall vs qAnnBrute. */
   def qAnnLsh(s: SparkSession, d: String): DataFrame = {
-    val e = emb(s, d).withColumn("sig", lshSignature(col("vec")))
+    val e = emb(s, d).withColumn("sigs", lshSignatures(col("vec")))
     val probe = e.filter(col("vec_id") === 0)
-      .select(col("vec").as("probe_vec"), col("sig").as("probe_sig"))
+      .select(col("vec").as("probe_vec"), col("sigs").as("probe_sigs"))
     e.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(probe))
-      .filter(col("sig") === col("probe_sig"))
+      .filter(exists(zip_with(col("sigs"), col("probe_sigs"), _ === _), identity))
       .select(col("vec_id"), col("label"),
         cosine(col("vec"), col("probe_vec")).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))

@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends GraftSpec {
+
+  private def cos(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private lazy val vecs: Map[Long, Array[Double]] =
+    Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+
+  test("brute-force top-20 matches a driver-side exact computation") {
+    val probe = vecs(0L)
+    val expected = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(v, probe)) }
+      .sortBy { case (id, c) => (-c, id) }
+      .take(20).map(_._1)
+    val got = Similarity.qAnnBrute(spark, sf).collect()
+      .sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("vec_id"))
+    assert(got.sameElements(expected))
+  }
+
+  test("LSH ANN recall vs brute top-20 is reasonable and candidates share probe bucket") {
+    val brute = Similarity.qAnnBrute(spark, sf).collect().map(_.getAs[Long]("vec_id")).toSet
+    val lsh = Similarity.qAnnLsh(spark, sf).collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(lsh.nonEmpty)
+    // 8-bit signatures at 500 vectors: bucket ~ n/256; recall is probabilistic,
+    // bound loosely but meaningfully
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.1, s"LSH recall $recall collapsed")
+  }
+
+  test("lsh signature is deterministic across evaluations") {
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("vec"))
+    val s1 = e.select(col("vec_id"), Similarity.lshSignature(col("vec")).as("sig")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val s2 = e.select(col("vec_id"), Similarity.lshSignature(col("vec")).as("sig")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(s1 == s2)
+    assert(s1.values.toSet.size > 1, "signatures should spread across buckets")
+  }
+}

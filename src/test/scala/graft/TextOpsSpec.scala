@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.TextOps
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends GraftSpec {
+
+  test("token stats cover every document") {
+    val stats = TextOps.qDocTokens(spark, sf).collect()
+    assert(stats.map(_.getAs[Long]("n_docs")).sum == Tables.documents(spark, sf).count())
+    stats.foreach { r =>
+      assert(r.getAs[Int]("min_tokens") >= 1)
+      assert(r.getAs[Int]("max_tokens") >= r.getAs[Int]("min_tokens"))
+    }
+  }
+
+  test("quality ratios are well-formed") {
+    val rows = TextOps.qDocQuality(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val dr = r.getAs[Double]("distinct_ratio")
+      assert(dr > 0 && dr <= 1.0)
+      assert(r.getAs[Double]("stop_ratio") >= 0)
+      assert(r.getAs[Int]("n_tokens") >= 12)
+    }
+  }
+
+  test("langid accuracy is a valid ratio and predictions are exhaustive") {
+    val rows = TextOps.qDocLangid(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val acc = r.getAs[Double]("accuracy")
+      assert(acc >= 0 && acc <= 1)
+    }
+  }
+
+  test("fingerprints are stable and (here) collision-free") {
+    val fp1 = TextOps.qDocFingerprint(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fp2 = TextOps.qDocFingerprint(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp1 == fp2)
+    val nDistinctText = Tables.documents(spark, sf).select("text").distinct().count()
+    assert(fp1.values.toSet.size == nDistinctText)
+  }
+}
