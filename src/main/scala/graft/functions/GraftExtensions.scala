@@ -1,0 +1,35 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions hook registering graft's native expressions as SQL
+  * functions (`adler32`, `rolling_fingerprint`), enabling
+  * `spark.sql("SELECT adler32(...)")` alongside the Column API below.
+  *
+  * Wire up with:
+  * {{{
+  *   SparkSession.builder().withExtensions(new GraftExtensions) ...
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("adler32"),
+      new ExpressionInfo(classOf[Adler32].getName, "adler32"),
+      (children: Seq[Expression]) => Adler32(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("rolling_fingerprint"),
+      new ExpressionInfo(classOf[RollingFingerprintExpr].getName, "rolling_fingerprint"),
+      (children: Seq[Expression]) => RollingFingerprintExpr(children.head)))
+  }
+}
+
+/** Column-API access to the native expressions. */
+object GraftFunctions {
+  import org.apache.spark.sql.GraftShim
+  def adler32(c: Column): Column = GraftShim.column(Adler32(GraftShim.expression(c)))
+  def rollingFingerprint(c: Column): Column =
+    GraftShim.column(RollingFingerprintExpr(GraftShim.expression(c)))
+}

@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions (§2.H): codegen'd scalar kernels that stay
+  * inside whole-stage codegen — no UDF/serialization boundary in the hot
+  * path at 100 TB.
+  */
+
+/** Adler-32 checksum of a binary payload — the integrity digest the
+  * reference computes per data file before dropbox transfer
+  * (cf. /root/reference/file_transfer_scripts/insert_extra_fields.py:24-31,
+  * zlib.adler32 over 16 KiB blocks). Returns the checksum as a long
+  * (unsigned 32-bit range).
+  */
+case class Adler32(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"adler32 requires BINARY input, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = new java.util.zip.Adler32()
+    a.update(input.asInstanceOf[Array[Byte]])
+    a.getValue
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, bytes => {
+      val adler = ctx.freshName("adler")
+      s"""
+         |java.util.zip.Adler32 $adler = new java.util.zip.Adler32();
+         |$adler.update($bytes);
+         |${ev.value} = $adler.getValue();
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Adler32 =
+    copy(child = newChild)
+}
+
+/** 64-bit rolling-hash document fingerprint: the minimum of all k-gram
+  * polynomial rolling hashes of the string's bytes (winnowing-style
+  * min-sampling, k=8). Equal texts get equal fingerprints; a single edited
+  * byte usually leaves the minimum untouched, so near-identical documents
+  * tend to share fingerprints — the shard-level pre-filter for dedup.
+  */
+object RollingFingerprint {
+  final val K = 8
+  final val Base = 1000003L
+
+  def fingerprint(bytes: Array[Byte]): Long = {
+    if (bytes.length < K) {
+      // short input: single polynomial hash of the whole payload
+      var h = 0L
+      var i = 0
+      while (i < bytes.length) { h = h * Base + (bytes(i) & 0xffL); i += 1 }
+      return h
+    }
+    // precompute Base^(K-1) for the roll-off term
+    var pow = 1L
+    var j = 1
+    while (j < K) { pow *= Base; j += 1 }
+    var h = 0L
+    var i = 0
+    while (i < K) { h = h * Base + (bytes(i) & 0xffL); i += 1 }
+    var min = h
+    while (i < bytes.length) {
+      h = (h - (bytes(i - K) & 0xffL) * pow) * Base + (bytes(i) & 0xffL)
+      if (h < min) min = h
+      i += 1
+    }
+    min
+  }
+}
+
+case class RollingFingerprintExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"rolling_fingerprint requires STRING input, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any =
+    RollingFingerprint.fingerprint(input.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, str =>
+      s"${ev.value} = graft.functions.RollingFingerprint.fingerprint($str.getBytes());")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingFingerprintExpr =
+    copy(child = newChild)
+}

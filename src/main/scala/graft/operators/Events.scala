@@ -171,13 +171,14 @@ object Events {
       |GROUP BY det_id, crate_id""".stripMargin
 
   /** Ingest-integrity checksums per event_type (cf. insert_extra_fields.py's
-    * adler32-per-file): CRC32 of each payload, aggregated. Rows-only check —
-    * DuckDB has no CRC32. */
+    * adler32-per-file): Adler-32 of each payload via the native codegen
+    * expression (graft.functions.Adler32), aggregated order-insensitively.
+    * Rows-only check — DuckDB has no adler32. */
   def qEvtChecksum(s: SparkSession, d: String): DataFrame =
     events(s, d)
-      .withColumn("crc", crc32(col("props").cast("binary")))
+      .withColumn("adler", graft.functions.GraftFunctions.adler32(col("props").cast("binary")))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("crc")).as("sum_crc"),
-        max(col("crc")).as("max_crc"))
+        sum(col("adler")).as("sum_adler"),
+        max(col("adler")).as("max_adler"))
 }

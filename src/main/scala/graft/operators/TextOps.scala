@@ -92,11 +92,14 @@ object TextOps {
       |        ELSE 'zh' END AS pred
       |  FROM documents) p GROUP BY lang) t""".stripMargin
 
-  /** 64-bit document fingerprint (xxHash64 of the normalized text) — the
-    * cheap exact-dup key a pipeline persists per shard. Rows-only check
-    * (hash function is engine-specific). */
+  /** 64-bit document fingerprints — the cheap dup keys a pipeline persists
+    * per shard: an exact-dup key (xxHash64 of normalized text) plus a
+    * winnowing-style rolling-hash fingerprint (native codegen expression,
+    * robust to local edits). Rows-only check (hashes are engine-specific). */
   def qDocFingerprint(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), xxhash64(trim(col("text"))).as("fingerprint"),
+        graft.functions.GraftFunctions.rollingFingerprint(trim(col("text")))
+          .as("rolling_fp"),
         col("source"))
 }

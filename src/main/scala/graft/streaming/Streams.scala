@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** §2.F — Structured Streaming ingest, the Spark-native re-expression of the
+  * reference's DAQ data path (run_iceberg_daq.sh: fixed-rate sources →
+  * readout apps → storage). The DAQ hardware-control side is out of scope
+  * (SURVEY.md §4); what Spark owns is the stream *processing*: windowed
+  * aggregation, stateful sessionization, and duplicate suppression, each
+  * with watermark-bounded state so a 1000-executor cluster never accretes
+  * unbounded state.
+  *
+  * Transformations are `DataFrame => DataFrame` so the SAME code runs in
+  * batch (oracle-checked via q_evt_tumbling) and on a `readStream` source —
+  * Structured Streaming's incrementalization guarantees consistent results.
+  */
+object Streams {
+
+  /** Watermarked tumbling-window aggregation (1h windows, 10m late-data
+    * allowance). State per (window, event_type) is dropped once the
+    * watermark passes the window end. */
+  def tumblingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Stream dedup on event_id within the watermark horizon — the
+    * trigger-record duplicate suppression pattern. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("event_id")
+
+  // ------------------------------------------------------- stateful sessions
+
+  case class Evt(user_id: Long, event_id: Long, ts: Timestamp, value: Double) {
+    def tsMicros: Long =
+      ts.toInstant.getEpochSecond * 1000000L + ts.toInstant.getNano / 1000
+  }
+  case class SessionState(start: Long, last: Long, n: Int, sumValue: Double)
+  case class SessionOut(user_id: Long, sess_start: Timestamp, sess_end: Timestamp,
+    n_events: Int, sum_value: Double)
+
+  val GapMicros: Long = 30L * 60 * 1000000
+
+  /** Gap-based sessionization with explicit keyed state
+    * (flatMapGroupsWithState + event-time timeout): emits a session when a
+    * 30-minute gap closes it or the watermark times the key out. The
+    * streaming twin of the batch q_evt_sessionize. */
+  def sessionize(spark: SparkSession, events: DataFrame): Dataset[SessionOut] = {
+    import spark.implicits._
+    val typed = events
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .as[Evt]
+
+    typed
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Evt], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(s =>
+              SessionOut(userId, new Timestamp(s.start / 1000), new Timestamp(s.last / 1000),
+                s.n, s.sumValue)).toIterator
+            state.remove()
+            out
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.tsMicros, e.event_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.tsMicros - s.last <= GapMicros =>
+                  cur = Some(s.copy(last = e.tsMicros, n = s.n + 1,
+                    sumValue = s.sumValue + e.value))
+                case Some(s) =>
+                  closed += SessionOut(userId, new Timestamp(s.start / 1000),
+                    new Timestamp(s.last / 1000), s.n, s.sumValue)
+                  cur = Some(SessionState(e.tsMicros, e.tsMicros, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(e.tsMicros, e.tsMicros, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // time the key out once the watermark passes the gap horizon
+              state.setTimeoutTimestamp((s.last + GapMicros) / 1000)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** File-source streaming ingest over an events directory — at scale this
+    * is the dropbox the DAQ file mover lands parquet into
+    * (cf. file_transfer_scripts/createMetadatafiles_iceberg_dropbox.sh). */
+  def readEventStream(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "4")
+      .parquet(dir)
+}
