@@ -39,11 +39,12 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val e = emb(s, d)
     val probe = e.filter(col("vec_id") === 0)
-      .select(col("vec").as("probe_vec"))
+      .select(col("vec").as("probe_vec"), norm(col("vec")).as("probe_nrm"))
     val top = e.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(probe))
       .select(col("vec_id"), col("label"),
-        cosine(col("vec"), col("probe_vec")).as("cos"))
+        (dot(col("vec"), col("probe_vec")) / (norm(col("vec")) * col("probe_nrm")))
+          .as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(20)
     // rank assigned after the top-K cut: 20 rows, trivial window
@@ -95,12 +96,14 @@ object Similarity {
   def qAnnLsh(s: SparkSession, d: String): DataFrame = {
     val e = emb(s, d).withColumn("sigs", lshSignatures(col("vec")))
     val probe = e.filter(col("vec_id") === 0)
-      .select(col("vec").as("probe_vec"), col("sigs").as("probe_sigs"))
+      .select(col("vec").as("probe_vec"), norm(col("vec")).as("probe_nrm"),
+        col("sigs").as("probe_sigs"))
     e.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(probe))
       .filter(exists(zip_with(col("sigs"), col("probe_sigs"), _ === _), identity))
       .select(col("vec_id"), col("label"),
-        cosine(col("vec"), col("probe_vec")).as("cos"))
+        (dot(col("vec"), col("probe_vec")) / (norm(col("vec")) * col("probe_nrm")))
+          .as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(20)
       .select(col("vec_id"), col("label"))

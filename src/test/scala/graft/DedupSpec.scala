@@ -17,45 +17,52 @@ class DedupSpec extends GraftSpec {
     } yield (a, b) -> j).toMap
   }
 
-  test("minhash finds every identical-token-set pair and reports true jaccard") {
-    val found = Dedup.qDedupMinhash(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    // identical signatures are guaranteed candidates: every j=1.0 pair is found
-    val exactPairs = bruteJaccard.filter(_._2 == 1.0).keySet
-    val missing = exactPairs -- found.keySet
-    assert(missing.isEmpty, s"minhash missed exact-dup pairs: ${missing.take(5)}")
-    // every reported pair's jaccard matches brute force and clears the bar
-    found.foreach { case (pair, j) =>
-      assert(math.abs(j - bruteJaccard(pair)) < 1e-12)
+  private lazy val minhashDecisions: Map[Long, (Long, Double)] =
+    Dedup.qDedupMinhash(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+  test("minhash decisions are precise: reported jaccard is the true jaccard") {
+    assert(minhashDecisions.nonEmpty)
+    minhashDecisions.foreach { case (doc, (dupOf, j)) =>
+      assert(dupOf != doc)
+      val key = if (dupOf < doc) (dupOf, doc) else (doc, dupOf)
+      assert(math.abs(j - bruteJaccard(key)) < 1e-12,
+        s"doc $doc dup_of $dupOf: reported $j vs brute ${bruteJaccard(key)}")
       assert(j >= 0.8)
     }
   }
 
-  test("minhash recall vs brute force at j>=0.8 is high") {
-    val found = Dedup.qDedupMinhash(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val truth = bruteJaccard.filter(_._2 >= 0.8).keySet
-    assert(truth.nonEmpty, "corpus should contain near-dup pairs")
-    val recall = (truth & found).size.toDouble / truth.size
-    assert(recall >= 0.7, s"recall $recall too low (${truth.size} true pairs)")
+  test("minhash marks every doc with an identical-token-set predecessor") {
+    val docsWithTwin = bruteJaccard.filter(_._2 == 1.0).keySet.map(_._2)
+    val missing = docsWithTwin.filterNot(minhashDecisions.contains)
+    assert(missing.isEmpty, s"exact dups not marked: ${missing.take(5)}")
   }
 
-  test("simhash candidates include every hamming<=3 pair (pigeonhole)") {
+  test("minhash recall vs brute force at j>=0.8 is high") {
+    // a doc is a true duplicate if some smaller doc has jaccard >= 0.8 with it
+    val truth = bruteJaccard.filter(_._2 >= 0.8).keySet.map(_._2)
+    assert(truth.nonEmpty, "corpus should contain near-dup docs")
+    val recall = truth.count(minhashDecisions.contains).toDouble / truth.size
+    assert(recall >= 0.7, s"recall $recall too low (${truth.size} true dup docs)")
+  }
+
+  test("simhash decisions cover every doc with a hamming<=3 predecessor (pigeonhole)") {
     val fps = Dedup.simhash(Tables.documents(spark, sf)).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val reported = Dedup.qDedupSimhash(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
-    val brute = for {
+    val decisions = Dedup.qDedupSimhash(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    // guarantee: any doc with a smaller doc within hamming 3 gets a decision
+    // (same fp → exact link; different fp → its rep pair shares a chunk)
+    val owed = (for {
       (a, fa) <- fps.toSeq; (b, fb) <- fps.toSeq if a < b
-      h = java.lang.Long.bitCount(fa ^ fb) if h <= 3
-    } yield (a, b) -> h
-    brute.foreach { case (pair, h) =>
-      assert(reported.contains(pair), s"simhash missed pair $pair at hamming $h")
-      assert(reported(pair) == h)
-    }
-    // and every reported hamming is correct
-    reported.foreach { case ((a, b), h) =>
-      assert(java.lang.Long.bitCount(fps(a) ^ fps(b)) == h && h <= 6)
+      if java.lang.Long.bitCount(fa ^ fb) <= 3
+    } yield b).toSet
+    val missing = owed.filterNot(decisions.contains)
+    assert(missing.isEmpty, s"simhash missed dup docs: ${missing.take(5)}")
+    // precision: reported hamming is the true hamming and clears the bar
+    decisions.foreach { case (doc, (dupOf, h)) =>
+      assert(dupOf < doc)
+      assert(java.lang.Long.bitCount(fps(doc) ^ fps(dupOf)) == h && h <= 6)
     }
   }
 
