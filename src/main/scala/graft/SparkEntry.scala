@@ -34,6 +34,14 @@ object SparkEntry {
     "q_scalar_subquery" -> (Relational.qScalarSubquery _),
     "q_string_funcs"    -> (Relational.qStringFuncs _),
     "q_date_funcs"      -> (Relational.qDateFuncs _),
+    "q_pivot"      -> (Relational2.qPivot _),
+    "q_cube"       -> (Relational2.qCube _),
+    "q_intersect"  -> (Relational2.qIntersect _),
+    "q_except"     -> (Relational2.qExcept _),
+    "q_percentile" -> (Relational2.qPercentile _),
+    "q_histogram"  -> (Relational2.qHistogram _),
+    "q_correlated" -> (Relational2.qCorrelated _),
+    "q_range_join" -> (Relational2.qRangeJoin _),
     // §2.B event-stream analytics
     "q_evt_tumbling"     -> (Events.qEvtTumbling _),
     "q_evt_sessionize"   -> (Events.qEvtSessionize _),
@@ -43,11 +51,13 @@ object SparkEntry {
     "q_evt_user_stats"   -> (Events.qEvtUserStats _),
     "q_evt_geo_enrich"   -> (Events.qEvtGeoEnrich _),
     "q_evt_checksum"     -> (Events.qEvtChecksum _),
+    "q_evt_funnel"       -> (Events.qEvtFunnel _),
     // §2.C text analysis
     "q_doc_tokens"      -> (TextOps.qDocTokens _),
     "q_doc_quality"     -> (TextOps.qDocQuality _),
     "q_doc_langid"      -> (TextOps.qDocLangid _),
     "q_doc_fingerprint" -> (TextOps.qDocFingerprint _),
+    "q_doc_ngrams"      -> (TextOps.qDocNgrams _),
     // §2.D dedup family
     "q_dedup_exact"   -> (Dedup.qDedupExact _),
     "q_dedup_jaccard" -> (Dedup.qDedupJaccard _),
@@ -82,6 +92,14 @@ object SparkEntry {
     "q_scalar_subquery" -> Relational.qScalarSubquerySql,
     "q_string_funcs"    -> Relational.qStringFuncsSql,
     "q_date_funcs"      -> Relational.qDateFuncsSql,
+    "q_pivot"      -> Relational2.qPivotSql,
+    "q_cube"       -> Relational2.qCubeSql,
+    "q_intersect"  -> Relational2.qIntersectSql,
+    "q_except"     -> Relational2.qExceptSql,
+    "q_percentile" -> Relational2.qPercentileSql,
+    "q_histogram"  -> Relational2.qHistogramSql,
+    "q_correlated" -> Relational2.qCorrelatedSql,
+    "q_range_join" -> Relational2.qRangeJoinSql,
     "q_evt_tumbling"     -> Events.qEvtTumblingSql,
     "q_evt_sessionize"   -> Events.qEvtSessionizeSql,
     "q_evt_asof"         -> Events.qEvtAsofSql,
@@ -89,9 +107,11 @@ object SparkEntry {
     "q_evt_json"         -> Events.qEvtJsonSql,
     "q_evt_user_stats"   -> Events.qEvtUserStatsSql,
     "q_evt_geo_enrich"   -> Events.qEvtGeoEnrichSql,
+    "q_evt_funnel"       -> Events.qEvtFunnelSql,
     "q_doc_tokens"      -> TextOps.qDocTokensSql,
     "q_doc_quality"     -> TextOps.qDocQualitySql,
     "q_doc_langid"      -> TextOps.qDocLangidSql,
+    "q_doc_ngrams"      -> TextOps.qDocNgramsSql,
     "q_dedup_exact"   -> Dedup.qDedupExactSql,
     "q_dedup_jaccard" -> Dedup.qDedupJaccardSql,
     "q_dedup_embed"   -> Dedup.qDedupEmbedSql,

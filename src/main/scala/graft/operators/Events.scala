@@ -170,6 +170,29 @@ object Events {
       | AS m(event_type, det_id, crate_id) USING (event_type)
       |GROUP BY det_id, crate_id""".stripMargin
 
+  /** Conversion funnel: per user, did a signup precede the first purchase?
+    * One shuffle on user_id; conditional min aggregates, no self-join. */
+  def qEvtFunnel(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "signup", col("ts"))).as("first_signup"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("first_purchase"),
+        count(lit(1)).as("n_events"))
+      .withColumn("converted",
+        col("first_signup").isNotNull && col("first_purchase").isNotNull &&
+          col("first_signup") < col("first_purchase"))
+
+  def qEvtFunnelSql: String =
+    """SELECT user_id, first_signup, first_purchase, n_events,
+      | (first_signup IS NOT NULL AND first_purchase IS NOT NULL
+      |  AND first_signup < first_purchase) AS converted
+      |FROM (SELECT user_id,
+      |  min(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+      |  min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase,
+      |  count(*) AS n_events
+      | FROM events GROUP BY user_id) t""".stripMargin
+
   /** Ingest-integrity checksums per event_type (cf. insert_extra_fields.py's
     * adler32-per-file): Adler-32 of each payload via the native codegen
     * expression (graft.functions.Adler32), aggregated order-insensitively.

@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** §2.A continued — second batch of relational operators: pivot, cube, set
+  * operations, percentiles, histogram bucketing, correlated subqueries.
+  * Same determinism + scale discipline as [[Relational]].
+  */
+object Relational2 {
+
+  private def dec(c: Column): Column = c.cast("decimal(18,4)")
+
+  /** Relational PIVOT (Spark's pivot operator, not manual CASE): order
+    * counts per priority pivoted by status. Pivot values are enumerated
+    * explicitly — at scale an implicit pivot would need an extra pass to
+    * discover them. */
+  def qPivot(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("o_orderpriority"), col("F").as("n_f"), col("O").as("n_o"),
+        col("P").as("n_p"))
+
+  def qPivotSql: String =
+    """SELECT o_orderpriority,
+      | CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+      | CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+      | CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
+  /** Full CUBE over two dimensions (all 4 grouping sets in one pass). */
+  def qCube(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("total"))
+
+  def qCubeSql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
+
+  /** INTERSECT: nations that have both customers and suppliers. */
+  def qIntersect(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+    val su = Tables.supplier(s, d).select(col("s_nationkey").as("nationkey"))
+    c.intersect(su)
+  }
+
+  def qIntersectSql: String =
+    "SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier"
+
+  /** EXCEPT: nations with customers but no suppliers. */
+  def qExcept(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+    val su = Tables.supplier(s, d).select(col("s_nationkey").as("nationkey"))
+    c.except(su)
+  }
+
+  def qExceptSql: String =
+    "SELECT c_nationkey AS nationkey FROM customer EXCEPT SELECT s_nationkey FROM supplier"
+
+  /** Exact linear-interpolation percentiles (median / p90) per group.
+    * Spark `percentile` and DuckDB `quantile_cont` share the
+    * p·(n−1) linear-interpolation definition. */
+  def qPercentile(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile(col("l_extendedprice"), lit(0.5)).as("median_price"),
+        percentile(col("l_extendedprice"), lit(0.9)).as("p90_price"),
+        count(lit(1)).as("n_rows"))
+
+  def qPercentileSql: String =
+    """SELECT l_returnflag,
+      | quantile_cont(l_extendedprice, 0.5) AS median_price,
+      | quantile_cont(l_extendedprice, 0.9) AS p90_price,
+      | count(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** Fixed-width histogram bucketing (integer bucket ids — engine-exact). */
+  def qHistogram(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(floor(col("o_totalprice") / 50000).cast("bigint").as("bucket"))
+      .agg(count(lit(1)).as("n_orders"))
+
+  def qHistogramSql: String =
+    """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket, count(*) AS n_orders
+      |FROM orders GROUP BY 1""".stripMargin
+
+  /** Correlated scalar subquery: lineitems priced above their own part's
+    * retail price — decorrelates to a broadcast-able join on partkey. */
+  def qCorrelated(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val p = Tables.part(s, d).select(col("p_partkey"), col("p_retailprice"))
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .filter(col("l_extendedprice") > col("p_retailprice") * 20)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_extendedprice"))
+  }
+
+  def qCorrelatedSql: String =
+    """SELECT l_orderkey, l_partkey, l_extendedprice FROM lineitem
+      |WHERE l_extendedprice > (SELECT p_retailprice * 20 FROM part WHERE p_partkey = l_partkey)""".stripMargin
+
+  /** Multi-key range ("theta") join, the non-equi pattern: events paired to
+    * the order window of the same bucketed value band. Composed as an
+    * equi-join on the band key plus residual range predicates so the
+    * physical plan stays a hash join (a pure theta join would be a
+    * cartesian product at scale). */
+  def qRangeJoin(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        floor(col("o_totalprice") / 100).cast("bigint").as("band"))
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_extendedprice"),
+        floor(col("l_extendedprice") / 100).cast("bigint").as("band"))
+    li.join(ord, Seq("band"))
+      .filter(col("l_extendedprice") < col("o_totalprice")
+        && col("o_orderkey") =!= col("l_orderkey"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  def qRangeJoinSql: String =
+    """SELECT band, count(*) AS n_pairs FROM (
+      | SELECT CAST(floor(l_extendedprice / 100) AS BIGINT) AS band,
+      |        l_extendedprice, l_orderkey
+      | FROM lineitem) l
+      |JOIN (
+      | SELECT CAST(floor(o_totalprice / 100) AS BIGINT) AS band,
+      |        o_totalprice, o_orderkey
+      | FROM orders) o USING (band)
+      |WHERE l_extendedprice < o_totalprice AND o_orderkey <> l_orderkey
+      |GROUP BY band""".stripMargin
+}

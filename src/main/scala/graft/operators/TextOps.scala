@@ -92,6 +92,33 @@ object TextOps {
       |        ELSE 'zh' END AS pred
       |  FROM documents) p GROUP BY lang) t""".stripMargin
 
+  /** Corpus-level n-gram statistics: explode word bigrams, count, top-20.
+    * The explode is the one row-multiplying stage (×~tokens per doc); the
+    * count is a standard two-phase agg and top-K avoids a global sort. */
+  def qDocNgrams(s: SparkSession, d: String): DataFrame = {
+    // materialize the token array ONCE per row: referencing the split
+    // expression inside the transform lambda would re-run the regex split
+    // per array element (O(tokens²) per doc)
+    val bigrams = transform(
+      sequence(lit(0), size(col("toks")) - 2),
+      i => concat_ws(" ", element_at(col("toks"), i + 1),
+        element_at(col("toks"), i + 2)))
+    Tables.documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .select(explode(bigrams).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("bigram"))
+      .limit(20)
+  }
+
+  def qDocNgramsSql: String =
+    """SELECT bigram, count(*) AS n_occurrences FROM (
+      | SELECT unnest(list_transform(range(1, len(toks)),
+      |   i -> toks[i] || ' ' || toks[i+1])) AS bigram
+      | FROM (SELECT regexp_split_to_array(trim(text), ' +') AS toks FROM documents) t)
+      |GROUP BY bigram ORDER BY n_occurrences DESC, bigram LIMIT 20""".stripMargin
+
   /** 64-bit document fingerprints — the cheap dup keys a pipeline persists
     * per shard: an exact-dup key (xxHash64 of normalized text) plus a
     * winnowing-style rolling-hash fingerprint (native codegen expression,

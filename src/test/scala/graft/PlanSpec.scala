@@ -1,0 +1,84 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Physical-plan assertions: the scale posture (SURVEY.md §3) must be
+  * visible in the plans Catalyst actually emits — pushdown reaching the
+  * parquet scan, narrow read schemas, dims broadcast instead of shuffled,
+  * top-K compiling to TakeOrderedAndProject, whole-stage codegen present.
+  */
+class PlanSpec extends GraftSpec {
+
+  private def planString(df: DataFrame): String = {
+    df.queryExecution.executedPlan.toString
+  }
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q2 filter + projection push into the parquet scan") {
+    val p = formatted(Relational.q2FilterProject(spark, sf))
+    assert(p.contains("PushedFilters:") &&
+      (p.contains("LessThan(l_quantity") || p.contains("GreaterThan(l_discount")),
+      s"filters not pushed:\n$p")
+    // projection pruning: the scan must not read money/date columns
+    assert(p.contains("l_orderkey") && !p.contains("l_extendedprice"),
+      "read schema not pruned to the 3 projected columns")
+  }
+
+  test("q1 scan prunes to the 7 referenced lineitem columns") {
+    val p = formatted(Relational.q1Agg(spark, sf))
+    assert(!p.contains("l_orderkey") && !p.contains("l_suppkey"),
+      "q1 scan reads join keys it never uses")
+    assert(p.contains("PushedFilters:"), "shipdate filter not pushed")
+  }
+
+  test("q3/q5 broadcast the dimension side, never shuffle it") {
+    val p3 = planString(Relational.q3JoinAgg(spark, sf))
+    assert(p3.contains("BroadcastHashJoin"), s"q3 lost its broadcast join:\n$p3")
+    val p5 = planString(Relational.q5MultiJoin(spark, sf))
+    assert(p5.contains("BroadcastHashJoin"), "q5 dims not broadcast")
+    assert(!p5.contains("CartesianProduct"), "q5 degenerated to a cartesian product")
+  }
+
+  test("top-K compiles to TakeOrderedAndProject (no global sort)") {
+    val p = planString(Relational.qSortLimit(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), s"top-K plan:\n$p")
+    assert(!p.replace("TakeOrderedAndProject", "").contains("Sort "),
+      "top-K should not need a global Sort node")
+  }
+
+  test("semi/anti joins stay semi/anti at the physical level") {
+    assert(planString(Relational.qSemiJoin(spark, sf)).contains("LeftSemi"))
+    assert(planString(Relational.qAntiJoin(spark, sf)).contains("LeftAnti"))
+  }
+
+  test("aggregations use two-phase (partial) HashAggregate") {
+    val p = planString(Relational.q1Agg(spark, sf))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expected map-side partial + final aggregate")
+  }
+
+  test("hot-path queries stay inside whole-stage codegen") {
+    Seq(Relational.q1Agg(spark, sf), Relational.q2FilterProject(spark, sf),
+      Events.qEvtJson(spark, sf), TextOps.qDocQuality(spark, sf))
+      .foreach { df =>
+        df.collect() // finalize the adaptive plan so codegen spans materialize
+        val p = planString(df)
+        // codegen stages render as "*(n) Operator" in the finalized plan
+        assert(p.contains("WholeStageCodegen") || p.contains("*("),
+          s"no codegen span:\n${p.take(500)}")
+      }
+  }
+
+  test("events geo enrichment broadcasts the readout map") {
+    val p = planString(Events.qEvtGeoEnrich(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), "readout map should broadcast")
+  }
+
+  test("minhash verification joins broadcast the token lookups") {
+    val p = planString(Dedup.qDedupMinhash(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), "token lookup joins should broadcast")
+  }
+}
