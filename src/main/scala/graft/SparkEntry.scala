@@ -42,6 +42,7 @@ object SparkEntry {
     "q_histogram"  -> (Relational2.qHistogram _),
     "q_correlated" -> (Relational2.qCorrelated _),
     "q_range_join" -> (Relational2.qRangeJoin _),
+    "q_salted_join" -> (Joins.qSaltedJoin _),
     // §2.B event-stream analytics
     "q_evt_tumbling"     -> (Events.qEvtTumbling _),
     "q_evt_sessionize"   -> (Events.qEvtSessionize _),
@@ -100,6 +101,7 @@ object SparkEntry {
     "q_histogram"  -> Relational2.qHistogramSql,
     "q_correlated" -> Relational2.qCorrelatedSql,
     "q_range_join" -> Relational2.qRangeJoinSql,
+    "q_salted_join" -> Joins.qSaltedJoinSql,
     "q_evt_tumbling"     -> Events.qEvtTumblingSql,
     "q_evt_sessionize"   -> Events.qEvtSessionizeSql,
     "q_evt_asof"         -> Events.qEvtAsofSql,
