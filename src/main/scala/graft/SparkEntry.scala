@@ -43,6 +43,8 @@ object SparkEntry {
     "q_correlated" -> (Relational2.qCorrelated _),
     "q_range_join" -> (Relational2.qRangeJoin _),
     "q_salted_join" -> (Joins.qSaltedJoin _),
+    "q_topk_group"  -> (TopK.qTopkGroup _),
+    "q_approx_percentile" -> (Relational2.qApproxPercentile _),
     // §2.B event-stream analytics
     "q_evt_tumbling"     -> (Events.qEvtTumbling _),
     "q_evt_sessionize"   -> (Events.qEvtSessionize _),
@@ -53,6 +55,7 @@ object SparkEntry {
     "q_evt_geo_enrich"   -> (Events.qEvtGeoEnrich _),
     "q_evt_checksum"     -> (Events.qEvtChecksum _),
     "q_evt_funnel"       -> (Events.qEvtFunnel _),
+    "q_evt_session_window" -> (Events.qEvtSessionWindow _),
     // §2.C text analysis
     "q_doc_tokens"      -> (TextOps.qDocTokens _),
     "q_doc_quality"     -> (TextOps.qDocQuality _),
@@ -102,6 +105,7 @@ object SparkEntry {
     "q_correlated" -> Relational2.qCorrelatedSql,
     "q_range_join" -> Relational2.qRangeJoinSql,
     "q_salted_join" -> Joins.qSaltedJoinSql,
+    "q_topk_group"  -> TopK.qTopkGroupSql,
     "q_evt_tumbling"     -> Events.qEvtTumblingSql,
     "q_evt_sessionize"   -> Events.qEvtSessionizeSql,
     "q_evt_asof"         -> Events.qEvtAsofSql,
@@ -110,6 +114,7 @@ object SparkEntry {
     "q_evt_user_stats"   -> Events.qEvtUserStatsSql,
     "q_evt_geo_enrich"   -> Events.qEvtGeoEnrichSql,
     "q_evt_funnel"       -> Events.qEvtFunnelSql,
+    "q_evt_session_window" -> Events.qEvtSessionWindowSql,
     "q_doc_tokens"      -> TextOps.qDocTokensSql,
     "q_doc_quality"     -> TextOps.qDocQualitySql,
     "q_doc_langid"      -> TextOps.qDocLangidSql,

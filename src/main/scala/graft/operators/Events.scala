@@ -170,6 +170,33 @@ object Events {
       | AS m(event_type, det_id, crate_id) USING (event_type)
       |GROUP BY det_id, crate_id""".stripMargin
 
+  /** Gap-based sessions via Spark's native session_window (dynamic-gap
+    * session windows in one groupBy — the declarative twin of
+    * qEvtSessionize; both agree with the streaming version, see specs).
+    * Session start = first event ts, identical to the lag/running-sum
+    * formulation, which is what the shared oracle CTE computes. */
+  def qEvtSessionWindow(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("sess_start"),
+        col("n_events"))
+
+  def qEvtSessionWindowSql: String =
+    """WITH flagged AS (
+      | SELECT user_id, event_id, ts,
+      |  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30*60*1000000
+      |       THEN 1 ELSE 0 END AS new_sess
+      | FROM events
+      | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      | SELECT user_id, ts,
+      |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      | FROM flagged)
+      |SELECT user_id, min(ts) AS sess_start, count(*) AS n_events
+      |FROM sess GROUP BY user_id, session_id""".stripMargin
+
   /** Conversion funnel: per user, did a signup precede the first purchase?
     * One shuffle on user_id; conditional min aggregates, no self-join. */
   def qEvtFunnel(s: SparkSession, d: String): DataFrame =

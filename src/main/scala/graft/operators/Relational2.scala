@@ -82,6 +82,16 @@ object Relational2 {
       | count(*) AS n_rows
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  /** Sketch-based percentiles — the 100 TB path (bounded-memory t-digest-ish
+    * sketch vs exact percentile's full sort). Rows-only check (sketch is
+    * engine-specific); the spec bounds its error against the exact value. */
+  def qApproxPercentile(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"),
+        count(lit(1)).as("n_rows"))
+
   /** Fixed-width histogram bucketing (integer bucket ids — engine-exact). */
   def qHistogram(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
