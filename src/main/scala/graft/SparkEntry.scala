@@ -62,15 +62,18 @@ object SparkEntry {
     "q_doc_langid"      -> (TextOps.qDocLangid _),
     "q_doc_fingerprint" -> (TextOps.qDocFingerprint _),
     "q_doc_ngrams"      -> (TextOps.qDocNgrams _),
+    "q_doc_tfidf"       -> (TextOps.qDocTfidf _),
     // §2.D dedup family
     "q_dedup_exact"   -> (Dedup.qDedupExact _),
     "q_dedup_jaccard" -> (Dedup.qDedupJaccard _),
     "q_dedup_minhash" -> (Dedup.qDedupMinhash _),
     "q_dedup_simhash" -> (Dedup.qDedupSimhash _),
     "q_dedup_embed"   -> (Dedup.qDedupEmbed _),
+    "q_dedup_clusters" -> (Dedup.dupClusters _),
     // §2.E similarity search
     "q_ann_brute" -> (Similarity.qAnnBrute _),
     "q_ann_lsh"   -> (Similarity.qAnnLsh _),
+    "q_ann_ivf"   -> (Similarity.qAnnIvf _),
   )
 
   /** DuckDB-equivalent SQL for the driver's oracle compare. Keys omitted

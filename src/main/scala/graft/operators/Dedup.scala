@@ -173,6 +173,40 @@ object Dedup {
       .select(col("doc_id"), col("best.dup_of").as("dup_of"), col("best.jaccard").as("jaccard"))
   }
 
+  /** Full transitive dup clusters from the minhash decisions. The decisions
+    * form a parent FOREST (each doc has one `dup_of`, strictly smaller ⇒
+    * acyclic), so connected components reduce to root-finding by pointer
+    * jumping: each round replaces every parent with its grandparent —
+    * O(log depth) rounds of self-equi-joins, lineage truncated per round
+    * (localCheckpoint) so plans stay flat. The DataFrame-native version of
+    * connected components; no GraphX/RDD API.
+    * Output: (doc_id, cluster_id) where cluster_id = the component's min
+    * doc_id, for every doc that appears in a decision. */
+  def dupClusters(s: SparkSession, d: String): DataFrame = {
+    var parent = qDedupMinhash(s, d)
+      .select(col("doc_id"), col("dup_of")).localCheckpoint()
+    var rounds = 0
+    var changed = 1L
+    while (changed > 0 && rounds < 16) {
+      val grand = parent.select(col("doc_id").as("p_doc"), col("dup_of").as("p_par"))
+      val next = parent
+        .join(grand, parent("dup_of") === grand("p_doc"), "left")
+        .select(col("doc_id"),
+          coalesce(col("p_par"), col("dup_of")).as("dup_of"))
+        .localCheckpoint()
+      changed = next.as("n").join(parent.as("p"), "doc_id")
+        .filter(org.apache.spark.sql.functions.expr("n.dup_of <> p.dup_of")).count()
+      parent = next
+      rounds += 1
+    }
+    // roots map to themselves
+    val roots = parent.select(col("dup_of").as("doc_id")).distinct()
+      .join(parent.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .withColumn("cluster_id", col("doc_id"))
+    parent.select(col("doc_id"), col("dup_of").as("cluster_id"))
+      .union(roots)
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash per doc: bit k of the fingerprint is the sign of the

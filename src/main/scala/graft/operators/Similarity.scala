@@ -88,6 +88,47 @@ object Similarity {
   def lshSignatures(vec: Column): Column =
     array((0 until LshTables).map(t => lshSignature(vec, t)): _*)
 
+  /** IVF (inverted-file) ANN: k-means centroids partition the vector space;
+    * each vector is assigned to its nearest centroid (the "inverted list"),
+    * and a probe scans only the `nProbe` nearest lists instead of the full
+    * table — the classic coarse-quantizer scale path (at 100 TB the lists
+    * are the partition key; a probe touches nProbe/k of the data).
+    * Deterministic via fixed seed. Rows-only check; spec measures recall. */
+  def qAnnIvf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val k = 16
+    val nProbe = 4
+    val e = emb(s, d).withColumn("features", array_to_vector(col("vec")))
+    val model = new KMeans().setK(k).setSeed(42L).setMaxIter(10)
+      .setFeaturesCol("features").fit(e)
+    val assigned = model.transform(e).withColumnRenamed("prediction", "list_id")
+    // nProbe nearest centroid lists for the probe vector
+    val probeRow = assigned.filter(col("vec_id") === 0)
+      .select(col("vec"), norm(col("vec")).as("pn")).head()
+    val probeVec = probeRow.getSeq[Double](0).toArray
+    val lists = model.clusterCenters.zipWithIndex
+      .map { case (c, i) =>
+        val arr = c.toArray
+        var dist = 0.0
+        var j = 0
+        while (j < arr.length) { val dd = arr(j) - probeVec(j); dist += dd * dd; j += 1 }
+        (i, dist)
+      }
+      .sortBy(_._2).take(nProbe).map(_._1)
+    val probe = assigned.filter(col("vec_id") === 0)
+      .select(col("vec").as("probe_vec"), norm(col("vec")).as("probe_nrm"))
+    assigned
+      .filter(col("vec_id") =!= 0 && col("list_id").isin(lists.toIndexedSeq: _*))
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), col("label"),
+        (dot(col("vec"), col("probe_vec")) / (norm(col("vec")) * col("probe_nrm")))
+          .as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(20)
+      .select(col("vec_id"), col("label"))
+  }
+
   /** LSH-bucketed ANN: a probe only scans vectors sharing at least one of
     * its L bucket keys, instead of the full table. At scale the exploded
     * (table, sig) pairs are the shuffle key: each bucket is a tiny

@@ -92,6 +92,30 @@ object TextOps {
       |        ELSE 'zh' END AS pred
       |  FROM documents) p GROUP BY lang) t""".stripMargin
 
+  /** TF-IDF: term frequencies per doc joined to corpus-level document
+    * frequencies, each doc keeping its top-scored term. Two shuffles (per-doc
+    * term counts; per-term doc frequency) with the DF side broadcast back —
+    * the standard shape at corpus scale. Rows-only check (log() libm values
+    * differ across engines in the last ulp); spec verifies against a
+    * driver-side computation. */
+  def qDocTfidf(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val nDocs = docs.count()
+    val terms = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = terms.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "term")
+      .withColumn("tfidf", col("tf") * log(lit(nDocs.toDouble) / col("df")))
+      .groupBy(col("doc_id"))
+      .agg(max_by(struct(col("term"), col("tfidf")), struct(col("tfidf"), col("term"))).as("best"),
+        count(lit(1)).as("n_distinct_terms"))
+      .select(col("doc_id"), col("best.term").as("top_term"),
+        col("best.tfidf").as("top_tfidf"), col("n_distinct_terms"))
+  }
+
   /** Corpus-level n-gram statistics: explode word bigrams, count, top-20.
     * The explode is the one row-multiplying stage (×~tokens per doc); the
     * count is a standard two-phase agg and top-K avoids a global sort. */
