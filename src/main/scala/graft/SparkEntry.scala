@@ -45,6 +45,7 @@ object SparkEntry {
     "q_salted_join" -> (Joins.qSaltedJoin _),
     "q_topk_group"  -> (TopK.qTopkGroup _),
     "q_approx_percentile" -> (Relational2.qApproxPercentile _),
+    "q_sample_stratified" -> (Relational2.qSampleStratified _),
     // §2.B event-stream analytics
     "q_evt_tumbling"     -> (Events.qEvtTumbling _),
     "q_evt_sessionize"   -> (Events.qEvtSessionize _),

@@ -116,6 +116,18 @@ object Relational2 {
     """SELECT l_orderkey, l_partkey, l_extendedprice FROM lineitem
       |WHERE l_extendedprice > (SELECT p_retailprice * 20 FROM part WHERE p_partkey = l_partkey)""".stripMargin
 
+  /** Stratified sampling (per-stratum fractions, seeded) — the dataset
+    * curation primitive at 100 TB: rebalance a skewed corpus by sampling
+    * each class at its own rate in one pass, no shuffle. Deterministic for
+    * a fixed seed. Rows-only check; the spec bounds the realized rates. */
+  def qSampleStratified(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .stat.sampleBy("o_orderpriority",
+        Map("1-URGENT" -> 0.5, "2-HIGH" -> 0.25, "3-MEDIUM" -> 0.1,
+          "4-NOT SPECIFIED" -> 0.1, "5-LOW" -> 0.05), seed = 42L)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_sampled"))
+
   /** Multi-key range ("theta") join, the non-equi pattern: events paired to
     * the order window of the same bucketed value band. Composed as an
     * equi-join on the band key plus residual range predicates so the
