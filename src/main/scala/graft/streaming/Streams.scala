@@ -99,6 +99,28 @@ object Streams {
       }
   }
 
+  /** Stream-static enrichment: the event stream joined against a static
+    * readout-map dim (cf. the dromap join, §2.B) — Spark broadcasts the
+    * static side into every micro-batch; no stream-side state. */
+  def enrichWithMap(events: DataFrame, dromap: DataFrame): DataFrame =
+    events.join(broadcast(dromap), "event_type")
+
+  /** Streaming → lake sink via foreachBatch: each micro-batch lands as
+    * date/hour-partitioned parquet (the DAQ dropbox → lake hop). foreachBatch
+    * is the escape hatch for sinks that need batch-writer features
+    * (partitionBy, dynamic overwrite) not exposed on writeStream. */
+  def sinkToLake(events: DataFrame, outDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch
+          .withColumn("event_date", to_date(col("ts")))
+          .withColumn("event_hour", hour(col("ts")))
+          .write
+          .partitionBy("event_date", "event_hour")
+          .mode("append")
+          .parquet(outDir)
+      }
+
   /** File-source streaming ingest over an events directory — at scale this
     * is the dropbox the DAQ file mover lands parquet into
     * (cf. file_transfer_scripts/createMetadatafiles_iceberg_dropbox.sh). */
