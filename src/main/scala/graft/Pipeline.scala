@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, TextOps}
+
+/** Flagship composition: the end-to-end training-data curation pass a
+  * 100 TB corpus goes through, assembled entirely from the library's
+  * operators — each stage is the scale-shaped variant (hash dedup, LSH
+  * decisions, columnar quality features), so the whole pipeline is two
+  * narrow scans + three shuffles regardless of corpus size.
+  *
+  * documents → exact-dup removal (md5 groupBy) → near-dup removal
+  * (MinHash-LSH decisions) → quality filter → per-language corpus stats.
+  */
+object Pipeline {
+
+  /** Returns the per-language stats of the curated (deduped + filtered)
+    * corpus, plus survival counts at each stage as columns. */
+  def curate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+
+    // stage 1: exact dedup — keep the smallest doc_id per md5(text)
+    val keepExact = docs
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+
+    // stage 2: near-dup decisions — drop any doc the LSH pass marked
+    val nearDups = Dedup.qDedupMinhash(spark, dir).select(col("doc_id"))
+    val keep = keepExact.join(nearDups, Seq("doc_id"), "left_anti")
+
+    // stage 3: quality filter + per-lang stats over survivors
+    val survivors = docs.join(keep, "doc_id")
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_distinct", size(array_distinct(col("toks"))))
+      .filter(col("n_tokens") >= 12 &&
+        col("n_distinct").cast("double") / col("n_tokens") >= 0.15)
+
+    survivors
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("bigint").as("total_tokens"),
+        (sum(col("n_distinct")).cast("double") / sum(col("n_tokens")))
+          .as("corpus_distinct_ratio"))
+  }
+}

@@ -6,9 +6,11 @@ import graft.operators._
 /** Driver contract — see /root/repo/SURVEY.md §2 (inventory) + §7 (plan). */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship on /root/testdata/sf0.001 (driver smoke-checks rows>0): the
+    * full curation pipeline — exact dedup → MinHash-LSH near-dup decisions →
+    * quality filter → per-language corpus stats. */
   def entry(spark: SparkSession): DataFrame =
-    Relational.q3JoinAgg(spark, "/root/testdata/sf0.001")
+    Pipeline.curate(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

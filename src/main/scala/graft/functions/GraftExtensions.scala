@@ -23,6 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("rolling_fingerprint"),
       new ExpressionInfo(classOf[RollingFingerprintExpr].getName, "rolling_fingerprint"),
       (children: Seq[Expression]) => RollingFingerprintExpr(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[Simhash64].getName, "simhash64"),
+      (children: Seq[Expression]) => Simhash64(children.head)))
   }
 }
 
@@ -32,4 +36,6 @@ object GraftFunctions {
   def adler32(c: Column): Column = GraftShim.column(Adler32(GraftShim.expression(c)))
   def rollingFingerprint(c: Column): Column =
     GraftShim.column(RollingFingerprintExpr(GraftShim.expression(c)))
+  def simhash64(c: Column): Column =
+    GraftShim.column(Simhash64(GraftShim.expression(c)))
 }

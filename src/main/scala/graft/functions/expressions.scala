@@ -78,6 +78,57 @@ object RollingFingerprint {
   }
 }
 
+/** 64-bit SimHash of a whitespace-tokenized text: bit k of the result is
+  * the sign of Σ over distinct tokens of ±1 according to bit k of
+  * xxHash64(token). Computing it as a scalar expression makes the whole
+  * dedup signature stage a narrow map — no explode, no 64-column
+  * aggregate, no shuffle.
+  */
+object Simhash {
+  def compute(text: UTF8String): Long = {
+    val toks = text.toString.trim.split(" +")
+    val seen = new java.util.HashSet[String]()
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (seen.add(t)) {
+        val u = UTF8String.fromString(t)
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+        var k = 0
+        while (k < 64) {
+          if (((h >>> k) & 1L) == 1L) counts(k) += 1 else counts(k) -= 1
+          k += 1
+        }
+      }
+      i += 1
+    }
+    var fp = 0L
+    var k = 0
+    while (k < 64) { if (counts(k) > 0) fp |= (1L << k); k += 1 }
+    fp
+  }
+}
+
+case class Simhash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"simhash64 requires STRING input, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any =
+    Simhash.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, str =>
+      s"${ev.value} = graft.functions.Simhash.compute($str);")
+
+  override protected def withNewChildInternal(newChild: Expression): Simhash64 =
+    copy(child = newChild)
+}
+
 case class RollingFingerprintExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =

@@ -209,22 +209,12 @@ object Dedup {
 
   // ---------------------------------------------------------------- SimHash
 
-  /** 64-bit SimHash per doc: bit k of the fingerprint is the sign of the
-    * sum over tokens of ±1 according to bit k of xxhash64(token). Computed
-    * as one explode + one groupBy (two narrow stages + one shuffle). */
-  def simhash(docs: DataFrame): DataFrame = {
-    val tok = docs
-      .select(col("doc_id"), explode(array_distinct(TextOps.tokens(col("text")))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { k =>
-      sum(when(shiftright(col("h"), k).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b_$k")
-    }
-    val agg = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val fp = (0 until 64).map { k =>
-      when(col(s"b_$k") > 0, lit(1L << k)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
-    agg.select(col("doc_id"), fp.as("simhash"))
-  }
+  /** 64-bit SimHash per doc via the native codegen expression
+    * (graft.functions.Simhash64): a pure narrow map — no explode, no wide
+    * aggregate, no shuffle. */
+  def simhash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.GraftFunctions.simhash64(col("text")).as("simhash"))
 
   /** SimHash near-dup dedup decisions. Same scale shape as qDedupMinhash:
     * identical-fingerprint groups collapse to a representative first (a dup

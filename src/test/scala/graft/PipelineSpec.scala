@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends GraftSpec {
+
+  test("curation pipeline output is consistent with its stages") {
+    val stats = Pipeline.curate(spark, sf).collect()
+    assert(stats.nonEmpty)
+    val curated = stats.map(_.getAs[Long]("n_docs")).sum
+    val total = Tables.documents(spark, sf).count()
+    // dedup + quality filtering must drop documents on this dup-heavy corpus
+    assert(curated > 0 && curated < total, s"curated $curated of $total")
+    stats.foreach { r =>
+      val ratio = r.getAs[Double]("corpus_distinct_ratio")
+      assert(ratio > 0 && ratio <= 1)
+    }
+    // survivors must contain no doc marked as a near-dup
+    val nearDups = graft.operators.Dedup.qDedupMinhash(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val survivors = Tables.documents(spark, sf)
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .join(graft.operators.Dedup.qDedupMinhash(spark, sf).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+      .collect().map(_.getLong(0)).toSet
+    assert((survivors & nearDups).isEmpty)
+  }
+
+  test("entry returns non-empty flagship results") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
