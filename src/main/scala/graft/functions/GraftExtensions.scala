@@ -38,4 +38,6 @@ object GraftFunctions {
     GraftShim.column(RollingFingerprintExpr(GraftShim.expression(c)))
   def simhash64(c: Column): Column =
     GraftShim.column(Simhash64(GraftShim.expression(c)))
+  def minhashSig(c: Column, k: Int): Column =
+    GraftShim.column(MinhashSigExpr(GraftShim.expression(c), k))
 }

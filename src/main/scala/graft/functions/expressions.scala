@@ -129,6 +129,55 @@ case class Simhash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** K MinHash signature values of a whitespace-tokenized text in ONE pass
+  * over the tokens: sig[i] = min over distinct tokens of xxHash64(token,
+  * seed=i). The column-expression formulation (K × array_min ∘ transform)
+  * walks the token array K times and allocates K intermediate arrays; this
+  * kernel walks it once.
+  */
+object MinhashSig {
+  def compute(text: UTF8String, k: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val toks = text.toString.trim.split(" +")
+    val seen = new java.util.HashSet[String]()
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (seen.add(t)) {
+        val u = UTF8String.fromString(t)
+        var s = 0
+        while (s < k) {
+          val h = org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, s.toLong)
+          if (h < sig(s)) sig(s) = h
+          s += 1
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
+  }
+}
+
+case class MinhashSigExpr(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig requires STRING input, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any =
+    MinhashSig.compute(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, str =>
+      s"${ev.value} = graft.functions.MinhashSig.compute($str, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSigExpr =
+    copy(child = newChild)
+}
+
 case class RollingFingerprintExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =

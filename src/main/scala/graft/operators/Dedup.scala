@@ -84,16 +84,12 @@ object Dedup {
   val BandRows = 4
   val NumBands: Int = MinhashK / BandRows
 
-  /** MinHash signature entries as columns sig_0..sig_{K-1}: for hash i,
-    * min over tokens of xxhash64("i:" ++ token). Pure column exprs —
-    * whole-stage codegen, no UDF. */
+  /** MinHash signature as an array column computed by the native one-pass
+    * codegen expression (graft.functions.MinhashSigExpr). */
   private def withSignature(docs: DataFrame): DataFrame =
-    (0 until MinhashK).foldLeft(
-      docs.withColumn("toks", array_distinct(TextOps.tokens(col("text"))))) {
-      (df, i) =>
-        df.withColumn(s"sig_$i",
-          array_min(transform(col("toks"), t => xxhash64(concat(lit(s"$i:"), t)))))
-    }
+    docs
+      .withColumn("toks", array_distinct(TextOps.tokens(col("text"))))
+      .withColumn("sigs", graft.functions.GraftFunctions.minhashSig(col("text"), MinhashK))
 
   /** Exact Jaccard between two token-array columns, computing
     * |A∪B| = |A|+|B|-|A∩B| so only the intersection walks the arrays. */
@@ -122,7 +118,7 @@ object Dedup {
     * brute-force Jaccard. */
   def qDedupMinhash(s: SparkSession, d: String): DataFrame = {
     val sig = withSignature(Tables.documents(s, d))
-      .withColumn("sigkey", xxhash64((0 until MinhashK).map(i => col(s"sig_$i")): _*))
+      .withColumn("sigkey", xxhash64(col("sigs")))
     sig.persist()
 
     // 1. collapse identical-signature groups; verify member-vs-rep exactly
@@ -141,8 +137,7 @@ object Dedup {
         broadcast(repOfGroup.select(col("rep_id").as("doc_id"))), "doc_id")
       .select(Seq(col("doc_id"), col("toks")) ++
         (0 until NumBands).map { b =>
-          hash((b * BandRows until (b + 1) * BandRows).map(i => col(s"sig_$i")): _*)
-            .as(s"band_$b")
+          hash(slice(col("sigs"), b * BandRows + 1, BandRows)).as(s"band_$b")
         }: _*)
     val exploded = reps.select(col("doc_id"),
       explode(array((0 until NumBands).map(b =>

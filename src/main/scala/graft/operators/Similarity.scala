@@ -100,7 +100,9 @@ object Similarity {
     val k = 16
     val nProbe = 4
     val e = emb(s, d).withColumn("features", array_to_vector(col("vec")))
-    val model = new KMeans().setK(k).setSeed(42L).setMaxIter(10)
+    // 5 Lloyd iterations: coarse quantization only needs rough centroids —
+    // recall comes from nProbe, not centroid polish
+    val model = new KMeans().setK(k).setSeed(42L).setMaxIter(5)
       .setFeaturesCol("features").fit(e)
     val assigned = model.transform(e).withColumnRenamed("prediction", "list_id")
     // nProbe nearest centroid lists for the probe vector
