@@ -59,6 +59,9 @@ object SparkEntry {
     "q_evt_checksum"     -> (Events.qEvtChecksum _),
     "q_evt_funnel"       -> (Events.qEvtFunnel _),
     "q_evt_session_window" -> (Events.qEvtSessionWindow _),
+    "q_evt_moving_avg"   -> (Events.qEvtMovingAvg _),
+    "q_evt_zscore"       -> (Events.qEvtZscore _),
+    "q_evt_peaks"        -> (Events.qEvtPeaks _),
     // §2.C text analysis
     "q_doc_tokens"      -> (TextOps.qDocTokens _),
     "q_doc_quality"     -> (TextOps.qDocQuality _),
@@ -121,6 +124,9 @@ object SparkEntry {
     "q_evt_geo_enrich"   -> Events.qEvtGeoEnrichSql,
     "q_evt_funnel"       -> Events.qEvtFunnelSql,
     "q_evt_session_window" -> Events.qEvtSessionWindowSql,
+    "q_evt_moving_avg"   -> Events.qEvtMovingAvgSql,
+    "q_evt_zscore"       -> Events.qEvtZscoreSql,
+    "q_evt_peaks"        -> Events.qEvtPeaksSql,
     "q_doc_tokens"      -> TextOps.qDocTokensSql,
     "q_doc_quality"     -> TextOps.qDocQualitySql,
     "q_doc_langid"      -> TextOps.qDocLangidSql,

@@ -23,7 +23,7 @@ object Events {
     Tables.events(s, d).withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
-  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,4)")
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(12,4)")
 
   /** Tumbling 1-hour window aggregation — the batch twin of the streaming
     * ingest agg (§2.F). Epoch-aligned tumbling window ≡ date_trunc('hour'). */
@@ -38,7 +38,7 @@ object Events {
   def qEvtTumblingSql: String =
     """SELECT date_trunc('hour', ts) AS hour_start, event_type,
       | count(*) AS n_events,
-      | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      | CAST(sum(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
   /** Gap-based sessionization (30-min inactivity gap) composed from lag +
@@ -142,7 +142,7 @@ object Events {
   def qEvtUserStatsSql: String =
     """SELECT user_id, count(*) AS n_events,
       | count(DISTINCT event_type) AS n_types,
-      | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+      | CAST(sum(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS total_value,
       | min(ts) AS first_ts, max(ts) AS last_ts
       |FROM events GROUP BY user_id""".stripMargin
 
@@ -165,7 +165,7 @@ object Events {
 
   def qEvtGeoEnrichSql: String =
     """SELECT det_id, crate_id, count(*) AS n_events,
-      | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      | CAST(sum(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value
       |FROM events JOIN (VALUES ('click',3,1),('view',3,2),('purchase',3,3),('signup',2,1),('error',2,2))
       | AS m(event_type, det_id, crate_id) USING (event_type)
       |GROUP BY det_id, crate_id""".stripMargin
@@ -196,6 +196,77 @@ object Events {
       | FROM flagged)
       |SELECT user_id, min(ts) AS sess_start, count(*) AS n_events
       |FROM sess GROUP BY user_id, session_id""".stripMargin
+
+  /** Trailing moving average over each user's value series (3-row window) —
+    * the waveform-smoothing primitive (cf. the reference's TPC stream
+    * processing). Decimal window sum → double division keeps it
+    * engine-exact. */
+  def qEvtMovingAvg(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-2, Window.currentRow)
+    events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        (sum(dec(col("value"))).over(w).cast("double") /
+          count(lit(1)).over(w)).as("value_ma3"))
+  }
+
+  def qEvtMovingAvgSql: String =
+    """SELECT event_id, user_id, ts,
+      | CAST(sum(CAST(value AS DECIMAL(12,4))) OVER w AS DOUBLE) / count(*) OVER w AS value_ma3
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** Statistical outlier detection: events whose value sits more than 3
+    * standard deviations from the event-type mean — the DAQ
+    * anomalous-channel flagging pattern. Mean and variance computed in
+    * exact decimal arithmetic (E[x²]−E[x]²) so the z-threshold is
+    * bit-identical on every engine; output is ids only. */
+  def qEvtZscore(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val stats = e.groupBy(col("event_type")).agg(
+      (sum(dec(col("value"))).cast("double") / count(lit(1))).as("mean"),
+      sqrt(
+        (sum(dec(col("value")) * dec(col("value"))).cast("double") / count(lit(1))) -
+          (sum(dec(col("value"))).cast("double") / count(lit(1))) *
+          (sum(dec(col("value"))).cast("double") / count(lit(1)))).as("sd"))
+    e.join(broadcast(stats), "event_type")
+      .filter(abs(col("value") - col("mean")) > col("sd") * 3)
+      .select(col("event_id"), col("event_type"), col("value"))
+  }
+
+  def qEvtZscoreSql: String =
+    """WITH stats AS (
+      | SELECT event_type,
+      |  CAST(sum(CAST(value AS DECIMAL(12,4))) AS DOUBLE) / count(*) AS mean,
+      |  sqrt(
+      |   CAST(sum(CAST(value AS DECIMAL(12,4)) * CAST(value AS DECIMAL(12,4))) AS DOUBLE) / count(*) -
+      |   (CAST(sum(CAST(value AS DECIMAL(12,4))) AS DOUBLE) / count(*)) *
+      |   (CAST(sum(CAST(value AS DECIMAL(12,4))) AS DOUBLE) / count(*))) AS sd
+      | FROM events GROUP BY event_type)
+      |SELECT event_id, event_type, value
+      |FROM events JOIN stats USING (event_type)
+      |WHERE abs(value - mean) > sd * 3""".stripMargin
+
+  /** Local-maximum detection in each user's value series — the trigger-
+    * candidate (peak-finding) primitive of a DAQ readout chain. */
+  def qEvtPeaks(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .withColumn("prev_v", lag(col("value"), 1).over(w))
+      .withColumn("next_v", lead(col("value"), 1).over(w))
+      .filter(col("prev_v").isNotNull && col("next_v").isNotNull &&
+        col("value") > col("prev_v") && col("value") > col("next_v"))
+      .select(col("event_id"), col("user_id"), col("value"))
+  }
+
+  def qEvtPeaksSql: String =
+    """SELECT event_id, user_id, value FROM (
+      | SELECT event_id, user_id, value,
+      |  lag(value) OVER w AS prev_v, lead(value) OVER w AS next_v
+      | FROM events
+      | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t
+      |WHERE prev_v IS NOT NULL AND next_v IS NOT NULL
+      |  AND value > prev_v AND value > next_v""".stripMargin
 
   /** Conversion funnel: per user, did a signup precede the first purchase?
     * One shuffle on user_id; conditional min aggregates, no self-join. */

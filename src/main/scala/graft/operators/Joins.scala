@@ -38,12 +38,12 @@ object Joins {
     saltedJoin(li, ord, "l_orderkey", 8)
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_items"),
-        sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"))
+        sum(col("l_quantity").cast("decimal(12,4)")).cast("double").as("sum_qty"))
   }
 
   def qSaltedJoinSql: String =
     """SELECT o_orderpriority, count(*) AS n_items,
-      | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      | CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority""".stripMargin
 

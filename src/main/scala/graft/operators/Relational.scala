@@ -7,7 +7,7 @@ import graft.Tables
 /** §2.A — relational/OLAP core over the star schema.
   *
   * Determinism discipline: every monetary aggregate is computed in
-  * DECIMAL(18,4) (exact integer-scaled arithmetic — identical results on any
+  * DECIMAL(12,4) (exact integer-scaled arithmetic — identical results on any
   * engine and any partitioning/accumulation order) and cast to double only in
   * the final projection. Float-summation drift would otherwise break both the
   * DuckDB hash-compare and cross-run reproducibility on a real cluster where
@@ -20,8 +20,41 @@ import graft.Tables
 object Relational {
 
   /** Exact decimal view of a double money/quantity column. */
-  private def dec(c: Column): Column = c.cast("decimal(18,4)")
+  private def dec(c: Column): Column = c.cast("decimal(12,4)")
   private val oneD = lit(BigDecimal(1).setScale(4))
+
+  /** Integer-scaled money math for product-sums (revenue, charge).
+    *
+    * Why not decimals end to end: a decimal product-sum at scale 8+ exceeds
+    * 2^53 in unscaled magnitude, and DuckDB's wide-decimal→DOUBLE cast is
+    * not correctly rounded (it diverges from the exact value in the last
+    * ulp; Java's BigDecimal is exact-nearest) — so the engines disagree.
+    *
+    * Instead: per-row 10^4-scaled BIGINT terms (price < 10^10·10^4 and the
+    * factor products stay < 2^63 per row — exact, engine-identical), integer-
+    * divided back to 4 decimal digits per row (identical truncation), summed
+    * exactly in DECIMAL(28,0) small enough that the final double conversion
+    * is exact (< 2^53 up to ~sf50). The result is a precisely DEFINED number
+    * ("per-item amount floored to 4 decimals, summed") that every engine
+    * reproduces bit-identically. */
+  private def revenueSum: Column =
+    expr("CAST(sum(CAST((CAST(round(l_extendedprice * 10000) AS BIGINT) * " +
+      "(10000 - CAST(round(l_discount * 10000) AS BIGINT))) DIV 10000 " +
+      "AS DECIMAL(28,0))) AS DOUBLE) / 1e4")
+  private val revenueSumSql: String =
+    "CAST(sum(CAST((CAST(round(l_extendedprice * 10000) AS BIGINT) * " +
+      "(10000 - CAST(round(l_discount * 10000) AS BIGINT))) // 10000 " +
+      "AS DECIMAL(28,0))) AS DOUBLE) / 1e4"
+  private def chargeSum: Column =
+    expr("CAST(sum(CAST((CAST(round(l_extendedprice * 10000) AS BIGINT) * " +
+      "(10000 - CAST(round(l_discount * 10000) AS BIGINT)) * " +
+      "(10000 + CAST(round(l_tax * 10000) AS BIGINT))) DIV 100000000 " +
+      "AS DECIMAL(28,0))) AS DOUBLE) / 1e4")
+  private val chargeSumSql: String =
+    "CAST(sum(CAST((CAST(round(l_extendedprice * 10000) AS BIGINT) * " +
+      "(10000 - CAST(round(l_discount * 10000) AS BIGINT)) * " +
+      "(10000 + CAST(round(l_tax * 10000) AS BIGINT))) // 100000000 " +
+      "AS DECIMAL(28,0))) AS DOUBLE) / 1e4"
 
   /** Pricing-summary aggregation (cf. TPC-H Q1 shape): grouped agg with
     * map-side combine; 4-6 output rows regardless of input scale. */
@@ -32,18 +65,16 @@ object Relational {
       .agg(
         sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
         sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
-        sum(dec(col("l_extendedprice")) * (oneD - dec(col("l_discount"))))
-          .cast("double").as("sum_disc_price"),
-        sum(dec(col("l_extendedprice")) * (oneD - dec(col("l_discount")))
-          * (oneD + dec(col("l_tax")))).cast("double").as("sum_charge"),
+        revenueSum.as("sum_disc_price"),
+        chargeSum.as("sum_charge"),
         count(lit(1)).as("count_order"))
 
   def q1AggSql: String =
-    """SELECT l_returnflag, l_linestatus,
-      | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1.0000 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
-      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1.0000 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) * (CAST(1.0000 AS DECIMAL(18,4)) + CAST(l_tax AS DECIMAL(18,4)))) AS DOUBLE) AS sum_charge,
+    s"""SELECT l_returnflag, l_linestatus,
+      | CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS sum_base_price,
+      | $revenueSumSql AS sum_disc_price,
+      | $chargeSumSql AS sum_charge,
       | count(*) AS count_order
       |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
       |GROUP BY l_returnflag, l_linestatus""".stripMargin
@@ -67,15 +98,14 @@ object Relational {
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate"))
-      .agg(sum(dec(col("l_extendedprice")) * (oneD - dec(col("l_discount"))))
-        .cast("double").as("revenue"))
+      .agg(revenueSum.as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey"))
       .limit(10)
   }
 
   def q3JoinAggSql: String =
-    """SELECT o_orderkey, o_orderdate,
-      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1.0000 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+    s"""SELECT o_orderkey, o_orderdate,
+      | $revenueSumSql AS revenue
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
       |WHERE c_mktsegment = 'BUILDING'
@@ -98,13 +128,12 @@ object Relational {
       .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
       .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(sum(dec(col("l_extendedprice")) * (oneD - dec(col("l_discount"))))
-        .cast("double").as("revenue"))
+      .agg(revenueSum.as("revenue"))
   }
 
   def q5MultiJoinSql: String =
-    """SELECT n_name,
-      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1.0000 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+    s"""SELECT n_name,
+      | $revenueSumSql AS revenue
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
       |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -118,12 +147,13 @@ object Relational {
   def q6SelectiveAgg(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .filter(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
-      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
-        .cast("double").as("revenue"),
+      .agg(expr("CAST(sum(CAST((CAST(round(l_extendedprice * 10000) AS BIGINT) * " +
+          "CAST(round(l_discount * 10000) AS BIGINT)) DIV 10000 " +
+          "AS DECIMAL(28,0))) AS DOUBLE) / 1e4").as("revenue"),
         count(lit(1)).as("n_items"))
 
   def q6SelectiveAggSql: String =
-    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+    """SELECT CAST(sum(CAST((CAST(round(l_extendedprice * 10000) AS BIGINT) * CAST(round(l_discount * 10000) AS BIGINT)) // 10000 AS DECIMAL(28,0))) AS DOUBLE) / 1e4 AS revenue,
       | count(*) AS n_items
       |FROM lineitem WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
 
@@ -191,7 +221,7 @@ object Relational {
 
   def qWindowRunningSql: String =
     """SELECT o_custkey, o_orderkey, o_orderdate,
-      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(12,4))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
       | lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price
       |FROM orders""".stripMargin
 
@@ -204,7 +234,7 @@ object Relational {
 
   def qRollupSql: String =
     """SELECT l_returnflag, l_linestatus,
-      | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty, count(*) AS n_rows
+      | CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty, count(*) AS n_rows
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
 
   /** GROUPING SETS — two independent aggregation lattices in one pass. */
@@ -212,13 +242,13 @@ object Relational {
     Tables.lineitem(s, d).createOrReplaceTempView("graft_li_gs")
     s.sql(
       """SELECT l_returnflag, l_linestatus,
-        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty, count(*) AS n_rows
+        | CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty, count(*) AS n_rows
         |FROM graft_li_gs GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin)
   }
 
   def qGroupingSetsSql: String =
     """SELECT l_returnflag, l_linestatus,
-      | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty, count(*) AS n_rows
+      | CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty, count(*) AS n_rows
       |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin
 
   /** Left-semi join (EXISTS): customers that have at least one order.
@@ -262,7 +292,7 @@ object Relational {
     """SELECT c_custkey, coalesce(cnt, 0) AS n_orders,
       | coalesce(CAST(tot AS DOUBLE), 0.0) AS total_spend
       |FROM customer LEFT JOIN (
-      | SELECT o_custkey, count(*) AS cnt, sum(CAST(o_totalprice AS DECIMAL(18,4))) AS tot
+      | SELECT o_custkey, count(*) AS cnt, sum(CAST(o_totalprice AS DECIMAL(12,4))) AS tot
       | FROM orders GROUP BY o_custkey) o ON c_custkey = o_custkey""".stripMargin
 
   /** Set union (distinct) of two heterogeneous filters. */
@@ -320,7 +350,7 @@ object Relational {
 
   def qScalarSubquerySql: String =
     """SELECT o_orderkey, o_totalprice FROM orders
-      |WHERE o_totalprice > (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) FROM orders)""".stripMargin
+      |WHERE o_totalprice > (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) / count(*) FROM orders)""".stripMargin
 
   /** String function suite on part. */
   def qStringFuncs(s: SparkSession, d: String): DataFrame =
@@ -348,6 +378,6 @@ object Relational {
     """SELECT CAST(extract(year FROM o_orderdate) AS INT) AS o_year,
       | CAST(extract(month FROM o_orderdate) AS INT) AS o_month,
       | count(*) AS n_orders,
-      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS month_total
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS month_total
       |FROM orders GROUP BY 1, 2""".stripMargin
 }

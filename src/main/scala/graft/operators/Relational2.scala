@@ -10,7 +10,7 @@ import graft.Tables
   */
 object Relational2 {
 
-  private def dec(c: Column): Column = c.cast("decimal(18,4)")
+  private def dec(c: Column): Column = c.cast("decimal(12,4)")
 
   /** Relational PIVOT (Spark's pivot operator, not manual CASE): order
     * counts per priority pivoted by status. Pivot values are enumerated
@@ -41,7 +41,7 @@ object Relational2 {
 
   def qCubeSql: String =
     """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
-      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS total
       |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
 
   /** INTERSECT: nations that have both customers and suppliers. */

@@ -54,7 +54,7 @@ class LakeSpec extends GraftSpec {
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_items"),
-        sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"))
+        sum(col("l_quantity").cast("decimal(12,4)")).cast("double").as("sum_qty"))
       .collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
     assert(salted == plain)
