@@ -59,6 +59,7 @@ object SparkEntry {
     "q_evt_checksum"     -> (Events.qEvtChecksum _),
     "q_evt_funnel"       -> (Events.qEvtFunnel _),
     "q_evt_session_window" -> (Events.qEvtSessionWindow _),
+    "q_evt_sliding"      -> (Events.qEvtSliding _),
     "q_evt_moving_avg"   -> (Events.qEvtMovingAvg _),
     "q_evt_zscore"       -> (Events.qEvtZscore _),
     "q_evt_peaks"        -> (Events.qEvtPeaks _),
@@ -124,6 +125,7 @@ object SparkEntry {
     "q_evt_geo_enrich"   -> Events.qEvtGeoEnrichSql,
     "q_evt_funnel"       -> Events.qEvtFunnelSql,
     "q_evt_session_window" -> Events.qEvtSessionWindowSql,
+    "q_evt_sliding"      -> Events.qEvtSlidingSql,
     "q_evt_moving_avg"   -> Events.qEvtMovingAvgSql,
     "q_evt_zscore"       -> Events.qEvtZscoreSql,
     "q_evt_peaks"        -> Events.qEvtPeaksSql,

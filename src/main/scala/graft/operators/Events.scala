@@ -170,6 +170,24 @@ object Events {
       | AS m(event_type, det_id, crate_id) USING (event_type)
       |GROUP BY det_id, crate_id""".stripMargin
 
+  /** Sliding-window aggregation (1h window, 30min slide): each event lands
+    * in 2 overlapping windows. Catalyst expands the window assignment
+    * inline (no self-join); the oracle replicates it with an explicit
+    * 2-offset cross join. */
+  def qEvtSliding(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n_events"))
+
+  def qEvtSlidingSql: String =
+    """SELECT make_timestamp(((epoch_us(ts) // 1000000 // 1800) * 1800 - off) * 1000000) AS win_start,
+      | event_type, count(*) AS n_events
+      |FROM events CROSS JOIN (VALUES (0), (1800)) AS o(off)
+      |WHERE epoch_us(ts) // 1000000 - (((epoch_us(ts) // 1000000 // 1800) * 1800) - off) < 3600
+      |GROUP BY 1, 2""".stripMargin
+
   /** Gap-based sessions via Spark's native session_window (dynamic-gap
     * session windows in one groupBy — the declarative twin of
     * qEvtSessionize; both agree with the streaming version, see specs).

@@ -99,6 +99,26 @@ object Streams {
       }
   }
 
+  /** Watermarked stream-stream interval join: purchases matched to the same
+    * user's signups within [signup, signup + 7d]. Both sides carry
+    * watermarks and the join condition bounds event-time distance, so each
+    * side's state store retains only the 7-day horizon — the bounded-state
+    * form of streaming joins at scale. */
+  def purchaseSignupJoin(purchases: DataFrame, signups: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    val sgn = signups.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("s_user_id"), col("event_id").as("signup_id"),
+        col("ts").as("signup_ts"))
+    p.join(sgn,
+      col("user_id") === col("s_user_id") &&
+        col("purchase_ts") >= col("signup_ts") &&
+        col("purchase_ts") <= col("signup_ts") + expr("INTERVAL 7 DAYS"))
+      .select(col("user_id"), col("purchase_id"), col("signup_id"),
+        col("purchase_ts"), col("signup_ts"))
+  }
+
   /** Stream-static enrichment: the event stream joined against a static
     * readout-map dim (cf. the dromap join, §2.B) — Spark broadcasts the
     * static side into every micro-batch; no stream-side state. */
