@@ -1,0 +1,101 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, SortOrder}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.execution.SparkStrategy
+
+/** §2.H — a whole-operator custom plan: distributed top-K-per-group.
+  *
+  * The logical node declares WHAT (keep the K best rows per group); the
+  * strategy plans it onto a physical operator that demands a hash
+  * distribution on the group key and then streams each partition through a
+  * bounded per-group buffer — O(groups·K) memory, no per-group sort, no
+  * window function. This is the (c)-tier extension path (custom
+  * LogicalPlan + Strategy + Exec) demonstrated end-to-end; the
+  * Aggregator-based TopK (§2.A q_topk_group) is the (b)-tier equivalent.
+  *
+  * Ordering: rows rank by `orderCol` DESC, ties broken by `tiebreakCol`
+  * ASC — a total order, so results are deterministic at any parallelism.
+  */
+case class TopKPerGroupNode(k: Int, keyCol: String, orderCol: String,
+    tiebreakCol: String, child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroupNode =
+    copy(child = newChild)
+}
+
+case class TopKPerGroupExec(k: Int, keyCol: String, orderCol: String,
+    tiebreakCol: String, child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+
+  // all rows of a group must meet in one partition — Catalyst inserts the
+  // hash exchange (and AQE sizes it) to satisfy this
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(child.output.find(_.name == keyCol).get)) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyIdx = child.output.indexWhere(_.name == keyCol)
+    val ordIdx = child.output.indexWhere(_.name == orderCol)
+    val tieIdx = child.output.indexWhere(_.name == tiebreakCol)
+    val kk = k
+    child.execute().mapPartitions { it =>
+      // per-group bounded buffers; rows must be copied out of the unsafe
+      // row buffer the iterator reuses
+      val heaps = new java.util.HashMap[Long, java.util.TreeMap[(Double, Long), InternalRow]]()
+      it.foreach { row =>
+        val key = row.getLong(keyIdx)
+        val rank = (-row.getDouble(ordIdx), row.getLong(tieIdx))
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = new java.util.TreeMap[(Double, Long), InternalRow](
+            Ordering.Tuple2[Double, Long])
+          heaps.put(key, heap)
+        }
+        if (heap.size < kk) heap.put(rank, row.copy())
+        else if (Ordering.Tuple2[Double, Long].lt(rank, heap.lastKey())) {
+          heap.remove(heap.lastKey())
+          heap.put(rank, row.copy())
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      heaps.values().asScala.iterator.flatMap(_.values().asScala)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
+    copy(child = newChild)
+}
+
+/** Planner strategy mapping the logical node onto the exec. Injected via
+  * GraftExtensions (SparkSessionExtensions.injectPlannerStrategy). */
+object TopKPerGroupStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerGroupNode(k, key, ord, tie, child) =>
+      TopKPerGroupExec(k, key, ord, tie, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+object TopKPerGroup {
+  /** Keep the K rows with the largest `orderCol` per `keyCol` group
+    * (ties → smallest `tiebreakCol`). key/tiebreak must be LongType,
+    * order DoubleType. */
+  def apply(df: DataFrame, k: Int, keyCol: String, orderCol: String,
+      tiebreakCol: String): DataFrame = {
+    val session = df.sparkSession
+    // ensure the strategy is present even on sessions not built through
+    // GraftSession (extraStrategies is the runtime hook; the
+    // SparkSessionExtensions injection covers builder-time wiring)
+    if (!session.experimental.extraStrategies.contains(TopKPerGroupStrategy))
+      session.experimental.extraStrategies =
+        session.experimental.extraStrategies :+ TopKPerGroupStrategy
+    org.apache.spark.sql.GraftShim.ofRows(session,
+      TopKPerGroupNode(k, keyCol, orderCol, tiebreakCol,
+        org.apache.spark.sql.GraftShim.logicalPlan(df)))
+  }
+}
