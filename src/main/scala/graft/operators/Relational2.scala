@@ -116,6 +116,59 @@ object Relational2 {
     """SELECT l_orderkey, l_partkey, l_extendedprice FROM lineitem
       |WHERE l_extendedprice > (SELECT p_retailprice * 20 FROM part WHERE p_partkey = l_partkey)""".stripMargin
 
+  /** Regex extraction + aggregation (first word of the part name as a
+    * category key). Patterns kept to the POSIX-common subset where Java
+    * and RE2-family engines agree. */
+  def qRegexExtract(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .withColumn("first_word", regexp_extract(col("p_name"), "^([a-z]+)", 1))
+      .groupBy(col("first_word"))
+      .agg(count(lit(1)).as("n_parts"),
+        max(col("p_retailprice")).as("max_price"))
+
+  def qRegexExtractSql: String =
+    """SELECT coalesce(regexp_extract(p_name, '^([a-z]+)', 1), '') AS first_word,
+      | count(*) AS n_parts, max(p_retailprice) AS max_price
+      |FROM part GROUP BY 1""".stripMargin
+
+  /** Multi-CTE "dashboard" query: three independent aggregates (customer
+    * spend, order counts, lineitem volume) joined on the customer — the
+    * report-page shape; each CTE is an independent scan so the plan fans
+    * out and meets in two broadcast-able joins. */
+  def qDashboard(s: SparkSession, d: String): DataFrame = {
+    val spend = Tables.orders(s, d).groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(12,4)")).cast("double").as("total_spend"),
+        count(lit(1)).as("n_orders"))
+    val vol = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("v_custkey"))
+      .agg(sum(col("l_quantity").cast("decimal(12,4)")).cast("double").as("total_qty"))
+    val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+    cust
+      .join(spend, cust("c_custkey") === spend("o_custkey"))
+      .join(vol, cust("c_custkey") === vol("v_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("total_spend").cast("decimal(14,4)")).cast("double").as("segment_spend"),
+        sum(col("total_qty").cast("decimal(14,4)")).cast("double").as("segment_qty"))
+  }
+
+  def qDashboardSql: String =
+    """WITH spend AS (
+      | SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS total_spend,
+      |  count(*) AS n_orders
+      | FROM orders GROUP BY o_custkey),
+      |vol AS (
+      | SELECT o_custkey AS v_custkey, CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS total_qty
+      | FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_custkey)
+      |SELECT c_mktsegment, count(*) AS n_customers,
+      | CAST(sum(CAST(total_spend AS DECIMAL(14,4))) AS DOUBLE) AS segment_spend,
+      | CAST(sum(CAST(total_qty AS DECIMAL(14,4))) AS DOUBLE) AS segment_qty
+      |FROM customer
+      |JOIN spend ON c_custkey = o_custkey
+      |JOIN vol ON c_custkey = v_custkey
+      |GROUP BY c_mktsegment""".stripMargin
+
   /** Stratified sampling (per-stratum fractions, seeded) — the dataset
     * curation primitive at 100 TB: rebalance a skewed corpus by sampling
     * each class at its own rate in one pass, no shuffle. Deterministic for
