@@ -92,6 +92,38 @@ object Multimodal {
     }
   }
 
+  /** Batched frame sampling: treat a video payload as fixed-size frames and
+    * keep every Nth — the decode-side decimation a training pipeline runs
+    * before feature extraction. Partition-local, metadata patched. */
+  def frameSample(items: Dataset[MediaItem], frameBytes: Int, everyNth: Int): Dataset[MediaItem] = {
+    require(frameBytes > 0 && everyNth > 0)
+    import items.sparkSession.implicits._
+    items.mapPartitions { it =>
+      it.map { m =>
+        if (m.meta.kind != "video") m
+        else {
+          // STUB: a real kernel seeks keyframes via the container index; the
+          // deterministic fake slices fixed-size byte "frames".
+          val nFrames = (m.payload.length + frameBytes - 1) / frameBytes
+          val kept = (0 until nFrames by everyNth).toArray
+          val out = new Array[Byte](kept.length * frameBytes min m.payload.length)
+          var o = 0
+          kept.foreach { f =>
+            val start = f * frameBytes
+            val len = math.min(frameBytes, m.payload.length - start)
+            if (len > 0 && o + len <= out.length) {
+              System.arraycopy(m.payload, start, out, o, len)
+              o += len
+            }
+          }
+          m.copy(
+            meta = m.meta.copy(durationMs = m.meta.durationMs / everyNth),
+            payload = java.util.Arrays.copyOf(out, o))
+        }
+      }
+    }
+  }
+
   /** Metadata-level filtering happens BEFORE any kernel touches payload
     * bytes — the predicate is a plain column filter on the struct, so at
     * scale it prunes row groups without reading the (huge) binary column. */

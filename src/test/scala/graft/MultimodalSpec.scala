@@ -40,6 +40,23 @@ class MultimodalSpec extends GraftSpec {
     }
   }
 
+  test("frame sampling decimates video payloads deterministically") {
+    val media = Multimodal.mediaTable(spark, sf)
+    val orig = media.collect().map(m => m.media_id -> m).toMap
+    val sampled = Multimodal.frameSample(media, frameBytes = 16, everyNth = 2).collect()
+    sampled.foreach { m =>
+      val o = orig(m.media_id)
+      if (o.meta.kind != "video") assert(m.payload.sameElements(o.payload))
+      else {
+        // kept frames are the even-indexed 16-byte slices of the original
+        val expected = o.payload.grouped(16).zipWithIndex
+          .collect { case (f, i) if i % 2 == 0 => f }.flatten.toArray
+        assert(m.payload.sameElements(expected), s"media ${m.media_id}")
+        assert(m.meta.durationMs == o.meta.durationMs / 2)
+      }
+    }
+  }
+
   test("metadata predicate filters without touching payloads") {
     val imgs = Multimodal.selectKind(Multimodal.mediaTable(spark, sf), "image")
     assert(imgs.count() > 0)
