@@ -27,6 +27,10 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet carries TIMESTAMP(NANOS), which the parquet reader
+      // rejects by default; read as epoch-nanos longs (session-wide, set at
+      // construction — not mutated inside table loaders)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 
   /** Local session for tools/tests. */
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession =

@@ -117,24 +117,32 @@ object Dedup {
     * Rows-only driver check; the spec verifies decisions against
     * brute-force Jaccard. */
   def qDedupMinhash(s: SparkSession, d: String): DataFrame = {
+    // localCheckpoint (not persist): materialized once for the multi-branch
+    // plan below, lineage truncated, and the blocks are released by the
+    // ContextCleaner when the frame is dropped — no unpersist bookkeeping
+    // leaking cache across a 64-query session.
     val sig = withSignature(Tables.documents(s, d))
       .withColumn("sigkey", xxhash64(col("sigs")))
-    sig.persist()
+      .localCheckpoint()
 
-    // 1. collapse identical-signature groups; verify member-vs-rep exactly
+    // 1. collapse identical-signature groups; verify member-vs-rep exactly.
+    // Both join sides scale with the corpus (repToks carries every doc's
+    // token array) — they MUST be shuffle joins on sigkey/rep_id; AQE will
+    // still broadcast if a side turns out genuinely small.
     val repOfGroup = sig.groupBy(col("sigkey")).agg(min(col("doc_id")).as("rep_id"))
     val repToks = sig.select(col("doc_id").as("rep_id"), col("toks").as("rep_toks"))
     val withRep = sig.select(col("doc_id"), col("toks"), col("sigkey"))
-      .join(broadcast(repOfGroup), "sigkey")
-      .join(broadcast(repToks), "rep_id")
+      .join(repOfGroup, "sigkey")
+      .join(repToks, "rep_id")
     val exactLinks = withRep.filter(col("doc_id") =!= col("rep_id"))
       .withColumn("jaccard", jaccardExpr(col("toks"), col("rep_toks")))
       .filter(col("jaccard") >= 0.8)
       .select(col("doc_id"), col("rep_id").as("dup_of"), col("jaccard"))
 
-    // 2. LSH banding over representatives only
+    // 2. LSH banding over representatives only (rep set scales with the
+    // corpus — shuffle join on doc_id, no broadcast hint)
     val reps = sig.join(
-        broadcast(repOfGroup.select(col("rep_id").as("doc_id"))), "doc_id")
+        repOfGroup.select(col("rep_id").as("doc_id")), "doc_id")
       .select(Seq(col("doc_id"), col("toks")) ++
         (0 until NumBands).map { b =>
           hash(slice(col("sigs"), b * BandRows + 1, BandRows)).as(s"band_$b")
@@ -154,8 +162,8 @@ object Dedup {
     val toksA = reps.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"))
     val toksB = reps.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"))
     val repLinks = candidates
-      .join(broadcast(toksA), "doc_a")
-      .join(broadcast(toksB), "doc_b")
+      .join(toksA, "doc_a")
+      .join(toksB, "doc_b")
       .withColumn("jaccard", jaccardExpr(col("toks_a"), col("toks_b")))
       .filter(col("jaccard") >= 0.8)
       .groupBy(col("doc_b").as("doc_id"))
@@ -180,19 +188,24 @@ object Dedup {
   def dupClusters(s: SparkSession, d: String): DataFrame = {
     var parent = qDedupMinhash(s, d)
       .select(col("doc_id"), col("dup_of")).localCheckpoint()
-    var rounds = 0
-    var changed = 1L
-    while (changed > 0 && rounds < 16) {
+    // Fixed round count instead of a per-round convergence check: pointer
+    // jumping squares the hop distance each round, so ceil(log2 n) rounds
+    // suffice for ANY forest over n nodes (depth <= n). One cheap count on
+    // the already-checkpointed frame replaces a count job per round —
+    // halving the job count; extra rounds past convergence are no-op joins
+    // on a tiny frame.
+    val n = parent.count()
+    val rounds = math.max(1,
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1)))
+    var r = 0
+    while (r < rounds) {
       val grand = parent.select(col("doc_id").as("p_doc"), col("dup_of").as("p_par"))
-      val next = parent
+      parent = parent
         .join(grand, parent("dup_of") === grand("p_doc"), "left")
         .select(col("doc_id"),
           coalesce(col("p_par"), col("dup_of")).as("dup_of"))
         .localCheckpoint()
-      changed = next.as("n").join(parent.as("p"), "doc_id")
-        .filter(org.apache.spark.sql.functions.expr("n.dup_of <> p.dup_of")).count()
-      parent = next
-      rounds += 1
+      r += 1
     }
     // roots map to themselves
     val roots = parent.select(col("dup_of").as("doc_id")).distinct()
@@ -220,12 +233,15 @@ object Dedup {
     * bit_count(xor). Emits (doc_id, dup_of, hamming). Rows-only check; the
     * spec proves the pigeonhole guarantee against brute force. */
   def qDedupSimhash(s: SparkSession, d: String): DataFrame = {
-    val fp = simhash(Tables.documents(s, d))
-    fp.persist()
+    // localCheckpoint, not persist: see qDedupMinhash — materialize once,
+    // blocks released on GC instead of leaking across the session.
+    val fp = simhash(Tables.documents(s, d)).localCheckpoint()
 
-    // 1. collapse identical fingerprints (hamming 0 to the representative)
+    // 1. collapse identical fingerprints (hamming 0 to the representative).
+    // repOfGroup scales with the corpus (one row per distinct fingerprint)
+    // — shuffle join; AQE broadcasts only if genuinely small.
     val repOfGroup = fp.groupBy(col("simhash")).agg(min(col("doc_id")).as("rep_id"))
-    val exactLinks = fp.join(broadcast(repOfGroup), "simhash")
+    val exactLinks = fp.join(repOfGroup, "simhash")
       .filter(col("doc_id") =!= col("rep_id"))
       .select(col("doc_id"), col("rep_id").as("dup_of"), lit(0).as("hamming"))
 

@@ -17,11 +17,12 @@ import graft.Tables
   */
 object Events {
 
-  /** events with `ts` as a proper µs TIMESTAMP. */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  /** events with `ts` as a proper µs TIMESTAMP. Requires
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, set at session
+    * construction (GraftSession / the tool mains) — a table loader must not
+    * mutate session conf as a side effect. */
+  def events(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d).withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-  }
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(12,4)")
 
@@ -201,10 +202,13 @@ object Events {
         col("n_events"))
 
   def qEvtSessionWindowSql: String =
+    // NOTE >=, not >: session_window is half-open [start, start+gap), so a
+    // gap of EXACTLY 30 minutes starts a new session — the lag formulation
+    // must match that boundary or an exact-gap pair breaks parity.
     """WITH flagged AS (
       | SELECT user_id, event_id, ts,
       |  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-      |        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30*60*1000000
+      |        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 30*60*1000000
       |       THEN 1 ELSE 0 END AS new_sess
       | FROM events
       | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

@@ -132,18 +132,28 @@ object Similarity {
   }
 
   /** LSH-bucketed ANN: a probe only scans vectors sharing at least one of
-    * its L bucket keys, instead of the full table. At scale the exploded
-    * (table, sig) pairs are the shuffle key: each bucket is a tiny
-    * co-located scan, and the probe side is broadcast. Rows-only check;
-    * the spec measures recall vs qAnnBrute. */
+    * its L bucket keys, instead of the full table. The exploded (table, sig)
+    * band keys ARE the join/shuffle key: candidate ids come from a semi-join
+    * of narrow (vec_id, tbl, sig) rows against the probe's L keys (tiny →
+    * auto-broadcast), then only the candidates' vectors are fetched and
+    * scored. No full-table signature filter, no corpus-wide scan per probe.
+    * Rows-only check; the spec measures recall vs qAnnBrute. */
   def qAnnLsh(s: SparkSession, d: String): DataFrame = {
-    val e = emb(s, d).withColumn("sigs", lshSignatures(col("vec")))
+    val e = emb(s, d)
+    // narrow band-key relation: (vec_id, tbl, sig) — the scale-side shuffle
+    // key; vectors do NOT travel through the explode
+    val keys = e.select(col("vec_id"), col("vec"))
+      .select(col("vec_id"),
+        posexplode(lshSignatures(col("vec"))).as(Seq("tbl", "sig")))
+    val probeKeys = keys.filter(col("vec_id") === 0)
+      .select(col("tbl"), col("sig"))
+    val candIds = keys.filter(col("vec_id") =!= 0)
+      .join(probeKeys, Seq("tbl", "sig"), "left_semi")
+      .select(col("vec_id")).distinct()
     val probe = e.filter(col("vec_id") === 0)
-      .select(col("vec").as("probe_vec"), norm(col("vec")).as("probe_nrm"),
-        col("sigs").as("probe_sigs"))
-    e.filter(col("vec_id") =!= 0)
+      .select(col("vec").as("probe_vec"), norm(col("vec")).as("probe_nrm"))
+    e.join(candIds, "vec_id") // fetch only bucket-mates' vectors
       .crossJoin(broadcast(probe))
-      .filter(exists(zip_with(col("sigs"), col("probe_sigs"), _ === _), identity))
       .select(col("vec_id"), col("label"),
         (dot(col("vec"), col("probe_vec")) / (norm(col("vec")) * col("probe_nrm")))
           .as("cos"))

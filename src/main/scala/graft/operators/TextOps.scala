@@ -94,21 +94,25 @@ object TextOps {
 
   /** TF-IDF: term frequencies per doc joined to corpus-level document
     * frequencies, each doc keeping its top-scored term. Two shuffles (per-doc
-    * term counts; per-term doc frequency) with the DF side broadcast back —
-    * the standard shape at corpus scale. Rows-only check (log() libm values
-    * differ across engines in the last ulp); spec verifies against a
-    * driver-side computation. */
+    * term counts; per-term doc frequency). The DF side is vocabulary-sized —
+    * unbounded at corpus scale — so it joins by shuffle on `term` (AQE still
+    * broadcasts when genuinely small); nDocs comes from an in-plan 1-row
+    * aggregate cross-joined in (one Spark job, no driver-side count at plan
+    * build). Rows-only check (log() libm values differ across engines in
+    * the last ulp); spec verifies against a driver-side computation. */
   def qDocTfidf(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val nDocs = docs.count()
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("_n_docs"))
     val terms = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
     val tf = terms.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val df = terms.select(col("doc_id"), col("term")).distinct()
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    tf.join(broadcast(df), "term")
-      .withColumn("tfidf", col("tf") * log(lit(nDocs.toDouble) / col("df")))
+    tf.join(df, "term")
+      .crossJoin(nDocs) // 1 row -> broadcast nested loop, no real shuffle
+      .withColumn("tfidf", col("tf") * log(col("_n_docs") / col("df")))
+      .drop("_n_docs")
       .groupBy(col("doc_id"))
       .agg(max_by(struct(col("term"), col("tfidf")), struct(col("tfidf"), col("term"))).as("best"),
         count(lit(1)).as("n_distinct_terms"))

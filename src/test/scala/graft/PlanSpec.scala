@@ -77,8 +77,30 @@ class PlanSpec extends GraftSpec {
     assert(p.contains("BroadcastHashJoin"), "readout map should broadcast")
   }
 
-  test("minhash verification joins broadcast the token lookups") {
-    val p = planString(Dedup.qDedupMinhash(spark, sf))
-    assert(p.contains("BroadcastHashJoin"), "token lookup joins should broadcast")
+  test("minhash joins carry NO broadcast hint — corpus-sized sides must shuffle") {
+    // Every join side in qDedupMinhash scales with the corpus (token arrays,
+    // signature groups, representatives). A broadcast HINT would force an
+    // OOM at 100 TB; without a hint AQE may still broadcast when a side is
+    // genuinely small, which is the behavior we want. Hints survive analysis
+    // as ResolvedHint nodes — assert none exist anywhere in the plan.
+    val analyzed = Dedup.qDedupMinhash(spark, sf).queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint"),
+      s"corpus-sized side carries a broadcast hint:\n${analyzed.take(2000)}")
+    val simhash = Dedup.qDedupSimhash(spark, sf).queryExecution.analyzed.toString
+    assert(!simhash.contains("ResolvedHint"), "simhash side carries a broadcast hint")
+  }
+
+  test("tfidf has no broadcast hint and no driver-side count at plan build") {
+    val analyzed = TextOps.qDocTfidf(spark, sf).queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint"),
+      "vocabulary-sized DF side carries a broadcast hint")
+  }
+
+  test("ann_lsh candidates come from a band-key semi-join, not a full scan") {
+    val opt = Similarity.qAnnLsh(spark, sf).queryExecution.optimizedPlan.toString
+    assert(opt.contains("LeftSemi"),
+      s"LSH bucket lookup should be a semi-join on (tbl, sig):\n${opt.take(2000)}")
+    assert(opt.toLowerCase.contains("posexplode"),
+      "band keys should be generated via posexplode")
   }
 }
