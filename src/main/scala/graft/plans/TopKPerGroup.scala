@@ -44,20 +44,26 @@ case class TopKPerGroupExec(k: Int, keyCol: String, orderCol: String,
     val tieIdx = child.output.indexWhere(_.name == tiebreakCol)
     val kk = k
     child.execute().mapPartitions { it =>
-      // per-group bounded buffers; rows must be copied out of the unsafe
-      // row buffer the iterator reuses
-      val heaps = new java.util.HashMap[Long, java.util.TreeMap[(Double, Long), InternalRow]]()
+      // Per-group bounded buffers; rows must be copied out of the unsafe
+      // row buffer the iterator reuses. A per-partition sequence number is
+      // appended to the buffer key so rows that tie on BOTH orderCol and
+      // tiebreakCol coexist instead of overwriting each other (the ordering
+      // contract only needs (order, tiebreak) to be total for deterministic
+      // OUTPUT; the seq makes the buffer key total unconditionally).
+      val ord = Ordering.Tuple3[Double, Long, Long]
+      val heaps = new java.util.HashMap[Long, java.util.TreeMap[(Double, Long, Long), InternalRow]]()
+      var seq = 0L
       it.foreach { row =>
         val key = row.getLong(keyIdx)
-        val rank = (-row.getDouble(ordIdx), row.getLong(tieIdx))
+        val rank = (-row.getDouble(ordIdx), row.getLong(tieIdx), seq)
+        seq += 1
         var heap = heaps.get(key)
         if (heap == null) {
-          heap = new java.util.TreeMap[(Double, Long), InternalRow](
-            Ordering.Tuple2[Double, Long])
+          heap = new java.util.TreeMap[(Double, Long, Long), InternalRow](ord)
           heaps.put(key, heap)
         }
         if (heap.size < kk) heap.put(rank, row.copy())
-        else if (Ordering.Tuple2[Double, Long].lt(rank, heap.lastKey())) {
+        else if (ord.lt(rank, heap.lastKey())) {
           heap.remove(heap.lastKey())
           heap.put(rank, row.copy())
         }

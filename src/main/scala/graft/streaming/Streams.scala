@@ -45,6 +45,13 @@ object Streams {
       ts.toInstant.getEpochSecond * 1000000L + ts.toInstant.getNano / 1000
   }
   case class SessionState(start: Long, last: Long, n: Int, sumValue: Double)
+
+  /** Micros-preserving Timestamp construction — `new Timestamp(us / 1000)`
+    * would truncate to milliseconds and silently diverge from the batch twin
+    * at sub-ms resolution. */
+  private def tsFromMicros(us: Long): Timestamp =
+    Timestamp.from(java.time.Instant.ofEpochSecond(
+      Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
   case class SessionOut(user_id: Long, sess_start: Timestamp, sess_end: Timestamp,
     n_events: Int, sum_value: Double)
 
@@ -68,7 +75,7 @@ object Streams {
         (userId: Long, rows: Iterator[Evt], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val out = state.getOption.map(s =>
-              SessionOut(userId, new Timestamp(s.start / 1000), new Timestamp(s.last / 1000),
+              SessionOut(userId, tsFromMicros(s.start), tsFromMicros(s.last),
                 s.n, s.sumValue)).toIterator
             state.remove()
             out
@@ -82,8 +89,8 @@ object Streams {
                   cur = Some(s.copy(last = e.tsMicros, n = s.n + 1,
                     sumValue = s.sumValue + e.value))
                 case Some(s) =>
-                  closed += SessionOut(userId, new Timestamp(s.start / 1000),
-                    new Timestamp(s.last / 1000), s.n, s.sumValue)
+                  closed += SessionOut(userId, tsFromMicros(s.start),
+                    tsFromMicros(s.last), s.n, s.sumValue)
                   cur = Some(SessionState(e.tsMicros, e.tsMicros, 1, e.value))
                 case None =>
                   cur = Some(SessionState(e.tsMicros, e.tsMicros, 1, e.value))

@@ -1,0 +1,79 @@
+package graft
+
+import graft.operators.{Graph, SetSim, TextOps}
+import org.apache.spark.sql.functions._
+
+class SetSimSpec extends GraftSpec {
+  private val ss = TestSpark.spark
+  import ss.implicits._
+
+  /** Test-side brute force: all rep pairs with Jaccard >= 0.9 (exact
+    * integer arithmetic, same rational threshold as the operator). */
+  private lazy val repSets: Map[Long, Set[String]] = {
+    val all = Tables.documents(spark, sf)
+      .select(col("doc_id"), array_distinct(TextOps.tokens(col("text"))).as("t"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+    all.groupBy(_._2).map { case (toks, docs) => docs.map(_._1).min -> toks }
+  }
+
+  private lazy val brutePairs: Set[(Long, Long)] =
+    (for {
+      (a, ta) <- repSets.toSeq; (b, tb) <- repSets.toSeq if a < b
+      inter = (ta & tb).size; union = ta.size + tb.size - inter
+      if inter * SetSim.ThreshDen >= union * SetSim.ThreshNum
+    } yield (a, b)).toSet
+
+  test("ssjoin output equals brute-force pair set (prefix filter is lossless)") {
+    val got = SetSim.qDedupSsjoin(spark, sf)
+      .select(col("doc_a"), col("doc_b"), col("inter_n"), col("union_n"))
+      .as[(Long, Long, Int, Int)].collect()
+    assert(got.map(p => (p._1, p._2)).toSet == brutePairs)
+    got.foreach { case (a, b, inter, union) =>
+      val (ta, tb) = (repSets(a), repSets(b))
+      assert(inter == (ta & tb).size && union == (ta | tb).size)
+    }
+    assert(got.nonEmpty, "testdata should contain near-dup pairs at 0.9")
+  }
+
+  test("connectedComponents labels a hand-built multi-component graph") {
+    // component {1,2,3,4} via chain, {10,11} pair, {20,21,22} star on the
+    // LARGEST id (forces >1 contraction round), 30-40 long path (depth)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (22L, 20L), (22L, 21L)) ++ (30L until 40L).map(i => (i, i + 1))
+    val got = Graph.connectedComponents(edges.toDF("s", "t"), "s", "t")
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 4L).forall(got(_) == 1L))
+    assert(got(10L) == 10L && got(11L) == 10L)
+    assert(Seq(20L, 21L, 22L).forall(got(_) == 20L))
+    assert((30L to 40L).forall(got(_) == 30L))
+    assert(got.size == 4 + 2 + 3 + 11)
+  }
+
+  test("dup clusters equal union-find over exact groups + ssjoin edges") {
+    // test-side union-find over the same relation set
+    val docSets = Tables.documents(spark, sf)
+      .select(col("doc_id"), array_distinct(TextOps.tokens(col("text"))).as("t"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val repOf = docSets.groupBy(_._2).values.flatMap { g =>
+      val rep = g.map(_._1).min; g.map(d => d._1 -> rep)
+    }.toMap
+    docSets.foreach { case (d, _) => if (repOf(d) != d) union(d, repOf(d)) }
+    brutePairs.foreach { case (a, b) => union(a, b) }
+    val expected = parent.keys.map(d => d -> find(d)).toMap // touched nodes only
+
+    val got = SetSim.qDedupClusters(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected)
+  }
+}
