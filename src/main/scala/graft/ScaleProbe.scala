@@ -37,6 +37,27 @@ object ScaleProbe {
       "q5_multi_join" -> (Relational.q5MultiJoin _), "q_window_rank" -> (Relational.qWindowRank _),
       "q_topk_group" -> (TopK.qTopkGroup _), "q_range_join" -> (Relational2.qRangeJoin _)))
       time(n) { q(spark, out).write.format("noop").mode("overwrite").save() }
+
+    // --- skew probe: one key holds 30% of a 6M-row fact; the dim side is
+    // too wide to broadcast (threshold forced off) and AQE's skew-join
+    // mitigation is disabled — the regime where explicit salting is the
+    // only remedy. skewSaltedJoin must beat the plain shuffle join here.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    val skewBig = spark.range(6000000).select(
+      when(rand(1) < 0.3, lit(7L))
+        .otherwise((rand(2) * 2000000).cast("long")).as("k"),
+      rand(3).as("v")).localCheckpoint()
+    val skewSmall = spark.range(2000001).select(col("id").as("k"),
+      (col("id") % 5).cast("long").as("grp"),
+      concat(lit("payload_"), col("id")).as("pad")).localCheckpoint()
+    def agg(j: org.apache.spark.sql.DataFrame) =
+      j.groupBy("grp").agg(sum("v").as("sv"))
+    time("skew_plain_join") { agg(skewBig.join(skewSmall, "k"))
+      .write.format("noop").mode("overwrite").save() }
+    time("skew_salted_join") { agg(Joins.skewSaltedJoin(skewBig, skewSmall, "k",
+        salts = 32, hotThreshold = 100000, sampleFraction = 0.01))
+      .write.format("noop").mode("overwrite").save() }
     spark.stop()
   }
 }
