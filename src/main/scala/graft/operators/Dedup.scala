@@ -233,20 +233,23 @@ object Dedup {
     * bit_count(xor). Emits (doc_id, dup_of, hamming). Rows-only check; the
     * spec proves the pigeonhole guarantee against brute force. */
   def qDedupSimhash(s: SparkSession, d: String): DataFrame = {
-    // localCheckpoint, not persist: see qDedupMinhash — materialize once,
-    // blocks released on GC instead of leaking across the session.
-    val fp = simhash(Tables.documents(s, d)).localCheckpoint()
+    val fp = simhash(Tables.documents(s, d))
 
-    // 1. collapse identical fingerprints (hamming 0 to the representative).
-    // repOfGroup scales with the corpus (one row per distinct fingerprint)
-    // — shuffle join; AQE broadcasts only if genuinely small.
-    val repOfGroup = fp.groupBy(col("simhash")).agg(min(col("doc_id")).as("rep_id"))
-    val exactLinks = fp.join(repOfGroup, "simhash")
-      .filter(col("doc_id") =!= col("rep_id"))
+    // 1. collapse identical fingerprints (hamming 0 to the representative)
+    // with a window min — ONE shuffle on simhash, no rep join at all (the
+    // r2 rep-collapse join sort-merged two corpus-scaled sides and cost
+    // 4.5x; a window computes the same rep_id in-partition).
+    // localCheckpoint: materialized once for the two filter branches below.
+    val withRep = fp.withColumn("rep_id",
+        min(col("doc_id")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("simhash"))))
+      .localCheckpoint()
+    val exactLinks = withRep.filter(col("doc_id") =!= col("rep_id"))
       .select(col("doc_id"), col("rep_id").as("dup_of"), lit(0).as("hamming"))
 
     // 2. chunk banding over representatives only
-    val reps = repOfGroup.select(col("rep_id").as("doc_id"), col("simhash"))
+    val reps = withRep.filter(col("doc_id") === col("rep_id"))
+      .select(col("doc_id"), col("simhash"))
     val exploded = reps.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(c => struct(lit(c).as("chunk"),
         shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("ck"))): _*)).as("cc"))

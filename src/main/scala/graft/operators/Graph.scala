@@ -11,72 +11,85 @@ object Graph {
     * jumping. Output: (node, cluster_id) for every node appearing in an
     * edge, cluster_id = the component's min node id. Deterministic.
     *
-    * Algorithm — min-neighbor contraction + pointer jumping:
-    *   1. parent(v) = min(v, min neighbor). Every pointer strictly
-    *      decreases, so the parent map is a FOREST (acyclic) regardless of
-    *      input graph shape;
-    *   2. pointer-jump ⌈log₂ n⌉ rounds (grandparent substitution squares
-    *      hop distance — enough for any forest over n nodes) → every node
-    *      labeled with its tree root;
-    *   3. contract: rewrite edges onto root pairs, drop self-loops. If any
-    *      edges survive (components spanning multiple trees), repeat on the
-    *      contracted graph and compose the label maps.
+    * Algorithm — single-loop accelerated min-label propagation. Per round,
+    * each node's label becomes the min of
+    *   (a) its own label,
+    *   (b) its neighbors' labels (propagation along edges), and
+    *   (c) its label's label (pointer jumping — label-chasing squares the
+    *       distance a min travels, turning O(diameter) rounds into
+    *       O(log diameter) on chains),
+    * iterated until no label changes. At the fixpoint every edge (u,v) has
+    * label(u) = label(v) (each ≤ the other), so a component is uniformly
+    * labeled; labels never drop below the component min and the min node
+    * keeps its own id, so the shared label IS the component min.
     *
-    * Every surviving node merged with a strictly smaller neighbor, so the
-    * contracted graph shrinks geometrically → O(log n) outer rounds. The
-    * one per-round action (emptiness check) runs on the SHRINKING
-    * contracted edge set — unlike a convergence count over a
-    * non-shrinking frame. All joins are shuffle equi-joins on node ids;
-    * lineage is truncated per round (localCheckpoint) so plans stay flat.
+    * Scale/job shape (the round-2 rewrite lesson — the previous nested
+    * contraction/pointer-jump version launched 120 jobs and hit geometric
+    * per-round blowup): exactly ONE materialization barrier per round
+    * (localCheckpoint of the new label frame) plus ONE convergence count on
+    * that already-materialized frame — 2 jobs/round, ~4-6 rounds for
+    * near-dup graphs. All joins are shuffle equi-joins on node ids; every
+    * frame is O(nodes); nothing driver-side. GraphSpec/SetSimSpec assert a
+    * job budget so a job-storm regression cannot ship silently.
     */
   def connectedComponents(edges0: DataFrame, src: String, dst: String): DataFrame = {
-    var edges = edges0
-      .select(col(src).cast("long").as("a"), col(dst).cast("long").as("b"))
-      .filter(col("a") =!= col("b"))
-      .localCheckpoint()
-    // labels carried across contraction rounds: (node, label) — label is a
-    // node of the CURRENT contracted graph until the loop exits
-    var labels = edges.select(col("a").as("node"))
-      .union(edges.select(col("b")))
-      .distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint()
-
-    while (!edges.isEmpty) {
-      val und = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
-      // 1. min-neighbor forest
-      var parent = und.groupBy(col("a"))
-        .agg(min(col("b")).as("min_nbr"))
-        .select(col("a").as("node"), least(col("a"), col("min_nbr")).as("par"))
-        .localCheckpoint()
-      // 2. pointer jumping: ceil(log2 n) grandparent rounds
-      val n = parent.count()
-      val rounds = math.max(1,
-        64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1)))
-      var r = 0
-      while (r < rounds) {
-        val grand = parent.select(col("node").as("g_node"), col("par").as("g_par"))
-        parent = parent
-          .join(grand, parent("par") === grand("g_node"), "left")
-          .select(col("node"), coalesce(col("g_par"), col("par")).as("par"))
-          .localCheckpoint()
-        r += 1
-      }
-      // compose: current labels point at nodes of this round's graph
-      val roots = parent.select(col("node").as("l_node"), col("par").as("l_root"))
-      labels = labels
-        .join(roots, labels("label") === roots("l_node"), "left")
-        .select(col("node"), coalesce(col("l_root"), col("label")).as("label"))
-        .localCheckpoint()
-      // 3. contract edges onto roots, drop intra-tree edges
-      val ra = roots.select(col("l_node").as("a"), col("l_root").as("ra"))
-      val rb = roots.select(col("l_node").as("b"), col("l_root").as("rb"))
-      edges = edges.join(ra, "a").join(rb, "b")
-        .select(col("ra").as("a"), col("rb").as("b"))
+    val spark = edges0.sparkSession
+    // AQE off for the loop only (restored in finally): the loop's frames are
+    // node-scaled and re-materialized every round — AQE's per-stage re-plan
+    // turns each round's ONE materialization into ~8 separate jobs (one per
+    // exchange) for zero benefit on frames this shape, and the iterative
+    // driver loop wants deterministic, flat job accounting (2 jobs/round).
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val partsWas = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val e = edges0
+        .select(col(src).cast("long").as("a"), col(dst).cast("long").as("b"))
         .filter(col("a") =!= col("b"))
+      val und = e.union(e.select(col("b").as("a"), col("a").as("b")))
         .distinct()
         .localCheckpoint()
+      // AQE is off in the loop, so size the fixed shuffle width to the graph
+      // (~1M edge-rows per partition, capped at the session conf): a tiny
+      // near-dup graph runs 1-2 partitions/round instead of paying
+      // session-width task overhead 2x per round; a billion-edge graph
+      // keeps the session's width.
+      val undRows = und.count()
+      val loopParts = math.max(1L,
+        math.min(partsWas.toLong, undRows / 1000000L + 1L)).toString
+      spark.conf.set("spark.sql.shuffle.partitions", loopParts)
+      // init labels lazily off the checkpointed und — round 1's barrier
+      // bakes it in; no separate materialization job
+      var labels = und.select(col("a").as("node"))
+        .distinct()
+        .withColumn("label", col("node"))
+
+      var changed = 1L
+      var round = 0
+      while (changed > 0 && round < 64) { // 64 = safety net, not the driver
+        // (b) min label over neighbors
+        val nbrMin = und
+          .join(labels.select(col("node").as("b"), col("label").as("nl")), "b")
+          .groupBy(col("a")).agg(min(col("nl")).as("nbr_min"))
+          .select(col("a").as("node"), col("nbr_min"))
+        val stepped = labels.select(col("node"), col("label").as("old"))
+          .join(nbrMin, Seq("node"), "left")
+          .withColumn("l1", least(col("old"), coalesce(col("nbr_min"), col("old"))))
+        // (c) pointer jump: chase l1 through the previous label map
+        val lmap = labels.select(col("node").as("m_node"), col("label").as("m_label"))
+        val next = stepped
+          .join(lmap, stepped("l1") === lmap("m_node"), "left")
+          .select(col("node"), col("old"),
+            least(col("l1"), coalesce(col("m_label"), col("l1"))).as("label"))
+          .localCheckpoint() // the round's single materialization barrier
+        changed = next.filter(col("label") < col("old")).count() // labels only decrease
+        labels = next.select(col("node"), col("label")) // flat select over checkpoint
+        round += 1
+      }
+      labels.select(col("node"), col("label").as("cluster_id"))
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      spark.conf.set("spark.sql.shuffle.partitions", partsWas)
     }
-    labels.select(col("node"), col("label").as("cluster_id"))
   }
 }

@@ -42,21 +42,30 @@ object SetSim {
       .select(col("doc_id"),
         array_sort(array_distinct(TextOps.tokens(col("text")))).as("toks"))
 
-  /** (doc_id, toks, rep_id): every doc keyed to the min doc_id of its
-    * identical-token-set group. One shuffle on the token array. */
+  /** (doc_id, toks, rep_id, grp_n): every doc keyed to the min doc_id of
+    * its identical-token-set group. A window over the token-array key —
+    * ONE shuffle, no array-equality join (grouping + joining back on a
+    * variable-length array key costs 2 shuffles and serialized array
+    * comparisons; the window computes both aggregates in-partition). */
   def withReps(s: SparkSession, d: String): DataFrame = {
-    val t = tokenSets(s, d)
-    val groups = t.groupBy(col("toks")).agg(min(col("doc_id")).as("rep_id"),
-      count(lit(1)).as("grp_n"))
-    t.join(groups, "toks")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("toks"))
+    tokenSets(s, d)
+      .withColumn("rep_id", min(col("doc_id")).over(w))
+      .withColumn("grp_n", count(lit(1)).over(w))
   }
 
   /** Exact set-similarity self-join over representatives: all pairs of
     * DISTINCT token sets with Jaccard ≥ 0.9, found via rarest-first prefix
     * filtering and verified with integer set arithmetic
     * (ThreshDen·|A∩B| ≥ ThreshNum·|A∪B| — bit-exact on any engine). */
-  def qDedupSsjoin(s: SparkSession, d: String): DataFrame = {
-    val reps = withReps(s, d)
+  def qDedupSsjoin(s: SparkSession, d: String): DataFrame =
+    ssjoinOnReps(withReps(s, d))
+
+  /** The ssjoin core over a precomputed (doc_id, toks, rep_id) frame —
+    * lets qDedupClusters share ONE withReps computation instead of
+    * tokenizing + grouping the corpus twice. */
+  private[operators] def ssjoinOnReps(wr: DataFrame): DataFrame = {
+    val reps = wr
       .filter(col("doc_id") === col("rep_id"))
       .select(col("doc_id"), col("toks"))
       .localCheckpoint() // reused by freq, prefix and verify branches
@@ -84,17 +93,46 @@ object SetSim {
       .select(col("doc_id"), col("sz"),
         posexplode(col("otoks")).as(Seq("pos", "tok")))
       .filter(col("pos") < col("plen"))
-      .select(col("tok"), col("doc_id"), col("sz"))
+      .select(col("tok"), col("pos"), col("doc_id"), col("sz"))
+      .localCheckpoint() // reused: token-frequency scan + both join sides
 
-    // candidate pairs share a prefix token; length filter is lossless:
-    // J >= t ⇒ t*max(|A|,|B|) <= min(|A|,|B|)
-    val cands = prefix.select(col("tok"), col("doc_id").as("doc_a"), col("sz").as("sz_a"))
-      .join(prefix.select(col("tok"), col("doc_id").as("doc_b"), col("sz").as("sz_b")), "tok")
+    // Hot-key de-skew: a frequent prefix token would otherwise send every
+    // pair it generates into ONE task (tok is the only join key). Split the
+    // left side of hot tokens across Salts buckets by doc hash and
+    // replicate the right side to every bucket — each (a,b) pair still
+    // meets exactly once (at a's salt), so the candidate set is unchanged,
+    // but a hot token's pair generation runs as Salts parallel tasks.
+    val Salts = 16
+    val HotCut = 256L // prefix entries per token before the token is "hot"
+    val pfreq = prefix.groupBy(col("tok")).agg(count(lit(1)).as("pf"))
+    val ptagged = prefix.join(pfreq, "tok").withColumn("hot", col("pf") >= HotCut)
+    val left = ptagged.select(col("tok"),
+      when(col("hot"), pmod(xxhash64(col("doc_id")), lit(Salts)).cast("int"))
+        .otherwise(lit(0)).as("salt"),
+      col("doc_id").as("doc_a"), col("sz").as("sz_a"), col("pos").as("pos_a"))
+    val right = ptagged.select(col("tok"),
+      explode(when(col("hot"), sequence(lit(0), lit(Salts - 1)))
+        .otherwise(array(lit(0)))).as("salt"),
+      col("doc_id").as("doc_b"), col("sz").as("sz_b"), col("pos").as("pos_b"))
+
+    // Candidate pairs share a prefix token; two lossless prunes:
+    //  - length filter: J >= t ⇒ t*max(|A|,|B|) <= min(|A|,|B|);
+    //  - PPJoin positional filter: with both arrays in the same rarest-first
+    //    total order, min(pos_a)/min(pos_b) over a pair's matches are the
+    //    positions (i,j) of the pair's SMALLEST common token — no common
+    //    token precedes it (it would be in both prefixes and thus matched),
+    //    so overlap <= 1 + min(|A|-i-1, |B|-j-1); require that bound to
+    //    clear the overlap threshold inter*(Num+Den) >= Num*(|A|+|B|).
+    val cands = left.join(right, Seq("tok", "salt"))
       .filter(col("doc_a") < col("doc_b"))
       .filter(greatest(col("sz_a"), col("sz_b")) * ThreshNum
         <= least(col("sz_a"), col("sz_b")) * ThreshDen)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(min(col("pos_a")).as("i"), min(col("pos_b")).as("j"),
+        first(col("sz_a")).as("sza"), first(col("sz_b")).as("szb"))
+      .filter((lit(1) + least(col("sza") - col("i") - 1, col("szb") - col("j") - 1))
+        * (ThreshNum + ThreshDen) >= (col("sza") + col("szb")) * ThreshNum)
       .select(col("doc_a"), col("doc_b"))
-      .distinct()
 
     // verify candidates exactly (shuffle joins on doc ids — both sides
     // corpus-scaled, no broadcast hints)
@@ -125,9 +163,13 @@ object SetSim {
     * member's rep IS the min of its exact group, so component minima are
     * always rep ids — no need to run CC over member edges). */
   def qDedupClusters(s: SparkSession, d: String): DataFrame = {
-    val wr = withReps(s, d).select(col("doc_id"), col("rep_id"), col("grp_n"))
+    val wrFull = withReps(s, d).localCheckpoint() // one tokenize+group pass
+    val wr = wrFull.select(col("doc_id"), col("rep_id"), col("grp_n"))
+    // materialize the ssjoin once: connectedComponents reads its edge input
+    // twice (forward + flipped) and would otherwise re-execute the whole
+    // prefix-filter join per read
+    val repEdges = ssjoinOnReps(wrFull).select(col("doc_a"), col("doc_b"))
       .localCheckpoint()
-    val repEdges = qDedupSsjoin(s, d).select(col("doc_a"), col("doc_b"))
     val repLabels = Graph.connectedComponents(repEdges, "doc_a", "doc_b") // (node, cluster_id)
 
     wr.filter(col("grp_n") >= 2 || col("doc_id") =!= col("rep_id")) // dup-group docs

@@ -15,4 +15,10 @@ object GraftShim {
     df.asInstanceOf[classic.Dataset[_]].logicalPlan
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Block until the async listener bus has delivered all queued events —
+    * needed before reading job counts off a SparkListener in tests
+    * (`listenerBus` is `private[spark]`, hence this shim). */
+  def drainListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }

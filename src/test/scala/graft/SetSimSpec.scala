@@ -76,4 +76,26 @@ class SetSimSpec extends GraftSpec {
       .as[(Long, Long)].collect().toMap
     assert(got == expected)
   }
+
+  test("q_dedup_clusters stays inside a Spark-job budget (no job storms)") {
+    // Round-2 regression class: the old nested-loop connectedComponents
+    // launched 120 jobs (950 s at sf0.1) for a 29k-edge graph. The
+    // single-loop rewrite needs 2 jobs/round x O(log diameter) rounds plus
+    // the ssjoin/materialization jobs — budget 40 with headroom.
+    val counted = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        counted.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      SetSim.qDedupClusters(spark, sf)
+        .write.format("noop").mode("overwrite").save()
+      org.apache.spark.sql.GraftShim.drainListenerBus(spark)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    val jobs = counted.get()
+    assert(jobs > 0 && jobs < 40, s"q_dedup_clusters launched $jobs jobs (budget 40)")
+  }
 }
