@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Bench regression diff: compare two bench JSONs and flag per-query slowdowns.
+
+Usage: python3 tools/benchdiff.py OLD NEW [--threshold 2.0]
+
+Accepts either format:
+  - driver round artifact (BENCH_r*.json: {"tail": "...one-line bench JSON..."}
+    or {"parsed": {...}})
+  - raw graft.Bench stdout (a file whose last {"metric": ...} line is the run)
+
+Exit code 1 if any query regressed by more than the threshold (default 2x),
+so this can gate the end-of-round snapshot. Round 2 shipped a 182x regression
+unnoticed; this tool exists so that class of miss is caught by construction.
+"""
+import json
+import re
+import sys
+
+
+def load_queries(path):
+    with open(path) as f:
+        text = f.read()
+    # driver artifact?
+    try:
+        d = json.loads(text)
+        if isinstance(d, dict):
+            if isinstance(d.get("parsed"), dict) and "queries" in d["parsed"]:
+                return d["parsed"]["queries"], d["parsed"].get("errors", {})
+            if "tail" in d:
+                m = re.search(r'\{"metric".*\}', d["tail"])
+                if m:
+                    b = json.loads(m.group(0))
+                    return b["queries"], b.get("errors", {})
+                # tail may hold only the inner queries map fragment
+                frag = d["tail"]
+                m = re.search(r'"queries":(\{.*?\}),"errors":(\{.*?\})', frag)
+                if m:
+                    return json.loads(m.group(1)), json.loads(m.group(2))
+                qs = json.loads("{" + frag.split('},"errors"')[0].lstrip("{") + "}")
+                return qs, {}
+            if "queries" in d:
+                return d["queries"], d.get("errors", {})
+    except json.JSONDecodeError:
+        pass
+    # raw bench stdout: take the LAST {"metric"...} line
+    last = None
+    for line in text.splitlines():
+        m = re.search(r'\{"metric".*\}', line)
+        if m:
+            last = m.group(0)
+    if last is None:
+        sys.exit(f"benchdiff: no bench JSON found in {path}")
+    b = json.loads(last)
+    return b["queries"], b.get("errors", {})
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    thresh = 2.0
+    for a in sys.argv[1:]:
+        if a.startswith("--threshold"):
+            thresh = float(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
+    if len(args) != 2:
+        sys.exit(__doc__)
+    old_q, old_e = load_queries(args[0])
+    new_q, new_e = load_queries(args[1])
+
+    regressed, improved = [], []
+    for name in sorted(set(old_q) | set(new_q)):
+        o, n = old_q.get(name), new_q.get(name)
+        if o is None:
+            print(f"NEW      {name:28s}          -> {n:8.2f}s")
+        elif n is None:
+            tag = "ERR" if name in new_e else "GONE"
+            print(f"{tag:8s} {name:28s} {o:8.2f}s ->        -")
+            if name in new_e:
+                regressed.append(name)
+        else:
+            r = n / o if o > 0 else float("inf")
+            if r > thresh and n - o > 0.5:  # ratio + absolute floor (noise guard)
+                regressed.append(name)
+                print(f"REGRESS  {name:28s} {o:8.2f}s -> {n:8.2f}s  ({r:5.1f}x)")
+            elif r < 1 / thresh and o - n > 0.5:
+                improved.append(name)
+                print(f"improve  {name:28s} {o:8.2f}s -> {n:8.2f}s  ({r:5.2f}x)")
+    ot, nt = sum(old_q.values()), sum(new_q.values())
+    print(f"TOTAL    {'':28s} {ot:8.2f}s -> {nt:8.2f}s")
+    print(f"{len(regressed)} regression(s) > {thresh}x, {len(improved)} improvement(s)")
+    sys.exit(1 if regressed else 0)
+
+
+if __name__ == "__main__":
+    main()
