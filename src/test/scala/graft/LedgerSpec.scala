@@ -1,0 +1,94 @@
+package graft
+
+import graft.operators.Events
+import graft.sources.Lake
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class LedgerSpec extends GraftSpec {
+
+  private def landFiles(dir: String, tag: String, n: Int): Unit =
+    Events.events(spark, sf).filter(col("event_type") === tag)
+      .repartition(n).write.mode("append").parquet(dir)
+
+  // each test gets a fresh landing dir + ledger; files land as parquet parts
+  private def fresh(): (String, String) =
+    (Files.createTempDirectory("graft_landing").toString,
+      Files.createTempDirectory("graft_ledger").toString + "/ledger")
+
+  test("ingest is idempotent and snapshots increment") {
+    val (landing, ledger) = fresh()
+    landFiles(landing, "click", 3)
+    assert(Lake.ingestNewFiles(spark, landing, ledger) == 3)
+    assert(Lake.ingestNewFiles(spark, landing, ledger) == 0) // re-run no-op
+    landFiles(landing, "view", 2)
+    assert(Lake.ingestNewFiles(spark, landing, ledger) == 2)
+    assert(Lake.currentSnapshot(spark, ledger) == 2)
+  }
+
+  test("missing _SUCCESS does not reset the ledger (partial-append robustness)") {
+    val (landing, ledger) = fresh()
+    landFiles(landing, "click", 3)
+    Lake.ingestNewFiles(spark, landing, ledger)
+    val marker = new java.io.File(ledger, "_SUCCESS")
+    assert(marker.exists())
+    assert(marker.delete()) // simulate a torn append: data committed, marker gone
+    assert(Lake.ingestNewFiles(spark, landing, ledger) == 0,
+      "paths must not be re-ingested after marker loss")
+    assert(Lake.currentSnapshot(spark, ledger) == 1, "snapshot ids must not restart")
+  }
+
+  test("readSince returns schema-carrying empty frame when nothing is new") {
+    val (landing, ledger) = fresh()
+    landFiles(landing, "click", 2)
+    Lake.ingestNewFiles(spark, landing, ledger)
+    val empty = Lake.readSince(spark, ledger, sinceSnapshot = 1)
+    assert(empty.count() == 0)
+    // the empty batch still projects event columns — callers select these
+    assert(empty.columns.contains("event_id") && empty.columns.contains("ts"))
+    assert(empty.select(col("event_id"), col("ts")).count() == 0)
+  }
+
+  test("compaction does not double-count: readSince skips the replace snapshot") {
+    val (landing, ledger) = fresh()
+    val compactDir = Files.createTempDirectory("graft_compacted").toString + "/data"
+    landFiles(landing, "click", 4)
+    Lake.ingestNewFiles(spark, landing, ledger)
+    val before = Lake.readAt(spark, ledger, 1).count()
+
+    Lake.compactIngested(spark, ledger, compactDir, targetRowsPerFile = 1000000)
+    // live table rows unchanged by the rewrite
+    val snap = Lake.currentSnapshot(spark, ledger)
+    assert(snap == 2)
+    assert(Lake.readAt(spark, ledger, snap).count() == before)
+    // incremental consumer that checkpointed at 1 sees NOTHING new
+    assert(Lake.readSince(spark, ledger, 1).count() == 0)
+    // full incremental replay (since 0) yields exactly the original rows once
+    assert(Lake.readSince(spark, ledger, 0).count() == before)
+    // re-running ingest over the landing dir after compaction is a no-op
+    assert(Lake.ingestNewFiles(spark, landing, ledger) == 0)
+  }
+
+  test("readAt time-travel is stable across later appends and compaction") {
+    val (landing, ledger) = fresh()
+    val compactDir = Files.createTempDirectory("graft_compacted2").toString + "/data"
+    landFiles(landing, "click", 2)
+    Lake.ingestNewFiles(spark, landing, ledger)
+    val rowsAt1 = Lake.readAt(spark, ledger, 1).count()
+
+    landFiles(landing, "view", 2)
+    Lake.ingestNewFiles(spark, landing, ledger) // snapshot 2
+    Lake.compactIngested(spark, ledger, compactDir, 1000000) // snapshot 3
+    landFiles(landing, "error", 1)
+    Lake.ingestNewFiles(spark, landing, ledger) // snapshot 4
+
+    assert(Lake.readAt(spark, ledger, 1).count() == rowsAt1, "snapshot 1 pinned")
+    val at2 = Lake.readAt(spark, ledger, 2).count()
+    assert(Lake.readAt(spark, ledger, 3).count() == at2, "replace keeps rows")
+    assert(Lake.readAt(spark, ledger, 4).count() > at2)
+    // post-compaction readAt reads COMPACTED files (old paths removed)
+    val live = Lake.readAt(spark, ledger, 3).inputFiles
+    assert(live.forall(_.contains("graft_compacted2")),
+      s"snapshot 3 must read compacted files, got ${live.take(2).mkString(",")}")
+  }
+}

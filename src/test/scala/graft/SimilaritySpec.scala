@@ -47,4 +47,24 @@ class SimilaritySpec extends GraftSpec {
     assert(s1 == s2)
     assert(s1.values.toSet.size > 1, "signatures should spread across buckets")
   }
+
+  test("IVF index is keyed on content: reused while fresh, rebuilt when data changes") {
+    // copy the embeddings table into a scratch "dataset dir"
+    val ds = java.nio.file.Files.createTempDirectory("graft_ivf_ds").toString
+    Tables.embeddings(spark, sf).write.parquet(s"$ds/embeddings.parquet")
+
+    val idx1 = Similarity.ivfIndexDir(spark, ds)
+    assert(new java.io.File(s"$idx1/assignments/_SUCCESS").exists())
+    assert(Similarity.ivfIndexDir(spark, ds) == idx1, "unchanged data reuses the index")
+
+    // regenerate the dataset IN PLACE (different rows -> different bytes)
+    val dir = new java.io.File(s"$ds/embeddings.parquet")
+    dir.listFiles().foreach(_.delete()); dir.delete()
+    Tables.embeddings(spark, sf).limit(400).coalesce(1)
+      .write.parquet(s"$ds/embeddings.parquet")
+
+    val idx2 = Similarity.ivfIndexDir(spark, ds)
+    assert(idx2 != idx1, "regenerated data must get a fresh index")
+    assert(new java.io.File(s"$idx2/assignments/_SUCCESS").exists())
+  }
 }
