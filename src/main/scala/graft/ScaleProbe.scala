@@ -11,41 +11,55 @@ object ScaleProbe {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = "/root/testdata/sf0.1"
     val out = "/tmp/sf1_synth"
-    // synthesize ~sf1: replicate lineitem/orders 10x with shifted keys
+    // synthesize ~sf1: replicate the scale-bearing tables 10x with shifted
+    // keys. documents/embeddings replicas keep their TEXT/vectors identical
+    // (a 10x corpus with 10x exact duplication — the crawl-shaped case the
+    // representative-collapse paths must absorb: rep count stays constant).
     if (!new java.io.File(out).exists()) {
       new java.io.File(out).mkdirs()
-      val li = spark.read.parquet(s"$src/lineitem.parquet")
+      def rep(df: org.apache.spark.sql.DataFrame, keyCols: Seq[String], stride: Long) =
+        (0 until 10).map { i =>
+          keyCols.foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(i * stride)))
+        }.reduce(_ union _)
       val ord = spark.read.parquet(s"$src/orders.parquet")
       val maxOk = ord.agg(max("o_orderkey")).head().getLong(0) + 1
-      def rep(df: org.apache.spark.sql.DataFrame, keyCols: Seq[String]) =
-        (0 until 10).map { i =>
-          keyCols.foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(i * maxOk)))
-        }.reduce(_ union _)
-      rep(li, Seq("l_orderkey")).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
-      rep(ord, Seq("o_orderkey")).write.mode("overwrite").parquet(s"$out/orders.parquet")
-      for (t <- Seq("customer","supplier","nation","region","part","events","documents","embeddings"))
+      rep(spark.read.parquet(s"$src/lineitem.parquet"), Seq("l_orderkey"), maxOk)
+        .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+      rep(ord, Seq("o_orderkey"), maxOk)
+        .write.mode("overwrite").parquet(s"$out/orders.parquet")
+      val docs = spark.read.parquet(s"$src/documents.parquet")
+      val maxDoc = docs.agg(max("doc_id")).head().getLong(0) + 1
+      rep(docs, Seq("doc_id"), maxDoc)
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      val emb = spark.read.parquet(s"$src/embeddings.parquet")
+      val maxVec = emb.agg(max("vec_id")).head().getLong(0) + 1
+      rep(emb, Seq("vec_id"), maxVec)
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      for (t <- Seq("customer","supplier","nation","region","part","events"))
         spark.read.parquet(s"$src/$t.parquet").write.mode("overwrite").parquet(s"$out/$t.parquet")
     }
     println("lineitem rows: " + spark.read.parquet(s"$out/lineitem.parquet").count())
-    def time(label: String)(f: => Unit): Unit = {
-      val t0 = System.nanoTime(); f
-      println(f"$label: ${(System.nanoTime()-t0)/1e9}%.2f s")
+    println("documents rows: " + spark.read.parquet(s"$out/documents.parquet").count())
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
     import graft.operators._
-    for ((n, q) <- Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)](
-      "q1_agg" -> (Relational.q1Agg _), "q3_join_agg" -> (Relational.q3JoinAgg _),
-      "q5_multi_join" -> (Relational.q5MultiJoin _), "q_window_rank" -> (Relational.qWindowRank _),
-      "q_topk_group" -> (TopK.qTopkGroup _), "q_range_join" -> (Relational2.qRangeJoin _)))
-      time(n) { q(spark, out).write.format("noop").mode("overwrite").save() }
 
-    // --- skew probe: one key holds 30% of a 6M-row fact; the dim side is
+    // --- skew probe FIRST (a clean JVM: the dedup probes below leave
+    // checkpoint blocks + GC pressure that would pollute this comparison):
+    // ONE key holds 60% of a 24M-row fact — the single hot task dominates
+    // the stage wall-clock (the 100 TB straggler regime); the dim side is
     // too wide to broadcast (threshold forced off) and AQE's skew-join
     // mitigation is disabled — the regime where explicit salting is the
-    // only remedy. skewSaltedJoin must beat the plain shuffle join here.
+    // only remedy. Wall-clock on a single shared machine UNDERSELLS the
+    // cluster win (32 salted tasks contend for the same cores), so the
+    // probe also reports the straggler metric that transfers to a cluster:
+    // max vs median task duration — plain shows one task ~the whole stage,
+    // salted shows max ≈ median.
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
-    val skewBig = spark.range(6000000).select(
-      when(rand(1) < 0.3, lit(7L))
+    val skewBig = spark.range(24000000).select(
+      when(rand(1) < 0.6, lit(7L))
         .otherwise((rand(2) * 2000000).cast("long")).as("k"),
       rand(3).as("v")).localCheckpoint()
     val skewSmall = spark.range(2000001).select(col("id").as("k"),
@@ -53,11 +67,53 @@ object ScaleProbe {
       concat(lit("payload_"), col("id")).as("pad")).localCheckpoint()
     def agg(j: org.apache.spark.sql.DataFrame) =
       j.groupBy("grp").agg(sum("v").as("sv"))
-    time("skew_plain_join") { agg(skewBig.join(skewSmall, "k"))
+    val taskMs = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val tl = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        taskMs.add(te.taskInfo.duration); ()
+      }
+    }
+    def taskStats(): (Long, Long) = {
+      org.apache.spark.sql.GraftShim.drainListenerBus(spark)
+      val ts = taskMs.toArray(Array.empty[java.lang.Long]).map(_.longValue).sorted
+      taskMs.clear()
+      if (ts.isEmpty) (0L, 0L) else (ts.last, ts(ts.length / 2))
+    }
+    agg(skewBig.join(skewSmall, "k")) // warm-up (JIT, shuffle paths)
+      .write.format("noop").mode("overwrite").save()
+    spark.sparkContext.addSparkListener(tl)
+    val tPlain = timed { agg(skewBig.join(skewSmall, "k"))
       .write.format("noop").mode("overwrite").save() }
-    time("skew_salted_join") { agg(Joins.skewSaltedJoin(skewBig, skewSmall, "k",
+    val (pMax, pMed) = taskStats()
+    println(f"skew_plain_join:  $tPlain%.2f s   max task ${pMax}ms / median ${pMed}ms (straggler ${pMax.toDouble / math.max(1, pMed)}%.1fx)")
+    val tSalted = timed { agg(Joins.skewSaltedJoin(skewBig, skewSmall, "k",
         salts = 32, hotThreshold = 100000, sampleFraction = 0.01))
       .write.format("noop").mode("overwrite").save() }
+    val (sMax, sMed) = taskStats()
+    spark.sparkContext.removeSparkListener(tl)
+    println(f"skew_salted_join: $tSalted%.2f s   max task ${sMax}ms / median ${sMed}ms (straggler ${sMax.toDouble / math.max(1, sMed)}%.1fx)")
+    println(f"salting: wall ${tPlain / tSalted}%.2fx, straggler ${pMax.toDouble / math.max(1, sMax)}%.2fx shorter max task")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", String.valueOf(64 * 1024 * 1024))
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // each probe query: one UNTIMED 1x warm-up (JIT + file cache — without
+    // it the second measurement rides the first's warmth and ratios read
+    // below 1), then timed 1x and 10x runs → a clean 10x ratio
+    for ((n, q) <- if (args.contains("skew-only")) Seq.empty else
+      Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)](
+      "q1_agg" -> (Relational.q1Agg _), "q3_join_agg" -> (Relational.q3JoinAgg _),
+      "q5_multi_join" -> (Relational.q5MultiJoin _), "q_window_rank" -> (Relational.qWindowRank _),
+      "q_topk_group" -> (TopK.qTopkGroup _), "q_range_join" -> (Relational2.qRangeJoin _),
+      "q_dedup_exact" -> (Dedup.qDedupExact _),
+      "q_dedup_minhash" -> (Dedup.qDedupMinhash _),
+      "q_dedup_ssjoin" -> (SetSim.qDedupSsjoin _),
+      "q_dedup_clusters" -> (SetSim.qDedupClusters _),
+      "q_ann_brute" -> (Similarity.qAnnBrute _),
+      "q_ann_lsh" -> (Similarity.qAnnLsh _))) {
+      q(spark, src).write.format("noop").mode("overwrite").save() // warm-up
+      val t1 = timed { q(spark, src).write.format("noop").mode("overwrite").save() }
+      val t10 = timed { q(spark, out).write.format("noop").mode("overwrite").save() }
+      println(f"$n%-18s 1x ${t1}%6.2f s   10x ${t10}%6.2f s   ratio ${t10 / t1}%5.2f")
+    }
     spark.stop()
   }
 }

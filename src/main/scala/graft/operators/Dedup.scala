@@ -117,32 +117,32 @@ object Dedup {
     * Rows-only driver check; the spec verifies decisions against
     * brute-force Jaccard. */
   def qDedupMinhash(s: SparkSession, d: String): DataFrame = {
+    // 1. collapse identical-signature groups via a window min over the
+    // signature key — ONE shuffle, no corpus-scaled rep join (the r2 shape
+    // sort-merged two corpus-sized frames; same fix as qDedupSimhash).
     // localCheckpoint (not persist): materialized once for the multi-branch
-    // plan below, lineage truncated, and the blocks are released by the
-    // ContextCleaner when the frame is dropped — no unpersist bookkeeping
-    // leaking cache across a 64-query session.
-    val sig = withSignature(Tables.documents(s, d))
+    // plan below, lineage truncated, blocks released by the ContextCleaner.
+    val withRep = withSignature(Tables.documents(s, d))
       .withColumn("sigkey", xxhash64(col("sigs")))
+      .withColumn("rep_id",
+        min(col("doc_id")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("sigkey"))))
       .localCheckpoint()
 
-    // 1. collapse identical-signature groups; verify member-vs-rep exactly.
-    // Both join sides scale with the corpus (repToks carries every doc's
-    // token array) — they MUST be shuffle joins on sigkey/rep_id; AQE will
-    // still broadcast if a side turns out genuinely small.
-    val repOfGroup = sig.groupBy(col("sigkey")).agg(min(col("doc_id")).as("rep_id"))
-    val repToks = sig.select(col("doc_id").as("rep_id"), col("toks").as("rep_toks"))
-    val withRep = sig.select(col("doc_id"), col("toks"), col("sigkey"))
-      .join(repOfGroup, "sigkey")
-      .join(repToks, "rep_id")
+    // verify member-vs-rep exactly: ONE shuffle join on rep_id (rep_toks
+    // scales with the corpus — no broadcast hint; AQE may still broadcast
+    // if it proves genuinely small)
+    val repToks = withRep.filter(col("doc_id") === col("rep_id"))
+      .select(col("doc_id").as("rep_id"), col("toks").as("rep_toks"))
     val exactLinks = withRep.filter(col("doc_id") =!= col("rep_id"))
+      .select(col("doc_id"), col("toks"), col("rep_id"))
+      .join(repToks, "rep_id")
       .withColumn("jaccard", jaccardExpr(col("toks"), col("rep_toks")))
       .filter(col("jaccard") >= 0.8)
       .select(col("doc_id"), col("rep_id").as("dup_of"), col("jaccard"))
 
-    // 2. LSH banding over representatives only (rep set scales with the
-    // corpus — shuffle join on doc_id, no broadcast hint)
-    val reps = sig.join(
-        repOfGroup.select(col("rep_id").as("doc_id")), "doc_id")
+    // 2. LSH banding over representatives only
+    val reps = withRep.filter(col("doc_id") === col("rep_id"))
       .select(Seq(col("doc_id"), col("toks")) ++
         (0 until NumBands).map { b =>
           hash(slice(col("sigs"), b * BandRows + 1, BandRows)).as(s"band_$b")

@@ -147,6 +147,52 @@ object TextOps {
       | FROM (SELECT regexp_split_to_array(trim(text), ' +') AS toks FROM documents) t)
       |GROUP BY bigram ORDER BY n_occurrences DESC, bigram LIMIT 20""".stripMargin
 
+  /** Benchmark-contamination detection — the training-data hygiene query:
+    * which corpus documents share verbatim n-gram spans with a held-out
+    * benchmark set (here: docs 0-9 as the stand-in benchmark). Exact and
+    * decisions-shaped: per-document overlap counts, never a pair list.
+    *
+    * Scale shape: the benchmark gram set is tiny next to the corpus (a
+    * benchmark suite vs a 100 TB crawl) — the join shuffles on the gram
+    * key and AQE broadcasts the benchmark side when it proves small; the
+    * corpus side is one explode (×tokens) + two-phase distinct counts. */
+  def qContamination(s: SparkSession, d: String): DataFrame = {
+    // materialize toks ONCE (see qDocNgrams: a split expression inside the
+    // transform lambda re-runs the regex per element)
+    val trigrams = transform(
+      sequence(lit(0), size(col("toks")) - 3),
+      i => concat_ws(" ", element_at(col("toks"), i + 1),
+        element_at(col("toks"), i + 2), element_at(col("toks"), i + 3)))
+    val g = Tables.documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(trigrams).as("g"))
+    val bench = g.filter(col("doc_id") < 10).select(col("g")).distinct()
+    val corpus = g.filter(col("doc_id") >= 10)
+    val hits = corpus.join(bench, "g")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("g")).as("n_overlap"))
+    val totals = corpus.groupBy(col("doc_id"))
+      .agg(countDistinct(col("g")).as("n_grams"))
+    hits.join(totals, "doc_id")
+      .select(col("doc_id"), col("n_overlap"), col("n_grams"),
+        (col("n_overlap").cast("double") / col("n_grams")).as("contamination"))
+  }
+
+  def qContaminationSql: String =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS w FROM documents),
+      |g AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+      |      FROM t, unnest(range(1, len(w)-1)) AS r(i) WHERE len(w) >= 3),
+      |bench AS (SELECT DISTINCT g FROM g WHERE doc_id < 10),
+      |corpus AS (SELECT doc_id, g FROM g WHERE doc_id >= 10),
+      |hits AS (SELECT doc_id, CAST(count(DISTINCT c.g) AS BIGINT) AS n_overlap
+      |         FROM corpus c JOIN bench b USING (g) GROUP BY doc_id),
+      |tot AS (SELECT doc_id, CAST(count(DISTINCT g) AS BIGINT) AS n_grams
+      |        FROM corpus GROUP BY doc_id)
+      |SELECT h.doc_id, h.n_overlap, tot.n_grams,
+      |  CAST(h.n_overlap AS DOUBLE) / tot.n_grams AS contamination
+      |FROM hits h JOIN tot USING (doc_id)""".stripMargin
+
   /** 64-bit document fingerprints — the cheap dup keys a pipeline persists
     * per shard: an exact-dup key (xxHash64 of normalized text) plus a
     * winnowing-style rolling-hash fingerprint (native codegen expression,

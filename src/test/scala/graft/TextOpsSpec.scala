@@ -43,4 +43,23 @@ class TextOpsSpec extends GraftSpec {
     val nDistinctText = Tables.documents(spark, sf).select("text").distinct().count()
     assert(fp1.values.toSet.size == nDistinctText)
   }
+
+  test("contamination counts equal a driver-side trigram-set intersection") {
+    def trigrams(text: String): Set[String] = {
+      val w = text.trim.split(" +")
+      if (w.length < 3) Set.empty
+      else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> trigrams(r.getString(1))).toMap
+    val bench = docs.filter(_._1 < 10).values.flatten.toSet
+    val expected = docs.collect {
+      case (id, g) if id >= 10 && g.nonEmpty && (g & bench).nonEmpty =>
+        id -> ((g & bench).size.toLong, g.size.toLong)
+    }
+    val got = TextOps.qContamination(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected)
+    assert(got.nonEmpty, "corpus should contain contaminated docs")
+  }
 }
