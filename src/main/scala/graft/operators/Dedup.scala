@@ -186,33 +186,44 @@ object Dedup {
     * Output: (doc_id, cluster_id) where cluster_id = the component's min
     * doc_id, for every doc that appears in a decision. */
   def dupClusters(s: SparkSession, d: String): DataFrame = {
+    // the minhash decisions run with the session's normal confs (AQE on)…
     var parent = qDedupMinhash(s, d)
       .select(col("doc_id"), col("dup_of")).localCheckpoint()
-    // Fixed round count instead of a per-round convergence check: pointer
-    // jumping squares the hop distance each round, so ceil(log2 n) rounds
-    // suffice for ANY forest over n nodes (depth <= n). One cheap count on
-    // the already-checkpointed frame replaces a count job per round —
-    // halving the job count; extra rounds past convergence are no-op joins
-    // on a tiny frame.
-    val n = parent.count()
-    val rounds = math.max(1,
-      64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1)))
-    var r = 0
-    while (r < rounds) {
-      val grand = parent.select(col("doc_id").as("p_doc"), col("dup_of").as("p_par"))
-      parent = parent
-        .join(grand, parent("dup_of") === grand("p_doc"), "left")
-        .select(col("doc_id"),
-          coalesce(col("p_par"), col("dup_of")).as("dup_of"))
-        .localCheckpoint()
-      r += 1
+    // …then the pointer-jump loop follows the iterative-loop template
+    // (Graph.connectedComponents): AQE off + shuffle width scaled to the
+    // frame, ONE materialization + one convergence count per round.
+    // Min-hop forests are shallow, so convergence (2-4 rounds) beats the
+    // former fixed ceil(log2 n) = 13-round schedule.
+    val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
+    val partsWas = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val n = parent.count()
+      s.conf.set("spark.sql.shuffle.partitions",
+        math.max(1L, math.min(partsWas.toLong, n / 1000000L + 1L)).toString)
+      var changed = 1L
+      var round = 0
+      while (changed > 0 && round < 64) {
+        val grand = parent.select(col("doc_id").as("p_doc"), col("dup_of").as("p_par"))
+        val next = parent
+          .join(grand, parent("dup_of") === grand("p_doc"), "left")
+          .select(col("doc_id"), col("dup_of").as("old"),
+            coalesce(col("p_par"), col("dup_of")).as("dup_of"))
+          .localCheckpoint()
+        changed = next.filter(col("dup_of") < col("old")).count() // parents only decrease
+        parent = next.select(col("doc_id"), col("dup_of"))
+        round += 1
+      }
+      // roots map to themselves
+      val roots = parent.select(col("dup_of").as("doc_id")).distinct()
+        .join(parent.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .withColumn("cluster_id", col("doc_id"))
+      parent.select(col("doc_id"), col("dup_of").as("cluster_id"))
+        .union(roots)
+    } finally {
+      s.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      s.conf.set("spark.sql.shuffle.partitions", partsWas)
     }
-    // roots map to themselves
-    val roots = parent.select(col("dup_of").as("doc_id")).distinct()
-      .join(parent.select(col("doc_id")), Seq("doc_id"), "left_anti")
-      .withColumn("cluster_id", col("doc_id"))
-    parent.select(col("doc_id"), col("dup_of").as("cluster_id"))
-      .union(roots)
   }
 
   // ---------------------------------------------------------------- SimHash
