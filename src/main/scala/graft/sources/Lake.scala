@@ -219,4 +219,19 @@ object Lake {
     * Iceberg-ism expressible on plain parquet. */
   def readEvolved(spark: SparkSession, dir: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(dir)
+
+  // ------------------------------------------------------------- bucketing
+
+  /** Bucketed managed-table write: hash-bucket (and sort) the table by its
+    * join key at WRITE time, so equi-joins and aggregations between tables
+    * bucketed the same way need NO shuffle exchange at read time — the
+    * co-located-join discipline for fact⋈fact joins that recur at 100 TB
+    * (pay the shuffle once at ingest, never per query). Spark bucketing
+    * requires the catalog (saveAsTable); BucketSpec travels with the table
+    * metadata. Proven shuffle-free in LedgerSpec. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(table) // managed table under spark.sql.warehouse.dir
 }

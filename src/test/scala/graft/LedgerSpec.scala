@@ -91,4 +91,31 @@ class LedgerSpec extends GraftSpec {
     assert(live.forall(_.contains("graft_compacted2")),
       s"snapshot 3 must read compacted files, got ${live.take(2).mkString(",")}")
   }
+
+  test("same-bucketed tables join with zero exchanges") {
+    val bcastWas = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    try {
+      Lake.writeBucketed(Tables.orders(spark, sf)
+        .select(col("o_orderkey"), col("o_totalprice")),
+        "g_orders_bucketed", "o_orderkey", 8)
+      Lake.writeBucketed(Tables.lineitem(spark, sf)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_quantity")),
+        "g_lineitem_bucketed", "o_orderkey", 8)
+      val j = spark.table("g_orders_bucketed")
+        .join(spark.table("g_lineitem_bucketed"), "o_orderkey")
+      j.write.format("noop").mode("overwrite").save()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n${plan.take(1500)}")
+      // and it is not an accidental broadcast: the join is sort-merge
+      assert(plan.contains("SortMergeJoin"), "expected a sort-merge join")
+      assert(j.count() == Tables.lineitem(spark, sf).count(),
+        "every lineitem matches exactly one order")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcastWas)
+      spark.sql("DROP TABLE IF EXISTS g_orders_bucketed")
+      spark.sql("DROP TABLE IF EXISTS g_lineitem_bucketed")
+    }
+  }
 }

@@ -103,4 +103,15 @@ class PlanSpec extends GraftSpec {
     assert(opt.toLowerCase.contains("posexplode"),
       "band keys should be generated via posexplode")
   }
+
+  test("ann_ivf prunes inverted-list partitions via dynamic partition pruning") {
+    // the 100 TB contract: a probe physically reads ~nProbe of k partitions
+    // of the list_id-partitioned assignments table, enforced by DPP from
+    // the broadcast top-lists side — not a full scan + post-filter
+    val q = Similarity.qAnnIvf(spark, sf)
+    q.write.format("noop").mode("overwrite").save() // build index + finalize AQE plan
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression"),
+      s"assignments scan must carry a DPP partition filter:\n${plan.take(2000)}")
+  }
 }
