@@ -11,12 +11,16 @@ import graft.operators.{Dedup, TextOps}
   * narrow scans + three shuffles regardless of corpus size.
   *
   * documents → exact-dup removal (md5 groupBy) → near-dup removal
-  * (MinHash-LSH decisions) → quality filter → per-language corpus stats.
+  * (MinHash-LSH decisions) → benchmark-decontamination → quality filter →
+  * per-language corpus stats.
   */
 object Pipeline {
 
-  /** Returns the per-language stats of the curated (deduped + filtered)
-    * corpus, plus survival counts at each stage as columns. */
+  /** Contamination ratio above which a document is dropped (stage 3). */
+  val ContaminationCut = 0.5
+
+  /** Returns the per-language stats of the curated (deduped +
+    * decontaminated + filtered) corpus. */
   def curate(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
 
@@ -28,9 +32,18 @@ object Pipeline {
 
     // stage 2: near-dup decisions — drop any doc the LSH pass marked
     val nearDups = Dedup.qDedupMinhash(spark, dir).select(col("doc_id"))
-    val keep = keepExact.join(nearDups, Seq("doc_id"), "left_anti")
 
-    // stage 3: quality filter + per-lang stats over survivors
+    // stage 3: benchmark decontamination — drop docs sharing too many
+    // verbatim trigram spans with the held-out benchmark set
+    val contaminated = TextOps.qContamination(spark, dir)
+      .filter(col("contamination") >= ContaminationCut)
+      .select(col("doc_id"))
+
+    val keep = keepExact
+      .join(nearDups, Seq("doc_id"), "left_anti")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+
+    // stage 4: quality filter + per-lang stats over survivors
     val survivors = docs.join(keep, "doc_id")
       .withColumn("toks", TextOps.tokens(col("text")))
       .withColumn("n_tokens", size(col("toks")))

@@ -25,6 +25,12 @@ class PipelineSpec extends GraftSpec {
         Seq("doc_id"), "left_anti")
       .collect().map(_.getLong(0)).toSet
     assert((survivors & nearDups).isEmpty)
+    // the decontamination stage is active at this sf: some docs exceed the
+    // cut, and the curated count reflects their removal
+    val contaminated = graft.operators.TextOps.qContamination(spark, sf)
+      .filter(col("contamination") >= Pipeline.ContaminationCut)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(contaminated.nonEmpty, "expected contaminated docs at this sf")
   }
 
   test("entry returns non-empty flagship results") {
