@@ -132,6 +132,18 @@ object Streams {
   def enrichWithMap(events: DataFrame, dromap: DataFrame): DataFrame =
     events.join(broadcast(dromap), "event_type")
 
+  /** Live run-stamping: the event stream time-range-joined against the
+    * static AUTHORITATIVE runs dimension (graft.operators.Runs) — each
+    * event carries its run_number/config_name as it arrives; events in
+    * inter-run gaps drop, exactly like the batch q_runs_auth. The dim is
+    * KB-scale control-plane data, broadcast into every micro-batch as a
+    * nested-loop range join; no stream-side state. Downstream a per-run
+    * windowed agg gives the live run summary. */
+  def stampWithRun(events: DataFrame, runsDim: DataFrame): DataFrame =
+    events.join(broadcast(runsDim),
+      events("ts") >= runsDim("start_ts") && events("ts") < runsDim("stop_ts"))
+      .drop("start_ts", "stop_ts", "purpose")
+
   /** Streaming → lake sink via foreachBatch: each micro-batch lands as
     * date/hour-partitioned parquet (the DAQ dropbox → lake hop). foreachBatch
     * is the escape hatch for sinks that need batch-writer features

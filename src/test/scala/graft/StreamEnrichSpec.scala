@@ -42,6 +42,35 @@ class StreamEnrichSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("streaming run-stamping equals the batch time-range join") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sq = spark.sqlContext
+    val runsDim = graft.operators.Runs.authoritativeRuns(spark)
+    val mem = MemoryStream[RawEvt]
+    val q = Streams.stampWithRun(mem.toDF(), runsDim)
+      .groupBy("run_number", "config_name").count()
+      .writeStream.format("memory").queryName("runstamp_out")
+      .outputMode("complete").start()
+    try {
+      mem.addData(rawEvents.take(400))
+      q.processAllAvailable()
+      mem.addData(rawEvents.slice(400, 800))
+      q.processAllAvailable()
+      val got = spark.table("runstamp_out").collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      val expected = {
+        val sub = rawEvents.take(800)
+          .map(e => (e.event_id, e.ts, e.user_id, e.event_type, e.value))
+          .toDF("event_id", "ts", "user_id", "event_type", "value")
+        graft.operators.Runs.eventsWithAuthRun(sub, runsDim)
+          .groupBy("run_number", "config_name").count()
+          .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      }
+      assert(got == expected && got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("foreachBatch lake sink lands partitioned parquet per micro-batch") {
     val sess = spark
     import sess.implicits._
