@@ -193,6 +193,52 @@ object TextOps {
       |  CAST(h.n_overlap AS DOUBLE) / tot.n_grams AS contamination
       |FROM hits h JOIN tot USING (doc_id)""".stripMargin
 
+  /** Repetition quality signals (the C4/Gopher-family filters a training
+    * corpus is scrubbed with): per document, the most-frequent-token share
+    * and the duplicate-trigram share, plus a repetitive flag. All ratios
+    * are exact integer divisions → bit-stable across engines. Two explodes
+    * + two-phase aggs; decisions-shaped, one row per doc. */
+  def qDocRepetition(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+    val topTok = base.select(col("doc_id"), explode(col("toks")).as("tk"))
+      .groupBy(col("doc_id"), col("tk")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("max_tok"), sum(col("c")).as("n_tokens"))
+    val trigrams = transform(
+      sequence(lit(0), size(col("toks")) - 3),
+      i => concat_ws(" ", element_at(col("toks"), i + 1),
+        element_at(col("toks"), i + 2), element_at(col("toks"), i + 3)))
+    val tri = base.select(col("doc_id"), explode(trigrams).as("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tri"), countDistinct(col("g")).as("n_tri_d"))
+    topTok.join(tri, "doc_id")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("max_tok").cast("double") / col("n_tokens")).as("top_tok_frac"),
+        (lit(1.0) - col("n_tri_d").cast("double") / col("n_tri")).as("dup_trigram_frac"))
+      .withColumn("repetitive",
+        col("top_tok_frac") >= 0.15 || col("dup_trigram_frac") >= 0.02)
+  }
+
+  def qDocRepetitionSql: String =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS w
+      |           FROM documents WHERE len(regexp_split_to_array(trim(text), ' +')) >= 3),
+      |tok AS (SELECT doc_id, unnest(w) AS tk FROM t),
+      |tc AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS max_tok, CAST(sum(c) AS BIGINT) AS n_tokens
+      |       FROM (SELECT doc_id, tk, count(*) AS c FROM tok GROUP BY doc_id, tk)
+      |       GROUP BY doc_id),
+      |g AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+      |      FROM t, unnest(range(1, len(w)-1)) AS r(i)),
+      |tri AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri,
+      |        CAST(count(DISTINCT g) AS BIGINT) AS n_tri_d FROM g GROUP BY doc_id)
+      |SELECT tc.doc_id, tc.n_tokens,
+      |  CAST(tc.max_tok AS DOUBLE) / tc.n_tokens AS top_tok_frac,
+      |  1.0 - CAST(tri.n_tri_d AS DOUBLE) / tri.n_tri AS dup_trigram_frac,
+      |  (CAST(tc.max_tok AS DOUBLE) / tc.n_tokens >= 0.15
+      |   OR 1.0 - CAST(tri.n_tri_d AS DOUBLE) / tri.n_tri >= 0.02) AS repetitive
+      |FROM tc JOIN tri USING (doc_id)""".stripMargin
+
   /** 64-bit document fingerprints — the cheap dup keys a pipeline persists
     * per shard: an exact-dup key (xxHash64 of normalized text) plus a
     * winnowing-style rolling-hash fingerprint (native codegen expression,

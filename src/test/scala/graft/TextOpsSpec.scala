@@ -62,4 +62,22 @@ class TextOpsSpec extends GraftSpec {
     assert(got == expected)
     assert(got.nonEmpty, "corpus should contain contaminated docs")
   }
+
+  test("repetition signals equal a driver-side computation") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split(" +").toSeq)
+      .filter(_._2.length >= 3).toMap
+    val expected = docs.map { case (id, w) =>
+      val topFrac = w.groupBy(identity).values.map(_.size).max.toDouble / w.length
+      val tris = w.sliding(3).map(_.mkString(" ")).toSeq
+      val dupFrac = 1.0 - tris.distinct.length.toDouble / tris.length
+      id -> (w.length.toLong, topFrac, dupFrac, topFrac >= 0.15 || dupFrac >= 0.02)
+    }
+    val got = TextOps.qDocRepetition(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(got == expected)
+    assert(got.values.exists(_._4) && got.values.exists(!_._4),
+      "flag should split the corpus")
+  }
 }
