@@ -62,6 +62,39 @@ object Similarity {
       | WHERE e.vec_id <> 0)
       |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin
 
+  /** BATCHED exact ANN: top-5 cosine neighbors for EACH of a batch of
+    * probe vectors (vec_id 0-4) in one pass — the shape real pipelines
+    * use (nobody probes one vector at a time at 100 TB): the probe batch
+    * broadcasts, the corpus streams through ONE scan scoring all probes
+    * per row, and per-probe top-K is a bounded window. Output ids+rank
+    * only (float-rounding-proof). */
+  def qAnnBatch(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(s, d)
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("vec").as("probe_vec"),
+        norm(col("vec")).as("probe_nrm"))
+    e.filter(col("vec_id") >= 5)
+      .crossJoin(broadcast(probes))
+      .select(col("probe_id"), col("vec_id"),
+        (dot(col("vec"), col("probe_vec")) / (norm(col("vec")) * col("probe_nrm")))
+          .as("cos"))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("probe_id"), col("rank"), col("vec_id"))
+  }
+
+  def qAnnBatchSql: String =
+    """SELECT probe_id, CAST(rank AS INT) AS rank, vec_id FROM (
+      | SELECT p.vec_id AS probe_id, e.vec_id,
+      |  row_number() OVER (PARTITION BY p.vec_id
+      |    ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], p.embedding::DOUBLE[]) DESC,
+      |             e.vec_id) AS rank
+      | FROM embeddings e, (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) p
+      | WHERE e.vec_id >= 5)
+      |WHERE rank <= 5""".stripMargin
+
   /** Multi-table random-hyperplane LSH: L independent tables of k sign-bits
     * each. A neighbor is a candidate if it matches the probe's signature in
     * ANY table — the standard recall/candidate-count dial (k shrinks
