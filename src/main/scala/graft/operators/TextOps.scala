@@ -16,21 +16,36 @@ object TextOps {
 
   val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
 
-  /** Token counting + per-language corpus stats. */
+  /** BPE-ish pre-tokenizer regex (GPT-2-family shape: contraction tails,
+    * space-prefixed letter runs, digit runs, punctuation runs) — the cheap
+    * LLM-token-count proxy a pipeline budgets corpora with. ASCII form
+    * (this corpus is lowercase ASCII); kept lookahead-free so the same
+    * pattern runs on Java regex and RE2-family engines alike. */
+  val BpePattern = "'(?:[sdmt]|ll|ve|re)| ?[a-z]+| ?[0-9]+| ?[^ a-z0-9']+"
+
+  /** Token counting (whitespace words + BPE-ish subword proxy) +
+    * per-language corpus stats. */
   def qDocTokens(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .withColumn("n_tokens", size(tokens(col("text"))))
+      .withColumn("n_bpe",
+        size(regexp_extract_all(col("text"), lit(BpePattern), lit(0))))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).cast("bigint").as("total_tokens"),
+        sum(col("n_bpe")).cast("bigint").as("total_bpe_tokens"),
         min(col("n_tokens")).as("min_tokens"),
         max(col("n_tokens")).as("max_tokens"))
 
   def qDocTokensSql: String =
     """SELECT lang, count(*) AS n_docs,
       | CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      | CAST(sum(n_bpe) AS BIGINT) AS total_bpe_tokens,
       | min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
-      |FROM (SELECT lang, CAST(len(regexp_split_to_array(trim(text), ' +')) AS INT) AS n_tokens FROM documents) t
+      |FROM (SELECT lang,
+      |  CAST(len(regexp_split_to_array(trim(text), ' +')) AS INT) AS n_tokens,
+      |  CAST(len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?[a-z]+| ?[0-9]+| ?[^ a-z0-9'']+')) AS INT) AS n_bpe
+      |  FROM documents) t
       |GROUP BY lang""".stripMargin
 
   /** Per-document quality features: token count, vocabulary diversity
