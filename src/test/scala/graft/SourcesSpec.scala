@@ -81,4 +81,42 @@ class SourcesSpec extends GraftSpec {
       }
     } finally q.stop()
   }
+
+  test("streaming ingest resumes from checkpoint exactly-once across restarts") {
+    val dropbox = Files.createTempDirectory("graft_dropbox2").toString
+    val chk = Files.createTempDirectory("graft_chk").toString
+    val out = Files.createTempDirectory("graft_stream_out").toString
+    val batch = Events.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+
+    def startQuery() = Streams.readEventStream(spark, dropbox, batch.schema)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", chk)
+      .start()
+
+    // run 1 processes the first file, then the query STOPS (a restart —
+    // deploy, crash, rescale; the checkpoint is the only carried state)
+    batch.filter(col("event_id") < 400).coalesce(1)
+      .write.mode("append").parquet(dropbox)
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // more files land while no query is running
+    batch.filter(col("event_id") >= 400 && col("event_id") < 700).coalesce(1)
+      .write.mode("append").parquet(dropbox)
+
+    // run 2 resumes from the checkpoint: must pick up ONLY the unprocessed
+    // file — the already-committed one must not be re-emitted
+    val q2 = startQuery()
+    try {
+      q2.processAllAvailable()
+      batch.filter(col("event_id") >= 700).coalesce(1)
+        .write.mode("append").parquet(dropbox)
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val result = spark.read.parquet(out)
+    assert(result.count() == 1000, "every event exactly once across restarts")
+    assert(result.select("event_id").distinct().count() == 1000, "no duplicates")
+  }
 }
