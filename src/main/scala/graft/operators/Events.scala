@@ -324,4 +324,40 @@ object Events {
       .agg(count(lit(1)).as("n_events"),
         sum(col("adler")).as("sum_adler"),
         max(col("adler")).as("max_adler"))
+
+  /** Coincidence window in seconds (±). */
+  val CoincSeconds = 60
+
+  /** Trigger-coincidence counting — the DAQ physics primitive: for every
+    * `error` event, how many events of each OTHER type fired within ±60 s
+    * anywhere in the detector. Never a naive time cross-join: both sides
+    * bucket to 60 s epochs and the error side explodes to its 3 adjacent
+    * buckets, so the join is a shuffle EQUI-join on the bucket key with
+    * the |Δt| residual applied after — a pair can only match in one
+    * exploded bucket per side pair, so no distinct is needed. Output is
+    * decisions-shaped: one row per (error event, other type). */
+  def qEvtCoincidence(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val errs = ev.filter(col("event_type") === "error")
+      .withColumn("b", floor(unix_timestamp(col("ts")) / CoincSeconds))
+      .select(col("event_id").as("error_id"), col("ts").as("err_ts"),
+        explode(array(col("b") - 1, col("b"), col("b") + 1)).as("bucket"))
+    val others = ev.filter(col("event_type") =!= "error")
+      .select(col("event_type"), col("ts").as("o_ts"),
+        floor(unix_timestamp(col("ts")) / CoincSeconds).as("bucket"))
+    errs.join(others, "bucket")
+      .filter(abs(unix_micros(col("o_ts")) - unix_micros(col("err_ts")))
+        <= CoincSeconds * 1000000L)
+      .groupBy(col("error_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_coincident"))
+  }
+
+  def qEvtCoincidenceSql: String =
+    """SELECT e.event_id AS error_id, o.event_type,
+      | CAST(count(*) AS BIGINT) AS n_coincident
+      |FROM events e JOIN events o
+      |  ON o.event_type <> 'error'
+      | AND abs(epoch_us(o.ts) - epoch_us(e.ts)) <= 60000000
+      |WHERE e.event_type = 'error'
+      |GROUP BY e.event_id, o.event_type""".stripMargin
 }
