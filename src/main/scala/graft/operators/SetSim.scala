@@ -155,6 +155,77 @@ object SetSim {
       |WHERE 10 * len(list_intersect(a.toks, b.toks))
       |   >= 9 * (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))""".stripMargin
 
+  /** INCREMENTAL dedup — the production daily-increment pattern: a NEW
+    * batch of documents (doc_id ≡ 0 mod 5 as the deterministic stand-in)
+    * deduped against the HISTORICAL corpus (the rest), emitting one
+    * decision per new doc that matches history: (doc_id, dup_of = the
+    * smallest historical doc with Jaccard ≥ 0.9).
+    *
+    * Scale shape: history collapses to identical-set representatives (a
+    * window min — history dup clusters cost O(cluster), and matching the
+    * min rep equals matching the min historical doc since groups share a
+    * token set); candidates come from the same rarest-first PREFIX FILTER
+    * as the self-join, applied R-S (a qualifying pair must share a token
+    * in both prefixes under any shared total order), so the join is an
+    * equi-join on prefix tokens — the new batch never cross-joins history.
+    * Verification is exact integer set arithmetic. */
+  def qDedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val t = tokenSets(s, d).localCheckpoint() // reused by 4 branches below
+    val isNew = pmod(col("doc_id"), lit(5)) === 0
+    val hw = org.apache.spark.sql.expressions.Window.partitionBy(col("toks"))
+    val histReps = t.filter(!isNew)
+      .withColumn("rep_id", min(col("doc_id")).over(hw))
+      .filter(col("doc_id") === col("rep_id"))
+      .select(col("doc_id"), col("toks"))
+    val newDocs = t.filter(isNew).select(col("doc_id"), col("toks"))
+
+    // shared rarest-first total order from the union of both relations
+    val freq = histReps.select(explode(col("toks")).as("tok"))
+      .union(newDocs.select(explode(col("toks")).as("tok")))
+      .groupBy(col("tok")).agg(count(lit(1)).as("tok_freq"))
+    def prefixOf(docs: DataFrame): DataFrame =
+      docs.select(col("doc_id"), explode(col("toks")).as("tok"))
+        .join(freq, "tok")
+        .groupBy(col("doc_id"))
+        .agg(array_sort(collect_list(struct(col("tok_freq"), col("tok")))).as("ft"))
+        .select(col("doc_id"), expr("transform(ft, x -> x.tok)").as("otoks"))
+        .withColumn("sz", size(col("otoks")))
+        .withColumn("plen",
+          col("sz") - floor((col("sz") * ThreshNum + (ThreshDen - 1)) / ThreshDen) + 1)
+        .select(col("doc_id"), col("sz"),
+          posexplode(col("otoks")).as(Seq("pos", "tok")))
+        .filter(col("pos") < col("plen"))
+        .select(col("tok"), col("doc_id"), col("sz"))
+
+    val cands = prefixOf(newDocs)
+      .select(col("tok"), col("doc_id").as("new_id"), col("sz").as("sz_n"))
+      .join(prefixOf(histReps)
+        .select(col("tok"), col("doc_id").as("hist_id"), col("sz").as("sz_h")), "tok")
+      .filter(greatest(col("sz_n"), col("sz_h")) * ThreshNum
+        <= least(col("sz_n"), col("sz_h")) * ThreshDen)
+      .select(col("new_id"), col("hist_id"))
+      .distinct()
+
+    cands
+      .join(newDocs.select(col("doc_id").as("new_id"), col("toks").as("toks_n")), "new_id")
+      .join(histReps.select(col("doc_id").as("hist_id"), col("toks").as("toks_h")), "hist_id")
+      .withColumn("inter_n", size(array_intersect(col("toks_n"), col("toks_h"))))
+      .withColumn("union_n", size(col("toks_n")) + size(col("toks_h")) - col("inter_n"))
+      .filter(col("inter_n") * ThreshDen >= col("union_n") * ThreshNum)
+      .groupBy(col("new_id").as("doc_id"))
+      .agg(min(col("hist_id")).as("dup_of"))
+  }
+
+  def qDedupIncrementalSql: String =
+    """WITH t AS (SELECT doc_id, list_sort(list_distinct(regexp_split_to_array(trim(text), ' +'))) AS toks FROM documents),
+      |hist AS (SELECT doc_id, toks FROM t WHERE doc_id % 5 <> 0),
+      |nw AS (SELECT doc_id, toks FROM t WHERE doc_id % 5 = 0)
+      |SELECT n.doc_id, min(h.doc_id) AS dup_of
+      |FROM nw n JOIN hist h
+      |  ON 10 * len(list_intersect(n.toks, h.toks))
+      |  >= 9 * (len(n.toks) + len(h.toks) - len(list_intersect(n.toks, h.toks)))
+      |GROUP BY n.doc_id""".stripMargin
+
   /** Transitive dup clusters, fully deterministic and oracle-checked:
     * components of (identical-token-set membership ∪ ssjoin pairs). Output
     * is one row per doc that has at least one duplicate relation:

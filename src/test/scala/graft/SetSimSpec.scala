@@ -77,6 +77,29 @@ class SetSimSpec extends GraftSpec {
     assert(got == expected)
   }
 
+  test("incremental dedup decisions are new-batch-only and point into history") {
+    val got = SetSim.qDedupIncremental(spark, sf)
+      .as[(Long, Long)].collect()
+    assert(got.nonEmpty, "the dup-heavy corpus must match new docs to history")
+    got.foreach { case (docId, dupOf) =>
+      assert(docId % 5 == 0, s"decision for non-new doc $docId")
+      assert(dupOf % 5 != 0, s"dup_of $dupOf is not a historical doc")
+    }
+    // brute-force equality: min matching historical doc per new doc
+    val all = Tables.documents(spark, sf)
+      .select(col("doc_id"), array_distinct(TextOps.tokens(col("text"))).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+    val (nw, hist) = all.partition(_._1 % 5 == 0)
+    val expected = nw.flatMap { case (id, tn) =>
+      val matches = hist.filter { case (_, th) =>
+        val inter = (tn & th).size
+        inter * SetSim.ThreshDen >= (tn.size + th.size - inter) * SetSim.ThreshNum
+      }
+      if (matches.isEmpty) None else Some(id -> matches.map(_._1).min)
+    }.toMap
+    assert(got.toMap == expected)
+  }
+
   test("q_dedup_clusters stays inside a Spark-job budget (no job storms)") {
     // Round-2 regression class: the old nested-loop connectedComponents
     // launched 120 jobs (950 s at sf0.1) for a 29k-edge graph. The
