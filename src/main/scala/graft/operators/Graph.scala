@@ -46,7 +46,7 @@ object Graph {
       val e = edges0
         .select(col(src).cast("long").as("a"), col(dst).cast("long").as("b"))
         .filter(col("a") =!= col("b"))
-      val und = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      val und0 = e.union(e.select(col("b").as("a"), col("a").as("b")))
         .distinct()
         .localCheckpoint()
       // AQE is off in the loop, so size the fixed shuffle width to the graph
@@ -54,10 +54,19 @@ object Graph {
       // near-dup graph runs 1-2 partitions/round instead of paying
       // session-width task overhead 2x per round; a billion-edge graph
       // keeps the session's width.
-      val undRows = und.count()
+      val undRows = und0.count()
       val loopParts = math.max(1L,
-        math.min(partsWas.toLong, undRows / 1000000L + 1L)).toString
-      spark.conf.set("spark.sql.shuffle.partitions", loopParts)
+        math.min(partsWas.toLong, undRows / 1000000L + 1L))
+      spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+      // Pre-partition AND pre-sort the edge relation by the join key ONCE:
+      // localCheckpoint preserves outputPartitioning/outputOrdering, so
+      // every round's edges⋈labels sort-merge join reuses them — the large
+      // side of the per-round join never exchanges or re-sorts again (at
+      // scale edges >> labels; this is the loop's dominant data volume).
+      val und = und0
+        .repartition(loopParts.toInt, col("b"))
+        .sortWithinPartitions(col("b"))
+        .localCheckpoint()
       // init labels lazily off the checkpointed und — round 1's barrier
       // bakes it in; no separate materialization job
       var labels = und.select(col("a").as("node"))
