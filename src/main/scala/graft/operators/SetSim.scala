@@ -161,27 +161,34 @@ object SetSim {
     * decision per new doc that matches history: (doc_id, dup_of = the
     * smallest historical doc with Jaccard ≥ 0.9).
     *
-    * Scale shape: history collapses to identical-set representatives (a
-    * window min — history dup clusters cost O(cluster), and matching the
-    * min rep equals matching the min historical doc since groups share a
-    * token set); candidates come from the same rarest-first PREFIX FILTER
-    * as the self-join, applied R-S (a qualifying pair must share a token
-    * in both prefixes under any shared total order), so the join is an
-    * equi-join on prefix tokens — the new batch never cross-joins history.
-    * Verification is exact integer set arithmetic. */
+    * Scale shape: BOTH relations collapse to identical-set representatives
+    * (window min — dup-heavy batches cost O(cluster); a new-rep's matches
+    * are exactly its members' matches since the sets are identical, and
+    * matching the min hist rep equals matching the min historical doc);
+    * candidates come from the same rarest-first PREFIX FILTER as the
+    * self-join applied R-S (a qualifying pair must share a token in both
+    * prefixes under any shared total order) with the positional filter and
+    * hot-token salting (salt the new side, replicate the hist side) — the
+    * new batch never cross-joins history and no token serializes a task.
+    * Verification is exact integer set arithmetic; decisions rejoin to new
+    * members through the rep map at the end. */
   def qDedupIncremental(s: SparkSession, d: String): DataFrame = {
-    val t = tokenSets(s, d).localCheckpoint() // reused by 4 branches below
     val isNew = pmod(col("doc_id"), lit(5)) === 0
-    val hw = org.apache.spark.sql.expressions.Window.partitionBy(col("toks"))
-    val histReps = t.filter(!isNew)
-      .withColumn("rep_id", min(col("doc_id")).over(hw))
-      .filter(col("doc_id") === col("rep_id"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("toks"))
+    val t = tokenSets(s, d)
+      .withColumn("side", when(isNew, lit("n")).otherwise(lit("h")))
+      // rep per (side, token set): collapse dups WITHIN each relation
+      .withColumn("rep_id", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("side"), col("toks"))))
+      .localCheckpoint() // reused: rep relations + member expansion
+    val histReps = t.filter(col("side") === "h" && col("doc_id") === col("rep_id"))
       .select(col("doc_id"), col("toks"))
-    val newDocs = t.filter(isNew).select(col("doc_id"), col("toks"))
+    val newReps = t.filter(col("side") === "n" && col("doc_id") === col("rep_id"))
+      .select(col("doc_id"), col("toks"))
 
-    // shared rarest-first total order from the union of both relations
+    // shared rarest-first total order from the union of both rep relations
     val freq = histReps.select(explode(col("toks")).as("tok"))
-      .union(newDocs.select(explode(col("toks")).as("tok")))
+      .union(newReps.select(explode(col("toks")).as("tok")))
       .groupBy(col("tok")).agg(count(lit(1)).as("tok_freq"))
     def prefixOf(docs: DataFrame): DataFrame =
       docs.select(col("doc_id"), explode(col("toks")).as("tok"))
@@ -195,25 +202,52 @@ object SetSim {
         .select(col("doc_id"), col("sz"),
           posexplode(col("otoks")).as(Seq("pos", "tok")))
         .filter(col("pos") < col("plen"))
-        .select(col("tok"), col("doc_id"), col("sz"))
+        .select(col("tok"), col("pos"), col("doc_id"), col("sz"))
 
-    val cands = prefixOf(newDocs)
-      .select(col("tok"), col("doc_id").as("new_id"), col("sz").as("sz_n"))
-      .join(prefixOf(histReps)
-        .select(col("tok"), col("doc_id").as("hist_id"), col("sz").as("sz_h")), "tok")
+    // hot-token de-skew, R-S form: salt the new side by doc hash, replicate
+    // the hist side across salts (see ssjoinOnReps for the rationale)
+    val Salts = 16
+    val HotCut = 256L
+    val pn = prefixOf(newReps).localCheckpoint()
+    val ph = prefixOf(histReps).localCheckpoint()
+    val pfreq = pn.union(ph).groupBy(col("tok")).agg(count(lit(1)).as("pf"))
+    val left = pn.join(pfreq, "tok")
+      .select(col("tok"),
+        when(col("pf") >= HotCut, pmod(xxhash64(col("doc_id")), lit(Salts)).cast("int"))
+          .otherwise(lit(0)).as("salt"),
+        col("doc_id").as("new_id"), col("sz").as("sz_n"), col("pos").as("pos_n"))
+    val right = ph.join(pfreq, "tok")
+      .select(col("tok"),
+        explode(when(col("pf") >= HotCut, sequence(lit(0), lit(Salts - 1)))
+          .otherwise(array(lit(0)))).as("salt"),
+        col("doc_id").as("hist_id"), col("sz").as("sz_h"), col("pos").as("pos_h"))
+
+    // length filter + PPJoin positional filter (see ssjoinOnReps: min
+    // matched positions identify the pair's smallest common token)
+    val cands = left.join(right, Seq("tok", "salt"))
       .filter(greatest(col("sz_n"), col("sz_h")) * ThreshNum
         <= least(col("sz_n"), col("sz_h")) * ThreshDen)
+      .groupBy(col("new_id"), col("hist_id"))
+      .agg(min(col("pos_n")).as("i"), min(col("pos_h")).as("j"),
+        first(col("sz_n")).as("szn"), first(col("sz_h")).as("szh"))
+      .filter((lit(1) + least(col("szn") - col("i") - 1, col("szh") - col("j") - 1))
+        * (ThreshNum + ThreshDen) >= (col("szn") + col("szh")) * ThreshNum)
       .select(col("new_id"), col("hist_id"))
-      .distinct()
 
-    cands
-      .join(newDocs.select(col("doc_id").as("new_id"), col("toks").as("toks_n")), "new_id")
+    val repDecisions = cands
+      .join(newReps.select(col("doc_id").as("new_id"), col("toks").as("toks_n")), "new_id")
       .join(histReps.select(col("doc_id").as("hist_id"), col("toks").as("toks_h")), "hist_id")
       .withColumn("inter_n", size(array_intersect(col("toks_n"), col("toks_h"))))
       .withColumn("union_n", size(col("toks_n")) + size(col("toks_h")) - col("inter_n"))
       .filter(col("inter_n") * ThreshDen >= col("union_n") * ThreshNum)
-      .groupBy(col("new_id").as("doc_id"))
+      .groupBy(col("new_id"))
       .agg(min(col("hist_id")).as("dup_of"))
+
+    // expand rep decisions to every member of the new batch
+    t.filter(col("side") === "n")
+      .select(col("doc_id"), col("rep_id").as("new_id"))
+      .join(repDecisions, "new_id")
+      .select(col("doc_id"), col("dup_of"))
   }
 
   def qDedupIncrementalSql: String =
