@@ -39,6 +39,10 @@ object Graph {
     // turns each round's ONE materialization into ~8 separate jobs (one per
     // exchange) for zero benefit on frames this shape, and the iterative
     // driver loop wants deterministic, flat job accounting (2 jobs/round).
+    // NOTE session-scoped toggle: concurrent queries on the SAME session
+    // would see AQE off while this loop runs. Driver/Verify/Bench execute
+    // sequentially; a server deployment should give iterative graph ops a
+    // dedicated spark.newSession() (shares the cluster, isolates conf).
     val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
     val partsWas = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
