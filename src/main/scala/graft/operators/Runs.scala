@@ -92,7 +92,7 @@ object Runs {
     * fact join. */
   def authoritativeRuns(s: SparkSession, path: String = DefaultRunsPath): DataFrame =
     s.read.schema(runRecordSchema)
-      .json(new java.io.File(path).getAbsolutePath)
+      .json(graft.sources.Configs.absDir(path))
 
   /** Events stamped with their authoritative run via time-range join
     * against the broadcast dim; [start_ts, stop_ts) — events in inter-run
@@ -112,7 +112,7 @@ object Runs {
         sum(col("value").cast("decimal(12,4)")).cast("double").as("sum_value"))
 
   def qRunsAuthSql: String = {
-    val p = new java.io.File(DefaultRunsPath).getAbsolutePath
+    val p = graft.sources.Configs.absDir(DefaultRunsPath)
     s"""WITH r AS (SELECT run_number, config_name,
        |  CAST(start_ts AS TIMESTAMP) AS start_ts, CAST(stop_ts AS TIMESTAMP) AS stop_ts
        |  FROM read_json_auto('$p'))
@@ -153,7 +153,7 @@ object Runs {
   }
 
   def qRunConfigDiffSql: String = {
-    val p = new java.io.File(DefaultRunsPath).getAbsolutePath
+    val p = graft.sources.Configs.absDir(DefaultRunsPath)
     graft.sources.Configs.kvSql() +
       s"""
          |, runs AS (SELECT run_number, config_name FROM read_json_auto('$p')),

@@ -26,7 +26,13 @@ object Configs {
     * reference's base/generated layout). */
   val DefaultDir = "data/configs"
 
-  def absDir(dir: String): String = new java.io.File(dir).getAbsolutePath
+  /** Resolve a repo-relative fixture path: prefer the cwd-relative form
+    * (sbt runs from the repo root), fall back to the repo anchor so the
+    * queries and their generated oracle SQL survive a different cwd. */
+  def absDir(dir: String): String = {
+    val f = new java.io.File(dir)
+    (if (f.exists()) f else new java.io.File("/root/repo", dir)).getAbsolutePath
+  }
 
   /** Raw nested load: one row per config file + config_name column. */
   def load(spark: SparkSession, dir: String = DefaultDir): DataFrame =
