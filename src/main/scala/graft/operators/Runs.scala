@@ -173,7 +173,8 @@ object Runs {
          |       WHEN v.prev_value IS NULL THEN 'added'
          |       ELSE 'changed' END AS change
          |FROM cur c FULL OUTER JOIN prev v
-         |  ON c.run_number = v.run_number AND c.key = v.key
+         |  ON c.run_number = v.run_number AND c.prev_run = v.prev_run
+         | AND c.key = v.key
          |WHERE c.value IS NULL OR v.prev_value IS NULL OR c.value <> v.prev_value""".stripMargin
   }
 

@@ -182,6 +182,7 @@ object TextOps {
       .withColumn("toks", tokens(col("text")))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(trigrams).as("g"))
+      .localCheckpoint() // 3 consumers below — never re-tokenize the corpus
     val bench = g.filter(col("doc_id") < 10).select(col("g")).distinct()
     val corpus = g.filter(col("doc_id") >= 10)
     val hits = corpus.join(bench, "g")

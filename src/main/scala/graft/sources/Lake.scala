@@ -172,26 +172,30 @@ object Lake {
   }
 
   /** Ledger-aware compaction: rewrite the CURRENT live file set into
-    * ~targetRowsPerFile chunks under `compactDir`, recording one "replace"
-    * snapshot that removes the old paths and adds the new ones. Readers at
-    * older snapshots still see the original files (time travel); readSince
-    * consumers skip the replace snapshot; re-running ingest over the
-    * landing dir stays a no-op because the ingested paths remain in the
-    * ledger (as removed rows — the anti-join keys on path existence). */
+    * ~targetRowsPerFile chunks under `compactDir/gen-<snapshot>`, recording
+    * one "replace" snapshot that removes the old paths and adds the new
+    * ones. Each compaction writes a FRESH generation directory: a
+    * recurring compaction never overwrites the files it is reading (its
+    * input is the previous generation), its adds never collide with the
+    * paths it removes, and older snapshots keep their files for time
+    * travel. Readers at older snapshots still see the original files;
+    * readSince consumers skip the replace snapshot; re-running ingest over
+    * the landing dir stays a no-op because the ingested paths remain in
+    * the ledger (as removed rows — the anti-join keys on path existence). */
   def compactIngested(spark: SparkSession, ledgerDir: String,
       compactDir: String, targetRowsPerFile: Long): Long = {
     val snap = currentSnapshot(spark, ledgerDir)
     val live = liveFilesAt(spark, ledgerDir, snap)
     if (live.isEmpty) return 0L
+    val next = snap + 1
+    val genDir = s"$compactDir/gen-$next"
     val df = spark.read.parquet(live: _*)
     val n = df.count()
     val files = math.max(1, math.ceil(n.toDouble / targetRowsPerFile).toInt)
-    df.repartition(files).write.mode("overwrite").parquet(compactDir)
-
-    val next = snap + 1
+    df.repartition(files).write.mode("overwrite").parquet(genDir)
     val added = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.parquet")
-      .load(compactDir)
+      .load(genDir)
       .select(col("path"), col("length").as("size"),
         graft.functions.GraftFunctions.adler32(col("content")).as("adler32"))
       .withColumn("op", lit("add"))

@@ -67,6 +67,16 @@ class LedgerSpec extends GraftSpec {
     assert(Lake.readSince(spark, ledger, 0).count() == before)
     // re-running ingest over the landing dir after compaction is a no-op
     assert(Lake.ingestNewFiles(spark, landing, ledger) == 0)
+
+    // RECURRING compaction into the SAME compactDir: each run writes a
+    // fresh generation, never overwriting the files it reads
+    Lake.compactIngested(spark, ledger, compactDir, targetRowsPerFile = 1000000)
+    val snap2 = Lake.currentSnapshot(spark, ledger)
+    assert(snap2 == 3)
+    assert(Lake.readAt(spark, ledger, snap2).count() == before,
+      "second compaction must preserve the live rows")
+    assert(Lake.readSince(spark, ledger, 1).count() == 0,
+      "both replace snapshots skipped by incremental consumers")
   }
 
   test("readAt time-travel is stable across later appends and compaction") {

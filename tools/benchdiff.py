@@ -55,11 +55,21 @@ def load_queries(path):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
     thresh = 2.0
-    for a in sys.argv[1:]:
+    args = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--threshold"):
-            thresh = float(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
+            if "=" in a:
+                thresh = float(a.split("=", 1)[1])
+            else:
+                thresh = float(argv[i + 1])
+                i += 1  # consume the value so it is not a positional arg
+        else:
+            args.append(a)
+        i += 1
     if len(args) != 2:
         sys.exit(__doc__)
     old_q, old_e = load_queries(args[0])
