@@ -316,7 +316,11 @@ object Events {
   /** Ingest-integrity checksums per event_type (cf. insert_extra_fields.py's
     * adler32-per-file): Adler-32 of each payload via the native codegen
     * expression (graft.functions.Adler32), aggregated order-insensitively.
-    * Rows-only check — DuckDB has no adler32. */
+    * Oracle-checked: DuckDB has no adler32 builtin, but Adler-32 has a
+    * CLOSED FORM over the byte sequence — a = (1 + Σbⱼ) mod 65521,
+    * b = (n + Σ(n−j+1)·bⱼ) mod 65521 — expressible as plain SQL over
+    * ascii(substr(...)) for ASCII payloads (the props column is ASCII
+    * JSON; Spark's UTF-8 cast yields the same bytes). */
   def qEvtChecksum(s: SparkSession, d: String): DataFrame =
     events(s, d)
       .withColumn("adler", graft.functions.GraftFunctions.adler32(col("props").cast("binary")))
@@ -324,6 +328,23 @@ object Events {
       .agg(count(lit(1)).as("n_events"),
         sum(col("adler")).as("sum_adler"),
         max(col("adler")).as("max_adler"))
+
+  def qEvtChecksumSql: String =
+    """WITH agg AS (
+      |  SELECT event_id,
+      |    sum((len(props) - i + 1) * ascii(substr(props, i, 1))) AS wsum,
+      |    sum(ascii(substr(props, i, 1))) AS bsum
+      |  FROM events, unnest(range(1, len(props) + 1)) AS r(i)
+      |  GROUP BY event_id),
+      |per AS (
+      |  SELECT e.event_type,
+      |    ((len(e.props) + coalesce(a.wsum, 0)) % 65521) * 65536
+      |      + (1 + coalesce(a.bsum, 0)) % 65521 AS adler
+      |  FROM events e LEFT JOIN agg a ON e.event_id = a.event_id)
+      |SELECT event_type, count(*) AS n_events,
+      |  CAST(sum(adler) AS BIGINT) AS sum_adler,
+      |  CAST(max(adler) AS BIGINT) AS max_adler
+      |FROM per GROUP BY event_type""".stripMargin
 
   /** Coincidence window in seconds (±). */
   val CoincSeconds = 60
