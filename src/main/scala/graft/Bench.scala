@@ -37,6 +37,10 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // optional args = subset of query names (iteration aid; driver passes none)
     val subset = args.toSet
+    val unknown = subset.diff(SparkEntry.queries.keySet)
+    if (unknown.nonEmpty)
+      // a typo'd subset name must fail loudly, not silently bench the wrong set
+      sys.error(s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
     val selected =
       if (subset.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter(kv => subset.contains(kv._1))
@@ -57,7 +61,19 @@ object Bench {
     val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = timings.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_failed":${errors.size},"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_failed":${errors.size},"sf":"$sfDir"}"""
+    println(line)
+    // Also persist the COMPLETE line to a file: the driver's stdout capture can
+    // truncate (r3's BENCH_r03.json lost its head), so the repo must carry an
+    // artifact the benchdiff gate can reproduce from. Full runs only — a subset
+    // run would overwrite the round artifact with a partial query map.
+    if (subset.isEmpty) {
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench_local.json")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(out),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"[bench] wrote $out")
+    }
     spark.stop()
   }
 }

@@ -186,44 +186,51 @@ object Dedup {
     * Output: (doc_id, cluster_id) where cluster_id = the component's min
     * doc_id, for every doc that appears in a decision. */
   def dupClusters(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.GraftShim
     // the minhash decisions run with the session's normal confs (AQE on)…
-    var parent = qDedupMinhash(s, d)
+    val decisions = qDedupMinhash(s, d)
       .select(col("doc_id"), col("dup_of")).localCheckpoint()
     // …then the pointer-jump loop follows the iterative-loop template
-    // (Graph.connectedComponents): AQE off + shuffle width scaled to the
-    // frame, ONE materialization + one convergence count per round.
-    // Min-hop forests are shallow, so convergence (2-4 rounds) beats the
-    // former fixed ceil(log2 n) = 13-round schedule.
-    val aqeWas = s.conf.get("spark.sql.adaptive.enabled", "true")
+    // (Graph.connectedComponents): a DEDICATED child session (own SQLConf,
+    // shared SparkContext) carries the loop-only confs — AQE off + shuffle
+    // width scaled to the frame — so they can never leak to concurrent
+    // queries on the caller's session. ONE materialization + one
+    // convergence count per round. Min-hop forests are shallow, so
+    // convergence (2-4 rounds) beats the former fixed ceil(log2 n) =
+    // 13-round schedule.
+    val loopSession = s.newSession()
     val partsWas = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
-      val n = parent.count()
-      s.conf.set("spark.sql.shuffle.partitions",
-        math.max(1L, math.min(partsWas.toLong, n / 1000000L + 1L)).toString)
-      var changed = 1L
-      var round = 0
-      while (changed > 0 && round < 64) {
-        val grand = parent.select(col("doc_id").as("p_doc"), col("dup_of").as("p_par"))
-        val next = parent
-          .join(grand, parent("dup_of") === grand("p_doc"), "left")
-          .select(col("doc_id"), col("dup_of").as("old"),
-            coalesce(col("p_par"), col("dup_of")).as("dup_of"))
-          .localCheckpoint()
-        changed = next.filter(col("dup_of") < col("old")).count() // parents only decrease
-        parent = next.select(col("doc_id"), col("dup_of"))
-        round += 1
-      }
-      // roots map to themselves
-      val roots = parent.select(col("dup_of").as("doc_id")).distinct()
-        .join(parent.select(col("doc_id")), Seq("doc_id"), "left_anti")
-        .withColumn("cluster_id", col("doc_id"))
-      parent.select(col("doc_id"), col("dup_of").as("cluster_id"))
-        .union(roots)
-    } finally {
-      s.conf.set("spark.sql.adaptive.enabled", aqeWas)
-      s.conf.set("spark.sql.shuffle.partitions", partsWas)
+    loopSession.conf.set("spark.sql.adaptive.enabled", "false")
+    var parent = GraftShim.ofRows(loopSession, GraftShim.logicalPlan(decisions))
+    val n = parent.count()
+    loopSession.conf.set("spark.sql.shuffle.partitions",
+      math.max(1L, math.min(partsWas.toLong, n / 1000000L + 1L)).toString)
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < 64) {
+      val grand = parent.select(col("doc_id").as("p_doc"), col("dup_of").as("p_par"))
+      val next = parent
+        .join(grand, parent("dup_of") === grand("p_doc"), "left")
+        .select(col("doc_id"), col("dup_of").as("old"),
+          coalesce(col("p_par"), col("dup_of")).as("dup_of"))
+        .localCheckpoint()
+      changed = next.filter(col("dup_of") < col("old")).count() // parents only decrease
+      parent = next.select(col("doc_id"), col("dup_of"))
+      round += 1
     }
+    // partially-jumped parents are WRONG cluster ids — fail loudly, never
+    // return them (the 64-round cap is a safety net, not the driver)
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"dupClusters pointer jumping did not converge in $round rounds " +
+          s"($changed parents still changing) — refusing to return partial clusters")
+    // roots map to themselves
+    val roots = parent.select(col("dup_of").as("doc_id")).distinct()
+      .join(parent.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .withColumn("cluster_id", col("doc_id"))
+    val out = parent.select(col("doc_id"), col("dup_of").as("cluster_id"))
+      .union(roots)
+    GraftShim.ofRows(s, GraftShim.logicalPlan(out))
   }
 
   // ---------------------------------------------------------------- SimHash

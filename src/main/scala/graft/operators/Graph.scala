@@ -33,22 +33,24 @@ object Graph {
     * job budget so a job-storm regression cannot ship silently.
     */
   def connectedComponents(edges0: DataFrame, src: String, dst: String): DataFrame = {
-    val spark = edges0.sparkSession
-    // AQE off for the loop only (restored in finally): the loop's frames are
-    // node-scaled and re-materialized every round — AQE's per-stage re-plan
-    // turns each round's ONE materialization into ~8 separate jobs (one per
-    // exchange) for zero benefit on frames this shape, and the iterative
-    // driver loop wants deterministic, flat job accounting (2 jobs/round).
-    // NOTE session-scoped toggle: concurrent queries on the SAME session
-    // would see AQE off while this loop runs. Driver/Verify/Bench execute
-    // sequentially; a server deployment should give iterative graph ops a
-    // dedicated spark.newSession() (shares the cluster, isolates conf).
-    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    val partsWas = spark.conf.get("spark.sql.shuffle.partitions")
+    val caller = edges0.sparkSession
+    // The loop runs on a DEDICATED child session (same SparkContext, cluster
+    // and cache; own SQLConf): AQE off + graph-scaled shuffle width are loop
+    // requirements, and setting them on the caller's session would leak to
+    // concurrent queries. The edge plan moves onto the child via GraftShim
+    // (plans are session-agnostic; only conf resolution differs), and the
+    // result moves back so callers never see a foreign-session frame.
+    val spark = caller.newSession()
+    val partsWas = caller.conf.get("spark.sql.shuffle.partitions")
+    // AQE off for the loop: the loop's frames are node-scaled and
+    // re-materialized every round — AQE's per-stage re-plan turns each
+    // round's ONE materialization into ~8 separate jobs (one per exchange)
+    // for zero benefit on frames this shape, and the iterative driver loop
+    // wants deterministic, flat job accounting (2 jobs/round).
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
-      val e = edges0
-        .select(col(src).cast("long").as("a"), col(dst).cast("long").as("b"))
+    import org.apache.spark.sql.GraftShim
+    val e = GraftShim.ofRows(spark, GraftShim.logicalPlan(edges0))
+      .select(col(src).cast("long").as("a"), col(dst).cast("long").as("b"))
         .filter(col("a") =!= col("b"))
       val und0 = e.union(e.select(col("b").as("a"), col("a").as("b")))
         .distinct()
@@ -99,10 +101,13 @@ object Graph {
         labels = next.select(col("node"), col("label")) // flat select over checkpoint
         round += 1
       }
-      labels.select(col("node"), col("label").as("cluster_id"))
-    } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
-      spark.conf.set("spark.sql.shuffle.partitions", partsWas)
-    }
+      // the 64-round cap is a safety net, not an answer: partially-propagated
+      // labels are WRONG cluster ids, so non-convergence must fail loudly
+      if (changed > 0)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $round rounds " +
+            s"($changed labels still changing) — refusing to return partial labels")
+      GraftShim.ofRows(caller,
+        GraftShim.logicalPlan(labels.select(col("node"), col("label").as("cluster_id"))))
   }
 }

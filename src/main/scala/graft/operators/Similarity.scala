@@ -135,14 +135,22 @@ object Similarity {
     * indexes and could collide across datasets). */
   private def embFingerprint(d: String): String = {
     val root = new java.io.File(s"$d/embeddings.parquet")
-    val files =
-      if (root.isDirectory)
-        root.listFiles().filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-      else Array(root)
+    // Recursive walk over ALL regular files (not just top-level *.parquet):
+    // a partition-subdirectory layout must still change the fingerprint when
+    // its data files change. listFiles() is null on IO/permission errors —
+    // treat that as "no children" rather than NPE (the path digest still
+    // distinguishes the dataset).
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+          .sortBy(_.getName).toSeq.flatMap(walk)
+      else Seq(f)
+    val rootPath = root.getAbsolutePath
     val digest = java.security.MessageDigest.getInstance("MD5")
-    digest.update(root.getAbsolutePath.getBytes("UTF-8"))
-    files.foreach { f =>
-      digest.update(s"${f.getName}:${f.length}:${f.lastModified}".getBytes("UTF-8"))
+    digest.update(rootPath.getBytes("UTF-8"))
+    walk(root).foreach { f =>
+      val rel = f.getAbsolutePath.stripPrefix(rootPath)
+      digest.update(s"$rel:${f.length}:${f.lastModified}".getBytes("UTF-8"))
     }
     digest.digest().map("%02x".format(_)).mkString
   }

@@ -56,7 +56,12 @@ object Configs {
 
   /** The flattened config relation: (config_name, key, value), one row per
     * scalar/array leaf present in each file. Keys a file does not set are
-    * absent (not null) — override semantics fall out of plain joins. */
+    * absent (not null) — override semantics fall out of plain joins.
+    * Explicit JSON `null` leaves are treated as ABSENT on both engines (the
+    * isNotNull filter here; json_type <> 'NULL' in kvSql). Array elements
+    * must be SCALARS: Spark's to_json serializes array-of-object elements
+    * with inferred alphabetized field order while DuckDB keeps source key
+    * order, so object-valued arrays would diverge cross-engine. */
   def kv(spark: SparkSession, dir: String = DefaultDir): DataFrame = {
     val raw = load(spark, dir)
     val leaves = raw.schema.fields.toSeq
@@ -90,7 +95,7 @@ object Configs {
        |),
        |kv AS (
        |  SELECT config_name, path AS key, json_extract_string(j, '$$') AS value
-       |  FROM walk WHERE json_type(j) <> 'OBJECT'
+       |  FROM walk WHERE json_type(j) NOT IN ('OBJECT', 'NULL')
        |)""".stripMargin
 
   /** The whole kv relation as a driver query (oracle: kvSql). */

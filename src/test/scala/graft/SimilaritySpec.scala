@@ -48,6 +48,31 @@ class SimilaritySpec extends GraftSpec {
     assert(s1.values.toSet.size > 1, "signatures should spread across buckets")
   }
 
+  test("ann top-K boundaries have a real cosine gap (cross-engine rank stability)") {
+    // The oracle hash-compares ids+rank, and Spark vs DuckDB compute cosine
+    // with different operation orders (fold dot/norm vs list_cosine_similarity)
+    // — safe ONLY if no two candidates are a float-rounding apart at the K
+    // boundary. This tripwire makes a regenerated dataset that violates the
+    // assumption fail loudly instead of flaking the hash gate.
+    val MinGap = 1e-7 // >> double rounding noise (~1e-15 relative)
+    // qAnnBatch: probes 0-4 over corpus vec_id >= 5, boundary at rank 5/6
+    (0L to 4L).foreach { p =>
+      val probe = vecs(p)
+      val sorted = vecs.toSeq.filter(_._1 >= 5L)
+        .map { case (id, v) => (id, cos(v, probe)) }
+        .sortBy { case (id, c) => (-c, id) }
+      val gap = sorted(4)._2 - sorted(5)._2
+      assert(gap > MinGap, s"probe $p rank-5/6 cosine gap $gap too small for cross-engine ranks")
+    }
+    // qAnnBrute: probe 0 over the rest, boundary at rank 20/21
+    val probe0 = vecs(0L)
+    val s0 = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(v, probe0)) }
+      .sortBy { case (id, c) => (-c, id) }
+    val gap0 = s0(19)._2 - s0(20)._2
+    assert(gap0 > MinGap, s"brute rank-20/21 cosine gap $gap0 too small for cross-engine ranks")
+  }
+
   test("IVF index is keyed on content: reused while fresh, rebuilt when data changes") {
     // copy the embeddings table into a scratch "dataset dir"
     val ds = java.nio.file.Files.createTempDirectory("graft_ivf_ds").toString

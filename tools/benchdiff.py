@@ -27,17 +27,24 @@ def load_queries(path):
             if isinstance(d.get("parsed"), dict) and "queries" in d["parsed"]:
                 return d["parsed"]["queries"], d["parsed"].get("errors", {})
             if "tail" in d:
+                # A driver artifact must contain the COMPLETE one-line bench
+                # JSON. A truncated tail (r3's BENCH_r03.json lost its first
+                # ~11 queries) must hard-fail: silently diffing a fragment
+                # turns the regression gate into a partial check. Use the
+                # graft.Bench file artifact (SPARK_GRAFT_BENCH_OUT) instead.
                 m = re.search(r'\{"metric".*\}', d["tail"])
-                if m:
+                if not m:
+                    sys.exit(
+                        f"benchdiff: {path} 'tail' is truncated (no complete "
+                        '{"metric":...} object) — refusing to diff a partial '
+                        "artifact; use the Bench file output instead")
+                try:
                     b = json.loads(m.group(0))
-                    return b["queries"], b.get("errors", {})
-                # tail may hold only the inner queries map fragment
-                frag = d["tail"]
-                m = re.search(r'"queries":(\{.*?\}),"errors":(\{.*?\})', frag)
-                if m:
-                    return json.loads(m.group(1)), json.loads(m.group(2))
-                qs = json.loads("{" + frag.split('},"errors"')[0].lstrip("{") + "}")
-                return qs, {}
+                except json.JSONDecodeError:
+                    sys.exit(
+                        f"benchdiff: {path} 'tail' bench JSON is corrupt — "
+                        "refusing to diff a partial artifact")
+                return b["queries"], b.get("errors", {})
             if "queries" in d:
                 return d["queries"], d.get("errors", {})
     except json.JSONDecodeError:
@@ -50,7 +57,11 @@ def load_queries(path):
             last = m.group(0)
     if last is None:
         sys.exit(f"benchdiff: no bench JSON found in {path}")
-    b = json.loads(last)
+    try:
+        b = json.loads(last)
+    except json.JSONDecodeError:
+        sys.exit(f"benchdiff: bench JSON in {path} is truncated/corrupt — "
+                 "refusing to diff a partial artifact")
     return b["queries"], b.get("errors", {})
 
 
