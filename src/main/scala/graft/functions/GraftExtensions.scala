@@ -41,4 +41,7 @@ object GraftFunctions {
     GraftShim.column(Simhash64(GraftShim.expression(c)))
   def minhashSig(c: Column, k: Int): Column =
     GraftShim.column(MinhashSigExpr(GraftShim.expression(c), k))
+  def hyperplaneSig(c: Column, planes: Array[Double],
+                    tables: Int, bits: Int, dim: Int): Column =
+    GraftShim.column(HyperplaneSigExpr(GraftShim.expression(c), planes, tables, bits, dim))
 }

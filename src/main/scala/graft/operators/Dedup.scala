@@ -291,4 +291,98 @@ object Dedup {
       .agg(min_by(struct(col("dup_of"), col("hamming")), col("dup_of")).as("best"))
       .select(col("doc_id"), col("best.dup_of").as("dup_of"), col("best.hamming").as("hamming"))
   }
+
+  // ------------------------------------------- Embedding near-dup via LSH
+
+  /** Hyperplane LSH config for embedding NEAR-DUP bucketing. `bits` is the
+    * BUCKET dial — band-key cardinality is L·2^bits, so expected bucket
+    * width is n/2^bits per table — and its ceiling is set by the threshold:
+    * per-bit agreement for a pair at cosine threshold θ is p = 1 − θ/π, and
+    * per-pair recall is 1 − (1 − p^bits)^L. At production near-dup
+    * thresholds (≥ 0.9, p ≈ 0.86) 8-16-bit bands keep recall high with
+    * 256-65k-way bucketing — that is the 100 TB setting. This corpus tops
+    * out at cosine ≈ 0.47, so the anchor threshold is 0.4 (p ≈ 0.63), where
+    * only short bands retain recall: 4 bits × 16 tables ⇒ per-pair recall
+    * ≈ 0.94 with 16-way bucketing per table. Unlike the label bucketing of
+    * the oracle anchor (fixed 10-value key), the band key's cardinality is
+    * a dial, not a property of the data. */
+  val EmbLshTables = 16
+  val EmbLshBits = 4
+
+  /** Deterministic pseudorandom Gaussian hyperplanes (fixed seed ⇒ same
+    * buckets on every executor/run; distinct seed from the ANN planes). */
+  lazy val embPlanes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(7)
+    Array.fill(EmbLshTables * EmbLshBits, 64)(rnd.nextGaussian())
+  }
+
+  /** All 16 table signatures of a vector as one int-array column via the
+    * native one-pass codegen kernel (graft.functions.HyperplaneSigExpr) —
+    * the column formulation (64 interpreted `aggregate` dots per row) cost
+    * 3.7 s of the 7 s query at sf0.1. */
+  def embSignatures(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.GraftFunctions.hyperplaneSig(
+      vec, embPlanes.flatten, EmbLshTables, EmbLshBits, 64)
+
+  /** (vec_id, vec, nrm, rep_id): every vector keyed to the min vec_id of its
+    * BYTE-IDENTICAL vector group (window min — one shuffle). The collapse is
+    * the degenerate-corpus guard: a corpus of identical vectors lands in one
+    * LSH bucket, but after collapse it contributes ONE rep, so bucket joins
+    * stay sub-quadratic wherever near-dups are actual near-dups. */
+  private def embWithReps(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("vec"))
+      .withColumn("rep_id",
+        min(col("vec_id")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec"))))
+      .withColumn("nrm", Similarity.norm(col("vec")))
+      .localCheckpoint() // reused: rep keys, both pair-join sides, members
+
+  /** Verified near-dup REP pairs (cosine ≥ 0.4) found via LSH band-key
+    * bucketing: candidates share a (table, signature) band key — a groupBy-
+    * shaped equi-join on the band key, never an unbounded fixed-cardinality
+    * bucket (the label-bucket oracle anchor qDedupEmbed joins on a 10-value
+    * key: fine as an oracle, quadratic on a skewed label at scale). Bucket
+    * width scales as n/2^bits per table and `EmbLshBits` is the dial.
+    * Candidates are verified with the exact cosine — precision 1 by
+    * construction; recall is the banding probability (spec-bounded vs the
+    * exact anchor). */
+  private[operators] def embLshPairs(s: SparkSession, d: String): DataFrame = {
+    val e = embWithReps(s, d)
+    val reps = e.filter(col("vec_id") === col("rep_id"))
+      .select(col("vec_id"), col("vec"), col("nrm"))
+    // narrow band-key relation — vectors do NOT travel through the explode
+    val keys = reps.select(col("vec_id"),
+      posexplode(embSignatures(col("vec"))).as(Seq("tbl", "sig")))
+    val cands = keys.select(col("tbl"), col("sig"), col("vec_id").as("vec_a"))
+      .join(keys.select(col("tbl"), col("sig"), col("vec_id").as("vec_b")),
+        Seq("tbl", "sig"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"))
+      .distinct() // a pair can match in several tables; verify once
+    // fetch vectors only for candidate pairs; norms precomputed per rep
+    val va = reps.select(col("vec_id").as("vec_a"), col("vec").as("va"), col("nrm").as("na"))
+    val vb = reps.select(col("vec_id").as("vec_b"), col("vec").as("vb"), col("nrm").as("nb"))
+    cands.join(va, "vec_a").join(vb, "vec_b")
+      .filter(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")) >= 0.4)
+      .select(col("vec_a"), col("vec_b"))
+  }
+
+  /** Embedding near-dup dedup DECISIONS at corpus scale (the 100 TB path;
+    * qDedupEmbed stays the label-bucketed oracle anchor): byte-identical
+    * vectors collapse to a rep (dup_of = rep), rep pairs come from
+    * `embLshPairs`, and each rep links to its smallest verified partner —
+    * decisions, not pair lists. Rows-only driver check; DedupSpec bounds
+    * recall vs the exact anchor and proves precision on the pairs. */
+  def qDedupEmbedLsh(s: SparkSession, d: String): DataFrame = {
+    val e = embWithReps(s, d)
+    val exactLinks = e.filter(col("vec_id") =!= col("rep_id"))
+      .select(col("vec_id"), col("rep_id").as("dup_of"))
+    val pairLinks = embLshPairs(s, d)
+      .groupBy(col("vec_b").as("vec_id"))
+      .agg(min(col("vec_a")).as("dup_of"))
+    exactLinks.union(pairLinks)
+      .groupBy(col("vec_id"))
+      .agg(min(col("dup_of")).as("dup_of"))
+  }
 }

@@ -117,9 +117,13 @@ object Similarity {
       when(dot(vec, h) >= 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
 
-  /** All L table signatures as one array column. */
+  /** All L table signatures as one array column, via the native one-pass
+    * codegen kernel (HyperplaneSigExpr). Bit-identical to the per-table
+    * column formulation `lshSignature` (same planes, same sequential dot
+    * order) — SimilaritySpec asserts the agreement. */
   def lshSignatures(vec: Column): Column =
-    array((0 until LshTables).map(t => lshSignature(vec, t)): _*)
+    graft.functions.GraftFunctions.hyperplaneSig(
+      vec, hyperplanes.flatten, LshTables, LshBits, 64)
 
   val IvfK = 16
   val IvfNProbe = 4

@@ -72,4 +72,38 @@ class DedupSpec extends GraftSpec {
     assert(out.length == nDistinct)
     assert(out.map(_.getAs[Long]("n_copies")).sum == Tables.documents(spark, sf).count())
   }
+
+  /** Driver-side exact cosine over all embedding pairs (test oracle). */
+  private lazy val bruteCosine: Map[(Long, Long), Double] = {
+    val vecs = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    (for {
+      (a, va) <- vecs; (b, vb) <- vecs if a < b
+    } yield {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < va.length) { dot += va(i) * vb(i); na += va(i) * va(i); nb += vb(i) * vb(i); i += 1 }
+      (a, b) -> dot / (math.sqrt(na) * math.sqrt(nb))
+    }).toMap
+  }
+
+  test("embed LSH pairs are precise and recall the exact anchor's pairs") {
+    // precision: every LSH-found pair truly clears the cosine threshold
+    val lshPairs = Dedup.qDedupEmbedLsh(spark, sf) // decisions (vec_id, dup_of)
+    val pairs = lshPairs.collect().map(r => (r.getLong(1), r.getLong(0)))
+    pairs.foreach { case (a, b) =>
+      assert(a < b, s"decision must link to a smaller partner: ($a, $b)")
+      assert(bruteCosine((a, b)) >= 0.4,
+        s"pair ($a,$b) cosine ${bruteCosine((a, b))} below threshold")
+    }
+    // recall vs the exact label-bucket anchor (qDedupEmbed = all same-label
+    // pairs >= 0.4): a doc the anchor marks dup must get an LSH decision.
+    // Banding recall at cos 0.4 is ~0.94/pair (16 tables x 4 bits) and the
+    // data is fixed + hyperplanes seeded, so this is deterministic.
+    val anchorDupDocs = Dedup.qDedupEmbed(spark, sf).collect()
+      .map(_.getAs[Long]("vec_b")).toSet
+    assert(anchorDupDocs.nonEmpty, "anchor should find near-dup pairs")
+    val decided = lshPairs.collect().map(_.getAs[Long]("vec_id")).toSet
+    val recall = anchorDupDocs.count(decided.contains).toDouble / anchorDupDocs.size
+    assert(recall >= 0.5, s"embed LSH recall $recall vs exact anchor too low")
+  }
 }

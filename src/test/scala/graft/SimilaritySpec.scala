@@ -48,6 +48,18 @@ class SimilaritySpec extends GraftSpec {
     assert(s1.values.toSet.size > 1, "signatures should spread across buckets")
   }
 
+  test("native hyperplane-sig kernel matches the per-table column formulation") {
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("vec"))
+    val colForm = e.select(col("vec_id"),
+      array((0 until Similarity.LshTables).map(t =>
+        Similarity.lshSignature(col("vec"), t)): _*).as("sigs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val kernel = e.select(col("vec_id"), Similarity.lshSignatures(col("vec")).as("sigs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(kernel == colForm, "kernel signatures must be bit-identical to the column form")
+  }
+
   test("ann top-K boundaries have a real cosine gap (cross-engine rank stability)") {
     // The oracle hash-compares ids+rank, and Spark vs DuckDB compute cosine
     // with different operation orders (fold dot/norm vs list_cosine_similarity)
