@@ -153,18 +153,19 @@ object Lake {
     readPaths(spark, live, any)
   }
 
-  /** Manifest-based incremental read: the rows of every file ADDED by an
-    * "append" snapshot AFTER `sinceSnapshot` — the "what's new since my
-    * last checkpoint" consumer pattern. Rewrite ("replace") snapshots are
-    * skipped: compaction changes files, not rows, and must not double-feed
-    * incremental consumers. Returns a zero-row frame with the table schema
-    * when nothing is new. */
+  /** Manifest-based incremental read: the rows of every file ADDED by a
+    * row-changing snapshot AFTER `sinceSnapshot` — the "what's new since my
+    * last checkpoint" consumer pattern. "append" and "merge" snapshots are
+    * row-changing (their added files' rows surface exactly once); rewrite
+    * ("replace") snapshots are skipped: compaction changes files, not rows,
+    * and must not double-feed incremental consumers. Returns a zero-row
+    * frame with the table schema when nothing is new. */
   def readSince(spark: SparkSession, ledgerDir: String,
       sinceSnapshot: Long): DataFrame = {
     val ledger = readLedger(spark, ledgerDir).getOrElse(return spark.emptyDataFrame)
     val paths = ledger
       .filter(col("snapshot_id") > sinceSnapshot && col("op") === "add"
-        && col("snapshot_op") === "append")
+        && col("snapshot_op").isin("append", "merge"))
       .select(col("path")).collect().map(_.getString(0)).toSeq
     val all = ledger.filter(col("op") === "add")
       .select(col("path")).collect().map(_.getString(0)).toSeq
