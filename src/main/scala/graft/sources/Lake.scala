@@ -219,6 +219,193 @@ object Lake {
     next
   }
 
+  // ------------------------------------------------------- row-level merge
+
+  /** Normalize a path/URI to a plain filesystem path: `file:///x`,
+    * `file:/x` and `/x` all compare equal. input_file_name() and the
+    * binaryFile source disagree on the URI prefix form, and a remove row
+    * whose path string differs from its add row would break liveFilesAt. */
+  private def normPath(p: String): String = p.replaceFirst("^file:/+", "/")
+
+  /** The file-action rows for every parquet file under `dir` (distributed
+    * size+adler32 scan, same shape ingestNewFiles records). */
+  private def fileAdds(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.parquet")
+      .load(dir)
+      .select(col("path"), col("length").as("size"),
+        graft.functions.GraftFunctions.adler32(col("content")).as("adler32"))
+
+  /** Append one ledger snapshot made of `adds` (path,size,adler32 + op col
+    * already set) tagged per-row with `snapshotOp`, plus removes for
+    * `removedPaths`. */
+  private def appendSnapshot(spark: SparkSession, ledgerDir: String,
+      snapshot: Long, actions: DataFrame): Unit =
+    actions
+      .withColumn("snapshot_id", lit(snapshot))
+      .withColumn("ingested_at", current_timestamp())
+      .select(col("path"), col("size"), col("adler32"), col("snapshot_id"),
+        col("ingested_at"), col("op"), col("snapshot_op"))
+      .localCheckpoint()
+      .write.mode("append").parquet(ledgerDir)
+
+  private def removeActions(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(paths.map(org.apache.spark.sql.Row(_)),
+          1),
+        StructType(Seq(StructField("path", StringType))))
+      .withColumn("size", lit(null).cast("long"))
+      .withColumn("adler32", lit(null).cast("long"))
+      .withColumn("op", lit("remove"))
+      .withColumn("snapshot_op", lit("merge"))
+  }
+
+  /** Row-level copy-on-write MERGE INTO — the defining lake-table operation
+    * beyond snapshots (Iceberg's MERGE; the reference's mover only ever
+    * appends, but its Iceberg north star implies row-level maintenance):
+    * match target rows to `source` rows on `key`; matched rows are REPLACED
+    * by their source row (whole-row update), unmatched source rows are
+    * INSERTED, and matched source rows where `deleteWhen` holds DELETE
+    * their target row (and are not inserted). Copy-on-write at FILE
+    * granularity: only files that contain a matched key are rewritten —
+    * untouched files are neither read nor written, so a merge touching one
+    * key rewrites one file, not the table.
+    *
+    * Records ONE snapshot: op="remove" for each affected file;
+    * op="add"/snapshot_op="replace" for the rewritten CARRY files
+    * (surviving rows that merely moved files — not row changes, so
+    * incremental consumers skip them, exactly like compaction); and
+    * op="add"/snapshot_op="merge" for the DELTA files (updated+inserted
+    * rows — what readSince surfaces, exactly once). readAt(prior) still
+    * reads the pre-merge files, so time travel holds across merges.
+    * Deletes surface to incremental consumers only as the absence of rows
+    * in later snapshots (copy-on-write semantics, as in Iceberg COW).
+    *
+    * The affected-file list and remove rows pass through the driver —
+    * manifest-scale (bounded by files-with-matches, not table size), same
+    * stated 100 TB caveat as liveFilesAt: keep it a DataFrame feeding a
+    * manifest-driven scan there. Returns the merge's snapshot id. */
+  def mergeInto(spark: SparkSession, ledgerDir: String, genRoot: String,
+      source: DataFrame, key: String,
+      deleteWhen: Option[org.apache.spark.sql.Column] = None): Long = {
+    val snap = currentSnapshot(spark, ledgerDir)
+    val live = liveFilesAt(spark, ledgerDir, snap)
+    val next = snap + 1
+    val genDir = s"$genRoot/gen-$next"
+    val target = readPaths(spark, live, live)
+    // merge into an EMPTY table = pure insert; take the schema from source
+    val cols = (if (live.nonEmpty) target.columns else source.columns).map(col)
+    val srcKeys = source.select(col(key)).distinct()
+    // the rewrite set: live files containing at least one matched key
+    val affectedNorm =
+      if (live.isEmpty) Set.empty[String]
+      else target
+        .withColumn("_file", regexp_replace(input_file_name(), "^file:/+", "/"))
+        .join(broadcast(srcKeys), Seq(key), "left_semi")
+        .select(col("_file")).distinct()
+        .collect().map(_.getString(0)).toSet
+    val affected = live.filter(p => affectedNorm.contains(normPath(p)))
+    val srcLive = deleteWhen
+      .map(c => source.filter(!coalesce(c, lit(false))))
+      .getOrElse(source)
+    // whole-row replace means every surviving source row lands in the table:
+    // updates (matched) and inserts (unmatched) are both just srcLive
+    val delta = srcLive.select(cols: _*)
+    if (affected.nonEmpty) {
+      // rows the merge deletes/replaces live ONLY in affected files, so the
+      // carry rewrite scans just those files
+      readPaths(spark, affected, live)
+        .join(broadcast(srcKeys), Seq(key), "left_anti")
+        .select(cols: _*)
+        .write.mode("overwrite").parquet(s"$genDir/carry")
+    }
+    delta.write.mode("overwrite").parquet(s"$genDir/delta")
+    val carryAdds =
+      if (affected.nonEmpty)
+        fileAdds(spark, s"$genDir/carry")
+          .withColumn("op", lit("add"))
+          .withColumn("snapshot_op", lit("replace"))
+      else spark.emptyDataFrame
+    val deltaAdds = fileAdds(spark, s"$genDir/delta")
+      .withColumn("op", lit("add"))
+      .withColumn("snapshot_op", lit("merge"))
+    val adds =
+      if (affected.nonEmpty) carryAdds.unionByName(deltaAdds) else deltaAdds
+    val actions =
+      if (affected.nonEmpty) adds.unionByName(removeActions(spark, affected))
+      else adds
+    appendSnapshot(spark, ledgerDir, next, actions)
+    next
+  }
+
+  /** Row-level DELETE WHERE — copy-on-write rewrite of only the files that
+    * contain a matching row; the snapshot removes those files and adds the
+    * surviving-row rewrites as snapshot_op="replace" (no row additions, so
+    * incremental consumers see nothing — COW delete semantics). Time travel
+    * to any prior snapshot still sees the deleted rows. */
+  def deleteWhere(spark: SparkSession, ledgerDir: String, genRoot: String,
+      cond: org.apache.spark.sql.Column): Long = {
+    val snap = currentSnapshot(spark, ledgerDir)
+    val live = liveFilesAt(spark, ledgerDir, snap)
+    if (live.isEmpty) return snap // empty table: nothing to delete
+    val next = snap + 1
+    val genDir = s"$genRoot/gen-$next"
+    val target = readPaths(spark, live, live)
+    val cols = target.columns.map(col)
+    val affectedNorm = target
+      .withColumn("_file", regexp_replace(input_file_name(), "^file:/+", "/"))
+      .filter(coalesce(cond, lit(false)))
+      .select(col("_file")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val affected = live.filter(p => affectedNorm.contains(normPath(p)))
+    if (affected.isEmpty) return snap // nothing matches: no snapshot recorded
+    val carry = readPaths(spark, affected, live)
+      .filter(!coalesce(cond, lit(false)))
+      .select(cols: _*)
+    carry.write.mode("overwrite").parquet(s"$genDir/carry")
+    val adds = fileAdds(spark, s"$genDir/carry")
+      .withColumn("op", lit("add"))
+      .withColumn("snapshot_op", lit("replace"))
+    appendSnapshot(spark, ledgerDir, next,
+      adds.unionByName(removeActions(spark, affected)))
+    next
+  }
+
+  /** Oracle-checked MERGE round-trip: build a lake from the customer table,
+    * MERGE a source that updates every 7th key (+1000 acctbal), inserts a
+    * shifted copy of every 97th key, and deletes matched MACHINERY rows —
+    * then read the final snapshot. The result is pure relational algebra
+    * over `customer`, so DuckDB can oracle it without a lake. */
+  def qLakeMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_merge").toString
+    val (landing, ledger, gen) = (s"$tmp/landing", s"$tmp/ledger", s"$tmp/gen")
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+    cust.repartition(8).write.parquet(landing)
+    ingestNewFiles(spark, landing, ledger)
+    val updates = cust.filter(col("c_custkey") % 7 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 1000)
+    val inserts = cust.filter(col("c_custkey") % 97 === 0)
+      .withColumn("c_custkey", col("c_custkey") + 10000000)
+    val snap = mergeInto(spark, ledger, gen, updates.unionByName(inserts),
+      "c_custkey", deleteWhen = Some(col("c_mktsegment") === "MACHINERY"))
+    readAt(spark, ledger, snap)
+      .select(col("c_custkey"), col("c_name"),
+        col("c_acctbal").cast("double").as("acctbal"))
+  }
+
+  /** DuckDB mirror of qLakeMerge's final table. */
+  def qLakeMergeSql: String =
+    """SELECT c_custkey, c_name, CAST(c_acctbal + 1000 AS DOUBLE) AS acctbal
+      |FROM customer WHERE c_custkey % 7 = 0 AND c_mktsegment <> 'MACHINERY'
+      |UNION ALL
+      |SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS acctbal
+      |FROM customer WHERE c_custkey % 7 <> 0
+      |UNION ALL
+      |SELECT c_custkey + 10000000 AS c_custkey, c_name,
+      |  CAST(c_acctbal AS DOUBLE) AS acctbal
+      |FROM customer WHERE c_custkey % 97 = 0 AND c_mktsegment <> 'MACHINERY'""".stripMargin
+
   /** Schema-evolution read: merge per-file schemas across generations
     * (added columns surface as nulls on old files) — the second
     * Iceberg-ism expressible on plain parquet. */
