@@ -1,0 +1,114 @@
+package graft
+
+import graft.sources.Lake
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Row-level copy-on-write MERGE / DELETE on the ledger lake:
+  * time travel must hold across a merge, incremental consumers must see
+  * exactly the updated+inserted rows once (never the carried rewrites),
+  * and only files containing matched keys may be rewritten. */
+class MergeSpec extends GraftSpec {
+
+  private def fresh(): (String, String, String) = {
+    val t = Files.createTempDirectory("graft_merge_spec").toString
+    (s"$t/landing", s"$t/ledger", s"$t/gen")
+  }
+
+  /** Land customer split across files by key range so merges can be
+    * file-targeted (repartitionByRange → disjoint key ranges per file). */
+  private def landCustomers(landing: String, ledger: String): Long = {
+    spark.read.parquet(s"$sf/customer.parquet")
+      .repartitionByRange(4, col("c_custkey"))
+      .write.parquet(landing)
+    Lake.ingestNewFiles(spark, landing, ledger)
+    Lake.currentSnapshot(spark, ledger)
+  }
+
+  test("merge: update + insert + delete lands; prior snapshot unchanged") {
+    val (landing, ledger, gen) = fresh()
+    val snap0 = landCustomers(landing, ledger)
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+    val before = Lake.readAt(spark, ledger, snap0)
+    val beforeRows = before.count()
+    val updates = cust.filter(col("c_custkey") % 10 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 1)
+    val inserts = cust.filter(col("c_custkey") % 50 === 0)
+      .withColumn("c_custkey", col("c_custkey") + 1000000)
+    val nUpd = updates.count(); val nIns = inserts.count()
+    val snap1 = Lake.mergeInto(spark, ledger, gen,
+      updates.unionByName(inserts), "c_custkey")
+    val after = Lake.readAt(spark, ledger, snap1)
+    assert(after.count() == beforeRows + nIns, "inserts add rows, updates don't")
+    assert(after.filter(col("c_custkey") % 10 === 0 &&
+      col("c_custkey") < 1000000)
+      .agg(min(col("c_acctbal").cast("double"))).head().getDouble(0) >
+      before.filter(col("c_custkey") % 10 === 0)
+        .agg(min(col("c_acctbal").cast("double"))).head().getDouble(0),
+      "updated rows carry the new acctbal")
+    // time travel: the pre-merge snapshot still reads the pre-merge rows
+    assert(Lake.readAt(spark, ledger, snap0).count() == beforeRows)
+    assert(Lake.readAt(spark, ledger, snap0)
+      .join(updates.select(col("c_custkey"), col("c_acctbal").as("n")), "c_custkey")
+      .filter(col("c_acctbal") === col("n")).count() == 0,
+      "prior snapshot must not see updated values")
+    assert(nUpd > 0 && nIns > 0)
+  }
+
+  test("merge: readSince sees exactly the delta rows once, never carries") {
+    val (landing, ledger, gen) = fresh()
+    val snap0 = landCustomers(landing, ledger)
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+    val updates = cust.filter(col("c_custkey") % 10 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 1)
+    val inserts = cust.filter(col("c_custkey") % 50 === 0)
+      .withColumn("c_custkey", col("c_custkey") + 1000000)
+    val source = updates.unionByName(inserts)
+    Lake.mergeInto(spark, ledger, gen, source, "c_custkey")
+    val inc = Lake.readSince(spark, ledger, snap0)
+    assert(inc.count() == source.count(),
+      "incremental read = updated+inserted rows only (no carried rewrites)")
+    assert(inc.join(source.select(col("c_custkey")), Seq("c_custkey"),
+      "left_anti").count() == 0, "every incremental row is a source row")
+  }
+
+  test("merge: copy-on-write rewrites only files containing matched keys") {
+    val (landing, ledger, gen) = fresh()
+    val snap0 = landCustomers(landing, ledger)
+    val liveBefore = Lake.readAt(spark, ledger, snap0).inputFiles.toSet
+    // touch ONE key → exactly one range file is affected
+    val one = spark.read.parquet(s"$sf/customer.parquet")
+      .orderBy(col("c_custkey")).limit(1)
+      .withColumn("c_acctbal", col("c_acctbal") + 1)
+    val snap1 = Lake.mergeInto(spark, ledger, gen, one, "c_custkey")
+    val liveAfter = Lake.readAt(spark, ledger, snap1).inputFiles.toSet
+    val kept = liveBefore.intersect(liveAfter)
+    assert(kept.size == liveBefore.size - 1,
+      s"exactly one of ${liveBefore.size} files rewritten; kept ${kept.size}")
+  }
+
+  test("deleteWhere: rows vanish, prior snapshot keeps them, no delta rows") {
+    val (landing, ledger, gen) = fresh()
+    val snap0 = landCustomers(landing, ledger)
+    val before = Lake.readAt(spark, ledger, snap0).count()
+    val nDel = spark.read.parquet(s"$sf/customer.parquet")
+      .filter(col("c_mktsegment") === "MACHINERY").count()
+    val snap1 = Lake.deleteWhere(spark, ledger, gen,
+      col("c_mktsegment") === "MACHINERY")
+    val after = Lake.readAt(spark, ledger, snap1)
+    assert(after.count() == before - nDel)
+    assert(after.filter(col("c_mktsegment") === "MACHINERY").count() == 0)
+    assert(Lake.readAt(spark, ledger, snap0).count() == before, "time travel")
+    assert(Lake.readSince(spark, ledger, snap0).count() == 0,
+      "COW delete adds no rows for incremental consumers")
+    assert(nDel > 0)
+  }
+
+  test("merge into empty ledger is a pure insert") {
+    val (_, ledger, gen) = fresh()
+    val cust = spark.read.parquet(s"$sf/customer.parquet").limit(10)
+    val snap = Lake.mergeInto(spark, ledger, gen, cust, "c_custkey")
+    assert(Lake.readAt(spark, ledger, snap).count() == 10)
+    assert(Lake.readSince(spark, ledger, 0).count() == 10)
+  }
+}
