@@ -234,6 +234,49 @@ object Similarity {
       .select(col("vec_id"), col("label"))
   }
 
+  /** BATCHED IVF ANN — qAnnBatch's shape composed with the persisted
+    * index: top-5 per probe (vec_id 0-4) with ONE scan of the index.
+    * Per-probe nProbe nearest centroid lists come from the k-row centroid
+    * table crossed with the broadcast probe batch (k×B rows — tiny); the
+    * UNION of all probes' lists drives a single broadcast join against the
+    * list_id-partitioned assignments table, so dynamic partition pruning
+    * still reads only the union's partitions (asserted in PlanSpec) — at
+    * any scale a B-probe batch physically reads ≤ B·nProbe of k lists
+    * once, never B separate scans. Candidate (probe_id, vec_id) pairs
+    * then fetch vectors and a bounded per-probe window takes the top-5.
+    * Rows-only check; spec bounds recall vs the exact qAnnBatch. */
+  def qAnnIvfBatch(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val idx = ivfIndexDir(s, d)
+    val e = emb(s, d)
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("vec").as("probe_vec"),
+        norm(col("vec")).as("probe_nrm"))
+    val probeLists = s.read.parquet(s"$idx/centroids")
+      .crossJoin(broadcast(probes))
+      .select(col("probe_id"), col("list_id"),
+        aggregate(zip_with(col("centroid"), col("probe_vec"), (c, p) => (c - p) * (c - p)),
+          lit(0.0), _ + _).as("dist"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("probe_id"))
+        .orderBy(col("dist"), col("list_id"))))
+      .filter(col("rk") <= IvfNProbe)
+      .select(col("probe_id"), col("list_id"))
+    // one scan: assignments ⋈ broadcast(probe→list map) = candidate pairs
+    val cand = s.read.parquet(s"$idx/assignments")
+      .join(broadcast(probeLists), Seq("list_id"))
+      .filter(col("vec_id") >= 5)
+      .select(col("probe_id"), col("vec_id"))
+    cand.join(e, "vec_id")
+      .join(broadcast(probes), "probe_id")
+      .select(col("probe_id"), col("vec_id"),
+        (dot(col("vec"), col("probe_vec")) / (norm(col("vec")) * col("probe_nrm")))
+          .as("cos"))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("probe_id"), col("rank"), col("vec_id"))
+  }
+
   /** LSH-bucketed ANN: a probe only scans vectors sharing at least one of
     * its L bucket keys, instead of the full table. The exploded (table, sig)
     * band keys ARE the join/shuffle key: candidate ids come from a semi-join

@@ -114,4 +114,15 @@ class PlanSpec extends GraftSpec {
     assert(plan.contains("dynamicpruningexpression"),
       s"assignments scan must carry a DPP partition filter:\n${plan.take(2000)}")
   }
+
+  test("batched ann_ivf keeps dynamic partition pruning over the union of probe lists") {
+    // the batched contract: B probes = ONE assignments scan reading at most
+    // the UNION of their nProbe lists (DPP from the broadcast probe→list
+    // map), never B scans and never the full table
+    val q = Similarity.qAnnIvfBatch(spark, sf)
+    q.write.format("noop").mode("overwrite").save()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression"),
+      s"batched assignments scan must carry a DPP partition filter:\n${plan.take(2000)}")
+  }
 }

@@ -104,4 +104,20 @@ class SimilaritySpec extends GraftSpec {
     assert(idx2 != idx1, "regenerated data must get a fresh index")
     assert(new java.io.File(s"$idx2/assignments/_SUCCESS").exists())
   }
+
+  test("batched IVF: per-probe top-5 with bounded recall vs exact batch") {
+    val exact = Similarity.qAnnBatch(spark, sf).collect()
+      .groupBy(_.getAs[Long]("probe_id"))
+      .map { case (p, rs) => p -> rs.map(_.getAs[Long]("vec_id")).toSet }
+    val ivf = Similarity.qAnnIvfBatch(spark, sf).collect()
+      .groupBy(_.getAs[Long]("probe_id"))
+      .map { case (p, rs) => p -> rs.map(_.getAs[Long]("vec_id")).toSet }
+    assert(ivf.keySet == exact.keySet, "every probe answered")
+    assert(ivf.values.forall(_.size == 5), "exactly 5 per probe")
+    // nProbe/k = 4/16 of the lists scanned; on weakly-clustered vectors
+    // recall is probabilistic — bound the batch MEAN loosely but meaningfully
+    val recalls = exact.map { case (p, ex) => (ex & ivf(p)).size.toDouble / ex.size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.3, s"batched IVF mean recall $mean collapsed (per-probe: $recalls)")
+  }
 }
