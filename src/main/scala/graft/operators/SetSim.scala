@@ -174,9 +174,16 @@ object SetSim {
     * members through the rep map at the end. */
   def qDedupIncremental(s: SparkSession, d: String): DataFrame = {
     val isNew = pmod(col("doc_id"), lit(5)) === 0
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("toks"))
-    val t = tokenSets(s, d)
-      .withColumn("side", when(isNew, lit("n")).otherwise(lit("h")))
+    dedupNewVsHistory(tokenSets(s, d)
+      .withColumn("side", when(isNew, lit("n")).otherwise(lit("h"))))
+  }
+
+  /** The new-vs-history core over a combined (doc_id, toks, side) frame
+    * (side = "n" for the new batch, "h" for history) — reused by the
+    * streaming ingest+dedup loop (graft.streaming.DedupLoop), where the
+    * sides come from ledger snapshots instead of a modular split. */
+  private[graft] def dedupNewVsHistory(t0: DataFrame): DataFrame = {
+    val t = t0
       // rep per (side, token set): collapse dups WITHIN each relation
       .withColumn("rep_id", min(col("doc_id")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("side"), col("toks"))))
