@@ -61,6 +61,39 @@ object SetSim {
   def qDedupSsjoin(s: SparkSession, d: String): DataFrame =
     ssjoinOnReps(withReps(s, d))
 
+  /** Scale-safe GLOBAL dense rank of the vocabulary, rarest-first:
+    * (tok, tid) with tid = row index of the (tok_freq, tok) sort. The sort
+    * is range-partitioned and zipWithIndex adds per-partition offsets —
+    * never a single-partition window, never a driver collect. Everything
+    * downstream of the one tokens⋈vocab join then shuffles dense int ids
+    * instead of strings: prefix join keys, positional sort, and the verify
+    * intersections all move/compare longs. (Distinct from the REJECTED
+    * xxhash64 key experiment: ids here are dense and order-preserving, so
+    * the rarest-first prefix semantics are unchanged, and the savings are
+    * in every downstream shuffle/compare, not just the join hash.) */
+  private def tokenIds(freq: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val spark = freq.sparkSession
+    val rdd = freq.sort(col("tok_freq"), col("tok")).select(col("tok")).rdd
+      .zipWithIndex
+      .map { case (r, i) => org.apache.spark.sql.Row(r.getString(0), i) }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("tok", StringType), StructField("tid", LongType))))
+  }
+
+  /** Per-doc rarest-first INT token arrays: (doc_id, otoks sorted by tid,
+    * sz, plen). tid order == (freq, tok) order, so prefixes are identical
+    * to the string formulation — lossless. */
+  private def intSets(docs: DataFrame, vocab: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .join(vocab, "tok")
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(col("tid"))).as("otoks"))
+      .withColumn("sz", size(col("otoks")))
+      // prefix length: |A| - ceil(t*|A|) + 1
+      .withColumn("plen",
+        col("sz") - floor((col("sz") * ThreshNum + (ThreshDen - 1)) / ThreshDen) + 1)
+
   /** The ssjoin core over a precomputed (doc_id, toks, rep_id) frame —
     * lets qDedupClusters share ONE withReps computation instead of
     * tokenizing + grouping the corpus twice. */
@@ -68,7 +101,7 @@ object SetSim {
     val reps = wr
       .filter(col("doc_id") === col("rep_id"))
       .select(col("doc_id"), col("toks"))
-      .localCheckpoint() // reused by freq, prefix and verify branches
+      .localCheckpoint() // reused by freq and the int-encode join
 
     // global token frequencies over rep sets → rarest-first total order.
     // Corpus-scaled → shuffle joins only (AQE may still broadcast freq if
@@ -76,24 +109,15 @@ object SetSim {
     val freq = reps.select(explode(col("toks")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("tok_freq"))
 
-    // re-order each rep's tokens rarest-first ((freq, tok) sort is a total
-    // order, which is all prefix filtering needs)
-    val ordered = reps.select(col("doc_id"), explode(col("toks")).as("tok"))
-      .join(freq, "tok")
-      .groupBy(col("doc_id"))
-      .agg(array_sort(collect_list(struct(col("tok_freq"), col("tok")))).as("ft"))
-      .select(col("doc_id"),
-        expr("transform(ft, x -> x.tok)").as("otoks"))
-      .withColumn("sz", size(col("otoks")))
-      // prefix length: |A| - ceil(t*|A|) + 1
-      .withColumn("plen",
-        col("sz") - floor((col("sz") * ThreshNum + (ThreshDen - 1)) / ThreshDen) + 1)
+    // encode once; prefix and verify both run on int arrays
+    val itoks = intSets(reps, tokenIds(freq))
+      .localCheckpoint() // reused: prefix source + both verify sides
 
-    val prefix = ordered
+    val prefix = itoks
       .select(col("doc_id"), col("sz"),
-        posexplode(col("otoks")).as(Seq("pos", "tok")))
+        posexplode(col("otoks")).as(Seq("pos", "tid")))
       .filter(col("pos") < col("plen"))
-      .select(col("tok"), col("pos"), col("doc_id"), col("sz"))
+      .select(col("tid"), col("pos"), col("doc_id"), col("sz"))
       .localCheckpoint() // reused: token-frequency scan + both join sides
 
     // Hot-key de-skew: a frequent prefix token would otherwise send every
@@ -104,13 +128,13 @@ object SetSim {
     // but a hot token's pair generation runs as Salts parallel tasks.
     val Salts = 16
     val HotCut = 256L // prefix entries per token before the token is "hot"
-    val pfreq = prefix.groupBy(col("tok")).agg(count(lit(1)).as("pf"))
-    val ptagged = prefix.join(pfreq, "tok").withColumn("hot", col("pf") >= HotCut)
-    val left = ptagged.select(col("tok"),
+    val pfreq = prefix.groupBy(col("tid")).agg(count(lit(1)).as("pf"))
+    val ptagged = prefix.join(pfreq, "tid").withColumn("hot", col("pf") >= HotCut)
+    val left = ptagged.select(col("tid"),
       when(col("hot"), pmod(xxhash64(col("doc_id")), lit(Salts)).cast("int"))
         .otherwise(lit(0)).as("salt"),
       col("doc_id").as("doc_a"), col("sz").as("sz_a"), col("pos").as("pos_a"))
-    val right = ptagged.select(col("tok"),
+    val right = ptagged.select(col("tid"),
       explode(when(col("hot"), sequence(lit(0), lit(Salts - 1)))
         .otherwise(array(lit(0)))).as("salt"),
       col("doc_id").as("doc_b"), col("sz").as("sz_b"), col("pos").as("pos_b"))
@@ -123,7 +147,7 @@ object SetSim {
     //    token precedes it (it would be in both prefixes and thus matched),
     //    so overlap <= 1 + min(|A|-i-1, |B|-j-1); require that bound to
     //    clear the overlap threshold inter*(Num+Den) >= Num*(|A|+|B|).
-    val cands = left.join(right, Seq("tok", "salt"))
+    val cands = left.join(right, Seq("tid", "salt"))
       .filter(col("doc_a") < col("doc_b"))
       .filter(greatest(col("sz_a"), col("sz_b")) * ThreshNum
         <= least(col("sz_a"), col("sz_b")) * ThreshDen)
@@ -134,10 +158,12 @@ object SetSim {
         * (ThreshNum + ThreshDen) >= (col("sza") + col("szb")) * ThreshNum)
       .select(col("doc_a"), col("doc_b"))
 
-    // verify candidates exactly (shuffle joins on doc ids — both sides
+    // verify candidates exactly on the INT arrays (bijective re-encode of
+    // the token sets: same intersection/union cardinalities, long compares
+    // instead of string compares; shuffle joins on doc ids — both sides
     // corpus-scaled, no broadcast hints)
-    val ta = reps.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"))
-    val tb = reps.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"))
+    val ta = itoks.select(col("doc_id").as("doc_a"), col("otoks").as("toks_a"))
+    val tb = itoks.select(col("doc_id").as("doc_b"), col("otoks").as("toks_b"))
     cands.join(ta, "doc_a").join(tb, "doc_b")
       .withColumn("inter_n", size(array_intersect(col("toks_a"), col("toks_b"))))
       .withColumn("union_n", size(col("toks_a")) + size(col("toks_b")) - col("inter_n"))
@@ -193,45 +219,41 @@ object SetSim {
     val newReps = t.filter(col("side") === "n" && col("doc_id") === col("rep_id"))
       .select(col("doc_id"), col("toks"))
 
-    // shared rarest-first total order from the union of both rep relations
+    // shared rarest-first total order from the union of both rep relations,
+    // as dense int ids (see tokenIds) — prefix/verify shuffles move longs
     val freq = histReps.select(explode(col("toks")).as("tok"))
       .union(newReps.select(explode(col("toks")).as("tok")))
       .groupBy(col("tok")).agg(count(lit(1)).as("tok_freq"))
-    def prefixOf(docs: DataFrame): DataFrame =
-      docs.select(col("doc_id"), explode(col("toks")).as("tok"))
-        .join(freq, "tok")
-        .groupBy(col("doc_id"))
-        .agg(array_sort(collect_list(struct(col("tok_freq"), col("tok")))).as("ft"))
-        .select(col("doc_id"), expr("transform(ft, x -> x.tok)").as("otoks"))
-        .withColumn("sz", size(col("otoks")))
-        .withColumn("plen",
-          col("sz") - floor((col("sz") * ThreshNum + (ThreshDen - 1)) / ThreshDen) + 1)
-        .select(col("doc_id"), col("sz"),
-          posexplode(col("otoks")).as(Seq("pos", "tok")))
+    val vocab = tokenIds(freq).localCheckpoint() // reused by both sides
+    def prefixOf(its: DataFrame): DataFrame =
+      its.select(col("doc_id"), col("sz"),
+          posexplode(col("otoks")).as(Seq("pos", "tid")))
         .filter(col("pos") < col("plen"))
-        .select(col("tok"), col("pos"), col("doc_id"), col("sz"))
+        .select(col("tid"), col("pos"), col("doc_id"), col("sz"))
 
     // hot-token de-skew, R-S form: salt the new side by doc hash, replicate
     // the hist side across salts (see ssjoinOnReps for the rationale)
     val Salts = 16
     val HotCut = 256L
-    val pn = prefixOf(newReps).localCheckpoint()
-    val ph = prefixOf(histReps).localCheckpoint()
-    val pfreq = pn.union(ph).groupBy(col("tok")).agg(count(lit(1)).as("pf"))
-    val left = pn.join(pfreq, "tok")
-      .select(col("tok"),
+    val itN = intSets(newReps, vocab).localCheckpoint()  // prefix + verify
+    val itH = intSets(histReps, vocab).localCheckpoint() // prefix + verify
+    val pn = prefixOf(itN)
+    val ph = prefixOf(itH)
+    val pfreq = pn.union(ph).groupBy(col("tid")).agg(count(lit(1)).as("pf"))
+    val left = pn.join(pfreq, "tid")
+      .select(col("tid"),
         when(col("pf") >= HotCut, pmod(xxhash64(col("doc_id")), lit(Salts)).cast("int"))
           .otherwise(lit(0)).as("salt"),
         col("doc_id").as("new_id"), col("sz").as("sz_n"), col("pos").as("pos_n"))
-    val right = ph.join(pfreq, "tok")
-      .select(col("tok"),
+    val right = ph.join(pfreq, "tid")
+      .select(col("tid"),
         explode(when(col("pf") >= HotCut, sequence(lit(0), lit(Salts - 1)))
           .otherwise(array(lit(0)))).as("salt"),
         col("doc_id").as("hist_id"), col("sz").as("sz_h"), col("pos").as("pos_h"))
 
     // length filter + PPJoin positional filter (see ssjoinOnReps: min
     // matched positions identify the pair's smallest common token)
-    val cands = left.join(right, Seq("tok", "salt"))
+    val cands = left.join(right, Seq("tid", "salt"))
       .filter(greatest(col("sz_n"), col("sz_h")) * ThreshNum
         <= least(col("sz_n"), col("sz_h")) * ThreshDen)
       .groupBy(col("new_id"), col("hist_id"))
@@ -242,8 +264,8 @@ object SetSim {
       .select(col("new_id"), col("hist_id"))
 
     val repDecisions = cands
-      .join(newReps.select(col("doc_id").as("new_id"), col("toks").as("toks_n")), "new_id")
-      .join(histReps.select(col("doc_id").as("hist_id"), col("toks").as("toks_h")), "hist_id")
+      .join(itN.select(col("doc_id").as("new_id"), col("otoks").as("toks_n")), "new_id")
+      .join(itH.select(col("doc_id").as("hist_id"), col("otoks").as("toks_h")), "hist_id")
       .withColumn("inter_n", size(array_intersect(col("toks_n"), col("toks_h"))))
       .withColumn("union_n", size(col("toks_n")) + size(col("toks_h")) - col("inter_n"))
       .filter(col("inter_n") * ThreshDen >= col("union_n") * ThreshNum)
