@@ -255,6 +255,50 @@ object TextOps {
       |   OR 1.0 - CAST(tri.n_tri_d AS DOUBLE) / tri.n_tri >= 0.02) AS repetitive
       |FROM tc JOIN tri USING (doc_id)""".stripMargin
 
+  /** Context-window chunk size / overlap (tokens). The corpus' docs run
+    * 10-99 tokens, so 32/8 exercises 1-4 chunks per doc; production values
+    * (512/64, 8192/…) are the same arithmetic. */
+  val ChunkSize = 32
+  val ChunkOverlap = 8
+
+  /** Context-window CHUNKING — the batch-prep step between curation and
+    * training (and the RAG indexing unit): split each document's token
+    * stream into windows of ChunkSize tokens advancing by
+    * ChunkSize−ChunkOverlap, last chunk ragged. Pure column arithmetic —
+    * n_chunks = 1 + ceil(max(0, n−C) / (C−O)) and a sequence-explode per
+    * doc; no shuffle at all (the explode is narrow), so it scales with the
+    * corpus scan. Output is one row per chunk with its token span —
+    * all-integer, engine-exact. */
+  def qDocChunks(s: SparkSession, d: String): DataFrame = {
+    val stride = ChunkSize - ChunkOverlap
+    Tables.documents(s, d)
+      .withColumn("n_tokens", size(tokens(col("text"))))
+      .withColumn("n_chunks",
+        lit(1) + ceil(greatest(col("n_tokens") - ChunkSize, lit(0))
+          / lit(stride.toDouble)).cast("int"))
+      .select(col("doc_id"), col("n_tokens"),
+        posexplode(sequence(lit(0), col("n_chunks") - 1)).as(Seq("chunk_idx", "_i")))
+      .select(col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),
+        (col("chunk_idx") * stride).cast("int").as("tok_start"),
+        least(col("chunk_idx") * stride + ChunkSize, col("n_tokens"))
+          .cast("int").as("tok_end"))
+      .withColumn("chunk_ntoks", col("tok_end") - col("tok_start"))
+  }
+
+  def qDocChunksSql: String =
+    s"""WITH t AS (SELECT doc_id,
+       |  CAST(len(regexp_split_to_array(trim(text), ' +')) AS INT) AS n_tokens
+       |  FROM documents),
+       |n AS (SELECT doc_id, n_tokens,
+       |  1 + CAST(ceil(greatest(n_tokens - ${ChunkSize}, 0) / ${ChunkSize - ChunkOverlap}.0) AS INT) AS n_chunks
+       |  FROM t)
+       |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+       |  CAST(i * ${ChunkSize - ChunkOverlap} AS INT) AS tok_start,
+       |  CAST(least(i * ${ChunkSize - ChunkOverlap} + ${ChunkSize}, n_tokens) AS INT) AS tok_end,
+       |  CAST(least(i * ${ChunkSize - ChunkOverlap} + ${ChunkSize}, n_tokens)
+       |    - i * ${ChunkSize - ChunkOverlap} AS INT) AS chunk_ntoks
+       |FROM n, unnest(range(0, n_chunks)) AS r(i)""".stripMargin
+
   /** 64-bit document fingerprints — the cheap dup keys a pipeline persists
     * per shard: an exact-dup key (xxHash64 of normalized text) plus a
     * winnowing-style rolling-hash fingerprint (native codegen expression,

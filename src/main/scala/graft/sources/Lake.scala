@@ -167,9 +167,10 @@ object Lake {
       .filter(col("snapshot_id") > sinceSnapshot && col("op") === "add"
         && col("snapshot_op").isin("append", "merge"))
       .select(col("path")).collect().map(_.getString(0)).toSeq
-    val all = ledger.filter(col("op") === "add")
-      .select(col("path")).collect().map(_.getString(0)).toSeq
-    readPaths(spark, paths, all)
+    // schema fallback from the CURRENT live set — ever-added paths may have
+    // been physically deleted by expireSnapshots
+    val live = liveFilesAt(spark, ledgerDir, Long.MaxValue)
+    readPaths(spark, paths, live)
   }
 
   /** Ledger-aware compaction: rewrite the CURRENT live file set into
@@ -405,6 +406,48 @@ object Lake {
       |SELECT c_custkey + 10000000 AS c_custkey, c_name,
       |  CAST(c_acctbal AS DOUBLE) AS acctbal
       |FROM customer WHERE c_custkey % 97 = 0 AND c_mktsegment <> 'MACHINERY'""".stripMargin
+
+  /** Expire snapshots older than `retainFrom` (VACUUM): physically delete
+    * every file that is NOT live at `retainFrom` or any later snapshot —
+    * i.e. files already removed (by compaction, merge, or delete) whose
+    * only remaining purpose was time travel into the expired range. The
+    * expiry is recorded as an "expire" snapshot holding one row per
+    * deleted path (audit trail); live files and the ledger itself are
+    * untouched, so readAt(s ≥ retainFrom) and readSince keep working
+    * while readAt(s < retainFrom) is explicitly no longer served.
+    *
+    * This is the storage-reclamation bound every table format has: time
+    * travel is only as deep as the files you keep. Returns the number of
+    * files deleted. */
+  def expireSnapshots(spark: SparkSession, ledgerDir: String,
+      retainFrom: Long): Long = {
+    val ledger = readLedger(spark, ledgerDir).getOrElse(return 0L)
+    val current = currentSnapshot(spark, ledgerDir)
+    // union of live sets at every retained snapshot = files added at ANY
+    // time and not removed by retainFrom (a file removed AFTER retainFrom
+    // is still needed by the snapshots in between)
+    val keep = (retainFrom min current to current)
+      .flatMap(s => liveFilesAt(spark, ledgerDir, s)).toSet
+    // never re-expire (idempotent re-runs must not append audit snapshots)
+    val everAdded = ledger.filter(col("op") === "add")
+      .select(col("path")).distinct()
+      .join(ledger.filter(col("op") === "expire").select(col("path")).distinct(),
+        Seq("path"), "left_anti")
+      .collect().map(_.getString(0))
+    val expire = everAdded.filterNot(keep)
+    var deleted = 0L
+    expire.foreach { p =>
+      val f = new java.io.File(normPath(p))
+      if (f.isFile && f.delete()) deleted += 1
+    }
+    if (expire.nonEmpty) {
+      val actions = removeActions(spark, expire)
+        .withColumn("op", lit("expire"))
+        .withColumn("snapshot_op", lit("expire"))
+      appendSnapshot(spark, ledgerDir, current + 1, actions)
+    }
+    deleted
+  }
 
   /** Schema-evolution read: merge per-file schemas across generations
     * (added columns surface as nulls on old files) — the second

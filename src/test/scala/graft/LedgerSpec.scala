@@ -102,6 +102,36 @@ class LedgerSpec extends GraftSpec {
       s"snapshot 3 must read compacted files, got ${live.take(2).mkString(",")}")
   }
 
+  test("expireSnapshots reclaims replaced files, bounds time travel, keeps the present") {
+    val (landing, ledger) = fresh()
+    val compactDir = Files.createTempDirectory("graft_vacuum").toString + "/data"
+    landFiles(landing, "click", 3)
+    Lake.ingestNewFiles(spark, landing, ledger)          // snapshot 1
+    landFiles(landing, "view", 2)
+    Lake.ingestNewFiles(spark, landing, ledger)          // snapshot 2
+    Lake.compactIngested(spark, ledger, compactDir, 1000000) // snapshot 3 (replace)
+    val current = Lake.currentSnapshot(spark, ledger)
+    val rowsNow = Lake.readAt(spark, ledger, current).count()
+    val rowsAt1 = Lake.readAt(spark, ledger, 1).count()
+    assert(rowsAt1 < rowsNow)
+
+    // retain only the compacted present: the 5 replaced landing files die
+    val deleted = Lake.expireSnapshots(spark, ledger, retainFrom = current)
+    assert(deleted == 5, s"expected the 5 pre-compaction files deleted, got $deleted")
+    assert(Lake.readAt(spark, ledger, current).count() == rowsNow,
+      "current snapshot unaffected by vacuum")
+    // time travel below the horizon is explicitly gone (files deleted)
+    intercept[Exception] { Lake.readAt(spark, ledger, 1).count() }
+    // expiry is itself a snapshot; re-running reclaims nothing further AND
+    // appends no further audit snapshots (idempotent)
+    assert(Lake.currentSnapshot(spark, ledger) == current + 1)
+    assert(Lake.expireSnapshots(spark, ledger, Lake.currentSnapshot(spark, ledger)) == 0)
+    assert(Lake.currentSnapshot(spark, ledger) == current + 1,
+      "a no-op expiry must not append a snapshot")
+    // incremental consumers at the compaction checkpoint still see nothing new
+    assert(Lake.readSince(spark, ledger, current).count() == 0)
+  }
+
   test("same-bucketed tables join with zero exchanges") {
     val bcastWas = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
