@@ -106,6 +106,7 @@ object ScaleProbe {
       "q_dedup_exact" -> (Dedup.qDedupExact _),
       "q_dedup_minhash" -> (Dedup.qDedupMinhash _),
       "q_dedup_ssjoin" -> (SetSim.qDedupSsjoin _),
+      "q_dedup_incremental" -> (SetSim.qDedupIncremental _),
       "q_dedup_clusters" -> (SetSim.qDedupClusters _),
       "q_ann_brute" -> (Similarity.qAnnBrute _),
       "q_ann_lsh" -> (Similarity.qAnnLsh _))) {
