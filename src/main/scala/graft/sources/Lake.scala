@@ -286,7 +286,12 @@ object Lake {
     * The affected-file list and remove rows pass through the driver —
     * manifest-scale (bounded by files-with-matches, not table size), same
     * stated 100 TB caveat as liveFilesAt: keep it a DataFrame feeding a
-    * manifest-driven scan there. Returns the merge's snapshot id. */
+    * manifest-driven scan there. Returns the merge's snapshot id.
+    *
+    * Key-cardinality semantics: if several TARGET rows share a matched key
+    * they all collapse to that key's single source row (replace = the
+    * source is authoritative per key); a SOURCE with duplicate keys should
+    * be deduplicated by the caller first (each duplicate would land). */
   def mergeInto(spark: SparkSession, ledgerDir: String, genRoot: String,
       source: DataFrame, key: String,
       deleteWhen: Option[org.apache.spark.sql.Column] = None): Long = {

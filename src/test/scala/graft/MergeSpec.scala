@@ -104,6 +104,31 @@ class MergeSpec extends GraftSpec {
     assert(nDel > 0)
   }
 
+  test("merge composes with compaction: rewrite then merge then compact") {
+    val (landing, ledger, gen) = fresh()
+    val t = Files.createTempDirectory("graft_merge_compact").toString
+    val snap0 = landCustomers(landing, ledger)
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+    val updates = cust.filter(col("c_custkey") % 10 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 1)
+    val snapM = Lake.mergeInto(spark, ledger, gen, updates, "c_custkey")
+    val rowsAfterMerge = Lake.readAt(spark, ledger, snapM).count()
+    // compaction after a merge preserves rows and stays invisible to
+    // incremental consumers checkpointed at the merge
+    val snapC = Lake.compactIngested(spark, ledger, s"$t/compact", 1000000)
+    assert(Lake.readAt(spark, ledger, snapC).count() == rowsAfterMerge)
+    assert(Lake.readSince(spark, ledger, snapM).count() == 0)
+    // a consumer checkpointed BEFORE the merge still sees the merge delta
+    // exactly once, compaction notwithstanding
+    assert(Lake.readSince(spark, ledger, snap0).count() == updates.count())
+    // and a second merge on the compacted table still works
+    val more = cust.filter(col("c_custkey") % 10 === 1)
+      .withColumn("c_acctbal", col("c_acctbal") + 2)
+    val snapM2 = Lake.mergeInto(spark, ledger, gen, more, "c_custkey")
+    assert(Lake.readAt(spark, ledger, snapM2).count() == rowsAfterMerge)
+    assert(Lake.readSince(spark, ledger, snapC).count() == more.count())
+  }
+
   test("merge into empty ledger is a pure insert") {
     val (_, ledger, gen) = fresh()
     val cust = spark.read.parquet(s"$sf/customer.parquet").limit(10)
