@@ -44,4 +44,6 @@ object GraftFunctions {
   def hyperplaneSig(c: Column, planes: Array[Double],
                     tables: Int, bits: Int, dim: Int): Column =
     GraftShim.column(HyperplaneSigExpr(GraftShim.expression(c), planes, tables, bits, dim))
+  def dotp(a: Column, b: Column): Column =
+    GraftShim.column(DotProductExpr(GraftShim.expression(a), GraftShim.expression(b)))
 }

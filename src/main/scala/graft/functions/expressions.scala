@@ -260,3 +260,53 @@ case class RollingFingerprintExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): RollingFingerprintExpr =
     copy(child = newChild)
 }
+
+/** Strict sequential dot product of two ARRAY<DOUBLE> columns — one
+  * compiled loop per row. Float operation order is IDENTICAL to the
+  * higher-order-function formulation `aggregate(zip_with(a, b, _ * _),
+  * 0.0, _ + _)` (a left fold of the elementwise products), so results are
+  * bit-identical and swapping formulations cannot move an oracle hash.
+  * The HOF form allocates an intermediate products array and walks generic
+  * ArrayData per element; this kernel is the hot-path replacement for the
+  * ANN scoring and embedding near-dup verify stages.
+  */
+object DotProduct {
+  def compute(a: org.apache.spark.sql.catalyst.util.ArrayData,
+              b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val x = a.toDoubleArray()
+    val y = b.toDoubleArray()
+    val n = math.min(x.length, y.length)
+    var d = 0.0
+    var i = 0
+    while (i < n) { d += x(i) * y(i); i += 1 }
+    d
+  }
+}
+
+case class DotProductExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = (dt: DataType) => dt match {
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"dotp requires two ARRAY<DOUBLE> inputs, got ${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DotProduct.compute(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.DotProduct.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): DotProductExpr =
+    copy(left = newLeft, right = newRight)
+}

@@ -22,8 +22,17 @@ object Similarity {
   /** Cast a float-array column to double for exact cross-engine math. */
   def asDouble(c: Column): Column = transform(c, _.cast("double"))
 
-  /** Strict left-fold dot product of two double-array columns. */
+  /** Strict left-fold dot product of two double-array columns — the native
+    * one-loop codegen kernel (DotProductExpr); float operation order is
+    * identical to the HOF formulation below, so results are bit-identical
+    * (oracle hashes unmoved) while the hot ANN/verify paths skip the
+    * intermediate products array and per-element generic access. */
   def dot(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.dotp(a, b)
+
+  /** The higher-order-function formulation, kept as the independent
+    * cross-check the specs compare kernels against. */
+  private[graft] def hofDot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
@@ -114,7 +123,7 @@ object Similarity {
   def lshSignature(vec: Column, table: Int = 0): Column =
     (0 until LshBits).map { i =>
       val h = array(hyperplanes(table * LshBits + i).map(lit).toIndexedSeq: _*)
-      when(dot(vec, h) >= 0, lit(1 << i)).otherwise(lit(0))
+      when(hofDot(vec, h) >= 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
 
   /** All L table signatures as one array column, via the native one-pass

@@ -48,6 +48,19 @@ class SimilaritySpec extends GraftSpec {
     assert(s1.values.toSet.size > 1, "signatures should spread across buckets")
   }
 
+  test("native dot kernel is bit-identical to the HOF fold") {
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("vec"))
+    val probe = e.filter(col("vec_id") === 0).select(col("vec").as("p"))
+    val both = e.crossJoin(broadcast(probe))
+      .select(col("vec_id"), Similarity.dot(col("vec"), col("p")).as("k"),
+        Similarity.hofDot(col("vec"), col("p")).as("h"))
+      .collect()
+    assert(both.nonEmpty)
+    assert(both.forall(r => r.getDouble(1) == r.getDouble(2)),
+      "kernel and HOF dot must agree to the last bit")
+  }
+
   test("native hyperplane-sig kernel matches the per-table column formulation") {
     val e = Tables.embeddings(spark, sf)
       .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("vec"))
