@@ -346,6 +346,33 @@ object Events {
       |  CAST(max(adler) AS BIGINT) AS max_adler
       |FROM per GROUP BY event_type""".stripMargin
 
+  /** DEAD-TIME detection — the DAQ uptime metric: minutes inside the run
+    * span in which NO event of any type arrived (trigger inhibit / DAQ
+    * stall windows). Scale-safe formulation: events collapse to distinct
+    * present-minutes (two-phase agg), the minute DIMENSION is generated
+    * from the global [min, max] span (time-bounded: 30 days = 43 k rows
+    * regardless of event volume) and anti-joined against presence — never
+    * a single-partition lag over the raw stream. Output: per day, how many
+    * dead minutes. */
+  def qEvtDeadtime(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .select(floor(unix_timestamp(col("ts")) / 60).as("m"))
+    val bounds = ev.agg(min(col("m")).as("lo"), max(col("m")).as("hi"))
+    val minutes = bounds.select(explode(sequence(col("lo"), col("hi"))).as("m"))
+    minutes.join(ev.distinct(), Seq("m"), "left_anti")
+      .groupBy(to_date(timestamp_seconds(col("m") * 60)).as("day"))
+      .agg(count(lit(1)).as("n_dead_minutes"))
+  }
+
+  def qEvtDeadtimeSql: String =
+    """WITH m AS (SELECT CAST(floor(epoch(ts) / 60) AS BIGINT) AS m FROM events),
+      |b AS (SELECT min(m) AS lo, max(m) AS hi FROM m),
+      |mins AS (SELECT r.i AS m FROM b, unnest(range(b.lo, b.hi + 1)) AS r(i)),
+      |dead AS (SELECT m FROM mins WHERE m NOT IN (SELECT m FROM m))
+      |SELECT CAST(to_timestamp(m * 60) AS DATE) AS day,
+      |  CAST(count(*) AS BIGINT) AS n_dead_minutes
+      |FROM dead GROUP BY 1""".stripMargin
+
   /** Coincidence window in seconds (±). */
   val CoincSeconds = 60
 
