@@ -115,6 +115,16 @@ class PlanSpec extends GraftSpec {
       s"assignments scan must carry a DPP partition filter:\n${plan.take(2000)}")
   }
 
+  test("deadtime detection has no window and aggregates two-phase") {
+    // the scale claim: distinct present-minutes + generated minute dim,
+    // never a single-partition lag/window over the raw event stream
+    val plan = graft.operators.Events.qEvtDeadtime(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"no window operator expected:\n${plan.take(1500)}")
+    assert(plan.contains("HashAggregate"), "two-phase aggregation expected")
+    assert(plan.toLowerCase.contains("leftanti"), "minute-dim anti-join expected")
+  }
+
   test("batched ann_ivf keeps dynamic partition pruning over the union of probe lists") {
     // the batched contract: B probes = ONE assignments scan reading at most
     // the UNION of their nProbe lists (DPP from the broadcast probe→list
