@@ -151,6 +151,17 @@ object SetSim {
       .filter(col("doc_a") < col("doc_b"))
       .filter(greatest(col("sz_a"), col("sz_b")) * ThreshNum
         <= least(col("sz_a"), col("sz_b")) * ThreshDen)
+      // row-level SINGLE-SIDED positional prefilter before the pair
+      // shuffle — lossless: for a pair surviving the two-sided post-group
+      // filter, least(sza−i−1, …) ≤ sza−i−1 means its min-pos_a row
+      // passes the a-side bound (and the min-pos_b row the b-side), so
+      // both per-coordinate minima survive and the post-group filter is
+      // computed on the same (i, j). Rows deep in BOTH prefixes drop
+      // before they shuffle into the groupBy.
+      .filter(((lit(1) + col("sz_a") - col("pos_a") - 1) * (ThreshNum + ThreshDen)
+          >= (col("sz_a") + col("sz_b")) * ThreshNum)
+        || ((lit(1) + col("sz_b") - col("pos_b") - 1) * (ThreshNum + ThreshDen)
+          >= (col("sz_a") + col("sz_b")) * ThreshNum))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(min(col("pos_a")).as("i"), min(col("pos_b")).as("j"),
         first(col("sz_a")).as("sza"), first(col("sz_b")).as("szb"))
@@ -256,6 +267,11 @@ object SetSim {
     val cands = left.join(right, Seq("tid", "salt"))
       .filter(greatest(col("sz_n"), col("sz_h")) * ThreshNum
         <= least(col("sz_n"), col("sz_h")) * ThreshDen)
+      // single-sided positional prefilter (lossless — see ssjoinOnReps)
+      .filter(((lit(1) + col("sz_n") - col("pos_n") - 1) * (ThreshNum + ThreshDen)
+          >= (col("sz_n") + col("sz_h")) * ThreshNum)
+        || ((lit(1) + col("sz_h") - col("pos_h") - 1) * (ThreshNum + ThreshDen)
+          >= (col("sz_n") + col("sz_h")) * ThreshNum))
       .groupBy(col("new_id"), col("hist_id"))
       .agg(min(col("pos_n")).as("i"), min(col("pos_h")).as("j"),
         first(col("sz_n")).as("szn"), first(col("sz_h")).as("szh"))
