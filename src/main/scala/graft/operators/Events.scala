@@ -346,6 +346,34 @@ object Events {
       |  CAST(max(adler) AS BIGINT) AS max_adler
       |FROM per GROUP BY event_type""".stripMargin
 
+  /** OCCUPANCY MAP — the DAQ monitoring staple: event counts per
+    * (detector, crate, hour-of-day) cell, the 2-D histogram every shifter
+    * watches for hot/dead channels. One broadcast dim join + one two-phase
+    * aggregation; the cell space is bounded (dets × crates × 24) no matter
+    * the event volume. */
+  def qEvtOccupancy(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dromap = Seq(
+      ("click", 3, 1), ("view", 3, 2), ("purchase", 3, 3),
+      ("signup", 2, 1), ("error", 2, 2))
+      .toDF("event_type", "det_id", "crate_id")
+    events(s, d)
+      .join(broadcast(dromap), "event_type")
+      .groupBy(col("det_id"), col("crate_id"), hour(col("ts")).as("hod"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_channels"))
+  }
+
+  def qEvtOccupancySql: String =
+    """WITH dromap(event_type, det_id, crate_id) AS (VALUES
+      |  ('click', 3, 1), ('view', 3, 2), ('purchase', 3, 3),
+      |  ('signup', 2, 1), ('error', 2, 2))
+      |SELECT m.det_id, m.crate_id, CAST(hour(e.ts) AS INT) AS hod,
+      |  count(*) AS n_events,
+      |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_channels
+      |FROM events e JOIN dromap m ON e.event_type = m.event_type
+      |GROUP BY m.det_id, m.crate_id, hour(e.ts)""".stripMargin
+
   /** DEAD-TIME detection — the DAQ uptime metric: minutes inside the run
     * span in which NO event of any type arrived (trigger inhibit / DAQ
     * stall windows). Scale-safe formulation: events collapse to distinct
