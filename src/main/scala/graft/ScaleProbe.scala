@@ -108,6 +108,7 @@ object ScaleProbe {
       "q_dedup_ssjoin" -> (SetSim.qDedupSsjoin _),
       "q_dedup_incremental" -> (SetSim.qDedupIncremental _),
       "q_dedup_clusters" -> (SetSim.qDedupClusters _),
+      "q_dedup_embed_lsh" -> (Dedup.qDedupEmbedLsh _),
       "q_ann_brute" -> (Similarity.qAnnBrute _),
       "q_ann_lsh" -> (Similarity.qAnnLsh _))) {
       q(spark, src).write.format("noop").mode("overwrite").save() // warm-up
