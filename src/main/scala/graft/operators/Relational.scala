@@ -380,4 +380,57 @@ object Relational {
       | count(*) AS n_orders,
       | CAST(sum(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS month_total
       |FROM orders GROUP BY 1, 2""".stripMargin
+
+  /** TPC-H Q4 shape — order-priority checking: orders of a half-year with
+    * at least one LATE line (shipped > 60 days after the order date),
+    * counted per priority. The EXISTS carries a CROSS-TABLE predicate, so
+    * the semi-join condition is (key equality AND date comparison) — a
+    * correlated-EXISTS decorrelation, one shuffle semi-join, never a
+    * count-then-filter subquery. */
+  def q4Priority(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01")
+        && col("o_orderdate") < lit("1996-07-01"))
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+    ord.join(li, ord("o_orderkey") === li("l_orderkey")
+        && li("l_shipdate") > ord("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  def q4PrioritySql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders o
+      |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey
+      |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q19 shape — disjunctive (OR-of-ANDs) predicate over a
+    * fact⋈dim join: three brand/size/quantity bands, revenue over the
+    * union. The showcase is predicate STRUCTURE: Catalyst's CNF
+    * conversion pushes the part-only disjunction down to the part scan,
+    * so the join sees pre-filtered parts instead of filtering after. */
+  def q19Disjunctive(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val p = Tables.part(s, d)
+    def band(brand: String, szHi: Int, qLo: Int, qHi: Int) =
+      col("p_brand") === brand && col("p_size").between(1, szHi) &&
+        col("l_quantity").between(qLo, qHi)
+    li.join(p, li("l_partkey") === p("p_partkey"))
+      .filter(band("Brand#12", 15, 1, 11)
+        || band("Brand#13", 25, 10, 20)
+        || band("Brand#14", 35, 20, 30))
+      .agg(revenueSum.as("revenue"), count(lit(1)).as("n_items"))
+  }
+
+  def q19DisjunctiveSql: String =
+    s"""SELECT $revenueSumSql AS revenue, count(*) AS n_items
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+       |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+       |   OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
 }

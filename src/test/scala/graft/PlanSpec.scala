@@ -115,6 +115,27 @@ class PlanSpec extends GraftSpec {
       s"assignments scan must carry a DPP partition filter:\n${plan.take(2000)}")
   }
 
+  test("q19 disjunctive predicate splits and pushes to BOTH scans (CNF)") {
+    // the OR-of-ANDs references both tables in every conjunct; Catalyst's
+    // CNF conversion must still derive a part-only disjunction for the
+    // part scan and a quantity-band disjunction for the lineitem scan
+    // assert on the OPTIMIZED LOGICAL plan: the physical plan is wrapped by
+    // AQE (collect can't reach scans) and its string form truncates long
+    // filter lists — both made physical assertions suite-order-flaky. The
+    // CNF-derived per-table filters already sit below the join here.
+    val opt = Relational.q19Disjunctive(spark, sf).queryExecution.optimizedPlan
+    val filters = opt.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        (f.condition.references.map(_.name).toSet, f.condition.toString)
+    }
+    assert(filters.exists { case (refs, c) =>
+      refs.forall(_.startsWith("p_")) && c.contains("Brand#12") },
+      s"expected a part-only CNF filter with the brand disjunction: $filters")
+    assert(filters.exists { case (refs, c) =>
+      refs.forall(_.startsWith("l_")) && refs.contains("l_quantity") },
+      s"expected a lineitem-only CNF filter with the quantity bands: $filters")
+  }
+
   test("deadtime detection has no window and aggregates two-phase") {
     // the scale claim: distinct present-minutes + generated minute dim,
     // never a single-partition lag/window over the raw event stream
