@@ -412,6 +412,30 @@ object Lake {
       |  CAST(c_acctbal AS DOUBLE) AS acctbal
       |FROM customer WHERE c_custkey % 97 = 0 AND c_mktsegment <> 'MACHINERY'""".stripMargin
 
+  /** Snapshot ids that CHANGED ROWS (added files under an append/merge
+    * snapshot) — the units an incremental consumer must process exactly
+    * once, in order. */
+  def rowChangingSnapshots(spark: SparkSession, ledgerDir: String): Seq[Long] =
+    readLedger(spark, ledgerDir).map { ledger =>
+      ledger.filter(col("op") === "add"
+          && col("snapshot_op").isin("append", "merge"))
+        .select(col("snapshot_id")).distinct()
+        .collect().map(_.getLong(0)).toSeq.sorted
+    }.getOrElse(Seq.empty)
+
+  /** The rows ADDED by exactly snapshot `snapshot` (row-changing adds
+    * only) — readSince's per-snapshot unit, for consumers that process
+    * snapshot-by-snapshot. Empty schema-carrying frame if none. */
+  def readSnapshot(spark: SparkSession, ledgerDir: String,
+      snapshot: Long): DataFrame = {
+    val ledger = readLedger(spark, ledgerDir).getOrElse(return spark.emptyDataFrame)
+    val paths = ledger
+      .filter(col("snapshot_id") === snapshot && col("op") === "add"
+        && col("snapshot_op").isin("append", "merge"))
+      .select(col("path")).collect().map(_.getString(0)).toSeq
+    readPaths(spark, paths, liveFilesAt(spark, ledgerDir, Long.MaxValue))
+  }
+
   /** Expire snapshots older than `retainFrom` (VACUUM): physically delete
     * every file that is NOT live at `retainFrom` or any later snapshot —
     * i.e. files already removed (by compaction, merge, or delete) whose

@@ -27,7 +27,7 @@ class DedupLoopSpec extends GraftSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
   private def decisionsIn(dir: String): Set[(Long, Long)] =
-    spark.read.parquet(dir).collect()
+    DedupLoop.decisions(spark, dir).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dup_of"))).toSet
 
   test("ingest+dedup rounds equal the batch decisions on the union") {
@@ -54,6 +54,22 @@ class DedupLoopSpec extends GraftSpec {
     // re-run with nothing new: a no-op (ledger exactly-once)
     assert(DedupLoop.ingestAndDedup(spark, landing, ledger, dec) == 0)
     assert(decisionsIn(dec) == e2 ++ e3)
+  }
+
+  test("a crash between ingest and decisions heals on the next round") {
+    val t = Files.createTempDirectory("graft_deduploop_c").toString
+    val (landing, ledger, dec) = (s"$t/landing", s"$t/ledger", s"$t/dec")
+    slice(0, 300).repartition(3).write.mode("append").parquet(landing)
+    DedupLoop.ingestAndDedup(spark, landing, ledger, dec)
+    // simulate the crash window: files ingested into the ledger directly,
+    // no decisions written for that snapshot
+    slice(300, 400).repartition(2).write.mode("append").parquet(landing)
+    graft.sources.Lake.ingestNewFiles(spark, landing, ledger)
+    assert(decisionsIn(dec).isEmpty, "snapshot 2 not yet decided")
+    // next round ingests nothing new but must catch up on snapshot 2
+    assert(DedupLoop.ingestAndDedup(spark, landing, ledger, dec) == 0)
+    assert(decisionsIn(dec) == expectedRound(300, 300, 400),
+      "undecided snapshot healed by the next round")
   }
 
   test("streaming form: availableNow micro-batches drive the same rounds") {
