@@ -27,6 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[Simhash64].getName, "simhash64"),
       (children: Seq[Expression]) => Simhash64(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("dotp"),
+      new ExpressionInfo(classOf[DotProductExpr].getName, "dotp"),
+      (children: Seq[Expression]) => DotProductExpr(children.head, children(1))))
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
 }

@@ -1,0 +1,67 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** The lake-table facade: one handle over a ledger-backed table carrying
+  * the full lifecycle a lake user expects — ingest, read (current / time
+  * travel / incremental / per-snapshot), row-level merge and delete,
+  * compaction, and snapshot expiry. Thin delegation to `Lake`; all scale
+  * notes and invariants live there. The reference's analog is the whole
+  * dropbox-mover + Iceberg-table workflow
+  * (cf. file_transfer_scripts/createMetadatafiles_iceberg_dropbox.sh).
+  *
+  * {{{
+  *   val t = GraftTable(spark, "/lake/events_ledger", "/lake/events_gen")
+  *   t.ingest("/dropbox/events")          // exactly-once file ingest
+  *   t.read()                             // current snapshot
+  *   t.readAt(3)                          // time travel
+  *   t.readSince(checkpoint)              // incremental consumption
+  *   t.merge(updates, "event_id")         // row-level COW merge
+  *   t.delete(col("event_type") === "junk")
+  *   t.compact(1000000)                   // small-file rewrite
+  *   t.expire(t.snapshot)                 // reclaim unreferenced files
+  * }}}
+  */
+final case class GraftTable(spark: SparkSession, ledgerDir: String,
+    genRoot: String) {
+
+  /** Current snapshot id (0 = empty table). */
+  def snapshot: Long = Lake.currentSnapshot(spark, ledgerDir)
+
+  /** Ingest new parquet files from a landing dir; returns files added. */
+  def ingest(landingDir: String): Long =
+    Lake.ingestNewFiles(spark, landingDir, ledgerDir)
+
+  /** The table as of the current snapshot. */
+  def read(): DataFrame = Lake.readAt(spark, ledgerDir, snapshot)
+
+  /** Snapshot-pinned time travel. */
+  def readAt(s: Long): DataFrame = Lake.readAt(spark, ledgerDir, s)
+
+  /** Rows of every row-changing snapshot after `s`, exactly once. */
+  def readSince(s: Long): DataFrame = Lake.readSince(spark, ledgerDir, s)
+
+  /** Rows added by exactly snapshot `s`. */
+  def readSnapshot(s: Long): DataFrame = Lake.readSnapshot(spark, ledgerDir, s)
+
+  /** Row-changing snapshot ids, oldest first. */
+  def rowChangingSnapshots: Seq[Long] =
+    Lake.rowChangingSnapshots(spark, ledgerDir)
+
+  /** Row-level copy-on-write MERGE INTO (see Lake.mergeInto). */
+  def merge(source: DataFrame, key: String,
+      deleteWhen: Option[Column] = None): Long =
+    Lake.mergeInto(spark, ledgerDir, genRoot, source, key, deleteWhen)
+
+  /** Row-level copy-on-write DELETE WHERE. */
+  def delete(cond: Column): Long =
+    Lake.deleteWhere(spark, ledgerDir, genRoot, cond)
+
+  /** Rewrite the live file set toward a target rows-per-file. */
+  def compact(targetRowsPerFile: Long): Long =
+    Lake.compactIngested(spark, ledgerDir, genRoot, targetRowsPerFile)
+
+  /** Expire snapshots before `retainFrom`; returns files deleted. */
+  def expire(retainFrom: Long): Long =
+    Lake.expireSnapshots(spark, ledgerDir, retainFrom)
+}

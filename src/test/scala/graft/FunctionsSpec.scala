@@ -51,4 +51,18 @@ class FunctionsSpec extends GraftSpec {
       .collect().head.getLong(0)
     assert(viaSql == 0x11E60398L)
   }
+
+  test("dotp SQL function matches the strict left-fold dot") {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    spark.sessionState.functionRegistry.registerFunction(
+      new FunctionIdentifier("dotp"),
+      new ExpressionInfo(classOf[graft.functions.DotProductExpr].getName, "dotp"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.DotProductExpr(children.head, children(1)))
+    val got = spark.sql(
+      "SELECT dotp(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d")
+      .collect().head.getDouble(0)
+    assert(got == (1.0 * 4.0 + 2.0 * 5.0 + 3.0 * 6.0))
+  }
 }

@@ -1,0 +1,46 @@
+package graft
+
+import graft.sources.GraftTable
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Full lake-table lifecycle through the single-handle facade:
+  * ingest → merge → delete → compact → expire, with time travel and
+  * incremental reads holding at each step. */
+class GraftTableSpec extends GraftSpec {
+
+  test("lifecycle: ingest, merge, delete, compact, expire on one handle") {
+    val t0 = Files.createTempDirectory("graft_table").toString
+    val t = GraftTable(spark, s"$t0/ledger", s"$t0/gen")
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+
+    cust.repartitionByRange(4, col("c_custkey"))
+      .write.parquet(s"$t0/landing")
+    assert(t.ingest(s"$t0/landing") == 4)
+    val n0 = t.read().count()
+    assert(n0 == cust.count())
+    val s1 = t.snapshot
+
+    // merge: bump every 10th key
+    val updates = cust.filter(col("c_custkey") % 10 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 5)
+    t.merge(updates, "c_custkey")
+    assert(t.read().count() == n0)
+    assert(t.readSince(s1).count() == updates.count())
+
+    // delete a segment
+    val nDel = t.read().filter(col("c_mktsegment") === "MACHINERY").count()
+    t.delete(col("c_mktsegment") === "MACHINERY")
+    assert(t.read().count() == n0 - nDel)
+
+    // compact, then expire everything but the present
+    val sC = t.compact(1000000)
+    assert(t.read().count() == n0 - nDel)
+    assert(t.readAt(s1).count() == n0, "time travel before expiry")
+    val deleted = t.expire(t.snapshot)
+    assert(deleted > 0)
+    assert(t.read().count() == n0 - nDel, "present unaffected by expiry")
+    assert(t.rowChangingSnapshots.nonEmpty)
+    intercept[Exception] { t.readAt(s1).count() }
+  }
+}
