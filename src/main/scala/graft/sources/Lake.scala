@@ -64,12 +64,16 @@ object Lake {
     * re-expressed as a lake table with one row PER FILE ACTION:
     * (path, size, adler32, snapshot_id, ingested_at, op, snapshot_op).
     *
-    * op is "add" | "remove"; snapshot_op tags the whole snapshot as
-    * "append" (new data) or "replace" (a rewrite such as compaction that
-    * changes files but not rows). Live files at snapshot S = adds ≤ S
-    * minus removes ≤ S — which gives snapshot-pinned time travel (readAt)
-    * and incremental consumption that skips rewrites (readSince), the two
-    * Iceberg-isms expressible on plain parquet.
+    * op is "add" | "remove" | "expire" (audit rows of a vacuum);
+    * snapshot_op tags each file action: "append" (new rows), "merge"
+    * (rows changed by a row-level merge — surfaced to incremental
+    * consumers), or "replace" (a rewrite — compaction or a merge's carry
+    * files — that changes files but not rows, skipped by them). Live
+    * files at snapshot S = adds ≤ S minus removes ≤ S — which gives
+    * snapshot-pinned time travel (readAt), incremental consumption that
+    * skips rewrites (readSince/readSnapshot), row-level MERGE/DELETE
+    * (mergeInto/deleteWhere), and storage reclamation (expireSnapshots) —
+    * the table-format surface expressible on plain parquet.
     *
     * Each ingest invocation scans the landing dir, anti-joins against the
     * ledger on path, and appends only the NEW files under the next
