@@ -286,6 +286,37 @@ object Similarity {
       .select(col("probe_id"), col("rank"), col("vec_id"))
   }
 
+  /** BATCHED LSH ANN — the banding twin of qAnnIvfBatch: the probe
+    * BATCH's band keys (B×L rows — tiny, broadcast) semi-drive one pass
+    * over the corpus band-key relation, yielding (probe_id, vec_id)
+    * candidates; vectors are fetched once per candidate and a bounded
+    * per-probe window takes the top-5. One corpus-key scan for B probes,
+    * never B scans. Rows-only check; spec bounds mean recall vs the
+    * exact batched baseline. */
+  def qAnnLshBatch(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(s, d)
+    val keys = e.select(col("vec_id"),
+      posexplode(lshSignatures(col("vec"))).as(Seq("tbl", "sig")))
+    val probeKeys = keys.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("tbl"), col("sig"))
+    val cands = keys.filter(col("vec_id") >= 5)
+      .join(broadcast(probeKeys), Seq("tbl", "sig"))
+      .select(col("probe_id"), col("vec_id")).distinct()
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("vec").as("probe_vec"),
+        norm(col("vec")).as("probe_nrm"))
+    cands.join(e, "vec_id")
+      .join(broadcast(probes), "probe_id")
+      .select(col("probe_id"), col("vec_id"),
+        (dot(col("vec"), col("probe_vec")) / (norm(col("vec")) * col("probe_nrm")))
+          .as("cos"))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("probe_id"), col("rank"), col("vec_id"))
+  }
+
   /** LSH-bucketed ANN: a probe only scans vectors sharing at least one of
     * its L bucket keys, instead of the full table. The exploded (table, sig)
     * band keys ARE the join/shuffle key: candidate ids come from a semi-join

@@ -118,6 +118,20 @@ class SimilaritySpec extends GraftSpec {
     assert(new java.io.File(s"$idx2/assignments/_SUCCESS").exists())
   }
 
+  test("batched LSH: per-probe top-5 with bounded recall vs exact batch") {
+    val exact = Similarity.qAnnBatch(spark, sf).collect()
+      .groupBy(_.getAs[Long]("probe_id"))
+      .map { case (p, rs) => p -> rs.map(_.getAs[Long]("vec_id")).toSet }
+    val lsh = Similarity.qAnnLshBatch(spark, sf).collect()
+      .groupBy(_.getAs[Long]("probe_id"))
+      .map { case (p, rs) => p -> rs.map(_.getAs[Long]("vec_id")).toSet }
+    assert(lsh.keySet == exact.keySet, "every probe answered")
+    assert(lsh.values.forall(_.size == 5), "exactly 5 per probe")
+    val recalls = exact.map { case (p, ex) => (ex & lsh(p)).size.toDouble / ex.size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.3, s"batched LSH mean recall $mean collapsed (per-probe: $recalls)")
+  }
+
   test("batched IVF: per-probe top-5 with bounded recall vs exact batch") {
     val exact = Similarity.qAnnBatch(spark, sf).collect()
       .groupBy(_.getAs[Long]("probe_id"))
