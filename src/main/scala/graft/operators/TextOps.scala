@@ -299,6 +299,68 @@ object TextOps {
        |    - i * ${ChunkSize - ChunkOverlap} AS INT) AS chunk_ntoks
        |FROM n, unnest(range(0, n_chunks)) AS r(i)""".stripMargin
 
+  /** Duplicated-span gram length. */
+  val SpanLen = 5
+
+  /** SPAN-LEVEL duplication — the memorization-risk signal doc-level dedup
+    * misses (cf. the "deduplicating training data" line of work: verbatim
+    * spans repeated across documents are what models memorize): for every
+    * doc, how many of its tokens are covered by a SpanLen-token gram that
+    * also appears in ANOTHER doc. Grams are keyed by md5 (engine-common
+    * for the oracle; at scale the same shape runs on xxhash64), repeated
+    * grams are those in ≥2 distinct docs, and per-doc coverage is the
+    * UNION of fixed-length intervals via one ordered window:
+    * covered = L + Σ min(L, pos_i − pos_{i−1}). Two narrow shuffles
+    * (gram groupBy + per-doc window) — no pair lists, no cross joins.
+    * Output: per affected doc, span count, covered tokens, exact-ratio
+    * coverage fraction. */
+  def qDocDupspans(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val L = SpanLen
+    val g = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n_tokens", size(col("toks")))
+      .filter(col("n_tokens") >= L)
+      .select(col("doc_id"), col("n_tokens"), posexplode(
+        expr(s"transform(sequence(0, size(toks) - $L)," +
+          s" i -> concat_ws(' ', slice(toks, i + 1, $L)))")).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("n_tokens"), col("pos"),
+        md5(col("gram")).as("gkey"))
+    val dup = g.groupBy(col("gkey"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("gkey"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    g.join(dup, "gkey")
+      .withColumn("prev", lag(col("pos"), 1).over(w))
+      .withColumn("add", when(col("prev").isNull, lit(L))
+        .otherwise(least(lit(L), col("pos") - col("prev"))))
+      .groupBy(col("doc_id"), col("n_tokens"))
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("add")).cast("bigint").as("covered_tokens"))
+      .withColumn("dup_frac",
+        col("covered_tokens").cast("double") / col("n_tokens"))
+  }
+
+  def qDocDupspansSql: String =
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks FROM documents),
+       |g AS (SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+       |    CAST(i - 1 AS INT) AS pos,
+       |    md5(array_to_string(toks[i:i + ${SpanLen - 1}], ' ')) AS gkey
+       |  FROM t, unnest(range(1, len(toks) - ${SpanLen} + 2)) AS r(i)
+       |  WHERE len(toks) >= ${SpanLen}),
+       |dup AS (SELECT gkey FROM g GROUP BY gkey
+       |  HAVING count(DISTINCT doc_id) >= 2),
+       |h AS (SELECT g.doc_id, g.n_tokens, g.pos,
+       |    lag(g.pos) OVER (PARTITION BY g.doc_id ORDER BY g.pos) AS prev
+       |  FROM g JOIN dup USING (gkey))
+       |SELECT doc_id, n_tokens, count(*) AS n_dup_spans,
+       |  CAST(sum(CASE WHEN prev IS NULL THEN ${SpanLen}
+       |    ELSE least(${SpanLen}, pos - prev) END) AS BIGINT) AS covered_tokens,
+       |  CAST(sum(CASE WHEN prev IS NULL THEN ${SpanLen}
+       |    ELSE least(${SpanLen}, pos - prev) END) AS DOUBLE) / n_tokens AS dup_frac
+       |FROM h GROUP BY doc_id, n_tokens""".stripMargin
+
   /** 64-bit document fingerprints — the cheap dup keys a pipeline persists
     * per shard: an exact-dup key (xxHash64 of normalized text) plus a
     * winnowing-style rolling-hash fingerprint (native codegen expression,
