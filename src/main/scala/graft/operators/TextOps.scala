@@ -326,6 +326,8 @@ object TextOps {
           s" i -> concat_ws(' ', slice(toks, i + 1, $L)))")).as(Seq("pos", "gram")))
       .select(col("doc_id"), col("n_tokens"), col("pos"),
         md5(col("gram")).as("gkey"))
+      .localCheckpoint() // fed to BOTH the dup groupBy and the hit join —
+      // without it the tokenize+explode+md5 chain executes twice
     val dup = g.groupBy(col("gkey"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2)
