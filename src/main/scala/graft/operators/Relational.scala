@@ -89,14 +89,17 @@ object Relational {
   def q2FilterProjectSql: String =
     "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem WHERE l_quantity < 5 AND l_discount > 0.05"
 
-  /** 3-way join + agg + top-N (cf. TPC-H Q3 shape). customer is
-    * broadcast-sized vs lineitem; orders⋈lineitem shuffles on orderkey. */
+  /** 3-way join + agg + top-N (cf. TPC-H Q3 shape). customer SCALES WITH THE
+    * DATA (billions of rows at 100 TB), so it carries NO broadcast hint: AQE
+    * broadcasts it when its runtime size fits (as at test scale — PlanSpec
+    * asserts this) and degrades to a shuffle join when it doesn't, instead of
+    * OOMing on a forced broadcast. orders⋈lineitem shuffles on orderkey. */
   def q3JoinAgg(s: SparkSession, d: String): DataFrame = {
     val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
     val ord  = Tables.orders(s, d)
     val li   = Tables.lineitem(s, d)
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate"))
       .agg(revenueSum.as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey"))
@@ -112,8 +115,11 @@ object Relational {
       |GROUP BY o_orderkey, o_orderdate
       |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
 
-  /** 6-table join (cf. TPC-H Q5 shape): region/nation broadcast down the
-    * tree; the two fact tables meet in one shuffle join on orderkey. */
+  /** 6-table join (cf. TPC-H Q5 shape): region/nation are BOUNDED dims (25 /
+    * 5 rows at any SF) and keep explicit broadcast hints; customer and
+    * supplier SCALE WITH THE DATA and carry none — AQE broadcasts them while
+    * they fit and falls back to shuffle joins at cluster scale. The two fact
+    * tables meet in one shuffle join on orderkey. */
   def q5MultiJoin(s: SparkSession, d: String): DataFrame = {
     val reg = Tables.region(s, d).filter(col("r_name") === "ASIA")
     val nat = Tables.nation(s, d)
@@ -122,8 +128,8 @@ object Relational {
     val ord = Tables.orders(s, d)
     val li  = Tables.lineitem(s, d)
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
-      .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey")
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(sup, li("l_suppkey") === sup("s_suppkey")
         && cust("c_nationkey") === sup("s_nationkey"))
       .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
       .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))

@@ -103,11 +103,13 @@ object Relational2 {
       |FROM orders GROUP BY 1""".stripMargin
 
   /** Correlated scalar subquery: lineitems priced above their own part's
-    * retail price — decorrelates to a broadcast-able join on partkey. */
+    * retail price — decorrelates to an equi-join on partkey. part scales with
+    * the data, so no broadcast hint: AQE broadcasts the 2-column projection
+    * while it fits and shuffle-joins beyond that. */
   def qCorrelated(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
     val p = Tables.part(s, d).select(col("p_partkey"), col("p_retailprice"))
-    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+    li.join(p, li("l_partkey") === p("p_partkey"))
       .filter(col("l_extendedprice") > col("p_retailprice") * 20)
       .select(col("l_orderkey"), col("l_partkey"), col("l_extendedprice"))
   }

@@ -18,15 +18,25 @@ object Scale100Probe {
     if (!new java.io.File(out).exists()) {
       new java.io.File(out).mkdirs()
       val ord = spark.read.parquet(s"$src/orders.parquet")
+      val cust = spark.read.parquet(s"$src/customer.parquet")
       val maxOk = ord.agg(max("o_orderkey")).head().getLong(0) + 1
-      def rep(df: org.apache.spark.sql.DataFrame, k: String) =
-        spark.range(100).select(col("id")).crossJoin(df)
-          .withColumn(k, col(k) + col("id") * maxOk).drop("id")
-      rep(spark.read.parquet(s"$src/lineitem.parquet"), "l_orderkey")
+      val maxCk = cust.agg(max("c_custkey")).head().getLong(0) + 1
+      // Replicate shifting EVERY key column the replica owns — customer is
+      // scaled 100× along with the facts (c_custkey and o_custkey shift
+      // together), so the q3 probe exercises the real cluster regime where
+      // customer is NOT broadcast-sized and the plan must degrade to a
+      // shuffle join instead of OOMing on a forced broadcast.
+      def rep(df: org.apache.spark.sql.DataFrame, shifts: (String, Long)*) =
+        shifts.foldLeft(spark.range(100).select(col("id")).crossJoin(df)) {
+          case (acc, (k, m)) => acc.withColumn(k, col(k) + col("id") * m)
+        }.drop("id")
+      rep(spark.read.parquet(s"$src/lineitem.parquet"), "l_orderkey" -> maxOk)
         .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
-      rep(ord, "o_orderkey")
+      rep(ord, "o_orderkey" -> maxOk, "o_custkey" -> maxCk)
         .write.mode("overwrite").parquet(s"$out/orders.parquet")
-      for (t <- Seq("customer", "supplier", "nation", "region", "part"))
+      rep(cust, "c_custkey" -> maxCk)
+        .write.mode("overwrite").parquet(s"$out/customer.parquet")
+      for (t <- Seq("supplier", "nation", "region", "part"))
         spark.read.parquet(s"$src/$t.parquet")
           .write.mode("overwrite").parquet(s"$out/$t.parquet")
     }
@@ -44,6 +54,16 @@ object Scale100Probe {
       val t100 = timed { q(spark, out).write.format("noop").mode("overwrite").save() }
       println(f"$n%-18s 1x ${t1}%6.2f s   100x ${t100}%7.2f s   ratio ${t100 / t1}%6.1f")
     }
+    // Join-strategy proof: with no forced hint, the 100×-customer q3 plan
+    // must fall back from broadcast to a shuffle join (no OOM path).
+    val p3 = Relational.q3JoinAgg(spark, out).queryExecution.executedPlan.toString
+    // q3 has exactly two joins; orders⋈lineitem is always a shuffle join, so
+    // ANY BroadcastHashJoin in the plan is the customer join.
+    val custJoin =
+      if (p3.contains("BroadcastHashJoin")) "broadcast"
+      else if (p3.contains("SortMergeJoin") || p3.contains("ShuffledHashJoin")) "shuffle"
+      else "unknown"
+    println(s"q3_join_agg 100x-customer join strategy: $custJoin (expect shuffle)")
     spark.stop()
   }
 }
