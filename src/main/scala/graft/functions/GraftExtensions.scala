@@ -31,6 +31,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("dotp"),
       new ExpressionInfo(classOf[DotProductExpr].getName, "dotp"),
       (children: Seq[Expression]) => DotProductExpr(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("wib_decode"),
+      new ExpressionInfo(classOf[WibDecodeExpr].getName, "wib_decode"),
+      (children: Seq[Expression]) => WibDecodeExpr(children.head)))
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
 }
@@ -50,4 +54,6 @@ object GraftFunctions {
     GraftShim.column(HyperplaneSigExpr(GraftShim.expression(c), planes, tables, bits, dim))
   def dotp(a: Column, b: Column): Column =
     GraftShim.column(DotProductExpr(GraftShim.expression(a), GraftShim.expression(b)))
+  def wibDecode(c: Column): Column =
+    GraftShim.column(WibDecodeExpr(GraftShim.expression(c)))
 }

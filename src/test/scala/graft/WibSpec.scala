@@ -1,0 +1,101 @@
+package graft
+
+import graft.functions.{GraftFunctions, WibFrame}
+import graft.operators.Wib
+import graft.tools.WibGen
+import org.apache.spark.sql.functions._
+
+class WibSpec extends GraftSpec {
+
+  test("wib_decode round-trips the generator layout (codegen path)") {
+    val sess = spark; import sess.implicits._
+    val frames = for (s <- 0 until 3; f <- 0 until 5)
+      yield (s * 5L + f, WibGen.payload(s, f))
+    val rows = frames.toDF("frame_id", "payload")
+      .select(col("frame_id"), GraftFunctions.wibDecode(col("payload")).as("d"))
+      .select(col("frame_id"), col("d.src_id"), col("d.ts"), col("d.samples"))
+      .collect()
+    assert(rows.length == 15)
+    rows.foreach { r =>
+      val fid = r.getLong(0)
+      val (srcId, fIdx) = (fid / 5, (fid % 5).toInt)
+      assert(r.getLong(1) == srcId, "src_id header field")
+      assert(r.getLong(2) == 62_500_000_000L + fIdx * WibGen.TickStep, "ts header field")
+      val samples = r.getSeq[Int](3)
+      assert(samples.length == WibFrame.Channels * WibFrame.TicksPerChannel)
+      // independent reference decode: u16 LE straight off the bytes
+      val bytes = WibGen.payload(srcId.toInt, fIdx)
+      samples.zipWithIndex.foreach { case (v, j) =>
+        val off = WibFrame.HeaderBytes + 2 * j
+        val ref = (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+        assert(v == ref, s"sample $j")
+      }
+    }
+  }
+
+  test("wib_decode yields null for malformed payloads, not an exception") {
+    val sess = spark; import sess.implicits._
+    val bad = Seq(
+      Array[Byte](),                      // empty
+      Array[Byte](1, 2, 3),               // short header
+      new Array[Byte](WibFrame.HeaderBytes + 3)) // torn trailing sample byte
+    val out = bad.zipWithIndex.map { case (b, i) => (i.toLong, b) }
+      .toDF("id", "payload")
+      .select(GraftFunctions.wibDecode(col("payload")).as("d"))
+      .collect()
+    assert(out.forall(_.isNullAt(0)), "malformed frames must decode to null")
+  }
+
+  test("wib_decode handles u16 extremes and u32/u64 header ranges") {
+    val sess = spark; import sess.implicits._
+    // src_id with the high bit of byte 3 set (unsigned u32 > Int.MaxValue),
+    // samples at 0 and 65535
+    val bytes = new Array[Byte](WibFrame.HeaderBytes + 4)
+    bytes(0) = 0xff.toByte; bytes(3) = 0x80.toByte // src_id = 0x800000FF
+    bytes(11) = 0x10.toByte                        // ts has a high byte
+    bytes(12) = 0; bytes(13) = 0                   // sample 0 = 0
+    bytes(14) = 0xff.toByte; bytes(15) = 0xff.toByte // sample 1 = 65535
+    val r = Seq((1L, bytes)).toDF("id", "payload")
+      .select(GraftFunctions.wibDecode(col("payload")).as("d"))
+      .select(col("d.src_id"), col("d.ts"), col("d.samples")).collect().head
+    assert(r.getLong(0) == 0x800000FFL)
+    assert(r.getLong(1) == 0x10L << 56)
+    assert(r.getSeq[Int](2) == Seq(0, 65535))
+  }
+
+  test("q_wib_pedestal: one row per channel, exact stats vs driver-side decode") {
+    val out = Wib.qWibPedestal(spark, sf).collect()
+    assert(out.length == WibGen.Streams * WibFrame.Channels)
+    // recompute channel 0 stats from the generator directly
+    val samples = for {
+      f <- 0 until WibGen.FramesPerStream
+      bytes = WibGen.payload(0, f)
+      j <- 0 until (WibFrame.Channels * WibFrame.TicksPerChannel)
+      if j % WibFrame.Channels == 0
+    } yield {
+      val off = WibFrame.HeaderBytes + 2 * j
+      ((bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)).toLong
+    }
+    val row = out.find(r => r.getAs[Long]("channel") == 0L).get
+    assert(row.getAs[Long]("n_samples") == samples.length)
+    val mean = samples.sum.toDouble / samples.length
+    assert(row.getAs[Double]("mean_adc") == mean)
+    val rms = math.sqrt(samples.map(s => s * s).sum.toDouble / samples.length - mean * mean)
+    assert(row.getAs[Double]("rms_adc") == rms)
+    assert(row.getAs[Long]("peak_adc") == samples.max)
+    // dromap join: channel 0 is stream 0 → crate 8, slot 2, det 3
+    assert(row.getAs[Int]("det_id") == 3)
+    assert(row.getAs[Int]("crate_id") == 8)
+    assert(row.getAs[Int]("slot_id") == 2)
+  }
+
+  test("the frame scan stays in whole-stage codegen (no UDF boundary)") {
+    val df = Wib.qWibPedestal(spark, sf)
+    df.collect() // finalize the adaptive plan so codegen spans materialize
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*("),
+      s"decode stage must be codegen'd:\n${plan.take(500)}")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("MapPartitions"),
+      "no UDF/lambda boundary in the frame scan")
+  }
+}
