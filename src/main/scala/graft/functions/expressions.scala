@@ -262,23 +262,30 @@ case class RollingFingerprintExpr(child: Expression) extends UnaryExpression {
 }
 
 /** Strict sequential dot product of two ARRAY<DOUBLE> columns — one
-  * compiled loop per row. Float operation order is IDENTICAL to the
-  * higher-order-function formulation `aggregate(zip_with(a, b, _ * _),
-  * 0.0, _ + _)` (a left fold of the elementwise products), so results are
-  * bit-identical and swapping formulations cannot move an oracle hash.
-  * The HOF form allocates an intermediate products array and walks generic
-  * ArrayData per element; this kernel is the hot-path replacement for the
-  * ANN scoring and embedding near-dup verify stages.
+  * compiled loop per row. Semantics match the higher-order-function
+  * formulation `aggregate(zip_with(a, b, _ * _), 0.0, _ + _)` on ALL
+  * inputs, edge cases included: float operation order is the same left
+  * fold of elementwise products (bit-identical sums), a null element
+  * yields NULL (a null product poisons the HOF fold), and length-mismatched
+  * arrays yield NULL (zip_with pads the short side with nulls). Swapping
+  * formulations can therefore never move an oracle hash. The HOF form
+  * allocates an intermediate products array and walks generic ArrayData
+  * per element; this kernel is the hot-path replacement for the ANN
+  * scoring and embedding near-dup verify stages.
   */
 object DotProduct {
+  /** Boxed so the expression can return NULL exactly where the HOF does. */
   def compute(a: org.apache.spark.sql.catalyst.util.ArrayData,
-              b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
-    val x = a.toDoubleArray()
-    val y = b.toDoubleArray()
-    val n = math.min(x.length, y.length)
+              b: org.apache.spark.sql.catalyst.util.ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var d = 0.0
     var i = 0
-    while (i < n) { d += x(i) * y(i); i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      d += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
     d
   }
 }
@@ -297,14 +304,22 @@ case class DotProductExpr(left: Expression, right: Expression)
       s"dotp requires two ARRAY<DOUBLE> inputs, got ${left.dataType.catalogString}, ${right.dataType.catalogString}")
   }
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any =
     DotProduct.compute(
       a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
       b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.DotProduct.compute($a, $b);")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("dotp")
+      s"""
+         |java.lang.Double $tmp = graft.functions.DotProduct.compute($a, $b);
+         |${ev.isNull} = $tmp == null;
+         |${ev.value} = ${ev.isNull} ? -1.0 : $tmp.doubleValue();
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): DotProductExpr =

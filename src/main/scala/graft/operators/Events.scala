@@ -392,12 +392,15 @@ object Events {
       .agg(count(lit(1)).as("n_dead_minutes"))
   }
 
+  // day bucketing via make_timestamp(µs) — a NAIVE timestamp, so the oracle
+  // is timezone-free (to_timestamp returns TIMESTAMPTZ and its DATE cast
+  // would follow the DuckDB session timezone, which the gate never pins)
   def qEvtDeadtimeSql: String =
     """WITH m AS (SELECT CAST(floor(epoch(ts) / 60) AS BIGINT) AS m FROM events),
       |b AS (SELECT min(m) AS lo, max(m) AS hi FROM m),
       |mins AS (SELECT r.i AS m FROM b, unnest(range(b.lo, b.hi + 1)) AS r(i)),
       |dead AS (SELECT m FROM mins WHERE m NOT IN (SELECT m FROM m))
-      |SELECT CAST(to_timestamp(m * 60) AS DATE) AS day,
+      |SELECT CAST(make_timestamp(m * 60 * 1000000) AS DATE) AS day,
       |  CAST(count(*) AS BIGINT) AS n_dead_minutes
       |FROM dead GROUP BY 1""".stripMargin
 

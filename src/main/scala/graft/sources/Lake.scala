@@ -171,10 +171,31 @@ object Lake {
       .filter(col("snapshot_id") > sinceSnapshot && col("op") === "add"
         && col("snapshot_op").isin("append", "merge"))
       .select(col("path")).collect().map(_.getString(0)).toSeq
+    checkHorizon(ledger, paths, s"readSince($sinceSnapshot)")
     // schema fallback from the CURRENT live set — ever-added paths may have
     // been physically deleted by expireSnapshots
     val live = liveFilesAt(spark, ledgerDir, Long.MaxValue)
     readPaths(spark, paths, live)
+  }
+
+  /** Fail LOUDLY when an incremental read references files expireSnapshots
+    * already physically deleted (a consumer checkpointed before the
+    * retained horizon): silently dropping those rows would violate
+    * exactly-once, and letting the scan hit a missing path would fail with
+    * an opaque FileNotFound mid-job. The caller must re-bootstrap from a
+    * current snapshot (full read) instead. */
+  private def checkHorizon(ledger: DataFrame, paths: Seq[String],
+      what: String): Unit = {
+    if (paths.isEmpty) return
+    val expired = ledger.filter(col("op") === "expire")
+      .select(col("path")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val gone = paths.filter(expired)
+    if (gone.nonEmpty) throw new IllegalStateException(
+      s"incremental horizon passed: $what references ${gone.size} file(s) " +
+        s"physically deleted by expireSnapshots (e.g. ${gone.head}); the " +
+        "checkpoint predates the retained horizon — re-bootstrap from a " +
+        "current snapshot")
   }
 
   /** Ledger-aware compaction: rewrite the CURRENT live file set into
@@ -272,7 +293,10 @@ object Lake {
     * match target rows to `source` rows on `key`; matched rows are REPLACED
     * by their source row (whole-row update), unmatched source rows are
     * INSERTED, and matched source rows where `deleteWhen` holds DELETE
-    * their target row (and are not inserted). Copy-on-write at FILE
+    * their target row (and are not inserted). `deleteWhen` applies to
+    * MATCHED rows only — an unmatched source row is inserted regardless,
+    * exactly like SQL MERGE's `WHEN MATCHED AND cond THEN DELETE / WHEN
+    * NOT MATCHED THEN INSERT` arm pair. Copy-on-write at FILE
     * granularity: only files that contain a matched key are rewritten —
     * untouched files are neither read nor written, so a merge touching one
     * key rewrites one file, not the table.
@@ -316,9 +340,21 @@ object Lake {
         .select(col("_file")).distinct()
         .collect().map(_.getString(0)).toSet
     val affected = live.filter(p => affectedNorm.contains(normPath(p)))
-    val srcLive = deleteWhen
-      .map(c => source.filter(!coalesce(c, lit(false))))
-      .getOrElse(source)
+    // deleteWhen governs MATCHED source rows only (SQL MERGE semantics):
+    // a matched key necessarily lives in an affected file, so the matched
+    // key set is computable from the affected files alone — no full scan
+    val srcLive = deleteWhen match {
+      case Some(c) if affected.nonEmpty =>
+        val matchedKeys = readPaths(spark, affected, live)
+          .join(broadcast(srcKeys), Seq(key), "left_semi")
+          .select(col(key)).distinct()
+          .withColumn("_matched", lit(true))
+        source.join(broadcast(matchedKeys), Seq(key), "left")
+          .filter(!(coalesce(col("_matched"), lit(false))
+            && coalesce(c, lit(false))))
+          .drop("_matched")
+      case _ => source // no delete clause, or empty table (nothing matched)
+    }
     // whole-row replace means every surviving source row lands in the table:
     // updates (matched) and inserts (unmatched) are both just srcLive
     val delta = srcLive.select(cols: _*)
@@ -385,8 +421,13 @@ object Lake {
   /** Oracle-checked MERGE round-trip: build a lake from the customer table,
     * MERGE a source that updates every 7th key (+1000 acctbal), inserts a
     * shifted copy of every 97th key, and deletes matched MACHINERY rows —
-    * then read the final snapshot. The result is pure relational algebra
-    * over `customer`, so DuckDB can oracle it without a lake. */
+    * then read the final snapshot (the shifted inserts are UNMATCHED, so
+    * MACHINERY among them inserts anyway — the SQL MERGE arm semantics).
+    * The result is pure relational algebra over `customer`, so DuckDB can
+    * oracle it without a lake. The result is materialized (localCheckpoint)
+    * so the temp lake can be deleted before returning — Verify/Bench runs
+    * must not accumulate /tmp garbage. NOTE: the bench timing of this query
+    * therefore includes the lake build + merge WRITES, not just a read. */
   def qLakeMerge(spark: SparkSession, sfDir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_merge").toString
     val (landing, ledger, gen) = (s"$tmp/landing", s"$tmp/ledger", s"$tmp/gen")
@@ -399,9 +440,17 @@ object Lake {
       .withColumn("c_custkey", col("c_custkey") + 10000000)
     val snap = mergeInto(spark, ledger, gen, updates.unionByName(inserts),
       "c_custkey", deleteWhen = Some(col("c_mktsegment") === "MACHINERY"))
-    readAt(spark, ledger, snap)
+    val out = readAt(spark, ledger, snap)
       .select(col("c_custkey"), col("c_name"),
         col("c_acctbal").cast("double").as("acctbal"))
+      .localCheckpoint() // eager: materialize before the files vanish
+    deleteRecursively(new java.io.File(tmp))
+    out
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete()
   }
 
   /** DuckDB mirror of qLakeMerge's final table. */
@@ -414,7 +463,7 @@ object Lake {
       |UNION ALL
       |SELECT c_custkey + 10000000 AS c_custkey, c_name,
       |  CAST(c_acctbal AS DOUBLE) AS acctbal
-      |FROM customer WHERE c_custkey % 97 = 0 AND c_mktsegment <> 'MACHINERY'""".stripMargin
+      |FROM customer WHERE c_custkey % 97 = 0""".stripMargin
 
   /** Snapshot ids that CHANGED ROWS (added files under an append/merge
     * snapshot) — the units an incremental consumer must process exactly
@@ -437,6 +486,7 @@ object Lake {
       .filter(col("snapshot_id") === snapshot && col("op") === "add"
         && col("snapshot_op").isin("append", "merge"))
       .select(col("path")).collect().map(_.getString(0)).toSeq
+    checkHorizon(ledger, paths, s"readSnapshot($snapshot)")
     readPaths(spark, paths, liveFilesAt(spark, ledgerDir, Long.MaxValue))
   }
 
@@ -446,8 +496,13 @@ object Lake {
     * only remaining purpose was time travel into the expired range. The
     * expiry is recorded as an "expire" snapshot holding one row per
     * deleted path (audit trail); live files and the ledger itself are
-    * untouched, so readAt(s ≥ retainFrom) and readSince keep working
-    * while readAt(s < retainFrom) is explicitly no longer served.
+    * untouched, so readAt(s ≥ retainFrom) keeps working while
+    * readAt(s < retainFrom) is explicitly no longer served. Incremental
+    * reads (readSince/readSnapshot) keep working for checkpoints whose
+    * pending files all survive; a checkpoint old enough to reference an
+    * expired file fails loudly with an "incremental horizon passed" error
+    * (see checkHorizon) instead of silently dropping rows or crashing
+    * mid-scan on a missing path.
     *
     * This is the storage-reclamation bound every table format has: time
     * travel is only as deep as the files you keep. Returns the number of

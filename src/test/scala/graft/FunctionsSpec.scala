@@ -65,4 +65,23 @@ class FunctionsSpec extends GraftSpec {
       .collect().head.getDouble(0)
     assert(got == (1.0 * 4.0 + 2.0 * 5.0 + 3.0 * 6.0))
   }
+
+  test("dotp matches the HOF formulation on edge inputs (null elements, length mismatch)") {
+    // HOF reference: aggregate(zip_with(a, b, *), 0.0, +) — null element
+    // poisons the fold; zip_with pads a length mismatch with nulls → NULL
+    val cases = Seq(
+      ("array(1.0d, 2.0d)", "array(3.0d, 4.0d)"),
+      ("array(1.0d, cast(null as double))", "array(3.0d, 4.0d)"),
+      ("array(1.0d, 2.0d, 5.0d)", "array(3.0d, 4.0d)"),
+      ("array(cast(null as double))", "array(cast(null as double))"))
+    cases.foreach { case (a, b) =>
+      val r = spark.sql(
+        s"""SELECT dotp($a, $b) AS native,
+           |  aggregate(zip_with($a, $b, (x, y) -> x * y), 0.0d, (acc, v) -> acc + v) AS hof
+           |""".stripMargin).collect().head
+      assert(r.isNullAt(0) == r.isNullAt(1),
+        s"dotp($a, $b) nullness diverges from the HOF form")
+      if (!r.isNullAt(0)) assert(r.getDouble(0) == r.getDouble(1))
+    }
+  }
 }

@@ -130,6 +130,12 @@ class LedgerSpec extends GraftSpec {
       "a no-op expiry must not append a snapshot")
     // incremental consumers at the compaction checkpoint still see nothing new
     assert(Lake.readSince(spark, ledger, current).count() == 0)
+    // a consumer checkpointed BEFORE the horizon fails loudly with the
+    // horizon error — never a silent row drop or a mid-scan FileNotFound
+    val ex = intercept[IllegalStateException] { Lake.readSince(spark, ledger, 0) }
+    assert(ex.getMessage.contains("incremental horizon passed"))
+    val ex2 = intercept[IllegalStateException] { Lake.readSnapshot(spark, ledger, 1) }
+    assert(ex2.getMessage.contains("incremental horizon passed"))
   }
 
   test("same-bucketed tables join with zero exchanges") {

@@ -39,9 +39,14 @@ class MergePropertySpec extends GraftSpec {
       val snap = Lake.mergeInto(spark, s"$t0/ledger", s"$t0/gen", source,
         "c_custkey", deleteWhen = Some(col("c_mktsegment") === delSeg))
 
-      // relational definition: target rows with unmatched keys ∪ source
-      // rows not marked for delete
-      val srcLive = source.filter(col("c_mktsegment") =!= delSeg)
+      // relational definition: target rows with unmatched keys ∪ matched
+      // source rows not marked for delete ∪ ALL unmatched source rows
+      // (deleteWhen governs matched rows only — SQL MERGE arm semantics)
+      val tgtKeys = cust.select(col("c_custkey"))
+      val srcLive = source
+        .join(tgtKeys, Seq("c_custkey"), "left_semi")
+        .filter(col("c_mktsegment") =!= delSeg)
+        .unionByName(source.join(tgtKeys, Seq("c_custkey"), "left_anti"))
       val expected = rows(
         cust.join(source.select(col("c_custkey")), Seq("c_custkey"), "left_anti")
           .unionByName(srcLive))
