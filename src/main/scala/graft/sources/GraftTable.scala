@@ -38,6 +38,13 @@ final case class GraftTable(spark: SparkSession, ledgerDir: String,
   /** Snapshot-pinned time travel. */
   def readAt(s: Long): DataFrame = Lake.readAt(spark, ledgerDir, s)
 
+  /** Timestamp time travel (`AS OF <timestamp>`). */
+  def readAsOf(ts: java.sql.Timestamp): DataFrame =
+    Lake.readAsOf(spark, ledgerDir, ts)
+
+  /** One row per snapshot: commit time, op mix, file counts, bytes. */
+  def history(): DataFrame = Lake.history(spark, ledgerDir)
+
   /** Rows of every row-changing snapshot after `s`, exactly once. */
   def readSince(s: Long): DataFrame = Lake.readSince(spark, ledgerDir, s)
 

@@ -537,6 +537,47 @@ object Lake {
     deleted
   }
 
+  // ------------------------------------------------- history + AS-OF reads
+
+  /** One row per snapshot — the `table.history()` metadata view every
+    * table format exposes (what changed, when, how big): snapshot id,
+    * commit time, the snapshot_op mix, add/remove/expire file counts, and
+    * bytes added. Pure aggregation over the KB-scale ledger. */
+  def history(spark: SparkSession, ledgerDir: String): DataFrame = {
+    val ledger = readLedger(spark, ledgerDir).getOrElse(return spark.emptyDataFrame)
+    ledger.groupBy(col("snapshot_id"))
+      .agg(max(col("ingested_at")).as("committed_at"),
+        sort_array(collect_set(col("snapshot_op"))).as("ops"),
+        count(when(col("op") === "add", 1)).as("n_added"),
+        count(when(col("op") === "remove", 1)).as("n_removed"),
+        count(when(col("op") === "expire", 1)).as("n_expired"),
+        coalesce(sum(when(col("op") === "add", col("size"))), lit(0L))
+          .as("bytes_added"))
+      .orderBy(col("snapshot_id"))
+  }
+
+  /** Resolve a wall-clock timestamp to the snapshot the table was at —
+    * the latest snapshot committed at or before `ts` (`AS OF <timestamp>`,
+    * the form users actually type; snapshot ids are an implementation
+    * detail). Throws if `ts` precedes the first commit. */
+  def resolveAsOf(spark: SparkSession, ledgerDir: String,
+      ts: java.sql.Timestamp): Long = {
+    val ledger = readLedger(spark, ledgerDir).getOrElse(
+      throw new IllegalArgumentException(s"empty ledger at $ledgerDir"))
+    val row = ledger.groupBy(col("snapshot_id"))
+      .agg(max(col("ingested_at")).as("committed_at"))
+      .filter(col("committed_at") <= lit(ts))
+      .agg(max(col("snapshot_id"))).head()
+    if (row.isNullAt(0)) throw new IllegalArgumentException(
+      s"AS OF $ts precedes the table's first commit")
+    row.getLong(0)
+  }
+
+  /** Timestamp time travel: the table exactly as of wall-clock `ts`. */
+  def readAsOf(spark: SparkSession, ledgerDir: String,
+      ts: java.sql.Timestamp): DataFrame =
+    readAt(spark, ledgerDir, resolveAsOf(spark, ledgerDir, ts))
+
   /** Schema-evolution read: merge per-file schemas across generations
     * (added columns surface as nulls on old files) — the second
     * Iceberg-ism expressible on plain parquet. */
