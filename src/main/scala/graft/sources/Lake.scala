@@ -124,16 +124,26 @@ object Lake {
       .map(_.agg(max(col("snapshot_id"))).head().getLong(0))
       .getOrElse(0L)
 
-  /** Paths live AT `snapshot`: added in some snapshot ≤ it and not removed
-    * by any snapshot ≤ it. KB-scale driver list, like a manifest. */
+  /** The live file actions AT `snapshot` as a RELATION (path, size):
+    * added in some snapshot ≤ it and not removed by any snapshot ≤ it.
+    * Stays a DataFrame — the manifest-driven scan consumes it directly. */
+  private def liveActionsAt(ledger: DataFrame, snapshot: Long): DataFrame =
+    ledger.filter(col("snapshot_id") <= snapshot)
+      .groupBy(col("path"))
+      .agg(max(when(col("op") === "remove", col("snapshot_id"))).as("rm"),
+        max(when(col("op") === "add", col("snapshot_id"))).as("ad"),
+        max(when(col("op") === "add", col("size"))).as("size"))
+      .filter(col("ad").isNotNull && (col("rm").isNull || col("rm") < col("ad")))
+      .select(col("path"), col("size"))
+
+  /** Paths live AT `snapshot` — the driver-list form, used where the path
+    * set feeds driver-side bookkeeping (merge affected-file matching,
+    * expiry accounting). The QUERY path goes through liveActionsAt +
+    * LedgerFileIndex instead (no driver path list). */
   private def liveFilesAt(spark: SparkSession, ledgerDir: String,
       snapshot: Long): Seq[String] =
     readLedger(spark, ledgerDir).map { ledger =>
-      ledger.filter(col("snapshot_id") <= snapshot)
-        .groupBy(col("path"))
-        .agg(max(when(col("op") === "remove", col("snapshot_id"))).as("rm"),
-          max(when(col("op") === "add", col("snapshot_id"))).as("ad"))
-        .filter(col("ad").isNotNull && (col("rm").isNull || col("rm") < col("ad")))
+      liveActionsAt(ledger, snapshot)
         .select(col("path")).collect().map(_.getString(0)).toSeq
     }.getOrElse(Seq.empty)
 
@@ -150,11 +160,20 @@ object Lake {
   /** Snapshot-pinned TIME-TRAVEL read: the table exactly as of `snapshot`,
     * stable under any later appends/compactions (rewrites never delete the
     * files an older snapshot references; a vacuum that does would bound
-    * time travel, as in any table format). */
+    * time travel, as in any table format).
+    *
+    * MANIFEST-DRIVEN: the scan's file set is a `LedgerFileIndex` over the
+    * live-actions relation — `readAt` never collects a path list; file
+    * metadata (paths + sizes) materializes once inside the index when
+    * Spark plans the scan, with zero filesystem listing/stat calls (the
+    * production form SURVEY §3.9 names; at 100 TB the listing RPCs are
+    * the planning cost this kills). */
   def readAt(spark: SparkSession, ledgerDir: String, snapshot: Long): DataFrame = {
-    val live = liveFilesAt(spark, ledgerDir, snapshot)
-    val any = liveFilesAt(spark, ledgerDir, Long.MaxValue)
-    readPaths(spark, live, any)
+    val ledger = readLedger(spark, ledgerDir).getOrElse(return spark.emptyDataFrame)
+    val index = new LedgerFileIndex(liveActionsAt(ledger, snapshot))
+    if (index.isEmpty) // zero-row frame still carrying the table schema
+      readPaths(spark, Nil, liveFilesAt(spark, ledgerDir, Long.MaxValue))
+    else org.apache.spark.sql.GraftShim.parquetScan(spark, index)
   }
 
   /** Manifest-based incremental read: the rows of every file ADDED by a

@@ -16,6 +16,27 @@ object GraftShim {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Build a parquet scan over a custom `FileIndex` (manifest-driven scan:
+    * the file list comes from a table's own metadata, never a filesystem
+    * walk) — the `HadoopFsRelation`/`LogicalRelation` constructors are
+    * `private[sql]`-adjacent internals, hence this shim. Schema is inferred
+    * from the indexed files' footers via the parquet format itself. */
+  def parquetScan(spark: SparkSession,
+      index: org.apache.spark.sql.execution.datasources.FileIndex): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    val fmt = new ParquetFileFormat
+    val statuses = index.listFiles(Nil, Nil).flatMap(_.files.map(_.fileStatus))
+    val schema = fmt.inferSchema(cs, Map.empty[String, String], statuses)
+      .getOrElse(throw new IllegalStateException(
+        s"cannot infer schema from ${statuses.size} indexed parquet file(s)"))
+    val rel = HadoopFsRelation(index, partitionSchema = index.partitionSchema,
+      dataSchema = schema, bucketSpec = None, fileFormat = fmt,
+      options = Map.empty)(cs)
+    ofRows(spark, LogicalRelation(rel))
+  }
+
   /** Block until the async listener bus has delivered all queued events —
     * needed before reading job counts off a SparkListener in tests
     * (`listenerBus` is `private[spark]`, hence this shim). */

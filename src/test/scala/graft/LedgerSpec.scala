@@ -138,6 +138,28 @@ class LedgerSpec extends GraftSpec {
     assert(ex2.getMessage.contains("incremental horizon passed"))
   }
 
+  test("readAt scans through the manifest-driven LedgerFileIndex") {
+    val (landing, ledger) = fresh()
+    landFiles(landing, "click", 3)
+    Lake.ingestNewFiles(spark, landing, ledger)
+    val df = Lake.readAt(spark, ledger, 1)
+    // the scan's file source must be the ledger-fed index (file list +
+    // sizes from the manifest, no filesystem walk, no driver path list
+    // materialized by readAt itself)
+    val locations = df.queryExecution.logical.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation
+          .asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location
+    }
+    assert(locations.nonEmpty && locations.forall(
+      _.isInstanceOf[graft.sources.LedgerFileIndex]),
+      s"readAt must plan over LedgerFileIndex, got $locations")
+    // and the scan reads exactly the landed rows
+    assert(df.count() ==
+      Events.events(spark, sf).filter(col("event_type") === "click").count())
+  }
+
   test("same-bucketed tables join with zero exchanges") {
     val bcastWas = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
