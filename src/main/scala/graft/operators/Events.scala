@@ -404,6 +404,64 @@ object Events {
       |  CAST(count(*) AS BIGINT) AS n_dead_minutes
       |FROM dead GROUP BY 1""".stripMargin
 
+  /** Dead time attributed per RUN and TRIGGER CONFIG — the shifter's actual
+    * report ("which runs lost minutes, under which trigger config", cf.
+    * run/run_iceberg_daq.sh run stamping + the tlu epoch scripts): the
+    * q_evt_deadtime dead-minute set (zero-event minutes over the global
+    * span), each minute stamped with the authoritative run containing it
+    * ([start_ts, stop_ts)) and the trigger epoch containing it
+    * ([valid_from, valid_until)). Minutes in inter-run gaps drop (inner
+    * join — between runs the detector is EXPECTED silent; only in-run dead
+    * time is a stall). Scale shape: the dead-minute set is time-bounded
+    * (43 k rows / 30 days at any event volume) and both dims are KB-scale
+    * broadcasts, so everything after the presence anti-join is narrow. */
+  def qDeadtimeRuns(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .select(floor(unix_timestamp(col("ts")) / 60).as("m"))
+    val bounds = ev.agg(min(col("m")).as("lo"), max(col("m")).as("hi"))
+    val minutes = bounds.select(explode(sequence(col("lo"), col("hi"))).as("m"))
+    val dead = minutes.join(ev.distinct(), Seq("m"), "left_anti")
+      .withColumn("mts", timestamp_seconds(col("m") * 60))
+    val runsDim = Runs.authoritativeRuns(s)
+    val ep = Trigger.epochs(s)
+    dead
+      .join(broadcast(runsDim),
+        dead("mts") >= runsDim("start_ts") && dead("mts") < runsDim("stop_ts"))
+      .join(broadcast(ep),
+        dead("mts") >= ep("valid_from")
+          && (ep("valid_until").isNull || dead("mts") < ep("valid_until")))
+      .groupBy(col("run_number"), col("config_name"), col("epoch_id"),
+        col("faketrig_rate_hz"))
+      .agg(count(lit(1)).as("n_dead_minutes"),
+        min(col("m")).as("first_dead_minute"),
+        max(col("m")).as("last_dead_minute"))
+  }
+
+  def qDeadtimeRunsSql: String = {
+    val rp = graft.sources.Configs.absDir(Runs.DefaultRunsPath)
+    val tp = graft.sources.Configs.absDir(Trigger.DefaultPath)
+    s"""WITH m AS (SELECT CAST(floor(epoch(ts) / 60) AS BIGINT) AS m FROM events),
+       |b AS (SELECT min(m) AS lo, max(m) AS hi FROM m),
+       |mins AS (SELECT r.i AS m FROM b, unnest(range(b.lo, b.hi + 1)) AS r(i)),
+       |dead AS (SELECT m, make_timestamp(m * 60 * 1000000) AS mts
+       |  FROM mins WHERE m NOT IN (SELECT m FROM m)),
+       |runs AS (SELECT run_number, config_name,
+       |  CAST(start_ts AS TIMESTAMP) AS start_ts,
+       |  CAST(stop_ts AS TIMESTAMP) AS stop_ts FROM read_json_auto('$rp')),
+       |ep0 AS (SELECT epoch_id, faketrig_rate_hz,
+       |  CAST(valid_from AS TIMESTAMP) AS valid_from FROM read_json_auto('$tp')),
+       |ep AS (SELECT *, lead(valid_from) OVER (ORDER BY valid_from)
+       |  AS valid_until FROM ep0)
+       |SELECT r.run_number, r.config_name, ep.epoch_id, ep.faketrig_rate_hz,
+       |  count(*) AS n_dead_minutes,
+       |  min(d.m) AS first_dead_minute, max(d.m) AS last_dead_minute
+       |FROM dead d
+       |JOIN runs r ON d.mts >= r.start_ts AND d.mts < r.stop_ts
+       |JOIN ep ON d.mts >= ep.valid_from
+       |  AND (ep.valid_until IS NULL OR d.mts < ep.valid_until)
+       |GROUP BY r.run_number, r.config_name, ep.epoch_id, ep.faketrig_rate_hz""".stripMargin
+  }
+
   /** Coincidence window in seconds (±). */
   val CoincSeconds = 60
 
