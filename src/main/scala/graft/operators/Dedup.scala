@@ -332,6 +332,11 @@ object Dedup {
   private def embWithReps(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("vec"))
+      // MEASURED AND REJECTED (r6): partitioning this window by
+      // (size(vec), xxhash64(vec)) instead of the full array moved
+      // q_dedup_embed_lsh 5.13 → 4.96 s at sf0.1 (~3%, within run noise)
+      // while introducing a hash-collision correctness caveat that would
+      // need an exact-verify join at scale. The full-array key stays.
       .withColumn("rep_id",
         min(col("vec_id")).over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("vec"))))
