@@ -439,4 +439,41 @@ object Relational {
        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
        |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
        |   OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
+  /** TPC-H Q17 shape — small-quantity-order revenue: lineitems of one
+    * brand's parts whose quantity is below 0.2× that part's average
+    * quantity. The correlated aggregate subquery decorrelates to a
+    * per-part aggregate joined back to the fact — both sides shuffle on
+    * partkey ONCE (same key ⇒ the per-part agg's exchange is reusable for
+    * the join; no hint on part, it scales with the data). Determinism:
+    * the per-part average is computed as exact DECIMAL sum / count, double
+    * only at the comparison; the revenue sum is DECIMAL until the final
+    * /7 projection (float partial-sum order never moves the result). */
+  def q17SmallQty(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val brandParts = Tables.part(s, d)
+      .filter(col("p_brand") === "Brand#23")
+      .select(col("p_partkey"))
+    val perPart = li.groupBy(col("l_partkey").as("p_partkey"))
+      .agg((sum(col("l_quantity").cast("decimal(12,4)")).cast("double")
+        / count(lit(1))).as("avg_qty"))
+    li.join(brandParts, li("l_partkey") === brandParts("p_partkey"))
+      .drop("p_partkey")
+      .join(perPart, li("l_partkey") === perPart("p_partkey"))
+      .filter(col("l_quantity") < col("avg_qty") * 0.2)
+      .agg((sum(col("l_extendedprice").cast("decimal(12,4)")).cast("double")
+        / 7.0).as("avg_yearly"))
+  }
+
+  def q17SmallQtySql: String =
+    """WITH pp AS (SELECT l_partkey AS p_partkey,
+      |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE)
+      |    / count(*) AS DOUBLE) AS avg_qty
+      |  FROM lineitem GROUP BY l_partkey)
+      |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) / 7.0
+      |  AS avg_yearly
+      |FROM lineitem l
+      |JOIN part p ON l.l_partkey = p.p_partkey AND p.p_brand = 'Brand#23'
+      |JOIN pp ON l.l_partkey = pp.p_partkey
+      |WHERE l.l_quantity < pp.avg_qty * 0.2""".stripMargin
 }

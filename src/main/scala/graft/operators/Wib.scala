@@ -65,6 +65,116 @@ object Wib {
         col("peak_adc"), col("t_min"), col("t_max"))
   }
 
+  /** Coherent (common-mode) noise analysis — the second plot on the
+    * shifter's screen after pedestals: noise that moves all of a frame's
+    * channels TOGETHER (grounding/power pickup) vs channel-local noise.
+    * Per (frame, tick) the common mode is the 4-channel mean; per channel,
+    * total RMS splits into an incoherent part (RMS of the residual
+    * sample − commonMode) and the coherent remainder
+    * sqrt(max(0, total² − incoherent²)).
+    *
+    * Determinism discipline: the residual is (4·sample − Σ4)/4 — kept as
+    * the INTEGER numerator (4s − S) so every aggregation is an exact
+    * BIGINT sum ((4s−S)² ≤ 6.9e10 per tick, ~2e14 per channel — far
+    * inside BIGINT); doubles appear only in the final projection, so
+    * partial-sum order can never move a bit. Shape: decode → one window
+    * sum over (frame, tick) → per-channel agg — two narrow shuffles, the
+    * second bounded by channel count. */
+  def qWibCoherent(s: SparkSession, d: String): DataFrame = {
+    val dim = Dromap.flat(s, Configs.absDir(DromapPath))
+      .select(col("src_id").cast("long").as("src_id"),
+        col("det_id"), col("crate_id"), col("slot_id"))
+    val samples = frames(s)
+      .select(col("frame_id"), GraftFunctions.wibDecode(col("payload")).as("f"))
+      .select(col("frame_id"), col("f.src_id").as("src_id"),
+        posexplode(col("f.samples")).as(Seq("j", "sample")))
+      .select(col("frame_id"), col("src_id"),
+        (col("j") / WibFrame.Channels).cast("long").as("tick"),
+        (col("src_id") * WibFrame.Channels
+          + col("j") % WibFrame.Channels).as("channel"),
+        col("sample").cast("long").as("sample"))
+    val withCm = samples.withColumn("s4",
+      sum(col("sample")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("frame_id"), col("tick"))))
+      .withColumn("num", col("sample") * WibFrame.Channels - col("s4"))
+    val g = withCm.groupBy(col("src_id"), col("channel"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("sample")).as("ss"),
+        sum(col("sample") * col("sample")).as("ssq"),
+        sum(col("num")).as("sn"),
+        sum(col("num") * col("num")).as("sn2"))
+    val c = WibFrame.Channels.toLong
+    val derived = g
+      .withColumn("m", col("ss").cast("double") / col("n"))
+      .withColumn("mi", col("sn").cast("double") / (col("n") * c))
+      .withColumn("tot2",
+        col("ssq").cast("double") / col("n") - col("m") * col("m"))
+      .withColumn("inc2",
+        col("sn2").cast("double") / (col("n") * c * c) - col("mi") * col("mi"))
+    derived.join(broadcast(dim), "src_id")
+      .select(col("det_id"), col("crate_id"), col("slot_id"), col("channel"),
+        col("n").as("n_samples"),
+        sqrt(col("tot2")).as("rms_total"),
+        sqrt(col("inc2")).as("rms_incoherent"),
+        sqrt(greatest(col("tot2") - col("inc2"), lit(0.0))).as("rms_coherent"))
+  }
+
+  def qWibCoherentSql: String = {
+    val nSamples = WibFrame.Channels * WibFrame.TicksPerChannel
+    val srcTerms = (0 until 4)
+      .map(k => s"${byteSql(k.toString)} * ${1L << (8 * k)}")
+      .mkString(" + ")
+    val c = WibFrame.Channels
+    s"""WITH h AS (
+       |  SELECT frame_id, hex(payload) AS hx
+       |  FROM read_parquet('${Configs.absDir(FramesPath)}')
+       |),
+       |s AS (
+       |  SELECT frame_id, CAST($srcTerms AS BIGINT) AS src_id,
+       |         j // $c AS tick,
+       |         CAST($srcTerms AS BIGINT) * $c + j % $c AS channel,
+       |         CAST(${byteSql(s"12 + 2*j")} + 256 * ${byteSql(s"13 + 2*j")} AS BIGINT) AS sample
+       |  FROM h, generate_series(0, ${nSamples - 1}) AS t(j)
+       |),
+       |cm AS (SELECT frame_id, tick, sum(sample) AS s4 FROM s GROUP BY 1, 2),
+       |r AS (
+       |  SELECT s.src_id, s.channel, s.sample,
+       |         s.sample * $c - cm.s4 AS num
+       |  FROM s JOIN cm USING (frame_id, tick)
+       |),
+       |g AS (
+       |  SELECT src_id, channel, count(*) AS n,
+       |         CAST(sum(sample) AS BIGINT) AS ss,
+       |         CAST(sum(sample * sample) AS BIGINT) AS ssq,
+       |         CAST(sum(num) AS BIGINT) AS sn,
+       |         CAST(sum(num * num) AS BIGINT) AS sn2
+       |  FROM r GROUP BY src_id, channel
+       |),
+       |d0 AS (
+       |  SELECT src_id, channel, n,
+       |         CAST(ss AS DOUBLE) / n AS m,
+       |         CAST(sn AS DOUBLE) / (n * $c) AS mi,
+       |         CAST(ssq AS DOUBLE) / n AS e2,
+       |         CAST(sn2 AS DOUBLE) / (n * $c * $c) AS ei2
+       |  FROM g
+       |),
+       |der AS (
+       |  SELECT src_id, channel, n, e2 - m * m AS tot2, ei2 - mi * mi AS inc2
+       |  FROM d0
+       |),
+       |dim AS (
+       |  SELECT CAST(src_id AS BIGINT) AS src_id,
+       |         CAST(geo_id.det_id AS INTEGER) AS det_id,
+       |         CAST(geo_id.crate_id AS INTEGER) AS crate_id,
+       |         CAST(geo_id.slot_id AS INTEGER) AS slot_id
+       |  FROM read_json('${Configs.absDir(DromapPath)}', format='array')
+       |)
+       |SELECT det_id, crate_id, slot_id, channel, n AS n_samples,
+       |       sqrt(tot2) AS rms_total, sqrt(inc2) AS rms_incoherent,
+       |       sqrt(greatest(tot2 - inc2, 0)) AS rms_coherent
+       |FROM der JOIN dim USING (src_id)""".stripMargin
+  }
+
   /** Hex-pair value of 0-based byte `off` of the frame, as DuckDB SQL over
     * `hx` = hex(payload). */
   private def byteSql(off: String): String =

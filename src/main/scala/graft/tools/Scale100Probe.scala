@@ -54,16 +54,25 @@ object Scale100Probe {
       val t100 = timed { q(spark, out).write.format("noop").mode("overwrite").save() }
       println(f"$n%-18s 1x ${t1}%6.2f s   100x ${t100}%7.2f s   ratio ${t100 / t1}%6.1f")
     }
-    // Join-strategy proof: with no forced hint, the 100×-customer q3 plan
-    // must fall back from broadcast to a shuffle join (no OOM path).
-    val p3 = Relational.q3JoinAgg(spark, out).queryExecution.executedPlan.toString
+    // Join-strategy proof: with no forced hint the customer join strategy is
+    // SIZE-DRIVEN. The 100× replicated customer still compresses to ~6 MB
+    // (duplicate rows), below the 64 MB threshold, so the planner rightly
+    // broadcasts it; dropping the threshold below customer's size simulates
+    // the true cluster proportion (customer ≫ driver memory) and the SAME
+    // hint-free plan must degrade to a shuffle join — the OOM path a forced
+    // broadcast() hint would have taken is gone.
     // q3 has exactly two joins; orders⋈lineitem is always a shuffle join, so
     // ANY BroadcastHashJoin in the plan is the customer join.
-    val custJoin =
+    def custJoin(): String = {
+      val p3 = Relational.q3JoinAgg(spark, out).queryExecution.executedPlan.toString
       if (p3.contains("BroadcastHashJoin")) "broadcast"
       else if (p3.contains("SortMergeJoin") || p3.contains("ShuffledHashJoin")) "shuffle"
       else "unknown"
-    println(s"q3_join_agg 100x-customer join strategy: $custJoin (expect shuffle)")
+    }
+    println(s"q3 customer join, 64M threshold (customer fits): ${custJoin()} (expect broadcast)")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1MB")
+    println(s"q3 customer join, 1M threshold (customer too big): ${custJoin()} (expect shuffle)")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
     spark.stop()
   }
 }

@@ -37,8 +37,13 @@ object WibGen {
       val pedestal = 2250 + (13 * ch) % 101
       val r = mix(srcId * 1000003L + frameIdx * 257L + j)
       val noise = ((r >>> 33) % 51).toInt - 25
+      // common-mode pickup: depends on (stream, frame, tick) only — the
+      // same excursion hits all 4 channels of a tick (what q_wib_coherent
+      // separates from the channel-local noise above)
+      val rc = mix(srcId * 31337L + frameIdx * 65521L + j / WibFrame.Channels)
+      val cm = ((rc >>> 33) % 41).toInt - 20
       val peak = if ((r & 0x3ffL) == 0L) 3000 else 0 // ~1/1024 ticks spike
-      val v = pedestal + noise + peak
+      val v = pedestal + noise + cm + peak
       val off = WibFrame.HeaderBytes + 2 * j
       bytes(off) = (v & 0xff).toByte
       bytes(off + 1) = ((v >>> 8) & 0xff).toByte
