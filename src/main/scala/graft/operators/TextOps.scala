@@ -299,6 +299,66 @@ object TextOps {
        |    - i * ${ChunkSize - ChunkOverlap} AS INT) AS chunk_ntoks
        |FROM n, unnest(range(0, n_chunks)) AS r(i)""".stripMargin
 
+  /** Packed-sequence length (512-8192 at prod; the corpus docs are short). */
+  val PackSeqLen = 64
+  /** Docs per prefix-sum bucket — the two-phase-scan dial: bucket count is
+    * n/PackBucket, so the bucket-offset window stays KB-scale (set ~1e5 at
+    * 100 TB for ~1e4 bucket rows per billion docs). */
+  val PackBucket = 256
+
+  /** Sequence PACKING — concat-and-chunk, the step that turns a curated
+    * corpus into fixed-length training sequences (GPT-style: concatenate
+    * all documents in doc_id order, cut every PackSeqLen tokens): one row
+    * per (doc, training sequence) with the doc-token span [doc_from,
+    * doc_to) landing at seq_from inside that sequence. Every sequence
+    * except the ragged last is exactly full — zero padding waste.
+    *
+    * The global token offset of each doc is a prefix sum over doc order —
+    * computed SCALE-SAFELY as a two-phase scan, never a single-partition
+    * window over the corpus (the CLAUDE.md job-storm class): per-bucket
+    * totals first (tiny frame; its running-sum window holds n/PackBucket
+    * rows), then a within-bucket running sum whose window partitions are
+    * bounded by PackBucket. All-integer arithmetic (DIV semantics shared
+    * with the oracle), so the output is engine-exact. */
+  def qDocPack(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val C = PackSeqLen
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("bucket", expr(s"doc_id DIV $PackBucket"))
+    val bw = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketOffsets = docs.groupBy(col("bucket"))
+      .agg(sum(col("n_tok")).as("bsum"))
+      .withColumn("boffset", coalesce(sum(col("bsum")).over(bw), lit(0L)))
+      .select(col("bucket"), col("boffset"))
+    val ww = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.join(broadcast(bucketOffsets), "bucket")
+      .withColumn("off", col("boffset") + coalesce(sum(col("n_tok")).over(ww), lit(0L)))
+      .withColumn("seq_id", explode(sequence(
+        expr(s"off DIV $C"), expr(s"(off + n_tok - 1) DIV $C"))))
+      .select(col("doc_id"), col("seq_id"),
+        greatest(col("seq_id") * C - col("off"), lit(0L)).as("doc_from"),
+        least((col("seq_id") + 1) * C - col("off"), col("n_tok")).as("doc_to"),
+        greatest(col("off") - col("seq_id") * C, lit(0L)).as("seq_from"))
+  }
+
+  def qDocPackSql: String =
+    s"""WITH d AS (SELECT doc_id,
+       |  CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |o AS (SELECT doc_id, n_tok,
+       |  CAST(COALESCE(sum(n_tok) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+       |  FROM d)
+       |SELECT doc_id, t.seq_id,
+       |  greatest(t.seq_id * $PackSeqLen - off, 0) AS doc_from,
+       |  least((t.seq_id + 1) * $PackSeqLen - off, n_tok) AS doc_to,
+       |  greatest(off - t.seq_id * $PackSeqLen, 0) AS seq_from
+       |FROM o, unnest(range(off // $PackSeqLen,
+       |  (off + n_tok - 1) // $PackSeqLen + 1)) AS t(seq_id)""".stripMargin
+
   /** Duplicated-span gram length. */
   val SpanLen = 5
 

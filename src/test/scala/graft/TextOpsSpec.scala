@@ -80,4 +80,28 @@ class TextOpsSpec extends GraftSpec {
     assert(got.values.exists(_._4) && got.values.exists(!_._4),
       "flag should split the corpus")
   }
+
+  test("sequence packing: every sequence except the ragged last is exactly full") {
+    val rows = TextOps.qDocPack(spark, sf).collect()
+    // per-sequence occupancy = sum of doc spans landing in it
+    val bySeq = rows.groupBy(_.getAs[Long]("seq_id")).map { case (s, rs) =>
+      s -> rs.map(r => r.getAs[Long]("doc_to") - r.getAs[Long]("doc_from")).sum
+    }
+    val lastSeq = bySeq.keys.max
+    bySeq.foreach { case (s, occ) =>
+      if (s == lastSeq) assert(occ >= 1 && occ <= TextOps.PackSeqLen)
+      else assert(occ == TextOps.PackSeqLen, s"sequence $s holds $occ tokens")
+    }
+    // spans tile each doc completely and in order
+    val totalTokens = Tables.documents(spark, sf)
+      .select(size(TextOps.tokens(col("text"))).cast("long")).collect()
+      .map(_.getLong(0)).sum
+    assert(rows.map(r => r.getAs[Long]("doc_to") - r.getAs[Long]("doc_from")).sum
+      == totalTokens, "packed spans must cover every token exactly once")
+    // seq_from + span never overflows the sequence
+    rows.foreach { r =>
+      val w = r.getAs[Long]("doc_to") - r.getAs[Long]("doc_from")
+      assert(w > 0 && r.getAs[Long]("seq_from") + w <= TextOps.PackSeqLen)
+    }
+  }
 }
