@@ -80,6 +80,66 @@ object Trigger {
        |FROM ep""".stripMargin
   }
 
+  /** Trigger-rate QA — "is the trigger actually firing at the configured
+    * rate": per epoch, the measured event rate vs the configured
+    * fake-trigger rate (cf. tlu/tlu-start.sh "faketrig-conf 2 2 2" → 2 Hz;
+    * a rate whose HSI channel is masked out records NOTHING — the
+    * misconfiguration qTrigEpochs decodes is exactly what this catches as
+    * measured ≈ 0). The epoch span is clamped to the observed event range
+    * (the open last epoch has no valid_until; an epoch before the first
+    * event measures over zero span and drops). Exact integer counts and
+    * microsecond spans; the rate double only in the final projection. */
+  def qTrigRateCheck(s: SparkSession, d: String): DataFrame = {
+    val ev = Events.events(s, d)
+    val ep = epochs(s)
+    val span = ev.agg(min(col("ts")).as("ev_lo"), max(col("ts")).as("ev_hi"))
+    val counts = ev.join(broadcast(ep),
+        ev("ts") >= ep("valid_from")
+          && (ep("valid_until").isNull || ev("ts") < ep("valid_until")))
+      .groupBy(col("epoch_id"))
+      .agg(count(lit(1)).as("n_events"))
+    ep.crossJoin(broadcast(span))
+      .select(col("epoch_id"), col("faketrig_rate_hz"),
+        greatest(col("valid_from"), col("ev_lo")).as("lo"),
+        least(coalesce(col("valid_until"), col("ev_hi")), col("ev_hi")).as("hi"))
+      .filter(col("hi") > col("lo"))
+      .join(counts, Seq("epoch_id"), "left")
+      .withColumn("span_us", unix_micros(col("hi")) - unix_micros(col("lo")))
+      .withColumn("span_s", expr("span_us DIV 1000000")) // integer seconds (oracle //)
+      .filter(col("span_s") > 0)
+      .select(col("epoch_id"), col("faketrig_rate_hz"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("span_s"),
+        (coalesce(col("n_events"), lit(0L)).cast("double") / col("span_s"))
+          .as("measured_hz"))
+  }
+
+  def qTrigRateCheckSql: String = {
+    val p = graft.sources.Configs.absDir(DefaultPath)
+    s"""WITH ep0 AS (SELECT epoch_id, faketrig_rate_hz,
+       |    CAST(valid_from AS TIMESTAMP) AS valid_from
+       |  FROM read_json_auto('$p')),
+       |ep AS (SELECT *, lead(valid_from) OVER (ORDER BY valid_from)
+       |    AS valid_until FROM ep0),
+       |span AS (SELECT min(ts) AS ev_lo, max(ts) AS ev_hi FROM events),
+       |counts AS (SELECT ep.epoch_id, count(*) AS n_events
+       |  FROM events ev JOIN ep ON ev.ts >= ep.valid_from
+       |    AND (ep.valid_until IS NULL OR ev.ts < ep.valid_until)
+       |  GROUP BY ep.epoch_id),
+       |clamped AS (SELECT ep.epoch_id, ep.faketrig_rate_hz,
+       |    greatest(ep.valid_from, span.ev_lo) AS lo,
+       |    least(coalesce(ep.valid_until, span.ev_hi), span.ev_hi) AS hi
+       |  FROM ep, span)
+       |SELECT c.epoch_id, c.faketrig_rate_hz,
+       |  CAST(coalesce(n.n_events, 0) AS BIGINT) AS n_events,
+       |  (epoch_us(c.hi) - epoch_us(c.lo)) // 1000000 AS span_s,
+       |  CAST(coalesce(n.n_events, 0) AS DOUBLE)
+       |    / ((epoch_us(c.hi) - epoch_us(c.lo)) // 1000000) AS measured_hz
+       |FROM clamped c LEFT JOIN counts n ON c.epoch_id = n.epoch_id
+       |WHERE c.hi > c.lo
+       |  AND (epoch_us(c.hi) - epoch_us(c.lo)) // 1000000 > 0""".stripMargin
+  }
+
   /** Coincidence counting per trigger-config epoch — "did the config
     * change the coincidence rate": q_evt_coincidence's bucketed equi-join
     * (never a time cross-join), with the error side stamped by its epoch
