@@ -38,6 +38,34 @@ object Streams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicates("event_id")
 
+  /** Online per-channel pedestal monitor — the STREAMING twin of
+    * `Wib.qWibPedestal` (the live plot a shifter watches while frames
+    * land): raw frame rows stream in, the native `wib_decode` expression
+    * runs inside the micro-batch scan, and per-channel counts/sums
+    * accumulate as exact BIGINT partial aggregates. A `DataFrame =>
+    * DataFrame` transform, so Structured Streaming incrementalizes the
+    * SAME plan the batch query runs — the spec proves the streamed totals
+    * equal the batch computation over all landed frames. State is one row
+    * per channel (det-scale), so complete-mode output is bounded. Doubles
+    * (mean/RMS) are derived downstream of the exact sums, never
+    * accumulated. */
+  def wibMonitor(frames: DataFrame): DataFrame = {
+    import graft.functions.{GraftFunctions, WibFrame}
+    frames
+      .select(GraftFunctions.wibDecode(col("payload")).as("f"))
+      .select(col("f.src_id").as("src_id"),
+        posexplode(col("f.samples")).as(Seq("j", "sample")))
+      .select(
+        (col("src_id") * WibFrame.Channels
+          + col("j") % WibFrame.Channels).as("channel"),
+        col("sample").cast("long").as("sample"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_samples"),
+        sum(col("sample")).as("sum_s"),
+        sum(col("sample") * col("sample")).as("sum_sq"),
+        max(col("sample")).as("peak_adc"))
+  }
+
   // ------------------------------------------------------- stateful sessions
 
   case class Evt(user_id: Long, event_id: Long, ts: Timestamp, value: Double) {
