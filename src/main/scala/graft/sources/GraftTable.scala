@@ -28,9 +28,11 @@ final case class GraftTable(spark: SparkSession, ledgerDir: String,
   /** Current snapshot id (0 = empty table). */
   def snapshot: Long = Lake.currentSnapshot(spark, ledgerDir)
 
-  /** Ingest new parquet files from a landing dir; returns files added. */
-  def ingest(landingDir: String): Long =
-    Lake.ingestNewFiles(spark, landingDir, ledgerDir)
+  /** Ingest new parquet files from a landing dir; returns files added.
+    * `statsCol` records per-file min/max of that column in the ledger so
+    * reads data-skip files against filters on it (Lake.ingestNewFiles). */
+  def ingest(landingDir: String, statsCol: Option[String] = None): Long =
+    Lake.ingestNewFiles(spark, landingDir, ledgerDir, statsCol)
 
   /** The table as of the current snapshot. */
   def read(): DataFrame = Lake.readAt(spark, ledgerDir, snapshot)

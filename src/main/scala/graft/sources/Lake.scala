@@ -83,12 +83,33 @@ object Lake {
     * insert_extra_fields.py:24-29); only the KB-scale ledger delta touches
     * the driver. Returns the number of files ingested. */
   def ingestNewFiles(spark: SparkSession, landingDir: String,
-      ledgerDir: String): Long = {
-    val current = spark.read.format("binaryFile")
+      ledgerDir: String, statsCol: Option[String] = None): Long = {
+    val current0 = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.parquet")
       .load(landingDir)
       .select(col("path"), col("length").as("size"),
         graft.functions.GraftFunctions.adler32(col("content")).as("adler32"))
+    // per-file column stats for manifest data skipping: one distributed
+    // pass over the landing data keyed by source file (the stats ride in
+    // the ledger row, so readAt's LedgerFileIndex can prune files against
+    // pushed filters without opening them — Iceberg/Delta-style skipping)
+    val current = statsCol match {
+      case Some(c) =>
+        val stats = spark.read.parquet(landingDir)
+          .select(regexp_replace(input_file_name(), "^file:/+", "/").as("_np"),
+            col(c).cast("long").as("_v"))
+          .groupBy(col("_np"))
+          .agg(min(col("_v")).as("stats_min"), max(col("_v")).as("stats_max"))
+        current0
+          .withColumn("_np", regexp_replace(col("path"), "^file:/+", "/"))
+          .join(stats, Seq("_np"), "left")
+          .drop("_np")
+          .withColumn("stats_col", lit(c))
+      case None => current0
+        .withColumn("stats_col", lit(null).cast("string"))
+        .withColumn("stats_min", lit(null).cast("long"))
+        .withColumn("stats_max", lit(null).cast("long"))
+    }
     val (newFiles, nextSnapshot) = readLedger(spark, ledgerDir) match {
       case Some(ledger) =>
         val next = ledger.agg(max(col("snapshot_id"))).head().getLong(0) + 1
@@ -101,11 +122,17 @@ object Lake {
       .withColumn("ingested_at", current_timestamp())
       .withColumn("op", lit("add"))
       .withColumn("snapshot_op", lit("append"))
+      .select(LedgerCols.map(col): _*)
       .localCheckpoint() // materialize BEFORE appending to the dir we read
     val n = delta.count()
     if (n > 0) delta.write.mode("append").parquet(ledgerDir)
     n
   }
+
+  /** Canonical ledger row columns (stats_* nullable — null means "no
+    * stats recorded, never skip this file"). */
+  private val LedgerCols = Seq("path", "size", "adler32", "snapshot_id",
+    "ingested_at", "op", "snapshot_op", "stats_col", "stats_min", "stats_max")
 
   /** The ledger if it holds any data — decided from the presence of ledger
     * DATA files, not _SUCCESS: after a partially failed append the marker
@@ -128,13 +155,17 @@ object Lake {
     * added in some snapshot ≤ it and not removed by any snapshot ≤ it.
     * Stays a DataFrame — the manifest-driven scan consumes it directly. */
   private def liveActionsAt(ledger: DataFrame, snapshot: Long): DataFrame =
-    ledger.filter(col("snapshot_id") <= snapshot)
+    withLedgerStats(ledger).filter(col("snapshot_id") <= snapshot)
       .groupBy(col("path"))
       .agg(max(when(col("op") === "remove", col("snapshot_id"))).as("rm"),
         max(when(col("op") === "add", col("snapshot_id"))).as("ad"),
-        max(when(col("op") === "add", col("size"))).as("size"))
+        max(when(col("op") === "add", col("size"))).as("size"),
+        max(when(col("op") === "add", col("stats_col"))).as("stats_col"),
+        max(when(col("op") === "add", col("stats_min"))).as("stats_min"),
+        max(when(col("op") === "add", col("stats_max"))).as("stats_max"))
       .filter(col("ad").isNotNull && (col("rm").isNull || col("rm") < col("ad")))
-      .select(col("path"), col("size"))
+      .select(col("path"), col("size"), col("stats_col"),
+        col("stats_min"), col("stats_max"))
 
   /** Paths live AT `snapshot` — the driver-list form, used where the path
     * set feeds driver-side bookkeeping (merge affected-file matching,
@@ -233,18 +264,47 @@ object Lake {
     val snap = currentSnapshot(spark, ledgerDir)
     val live = liveFilesAt(spark, ledgerDir, snap)
     if (live.isEmpty) return 0L
+    // carry the data-skipping capability through the rewrite: if the live
+    // ledger rows record stats for a column, recompute them for the
+    // compacted generation
+    val statsCol = readLedger(spark, ledgerDir)
+      .flatMap(_.filter(col("stats_col").isNotNull)
+        .select(col("stats_col")).limit(1)
+        .collect().headOption.map(_.getString(0)))
     val next = snap + 1
     val genDir = s"$compactDir/gen-$next"
     val df = spark.read.parquet(live: _*)
     val n = df.count()
     val files = math.max(1, math.ceil(n.toDouble / targetRowsPerFile).toInt)
-    df.repartition(files).write.mode("overwrite").parquet(genDir)
-    val added = spark.read.format("binaryFile")
+    // a stats column makes compaction CLUSTERING-preserving: range-partition
+    // the rewrite by it so the recomputed per-file [min,max] stay narrow and
+    // data skipping survives the rewrite (the OPTIMIZE discipline — a hash
+    // repartition would leave stats correct but every file full-range wide)
+    val repartitioned = statsCol match {
+      case Some(c) => df.repartitionByRange(files, col(c))
+      case None => df.repartition(files)
+    }
+    repartitioned.write.mode("overwrite").parquet(genDir)
+    val added0 = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.parquet")
       .load(genDir)
       .select(col("path"), col("length").as("size"),
         graft.functions.GraftFunctions.adler32(col("content")).as("adler32"))
       .withColumn("op", lit("add"))
+    val added = statsCol match {
+      case Some(c) =>
+        val stats = spark.read.parquet(genDir)
+          .select(regexp_replace(input_file_name(), "^file:/+", "/").as("_np"),
+            col(c).cast("long").as("_v"))
+          .groupBy(col("_np"))
+          .agg(min(col("_v")).as("stats_min"), max(col("_v")).as("stats_max"))
+        added0
+          .withColumn("_np", regexp_replace(col("path"), "^file:/+", "/"))
+          .join(stats, Seq("_np"), "left")
+          .drop("_np")
+          .withColumn("stats_col", lit(c))
+      case None => added0
+    }
     val removed = spark.createDataFrame(
         spark.sparkContext.parallelize(live.map(org.apache.spark.sql.Row(_)), 1),
         org.apache.spark.sql.types.StructType(Seq(
@@ -253,12 +313,11 @@ object Lake {
       .withColumn("size", lit(null).cast("long"))
       .withColumn("adler32", lit(null).cast("long"))
       .withColumn("op", lit("remove"))
-    added.unionByName(removed)
+    withLedgerStats(added).unionByName(withLedgerStats(removed))
       .withColumn("snapshot_id", lit(next))
       .withColumn("ingested_at", current_timestamp())
       .withColumn("snapshot_op", lit("replace"))
-      .select(col("path"), col("size"), col("adler32"), col("snapshot_id"),
-        col("ingested_at"), col("op"), col("snapshot_op"))
+      .select(LedgerCols.map(col): _*)
       .localCheckpoint()
       .write.mode("append").parquet(ledgerDir)
     next
@@ -281,16 +340,25 @@ object Lake {
       .select(col("path"), col("length").as("size"),
         graft.functions.GraftFunctions.adler32(col("content")).as("adler32"))
 
+  /** Null-fill any missing stats columns so every writer emits the full
+    * canonical ledger schema. */
+  private def withLedgerStats(df: DataFrame): DataFrame = {
+    val have = df.columns.toSet
+    Seq("stats_col" -> "string", "stats_min" -> "long", "stats_max" -> "long")
+      .foldLeft(df) { case (acc, (c, t)) =>
+        if (have(c)) acc else acc.withColumn(c, lit(null).cast(t))
+      }
+  }
+
   /** Append one ledger snapshot made of `adds` (path,size,adler32 + op col
     * already set) tagged per-row with `snapshotOp`, plus removes for
     * `removedPaths`. */
   private def appendSnapshot(spark: SparkSession, ledgerDir: String,
       snapshot: Long, actions: DataFrame): Unit =
-    actions
+    withLedgerStats(actions)
       .withColumn("snapshot_id", lit(snapshot))
       .withColumn("ingested_at", current_timestamp())
-      .select(col("path"), col("size"), col("adler32"), col("snapshot_id"),
-        col("ingested_at"), col("op"), col("snapshot_op"))
+      .select(LedgerCols.map(col): _*)
       .localCheckpoint()
       .write.mode("append").parquet(ledgerDir)
 
