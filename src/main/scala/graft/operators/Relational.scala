@@ -443,23 +443,29 @@ object Relational {
   /** TPC-H Q17 shape — small-quantity-order revenue: lineitems of one
     * brand's parts whose quantity is below 0.2× that part's average
     * quantity. The correlated aggregate subquery decorrelates to a
-    * per-part aggregate joined back to the fact — both sides shuffle on
-    * partkey ONCE (same key ⇒ the per-part agg's exchange is reusable for
-    * the join; no hint on part, it scales with the data). Determinism:
-    * the per-part average is computed as exact DECIMAL sum / count, double
-    * only at the comparison; the revenue sum is DECIMAL until the final
-    * /7 projection (float partial-sum order never moves the result). */
+    * per-part aggregate joined back to the fact — with the decorrelation
+    * SCOPED to the keys the outer query consumes: lineitem is semi-joined
+    * to the brand's partkeys FIRST, so the per-part aggregate runs over
+    * only the ~4% of rows whose averages are needed (every lineitem of a
+    * kept partkey survives the semi-join, so each per-part average is
+    * bit-identical to the all-parts computation). Both the aggregate and
+    * the outer fact read the same scoped subtree, shuffled on partkey once
+    * (reusable exchange; no hint on part — size-driven, it scales).
+    * Determinism: the per-part average is exact DECIMAL sum / count,
+    * double only at the comparison; the revenue sum is DECIMAL until the
+    * final /7 projection (float partial-sum order never moves the
+    * result). */
   def q17SmallQty(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
     val brandParts = Tables.part(s, d)
       .filter(col("p_brand") === "Brand#23")
       .select(col("p_partkey"))
-    val perPart = li.groupBy(col("l_partkey").as("p_partkey"))
+    val liBrand = li.join(brandParts,
+      li("l_partkey") === brandParts("p_partkey"), "left_semi")
+    val perPart = liBrand.groupBy(col("l_partkey").as("p_partkey"))
       .agg((sum(col("l_quantity").cast("decimal(12,4)")).cast("double")
         / count(lit(1))).as("avg_qty"))
-    li.join(brandParts, li("l_partkey") === brandParts("p_partkey"))
-      .drop("p_partkey")
-      .join(perPart, li("l_partkey") === perPart("p_partkey"))
+    liBrand.join(perPart, liBrand("l_partkey") === perPart("p_partkey"))
       .filter(col("l_quantity") < col("avg_qty") * 0.2)
       .agg((sum(col("l_extendedprice").cast("decimal(12,4)")).cast("double")
         / 7.0).as("avg_yearly"))

@@ -77,33 +77,43 @@ object Wib {
     * the INTEGER numerator (4s − S) so every aggregation is an exact
     * BIGINT sum ((4s−S)² ≤ 6.9e10 per tick, ~2e14 per channel — far
     * inside BIGINT); doubles appear only in the final projection, so
-    * partial-sum order can never move a bit. Shape: decode → one window
-    * sum over (frame, tick) → per-channel agg — two narrow shuffles, the
-    * second bounded by channel count. */
+    * partial-sum order can never move a bit.
+    *
+    * Shape: all of a tick's `Channels` samples live in the SAME decoded
+    * frame row (channel-interleaved payload), so the per-tick sum is
+    * computed IN-ROW with a higher-order `transform`/`aggregate` over the
+    * samples array BEFORE `posexplode` — never a window over the exploded
+    * sample stream (which would shuffle the entire detector stream once to
+    * compute something each row already contains). The only shuffle is the
+    * final per-channel aggregation, bounded by channel count; everything
+    * before it pipelines inside the scan stage (PlanSpec: no Window). */
   def qWibCoherent(s: SparkSession, d: String): DataFrame = {
+    val c = WibFrame.Channels.toLong
     val dim = Dromap.flat(s, Configs.absDir(DromapPath))
       .select(col("src_id").cast("long").as("src_id"),
         col("det_id"), col("crate_id"), col("slot_id"))
-    val samples = frames(s)
-      .select(col("frame_id"), GraftFunctions.wibDecode(col("payload")).as("f"))
-      .select(col("frame_id"), col("f.src_id").as("src_id"),
-        posexplode(col("f.samples")).as(Seq("j", "sample")))
-      .select(col("frame_id"), col("src_id"),
-        (col("j") / WibFrame.Channels).cast("long").as("tick"),
-        (col("src_id") * WibFrame.Channels
-          + col("j") % WibFrame.Channels).as("channel"),
-        col("sample").cast("long").as("sample"))
-    val withCm = samples.withColumn("s4",
-      sum(col("sample")).over(org.apache.spark.sql.expressions.Window
-        .partitionBy(col("frame_id"), col("tick"))))
-      .withColumn("num", col("sample") * WibFrame.Channels - col("s4"))
+    val withCm = frames(s)
+      .select(GraftFunctions.wibDecode(col("payload")).as("f"))
+      .select(col("f.src_id").as("src_id"), col("f.samples").as("samples"))
+      // per-tick channel sums, one BIGINT per tick, computed inside the row
+      .withColumn("ticksums", expr(
+        s"transform(sequence(0, size(samples) DIV $c - 1)," +
+          s" t -> aggregate(slice(samples, t * $c + 1, $c)," +
+          s" CAST(0 AS BIGINT), (a, x) -> a + x))"))
+      .select(col("src_id"), col("ticksums"),
+        posexplode(col("samples")).as(Seq("j", "sample")))
+      .select(col("src_id"),
+        (col("src_id") * c + col("j") % c).as("channel"),
+        col("sample").cast("long").as("sample"),
+        (col("sample").cast("long") * c
+          - element_at(col("ticksums"),
+            (expr(s"j DIV $c") + 1).cast("int"))).as("num"))
     val g = withCm.groupBy(col("src_id"), col("channel"))
       .agg(count(lit(1)).as("n"),
         sum(col("sample")).as("ss"),
         sum(col("sample") * col("sample")).as("ssq"),
         sum(col("num")).as("sn"),
         sum(col("num") * col("num")).as("sn2"))
-    val c = WibFrame.Channels.toLong
     val derived = g
       .withColumn("m", col("ss").cast("double") / col("n"))
       .withColumn("mi", col("sn").cast("double") / (col("n") * c))

@@ -146,6 +146,31 @@ class PlanSpec extends GraftSpec {
     assert(plan.toLowerCase.contains("leftanti"), "minute-dim anti-join expected")
   }
 
+  test("wib coherent computes the common mode in-row — no window over the sample stream") {
+    // all of a tick's samples live in one decoded frame row, so the per-tick
+    // sum must come from a higher-order function over the samples array, not
+    // a (frame, tick) window that would shuffle the full sample stream
+    val plan = Wib.qWibCoherent(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"common mode must be computed in-row, not via a window:\n${plan.take(1500)}")
+    assert(plan.contains("HashAggregate"), "two-phase per-channel aggregation expected")
+  }
+
+  test("q17 per-part aggregate is scoped to the brand's partkeys") {
+    // decorrelation scope = needed keys only: the Aggregate grouping on
+    // l_partkey must sit ABOVE the brand semi-join, never over all parts
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val opt = Relational.q17SmallQty(spark, sf).queryExecution.optimizedPlan
+    val scoped = opt.collect {
+      case a: Aggregate
+          if a.groupingExpressions.exists(_.references.exists(_.name == "l_partkey")) =>
+        a.exists { case j: Join => j.joinType.sql == "LEFT SEMI"; case _ => false }
+    }
+    assert(scoped.nonEmpty, "expected a per-part Aggregate in the optimized plan")
+    assert(scoped.forall(identity),
+      s"per-part aggregate input must carry the brand partkey semi-join:\n${opt.toString.take(2000)}")
+  }
+
   test("batched ann_ivf keeps dynamic partition pruning over the union of probe lists") {
     // the batched contract: B probes = ONE assignments scan reading at most
     // the UNION of their nProbe lists (DPP from the broadcast probe→list
