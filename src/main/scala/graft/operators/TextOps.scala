@@ -325,6 +325,11 @@ object TextOps {
     val C = PackSeqLen
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))
+      // tokenless docs (null text ⇒ size −1, empty ⇒ 0) contribute nothing
+      // to any sequence; without the guard Spark's sequence(a, b) with
+      // b < a emits a DESCENDING run (spurious negative spans) while the
+      // oracle's range() emits nothing — filter BOTH engines identically
+      .filter(col("n_tok") > 0)
       .withColumn("bucket", expr(s"doc_id DIV $PackBucket"))
     val bw = Window.orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -345,9 +350,10 @@ object TextOps {
   }
 
   def qDocPackSql: String =
-    s"""WITH d AS (SELECT doc_id,
+    s"""WITH d0 AS (SELECT doc_id,
        |  CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n_tok
        |  FROM documents),
+       |d AS (SELECT * FROM d0 WHERE n_tok > 0),
        |o AS (SELECT doc_id, n_tok,
        |  CAST(COALESCE(sum(n_tok) OVER (ORDER BY doc_id
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off

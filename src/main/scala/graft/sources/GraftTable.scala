@@ -29,10 +29,11 @@ final case class GraftTable(spark: SparkSession, ledgerDir: String,
   def snapshot: Long = Lake.currentSnapshot(spark, ledgerDir)
 
   /** Ingest new parquet files from a landing dir; returns files added.
-    * `statsCol` records per-file min/max of that column in the ledger so
-    * reads data-skip files against filters on it (Lake.ingestNewFiles). */
-  def ingest(landingDir: String, statsCol: Option[String] = None): Long =
-    Lake.ingestNewFiles(spark, landingDir, ledgerDir, statsCol)
+    * `statsCols` records a per-file [floor(min), ceil(max)] map of those
+    * columns in the ledger so reads data-skip files against filters on
+    * any of them (Lake.ingestNewFiles). */
+  def ingest(landingDir: String, statsCols: Seq[String] = Nil): Long =
+    Lake.ingestNewFiles(spark, landingDir, ledgerDir, statsCols)
 
   /** The table as of the current snapshot. */
   def read(): DataFrame = Lake.readAt(spark, ledgerDir, snapshot)

@@ -83,32 +83,23 @@ object Lake {
     * insert_extra_fields.py:24-29); only the KB-scale ledger delta touches
     * the driver. Returns the number of files ingested. */
   def ingestNewFiles(spark: SparkSession, landingDir: String,
-      ledgerDir: String, statsCol: Option[String] = None): Long = {
+      ledgerDir: String, statsCols: Seq[String] = Nil): Long = {
     val current0 = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.parquet")
       .load(landingDir)
       .select(col("path"), col("length").as("size"),
         graft.functions.GraftFunctions.adler32(col("content")).as("adler32"))
-    // per-file column stats for manifest data skipping: one distributed
-    // pass over the landing data keyed by source file (the stats ride in
-    // the ledger row, so readAt's LedgerFileIndex can prune files against
-    // pushed filters without opening them — Iceberg/Delta-style skipping)
-    val current = statsCol match {
-      case Some(c) =>
-        val stats = spark.read.parquet(landingDir)
-          .select(regexp_replace(input_file_name(), "^file:/+", "/").as("_np"),
-            col(c).cast("long").as("_v"))
-          .groupBy(col("_np"))
-          .agg(min(col("_v")).as("stats_min"), max(col("_v")).as("stats_max"))
-        current0
-          .withColumn("_np", regexp_replace(col("path"), "^file:/+", "/"))
-          .join(stats, Seq("_np"), "left")
-          .drop("_np")
-          .withColumn("stats_col", lit(c))
-      case None => current0
-        .withColumn("stats_col", lit(null).cast("string"))
-        .withColumn("stats_min", lit(null).cast("long"))
-        .withColumn("stats_max", lit(null).cast("long"))
+    // per-file, per-column stats for manifest data skipping: one
+    // distributed pass over the landing data keyed by source file (the
+    // stats map rides in the ledger row, so readAt's LedgerFileIndex can
+    // prune files against pushed filters without opening them —
+    // Iceberg/Delta-style skipping)
+    val current = fileStats(spark, landingDir, statsCols) match {
+      case Some(stats) => current0
+        .withColumn("_np", regexp_replace(col("path"), "^file:/+", "/"))
+        .join(stats, Seq("_np"), "left")
+        .drop("_np")
+      case None => current0.withColumn("stats", lit(null).cast(StatsType))
     }
     val (newFiles, nextSnapshot) = readLedger(spark, ledgerDir) match {
       case Some(ledger) =>
@@ -129,10 +120,45 @@ object Lake {
     n
   }
 
-  /** Canonical ledger row columns (stats_* nullable — null means "no
-    * stats recorded, never skip this file"). */
+  /** Canonical ledger row columns (`stats` nullable — null or an absent
+    * map key means "no stats recorded, never skip this file"). */
   private val LedgerCols = Seq("path", "size", "adler32", "snapshot_id",
-    "ingested_at", "op", "snapshot_op", "stats_col", "stats_min", "stats_max")
+    "ingested_at", "op", "snapshot_op", "stats")
+
+  /** Ledger type of the per-file column-stats map: col → [lo, hi]. */
+  private val StatsType = "map<string,struct<lo:bigint,hi:bigint>>"
+
+  /** Per-file `[floor(min), ceil(max)]` stats map for `cols` over the
+    * parquet files of `dir`, keyed by normalized path; None when no stats
+    * columns are requested. floor/ceil (not a truncating cast) make the
+    * stored long bounds conservative OUTER bounds for non-integral numeric
+    * columns — a DOUBLE max of 5.9 stores hi=6; a truncating cast would
+    * store 5 and silently skip files containing matching rows. Columns
+    * that are all-null in a file are omitted from that file's map (absent
+    * key = never skip). One distributed aggregation keyed by source file;
+    * only the KB-scale per-file stats touch the driver via the ledger. */
+  private def fileStats(spark: SparkSession, dir: String,
+      cols: Seq[String]): Option[DataFrame] =
+    if (cols.isEmpty) None
+    else {
+      val aggs = cols.flatMap { c =>
+        Seq(floor(min(col(c))).cast("long").as(s"__lo_$c"),
+          ceil(max(col(c))).cast("long").as(s"__hi_$c"))
+      }
+      val entries = cols.map { c =>
+        when(col(s"__lo_$c").isNotNull && col(s"__hi_$c").isNotNull,
+          struct(lit(c).as("key"),
+            struct(col(s"__lo_$c").as("lo"), col(s"__hi_$c").as("hi"))
+              .as("value")))
+      }
+      Some(spark.read.parquet(dir)
+        .select(regexp_replace(input_file_name(), "^file:/+", "/").as("_np")
+          +: cols.map(col): _*)
+        .groupBy(col("_np"))
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col("_np"), map_from_entries(
+          filter(array(entries: _*), e => e.isNotNull)).as("stats")))
+    }
 
   /** The ledger if it holds any data — decided from the presence of ledger
     * DATA files, not _SUCCESS: after a partially failed append the marker
@@ -159,18 +185,20 @@ object Lake {
       .groupBy(col("path"))
       .agg(max(when(col("op") === "remove", col("snapshot_id"))).as("rm"),
         max(when(col("op") === "add", col("snapshot_id"))).as("ad"),
-        max(when(col("op") === "add", col("size"))).as("size"),
-        max(when(col("op") === "add", col("stats_col"))).as("stats_col"),
-        max(when(col("op") === "add", col("stats_min"))).as("stats_min"),
-        max(when(col("op") === "add", col("stats_max"))).as("stats_max"))
+        // size/stats must come from the WINNING add row (max_by on its
+        // snapshot id), never independent max() across generations — a
+        // re-added path would otherwise get a FileStatus length and stats
+        // mixed from different file generations. Both value AND ordering
+        // are null for non-add rows so a remove row can never win.
+        max_by(when(col("op") === "add", struct(col("size"), col("stats"))),
+          when(col("op") === "add", col("snapshot_id"))).as("w"))
       .filter(col("ad").isNotNull && (col("rm").isNull || col("rm") < col("ad")))
-      .select(col("path"), col("size"), col("stats_col"),
-        col("stats_min"), col("stats_max"))
+      .select(col("path"), col("w.size").as("size"), col("w.stats").as("stats"))
 
-  /** Paths live AT `snapshot` — the driver-list form, used where the path
-    * set feeds driver-side bookkeeping (merge affected-file matching,
-    * expiry accounting). The QUERY path goes through liveActionsAt +
-    * LedgerFileIndex instead (no driver path list). */
+  /** Paths live AT `snapshot` — the driver-list form, used ONLY where the
+    * path set feeds driver-side bookkeeping (expiry accounting). Every
+    * QUERY path goes through an actions relation + LedgerFileIndex
+    * instead (no driver path list). */
   private def liveFilesAt(spark: SparkSession, ledgerDir: String,
       snapshot: Long): Seq[String] =
     readLedger(spark, ledgerDir).map { ledger =>
@@ -188,44 +216,64 @@ object Lake {
     else if (schemaFrom.nonEmpty) spark.read.parquet(schemaFrom: _*).limit(0)
     else spark.emptyDataFrame
 
+  /** Manifest-driven scan of the file-action rows in `actions` (path,
+    * size, stats): the file set plans through a `LedgerFileIndex` — no
+    * path list is collected, no filesystem listing/stat calls are issued
+    * (at 100 TB the listing RPCs are the planning cost this kills), and
+    * per-file stats prune against pushed filters. When `actions` is empty
+    * the result is a zero-row frame still CARRYING the table schema,
+    * resolved from the current live set (callers project columns and
+    * would otherwise crash only in the empty case). */
+  private def scanActions(spark: SparkSession, ledgerDir: String,
+      actions: DataFrame): DataFrame = {
+    val index = new LedgerFileIndex(actions)
+    if (!index.isEmpty)
+      org.apache.spark.sql.GraftShim.parquetScan(spark, index)
+    else {
+      val liveIdx = readLedger(spark, ledgerDir)
+        .map(l => new LedgerFileIndex(liveActionsAt(l, Long.MaxValue)))
+      liveIdx.filterNot(_.isEmpty)
+        .map(i => org.apache.spark.sql.GraftShim.parquetScan(spark, i).limit(0))
+        .getOrElse(spark.emptyDataFrame)
+    }
+  }
+
   /** Snapshot-pinned TIME-TRAVEL read: the table exactly as of `snapshot`,
     * stable under any later appends/compactions (rewrites never delete the
     * files an older snapshot references; a vacuum that does would bound
-    * time travel, as in any table format).
-    *
-    * MANIFEST-DRIVEN: the scan's file set is a `LedgerFileIndex` over the
-    * live-actions relation — `readAt` never collects a path list; file
-    * metadata (paths + sizes) materializes once inside the index when
-    * Spark plans the scan, with zero filesystem listing/stat calls (the
-    * production form SURVEY §3.9 names; at 100 TB the listing RPCs are
-    * the planning cost this kills). */
+    * time travel, as in any table format). MANIFEST-DRIVEN via
+    * `scanActions` (SURVEY §3.9 — closed). */
   def readAt(spark: SparkSession, ledgerDir: String, snapshot: Long): DataFrame = {
     val ledger = readLedger(spark, ledgerDir).getOrElse(return spark.emptyDataFrame)
-    val index = new LedgerFileIndex(liveActionsAt(ledger, snapshot))
-    if (index.isEmpty) // zero-row frame still carrying the table schema
-      readPaths(spark, Nil, liveFilesAt(spark, ledgerDir, Long.MaxValue))
-    else org.apache.spark.sql.GraftShim.parquetScan(spark, index)
+    scanActions(spark, ledgerDir, liveActionsAt(ledger, snapshot))
   }
+
+  /** The add-file action rows of row-changing snapshots matching `pred` —
+    * the relation incremental reads scan through (size/stats ride on the
+    * add rows themselves; a file later removed by a rewrite still feeds
+    * its original add exactly once). */
+  private def rowChangingAdds(ledger: DataFrame,
+      pred: org.apache.spark.sql.Column): DataFrame =
+    withLedgerStats(ledger)
+      .filter(col("op") === "add"
+        && col("snapshot_op").isin("append", "merge") && pred)
+      .select(col("path"), col("size"), col("stats"))
 
   /** Manifest-based incremental read: the rows of every file ADDED by a
     * row-changing snapshot AFTER `sinceSnapshot` — the "what's new since my
     * last checkpoint" consumer pattern. "append" and "merge" snapshots are
     * row-changing (their added files' rows surface exactly once); rewrite
     * ("replace") snapshots are skipped: compaction changes files, not rows,
-    * and must not double-feed incremental consumers. Returns a zero-row
-    * frame with the table schema when nothing is new. */
+    * and must not double-feed incremental consumers. MANIFEST-DRIVEN: the
+    * batch plans through `scanActions` — no path list on the driver even
+    * for this recurring consumer job. Returns a zero-row frame with the
+    * table schema when nothing is new. */
   def readSince(spark: SparkSession, ledgerDir: String,
       sinceSnapshot: Long): DataFrame = {
     val ledger = readLedger(spark, ledgerDir).getOrElse(return spark.emptyDataFrame)
-    val paths = ledger
-      .filter(col("snapshot_id") > sinceSnapshot && col("op") === "add"
-        && col("snapshot_op").isin("append", "merge"))
-      .select(col("path")).collect().map(_.getString(0)).toSeq
-    checkHorizon(ledger, paths, s"readSince($sinceSnapshot)")
-    // schema fallback from the CURRENT live set — ever-added paths may have
-    // been physically deleted by expireSnapshots
-    val live = liveFilesAt(spark, ledgerDir, Long.MaxValue)
-    readPaths(spark, paths, live)
+    val adds = rowChangingAdds(ledger, col("snapshot_id") > sinceSnapshot)
+    checkHorizon(ledger, adds, s"readSince($sinceSnapshot)")
+    scanActions(spark, ledgerDir, adds)
   }
 
   /** Fail LOUDLY when an incremental read references files expireSnapshots
@@ -233,16 +281,17 @@ object Lake {
     * retained horizon): silently dropping those rows would violate
     * exactly-once, and letting the scan hit a missing path would fail with
     * an opaque FileNotFound mid-job. The caller must re-bootstrap from a
-    * current snapshot (full read) instead. */
-  private def checkHorizon(ledger: DataFrame, paths: Seq[String],
+    * current snapshot (full read) instead. Relational (anti-join style
+    * semi-join against the expire rows); only example offenders are
+    * collected. */
+  private def checkHorizon(ledger: DataFrame, adds: DataFrame,
       what: String): Unit = {
-    if (paths.isEmpty) return
-    val expired = ledger.filter(col("op") === "expire")
-      .select(col("path")).distinct()
-      .collect().map(_.getString(0)).toSet
-    val gone = paths.filter(expired)
+    val gone = adds.select(col("path"))
+      .join(ledger.filter(col("op") === "expire").select(col("path")).distinct(),
+        Seq("path"), "left_semi")
+      .limit(3).collect().map(_.getString(0))
     if (gone.nonEmpty) throw new IllegalStateException(
-      s"incremental horizon passed: $what references ${gone.size} file(s) " +
+      s"incremental horizon passed: $what references file(s) " +
         s"physically deleted by expireSnapshots (e.g. ${gone.head}); the " +
         "checkpoint predates the retained horizon — re-bootstrap from a " +
         "current snapshot")
@@ -261,29 +310,29 @@ object Lake {
     * the ledger (as removed rows — the anti-join keys on path existence). */
   def compactIngested(spark: SparkSession, ledgerDir: String,
       compactDir: String, targetRowsPerFile: Long): Long = {
+    val ledger = readLedger(spark, ledgerDir).getOrElse(return 0L)
     val snap = currentSnapshot(spark, ledgerDir)
-    val live = liveFilesAt(spark, ledgerDir, snap)
-    if (live.isEmpty) return 0L
-    // carry the data-skipping capability through the rewrite: if the live
-    // ledger rows record stats for a column, recompute them for the
-    // compacted generation
-    val statsCol = readLedger(spark, ledgerDir)
-      .flatMap(_.filter(col("stats_col").isNotNull)
-        .select(col("stats_col")).limit(1)
-        .collect().headOption.map(_.getString(0)))
+    val liveActs = liveActionsAt(ledger, snap)
+    val index = new LedgerFileIndex(liveActs)
+    if (index.isEmpty) return 0L
+    // carry the data-skipping capability through the rewrite: recompute
+    // stats for every column the live ledger rows record stats for
+    // (column-NAME list only — KB-scale, never a path list)
+    val statsCols: Seq[String] = liveActs.filter(col("stats").isNotNull)
+      .select(explode(map_keys(col("stats"))).as("c")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
     val next = snap + 1
     val genDir = s"$compactDir/gen-$next"
-    val df = spark.read.parquet(live: _*)
+    val df = org.apache.spark.sql.GraftShim.parquetScan(spark, index)
     val n = df.count()
     val files = math.max(1, math.ceil(n.toDouble / targetRowsPerFile).toInt)
-    // a stats column makes compaction CLUSTERING-preserving: range-partition
-    // the rewrite by it so the recomputed per-file [min,max] stay narrow and
+    // stats columns make compaction CLUSTERING-preserving: range-partition
+    // the rewrite by them so the recomputed per-file [lo,hi] stay narrow and
     // data skipping survives the rewrite (the OPTIMIZE discipline — a hash
     // repartition would leave stats correct but every file full-range wide)
-    val repartitioned = statsCol match {
-      case Some(c) => df.repartitionByRange(files, col(c))
-      case None => df.repartition(files)
-    }
+    val repartitioned =
+      if (statsCols.nonEmpty) df.repartitionByRange(files, statsCols.map(col): _*)
+      else df.repartition(files)
     repartitioned.write.mode("overwrite").parquet(genDir)
     val added0 = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.parquet")
@@ -291,25 +340,16 @@ object Lake {
       .select(col("path"), col("length").as("size"),
         graft.functions.GraftFunctions.adler32(col("content")).as("adler32"))
       .withColumn("op", lit("add"))
-    val added = statsCol match {
-      case Some(c) =>
-        val stats = spark.read.parquet(genDir)
-          .select(regexp_replace(input_file_name(), "^file:/+", "/").as("_np"),
-            col(c).cast("long").as("_v"))
-          .groupBy(col("_np"))
-          .agg(min(col("_v")).as("stats_min"), max(col("_v")).as("stats_max"))
-        added0
-          .withColumn("_np", regexp_replace(col("path"), "^file:/+", "/"))
-          .join(stats, Seq("_np"), "left")
-          .drop("_np")
-          .withColumn("stats_col", lit(c))
+    val added = fileStats(spark, genDir, statsCols) match {
+      case Some(stats) => added0
+        .withColumn("_np", regexp_replace(col("path"), "^file:/+", "/"))
+        .join(stats, Seq("_np"), "left")
+        .drop("_np")
       case None => added0
     }
-    val removed = spark.createDataFrame(
-        spark.sparkContext.parallelize(live.map(org.apache.spark.sql.Row(_)), 1),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("path",
-            org.apache.spark.sql.types.StringType))))
+    // remove rows straight from the live-actions RELATION — the full live
+    // path set never touches the driver even for the rewrite's bookkeeping
+    val removed = liveActs.select(col("path"))
       .withColumn("size", lit(null).cast("long"))
       .withColumn("adler32", lit(null).cast("long"))
       .withColumn("op", lit("remove"))
@@ -340,15 +380,11 @@ object Lake {
       .select(col("path"), col("length").as("size"),
         graft.functions.GraftFunctions.adler32(col("content")).as("adler32"))
 
-  /** Null-fill any missing stats columns so every writer emits the full
+  /** Null-fill a missing stats column so every writer emits the full
     * canonical ledger schema. */
-  private def withLedgerStats(df: DataFrame): DataFrame = {
-    val have = df.columns.toSet
-    Seq("stats_col" -> "string", "stats_min" -> "long", "stats_max" -> "long")
-      .foldLeft(df) { case (acc, (c, t)) =>
-        if (have(c)) acc else acc.withColumn(c, lit(null).cast(t))
-      }
-  }
+  private def withLedgerStats(df: DataFrame): DataFrame =
+    if (df.columns.contains("stats")) df
+    else df.withColumn("stats", lit(null).cast(StatsType))
 
   /** Append one ledger snapshot made of `adds` (path,size,adler32 + op col
     * already set) tagged per-row with `snapshotOp`, plus removes for
@@ -398,10 +434,12 @@ object Lake {
     * Deletes surface to incremental consumers only as the absence of rows
     * in later snapshots (copy-on-write semantics, as in Iceberg COW).
     *
-    * The affected-file list and remove rows pass through the driver —
-    * manifest-scale (bounded by files-with-matches, not table size), same
-    * stated 100 TB caveat as liveFilesAt: keep it a DataFrame feeding a
-    * manifest-driven scan there. Returns the merge's snapshot id.
+    * MANIFEST-DRIVEN: the target read, the affected-file re-reads, and
+    * the remove rows all plan through the live-actions RELATION (a
+    * `LedgerFileIndex` scan) — the only driver-side list is the set of
+    * files-with-matches (normalized names), bounded by the merge's blast
+    * radius, never the table's file count. Returns the merge's snapshot
+    * id.
     *
     * Key-cardinality semantics: if several TARGET rows share a matched key
     * they all collapse to that key's single source row (replace = the
@@ -411,28 +449,36 @@ object Lake {
       source: DataFrame, key: String,
       deleteWhen: Option[org.apache.spark.sql.Column] = None): Long = {
     val snap = currentSnapshot(spark, ledgerDir)
-    val live = liveFilesAt(spark, ledgerDir, snap)
     val next = snap + 1
     val genDir = s"$genRoot/gen-$next"
-    val target = readPaths(spark, live, live)
+    val liveActs = readLedger(spark, ledgerDir).map(l => liveActionsAt(l, snap))
+    val index = liveActs.map(new LedgerFileIndex(_)).filterNot(_.isEmpty)
+    val target = index.map(org.apache.spark.sql.GraftShim.parquetScan(spark, _))
     // merge into an EMPTY table = pure insert; take the schema from source
-    val cols = (if (live.nonEmpty) target.columns else source.columns).map(col)
+    val cols = target.map(_.columns).getOrElse(source.columns).map(col)
     val srcKeys = source.select(col(key)).distinct()
-    // the rewrite set: live files containing at least one matched key
-    val affectedNorm =
-      if (live.isEmpty) Set.empty[String]
-      else target
+    // the rewrite set: live files containing at least one matched key —
+    // bounded by files-with-matches (the merge's blast radius), the only
+    // file list a COW merge puts on the driver
+    val affectedNorm: Set[String] = target match {
+      case Some(t) => t
         .withColumn("_file", regexp_replace(input_file_name(), "^file:/+", "/"))
         .join(broadcast(srcKeys), Seq(key), "left_semi")
         .select(col("_file")).distinct()
         .collect().map(_.getString(0)).toSet
-    val affected = live.filter(p => affectedNorm.contains(normPath(p)))
+      case None => Set.empty
+    }
+    // manifest-driven scan / action rows restricted to the affected files
+    def affectedActs: DataFrame = liveActs.get.filter(
+      regexp_replace(col("path"), "^file:/+", "/")
+        .isin(affectedNorm.toSeq: _*))
+    def affectedScan: DataFrame = scanActions(spark, ledgerDir, affectedActs)
     // deleteWhen governs MATCHED source rows only (SQL MERGE semantics):
     // a matched key necessarily lives in an affected file, so the matched
     // key set is computable from the affected files alone — no full scan
     val srcLive = deleteWhen match {
-      case Some(c) if affected.nonEmpty =>
-        val matchedKeys = readPaths(spark, affected, live)
+      case Some(c) if affectedNorm.nonEmpty =>
+        val matchedKeys = affectedScan
           .join(broadcast(srcKeys), Seq(key), "left_semi")
           .select(col(key)).distinct()
           .withColumn("_matched", lit(true))
@@ -445,17 +491,17 @@ object Lake {
     // whole-row replace means every surviving source row lands in the table:
     // updates (matched) and inserts (unmatched) are both just srcLive
     val delta = srcLive.select(cols: _*)
-    if (affected.nonEmpty) {
+    if (affectedNorm.nonEmpty) {
       // rows the merge deletes/replaces live ONLY in affected files, so the
       // carry rewrite scans just those files
-      readPaths(spark, affected, live)
+      affectedScan
         .join(broadcast(srcKeys), Seq(key), "left_anti")
         .select(cols: _*)
         .write.mode("overwrite").parquet(s"$genDir/carry")
     }
     delta.write.mode("overwrite").parquet(s"$genDir/delta")
     val carryAdds =
-      if (affected.nonEmpty)
+      if (affectedNorm.nonEmpty)
         fileAdds(spark, s"$genDir/carry")
           .withColumn("op", lit("add"))
           .withColumn("snapshot_op", lit("replace"))
@@ -464,9 +510,16 @@ object Lake {
       .withColumn("op", lit("add"))
       .withColumn("snapshot_op", lit("merge"))
     val adds =
-      if (affected.nonEmpty) carryAdds.unionByName(deltaAdds) else deltaAdds
+      if (affectedNorm.nonEmpty) carryAdds.unionByName(deltaAdds) else deltaAdds
     val actions =
-      if (affected.nonEmpty) adds.unionByName(removeActions(spark, affected))
+      if (affectedNorm.nonEmpty)
+        // remove rows straight from the affected action rows (ledger-form
+        // paths) — relational, never a re-collected path list
+        adds.unionByName(affectedActs.select(col("path"))
+          .withColumn("size", lit(null).cast("long"))
+          .withColumn("adler32", lit(null).cast("long"))
+          .withColumn("op", lit("remove"))
+          .withColumn("snapshot_op", lit("merge")))
       else adds
     appendSnapshot(spark, ledgerDir, next, actions)
     next
@@ -480,20 +533,23 @@ object Lake {
   def deleteWhere(spark: SparkSession, ledgerDir: String, genRoot: String,
       cond: org.apache.spark.sql.Column): Long = {
     val snap = currentSnapshot(spark, ledgerDir)
-    val live = liveFilesAt(spark, ledgerDir, snap)
-    if (live.isEmpty) return snap // empty table: nothing to delete
+    val liveActs = readLedger(spark, ledgerDir).map(l => liveActionsAt(l, snap))
+    val index = liveActs.map(new LedgerFileIndex(_)).filterNot(_.isEmpty)
+    if (index.isEmpty) return snap // empty table: nothing to delete
     val next = snap + 1
     val genDir = s"$genRoot/gen-$next"
-    val target = readPaths(spark, live, live)
+    val target = org.apache.spark.sql.GraftShim.parquetScan(spark, index.get)
     val cols = target.columns.map(col)
     val affectedNorm = target
       .withColumn("_file", regexp_replace(input_file_name(), "^file:/+", "/"))
       .filter(coalesce(cond, lit(false)))
       .select(col("_file")).distinct()
       .collect().map(_.getString(0)).toSet
-    val affected = live.filter(p => affectedNorm.contains(normPath(p)))
-    if (affected.isEmpty) return snap // nothing matches: no snapshot recorded
-    val carry = readPaths(spark, affected, live)
+    if (affectedNorm.isEmpty) return snap // nothing matches: no snapshot
+    val affectedActs = liveActs.get.filter(
+      regexp_replace(col("path"), "^file:/+", "/")
+        .isin(affectedNorm.toSeq: _*))
+    val carry = scanActions(spark, ledgerDir, affectedActs)
       .filter(!coalesce(cond, lit(false)))
       .select(cols: _*)
     carry.write.mode("overwrite").parquet(s"$genDir/carry")
@@ -501,7 +557,11 @@ object Lake {
       .withColumn("op", lit("add"))
       .withColumn("snapshot_op", lit("replace"))
     appendSnapshot(spark, ledgerDir, next,
-      adds.unionByName(removeActions(spark, affected)))
+      adds.unionByName(affectedActs.select(col("path"))
+        .withColumn("size", lit(null).cast("long"))
+        .withColumn("adler32", lit(null).cast("long"))
+        .withColumn("op", lit("remove"))
+        .withColumn("snapshot_op", lit("merge"))))
     next
   }
 
@@ -569,12 +629,9 @@ object Lake {
   def readSnapshot(spark: SparkSession, ledgerDir: String,
       snapshot: Long): DataFrame = {
     val ledger = readLedger(spark, ledgerDir).getOrElse(return spark.emptyDataFrame)
-    val paths = ledger
-      .filter(col("snapshot_id") === snapshot && col("op") === "add"
-        && col("snapshot_op").isin("append", "merge"))
-      .select(col("path")).collect().map(_.getString(0)).toSeq
-    checkHorizon(ledger, paths, s"readSnapshot($snapshot)")
-    readPaths(spark, paths, liveFilesAt(spark, ledgerDir, Long.MaxValue))
+    val adds = rowChangingAdds(ledger, col("snapshot_id") === snapshot)
+    checkHorizon(ledger, adds, s"readSnapshot($snapshot)")
+    scanActions(spark, ledgerDir, adds)
   }
 
   /** Expire snapshots older than `retainFrom` (VACUUM): physically delete

@@ -20,36 +20,47 @@ import org.apache.spark.sql.types.StructType
   * itself and every format shares it; the bound is manifest size, not
   * data size.
   *
-  * DATA SKIPPING: when ledger rows carry per-file (stats_col, stats_min,
-  * stats_max) — recorded by `ingestNewFiles(statsCol = ...)` and carried
-  * through compaction — `listFiles` prunes files whose [min, max] range
-  * provably cannot satisfy the pushed data filters on that column
-  * (=, <, <=, >, >=, IN; null stats never skip). At 100 TB this is the
-  * manifest's whole point: a point query on a range-clustered key opens
-  * ONE file, not the table. */
+  * DATA SKIPPING: when ledger rows carry a per-file, PER-COLUMN stats map
+  * `stats: map<col, struct<lo, hi>>` — recorded by
+  * `ingestNewFiles(statsCols = ...)` and carried through compaction —
+  * `listFiles` prunes files whose [lo, hi] range on a filtered column
+  * provably cannot satisfy the pushed data filters (=, <, <=, >, >=, IN;
+  * columns absent from a file's map never skip that file). Multi-column:
+  * each pushed filter prunes against the stats of the column IT references,
+  * so a table clustered on two keys skips on both (the Iceberg/Delta
+  * norm). At 100 TB this is the manifest's whole point: a point query on
+  * a range-clustered key opens ONE file, not the table.
+  *
+  * SOUNDNESS: stored bounds are floor(min)/ceil(max) (see
+  * `Lake.fileStats`), so they are conservative OUTER bounds even for
+  * non-integral columns; literals are compared EXACTLY via BigDecimal
+  * (never truncated toward zero — `c < 4.5` must not skip a file whose
+  * min is 4), and binary-float literals carry a half-ulp uncertainty
+  * interval because Spark evaluates `longCol <op> doubleLit` by casting
+  * the column to double, whose rounding can admit rows an exact
+  * comparison would reject. Any literal/shape not understood keeps the
+  * file — never skip on uncertainty. */
 final class LedgerFileIndex(liveActions: DataFrame) extends FileIndex {
 
-  /** (path, size, statsMin, statsMax) of the live file set, materialized
+  /** (path, size, per-column [lo, hi]) of the live file set, materialized
     * once at first scan planning. Sizes/stats ride along from the ledger
     * (recorded at ingest), so Spark can split scan tasks and skip files
     * without statting or opening any of them. */
-  private lazy val entries: Seq[(FileStatus, Option[(Long, Long)])] = liveActions
-    .select(col("path"), col("size"), col("stats_min"), col("stats_max"))
-    .collect()
-    .map { r =>
-      val st = new FileStatus(r.getLong(1), false, 1, 128L * 1024 * 1024, 0L,
-        new Path(r.getString(0)))
-      val stats =
-        if (r.isNullAt(2) || r.isNullAt(3)) None
-        else Some((r.getLong(2), r.getLong(3)))
-      (st, stats)
-    }.toSeq
-
-  /** The column the per-file stats describe (single stats column design). */
-  private lazy val statsColName: Option[String] = liveActions
-    .select(col("stats_col"))
-    .filter(col("stats_col").isNotNull)
-    .limit(1).collect().headOption.map(_.getString(0))
+  private lazy val entries: Seq[(FileStatus, Map[String, (Long, Long)])] =
+    liveActions
+      .select(col("path"), col("size"), col("stats"))
+      .collect()
+      .map { r =>
+        val st = new FileStatus(r.getLong(1), false, 1, 128L * 1024 * 1024, 0L,
+          new Path(r.getString(0)))
+        val stats: Map[String, (Long, Long)] =
+          if (r.isNullAt(2)) Map.empty
+          else r.getMap[String, org.apache.spark.sql.Row](2).toMap.collect {
+            case (c, b) if b != null && !b.isNullAt(0) && !b.isNullAt(1) =>
+              c -> (b.getLong(0), b.getLong(1))
+          }
+        (st, stats)
+      }.toSeq
 
   def isEmpty: Boolean = entries.isEmpty
 
@@ -57,44 +68,60 @@ final class LedgerFileIndex(liveActions: DataFrame) extends FileIndex {
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val kept = statsColName match {
-      case Some(c) =>
-        val bounds = dataFilters.filter(referencesOnly(_, c))
-        entries.filter {
-          case (_, Some((lo, hi))) =>
-            bounds.forall(f => mayMatch(f, c, lo, hi))
-          case _ => true // no stats recorded for this file: never skip
+    val kept = entries.filter { case (_, stats) =>
+      stats.isEmpty || dataFilters.forall { f =>
+        f.references.map(_.name).toSeq.distinct match {
+          // a filter prunes only against the stats of the ONE column it
+          // references; files without stats for that column never skip
+          case Seq(c) => stats.get(c)
+            .forall { case (lo, hi) => mayMatch(f, c, lo, hi) }
+          case _ => true
         }
-      case None => entries
+      }
     }
     Seq(PartitionDirectory(InternalRow.empty, kept.map(_._1).toArray))
   }
 
   /** Conservative filter evaluation against a file's [lo, hi] value range:
     * true unless the filter PROVABLY matches no value in the range. Any
-    * shape not understood returns true (never skip on uncertainty). */
-  private def mayMatch(f: Expression, c: String, lo: Long, hi: Long): Boolean =
+    * shape not understood returns true (never skip on uncertainty).
+    * A literal resolves to an uncertainty interval [vLo, vHi] (exact for
+    * integral/decimal, half-ulp-widened for float/double — see `asRange`);
+    * `c > v` may match iff hi > vLo, `c < v` iff lo < vHi, `c = v` iff
+    * the intervals intersect. */
+  private def mayMatch(f: Expression, c: String, loL: Long, hiL: Long): Boolean = {
+    val lo = BigDecimal(loL)
+    val hi = BigDecimal(hiL)
+    def eqMay(v: Any): Boolean =
+      asRange(v).forall { case (vLo, vHi) => vHi >= lo && vLo <= hi }
     f match {
-      case EqualTo(a, Literal(v, _)) if isCol(a, c) =>
-        asLong(v).forall(x => x >= lo && x <= hi)
-      case EqualTo(Literal(v, _), a) if isCol(a, c) =>
-        asLong(v).forall(x => x >= lo && x <= hi)
-      case GreaterThan(a, Literal(v, _)) if isCol(a, c) => asLong(v).forall(hi > _)
-      case GreaterThanOrEqual(a, Literal(v, _)) if isCol(a, c) => asLong(v).forall(hi >= _)
-      case LessThan(a, Literal(v, _)) if isCol(a, c) => asLong(v).forall(lo < _)
-      case LessThanOrEqual(a, Literal(v, _)) if isCol(a, c) => asLong(v).forall(lo <= _)
-      case GreaterThan(Literal(v, _), a) if isCol(a, c) => asLong(v).forall(lo < _)
-      case GreaterThanOrEqual(Literal(v, _), a) if isCol(a, c) => asLong(v).forall(lo <= _)
-      case LessThan(Literal(v, _), a) if isCol(a, c) => asLong(v).forall(hi > _)
-      case LessThanOrEqual(Literal(v, _), a) if isCol(a, c) => asLong(v).forall(hi >= _)
+      case EqualTo(a, Literal(v, _)) if isCol(a, c) => eqMay(v)
+      case EqualTo(Literal(v, _), a) if isCol(a, c) => eqMay(v)
+      case GreaterThan(a, Literal(v, _)) if isCol(a, c) =>
+        asRange(v).forall { case (vLo, _) => hi > vLo }
+      case GreaterThanOrEqual(a, Literal(v, _)) if isCol(a, c) =>
+        asRange(v).forall { case (vLo, _) => hi >= vLo }
+      case LessThan(a, Literal(v, _)) if isCol(a, c) =>
+        asRange(v).forall { case (_, vHi) => lo < vHi }
+      case LessThanOrEqual(a, Literal(v, _)) if isCol(a, c) =>
+        asRange(v).forall { case (_, vHi) => lo <= vHi }
+      // literal-first comparisons mirror with the column on the right
+      case GreaterThan(Literal(v, _), a) if isCol(a, c) =>
+        asRange(v).forall { case (_, vHi) => lo < vHi }
+      case GreaterThanOrEqual(Literal(v, _), a) if isCol(a, c) =>
+        asRange(v).forall { case (_, vHi) => lo <= vHi }
+      case LessThan(Literal(v, _), a) if isCol(a, c) =>
+        asRange(v).forall { case (vLo, _) => hi > vLo }
+      case LessThanOrEqual(Literal(v, _), a) if isCol(a, c) =>
+        asRange(v).forall { case (vLo, _) => hi >= vLo }
       case In(a, vs) if isCol(a, c) && vs.forall(_.isInstanceOf[Literal]) =>
-        vs.exists { case Literal(v, _) =>
-          asLong(v).forall(x => x >= lo && x <= hi) }
-      case And(l, r) => mayMatch(l, c, lo, hi) && mayMatch(r, c, lo, hi)
-      case Or(l, r) => mayMatch(l, c, lo, hi) || mayMatch(r, c, lo, hi)
+        vs.exists { case Literal(v, _) => eqMay(v) }
+      case And(l, r) => mayMatch(l, c, loL, hiL) && mayMatch(r, c, loL, hiL)
+      case Or(l, r) => mayMatch(l, c, loL, hiL) || mayMatch(r, c, loL, hiL)
       case IsNotNull(_) => true
       case _ => true
     }
+  }
 
   private def isCol(e: Expression, c: String): Boolean = e match {
     case a: AttributeReference => a.name == c
@@ -102,11 +129,32 @@ final class LedgerFileIndex(liveActions: DataFrame) extends FileIndex {
     case _ => false
   }
 
-  private def referencesOnly(f: Expression, c: String): Boolean =
-    f.references.nonEmpty && f.references.forall(_.name == c)
-
-  private def asLong(v: Any): Option[Long] = v match {
-    case n: java.lang.Number => Some(n.longValue())
+  /** A literal's value as an EXACT decimal uncertainty interval.
+    * Integral and decimal literals are a point. Float/double literals are
+    * widened by half an ulp on each side: Spark compares a long column to
+    * a double literal by casting the COLUMN to double, and that rounding
+    * maps every exact value within half an ulp of the literal onto it —
+    * an exact point comparison here would prune files containing such
+    * rows. None (⇒ keep) for NaN/infinite/unknown values. */
+  private def asRange(v: Any): Option[(BigDecimal, BigDecimal)] = v match {
+    case d: org.apache.spark.sql.types.Decimal =>
+      val x = d.toBigDecimal; Some((x, x))
+    case d: java.math.BigDecimal => val x = BigDecimal(d); Some((x, x))
+    case n: java.lang.Double if !n.isNaN && !n.isInfinite =>
+      val x = new java.math.BigDecimal(n.doubleValue()) // exact binary value
+      val h = new java.math.BigDecimal(Math.ulp(n.doubleValue()))
+        .divide(java.math.BigDecimal.valueOf(2))
+      Some((BigDecimal(x.subtract(h)), BigDecimal(x.add(h))))
+    case n: java.lang.Float if !n.isNaN && !n.isInfinite =>
+      val d = n.floatValue().toDouble
+      val x = new java.math.BigDecimal(d)
+      val h = new java.math.BigDecimal(Math.ulp(n.floatValue()).toDouble)
+        .divide(java.math.BigDecimal.valueOf(2))
+      Some((BigDecimal(x.subtract(h)), BigDecimal(x.add(h))))
+    case n: java.lang.Long => val x = BigDecimal(n.longValue()); Some((x, x))
+    case n: java.lang.Integer => val x = BigDecimal(n.intValue()); Some((x, x))
+    case n: java.lang.Short => val x = BigDecimal(n.intValue()); Some((x, x))
+    case n: java.lang.Byte => val x = BigDecimal(n.intValue()); Some((x, x))
     case _ => None
   }
 

@@ -28,7 +28,7 @@ class DataSkipSpec extends GraftSpec {
     // range-cluster the landing files by key → disjoint per-file ranges
     cust.repartitionByRange(8, col("c_custkey"))
       .write.parquet(s"$root/landing")
-    t.ingest(s"$root/landing", statsCol = Some("c_custkey"))
+    t.ingest(s"$root/landing", statsCols = Seq("c_custkey"))
 
     val all = t.read()
     assert(scannedFiles(all) == 8, "full scan opens all files")
@@ -58,7 +58,7 @@ class DataSkipSpec extends GraftSpec {
       .select(col("c_custkey"), col("c_acctbal"))
     cust.repartitionByRange(6, col("c_custkey"))
       .write.parquet(s"$root/landing")
-    t.ingest(s"$root/landing", statsCol = Some("c_custkey"))
+    t.ingest(s"$root/landing", statsCols = Seq("c_custkey"))
     // compact to 3 range-clustered files — stats recomputed for the new
     // generation, so skipping keeps working after the rewrite.
     // NOTE: plain repartition would destroy clustering (and with it the
@@ -78,9 +78,119 @@ class DataSkipSpec extends GraftSpec {
     val t2 = GraftTable(spark, s"$root2/ledger", s"$root2/gen")
     cust.repartitionByRange(4, col("c_custkey"))
       .write.parquet(s"$root2/landing")
-    t2.ingest(s"$root2/landing") // no statsCol
+    t2.ingest(s"$root2/landing") // no statsCols
     val p2 = t2.read().filter(col("c_custkey") === k)
     assert(scannedFiles(p2) == 4, "without stats every file must be opened")
     assert(p2.count() == 1)
+  }
+
+  test("two-column stats prune independently per filtered column") {
+    val root = Files.createTempDirectory("graft_skip4").toString
+    val t = GraftTable(spark, s"$root/ledger", s"$root/gen")
+    // orthogonal clustering: c_custkey ranges vary across files while each
+    // file spans one narrow band of keys; acctbal bands live per file too
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey"), col("c_acctbal"), col("c_nationkey"))
+    cust.repartitionByRange(8, col("c_custkey"))
+      .write.parquet(s"$root/landing")
+    t.ingest(s"$root/landing", statsCols = Seq("c_custkey", "c_acctbal"))
+
+    val k = cust.agg(min(col("c_custkey"))).head().getLong(0)
+    val byKey = t.read().filter(col("c_custkey") === k)
+    assert(scannedFiles(byKey) == 1, "first column must still prune to one file")
+    assert(byKey.count() == cust.filter(col("c_custkey") === k).count())
+
+    // the second column's stats are full-range per file (keys and balances
+    // are uncorrelated), so an impossible balance prunes EVERYTHING while a
+    // plausible one reads all files — correct either way
+    val none = t.read().filter(col("c_acctbal") > lit(1e12))
+    assert(scannedFiles(none) == 0, "impossible balance must prune every file")
+    assert(none.count() == 0)
+    val both = t.read()
+      .filter(col("c_custkey") === k && col("c_acctbal") > lit(-1e12))
+    assert(scannedFiles(both) == 1, "conjunction prunes on each column's own stats")
+    assert(both.count() == cust.filter(col("c_custkey") === k).count())
+
+    // a filter on a column WITHOUT stats never skips
+    val nation = t.read().filter(col("c_nationkey") === 3)
+    assert(scannedFiles(nation) == 8)
+    assert(nation.count() == cust.filter(col("c_nationkey") === 3).count())
+  }
+
+  test("fractional literals and non-integral stats columns prune soundly") {
+    val root = Files.createTempDirectory("graft_skip5").toString
+    val t = GraftTable(spark, s"$root/ledger", s"$root/gen")
+    // a DOUBLE stats column: floor/ceil must widen the stored long bounds
+    // (a truncating cast would store max 5.9 as 5 and silently drop files)
+    val df = spark.range(0, 100)
+      .select(col("id"), (col("id") + lit(0.9)).as("v"))
+    df.repartitionByRange(4, col("id")).write.parquet(s"$root/landing")
+    t.ingest(s"$root/landing", statsCols = Seq("id", "v"))
+
+    // fractional literal against the INTEGRAL column: id < 0.5 matches
+    // id=0 — asLong-style truncation toward zero would compare lo < 0
+    // and skip the file that contains it
+    val low = t.read().filter(col("id") < lit(0.5))
+    assert(low.count() == 1, "id < 0.5 must still see id = 0")
+    // and id > -0.5 must not lose id = 0 either
+    assert(t.read().filter(col("id") > lit(-0.5)).count() == 100)
+
+    // the double column's top value 99.9 lives in the last file; ceil'd
+    // stats (hi=100) must keep it for v > 99.5 (truncation would store 99)
+    val top = t.read().filter(col("v") > lit(99.5))
+    assert(top.count() == 1, "v > 99.5 must still see v = 99.9")
+    assert(scannedFiles(top) == 1, "and open only the tail file")
+
+    // conservative outer bounds may open a boundary file for a fractional
+    // probe, but never lose rows: exact count on a mid-range band
+    val band = t.read().filter(col("v") >= lit(24.5) && col("v") < lit(50.5))
+    assert(band.count() ==
+      df.filter(col("v") >= lit(24.5) && col("v") < lit(50.5)).count())
+  }
+
+  test("files re-added after removal take size and stats from the winning add") {
+    // regression for the liveActionsAt generation-mixing hazard: a path
+    // removed and later re-added (with different content) must surface the
+    // LATEST add's size/stats, not an independent max() across generations
+    val root = Files.createTempDirectory("graft_skip6").toString
+    val ledgerDir = s"$root/ledger"
+    val ss = spark
+    import ss.implicits._
+    // generation 1: add the file with an INFLATED size and stats [0, 10];
+    // gen 2: remove; gen 3: re-add with the REAL size and stats [100, 200].
+    // An independent max() across generations would pick gen 1's bigger
+    // size (breaking the scan's footer read) and would mix stats ranges.
+    spark.range(0, 5).select(col("id").as("k")).coalesce(1)
+      .write.parquet(s"$root/data")
+    val f = new java.io.File(s"$root/data").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val (real, realLen) = (f.getAbsolutePath, f.length())
+    def act(snap: Long, op: String, size: Long, lo: Long, hi: Long,
+        withStats: Boolean) =
+      (real, size, 0L, snap, new java.sql.Timestamp(snap * 1000), op, "append",
+        if (withStats) Map("k" -> (lo, hi)) else null)
+    Seq(act(1, "add", realLen + 1000, 0, 10, withStats = true),
+      act(2, "remove", 0, 0, 0, withStats = false),
+      act(3, "add", realLen, 100, 200, withStats = true))
+      .toDF("path", "size", "adler32", "snapshot_id", "ingested_at", "op",
+        "snapshot_op", "stats_raw")
+      .withColumn("stats", when(col("stats_raw").isNotNull,
+        map_from_entries(transform(map_entries(col("stats_raw")),
+          e => struct(e("key").as("key"),
+            struct(e("value")("_1").as("lo"), e("value")("_2").as("hi"))
+              .as("value"))))))
+      .drop("stats_raw")
+      .write.parquet(ledgerDir)
+    val t = GraftTable(spark, ledgerDir, s"$root/gen")
+    // k=3 is inside the OLD stats range but outside the new [100, 200]:
+    // with the winning-add stats the file prunes away; mixed-generation
+    // stats (min of mins / max of maxs) would wrongly open it — and a
+    // mixed SIZE (100 from gen 1) would corrupt scan splits
+    val pruned = t.readAt(3).filter(col("k") === lit(3L))
+    assert(scannedFiles(pruned) == 0,
+      "re-added file must carry the latest add's stats")
+    // an unpruned read proves the winning add's REAL length reached the
+    // FileStatus — gen 1's inflated size would fail the footer read
+    assert(t.readAt(3).count() == 5)
   }
 }

@@ -160,6 +160,30 @@ class LedgerSpec extends GraftSpec {
       Events.events(spark, sf).filter(col("event_type") === "click").count())
   }
 
+  test("incremental and merge reads also plan through LedgerFileIndex") {
+    def indexLocations(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.logical.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation
+            .asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+            .location
+      }
+    val (landing, ledger) = fresh()
+    landFiles(landing, "click", 3)
+    Lake.ingestNewFiles(spark, landing, ledger)
+    for (df <- Seq(Lake.readSince(spark, ledger, 0),
+        Lake.readSnapshot(spark, ledger, 1))) {
+      val locs = indexLocations(df)
+      assert(locs.nonEmpty && locs.forall(
+        _.isInstanceOf[graft.sources.LedgerFileIndex]),
+        s"incremental read must plan over LedgerFileIndex, got $locs")
+    }
+    // rows surface exactly once through the manifest-driven path
+    val expected = Events.events(spark, sf)
+      .filter(col("event_type") === "click").count()
+    assert(Lake.readSince(spark, ledger, 0).count() == expected)
+  }
+
   test("same-bucketed tables join with zero exchanges") {
     val bcastWas = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
