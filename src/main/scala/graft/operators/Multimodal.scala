@@ -12,10 +12,13 @@ import graft.Tables
   * mapPartitions, pushdown-friendly metadata predicates) is real and tested.
   * IMAGE decode is REAL: `decodeImages` uses the JDK-built-in `javax.imageio`
   * codec (PNG/JPEG/GIF/BMP), spec-verified byte-for-byte against a
-  * driver-side reference decode. The remaining audio/video kernels are
-  * DETERMINISTIC STUBS (no ffmpeg-class codec in the JDK) marked `// STUB:`
-  * below; swapping in a real codec (JNI/ffmpeg/opencv) changes only the
-  * kernel body, not the plumbing.
+  * driver-side reference decode. AUDIO decode is REAL: `decodeAudio` uses
+  * the JDK-built-in `javax.sound.sampled` parser (WAV/AIFF/AU, any PCM
+  * width/endianness normalized to 16-bit), spec-verified sample-for-sample
+  * against the generator's ground-truth PCM. The remaining video kernels
+  * are DETERMINISTIC STUBS (no ffmpeg-class codec in the JDK) marked
+  * `// STUB:` below; swapping in a real codec (JNI/ffmpeg/opencv) changes
+  * only the kernel body, not the plumbing.
   *
   * At 100 TB: payloads live in parquet binary columns (or external object
   * store keys); kernels run once per partition with batch-amortized setup
@@ -204,6 +207,113 @@ object Multimodal {
             y += 1
           }
           DecodedImage(m.media_id, w, h, "rgb24", px)
+        }
+      }
+    }
+  }
+
+  // ------------------------------------------- REAL audio decode (WAV/AIFF)
+
+  case class DecodedAudio(media_id: Long, format: String, sample_rate: Int,
+    channels: Int, n_frames: Long, samples: Array[Int])
+
+  /** Deterministic PCM16 waveform for `media_id` (splitmix-style noise —
+    * pure integer arithmetic, so any executor regenerates the identical
+    * signal and a decode round-trip must be sample-exact: PCM in a
+    * WAV/AIFF container is lossless). */
+  def patternSamples(id: Long, nFrames: Int, channels: Int): Array[Short] = {
+    val out = new Array[Short](nFrames * channels)
+    var i = 0
+    while (i < out.length) {
+      var z = id * 1000003L + i * 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      out(i) = ((z >>> 37) % 20001 - 10000).toShort
+      i += 1
+    }
+    out
+  }
+
+  /** Container-encode PCM16 via the JDK-built-in `javax.sound.sampled`
+    * writers: WAV (little-endian) or AIFF (big-endian). */
+  def audioBytes(id: Long, rate: Int, nFrames: Int, channels: Int,
+      aiff: Boolean): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val samples = patternSamples(id, nFrames, channels)
+    val bytes = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      val s = samples(i).toInt
+      if (aiff) { // AIFF carries big-endian PCM
+        bytes(2 * i) = ((s >> 8) & 0xff).toByte
+        bytes(2 * i + 1) = (s & 0xff).toByte
+      } else {
+        bytes(2 * i) = (s & 0xff).toByte
+        bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      i += 1
+    }
+    val fmt = new AudioFormat(rate.toFloat, 16, channels, true, aiff)
+    val in = new AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, nFrames.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(in,
+      if (aiff) AudioFileFormat.Type.AIFF else AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** A media table whose payloads are REAL WAV/AIFF files, generated
+    * distributed (each task encodes its own rows — no driver
+    * materialization). Mixes rates, channel counts, and containers. */
+  def audioMediaTable(s: SparkSession, n: Int): Dataset[MediaItem] = {
+    import s.implicits._
+    s.range(n).map { id =>
+      val rate = Seq(8000, 16000, 44100)((id % 3).toInt)
+      val channels = 1 + (id % 2).toInt
+      val frames = 64 + (id % 7).toInt * 37
+      MediaItem(id, MediaMeta("audio", 0, 0, rate, frames * 1000L / rate),
+        audioBytes(id, rate, frames, channels, aiff = id % 5 == 0))
+    }
+  }
+
+  /** REAL audio decode — `javax.sound.sampled` ships with the JDK and
+    * parses WAV/AIFF/AU containers, so the decode kernel needs no external
+    * codec (the same argument that made the image kernel use
+    * `javax.imageio`): payload bytes → canonical interleaved PCM16 samples
+    * via a format-converting stream (8/16-bit, either endianness, any
+    * channel count all normalize to signed 16-bit). Compressed formats the
+    * JDK lacks (mp3, ogg) surface as format="undecodable" rows the caller
+    * can route to an external-codec pass — decode failures are DATA,
+    * never an exception that kills the 100 TB scan. Partition-local and
+    * batched like every kernel here. */
+  def decodeAudio(items: Dataset[MediaItem]): Dataset[DecodedAudio] = {
+    import items.sparkSession.implicits._
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    items.mapPartitions { it =>
+      it.map { m =>
+        try {
+          val in0 = AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(m.payload))
+          val f0 = in0.getFormat
+          val target = new AudioFormat(f0.getSampleRate, 16,
+            f0.getChannels, true, false)
+          val in = AudioSystem.getAudioInputStream(target, in0)
+          val raw = in.readAllBytes()
+          val samples = new Array[Int](raw.length / 2)
+          var i = 0
+          while (i < samples.length) {
+            samples(i) = ((raw(2 * i) & 0xff)
+              | (raw(2 * i + 1) << 8)).toShort.toInt
+            i += 1
+          }
+          DecodedAudio(m.media_id, "pcm16", f0.getSampleRate.toInt,
+            f0.getChannels, samples.length.toLong / f0.getChannels, samples)
+        } catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException
+               | _: java.io.IOException
+               | _: IllegalArgumentException =>
+            DecodedAudio(m.media_id, "undecodable", -1, 0, 0L,
+              Array.emptyIntArray)
         }
       }
     }

@@ -87,6 +87,37 @@ class MultimodalSpec extends GraftSpec {
     }
   }
 
+  test("REAL WAV/AIFF decode: distributed decodeAudio is sample-exact vs the generator's PCM") {
+    val n = 15 // mixes rates (8k/16k/44.1k), 1-2 channels, WAV + AIFF
+    val decoded = Multimodal.decodeAudio(Multimodal.audioMediaTable(spark, n))
+      .collect().map(d => d.media_id -> d).toMap
+    assert(decoded.size == n)
+    (0 until n).foreach { id =>
+      val d = decoded(id.toLong)
+      val rate = Seq(8000, 16000, 44100)(id % 3)
+      val channels = 1 + id % 2
+      val frames = 64 + (id % 7) * 37
+      assert(d.format == "pcm16", s"media $id not decoded")
+      assert(d.sample_rate == rate && d.channels == channels
+        && d.n_frames == frames)
+      // PCM in a WAV/AIFF container is lossless: the decoded interleaved
+      // samples must EQUAL the ground-truth signal the container encoded
+      val truth = Multimodal.patternSamples(id, frames, channels).map(_.toInt)
+      assert(d.samples.sameElements(truth), s"sample mismatch for media $id")
+    }
+  }
+
+  test("undecodable audio payloads surface as data, not exceptions") {
+    // text bytes and PNG bytes are both not parseable audio containers
+    val text = Multimodal.mediaTable(spark, sf).limit(10)
+    val outText = Multimodal.decodeAudio(text).collect()
+    assert(outText.length == 10)
+    assert(outText.forall(d => d.format == "undecodable" && d.samples.isEmpty))
+    val png = Multimodal.pngMediaTable(spark, 5)
+    val outPng = Multimodal.decodeAudio(png).collect()
+    assert(outPng.forall(_.format == "undecodable"))
+  }
+
   test("undecodable payloads surface as data, not exceptions") {
     val media = Multimodal.mediaTable(spark, sf) // payloads are text bytes
     val out = Multimodal.decodeImages(media.limit(20)).collect()
