@@ -37,9 +37,12 @@ object Logs {
   def lines(s: SparkSession): DataFrame =
     s.read.text(Configs.absDir(LogPath))
 
-  /** Parsed conforming lines: (script, ts string, level, msg). */
-  def parsed(s: SparkSession): DataFrame =
-    lines(s)
+  /** ANSI strip + parse over a `value`-columned frame of raw lines —
+    * shared verbatim by the batch queries and the streaming monitor
+    * (`Streams.logMonitor`): a pure narrow transform, so Structured
+    * Streaming incrementalizes the SAME plan. */
+  def parseLines(raw: DataFrame): DataFrame =
+    raw
       .select(regexp_replace(col("value"), Ansi, "").as("line"))
       .select(
         regexp_extract(col("line"), Line, 1).as("script"),
@@ -47,6 +50,9 @@ object Logs {
         regexp_extract(col("line"), Line, 3).as("level"),
         regexp_extract(col("line"), Line, 4).as("msg"))
       .filter(col("script") =!= "") // non-conforming lines drop silently
+
+  /** Parsed conforming lines: (script, ts string, level, msg). */
+  def parsed(s: SparkSession): DataFrame = parseLines(lines(s))
 
   /** Error/warn rates per script per hour — the shifter's "which script
     * is failing tonight" table. Counts are exact BIGINTs; the rate is one

@@ -213,4 +213,96 @@ object Relational2 {
       | FROM orders) o USING (band)
       |WHERE l_extendedprice < o_totalprice AND o_orderkey <> l_orderkey
       |GROUP BY band""".stripMargin
+
+  /** TPC-H Q18 shape — large-volume orders: orders whose total lineitem
+    * quantity exceeds a threshold, reported with customer and order
+    * detail. The IN-subquery decorrelates to a per-order aggregate
+    * SEMI-JOINED back on orderkey; the reporting re-aggregation shuffles
+    * on the same key (reusable exchange), and the customer hop is a plain
+    * key join with no hint (scales with data). Quantity sums go through
+    * DECIMAL so the threshold comparison and the reported sum are exact
+    * (double partial-sum order could flip a borderline order in or
+    * out). */
+  val Q18Threshold = 250
+
+  def q18BigOrders(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val bigOrders = li.groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_quantity"))).as("qty"))
+      .filter(col("qty") > Q18Threshold)
+      .select(col("l_orderkey"))
+    val ord0 = Tables.orders(s, d)
+    val ord = ord0.join(bigOrders,
+      ord0("o_orderkey") === bigOrders("l_orderkey"), "left_semi")
+    ord.join(Tables.customer(s, d), ord("o_custkey") === col("c_custkey"))
+      .join(li, ord("o_orderkey") === li("l_orderkey"))
+      .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"))
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+  }
+
+  def q18BigOrdersSql: String =
+    s"""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       |  CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON o_orderkey = l_orderkey
+       |WHERE o_orderkey IN (
+       |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+       |  HAVING sum(CAST(l_quantity AS DECIMAL(12,4))) > $Q18Threshold)
+       |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice""".stripMargin
+
+  /** TPC-H Q21 shape — suppliers who kept finished orders waiting: count,
+    * per supplier, the late lineitems (shipped > 60 days after the order
+    * date — this corpus has no receipt/commit dates, so lateness is
+    * order-relative) in multi-supplier 'F' orders where that supplier was
+    * the ONLY late one. The classic EXISTS / NOT EXISTS pair decorrelates
+    * to ONE per-order aggregate — n_supp = distinct suppliers,
+    * n_late_supp = distinct LATE suppliers — because for a late l1 row
+    * "no OTHER supplier late" ⟺ n_late_supp = 1: no correlated per-row
+    * subqueries, no self-join storm. lineitem⋈orders, the per-order agg,
+    * and the late-row join all shuffle on orderkey once (reusable);
+    * supplier is a key join with no hint. Counts are exact; the top-100
+    * cut carries a full deterministic tie-break (count desc, name asc). */
+  def q21Waiting(s: SparkSession, d: String): DataFrame = {
+    val lo = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate")
+          + expr("INTERVAL 60 DAYS")).as("late"))
+    val perOrder = lo.groupBy(col("l_orderkey").as("g_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
+      .filter(col("n_supp") > 1 && col("n_late_supp") === 1)
+      .select(col("g_orderkey"))
+    lo.filter(col("late"))
+      .join(perOrder, col("l_orderkey") === col("g_orderkey"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
+  def q21WaitingSql: String =
+    """WITH lo AS (
+      |  SELECT l.l_orderkey, l.l_suppkey,
+      |         l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY AS late
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  WHERE o.o_orderstatus = 'F'
+      |),
+      |po AS (
+      |  SELECT l_orderkey FROM lo GROUP BY l_orderkey
+      |  HAVING count(DISTINCT l_suppkey) > 1
+      |     AND count(DISTINCT CASE WHEN late THEN l_suppkey END) = 1
+      |)
+      |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+      |FROM lo JOIN po USING (l_orderkey)
+      |JOIN supplier ON lo.l_suppkey = s_suppkey
+      |WHERE lo.late
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 100""".stripMargin
 }

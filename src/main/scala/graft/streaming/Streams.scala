@@ -66,6 +66,22 @@ object Streams {
         max(col("sample")).as("peak_adc"))
   }
 
+  /** Online operational-log monitor — the STREAMING twin of
+    * `Logs.qLogErrors` (the live "which script is failing" board): raw
+    * log lines stream in (file source tailing a log directory, or any
+    * line shipper), the SAME ANSI-strip + regex parse runs inside the
+    * micro-batch (`Logs.parseLines` — one shared transform, so streamed
+    * and batch results cannot diverge), and per-(script, level) counts
+    * accumulate as incremental partial aggregates. State is one row per
+    * (script, level) — bounded by the script inventory, not log volume —
+    * so complete-mode output stays KB-scale while any volume of lines
+    * flows through. Malformed lines drop inside the micro-batch exactly
+    * as in batch. */
+  def logMonitor(rawLines: DataFrame): DataFrame =
+    graft.operators.Logs.parseLines(rawLines)
+      .groupBy(col("script"), col("level"))
+      .agg(count(lit(1)).as("n_lines"))
+
   // ------------------------------------------------------- stateful sessions
 
   case class Evt(user_id: Long, event_id: Long, ts: Timestamp, value: Double) {
