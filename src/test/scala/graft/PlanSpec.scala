@@ -146,6 +146,22 @@ class PlanSpec extends GraftSpec {
     assert(plan.toLowerCase.contains("leftanti"), "minute-dim anti-join expected")
   }
 
+  test("q18/q21 decorrelate to aggregates — no correlated joins, deterministic top-K") {
+    // Q18: the IN-subquery must become a semi-join on the per-order agg
+    val p18 = planString(Relational2.q18BigOrders(spark, sf))
+    assert(p18.contains("LeftSemi"), s"Q18 lost its semi-join:\n${p18.take(1500)}")
+    assert(!p18.contains("CartesianProduct"))
+    // Q21: the EXISTS/NOT-EXISTS pair must be ONE per-order aggregate —
+    // never a correlated per-row subquery or a cartesian self-join
+    val q21 = Relational2.q21Waiting(spark, sf)
+    val p21 = planString(q21)
+    assert(!p21.contains("CartesianProduct"), "Q21 degenerated to a cartesian")
+    assert(p21.contains("TakeOrderedAndProject"),
+      "Q21 top-100 should compile to TakeOrderedAndProject")
+    val analyzed = q21.queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint"), "Q21 sides must stay hint-free")
+  }
+
   test("wib coherent computes the common mode in-row — no window over the sample stream") {
     // all of a tick's samples live in one decoded frame row, so the per-tick
     // sum must come from a higher-order function over the samples array, not
