@@ -238,6 +238,33 @@ object Events {
       |FROM events
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin
 
+  /** Trailing ONE-HOUR window per user — a TIME-based (RANGE) frame, the
+    * companion to the row-based ma3: for each event, how many events and
+    * how much value this user produced in the preceding hour INCLUDING
+    * now (rate limiting / burst detection). The frame is RANGE over exact
+    * epoch MICROS (`unix_micros` ↔ DuckDB `epoch_us` — integer on both
+    * engines, no double epoch seconds whose cast rounds differently), so
+    * tie rows (equal timestamps) enter the frame identically everywhere.
+    * Scale: one shuffle partitioned by user; frame state is bounded by
+    * each user's 1-hour event rate, independent of corpus size. */
+  def qEvtTrailing1h(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-3600L * 1000000, Window.currentRow)
+    events(s, d)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(dec(col("value"))).over(w).cast("double").as("sum_1h"))
+  }
+
+  def qEvtTrailing1hSql: String =
+    """SELECT event_id, user_id, ts,
+      | CAST(count(*) OVER w AS BIGINT) AS n_1h,
+      | CAST(sum(CAST(value AS DECIMAL(12,4))) OVER w AS DOUBLE) AS sum_1h
+      |FROM (SELECT *, epoch_us(ts) AS ts_us FROM events)
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+      |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin
+
   /** Statistical outlier detection: events whose value sits more than 3
     * standard deviations from the event-type mean — the DAQ
     * anomalous-channel flagging pattern. Mean and variance computed in

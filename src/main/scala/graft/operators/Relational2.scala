@@ -214,6 +214,45 @@ object Relational2 {
       |WHERE l_extendedprice < o_totalprice AND o_orderkey <> l_orderkey
       |GROUP BY band""".stripMargin
 
+  /** MULTISET set operations — EXCEPT ALL / INTERSECT ALL keep
+    * per-element multiplicities (the bag semantics `EXCEPT`/`INTERSECT`
+    * DISTINCT collapse away): the surplus / common priority bags between
+    * finished and open orders, re-aggregated to (priority, count) so the
+    * multiplicity arithmetic is what the oracle hashes. Spark plans both
+    * as counted aggregates (generate-replicated), never a join blowup —
+    * one shuffle on the value. */
+  def qExceptAll(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+    ord.filter(col("o_orderstatus") === "F").select(col("o_orderpriority"))
+      .exceptAll(
+        ord.filter(col("o_orderstatus") === "O").select(col("o_orderpriority")))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_surplus"))
+  }
+
+  def qExceptAllSql: String =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_surplus FROM (
+      | SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+      | EXCEPT ALL
+      | SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+      |) GROUP BY o_orderpriority""".stripMargin
+
+  def qIntersectAll(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+    ord.filter(col("o_orderstatus") === "F").select(col("o_orderpriority"))
+      .intersectAll(
+        ord.filter(col("o_orderstatus") === "O").select(col("o_orderpriority")))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_common"))
+  }
+
+  def qIntersectAllSql: String =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_common FROM (
+      | SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+      | INTERSECT ALL
+      | SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+      |) GROUP BY o_orderpriority""".stripMargin
+
   /** TPC-H Q18 shape — large-volume orders: orders whose total lineitem
     * quantity exceeds a threshold, reported with customer and order
     * detail. The IN-subquery decorrelates to a per-order aggregate
