@@ -125,33 +125,66 @@ object Lake {
   private val LedgerCols = Seq("path", "size", "adler32", "snapshot_id",
     "ingested_at", "op", "snapshot_op", "stats")
 
-  /** Ledger type of the per-file column-stats map: col → [lo, hi]. */
-  private val StatsType = "map<string,struct<lo:bigint,hi:bigint>>"
+  /** Ledger type of the per-file column-stats map: col → bounds. Numeric
+    * columns fill [lo, hi] (longs), string columns fill [slo, shi] (full
+    * min/max values, Spark's binary UTF8 ordering); the other pair stays
+    * null. */
+  private val StatsType =
+    "map<string,struct<lo:bigint,hi:bigint,slo:string,shi:string>>"
 
-  /** Per-file `[floor(min), ceil(max)]` stats map for `cols` over the
-    * parquet files of `dir`, keyed by normalized path; None when no stats
-    * columns are requested. floor/ceil (not a truncating cast) make the
-    * stored long bounds conservative OUTER bounds for non-integral numeric
-    * columns — a DOUBLE max of 5.9 stores hi=6; a truncating cast would
-    * store 5 and silently skip files containing matching rows. Columns
-    * that are all-null in a file are omitted from that file's map (absent
-    * key = never skip). One distributed aggregation keyed by source file;
-    * only the KB-scale per-file stats touch the driver via the ledger. */
+  /** Per-file stats map for `cols` over the parquet files of `dir`, keyed
+    * by normalized path; None when no stats columns are requested.
+    * NUMERIC columns store `[floor(min), ceil(max)]` — floor/ceil (not a
+    * truncating cast) make the stored long bounds conservative OUTER
+    * bounds for non-integral values (a DOUBLE max of 5.9 stores hi=6; a
+    * truncating cast would store 5 and silently skip files containing
+    * matching rows). STRING columns store the exact min/max values
+    * (Spark's string min/max is binary UTF8 order — the index compares
+    * literals with the same ordering). Columns of any other type, or
+    * all-null in a file, are omitted from that file's map (absent key =
+    * never skip). One distributed aggregation keyed by source file; only
+    * the KB-scale per-file stats touch the driver via the ledger. */
   private def fileStats(spark: SparkSession, dir: String,
       cols: Seq[String]): Option[DataFrame] =
     if (cols.isEmpty) None
     else {
+      val df = spark.read.parquet(dir)
+      val kinds: Map[String, String] = cols.map { c =>
+        c -> (df.schema(c).dataType match {
+          case _: org.apache.spark.sql.types.NumericType => "num"
+          case org.apache.spark.sql.types.StringType => "str"
+          case _ => "none"
+        })
+      }.toMap
       val aggs = cols.flatMap { c =>
-        Seq(floor(min(col(c))).cast("long").as(s"__lo_$c"),
-          ceil(max(col(c))).cast("long").as(s"__hi_$c"))
+        kinds(c) match {
+          case "num" => Seq(floor(min(col(c))).cast("long").as(s"__lo_$c"),
+            ceil(max(col(c))).cast("long").as(s"__hi_$c"))
+          case "str" => Seq(min(col(c)).as(s"__lo_$c"),
+            max(col(c)).as(s"__hi_$c"))
+          case _ => Seq.empty
+        }
       }
-      val entries = cols.map { c =>
-        when(col(s"__lo_$c").isNotNull && col(s"__hi_$c").isNotNull,
-          struct(lit(c).as("key"),
-            struct(col(s"__lo_$c").as("lo"), col(s"__hi_$c").as("hi"))
-              .as("value")))
+      if (aggs.isEmpty) return None
+      val nullL = lit(null).cast("long")
+      val nullS = lit(null).cast("string")
+      val entries = cols.flatMap { c =>
+        kinds(c) match {
+          case "num" => Some(
+            when(col(s"__lo_$c").isNotNull && col(s"__hi_$c").isNotNull,
+              struct(lit(c).as("key"),
+                struct(col(s"__lo_$c").as("lo"), col(s"__hi_$c").as("hi"),
+                  nullS.as("slo"), nullS.as("shi")).as("value"))))
+          case "str" => Some(
+            when(col(s"__lo_$c").isNotNull && col(s"__hi_$c").isNotNull,
+              struct(lit(c).as("key"),
+                struct(nullL.as("lo"), nullL.as("hi"),
+                  col(s"__lo_$c").as("slo"), col(s"__hi_$c").as("shi"))
+                  .as("value"))))
+          case _ => None
+        }
       }
-      Some(spark.read.parquet(dir)
+      Some(df
         .select(regexp_replace(input_file_name(), "^file:/+", "/").as("_np")
           +: cols.map(col): _*)
         .groupBy(col("_np"))

@@ -21,15 +21,16 @@ import org.apache.spark.sql.types.StructType
   * data size.
   *
   * DATA SKIPPING: when ledger rows carry a per-file, PER-COLUMN stats map
-  * `stats: map<col, struct<lo, hi>>` — recorded by
+  * (numeric `[lo, hi]` longs or string `[lo, hi]` values) — recorded by
   * `ingestNewFiles(statsCols = ...)` and carried through compaction —
-  * `listFiles` prunes files whose [lo, hi] range on a filtered column
-  * provably cannot satisfy the pushed data filters (=, <, <=, >, >=, IN;
-  * columns absent from a file's map never skip that file). Multi-column:
-  * each pushed filter prunes against the stats of the column IT references,
-  * so a table clustered on two keys skips on both (the Iceberg/Delta
-  * norm). At 100 TB this is the manifest's whole point: a point query on
-  * a range-clustered key opens ONE file, not the table.
+  * `listFiles` prunes files whose range on a filtered column provably
+  * cannot satisfy the pushed data filters (=, <, <=, >, >=, IN; columns
+  * absent from a file's map never skip that file). Multi-column: each
+  * pushed filter prunes against the stats of the column IT references, so
+  * a table clustered on two keys skips on both, and string keys skip in
+  * Spark's binary UTF8 ordering (the Iceberg/Delta norm). At 100 TB this
+  * is the manifest's whole point: a point query on a range-clustered key
+  * opens ONE file, not the table.
   *
   * SOUNDNESS: stored bounds are floor(min)/ceil(max) (see
   * `Lake.fileStats`), so they are conservative OUTER bounds even for
@@ -42,22 +43,36 @@ import org.apache.spark.sql.types.StructType
   * file — never skip on uncertainty. */
 final class LedgerFileIndex(liveActions: DataFrame) extends FileIndex {
 
-  /** (path, size, per-column [lo, hi]) of the live file set, materialized
+  /** A file's value bounds for one column: numeric `[lo, hi]` longs or
+    * string `[lo, hi]` in Spark's binary UTF8 ordering (the ordering its
+    * string min/max aggregates use — NOT java.lang.String's UTF-16 char
+    * order, which diverges beyond the BMP). */
+  private sealed trait Bounds
+  private final case class NumBounds(lo: Long, hi: Long) extends Bounds
+  private final case class StrBounds(
+    lo: org.apache.spark.unsafe.types.UTF8String,
+    hi: org.apache.spark.unsafe.types.UTF8String) extends Bounds
+
+  /** (path, size, per-column bounds) of the live file set, materialized
     * once at first scan planning. Sizes/stats ride along from the ledger
     * (recorded at ingest), so Spark can split scan tasks and skip files
     * without statting or opening any of them. */
-  private lazy val entries: Seq[(FileStatus, Map[String, (Long, Long)])] =
+  private lazy val entries: Seq[(FileStatus, Map[String, Bounds])] =
     liveActions
       .select(col("path"), col("size"), col("stats"))
       .collect()
       .map { r =>
         val st = new FileStatus(r.getLong(1), false, 1, 128L * 1024 * 1024, 0L,
           new Path(r.getString(0)))
-        val stats: Map[String, (Long, Long)] =
+        val stats: Map[String, Bounds] =
           if (r.isNullAt(2)) Map.empty
           else r.getMap[String, org.apache.spark.sql.Row](2).toMap.collect {
             case (c, b) if b != null && !b.isNullAt(0) && !b.isNullAt(1) =>
-              c -> (b.getLong(0), b.getLong(1))
+              c -> (NumBounds(b.getLong(0), b.getLong(1)): Bounds)
+            case (c, b) if b != null && !b.isNullAt(2) && !b.isNullAt(3) =>
+              c -> (StrBounds(
+                org.apache.spark.unsafe.types.UTF8String.fromString(b.getString(2)),
+                org.apache.spark.unsafe.types.UTF8String.fromString(b.getString(3))): Bounds)
           }
         (st, stats)
       }.toSeq
@@ -73,8 +88,10 @@ final class LedgerFileIndex(liveActions: DataFrame) extends FileIndex {
         f.references.map(_.name).toSeq.distinct match {
           // a filter prunes only against the stats of the ONE column it
           // references; files without stats for that column never skip
-          case Seq(c) => stats.get(c)
-            .forall { case (lo, hi) => mayMatch(f, c, lo, hi) }
+          case Seq(c) => stats.get(c).forall {
+            case NumBounds(lo, hi) => mayMatch(f, c, lo, hi)
+            case StrBounds(lo, hi) => mayMatchStr(f, c, lo, hi)
+          }
           case _ => true
         }
       }
@@ -127,6 +144,55 @@ final class LedgerFileIndex(liveActions: DataFrame) extends FileIndex {
     case a: AttributeReference => a.name == c
     case Cast(a: AttributeReference, _, _, _) => a.name == c
     case _ => false
+  }
+
+  /** String-bounds filter evaluation, in Spark's binary UTF8 ordering —
+    * the ordering its string min/max aggregates (and thus the stored
+    * bounds) use. Only BARE column references qualify: a Cast changes the
+    * comparison's ordering semantics (e.g. string→int compares
+    * numerically), and pruning byte-order bounds against it would be
+    * unsound. Unknown shapes keep the file. */
+  private def mayMatchStr(f: Expression, c: String,
+      lo: org.apache.spark.unsafe.types.UTF8String,
+      hi: org.apache.spark.unsafe.types.UTF8String): Boolean = {
+    import org.apache.spark.unsafe.types.UTF8String
+    def sv(v: Any): Option[UTF8String] = v match {
+      case s: UTF8String => Some(s)
+      case s: String => Some(UTF8String.fromString(s))
+      case _ => None
+    }
+    def isAttr(e: Expression): Boolean = e match {
+      case a: AttributeReference => a.name == c
+      case _ => false
+    }
+    def inRange(x: UTF8String): Boolean =
+      x.compareTo(lo) >= 0 && x.compareTo(hi) <= 0
+    f match {
+      case EqualTo(a, Literal(v, _)) if isAttr(a) => sv(v).forall(inRange)
+      case EqualTo(Literal(v, _), a) if isAttr(a) => sv(v).forall(inRange)
+      case GreaterThan(a, Literal(v, _)) if isAttr(a) =>
+        sv(v).forall(x => hi.compareTo(x) > 0)
+      case GreaterThanOrEqual(a, Literal(v, _)) if isAttr(a) =>
+        sv(v).forall(x => hi.compareTo(x) >= 0)
+      case LessThan(a, Literal(v, _)) if isAttr(a) =>
+        sv(v).forall(x => lo.compareTo(x) < 0)
+      case LessThanOrEqual(a, Literal(v, _)) if isAttr(a) =>
+        sv(v).forall(x => lo.compareTo(x) <= 0)
+      case GreaterThan(Literal(v, _), a) if isAttr(a) =>
+        sv(v).forall(x => lo.compareTo(x) < 0)
+      case GreaterThanOrEqual(Literal(v, _), a) if isAttr(a) =>
+        sv(v).forall(x => lo.compareTo(x) <= 0)
+      case LessThan(Literal(v, _), a) if isAttr(a) =>
+        sv(v).forall(x => hi.compareTo(x) > 0)
+      case LessThanOrEqual(Literal(v, _), a) if isAttr(a) =>
+        sv(v).forall(x => hi.compareTo(x) >= 0)
+      case In(a, vs) if isAttr(a) && vs.forall(_.isInstanceOf[Literal]) =>
+        vs.exists { case Literal(v, _) => sv(v).forall(inRange) }
+      case And(l, r) => mayMatchStr(l, c, lo, hi) && mayMatchStr(r, c, lo, hi)
+      case Or(l, r) => mayMatchStr(l, c, lo, hi) || mayMatchStr(r, c, lo, hi)
+      case IsNotNull(_) => true
+      case _ => true
+    }
   }
 
   /** A literal's value as an EXACT decimal uncertainty interval.

@@ -148,6 +148,51 @@ class DataSkipSpec extends GraftSpec {
       df.filter(col("v") >= lit(24.5) && col("v") < lit(50.5)).count())
   }
 
+  test("string stats columns prune in binary UTF8 order alongside numeric ones") {
+    val root = Files.createTempDirectory("graft_skip7").toString
+    val t = GraftTable(spark, s"$root/ledger", s"$root/gen")
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    // cluster by the STRING key: each file spans ~one segment
+    cust.repartitionByRange(5, col("c_mktsegment"))
+      .write.parquet(s"$root/landing")
+    t.ingest(s"$root/landing", statsCols = Seq("c_mktsegment", "c_custkey"))
+
+    val total = scannedFiles(t.read())
+    val seg = t.read().filter(col("c_mktsegment") === "BUILDING")
+    assert(scannedFiles(seg) < total,
+      "string point query must prune to the segment's file(s)")
+    assert(seg.count() ==
+      cust.filter(col("c_mktsegment") === "BUILDING").count())
+
+    // range predicate on the string key, and an impossible probe
+    val tail = t.read().filter(col("c_mktsegment") > "MACHINERY")
+    assert(scannedFiles(tail) < total)
+    assert(tail.count() == cust.filter(col("c_mktsegment") > "MACHINERY").count())
+    val none = t.read().filter(col("c_mktsegment") === "zzz_no_such_segment")
+    assert(scannedFiles(none) == 0, "impossible string probe must open nothing")
+
+    // the numeric column's stats still exist but are full-range per file
+    // (keys uncorrelated with segments): counts stay exact either way
+    val k = cust.agg(min(col("c_custkey"))).head().getLong(0)
+    val point = t.read().filter(col("c_custkey") === k)
+    assert(point.count() == cust.filter(col("c_custkey") === k).count())
+
+    // mixed-type stats survive compaction CORRECTLY: the rewrite
+    // range-clusters on the sorted stats columns (numeric key first
+    // here), so the string stats may go full-range-wide — selectivity can
+    // drop, but pruning must never lose rows
+    t.compact(cust.count() / 3 + 1)
+    val seg2 = t.read().filter(col("c_mktsegment") === "BUILDING")
+    assert(seg2.count() ==
+      cust.filter(col("c_mktsegment") === "BUILDING").count())
+    val k2 = cust.agg(max(col("c_custkey"))).head().getLong(0)
+    val point2 = t.read().filter(col("c_custkey") === k2)
+    assert(scannedFiles(point2) < scannedFiles(t.read()),
+      "post-compaction clustering is on the numeric key — it must prune")
+    assert(point2.count() == cust.filter(col("c_custkey") === k2).count())
+  }
+
   test("files re-added after removal take size and stats from the winning add") {
     // regression for the liveActionsAt generation-mixing hazard: a path
     // removed and later re-added (with different content) must surface the
@@ -177,7 +222,9 @@ class DataSkipSpec extends GraftSpec {
       .withColumn("stats", when(col("stats_raw").isNotNull,
         map_from_entries(transform(map_entries(col("stats_raw")),
           e => struct(e("key").as("key"),
-            struct(e("value")("_1").as("lo"), e("value")("_2").as("hi"))
+            struct(e("value")("_1").as("lo"), e("value")("_2").as("hi"),
+              lit(null).cast("string").as("slo"),
+              lit(null).cast("string").as("shi"))
               .as("value"))))))
       .drop("stats_raw")
       .write.parquet(ledgerDir)
