@@ -35,6 +35,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("wib_decode"),
       new ExpressionInfo(classOf[WibDecodeExpr].getName, "wib_decode"),
       (children: Seq[Expression]) => WibDecodeExpr(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("zorder64"),
+      new ExpressionInfo(classOf[ZOrder64Expr].getName, "zorder64"),
+      (children: Seq[Expression]) => ZOrder64Expr(children.head, children(1))))
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
 }
@@ -56,4 +60,6 @@ object GraftFunctions {
     GraftShim.column(DotProductExpr(GraftShim.expression(a), GraftShim.expression(b)))
   def wibDecode(c: Column): Column =
     GraftShim.column(WibDecodeExpr(GraftShim.expression(c)))
+  def zorder64(a: Column, b: Column): Column =
+    GraftShim.column(ZOrder64Expr(GraftShim.expression(a), GraftShim.expression(b)))
 }

@@ -325,3 +325,49 @@ case class DotProductExpr(left: Expression, right: Expression)
       newRight: Expression): DotProductExpr =
     copy(left = newLeft, right = newRight)
 }
+
+object ZOrder {
+  /** Spread the low 32 bits of `x` into the even bit positions of a long
+    * (magic-number bit doubling — O(log n) shifts, branch-free). */
+  def spread(x0: Long): Long = {
+    var x = x0 & 0xffffffffL
+    x = (x | (x << 16)) & 0x0000ffff0000ffffL
+    x = (x | (x << 8)) & 0x00ff00ff00ff00ffL
+    x = (x | (x << 4)) & 0x0f0f0f0f0f0f0f0fL
+    x = (x | (x << 2)) & 0x3333333333333333L
+    x = (x | (x << 1)) & 0x5555555555555555L
+    x
+  }
+
+  /** Z-curve (Morton) interleave of two 32-bit values: bit i of `a` lands
+    * at position 2i, bit i of `b` at 2i+1. Monotone per dimension, so
+    * range-partitioning on the z-value clusters BOTH dimensions at once —
+    * the multi-dimensional clustering behind OPTIMIZE ZORDER. */
+  def interleave(a: Long, b: Long): Long = spread(a) | (spread(b) << 1)
+}
+
+/** `zorder64(a, b)` — Morton interleave of two (already 0..2³²-1
+  * normalized) longs; the compaction clustering key for two-column data
+  * skipping. Codegen'd: stays inside whole-stage codegen in the rewrite
+  * projection. */
+case class ZOrder64Expr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"zorder64 requires two BIGINT inputs, got ${left.dataType.catalogString}, ${right.dataType.catalogString}")
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ZOrder.interleave(a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.ZOrder.interleave($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): ZOrder64Expr =
+    copy(left = newLeft, right = newRight)
+}

@@ -67,9 +67,12 @@ final case class GraftTable(spark: SparkSession, ledgerDir: String,
   def delete(cond: Column): Long =
     Lake.deleteWhere(spark, ledgerDir, genRoot, cond)
 
-  /** Rewrite the live file set toward a target rows-per-file. */
-  def compact(targetRowsPerFile: Long): Long =
-    Lake.compactIngested(spark, ledgerDir, genRoot, targetRowsPerFile)
+  /** Rewrite the live file set toward a target rows-per-file. With
+    * `zOrder=true` and ≥2 numeric stats columns, the rewrite clusters on
+    * the Morton interleave of the first two so filters on EITHER keep
+    * data-skipping after the rewrite (OPTIMIZE ZORDER). */
+  def compact(targetRowsPerFile: Long, zOrder: Boolean = false): Long =
+    Lake.compactIngested(spark, ledgerDir, genRoot, targetRowsPerFile, zOrder)
 
   /** Expire snapshots before `retainFrom`; returns files deleted. */
   def expire(retainFrom: Long): Long =

@@ -342,7 +342,8 @@ object Lake {
     * the landing dir stays a no-op because the ingested paths remain in
     * the ledger (as removed rows — the anti-join keys on path existence). */
   def compactIngested(spark: SparkSession, ledgerDir: String,
-      compactDir: String, targetRowsPerFile: Long): Long = {
+      compactDir: String, targetRowsPerFile: Long,
+      zOrder: Boolean = false): Long = {
     val ledger = readLedger(spark, ledgerDir).getOrElse(return 0L)
     val snap = currentSnapshot(spark, ledgerDir)
     val liveActs = liveActionsAt(ledger, snap)
@@ -362,9 +363,31 @@ object Lake {
     // stats columns make compaction CLUSTERING-preserving: range-partition
     // the rewrite by them so the recomputed per-file [lo,hi] stay narrow and
     // data skipping survives the rewrite (the OPTIMIZE discipline — a hash
-    // repartition would leave stats correct but every file full-range wide)
+    // repartition would leave stats correct but every file full-range wide).
+    // Lexicographic range clustering keeps only the FIRST column selective;
+    // zOrder=true instead range-partitions on the Morton interleave of the
+    // first two NUMERIC stats columns (min-max normalized to 32 bits), so
+    // point/range filters on EITHER column keep pruning after the rewrite —
+    // the OPTIMIZE ZORDER discipline. Normalization bounds come from one
+    // cheap aggregate over the rewrite input (already being fully read).
+    val numericCols = statsCols.filter(c => df.schema(c).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType])
     val repartitioned =
-      if (statsCols.nonEmpty) df.repartitionByRange(files, statsCols.map(col): _*)
+      if (zOrder && numericCols.size >= 2) {
+        val (a, b) = (numericCols(0), numericCols(1))
+        val r = df.agg(min(col(a)).cast("double"), max(col(a)).cast("double"),
+          min(col(b)).cast("double"), max(col(b)).cast("double")).head()
+        def norm(c: String, mn: Double, mx: Double) = {
+          val span = math.max(mx - mn, java.lang.Double.MIN_NORMAL)
+          ((col(c).cast("double") - mn) / span * 4294967295.0).cast("long")
+        }
+        df.withColumn("__z", graft.functions.GraftFunctions.zorder64(
+            norm(a, r.getDouble(0), r.getDouble(1)),
+            norm(b, r.getDouble(2), r.getDouble(3))))
+          .repartitionByRange(files, col("__z"))
+          .drop("__z")
+      } else if (statsCols.nonEmpty)
+        df.repartitionByRange(files, statsCols.map(col): _*)
       else df.repartition(files)
     repartitioned.write.mode("overwrite").parquet(genDir)
     val added0 = spark.read.format("binaryFile")

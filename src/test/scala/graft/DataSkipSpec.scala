@@ -193,6 +193,32 @@ class DataSkipSpec extends GraftSpec {
     assert(point2.count() == cust.filter(col("c_custkey") === k2).count())
   }
 
+  test("z-order compaction keeps BOTH numeric columns prunable") {
+    val root = Files.createTempDirectory("graft_skip8").toString
+    val t = GraftTable(spark, s"$root/ledger", s"$root/gen")
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey"), col("c_acctbal"))
+    cust.repartitionByRange(8, col("c_custkey"))
+      .write.parquet(s"$root/landing")
+    t.ingest(s"$root/landing", statsCols = Seq("c_custkey", "c_acctbal"))
+    t.compact(cust.count() / 16 + 1, zOrder = true)
+
+    val total = scannedFiles(t.read())
+    assert(total >= 8, s"expected a multi-file z-ordered layout, got $total")
+    // point query on the FIRST dimension prunes
+    val k = cust.agg(min(col("c_custkey"))).head().getLong(0)
+    val byKey = t.read().filter(col("c_custkey") === k)
+    assert(scannedFiles(byKey) < total, "z-order lost custkey selectivity")
+    assert(byKey.count() == cust.filter(col("c_custkey") === k).count())
+    // range query on the SECOND dimension ALSO prunes — the property
+    // lexicographic range clustering cannot give (its second key is
+    // full-range in every file)
+    val hiBal = cust.agg(max(col("c_acctbal"))).head().getDouble(0)
+    val band = t.read().filter(col("c_acctbal") > lit(hiBal * 0.9))
+    assert(scannedFiles(band) < total, "z-order lost acctbal selectivity")
+    assert(band.count() == cust.filter(col("c_acctbal") > lit(hiBal * 0.9)).count())
+  }
+
   test("files re-added after removal take size and stats from the winning add") {
     // regression for the liveActionsAt generation-mixing hazard: a path
     // removed and later re-added (with different content) must surface the

@@ -84,4 +84,24 @@ class FunctionsSpec extends GraftSpec {
       if (!r.isNullAt(0)) assert(r.getDouble(0) == r.getDouble(1))
     }
   }
+
+  test("zorder64 interleaves bits Morton-style and is monotone per dimension") {
+    import graft.functions.ZOrder
+    // reference vectors: a's bits land even, b's bits land odd
+    assert(ZOrder.interleave(0xffffffffL, 0L) == 0x5555555555555555L)
+    assert(ZOrder.interleave(0L, 0xffffffffL) == 0xaaaaaaaaaaaaaaaaL)
+    assert(ZOrder.interleave(0xffffffffL, 0xffffffffL) == -1L)
+    assert(ZOrder.interleave(1L, 0L) == 1L && ZOrder.interleave(0L, 1L) == 2L)
+    assert(ZOrder.interleave(3L, 1L) == 7L) // a=11 -> 0101, b=01 -> 0010
+    // monotone per dimension (the property range clustering relies on)
+    for (x <- 0L until 64L) {
+      assert(ZOrder.interleave(x, 7L) < ZOrder.interleave(x + 1, 7L))
+      assert(ZOrder.interleave(7L, x) < ZOrder.interleave(7L, x + 1))
+    }
+    // the codegen Column path agrees with the Scala reference
+    val r = spark.range(1).select(graft.functions.GraftFunctions.zorder64(
+      org.apache.spark.sql.functions.lit(12345L),
+      org.apache.spark.sql.functions.lit(67890L))).head()
+    assert(r.getLong(0) == ZOrder.interleave(12345L, 67890L))
+  }
 }
