@@ -125,12 +125,14 @@ object Lake {
   private val LedgerCols = Seq("path", "size", "adler32", "snapshot_id",
     "ingested_at", "op", "snapshot_op", "stats")
 
-  /** Ledger type of the per-file column-stats map: col → bounds. Numeric
-    * columns fill [lo, hi] (longs), string columns fill [slo, shi] (full
-    * min/max values, Spark's binary UTF8 ordering); the other pair stays
-    * null. */
-  private val StatsType =
-    "map<string,struct<lo:bigint,hi:bigint,slo:string,shi:string>>"
+  /** Ledger type of the per-file column-stats map: col → bounds + null
+    * accounting. Numeric columns fill [lo, hi] (longs), string columns
+    * fill [slo, shi] (full min/max values, Spark's binary UTF8 ordering);
+    * the other pair stays null. `nulls`/`nrows` (null count and file row
+    * count) let the index prune IS NULL / IS NOT NULL probes and
+    * value comparisons against entirely-null columns. */
+  private val StatsType = "map<string,struct<lo:bigint,hi:bigint," +
+    "slo:string,shi:string,nulls:bigint,nrows:bigint>>"
 
   /** Per-file stats map for `cols` over the parquet files of `dir`, keyed
     * by normalized path; None when no stats columns are requested.
@@ -159,28 +161,33 @@ object Lake {
       val aggs = cols.flatMap { c =>
         kinds(c) match {
           case "num" => Seq(floor(min(col(c))).cast("long").as(s"__lo_$c"),
-            ceil(max(col(c))).cast("long").as(s"__hi_$c"))
+            ceil(max(col(c))).cast("long").as(s"__hi_$c"),
+            count(when(col(c).isNull, 1)).as(s"__nl_$c"))
           case "str" => Seq(min(col(c)).as(s"__lo_$c"),
-            max(col(c)).as(s"__hi_$c"))
+            max(col(c)).as(s"__hi_$c"),
+            count(when(col(c).isNull, 1)).as(s"__nl_$c"))
           case _ => Seq.empty
         }
-      }
-      if (aggs.isEmpty) return None
+      } :+ count(lit(1)).as("__nr")
+      if (aggs.size == 1) return None // only the row count: no stats cols
       val nullL = lit(null).cast("long")
       val nullS = lit(null).cast("string")
+      // entries exist even for all-null columns (null bounds + full null
+      // count): the index can then prune IS NOT NULL and value probes
       val entries = cols.flatMap { c =>
         kinds(c) match {
           case "num" => Some(
-            when(col(s"__lo_$c").isNotNull && col(s"__hi_$c").isNotNull,
-              struct(lit(c).as("key"),
-                struct(col(s"__lo_$c").as("lo"), col(s"__hi_$c").as("hi"),
-                  nullS.as("slo"), nullS.as("shi")).as("value"))))
+            struct(lit(c).as("key"),
+              struct(col(s"__lo_$c").as("lo"), col(s"__hi_$c").as("hi"),
+                nullS.as("slo"), nullS.as("shi"),
+                col(s"__nl_$c").as("nulls"), col("__nr").as("nrows"))
+                .as("value")))
           case "str" => Some(
-            when(col(s"__lo_$c").isNotNull && col(s"__hi_$c").isNotNull,
-              struct(lit(c).as("key"),
-                struct(nullL.as("lo"), nullL.as("hi"),
-                  col(s"__lo_$c").as("slo"), col(s"__hi_$c").as("shi"))
-                  .as("value"))))
+            struct(lit(c).as("key"),
+              struct(nullL.as("lo"), nullL.as("hi"),
+                col(s"__lo_$c").as("slo"), col(s"__hi_$c").as("shi"),
+                col(s"__nl_$c").as("nulls"), col("__nr").as("nrows"))
+                .as("value")))
           case _ => None
         }
       }
@@ -385,9 +392,14 @@ object Lake {
             norm(a, r.getDouble(0), r.getDouble(1)),
             norm(b, r.getDouble(2), r.getDouble(3))))
           .repartitionByRange(files, col("__z"))
+          // sort INSIDE each file too: parquet row-group/page stats get the
+          // same tight bounds as the manifest, so even an opened file skips
+          // row groups (manifest prunes files, footer stats prune pages)
+          .sortWithinPartitions(col("__z"))
           .drop("__z")
       } else if (statsCols.nonEmpty)
         df.repartitionByRange(files, statsCols.map(col): _*)
+          .sortWithinPartitions(statsCols.map(col): _*)
       else df.repartition(files)
     repartitioned.write.mode("overwrite").parquet(genDir)
     val added0 = spark.read.format("binaryFile")

@@ -28,7 +28,10 @@ import org.apache.spark.sql.types.StructType
   * absent from a file's map never skip that file). Multi-column: each
   * pushed filter prunes against the stats of the column IT references, so
   * a table clustered on two keys skips on both, and string keys skip in
-  * Spark's binary UTF8 ordering (the Iceberg/Delta norm). At 100 TB this
+  * Spark's binary UTF8 ordering (the Iceberg/Delta norm). Per-column
+  * null counts prune IS NULL (no nulls recorded) and IS NOT NULL /
+  * value probes (column entirely null in the file) — bare column
+  * references only, since a Cast can manufacture nulls. At 100 TB this
   * is the manifest's whole point: a point query on a range-clustered key
   * opens ONE file, not the table.
   *
@@ -53,26 +56,43 @@ final class LedgerFileIndex(liveActions: DataFrame) extends FileIndex {
     lo: org.apache.spark.unsafe.types.UTF8String,
     hi: org.apache.spark.unsafe.types.UTF8String) extends Bounds
 
-  /** (path, size, per-column bounds) of the live file set, materialized
+  /** One column's per-file statistics: optional value bounds (absent when
+    * the column is entirely null in the file) plus optional null
+    * accounting (null count and file row count). */
+  private final case class ColStats(bounds: Option[Bounds],
+    nulls: Option[Long], rows: Option[Long]) {
+    def allNull: Boolean = rows.exists(r => r > 0 && nulls.contains(r))
+  }
+
+  /** (path, size, per-column stats) of the live file set, materialized
     * once at first scan planning. Sizes/stats ride along from the ledger
     * (recorded at ingest), so Spark can split scan tasks and skip files
     * without statting or opening any of them. */
-  private lazy val entries: Seq[(FileStatus, Map[String, Bounds])] =
+  private lazy val entries: Seq[(FileStatus, Map[String, ColStats])] =
     liveActions
       .select(col("path"), col("size"), col("stats"))
       .collect()
       .map { r =>
         val st = new FileStatus(r.getLong(1), false, 1, 128L * 1024 * 1024, 0L,
           new Path(r.getString(0)))
-        val stats: Map[String, Bounds] =
+        val stats: Map[String, ColStats] =
           if (r.isNullAt(2)) Map.empty
           else r.getMap[String, org.apache.spark.sql.Row](2).toMap.collect {
-            case (c, b) if b != null && !b.isNullAt(0) && !b.isNullAt(1) =>
-              c -> (NumBounds(b.getLong(0), b.getLong(1)): Bounds)
-            case (c, b) if b != null && !b.isNullAt(2) && !b.isNullAt(3) =>
-              c -> (StrBounds(
-                org.apache.spark.unsafe.types.UTF8String.fromString(b.getString(2)),
-                org.apache.spark.unsafe.types.UTF8String.fromString(b.getString(3))): Bounds)
+            case (c, b) if b != null =>
+              val bounds: Option[Bounds] =
+                if (!b.isNullAt(0) && !b.isNullAt(1))
+                  Some(NumBounds(b.getLong(0), b.getLong(1)))
+                else if (b.size > 3 && !b.isNullAt(2) && !b.isNullAt(3))
+                  Some(StrBounds(
+                    org.apache.spark.unsafe.types.UTF8String.fromString(b.getString(2)),
+                    org.apache.spark.unsafe.types.UTF8String.fromString(b.getString(3))))
+                else None
+              // older ledger rows may carry narrower structs: size-guard
+              val nulls = if (b.size > 4 && !b.isNullAt(4)) Some(b.getLong(4)) else None
+              val rows = if (b.size > 5 && !b.isNullAt(5)) Some(b.getLong(5)) else None
+              c -> ColStats(bounds, nulls, rows)
+          }.filter { case (_, cs) =>
+            cs.bounds.isDefined || cs.nulls.isDefined
           }
         (st, stats)
       }.toSeq
@@ -88,9 +108,18 @@ final class LedgerFileIndex(liveActions: DataFrame) extends FileIndex {
         f.references.map(_.name).toSeq.distinct match {
           // a filter prunes only against the stats of the ONE column it
           // references; files without stats for that column never skip
-          case Seq(c) => stats.get(c).forall {
-            case NumBounds(lo, hi) => mayMatch(f, c, lo, hi)
-            case StrBounds(lo, hi) => mayMatchStr(f, c, lo, hi)
+          case Seq(c) => stats.get(c).forall { cs =>
+            f match {
+              case IsNull(a) if isBareCol(a, c) =>
+                cs.nulls.forall(_ > 0) // zero nulls recorded → cannot match
+              case IsNotNull(a) if isBareCol(a, c) => !cs.allNull
+              case _ if cs.allNull && comparisonShape(f, c) =>
+                false // no non-null value exists to satisfy a comparison
+              case _ => cs.bounds.forall {
+                case NumBounds(lo, hi) => mayMatch(f, c, lo, hi)
+                case StrBounds(lo, hi) => mayMatchStr(f, c, lo, hi)
+              }
+            }
           }
           case _ => true
         }
@@ -143,6 +172,36 @@ final class LedgerFileIndex(liveActions: DataFrame) extends FileIndex {
   private def isCol(e: Expression, c: String): Boolean = e match {
     case a: AttributeReference => a.name == c
     case Cast(a: AttributeReference, _, _, _) => a.name == c
+    case _ => false
+  }
+
+  /** BARE column reference only — null-accounting pruning must not look
+    * through a Cast (a cast can turn non-null values into null, so
+    * IsNull(cast(c)) is not IsNull(c)). */
+  private def isBareCol(e: Expression, c: String): Boolean = e match {
+    case a: AttributeReference => a.name == c
+    case _ => false
+  }
+
+  /** True only for filter shapes that are PROVABLY null-intolerant on `c`
+    * (a comparison/IN with a literal — null input can never satisfy
+    * them), composed through And (one such conjunct suffices) and Or
+    * (every branch must be). Used to prune entirely-null files; anything
+    * not understood keeps the file. */
+  private def comparisonShape(f: Expression, c: String): Boolean = f match {
+    case EqualTo(a, Literal(_, _)) if isCol(a, c) => true
+    case EqualTo(Literal(_, _), a) if isCol(a, c) => true
+    case GreaterThan(a, Literal(_, _)) if isCol(a, c) => true
+    case GreaterThan(Literal(_, _), a) if isCol(a, c) => true
+    case GreaterThanOrEqual(a, Literal(_, _)) if isCol(a, c) => true
+    case GreaterThanOrEqual(Literal(_, _), a) if isCol(a, c) => true
+    case LessThan(a, Literal(_, _)) if isCol(a, c) => true
+    case LessThan(Literal(_, _), a) if isCol(a, c) => true
+    case LessThanOrEqual(a, Literal(_, _)) if isCol(a, c) => true
+    case LessThanOrEqual(Literal(_, _), a) if isCol(a, c) => true
+    case In(a, vs) if isCol(a, c) && vs.forall(_.isInstanceOf[Literal]) => true
+    case And(l, r) => comparisonShape(l, c) || comparisonShape(r, c)
+    case Or(l, r) => comparisonShape(l, c) && comparisonShape(r, c)
     case _ => false
   }
 

@@ -193,6 +193,38 @@ class DataSkipSpec extends GraftSpec {
     assert(point2.count() == cust.filter(col("c_custkey") === k2).count())
   }
 
+  test("null-count stats prune IS NULL / IS NOT NULL and all-null value probes") {
+    val root = Files.createTempDirectory("graft_skip9").toString
+    val t = GraftTable(spark, s"$root/ledger", s"$root/gen")
+    // v is entirely null in the first half of the id range: clustering by
+    // id gives 2 all-null files and 2 fully-populated ones
+    val df = spark.range(0, 100)
+      .select(col("id"), when(col("id") >= 50, col("id")).as("v"))
+    df.repartitionByRange(4, col("id")).write.parquet(s"$root/landing")
+    t.ingest(s"$root/landing", statsCols = Seq("id", "v"))
+    assert(scannedFiles(t.read()) == 4)
+
+    val notNull = t.read().filter(col("v").isNotNull)
+    assert(scannedFiles(notNull) == 2, "all-null files must prune for IS NOT NULL")
+    assert(notNull.count() == 50)
+
+    val isNull = t.read().filter(col("v").isNull)
+    assert(scannedFiles(isNull) == 2, "zero-null files must prune for IS NULL")
+    assert(isNull.count() == 50)
+
+    // a value probe in the all-null half: bounds don't exist there, but
+    // the null accounting still prunes those files — and the populated
+    // files' bounds exclude the value too, so NOTHING opens
+    val impossible = t.read().filter(col("v") === 10L)
+    assert(scannedFiles(impossible) == 0,
+      "all-null + bounds pruning must compose to zero files")
+    assert(impossible.count() == 0)
+
+    val hit = t.read().filter(col("v") === 60L)
+    assert(scannedFiles(hit) == 1)
+    assert(hit.count() == 1)
+  }
+
   test("z-order compaction keeps BOTH numeric columns prunable") {
     val root = Files.createTempDirectory("graft_skip8").toString
     val t = GraftTable(spark, s"$root/ledger", s"$root/gen")
