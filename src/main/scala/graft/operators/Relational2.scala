@@ -214,6 +214,35 @@ object Relational2 {
       |WHERE l_extendedprice < o_totalprice AND o_orderkey <> l_orderkey
       |GROUP BY band""".stripMargin
 
+  /** The raw-SQL surface: ONE dialect-common SQL string (CTE + 3-way
+    * join + decimal-exact aggregation + window rank) executed verbatim by
+    * `spark.sql` over registered views AND by the DuckDB oracle — proving
+    * a reference user's SQL runs unchanged. Catalyst plans it like the
+    * DataFrame forms (same pushdown/broadcast/two-phase agg machinery);
+    * the rank is over an exact-decimal-derived double, so ordering is
+    * engine-stable. */
+  val SqlSurfaceText: String =
+    """WITH rev AS (
+      |  SELECT n.n_name AS nation,
+      |         CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,4))) AS DOUBLE)
+      |           AS revenue
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  GROUP BY n.n_name)
+      |SELECT nation, revenue,
+      |       CAST(rank() OVER (ORDER BY revenue DESC) AS BIGINT) AS rnk
+      |FROM rev""".stripMargin
+
+  def qSqlSurface(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    Tables.nation(s, d).createOrReplaceTempView("nation")
+    s.sql(SqlSurfaceText)
+  }
+
   /** MULTISET set operations — EXCEPT ALL / INTERSECT ALL keep
     * per-element multiplicities (the bag semantics `EXCEPT`/`INTERSECT`
     * DISTINCT collapse away): the surplus / common priority bags between
