@@ -162,6 +162,40 @@ object TextOps {
       | FROM (SELECT regexp_split_to_array(trim(text), ' +') AS toks FROM documents) t)
       |GROUP BY bigram ORDER BY n_occurrences DESC, bigram LIMIT 20""".stripMargin
 
+  /** Token RARITY scoring — the frequency-based curation signal (rare
+    * vocabulary ≈ specialized or noisy text; a cheap relational stand-in
+    * for model-based perplexity, which needs no model): per document, the
+    * average GLOBAL occurrence count of its tokens. Deliberately free of
+    * transcendentals — a log-prob formulation would hash-diverge on libm
+    * ULP differences across engines; exact BIGINT sums with ONE double
+    * division in the final projection are engine-identical.
+    *
+    * Scale shape: explode → token groupBy (two-phase, vocab-bounded
+    * reduce) → join back on token (both sides shuffle on the token key;
+    * Zipf skew on hot tokens is AQE-skew-join territory, and the join
+    * carries only (doc_id, cnt) — no text) → per-doc agg. */
+  def qDocRarity(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val global = toks.groupBy(col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    toks.join(global, "tok")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("sum_cnt"), count(lit(1)).as("n_tok"))
+      .select(col("doc_id"), col("sum_cnt"), col("n_tok"),
+        (col("sum_cnt").cast("double") / col("n_tok")).as("avg_tok_freq"))
+  }
+
+  def qDocRaritySql: String =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), ' +')) AS tok
+      |  FROM documents),
+      |g AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY tok)
+      |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS sum_cnt,
+      |       CAST(count(*) AS BIGINT) AS n_tok,
+      |       CAST(sum(cnt) AS DOUBLE) / count(*) AS avg_tok_freq
+      |FROM t JOIN g USING (tok) GROUP BY doc_id""".stripMargin
+
   /** Benchmark-contamination detection — the training-data hygiene query:
     * which corpus documents share verbatim n-gram spans with a held-out
     * benchmark set (here: docs 0-9 as the stand-in benchmark). Exact and
