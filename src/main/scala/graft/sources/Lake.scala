@@ -87,6 +87,15 @@ object Lake {
     val current0 = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.parquet")
       .load(landingDir)
+      // QUARANTINE torn/garbage uploads: a parquet file starts AND ends
+      // with the "PAR1" magic — anything else (truncated upload, junk
+      // named *.parquet) must never enter the ledger, or every read of
+      // the table would die on it. Checked distributed on the bytes
+      // already in hand for the checksum; an invalid file is simply not
+      // ingested, so a later re-upload + re-ingest picks it up (the path
+      // only becomes ledgered once valid).
+      .filter(expr("substring(content, 1, 4) = X'50415231'")
+        && expr("substring(content, length(content) - 3, 4) = X'50415231'"))
       .select(col("path"), col("length").as("size"),
         graft.functions.GraftFunctions.adler32(col("content")).as("adler32"))
     // per-file, per-column stats for manifest data skipping: one
@@ -94,7 +103,7 @@ object Lake {
     // stats map rides in the ledger row, so readAt's LedgerFileIndex can
     // prune files against pushed filters without opening them —
     // Iceberg/Delta-style skipping)
-    val current = fileStats(spark, landingDir, statsCols) match {
+    val current = fileStats(spark, landingDir, statsCols, tolerant = true) match {
       case Some(stats) => current0
         .withColumn("_np", regexp_replace(col("path"), "^file:/+", "/"))
         .join(stats, Seq("_np"), "left")
@@ -147,10 +156,16 @@ object Lake {
     * never skip). One distributed aggregation keyed by source file; only
     * the KB-scale per-file stats touch the driver via the ledger. */
   private def fileStats(spark: SparkSession, dir: String,
-      cols: Seq[String]): Option[DataFrame] =
+      cols: Seq[String], tolerant: Boolean = false): Option[DataFrame] =
     if (cols.isEmpty) None
     else {
-      val df = spark.read.parquet(dir)
+      // `tolerant` for the LANDING dir: a quarantined garbage file (see
+      // the ingest magic check) must not kill the stats pass either; its
+      // zero rows simply produce no stats entry. Compaction reads its own
+      // freshly-written generation and stays strict.
+      val df = (if (tolerant)
+        spark.read.option("ignoreCorruptFiles", "true") else spark.read)
+        .parquet(dir)
       val kinds: Map[String, String] = cols.map { c =>
         c -> (df.schema(c).dataType match {
           case _: org.apache.spark.sql.types.NumericType => "num"

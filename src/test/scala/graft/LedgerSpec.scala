@@ -160,6 +160,33 @@ class LedgerSpec extends GraftSpec {
       Events.events(spark, sf).filter(col("event_type") === "click").count())
   }
 
+  test("garbage uploads are quarantined: never ledgered, reads stay healthy, fix-and-retry works") {
+    val (landing, ledger) = fresh()
+    landFiles(landing, "click", 2)
+    // a torn upload / junk named *.parquet (no PAR1 magic)
+    val junk = new java.io.File(landing, "torn-upload.parquet")
+    java.nio.file.Files.write(junk.toPath, "not a parquet file".getBytes)
+    assert(Lake.ingestNewFiles(spark, landing, ledger) == 2,
+      "only the two valid files may ingest")
+    // the table reads cleanly — the junk never entered the ledger
+    val expected = Events.events(spark, sf)
+      .filter(col("event_type") === "click").count()
+    assert(Lake.readAt(spark, ledger, 1).count() == expected)
+    // fix the file (a valid re-upload) → the next ingest picks it up,
+    // because quarantine skips the path instead of ledgering it
+    junk.delete()
+    val fixDir = Files.createTempDirectory("graft_fix").toString
+    Events.events(spark, sf).filter(col("event_type") === "error")
+      .coalesce(1).write.mode("overwrite").parquet(fixDir)
+    val part = new java.io.File(fixDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(part.toPath, junk.toPath)
+    assert(Lake.ingestNewFiles(spark, landing, ledger) == 1)
+    val errs = Events.events(spark, sf)
+      .filter(col("event_type") === "error").count()
+    assert(Lake.readAt(spark, ledger, 2).count() == expected + errs)
+  }
+
   test("incremental and merge reads also plan through LedgerFileIndex") {
     def indexLocations(df: org.apache.spark.sql.DataFrame) =
       df.queryExecution.logical.collect {
