@@ -48,6 +48,10 @@ final case class GraftTable(spark: SparkSession, ledgerDir: String,
   /** One row per snapshot: commit time, op mix, file counts, bytes. */
   def history(): DataFrame = Lake.history(spark, ledgerDir)
 
+  /** The live file inventory (path, size, per-column stats map) — the
+    * metadata view for inspecting data-skipping bounds. */
+  def files(): DataFrame = Lake.filesAt(spark, ledgerDir, snapshot)
+
   /** Rows of every row-changing snapshot after `s`, exactly once. */
   def readSince(s: Long): DataFrame = Lake.readSince(spark, ledgerDir, s)
 

@@ -783,6 +783,19 @@ object Lake {
       .orderBy(col("snapshot_id"))
   }
 
+  /** The live FILE inventory at `snapshot` as a queryable relation —
+    * (path, size, per-column stats map): the `table.files()` metadata
+    * view (Delta's DESCRIBE DETAIL / Iceberg's `files` table) a user
+    * needs to see WHY a query did or didn't skip. Pure KB-scale ledger
+    * aggregation; nothing is opened. */
+  def filesAt(spark: SparkSession, ledgerDir: String,
+      snapshot: Long): DataFrame = {
+    val ledger = readLedger(spark, ledgerDir).getOrElse(return spark.emptyDataFrame)
+    liveActionsAt(ledger, snapshot)
+      .select(col("path"), col("size"), col("stats"))
+      .orderBy(col("path"))
+  }
+
   /** Resolve a wall-clock timestamp to the snapshot the table was at —
     * the latest snapshot committed at or before `ts` (`AS OF <timestamp>`,
     * the form users actually type; snapshot ids are an implementation

@@ -193,6 +193,28 @@ class DataSkipSpec extends GraftSpec {
     assert(point2.count() == cust.filter(col("c_custkey") === k2).count())
   }
 
+  test("files() metadata view exposes the per-file skipping bounds") {
+    val root = Files.createTempDirectory("graft_skip10").toString
+    val t = GraftTable(spark, s"$root/ledger", s"$root/gen")
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    cust.repartitionByRange(4, col("c_custkey")).write.parquet(s"$root/landing")
+    t.ingest(s"$root/landing", statsCols = Seq("c_custkey"))
+    val files = t.files().collect()
+    assert(files.length == 4)
+    assert(files.forall(_.getLong(1) > 0), "sizes must be recorded")
+    val bounds = files.map { r =>
+      val m = r.getMap[String, org.apache.spark.sql.Row](2)
+      val b = m("c_custkey")
+      (b.getLong(0), b.getLong(1)) // lo, hi
+    }
+    // range-clustered ingest → per-file ranges are disjoint and ordered,
+    // covering the table's min/max
+    assert(bounds.sliding(2).forall { case Array((_, h1), (l2, _)) => h1 <= l2 })
+    assert(bounds.head._1 == cust.agg(min(col("c_custkey"))).head().getLong(0))
+    assert(bounds.last._2 == cust.agg(max(col("c_custkey"))).head().getLong(0))
+  }
+
   test("null-count stats prune IS NULL / IS NOT NULL and all-null value probes") {
     val root = Files.createTempDirectory("graft_skip9").toString
     val t = GraftTable(spark, s"$root/ledger", s"$root/gen")
