@@ -48,6 +48,12 @@ object Scale100Probe {
         "q1_agg" -> (Relational.q1Agg _),
         "q6_selective_agg" -> (Relational.q6SelectiveAgg _),
         "q3_join_agg" -> (Relational.q3JoinAgg _),
+        // q17 at 100×: the r7 brand-partkey scoping means the per-part
+        // aggregate reads ~4% of the 100× fact, not all of it — the ratio
+        // records the scoped plan's sustained behavior (part stays 1×;
+        // replicated lineitem keeps its partkeys, so per-part row counts
+        // scale 100× exactly where the aggregate works)
+        "q17_small_qty" -> (Relational.q17SmallQty _),
         "q_topk_group" -> (TopK.qTopkGroup _))) {
       q(spark, src).write.format("noop").mode("overwrite").save() // warm-up
       val t1 = timed { q(spark, src).write.format("noop").mode("overwrite").save() }
