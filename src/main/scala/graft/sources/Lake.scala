@@ -738,18 +738,24 @@ object Lake {
       retainFrom: Long): Long = {
     val ledger = readLedger(spark, ledgerDir).getOrElse(return 0L)
     val current = currentSnapshot(spark, ledgerDir)
-    // union of live sets at every retained snapshot = files added at ANY
-    // time and not removed by retainFrom (a file removed AFTER retainFrom
-    // is still needed by the snapshots in between)
-    val keep = (retainFrom min current to current)
-      .flatMap(s => liveFilesAt(spark, ledgerDir, s)).toSet
-    // never re-expire (idempotent re-runs must not append audit snapshots)
-    val everAdded = ledger.filter(col("op") === "add")
-      .select(col("path")).distinct()
-      .join(ledger.filter(col("op") === "expire").select(col("path")).distinct(),
-        Seq("path"), "left_anti")
-      .collect().map(_.getString(0))
-    val expire = everAdded.filterNot(keep)
+    val rf = retainFrom min current
+    // CLOSED FORM of "live at no retained snapshot": a file's live spans
+    // are [add_i, remove_i) with the LAST span ending latest, so the file
+    // intersects [rf, current] iff it is currently live (last add > last
+    // remove) or its last remove lands after rf. Expendable = the
+    // complement: last remove exists, covers the last add, and is ≤ rf.
+    // ONE ledger aggregation instead of one live-set walk per retained
+    // snapshot (deep retention windows made the old loop O(R) scans);
+    // already-expired paths are excluded for idempotent re-runs. Only the
+    // to-delete path list reaches the driver (vacuum deletes one by one
+    // anyway).
+    val expire = ledger.groupBy(col("path")).agg(
+        max(when(col("op") === "add", col("snapshot_id"))).as("la"),
+        max(when(col("op") === "remove", col("snapshot_id"))).as("lr"),
+        max(when(col("op") === "expire", lit(1))).as("ex"))
+      .filter(col("la").isNotNull && col("ex").isNull
+        && col("lr").isNotNull && col("lr") > col("la") && col("lr") <= rf)
+      .select(col("path")).collect().map(_.getString(0))
     var deleted = 0L
     expire.foreach { p =>
       val f = new java.io.File(normPath(p))
