@@ -19,9 +19,9 @@ object Pipeline {
   /** Contamination ratio above which a document is dropped (stage 3). */
   val ContaminationCut = 0.5
 
-  /** Returns the per-language stats of the curated (deduped +
-    * decontaminated + filtered) corpus. */
-  def curate(spark: SparkSession, dir: String): DataFrame = {
+  /** The curated corpus (stages 1-4): exact dedup, near-dup decisions,
+    * decontamination, quality filter — with per-doc token stats. */
+  def survivors(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
 
     // stage 1: exact dedup — keep the smallest doc_id per md5(text)
@@ -43,19 +43,37 @@ object Pipeline {
       .join(nearDups, Seq("doc_id"), "left_anti")
       .join(contaminated, Seq("doc_id"), "left_anti")
 
-    // stage 4: quality filter + per-lang stats over survivors
-    val survivors = docs.join(keep, "doc_id")
+    // stage 4: quality filter over survivors
+    docs.join(keep, "doc_id")
       .withColumn("toks", TextOps.tokens(col("text")))
       .withColumn("n_tokens", size(col("toks")))
       .withColumn("n_distinct", size(array_distinct(col("toks"))))
       .filter(col("n_tokens") >= 12 &&
         col("n_distinct").cast("double") / col("n_tokens") >= 0.15)
+  }
 
-    survivors
+  /** Returns the per-language stats of the curated (deduped +
+    * decontaminated + filtered) corpus. */
+  def curate(spark: SparkSession, dir: String): DataFrame =
+    survivors(spark, dir)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).cast("bigint").as("total_tokens"),
         (sum(col("n_distinct")).cast("double") / sum(col("n_tokens")))
           .as("corpus_distinct_ratio"))
-  }
+
+  /** Stage 5 — the final batch-prep hop: pack the CURATED corpus into
+    * fixed-length training sequences (the `TextOps.packSpans` two-phase
+    * prefix sum over the surviving docs, sparse doc_ids and all) and
+    * summarize one row per sequence: how many doc spans landed in it and
+    * how many tokens it holds. Every sequence except the ragged last is
+    * exactly PackSeqLen full (spec invariant) — curation → packing as ONE
+    * composed plan, no intermediate materialization. */
+  def curateAndPack(spark: SparkSession, dir: String): DataFrame =
+    TextOps.packSpans(
+        survivors(spark, dir)
+          .select(col("doc_id"), col("n_tokens").cast("long").as("n_tok")))
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("doc_to") - col("doc_from")).as("n_tokens"))
 }

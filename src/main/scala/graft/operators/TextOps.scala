@@ -354,11 +354,16 @@ object TextOps {
     * rows), then a within-bucket running sum whose window partitions are
     * bounded by PackBucket. All-integer arithmetic (DIV semantics shared
     * with the oracle), so the output is engine-exact. */
-  def qDocPack(s: SparkSession, d: String): DataFrame = {
+  def qDocPack(s: SparkSession, d: String): DataFrame =
+    packSpans(Tables.documents(s, d)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok")))
+
+  /** The packing core over any (doc_id, n_tok) relation — shared by the
+    * standalone query and the flagship pipeline's packing stage. */
+  def packSpans(docTok: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val C = PackSeqLen
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))
+    val docs = docTok
       // tokenless docs (null text ⇒ size −1, empty ⇒ 0) contribute nothing
       // to any sequence; without the guard Spark's sequence(a, b) with
       // b < a emits a DESCENDING run (spurious negative spans) while the

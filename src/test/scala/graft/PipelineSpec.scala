@@ -33,6 +33,26 @@ class PipelineSpec extends GraftSpec {
     assert(contaminated.nonEmpty, "expected contaminated docs at this sf")
   }
 
+  test("curate-and-pack: every sequence except the last is exactly full, tokens conserved") {
+    val seqs = Pipeline.curateAndPack(spark, sf).collect()
+      .map(r => (r.getAs[Long]("seq_id"), r.getAs[Long]("n_spans"),
+        r.getAs[Long]("n_tokens")))
+      .sortBy(_._1)
+    assert(seqs.nonEmpty)
+    val C = graft.operators.TextOps.PackSeqLen.toLong
+    // zero padding waste: all but the ragged last sequence hold exactly C
+    seqs.dropRight(1).foreach { case (id, _, nTok) =>
+      assert(nTok == C, s"sequence $id holds $nTok of $C tokens")
+    }
+    assert(seqs.last._3 <= C && seqs.last._3 > 0)
+    // token conservation: packed tokens == the curated corpus's tokens
+    val survivorTokens = Pipeline.survivors(spark, sf)
+      .agg(sum(col("n_tokens"))).head().getLong(0)
+    assert(seqs.map(_._3).sum == survivorTokens)
+    // sequence ids are the dense prefix 0..n-1 (concat-and-chunk layout)
+    assert(seqs.map(_._1).toSeq == (0L until seqs.length).toSeq)
+  }
+
   test("entry returns non-empty flagship results") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
