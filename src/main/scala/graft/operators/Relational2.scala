@@ -373,4 +373,98 @@ object Relational2 {
       |GROUP BY s_name
       |ORDER BY numwait DESC, s_name
       |LIMIT 100""".stripMargin
+
+  /** TPC-H Q20 shape — dominant suppliers: per supplier, the number of
+    * CONTESTED parts (≥2 suppliers shipped it in the window) for which
+    * that supplier shipped MORE THAN HALF the part's 1997 volume. (The
+    * classic Q20 compares shipped volume to partsupp availqty; this corpus
+    * has no partsupp, so the excess-stock predicate becomes a
+    * share-of-part-volume predicate — the same nested-aggregate
+    * decorrelation.) The correlated "half of this part's total" subquery
+    * decorrelates to ONE per-(part, supplier) aggregate; the per-part
+    * total is a window sum over that ALREADY-AGGREGATED frame (partition
+    * width = suppliers-per-part, ≤ ~15 at any SF), so raw lineitem is
+    * scanned and shuffled exactly once — never re-aggregated per probe.
+    * Share test `2·qty > tot` is exact DECIMAL (never a division);
+    * `qty < tot` excludes sole-supplier parts. Supplier is a plain key
+    * join, no hint (scales with data). */
+  def q20DominantSupp(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ps = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01")
+        && col("l_shipdate") < lit("1998-01-01"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(dec(col("l_quantity"))).as("qty"))
+    ps.withColumn("tot",
+        sum(col("qty")).over(Window.partitionBy(col("l_partkey"))))
+      .filter(col("qty") * 2 > col("tot") && col("qty") < col("tot"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("n_parts"))
+  }
+
+  def q20DominantSuppSql: String =
+    """WITH ps AS (
+      |  SELECT l_partkey, l_suppkey,
+      |         sum(CAST(l_quantity AS DECIMAL(12,4))) AS qty
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      |  GROUP BY l_partkey, l_suppkey
+      |), t AS (
+      |  SELECT l_suppkey, qty,
+      |         sum(qty) OVER (PARTITION BY l_partkey) AS tot
+      |  FROM ps
+      |)
+      |SELECT s_name, CAST(count(*) AS BIGINT) AS n_parts
+      |FROM t JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE qty * 2 > tot AND qty < tot
+      |GROUP BY s_name""".stripMargin
+
+  /** TPC-H Q22 shape — lapsed high-value customers: customers whose
+    * balance beats the average POSITIVE balance but who placed no order in
+    * the corpus's final year, counted per nation. (Classic Q22 keys on
+    * phone country codes and customers with no orders AT ALL; this corpus
+    * has no phone column and every customer has ordered, so the grouping
+    * is the nation dim and "never ordered" becomes "not in the last
+    * year" — same scalar-subquery + anti-join decorrelation.) The global
+    * average is a 1-row broadcast, and the above-average test multiplies
+    * instead of divides — `dec(bal)·n_pos > tot_pos` is exact DECIMAL on
+    * both engines, where a double `avg` could flip a borderline customer
+    * on summation order. The NOT EXISTS decorrelates to a LEFT ANTI join
+    * against the date-filtered order keys (filter pushed below the
+    * anti-join's shuffle); nation is a bounded broadcast dim. */
+  def q22Lapsed(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+    val pos = cust.filter(col("c_acctbal") > 0)
+      .agg(sum(dec(col("c_acctbal"))).as("tot_pos"),
+        count(lit(1)).as("n_pos"))
+    val recent = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("2001-01-01"))
+      .select(col("o_custkey"))
+    cust.join(broadcast(pos))
+      .filter(dec(col("c_acctbal")) * col("n_pos") > col("tot_pos"))
+      .join(recent, cust("c_custkey") === recent("o_custkey"), "left_anti")
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(dec(col("c_acctbal"))).cast("double").as("total_acctbal"))
+  }
+
+  def q22LapsedSql: String =
+    """WITH pos AS (
+      |  SELECT sum(CAST(c_acctbal AS DECIMAL(12,4))) AS tot_pos,
+      |         count(*) AS n_pos
+      |  FROM customer WHERE c_acctbal > 0
+      |)
+      |SELECT n_name, CAST(count(*) AS BIGINT) AS n_cust,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,4))) AS DOUBLE) AS total_acctbal
+      |FROM customer CROSS JOIN pos
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE CAST(c_acctbal AS DECIMAL(12,4)) * n_pos > tot_pos
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+      |GROUP BY n_name""".stripMargin
 }
