@@ -162,6 +162,26 @@ class PlanSpec extends GraftSpec {
     assert(!analyzed.contains("ResolvedHint"), "Q21 sides must stay hint-free")
   }
 
+  test("q20/q22: window over the aggregated frame; anti-join with pushed date filter") {
+    // Q20: the per-part total must be a window over the per-(part, supplier)
+    // AGGREGATE — never over raw lineitem — so lineitem is scanned once
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val opt20 = Relational2.q20DominantSupp(spark, sf).queryExecution.optimizedPlan
+    val win = opt20.collect { case w: LWindow => w }
+    assert(win.nonEmpty, "Q20 lost its window")
+    assert(win.head.collect { case a: Aggregate => a }.nonEmpty,
+      "Q20's window must sit over the per-(part, supplier) aggregate")
+    val f20 = formatted(Relational2.q20DominantSupp(spark, sf))
+    assert(f20.contains("GreaterThanOrEqual(l_shipdate") || f20.contains("IsNotNull(l_shipdate"),
+      s"Q20 ship-date window not pushed to the lineitem scan:\n${f20.take(1500)}")
+    // Q22: NOT EXISTS must be a left-anti join, with the last-year filter
+    // pushed to the orders scan so the anti side shuffles only recent keys
+    val f22 = formatted(Relational2.q22Lapsed(spark, sf))
+    assert(f22.contains("LeftAnti"), s"Q22 lost its anti-join:\n${f22.take(1500)}")
+    assert(f22.contains("GreaterThanOrEqual(o_orderdate"),
+      s"Q22 order-date filter not pushed to the orders scan:\n${f22.take(1500)}")
+  }
+
   test("wib coherent computes the common mode in-row — no window over the sample stream") {
     // all of a tick's samples live in one decoded frame row, so the per-tick
     // sum must come from a higher-order function over the samples array, not
