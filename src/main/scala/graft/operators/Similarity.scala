@@ -347,4 +347,51 @@ object Similarity {
       .limit(20)
       .select(col("vec_id"), col("label"))
   }
+
+  /** 8-bit SCALAR QUANTIZATION of the embedding corpus — the storage /
+    * bandwidth scale path for ANN (4× smaller vectors; the int8 codes are
+    * what a 100 TB index actually keeps hot, with full-precision re-rank
+    * only on the short candidate list). Codes are
+    * `floor((v − gmin)·255 / (gmax − gmin))` against the GLOBAL min/max:
+    * a 1-row broadcast + a pure narrow `transform` — zero shuffles over
+    * the corpus; the stats pass is one map-side-combined min/max agg.
+    *
+    * Engine discipline: float→double casts are exact, the affine
+    * expression is associated identically on both engines (IEEE doubles,
+    * same op order ⇒ bit-identical), and the floor'd value is cast to
+    * int AFTER floor — DuckDB's double→int cast ROUNDS where Spark's
+    * truncates, but both are the identity on an integral double. Output
+    * is int-only (dims, code sum, md5 of the comma-joined codes), so the
+    * gate hash-compares the ACTUAL code vectors across engines. */
+  def qEmbQuant(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val stats = e.agg(min(array_min(col("vec"))).as("gmin"),
+      max(array_max(col("vec"))).as("gmax"))
+    e.crossJoin(broadcast(stats))
+      .select(col("vec_id"),
+        transform(col("vec"), v =>
+          floor((v - col("gmin")) * lit(255.0) / (col("gmax") - col("gmin")))
+            .cast("int")).as("codes"))
+      .select(col("vec_id"),
+        size(col("codes")).as("n_dims"),
+        aggregate(col("codes"), lit(0L), (a, x) => a + x).as("code_sum"),
+        md5(array_join(transform(col("codes"), _.cast("string")), ","))
+          .as("code_md5"))
+  }
+
+  def qEmbQuantSql: String =
+    """WITH s AS (
+      |  SELECT min(list_min(embedding::DOUBLE[])) AS gmin,
+      |         max(list_max(embedding::DOUBLE[])) AS gmax
+      |  FROM embeddings
+      |), c AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding::DOUBLE[], x ->
+      |           CAST(floor((x - gmin) * 255.0 / (gmax - gmin)) AS INT)) AS codes
+      |  FROM embeddings CROSS JOIN s
+      |)
+      |SELECT vec_id, CAST(len(codes) AS INT) AS n_dims,
+      |  CAST(list_aggregate(codes, 'sum') AS BIGINT) AS code_sum,
+      |  md5(array_to_string(codes, ',')) AS code_md5
+      |FROM c""".stripMargin
 }

@@ -16,6 +16,26 @@ class SimilaritySpec extends GraftSpec {
     Tables.embeddings(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
 
+  test("8-bit quantization: codes in range, reconstruction error within half a step") {
+    val gmin = vecs.values.flatten.min
+    val gmax = vecs.values.flatten.max
+    val step = (gmax - gmin) / 255.0
+    val rows = Similarity.qEmbQuant(spark, sf).collect()
+    assert(rows.length == vecs.size)
+    // recompute the codes on the driver and bound the dequantized error
+    rows.take(50).foreach { r =>
+      val v = vecs(r.getAs[Long]("vec_id"))
+      assert(r.getAs[Int]("n_dims") == v.length)
+      val codes = v.map(x => math.floor((x - gmin) * 255.0 / (gmax - gmin)).toInt)
+      assert(r.getAs[Long]("code_sum") == codes.map(_.toLong).sum,
+        s"code_sum diverges for vec ${r.getAs[Long]("vec_id")}")
+      assert(codes.forall(c => c >= 0 && c <= 255))
+      val maxErr = v.zip(codes).map { case (x, c) =>
+        math.abs(gmin + (c + 0.5) * step - x) }.max
+      assert(maxErr <= step / 2 + 1e-12, s"reconstruction error $maxErr > ${step / 2}")
+    }
+  }
+
   test("brute-force top-20 matches a driver-side exact computation") {
     val probe = vecs(0L)
     val expected = vecs.toSeq.filter(_._1 != 0L)
