@@ -115,7 +115,9 @@ object ScaleProbe {
       "q_dedup_clusters" -> (SetSim.qDedupClusters _),
       "q_dedup_embed_lsh" -> (Dedup.qDedupEmbedLsh _),
       "q_ann_brute" -> (Similarity.qAnnBrute _),
-      "q_ann_lsh" -> (Similarity.qAnnLsh _))) {
+      "q_ann_lsh" -> (Similarity.qAnnLsh _),
+      "q20_dominant_supp" -> (Relational2.q20DominantSupp _),
+      "q_emb_quant" -> (Similarity.qEmbQuant _))) {
       q(spark, src).write.format("noop").mode("overwrite").save() // warm-up
       val t1 = timed { q(spark, src).write.format("noop").mode("overwrite").save() }
       val t10 = timed { q(spark, out).write.format("noop").mode("overwrite").save() }
