@@ -33,12 +33,33 @@ object Pii {
   /** Dotted-quad IPv4, word-bounded so it never eats into longer runs. */
   val Ip = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
 
+  /** `doc_id|text` lines → (doc_id, text); non-conforming lines (no
+    * separator, junk id) drop as data, never as exceptions — shared
+    * verbatim by the batch query and the streaming scrubber
+    * (`Streams.piiScrub`): a pure narrow transform, so Structured
+    * Streaming incrementalizes the SAME plan. */
+  def parseDocs(raw: DataFrame): DataFrame =
+    raw
+      .select(split(col("value"), "\\|", 2).as("p"))
+      // try_cast + get(), not cast/[1]: ANSI mode throws on a junk id or a
+      // missing separator, and a malformed line must drop as data, never
+      // kill the stream
+      .select(expr("try_cast(p[0] AS INT)").as("doc_id"),
+        get(col("p"), lit(1)).as("text"))
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+
   /** The fixture corpus as (doc_id, text). */
   def docs(s: SparkSession): DataFrame =
-    s.read.text(Configs.absDir(PiiPath))
-      .select(split(col("value"), "\\|", 2).as("p"))
-      .select(col("p").getItem(0).cast("int").as("doc_id"),
-        col("p").getItem(1).as("text"))
+    parseDocs(s.read.text(Configs.absDir(PiiPath)))
+
+  /** Detection + redaction over a parsed (doc_id, text) frame: per-doc
+    * counts and the redacted text itself (what a sink would store). */
+  def scrub(parsed: DataFrame): DataFrame =
+    parsed.select(col("doc_id"),
+      regexp_count(col("text"), lit(Email)).cast("long").as("n_email"),
+      regexp_count(col("text"), lit(Phone)).cast("long").as("n_phone"),
+      regexp_count(col("text"), lit(Ip)).cast("long").as("n_ip"),
+      redact(col("text")).as("redacted"))
 
   /** Redaction order is email → phone → IP; the three patterns are
     * mutually non-overlapping (no dotted-quad can sit inside an email the
@@ -52,12 +73,9 @@ object Pii {
       Ip, "<IP>")
 
   def qDocPii(s: SparkSession, d: String): DataFrame =
-    docs(s)
-      .select(col("doc_id"),
-        regexp_count(col("text"), lit(Email)).cast("long").as("n_email"),
-        regexp_count(col("text"), lit(Phone)).cast("long").as("n_phone"),
-        regexp_count(col("text"), lit(Ip)).cast("long").as("n_ip"),
-        md5(redact(col("text"))).as("redacted_md5"))
+    scrub(docs(s))
+      .select(col("doc_id"), col("n_email"), col("n_phone"), col("n_ip"),
+        md5(col("redacted")).as("redacted_md5"))
 
   def qDocPiiSql: String = {
     val abs = Configs.absDir(PiiPath)

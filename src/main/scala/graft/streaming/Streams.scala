@@ -82,6 +82,16 @@ object Streams {
       .groupBy(col("script"), col("level"))
       .agg(count(lit(1)).as("n_lines"))
 
+  /** Streaming PII scrub — the online twin of `q_doc_pii`: documents
+    * stream in as `doc_id|text` lines, the SAME `Pii.parseDocs` +
+    * `Pii.scrub` transform (regex counts + chained redaction, malformed
+    * lines drop in-batch) emits the redacted rows. COMPLETELY STATELESS
+    * (one row in / one row out, append mode, no watermark, no state
+    * store) — at ingest scale the scrubber is pure pass-through
+    * throughput, parallel by partition. */
+  def piiScrub(rawLines: DataFrame): DataFrame =
+    graft.operators.Pii.scrub(graft.operators.Pii.parseDocs(rawLines))
+
   // ------------------------------------------------------- stateful sessions
 
   case class Evt(user_id: Long, event_id: Long, ts: Timestamp, value: Double) {

@@ -1,6 +1,8 @@
 package graft
 
 import graft.operators.Pii
+import graft.streaming.Streams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 /** PII detect/redact over the committed fixture: the counts must agree
@@ -42,5 +44,41 @@ class PiiSpec extends GraftSpec {
         + regexp_count(col("red"), lit(Pii.Ip))).as("n"))
       .agg(sum(col("n"))).head().getLong(0)
     assert(leftover == 0L, s"redaction left $leftover PII matches behind")
+  }
+
+  test("streaming scrub equals the batch scrub over all landed lines") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sq = spark.sqlContext
+    val lines = Seq(
+      "7|ping oncall at user3@example1.org about the ramp",
+      "8|clean shift nothing tripped",
+      "no separator here: must drop",
+      "9|escalate to +1-555-201-3344 or 10.1.2.3 over night")
+    val (first, second) = lines.splitAt(2)
+
+    val mem = MemoryStream[String]
+    val query = Streams.piiScrub(mem.toDF()).writeStream
+      .format("memory").queryName("pii_scrub_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(first)
+      query.processAllAvailable()
+      assert(spark.table("pii_scrub_out").count() == 2)
+      mem.addData(second)
+      query.processAllAvailable()
+      val streamed = spark.table("pii_scrub_out").collect()
+        .map(r => (r.getAs[Int]("doc_id"),
+          (r.getAs[Long]("n_email"), r.getAs[Long]("n_phone"),
+            r.getAs[Long]("n_ip"), r.getAs[String]("redacted")))).toMap
+      val batch = Pii.scrub(Pii.parseDocs(lines.toDF("value"))).collect()
+        .map(r => (r.getAs[Int]("doc_id"),
+          (r.getAs[Long]("n_email"), r.getAs[Long]("n_phone"),
+            r.getAs[Long]("n_ip"), r.getAs[String]("redacted")))).toMap
+      assert(streamed == batch, "streamed scrub diverges from batch")
+      assert(streamed.size == 3, "malformed line must drop")
+      assert(streamed(9)._4.contains("<PHONE>") && streamed(9)._4.contains("<IP>"))
+      assert(streamed(7)._4.contains("<EMAIL>"))
+    } finally query.stop()
   }
 }
