@@ -374,6 +374,77 @@ object Relational2 {
       |ORDER BY numwait DESC, s_name
       |LIMIT 100""".stripMargin
 
+  /** TPC-H Q13 shape — customer order-count distribution: how many
+    * customers placed exactly k orders, INCLUDING the zero bucket (the
+    * reason the outer join exists; at these SFs every customer has
+    * ordered, but the plan must not assume it). Spark-first shape:
+    * orders pre-aggregates to one row per custkey BEFORE the outer join,
+    * so the join carries |customers| rows, never the orders fact — at
+    * 100 TB the fact table meets nothing, it folds map-side into
+    * per-custkey counts first. The distribution re-agg is bounded by the
+    * max orders-per-customer. (The classic query joins THEN counts;
+    * DuckDB's optimizer makes the same call — results identical, and the
+    * oracle keeps the textbook formulation.) */
+  def q13CustDist(s: SparkSession, d: String): DataFrame = {
+    val perCust = Tables.orders(s, d)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+    Tables.customer(s, d)
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(coalesce(col("n_orders"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  def q13CustDistSql: String =
+    """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+      |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey
+      |)
+      |GROUP BY c_count""".stripMargin
+
+  /** Per-row revenue in exact 10^-4 units (BIGINT product, DIV 10^4
+    * truncation, DECIMAL(28,0) for the sum) — the product-sum oracle
+    * discipline; the double cast happens only in a final projection. */
+  private val Rev4 = "CAST((CAST(round(l_extendedprice * 10000) AS BIGINT)" +
+    " * (10000 - CAST(round(l_discount * 10000) AS BIGINT))) DIV 10000" +
+    " AS DECIMAL(28,0))"
+  private val Rev4Sql = Rev4.replace(" DIV ", " // ")
+
+  /** TPC-H Q15 shape — top supplier(s) by quarterly revenue: the revenue
+    * view feeds BOTH the scalar max and the winner filter, and the
+    * max-equality test runs on the exact DECIMAL ×10^4 revenue — a double
+    * comparison could drop or duplicate a tied winner on partial-sum
+    * order; the double appears only in the output projection. The view is
+    * one shuffle agg keyed by suppkey; its scalar max is a 1-row
+    * broadcast; supplier joins the (usually 1-row) winner set, which AQE
+    * broadcasts. Ties all surface, deterministically. */
+  def q15TopSupplier(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01")
+        && col("l_shipdate") < lit("1997-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(expr(Rev4)).as("r4"))
+    val mx = rev.agg(max(col("r4")).as("mx"))
+    rev.join(broadcast(mx))
+      .filter(col("r4") === col("mx"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        (col("r4").cast("double") / 1e4).as("total_revenue"))
+  }
+
+  def q15TopSupplierSql: String =
+    s"""WITH rev AS (
+       |  SELECT l_suppkey, sum($Rev4Sql) AS r4
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+       |    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+       |  GROUP BY l_suppkey
+       |)
+       |SELECT s_suppkey, s_name, CAST(r4 AS DOUBLE) / 1e4 AS total_revenue
+       |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+       |WHERE r4 = (SELECT max(r4) FROM rev)""".stripMargin
+
   /** TPC-H Q20 shape — dominant suppliers: per supplier, the number of
     * CONTESTED parts (≥2 suppliers shipped it in the window) for which
     * that supplier shipped MORE THAN HALF the part's 1997 volume. (The
