@@ -420,9 +420,14 @@ object Relational2 {
     * broadcast; supplier joins the (usually 1-row) winner set, which AQE
     * broadcasts. Ties all surface, deterministically. */
   def q15TopSupplier(s: SparkSession, d: String): DataFrame = {
+    // the explicit isNotNull mirrors the constraint the winner join infers
+    // on its branch — without it the two rev branches are not canonically
+    // equal and AQE cannot reuse the suppkey exchange (PlanSpec asserts
+    // the reuse: one lineitem scan, not two)
     val rev = Tables.lineitem(s, d)
       .filter(col("l_shipdate") >= lit("1997-01-01")
-        && col("l_shipdate") < lit("1997-04-01"))
+        && col("l_shipdate") < lit("1997-04-01")
+        && col("l_suppkey").isNotNull)
       .groupBy(col("l_suppkey"))
       .agg(sum(expr(Rev4)).as("r4"))
     val mx = rev.agg(max(col("r4")).as("mx"))

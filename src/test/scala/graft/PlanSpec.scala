@@ -182,6 +182,28 @@ class PlanSpec extends GraftSpec {
       s"Q22 order-date filter not pushed to the orders scan:\n${f22.take(1500)}")
   }
 
+  test("q13/q15: fact pre-aggregated below the outer join; revenue exchange reused") {
+    // Q13: the orders fact must fold to per-custkey counts BELOW the outer
+    // join — the join may only ever carry one row per customer
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    import org.apache.spark.sql.catalyst.plans.LeftOuter
+    val opt13 = Relational2.q13CustDist(spark, sf).queryExecution.optimizedPlan
+    val outer = opt13.collect { case j: Join if j.joinType == LeftOuter => j }
+    assert(outer.nonEmpty, "Q13 lost its outer join")
+    assert(outer.head.right.collect { case a: Aggregate => a }.nonEmpty,
+      "Q13's orders side must pre-aggregate below the outer join")
+    // Q15: the revenue view feeds both the scalar max and the winner
+    // filter via one identical suppkey exchange on each side — AQE dedups
+    // it AT RUNTIME (ReusedExchange only appears in the final adaptive
+    // plan), so execute first, then assert the reuse actually happened
+    val df15 = Relational2.q15TopSupplier(spark, sf)
+    df15.collect()
+    val p15 = planString(df15)
+    assert(p15.contains("isFinalPlan=true"))
+    assert(p15.contains("ReusedExchange"),
+      s"Q15 revenue exchange not reused at runtime:\n${p15.take(2000)}")
+  }
+
   test("wib coherent computes the common mode in-row — no window over the sample stream") {
     // all of a tick's samples live in one decoded frame row, so the per-tick
     // sum must come from a higher-order function over the samples array, not
