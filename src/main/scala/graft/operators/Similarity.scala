@@ -363,20 +363,71 @@ object Similarity {
     * truncates, but both are the identity on an integral double. Output
     * is int-only (dims, code sum, md5 of the comma-joined codes), so the
     * gate hash-compares the ACTUAL code vectors across engines. */
-  def qEmbQuant(s: SparkSession, d: String): DataFrame = {
-    val e = emb(s, d)
-    val stats = e.agg(min(array_min(col("vec"))).as("gmin"),
-      max(array_max(col("vec"))).as("gmax"))
-    e.crossJoin(broadcast(stats))
-      .select(col("vec_id"),
-        transform(col("vec"), v =>
-          floor((v - col("gmin")) * lit(255.0) / (col("gmax") - col("gmin")))
-            .cast("int")).as("codes"))
+  def qEmbQuant(s: SparkSession, d: String): DataFrame =
+    quantized(s, d)
       .select(col("vec_id"),
         size(col("codes")).as("n_dims"),
         aggregate(col("codes"), lit(0L), (a, x) => a + x).as("code_sum"),
         md5(array_join(transform(col("codes"), _.cast("string")), ","))
           .as("code_md5"))
+
+  /** The corpus as (vec_id, label, vec, codes): full-precision vectors
+    * plus their int8 codes against the global min/max — shared by the
+    * checksum query above and the quantized ANN below. */
+  private def quantized(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val stats = e.agg(min(array_min(col("vec"))).as("gmin"),
+      max(array_max(col("vec"))).as("gmax"))
+    e.crossJoin(broadcast(stats))
+      .withColumn("codes",
+        transform(col("vec"), v =>
+          floor((v - col("gmin")) * lit(255.0) / (col("gmax") - col("gmin")))
+            .cast("int")))
+  }
+
+  /** Quantized ANN with full-precision re-rank — the read path the int8
+    * codes exist for: the CANDIDATE scan scores every corpus row against
+    * the probe on DEQUANTIZED codes (the 4×-smaller representation a
+    * 100 TB index keeps hot; here dequantization is an affine transform
+    * folded into the same narrow pass), keeps the top `CandK`, and only
+    * that bounded candidate list is re-scored EXACTLY on the
+    * full-precision vectors — so the expensive data never re-flows, and
+    * the final ranking is exact-precision over the candidates. Recall
+    * loss is only possible at the candidate cut and is spec-measured
+    * against the exact brute force (SimilaritySpec). Output ids+rank only
+    * (float-rounding-proof); rows-only driver check — the quantized
+    * candidate cut is engine-specific by design. */
+  val CandK = 60
+
+  def qAnnQuant(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = quantized(s, d)
+    // dequantized approximate vector: gmin + (code + 0.5) · step
+    def deq(codes: Column, gmin: Column, step: Column): Column =
+      transform(codes, c => gmin + (c.cast("double") + lit(0.5)) * step)
+    val withStep = q.withColumn("step",
+      (col("gmax") - col("gmin")) / lit(255.0))
+    val probe = withStep.filter(col("vec_id") === 0)
+      .select(col("codes").as("probe_codes"),
+        col("vec").as("probe_vec"), norm(col("vec")).as("probe_nrm"),
+        col("gmin").as("p_gmin"), col("step").as("p_step"))
+    val cands = withStep.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), col("label"), col("vec"),
+        col("probe_vec"), col("probe_nrm"),
+        cosine(deq(col("codes"), col("gmin"), col("step")),
+          deq(col("probe_codes"), col("p_gmin"), col("p_step"))).as("qcos"))
+      .orderBy(col("qcos").desc, col("vec_id"))
+      .limit(CandK)
+    // exact re-rank of the bounded candidate list only
+    cands
+      .select(col("vec_id"), col("label"),
+        (dot(col("vec"), col("probe_vec"))
+          / (norm(col("vec")) * col("probe_nrm"))).as("cos"))
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= 20)
+      .select(col("rank"), col("vec_id"), col("label"))
   }
 
   def qEmbQuantSql: String =

@@ -36,6 +36,24 @@ class SimilaritySpec extends GraftSpec {
     }
   }
 
+  test("quantized ANN: high recall vs exact brute force, exact-precision ranking") {
+    val brute = Similarity.qAnnBrute(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id")).toSet
+    val quant = Similarity.qAnnQuant(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id"))
+    assert(quant.length == 20)
+    val recall = quant.count(brute.contains).toDouble / brute.size
+    assert(recall >= 0.9, s"quantized recall $recall < 0.9 vs exact top-20")
+    // survivors of the candidate cut must rank EXACTLY as brute force does:
+    // both rankings order by exact cosine, so the shared prefix agrees
+    val bruteRanked = Similarity.qAnnBrute(spark, sf).collect()
+      .sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("vec_id"))
+    val quantSet = quant.toSet
+    assert(bruteRanked.filter(quantSet.contains).sameElements(
+      quant.filter(brute.contains)),
+      "exact re-rank must order shared neighbors identically to brute force")
+  }
+
   test("brute-force top-20 matches a driver-side exact computation") {
     val probe = vecs(0L)
     val expected = vecs.toSeq.filter(_._1 != 0L)
