@@ -53,13 +53,21 @@ object Pii {
     parseDocs(s.read.text(Configs.absDir(PiiPath)))
 
   /** Detection + redaction over a parsed (doc_id, text) frame: per-doc
-    * counts and the redacted text itself (what a sink would store). */
+    * counts and the redacted text itself (what a sink would store). Each
+    * count is taken on the text AFTER the previous pattern's redaction —
+    * so the counts are exactly what the chained redaction replaced, even
+    * on adversarial input where an email swallows a phone-shaped
+    * substring (counts on the raw text would claim a phone the redaction
+    * never touched). */
   def scrub(parsed: DataFrame): DataFrame =
-    parsed.select(col("doc_id"),
-      regexp_count(col("text"), lit(Email)).cast("long").as("n_email"),
-      regexp_count(col("text"), lit(Phone)).cast("long").as("n_phone"),
-      regexp_count(col("text"), lit(Ip)).cast("long").as("n_ip"),
-      redact(col("text")).as("redacted"))
+    parsed
+      .withColumn("r1", regexp_replace(col("text"), Email, "<EMAIL>"))
+      .withColumn("r2", regexp_replace(col("r1"), Phone, "<PHONE>"))
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(Email)).cast("long").as("n_email"),
+        regexp_count(col("r1"), lit(Phone)).cast("long").as("n_phone"),
+        regexp_count(col("r2"), lit(Ip)).cast("long").as("n_ip"),
+        regexp_replace(col("r2"), Ip, "<IP>").as("redacted"))
 
   /** Redaction order is email → phone → IP; the three patterns are
     * mutually non-overlapping (no dotted-quad can sit inside an email the
@@ -77,6 +85,11 @@ object Pii {
       .select(col("doc_id"), col("n_email"), col("n_phone"), col("n_ip"),
         md5(col("redacted")).as("redacted_md5"))
 
+  /** The oracle mirrors parseDocs EXACTLY: text is everything after the
+    * FIRST separator (a '|' inside the text must survive, as Spark's
+    * split-limit-2 keeps it), the id parse is a TRY_CAST (a junk id drops
+    * the row, never errors), and each count runs on the
+    * previously-redacted text like `scrub` does. */
   def qDocPiiSql: String = {
     val abs = Configs.absDir(PiiPath)
     s"""WITH raw AS (
@@ -84,18 +97,27 @@ object Pii {
        |  FROM read_text('$abs')
        |),
        |d AS (
-       |  SELECT CAST(string_split(line, '|')[1] AS INT) AS doc_id,
-       |         string_split(line, '|')[2] AS text
-       |  FROM raw WHERE line <> ''
+       |  SELECT TRY_CAST(substr(line, 1, strpos(line, '|') - 1) AS INT) AS doc_id,
+       |         substr(line, strpos(line, '|') + 1) AS text
+       |  FROM raw
+       |  WHERE strpos(line, '|') > 0
+       |    AND TRY_CAST(substr(line, 1, strpos(line, '|') - 1) AS INT) IS NOT NULL
+       |),
+       |r AS (
+       |  SELECT doc_id, text,
+       |         regexp_replace(text, '${Email}', '<EMAIL>', 'g') AS r1
+       |  FROM d
+       |),
+       |r2 AS (
+       |  SELECT doc_id, text, r1,
+       |         regexp_replace(r1, '${Phone}', '<PHONE>', 'g') AS r2
+       |  FROM r
        |)
        |SELECT doc_id,
        |  CAST(len(regexp_extract_all(text, '${Email}')) AS BIGINT) AS n_email,
-       |  CAST(len(regexp_extract_all(text, '${Phone}')) AS BIGINT) AS n_phone,
-       |  CAST(len(regexp_extract_all(text, '${Ip}')) AS BIGINT) AS n_ip,
-       |  md5(regexp_replace(regexp_replace(regexp_replace(text,
-       |    '${Email}', '<EMAIL>', 'g'),
-       |    '${Phone}', '<PHONE>', 'g'),
-       |    '${Ip}', '<IP>', 'g')) AS redacted_md5
-       |FROM d""".stripMargin
+       |  CAST(len(regexp_extract_all(r1, '${Phone}')) AS BIGINT) AS n_phone,
+       |  CAST(len(regexp_extract_all(r2, '${Ip}')) AS BIGINT) AS n_ip,
+       |  md5(regexp_replace(r2, '${Ip}', '<IP>', 'g')) AS redacted_md5
+       |FROM r2""".stripMargin
   }
 }

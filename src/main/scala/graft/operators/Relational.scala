@@ -37,14 +37,17 @@ object Relational {
     * is exact (< 2^53 up to ~sf50). The result is a precisely DEFINED number
     * ("per-item amount floored to 4 decimals, summed") that every engine
     * reproduces bit-identically. */
-  private def revenueSum: Column =
-    expr("CAST(sum(CAST((CAST(round(l_extendedprice * 10000) AS BIGINT) * " +
+  /** Per-row revenue in exact 10^-4 units — THE single source of the
+    * product-sum money discipline (shared with [[Relational2]]'s Q15). */
+  private[operators] val Rev4Term: String =
+    "CAST((CAST(round(l_extendedprice * 10000) AS BIGINT) * " +
       "(10000 - CAST(round(l_discount * 10000) AS BIGINT))) DIV 10000 " +
-      "AS DECIMAL(28,0))) AS DOUBLE) / 1e4")
+      "AS DECIMAL(28,0))"
+  private[operators] val Rev4TermSql: String = Rev4Term.replace(" DIV ", " // ")
+  private def revenueSum: Column =
+    expr(s"CAST(sum($Rev4Term) AS DOUBLE) / 1e4")
   private val revenueSumSql: String =
-    "CAST(sum(CAST((CAST(round(l_extendedprice * 10000) AS BIGINT) * " +
-      "(10000 - CAST(round(l_discount * 10000) AS BIGINT))) // 10000 " +
-      "AS DECIMAL(28,0))) AS DOUBLE) / 1e4"
+    s"CAST(sum($Rev4TermSql) AS DOUBLE) / 1e4"
   private def chargeSum: Column =
     expr("CAST(sum(CAST((CAST(round(l_extendedprice * 10000) AS BIGINT) * " +
       "(10000 - CAST(round(l_discount * 10000) AS BIGINT)) * " +

@@ -403,13 +403,10 @@ object Relational2 {
       |)
       |GROUP BY c_count""".stripMargin
 
-  /** Per-row revenue in exact 10^-4 units (BIGINT product, DIV 10^4
-    * truncation, DECIMAL(28,0) for the sum) — the product-sum oracle
-    * discipline; the double cast happens only in a final projection. */
-  private val Rev4 = "CAST((CAST(round(l_extendedprice * 10000) AS BIGINT)" +
-    " * (10000 - CAST(round(l_discount * 10000) AS BIGINT))) DIV 10000" +
-    " AS DECIMAL(28,0))"
-  private val Rev4Sql = Rev4.replace(" DIV ", " // ")
+  /** Per-row revenue in exact 10^-4 units — the ONE copy of the
+    * product-sum money discipline, owned by [[Relational]]. */
+  private val Rev4 = Relational.Rev4Term
+  private val Rev4Sql = Relational.Rev4TermSql
 
   /** TPC-H Q15 shape — top supplier(s) by quarterly revenue: the revenue
     * view feeds BOTH the scalar max and the winner filter, and the
@@ -444,6 +441,7 @@ object Relational2 {
        |  FROM lineitem
        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
        |    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+       |    AND l_suppkey IS NOT NULL
        |  GROUP BY l_suppkey
        |)
        |SELECT s_suppkey, s_name, CAST(r4 AS DOUBLE) / 1e4 AS total_revenue

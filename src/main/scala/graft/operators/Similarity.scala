@@ -401,22 +401,23 @@ object Similarity {
 
   def qAnnQuant(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // dequantized approximate vector gmin + (code + 0.5)·step, MATERIALIZED
+    // once per row via withColumn — downstream dot/norm see an attribute
+    // reference, never a re-evaluated transform (the CLAUDE.md lambda
+    // rule); the probe's dequant + norms live in the 1-row broadcast
     val q = quantized(s, d)
-    // dequantized approximate vector: gmin + (code + 0.5) · step
-    def deq(codes: Column, gmin: Column, step: Column): Column =
-      transform(codes, c => gmin + (c.cast("double") + lit(0.5)) * step)
-    val withStep = q.withColumn("step",
-      (col("gmax") - col("gmin")) / lit(255.0))
-    val probe = withStep.filter(col("vec_id") === 0)
-      .select(col("codes").as("probe_codes"),
-        col("vec").as("probe_vec"), norm(col("vec")).as("probe_nrm"),
-        col("gmin").as("p_gmin"), col("step").as("p_step"))
-    val cands = withStep.filter(col("vec_id") =!= 0)
+      .withColumn("step", (col("gmax") - col("gmin")) / lit(255.0))
+      .withColumn("qvec", transform(col("codes"),
+        c => col("gmin") + (c.cast("double") + lit(0.5)) * col("step")))
+    val probe = q.filter(col("vec_id") === 0)
+      .select(col("qvec").as("probe_qvec"), norm(col("qvec")).as("probe_qnrm"),
+        col("vec").as("probe_vec"), norm(col("vec")).as("probe_nrm"))
+    val cands = q.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(probe))
       .select(col("vec_id"), col("label"), col("vec"),
         col("probe_vec"), col("probe_nrm"),
-        cosine(deq(col("codes"), col("gmin"), col("step")),
-          deq(col("probe_codes"), col("p_gmin"), col("p_step"))).as("qcos"))
+        (dot(col("qvec"), col("probe_qvec"))
+          / (norm(col("qvec")) * col("probe_qnrm"))).as("qcos"))
       .orderBy(col("qcos").desc, col("vec_id"))
       .limit(CandK)
     // exact re-rank of the bounded candidate list only

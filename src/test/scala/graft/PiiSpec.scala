@@ -20,18 +20,22 @@ class PiiSpec extends GraftSpec {
     assert(byKind._1 > 0 && byKind._2 > 0 && byKind._3 > 0,
       s"fixture must exercise every pattern, got $byKind")
 
-    // independent recount on the driver with java.util.regex directly
+    // independent recount on the driver with java.util.regex directly,
+    // mirroring scrub's semantics: each count runs on the text after the
+    // previous pattern's redaction
     val texts = Pii.docs(spark).collect()
       .map(r => r.getAs[Int]("doc_id") -> r.getAs[String]("text")).toMap
+    def n(t: String, p: String) = {
+      val m = java.util.regex.Pattern.compile(p).matcher(t)
+      var c = 0; while (m.find()) c += 1; c
+    }
     val counted = rows.map { r =>
       val t = texts(r.getAs[Int]("doc_id"))
-      def n(p: String) = {
-        val m = java.util.regex.Pattern.compile(p).matcher(t)
-        var c = 0; while (m.find()) c += 1; c
-      }
-      (n(Pii.Email) == r.getAs[Long]("n_email")) &&
-        (n(Pii.Phone) == r.getAs[Long]("n_phone")) &&
-        (n(Pii.Ip) == r.getAs[Long]("n_ip"))
+      val r1 = t.replaceAll(Pii.Email, "<EMAIL>")
+      val r2 = r1.replaceAll(Pii.Phone, "<PHONE>")
+      (n(t, Pii.Email) == r.getAs[Long]("n_email")) &&
+        (n(r1, Pii.Phone) == r.getAs[Long]("n_phone")) &&
+        (n(r2, Pii.Ip) == r.getAs[Long]("n_ip"))
     }
     assert(counted.forall(identity), "engine counts diverge from driver recount")
   }

@@ -171,8 +171,10 @@ class PlanSpec extends GraftSpec {
     assert(win.nonEmpty, "Q20 lost its window")
     assert(win.head.collect { case a: Aggregate => a }.nonEmpty,
       "Q20's window must sit over the per-(part, supplier) aggregate")
+    // the RANGE predicate itself must reach the scan — IsNotNull alone is
+    // auto-derived and would make this check vacuous
     val f20 = formatted(Relational2.q20DominantSupp(spark, sf))
-    assert(f20.contains("GreaterThanOrEqual(l_shipdate") || f20.contains("IsNotNull(l_shipdate"),
+    assert(f20.contains("GreaterThanOrEqual(l_shipdate"),
       s"Q20 ship-date window not pushed to the lineitem scan:\n${f20.take(1500)}")
     // Q22: NOT EXISTS must be a left-anti join, with the last-year filter
     // pushed to the orders scan so the anti side shuffles only recent keys
