@@ -173,6 +173,27 @@ object Multimodal {
     }
   }
 
+  /** Row-major rgb24 extraction shared by the image and frame decoders. */
+  private def rgb24(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val px = new Array[Byte](w * h * 3)
+    var i = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        px(i) = ((rgb >> 16) & 0xff).toByte
+        px(i + 1) = ((rgb >> 8) & 0xff).toByte
+        px(i + 2) = (rgb & 0xff).toByte
+        i += 3
+        x += 1
+      }
+      y += 1
+    }
+    px
+  }
+
   /** REAL image decode — `javax.imageio` ships with the JDK and decodes
     * PNG/JPEG/GIF/BMP, so the decode kernel needs no external codec: one
     * reader per partition iterator (setup amortized), payload bytes →
@@ -189,24 +210,88 @@ object Multimodal {
           catch { case _: java.io.IOException => null }
         if (img == null)
           DecodedImage(m.media_id, -1, -1, "undecodable", Array.emptyByteArray)
-        else {
-          val (w, h) = (img.getWidth, img.getHeight)
-          val px = new Array[Byte](w * h * 3)
-          var i = 0
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val rgb = img.getRGB(x, y)
-              px(i) = ((rgb >> 16) & 0xff).toByte
-              px(i + 1) = ((rgb >> 8) & 0xff).toByte
-              px(i + 2) = (rgb & 0xff).toByte
-              i += 3
-              x += 1
+        else
+          DecodedImage(m.media_id, img.getWidth, img.getHeight, "rgb24", rgb24(img))
+      }
+    }
+  }
+
+  // -------------------------------- REAL frame sampling (animated GIF)
+
+  case class DecodedFrame(media_id: Long, frame_idx: Int, width: Int,
+    height: Int, format: String, pixels: Array[Byte])
+
+  /** Animated-GIF encode of the deterministic pattern sequence — frame f
+    * carries `patternImage(id + f)`, full-frame (no delta/disposal
+    * tricks), via the JDK-built-in GIF sequence writer. GIF quantizes to
+    * a 256-color palette, so correctness is judged against a REFERENCE
+    * DECODE of the same bytes, never the pre-quantization pattern. */
+  def gifBytes(id: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    (0 until nFrames).foreach { f =>
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(patternImage(id + f, w, h), null, null), null)
+    }
+    writer.endWriteSequence()
+    writer.dispose(); ios.close()
+    out.toByteArray
+  }
+
+  /** A media table whose payloads are REAL multi-frame animated GIFs
+    * (kind "video" — the animation container the JDK can actually read),
+    * generated distributed. */
+  def gifMediaTable(s: SparkSession, n: Int): Dataset[MediaItem] = {
+    import s.implicits._
+    s.range(n).map { id =>
+      val (w, h) = (16 + (id % 3).toInt * 8, 16 + (id % 2).toInt * 8)
+      val frames = 3 + (id % 4).toInt
+      MediaItem(id, MediaMeta("video", w, h, 0, frames * 40L),
+        gifBytes(id, w, h, frames))
+    }
+  }
+
+  /** REAL frame sampling — the video-side decimation kernel, no longer a
+    * byte-slicing stub for containers the JDK can read: `javax.imageio`'s
+    * GIF reader exposes the frame sequence (`getNumImages`/`read(i)`), so
+    * every-Nth-frame extraction decodes ONLY the sampled frames of a real
+    * animation container. Frames are returned AS STORED (no disposal/
+    * offset composition — delta-frame GIFs sample their stored rasters;
+    * the generator writes full frames). One reader per payload inside a
+    * partition-local pass; undecodable payloads surface as a single
+    * format="undecodable" row — data, never a scan-killing exception.
+    * True video containers (mp4/mkv) still route to the byte-slicing
+    * stub above pending an external codec. */
+  def decodeFrames(items: Dataset[MediaItem], everyNth: Int = 1): Dataset[DecodedFrame] = {
+    require(everyNth > 0)
+    import items.sparkSession.implicits._
+    items.mapPartitions { it =>
+      it.flatMap { m =>
+        val ios = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(m.payload))
+        val readers = javax.imageio.ImageIO.getImageReaders(ios)
+        if (!readers.hasNext) {
+          ios.close()
+          Seq(DecodedFrame(m.media_id, -1, -1, -1, "undecodable",
+            Array.emptyByteArray))
+        } else {
+          val reader = readers.next()
+          try {
+            reader.setInput(ios)
+            val n = reader.getNumImages(true)
+            (0 until n by everyNth).map { i =>
+              val img = reader.read(i)
+              DecodedFrame(m.media_id, i, img.getWidth, img.getHeight,
+                "rgb24", rgb24(img))
             }
-            y += 1
-          }
-          DecodedImage(m.media_id, w, h, "rgb24", px)
+          } catch {
+            case _: java.io.IOException =>
+              Seq(DecodedFrame(m.media_id, -1, -1, -1, "undecodable",
+                Array.emptyByteArray))
+          } finally { reader.dispose(); ios.close() }
         }
       }
     }

@@ -87,6 +87,56 @@ class MultimodalSpec extends GraftSpec {
     }
   }
 
+  test("REAL animated-GIF frame sampling: every-Nth decode matches driver-side frame reads") {
+    val n = 8
+    val everyNth = 2
+    val sampled = Multimodal.decodeFrames(Multimodal.gifMediaTable(spark, n), everyNth)
+      .collect().groupBy(_.media_id)
+    assert(sampled.size == n)
+    (0 until n).foreach { id =>
+      val (w, h) = (16 + (id % 3) * 8, 16 + (id % 2) * 8)
+      val frames = 3 + id % 4
+      val got = sampled(id.toLong).sortBy(_.frame_idx)
+      // every-Nth decimation: frames 0, 2, 4, ... of the stored sequence
+      assert(got.map(_.frame_idx).toSeq == (0 until frames by everyNth),
+        s"media $id sampled wrong frame set")
+      // driver-side reference: the SAME gif bytes, frames read sequentially
+      // (GIF quantizes to a palette, so the reference is a decode of the
+      // bytes, never the pre-quantization pattern)
+      val ios = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(Multimodal.gifBytes(id, w, h, frames)))
+      val reader = javax.imageio.ImageIO.getImageReaders(ios).next()
+      reader.setInput(ios)
+      got.foreach { f =>
+        val ref = reader.read(f.frame_idx)
+        assert(f.format == "rgb24" && f.width == ref.getWidth && f.height == ref.getHeight)
+        val expected = new Array[Byte](f.width * f.height * 3)
+        var i = 0
+        for (y <- 0 until f.height; x <- 0 until f.width) {
+          val rgb = ref.getRGB(x, y)
+          expected(i) = ((rgb >> 16) & 0xff).toByte
+          expected(i + 1) = ((rgb >> 8) & 0xff).toByte
+          expected(i + 2) = (rgb & 0xff).toByte
+          i += 3
+        }
+        assert(f.pixels.sameElements(expected),
+          s"pixel mismatch media $id frame ${f.frame_idx}")
+      }
+      reader.dispose(); ios.close()
+      // frames differ across the animation (it is a real sequence, not a
+      // repeated still): frame 0 and frame 2 decode to different rasters
+      if (got.length > 1) assert(!got(0).pixels.sameElements(got(1).pixels))
+    }
+    // junk payload surfaces as an undecodable ROW, not an exception
+    val sess = spark
+    import sess.implicits._
+    val junk = sess.createDataset(Seq(Multimodal.MediaItem(99L,
+      Multimodal.MediaMeta("video", 0, 0, 0, 0L),
+      Array.tabulate[Byte](64)(_.toByte))))
+    val bad = Multimodal.decodeFrames(junk, 1).collect()
+    assert(bad.length == 1 && bad.head.format == "undecodable")
+  }
+
   test("REAL WAV/AIFF decode: distributed decodeAudio is sample-exact vs the generator's PCM") {
     val n = 15 // mixes rates (8k/16k/44.1k), 1-2 channels, WAV + AIFF
     val decoded = Multimodal.decodeAudio(Multimodal.audioMediaTable(spark, n))
