@@ -1,7 +1,7 @@
 package graft.tools
 
 import graft.GraftSession
-import graft.operators.{Relational, TopK}
+import graft.operators.{Relational, Relational2, TopK}
 import org.apache.spark.sql.functions._
 
 /** One-off 100× scan-path probe: replicates sf0.1's lineitem/orders to
@@ -54,6 +54,13 @@ object Scale100Probe {
         // replicated lineitem keeps its partkeys, so per-part row counts
         // scale 100× exactly where the aggregate works)
         "q17_small_qty" -> (Relational.q17SmallQty _),
+        // q13 at 100×: both customer and orders scale; the outer join
+        // carries one pre-aggregated row per customer, never the fact
+        "q13_cust_dist" -> (Relational2.q13CustDist _),
+        // q20 at 100×: replicated lineitem repeats (part, supp) pairs, so
+        // the windowed partial frame keeps its 1× row count — the scan is
+        // 100×, everything after the first aggregate is constant-size
+        "q20_dominant_supp" -> (Relational2.q20DominantSupp _),
         "q_topk_group" -> (TopK.qTopkGroup _))) {
       q(spark, src).write.format("noop").mode("overwrite").save() // warm-up
       val t1 = timed { q(spark, src).write.format("noop").mode("overwrite").save() }
