@@ -331,6 +331,29 @@ object Lake {
     scanActions(spark, ledgerDir, adds)
   }
 
+  /** CHANGE DATA FEED read — the Delta `table_changes` / Iceberg changelog
+    * analog: every row-level effect each MERGE after `sinceSnapshot`
+    * committed, typed `_change_type` ∈ insert | update_preimage |
+    * update_postimage | delete and stamped `_commit_snapshot`. Unlike
+    * `readSince` (which replays added ROWS and cannot express deletes or
+    * distinguish an update from an insert), the change feed lets a
+    * downstream consumer maintain an exact mirror or audit row history.
+    * cdc files are written once per merge (cost bounded by the merge's
+    * blast radius), registered under op="cdc" — invisible to every
+    * table-state reader, never vacuumed (no add row) — and plan through
+    * `LedgerFileIndex` like every other read (no driver path list).
+    * Returns an empty frame when no merge landed after the snapshot. */
+  def readChanges(spark: SparkSession, ledgerDir: String,
+      sinceSnapshot: Long): DataFrame = {
+    val ledger = readLedger(spark, ledgerDir).getOrElse(return spark.emptyDataFrame)
+    val cdc = withLedgerStats(ledger)
+      .filter(col("op") === "cdc" && col("snapshot_id") > sinceSnapshot)
+      .select(col("path"), col("size"), col("stats"))
+    val index = new LedgerFileIndex(cdc)
+    if (index.isEmpty) spark.emptyDataFrame
+    else org.apache.spark.sql.GraftShim.parquetScan(spark, index)
+  }
+
   /** Fail LOUDLY when an incremental read references files expireSnapshots
     * already physically deleted (a consumer checkpointed before the
     * retained horizon): silently dropping those rows would violate
@@ -556,21 +579,51 @@ object Lake {
       regexp_replace(col("path"), "^file:/+", "/")
         .isin(affectedNorm.toSeq: _*))
     def affectedScan: DataFrame = scanActions(spark, ledgerDir, affectedActs)
-    // deleteWhen governs MATCHED source rows only (SQL MERGE semantics):
-    // a matched key necessarily lives in an affected file, so the matched
-    // key set is computable from the affected files alone — no full scan
-    val srcLive = deleteWhen match {
-      case Some(c) if affectedNorm.nonEmpty =>
-        val matchedKeys = affectedScan
-          .join(broadcast(srcKeys), Seq(key), "left_semi")
-          .select(col(key)).distinct()
-          .withColumn("_matched", lit(true))
-        source.join(broadcast(matchedKeys), Seq(key), "left")
+    // matched keys live ONLY in affected files — computable without a
+    // full scan; shared by the deleteWhen filter and the change feed
+    val matchedKeys: Option[DataFrame] =
+      if (affectedNorm.nonEmpty)
+        Some(affectedScan.join(broadcast(srcKeys), Seq(key), "left_semi")
+          .select(col(key)).distinct())
+      else None
+    // deleteWhen governs MATCHED source rows only (SQL MERGE semantics)
+    val srcLive = (deleteWhen, matchedKeys) match {
+      case (Some(c), Some(mk)) =>
+        source.join(broadcast(mk.withColumn("_matched", lit(true))),
+            Seq(key), "left")
           .filter(!(coalesce(col("_matched"), lit(false))
             && coalesce(c, lit(false))))
           .drop("_matched")
       case _ => source // no delete clause, or empty table (nothing matched)
     }
+    // CHANGE DATA FEED (the Delta CDF / Iceberg changelog analog): classify
+    // this merge's row-level effects and persist them as cdc-typed ledger
+    // files so incremental consumers replay CHANGES, not table diffs. Cost
+    // is bounded by the blast radius (affected files + source) — never a
+    // full-table pass. A matched key whose source row survives deleteWhen
+    // is an update (pre + post image); one whose source row was consumed
+    // by deleteWhen is a delete (pre image); an unmatched source row is an
+    // insert. cdc rows are inert to every live-set reader (op is neither
+    // add nor remove) and vacuum never deletes them (no add row).
+    def tag(df: DataFrame, t: String): DataFrame =
+      df.select(cols: _*).withColumn("_change_type", lit(t))
+    val changes = matchedKeys match {
+      case Some(mk) =>
+        val liveKeys = srcLive.select(col(key)).distinct()
+        val updKeys = mk.join(liveKeys, Seq(key), "left_semi")
+        val delKeys = mk.join(liveKeys, Seq(key), "left_anti")
+        tag(affectedScan.join(broadcast(delKeys), Seq(key), "left_semi"),
+            "delete")
+          .unionByName(tag(affectedScan.join(broadcast(updKeys), Seq(key),
+            "left_semi"), "update_preimage"))
+          .unionByName(tag(srcLive.join(broadcast(mk), Seq(key), "left_semi"),
+            "update_postimage"))
+          .unionByName(tag(srcLive.join(broadcast(mk), Seq(key), "left_anti"),
+            "insert"))
+      case None => tag(srcLive, "insert")
+    }
+    changes.withColumn("_commit_snapshot", lit(next))
+      .write.mode("overwrite").parquet(s"$genDir/changes")
     // whole-row replace means every surviving source row lands in the table:
     // updates (matched) and inserts (unmatched) are both just srcLive
     val delta = srcLive.select(cols: _*)
@@ -592,8 +645,12 @@ object Lake {
     val deltaAdds = fileAdds(spark, s"$genDir/delta")
       .withColumn("op", lit("add"))
       .withColumn("snapshot_op", lit("merge"))
-    val adds =
+    val cdcAdds = fileAdds(spark, s"$genDir/changes")
+      .withColumn("op", lit("cdc"))
+      .withColumn("snapshot_op", lit("merge"))
+    val adds0 =
       if (affectedNorm.nonEmpty) carryAdds.unionByName(deltaAdds) else deltaAdds
+    val adds = adds0.unionByName(cdcAdds)
     val actions =
       if (affectedNorm.nonEmpty)
         // remove rows straight from the affected action rows (ledger-form

@@ -136,4 +136,65 @@ class MergeSpec extends GraftSpec {
     assert(Lake.readAt(spark, ledger, snap).count() == 10)
     assert(Lake.readSince(spark, ledger, 0).count() == 10)
   }
+
+  test("change feed: typed row-level effects per merge, exactly once, compaction silent") {
+    val (landing, ledger, gen) = fresh()
+    val snap0 = landCustomers(landing, ledger)
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+    // deleteWhen fires on ANY matched MACHINERY source row (WHEN MATCHED
+    // AND cond THEN DELETE), so updates deliberately exclude that segment
+    // — update / delete key sets are disjoint by construction
+    val updates = cust.filter(col("c_custkey") % 10 === 0
+        && col("c_mktsegment") =!= "MACHINERY")
+      .withColumn("c_acctbal", col("c_acctbal") + 1)
+    val inserts = cust.filter(col("c_custkey") % 50 === 0)
+      .withColumn("c_custkey", col("c_custkey") + 1000000)
+    val toDelete = cust.filter(col("c_mktsegment") === "MACHINERY")
+    val source = updates.unionByName(inserts).unionByName(toDelete)
+    val nUpd = updates.count()
+    val nIns = inserts.count()
+    val nDel = toDelete.count()
+    val snap1 = Lake.mergeInto(spark, ledger, gen, source,
+      "c_custkey", deleteWhen = Some(col("c_mktsegment") === "MACHINERY"))
+    val ch = Lake.readChanges(spark, ledger, snap0)
+    val byType = ch.groupBy(col("_change_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType.getOrElse("insert", 0L) == nIns)
+    assert(byType.getOrElse("update_preimage", 0L) == nUpd)
+    assert(byType.getOrElse("update_postimage", 0L) == nUpd)
+    assert(byType.getOrElse("delete", 0L) == nDel)
+    // pre/post images carry the actual old/new values
+    val pre = ch.filter(col("_change_type") === "update_preimage")
+      .select(col("c_custkey"), col("c_acctbal").as("pre_bal"))
+    val post = ch.filter(col("_change_type") === "update_postimage")
+      .select(col("c_custkey"), col("c_acctbal").as("post_bal"))
+    assert(pre.join(post, "c_custkey")
+      .filter(col("post_bal") =!= col("pre_bal") + 1).count() == 0,
+      "post image must be pre image + 1")
+    // every change row carries the committing snapshot
+    assert(ch.select(col("_commit_snapshot")).distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(snap1))
+    // compaction is a rewrite, not row changes: feed stays silent
+    val t2 = Files.createTempDirectory("graft_cdc_compact").toString
+    Lake.compactIngested(spark, ledger, s"$t2/compact", 1000000)
+    assert(Lake.readChanges(spark, ledger, snap1).count() == 0)
+    // a second merge feeds ONLY its own changes (exactly once per cursor)
+    // non-MACHINERY only: the first merge deleted MACHINERY rows, so a
+    // MACHINERY key here would rightly classify as a fresh insert
+    val more = cust.filter(col("c_custkey") % 10 === 3
+        && col("c_mktsegment") =!= "MACHINERY").limit(5)
+      .withColumn("c_acctbal", col("c_acctbal") + 7)
+    val snap2 = Lake.mergeInto(spark, ledger, gen, more, "c_custkey")
+    val ch2 = Lake.readChanges(spark, ledger, snap1)
+    assert(ch2.filter(col("_change_type") === "update_postimage").count() == 5)
+    assert(ch2.select(col("_commit_snapshot")).distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(snap2))
+    // full-history read sees both merges; the table itself reads clean
+    assert(Lake.readChanges(spark, ledger, snap0).count() == ch.count() + ch2.count())
+    // every original-key MACHINERY row is gone (inserted shifted-key rows
+    // were never matched, so deleteWhen rightly left them alone)
+    assert(Lake.readAt(spark, ledger, snap2)
+      .filter(col("c_mktsegment") === "MACHINERY"
+        && col("c_custkey") < 1000000).count() == 0)
+  }
 }
