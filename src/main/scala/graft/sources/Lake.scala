@@ -553,7 +553,8 @@ object Lake {
     * be deduplicated by the caller first (each duplicate would land). */
   def mergeInto(spark: SparkSession, ledgerDir: String, genRoot: String,
       source: DataFrame, key: String,
-      deleteWhen: Option[org.apache.spark.sql.Column] = None): Long = {
+      deleteWhen: Option[org.apache.spark.sql.Column] = None,
+      changeFeed: Boolean = false): Long = {
     val snap = currentSnapshot(spark, ledgerDir)
     val next = snap + 1
     val genDir = s"$genRoot/gen-$next"
@@ -596,34 +597,40 @@ object Lake {
           .drop("_matched")
       case _ => source // no delete clause, or empty table (nothing matched)
     }
-    // CHANGE DATA FEED (the Delta CDF / Iceberg changelog analog): classify
-    // this merge's row-level effects and persist them as cdc-typed ledger
-    // files so incremental consumers replay CHANGES, not table diffs. Cost
-    // is bounded by the blast radius (affected files + source) — never a
-    // full-table pass. A matched key whose source row survives deleteWhen
-    // is an update (pre + post image); one whose source row was consumed
-    // by deleteWhen is a delete (pre image); an unmatched source row is an
-    // insert. cdc rows are inert to every live-set reader (op is neither
-    // add nor remove) and vacuum never deletes them (no add row).
-    def tag(df: DataFrame, t: String): DataFrame =
-      df.select(cols: _*).withColumn("_change_type", lit(t))
-    val changes = matchedKeys match {
-      case Some(mk) =>
-        val liveKeys = srcLive.select(col(key)).distinct()
-        val updKeys = mk.join(liveKeys, Seq(key), "left_semi")
-        val delKeys = mk.join(liveKeys, Seq(key), "left_anti")
-        tag(affectedScan.join(broadcast(delKeys), Seq(key), "left_semi"),
-            "delete")
-          .unionByName(tag(affectedScan.join(broadcast(updKeys), Seq(key),
-            "left_semi"), "update_preimage"))
-          .unionByName(tag(srcLive.join(broadcast(mk), Seq(key), "left_semi"),
-            "update_postimage"))
-          .unionByName(tag(srcLive.join(broadcast(mk), Seq(key), "left_anti"),
-            "insert"))
-      case None => tag(srcLive, "insert")
+    // CHANGE DATA FEED (the Delta CDF / Iceberg changelog analog): when
+    // `changeFeed` is on, classify this merge's row-level effects and
+    // persist them as cdc-typed ledger files so incremental consumers
+    // replay CHANGES, not table diffs. OPT-IN like Delta's
+    // enableChangeDataFeed: the classification re-joins the blast radius
+    // (affected files + source — never a full-table pass, but roughly
+    // doubles the merge's work) and a table that no one consumes changes
+    // from shouldn't pay that write amplification. A matched key whose
+    // source row survives deleteWhen is an update (pre + post image); one
+    // whose source row was consumed by deleteWhen is a delete (pre
+    // image); an unmatched source row is an insert. cdc rows are inert to
+    // every live-set reader (op is neither add nor remove) and vacuum
+    // never deletes them (no add row).
+    if (changeFeed) {
+      def tag(df: DataFrame, t: String): DataFrame =
+        df.select(cols: _*).withColumn("_change_type", lit(t))
+      val changes = matchedKeys match {
+        case Some(mk) =>
+          val liveKeys = srcLive.select(col(key)).distinct()
+          val updKeys = mk.join(liveKeys, Seq(key), "left_semi")
+          val delKeys = mk.join(liveKeys, Seq(key), "left_anti")
+          tag(affectedScan.join(broadcast(delKeys), Seq(key), "left_semi"),
+              "delete")
+            .unionByName(tag(affectedScan.join(broadcast(updKeys), Seq(key),
+              "left_semi"), "update_preimage"))
+            .unionByName(tag(srcLive.join(broadcast(mk), Seq(key), "left_semi"),
+              "update_postimage"))
+            .unionByName(tag(srcLive.join(broadcast(mk), Seq(key), "left_anti"),
+              "insert"))
+        case None => tag(srcLive, "insert")
+      }
+      changes.withColumn("_commit_snapshot", lit(next))
+        .write.mode("overwrite").parquet(s"$genDir/changes")
     }
-    changes.withColumn("_commit_snapshot", lit(next))
-      .write.mode("overwrite").parquet(s"$genDir/changes")
     // whole-row replace means every surviving source row lands in the table:
     // updates (matched) and inserts (unmatched) are both just srcLive
     val delta = srcLive.select(cols: _*)
@@ -645,12 +652,14 @@ object Lake {
     val deltaAdds = fileAdds(spark, s"$genDir/delta")
       .withColumn("op", lit("add"))
       .withColumn("snapshot_op", lit("merge"))
-    val cdcAdds = fileAdds(spark, s"$genDir/changes")
-      .withColumn("op", lit("cdc"))
-      .withColumn("snapshot_op", lit("merge"))
     val adds0 =
       if (affectedNorm.nonEmpty) carryAdds.unionByName(deltaAdds) else deltaAdds
-    val adds = adds0.unionByName(cdcAdds)
+    val adds =
+      if (changeFeed)
+        adds0.unionByName(fileAdds(spark, s"$genDir/changes")
+          .withColumn("op", lit("cdc"))
+          .withColumn("snapshot_op", lit("merge")))
+      else adds0
     val actions =
       if (affectedNorm.nonEmpty)
         // remove rows straight from the affected action rows (ledger-form

@@ -155,7 +155,8 @@ class MergeSpec extends GraftSpec {
     val nIns = inserts.count()
     val nDel = toDelete.count()
     val snap1 = Lake.mergeInto(spark, ledger, gen, source,
-      "c_custkey", deleteWhen = Some(col("c_mktsegment") === "MACHINERY"))
+      "c_custkey", deleteWhen = Some(col("c_mktsegment") === "MACHINERY"),
+      changeFeed = true)
     val ch = Lake.readChanges(spark, ledger, snap0)
     val byType = ch.groupBy(col("_change_type")).count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -184,7 +185,8 @@ class MergeSpec extends GraftSpec {
     val more = cust.filter(col("c_custkey") % 10 === 3
         && col("c_mktsegment") =!= "MACHINERY").limit(5)
       .withColumn("c_acctbal", col("c_acctbal") + 7)
-    val snap2 = Lake.mergeInto(spark, ledger, gen, more, "c_custkey")
+    val snap2 = Lake.mergeInto(spark, ledger, gen, more, "c_custkey",
+      changeFeed = true)
     val ch2 = Lake.readChanges(spark, ledger, snap1)
     assert(ch2.filter(col("_change_type") === "update_postimage").count() == 5)
     assert(ch2.select(col("_commit_snapshot")).distinct().collect()
@@ -196,5 +198,10 @@ class MergeSpec extends GraftSpec {
     assert(Lake.readAt(spark, ledger, snap2)
       .filter(col("c_mktsegment") === "MACHINERY"
         && col("c_custkey") < 1000000).count() == 0)
+    // the feed is OPT-IN: a flagless merge pays no classification cost
+    // and emits nothing
+    Lake.mergeInto(spark, ledger, gen,
+      cust.filter(col("c_custkey") % 10 === 7).limit(3), "c_custkey")
+    assert(Lake.readChanges(spark, ledger, snap2).count() == 0)
   }
 }
