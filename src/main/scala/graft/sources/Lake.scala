@@ -354,6 +354,30 @@ object Lake {
     else org.apache.spark.sql.GraftShim.parquetScan(spark, index)
   }
 
+  /** The change-feed CONSUMER half: apply a `readChanges` batch to a
+    * downstream mirror — upsert insert/update_postimage rows, drop
+    * deleted keys. Handles multi-snapshot batches by last-writer-wins:
+    * only each key's latest terminal change applies (a key updated in one
+    * merge and deleted in the next must end deleted, not resurrected).
+    * The window partitions by changed keys only — state bounded by the
+    * batch, never the mirror; the mirror itself is touched by ONE
+    * anti-join. Applying per-snapshot batches or one catch-up batch gives
+    * the same mirror (spec-proven equal to the source of truth). */
+  def applyChanges(mirror: DataFrame, changes: DataFrame,
+      key: String): DataFrame = {
+    if (changes.isEmpty) return mirror
+    import org.apache.spark.sql.expressions.Window
+    val terminal = changes.filter(col("_change_type") =!= "update_preimage")
+    val last = terminal
+      .withColumn("_max_snap",
+        max(col("_commit_snapshot")).over(Window.partitionBy(col(key))))
+      .filter(col("_commit_snapshot") === col("_max_snap"))
+    val touched = last.select(col(key)).distinct()
+    val upserts = last.filter(col("_change_type") =!= "delete")
+      .drop("_change_type", "_commit_snapshot", "_max_snap")
+    mirror.join(touched, Seq(key), "left_anti").unionByName(upserts)
+  }
+
   /** Fail LOUDLY when an incremental read references files expireSnapshots
     * already physically deleted (a consumer checkpointed before the
     * retained horizon): silently dropping those rows would violate

@@ -203,5 +203,24 @@ class MergeSpec extends GraftSpec {
     Lake.mergeInto(spark, ledger, gen,
       cust.filter(col("c_custkey") % 10 === 7).limit(3), "c_custkey")
     assert(Lake.readChanges(spark, ledger, snap2).count() == 0)
+
+    // CONSUMER half: a mirror bootstrapped at snap0 and maintained purely
+    // from the feed equals the source of truth — whether it applies one
+    // catch-up batch or per-snapshot batches
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy(col("c_custkey")).collect().map(_.toSeq).toSeq
+    val truth = canon(Lake.readAt(spark, ledger, snap2))
+    val mirror0 = Lake.readAt(spark, ledger, snap0)
+    val catchUp = Lake.applyChanges(mirror0,
+      Lake.readChanges(spark, ledger, snap0), "c_custkey")
+    assert(canon(catchUp) == truth, "catch-up mirror diverged")
+    // per-snapshot batches pinned by commit id (ch/ch2 are lazy frames
+    // that would otherwise re-read the grown ledger)
+    val all = Lake.readChanges(spark, ledger, snap0)
+    val stepped = Lake.applyChanges(
+      Lake.applyChanges(mirror0,
+        all.filter(col("_commit_snapshot") === snap1), "c_custkey"),
+      all.filter(col("_commit_snapshot") === snap2), "c_custkey")
+    assert(canon(stepped) == truth, "per-snapshot mirror diverged")
   }
 }
