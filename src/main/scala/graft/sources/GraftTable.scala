@@ -62,10 +62,23 @@ final case class GraftTable(spark: SparkSession, ledgerDir: String,
   def rowChangingSnapshots: Seq[Long] =
     Lake.rowChangingSnapshots(spark, ledgerDir)
 
-  /** Row-level copy-on-write MERGE INTO (see Lake.mergeInto). */
+  /** Row-level copy-on-write MERGE INTO (see Lake.mergeInto).
+    * `changeFeed=true` additionally persists the merge's typed row-level
+    * effects for `readChanges` consumers (opt-in — roughly doubles merge
+    * cost). */
   def merge(source: DataFrame, key: String,
-      deleteWhen: Option[Column] = None): Long =
-    Lake.mergeInto(spark, ledgerDir, genRoot, source, key, deleteWhen)
+      deleteWhen: Option[Column] = None, changeFeed: Boolean = false): Long =
+    Lake.mergeInto(spark, ledgerDir, genRoot, source, key, deleteWhen,
+      changeFeed)
+
+  /** Change feed after snapshot `s`: insert / update_preimage /
+    * update_postimage / delete rows stamped `_commit_snapshot`. */
+  def readChanges(s: Long): DataFrame = Lake.readChanges(spark, ledgerDir, s)
+
+  /** Apply a `readChanges` batch to a downstream mirror (last-writer-wins
+    * across multi-snapshot batches). */
+  def applyChanges(mirror: DataFrame, changes: DataFrame, key: String): DataFrame =
+    Lake.applyChanges(mirror, changes, key)
 
   /** Row-level copy-on-write DELETE WHERE. */
   def delete(cond: Column): Long =

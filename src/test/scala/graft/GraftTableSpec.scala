@@ -21,12 +21,20 @@ class GraftTableSpec extends GraftSpec {
     assert(n0 == cust.count())
     val s1 = t.snapshot
 
-    // merge: bump every 10th key
+    // merge with the change feed on: the feed carries the update images
+    // and a mirror maintained from it equals the table
     val updates = cust.filter(col("c_custkey") % 10 === 0)
       .withColumn("c_acctbal", col("c_acctbal") + 5)
-    t.merge(updates, "c_custkey")
+    t.merge(updates, "c_custkey", changeFeed = true)
     assert(t.read().count() == n0)
     assert(t.readSince(s1).count() == updates.count())
+    val ch = t.readChanges(s1)
+    assert(ch.filter(col("_change_type") === "update_postimage").count()
+      == updates.count())
+    assert(t.applyChanges(t.readAt(s1), ch, "c_custkey")
+        .orderBy(col("c_custkey")).collect().map(_.toSeq).toSeq
+      == t.read().orderBy(col("c_custkey")).collect().map(_.toSeq).toSeq,
+      "feed-maintained mirror diverged from the table")
 
     // delete a segment
     val nDel = t.read().filter(col("c_mktsegment") === "MACHINERY").count()
