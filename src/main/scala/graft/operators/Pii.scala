@@ -69,10 +69,12 @@ object Pii {
         regexp_count(col("r2"), lit(Ip)).cast("long").as("n_ip"),
         regexp_replace(col("r2"), Ip, "<IP>").as("redacted"))
 
-  /** Redaction order is email → phone → IP; the three patterns are
-    * mutually non-overlapping (no dotted-quad can sit inside an email the
-    * generator emits, phones are dash-separated), so the counts on the
-    * ORIGINAL text and the sequential replaces agree. */
+  /** Redaction-only form (no counts), chained email → phone → IP exactly
+    * like `scrub`'s r1/r2 intermediates — the redacted output is
+    * IDENTICAL to scrub's on any input. (Only scrub's per-pattern counts
+    * carry the post-redaction subtlety: on adversarial text an email can
+    * swallow a phone-shaped substring, which is why scrub counts on the
+    * previously-redacted intermediate, not the original.) */
   def redact(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     regexp_replace(
       regexp_replace(

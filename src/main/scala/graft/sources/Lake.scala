@@ -151,9 +151,11 @@ object Lake {
     * truncating cast would store 5 and silently skip files containing
     * matching rows). STRING columns store the exact min/max values
     * (Spark's string min/max is binary UTF8 order — the index compares
-    * literals with the same ordering). Columns of any other type, or
-    * all-null in a file, are omitted from that file's map (absent key =
-    * never skip). One distributed aggregation keyed by source file; only
+    * literals with the same ordering). Columns of any other type are
+    * omitted from that file's map (absent key = never skip); an all-null
+    * column KEEPS its entry with null bounds + a full null count, so the
+    * index can still prune IS-NOT-NULL and value probes against it. One
+    * distributed aggregation keyed by source file; only
     * the KB-scale per-file stats touch the driver via the ledger. */
   private def fileStats(spark: SparkSession, dir: String,
       cols: Seq[String], tolerant: Boolean = false): Option[DataFrame] =
@@ -211,8 +213,8 @@ object Lake {
           +: cols.map(col): _*)
         .groupBy(col("_np"))
         .agg(aggs.head, aggs.tail: _*)
-        .select(col("_np"), map_from_entries(
-          filter(array(entries: _*), e => e.isNotNull)).as("stats")))
+        .select(col("_np"),
+          map_from_entries(array(entries: _*)).as("stats")))
     }
 
   /** The ledger if it holds any data — decided from the presence of ledger
@@ -342,16 +344,27 @@ object Lake {
     * blast radius), registered under op="cdc" — invisible to every
     * table-state reader, never vacuumed (no add row) — and plan through
     * `LedgerFileIndex` like every other read (no driver path list).
-    * Returns an empty frame when no merge landed after the snapshot. */
+    * When no merge landed after the snapshot the frame is zero-row but
+    * SCHEMA-CARRYING whenever any cdc file exists (a consumer may project
+    * or filter on `_change_type` before checking emptiness, like
+    * readSince's zero-row frames); only a table that never wrote a change
+    * feed at all yields the schema-less `emptyDataFrame`. */
   def readChanges(spark: SparkSession, ledgerDir: String,
       sinceSnapshot: Long): DataFrame = {
     val ledger = readLedger(spark, ledgerDir).getOrElse(return spark.emptyDataFrame)
-    val cdc = withLedgerStats(ledger)
-      .filter(col("op") === "cdc" && col("snapshot_id") > sinceSnapshot)
-      .select(col("path"), col("size"), col("stats"))
-    val index = new LedgerFileIndex(cdc)
-    if (index.isEmpty) spark.emptyDataFrame
-    else org.apache.spark.sql.GraftShim.parquetScan(spark, index)
+    val cdcAll = withLedgerStats(ledger).filter(col("op") === "cdc")
+    def asIndex(df: DataFrame) = new LedgerFileIndex(
+      df.select(col("path"), col("size"), col("stats")))
+    val index = asIndex(cdcAll.filter(col("snapshot_id") > sinceSnapshot))
+    if (!index.isEmpty)
+      org.apache.spark.sql.GraftShim.parquetScan(spark, index)
+    else {
+      // nothing after the cursor: carry the cdc schema from ANY cdc file
+      // (limit 0 folds to an empty relation — no data is read)
+      val all = asIndex(cdcAll)
+      if (all.isEmpty) spark.emptyDataFrame
+      else org.apache.spark.sql.GraftShim.parquetScan(spark, all).limit(0)
+    }
   }
 
   /** The change-feed CONSUMER half: apply a `readChanges` batch to a
@@ -441,11 +454,17 @@ object Lake {
     // cheap aggregate over the rewrite input (already being fully read).
     val numericCols = statsCols.filter(c => df.schema(c).dataType
       .isInstanceOf[org.apache.spark.sql.types.NumericType])
-    val repartitioned =
+    val zBounds: Option[(String, String, org.apache.spark.sql.Row)] =
       if (zOrder && numericCols.size >= 2) {
         val (a, b) = (numericCols(0), numericCols(1))
         val r = df.agg(min(col(a)).cast("double"), max(col(a)).cast("double"),
           min(col(b)).cast("double"), max(col(b)).cast("double")).head()
+        // an entirely-null column yields null aggregate bounds — fall back
+        // to the lexicographic range branch instead of an NPE
+        if ((0 to 3).exists(r.isNullAt)) None else Some((a, b, r))
+      } else None
+    val repartitioned = zBounds match {
+      case Some((a, b, r)) =>
         def norm(c: String, mn: Double, mx: Double) = {
           val span = math.max(mx - mn, java.lang.Double.MIN_NORMAL)
           ((col(c).cast("double") - mn) / span * 4294967295.0).cast("long")
@@ -459,10 +478,11 @@ object Lake {
           // row groups (manifest prunes files, footer stats prune pages)
           .sortWithinPartitions(col("__z"))
           .drop("__z")
-      } else if (statsCols.nonEmpty)
+      case None if statsCols.nonEmpty =>
         df.repartitionByRange(files, statsCols.map(col): _*)
           .sortWithinPartitions(statsCols.map(col): _*)
-      else df.repartition(files)
+      case None => df.repartition(files)
+    }
     repartitioned.write.mode("overwrite").parquet(genDir)
     val added0 = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.parquet")
@@ -594,7 +614,7 @@ object Lake {
     val affectedNorm: Set[String] = target match {
       case Some(t) => t
         .withColumn("_file", regexp_replace(input_file_name(), "^file:/+", "/"))
-        .join(broadcast(srcKeys), Seq(key), "left_semi")
+        .join(srcKeys, Seq(key), "left_semi")
         .select(col("_file")).distinct()
         .collect().map(_.getString(0)).toSet
       case None => Set.empty
@@ -608,13 +628,13 @@ object Lake {
     // full scan; shared by the deleteWhen filter and the change feed
     val matchedKeys: Option[DataFrame] =
       if (affectedNorm.nonEmpty)
-        Some(affectedScan.join(broadcast(srcKeys), Seq(key), "left_semi")
+        Some(affectedScan.join(srcKeys, Seq(key), "left_semi")
           .select(col(key)).distinct())
       else None
     // deleteWhen governs MATCHED source rows only (SQL MERGE semantics)
     val srcLive = (deleteWhen, matchedKeys) match {
       case (Some(c), Some(mk)) =>
-        source.join(broadcast(mk.withColumn("_matched", lit(true))),
+        source.join(mk.withColumn("_matched", lit(true)),
             Seq(key), "left")
           .filter(!(coalesce(col("_matched"), lit(false))
             && coalesce(c, lit(false))))
@@ -642,13 +662,13 @@ object Lake {
           val liveKeys = srcLive.select(col(key)).distinct()
           val updKeys = mk.join(liveKeys, Seq(key), "left_semi")
           val delKeys = mk.join(liveKeys, Seq(key), "left_anti")
-          tag(affectedScan.join(broadcast(delKeys), Seq(key), "left_semi"),
+          tag(affectedScan.join(delKeys, Seq(key), "left_semi"),
               "delete")
-            .unionByName(tag(affectedScan.join(broadcast(updKeys), Seq(key),
+            .unionByName(tag(affectedScan.join(updKeys, Seq(key),
               "left_semi"), "update_preimage"))
-            .unionByName(tag(srcLive.join(broadcast(mk), Seq(key), "left_semi"),
+            .unionByName(tag(srcLive.join(mk, Seq(key), "left_semi"),
               "update_postimage"))
-            .unionByName(tag(srcLive.join(broadcast(mk), Seq(key), "left_anti"),
+            .unionByName(tag(srcLive.join(mk, Seq(key), "left_anti"),
               "insert"))
         case None => tag(srcLive, "insert")
       }
@@ -662,7 +682,7 @@ object Lake {
       // rows the merge deletes/replaces live ONLY in affected files, so the
       // carry rewrite scans just those files
       affectedScan
-        .join(broadcast(srcKeys), Seq(key), "left_anti")
+        .join(srcKeys, Seq(key), "left_anti")
         .select(cols: _*)
         .write.mode("overwrite").parquet(s"$genDir/carry")
     }
@@ -734,7 +754,9 @@ object Lake {
         .withColumn("size", lit(null).cast("long"))
         .withColumn("adler32", lit(null).cast("long"))
         .withColumn("op", lit("remove"))
-        .withColumn("snapshot_op", lit("merge"))))
+        // a pure delete is a REPLACE-shaped snapshot (no reader keys on
+        // remove-row snapshot_op; history()'s op mix stays honest)
+        .withColumn("snapshot_op", lit("replace"))))
     next
   }
 

@@ -137,6 +137,74 @@ class MergeSpec extends GraftSpec {
     assert(Lake.readSince(spark, ledger, 0).count() == 10)
   }
 
+  test("merge: large-source key joins are size-driven, never force-broadcast") {
+    // the SURVEY §3.1 contract: srcKeys/matchedKeys scale with the merge
+    // SOURCE (a backfill carries billions of keys), so none of the merge's
+    // key-set joins may carry a broadcast HINT — AQE broadcasts small
+    // sources and must be FREE to demote a large one to a shuffle join.
+    // Proof: floor every broadcast threshold in a child session and capture
+    // every plan the merge executes — a forced broadcast() ignores
+    // thresholds, so any Broadcast node here would be a reintroduced hint.
+    val (landing, ledger, gen) = fresh()
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    val plans = new scala.collection.mutable.ArrayBuffer[String]()
+    s2.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    })
+    s2.read.parquet(s"$sf/customer.parquet")
+      .repartitionByRange(4, col("c_custkey"))
+      .write.parquet(landing)
+    Lake.ingestNewFiles(spark, landing, ledger)
+    val cust = s2.read.parquet(s"$sf/customer.parquet")
+    val updates = cust.filter(col("c_custkey") % 2 === 0
+        && col("c_mktsegment") =!= "MACHINERY")
+      .withColumn("c_acctbal", col("c_acctbal") + 1)
+    val inserts = cust.filter(col("c_custkey") % 5 === 0)
+      .withColumn("c_custkey", col("c_custkey") + 1000000)
+    val toDelete = cust.filter(col("c_mktsegment") === "MACHINERY")
+    val source = updates.unionByName(inserts).unionByName(toDelete)
+    val (nOrig, nIns, nDel) = (cust.count(), inserts.count(), toDelete.count())
+    plans.synchronized(plans.clear()) // judge only the merge's own plans
+    val snap1 = Lake.mergeInto(s2, ledger, gen, source, "c_custkey",
+      deleteWhen = Some(col("c_mktsegment") === "MACHINERY"),
+      changeFeed = true)
+    // the listener bus delivers asynchronously: wait until it goes quiet
+    var stable = 0
+    var last = -1
+    var tries = 0
+    while (stable < 3 && tries < 100) {
+      Thread.sleep(200)
+      tries += 1
+      val n = plans.synchronized(plans.size)
+      if (n == last && n > 0) stable += 1 else { stable = 0; last = n }
+    }
+    assert(last > 0, "listener captured no plans — harness broken")
+    val all = plans.synchronized(plans.mkString("\n---\n"))
+    assert(!all.contains("BroadcastHashJoin") && !all.contains("BroadcastExchange")
+        && !all.contains("BroadcastNestedLoop"),
+      "merge/CDC key-set join was force-broadcast despite floored thresholds")
+    assert(all.contains("SortMergeJoin"),
+      "demotion proof vacuous: expected the key joins to run as shuffle joins")
+    // and the demoted plan still merges correctly
+    assert(Lake.readAt(s2, ledger, snap1).count() == nOrig - nDel + nIns)
+    assert(Lake.readAt(s2, ledger, snap1)
+      .filter(col("c_mktsegment") === "MACHINERY"
+        && col("c_custkey") < 1000000).count() == 0)
+    val byType = Lake.readChanges(s2, ledger, 1)
+      .groupBy(col("_change_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType.getOrElse("delete", 0L) == nDel)
+    assert(byType.getOrElse("insert", 0L) == nIns)
+  }
+
   test("change feed: typed row-level effects per merge, exactly once, compaction silent") {
     val (landing, ledger, gen) = fresh()
     val snap0 = landCustomers(landing, ledger)
