@@ -169,11 +169,16 @@ object Similarity {
   }
 
   /** Build the IVF index ONCE as a persisted lake artifact: `centroids`
-    * (list_id, centroid vector — k rows, broadcast-sized) and `assignments`
-    * (vec_id, list_id — the inverted lists; at 100 TB this table is
-    * PARTITIONED by list_id so a probe's nProbe lists prune at the
-    * directory level). The k-means fit is index-BUILD cost, paid once —
-    * never per probe. Deterministic via fixed seed. */
+    * (list_id, centroid vector — k rows, broadcast-sized), `quant` (the
+    * 1-row global int8 quantization bounds), and `assignments` (vec_id,
+    * codes, list_id — the inverted lists WITH the 4×-smaller int8 code
+    * vectors stored inline, so a quantized probe scans codes and never
+    * touches full precision; at 100 TB this table is PARTITIONED by
+    * list_id so a probe's nProbe lists prune at the directory level).
+    * Queries that want ids only (qAnnIvf) still read (vec_id, list_id) —
+    * parquet column pruning skips the codes they don't ask for. The
+    * k-means fit is index-BUILD cost, paid once — never per probe.
+    * Deterministic via fixed seed. */
   def buildIvfIndex(s: SparkSession, d: String, indexDir: String): Unit = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
@@ -188,8 +193,14 @@ object Similarity {
     import s.implicits._
     centroids.toDF("list_id", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+    val stats = e.agg(min(array_min(col("vec"))).as("gmin"),
+      max(array_max(col("vec"))).as("gmax"))
+    stats.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/quant")
     model.transform(e)
-      .select(col("vec_id"), col("prediction").as("list_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("vec_id"),
+        codeExpr(col("vec"), col("gmin"), col("gmax")).as("codes"),
+        col("prediction").as("list_id"))
       .repartition(col("list_id")) // co-locate each inverted list
       .write.partitionBy("list_id").mode("overwrite")
       .parquet(s"$indexDir/assignments")
@@ -203,9 +214,12 @@ object Similarity {
     * fingerprint in its manifest. */
   def ivfIndexDir(s: SparkSession, d: String): String = {
     val fp = embFingerprint(d)
+    // "ivfq": the layout now carries quant bounds + inline codes — a new
+    // dir name so a pre-codes index on disk can never satisfy the check
     ivfIndexDirs.computeIfAbsent(fp, { _ =>
-      val idx = sys.props("java.io.tmpdir") + s"/graft_ivf_$fp"
-      if (!new java.io.File(s"$idx/assignments/_SUCCESS").exists())
+      val idx = sys.props("java.io.tmpdir") + s"/graft_ivfq_$fp"
+      if (!new java.io.File(s"$idx/assignments/_SUCCESS").exists()
+          || !new java.io.File(s"$idx/quant/_SUCCESS").exists())
         buildIvfIndex(s, d, idx)
       idx
     })
@@ -371,6 +385,19 @@ object Similarity {
         md5(array_join(transform(col("codes"), _.cast("string")), ","))
           .as("code_md5"))
 
+  /** int8 codes of a double-array column against [gmin, gmax] — THE
+    * quantizer, shared by the checksum query, the in-flight quantized
+    * corpus, and the index build (persisted codes must be the same codes
+    * the specs and the oracle reason about). */
+  private def codeExpr(vec: Column, gmin: Column, gmax: Column): Column =
+    transform(vec, v =>
+      floor((v - gmin) * lit(255.0) / (gmax - gmin)).cast("int"))
+
+  /** Midpoint dequantizer: code c → gmin + (c + 0.5)·step. */
+  private def dequantExpr(codes: Column, gmin: Column, gmax: Column): Column =
+    transform(codes, c =>
+      gmin + (c.cast("double") + lit(0.5)) * ((gmax - gmin) / lit(255.0)))
+
   /** The corpus as (vec_id, label, vec, codes): full-precision vectors
     * plus their int8 codes against the global min/max — shared by the
     * checksum query above and the quantized ANN below. */
@@ -379,10 +406,7 @@ object Similarity {
     val stats = e.agg(min(array_min(col("vec"))).as("gmin"),
       max(array_max(col("vec"))).as("gmax"))
     e.crossJoin(broadcast(stats))
-      .withColumn("codes",
-        transform(col("vec"), v =>
-          floor((v - col("gmin")) * lit(255.0) / (col("gmax") - col("gmin")))
-            .cast("int")))
+      .withColumn("codes", codeExpr(col("vec"), col("gmin"), col("gmax")))
   }
 
   /** Quantized ANN with full-precision re-rank — the read path the int8
@@ -422,6 +446,67 @@ object Similarity {
       .limit(CandK)
     // exact re-rank of the bounded candidate list only
     cands
+      .select(col("vec_id"), col("label"),
+        (dot(col("vec"), col("probe_vec"))
+          / (norm(col("vec")) * col("probe_nrm"))).as("cos"))
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= 20)
+      .select(col("rank"), col("vec_id"), col("label"))
+  }
+
+  /** Quantized IVF ANN — the banked version of the bandwidth win: the
+    * candidate scan reads the int8 codes PERSISTED inside the inverted
+    * lists (4× less I/O than the vec column — the representation a 100 TB
+    * index keeps hot), dequantizes in-flight, keeps the top `CandK`, and
+    * fetches full-precision vectors ONLY for that bounded candidate list
+    * to re-rank exactly. Unlike `qAnnQuant` (which recomputes codes from
+    * the full-precision vectors it just read, proving the math but not
+    * the I/O), nothing on the scoring path touches `vec`: list selection
+    * runs on the k-row centroid table, scoring on the codes column, and
+    * the probed lists still prune at the directory level (DPP —
+    * PlanSpec asserts both the pruning and the codes-only ReadSchema).
+    * Rows-only driver check; SimilaritySpec bounds recall vs the
+    * full-precision IVF probe and brute force. */
+  def qAnnIvfQuant(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val idx = ivfIndexDir(s, d)
+    val e = emb(s, d)
+    // 1-row broadcast: probe vector (exact + dequantized) and its norms.
+    // The probe quantizes ITSELF through the persisted bounds so both
+    // sides of the approximate cosine live in the same lattice.
+    val quant = s.read.parquet(s"$idx/quant")
+    val probe = e.filter(col("vec_id") === 0)
+      .crossJoin(broadcast(quant))
+      .withColumn("probe_qvec",
+        dequantExpr(codeExpr(col("vec"), col("gmin"), col("gmax")),
+          col("gmin"), col("gmax")))
+      .select(col("vec").as("probe_vec"), norm(col("vec")).as("probe_nrm"),
+        col("probe_qvec"), norm(col("probe_qvec")).as("probe_qnrm"),
+        col("gmin"), col("gmax"))
+    val topLists = s.read.parquet(s"$idx/centroids")
+      .crossJoin(broadcast(probe))
+      .select(col("list_id"),
+        aggregate(zip_with(col("centroid"), col("probe_vec"), (c, p) => (c - p) * (c - p)),
+          lit(0.0), _ + _).as("dist"))
+      .orderBy(col("dist"), col("list_id"))
+      .limit(IvfNProbe)
+      .select(col("list_id"))
+    // the scoring scan: codes only, probed lists only (DPP), top-CandK cut
+    val cands = s.read.parquet(s"$idx/assignments")
+      .join(broadcast(topLists), Seq("list_id"), "left_semi")
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .withColumn("qvec", dequantExpr(col("codes"), col("gmin"), col("gmax")))
+      .select(col("vec_id"),
+        (dot(col("qvec"), col("probe_qvec"))
+          / (norm(col("qvec")) * col("probe_qnrm"))).as("qcos"))
+      .orderBy(col("qcos").desc, col("vec_id"))
+      .limit(CandK)
+      .select(col("vec_id"))
+    // full-precision fetch for the bounded candidate list only, exact rank
+    e.join(cands, "vec_id")
+      .crossJoin(broadcast(probe))
       .select(col("vec_id"), col("label"),
         (dot(col("vec"), col("probe_vec"))
           / (norm(col("vec")) * col("probe_nrm"))).as("cos"))

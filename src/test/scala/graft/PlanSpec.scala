@@ -258,6 +258,33 @@ class PlanSpec extends GraftSpec {
       s"per-part aggregate input must carry the brand partkey semi-join:\n${opt.toString.take(2000)}")
   }
 
+  test("quantized IVF scores on the persisted int8 codes — codes ReadSchema, vec untouched, DPP holds") {
+    val q = Similarity.qAnnIvfQuant(spark, sf)
+    q.write.format("noop").mode("overwrite").save() // build index + finalize AQE
+    val plan = q.queryExecution.executedPlan.toString
+    // probed lists still prune at the directory level
+    assert(plan.contains("dynamicpruningexpression"),
+      s"assignments scan lost its DPP partition filter:\n${plan.take(2000)}")
+    // the scoring scan reads the CODE column from the index — the persisted
+    // 4x-smaller representation, not recomputed from full precision
+    val scans = plan.linesIterator.filter(_.contains("FileScan")).toSeq
+    val idxScans = scans.filter(_.contains("assignments"))
+    assert(idxScans.nonEmpty, s"no assignments scan found:\n${scans.mkString("\n")}")
+    assert(idxScans.exists(_.contains("codes")),
+      s"assignments scan must read the codes column:\n${idxScans.mkString("\n")}")
+    // and none of the index scans read anything full-precision (the
+    // source table's float array is `embedding`; the index stores none)
+    assert(!idxScans.exists(_.contains("embedding")),
+      s"index scan must never touch full-precision vectors:\n${idxScans.mkString("\n")}")
+    // while qAnnIvf (ids only) PRUNES the codes it doesn't ask for
+    val q2 = Similarity.qAnnIvf(spark, sf)
+    q2.write.format("noop").mode("overwrite").save()
+    val scans2 = q2.queryExecution.executedPlan.toString
+      .linesIterator.filter(l => l.contains("FileScan") && l.contains("assignments")).toSeq
+    assert(scans2.nonEmpty && !scans2.exists(_.contains("codes")),
+      s"qAnnIvf must column-prune the codes it doesn't use:\n${scans2.mkString("\n")}")
+  }
+
   test("batched ann_ivf keeps dynamic partition pruning over the union of probe lists") {
     // the batched contract: B probes = ONE assignments scan reading at most
     // the UNION of their nProbe lists (DPP from the broadcast probe→list

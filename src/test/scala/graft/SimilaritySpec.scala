@@ -156,6 +156,28 @@ class SimilaritySpec extends GraftSpec {
     assert(new java.io.File(s"$idx2/assignments/_SUCCESS").exists())
   }
 
+  test("quantized IVF: near-lossless vs full-precision IVF, bounded vs brute, exact shared ordering") {
+    val ivf = Similarity.qAnnIvf(spark, sf).collect()
+      .map(_.getAs[Long]("vec_id"))
+    val ivfq = Similarity.qAnnIvfQuant(spark, sf).collect()
+      .sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("vec_id"))
+    assert(ivfq.length == 20)
+    // both probes restrict to the same nProbe lists; quantization only
+    // loses at the CandK candidate cut — near-lossless there
+    val vsIvf = ivfq.count(ivf.toSet.contains).toDouble / ivf.length
+    assert(vsIvf >= 0.9, s"quantized IVF recall $vsIvf < 0.9 vs full-precision IVF")
+    // against the global exact answer it inherits IVF's list-pruning loss
+    val brute = Similarity.qAnnBrute(spark, sf).collect()
+      .sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("vec_id"))
+    val vsBrute = ivfq.count(brute.toSet.contains).toDouble / brute.length
+    assert(vsBrute >= 0.3, s"quantized IVF recall $vsBrute collapsed vs brute")
+    // survivors re-rank on exact cosine: shared neighbors order as brute does
+    val ivfqSet = ivfq.toSet
+    assert(brute.filter(ivfqSet.contains).sameElements(
+      ivfq.filter(brute.toSet.contains)),
+      "exact re-rank must order shared neighbors identically to brute force")
+  }
+
   test("batched LSH: per-probe top-5 with bounded recall vs exact batch") {
     val exact = Similarity.qAnnBatch(spark, sf).collect()
       .groupBy(_.getAs[Long]("probe_id"))
