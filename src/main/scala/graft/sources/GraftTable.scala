@@ -80,6 +80,28 @@ final case class GraftTable(spark: SparkSession, ledgerDir: String,
   def applyChanges(mirror: DataFrame, changes: DataFrame, key: String): DataFrame =
     Lake.applyChanges(mirror, changes, key)
 
+  /** Bootstrap a downstream mirror of this table at `mirrorDir` (one full
+    * read; incremental from then on via the change feed). */
+  def mirrorBootstrap(mirrorDir: String): Long =
+    graft.streaming.MirrorLoop.bootstrap(spark, ledgerDir, mirrorDir)
+
+  /** One change-feed consumer round: apply every change past the mirror's
+    * persisted cursor; returns the new cursor. Exactly-once across crash
+    * windows (see MirrorLoop). */
+  def mirrorApply(mirrorDir: String, key: String): Long =
+    graft.streaming.MirrorLoop.applyRound(spark, ledgerDir, mirrorDir, key)
+
+  /** The mirror's current contents. */
+  def mirrorRead(mirrorDir: String): DataFrame =
+    graft.streaming.MirrorLoop.mirror(spark, mirrorDir)
+
+  /** The continuously-running consumer: a checkpointed stream that fires
+    * a consumer round whenever this table commits. */
+  def mirrorStream(mirrorDir: String, key: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.MirrorLoop.changeStream(spark, ledgerDir, mirrorDir, key,
+      checkpointDir)
+
   /** Row-level copy-on-write DELETE WHERE. */
   def delete(cond: Column): Long =
     Lake.deleteWhere(spark, ledgerDir, genRoot, cond)
