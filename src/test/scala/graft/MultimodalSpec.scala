@@ -57,6 +57,55 @@ class MultimodalSpec extends GraftSpec {
     }
   }
 
+  test("codec boundary: an injected container codec decodes distributed, byte-for-byte, opened once per partition") {
+    import MultimodalSpec._
+    // synthetic "container": FAKE magic + w/h header + w*h*3-byte frames —
+    // deterministic per id, generated distributed like the PNG/GIF tables
+    val sess = spark
+    import sess.implicits._
+    val media = sess.range(40).map { id =>
+      Multimodal.MediaItem(id,
+        Multimodal.MediaMeta("video", 4 + (id % 3).toInt, 3 + (id % 2).toInt,
+          0, 0L),
+        fakeContainer(id))
+    }.repartition(4)
+    val opens = sess.sparkContext.longAccumulator("codec_opens")
+    val got = Multimodal.decodeVideo(media, everyNth = 2, FakeCodec(opens))
+      .collect()
+    // the codec's open() ran once per PARTITION, never per row
+    assert(opens.value >= 1 && opens.value <= 4,
+      s"codec opened ${opens.value} times for 4 partitions / 40 rows")
+    // byte-for-byte vs a driver-side reference decode of the same bytes
+    val byId = got.groupBy(_.media_id)
+    (0L until 40L).foreach { id =>
+      val frames = referenceFrames(id, everyNth = 2)
+      val g = byId(id).sortBy(_.frame_idx)
+      assert(g.length == frames.length, s"media $id frame count")
+      g.zip(frames).foreach { case (a, (idx, w, h, px)) =>
+        assert(a.frame_idx == idx && a.width == w && a.height == h
+          && a.format == "rgb24" && a.pixels.sameElements(px),
+          s"media $id frame $idx diverges")
+      }
+    }
+    // junk bytes this codec cannot parse surface as data
+    val junk = sess.range(3).map(id => Multimodal.MediaItem(id,
+      Multimodal.MediaMeta("video", 0, 0, 0, 0L), Array[Byte](1, 2, 3)))
+    val und = Multimodal.decodeVideo(junk, 1, FakeCodec(opens)).collect()
+    assert(und.length == 3 && und.forall(_.format == "undecodable"))
+    // and the DEFAULT implementation behind the same boundary is the
+    // byte-slicing stub: same slices the legacy kernel produced
+    val sliced = Multimodal.decodeVideo(media, 1,
+      Multimodal.ByteSliceCodec(16)).collect()
+    val payloads = media.collect().map(m => m.media_id -> m.payload).toMap
+    sliced.groupBy(_.media_id).foreach { case (id, fs) =>
+      val expected = payloads(id).grouped(16).toArray
+      assert(fs.length == expected.length)
+      fs.sortBy(_.frame_idx).zip(expected).foreach { case (f, e) =>
+        assert(f.format == "bytes" && f.pixels.sameElements(e))
+      }
+    }
+  }
+
   test("REAL PNG decode: distributed decodeImages is byte-for-byte the driver-side ImageIO decode") {
     val n = 12
     val decoded = Multimodal.decodeImages(Multimodal.pngMediaTable(spark, n))
@@ -183,5 +232,63 @@ class MultimodalSpec extends GraftSpec {
       Multimodal.extractFeatures(Multimodal.mediaTable(spark, sf))).collect()
     assert(stats.length == 3)
     assert(stats.map(_.getAs[Long]("n_items")).sum == Tables.documents(spark, sf).count())
+  }
+}
+
+/** The injected fake container format + codec for the boundary test —
+  * top-level (serializable, no suite reference) so the codec ships to
+  * executors like a real external codec would. */
+object MultimodalSpec {
+
+  private val Magic = "FAKE".getBytes("US-ASCII")
+
+  private def frameByte(id: Long, f: Int, i: Int): Byte =
+    ((id * 31 + f * 17 + i * 7) % 256).toByte
+
+  /** magic + w + h + nFrames + nFrames full frames of w*h*3 bytes. */
+  def fakeContainer(id: Long): Array[Byte] = {
+    val (w, h) = (4 + (id % 3).toInt, 3 + (id % 2).toInt)
+    val nFrames = 3 + (id % 4).toInt
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Magic); out.write(w); out.write(h); out.write(nFrames)
+    (0 until nFrames).foreach { f =>
+      val px = Array.tabulate(w * h * 3)(i => frameByte(id, f, i))
+      out.write(px)
+    }
+    out.toByteArray
+  }
+
+  /** Shared parse — the codec's decoder and the driver-side reference both
+    * read the same bytes through it. */
+  private def parseFake(payload: Array[Byte], everyNth: Int)
+      : Option[Seq[Multimodal.CodecFrame]] = {
+    if (payload.length < 7 || !payload.take(4).sameElements(Magic)) return None
+    val (w, h, n) = (payload(4).toInt, payload(5).toInt, payload(6).toInt)
+    val frameLen = w * h * 3
+    if (payload.length != 7 + n * frameLen) return None
+    Some((0 until n by everyNth).map { f =>
+      Multimodal.CodecFrame(f, w, h, "rgb24",
+        java.util.Arrays.copyOfRange(payload, 7 + f * frameLen,
+          7 + (f + 1) * frameLen))
+    })
+  }
+
+  /** Driver-side reference decode of the container bytes for `id`. */
+  def referenceFrames(id: Long, everyNth: Int): Seq[(Int, Int, Int, Array[Byte])] =
+    parseFake(fakeContainer(id), everyNth).get
+      .map(f => (f.frame_idx, f.width, f.height, f.pixels))
+
+  /** The injected codec: counts open() calls via an accumulator so the
+    * spec can assert per-PARTITION (not per-row) initialization. */
+  final case class FakeCodec(opens: org.apache.spark.util.LongAccumulator)
+      extends Multimodal.VideoCodec {
+    def name = "fake-container"
+    def open(): Multimodal.VideoDecoder = {
+      opens.add(1)
+      new Multimodal.VideoDecoder {
+        def decode(payload: Array[Byte], everyNth: Int) =
+          parseFake(payload, everyNth)
+      }
+    }
   }
 }
