@@ -1,0 +1,228 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** §2.A continued — the remaining TPC-H join/ratio shapes expressible on
+  * this corpus (no partsupp table, no shipmode/receiptdate columns, so Q9/
+  * Q11/Q12 have no faithful analog; Q16's part-supplier relation comes
+  * from observed lineitem pairs instead).
+  *
+  * Money discipline is [[Relational]]'s: per-row 10^4-scaled BIGINT
+  * product terms (`Rev4Term`), summed in DECIMAL(28,0), double only in
+  * the final projection; RATIO queries (Q8/Q14) divide two such exact
+  * doubles in the same textual op order on both engines — IEEE division
+  * on identical operands is bit-identical. Bounded dims (nation, region —
+  * ≤25 rows at any SF) keep explicit broadcast hints; customer, supplier,
+  * part and every fact SCALE WITH DATA and carry none (SURVEY §3.1).
+  */
+object Relational3 {
+
+  import Relational.{Rev4Term, Rev4TermSql}
+
+  private def revenueSum: Column = expr(s"CAST(sum($Rev4Term) AS DOUBLE) / 1e4")
+  private val revenueSumSql: String = s"CAST(sum($Rev4TermSql) AS DOUBLE) / 1e4"
+
+  /** TPC-H Q7 shape — volume shipping between trading nations: revenue by
+    * (supplier nation, customer nation, ship year) for CROSS-nation trade
+    * over two years. The classic query pins one nation pair; this corpus
+    * has 10-100 suppliers at test SFs (a fixed pair degenerates to zero
+    * rows), so the shape keeps ALL pairs — output stays bounded at
+    * 25×24×years regardless of data scale, and a pair filter would fold
+    * into the broadcast nation dims anyway. Spark-first shape: nation
+    * broadcasts into supplier/customer, lineitem⋈orders shuffles on
+    * orderkey once, map-side-combinable final agg. */
+  def q7VolumeShipping(s: SparkSession, d: String): DataFrame = {
+    val n1 = Tables.nation(s, d)
+      .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, d)
+      .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
+    val sup = Tables.supplier(s, d)
+      .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val cust = Tables.customer(s, d)
+      .join(broadcast(n2), col("c_nationkey") === col("c_nkey"))
+      .select(col("c_custkey"), col("cust_nation"))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01")
+        && col("l_shipdate") < lit("1998-01-01"))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(revenueSum.as("revenue"))
+  }
+
+  def q7VolumeShippingSql: String =
+    s"""SELECT supp_nation, cust_nation, l_year,
+       | $revenueSumSql AS revenue
+       |FROM (
+       |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |         CAST(year(l_shipdate) AS INT) AS l_year,
+       |         l_extendedprice, l_discount
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+       |    AND n1.n_name <> n2.n_name
+       |)
+       |GROUP BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** TPC-H Q8 shape — national market share: of the ECONOMY-part order
+    * volume bought by customers in region AMERICA over two years, the
+    * fraction supplied by NATION_3, per order year. The share is a ratio
+    * of two EXACT integer-unit sums (numerator = CASE-guarded Rev4Term),
+    * divided as doubles in identical op order on both engines. The part
+    * filter reaches the lineitem side as a semi-join (only matching
+    * partkeys shuffle); region→nation folds to a 5-row broadcast key set;
+    * customer stays hint-free. */
+  def q8MarketShare(s: SparkSession, d: String): DataFrame = {
+    val amNations = Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "AMERICA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val cust = Tables.customer(s, d)
+      .join(broadcast(amNations), col("c_nationkey") === col("n_nationkey"),
+        "left_semi")
+      .select(col("c_custkey"))
+    val supNation = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val parts = Tables.part(s, d).filter(col("p_type") === "ECONOMY")
+      .select(col("p_partkey"))
+    Tables.lineitem(s, d)
+      .join(parts, col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-01-01")
+            && col("o_orderdate") < lit("1998-01-01")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(supNation, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg((expr(s"CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN $Rev4Term" +
+          s" ELSE CAST(0 AS DECIMAL(28,0)) END) AS DOUBLE)")
+        / expr(s"CAST(sum($Rev4Term) AS DOUBLE)")).as("mkt_share"))
+  }
+
+  def q8MarketShareSql: String =
+    s"""SELECT o_year,
+       |  CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN $Rev4TermSql
+       |    ELSE CAST(0 AS DECIMAL(28,0)) END) AS DOUBLE)
+       |  / CAST(sum($Rev4TermSql) AS DOUBLE) AS mkt_share
+       |FROM (
+       |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       |         n1.n_name AS supp_nation, l_extendedprice, l_discount
+       |  FROM lineitem
+       |  JOIN part ON l_partkey = p_partkey
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |  JOIN region ON n2.n_regionkey = r_regionkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+       |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |    AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+       |)
+       |GROUP BY o_year""".stripMargin
+
+  /** TPC-H Q10 shape — returned-item reporting: the top-20 customers by
+    * revenue lost to returns ('R' lineitems) for one order quarter. The
+    * returnflag filter pushes to the lineitem scan and the quarter filter
+    * to the orders scan BEFORE their orderkey shuffle; nation broadcasts;
+    * customer joins hint-free; the top-20 compiles to
+    * TakeOrderedAndProject (no global sort). Deterministic cut: revenue
+    * is the exact integer-unit sum, tie-broken on custkey. */
+  def q10ReturnedItems(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01")
+        && col("o_orderdate") < lit("1996-04-01"))
+    Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(revenueSum.as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+      .select(col("c_custkey"), col("c_name"), col("revenue"),
+        col("c_acctbal"), col("n_name"))
+  }
+
+  def q10ReturnedItemsSql: String =
+    s"""SELECT c_custkey, c_name, revenue, c_acctbal, n_name FROM (
+       |  SELECT c_custkey, c_name, c_acctbal, n_name,
+       |    $revenueSumSql AS revenue
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  WHERE l_returnflag = 'R'
+       |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |    AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+       |  GROUP BY c_custkey, c_name, c_acctbal, n_name
+       |)
+       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  /** TPC-H Q14 shape — promotion-revenue share for one ship month: the
+    * percentage of revenue from PROMO-type parts. One fact⋈part join
+    * (month filter pushed to the lineitem scan, part hint-free), the
+    * CASE-guarded numerator and the denominator computed in ONE aggregate
+    * pass, ratio as `num_double * 100.0 / den_double` in identical op
+    * order on both engines. */
+  def q14PromoShare(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-03-01")
+        && col("l_shipdate") < lit("1996-04-01"))
+      .join(Tables.part(s, d).select(col("p_partkey"), col("p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg((expr(s"CAST(sum(CASE WHEN p_type = 'PROMO' THEN $Rev4Term" +
+          s" ELSE CAST(0 AS DECIMAL(28,0)) END) AS DOUBLE) * 100.0")
+        / expr(s"CAST(sum($Rev4Term) AS DOUBLE)")).as("promo_revenue"))
+
+  def q14PromoShareSql: String =
+    s"""SELECT
+       |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN $Rev4TermSql
+       |    ELSE CAST(0 AS DECIMAL(28,0)) END) AS DOUBLE) * 100.0
+       |  / CAST(sum($Rev4TermSql) AS DOUBLE) AS promo_revenue
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+       |  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'""".stripMargin
+
+  /** TPC-H Q16 shape — supplier count by part attribute: distinct
+    * suppliers able to supply each surviving (brand, type, size) group.
+    * This corpus has no partsupp table, so the part-supplier relation is
+    * the DISTINCT (l_partkey, l_suppkey) pairs observed in lineitem —
+    * same query shape, one extra map-side-combined distinct. The part
+    * attribute filters push to the part scan; the pair relation and part
+    * meet in one partkey shuffle; countDistinct is per-group exact. */
+  def q16SupplierCnt(s: SparkSession, d: String): DataFrame = {
+    val ps = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    Tables.part(s, d)
+      .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "MEDIUM"
+        && col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+      .join(ps, col("p_partkey") === col("l_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  def q16SupplierCntSql: String =
+    """SELECT p_brand, p_type, p_size,
+      |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+      |JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#5' AND p_type <> 'MEDIUM'
+      |  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      |GROUP BY p_brand, p_type, p_size""".stripMargin
+}

@@ -258,6 +258,31 @@ class PlanSpec extends GraftSpec {
       s"per-part aggregate input must carry the brand partkey semi-join:\n${opt.toString.take(2000)}")
   }
 
+  test("q7/q10/q14/q16: filters reach the scans; q10 top-20 is TakeOrderedAndProject") {
+    // Q10: returnflag pushes to the lineitem scan, the quarter to orders,
+    // and the top-20 must not need a global sort
+    val f10 = formatted(Relational3.q10ReturnedItems(spark, sf))
+    assert(f10.contains("EqualTo(l_returnflag,R)"),
+      s"Q10 returnflag not pushed:\n${f10.take(1200)}")
+    assert(f10.contains("GreaterThanOrEqual(o_orderdate"),
+      s"Q10 order-date window not pushed:\n${f10.take(1200)}")
+    assert(f10.contains("TakeOrderedAndProject"), "Q10 top-20 needs no global sort")
+    // Q14: the ship-month window pushes to the lineitem scan
+    val f14 = formatted(Relational3.q14PromoShare(spark, sf))
+    assert(f14.contains("GreaterThanOrEqual(l_shipdate"),
+      s"Q14 ship-month not pushed:\n${f14.take(1200)}")
+    // Q16: part attribute filters push to the part scan; the distinct
+    // pair relation and the count-distinct both aggregate two-phase
+    val f16 = formatted(Relational3.q16SupplierCnt(spark, sf))
+    assert(f16.contains("In(p_size"), s"Q16 size filter not pushed:\n${f16.take(1200)}")
+    val p16 = planString(Relational3.q16SupplierCnt(spark, sf))
+    assert("HashAggregate".r.findAllIn(p16).size >= 2, "Q16 expects partial aggregates")
+    // Q7: the two-year ship window pushes to the lineitem scan
+    val f7 = formatted(Relational3.q7VolumeShipping(spark, sf))
+    assert(f7.contains("GreaterThanOrEqual(l_shipdate"),
+      s"Q7 ship window not pushed:\n${f7.take(1200)}")
+  }
+
   test("quantized IVF scores on the persisted int8 codes — codes ReadSchema, vec untouched, DPP holds") {
     val q = Similarity.qAnnIvfQuant(spark, sf)
     q.write.format("noop").mode("overwrite").save() // build index + finalize AQE
