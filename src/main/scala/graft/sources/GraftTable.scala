@@ -113,6 +113,10 @@ final case class GraftTable(spark: SparkSession, ledgerDir: String,
   def compact(targetRowsPerFile: Long, zOrder: Boolean = false): Long =
     Lake.compactIngested(spark, ledgerDir, genRoot, targetRowsPerFile, zOrder)
 
+  /** Roll the table back to snapshot `s` as a NEW snapshot (the RESTORE /
+    * rollback analog); history and deeper time travel retained. */
+  def restore(s: Long): Long = Lake.restore(spark, ledgerDir, s)
+
   /** Expire snapshots before `retainFrom`; returns files deleted. */
   def expire(retainFrom: Long): Long =
     Lake.expireSnapshots(spark, ledgerDir, retainFrom)

@@ -313,7 +313,7 @@ object Lake {
       pred: org.apache.spark.sql.Column): DataFrame =
     withLedgerStats(ledger)
       .filter(col("op") === "add"
-        && col("snapshot_op").isin("append", "merge") && pred)
+        && col("snapshot_op").isin("append", "merge", "restore") && pred)
       .select(col("path"), col("size"), col("stats"))
 
   /** Manifest-based incremental read: the rows of every file ADDED by a
@@ -760,6 +760,61 @@ object Lake {
     next
   }
 
+  /** RESTORE — the Delta `RESTORE TABLE ... TO VERSION` / Iceberg
+    * rollback analog: record a NEW snapshot whose live file set equals the
+    * live set AT `toSnapshot`, undoing every later merge/delete/compaction
+    * WITHOUT rewriting history (time travel to the undone snapshots still
+    * works; the audit trail keeps them). Purely relational: the re-add and
+    * remove rows come from two live-set aggregations anti-joined on path —
+    * no data files are read or written, so a restore is a KB-scale ledger
+    * commit at any table size. Re-added files carry their ORIGINAL winning
+    * size/adler32/stats, so data skipping survives the rollback.
+    *
+    * Consumer semantics: restore adds are ROW-CHANGING (snapshot_op
+    * "restore" — readSince/readSnapshot/rowChangingSnapshots include
+    * them): a consumer sees resurrected rows again, which is the honest
+    * event stream of a rollback (rows that had been replaced/deleted are
+    * back). A consumer needing exact row identity across restores should
+    * key its sink or consume the change feed. Files already live stay
+    * untouched (no re-feed for unchanged data). Fails LOUDLY if the
+    * target's files were already physically deleted by expireSnapshots
+    * (restore only reaches as deep as the vacuum horizon — every table
+    * format's bound). No-op (current snapshot returned) when restoring to
+    * the present or when the live sets already match. */
+  def restore(spark: SparkSession, ledgerDir: String, toSnapshot: Long): Long = {
+    val ledger = readLedger(spark, ledgerDir).getOrElse(return 0L)
+    val cur = currentSnapshot(spark, ledgerDir)
+    if (toSnapshot >= cur) return cur
+    // live sets WITH the winning add row's adler32 (liveActionsAt drops it)
+    def liveFull(snap: Long): DataFrame =
+      withLedgerStats(ledger).filter(col("snapshot_id") <= snap)
+        .groupBy(col("path"))
+        .agg(max(when(col("op") === "remove", col("snapshot_id"))).as("rm"),
+          max(when(col("op") === "add", col("snapshot_id"))).as("ad"),
+          max_by(when(col("op") === "add",
+              struct(col("size"), col("adler32"), col("stats"))),
+            when(col("op") === "add", col("snapshot_id"))).as("w"))
+        .filter(col("ad").isNotNull && (col("rm").isNull || col("rm") < col("ad")))
+        .select(col("path"), col("w.size").as("size"),
+          col("w.adler32").as("adler32"), col("w.stats").as("stats"))
+    val target = liveFull(toSnapshot)
+    val now = liveFull(cur)
+    val adds = target.join(now, Seq("path"), "left_anti")
+      .withColumn("op", lit("add"))
+    checkHorizon(ledger, adds, s"restore($toSnapshot)")
+    val removes = now.join(target, Seq("path"), "left_anti")
+      .select(col("path"))
+      .withColumn("size", lit(null).cast("long"))
+      .withColumn("adler32", lit(null).cast("long"))
+      .withColumn("stats", lit(null).cast(StatsType))
+      .withColumn("op", lit("remove"))
+    val actions = adds.unionByName(removes)
+      .withColumn("snapshot_op", lit("restore"))
+    if (actions.isEmpty) return cur // live sets already equal
+    appendSnapshot(spark, ledgerDir, cur + 1, actions)
+    cur + 1
+  }
+
   /** Oracle-checked MERGE round-trip: build a lake from the customer table,
     * MERGE a source that updates every 7th key (+1000 acctbal), inserts a
     * shifted copy of every 97th key, and deletes matched MACHINERY rows —
@@ -813,7 +868,7 @@ object Lake {
   def rowChangingSnapshots(spark: SparkSession, ledgerDir: String): Seq[Long] =
     readLedger(spark, ledgerDir).map { ledger =>
       ledger.filter(col("op") === "add"
-          && col("snapshot_op").isin("append", "merge"))
+          && col("snapshot_op").isin("append", "merge", "restore"))
         .select(col("snapshot_id")).distinct()
         .collect().map(_.getLong(0)).toSeq.sorted
     }.getOrElse(Seq.empty)

@@ -137,6 +137,49 @@ class MergeSpec extends GraftSpec {
     assert(Lake.readSince(spark, ledger, 0).count() == 10)
   }
 
+  test("restore: rolls back merge+delete+compaction, keeps history, feeds consumers, respects the vacuum horizon") {
+    val (landing, ledger, gen) = fresh()
+    val t = Files.createTempDirectory("graft_restore").toString
+    val snap0 = landCustomers(landing, ledger)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("c_custkey")).collect().map(_.toSeq).toSeq
+    val original = canon(Lake.readAt(spark, ledger, snap0))
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+    val snap1 = Lake.mergeInto(spark, ledger, gen,
+      cust.filter(col("c_custkey") % 10 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 1), "c_custkey")
+    val snap2 = Lake.deleteWhere(spark, ledger, gen,
+      col("c_mktsegment") === "MACHINERY")
+    val afterDelete = canon(Lake.readAt(spark, ledger, snap2))
+    val snap3 = Lake.compactIngested(spark, ledger, s"$t/compact", 1000000)
+    // rollback to the original landing
+    val snapR = Lake.restore(spark, ledger, snap0)
+    assert(snapR == snap3 + 1)
+    assert(canon(Lake.readAt(spark, ledger, snapR)) == original,
+      "restored table must equal the target snapshot")
+    // history is NOT rewritten: the undone snapshots still time-travel
+    assert(canon(Lake.readAt(spark, ledger, snap2)) == afterDelete)
+    assert(Lake.readAt(spark, ledger, snap1).count() == original.size)
+    // a restore is row-changing: consumers checkpointed at the compaction
+    // receive exactly the resurrected rows (all files changed here)
+    assert(Lake.readSince(spark, ledger, snap3).count() == original.size)
+    // restoring to the present (or an already-equal live set) is a no-op
+    assert(Lake.restore(spark, ledger, snapR) == snapR)
+    assert(Lake.restore(spark, ledger, snap0) == snapR,
+      "live set already equals the target: no empty snapshot")
+    // the lifecycle continues after a rollback
+    val snapM = Lake.mergeInto(spark, ledger, gen,
+      cust.limit(5).withColumn("c_acctbal", col("c_acctbal") + 9), "c_custkey")
+    assert(Lake.readAt(spark, ledger, snapM).count() == original.size)
+    // vacuum bounds restore depth: expire everything but the present,
+    // then a rollback past the horizon must fail loudly, not FileNotFound
+    Lake.expireSnapshots(spark, ledger, Lake.currentSnapshot(spark, ledger))
+    val ex = intercept[IllegalStateException] {
+      Lake.restore(spark, ledger, snap2)
+    }
+    assert(ex.getMessage.contains("restore"))
+  }
+
   test("merge: large-source key joins are size-driven, never force-broadcast") {
     // the SURVEY §3.1 contract: srcKeys/matchedKeys scale with the merge
     // SOURCE (a backfill carries billions of keys), so none of the merge's
