@@ -217,6 +217,69 @@ object Relational3 {
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
   }
 
+  /** lead/lag coverage — per-customer order cadence: for every order, the
+    * days since that customer's previous order and until the next one
+    * (sequence edges are null). Scale shape: the window partitions by
+    * CUSTKEY — parallelism = customer count, partition width = orders per
+    * customer (bounded), never a global sort. Deterministic frame order:
+    * (o_orderdate, o_orderkey) — the date alone can tie. Timestamps are
+    * midnight-aligned in this corpus, so Spark's datediff (date-cast) and
+    * DuckDB's date_diff('day') agree exactly. */
+  def qWindowLeadLag(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        datediff(col("o_orderdate"),
+          lag(col("o_orderdate"), 1).over(w)).as("days_since_prev"),
+        datediff(lead(col("o_orderdate"), 1).over(w),
+          col("o_orderdate")).as("days_to_next"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("days_since_prev"), col("days_to_next"))
+  }
+
+  def qWindowLeadLagSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(date_diff('day',
+      |    lag(o_orderdate, 1) OVER w, o_orderdate) AS INT) AS days_since_prev,
+      |  CAST(date_diff('day',
+      |    o_orderdate, lead(o_orderdate, 1) OVER w) AS INT) AS days_to_next
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
+
+  /** ntile / percent_rank / cume_dist coverage — monthly price quartiles
+    * by order priority: each order's quartile and exact rank fractions
+    * within its (priority, order month) cohort. Scale shape: the
+    * partition KEY CARDINALITY is the parallelism dial for rank windows
+    * (priority × month here; a coarser key serializes into few sorted
+    * partitions — global quantiles belong to q_percentile/
+    * q_approx_percentile instead). Fully ordered frame (price, orderkey)
+    * so every rank function is deterministic; percent_rank/cume_dist are
+    * exact small-integer ratios — bit-identical across engines. */
+  def qWindowNtile(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy(col("o_orderpriority"), col("o_month"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("o_month", date_trunc("month", col("o_orderdate")))
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_month"),
+        ntile(4).over(w).as("price_quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+  }
+
+  def qWindowNtileSql: String =
+    """SELECT o_orderkey, o_orderpriority,
+      |  date_trunc('month', o_orderdate) AS o_month,
+      |  CAST(ntile(4) OVER w AS INT) AS price_quartile,
+      |  percent_rank() OVER w AS pr,
+      |  cume_dist() OVER w AS cd
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority, date_trunc('month', o_orderdate)
+      |             ORDER BY o_totalprice, o_orderkey)""".stripMargin
+
   def q16SupplierCntSql: String =
     """SELECT p_brand, p_type, p_size,
       |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
