@@ -516,6 +516,61 @@ object Similarity {
       .select(col("rank"), col("vec_id"), col("label"))
   }
 
+  /** BATCHED quantized IVF — `qAnnIvfBatch`'s one-scan shape on the
+    * persisted codes: the probe batch (full-precision + self-quantized
+    * vectors, B rows) broadcasts; the union of all probes' nProbe lists
+    * drives ONE codes-only scan of the assignments table (DPP intact);
+    * per-probe top-CandK candidate cut on the dequantized cosine; exact
+    * re-rank fetches full-precision vectors once per surviving candidate
+    * pair. B probes cost one quarter-bandwidth index scan — never B
+    * scans, never a full-precision pass. */
+  def qAnnIvfQuantBatch(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val idx = ivfIndexDir(s, d)
+    val e = emb(s, d)
+    val quant = s.read.parquet(s"$idx/quant")
+    val probes = e.filter(col("vec_id") < 5)
+      .crossJoin(broadcast(quant))
+      .withColumn("probe_qvec",
+        dequantExpr(codeExpr(col("vec"), col("gmin"), col("gmax")),
+          col("gmin"), col("gmax")))
+      .select(col("vec_id").as("probe_id"),
+        col("vec").as("probe_vec"), norm(col("vec")).as("probe_nrm"),
+        col("probe_qvec"), norm(col("probe_qvec")).as("probe_qnrm"),
+        col("gmin"), col("gmax"))
+    val probeLists = s.read.parquet(s"$idx/centroids")
+      .crossJoin(broadcast(probes))
+      .select(col("probe_id"), col("list_id"),
+        aggregate(zip_with(col("centroid"), col("probe_vec"), (c, p) => (c - p) * (c - p)),
+          lit(0.0), _ + _).as("dist"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("probe_id"))
+        .orderBy(col("dist"), col("list_id"))))
+      .filter(col("rk") <= IvfNProbe)
+      .select(col("probe_id"), col("list_id"))
+    // one codes-only scan for the whole batch: per-probe quantized scores
+    val cands = s.read.parquet(s"$idx/assignments")
+      .join(broadcast(probeLists), Seq("list_id"))
+      .filter(col("vec_id") >= 5)
+      .join(broadcast(probes), "probe_id")
+      .withColumn("qvec", dequantExpr(col("codes"), col("gmin"), col("gmax")))
+      .select(col("probe_id"), col("vec_id"),
+        (dot(col("qvec"), col("probe_qvec"))
+          / (norm(col("qvec")) * col("probe_qnrm"))).as("qcos"))
+      .withColumn("crk", row_number().over(Window.partitionBy(col("probe_id"))
+        .orderBy(col("qcos").desc, col("vec_id"))))
+      .filter(col("crk") <= CandK)
+      .select(col("probe_id"), col("vec_id"))
+    cands.join(e, "vec_id")
+      .join(broadcast(probes), "probe_id")
+      .select(col("probe_id"), col("vec_id"),
+        (dot(col("vec"), col("probe_vec"))
+          / (norm(col("vec")) * col("probe_nrm"))).as("cos"))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("probe_id"), col("rank"), col("vec_id"))
+  }
+
   def qEmbQuantSql: String =
     """WITH s AS (
       |  SELECT min(list_min(embedding::DOUBLE[])) AS gmin,

@@ -308,6 +308,17 @@ class PlanSpec extends GraftSpec {
       .linesIterator.filter(l => l.contains("FileScan") && l.contains("assignments")).toSeq
     assert(scans2.nonEmpty && !scans2.exists(_.contains("codes")),
       s"qAnnIvf must column-prune the codes it doesn't use:\n${scans2.mkString("\n")}")
+    // and the BATCHED quantized probe keeps both properties: DPP over the
+    // union of probe lists + a codes-only index scan
+    val q3 = Similarity.qAnnIvfQuantBatch(spark, sf)
+    q3.write.format("noop").mode("overwrite").save()
+    val plan3 = q3.queryExecution.executedPlan.toString
+    assert(plan3.contains("dynamicpruningexpression"),
+      "batched quantized scan lost its DPP partition filter")
+    val scans3 = plan3.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("assignments")).toSeq
+    assert(scans3.exists(_.contains("codes")) && !scans3.exists(_.contains("embedding")),
+      s"batched quantized index scan must read codes only:\n${scans3.mkString("\n")}")
   }
 
   test("batched ann_ivf keeps dynamic partition pruning over the union of probe lists") {

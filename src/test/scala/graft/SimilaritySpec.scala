@@ -178,6 +178,22 @@ class SimilaritySpec extends GraftSpec {
       "exact re-rank must order shared neighbors identically to brute force")
   }
 
+  test("batched quantized IVF: near-lossless vs full-precision batched IVF") {
+    val ivf = Similarity.qAnnIvfBatch(spark, sf).collect()
+      .groupBy(_.getAs[Long]("probe_id"))
+      .map { case (p, rs) => p -> rs.map(_.getAs[Long]("vec_id")).toSet }
+    val ivfq = Similarity.qAnnIvfQuantBatch(spark, sf).collect()
+      .groupBy(_.getAs[Long]("probe_id"))
+      .map { case (p, rs) => p -> rs.map(_.getAs[Long]("vec_id")).toSet }
+    assert(ivfq.keySet == ivf.keySet, "every probe answered")
+    assert(ivfq.values.forall(_.size == 5), "exactly 5 per probe")
+    // same probed lists; quantization only loses at the CandK cut
+    val recalls = ivf.map { case (p, ex) => (ex & ivfq(p)).size.toDouble / ex.size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9,
+      s"batched quantized recall $mean < 0.9 vs full-precision IVF (per-probe: $recalls)")
+  }
+
   test("batched LSH: per-probe top-5 with bounded recall vs exact batch") {
     val exact = Similarity.qAnnBatch(spark, sf).collect()
       .groupBy(_.getAs[Long]("probe_id"))
