@@ -1,7 +1,7 @@
 package graft.tools
 
 import graft.GraftSession
-import graft.operators.{Relational, Relational2, TopK}
+import graft.operators.{Relational, Relational2, Relational3, TopK}
 import org.apache.spark.sql.functions._
 
 /** One-off 100× scan-path probe: replicates sf0.1's lineitem/orders to
@@ -40,7 +40,9 @@ object Scale100Probe {
         spark.read.parquet(s"$src/$t.parquet")
           .write.mode("overwrite").parquet(s"$out/$t.parquet")
     }
-    println("lineitem rows: " + spark.read.parquet(s"$out/lineitem.parquet").count())
+    val probeLines = scala.collection.mutable.ArrayBuffer[String]()
+    def report(line: String): Unit = { println(line); probeLines += line }
+    report("lineitem rows: " + spark.read.parquet(s"$out/lineitem.parquet").count())
     def timed(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
@@ -61,11 +63,24 @@ object Scale100Probe {
         // the windowed partial frame keeps its 1× row count — the scan is
         // 100×, everything after the first aggregate is constant-size
         "q20_dominant_supp" -> (Relational2.q20DominantSupp _),
-        "q_topk_group" -> (TopK.qTopkGroup _))) {
+        "q_topk_group" -> (TopK.qTopkGroup _),
+        // r8 shapes. q7: nation stays 1× (bounded dim), customer scales
+        // 100× with the facts; output bounded at pairs×years. q10: the
+        // quarter+returnflag filters cut the 100× scan before the
+        // orderkey shuffle; top-20 bounded. q14: scan-bound fact⋈part
+        // ratio pass. q16: replicated lineitem repeats (partkey, suppkey)
+        // pairs, so the DISTINCT pair relation keeps its 1× cardinality —
+        // the rep-collapse regime; only the scan scales. q8: three
+        // scaled tables, ratio-of-sums output is one row per year.
+        "q7_volume" -> (Relational3.q7VolumeShipping _),
+        "q10_returned" -> (Relational3.q10ReturnedItems _),
+        "q14_promo" -> (Relational3.q14PromoShare _),
+        "q16_suppcnt" -> (Relational3.q16SupplierCnt _),
+        "q8_mktshare" -> (Relational3.q8MarketShare _))) {
       q(spark, src).write.format("noop").mode("overwrite").save() // warm-up
       val t1 = timed { q(spark, src).write.format("noop").mode("overwrite").save() }
       val t100 = timed { q(spark, out).write.format("noop").mode("overwrite").save() }
-      println(f"$n%-18s 1x ${t1}%6.2f s   100x ${t100}%7.2f s   ratio ${t100 / t1}%6.1f")
+      report(f"$n%-18s 1x ${t1}%6.2f s   100x ${t100}%7.2f s   ratio ${t100 / t1}%6.1f")
     }
     // Join-strategy proof: with no forced hint the customer join strategy is
     // SIZE-DRIVEN. The 100× replicated customer still compresses to ~6 MB
@@ -82,10 +97,15 @@ object Scale100Probe {
       else if (p3.contains("SortMergeJoin") || p3.contains("ShuffledHashJoin")) "shuffle"
       else "unknown"
     }
-    println(s"q3 customer join, 64M threshold (customer fits): ${custJoin()} (expect broadcast)")
+    report(s"q3 customer join, 64M threshold (customer fits): ${custJoin()} (expect broadcast)")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1MB")
-    println(s"q3 customer join, 1M threshold (customer too big): ${custJoin()} (expect shuffle)")
+    report(s"q3 customer join, 1M threshold (customer too big): ${custJoin()} (expect shuffle)")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
+    sys.env.get("SPARK_GRAFT_PROBE_OUT").foreach { path =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        (probeLines.mkString("\n") + "\n").getBytes("UTF-8"))
+      println(s"[probe] wrote $path")
+    }
     spark.stop()
   }
 }
