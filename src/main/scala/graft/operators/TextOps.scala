@@ -48,6 +48,57 @@ object TextOps {
       |  FROM documents) t
       |GROUP BY lang""".stripMargin
 
+  /** CORPUS CARD — the per-source dataset-card report a training-data
+    * pipeline publishes before a corpus ships: doc/char/token/BPE-token
+    * totals, language spread, mean document length, the share passing a
+    * quality floor, and the exact-duplicate count — ALL IN ONE aggregate
+    * pass over the corpus (one scan; the two distinct-counts share one
+    * Expand, bounded at 3× the frame — never per-metric scans).
+    *
+    * Oracle discipline: every metric is an exact integer except
+    * mean_tokens (exact-int sum ÷ exact count, divided as doubles in the
+    * same op order — bit-identical) ; the quality floor compares
+    * 2·n_distinct ≥ n_tokens in integers (no ratio doubles); exact dups
+    * count distinct md5(text) so the shuffle moves 32-char hashes, not
+    * document bodies — at 100 TB that is the difference between a
+    * metadata-sized distinct and re-shuffling the corpus. */
+  def qCorpusCard(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_distinct", size(array_distinct(col("toks"))))
+      .withColumn("n_bpe",
+        size(regexp_extract_all(col("text"), lit(BpePattern), lit(0))))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("bigint").as("total_chars"),
+        sum(col("n_tokens")).cast("bigint").as("total_tokens"),
+        sum(col("n_bpe")).cast("bigint").as("total_bpe_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        (sum(col("n_tokens")).cast("double") / count(lit(1))).as("mean_tokens"),
+        sum(when(col("n_tokens") >= 12
+            && col("n_distinct") * 2 >= col("n_tokens"), 1).otherwise(0))
+          .cast("bigint").as("n_quality"),
+        (count(lit(1)) - countDistinct(md5(col("text"))))
+          .cast("bigint").as("n_exact_dups"))
+
+  def qCorpusCardSql: String =
+    """SELECT source, count(*) AS n_docs,
+      | CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      | CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      | CAST(sum(n_bpe) AS BIGINT) AS total_bpe_tokens,
+      | CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      | CAST(sum(n_tokens) AS DOUBLE) / count(*) AS mean_tokens,
+      | CAST(sum(CASE WHEN n_tokens >= 12 AND 2 * n_distinct >= n_tokens
+      |   THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+      | CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_exact_dups
+      |FROM (SELECT source, lang, n_chars, text,
+      |  CAST(len(regexp_split_to_array(trim(text), ' +')) AS INT) AS n_tokens,
+      |  CAST(len(list_distinct(regexp_split_to_array(trim(text), ' +'))) AS INT) AS n_distinct,
+      |  CAST(len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?[a-z]+| ?[0-9]+| ?[^ a-z0-9'']+')) AS INT) AS n_bpe
+      |  FROM documents) t
+      |GROUP BY source""".stripMargin
+
   /** Per-document quality features: token count, vocabulary diversity
     * (distinct ratio), stopword ratio, chars-per-token; filtered to the
     * "keep" set a pretraining pipeline would retain. */
