@@ -39,6 +39,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("zorder64"),
       new ExpressionInfo(classOf[ZOrder64Expr].getName, "zorder64"),
       (children: Seq[Expression]) => ZOrder64Expr(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_agg"),
+      new ExpressionInfo(classOf[MinhashAggExpr].getName, "minhash_agg"),
+      (children: Seq[Expression]) => MinhashAggExpr(children.head)))
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
 }
@@ -62,4 +66,6 @@ object GraftFunctions {
     GraftShim.column(WibDecodeExpr(GraftShim.expression(c)))
   def zorder64(a: Column, b: Column): Column =
     GraftShim.column(ZOrder64Expr(GraftShim.expression(a), GraftShim.expression(b)))
+  def minhashAgg(c: Column): Column =
+    GraftShim.column(MinhashAggExpr(GraftShim.expression(c)).toAggregateExpression())
 }

@@ -371,3 +371,84 @@ case class ZOrder64Expr(left: Expression, right: Expression)
       newRight: Expression): ZOrder64Expr =
     copy(left = newLeft, right = newRight)
 }
+
+/** `minhash_agg(sig)` — GROUP-LEVEL MinHash: the elementwise MIN of the
+  * rows' signature arrays, which by the MinHash property IS the signature
+  * of the UNION of the rows' token sets (min commutes with set union). A
+  * `TypedImperativeAggregate`, so Catalyst runs it with MAP-SIDE PARTIAL
+  * aggregation (ObjectHashAggregate): each task folds its rows into one
+  * k-long buffer and only k·8-byte buffers shuffle — group signatures over
+  * a 100 TB corpus move kilobytes per group, never token sets. Composes
+  * with `minhash_sig`: `minhash_agg(minhash_sig(text, k))` is the sketch
+  * of everything a group says. Buffer empty = no non-null input = null
+  * result (like built-in aggregates); mismatched lengths fold over the
+  * first-seen length. */
+case class MinhashAggExpr(child: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[Array[Long]]
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
+
+  override def update(buf: Array[Long],
+      input: org.apache.spark.sql.catalyst.InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v == null) buf
+    else {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray()
+      if (buf.isEmpty) arr // toLongArray returns a fresh array — safe to own
+      else {
+        var i = 0
+        val n = math.min(buf.length, arr.length)
+        while (i < n) { if (arr(i) < buf(i)) buf(i) = arr(i); i += 1 }
+        buf
+      }
+    }
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] =
+    if (b1.isEmpty) b2
+    else if (b2.isEmpty) b1
+    else {
+      var i = 0
+      val n = math.min(b1.length, b2.length)
+      while (i < n) { if (b2(i) < b1(i)) b1(i) = b2(i); i += 1 }
+      b1
+    }
+
+  override def eval(buf: Array[Long]): Any =
+    if (buf.isEmpty) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * buf.length)
+    var i = 0
+    while (i < buf.length) { bb.putLong(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong)
+  }
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"minhash_agg requires ARRAY<BIGINT> input, got ${t.catalogString}")
+    }
+  override def prettyName: String = "minhash_agg"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MinhashAggExpr =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MinhashAggExpr =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): MinhashAggExpr =
+    copy(child = newChild)
+}

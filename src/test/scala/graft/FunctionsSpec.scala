@@ -5,6 +5,42 @@ import org.apache.spark.sql.functions._
 
 class FunctionsSpec extends GraftSpec {
 
+  test("minhash_agg: group signature = elementwise min = signature of the token-set union; partial ObjectHashAggregate") {
+    val K = 16
+    val sigs = Tables.documents(spark, sf)
+      .select(col("source"), col("text"),
+        GraftFunctions.minhashSig(col("text"), K).as("sig"))
+    val grouped = sigs.groupBy(col("source"))
+      .agg(GraftFunctions.minhashAgg(col("sig")).as("gsig"))
+    val got = grouped.collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toArray).toMap
+    // reference 1: per-position min over the rows' signatures
+    val byMin = sigs
+      .select(col("source"), posexplode(col("sig")).as(Seq("p", "v")))
+      .groupBy(col("source"), col("p")).agg(min(col("v")).as("m"))
+      .collect().groupBy(_.getString(0))
+      .map { case (s, rs) =>
+        s -> rs.sortBy(_.getAs[Int]("p")).map(_.getAs[Long]("m")) }
+    assert(got.keySet == byMin.keySet)
+    got.foreach { case (s, g) =>
+      assert(g.sameElements(byMin(s)), s"group $s: agg != positionwise min") }
+    // reference 2: the MinHash property — the group signature IS the
+    // signature of the union of the group's token sets
+    val unioned = Tables.documents(spark, sf)
+      .groupBy(col("source"))
+      .agg(concat_ws(" ", collect_list(col("text"))).as("alltext"))
+      .select(col("source"), GraftFunctions.minhashSig(col("alltext"), K).as("usig"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toArray).toMap
+    got.foreach { case (s, g) =>
+      assert(g.sameElements(unioned(s)), s"group $s: agg != union signature") }
+    // the custom aggregate must run with map-side partial aggregation
+    val plan = grouped.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"TypedImperativeAggregate should plan as ObjectHashAggregate:\n${plan.take(1200)}")
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+      "expected partial + final aggregate nodes")
+  }
+
   test("adler32 expression matches java.util.zip.Adler32 (codegen path)") {
     val rows = Tables.documents(spark, sf).limit(50)
       .select(col("text"), GraftFunctions.adler32(col("text").cast("binary")).as("a"))
