@@ -68,4 +68,7 @@ object GraftFunctions {
     GraftShim.column(ZOrder64Expr(GraftShim.expression(a), GraftShim.expression(b)))
   def minhashAgg(c: Column): Column =
     GraftShim.column(MinhashAggExpr(GraftShim.expression(c)).toAggregateExpression())
+  def bloomAgg(c: Column, numBits: Int = Blooms.DefaultBits): Column =
+    GraftShim.column(BloomAggExpr(GraftShim.expression(c), numBits)
+      .toAggregateExpression())
 }

@@ -452,3 +452,93 @@ case class MinhashAggExpr(child: Expression,
   override protected def withNewChildInternal(newChild: Expression): MinhashAggExpr =
     copy(child = newChild)
 }
+
+/** Per-file BLOOM FILTER support for manifest data skipping (the Iceberg
+  * puffin-blob / parquet-bloom analog, lifted to the table manifest):
+  * min/max bounds prune RANGE-clustered columns, but a high-cardinality
+  * column whose values are scattered across files (hash-distributed ids,
+  * names) has full-range bounds everywhere and never skips — a per-file
+  * bloom prunes exactly those point lookups. Values are canonicalized to
+  * their string form at build AND probe (type-agnostic, cast-stable for
+  * integral types), hashed with xxHash64 under `NumHashes` seeds. */
+object Blooms {
+  /** Fixed hash count — build and probe must agree; 4 keeps the false-
+    * positive rate at (fill)^4 with one probe word per hash. */
+  val NumHashes = 4
+  /** Default filter width: 64 Ki bits = 8 KiB per (file, column) — at
+    * ~100k rows/file the fill stays ≤ ~10% → fpp ≈ 1e-4. Manifest cost,
+    * not data cost. */
+  val DefaultBits = 65536
+
+  def setBit(bits: Array[Byte], h: Long): Unit = {
+    val idx = java.lang.Math.floorMod(h, bits.length.toLong * 8).toInt
+    bits(idx >>> 3) = (bits(idx >>> 3) | (1 << (idx & 7))).toByte
+  }
+
+  def getBit(bits: Array[Byte], h: Long): Boolean = {
+    val idx = java.lang.Math.floorMod(h, bits.length.toLong * 8).toInt
+    (bits(idx >>> 3) & (1 << (idx & 7))) != 0
+  }
+
+  def hash(s: UTF8String, seed: Int): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed.toLong)
+
+  def add(bits: Array[Byte], s: UTF8String): Unit = {
+    var i = 0
+    while (i < NumHashes) { setBit(bits, hash(s, i)); i += 1 }
+  }
+
+  /** Probe — false only when the value is PROVABLY absent from the file. */
+  def mayContain(bits: Array[Byte], s: UTF8String): Boolean = {
+    var i = 0
+    while (i < NumHashes) { if (!getBit(bits, hash(s, i))) return false; i += 1 }
+    true
+  }
+}
+
+/** `bloom_agg(cast(c AS STRING))` — a file's bloom filter as a
+  * `TypedImperativeAggregate`: update sets `NumHashes` bits per value,
+  * merge ORs the bitmaps, so the per-file group-by runs with map-side
+  * partial aggregation and only `bits/8`-byte buffers shuffle. Nulls add
+  * nothing (null membership is the stats map's null-count job). */
+case class BloomAggExpr(child: Expression, numBits: Int = Blooms.DefaultBits,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[Array[Byte]]
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](numBits / 8)
+
+  override def update(buf: Array[Byte],
+      input: org.apache.spark.sql.catalyst.InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) Blooms.add(buf, v.asInstanceOf[UTF8String])
+    buf
+  }
+
+  override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < b1.length) { b1(i) = (b1(i) | b2(i)).toByte; i += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Byte]): Any = buf
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"bloom_agg requires STRING input (canonical form), got ${child.dataType.catalogString}")
+  override def prettyName: String = "bloom_agg"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BloomAggExpr =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BloomAggExpr =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): BloomAggExpr =
+    copy(child = newChild)
+}

@@ -31,9 +31,13 @@ final case class GraftTable(spark: SparkSession, ledgerDir: String,
   /** Ingest new parquet files from a landing dir; returns files added.
     * `statsCols` records a per-file [floor(min), ceil(max)] map of those
     * columns in the ledger so reads data-skip files against filters on
-    * any of them (Lake.ingestNewFiles). */
-  def ingest(landingDir: String, statsCols: Seq[String] = Nil): Long =
-    Lake.ingestNewFiles(spark, landingDir, ledgerDir, statsCols)
+    * any of them; `bloomCols` additionally records a per-file BLOOM
+    * filter (string/integral columns) so point lookups skip files even
+    * when the column is hash-scattered and min/max can't prune
+    * (Lake.ingestNewFiles). */
+  def ingest(landingDir: String, statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Long =
+    Lake.ingestNewFiles(spark, landingDir, ledgerDir, statsCols, bloomCols)
 
   /** The table as of the current snapshot. */
   def read(): DataFrame = Lake.readAt(spark, ledgerDir, snapshot)

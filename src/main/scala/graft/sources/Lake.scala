@@ -83,7 +83,8 @@ object Lake {
     * insert_extra_fields.py:24-29); only the KB-scale ledger delta touches
     * the driver. Returns the number of files ingested. */
   def ingestNewFiles(spark: SparkSession, landingDir: String,
-      ledgerDir: String, statsCols: Seq[String] = Nil): Long = {
+      ledgerDir: String, statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Long = {
     val current0 = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.parquet")
       .load(landingDir)
@@ -103,7 +104,8 @@ object Lake {
     // stats map rides in the ledger row, so readAt's LedgerFileIndex can
     // prune files against pushed filters without opening them —
     // Iceberg/Delta-style skipping)
-    val current = fileStats(spark, landingDir, statsCols, tolerant = true) match {
+    val current = fileStats(spark, landingDir, statsCols, tolerant = true,
+        bloomCols = bloomCols) match {
       case Some(stats) => current0
         .withColumn("_np", regexp_replace(col("path"), "^file:/+", "/"))
         .join(stats, Seq("_np"), "left")
@@ -141,7 +143,7 @@ object Lake {
     * count) let the index prune IS NULL / IS NOT NULL probes and
     * value comparisons against entirely-null columns. */
   private val StatsType = "map<string,struct<lo:bigint,hi:bigint," +
-    "slo:string,shi:string,nulls:bigint,nrows:bigint>>"
+    "slo:string,shi:string,nulls:bigint,nrows:bigint,bloom:binary>>"
 
   /** Per-file stats map for `cols` over the parquet files of `dir`, keyed
     * by normalized path; None when no stats columns are requested.
@@ -158,8 +160,9 @@ object Lake {
     * distributed aggregation keyed by source file; only
     * the KB-scale per-file stats touch the driver via the ledger. */
   private def fileStats(spark: SparkSession, dir: String,
-      cols: Seq[String], tolerant: Boolean = false): Option[DataFrame] =
-    if (cols.isEmpty) None
+      cols: Seq[String], tolerant: Boolean = false,
+      bloomCols: Seq[String] = Nil): Option[DataFrame] =
+    if (cols.isEmpty && bloomCols.isEmpty) None
     else {
       // `tolerant` for the LANDING dir: a quarantined garbage file (see
       // the ingest magic check) must not kill the stats pass either; its
@@ -168,49 +171,83 @@ object Lake {
       val df = (if (tolerant)
         spark.read.option("ignoreCorruptFiles", "true") else spark.read)
         .parquet(dir)
-      val kinds: Map[String, String] = cols.map { c =>
+      val all = (cols ++ bloomCols).distinct
+      val kinds: Map[String, String] = all.map { c =>
         c -> (df.schema(c).dataType match {
           case _: org.apache.spark.sql.types.NumericType => "num"
           case org.apache.spark.sql.types.StringType => "str"
           case _ => "none"
         })
       }.toMap
-      val aggs = cols.flatMap { c =>
-        kinds(c) match {
-          case "num" => Seq(floor(min(col(c))).cast("long").as(s"__lo_$c"),
-            ceil(max(col(c))).cast("long").as(s"__hi_$c"),
-            count(when(col(c).isNull, 1)).as(s"__nl_$c"))
-          case "str" => Seq(min(col(c)).as(s"__lo_$c"),
+      // bloom eligibility: string + INTEGRAL columns only — both
+      // canonicalize to a stable string form the probe side reproduces
+      // from a literal (a float's string form would not round-trip)
+      def bloomable(c: String): Boolean = bloomCols.contains(c) &&
+        (df.schema(c).dataType match {
+          case org.apache.spark.sql.types.StringType => true
+          case org.apache.spark.sql.types.ByteType
+             | org.apache.spark.sql.types.ShortType
+             | org.apache.spark.sql.types.IntegerType
+             | org.apache.spark.sql.types.LongType => true
+          case _ => false
+        })
+      val bounded: Set[String] = cols.toSet
+      val aggs = all.flatMap { c =>
+        val base = kinds(c) match {
+          case "num" if bounded(c) =>
+            Seq(floor(min(col(c))).cast("long").as(s"__lo_$c"),
+              ceil(max(col(c))).cast("long").as(s"__hi_$c"),
+              count(when(col(c).isNull, 1)).as(s"__nl_$c"))
+          case "str" if bounded(c) => Seq(min(col(c)).as(s"__lo_$c"),
             max(col(c)).as(s"__hi_$c"),
             count(when(col(c).isNull, 1)).as(s"__nl_$c"))
+          case _ if bloomable(c) => // bloom-only: still record null counts
+            Seq(count(when(col(c).isNull, 1)).as(s"__nl_$c"))
           case _ => Seq.empty
         }
+        val bl = if (bloomable(c))
+          Seq(graft.functions.GraftFunctions
+            .bloomAgg(col(c).cast("string")).as(s"__bl_$c"))
+        else Seq.empty
+        base ++ bl
       } :+ count(lit(1)).as("__nr")
       if (aggs.size == 1) return None // only the row count: no stats cols
       val nullL = lit(null).cast("long")
       val nullS = lit(null).cast("string")
+      val nullB = lit(null).cast("binary")
+      def bloomRef(c: String) =
+        if (bloomable(c)) col(s"__bl_$c") else nullB
       // entries exist even for all-null columns (null bounds + full null
       // count): the index can then prune IS NOT NULL and value probes
-      val entries = cols.flatMap { c =>
+      val entries = all.flatMap { c =>
         kinds(c) match {
-          case "num" => Some(
+          case "num" if bounded(c) => Some(
             struct(lit(c).as("key"),
               struct(col(s"__lo_$c").as("lo"), col(s"__hi_$c").as("hi"),
                 nullS.as("slo"), nullS.as("shi"),
-                col(s"__nl_$c").as("nulls"), col("__nr").as("nrows"))
+                col(s"__nl_$c").as("nulls"), col("__nr").as("nrows"),
+                bloomRef(c).as("bloom"))
                 .as("value")))
-          case "str" => Some(
+          case "str" if bounded(c) => Some(
             struct(lit(c).as("key"),
               struct(nullL.as("lo"), nullL.as("hi"),
                 col(s"__lo_$c").as("slo"), col(s"__hi_$c").as("shi"),
-                col(s"__nl_$c").as("nulls"), col("__nr").as("nrows"))
+                col(s"__nl_$c").as("nulls"), col("__nr").as("nrows"),
+                bloomRef(c).as("bloom"))
+                .as("value")))
+          case _ if bloomable(c) => Some(
+            struct(lit(c).as("key"),
+              struct(nullL.as("lo"), nullL.as("hi"),
+                nullS.as("slo"), nullS.as("shi"),
+                col(s"__nl_$c").as("nulls"), col("__nr").as("nrows"),
+                col(s"__bl_$c").as("bloom"))
                 .as("value")))
           case _ => None
         }
       }
       Some(df
         .select(regexp_replace(input_file_name(), "^file:/+", "/").as("_np")
-          +: cols.map(col): _*)
+          +: all.map(col): _*)
         .groupBy(col("_np"))
         .agg(aggs.head, aggs.tail: _*)
         .select(col("_np"),
@@ -225,7 +262,11 @@ object Lake {
     val dir = new java.io.File(ledgerDir)
     val hasData = dir.isDirectory &&
       dir.listFiles().exists(f => f.getName.endsWith(".parquet") && f.length() > 0)
-    if (hasData) Some(spark.read.parquet(ledgerDir)) else None
+    // mergeSchema: a ledger can carry generations with a narrower stats
+    // struct (pre-bloom rows) — merged read nulls the missing fields
+    if (hasData)
+      Some(spark.read.option("mergeSchema", "true").parquet(ledgerDir))
+    else None
   }
 
   /** Highest snapshot id in the ledger (0 = empty ledger). */
@@ -433,9 +474,20 @@ object Lake {
     if (index.isEmpty) return 0L
     // carry the data-skipping capability through the rewrite: recompute
     // stats for every column the live ledger rows record stats for
-    // (column-NAME list only — KB-scale, never a path list)
-    val statsCols: Seq[String] = liveActs.filter(col("stats").isNotNull)
-      .select(explode(map_keys(col("stats"))).as("c")).distinct()
+    // (column-NAME list only — KB-scale, never a path list). Bloom-ONLY
+    // columns (null bounds, non-null bloom) rejoin as bloom recomputes,
+    // not as range-clustering keys — hash-scattered point-lookup columns
+    // must not hijack the rewrite's sort order.
+    val statEntries = liveActs.filter(col("stats").isNotNull)
+      .select(explode(col("stats")).as(Seq("c", "v")))
+    val statsCols: Seq[String] = statEntries
+      .filter(col("v.lo").isNotNull || col("v.slo").isNotNull
+        || col("v.bloom").isNull)
+      .select(col("c")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    val bloomColsLive: Seq[String] = statEntries
+      .filter(col("v.bloom").isNotNull)
+      .select(col("c")).distinct()
       .collect().map(_.getString(0)).toSeq.sorted
     val next = snap + 1
     val genDir = s"$compactDir/gen-$next"
@@ -490,7 +542,8 @@ object Lake {
       .select(col("path"), col("length").as("size"),
         graft.functions.GraftFunctions.adler32(col("content")).as("adler32"))
       .withColumn("op", lit("add"))
-    val added = fileStats(spark, genDir, statsCols) match {
+    val added = fileStats(spark, genDir, statsCols,
+        bloomCols = bloomColsLive) match {
       case Some(stats) => added0
         .withColumn("_np", regexp_replace(col("path"), "^file:/+", "/"))
         .join(stats, Seq("_np"), "left")

@@ -57,10 +57,13 @@ final class LedgerFileIndex(liveActions: DataFrame) extends FileIndex {
     hi: org.apache.spark.unsafe.types.UTF8String) extends Bounds
 
   /** One column's per-file statistics: optional value bounds (absent when
-    * the column is entirely null in the file) plus optional null
-    * accounting (null count and file row count). */
+    * the column is entirely null in the file), optional null accounting
+    * (null count and file row count), and an optional per-file BLOOM
+    * filter over the column's canonical string values — the point-lookup
+    * pruner for hash-scattered columns whose min/max bounds are
+    * full-range in every file. */
   private final case class ColStats(bounds: Option[Bounds],
-    nulls: Option[Long], rows: Option[Long]) {
+    nulls: Option[Long], rows: Option[Long], bloom: Option[Array[Byte]]) {
     def allNull: Boolean = rows.exists(r => r > 0 && nulls.contains(r))
   }
 
@@ -90,9 +93,11 @@ final class LedgerFileIndex(liveActions: DataFrame) extends FileIndex {
               // older ledger rows may carry narrower structs: size-guard
               val nulls = if (b.size > 4 && !b.isNullAt(4)) Some(b.getLong(4)) else None
               val rows = if (b.size > 5 && !b.isNullAt(5)) Some(b.getLong(5)) else None
-              c -> ColStats(bounds, nulls, rows)
+              val bloom = if (b.size > 6 && !b.isNullAt(6))
+                Some(b.getAs[Array[Byte]](6)) else None
+              c -> ColStats(bounds, nulls, rows, bloom)
           }.filter { case (_, cs) =>
-            cs.bounds.isDefined || cs.nulls.isDefined
+            cs.bounds.isDefined || cs.nulls.isDefined || cs.bloom.isDefined
           }
         (st, stats)
       }.toSeq
@@ -118,7 +123,7 @@ final class LedgerFileIndex(liveActions: DataFrame) extends FileIndex {
               case _ => cs.bounds.forall {
                 case NumBounds(lo, hi) => mayMatch(f, c, lo, hi)
                 case StrBounds(lo, hi) => mayMatchStr(f, c, lo, hi)
-              }
+              } && cs.bloom.forall(b => bloomMayMatch(f, c, b))
             }
           }
           case _ => true
@@ -165,6 +170,36 @@ final class LedgerFileIndex(liveActions: DataFrame) extends FileIndex {
       case And(l, r) => mayMatch(l, c, loL, hiL) && mayMatch(r, c, loL, hiL)
       case Or(l, r) => mayMatch(l, c, loL, hiL) || mayMatch(r, c, loL, hiL)
       case IsNotNull(_) => true
+      case _ => true
+    }
+  }
+
+  /** Bloom probe — false only when the filter is an equality/IN on the
+    * BARE column (cast shapes change the value's canonical form) whose
+    * literal(s) are PROVABLY absent from the file's bloom. The literal
+    * canonicalizes exactly as the build side did (`cast(c AS STRING)`):
+    * strings as themselves, integrals via Long.toString; any other
+    * literal type keeps the file. */
+  private def bloomMayMatch(f: Expression, c: String, bloom: Array[Byte]): Boolean = {
+    import org.apache.spark.unsafe.types.UTF8String
+    def canon(v: Any): Option[UTF8String] = v match {
+      case s: UTF8String => Some(s)
+      case s: String => Some(UTF8String.fromString(s))
+      case n: java.lang.Long => Some(UTF8String.fromString(n.toString))
+      case n: java.lang.Integer => Some(UTF8String.fromString(n.toString))
+      case n: java.lang.Short => Some(UTF8String.fromString(n.toString))
+      case n: java.lang.Byte => Some(UTF8String.fromString(n.toString))
+      case _ => None
+    }
+    def eqMay(v: Any): Boolean =
+      canon(v).forall(s => graft.functions.Blooms.mayContain(bloom, s))
+    f match {
+      case EqualTo(a, Literal(v, _)) if isBareCol(a, c) => eqMay(v)
+      case EqualTo(Literal(v, _), a) if isBareCol(a, c) => eqMay(v)
+      case In(a, vs) if isBareCol(a, c) && vs.forall(_.isInstanceOf[Literal]) =>
+        vs.exists { case Literal(v, _) => eqMay(v) }
+      case And(l, r) => bloomMayMatch(l, c, bloom) && bloomMayMatch(r, c, bloom)
+      case Or(l, r) => bloomMayMatch(l, c, bloom) || bloomMayMatch(r, c, bloom)
       case _ => true
     }
   }

@@ -51,6 +51,54 @@ class DataSkipSpec extends GraftSpec {
       cust.filter(col("c_mktsegment") === "BUILDING").count())
   }
 
+  test("bloom skipping: point lookups prune hash-scattered columns min/max cannot") {
+    val root = Files.createTempDirectory("graft_skip_bloom").toString
+    val t = GraftTable(spark, s"$root/ledger", s"$root/gen")
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    // HASH-distribute by name: every file's (name, key) ranges overlap, so
+    // min/max bounds are full-range in all 8 files and never prune
+    cust.repartition(8, col("c_name")).write.parquet(s"$root/landing")
+    t.ingest(s"$root/landing", statsCols = Seq("c_name", "c_custkey"),
+      bloomCols = Seq("c_name", "c_custkey"))
+
+    assert(scannedFiles(t.read()) == 8)
+    val name = cust.orderBy(col("c_custkey")).limit(1)
+      .head().getAs[String]("c_name")
+    // bounds overlap everywhere — without the bloom this opens all 8
+    val point = t.read().filter(col("c_name") === name)
+    val nPoint = scannedFiles(point)
+    assert(nPoint <= 2, s"bloom point lookup opened $nPoint of 8 files")
+    assert(point.count() == cust.filter(col("c_name") === name).count())
+    // integral bloom column prunes the same way through its canonical form
+    val k = cust.agg(max(col("c_custkey"))).head().getLong(0)
+    val kPoint = t.read().filter(col("c_custkey") === k)
+    assert(scannedFiles(kPoint) <= 2, "integral bloom point lookup must prune")
+    assert(kPoint.count() == 1)
+    // a value that exists nowhere opens (almost) nothing
+    val absent = t.read().filter(col("c_name") === "no-such-customer-name")
+    assert(scannedFiles(absent) <= 1, "absent key must prune to ~zero files")
+    assert(absent.count() == 0)
+    // range predicates ignore blooms (bounds full-range → all files);
+    // correctness unaffected
+    val range = t.read().filter(col("c_custkey") > k - 10)
+    assert(range.count() == cust.filter(col("c_custkey") > k - 10).count())
+    // no bloom on the un-bloomed column: its point probe opens all files
+    assert(scannedFiles(
+      t.read().filter(col("c_mktsegment") === "BUILDING")) == 8)
+
+    // blooms survive compaction (recomputed per rewritten file)
+    val preFiles = t.read().inputFiles.toSet
+    t.compact(400)
+    assert(t.read().inputFiles.toSet != preFiles, "compaction rewrote files")
+    val nAfter = t.read().inputFiles.length
+    val point2 = t.read().filter(col("c_name") === name)
+    val n2 = scannedFiles(point2)
+    assert(n2 < nAfter || nAfter <= 2,
+      s"post-compaction bloom lookup opened $n2 of $nAfter files")
+    assert(point2.count() == cust.filter(col("c_name") === name).count())
+  }
+
   test("skipping survives compaction and absent stats never skip") {
     val root = Files.createTempDirectory("graft_skip2").toString
     val t = GraftTable(spark, s"$root/ledger", s"$root/gen")
