@@ -314,6 +314,11 @@ class MergeSpec extends GraftSpec {
     Lake.mergeInto(spark, ledger, gen,
       cust.filter(col("c_custkey") % 10 === 7).limit(3), "c_custkey")
     assert(Lake.readChanges(spark, ledger, snap2).count() == 0)
+    // the empty frame CARRIES the cdc schema: a consumer may project or
+    // filter on _change_type before checking emptiness (ADVICE r7 closed)
+    assert(Lake.readChanges(spark, ledger, snap2)
+      .filter(col("_change_type") === "insert")
+      .select(col("_commit_snapshot")).count() == 0)
 
     // CONSUMER half: a mirror bootstrapped at snap0 and maintained purely
     // from the feed equals the source of truth — whether it applies one
