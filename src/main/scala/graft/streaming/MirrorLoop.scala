@@ -85,7 +85,20 @@ object MirrorLoop {
     Lake.applyChanges(m, changes, key)
       .write.mode("overwrite").parquet(s"$mirrorDir/gen-$target")
     markCursor(spark, mirrorDir, target)
+    // bound the mirror's disk at two generations: anything OLDER than the
+    // pre-round cursor can no longer be named by any cursor value (the
+    // marker for `target` is durable; `cur` stays as the crash-window
+    // fallback for a torn marker append)
+    Option(new java.io.File(mirrorDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("gen-"))
+      .filter(_.getName.stripPrefix("gen-").toLongOption.exists(_ < cur))
+      .foreach(rmrf)
     target
+  }
+
+  private def rmrf(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmrf)
+    f.delete()
   }
 
   /** The streaming form: a file stream watches the LEDGER dir as the

@@ -93,5 +93,9 @@ class MirrorLoopSpec extends GraftSpec {
     MirrorLoop.changeStream(spark, ledger, mir, "c_custkey", ckpt)
       .awaitTermination()
     assert(canon(MirrorLoop.mirror(spark, mir)) == canon(truth(ledger)))
+    // disk is bounded: at most the previous + current generations remain
+    val gens = Option(new java.io.File(mir).listFiles()).get
+      .filter(f => f.isDirectory && f.getName.startsWith("gen-"))
+    assert(gens.length <= 2, s"stale generations not pruned: ${gens.map(_.getName).toSeq}")
   }
 }
