@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deterministic corpus sampling — the split/mix stage of a training-data
+  * pipeline (cf. reference `run/run_iceberg_daq.sh:158,169`, which pins
+  * each detector stream to a FIXED partition number: membership must be a
+  * pure function of the record's identity, never of execution order).
+  *
+  * Both operators key every decision on a salted md5 of the document id,
+  * compared lexicographically against a fixed 4-hex-digit cutoff:
+  *
+  *   keep(doc) = substr(md5(salt || doc_id), 1, 4) < cutoff(fraction)
+  *
+  * where `cutoff(f)` is `floor(f * 16^4)` rendered as zero-padded
+  * lowercase hex (`"g"` for f >= 1.0 — every hex string sorts below it).
+  * This form is engine-portable by construction: Spark and DuckDB produce
+  * identical lowercase-hex md5 over identical UTF-8 bytes, and ASCII hex
+  * compares identically under both engines' binary collations — so the
+  * assignment is oracle-checkable, reproducible across runs, clusters and
+  * engines, and stable under repartitioning (no rand(), no row order
+  * dependence, no per-partition seeds).
+  *
+  * Scale shape (100 TB): assignment is a narrow per-row projection fused
+  * into the scan (zero shuffle, whole-stage codegen over the built-in
+  * md5/substr/CASE expressions); the only exchange is the final
+  * tiny-cardinality aggregate (#sources × #splits rows). Reading only
+  * (doc_id, source, n_chars) — the `text` column is never touched, so
+  * the scan is a few percent of the table's bytes.
+  */
+object Sampling {
+
+  /** 4-hex-digit lexicographic cutoff for a keep-fraction in [0, 1]. */
+  private[graft] def hexCutoff(f: Double): String = {
+    val n = math.floor(f * 65536.0).toLong
+    if (n >= 65536L) "g" // sorts above every [0-9a-f]{4} string
+    else if (n <= 0L) "0000" // nothing sorts below "0000": keep-none
+    else f"$n%04x"
+  }
+
+  private def saltedHash4(salt: String): Column =
+    substring(md5(concat(lit(salt), col("doc_id").cast("string"))), 1, 4)
+
+  private def saltedHash4Sql(salt: String): String =
+    s"substr(md5('$salt' || CAST(doc_id AS VARCHAR)), 1, 4)"
+
+  // -------------------------------------------------------------------
+  // q_doc_split — deterministic train/val/test assignment (80/10/10)
+  // -------------------------------------------------------------------
+
+  /** Split salt: distinct from the mix salt so the two decisions are
+    * independent hash draws (a doc sampled out of the mixture still has a
+    * well-defined split, and vice versa). */
+  private val SplitSalt = "split1:"
+  private val TrainCut = hexCutoff(0.80) // "cccc"
+  private val ValCut = hexCutoff(0.90) // "e666"
+
+  /** Per-(source, split) census of the deterministic 80/10/10 assignment:
+    * every document lands in exactly one split, decided solely by
+    * md5(salt || doc_id) — adding data, reordering files, or changing
+    * parallelism never moves an existing document between splits. */
+  def qDocSplit(s: SparkSession, d: String): DataFrame = {
+    val h = saltedHash4(SplitSalt)
+    Tables.documents(s, d)
+      .select(
+        col("source"),
+        when(h < lit(TrainCut), lit("train"))
+          .when(h < lit(ValCut), lit("val"))
+          .otherwise(lit("test")).as("split"),
+        col("n_chars"))
+      .groupBy("source", "split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"))
+  }
+
+  def qDocSplitSql: String = {
+    val h = saltedHash4Sql(SplitSalt)
+    s"""SELECT source,
+       | CASE WHEN $h < '$TrainCut' THEN 'train'
+       |      WHEN $h < '$ValCut' THEN 'val'
+       |      ELSE 'test' END AS split,
+       | CAST(count(*) AS BIGINT) AS n_docs,
+       | CAST(sum(n_chars) AS BIGINT) AS n_chars
+       |FROM documents
+       |GROUP BY 1, 2""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // q_doc_mix — weighted domain mixing (per-source keep fractions)
+  // -------------------------------------------------------------------
+
+  private val MixSalt = "mix1:"
+
+  /** Mixture policy: per-source target keep-fraction, with a default for
+    * sources the policy doesn't name. Declared ONCE here and rendered into
+    * both the Spark plan and the oracle SQL, so the two can't drift. */
+  private[graft] val MixPolicy: Seq[(String, Double)] = Seq(
+    "src0" -> 0.10, // noisy-crawl tier: heavy downsample
+    "src1" -> 0.25,
+    "src2" -> 0.50,
+    "src3" -> 0.50,
+    "src4" -> 0.75)
+  private[graft] val MixDefault = 1.0 // curated tier: keep all
+
+  /** Per-source effect of the mixture policy in one scan: total documents,
+    * kept documents/chars under the deterministic per-source keep
+    * fraction, and the achieved rate. The keep decision is the same
+    * salted-hash draw as the split, under a different salt; the per-source
+    * cutoff is resolved by a CASE over the bounded policy list (a literal
+    * expression — no join, nothing broadcast). */
+  def qDocMix(s: SparkSession, d: String): DataFrame = {
+    val cut = MixPolicy.foldRight(lit(hexCutoff(MixDefault)): Column) {
+      case ((src, f), acc) =>
+        when(col("source") === lit(src), lit(hexCutoff(f))).otherwise(acc)
+    }
+    val keep = saltedHash4(MixSalt) < cut
+    Tables.documents(s, d)
+      .select(col("source"), col("n_chars"), keep.as("keep"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("keep"), lit(1L)).otherwise(lit(0L))).as("n_kept"),
+        sum(when(col("keep"), col("n_chars")).otherwise(lit(0L)))
+          .as("kept_chars"))
+      .withColumn("achieved_rate",
+        expr("CAST(n_kept AS DOUBLE) / CAST(n_total AS DOUBLE)"))
+  }
+
+  def qDocMixSql: String = {
+    val arms = MixPolicy.map { case (src, f) =>
+      s"WHEN source = '$src' THEN '${hexCutoff(f)}'"
+    }.mkString("\n |      ")
+    val h = saltedHash4Sql(MixSalt)
+    s"""SELECT source, n_total, n_kept, kept_chars,
+       | CAST(n_kept AS DOUBLE) / CAST(n_total AS DOUBLE) AS achieved_rate
+       |FROM (
+       |  SELECT source,
+       |   CAST(count(*) AS BIGINT) AS n_total,
+       |   CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |   CAST(sum(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT)
+       |     AS kept_chars
+       |  FROM (
+       |    SELECT source, n_chars,
+       |     $h < CASE
+       |      $arms
+       |      ELSE '${hexCutoff(MixDefault)}' END AS keep
+       |    FROM documents
+       |  )
+       |  GROUP BY source
+       |)""".stripMargin
+  }
+}

@@ -1,9 +1,78 @@
 package graft
 
-import graft.operators.Relational2
+import graft.operators.{Relational2, Sampling}
 import org.apache.spark.sql.functions._
 
 class SamplingSpec extends GraftSpec {
+
+  /** Local reimplementation of the operator's hash draw: lowercase-hex md5
+    * prefix of salt || doc_id, the exact bytes Spark and DuckDB hash. */
+  private def hash4(salt: String, docId: Long): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(s"$salt$docId".getBytes("UTF-8"))
+      .take(2).map(b => f"$b%02x").mkString
+  }
+
+  private def docs(): Array[(Long, String, Long)] =
+    Tables.documents(spark, sf).select("doc_id", "source", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+
+  test("hexCutoff renders floor(f * 16^4) as comparable lowercase hex") {
+    assert(Sampling.hexCutoff(0.80) == "cccc")
+    assert(Sampling.hexCutoff(0.90) == "e666")
+    assert(Sampling.hexCutoff(1.0) == "g") // sorts above every hex prefix
+    assert(Sampling.hexCutoff(0.0) == "0000") // nothing sorts below it
+    assert(Sampling.hexCutoff(0.5) == "8000")
+  }
+
+  test("q_doc_split matches a local brute-force recompute exactly") {
+    val expected = docs()
+      .map { case (id, src, nc) =>
+        val h = hash4("split1:", id)
+        val split =
+          if (h < "cccc") "train" else if (h < "e666") "val" else "test"
+        ((src, split), (1L, nc))
+      }
+      .groupBy(_._1)
+      .map { case (k, vs) =>
+        k -> (vs.map(_._2._1).sum, vs.map(_._2._2).sum)
+      }
+    val got = Sampling.qDocSplit(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got == expected)
+    // exhaustive: every document in exactly one split
+    assert(got.values.map(_._1).sum == docs().length)
+  }
+
+  test("q_doc_mix matches a local brute-force recompute exactly") {
+    val policy = Sampling.MixPolicy.toMap
+    val expected = docs()
+      .map { case (id, src, nc) =>
+        val cut = Sampling.hexCutoff(policy.getOrElse(src, Sampling.MixDefault))
+        val keep = hash4("mix1:", id) < cut
+        (src, (1L, if (keep) 1L else 0L, if (keep) nc else 0L))
+      }
+      .groupBy(_._1)
+      .map { case (k, vs) =>
+        k -> (vs.map(_._2._1).sum, vs.map(_._2._2).sum, vs.map(_._2._3).sum)
+      }
+    val got = Sampling.qDocMix(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == expected)
+    // achieved_rate is exactly kept/total on every row
+    Sampling.qDocMix(spark, sf).collect().foreach { r =>
+      assert(r.getDouble(4) == r.getLong(2).toDouble / r.getLong(1).toDouble)
+    }
+  }
+
+  test("split and mix decisions are independent draws (different salts)") {
+    val ids = docs().map(_._1)
+    val splitHash = ids.map(hash4("split1:", _)).toSeq
+    val mixHash = ids.map(hash4("mix1:", _)).toSeq
+    assert(splitHash != mixHash)
+  }
 
   test("stratified sampling realizes per-stratum rates and is deterministic") {
     val totals = Tables.orders(spark, sf)
