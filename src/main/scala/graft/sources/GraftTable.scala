@@ -39,6 +39,21 @@ final case class GraftTable(spark: SparkSession, ledgerDir: String,
       bloomCols: Seq[String] = Nil): Long =
     Lake.ingestNewFiles(spark, landingDir, ledgerDir, statsCols, bloomCols)
 
+  /** Append rows behind named row-level quality gates: passing rows
+    * commit as a snapshot, violating rows quarantine / drop / abort per
+    * `onViolation` (see [[Expectations.appendExpect]] — one pass, clean
+    * files keep the input schema exactly). */
+  def appendExpect(rows: DataFrame,
+      expectations: Seq[Expectations.Expectation],
+      onViolation: String = "quarantine",
+      statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Expectations.ExpectReport =
+    Expectations.appendExpect(spark, ledgerDir, genRoot, rows, expectations,
+      onViolation, statsCols, bloomCols)
+
+  /** Rows diverted by [[appendExpect]] with their violation sets. */
+  def quarantine(): DataFrame = Expectations.readQuarantine(spark, genRoot)
+
   /** The table as of the current snapshot. */
   def read(): DataFrame = Lake.readAt(spark, ledgerDir, snapshot)
 
