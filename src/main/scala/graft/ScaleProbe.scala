@@ -109,6 +109,9 @@ object ScaleProbe {
       "q5_multi_join" -> (Relational.q5MultiJoin _), "q_window_rank" -> (Relational.qWindowRank _),
       "q_topk_group" -> (TopK.qTopkGroup _), "q_range_join" -> (Relational2.qRangeJoin _),
       "q_dedup_exact" -> (Dedup.qDedupExact _),
+      "q_doc_split" -> (Sampling.qDocSplit _),
+      "q_doc_mix" -> (Sampling.qDocMix _),
+      "q_source_overlap" -> (Dedup.qSourceOverlap _),
       "q_dedup_minhash" -> (Dedup.qDedupMinhash _),
       "q_dedup_ssjoin" -> (SetSim.qDedupSsjoin _),
       "q_dedup_incremental" -> (SetSim.qDedupIncremental _),

@@ -390,4 +390,44 @@ object Dedup {
       .groupBy(col("vec_id"))
       .agg(min(col("dup_of")).as("dup_of"))
   }
+
+  /** Cross-source duplication matrix — which sources carry the SAME
+    * content (the report that drives a mixing policy: two crawls sharing
+    * half their documents should not both be upweighted). Identity is the
+    * normalized token-SET fingerprint (md5 of the sorted distinct tokens —
+    * the same tokenization the dedup family oracles on), so re-ordered /
+    * re-whitespaced copies still count; output is one row per unordered
+    * source pair with the number of shared fingerprints.
+    *
+    * Scale shape: one distinct on (fingerprint, source), one groupBy on
+    * the fingerprint whose per-group state is bounded by #sources (a
+    * BOUNDED dimension — collect_set here is never data-scaled), then two
+    * explodes of that ≤#sources array. Output ≤ #sources² rows. Never a
+    * doc×doc pair list. */
+  def qSourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val fp = md5(concat_ws("|",
+      array_sort(array_distinct(TextOps.tokens(col("text"))))).cast("binary"))
+    val dist = Tables.documents(s, d)
+      .select(fp.as("h"), col("source")).distinct()
+    dist.groupBy(col("h"))
+      .agg(collect_set(col("source")).as("ss"))
+      .filter(size(col("ss")) >= 2)
+      .select(explode(col("ss")).as("source_a"), col("ss"))
+      .select(col("source_a"), explode(col("ss")).as("source_b"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  def qSourceOverlapSql: String =
+    """WITH f AS (
+      |  SELECT DISTINCT
+      |   md5(list_aggregate(list_sort(list_distinct(
+      |     regexp_split_to_array(trim(text), ' +'))), 'string_agg', '|')) AS h,
+      |   source
+      |  FROM documents)
+      |SELECT a.source AS source_a, b.source AS source_b,
+      | CAST(count(*) AS BIGINT) AS n_shared
+      |FROM f a JOIN f b ON a.h = b.h AND a.source < b.source
+      |GROUP BY 1, 2""".stripMargin
 }
