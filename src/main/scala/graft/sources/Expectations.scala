@@ -73,14 +73,18 @@ object Expectations {
       rows: DataFrame, expectations: Seq[Expectation],
       onViolation: String = "quarantine",
       statsCols: Seq[String] = Nil,
-      bloomCols: Seq[String] = Nil): ExpectReport = {
+      bloomCols: Seq[String] = Nil,
+      genName: Option[String] = None): ExpectReport = {
     require(Seq("quarantine", "drop", "fail").contains(onViolation),
       s"unknown onViolation mode '$onViolation'")
     require(!rows.columns.contains(PartCol),
       s"input already has a '$PartCol' column")
     require(expectations.nonEmpty, "no expectations given — use a plain append")
     val next = Lake.currentSnapshot(spark, ledgerDir) + 1
-    val genDir = s"$genRoot/gen-$next"
+    // genName override: streaming gates key the generation by BATCH id
+    // (not snapshot) so a replayed micro-batch targets the same directory
+    // and its ledger presence is checkable (see streaming.ExpectGate)
+    val genDir = s"$genRoot/${genName.getOrElse(s"gen-$next")}"
 
     // violation set per row: one when-expression per expectation, nulls
     // compacted away, sorted so equal sets always join to the same key
@@ -136,7 +140,7 @@ object Expectations {
     // the generation list is bounded by snapshot count, never data-scaled
     val gens = Option(new java.io.File(genRoot).listFiles())
       .getOrElse(Array())
-      .filter(f => f.isDirectory && f.getName.startsWith("gen-"))
+      .filter(_.isDirectory) // gen-<snapshot> batches and batch-<id> gates
       .flatMap(g => Option(g.listFiles()).getOrElse(Array())
         .find(p => p.isDirectory && p.getName.startsWith(s"$PartCol=")
           && p.getName != s"$PartCol=$PartOk").map(_ => g))

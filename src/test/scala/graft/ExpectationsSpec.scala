@@ -102,6 +102,45 @@ class ExpectationsSpec extends GraftSpec {
     assert(t.quarantine().count() == 3)
   }
 
+  test("streaming gate: micro-batches commit gated snapshots; replay is exactly-once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val sess = spark
+    import sess.implicits._
+    implicit val sq = spark.sqlContext
+    val (gen, ledger) = fresh()
+    val mem = MemoryStream[(Long, String, Long)]
+    val stream = mem.toDF().toDF("id", "name", "qty")
+    val ckpt = Files.createTempDirectory("graft_exp_ckpt").toString
+    val query = graft.streaming.ExpectGate
+      .gateStream(stream, ledger, gen, exps)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      mem.addData((1L, "a", 10L), (2L, "b", -3L))
+      query.processAllAvailable()
+      mem.addData((3L, null, 4L), (4L, "d", 1L))
+      query.processAllAvailable()
+    } finally query.stop()
+    val table = Lake.readAt(spark, ledger, Lake.currentSnapshot(spark, ledger))
+    assert(table.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 4L))
+    val q = Expectations.readQuarantine(spark, gen)
+      .select(col("id"), col(Expectations.PartCol)).collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(q == Map(2L -> "qty_nonneg", 3L -> "name_not_null"))
+    // replaying an ALREADY-LEDGERED batch must not double-ingest: the
+    // crash-after-commit window (checkpoint behind the ledger)
+    val replay = batch().filter(col("id") === 1L)
+      .select(col("id"), col("name"), col("qty"))
+    val r = graft.streaming.ExpectGate.gateBatch(ledger, gen, exps,
+      "quarantine", replay, batchId = 0L)
+    assert(r.isEmpty, "replayed batch must be skipped")
+    assert(Lake.readAt(spark, ledger, Lake.currentSnapshot(spark, ledger))
+      .count() == 2)
+    // a NEW batch id still commits (the probe keys on the batch, not data)
+    val r2 = graft.streaming.ExpectGate.gateBatch(ledger, gen, exps,
+      "quarantine", replay.withColumn("id", col("id") + 100L), 7L)
+    assert(r2.exists(_.passed == 1))
+  }
+
   test("successive gated appends accumulate snapshots and rows") {
     val (gen, ledger) = fresh()
     val r1 = Expectations.appendExpect(spark, ledger, gen, batch(), exps)
