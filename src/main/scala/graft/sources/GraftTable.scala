@@ -132,6 +132,12 @@ final case class GraftTable(spark: SparkSession, ledgerDir: String,
   def compact(targetRowsPerFile: Long, zOrder: Boolean = false): Long =
     Lake.compactIngested(spark, ledgerDir, genRoot, targetRowsPerFile, zOrder)
 
+  /** Backfill data-skipping stats (and blooms) for live files lacking
+    * them — zero data movement, invisible to incremental consumers (see
+    * Lake.backfillStats). Returns files re-statted. */
+  def analyze(statsCols: Seq[String], bloomCols: Seq[String] = Nil): Long =
+    Lake.backfillStats(spark, ledgerDir, statsCols, bloomCols)
+
   /** Roll the table back to snapshot `s` as a NEW snapshot (the RESTORE /
     * rollback analog); history and deeper time travel retained. */
   def restore(s: Long): Long = Lake.restore(spark, ledgerDir, s)

@@ -162,6 +162,14 @@ object Lake {
   private def fileStats(spark: SparkSession, dir: String,
       cols: Seq[String], tolerant: Boolean = false,
       bloomCols: Seq[String] = Nil): Option[DataFrame] =
+    fileStatsPaths(spark, Seq(dir), cols, tolerant, bloomCols)
+
+  /** As [[fileStats]] but over an explicit path set (directories or
+    * individual files) — the backfill path re-stats scattered live files
+    * that were never part of one landing directory. */
+  private def fileStatsPaths(spark: SparkSession, paths: Seq[String],
+      cols: Seq[String], tolerant: Boolean = false,
+      bloomCols: Seq[String] = Nil): Option[DataFrame] =
     if (cols.isEmpty && bloomCols.isEmpty) None
     else {
       // `tolerant` for the LANDING dir: a quarantined garbage file (see
@@ -170,7 +178,7 @@ object Lake {
       // freshly-written generation and stays strict.
       val df = (if (tolerant)
         spark.read.option("ignoreCorruptFiles", "true") else spark.read)
-        .parquet(dir)
+        .parquet(paths: _*)
       val all = (cols ++ bloomCols).distinct
       val kinds: Map[String, String] = all.map { c =>
         c -> (df.schema(c).dataType match {
@@ -464,6 +472,79 @@ object Lake {
     * readSince consumers skip the replace snapshot; re-running ingest over
     * the landing dir stays a no-op because the ingested paths remain in
     * the ledger (as removed rows — the anti-join keys on path existence). */
+  /** Backfill per-column data-skipping stats for LIVE files that lack
+    * them — the ANALYZE/OPTIMIZE-stats analog for tables ingested before
+    * `statsCols`/`bloomCols` were requested (or with new columns to
+    * index). ZERO data movement: each deficient file is re-ADDED at the
+    * same path in one new snapshot with a freshly computed stats map
+    * (snapshot_op="restat"); the winning-add rule gives readers the new
+    * stats, and "restat" is outside the row-changing allowlist so
+    * incremental consumers (readSince/readChanges) see NOTHING — same
+    * contract as compaction's "replace".
+    *
+    * Cost: one distributed scan of only the DEFICIENT files' requested
+    * columns + a KB-scale ledger append. The deficient path list touches
+    * the driver (same class as expiry accounting — bounded by file count,
+    * not rows); returns the number of files re-statted (0 = nothing to
+    * do, no snapshot written). */
+  def backfillStats(spark: SparkSession, ledgerDir: String,
+      statsCols: Seq[String], bloomCols: Seq[String] = Nil): Long = {
+    require(statsCols.nonEmpty || bloomCols.nonEmpty,
+      "backfillStats needs at least one stats or bloom column")
+    val ledger = readLedger(spark, ledgerDir).getOrElse(return 0L)
+    val snap = currentSnapshot(spark, ledgerDir)
+    // winning add row per live path, WITH adler32 (liveActionsAt projects
+    // it away): the re-add must carry the original checksum forward
+    val live = withLedgerStats(ledger).filter(col("snapshot_id") <= snap)
+      .groupBy(col("path"))
+      .agg(max(when(col("op") === "remove", col("snapshot_id"))).as("rm"),
+        max(when(col("op") === "add", col("snapshot_id"))).as("ad"),
+        max_by(when(col("op") === "add",
+            struct(col("size"), col("adler32"), col("stats"))),
+          when(col("op") === "add", col("snapshot_id"))).as("w"))
+      .filter(col("ad").isNotNull && (col("rm").isNull || col("rm") < col("ad")))
+      .select(col("path"), col("w.size").as("size"),
+        col("w.adler32").as("adler32"), col("w.stats").as("stats"))
+    val want = (statsCols ++ bloomCols).distinct
+    val deficientActs = live.filter(col("stats").isNull ||
+      want.map(c => not(map_contains_key(col("stats"), lit(c))))
+        .reduce(_ || _))
+      .localCheckpoint() // two driver reads below; ledger-scale, tiny
+    val deficient = deficientActs
+      .select(col("path"), col("size"), col("adler32"))
+      .collect()
+    if (deficient.isEmpty) return 0L
+    // a deficient file may already record OTHER columns — the fresh map
+    // replaces the whole entry, so re-stat the union or skipping on the
+    // old columns would silently vanish (same column derivation as
+    // compactIngested: bounds vs bloom-only from the struct shape)
+    val oldEntries = deficientActs.filter(col("stats").isNotNull)
+      .select(explode(col("stats")).as(Seq("c", "v")))
+    val oldBounds = oldEntries
+      .filter(col("v.lo").isNotNull || col("v.slo").isNotNull
+        || col("v.bloom").isNull)
+      .select(col("c")).distinct().collect().map(_.getString(0)).toSeq
+    val oldBlooms = oldEntries.filter(col("v.bloom").isNotNull)
+      .select(col("c")).distinct().collect().map(_.getString(0)).toSeq
+    val paths = deficient.map(r => normPath(r.getString(0))).toSeq
+    val schemaCols = spark.read.parquet(paths: _*).schema.fieldNames.toSet
+    val fresh = fileStatsPaths(spark, paths,
+      (statsCols ++ oldBounds).distinct.filter(schemaCols),
+      bloomCols = (bloomCols ++ oldBlooms).distinct.filter(schemaCols))
+      .getOrElse(return 0L)
+    import spark.implicits._
+    val adds = deficient.toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toDF("path", "size", "adler32")
+      .withColumn("_np", regexp_replace(col("path"), "^file:/+", "/"))
+      .join(fresh, Seq("_np"))
+      .drop("_np")
+      .withColumn("op", lit("add"))
+      .withColumn("snapshot_op", lit("restat"))
+    appendSnapshot(spark, ledgerDir, snap + 1, adds)
+    deficient.length.toLong
+  }
+
   def compactIngested(spark: SparkSession, ledgerDir: String,
       compactDir: String, targetRowsPerFile: Long,
       zOrder: Boolean = false): Long = {

@@ -368,4 +368,55 @@ class DataSkipSpec extends GraftSpec {
     // FileStatus — gen 1's inflated size would fail the footer read
     assert(t.readAt(3).count() == 5)
   }
+
+  test("analyze backfills stats with zero data movement; consumers see nothing") {
+    val root = Files.createTempDirectory("graft_skip7").toString
+    val t = GraftTable(spark, s"$root/ledger", s"$root/gen")
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    cust.repartitionByRange(8, col("c_custkey"))
+      .write.parquet(s"$root/landing")
+    // ingested WITHOUT stats: nothing can skip
+    t.ingest(s"$root/landing")
+    val k = cust.agg(min(col("c_custkey"))).head().getLong(0)
+    assert(scannedFiles(t.read().filter(col("c_custkey") === k)) == 8)
+    val preSnap = t.snapshot
+    val dataFiles = new java.io.File(s"$root/landing").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.length())
+
+    assert(t.analyze(Seq("c_custkey")) == 8)
+    // the SAME files at the same paths — no data moved or rewritten
+    val after = new java.io.File(s"$root/landing").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.length())
+    assert(after.sorted.sameElements(dataFiles.sorted))
+    // now the point query prunes, with identical results
+    assert(scannedFiles(t.read().filter(col("c_custkey") === k)) == 1)
+    assert(t.read().count() == cust.count())
+    // restat is NOT row-changing: incremental consumers see nothing new
+    assert(Lake.readSince(spark, s"$root/ledger", preSnap).count() == 0)
+    // idempotent: nothing deficient on the second pass, no new snapshot
+    val s1 = t.snapshot
+    assert(t.analyze(Seq("c_custkey")) == 0)
+    assert(t.snapshot == s1)
+  }
+
+  test("analyze preserves previously recorded columns on deficient files") {
+    val root = Files.createTempDirectory("graft_skip8").toString
+    val t = GraftTable(spark, s"$root/ledger", s"$root/gen")
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    cust.repartitionByRange(8, col("c_custkey"))
+      .write.parquet(s"$root/landing")
+    t.ingest(s"$root/landing", statsCols = Seq("c_custkey"))
+    val k = cust.agg(min(col("c_custkey"))).head().getLong(0)
+    assert(scannedFiles(t.read().filter(col("c_custkey") === k)) == 1)
+    // backfill a NEW column: the fresh map must keep c_custkey bounds too
+    assert(t.analyze(Seq("c_acctbal")) == 8)
+    assert(scannedFiles(t.read().filter(col("c_custkey") === k)) == 1,
+      "existing column's skipping must survive the backfill")
+    val lo = cust.agg(floor(min(col("c_acctbal")))).head().getLong(0)
+    val narrow = t.read().filter(col("c_acctbal") < lo + 1)
+    assert(scannedFiles(narrow) < 8, "new column must prune after backfill")
+    assert(narrow.count() == cust.filter(col("c_acctbal") < lo + 1).count())
+  }
 }
