@@ -331,4 +331,30 @@ class PlanSpec extends GraftSpec {
     assert(plan.contains("dynamicpruningexpression"),
       s"batched assignments scan must carry a DPP partition filter:\n${plan.take(2000)}")
   }
+
+  test("split/mix never read the text column; one exchange; no joins") {
+    // the sampling contract: assignment is a narrow projection fused into
+    // the scan — the only exchange is the bounded final aggregate, and the
+    // mixture policy resolves as a CASE, never a join
+    for (df <- Seq(Sampling.qDocSplit(spark, sf), Sampling.qDocMix(spark, sf))) {
+      val f = formatted(df)
+      assert(!f.contains("text"), s"sampling scan must not read text:\n$f")
+      val p = planString(df)
+      assert("Exchange".r.findAllIn(p).size == 1,
+        s"expected exactly the final-aggregate exchange:\n$p")
+      assert(!p.contains("Join"), s"policy must fold to a CASE, not a join:\n$p")
+      assert("HashAggregate".r.findAllIn(p).size >= 2,
+        "sampling census must aggregate two-phase")
+    }
+  }
+
+  test("source-overlap reads only (text, source) and stays decisions-shaped") {
+    val df = Dedup.qSourceOverlap(spark, sf)
+    val f = formatted(df)
+    assert(!f.contains("doc_id") && !f.contains("n_chars"),
+      s"overlap scan must read only text+source:\n$f")
+    val p = planString(df)
+    assert(!p.contains("Join"),
+      s"overlap must never self-join documents:\n$p")
+  }
 }
