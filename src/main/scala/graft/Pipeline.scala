@@ -76,4 +76,21 @@ object Pipeline {
       .groupBy(col("seq_id"))
       .agg(count(lit(1)).as("n_spans"),
         sum(col("doc_to") - col("doc_from")).as("n_tokens"))
+
+  /** The FULL batch-prep chain: curate → mixture-sample (per-source
+    * policy) → deterministic split → pack the TRAIN split into training
+    * sequences. The mix and split decisions are the same salted-hash
+    * columns the census queries report on ([[operators.Sampling]]), so
+    * what ships to training is exactly what the reports describe — and
+    * both fold into the survivors scan as narrow predicates (no new
+    * shuffle before the pack's two-phase prefix sum). */
+  def curateMixSplitPack(spark: SparkSession, dir: String): DataFrame =
+    TextOps.packSpans(
+        survivors(spark, dir)
+          .filter(operators.Sampling.mixKeepCol)
+          .filter(operators.Sampling.splitCol === "train")
+          .select(col("doc_id"), col("n_tokens").cast("long").as("n_tok")))
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("doc_to") - col("doc_from")).as("n_tokens"))
 }

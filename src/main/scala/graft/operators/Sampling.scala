@@ -57,18 +57,35 @@ object Sampling {
   private val TrainCut = hexCutoff(0.80) // "cccc"
   private val ValCut = hexCutoff(0.90) // "e666"
 
+  /** The split label as a COLUMN over any frame with `doc_id` — exposed
+    * so pipeline stages (curate → split → pack) reuse the exact same
+    * deterministic assignment the census query reports on. */
+  def splitCol: Column = {
+    val h = saltedHash4(SplitSalt)
+    when(h < lit(TrainCut), lit("train"))
+      .when(h < lit(ValCut), lit("val"))
+      .otherwise(lit("test"))
+  }
+
+  /** The mixture keep-decision as a COLUMN over any frame with `doc_id`
+    * and `source` (same policy the census query reports on). */
+  def mixKeepCol: Column = {
+    val cut = MixPolicy.foldRight(lit(hexCutoff(MixDefault)): Column) {
+      case ((src, f), acc) =>
+        when(col("source") === lit(src), lit(hexCutoff(f))).otherwise(acc)
+    }
+    saltedHash4(MixSalt) < cut
+  }
+
   /** Per-(source, split) census of the deterministic 80/10/10 assignment:
     * every document lands in exactly one split, decided solely by
     * md5(salt || doc_id) — adding data, reordering files, or changing
     * parallelism never moves an existing document between splits. */
   def qDocSplit(s: SparkSession, d: String): DataFrame = {
-    val h = saltedHash4(SplitSalt)
     Tables.documents(s, d)
       .select(
         col("source"),
-        when(h < lit(TrainCut), lit("train"))
-          .when(h < lit(ValCut), lit("val"))
-          .otherwise(lit("test")).as("split"),
+        splitCol.as("split"),
         col("n_chars"))
       .groupBy("source", "split")
       .agg(
@@ -112,13 +129,8 @@ object Sampling {
     * cutoff is resolved by a CASE over the bounded policy list (a literal
     * expression — no join, nothing broadcast). */
   def qDocMix(s: SparkSession, d: String): DataFrame = {
-    val cut = MixPolicy.foldRight(lit(hexCutoff(MixDefault)): Column) {
-      case ((src, f), acc) =>
-        when(col("source") === lit(src), lit(hexCutoff(f))).otherwise(acc)
-    }
-    val keep = saltedHash4(MixSalt) < cut
     Tables.documents(s, d)
-      .select(col("source"), col("n_chars"), keep.as("keep"))
+      .select(col("source"), col("n_chars"), mixKeepCol.as("keep"))
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_total"),

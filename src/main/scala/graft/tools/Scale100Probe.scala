@@ -36,6 +36,10 @@ object Scale100Probe {
         .write.mode("overwrite").parquet(s"$out/orders.parquet")
       rep(cust, "c_custkey" -> maxCk)
         .write.mode("overwrite").parquet(s"$out/customer.parquet")
+      val docs = spark.read.parquet(s"$src/documents.parquet")
+      val maxDoc = docs.agg(max("doc_id")).head().getLong(0) + 1
+      rep(docs, "doc_id" -> maxDoc)
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
       for (t <- Seq("supplier", "nation", "region", "part"))
         spark.read.parquet(s"$src/$t.parquet")
           .write.mode("overwrite").parquet(s"$out/$t.parquet")
@@ -76,7 +80,14 @@ object Scale100Probe {
         "q10_returned" -> (Relational3.q10ReturnedItems _),
         "q14_promo" -> (Relational3.q14PromoShare _),
         "q16_suppcnt" -> (Relational3.q16SupplierCnt _),
-        "q8_mktshare" -> (Relational3.q8MarketShare _))) {
+        "q8_mktshare" -> (Relational3.q8MarketShare _),
+        // sampling trio at 100×: split/mix are pure narrow passes (the
+        // ratio records scan-boundedness); overlap's replicated docs
+        // repeat token sets, so distinct (fingerprint, source) keeps its
+        // 1× cardinality — the rep-collapse regime, like q16
+        "q_doc_split" -> (graft.operators.Sampling.qDocSplit _),
+        "q_doc_mix" -> (graft.operators.Sampling.qDocMix _),
+        "q_source_overlap" -> (graft.operators.Dedup.qSourceOverlap _))) {
       q(spark, src).write.format("noop").mode("overwrite").save() // warm-up
       val t1 = timed { q(spark, src).write.format("noop").mode("overwrite").save() }
       val t100 = timed { q(spark, out).write.format("noop").mode("overwrite").save() }

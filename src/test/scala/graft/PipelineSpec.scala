@@ -56,4 +56,26 @@ class PipelineSpec extends GraftSpec {
   test("entry returns non-empty flagship results") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("curate-mix-split-pack: packs exactly the mixed train survivors") {
+    import graft.operators.Sampling
+    val seqs = Pipeline.curateMixSplitPack(spark, sf).collect()
+      .map(r => (r.getAs[Long]("seq_id"), r.getAs[Long]("n_tokens")))
+      .sortBy(_._1)
+    assert(seqs.nonEmpty)
+    val C = graft.operators.TextOps.PackSeqLen.toLong
+    seqs.dropRight(1).foreach { case (id, nTok) =>
+      assert(nTok == C, s"sequence $id holds $nTok of $C tokens")
+    }
+    // token conservation against the SAME decisions applied to survivors
+    val trainTokens = Pipeline.survivors(spark, sf)
+      .filter(Sampling.mixKeepCol)
+      .filter(Sampling.splitCol === "train")
+      .agg(sum(col("n_tokens"))).head().getLong(0)
+    assert(seqs.map(_._2).sum == trainTokens)
+    // the gate is real: strictly fewer tokens than packing all survivors
+    val allTokens = Pipeline.survivors(spark, sf)
+      .agg(sum(col("n_tokens"))).head().getLong(0)
+    assert(trainTokens < allTokens)
+  }
 }
