@@ -99,27 +99,70 @@ object Lake {
         && expr("substring(content, length(content) - 3, 4) = X'50415231'"))
       .select(col("path"), col("length").as("size"),
         graft.functions.GraftFunctions.adler32(col("content")).as("adler32"))
-    // per-file, per-column stats for manifest data skipping: one
-    // distributed pass over the landing data keyed by source file (the
-    // stats map rides in the ledger row, so readAt's LedgerFileIndex can
-    // prune files against pushed filters without opening them —
+    val (newFiles0, nextSnapshot) = readLedger(spark, ledgerDir) match {
+      case Some(ledger) =>
+        val next = ledger.agg(max(col("snapshot_id"))).head().getLong(0) + 1
+        (current0.join(ledger.select(col("path")).distinct(),
+          Seq("path"), "left_anti"), next)
+      case None => (current0, 1L)
+    }
+    // materialize BEFORE the ledger append below AND before the
+    // driver-side schema checks (ledger-derived frame, read-own-write)
+    val cand = newFiles0.localCheckpoint()
+    val candPaths = cand.select(col("path")).collect().map(_.getString(0))
+    if (candPaths.isEmpty) return 0L
+    // SCHEMA quarantine — the PAR1 check one level up: a file whose
+    // columns TYPE-CONFLICT with the table's current schema must never
+    // enter the ledger (one poisoned file would kill every read of the
+    // table at runtime, long after ingest). Missing columns (read as
+    // null) and new columns (schema evolution, see readEvolved) stay
+    // ingestable. Happy path costs ONE footer-only merged-schema job
+    // over just the NEW batch; only a detected conflict falls back to
+    // per-file isolation (bounded by the bad batch — the same driver
+    // list class as the merge blast radius). A quarantined path is not
+    // ledgered, so a fixed re-upload re-ingests on the next run.
+    def conflicts(f: org.apache.spark.sql.types.StructType,
+        t: org.apache.spark.sql.types.StructType): Boolean =
+      f.exists(a => t.find(_.name == a.name).exists(_.dataType != a.dataType))
+    val tableSchema = readLedger(spark, ledgerDir)
+      .map(l => liveActionsAt(l, nextSnapshot - 1))
+      .map(new LedgerFileIndex(_)).filterNot(_.isEmpty)
+      .map(org.apache.spark.sql.GraftShim.parquetScan(spark, _).schema)
+    val merged =
+      try Some(spark.read.option("mergeSchema", "true")
+        .parquet(candPaths.map(normPath): _*).schema)
+      catch { case scala.util.control.NonFatal(_) => None }
+    val badPaths: Set[String] = merged match {
+      case Some(m) if tableSchema.forall(t => !conflicts(m, t)) => Set.empty
+      case _ => tableSchema match {
+        case Some(t) => candPaths.filter { p =>
+          try conflicts(spark.read.parquet(normPath(p)).schema, t)
+          catch { case _: Exception => true }
+        }.toSet
+        case None => sys.error(
+          s"first ingest batch under $landingDir has internally " +
+            "conflicting schemas — nothing ledgered")
+      }
+    }
+    val good = if (badPaths.isEmpty) cand
+      else cand.filter(!col("path").isin(badPaths.toSeq: _*))
+    val goodPaths = candPaths.filterNot(badPaths).map(normPath).toSeq
+    if (goodPaths.isEmpty) return 0L
+    // per-file, per-column stats for manifest data skipping, computed
+    // over ONLY the new batch's good files (fileStatsPaths — an ingest's
+    // stats cost scales with the batch, never with how much history the
+    // landing dir accumulates; the stats map rides in the ledger row so
+    // readAt's LedgerFileIndex can prune files without opening them —
     // Iceberg/Delta-style skipping)
-    val current = fileStats(spark, landingDir, statsCols, tolerant = true,
-        bloomCols = bloomCols) match {
-      case Some(stats) => current0
+    val current = fileStatsPaths(spark, goodPaths, statsCols,
+        tolerant = true, bloomCols = bloomCols) match {
+      case Some(stats) => good
         .withColumn("_np", regexp_replace(col("path"), "^file:/+", "/"))
         .join(stats, Seq("_np"), "left")
         .drop("_np")
-      case None => current0.withColumn("stats", lit(null).cast(StatsType))
+      case None => good.withColumn("stats", lit(null).cast(StatsType))
     }
-    val (newFiles, nextSnapshot) = readLedger(spark, ledgerDir) match {
-      case Some(ledger) =>
-        val next = ledger.agg(max(col("snapshot_id"))).head().getLong(0) + 1
-        (current.join(ledger.select(col("path")).distinct(),
-          Seq("path"), "left_anti"), next)
-      case None => (current, 1L)
-    }
-    val delta = newFiles
+    val delta = current
       .withColumn("snapshot_id", lit(nextSnapshot))
       .withColumn("ingested_at", current_timestamp())
       .withColumn("op", lit("add"))

@@ -26,6 +26,38 @@ class LedgerSpec extends GraftSpec {
     assert(Lake.currentSnapshot(spark, ledger) == 2)
   }
 
+  test("schema quarantine: type-conflicting files never enter the ledger") {
+    val (landing, ledger) = fresh()
+    landFiles(landing, "click", 2)
+    assert(Lake.ingestNewFiles(spark, landing, ledger) == 2)
+    // a file with event_id as STRING type-conflicts with the table; a
+    // file with an EXTRA column is schema evolution and must ingest
+    val ss = spark
+    import ss.implicits._
+    Seq(("not-a-long", 1L)).toDF("event_id", "user_id")
+      .coalesce(1).write.parquet(s"$landing/bad")
+    val badFile = new java.io.File(s"$landing/bad").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val badDst = new java.io.File(landing, "conflict.parquet")
+    assert(badFile.renameTo(badDst))
+    Events.events(spark, sf).filter(col("event_type") === "view").limit(5)
+      .withColumn("extra_col", lit(1L))
+      .coalesce(1).write.mode("append").parquet(landing)
+    // only the evolved file ingests; the conflicting one is quarantined
+    assert(Lake.ingestNewFiles(spark, landing, ledger) == 1)
+    // the table still reads end-to-end (no poisoned file in the live set)
+    assert(Lake.readAt(spark, ledger, Lake.currentSnapshot(spark, ledger))
+      .count() > 0)
+    // fix-and-retry: replacing the bad path with a valid file re-ingests
+    assert(badDst.delete())
+    Events.events(spark, sf).filter(col("event_type") === "click").limit(3)
+      .coalesce(1).write.parquet(s"$landing/fix")
+    val fixed = new java.io.File(s"$landing/fix").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    assert(fixed.renameTo(badDst))
+    assert(Lake.ingestNewFiles(spark, landing, ledger) == 1)
+  }
+
   test("missing _SUCCESS does not reset the ledger (partial-append robustness)") {
     val (landing, ledger) = fresh()
     landFiles(landing, "click", 3)
