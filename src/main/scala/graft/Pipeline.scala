@@ -93,4 +93,40 @@ object Pipeline {
       .groupBy(col("seq_id"))
       .agg(count(lit(1)).as("n_spans"),
         sum(col("doc_to") - col("doc_from")).as("n_tokens"))
+
+  /** The mixed TRAIN-split survivor documents — the rows `exportShards`
+    * ships and `curateMixSplitPack` packs (one definition, two sinks). */
+  def trainSurvivors(spark: SparkSession, dir: String): DataFrame =
+    survivors(spark, dir)
+      .filter(operators.Sampling.mixKeepCol)
+      .filter(operators.Sampling.splitCol === "train")
+      .select(col("doc_id"), col("source"), col("lang"), col("text"),
+        col("n_tokens").cast("long").as("n_tokens"))
+
+  /** SHIP the curated train set: hash-shard [[trainSurvivors]] into
+    * `nShards` dataloader shards under `outDir/data/shard=K`, one output
+    * file per shard (each dataloader rank streams exactly one file), and
+    * persist + return the per-shard manifest (docs, tokens). Shard
+    * assignment is `pmod(xxhash64(doc_id), nShards)` — a pure function of
+    * document identity, stable across runs, parallelism, and data layout,
+    * like every other decision in the prep chain.
+    *
+    * Scale shape: ONE shuffle (the shard repartition — at 100 TB set
+    * nShards to the dataloader's world size in the thousands and each
+    * reducer streams one shard to its file); the manifest is a bounded
+    * nShards-row aggregate. Nothing touches the driver but the manifest. */
+  def exportShards(spark: SparkSession, dir: String, outDir: String,
+      nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    trainSurvivors(spark, dir)
+      .withColumn("shard", pmod(xxhash64(col("doc_id")), lit(nShards)))
+      .repartition(nShards, col("shard"))
+      .write.partitionBy("shard").mode("overwrite")
+      .parquet(s"$outDir/data")
+    val manifest = spark.read.parquet(s"$outDir/data")
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+    manifest.coalesce(1).write.mode("overwrite").parquet(s"$outDir/manifest")
+    spark.read.parquet(s"$outDir/manifest")
+  }
 }

@@ -78,4 +78,34 @@ class PipelineSpec extends GraftSpec {
       .agg(sum(col("n_tokens"))).head().getLong(0)
     assert(trainTokens < allTokens)
   }
+
+  test("export-shards: lossless, deterministic, one file per shard, manifest exact") {
+    val out = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    val nShards = 4
+    val manifest = Pipeline.exportShards(spark, sf, out, nShards).collect()
+      .map(r => r.getAs[Long]("shard") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))).toMap
+    val data = spark.read.parquet(s"$out/data")
+    // lossless: the shipped docs are exactly the mixed train survivors
+    val shipped = data.select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = Pipeline.trainSurvivors(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(shipped == expected)
+    // shard assignment is the declared pure function of doc_id
+    assert(data.filter(
+      col("shard") =!= pmod(xxhash64(col("doc_id")), lit(nShards))).count() == 0)
+    // one data file per shard: a dataloader rank streams exactly one file
+    (0 until nShards).foreach { k =>
+      val files = new java.io.File(s"$out/data/shard=$k").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"shard $k has ${files.length} files")
+    }
+    // manifest matches a recount of the shipped data
+    val recount = data.groupBy("shard")
+      .agg(count(lit(1)).as("n"), sum("n_tokens").as("t")).collect()
+      .map(r => r.getAs[Long]("shard") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("t"))).toMap
+    assert(manifest == recount)
+    assert(manifest.keySet == (0L until nShards).toSet, "no empty shard here")
+  }
 }
