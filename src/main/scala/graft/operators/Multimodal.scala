@@ -85,7 +85,53 @@ object Multimodal {
     }
   }
 
-  /** Batched "resize": kind-aware payload transformation, partition-local. */
+  /** REAL image resize via the JDK (the decode→rescale→re-encode kernel a
+    * training pipeline runs before feature extraction): decode with
+    * `javax.imageio`, scale to fit within (maxW, maxH) preserving aspect
+    * ratio (bilinear `Graphics2D`), re-encode PNG, metadata patched to the
+    * actual output dimensions. Images already inside the box — and
+    * payloads ImageIO can't decode — pass through untouched (undecodable
+    * inputs are DATA here, not exceptions; the byte-identity of the
+    * pass-through is the honest signal downstream). Partition-local
+    * narrow pass like every media kernel: zero shuffles at any scale. */
+  def resizeImages(items: Dataset[MediaItem], maxW: Int, maxH: Int): Dataset[MediaItem] = {
+    require(maxW > 0 && maxH > 0)
+    import items.sparkSession.implicits._
+    items.mapPartitions { it =>
+      it.map { m =>
+        if (m.meta.kind != "image") m
+        else {
+          val img =
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(m.payload))
+            catch { case scala.util.control.NonFatal(_) => null }
+          if (img == null || (img.getWidth <= maxW && img.getHeight <= maxH)) m
+          else {
+            val scale = math.min(maxW.toDouble / img.getWidth,
+              maxH.toDouble / img.getHeight)
+            val w = math.max(1, math.floor(img.getWidth * scale).toInt)
+            val h = math.max(1, math.floor(img.getHeight * scale).toInt)
+            val dst = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = dst.createGraphics()
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, w, h, null)
+            g.dispose()
+            val out = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(dst, "png", out)
+            m.copy(meta = m.meta.copy(width = w, height = h),
+              payload = out.toByteArray)
+          }
+        }
+      }
+    }
+  }
+
+  /** Batched byte-cap "resize" for NON-image kinds (kind-aware payload
+    * transformation, partition-local). For images use [[resizeImages]] —
+    * this path's byte truncation is the loudly-labeled stand-in for
+    * kinds the JDK cannot decode. */
   def resize(items: Dataset[MediaItem], maxBytes: Int): Dataset[MediaItem] = {
     import items.sparkSession.implicits._
     items.mapPartitions { it =>

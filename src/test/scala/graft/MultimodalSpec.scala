@@ -40,6 +40,44 @@ class MultimodalSpec extends GraftSpec {
     }
   }
 
+  test("REAL image resize: fits the box, preserves aspect, small/undecodable pass through") {
+    val media = Multimodal.pngMediaTable(spark, 20)
+    val orig = media.collect().map(m => m.media_id -> m).toMap
+    val (maxW, maxH) = (16, 16)
+    val out1 = Multimodal.resizeImages(media, maxW, maxH).collect()
+      .map(m => m.media_id -> m).toMap
+    out1.values.foreach { m =>
+      val o = orig(m.media_id)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(m.payload))
+      assert(img.getWidth <= maxW && img.getHeight <= maxH)
+      assert(img.getWidth == m.meta.width && img.getHeight == m.meta.height,
+        "metadata must match the actual re-encoded dimensions")
+      if (o.meta.width <= maxW && o.meta.height <= maxH)
+        assert(m.payload.sameElements(o.payload), "in-box image must pass through")
+      else {
+        // aspect preserved: the scale that fit the binding dimension
+        val scale = math.min(maxW.toDouble / o.meta.width,
+          maxH.toDouble / o.meta.height)
+        assert(m.meta.width == math.max(1, math.floor(o.meta.width * scale).toInt))
+        assert(m.meta.height == math.max(1, math.floor(o.meta.height * scale).toInt))
+      }
+    }
+    // deterministic: a second distributed run is byte-identical
+    val out2 = Multimodal.resizeImages(media, maxW, maxH).collect()
+      .map(m => m.media_id -> m).toMap
+    out1.foreach { case (id, m) =>
+      assert(m.payload.sameElements(out2(id).payload)) }
+    // an undecodable "image" payload passes through untouched
+    val ss = spark
+    import ss.implicits._
+    val junk = Seq(Multimodal.MediaItem(999L,
+      Multimodal.MediaMeta("image", 8, 8, 0, 0L),
+      Array[Byte](1, 2, 3, 4))).toDS()
+    val j = Multimodal.resizeImages(junk, maxW, maxH).head()
+    assert(j.payload.sameElements(Array[Byte](1, 2, 3, 4)))
+  }
+
   test("frame sampling decimates video payloads deterministically") {
     val media = Multimodal.mediaTable(spark, sf)
     val orig = media.collect().map(m => m.media_id -> m).toMap
