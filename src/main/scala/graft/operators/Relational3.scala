@@ -280,6 +280,50 @@ object Relational3 {
       |WINDOW w AS (PARTITION BY o_orderpriority, date_trunc('month', o_orderdate)
       |             ORDER BY o_totalprice, o_orderkey)""".stripMargin
 
+  /** Frame-bound window coverage — first/last/nth-value and a trailing
+    * ROWS frame, the value-navigation family lead/lag/ntile don't touch.
+    * Explicit frames on BOTH engines (default frames differ between
+    * growing and full-partition functions); the deterministic
+    * (price, orderkey) order keeps every navigated value unique. Money
+    * values pass through as exact DECIMAL copies (no arithmetic); only
+    * the trailing sum computes, cast double in the final projection
+    * (≤3 bounded values — exact in double). One shuffle on the partition
+    * keys serves all four windows (same partitioning + ordering). */
+  def qWindowFrames(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Window
+      .partitionBy(col("o_orderpriority"), col("o_month"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val full = base.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val trail = base.rowsBetween(-2, Window.currentRow)
+    Tables.orders(s, d)
+      .withColumn("o_month", date_trunc("month", col("o_orderdate")))
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_month"),
+        first(col("o_totalprice")).over(base).as("cheapest"),
+        last(col("o_totalprice")).over(full).as("priciest"),
+        nth_value(col("o_totalprice"), 2).over(full).as("second_cheapest"),
+        sum(col("o_totalprice")).over(trail).cast("double").as("trail3_sum"))
+  }
+
+  def qWindowFramesSql: String =
+    """SELECT o_orderkey, o_orderpriority,
+      |  date_trunc('month', o_orderdate) AS o_month,
+      |  first_value(o_totalprice) OVER w AS cheapest,
+      |  last_value(o_totalprice) OVER wf AS priciest,
+      |  nth_value(o_totalprice, 2) OVER wf AS second_cheapest,
+      |  CAST(sum(o_totalprice) OVER wt AS DOUBLE) AS trail3_sum
+      |FROM orders
+      |WINDOW
+      |  w AS (PARTITION BY o_orderpriority, date_trunc('month', o_orderdate)
+      |        ORDER BY o_totalprice, o_orderkey),
+      |  wf AS (PARTITION BY o_orderpriority, date_trunc('month', o_orderdate)
+      |         ORDER BY o_totalprice, o_orderkey
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+      |  wt AS (PARTITION BY o_orderpriority, date_trunc('month', o_orderdate)
+      |         ORDER BY o_totalprice, o_orderkey
+      |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin
+
   def q16SupplierCntSql: String =
     """SELECT p_brand, p_type, p_size,
       |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
