@@ -10,19 +10,30 @@ import graft.Tables
   * event streams; config/base/dromaps — src→geo enrichment;
   * file_transfer_scripts/insert_extra_fields.py — integrity metadata).
   *
-  * The `events` parquet carries nanosecond timestamps, which Spark's parquet
-  * reader rejects by default; we read them as epoch-nanos longs
-  * (spark.sql.legacy.parquet.nanosAsLong) and truncate to microseconds —
-  * bit-identical to how DuckDB coerces ns→µs, so oracle parity holds.
+  * The `events` parquet has carried its timestamps in two physical forms
+  * across driver data generations — TIMESTAMP(NANOS) (which Spark's parquet
+  * reader rejects by default) and TIMESTAMP(MICROS) — so the loader
+  * dispatches on the READ SCHEMA rather than assuming either:
+  * nanos read as epoch-nanos longs (spark.sql.legacy.parquet.nanosAsLong)
+  * truncate to microseconds, bit-identical to how DuckDB coerces ns→µs;
+  * micros arrive as TIMESTAMP_NTZ and only need the NTZ→LTZ cast (identity
+  * on the stored micros under the UTC session both engines run).
   */
 object Events {
 
-  /** events with `ts` as a proper µs TIMESTAMP. Requires
+  /** events with `ts` as a proper µs TIMESTAMP, whichever physical form the
+    * file carries. For NANOS files this requires
     * `spark.sql.legacy.parquet.nanosAsLong=true`, set at session
     * construction (GraftSession / the tool mains) — a table loader must not
     * mutate session conf as a side effect. */
-  def events(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d).withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = Tables.events(s, d)
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(12,4)")
 
