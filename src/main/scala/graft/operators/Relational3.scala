@@ -5,9 +5,11 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** §2.A continued — the remaining TPC-H join/ratio shapes expressible on
-  * this corpus (no partsupp table, no shipmode/receiptdate columns, so Q9/
-  * Q11/Q12 have no faithful analog; Q16's part-supplier relation comes
-  * from observed lineitem pairs instead).
+  * this corpus (no partsupp table, no shipmode/receiptdate columns, so
+  * Q11/Q12 have no faithful analog and Q2's min-cost-supplier correlation
+  * has no cost column to correlate on; Q16's part-supplier relation comes
+  * from observed lineitem pairs instead, and Q9's per-unit supply cost is
+  * proxied by `p_retailprice` — same join topology, same profit algebra).
   *
   * Money discipline is [[Relational]]'s: per-row 10^4-scaled BIGINT
   * product terms (`Rev4Term`), summed in DECIMAL(28,0), double only in
@@ -323,6 +325,60 @@ object Relational3 {
       |  wt AS (PARTITION BY o_orderpriority, date_trunc('month', o_orderdate)
       |         ORDER BY o_totalprice, o_orderkey
       |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** Per-row PROFIT in exact 10^-4 units — the one money shape the other
+    * TPC-H queries don't exercise: a DIFFERENCE of two scaled product
+    * terms (revenue − cost). Both products are non-negative BIGINTs before
+    * their DIV (Spark truncation ≡ DuckDB floor on non-negatives), so the
+    * subtraction happens on already-truncated exact units; the difference
+    * may go negative, which DECIMAL(28,0) carries exactly on both engines. */
+  private val Profit4Term: String =
+    "CAST(((CAST(round(l_extendedprice * 10000) AS BIGINT) * " +
+      "(10000 - CAST(round(l_discount * 10000) AS BIGINT))) DIV 10000 - " +
+      "(CAST(round(p_retailprice * 10000) AS BIGINT) * " +
+      "CAST(round(l_quantity * 10000) AS BIGINT)) DIV 10000) " +
+      "AS DECIMAL(28,0))"
+  private val Profit4TermSql: String = Profit4Term.replace(" DIV ", " // ")
+
+  /** TPC-H Q9 shape — product-type profit: for every line of a name-matched
+    * part family, revenue minus supply cost, grouped by (supplier nation,
+    * order year). No partsupp table in this corpus, so the per-unit cost is
+    * the part's `p_retailprice` (cf. Q16's observed-pairs analog) — the
+    * join topology (lineitem⋈part⋈orders⋈supplier⋈nation) and the
+    * profit = revenue − cost·quantity algebra are the classic shape.
+    * Spark-first: the name filter prunes part BEFORE its partkey shuffle
+    * (the filter reaches the part scan), orders joins on the orderkey
+    * shuffle lineitem already needs, supplier/part stay hint-free
+    * (SURVEY §3.1 — they scale with data; AQE size-drives them), nation
+    * broadcasts (bounded ≤25 rows). Output is bounded at nations×years. */
+  def q9Profit(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.part(s, d).filter(col("p_name").contains("gear"))
+          .select(col("p_partkey"), col("p_retailprice")),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).as("o_year"))
+      .agg(expr(s"CAST(sum($Profit4Term) AS DOUBLE) / 1e4").as("profit"))
+
+  def q9ProfitSql: String =
+    s"""SELECT nation, o_year, CAST(sum($Profit4TermSql) AS DOUBLE) / 1e4 AS profit
+       |FROM (
+       |  SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+       |         l_extendedprice, l_discount, l_quantity, p_retailprice
+       |  FROM lineitem
+       |  JOIN part ON l_partkey = p_partkey
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  WHERE p_name LIKE '%gear%'
+       |)
+       |GROUP BY nation, o_year""".stripMargin
 
   def q16SupplierCntSql: String =
     """SELECT p_brand, p_type, p_size,
