@@ -121,6 +121,28 @@ final case class GraftTable(spark: SparkSession, ledgerDir: String,
     graft.streaming.MirrorLoop.changeStream(spark, ledgerDir, mirrorDir, key,
       checkpointDir)
 
+  /** Bootstrap an incrementally-maintained AGGREGATE view of this table
+    * (one full aggregate; change-feed folds from then on — see MatView). */
+  def viewBootstrap(viewDir: String, spec: graft.streaming.MatView.AggSpec): Long =
+    graft.streaming.MatView.bootstrap(spark, ledgerDir, viewDir, spec)
+
+  /** One view-maintenance round: fold every change past the view's
+    * persisted cursor; returns the new cursor. O(change batch), never a
+    * table rescan on the count/sum path. */
+  def viewApply(viewDir: String, spec: graft.streaming.MatView.AggSpec): Long =
+    graft.streaming.MatView.applyRound(spark, ledgerDir, viewDir, spec)
+
+  /** The maintained view's current contents. */
+  def viewRead(viewDir: String): DataFrame =
+    graft.streaming.MatView.view(spark, viewDir)
+
+  /** The continuously-running maintainer: a checkpointed stream that fires
+    * a maintenance round whenever this table commits. */
+  def viewStream(viewDir: String, spec: graft.streaming.MatView.AggSpec,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.MatView.viewStream(spark, ledgerDir, viewDir, spec,
+      checkpointDir)
+
   /** Row-level copy-on-write DELETE WHERE. */
   def delete(cond: Column): Long =
     Lake.deleteWhere(spark, ledgerDir, genRoot, cond)

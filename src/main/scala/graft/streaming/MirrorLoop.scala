@@ -46,11 +46,20 @@ object MirrorLoop {
       .agg(max(col("snapshot_id"))).head().getLong(0))
   }
 
-  private def markCursor(spark: SparkSession, mirrorDir: String, snap: Long): Unit = {
+  private[streaming] def markCursor(spark: SparkSession, mirrorDir: String, snap: Long): Unit = {
     import spark.implicits._
     Seq(snap).toDF("snapshot_id")
       .write.mode("append").parquet(s"$mirrorDir/_cursor")
   }
+
+  /** Bound a consumer dir's disk at two generations: anything OLDER than
+    * `below` can no longer be named by any cursor value (shared by every
+    * cursor-disciplined consumer — mirror, materialized view). */
+  private[streaming] def pruneGens(dir: String, below: Long): Unit =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("gen-"))
+      .filter(_.getName.stripPrefix("gen-").toLongOption.exists(_ < below))
+      .foreach(rmrf)
 
   /** Bootstrap the mirror from the source's CURRENT snapshot (a full
     * read — paid once); a no-op returning the existing cursor if the
@@ -89,14 +98,11 @@ object MirrorLoop {
     // pre-round cursor can no longer be named by any cursor value (the
     // marker for `target` is durable; `cur` stays as the crash-window
     // fallback for a torn marker append)
-    Option(new java.io.File(mirrorDir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("gen-"))
-      .filter(_.getName.stripPrefix("gen-").toLongOption.exists(_ < cur))
-      .foreach(rmrf)
+    pruneGens(mirrorDir, cur)
     target
   }
 
-  private def rmrf(f: java.io.File): Unit = {
+  private[streaming] def rmrf(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmrf)
     f.delete()
   }
