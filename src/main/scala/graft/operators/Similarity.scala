@@ -39,7 +39,7 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  private def emb(s: SparkSession, d: String): DataFrame =
+  private[operators] def emb(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).withColumn("vec", asDouble(col("embedding")))
 
   /** Exact top-20 cosine neighbors of the probe vector (vec_id=0).
@@ -146,7 +146,7 @@ object Similarity {
     * regenerated IN PLACE changes length/mtime and therefore the
     * fingerprint, forcing a rebuild (path.hashCode alone reused stale
     * indexes and could collide across datasets). */
-  private def embFingerprint(d: String): String = {
+  private[operators] def embFingerprint(d: String): String = {
     val root = new java.io.File(s"$d/embeddings.parquet")
     // Recursive walk over ALL regular files (not just top-level *.parquet):
     // a partition-subdirectory layout must still change the fingerprint when
