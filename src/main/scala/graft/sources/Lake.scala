@@ -170,7 +170,10 @@ object Lake {
       .select(LedgerCols.map(col): _*)
       .localCheckpoint() // materialize BEFORE appending to the dir we read
     val n = delta.count()
-    if (n > 0) delta.write.mode("append").parquet(ledgerDir)
+    if (n > 0) {
+      reserveCommit(ledgerDir, nextSnapshot)
+      delta.write.mode("append").parquet(ledgerDir)
+    }
     n
   }
 
@@ -614,6 +617,9 @@ object Lake {
       .select(col("c")).distinct()
       .collect().map(_.getString(0)).toSeq.sorted
     val next = snap + 1
+    // reserve BEFORE writing gen-$next data files: a concurrent commit must
+    // fail here, not after overwriting a winner's generation directory
+    reserveCommit(ledgerDir, next)
     val genDir = s"$compactDir/gen-$next"
     val df = org.apache.spark.sql.GraftShim.parquetScan(spark, index)
     val n = df.count()
@@ -680,13 +686,13 @@ object Lake {
       .withColumn("size", lit(null).cast("long"))
       .withColumn("adler32", lit(null).cast("long"))
       .withColumn("op", lit("remove"))
-    withLedgerStats(added).unionByName(withLedgerStats(removed))
+    val replaceRows = withLedgerStats(added).unionByName(withLedgerStats(removed))
       .withColumn("snapshot_id", lit(next))
       .withColumn("ingested_at", current_timestamp())
       .withColumn("snapshot_op", lit("replace"))
       .select(LedgerCols.map(col): _*)
       .localCheckpoint()
-      .write.mode("append").parquet(ledgerDir)
+    replaceRows.write.mode("append").parquet(ledgerDir)
     next
   }
 
@@ -716,14 +722,99 @@ object Lake {
   /** Append one ledger snapshot made of `adds` (path,size,adler32 + op col
     * already set) tagged per-row with `snapshotOp`, plus removes for
     * `removedPaths`. */
+  /** Another writer reserved (or already landed) the snapshot id this
+    * commit computed from the table state it read — the read-modify-write
+    * is stale. Re-running the WHOLE operation against the new current
+    * state is the sound recovery ([[commitRetry]]): every writer here is
+    * deterministic read-current → compute → commit, so a re-run IS the
+    * rebase, with sequential semantics. */
+  final class ConcurrentCommitException(val ledgerDir: String, val snapshot: Long)
+    extends RuntimeException(
+      s"snapshot $snapshot under $ledgerDir already reserved by a " +
+        "concurrent writer — re-run the operation against the current state")
+
+  /** OPTIMISTIC CONCURRENCY at commit: atomically reserve `snapshot`
+    * before its ledger rows land (create-if-absent of a marker under the
+    * hidden `_commits/` dir — the PUT-if-absent every object store / HDFS
+    * create-no-overwrite provides; `File.createNewFile` is its local-FS
+    * form). Two writers that both read state N and both computed N+1
+    * cannot both append rows tagged N+1 — the loser throws
+    * [[ConcurrentCommitException]] BEFORE writing anything, instead of
+    * silently forking the table (two same-id snapshots = every reader
+    * sees a merged, never-committed state). Markers are invisible to
+    * readers (underscore-hidden; snapshot existence still comes from the
+    * DATA rows, so a reserved-but-unwritten id — a crashed writer —
+    * never surfaces as table state; see [[orphanedCommits]]). */
+  private def reserveCommit(ledgerDir: String, snapshot: Long): Unit = {
+    val dir = new java.io.File(s"$ledgerDir/_commits")
+    dir.mkdirs()
+    if (!new java.io.File(dir, snapshot.toString).createNewFile())
+      throw new ConcurrentCommitException(ledgerDir, snapshot)
+  }
+
+  /** Whole-operation OCC retry: re-run `op` until it commits without a
+    * concurrent-writer collision (each re-run re-reads the current table
+    * state — the rebase). Fails after `attempts` collisions rather than
+    * spinning on a contended table. */
+  def commitRetry[T](attempts: Int = 5)(op: => T): T = {
+    var left = attempts
+    while (true) {
+      try return op
+      catch {
+        case e: ConcurrentCommitException =>
+          left -= 1
+          if (left <= 0) throw e
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  /** Reserved snapshot ids whose ledger rows never landed — a writer that
+    * crashed between its reservation and its append. Invisible to readers,
+    * but they permanently block that id (every later writer computing it
+    * collides and rebases PAST it only once rows land for a later id —
+    * a table whose HEAD is orphaned needs this surfaced). Recovery is
+    * operator-driven [[releaseCommit]]: "in-flight about to write" and
+    * "dead" are indistinguishable from the marker alone. */
+  def orphanedCommits(spark: SparkSession, ledgerDir: String): Seq[Long] = {
+    val reserved = Option(new java.io.File(s"$ledgerDir/_commits").listFiles())
+      .getOrElse(Array.empty).flatMap(f => f.getName.toLongOption).toSet
+    if (reserved.isEmpty) return Seq.empty
+    val landed = readLedger(spark, ledgerDir)
+      .map(_.select(col("snapshot_id")).distinct()
+        .collect().map(_.getLong(0)).toSet)
+      .getOrElse(Set.empty)
+    (reserved -- landed).toSeq.sorted
+  }
+
+  /** Release an orphaned reservation so the id becomes writable again.
+    * Refuses (returns false) when rows DID land for the id — releasing a
+    * live snapshot's marker would re-open it to a second writer. */
+  def releaseCommit(spark: SparkSession, ledgerDir: String,
+      snapshot: Long): Boolean = {
+    val landed = readLedger(spark, ledgerDir).exists(
+      !_.filter(col("snapshot_id") === snapshot).isEmpty)
+    if (landed) false
+    else new java.io.File(s"$ledgerDir/_commits/$snapshot").delete()
+  }
+
+  /** `preReserved`: operations that write data files NAMED by the snapshot
+    * (merge/delete gen dirs, compaction generations) reserve the id BEFORE
+    * those writes — a loser must collide before it can overwrite the
+    * winner's just-committed live files — and must not re-reserve here.
+    * Purely-relational commits (restore, restat, ingest) reserve late,
+    * after their compute, to shrink the crash window. */
   private def appendSnapshot(spark: SparkSession, ledgerDir: String,
-      snapshot: Long, actions: DataFrame): Unit =
-    withLedgerStats(actions)
+      snapshot: Long, actions: DataFrame,
+      preReserved: Boolean = false): Unit = {
+    val rows = withLedgerStats(actions)
       .withColumn("snapshot_id", lit(snapshot))
       .withColumn("ingested_at", current_timestamp())
       .select(LedgerCols.map(col): _*)
       .localCheckpoint()
-      .write.mode("append").parquet(ledgerDir)
+    if (!preReserved) reserveCommit(ledgerDir, snapshot)
+    rows.write.mode("append").parquet(ledgerDir)
+  }
 
   private def removeActions(spark: SparkSession, paths: Seq[String]): DataFrame = {
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
@@ -778,6 +869,9 @@ object Lake {
       changeFeed: Boolean = false): Long = {
     val snap = currentSnapshot(spark, ledgerDir)
     val next = snap + 1
+    // reserve BEFORE writing gen-$next data files: a concurrent commit must
+    // fail here, not after overwriting a winner's generation directory
+    reserveCommit(ledgerDir, next)
     val genDir = s"$genRoot/gen-$next"
     val liveActs = readLedger(spark, ledgerDir).map(l => liveActionsAt(l, snap))
     val index = liveActs.map(new LedgerFileIndex(_)).filterNot(_.isEmpty)
@@ -891,7 +985,7 @@ object Lake {
           .withColumn("op", lit("remove"))
           .withColumn("snapshot_op", lit("merge")))
       else adds
-    appendSnapshot(spark, ledgerDir, next, actions)
+    appendSnapshot(spark, ledgerDir, next, actions, preReserved = true)
     next
   }
 
@@ -907,6 +1001,8 @@ object Lake {
     val index = liveActs.map(new LedgerFileIndex(_)).filterNot(_.isEmpty)
     if (index.isEmpty) return snap // empty table: nothing to delete
     val next = snap + 1
+    // reserve BEFORE writing gen-$next data files (see mergeInto)
+    reserveCommit(ledgerDir, next)
     val genDir = s"$genRoot/gen-$next"
     val target = org.apache.spark.sql.GraftShim.parquetScan(spark, index.get)
     val cols = target.columns.map(col)
@@ -927,6 +1023,7 @@ object Lake {
       .withColumn("op", lit("add"))
       .withColumn("snapshot_op", lit("replace"))
     appendSnapshot(spark, ledgerDir, next,
+      preReserved = true, actions =
       adds.unionByName(affectedActs.select(col("path"))
         .withColumn("size", lit(null).cast("long"))
         .withColumn("adler32", lit(null).cast("long"))
