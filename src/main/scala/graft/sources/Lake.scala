@@ -170,8 +170,7 @@ object Lake {
       .select(LedgerCols.map(col): _*)
       .localCheckpoint() // materialize BEFORE appending to the dir we read
     val n = delta.count()
-    if (n > 0) {
-      reserveCommit(ledgerDir, nextSnapshot)
+    if (n > 0) reserving(spark, ledgerDir, nextSnapshot) {
       delta.write.mode("append").parquet(ledgerDir)
     }
     n
@@ -618,82 +617,84 @@ object Lake {
       .collect().map(_.getString(0)).toSeq.sorted
     val next = snap + 1
     // reserve BEFORE writing gen-$next data files: a concurrent commit must
-    // fail here, not after overwriting a winner's generation directory
-    reserveCommit(ledgerDir, next)
-    val genDir = s"$compactDir/gen-$next"
-    val df = org.apache.spark.sql.GraftShim.parquetScan(spark, index)
-    val n = df.count()
-    val files = math.max(1, math.ceil(n.toDouble / targetRowsPerFile).toInt)
-    // stats columns make compaction CLUSTERING-preserving: range-partition
-    // the rewrite by them so the recomputed per-file [lo,hi] stay narrow and
-    // data skipping survives the rewrite (the OPTIMIZE discipline — a hash
-    // repartition would leave stats correct but every file full-range wide).
-    // Lexicographic range clustering keeps only the FIRST column selective;
-    // zOrder=true instead range-partitions on the Morton interleave of the
-    // first two NUMERIC stats columns (min-max normalized to 32 bits), so
-    // point/range filters on EITHER column keep pruning after the rewrite —
-    // the OPTIMIZE ZORDER discipline. Normalization bounds come from one
-    // cheap aggregate over the rewrite input (already being fully read).
-    val numericCols = statsCols.filter(c => df.schema(c).dataType
-      .isInstanceOf[org.apache.spark.sql.types.NumericType])
-    val zBounds: Option[(String, String, org.apache.spark.sql.Row)] =
-      if (zOrder && numericCols.size >= 2) {
-        val (a, b) = (numericCols(0), numericCols(1))
-        val r = df.agg(min(col(a)).cast("double"), max(col(a)).cast("double"),
-          min(col(b)).cast("double"), max(col(b)).cast("double")).head()
-        // an entirely-null column yields null aggregate bounds — fall back
-        // to the lexicographic range branch instead of an NPE
-        if ((0 to 3).exists(r.isNullAt)) None else Some((a, b, r))
-      } else None
-    val repartitioned = zBounds match {
-      case Some((a, b, r)) =>
-        def norm(c: String, mn: Double, mx: Double) = {
-          val span = math.max(mx - mn, java.lang.Double.MIN_NORMAL)
-          ((col(c).cast("double") - mn) / span * 4294967295.0).cast("long")
-        }
-        df.withColumn("__z", graft.functions.GraftFunctions.zorder64(
-            norm(a, r.getDouble(0), r.getDouble(1)),
-            norm(b, r.getDouble(2), r.getDouble(3))))
-          .repartitionByRange(files, col("__z"))
-          // sort INSIDE each file too: parquet row-group/page stats get the
-          // same tight bounds as the manifest, so even an opened file skips
-          // row groups (manifest prunes files, footer stats prune pages)
-          .sortWithinPartitions(col("__z"))
-          .drop("__z")
-      case None if statsCols.nonEmpty =>
-        df.repartitionByRange(files, statsCols.map(col): _*)
-          .sortWithinPartitions(statsCols.map(col): _*)
-      case None => df.repartition(files)
+    // fail here, not after overwriting a winner's generation directory;
+    // `reserving` releases the id if the rewrite dies before its rows land
+    reserving(spark, ledgerDir, next) {
+      val genDir = s"$compactDir/gen-$next"
+      val df = org.apache.spark.sql.GraftShim.parquetScan(spark, index)
+      val n = df.count()
+      val files = math.max(1, math.ceil(n.toDouble / targetRowsPerFile).toInt)
+      // stats columns make compaction CLUSTERING-preserving: range-partition
+      // the rewrite by them so the recomputed per-file [lo,hi] stay narrow and
+      // data skipping survives the rewrite (the OPTIMIZE discipline — a hash
+      // repartition would leave stats correct but every file full-range wide).
+      // Lexicographic range clustering keeps only the FIRST column selective;
+      // zOrder=true instead range-partitions on the Morton interleave of the
+      // first two NUMERIC stats columns (min-max normalized to 32 bits), so
+      // point/range filters on EITHER column keep pruning after the rewrite —
+      // the OPTIMIZE ZORDER discipline. Normalization bounds come from one
+      // cheap aggregate over the rewrite input (already being fully read).
+      val numericCols = statsCols.filter(c => df.schema(c).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType])
+      val zBounds: Option[(String, String, org.apache.spark.sql.Row)] =
+        if (zOrder && numericCols.size >= 2) {
+          val (a, b) = (numericCols(0), numericCols(1))
+          val r = df.agg(min(col(a)).cast("double"), max(col(a)).cast("double"),
+            min(col(b)).cast("double"), max(col(b)).cast("double")).head()
+          // an entirely-null column yields null aggregate bounds — fall back
+          // to the lexicographic range branch instead of an NPE
+          if ((0 to 3).exists(r.isNullAt)) None else Some((a, b, r))
+        } else None
+      val repartitioned = zBounds match {
+        case Some((a, b, r)) =>
+          def norm(c: String, mn: Double, mx: Double) = {
+            val span = math.max(mx - mn, java.lang.Double.MIN_NORMAL)
+            ((col(c).cast("double") - mn) / span * 4294967295.0).cast("long")
+          }
+          df.withColumn("__z", graft.functions.GraftFunctions.zorder64(
+              norm(a, r.getDouble(0), r.getDouble(1)),
+              norm(b, r.getDouble(2), r.getDouble(3))))
+            .repartitionByRange(files, col("__z"))
+            // sort INSIDE each file too: parquet row-group/page stats get the
+            // same tight bounds as the manifest, so even an opened file skips
+            // row groups (manifest prunes files, footer stats prune pages)
+            .sortWithinPartitions(col("__z"))
+            .drop("__z")
+        case None if statsCols.nonEmpty =>
+          df.repartitionByRange(files, statsCols.map(col): _*)
+            .sortWithinPartitions(statsCols.map(col): _*)
+        case None => df.repartition(files)
+      }
+      repartitioned.write.mode("overwrite").parquet(genDir)
+      val added0 = spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(genDir)
+        .select(col("path"), col("length").as("size"),
+          graft.functions.GraftFunctions.adler32(col("content")).as("adler32"))
+        .withColumn("op", lit("add"))
+      val added = fileStats(spark, genDir, statsCols,
+          bloomCols = bloomColsLive) match {
+        case Some(stats) => added0
+          .withColumn("_np", regexp_replace(col("path"), "^file:/+", "/"))
+          .join(stats, Seq("_np"), "left")
+          .drop("_np")
+        case None => added0
+      }
+      // remove rows straight from the live-actions RELATION — the full live
+      // path set never touches the driver even for the rewrite's bookkeeping
+      val removed = liveActs.select(col("path"))
+        .withColumn("size", lit(null).cast("long"))
+        .withColumn("adler32", lit(null).cast("long"))
+        .withColumn("op", lit("remove"))
+      val replaceRows = withLedgerStats(added).unionByName(withLedgerStats(removed))
+        .withColumn("snapshot_id", lit(next))
+        .withColumn("ingested_at", current_timestamp())
+        .withColumn("snapshot_op", lit("replace"))
+        .select(LedgerCols.map(col): _*)
+        .localCheckpoint()
+      replaceRows.write.mode("append").parquet(ledgerDir)
+      next
     }
-    repartitioned.write.mode("overwrite").parquet(genDir)
-    val added0 = spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.parquet")
-      .load(genDir)
-      .select(col("path"), col("length").as("size"),
-        graft.functions.GraftFunctions.adler32(col("content")).as("adler32"))
-      .withColumn("op", lit("add"))
-    val added = fileStats(spark, genDir, statsCols,
-        bloomCols = bloomColsLive) match {
-      case Some(stats) => added0
-        .withColumn("_np", regexp_replace(col("path"), "^file:/+", "/"))
-        .join(stats, Seq("_np"), "left")
-        .drop("_np")
-      case None => added0
-    }
-    // remove rows straight from the live-actions RELATION — the full live
-    // path set never touches the driver even for the rewrite's bookkeeping
-    val removed = liveActs.select(col("path"))
-      .withColumn("size", lit(null).cast("long"))
-      .withColumn("adler32", lit(null).cast("long"))
-      .withColumn("op", lit("remove"))
-    val replaceRows = withLedgerStats(added).unionByName(withLedgerStats(removed))
-      .withColumn("snapshot_id", lit(next))
-      .withColumn("ingested_at", current_timestamp())
-      .withColumn("snapshot_op", lit("replace"))
-      .select(LedgerCols.map(col): _*)
-      .localCheckpoint()
-    replaceRows.write.mode("append").parquet(ledgerDir)
-    next
   }
 
   // ------------------------------------------------------- row-level merge
@@ -733,11 +734,41 @@ object Lake {
       s"snapshot $snapshot under $ledgerDir already reserved by a " +
         "concurrent writer — re-run the operation against the current state")
 
+  /** The one primitive OCC needs from storage: atomic create-if-absent of
+    * a named marker, plus delete and list. Every object store / HDFS
+    * exposes it (S3 conditional PUT If-None-Match, GCS precondition 0,
+    * HDFS create-no-overwrite); [[LocalFsCommitStore]] is the local-FS
+    * form (`File.createNewFile` = O_CREAT|O_EXCL). Pluggable so (a) a
+    * deployment backs it with its store's conditional PUT and (b) tests
+    * inject contention deterministically ([[Lake.commitStore]]). */
+  trait CommitStore {
+    /** Atomically create marker `name` under `dir`; false iff it exists. */
+    def putIfAbsent(dir: String, name: String): Boolean
+    def delete(dir: String, name: String): Boolean
+    def list(dir: String): Seq[String]
+  }
+
+  object LocalFsCommitStore extends CommitStore {
+    def putIfAbsent(dir: String, name: String): Boolean = {
+      val d = new java.io.File(dir)
+      d.mkdirs()
+      new java.io.File(d, name).createNewFile()
+    }
+    def delete(dir: String, name: String): Boolean =
+      new java.io.File(s"$dir/$name").delete()
+    def list(dir: String): Seq[String] =
+      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .map(_.getName).toSeq
+  }
+
+  /** The active commit-marker store — swap for an object-store impl in a
+    * real deployment, or for an always-collide impl in contention tests. */
+  @volatile var commitStore: CommitStore = LocalFsCommitStore
+
   /** OPTIMISTIC CONCURRENCY at commit: atomically reserve `snapshot`
     * before its ledger rows land (create-if-absent of a marker under the
-    * hidden `_commits/` dir — the PUT-if-absent every object store / HDFS
-    * create-no-overwrite provides; `File.createNewFile` is its local-FS
-    * form). Two writers that both read state N and both computed N+1
+    * hidden `_commits/` dir via [[CommitStore.putIfAbsent]]). Two writers
+    * that both read state N and both computed N+1
     * cannot both append rows tagged N+1 — the loser throws
     * [[ConcurrentCommitException]] BEFORE writing anything, instead of
     * silently forking the table (two same-id snapshots = every reader
@@ -745,11 +776,29 @@ object Lake {
     * readers (underscore-hidden; snapshot existence still comes from the
     * DATA rows, so a reserved-but-unwritten id — a crashed writer —
     * never surfaces as table state; see [[orphanedCommits]]). */
-  private def reserveCommit(ledgerDir: String, snapshot: Long): Unit = {
-    val dir = new java.io.File(s"$ledgerDir/_commits")
-    dir.mkdirs()
-    if (!new java.io.File(dir, snapshot.toString).createNewFile())
+  private def reserveCommit(ledgerDir: String, snapshot: Long): Unit =
+    if (!commitStore.putIfAbsent(s"$ledgerDir/_commits", snapshot.toString))
       throw new ConcurrentCommitException(ledgerDir, snapshot)
+
+  /** Run `body` holding the reservation for `snapshot`; any failure
+    * releases the reservation (best-effort) before rethrowing, so a merge
+    * that dies mid-job — task failure, OOM, bad source expression — never
+    * leaves the table's next id permanently blocked behind an orphaned
+    * marker. Safe even when the failure lands AFTER the ledger append:
+    * [[releaseCommit]] refuses to delete the marker of a landed snapshot.
+    * Only a hard process crash (no catch runs) leaves an orphan — that
+    * cross-process case is what [[orphanedCommits]]/[[releaseCommit]]
+    * operator recovery is for. */
+  private def reserving[T](spark: SparkSession, ledgerDir: String,
+      snapshot: Long)(body: => T): T = {
+    reserveCommit(ledgerDir, snapshot)
+    try body
+    catch {
+      case e: Throwable =>
+        try releaseCommit(spark, ledgerDir, snapshot)
+        catch { case _: Throwable => () } // release is best-effort
+        throw e
+    }
   }
 
   /** Whole-operation OCC retry: re-run `op` until it commits without a
@@ -777,8 +826,8 @@ object Lake {
     * operator-driven [[releaseCommit]]: "in-flight about to write" and
     * "dead" are indistinguishable from the marker alone. */
   def orphanedCommits(spark: SparkSession, ledgerDir: String): Seq[Long] = {
-    val reserved = Option(new java.io.File(s"$ledgerDir/_commits").listFiles())
-      .getOrElse(Array.empty).flatMap(f => f.getName.toLongOption).toSet
+    val reserved = commitStore.list(s"$ledgerDir/_commits")
+      .flatMap(_.toLongOption).toSet
     if (reserved.isEmpty) return Seq.empty
     val landed = readLedger(spark, ledgerDir)
       .map(_.select(col("snapshot_id")).distinct()
@@ -795,7 +844,7 @@ object Lake {
     val landed = readLedger(spark, ledgerDir).exists(
       !_.filter(col("snapshot_id") === snapshot).isEmpty)
     if (landed) false
-    else new java.io.File(s"$ledgerDir/_commits/$snapshot").delete()
+    else commitStore.delete(s"$ledgerDir/_commits", snapshot.toString)
   }
 
   /** `preReserved`: operations that write data files NAMED by the snapshot
@@ -812,8 +861,10 @@ object Lake {
       .withColumn("ingested_at", current_timestamp())
       .select(LedgerCols.map(col): _*)
       .localCheckpoint()
-    if (!preReserved) reserveCommit(ledgerDir, snapshot)
-    rows.write.mode("append").parquet(ledgerDir)
+    if (preReserved) rows.write.mode("append").parquet(ledgerDir)
+    else reserving(spark, ledgerDir, snapshot) {
+      rows.write.mode("append").parquet(ledgerDir)
+    }
   }
 
   private def removeActions(spark: SparkSession, paths: Seq[String]): DataFrame = {
@@ -870,123 +921,126 @@ object Lake {
     val snap = currentSnapshot(spark, ledgerDir)
     val next = snap + 1
     // reserve BEFORE writing gen-$next data files: a concurrent commit must
-    // fail here, not after overwriting a winner's generation directory
-    reserveCommit(ledgerDir, next)
-    val genDir = s"$genRoot/gen-$next"
-    val liveActs = readLedger(spark, ledgerDir).map(l => liveActionsAt(l, snap))
-    val index = liveActs.map(new LedgerFileIndex(_)).filterNot(_.isEmpty)
-    val target = index.map(org.apache.spark.sql.GraftShim.parquetScan(spark, _))
-    // merge into an EMPTY table = pure insert; take the schema from source
-    val cols = target.map(_.columns).getOrElse(source.columns).map(col)
-    val srcKeys = source.select(col(key)).distinct()
-    // the rewrite set: live files containing at least one matched key —
-    // bounded by files-with-matches (the merge's blast radius), the only
-    // file list a COW merge puts on the driver
-    val affectedNorm: Set[String] = target match {
-      case Some(t) => t
-        .withColumn("_file", regexp_replace(input_file_name(), "^file:/+", "/"))
-        .join(srcKeys, Seq(key), "left_semi")
-        .select(col("_file")).distinct()
-        .collect().map(_.getString(0)).toSet
-      case None => Set.empty
-    }
-    // manifest-driven scan / action rows restricted to the affected files
-    def affectedActs: DataFrame = liveActs.get.filter(
-      regexp_replace(col("path"), "^file:/+", "/")
-        .isin(affectedNorm.toSeq: _*))
-    def affectedScan: DataFrame = scanActions(spark, ledgerDir, affectedActs)
-    // matched keys live ONLY in affected files — computable without a
-    // full scan; shared by the deleteWhen filter and the change feed
-    val matchedKeys: Option[DataFrame] =
-      if (affectedNorm.nonEmpty)
-        Some(affectedScan.join(srcKeys, Seq(key), "left_semi")
-          .select(col(key)).distinct())
-      else None
-    // deleteWhen governs MATCHED source rows only (SQL MERGE semantics)
-    val srcLive = (deleteWhen, matchedKeys) match {
-      case (Some(c), Some(mk)) =>
-        source.join(mk.withColumn("_matched", lit(true)),
-            Seq(key), "left")
-          .filter(!(coalesce(col("_matched"), lit(false))
-            && coalesce(c, lit(false))))
-          .drop("_matched")
-      case _ => source // no delete clause, or empty table (nothing matched)
-    }
-    // CHANGE DATA FEED (the Delta CDF / Iceberg changelog analog): when
-    // `changeFeed` is on, classify this merge's row-level effects and
-    // persist them as cdc-typed ledger files so incremental consumers
-    // replay CHANGES, not table diffs. OPT-IN like Delta's
-    // enableChangeDataFeed: the classification re-joins the blast radius
-    // (affected files + source — never a full-table pass, but roughly
-    // doubles the merge's work) and a table that no one consumes changes
-    // from shouldn't pay that write amplification. A matched key whose
-    // source row survives deleteWhen is an update (pre + post image); one
-    // whose source row was consumed by deleteWhen is a delete (pre
-    // image); an unmatched source row is an insert. cdc rows are inert to
-    // every live-set reader (op is neither add nor remove) and vacuum
-    // never deletes them (no add row).
-    if (changeFeed) {
-      def tag(df: DataFrame, t: String): DataFrame =
-        df.select(cols: _*).withColumn("_change_type", lit(t))
-      val changes = matchedKeys match {
-        case Some(mk) =>
-          val liveKeys = srcLive.select(col(key)).distinct()
-          val updKeys = mk.join(liveKeys, Seq(key), "left_semi")
-          val delKeys = mk.join(liveKeys, Seq(key), "left_anti")
-          tag(affectedScan.join(delKeys, Seq(key), "left_semi"),
-              "delete")
-            .unionByName(tag(affectedScan.join(updKeys, Seq(key),
-              "left_semi"), "update_preimage"))
-            .unionByName(tag(srcLive.join(mk, Seq(key), "left_semi"),
-              "update_postimage"))
-            .unionByName(tag(srcLive.join(mk, Seq(key), "left_anti"),
-              "insert"))
-        case None => tag(srcLive, "insert")
+    // fail here, not after overwriting a winner's generation directory.
+    // `reserving` releases the id if the merge dies before its rows land —
+    // a failed job must not block the table behind an orphaned marker.
+    reserving(spark, ledgerDir, next) {
+      val genDir = s"$genRoot/gen-$next"
+      val liveActs = readLedger(spark, ledgerDir).map(l => liveActionsAt(l, snap))
+      val index = liveActs.map(new LedgerFileIndex(_)).filterNot(_.isEmpty)
+      val target = index.map(org.apache.spark.sql.GraftShim.parquetScan(spark, _))
+      // merge into an EMPTY table = pure insert; take the schema from source
+      val cols = target.map(_.columns).getOrElse(source.columns).map(col)
+      val srcKeys = source.select(col(key)).distinct()
+      // the rewrite set: live files containing at least one matched key —
+      // bounded by files-with-matches (the merge's blast radius), the only
+      // file list a COW merge puts on the driver
+      val affectedNorm: Set[String] = target match {
+        case Some(t) => t
+          .withColumn("_file", regexp_replace(input_file_name(), "^file:/+", "/"))
+          .join(srcKeys, Seq(key), "left_semi")
+          .select(col("_file")).distinct()
+          .collect().map(_.getString(0)).toSet
+        case None => Set.empty
       }
-      changes.withColumn("_commit_snapshot", lit(next))
-        .write.mode("overwrite").parquet(s"$genDir/changes")
+      // manifest-driven scan / action rows restricted to the affected files
+      def affectedActs: DataFrame = liveActs.get.filter(
+        regexp_replace(col("path"), "^file:/+", "/")
+          .isin(affectedNorm.toSeq: _*))
+      def affectedScan: DataFrame = scanActions(spark, ledgerDir, affectedActs)
+      // matched keys live ONLY in affected files — computable without a
+      // full scan; shared by the deleteWhen filter and the change feed
+      val matchedKeys: Option[DataFrame] =
+        if (affectedNorm.nonEmpty)
+          Some(affectedScan.join(srcKeys, Seq(key), "left_semi")
+            .select(col(key)).distinct())
+        else None
+      // deleteWhen governs MATCHED source rows only (SQL MERGE semantics)
+      val srcLive = (deleteWhen, matchedKeys) match {
+        case (Some(c), Some(mk)) =>
+          source.join(mk.withColumn("_matched", lit(true)),
+              Seq(key), "left")
+            .filter(!(coalesce(col("_matched"), lit(false))
+              && coalesce(c, lit(false))))
+            .drop("_matched")
+        case _ => source // no delete clause, or empty table (nothing matched)
+      }
+      // CHANGE DATA FEED (the Delta CDF / Iceberg changelog analog): when
+      // `changeFeed` is on, classify this merge's row-level effects and
+      // persist them as cdc-typed ledger files so incremental consumers
+      // replay CHANGES, not table diffs. OPT-IN like Delta's
+      // enableChangeDataFeed: the classification re-joins the blast radius
+      // (affected files + source — never a full-table pass, but roughly
+      // doubles the merge's work) and a table that no one consumes changes
+      // from shouldn't pay that write amplification. A matched key whose
+      // source row survives deleteWhen is an update (pre + post image); one
+      // whose source row was consumed by deleteWhen is a delete (pre
+      // image); an unmatched source row is an insert. cdc rows are inert to
+      // every live-set reader (op is neither add nor remove) and vacuum
+      // never deletes them (no add row).
+      if (changeFeed) {
+        def tag(df: DataFrame, t: String): DataFrame =
+          df.select(cols: _*).withColumn("_change_type", lit(t))
+        val changes = matchedKeys match {
+          case Some(mk) =>
+            val liveKeys = srcLive.select(col(key)).distinct()
+            val updKeys = mk.join(liveKeys, Seq(key), "left_semi")
+            val delKeys = mk.join(liveKeys, Seq(key), "left_anti")
+            tag(affectedScan.join(delKeys, Seq(key), "left_semi"),
+                "delete")
+              .unionByName(tag(affectedScan.join(updKeys, Seq(key),
+                "left_semi"), "update_preimage"))
+              .unionByName(tag(srcLive.join(mk, Seq(key), "left_semi"),
+                "update_postimage"))
+              .unionByName(tag(srcLive.join(mk, Seq(key), "left_anti"),
+                "insert"))
+          case None => tag(srcLive, "insert")
+        }
+        changes.withColumn("_commit_snapshot", lit(next))
+          .write.mode("overwrite").parquet(s"$genDir/changes")
+      }
+      // whole-row replace means every surviving source row lands in the table:
+      // updates (matched) and inserts (unmatched) are both just srcLive
+      val delta = srcLive.select(cols: _*)
+      if (affectedNorm.nonEmpty) {
+        // rows the merge deletes/replaces live ONLY in affected files, so the
+        // carry rewrite scans just those files
+        affectedScan
+          .join(srcKeys, Seq(key), "left_anti")
+          .select(cols: _*)
+          .write.mode("overwrite").parquet(s"$genDir/carry")
+      }
+      delta.write.mode("overwrite").parquet(s"$genDir/delta")
+      val carryAdds =
+        if (affectedNorm.nonEmpty)
+          fileAdds(spark, s"$genDir/carry")
+            .withColumn("op", lit("add"))
+            .withColumn("snapshot_op", lit("replace"))
+        else spark.emptyDataFrame
+      val deltaAdds = fileAdds(spark, s"$genDir/delta")
+        .withColumn("op", lit("add"))
+        .withColumn("snapshot_op", lit("merge"))
+      val adds0 =
+        if (affectedNorm.nonEmpty) carryAdds.unionByName(deltaAdds) else deltaAdds
+      val adds =
+        if (changeFeed)
+          adds0.unionByName(fileAdds(spark, s"$genDir/changes")
+            .withColumn("op", lit("cdc"))
+            .withColumn("snapshot_op", lit("merge")))
+        else adds0
+      val actions =
+        if (affectedNorm.nonEmpty)
+          // remove rows straight from the affected action rows (ledger-form
+          // paths) — relational, never a re-collected path list
+          adds.unionByName(affectedActs.select(col("path"))
+            .withColumn("size", lit(null).cast("long"))
+            .withColumn("adler32", lit(null).cast("long"))
+            .withColumn("op", lit("remove"))
+            .withColumn("snapshot_op", lit("merge")))
+        else adds
+      appendSnapshot(spark, ledgerDir, next, actions, preReserved = true)
+      next
     }
-    // whole-row replace means every surviving source row lands in the table:
-    // updates (matched) and inserts (unmatched) are both just srcLive
-    val delta = srcLive.select(cols: _*)
-    if (affectedNorm.nonEmpty) {
-      // rows the merge deletes/replaces live ONLY in affected files, so the
-      // carry rewrite scans just those files
-      affectedScan
-        .join(srcKeys, Seq(key), "left_anti")
-        .select(cols: _*)
-        .write.mode("overwrite").parquet(s"$genDir/carry")
-    }
-    delta.write.mode("overwrite").parquet(s"$genDir/delta")
-    val carryAdds =
-      if (affectedNorm.nonEmpty)
-        fileAdds(spark, s"$genDir/carry")
-          .withColumn("op", lit("add"))
-          .withColumn("snapshot_op", lit("replace"))
-      else spark.emptyDataFrame
-    val deltaAdds = fileAdds(spark, s"$genDir/delta")
-      .withColumn("op", lit("add"))
-      .withColumn("snapshot_op", lit("merge"))
-    val adds0 =
-      if (affectedNorm.nonEmpty) carryAdds.unionByName(deltaAdds) else deltaAdds
-    val adds =
-      if (changeFeed)
-        adds0.unionByName(fileAdds(spark, s"$genDir/changes")
-          .withColumn("op", lit("cdc"))
-          .withColumn("snapshot_op", lit("merge")))
-      else adds0
-    val actions =
-      if (affectedNorm.nonEmpty)
-        // remove rows straight from the affected action rows (ledger-form
-        // paths) — relational, never a re-collected path list
-        adds.unionByName(affectedActs.select(col("path"))
-          .withColumn("size", lit(null).cast("long"))
-          .withColumn("adler32", lit(null).cast("long"))
-          .withColumn("op", lit("remove"))
-          .withColumn("snapshot_op", lit("merge")))
-      else adds
-    appendSnapshot(spark, ledgerDir, next, actions, preReserved = true)
-    next
   }
 
   /** Row-level DELETE WHERE — copy-on-write rewrite of only the files that
@@ -1001,9 +1055,6 @@ object Lake {
     val index = liveActs.map(new LedgerFileIndex(_)).filterNot(_.isEmpty)
     if (index.isEmpty) return snap // empty table: nothing to delete
     val next = snap + 1
-    // reserve BEFORE writing gen-$next data files (see mergeInto)
-    reserveCommit(ledgerDir, next)
-    val genDir = s"$genRoot/gen-$next"
     val target = org.apache.spark.sql.GraftShim.parquetScan(spark, index.get)
     val cols = target.columns.map(col)
     val affectedNorm = target
@@ -1012,26 +1063,32 @@ object Lake {
       .select(col("_file")).distinct()
       .collect().map(_.getString(0)).toSet
     if (affectedNorm.isEmpty) return snap // nothing matches: no snapshot
-    val affectedActs = liveActs.get.filter(
-      regexp_replace(col("path"), "^file:/+", "/")
-        .isin(affectedNorm.toSeq: _*))
-    val carry = scanActions(spark, ledgerDir, affectedActs)
-      .filter(!coalesce(cond, lit(false)))
-      .select(cols: _*)
-    carry.write.mode("overwrite").parquet(s"$genDir/carry")
-    val adds = fileAdds(spark, s"$genDir/carry")
-      .withColumn("op", lit("add"))
-      .withColumn("snapshot_op", lit("replace"))
-    appendSnapshot(spark, ledgerDir, next,
-      preReserved = true, actions =
-      adds.unionByName(affectedActs.select(col("path"))
-        .withColumn("size", lit(null).cast("long"))
-        .withColumn("adler32", lit(null).cast("long"))
-        .withColumn("op", lit("remove"))
-        // a pure delete is a REPLACE-shaped snapshot (no reader keys on
-        // remove-row snapshot_op; history()'s op mix stays honest)
-        .withColumn("snapshot_op", lit("replace"))))
-    next
+    // reserve AFTER the read-only match scan — the old order reserved
+    // first and ORPHANED the id on the nothing-matches early return —
+    // but still BEFORE writing gen-$next data files (see mergeInto)
+    reserving(spark, ledgerDir, next) {
+      val genDir = s"$genRoot/gen-$next"
+      val affectedActs = liveActs.get.filter(
+        regexp_replace(col("path"), "^file:/+", "/")
+          .isin(affectedNorm.toSeq: _*))
+      val carry = scanActions(spark, ledgerDir, affectedActs)
+        .filter(!coalesce(cond, lit(false)))
+        .select(cols: _*)
+      carry.write.mode("overwrite").parquet(s"$genDir/carry")
+      val adds = fileAdds(spark, s"$genDir/carry")
+        .withColumn("op", lit("add"))
+        .withColumn("snapshot_op", lit("replace"))
+      appendSnapshot(spark, ledgerDir, next,
+        preReserved = true, actions =
+        adds.unionByName(affectedActs.select(col("path"))
+          .withColumn("size", lit(null).cast("long"))
+          .withColumn("adler32", lit(null).cast("long"))
+          .withColumn("op", lit("remove"))
+          // a pure delete is a REPLACE-shaped snapshot (no reader keys on
+          // remove-row snapshot_op; history()'s op mix stays honest)
+          .withColumn("snapshot_op", lit("replace"))))
+      next
+    }
   }
 
   /** RESTORE — the Delta `RESTORE TABLE ... TO VERSION` / Iceberg
@@ -1197,18 +1254,25 @@ object Lake {
       .filter(col("la").isNotNull && col("ex").isNull
         && col("lr").isNotNull && col("lr") > col("la") && col("lr") <= rf)
       .select(col("path")).collect().map(_.getString(0))
-    var deleted = 0L
-    expire.foreach { p =>
-      val f = new java.io.File(normPath(p))
-      if (f.isFile && f.delete()) deleted += 1
-    }
-    if (expire.nonEmpty) {
+    if (expire.isEmpty) return 0L
+    // reserve BEFORE the physical deletions — the mergeInto discipline
+    // (reserve before irreversible writes) applies doubly here: a
+    // concurrent-commit collision must abort while the files still
+    // exist, never AFTER deletions whose expire rows then fail to land
+    // (which would blind checkHorizon to the vanished files).
+    reserving(spark, ledgerDir, current + 1) {
+      var deleted = 0L
+      expire.foreach { p =>
+        val f = new java.io.File(normPath(p))
+        if (f.isFile && f.delete()) deleted += 1
+      }
       val actions = removeActions(spark, expire)
         .withColumn("op", lit("expire"))
         .withColumn("snapshot_op", lit("expire"))
-      appendSnapshot(spark, ledgerDir, current + 1, actions)
+      appendSnapshot(spark, ledgerDir, current + 1, actions,
+        preReserved = true)
+      deleted
     }
-    deleted
   }
 
   // ------------------------------------------------- history + AS-OF reads
