@@ -202,16 +202,19 @@ object Pq {
             element_at(col("flat"), (sub * PqK + c + 1).cast("int"))
               .getField("cnorm2"))).as("cn_lut"),
         col("probe_nrm"))
-    val cands = s.read.parquet(s"$idx/codes")
+    // candidate cut via the two-phase bounded heap: the scored relation is
+    // corpus×B rows — a per-probe row_number window would shuffle ALL of
+    // it into B single-task sorts; the partial pass instead reduces every
+    // scan partition to ≤ B·CandK rows before any exchange
+    val scored = s.read.parquet(s"$idx/codes")
       .filter(col("vec_id") >= 5)
       .crossJoin(broadcast(luts))
       .select(col("probe_id"), col("vec_id"),
         (adcSum(col("pq_codes"), col("pdot_lut"))
           / (sqrt(adcSum(col("pq_codes"), col("cn_lut"))) * col("probe_nrm")))
           .as("qcos"))
-      .withColumn("crk", row_number().over(Window.partitionBy(col("probe_id"))
-        .orderBy(col("qcos").desc, col("vec_id"))))
-      .filter(col("crk") <= CandK)
+    val cands = graft.plans.TopKPerGroup.twoPhase(
+        scored, CandK, "probe_id", "qcos", "vec_id")
       .select(col("probe_id"), col("vec_id"))
     cands.join(e, "vec_id")
       .join(broadcast(probes), "probe_id")

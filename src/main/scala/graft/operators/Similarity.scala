@@ -75,22 +75,25 @@ object Similarity {
     * probe vectors (vec_id 0-4) in one pass — the shape real pipelines
     * use (nobody probes one vector at a time at 100 TB): the probe batch
     * broadcasts, the corpus streams through ONE scan scoring all probes
-    * per row, and per-probe top-K is a bounded window. Output ids+rank
-    * only (float-rounding-proof). */
+    * per row, and the per-probe cut is the TWO-PHASE bounded heap
+    * (TopKPerGroup partial→final) — each scan partition reduces to ≤ B·5
+    * rows map-side, so the shuffle never carries the corpus×B scored
+    * relation into B single-task window sorts. Output ids+rank only
+    * (float-rounding-proof). */
   def qAnnBatch(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = emb(s, d)
     val probes = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("vec").as("probe_vec"),
         norm(col("vec")).as("probe_nrm"))
-    e.filter(col("vec_id") >= 5)
+    val scored = e.filter(col("vec_id") >= 5)
       .crossJoin(broadcast(probes))
       .select(col("probe_id"), col("vec_id"),
         (dot(col("vec"), col("probe_vec")) / (norm(col("vec")) * col("probe_nrm")))
           .as("cos"))
+    graft.plans.TopKPerGroup.twoPhase(scored, 5, "probe_id", "cos", "vec_id")
       .withColumn("rank", row_number().over(Window.partitionBy(col("probe_id"))
-        .orderBy(col("cos").desc, col("vec_id"))))
-      .filter(col("rank") <= 5)
+        .orderBy(col("cos").desc, col("vec_id")))) // ≤ B·5 rows: bounded
       .select(col("probe_id"), col("rank"), col("vec_id"))
   }
 
@@ -289,14 +292,17 @@ object Similarity {
       .join(broadcast(probeLists), Seq("list_id"))
       .filter(col("vec_id") >= 5)
       .select(col("probe_id"), col("vec_id"))
-    cand.join(e, "vec_id")
+    // top-5 via the two-phase bounded heap — the candidate relation is
+    // list-sized (corpus/k·nProbe per probe), still data-scaled, so the
+    // cut must not funnel it through per-probe single-task window sorts
+    val scored = cand.join(e, "vec_id")
       .join(broadcast(probes), "probe_id")
       .select(col("probe_id"), col("vec_id"),
         (dot(col("vec"), col("probe_vec")) / (norm(col("vec")) * col("probe_nrm")))
           .as("cos"))
+    graft.plans.TopKPerGroup.twoPhase(scored, 5, "probe_id", "cos", "vec_id")
       .withColumn("rank", row_number().over(Window.partitionBy(col("probe_id"))
-        .orderBy(col("cos").desc, col("vec_id"))))
-      .filter(col("rank") <= 5)
+        .orderBy(col("cos").desc, col("vec_id")))) // ≤ B·5 rows: bounded
       .select(col("probe_id"), col("rank"), col("vec_id"))
   }
 
@@ -320,14 +326,16 @@ object Similarity {
     val probes = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("vec").as("probe_vec"),
         norm(col("vec")).as("probe_nrm"))
-    cands.join(e, "vec_id")
+    // two-phase bounded-heap cut: candidate sets are bucket-sized but
+    // still data-scaled per probe — never per-probe single-task sorts
+    val scored = cands.join(e, "vec_id")
       .join(broadcast(probes), "probe_id")
       .select(col("probe_id"), col("vec_id"),
         (dot(col("vec"), col("probe_vec")) / (norm(col("vec")) * col("probe_nrm")))
           .as("cos"))
+    graft.plans.TopKPerGroup.twoPhase(scored, 5, "probe_id", "cos", "vec_id")
       .withColumn("rank", row_number().over(Window.partitionBy(col("probe_id"))
-        .orderBy(col("cos").desc, col("vec_id"))))
-      .filter(col("rank") <= 5)
+        .orderBy(col("cos").desc, col("vec_id")))) // ≤ B·5 rows: bounded
       .select(col("probe_id"), col("rank"), col("vec_id"))
   }
 
@@ -547,8 +555,12 @@ object Similarity {
         .orderBy(col("dist"), col("list_id"))))
       .filter(col("rk") <= IvfNProbe)
       .select(col("probe_id"), col("list_id"))
-    // one codes-only scan for the whole batch: per-probe quantized scores
-    val cands = s.read.parquet(s"$idx/assignments")
+    // one codes-only scan for the whole batch: per-probe quantized scores,
+    // cut to CandK by the two-phase bounded heap (a per-probe row_number
+    // window would shuffle the whole list-pruned score relation into B
+    // single-task sorts; the partial pass reduces each scan partition to
+    // ≤ B·CandK rows before any exchange)
+    val scored = s.read.parquet(s"$idx/assignments")
       .join(broadcast(probeLists), Seq("list_id"))
       .filter(col("vec_id") >= 5)
       .join(broadcast(probes), "probe_id")
@@ -556,10 +568,11 @@ object Similarity {
       .select(col("probe_id"), col("vec_id"),
         (dot(col("qvec"), col("probe_qvec"))
           / (norm(col("qvec")) * col("probe_qnrm"))).as("qcos"))
-      .withColumn("crk", row_number().over(Window.partitionBy(col("probe_id"))
-        .orderBy(col("qcos").desc, col("vec_id"))))
-      .filter(col("crk") <= CandK)
+    val cands = graft.plans.TopKPerGroup.twoPhase(
+        scored, CandK, "probe_id", "qcos", "vec_id")
       .select(col("probe_id"), col("vec_id"))
+    // exact re-rank over the BOUNDED B·CandK pairs; the rank window's
+    // input is candidate-sized, never corpus-sized
     cands.join(e, "vec_id")
       .join(broadcast(probes), "probe_id")
       .select(col("probe_id"), col("vec_id"),

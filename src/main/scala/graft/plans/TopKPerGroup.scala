@@ -23,25 +23,50 @@ import org.apache.spark.sql.execution.SparkStrategy
   * ASC — a total order, so results are deterministic at any parallelism.
   */
 case class TopKPerGroupNode(k: Int, keyCol: String, orderCol: String,
-    tiebreakCol: String, child: LogicalPlan) extends UnaryNode {
+    tiebreakCol: String, child: LogicalPlan,
+    partial: Boolean = false) extends UnaryNode {
   override def output: Seq[Attribute] = child.output
+  // the key/order/tiebreak columns are referenced by NAME (plain-string
+  // fields carry no Expression for the default references derivation), so
+  // declare them explicitly — otherwise ColumnPruning sees an
+  // all-passthrough node referencing nothing and happily inserts a
+  // pruning Project BELOW it when a parent selects a subset, silently
+  // dropping the ordering column out of the exec's input (indexWhere
+  // → -1 → unchecked out-of-bounds UnsafeRow read = garbage ordering).
+  override def references: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(
+      child.output.filter(a =>
+        a.name == keyCol || a.name == orderCol || a.name == tiebreakCol))
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroupNode =
     copy(child = newChild)
 }
 
 case class TopKPerGroupExec(k: Int, keyCol: String, orderCol: String,
-    tiebreakCol: String, child: SparkPlan) extends UnaryExecNode {
+    tiebreakCol: String, child: SparkPlan,
+    partial: Boolean = false) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
 
   // all rows of a group must meet in one partition — Catalyst inserts the
-  // hash exchange (and AQE sizes it) to satisfy this
+  // hash exchange (and AQE sizes it) to satisfy this. The PARTIAL form is
+  // the map-side combine: no required distribution, each input partition
+  // reduces to ≤ groups·K rows IN PLACE, so only those survivors ever
+  // reach the final phase's exchange (the aggregate partial/final split,
+  // expressed for top-K).
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(Seq(child.output.find(_.name == keyCol).get)) :: Nil
+    if (partial) super.requiredChildDistribution
+    else ClusteredDistribution(
+      Seq(child.output.find(_.name == keyCol).get)) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
     val keyIdx = child.output.indexWhere(_.name == keyCol)
     val ordIdx = child.output.indexWhere(_.name == orderCol)
     val tieIdx = child.output.indexWhere(_.name == tiebreakCol)
+    // fail loudly, never read a negative ordinal: UnsafeRow does NOT
+    // bounds-check, so a pruned-away column would otherwise degrade to
+    // silently-garbage ordering (how the missing-references bug surfaced)
+    require(keyIdx >= 0 && ordIdx >= 0 && tieIdx >= 0,
+      s"TopKPerGroup columns [$keyCol, $orderCol, $tiebreakCol] must all " +
+        s"survive to the exec input; got ${child.output.map(_.name)}")
     val kk = k
     child.execute().mapPartitions { it =>
       // Per-group bounded buffers; rows must be copied out of the unsafe
@@ -81,8 +106,8 @@ case class TopKPerGroupExec(k: Int, keyCol: String, orderCol: String,
   * GraftExtensions (SparkSessionExtensions.injectPlannerStrategy). */
 object TopKPerGroupStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerGroupNode(k, key, ord, tie, child) =>
-      TopKPerGroupExec(k, key, ord, tie, planLater(child)) :: Nil
+    case TopKPerGroupNode(k, key, ord, tie, child, partial) =>
+      TopKPerGroupExec(k, key, ord, tie, planLater(child), partial) :: Nil
     case _ => Nil
   }
 }
@@ -92,7 +117,7 @@ object TopKPerGroup {
     * (ties → smallest `tiebreakCol`). key/tiebreak must be LongType,
     * order DoubleType. */
   def apply(df: DataFrame, k: Int, keyCol: String, orderCol: String,
-      tiebreakCol: String): DataFrame = {
+      tiebreakCol: String, partial: Boolean = false): DataFrame = {
     val session = df.sparkSession
     // ensure the strategy is present even on sessions not built through
     // GraftSession (extraStrategies is the runtime hook; the
@@ -102,6 +127,22 @@ object TopKPerGroup {
         session.experimental.extraStrategies :+ TopKPerGroupStrategy
     org.apache.spark.sql.GraftShim.ofRows(session,
       TopKPerGroupNode(k, keyCol, orderCol, tiebreakCol,
-        org.apache.spark.sql.GraftShim.logicalPlan(df)))
+        org.apache.spark.sql.GraftShim.logicalPlan(df), partial))
   }
+
+  /** Two-phase top-K — the shape for a DATA-SCALED scored relation cut to
+    * K per group (batched ANN's candidate cut: every (probe, row) score
+    * for a handful of probes): a PARTIAL bounded-heap pass reduces each
+    * input partition to ≤ groups·K rows with NO exchange, then the final
+    * clustered pass merges the survivors — so the shuffle carries
+    * partitions·groups·K rows, never the corpus. The top-K of the union
+    * of per-partition top-Ks is the global top-K (any globally-kept row
+    * is kept in its own partition), so the result is exactly
+    * `apply(df, …)`'s. A per-probe `row_number` window here would instead
+    * shuffle EVERY scored row into one task per group and sort it —
+    * corpus-sized single-reducer partitions at scale. */
+  def twoPhase(df: DataFrame, k: Int, keyCol: String, orderCol: String,
+      tiebreakCol: String): DataFrame =
+    apply(apply(df, k, keyCol, orderCol, tiebreakCol, partial = true),
+      k, keyCol, orderCol, tiebreakCol)
 }

@@ -357,4 +357,25 @@ class PlanSpec extends GraftSpec {
     assert(!p.contains("Join"),
       s"overlap must never self-join documents:\n$p")
   }
+
+  test("batched ANN candidate cuts run the two-phase bounded heap, not corpus windows") {
+    // every batched path's data-scaled score relation must be cut by a
+    // PARTIAL TopKPerGroup (map-side bounded heap — ≤ groups·K rows per
+    // scan partition reach the exchange), never funneled into per-probe
+    // single-task row_number window sorts; remaining Window nodes may only
+    // rank BOUNDED inputs (probe lists k×B, final ≤ B·K candidates)
+    val batched = Seq(
+      "ann_batch" -> Similarity.qAnnBatch(spark, sf),
+      "ann_ivf_batch" -> Similarity.qAnnIvfBatch(spark, sf),
+      "ann_lsh_batch" -> Similarity.qAnnLshBatch(spark, sf),
+      "ann_ivf_quant_batch" -> Similarity.qAnnIvfQuantBatch(spark, sf),
+      "ann_pq_batch" -> Pq.qAnnPqBatch(spark, sf))
+    for ((name, df) <- batched) {
+      val p = planString(df)
+      assert(p.contains(", true"), // the partial exec prints `…, true`
+        s"$name must cut candidates with a partial TopKPerGroup:\n${p.take(1200)}")
+      assert(p.contains("TopKPerGroup"),
+        s"$name missing the bounded-heap cut:\n${p.take(1200)}")
+    }
+  }
 }
