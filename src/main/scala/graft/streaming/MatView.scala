@@ -53,6 +53,27 @@ object MatView {
 
   private def keyCols(spec: AggSpec): Seq[Column] = spec.key.map(col)
 
+  /** The column set a spec's view carries — the persisted contract. */
+  private def specCols(spec: AggSpec): Seq[String] =
+    spec.key ++ ("mv_cnt" +: spec.sumCols.map("sum_" + _)) ++
+      spec.minMaxCols.flatMap(c => Seq(s"min_$c", s"max_$c"))
+
+  /** Fail loudly when the caller's spec disagrees with the persisted
+    * generation's schema — a mismatched spec would otherwise fold deltas
+    * into the wrong columns SILENTLY (null-coalesced sums start from 0,
+    * so the result looks plausible and is wrong). */
+  private def requireSpecMatches(df: DataFrame, spec: AggSpec,
+      viewDir: String): Unit = {
+    val have = df.columns.toSet
+    val want = specCols(spec).toSet
+    require(have == want,
+      s"AggSpec mismatch for view at $viewDir: persisted columns " +
+        s"${df.columns.sorted.mkString("[", ", ", "]")} vs spec's " +
+        s"${specCols(spec).sorted.mkString("[", ", ", "]")} — every call " +
+        "on one viewDir must pass the SAME spec (it is baked into the " +
+        "persisted state's schema)")
+  }
+
   /** The full aggregate of `df` under `spec` — the bootstrap computation
     * and the recompute an incremental result must equal. */
   def aggregate(df: DataFrame, spec: AggSpec): DataFrame = {
@@ -121,12 +142,19 @@ object MatView {
     * already bootstrapped. */
   def bootstrap(spark: SparkSession, ledgerDir: String, viewDir: String,
       spec: AggSpec): Long =
-    MirrorLoop.cursorOf(spark, viewDir).getOrElse {
-      val snap = Lake.currentSnapshot(spark, ledgerDir)
-      aggregate(Lake.readAt(spark, ledgerDir, snap), spec)
-        .write.mode("overwrite").parquet(s"$viewDir/gen-$snap")
-      MirrorLoop.markCursor(spark, viewDir, snap)
-      snap
+    MirrorLoop.cursorOf(spark, viewDir) match {
+      case Some(cur) =>
+        // already bootstrapped: the no-op must still reject a DIFFERENT
+        // spec, or the caller walks away believing their definition is live
+        requireSpecMatches(spark.read.parquet(s"$viewDir/gen-$cur"), spec,
+          viewDir)
+        cur
+      case None =>
+        val snap = Lake.currentSnapshot(spark, ledgerDir)
+        aggregate(Lake.readAt(spark, ledgerDir, snap), spec)
+          .write.mode("overwrite").parquet(s"$viewDir/gen-$snap")
+        MirrorLoop.markCursor(spark, viewDir, snap)
+        snap
     }
 
   /** The view's current contents (the generation the cursor names). */
@@ -136,6 +164,14 @@ object MatView {
     spark.read.parquet(s"$viewDir/gen-$cur")
   }
 
+  /** Spec-checked read: same as [[view]] but validates the caller's spec
+    * against the persisted schema first. */
+  def view(spark: SparkSession, viewDir: String, spec: AggSpec): DataFrame = {
+    val v = view(spark, viewDir)
+    requireSpecMatches(v, spec, viewDir)
+    v
+  }
+
   /** One maintenance round: fold every change after the cursor into the
     * view, land the next generation, then the cursor marker. Returns the
     * new cursor (unchanged when no merge landed). */
@@ -143,10 +179,11 @@ object MatView {
       spec: AggSpec): Long = {
     val cur = MirrorLoop.cursorOf(spark, viewDir).getOrElse(
       throw new IllegalStateException(s"view at $viewDir not bootstrapped"))
+    val v = spark.read.parquet(s"$viewDir/gen-$cur")
+    requireSpecMatches(v, spec, viewDir)
     val changes = Lake.readChanges(spark, ledgerDir, cur)
     if (changes.isEmpty) return cur
     val target = changes.agg(max(col("_commit_snapshot"))).head().getLong(0)
-    val v = spark.read.parquet(s"$viewDir/gen-$cur")
     applyDelta(v, changes, spec, Lake.readAt(spark, ledgerDir, target))
       .write.mode("overwrite").parquet(s"$viewDir/gen-$target")
     MirrorLoop.markCursor(spark, viewDir, target)

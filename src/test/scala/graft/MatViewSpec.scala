@@ -118,5 +118,21 @@ class MatViewSpec extends GraftSpec {
       .filter(f => f.isDirectory && f.getName.startsWith("gen-"))
     assert(gens.length <= 2,
       s"stale generations not pruned: ${gens.map(_.getName).toSeq}")
+
+    // the spec is a CONTRACT: a different definition against the same
+    // viewDir must fail loudly on every entry point, never fold silently
+    val wrongSpec = MatView.AggSpec(Seq("c_mktsegment"), Seq("c_custkey"))
+    intercept[IllegalArgumentException] {
+      MatView.applyRound(spark, ledger, viewDir, wrongSpec)
+    }
+    intercept[IllegalArgumentException] {
+      MatView.view(spark, viewDir, wrongSpec)
+    }
+    intercept[IllegalArgumentException] {
+      MatView.bootstrap(spark, ledger, viewDir, wrongSpec)
+    }
+    // the true spec still validates and reads
+    assert(MatView.view(spark, viewDir, spec).count() > 0)
+    assert(canon(MatView.view(spark, viewDir)) == canon(recompute(ledger)))
   }
 }
