@@ -6,10 +6,12 @@ import graft.Tables
 
 /** §2.A continued — the remaining TPC-H join/ratio shapes expressible on
   * this corpus (no partsupp table, no shipmode/receiptdate columns, so
-  * Q11/Q12 have no faithful analog and Q2's min-cost-supplier correlation
-  * has no cost column to correlate on; Q16's part-supplier relation comes
-  * from observed lineitem pairs instead, and Q9's per-unit supply cost is
-  * proxied by `p_retailprice` — same join topology, same profit algebra).
+  * Q12's ship-mode analysis is honestly out; Q16's part-supplier relation
+  * comes from observed lineitem pairs instead, Q9's per-unit supply cost
+  * is proxied by `p_retailprice`, and the same observed-pairs discipline
+  * gives Q2 a min-OBSERVED-price-per-pair cost relation and Q11 a
+  * revenue-valued inventory — same join topologies, same decorrelation
+  * algebra).
   *
   * Money discipline is [[Relational]]'s: per-row 10^4-scaled BIGINT
   * product terms (`Rev4Term`), summed in DECIMAL(28,0), double only in
@@ -388,4 +390,124 @@ object Relational3 {
       |WHERE p_brand <> 'Brand#5' AND p_type <> 'MEDIUM'
       |  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
       |GROUP BY p_brand, p_type, p_size""".stripMargin
+
+  /** TPC-H Q2 shape — min-cost supplier per part: for parts in a size
+    * family, the EUROPE-region supplier(s) achieving the part's minimum
+    * supply cost, reported by supplier balance. No partsupp, so the cost
+    * relation is min OBSERVED l_extendedprice per distinct (part,
+    * supplier) lineitem pair (cf. Q16's observed-pairs discipline) — an
+    * exact DECIMAL copy, no arithmetic. The classic correlated
+    * `cost = (SELECT min(cost) … WHERE region)` subquery decorrelates to
+    * a WINDOW MIN over the already-aggregated, region-scoped pair frame
+    * (partition width = suppliers-per-part — bounded small at any SF; the
+    * q20 discipline: window over aggregates, never over raw facts).
+    * Spark-first: the size filter prunes part BEFORE its partkey join
+    * (only p_partkey survives, so the join IS the semi-join), lineitem
+    * shuffles once on the pair key for the aggregate, supplier joins
+    * hint-free (scales with data), nation⋈region folds to a broadcast
+    * ≤25-row map. Deterministic top-100 (acctbal desc, name, part) —
+    * TakeOrderedAndProject, no global sort. */
+  def q2MincostSupp(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val partKeys = Tables.part(s, d)
+      .filter(col("p_size").isin(5, 15, 25, 35, 45))
+      .select(col("p_partkey"))
+    val eurSupp = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)
+          .join(broadcast(Tables.region(s, d)
+            .filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val pairs = Tables.lineitem(s, d)
+      .join(partKeys, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice")).as("cost"))
+    val scoped = pairs.join(eurSupp, col("l_suppkey") === col("s_suppkey"))
+    scoped
+      .withColumn("mc", min(col("cost"))
+        .over(Window.partitionBy(col("p_partkey"))))
+      .filter(col("cost") === col("mc"))
+      .select(col("p_partkey"), col("s_name"), col("n_name"),
+        col("s_acctbal"), col("cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+      .limit(100)
+  }
+
+  def q2MincostSuppSql: String =
+    """WITH cost AS (
+      |  SELECT l_partkey, l_suppkey, min(l_extendedprice) AS cost
+      |  FROM lineitem GROUP BY l_partkey, l_suppkey
+      |), scoped AS (
+      |  SELECT p_partkey, s_name, n_name, s_acctbal, cost
+      |  FROM cost
+      |  JOIN part ON p_partkey = l_partkey
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN nation ON n_nationkey = s_nationkey
+      |  JOIN region ON r_regionkey = n_regionkey
+      |  WHERE r_name = 'EUROPE' AND p_size IN (5, 15, 25, 35, 45)
+      |)
+      |SELECT p_partkey, s_name, n_name, s_acctbal, cost FROM (
+      |  SELECT *, min(cost) OVER (PARTITION BY p_partkey) AS mc FROM scoped)
+      |WHERE cost = mc
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      |LIMIT 100""".stripMargin
+
+  /** TPC-H Q11 shape — important-stock identification: parts whose
+    * revenue value among ASIA-region suppliers exceeds TWICE the average
+    * part's, i.e. the group-share HAVING against a GLOBAL scalar. No
+    * partsupp availqty, so a part's "stock value" is its exact
+    * 10^-4-unit revenue over lines supplied by the region (Rev4Term).
+    * The classic `HAVING sum(...) > (SELECT sum(...) * fraction)` scalar
+    * subquery decorrelates to one per-part aggregate + a 1-row total
+    * broadcast (the q22 discipline), and the share test MULTIPLIES —
+    * `val4·nparts > 2·tot4`, all exact BIGINT 10^-4 units on both
+    * engines — instead of comparing against a divided average whose
+    * rounding could flip a borderline part. (Width budget: unit sums fit
+    * BIGINT through the tested SFs with ~10^5 headroom; at warehouse
+    * scale the same shape lifts to DECIMAL(38,0) on the Spark side.)
+    * Spark-first: region→nation folds to a broadcast key set into
+    * supplier (hint-free — it scales), lineitem shuffles once on partkey,
+    * the total is a second tiny aggregate over the per-part frame. */
+  def q11TopShare(s: SparkSession, d: String): DataFrame = {
+    val asiaSupp = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)
+          .join(broadcast(Tables.region(s, d)
+            .filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val perPart = Tables.lineitem(s, d)
+      .join(asiaSupp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(expr(s"CAST(sum(${Relational.Rev4Term}) AS BIGINT)").as("val4"))
+    val totals = perPart
+      .agg(sum(col("val4")).as("tot4"), count(lit(1)).as("nparts"))
+    perPart.crossJoin(broadcast(totals))
+      .filter(col("val4") * col("nparts") > col("tot4") * lit(2L))
+      .select(col("l_partkey"),
+        (col("val4").cast("double") / 1e4).as("value"))
+      .orderBy(col("value").desc, col("l_partkey"))
+  }
+
+  def q11TopShareSql: String =
+    s"""WITH pv AS (
+       |  SELECT l_partkey, CAST(sum(${Relational.Rev4TermSql}) AS BIGINT) AS val4
+       |  FROM lineitem
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation ON n_nationkey = s_nationkey
+       |  JOIN region ON r_regionkey = n_regionkey
+       |  WHERE r_name = 'ASIA'
+       |  GROUP BY l_partkey
+       |), t AS (
+       |  SELECT CAST(sum(val4) AS BIGINT) AS tot4,
+       |         CAST(count(*) AS BIGINT) AS nparts FROM pv
+       |)
+       |SELECT l_partkey, CAST(val4 AS DOUBLE) / 1e4 AS value
+       |FROM pv, t
+       |WHERE val4 * nparts > 2 * tot4
+       |ORDER BY value DESC, l_partkey""".stripMargin
 }
