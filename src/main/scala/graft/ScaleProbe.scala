@@ -132,6 +132,54 @@ object ScaleProbe {
       val t10 = timed { q(spark, out).write.format("noop").mode("overwrite").save() }
       report(f"$n%-18s 1x ${t1}%6.2f s   10x ${t10}%6.2f s   ratio ${t10 / t1}%5.2f")
     }
+    // --- r10: PQ ANN at 10x (the codes-only scan claim) + a MatView
+    // maintenance round whose cost must track the CHANGE BATCH, not the
+    // table size (the IVM claim).
+    if (!args.contains("skew-only")) {
+      // PQ index builds are once-per-dataset artifacts — land them
+      // outside the timed window (same discipline as ivf above)
+      Pq.pqIndexDir(spark, src); Pq.pqIndexDir(spark, out)
+      for ((n, q) <- Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)](
+          "q_ann_pq" -> (Pq.qAnnPq _), "q_ann_pq_batch" -> (Pq.qAnnPqBatch _))) {
+        q(spark, src).write.format("noop").mode("overwrite").save()
+        val t1 = timed { q(spark, src).write.format("noop").mode("overwrite").save() }
+        val t10 = timed { q(spark, out).write.format("noop").mode("overwrite").save() }
+        report(f"$n%-18s 1x ${t1}%6.2f s   10x ${t10}%6.2f s   ratio ${t10 / t1}%5.2f")
+      }
+      // MatView: bootstrap a view over a 1x and a 10x orders lake (the
+      // lakes ledger the EXISTING synth files — no data copy), merge the
+      // SAME fixed update batch into both, and time ONLY the maintenance
+      // round. count/sum spec → pure signed-delta fold: the round never
+      // reads the table, so its cost is change-batch-shaped at any table
+      // size — the ratio is the incremental-view claim, measured.
+      import graft.sources.Lake
+      import graft.streaming.MatView
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmrf)
+        f.delete(); ()
+      }
+      val mvRoot = "/tmp/sf1_synth_mv"
+      rmrf(new java.io.File(mvRoot))
+      val spec = MatView.AggSpec(Seq("o_orderpriority"), Seq("o_totalprice"))
+      // batch drawn from the 1x key range: identical rows merge into both
+      val batch = spark.read.parquet(s"$src/orders.parquet")
+        .filter(col("o_orderkey") % 97 === 1)
+        .withColumn("o_totalprice", col("o_totalprice") + 1)
+        .localCheckpoint()
+      report("mv change batch rows: " + batch.count())
+      val roundTimes = for ((tag, dataDir) <- Seq("1x" -> src, "10x" -> out)) yield {
+        val ledger = s"$mvRoot/$tag/ledger"
+        val gen = s"$mvRoot/$tag/gen"
+        val viewDir = s"$mvRoot/$tag/view"
+        Lake.ingestNewFiles(spark, s"$dataDir/orders.parquet", ledger)
+        MatView.bootstrap(spark, ledger, viewDir, spec)
+        Lake.mergeInto(spark, ledger, gen, batch, "o_orderkey", changeFeed = true)
+        val t = timed { MatView.applyRound(spark, ledger, viewDir, spec) }
+        report(f"mv_round_$tag%-14s ${t}%6.2f s   (fixed ~1.5k-row batch)")
+        t
+      }
+      report(f"mv_round 10x/1x ratio ${roundTimes(1) / roundTimes(0)}%5.2f (flat = maintenance cost tracks the batch, not the table)")
+    }
     sys.env.get("SPARK_GRAFT_PROBE_OUT").foreach { path =>
       java.nio.file.Files.write(java.nio.file.Paths.get(path),
         (probeLines.mkString("\n") + "\n").getBytes("UTF-8"))
