@@ -167,4 +167,24 @@ final case class GraftTable(spark: SparkSession, ledgerDir: String,
   /** Expire snapshots before `retainFrom`; returns files deleted. */
   def expire(retainFrom: Long): Long =
     Lake.expireSnapshots(spark, ledgerDir, retainFrom)
+
+  // ------------------------------------------------ concurrent writers
+
+  /** Run `op` (typically one of this table's write methods) under
+    * whole-operation OCC retry: a [[Lake.ConcurrentCommitException]]
+    * collision re-runs `op` against the freshly-read table state — the
+    * rebase — up to `attempts` times. The multi-writer form of every
+    * write on this facade:
+    * {{{ t.withRetry() { t.merge(batch, "event_id") } }}} */
+  def withRetry[T](attempts: Int = 5)(op: => T): T =
+    Lake.commitRetry(attempts)(op)
+
+  /** Snapshot ids reserved by a writer that hard-crashed before its rows
+    * landed (in-process failures auto-release; this surfaces
+    * cross-process orphans blocking the next id). */
+  def orphans(): Seq[Long] = Lake.orphanedCommits(spark, ledgerDir)
+
+  /** Operator recovery for a dead reservation: frees the id for the next
+    * writer; refuses (false) when the snapshot actually landed. */
+  def release(s: Long): Boolean = Lake.releaseCommit(spark, ledgerDir, s)
 }

@@ -51,4 +51,36 @@ class GraftTableSpec extends GraftSpec {
     assert(t.rowChangingSnapshots.nonEmpty)
     intercept[Exception] { t.readAt(s1).count() }
   }
+
+  test("concurrent-writer surface: withRetry rebase, orphans, release") {
+    val t0 = Files.createTempDirectory("graft_table_occ").toString
+    val t = GraftTable(spark, s"$t0/ledger", s"$t0/gen")
+    spark.read.parquet(s"$sf/nation.parquet")
+      .repartition(2).write.parquet(s"$t0/landing")
+    t.ingest(s"$t0/landing")
+    val s0 = t.snapshot
+    // a foreign writer hard-crashed holding s0+1: visible, releasable
+    graft.sources.Lake.commitStore
+      .putIfAbsent(s"$t0/ledger/_commits", (s0 + 1).toString)
+    assert(t.orphans() == Seq(s0 + 1))
+    assert(!t.release(s0), "landed ids must refuse release")
+    assert(t.release(s0 + 1))
+    assert(t.orphans().isEmpty)
+    // withRetry turns the collision into a rebase: reserve the next id
+    // again, and let the retried op land past it after we free it on the
+    // first collision (one-shot contention via the injectable store)
+    graft.sources.Lake.commitStore
+      .putIfAbsent(s"$t0/ledger/_commits", (s0 + 1).toString)
+    var collisions = 0
+    val landed = t.withRetry() {
+      try t.merge(spark.read.parquet(s"$sf/nation.parquet")
+          .filter(col("n_nationkey") === 0)
+          .withColumn("n_name", lit("occ")), "n_nationkey")
+      catch { case e: graft.sources.Lake.ConcurrentCommitException =>
+        collisions += 1; t.release(e.snapshot); throw e
+      }
+    }
+    assert(collisions == 1 && landed == s0 + 1)
+    assert(t.read().filter(col("n_name") === "occ").count() == 1)
+  }
 }
