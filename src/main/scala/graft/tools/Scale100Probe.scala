@@ -81,6 +81,16 @@ object Scale100Probe {
         "q14_promo" -> (Relational3.q14PromoShare _),
         "q16_suppcnt" -> (Relational3.q16SupplierCnt _),
         "q8_mktshare" -> (Relational3.q8MarketShare _),
+        // r10 shapes. q9: the join-bound class (orders⋈lineitem at 100×,
+        // supplier/part 1×). q2: replicated lineitem repeats (part, supp)
+        // pairs → the pair-cost aggregate keeps its 1× cardinality (the
+        // q16 rep-collapse regime); everything above the first aggregate —
+        // window min included — is constant-size. q11: per-part aggregate
+        // bounded by part cardinality (1×); the scan and one partkey
+        // shuffle scale, the scalar broadcast is 1 row at any SF.
+        "q9_profit" -> (Relational3.q9Profit _),
+        "q2_mincost_supp" -> (Relational3.q2MincostSupp _),
+        "q11_top_share" -> (Relational3.q11TopShare _),
         // sampling trio at 100×: split/mix are pure narrow passes (the
         // ratio records scan-boundedness); overlap's replicated docs
         // repeat token sets, so distinct (fingerprint, source) keeps its
