@@ -397,7 +397,7 @@ object Similarity {
     * quantizer, shared by the checksum query, the in-flight quantized
     * corpus, and the index build (persisted codes must be the same codes
     * the specs and the oracle reason about). */
-  private def codeExpr(vec: Column, gmin: Column, gmax: Column): Column =
+  private[operators] def codeExpr(vec: Column, gmin: Column, gmax: Column): Column =
     transform(vec, v =>
       floor((v - gmin) * lit(255.0) / (gmax - gmin)).cast("int"))
 

@@ -46,7 +46,7 @@ object MirrorLoop {
       .agg(max(col("snapshot_id"))).head().getLong(0))
   }
 
-  private[streaming] def markCursor(spark: SparkSession, mirrorDir: String, snap: Long): Unit = {
+  private[graft] def markCursor(spark: SparkSession, mirrorDir: String, snap: Long): Unit = {
     import spark.implicits._
     Seq(snap).toDF("snapshot_id")
       .write.mode("append").parquet(s"$mirrorDir/_cursor")
@@ -55,7 +55,7 @@ object MirrorLoop {
   /** Bound a consumer dir's disk at two generations: anything OLDER than
     * `below` can no longer be named by any cursor value (shared by every
     * cursor-disciplined consumer — mirror, materialized view). */
-  private[streaming] def pruneGens(dir: String, below: Long): Unit =
+  private[graft] def pruneGens(dir: String, below: Long): Unit =
     Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("gen-"))
       .filter(_.getName.stripPrefix("gen-").toLongOption.exists(_ < below))
@@ -102,7 +102,7 @@ object MirrorLoop {
     target
   }
 
-  private[streaming] def rmrf(f: java.io.File): Unit = {
+  private[graft] def rmrf(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmrf)
     f.delete()
   }
