@@ -152,6 +152,30 @@ object IvfDelta {
     target
   }
 
+  /** The streaming form — the index stays fresh CONTINUOUSLY: a file
+    * stream watches the source LEDGER dir as the arrival signal; each
+    * micro-batch fires one maintenance round. The batch's rows are
+    * deliberately unused — the cursor decides what is new, so replays
+    * after a checkpoint recovery fold nothing twice (the MirrorLoop /
+    * MatView.viewStream discipline, applied to the ANN index). */
+  def maintainStream(spark: SparkSession, srcLedger: String,
+      indexRoot: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val ledgerSchema = spark.read.parquet(srcLedger).schema
+    spark.readStream
+      .schema(ledgerSchema)
+      .option("maxFilesPerTrigger", "8")
+      .parquet(srcLedger)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        applyRound(spark, srcLedger, indexRoot)
+        ()
+      }
+      .start()
+  }
+
   /** ANN probe over the MAINTAINED index — qAnnIvf's plan shape reading
     * the assignment lake: nProbe nearest lists picked in-plan from the
     * k-row centroid table, candidates from the manifest-pruned lake scan,

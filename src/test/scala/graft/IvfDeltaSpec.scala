@@ -86,5 +86,19 @@ class IvfDeltaSpec extends GraftSpec {
       .collect().map(r => (r.getInt(0), r.getLong(1)))
     assert(top.take(3).exists(_._2 == twin),
       s"twin $twin of probe $probeId not in top-3: ${top.toSeq}")
+
+    // streaming maintenance: a merge lands, the stream folds it; a
+    // restart with nothing new no-ops past the cursor (both times the
+    // maintained table still equals the recompute)
+    val ckpt = s"$tmp/ckpt"
+    val wave2 = emb.filter(col("vec_id") % 41 === 11)
+      .withColumn("vec_id", col("vec_id") + 3 * maxId)
+    t.merge(wave2, "vec_id", changeFeed = true)
+    IvfDelta.maintainStream(spark, ledger, idx, ckpt).awaitTermination()
+    assert(canon(IvfDelta.table(spark, idx).read()) == rebuilt(),
+      "streamed round diverged from the recompute")
+    IvfDelta.maintainStream(spark, ledger, idx, ckpt).awaitTermination()
+    assert(canon(IvfDelta.table(spark, idx).read()) == rebuilt(),
+      "restart with nothing new must no-op")
   }
 }
