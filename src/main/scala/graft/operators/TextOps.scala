@@ -529,4 +529,53 @@ object TextOps {
         graft.functions.GraftFunctions.rollingFingerprint(trim(col("text")))
           .as("rolling_fp"),
         col("source"))
+
+  /** CORPUS-TYPICALITY score — the statistical-LM quality-filter proxy
+    * (the perplexity-filter shape without a trained model): score each
+    * document by the mean GLOBAL frequency of its character trigrams.
+    * Machine-generated / garbled text carries rare trigram mass and
+    * scores low; boilerplate scores high — the same signal a KenLM-style
+    * char-LM perplexity filter thresholds on, kept EXACT so both engines
+    * hash-agree: per-doc popularity is a sum of BIGINT global counts
+    * (order-free), the score one division of two exact integers cast
+    * double (IEEE-identical on identical operands) — never a sum of
+    * per-trigram log-probs whose float order would diverge.
+    *
+    * Spark-first: trigrams explode in-place (char `substr` over a
+    * `sequence`, codegen'd — no UDF); the global count relation is
+    * BOUNDED by the trigram alphabet (≤ 128³ for ASCII — broadcastable
+    * at any corpus size, AQE size-drives it, no hint); the per-doc
+    * re-aggregation map-side-combines the exploded rows back to one row
+    * per doc before its shuffle. Two passes over text, zero corpus-sized
+    * shuffles beyond the count build. */
+  def qDocTypicality(s: SparkSession, d: String): DataFrame = {
+    val tris = Tables.documents(s, d)
+      .filter(length(col("text")) >= 3)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), length(col("text")) - 2),
+          i => col("text").substr(i, lit(3)))).as("g"))
+    val counts = tris.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+    tris.join(counts, "g")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).cast("long").as("popularity"),
+        count(lit(1)).as("n_trigrams"))
+      .select(col("doc_id"), col("n_trigrams"), col("popularity"),
+        (col("popularity").cast("double") / col("n_trigrams"))
+          .as("typicality"))
+  }
+
+  def qDocTypicalitySql: String =
+    """WITH tg AS (
+      |  SELECT doc_id, substr(text, CAST(i AS INT), 3) AS g FROM (
+      |    SELECT doc_id, text,
+      |      unnest(generate_series(1, length(text) - 2)) AS i
+      |    FROM documents WHERE length(text) >= 3)
+      |), c AS (
+      |  SELECT g, CAST(count(*) AS BIGINT) AS cnt FROM tg GROUP BY g
+      |)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+      |  CAST(sum(cnt) AS BIGINT) AS popularity,
+      |  CAST(CAST(sum(cnt) AS BIGINT) AS DOUBLE) / count(*) AS typicality
+      |FROM tg JOIN c USING (g)
+      |GROUP BY doc_id""".stripMargin
 }
