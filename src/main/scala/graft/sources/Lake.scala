@@ -604,17 +604,7 @@ object Lake {
     // columns (null bounds, non-null bloom) rejoin as bloom recomputes,
     // not as range-clustering keys — hash-scattered point-lookup columns
     // must not hijack the rewrite's sort order.
-    val statEntries = liveActs.filter(col("stats").isNotNull)
-      .select(explode(col("stats")).as(Seq("c", "v")))
-    val statsCols: Seq[String] = statEntries
-      .filter(col("v.lo").isNotNull || col("v.slo").isNotNull
-        || col("v.bloom").isNull)
-      .select(col("c")).distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
-    val bloomColsLive: Seq[String] = statEntries
-      .filter(col("v.bloom").isNotNull)
-      .select(col("c")).distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
+    val (statsCols, bloomColsLive) = liveStatsContract(liveActs)
     val next = snap + 1
     // reserve BEFORE writing gen-$next data files: a concurrent commit must
     // fail here, not after overwriting a winner's generation directory;
@@ -704,6 +694,46 @@ object Lake {
     * binaryFile source disagree on the URI prefix form, and a remove row
     * whose path string differs from its add row would break liveFilesAt. */
   private def normPath(p: String): String = p.replaceFirst("^file:/+", "/")
+
+  /** The table's recorded SKIPPING CONTRACT — the (range/stats, bloom)
+    * column-name lists observed in the live ledger rows' stats maps
+    * (column names only: KB-scale, never a path list). Bloom-ONLY columns
+    * (null bounds, non-null bloom) are excluded from the range list —
+    * hash-scattered point-lookup columns carry blooms, not bounds. Every
+    * rewrite that replaces live files (compaction, COW merge, delete)
+    * re-stats its output against this contract so data skipping SURVIVES
+    * the rewrite instead of dying until a manual analyze(). */
+  private def liveStatsContract(liveActs: DataFrame): (Seq[String], Seq[String]) = {
+    val statEntries = liveActs.filter(col("stats").isNotNull)
+      .select(explode(col("stats")).as(Seq("c", "v")))
+    val statsCols: Seq[String] = statEntries
+      .filter(col("v.lo").isNotNull || col("v.slo").isNotNull
+        || col("v.bloom").isNull)
+      .select(col("c")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    val bloomCols: Seq[String] = statEntries
+      .filter(col("v.bloom").isNotNull)
+      .select(col("c")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    (statsCols, bloomCols)
+  }
+
+  /** Join freshly-computed per-file stats for `dir` onto its add rows,
+    * per the table's contract; a contract-less table passes through. */
+  private def addsWithStats(spark: SparkSession, adds: DataFrame,
+      dir: String, statsCols: Seq[String], bloomCols: Seq[String]): DataFrame =
+    if (statsCols.isEmpty && bloomCols.isEmpty) adds
+    else {
+      val schemaCols = spark.read.parquet(dir).schema.fieldNames.toSet
+      fileStats(spark, dir, statsCols.filter(schemaCols),
+          bloomCols = bloomCols.filter(schemaCols)) match {
+        case Some(st) => adds
+          .withColumn("_np", regexp_replace(col("path"), "^file:/+", "/"))
+          .join(st, Seq("_np"), "left")
+          .drop("_np")
+        case None => adds
+      }
+    }
 
   /** The file-action rows for every parquet file under `dir` (distributed
     * size+adler32 scan, same shape ingestNewFiles records). */
@@ -1011,22 +1041,36 @@ object Lake {
           .write.mode("overwrite").parquet(s"$genDir/carry")
       }
       delta.write.mode("overwrite").parquet(s"$genDir/delta")
+      // the merge's output files inherit the table's skipping contract:
+      // re-stat carry + delta so pruning survives the rewrite (cdc files
+      // are change records, never live-set scanned — no stats there)
+      val (mStatsCols, mBloomCols) = liveActs match {
+        case Some(acts) => liveStatsContract(acts)
+        case None => (Nil, Nil)
+      }
       val carryAdds =
         if (affectedNorm.nonEmpty)
-          fileAdds(spark, s"$genDir/carry")
+          addsWithStats(spark, fileAdds(spark, s"$genDir/carry"),
+              s"$genDir/carry", mStatsCols, mBloomCols)
             .withColumn("op", lit("add"))
             .withColumn("snapshot_op", lit("replace"))
         else spark.emptyDataFrame
-      val deltaAdds = fileAdds(spark, s"$genDir/delta")
+      val deltaAdds = addsWithStats(spark, fileAdds(spark, s"$genDir/delta"),
+          s"$genDir/delta", mStatsCols, mBloomCols)
         .withColumn("op", lit("add"))
         .withColumn("snapshot_op", lit("merge"))
+      // carry/delta may carry a stats column the cdc/remove rows lack —
+      // null-fill every branch to the canonical ledger schema pre-union
       val adds0 =
-        if (affectedNorm.nonEmpty) carryAdds.unionByName(deltaAdds) else deltaAdds
+        if (affectedNorm.nonEmpty)
+          withLedgerStats(carryAdds).unionByName(withLedgerStats(deltaAdds))
+        else withLedgerStats(deltaAdds)
       val adds =
         if (changeFeed)
-          adds0.unionByName(fileAdds(spark, s"$genDir/changes")
-            .withColumn("op", lit("cdc"))
-            .withColumn("snapshot_op", lit("merge")))
+          adds0.unionByName(withLedgerStats(
+            fileAdds(spark, s"$genDir/changes")
+              .withColumn("op", lit("cdc"))
+              .withColumn("snapshot_op", lit("merge"))))
         else adds0
       val actions =
         if (affectedNorm.nonEmpty)
@@ -1036,7 +1080,8 @@ object Lake {
             .withColumn("size", lit(null).cast("long"))
             .withColumn("adler32", lit(null).cast("long"))
             .withColumn("op", lit("remove"))
-            .withColumn("snapshot_op", lit("merge")))
+            .withColumn("snapshot_op", lit("merge"))
+            .withColumn("stats", lit(null).cast(StatsType)))
         else adds
       appendSnapshot(spark, ledgerDir, next, actions, preReserved = true)
       next
@@ -1075,18 +1120,22 @@ object Lake {
         .filter(!coalesce(cond, lit(false)))
         .select(cols: _*)
       carry.write.mode("overwrite").parquet(s"$genDir/carry")
-      val adds = fileAdds(spark, s"$genDir/carry")
+      // surviving-row rewrites inherit the skipping contract (see mergeInto)
+      val (dStatsCols, dBloomCols) = liveStatsContract(liveActs.get)
+      val adds = addsWithStats(spark, fileAdds(spark, s"$genDir/carry"),
+          s"$genDir/carry", dStatsCols, dBloomCols)
         .withColumn("op", lit("add"))
         .withColumn("snapshot_op", lit("replace"))
       appendSnapshot(spark, ledgerDir, next,
         preReserved = true, actions =
-        adds.unionByName(affectedActs.select(col("path"))
+        withLedgerStats(adds).unionByName(affectedActs.select(col("path"))
           .withColumn("size", lit(null).cast("long"))
           .withColumn("adler32", lit(null).cast("long"))
           .withColumn("op", lit("remove"))
           // a pure delete is a REPLACE-shaped snapshot (no reader keys on
           // remove-row snapshot_op; history()'s op mix stays honest)
-          .withColumn("snapshot_op", lit("replace"))))
+          .withColumn("snapshot_op", lit("replace"))
+          .withColumn("stats", lit(null).cast(StatsType))))
       next
     }
   }

@@ -419,4 +419,42 @@ class DataSkipSpec extends GraftSpec {
     assert(scannedFiles(narrow) < 8, "new column must prune after backfill")
     assert(narrow.count() == cust.filter(col("c_acctbal") < lo + 1).count())
   }
+
+  test("skipping survives COW merge and delete without re-analyze") {
+    val root = Files.createTempDirectory("graft_skip_merge").toString
+    val t = GraftTable(spark, s"$root/ledger", s"$root/gen")
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    cust.repartitionByRange(8, col("c_custkey"))
+      .write.parquet(s"$root/landing")
+    t.ingest(s"$root/landing", statsCols = Seq("c_custkey"),
+      bloomCols = Seq("c_mktsegment"))
+    val k = cust.agg(min(col("c_custkey"))).head().getLong(0)
+    assert(scannedFiles(t.read().filter(col("c_custkey") === k)) == 1)
+
+    // a merge touching ONE key range rewrites that file; the rewritten
+    // carry + delta files must carry fresh stats — pruning intact with
+    // NO analyze() in between
+    t.merge(cust.filter(col("c_custkey") === k)
+      .withColumn("c_acctbal", col("c_acctbal") + 1), "c_custkey")
+    val nAfterMerge = scannedFiles(t.read().filter(col("c_custkey") === k))
+    assert(nAfterMerge <= 2, // carry + delta of the one affected range
+      s"point query opened $nAfterMerge files after merge — stats dropped")
+    assert(t.files().filter(col("stats").isNull).count() == 0,
+      "every live file must carry stats after the merge")
+    // the bloom column's contract survives too (bloom non-null on rewrites)
+    val bloomless = t.files()
+      .filter(not(map_contains_key(col("stats"), lit("c_mktsegment"))))
+    assert(bloomless.count() == 0, "bloom contract lost on rewrite")
+
+    // DELETE a narrow slice: the surviving-row rewrite re-stats as well
+    t.delete(col("c_custkey") === k + 1)
+    val nAfterDelete = scannedFiles(t.read().filter(col("c_custkey") === k))
+    assert(nAfterDelete <= 2,
+      s"point query opened $nAfterDelete files after delete — stats dropped")
+    assert(t.files().filter(col("stats").isNull).count() == 0,
+      "every live file must carry stats after the delete")
+    // correctness untouched
+    assert(t.read().count() == cust.count() - 1)
+  }
 }
