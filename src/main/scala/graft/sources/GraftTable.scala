@@ -168,6 +168,14 @@ final case class GraftTable(spark: SparkSession, ledgerDir: String,
   def expire(retainFrom: Long): Long =
     Lake.expireSnapshots(spark, ledgerDir, retainFrom)
 
+  /** Policy-driven maintenance pass (auto-OPTIMIZE / auto-VACUUM): restat
+    * files missing the skipping contract, compact when enough small files
+    * accumulated, optionally expire beyond a retention window — only what
+    * the KB-scale manifest says the table needs. Idempotent. */
+  def maintain(policy: Lake.MaintenancePolicy = Lake.MaintenancePolicy())
+      : Lake.MaintenanceReport =
+    Lake.maintain(spark, ledgerDir, s"$genRoot/compact", policy)
+
   // ------------------------------------------------ concurrent writers
 
   /** Run `op` (typically one of this table's write methods) under

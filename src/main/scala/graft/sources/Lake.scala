@@ -1324,6 +1324,68 @@ object Lake {
     }
   }
 
+  /** Declarative table-maintenance policy — the auto-OPTIMIZE /
+    * auto-VACUUM analog every managed table format grows: thresholds,
+    * not imperative calls; [[maintain]] reads the KB-scale manifest,
+    * decides what the table actually needs, and runs only that.
+    *  - `compactMinSmallFiles` small files (< `smallFileBytes`) trigger a
+    *    compaction to `targetRowsPerFile` (Z-ordered when `zOrder`);
+    *  - `analyzeMissing` backfills per-file stats for any live file
+    *    missing a column of the table's recorded skipping contract
+    *    (zero data movement beyond the deficient files);
+    *  - `retainSnapshots` > 0 vacuums files only reachable below the
+    *    last N snapshots. 0 = never expire. */
+  final case class MaintenancePolicy(
+      smallFileBytes: Long = 32L << 20,
+      compactMinSmallFiles: Int = 8,
+      targetRowsPerFile: Long = 1000000,
+      zOrder: Boolean = false,
+      analyzeMissing: Boolean = true,
+      retainSnapshots: Int = 0)
+
+  /** What one [[maintain]] pass actually did (0 / false = not needed). */
+  final case class MaintenanceReport(smallFiles: Long, compacted: Boolean,
+      restatted: Long, expired: Long, snapshot: Long)
+
+  /** One policy-driven maintenance pass; idempotent — a second call on a
+    * maintained table reports all-zeros. Order matters: restat BEFORE
+    * compaction (the rewrite preserves exactly the recorded contract, so
+    * stats recorded late would be dropped by an earlier rewrite), expiry
+    * last (compaction creates the expendable generation). */
+  def maintain(spark: SparkSession, ledgerDir: String, compactDir: String,
+      policy: MaintenancePolicy = MaintenancePolicy()): MaintenanceReport = {
+    val snap0 = currentSnapshot(spark, ledgerDir)
+    if (snap0 == 0)
+      return MaintenanceReport(0, compacted = false, 0, 0, 0)
+    val ledger = readLedger(spark, ledgerDir).get
+    val liveActs = liveActionsAt(ledger, snap0)
+    val (statsCols, bloomCols) = liveStatsContract(liveActs)
+    // 1. stats: any live file whose map lacks a contract column
+    val restatted =
+      if (policy.analyzeMissing && (statsCols ++ bloomCols).nonEmpty) {
+        val deficient = liveActs.filter((statsCols ++ bloomCols).map(c =>
+          col("stats").isNull || !map_contains_key(col("stats"), lit(c)))
+          .reduce(_ || _)).count()
+        if (deficient > 0) backfillStats(spark, ledgerDir, statsCols, bloomCols)
+        else 0L
+      } else 0L
+    // 2. compaction: threshold on the manifest's own size column
+    val small = liveActs.filter(col("size") < policy.smallFileBytes).count()
+    val compacted = small >= policy.compactMinSmallFiles
+    if (compacted)
+      compactIngested(spark, ledgerDir, compactDir,
+        policy.targetRowsPerFile, policy.zOrder)
+    // 3. expiry: keep the last N snapshots' reachability
+    val cur = currentSnapshot(spark, ledgerDir)
+    val expired =
+      if (policy.retainSnapshots > 0)
+        expireSnapshots(spark, ledgerDir,
+          retainFrom = math.max(1L, cur - policy.retainSnapshots + 1))
+      else 0L
+    MaintenanceReport(small, compacted, restatted, expired,
+      currentSnapshot(spark, ledgerDir))
+  }
+
   // ------------------------------------------------- history + AS-OF reads
 
   /** One row per snapshot — the `table.history()` metadata view every

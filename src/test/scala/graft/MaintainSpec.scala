@@ -1,0 +1,54 @@
+package graft
+
+import graft.sources.{GraftTable, Lake}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Policy-driven maintenance: one `maintain()` call reads the manifest,
+  * fixes exactly what the table needs (missing stats, small-file bloat,
+  * expired reachability), and is a no-op on a healthy table. */
+class MaintainSpec extends GraftSpec {
+
+  test("maintain: restat + compact + expire only when needed; idempotent") {
+    val root = Files.createTempDirectory("graft_maintain").toString
+    val t = GraftTable(spark, s"$root/ledger", s"$root/gen")
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+
+    // wave 1 WITH the skipping contract; wave 2 lands stats-less small
+    // files (the deficient + bloated state maintenance must repair)
+    cust.filter(col("c_custkey") % 2 === 0)
+      .repartitionByRange(4, col("c_custkey"))
+      .write.parquet(s"$root/landing")
+    t.ingest(s"$root/landing", statsCols = Seq("c_custkey"))
+    cust.filter(col("c_custkey") % 2 === 1)
+      .repartition(8).write.mode("append").parquet(s"$root/landing")
+    t.ingest(s"$root/landing") // no statsCols: 8 stats-less files
+    val rows = t.read().count()
+    assert(rows == cust.count())
+    val statless = t.files().filter(col("stats").isNull).count()
+    assert(statless == 8, s"fixture expects 8 deficient files, got $statless")
+
+    val policy = Lake.MaintenancePolicy(
+      smallFileBytes = 1L << 20, compactMinSmallFiles = 8,
+      targetRowsPerFile = 100000, retainSnapshots = 1)
+    val r1 = t.maintain(policy)
+    assert(r1.restatted == 8, "the 8 contract-deficient files restat")
+    assert(r1.compacted && r1.smallFiles >= 8, "small-file bloat compacts")
+    assert(r1.expired > 0, "replaced pre-compaction files expire")
+    // the table reads the same and keeps its skipping contract
+    assert(t.read().count() == rows)
+    assert(t.files().filter(col("stats").isNull).count() == 0,
+      "every live file carries stats after maintenance")
+    val k = cust.agg(min(col("c_custkey"))).head().getLong(0)
+    assert(t.read().filter(col("c_custkey") === k).count() ==
+      cust.filter(col("c_custkey") === k).count())
+
+    // healthy table: second pass changes nothing
+    val r2 = t.maintain(policy.copy(retainSnapshots = 0))
+    assert(!r2.compacted && r2.restatted == 0 && r2.expired == 0,
+      s"maintenance must be idempotent, got $r2")
+    assert(r2.snapshot == r1.snapshot)
+    assert(t.read().count() == rows)
+  }
+}
