@@ -112,6 +112,10 @@ object ScaleProbe {
       "q_doc_split" -> (Sampling.qDocSplit _),
       "q_doc_mix" -> (Sampling.qDocMix _),
       "q_source_overlap" -> (Dedup.qSourceOverlap _),
+      // r10: char-trigram typicality — the count relation is alphabet-
+      // bounded (identical at 10x: replicated docs repeat trigrams), so
+      // only the explode/scan and the per-doc map-side agg scale
+      "q_doc_typicality" -> (TextOps.qDocTypicality _),
       "q_dedup_minhash" -> (Dedup.qDedupMinhash _),
       "q_dedup_ssjoin" -> (SetSim.qDedupSsjoin _),
       "q_dedup_incremental" -> (SetSim.qDedupIncremental _),
