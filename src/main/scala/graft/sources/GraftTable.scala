@@ -86,9 +86,10 @@ final case class GraftTable(spark: SparkSession, ledgerDir: String,
     * effects for `readChanges` consumers (opt-in — roughly doubles merge
     * cost). */
   def merge(source: DataFrame, key: String,
-      deleteWhen: Option[Column] = None, changeFeed: Boolean = false): Long =
+      deleteWhen: Option[Column] = None, changeFeed: Boolean = false,
+      evolveSchema: Boolean = false): Long =
     Lake.mergeInto(spark, ledgerDir, genRoot, source, key, deleteWhen,
-      changeFeed)
+      changeFeed, evolveSchema)
 
   /** Change feed after snapshot `s`: insert / update_preimage /
     * update_postimage / delete rows stamped `_commit_snapshot`. */

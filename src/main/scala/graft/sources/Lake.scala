@@ -127,7 +127,7 @@ object Lake {
     val tableSchema = readLedger(spark, ledgerDir)
       .map(l => liveActionsAt(l, nextSnapshot - 1))
       .map(new LedgerFileIndex(_)).filterNot(_.isEmpty)
-      .map(org.apache.spark.sql.GraftShim.parquetScan(spark, _).schema)
+      .map(tableScan(spark, ledgerDir, _).schema)
     val merged =
       try Some(spark.read.option("mergeSchema", "true")
         .parquet(candPaths.map(normPath): _*).schema)
@@ -379,12 +379,12 @@ object Lake {
       actions: DataFrame): DataFrame = {
     val index = new LedgerFileIndex(actions)
     if (!index.isEmpty)
-      org.apache.spark.sql.GraftShim.parquetScan(spark, index)
+      tableScan(spark, ledgerDir, index)
     else {
       val liveIdx = readLedger(spark, ledgerDir)
         .map(l => new LedgerFileIndex(liveActionsAt(l, Long.MaxValue)))
       liveIdx.filterNot(_.isEmpty)
-        .map(i => org.apache.spark.sql.GraftShim.parquetScan(spark, i).limit(0))
+        .map(i => tableScan(spark, ledgerDir, i).limit(0))
         .getOrElse(spark.emptyDataFrame)
     }
   }
@@ -451,13 +451,13 @@ object Lake {
       df.select(col("path"), col("size"), col("stats")))
     val index = asIndex(cdcAll.filter(col("snapshot_id") > sinceSnapshot))
     if (!index.isEmpty)
-      org.apache.spark.sql.GraftShim.parquetScan(spark, index)
+      tableScan(spark, ledgerDir, index)
     else {
       // nothing after the cursor: carry the cdc schema from ANY cdc file
       // (limit 0 folds to an empty relation — no data is read)
       val all = asIndex(cdcAll)
       if (all.isEmpty) spark.emptyDataFrame
-      else org.apache.spark.sql.GraftShim.parquetScan(spark, all).limit(0)
+      else tableScan(spark, ledgerDir, all).limit(0)
     }
   }
 
@@ -611,7 +611,7 @@ object Lake {
     // `reserving` releases the id if the rewrite dies before its rows land
     reserving(spark, ledgerDir, next) {
       val genDir = s"$compactDir/gen-$next"
-      val df = org.apache.spark.sql.GraftShim.parquetScan(spark, index)
+      val df = tableScan(spark, ledgerDir, index)
       val n = df.count()
       val files = math.max(1, math.ceil(n.toDouble / targetRowsPerFile).toInt)
       // stats columns make compaction CLUSTERING-preserving: range-partition
@@ -694,6 +694,22 @@ object Lake {
     * binaryFile source disagree on the URI prefix form, and a remove row
     * whose path string differs from its add row would break liveFilesAt. */
   private def normPath(p: String): String = p.replaceFirst("^file:/+", "/")
+
+  /** True once a schema-evolving merge landed on this table (persistent
+    * `_evolved` marker): reads must then UNION the per-file footers so
+    * files written before a column existed surface it as null. Plan-time
+    * cost is a footer pass per live file, paid only by evolved tables —
+    * un-evolved tables keep the single-footer fast path. (The next tier —
+    * schema-in-manifest like Iceberg's — would drop the footer pass; the
+    * marker records which tables would need it.) */
+  private def isEvolved(ledgerDir: String): Boolean =
+    new java.io.File(s"$ledgerDir/_evolved").exists()
+
+  /** [[GraftShim.parquetScan]] with the table's evolution mode applied. */
+  private def tableScan(spark: SparkSession, ledgerDir: String,
+      index: LedgerFileIndex): DataFrame =
+    org.apache.spark.sql.GraftShim.parquetScan(spark, index,
+      mergeSchemas = isEvolved(ledgerDir))
 
   /** The table's recorded SKIPPING CONTRACT — the (range/stats, bloom)
     * column-name lists observed in the live ledger rows' stats maps
@@ -947,7 +963,8 @@ object Lake {
   def mergeInto(spark: SparkSession, ledgerDir: String, genRoot: String,
       source: DataFrame, key: String,
       deleteWhen: Option[org.apache.spark.sql.Column] = None,
-      changeFeed: Boolean = false): Long = {
+      changeFeed: Boolean = false,
+      evolveSchema: Boolean = false): Long = {
     val snap = currentSnapshot(spark, ledgerDir)
     val next = snap + 1
     // reserve BEFORE writing gen-$next data files: a concurrent commit must
@@ -958,9 +975,31 @@ object Lake {
       val genDir = s"$genRoot/gen-$next"
       val liveActs = readLedger(spark, ledgerDir).map(l => liveActionsAt(l, snap))
       val index = liveActs.map(new LedgerFileIndex(_)).filterNot(_.isEmpty)
-      val target = index.map(org.apache.spark.sql.GraftShim.parquetScan(spark, _))
-      // merge into an EMPTY table = pure insert; take the schema from source
-      val cols = target.map(_.columns).getOrElse(source.columns).map(col)
+      val target = index.map(tableScan(spark, ledgerDir, _))
+      // merge into an EMPTY table = pure insert; take the schema from source.
+      // Default: source columns the target lacks are DROPPED (callers ride
+      // this for merge-control columns like deleteWhen flags). With
+      // `evolveSchema`, NEW source columns widen the table instead — the
+      // Delta autoMerge analog: this merge's carry/delta files carry the
+      // union schema, untouched files keep theirs, and the persistent
+      // `_evolved` marker flips every later read of this table to
+      // merged-footer inference so pre-evolution files surface the new
+      // columns as null (see isEvolved).
+      val targetSchema = target.map(_.schema)
+      val baseCols: Seq[String] =
+        targetSchema.map(_.fieldNames.toSeq).getOrElse(source.columns.toSeq)
+      val newCols: Seq[String] =
+        if (evolveSchema) source.columns.toSeq.filterNot(baseCols.contains)
+        else Nil
+      val unionNames = baseCols ++ newCols
+      def dtypeOf(n: String): org.apache.spark.sql.types.DataType =
+        targetSchema.flatMap(_.find(_.name == n)).map(_.dataType)
+          .getOrElse(source.schema(n).dataType)
+      // conform a frame to the union schema: absent columns null-fill at
+      // the authoritative type (target's for old columns, source's for new)
+      def conform(df: DataFrame): DataFrame = df.select(unionNames.map(n =>
+        if (df.columns.contains(n)) col(n)
+        else lit(null).cast(dtypeOf(n)).as(n)): _*)
       val srcKeys = source.select(col(key)).distinct()
       // the rewrite set: live files containing at least one matched key —
       // bounded by files-with-matches (the merge's blast radius), the only
@@ -1010,7 +1049,7 @@ object Lake {
       // never deletes them (no add row).
       if (changeFeed) {
         def tag(df: DataFrame, t: String): DataFrame =
-          df.select(cols: _*).withColumn("_change_type", lit(t))
+          conform(df).withColumn("_change_type", lit(t))
         val changes = matchedKeys match {
           case Some(mk) =>
             val liveKeys = srcLive.select(col(key)).distinct()
@@ -1031,13 +1070,12 @@ object Lake {
       }
       // whole-row replace means every surviving source row lands in the table:
       // updates (matched) and inserts (unmatched) are both just srcLive
-      val delta = srcLive.select(cols: _*)
+      val delta = conform(srcLive)
       if (affectedNorm.nonEmpty) {
         // rows the merge deletes/replaces live ONLY in affected files, so the
         // carry rewrite scans just those files
-        affectedScan
-          .join(srcKeys, Seq(key), "left_anti")
-          .select(cols: _*)
+        conform(affectedScan
+            .join(srcKeys, Seq(key), "left_anti"))
           .write.mode("overwrite").parquet(s"$genDir/carry")
       }
       delta.write.mode("overwrite").parquet(s"$genDir/delta")
@@ -1084,6 +1122,10 @@ object Lake {
             .withColumn("stats", lit(null).cast(StatsType)))
         else adds
       appendSnapshot(spark, ledgerDir, next, actions, preReserved = true)
+      // AFTER the rows land: a crash before here leaves no evolved files
+      // live, so the cheap single-footer read path stays valid
+      if (newCols.nonEmpty)
+        new java.io.File(s"$ledgerDir/_evolved").createNewFile()
       next
     }
   }
@@ -1100,7 +1142,7 @@ object Lake {
     val index = liveActs.map(new LedgerFileIndex(_)).filterNot(_.isEmpty)
     if (index.isEmpty) return snap // empty table: nothing to delete
     val next = snap + 1
-    val target = org.apache.spark.sql.GraftShim.parquetScan(spark, index.get)
+    val target = tableScan(spark, ledgerDir, index.get)
     val cols = target.columns.map(col)
     val affectedNorm = target
       .withColumn("_file", regexp_replace(input_file_name(), "^file:/+", "/"))

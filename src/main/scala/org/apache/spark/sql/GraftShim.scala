@@ -22,13 +22,21 @@ object GraftShim {
     * `private[sql]`-adjacent internals, hence this shim. Schema is inferred
     * from the indexed files' footers via the parquet format itself. */
   def parquetScan(spark: SparkSession,
-      index: org.apache.spark.sql.execution.datasources.FileIndex): DataFrame = {
+      index: org.apache.spark.sql.execution.datasources.FileIndex,
+      mergeSchemas: Boolean = false): DataFrame = {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
     val cs = spark.asInstanceOf[classic.SparkSession]
     val fmt = new ParquetFileFormat
     val statuses = index.listFiles(Nil, Nil).flatMap(_.files.map(_.fileStatus))
-    val schema = fmt.inferSchema(cs, Map.empty[String, String], statuses)
+    // mergeSchemas: union the per-file footers (schema-EVOLVED tables:
+    // files written before a column existed must surface it as null) —
+    // costs a footer pass per file at plan time, so callers only set it
+    // for tables marked as evolved
+    val opts =
+      if (mergeSchemas) Map("mergeSchema" -> "true")
+      else Map.empty[String, String]
+    val schema = fmt.inferSchema(cs, opts, statuses)
       .getOrElse(throw new IllegalStateException(
         s"cannot infer schema from ${statuses.size} indexed parquet file(s)"))
     val rel = HadoopFsRelation(index, partitionSchema = index.partitionSchema,

@@ -25,6 +25,49 @@ class MergeSpec extends GraftSpec {
     Lake.currentSnapshot(spark, ledger)
   }
 
+  test("merge with evolveSchema widens the table; default still drops unknown columns") {
+    val (landing, ledger, gen) = fresh()
+    val snap0 = landCustomers(landing, ledger)
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+    val rows = cust.count()
+
+    // default merge: the extra column is a merge-control column, dropped
+    Lake.mergeInto(spark, ledger, gen,
+      cust.filter(col("c_custkey") % 40 === 0).withColumn("c_extra", lit(1)),
+      "c_custkey")
+    assert(!Lake.readAt(spark, ledger, snap0 + 1).columns.contains("c_extra"))
+
+    // evolveSchema: a tier column lands on matched + inserted rows; every
+    // pre-evolution row surfaces it as NULL through the merged-footer read
+    val tiered = cust.filter(col("c_custkey") % 10 === 0)
+      .withColumn("c_tier", lit("gold"))
+    val inserted = cust.filter(col("c_custkey") % 70 === 0)
+      .withColumn("c_custkey", col("c_custkey") + 5000000)
+      .withColumn("c_tier", lit("new"))
+    val nTier = tiered.count(); val nIns = inserted.count()
+    val snap2 = Lake.mergeInto(spark, ledger, gen,
+      tiered.unionByName(inserted), "c_custkey", evolveSchema = true)
+    val now = Lake.readAt(spark, ledger, snap2)
+    assert(now.columns.contains("c_tier"), "table must gain the new column")
+    assert(now.count() == rows + nIns)
+    assert(now.filter(col("c_tier") === "gold").count() == nTier)
+    assert(now.filter(col("c_tier") === "new").count() == nIns)
+    assert(now.filter(col("c_tier").isNull).count() == rows - nTier,
+      "untouched pre-evolution rows read the new column as null")
+    // the widened table keeps merging with sources that LACK the column
+    val snap3 = Lake.mergeInto(spark, ledger, gen,
+      cust.filter(col("c_custkey") % 10 === 3)
+        .withColumn("c_acctbal", col("c_acctbal") + 2), "c_custkey")
+    val after = Lake.readAt(spark, ledger, snap3)
+    assert(after.filter(col("c_tier") === "gold").count() === nTier,
+      "a later schema-less merge must not erase the evolved column")
+    // time travel BELOW the evolution still carries the old shape's data
+    assert(Lake.readAt(spark, ledger, snap0).count() == rows)
+    // incremental consumers see the evolved rows with the new column
+    assert(Lake.readSince(spark, ledger, snap0 + 1)
+      .filter(col("c_tier").isNotNull).count() >= nTier + nIns)
+  }
+
   test("merge: update + insert + delete lands; prior snapshot unchanged") {
     val (landing, ledger, gen) = fresh()
     val snap0 = landCustomers(landing, ledger)
