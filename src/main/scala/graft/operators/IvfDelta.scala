@@ -152,6 +152,33 @@ object IvfDelta {
     target
   }
 
+  /** QUANTIZER-DRIFT report — the operational signal for "retrain the
+    * frozen centroids": per inverted list, the assignment fraction at
+    * BOOTSTRAP (the assignment lake's snapshot 1 — its own time travel
+    * supplies the baseline for free) vs NOW. A corpus whose distribution
+    * drifts away from the bootstrap clustering piles into few lists —
+    * probes then scan ever-larger candidate sets. `skew` is the max
+    * current-to-bootstrap fraction ratio; alert on it (≈1 = balanced as
+    * trained). Pure KB-scale aggregation of the two assignment
+    * snapshots' (list_id) columns. */
+  def driftReport(spark: SparkSession, indexRoot: String): DataFrame = {
+    val ledger = assignLedger(indexRoot)
+    def byList(df: DataFrame, tag: String): DataFrame = {
+      val n = df.count().toDouble
+      df.groupBy(col("list_id"))
+        .agg((count(lit(1)) / lit(n)).as(s"frac_$tag"))
+    }
+    byList(Lake.readAt(spark, ledger, 1L).select(col("list_id")), "bootstrap")
+      .join(byList(table(spark, indexRoot).read().select(col("list_id")),
+        "now"), Seq("list_id"), "full")
+      .select(col("list_id"),
+        coalesce(col("frac_bootstrap"), lit(0.0)).as("frac_bootstrap"),
+        coalesce(col("frac_now"), lit(0.0)).as("frac_now"))
+      .withColumn("skew", col("frac_now")
+        / greatest(col("frac_bootstrap"), lit(1e-12)))
+      .orderBy(col("skew").desc)
+  }
+
   /** The streaming form — the index stays fresh CONTINUOUSLY: a file
     * stream watches the source LEDGER dir as the arrival signal; each
     * micro-batch fires one maintenance round. The batch's rows are

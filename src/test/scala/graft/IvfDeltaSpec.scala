@@ -100,5 +100,17 @@ class IvfDeltaSpec extends GraftSpec {
     IvfDelta.maintainStream(spark, ledger, idx, ckpt).awaitTermination()
     assert(canon(IvfDelta.table(spark, idx).read()) == rebuilt(),
       "restart with nothing new must no-op")
+
+    // drift report: fractions are distributions (sum to 1 each side) and
+    // every currently-assigned list appears; duplicate-heavy waves keep
+    // skew near 1 (the corpus distribution hasn't moved)
+    val drift = IvfDelta.driftReport(spark, idx)
+    val sums = drift.agg(sum(col("frac_bootstrap")), sum(col("frac_now")))
+      .head()
+    assert(math.abs(sums.getDouble(0) - 1.0) < 1e-9)
+    assert(math.abs(sums.getDouble(1) - 1.0) < 1e-9)
+    val maxSkew = drift.agg(max(col("skew"))).head().getDouble(0)
+    assert(maxSkew < 3.0,
+      s"replica-wave fixture should not report strong drift, skew=$maxSkew")
   }
 }
