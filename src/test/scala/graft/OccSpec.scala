@@ -185,6 +185,24 @@ class OccSpec extends GraftSpec {
     assert(Lake.mergeInto(spark, ledger, gen, src, "n_nationkey") == snap + 1)
   }
 
+  test("compaction collision aborts before writing its generation") {
+    val (landing, ledger, _) = fresh()
+    val snap = landNation(landing, ledger)
+    val compactDir = Files.createTempDirectory("graft_occ_compact").toString + "/d"
+    assert(Lake.LocalFsCommitStore.putIfAbsent(s"$ledger/_commits", (snap + 1).toString))
+    intercept[Lake.ConcurrentCommitException] {
+      Lake.compactIngested(spark, ledger, compactDir, 1000000)
+    }
+    assert(Lake.currentSnapshot(spark, ledger) == snap)
+    assert(!new java.io.File(s"$compactDir/gen-${snap + 1}").exists(),
+      "collision must precede the rewrite's generation dir")
+    // release → the rewrite lands and reads unchanged
+    assert(Lake.releaseCommit(spark, ledger, snap + 1))
+    val before = Lake.readAt(spark, ledger, snap).count()
+    assert(Lake.compactIngested(spark, ledger, compactDir, 1000000) > 0)
+    assert(Lake.readAt(spark, ledger, snap + 1).count() == before)
+  }
+
   test("expireSnapshots: collision aborts BEFORE any physical deletion") {
     val (landing, ledger, _) = fresh()
     landNation(landing, ledger)

@@ -358,6 +358,29 @@ class PlanSpec extends GraftSpec {
       s"overlap must never self-join documents:\n$p")
   }
 
+  test("q2/q11: window over the aggregated pair frame; exact integer share test; top-100 bounded") {
+    // q2: the correlated min-cost subquery must decorrelate to ONE pair
+    // aggregate with the window above it, and the deterministic top-100
+    // must compile to TakeOrderedAndProject (no global sort)
+    val p2 = planString(Relational3.q2MincostSupp(spark, sf))
+    assert(p2.contains("TakeOrderedAndProject"),
+      s"q2 top-100 must be TakeOrderedAndProject:\n${p2.take(800)}")
+    assert("HashAggregate".r.findAllIn(p2).size >= 2,
+      "pair-cost aggregate must be two-phase")
+    val winIdx = p2.indexOf("Window")
+    val aggIdx = p2.indexOf("HashAggregate")
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      "the window must sit ABOVE the pair aggregate (aggregated frame only)")
+    // q11: the share HAVING must be the exact integer multiplication,
+    // never a divided average
+    val p11 = planString(Relational3.q11TopShare(spark, sf))
+    assert(p11.contains("val4") && p11.contains("nparts")
+      && p11.contains("tot4"),
+      s"q11 share test must compare val4*nparts vs tot4*2:\n${p11.take(1200)}")
+    assert(!p11.replace("/ 1e4", "").replace("/ 10000.0", "")
+      .contains("divide"), "no division inside the share predicate")
+  }
+
   test("batched ANN candidate cuts run the two-phase bounded heap, not corpus windows") {
     // every batched path's data-scaled score relation must be cut by a
     // PARTIAL TopKPerGroup (map-side bounded heap — ≤ groups·K rows per
