@@ -169,6 +169,14 @@ final case class GraftTable(spark: SparkSession, ledgerDir: String,
   def expire(retainFrom: Long): Long =
     Lake.expireSnapshots(spark, ledgerDir, retainFrom)
 
+  /** Register the table's CURRENT snapshot under `name` so plain
+    * `spark.sql` works against the lake (manifest-driven scan, data
+    * skipping and schema evolution included — the view IS readAt's
+    * plan). Snapshot-pinned at registration like any table format's
+    * read: re-register (or call again) to see later commits. */
+  def createOrReplaceTempView(name: String): Unit =
+    read().createOrReplaceTempView(name)
+
   /** Policy-driven maintenance pass (auto-OPTIMIZE / auto-VACUUM): restat
     * files missing the skipping contract, compact when enough small files
     * accumulated, optionally expire beyond a retention window — only what

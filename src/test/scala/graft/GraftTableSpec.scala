@@ -52,6 +52,30 @@ class GraftTableSpec extends GraftSpec {
     intercept[Exception] { t.readAt(s1).count() }
   }
 
+  test("temp-view SQL surface: spark.sql over the lake, snapshot-pinned") {
+    val t0 = Files.createTempDirectory("graft_table_sql").toString
+    val t = GraftTable(spark, s"$t0/ledger", s"$t0/gen")
+    spark.read.parquet(s"$sf/nation.parquet")
+      .repartition(2).write.parquet(s"$t0/landing")
+    t.ingest(s"$t0/landing")
+    t.createOrReplaceTempView("occ_nations")
+    val n = spark.sql("SELECT count(*) AS n FROM occ_nations")
+      .head().getLong(0)
+    assert(n == t.read().count())
+    // snapshot-pinned: a later merge is invisible until re-registration
+    t.merge(spark.read.parquet(s"$sf/nation.parquet")
+      .filter(col("n_nationkey") === 0).withColumn("n_name", lit("sqlv")),
+      "n_nationkey")
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM occ_nations WHERE n_name = 'sqlv'")
+      .head().getLong(0) == 0, "registered view must stay snapshot-pinned")
+    t.createOrReplaceTempView("occ_nations")
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM occ_nations WHERE n_name = 'sqlv'")
+      .head().getLong(0) == 1)
+    spark.catalog.dropTempView("occ_nations")
+  }
+
   test("concurrent-writer surface: withRetry rebase, orphans, release") {
     val t0 = Files.createTempDirectory("graft_table_occ").toString
     val t = GraftTable(spark, s"$t0/ledger", s"$t0/gen")
