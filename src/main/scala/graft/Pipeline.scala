@@ -129,4 +129,28 @@ object Pipeline {
     manifest.coalesce(1).write.mode("overwrite").parquet(s"$outDir/manifest")
     spark.read.parquet(s"$outDir/manifest")
   }
+
+  /** [[exportShards]] in JSONL — the training-interchange format every
+    * dataloader speaks (one JSON document per line; Spark's json sink IS
+    * newline-delimited). Same stable hash-sharding, same one-shuffle
+    * scale shape, same recount manifest; gzip per shard file (the
+    * standard wire form — json readers decompress transparently).
+    * The manifest is still parquet: it is pipeline metadata, not
+    * training data. */
+  def exportJsonl(spark: SparkSession, dir: String, outDir: String,
+      nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    trainSurvivors(spark, dir)
+      .withColumn("shard", pmod(xxhash64(col("doc_id")), lit(nShards)))
+      .repartition(nShards, col("shard"))
+      .write.partitionBy("shard").mode("overwrite")
+      .option("compression", "gzip")
+      .json(s"$outDir/data")
+    val manifest = spark.read.json(s"$outDir/data")
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("n_tokens"))
+    manifest.coalesce(1).write.mode("overwrite").parquet(s"$outDir/manifest")
+    spark.read.parquet(s"$outDir/manifest")
+  }
 }

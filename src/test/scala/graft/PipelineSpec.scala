@@ -108,4 +108,34 @@ class PipelineSpec extends GraftSpec {
     assert(manifest == recount)
     assert(manifest.keySet == (0L until nShards).toSet, "no empty shard here")
   }
+
+  test("exportJsonl ships gzip JSONL shards losslessly with a recount manifest") {
+    val nShards = 4
+    val out = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    val manifest = Pipeline.exportJsonl(spark, sf, out, nShards).collect()
+      .map(r => r.getAs[Long]("shard") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))).toMap
+    // a plain json reader (any dataloader) gets the docs back exactly
+    val data = spark.read.json(s"$out/data")
+    val shipped = data.select("doc_id").collect().map(_.getLong(0)).toSet
+    val expectedDf = Pipeline.trainSurvivors(spark, sf)
+    val expected = expectedDf.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(shipped == expected)
+    // text round-trips byte-exactly through the JSON encoding
+    assert(data.select(col("doc_id"), col("text"))
+      .join(expectedDf.select(col("doc_id"), col("text").as("t2")), "doc_id")
+      .filter(col("text") =!= col("t2")).count() == 0)
+    // one gzip file per shard
+    (0 until nShards).foreach { k =>
+      val files = new java.io.File(s"$out/data/shard=$k").listFiles()
+        .filter(_.getName.endsWith(".json.gz"))
+      assert(files.length == 1, s"shard $k has ${files.length} gzip files")
+    }
+    // manifest matches the readback recount
+    val recount = data.groupBy("shard")
+      .agg(count(lit(1)).as("n"), sum("n_tokens").as("t")).collect()
+      .map(r => r.getAs[Long]("shard") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("t"))).toMap
+    assert(manifest == recount)
+  }
 }
