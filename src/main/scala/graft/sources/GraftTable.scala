@@ -148,6 +148,18 @@ final case class GraftTable(spark: SparkSession, ledgerDir: String,
   def delete(cond: Column): Long =
     Lake.deleteWhere(spark, ledgerDir, genRoot, cond)
 
+  /** Row-level MERGE-ON-READ delete: records the matching rows' positions
+    * as deletion vectors instead of rewriting files — the write-optimized
+    * half of the COW/MOR trade (see Lake.deleteWhereMor). Readers apply
+    * vectors automatically; any rewrite (merge/delete/compact) of a file
+    * materializes them. */
+  def deleteMor(cond: Column): Long =
+    Lake.deleteWhereMor(spark, ledgerDir, genRoot, cond)
+
+  /** Active deletion-vector rows at the current snapshot — the table's
+    * accumulated MOR debt (0 right after a full compaction). */
+  def dvRows(): Long = Lake.dvRows(spark, ledgerDir)
+
   /** Rewrite the live file set toward a target rows-per-file. With
     * `zOrder=true` and ≥2 numeric stats columns, the rewrite clusters on
     * the Morton interleave of the first two so filters on EITHER keep

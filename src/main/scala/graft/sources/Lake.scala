@@ -396,7 +396,10 @@ object Lake {
     * `scanActions` (SURVEY §3.9 — closed). */
   def readAt(spark: SparkSession, ledgerDir: String, snapshot: Long): DataFrame = {
     val ledger = readLedger(spark, ledgerDir).getOrElse(return spark.emptyDataFrame)
-    scanActions(spark, ledgerDir, liveActionsAt(ledger, snapshot))
+    // merge-on-read: deletion vectors active at this snapshot anti-join
+    // out their rows (no-op scan pass-through when the table has none)
+    applyDvsAt(spark, ledgerDir, snapshot,
+      scanActions(spark, ledgerDir, liveActionsAt(ledger, snapshot)))
   }
 
   /** The add-file action rows of row-changing snapshots matching `pred` —
@@ -611,7 +614,11 @@ object Lake {
     // `reserving` releases the id if the rewrite dies before its rows land
     reserving(spark, ledgerDir, next) {
       val genDir = s"$compactDir/gen-$next"
-      val df = tableScan(spark, ledgerDir, index)
+      // DV-applied: compaction MATERIALIZES every live deletion vector —
+      // the rewrite drops the deleted rows and replaces every file, so
+      // all prior vectors go inert (dvRows() returns 0 afterwards)
+      val df = applyDvsAt(spark, ledgerDir, snap,
+        tableScan(spark, ledgerDir, index))
       val n = df.count()
       val files = math.max(1, math.ceil(n.toDouble / targetRowsPerFile).toInt)
       // stats columns make compaction CLUSTERING-preserving: range-partition
@@ -1016,7 +1023,12 @@ object Lake {
       def affectedActs: DataFrame = liveActs.get.filter(
         regexp_replace(col("path"), "^file:/+", "/")
           .isin(affectedNorm.toSeq: _*))
-      def affectedScan: DataFrame = scanActions(spark, ledgerDir, affectedActs)
+      // DV-applied: MOR-deleted rows must not carry into the rewrite, be
+      // counted matched, or surface as cdc pre-images — the merge
+      // MATERIALIZES its affected files' vectors (the rewritten files'
+      // winning add postdates them, so they go inert)
+      def affectedScan: DataFrame = applyDvsAt(spark, ledgerDir, snap,
+        scanActions(spark, ledgerDir, affectedActs))
       // matched keys live ONLY in affected files — computable without a
       // full scan; shared by the deleteWhen filter and the change feed
       val matchedKeys: Option[DataFrame] =
@@ -1158,7 +1170,10 @@ object Lake {
       val affectedActs = liveActs.get.filter(
         regexp_replace(col("path"), "^file:/+", "/")
           .isin(affectedNorm.toSeq: _*))
-      val carry = scanActions(spark, ledgerDir, affectedActs)
+      // DV-applied: rows already MOR-deleted must not resurrect into the
+      // carry rewrite (the rewrite materializes the affected files' DVs)
+      val carry = applyDvsAt(spark, ledgerDir, snap,
+          scanActions(spark, ledgerDir, affectedActs))
         .filter(!coalesce(cond, lit(false)))
         .select(cols: _*)
       carry.write.mode("overwrite").parquet(s"$genDir/carry")
@@ -1179,6 +1194,162 @@ object Lake {
           .withColumn("snapshot_op", lit("replace"))
           .withColumn("stats", lit(null).cast(StatsType))))
       next
+    }
+  }
+
+  // ------------------------------------- merge-on-read deletion vectors
+
+  /** MERGE-ON-READ row-level DELETE — the Delta deletion-vector / Iceberg
+    * positional-delete analog, the OTHER half of the COW/MOR trade every
+    * table format ships: [[deleteWhere]] rewrites whole files to drop a
+    * few rows (read-optimized — writes cost O(affected files)), this
+    * records the deleted rows' POSITIONS as a KB-scale sidecar and leaves
+    * every data file untouched (write-optimized — a delete touching one
+    * row in each of 10k files writes one sidecar, not 10k rewrites; at
+    * 100 TB that is the difference between a metadata operation and a
+    * table rewrite). Readers apply the vectors as an anti-join on
+    * (file, row position) — parquet's `_metadata.row_index` is the
+    * stable row identity (position within its immutable file; pushed
+    * filters do not perturb it).
+    *
+    * Ledger shape: one snapshot whose rows are op="dv" (snapshot_op
+    * "mor-delete") pointing at the sidecar files — inert to the live-set
+    * computation (neither add nor remove, like cdc), not row-ADDING (no
+    * incremental consumer feed: COW-delete parity — deletes surface only
+    * as row absence in later snapshots), and never vacuumed (no add row).
+    * Each sidecar row is (dpath, pos, dv_snap): the normalized data-file
+    * path, the row position, and the committing snapshot baked in at
+    * write time.
+    *
+    * ACTIVITY rule (what makes time travel, rewrites, and restore all
+    * come out right with zero bookkeeping): a vector applies to file F at
+    * read snapshot S iff `dv_snap <= S` (not yet committed ⇒ invisible —
+    * time travel BELOW the delete sees the rows) AND `dv_snap >=`
+    * F's winning-add snapshot at S (a file REWRITTEN after the delete —
+    * compaction, COW merge/delete carry — materialized the deletions into
+    * its replacement, and a file RE-ADDED by restore deliberately bumps
+    * its winning add past the vector to resurrect the rows). Rewrites
+    * therefore materialize vectors for free: their input scan is
+    * DV-applied, their output files' winning add postdates every prior
+    * vector, and the stale vectors go inert the moment the old file
+    * leaves the live set.
+    *
+    * Reserve/commit discipline mirrors [[deleteWhere]]: the match scan is
+    * read-only (no reservation on the nothing-matches early return); the
+    * id is reserved before the sidecar write; a mid-job failure
+    * auto-releases. Returns the delete's snapshot id (or the current one
+    * when nothing matched). */
+  def deleteWhereMor(spark: SparkSession, ledgerDir: String, genRoot: String,
+      cond: org.apache.spark.sql.Column): Long = {
+    val snap = currentSnapshot(spark, ledgerDir)
+    val liveActs = readLedger(spark, ledgerDir).map(l => liveActionsAt(l, snap))
+    val index = liveActs.map(new LedgerFileIndex(_)).filterNot(_.isEmpty)
+    if (index.isEmpty) return snap // empty table: nothing to delete
+    val next = snap + 1
+    // already-deleted rows must not re-record their positions (the
+    // anti-join would dedup them, but sidecar sizes and dvRows() counts
+    // would lie) — the match scan itself is DV-applied. keepPos: the
+    // (file, position) identity columns must materialize BEFORE the DV
+    // anti-join — `_metadata` is unresolvable/ambiguous above a join of
+    // two file scans.
+    val target = applyDvsAt(spark, ledgerDir, snap,
+      tableScan(spark, ledgerDir, index.get), keepPos = true)
+    val hits = target
+      .filter(coalesce(cond, lit(false)))
+      .select(col("__graft_fp").as("dpath"), col("__graft_pos").as("pos"))
+    if (hits.isEmpty) return snap // nothing matches: no snapshot, no marker
+    reserving(spark, ledgerDir, next) {
+      val dvDir = s"$genRoot/gen-$next/dv"
+      hits.withColumn("dv_snap", lit(next))
+        .write.mode("overwrite").parquet(dvDir)
+      val adds = fileAdds(spark, dvDir)
+        .withColumn("op", lit("dv"))
+        .withColumn("snapshot_op", lit("mor-delete"))
+      appendSnapshot(spark, ledgerDir, next, adds, preReserved = true)
+      next
+    }
+  }
+
+  /** The dv-typed ledger action rows committed at or before `snapshot`
+    * (path/size/stats of the SIDECAR files — sizes are real file lengths,
+    * so the sidecar scan plans through [[LedgerFileIndex]] like every
+    * other read). */
+  private def dvActionsAt(ledger: DataFrame, snapshot: Long): DataFrame =
+    withLedgerStats(ledger)
+      .filter(col("op") === "dv" && col("snapshot_id") <= snapshot)
+      .select(col("path"), col("size"), col("stats"))
+
+  /** Apply the deletion vectors active at `snapshot` to a table scan:
+    * anti-join on (normalized file path, row position) against the
+    * sidecar rows that pass the activity rule (see [[deleteWhereMor]] —
+    * committed by `snapshot`, not superseded by a later rewrite/re-add of
+    * their file). The vector side is delete-sized, so AQE broadcasts it;
+    * data-column predicates push THROUGH the anti-join to the scan, so
+    * manifest stats/bloom pruning is unaffected. A table with no vectors
+    * returns the scan untouched (zero cost on the common path).
+    * `keepPos` retains the materialized `__graft_fp`/`__graft_pos`
+    * identity columns for callers that need row positions downstream
+    * ([[deleteWhereMor]]) — they must materialize BEFORE the anti-join,
+    * since `_metadata` is unresolvable above a join of two file scans. */
+  private def applyDvsAt(spark: SparkSession, ledgerDir: String,
+      snapshot: Long, scan: DataFrame, keepPos: Boolean = false): DataFrame = {
+    def withPos(df: DataFrame): DataFrame = df
+      .withColumn("__graft_fp",
+        regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
+      .withColumn("__graft_pos", col("_metadata.row_index"))
+    val activeOpt = readLedger(spark, ledgerDir)
+      .flatMap(l => activeDvRows(spark, l, snapshot))
+    activeOpt match {
+      case None => if (keepPos) withPos(scan) else scan
+      case Some(active) =>
+        val joined = withPos(scan)
+          .join(active
+              .select(col("dpath").as("__graft_dv_fp"),
+                col("pos").as("__graft_dv_pos")),
+            col("__graft_fp") === col("__graft_dv_fp")
+              && col("__graft_pos") === col("__graft_dv_pos"),
+            "left_anti")
+        if (keepPos) joined else joined.drop("__graft_fp", "__graft_pos")
+    }
+  }
+
+  /** The (dpath, pos) rows of every vector ACTIVE at `snapshot`:
+    * committed by it (`dv_snap <= snapshot`) and not superseded by a
+    * later rewrite/re-add of their file (`dv_snap >=` the file's
+    * winning-add snapshot at `snapshot`). None when the table carries no
+    * vectors at all (the common-path zero-cost check). */
+  private def activeDvRows(spark: SparkSession, ledger: DataFrame,
+      snapshot: Long): Option[DataFrame] = {
+    val dvActs = dvActionsAt(ledger, snapshot)
+    if (dvActs.isEmpty) None
+    else {
+      val dvs = org.apache.spark.sql.GraftShim.parquetScan(spark,
+        new LedgerFileIndex(dvActs))
+      val ads = ledger
+        .filter(col("op") === "add" && col("snapshot_id") <= snapshot)
+        .groupBy(regexp_replace(col("path"), "^file:/+", "/").as("dpath"))
+        .agg(max(col("snapshot_id")).as("ad"))
+      Some(dvs.join(ads, Seq("dpath"))
+        .filter(col("dv_snap") >= col("ad"))
+        .select(col("dpath"), col("pos")))
+    }
+  }
+
+  /** Count of ACTIVE deletion-vector rows at `snapshot` (positions whose
+    * vector still applies to a live file) — the "how much MOR debt has
+    * this table accumulated" signal a maintenance policy reads; 0 after a
+    * compaction materializes everything. KB-scale: sidecars + ledger. */
+  def dvRows(spark: SparkSession, ledgerDir: String,
+      snapshot: Long = Long.MaxValue): Long = {
+    val ledger = readLedger(spark, ledgerDir).getOrElse(return 0L)
+    val s = if (snapshot == Long.MaxValue) currentSnapshot(spark, ledgerDir)
+      else snapshot
+    activeDvRows(spark, ledger, s) match {
+      case None => 0L
+      case Some(active) =>
+        val live = liveActionsAt(ledger, s)
+          .select(regexp_replace(col("path"), "^file:/+", "/").as("dpath"))
+        active.join(live, Seq("dpath"), "left_semi").count()
     }
   }
 
@@ -1221,7 +1392,30 @@ object Lake {
           col("w.adler32").as("adler32"), col("w.stats").as("stats"))
     val target = liveFull(toSnapshot)
     val now = liveFull(cur)
-    val adds = target.join(now, Seq("path"), "left_anti")
+    val adds0 = target.join(now, Seq("path"), "left_anti")
+    // POST-TARGET deletion vectors must not survive the rollback: a MOR
+    // delete references its file instead of rewriting it, so restoring
+    // the live set alone would leave post-target deletions applied.
+    // Re-ADD every target-live path carrying a post-target vector — the
+    // bumped winning-add snapshot revokes those vectors (activity rule:
+    // a vector applies only from its file's winning add onward).
+    val postDvActs = withLedgerStats(ledger)
+      .filter(col("op") === "dv"
+        && col("snapshot_id") > toSnapshot && col("snapshot_id") <= cur)
+      .select(col("path"), col("size"), col("stats"))
+    val dvReAdds =
+      if (postDvActs.isEmpty) adds0.limit(0)
+      else {
+        val touched = org.apache.spark.sql.GraftShim
+          .parquetScan(spark, new LedgerFileIndex(postDvActs))
+          .select(col("dpath")).distinct()
+        target
+          .withColumn("_np", regexp_replace(col("path"), "^file:/+", "/"))
+          .join(touched, col("_np") === col("dpath"), "left_semi")
+          .drop("_np")
+          .join(adds0, Seq("path"), "left_anti")
+      }
+    val adds = adds0.unionByName(dvReAdds)
       .withColumn("op", lit("add"))
     checkHorizon(ledger, adds, s"restore($toSnapshot)")
     val removes = now.join(target, Seq("path"), "left_anti")
@@ -1230,11 +1424,37 @@ object Lake {
       .withColumn("adler32", lit(null).cast("long"))
       .withColumn("stats", lit(null).cast(StatsType))
       .withColumn("op", lit("remove"))
-    val actions = adds.unionByName(removes)
+    val baseActions = adds.unionByName(removes)
       .withColumn("snapshot_op", lit("restore"))
-    if (actions.isEmpty) return cur // live sets already equal
-    appendSnapshot(spark, ledgerDir, cur + 1, actions)
-    cur + 1
+    if (baseActions.isEmpty) return cur // live sets already equal
+    val next = cur + 1
+    // PRE-target vectors of re-added files must STAY applied (they were
+    // part of the target state), but the re-add revokes EVERY vector on
+    // the file — so restore re-records the target-state active positions
+    // of all re-added files as a fresh COMPENSATING sidecar committed in
+    // the same snapshot (dv_snap = the re-add's winning-add id, so the
+    // activity rule holds with equality). KB-scale: bounded by the
+    // deletions on re-added files, never the table.
+    val compRows: Option[DataFrame] =
+      activeDvRows(spark, ledger, toSnapshot).map { act =>
+        act.join(adds.select(
+            regexp_replace(col("path"), "^file:/+", "/").as("dpath")),
+          Seq("dpath"), "left_semi")
+      }.filterNot(_.isEmpty)
+    reserving(spark, ledgerDir, next) {
+      val actions = compRows match {
+        case Some(rows) =>
+          val dvDir = s"$ledgerDir/_dv/gen-$next"
+          rows.withColumn("dv_snap", lit(next))
+            .write.mode("overwrite").parquet(dvDir)
+          baseActions.unionByName(withLedgerStats(fileAdds(spark, dvDir)
+            .withColumn("op", lit("dv"))
+            .withColumn("snapshot_op", lit("restore"))))
+        case None => baseActions
+      }
+      appendSnapshot(spark, ledgerDir, next, actions, preReserved = true)
+      next
+    }
   }
 
   /** Oracle-checked MERGE round-trip: build a lake from the customer table,
@@ -1271,6 +1491,40 @@ object Lake {
     if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
     f.delete()
   }
+
+  /** Oracle-checked MERGE-ON-READ delete round-trip: build a lake from
+    * customer, MOR-delete MACHINERY rows, MOR-delete negative balances,
+    * ROLL BACK over the second delete (the compensating-sidecar path:
+    * the rollback must revoke only the later vectors while the first
+    * delete's positions re-record), then MOR-delete every 5th key — and
+    * read the head. No data file is ever rewritten; every read applies
+    * the deletion vectors. The surviving relation is pure algebra over
+    * `customer`, so DuckDB can oracle it without a lake. Bench timing
+    * includes the lake build + three sidecar writes (all KB-scale). */
+  def qLakeMor(spark: SparkSession, sfDir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mor").toString
+    val (landing, ledger, gen) = (s"$tmp/landing", s"$tmp/ledger", s"$tmp/gen")
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+    cust.repartition(8).write.parquet(landing)
+    ingestNewFiles(spark, landing, ledger)
+    val s1 = deleteWhereMor(spark, ledger, gen,
+      col("c_mktsegment") === "MACHINERY")
+    deleteWhereMor(spark, ledger, gen, col("c_acctbal") < 0)
+    restore(spark, ledger, s1) // undo the balance delete, keep MACHINERY's
+    val snap = deleteWhereMor(spark, ledger, gen, col("c_custkey") % 5 === 0)
+    val out = readAt(spark, ledger, snap)
+      .select(col("c_custkey"), col("c_name"),
+        col("c_acctbal").cast("double").as("acctbal"))
+      .localCheckpoint() // eager: materialize before the files vanish
+    deleteRecursively(new java.io.File(tmp))
+    out
+  }
+
+  /** DuckDB mirror of qLakeMor's final table. */
+  def qLakeMorSql: String =
+    """SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS acctbal
+      |FROM customer
+      |WHERE c_mktsegment <> 'MACHINERY' AND c_custkey % 5 <> 0""".stripMargin
 
   /** DuckDB mirror of qLakeMerge's final table. */
   def qLakeMergeSql: String =
@@ -1383,11 +1637,16 @@ object Lake {
       targetRowsPerFile: Long = 1000000,
       zOrder: Boolean = false,
       analyzeMissing: Boolean = true,
-      retainSnapshots: Int = 0)
+      retainSnapshots: Int = 0,
+      // > 0: compact (materializing every deletion vector) once the
+      // table's active MOR-delete debt reaches this many rows — the
+      // read-amplification bound on merge-on-read deletes. 0 = ignore.
+      maxDvRows: Long = 0)
 
   /** What one [[maintain]] pass actually did (0 / false = not needed). */
   final case class MaintenanceReport(smallFiles: Long, compacted: Boolean,
-      restatted: Long, expired: Long, snapshot: Long)
+      restatted: Long, expired: Long, snapshot: Long,
+      dvMaterialized: Long = 0)
 
   /** One policy-driven maintenance pass; idempotent — a second call on a
     * maintained table reports all-zeros. Order matters: restat BEFORE
@@ -1411,9 +1670,14 @@ object Lake {
         if (deficient > 0) backfillStats(spark, ledgerDir, statsCols, bloomCols)
         else 0L
       } else 0L
-    // 2. compaction: threshold on the manifest's own size column
+    // 2. compaction: threshold on the manifest's own size column, OR the
+    // table's merge-on-read delete debt over the policy's bound (the
+    // rewrite materializes every vector — dvRows() is 0 afterwards)
     val small = liveActs.filter(col("size") < policy.smallFileBytes).count()
-    val compacted = small >= policy.compactMinSmallFiles
+    val dvDebt =
+      if (policy.maxDvRows > 0) dvRows(spark, ledgerDir, snap0) else 0L
+    val compacted = small >= policy.compactMinSmallFiles ||
+      (policy.maxDvRows > 0 && dvDebt >= policy.maxDvRows)
     if (compacted)
       compactIngested(spark, ledgerDir, compactDir,
         policy.targetRowsPerFile, policy.zOrder)
@@ -1425,7 +1689,8 @@ object Lake {
           retainFrom = math.max(1L, cur - policy.retainSnapshots + 1))
       else 0L
     MaintenanceReport(small, compacted, restatted, expired,
-      currentSnapshot(spark, ledgerDir))
+      currentSnapshot(spark, ledgerDir),
+      dvMaterialized = if (compacted) dvDebt else 0L)
   }
 
   // ------------------------------------------------- history + AS-OF reads
