@@ -1,0 +1,203 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** §2.A/§2.B widening — reporting and data-quality analytics: the
+  * referential-integrity audit a star-schema lake runs after every load
+  * (cf. /root/reference/file_transfer_scripts/insert_extra_fields.py:1-37 —
+  * the reference's ingest pipeline validates metadata before handoff; the
+  * relational analog is validating the keys), the UNPIVOT/melt report
+  * shape, time-series gap filling (zero-fill + forward-fill — the
+  * monitoring-dashboard primitive over an event stream with quiet hours),
+  * and cohort retention (the user-lifecycle report every event warehouse
+  * serves).
+  */
+object Analytics {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(12,4)")
+
+  // -------------------------------------------------------------------
+  // q_fk_check — referential-integrity audit over every FK edge of the
+  // star schema (the post-load validation pass; this corpus is consistent,
+  // so the report is all-zeros — AnalyticsSpec proves nonzero detection on
+  // injected-dirty data). Each edge is ONE pass over the child relation
+  // left-joined to the parent's distinct key set (hint-free: dims
+  // AQE-broadcast, the fact-to-fact edges shuffle on the key once); output
+  // is bounded at one row per edge at any scale.
+  // -------------------------------------------------------------------
+
+  /** One FK edge's audit row: child row count + rows whose `key` has no
+    * match in `parent.pkey` (NULL keys count as orphans — a null FK cannot
+    * reference anything). */
+  def fkEdge(name: String, child: DataFrame, key: String,
+      parent: DataFrame, pkey: String): DataFrame =
+    child.select(col(key))
+      .join(parent.select(col(pkey)).distinct().withColumn("__hit", lit(1)),
+        col(key) === col(pkey), "left")
+      .agg(count(lit(1)).as("n_rows"),
+        count(when(col("__hit").isNull, 1)).as("n_orphans"))
+      .select(lit(name).as("fk_edge"), col("n_rows"), col("n_orphans"))
+
+  def qFkCheck(s: SparkSession, d: String): DataFrame = {
+    def edge(name: String, child: DataFrame, key: String,
+        parent: DataFrame, pkey: String): DataFrame =
+      fkEdge(name, child, key, parent, pkey)
+
+    val li = Tables.lineitem(s, d); val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d); val p = Tables.part(s, d)
+    val su = Tables.supplier(s, d); val n = Tables.nation(s, d)
+    val r = Tables.region(s, d)
+    val ev = Events.events(s, d)
+    Seq(
+      edge("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey"),
+      edge("lineitem.l_partkey->part", li, "l_partkey", p, "p_partkey"),
+      edge("lineitem.l_suppkey->supplier", li, "l_suppkey", su, "s_suppkey"),
+      edge("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey"),
+      edge("customer.c_nationkey->nation", c, "c_nationkey", n, "n_nationkey"),
+      edge("supplier.s_nationkey->nation", su, "s_nationkey", n, "n_nationkey"),
+      edge("nation.n_regionkey->region", n, "n_regionkey", r, "r_regionkey"),
+      edge("events.user_id->customer", ev, "user_id", c, "c_custkey")
+    ).reduce(_.unionAll(_))
+  }
+
+  def qFkCheckSql: String = {
+    def e(name: String, child: String, key: String,
+        parent: String, pkey: String): String =
+      s"""SELECT '$name' AS fk_edge,
+         | CAST(count(*) AS BIGINT) AS n_rows,
+         | CAST(count(CASE WHEN p.$pkey IS NULL THEN 1 END) AS BIGINT) AS n_orphans
+         |FROM $child c LEFT JOIN (SELECT DISTINCT $pkey FROM $parent) p
+         |ON c.$key = p.$pkey""".stripMargin
+    Seq(
+      e("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      e("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+      e("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      e("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+      e("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      e("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+      e("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+      e("events.user_id->customer", "events", "user_id", "customer", "c_custkey")
+    ).mkString("\nUNION ALL\n")
+  }
+
+  // -------------------------------------------------------------------
+  // q_unpivot — UNPIVOT/melt, the report shape q_pivot's inverse: a wide
+  // per-segment metrics frame melted to (segment, metric, value) rows via
+  // `stack` (codegen'd Generate — one pass, no join). All metrics cast to
+  // DOUBLE only in the melt (counts are exact integers, money stays
+  // DECIMAL(12,4) through the aggregate — the plain-money-sum rule).
+  // -------------------------------------------------------------------
+  def qUnpivot(s: SparkSession, d: String): DataFrame = {
+    val wide = Tables.customer(s, d)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).cast("double").as("n_cust"),
+        sum(dec(col("c_acctbal"))).cast("double").as("sum_bal"),
+        min(dec(col("c_acctbal"))).cast("double").as("min_bal"),
+        max(dec(col("c_acctbal"))).cast("double").as("max_bal"))
+    wide.select(col("c_mktsegment"),
+      expr("""stack(4, 'n_cust', n_cust, 'sum_bal', sum_bal,
+        'min_bal', min_bal, 'max_bal', max_bal) AS (metric, value)"""))
+  }
+
+  def qUnpivotSql: String =
+    """WITH wide AS (
+      | SELECT c_mktsegment,
+      |  CAST(count(*) AS DOUBLE) AS n_cust,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,4))) AS DOUBLE) AS sum_bal,
+      |  CAST(min(CAST(c_acctbal AS DECIMAL(12,4))) AS DOUBLE) AS min_bal,
+      |  CAST(max(CAST(c_acctbal AS DECIMAL(12,4))) AS DOUBLE) AS max_bal
+      | FROM customer GROUP BY 1)
+      |SELECT c_mktsegment, 'n_cust' AS metric, n_cust AS value FROM wide
+      |UNION ALL SELECT c_mktsegment, 'sum_bal', sum_bal FROM wide
+      |UNION ALL SELECT c_mktsegment, 'min_bal', min_bal FROM wide
+      |UNION ALL SELECT c_mktsegment, 'max_bal', max_bal FROM wide""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q_evt_gapfill — time-series gap filling: the complete hour×type grid
+  // over the stream's span with zero-filled counts/sums and a
+  // forward-filled "last known hourly sum" (the dashboard line that must
+  // not break over quiet hours). Scale shape: the grid is TIME-BOUNDED
+  // (hours in span × event types — independent of event volume; the
+  // q_evt_deadtime discipline), the hourly aggregate is the only
+  // data-scaled pass (two-phase on (type, hour)), and the forward-fill
+  // window partitions by type over grid-sized frames. Hour keys are epoch
+  // integers; timestamps re-enter only via naive make_timestamp so the
+  // oracle is timezone-free.
+  // -------------------------------------------------------------------
+  def qEvtGapfill(s: SparkSession, d: String): DataFrame = {
+    val ev = Events.events(s, d)
+      .select(col("event_type"),
+        floor(unix_timestamp(col("ts")) / 3600).as("h"),
+        dec(col("value")).as("v"))
+    val hourly = ev.groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("cnt"), sum(col("v")).as("sv"))
+    val bounds = ev.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+    val hours = bounds.select(explode(sequence(col("lo"), col("hi"))).as("h"))
+    val grid = ev.select(col("event_type")).distinct().crossJoin(hours)
+    val filled = grid.join(hourly, Seq("event_type", "h"), "left")
+    val ffill = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    filled
+      .withColumn("ff", last(col("sv"), ignoreNulls = true).over(ffill))
+      .select(col("event_type"),
+        timestamp_seconds(col("h") * 3600).as("hour_start"),
+        coalesce(col("cnt"), lit(0L)).as("n_events"),
+        coalesce(col("sv"), lit(0).cast("decimal(12,4)")).cast("double").as("sum_value"),
+        col("ff").cast("double").as("ffill_sum"))
+  }
+
+  def qEvtGapfillSql: String =
+    """WITH ev AS (SELECT event_type,
+      |  CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+      |  CAST(value AS DECIMAL(12,4)) AS v FROM events),
+      |hourly AS (SELECT event_type, h, count(*) AS cnt, sum(v) AS sv
+      | FROM ev GROUP BY 1, 2),
+      |b AS (SELECT min(h) AS lo, max(h) AS hi FROM ev),
+      |hours AS (SELECT r.i AS h FROM b, unnest(range(b.lo, b.hi + 1)) AS r(i)),
+      |grid AS (SELECT t.event_type, hours.h
+      | FROM (SELECT DISTINCT event_type FROM ev) t CROSS JOIN hours)
+      |SELECT g.event_type,
+      | make_timestamp(g.h * 3600 * 1000000) AS hour_start,
+      | CAST(coalesce(cnt, 0) AS BIGINT) AS n_events,
+      | CAST(coalesce(sv, 0) AS DOUBLE) AS sum_value,
+      | CAST(last_value(sv IGNORE NULLS) OVER (
+      |   PARTITION BY g.event_type ORDER BY g.h
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |  AS ffill_sum
+      |FROM grid g LEFT JOIN hourly ON g.event_type = hourly.event_type
+      | AND g.h = hourly.h""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q_evt_retention — cohort retention: users bucketed by their FIRST
+  // active ISO week (the cohort), counted distinct in each later week as
+  // (cohort_week, week_offset). Scale shape: one per-user min aggregate +
+  // one distinct (user, week) pass (both two-phase key shuffles on
+  // user_id); output bounded at weeks² regardless of event volume. The
+  // offset divides a day difference of two week-truncated dates — exactly
+  // divisible by 7, so integer division is identical on both engines.
+  // -------------------------------------------------------------------
+  def qEvtRetention(s: SparkSession, d: String): DataFrame = {
+    val uw = Events.events(s, d)
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("wk"))
+      .distinct()
+    val cohort = uw.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_week"))
+    uw.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_week"),
+        (datediff(col("wk"), col("cohort_week")) / 7).cast("int").as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  def qEvtRetentionSql: String =
+    """WITH uw AS (SELECT DISTINCT user_id,
+      |  CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+      |cohort AS (SELECT user_id, min(wk) AS cohort_week FROM uw GROUP BY 1)
+      |SELECT c.cohort_week,
+      | CAST(date_diff('day', c.cohort_week, uw.wk) // 7 AS INT) AS week_offset,
+      | CAST(count(DISTINCT uw.user_id) AS BIGINT) AS n_users
+      |FROM uw JOIN cohort c ON uw.user_id = c.user_id
+      |GROUP BY 1, 2""".stripMargin
+}

