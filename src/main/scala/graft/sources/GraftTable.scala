@@ -156,6 +156,17 @@ final case class GraftTable(spark: SparkSession, ledgerDir: String,
   def deleteMor(cond: Column): Long =
     Lake.deleteWhereMor(spark, ledgerDir, genRoot, cond)
 
+  /** Row-level MERGE-ON-READ merge: identical row semantics to `merge`
+    * but superseded target rows become deletion vectors and the
+    * update+insert rows land as one delta — no file rewrites (see
+    * Lake.mergeIntoMor). The write-optimized upsert for high-frequency
+    * CDC sinks; change-feed consumers work unchanged. */
+  def mergeMor(source: DataFrame, key: String,
+      deleteWhen: Option[Column] = None,
+      changeFeed: Boolean = false): Long =
+    Lake.mergeIntoMor(spark, ledgerDir, genRoot, source, key, deleteWhen,
+      changeFeed)
+
   /** Active deletion-vector rows at the current snapshot — the table's
     * accumulated MOR debt (0 right after a full compaction). */
   def dvRows(): Long = Lake.dvRows(spark, ledgerDir)

@@ -1254,9 +1254,13 @@ object Lake {
     // two file scans.
     val target = applyDvsAt(spark, ledgerDir, snap,
       tableScan(spark, ledgerDir, index.get), keepPos = true)
+    // ONE match scan: the position set is delete-sized (exactly what the
+    // sidecar will hold), so materialize it once instead of re-scanning
+    // the table for the emptiness check and again for the sidecar write
     val hits = target
       .filter(coalesce(cond, lit(false)))
       .select(col("__graft_fp").as("dpath"), col("__graft_pos").as("pos"))
+      .localCheckpoint()
     if (hits.isEmpty) return snap // nothing matches: no snapshot, no marker
     reserving(spark, ledgerDir, next) {
       val dvDir = s"$genRoot/gen-$next/dv"
@@ -1353,6 +1357,148 @@ object Lake {
     }
   }
 
+  /** MERGE-ON-READ MERGE INTO — the write-optimized upsert (Iceberg v2
+    * merge-on-read MERGE / Delta DV-merge analog), the shape a
+    * high-frequency CDC sink wants: identical row semantics to
+    * [[mergeInto]] (matched target rows are REPLACED by their source row,
+    * unmatched source rows INSERT, matched rows where `deleteWhen` holds
+    * DELETE — the SQL MERGE arm pair), but instead of rewriting every
+    * affected file it records the matched rows' POSITIONS as a KB-scale
+    * deletion-vector sidecar and appends ONE delta of the surviving
+    * source rows. A merge touching one row in each of 10k files writes
+    * one sidecar + one delta — at 100 TB the difference between a
+    * metadata-sized commit and a table rewrite; the read-side cost is the
+    * standard DV anti-join until a compaction (or [[maintain]]'s
+    * `maxDvRows` bound) materializes the debt.
+    *
+    * Ledger shape (one snapshot): op="dv"/snapshot_op="mor-merge" sidecar
+    * rows for the superseded target positions (inert to the live set,
+    * governed by the same activity rule as [[deleteWhereMor]] — time
+    * travel below the merge sees the old rows, rewrites and restore
+    * compose for free) + op="add"/snapshot_op="merge" delta files
+    * (updated + inserted rows — what readSince surfaces exactly once,
+    * the COW merge contract). NO remove rows, NO carry files. The match
+    * scan is DV-applied, so rows already MOR-deleted can neither
+    * re-record positions nor surface as change-feed pre-images.
+    *
+    * `changeFeed` classifies the same insert / update pre+post /
+    * delete images as COW merge (from the DV-applied matched scan +
+    * source — never a full-table re-pass beyond the match scan itself)
+    * under op="cdc", so MirrorLoop/MatView consumers work unchanged over
+    * MOR-written tables. Schema evolution is COW-only ([[mergeInto]]'s
+    * `evolveSchema`): a MOR delta must conform to the current table
+    * schema — source columns the target lacks are dropped (the
+    * merge-control-column ride), absent columns null-fill.
+    *
+    * Reserve discipline: the match scan is read-only; an empty SOURCE is
+    * a no-op before any reservation; the id is reserved before gen-file
+    * writes; mid-job failure auto-releases ([[reserving]]). Key
+    * cardinality follows [[mergeInto]]: duplicate target keys all
+    * supersede to the single source row; callers dedup the source. */
+  def mergeIntoMor(spark: SparkSession, ledgerDir: String, genRoot: String,
+      source: DataFrame, key: String,
+      deleteWhen: Option[org.apache.spark.sql.Column] = None,
+      changeFeed: Boolean = false): Long = {
+    val snap = currentSnapshot(spark, ledgerDir)
+    if (source.isEmpty) return snap // empty source: no snapshot, no marker
+    val next = snap + 1
+    val liveActs = readLedger(spark, ledgerDir).map(l => liveActionsAt(l, snap))
+    val index = liveActs.map(new LedgerFileIndex(_)).filterNot(_.isEmpty)
+    val targetSchema = index.map(tableScan(spark, ledgerDir, _).schema)
+    val baseCols: Seq[String] =
+      targetSchema.map(_.fieldNames.toSeq).getOrElse(source.columns.toSeq)
+    def dtypeOf(n: String): org.apache.spark.sql.types.DataType =
+      targetSchema.flatMap(_.find(_.name == n)).map(_.dataType)
+        .getOrElse(source.schema(n).dataType)
+    def conform(df: DataFrame): DataFrame = df.select(baseCols.map(n =>
+      if (df.columns.contains(n)) col(n)
+      else lit(null).cast(dtypeOf(n)).as(n)): _*)
+    val srcKeys = source.select(col(key)).distinct()
+    // DV-applied match scan WITH row identity: the (file, position) rows
+    // this merge supersedes. The NARROW identity projection (key, file,
+    // pos — match-sized, exactly what the sidecar holds) materializes
+    // ONCE and feeds the emptiness check, the matched-key set, and the
+    // sidecar write; only the change feed's pre-images re-scan (they
+    // need full rows, key-filter pushed — the COW affectedScan shape).
+    val matched: Option[DataFrame] = index.map { idx =>
+      applyDvsAt(spark, ledgerDir, snap,
+          tableScan(spark, ledgerDir, idx), keepPos = true)
+        .join(srcKeys, Seq(key), "left_semi")
+    }
+    val matchedIds: Option[DataFrame] = matched.map(
+      _.select(col(key), col("__graft_fp"), col("__graft_pos"))
+        .localCheckpoint())
+    val anyMatches = matchedIds.exists(!_.isEmpty)
+    val matchedKeys: Option[DataFrame] =
+      if (anyMatches) matchedIds.map(_.select(col(key)).distinct()) else None
+    // deleteWhen governs MATCHED source rows only (SQL MERGE semantics)
+    val srcLive = (deleteWhen, matchedKeys) match {
+      case (Some(c), Some(mk)) =>
+        source.join(mk.withColumn("_matched", lit(true)), Seq(key), "left")
+          .filter(!(coalesce(col("_matched"), lit(false))
+            && coalesce(c, lit(false))))
+          .drop("_matched")
+      case _ => source
+    }
+    reserving(spark, ledgerDir, next) {
+      val genDir = s"$genRoot/gen-$next"
+      if (changeFeed) {
+        def tag(df: DataFrame, t: String): DataFrame =
+          conform(df).withColumn("_change_type", lit(t))
+        val changes = matchedKeys match {
+          case Some(mk) =>
+            val liveKeys = srcLive.select(col(key)).distinct()
+            val updKeys = mk.join(liveKeys, Seq(key), "left_semi")
+            val delKeys = mk.join(liveKeys, Seq(key), "left_anti")
+            val pre = matched.get.drop("__graft_fp", "__graft_pos")
+            tag(pre.join(delKeys, Seq(key), "left_semi"), "delete")
+              .unionByName(tag(pre.join(updKeys, Seq(key), "left_semi"),
+                "update_preimage"))
+              .unionByName(tag(srcLive.join(mk, Seq(key), "left_semi"),
+                "update_postimage"))
+              .unionByName(tag(srcLive.join(mk, Seq(key), "left_anti"),
+                "insert"))
+          case None => tag(srcLive, "insert")
+        }
+        changes.withColumn("_commit_snapshot", lit(next))
+          .write.mode("overwrite").parquet(s"$genDir/changes")
+      }
+      if (anyMatches)
+        matchedIds.get
+          .select(col("__graft_fp").as("dpath"), col("__graft_pos").as("pos"))
+          .withColumn("dv_snap", lit(next))
+          .write.mode("overwrite").parquet(s"$genDir/dv")
+      conform(srcLive).write.mode("overwrite").parquet(s"$genDir/delta")
+      // delta files inherit the table's skipping contract (the COW
+      // merge/delete discipline); dv sidecars are positional metadata —
+      // no stats (they are never live-set scanned)
+      val (mStatsCols, mBloomCols) = liveActs match {
+        case Some(acts) => liveStatsContract(acts)
+        case None => (Nil, Nil)
+      }
+      val deltaAdds = addsWithStats(spark, fileAdds(spark, s"$genDir/delta"),
+          s"$genDir/delta", mStatsCols, mBloomCols)
+        .withColumn("op", lit("add"))
+        .withColumn("snapshot_op", lit("merge"))
+      val adds0 = withLedgerStats(deltaAdds)
+      val adds1 =
+        if (anyMatches)
+          adds0.unionByName(withLedgerStats(fileAdds(spark, s"$genDir/dv")
+            .withColumn("op", lit("dv"))
+            .withColumn("snapshot_op", lit("mor-merge"))))
+        else adds0
+      val actions =
+        if (changeFeed)
+          adds1.unionByName(withLedgerStats(
+            fileAdds(spark, s"$genDir/changes")
+              .withColumn("op", lit("cdc"))
+              .withColumn("snapshot_op", lit("mor-merge"))))
+        else adds1
+      appendSnapshot(spark, ledgerDir, next, actions, preReserved = true)
+      next
+    }
+  }
+
   /** RESTORE — the Delta `RESTORE TABLE ... TO VERSION` / Iceberg
     * rollback analog: record a NEW snapshot whose live file set equals the
     * live set AT `toSnapshot`, undoing every later merge/delete/compaction
@@ -1390,9 +1536,14 @@ object Lake {
         .filter(col("ad").isNotNull && (col("rm").isNull || col("rm") < col("ad")))
         .select(col("path"), col("w.size").as("size"),
           col("w.adler32").as("adler32"), col("w.stats").as("stats"))
-    val target = liveFull(toSnapshot)
-    val now = liveFull(cur)
-    val adds0 = target.join(now, Seq("path"), "left_anti")
+    // the live sets and the re-add delta are KB-scale and each feeds
+    // several consumers below (semi/anti joins, the emptiness check, the
+    // final union) — materialize once instead of re-aggregating the
+    // ledger per consumer (restore is a metadata op; its cost should be
+    // a handful of jobs, not a recomputation tree)
+    val target = liveFull(toSnapshot).localCheckpoint()
+    val now = liveFull(cur).localCheckpoint()
+    val adds0 = target.join(now, Seq("path"), "left_anti").localCheckpoint()
     // POST-TARGET deletion vectors must not survive the rollback: a MOR
     // delete references its file instead of rewriting it, so restoring
     // the live set alone would leave post-target deletions applied.
@@ -1525,6 +1676,60 @@ object Lake {
     """SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS acctbal
       |FROM customer
       |WHERE c_mktsegment <> 'MACHINERY' AND c_custkey % 5 <> 0""".stripMargin
+
+  /** Oracle-checked MERGE-ON-READ merge round-trip: build a lake from
+    * customer, MOR-MERGE updates (every 7th key +1000) + shifted inserts
+    * (every 97th key) + a matched-MACHINERY delete arm (the qLakeMerge
+    * source, written MOR), then a SECOND MOR merge (every 14th key
+    * +1500) whose matches land deletion vectors ON THE FIRST MERGE'S
+    * DELTA FILE (DV-over-delta stacking; its unmatched rows — the
+    * MACHINERY keys the first merge deleted — re-insert, the SQL MERGE
+    * arm semantics), then a MOR delete of negative balances on the
+    * merged state. NO data file is ever rewritten; every read resolves
+    * three generations of vectors. Pure algebra over `customer` for the
+    * DuckDB oracle. */
+  def qLakeMorMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mor_merge").toString
+    val (landing, ledger, gen) = (s"$tmp/landing", s"$tmp/ledger", s"$tmp/gen")
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+    cust.repartition(8).write.parquet(landing)
+    ingestNewFiles(spark, landing, ledger)
+    val updates = cust.filter(col("c_custkey") % 7 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 1000)
+    val inserts = cust.filter(col("c_custkey") % 97 === 0)
+      .withColumn("c_custkey", col("c_custkey") + 10000000)
+    mergeIntoMor(spark, ledger, gen, updates.unionByName(inserts),
+      "c_custkey", deleteWhen = Some(col("c_mktsegment") === "MACHINERY"))
+    mergeIntoMor(spark, ledger, gen,
+      cust.filter(col("c_custkey") % 14 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 1500),
+      "c_custkey")
+    val snap = deleteWhereMor(spark, ledger, gen, col("c_acctbal") < 0)
+    val out = readAt(spark, ledger, snap)
+      .select(col("c_custkey"), col("c_name"),
+        col("c_acctbal").cast("double").as("acctbal"))
+      .localCheckpoint() // eager: materialize before the files vanish
+    deleteRecursively(new java.io.File(tmp))
+    out
+  }
+
+  /** DuckDB mirror of qLakeMorMerge's final table. */
+  def qLakeMorMergeSql: String =
+    """WITH f AS (
+      | SELECT c_custkey, c_name, c_acctbal + 1500 AS bal
+      | FROM customer WHERE c_custkey % 14 = 0
+      | UNION ALL
+      | SELECT c_custkey, c_name, c_acctbal + 1000 AS bal
+      | FROM customer WHERE c_custkey % 7 = 0 AND c_custkey % 14 <> 0
+      |  AND c_mktsegment <> 'MACHINERY'
+      | UNION ALL
+      | SELECT c_custkey, c_name, c_acctbal AS bal
+      | FROM customer WHERE c_custkey % 7 <> 0
+      | UNION ALL
+      | SELECT c_custkey + 10000000 AS c_custkey, c_name, c_acctbal AS bal
+      | FROM customer WHERE c_custkey % 97 = 0)
+      |SELECT c_custkey, c_name, CAST(bal AS DOUBLE) AS acctbal
+      |FROM f WHERE bal >= 0""".stripMargin
 
   /** DuckDB mirror of qLakeMerge's final table. */
   def qLakeMergeSql: String =

@@ -216,4 +216,96 @@ class MorSpec extends GraftSpec {
     val s = Lake.deleteWhereMor(spark, ledger, gen, col("c_acctbal") < 0)
     assert(s == snap + 1)
   }
+
+  private def asSet(df: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+    df.select(col("c_custkey"), col("c_acctbal").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+  test("MOR merge equals COW merge, rewrites nothing, feeds only the delta") {
+    val (landingA, ledgerA, genA) = fresh()
+    val (landingB, ledgerB, genB) = fresh()
+    val snapA0 = land(landingA, ledgerA)
+    land(landingB, ledgerB)
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+    val updates = cust.filter(col("c_custkey") % 7 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 1000)
+    val inserts = cust.filter(col("c_custkey") % 97 === 0)
+      .withColumn("c_custkey", col("c_custkey") + 10000000)
+    val src = updates.unionByName(inserts)
+    val del = Some(col("c_mktsegment") === "MACHINERY")
+
+    val beforeA = livePaths(ledgerA)
+    val morSnap = Lake.mergeIntoMor(spark, ledgerA, genA, src, "c_custkey", del)
+    val cowSnap = Lake.mergeInto(spark, ledgerB, genB, src, "c_custkey", del)
+
+    // identical row semantics to the COW merge
+    assert(asSet(Lake.readAt(spark, ledgerA, morSnap)) ==
+      asSet(Lake.readAt(spark, ledgerB, cowSnap)))
+    // write-optimized: every pre-merge file is STILL live (no removes),
+    // the only new live files are the delta
+    val afterA = livePaths(ledgerA)
+    assert(beforeA.subsetOf(afterA), "MOR merge must not remove any file")
+    assert((afterA -- beforeA).forall(_.contains("delta")))
+    // superseded positions became vectors: matched keys = distinct target
+    // rows hit by an update or consumed by the delete arm
+    assert(Lake.dvRows(spark, ledgerA) > 0)
+    // incremental consumers get exactly the delta rows (updates whose
+    // source survived + inserts), once
+    val fed = Lake.readSince(spark, ledgerA, snapA0)
+    val expectedDelta = updates
+      .join(cust.filter(col("c_mktsegment") === "MACHINERY"),
+        Seq("c_custkey"), "left_anti")
+      .unionByName(inserts)
+    assert(asSet(fed) == asSet(expectedDelta))
+    // time travel below the merge: the pre-merge table intact
+    assert(Lake.readAt(spark, ledgerA, snapA0).count() == cust.count())
+
+    // a SECOND MOR merge lands vectors on the first merge's delta file
+    val src2 = cust.filter(col("c_custkey") % 14 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 1500)
+    val mor2 = Lake.mergeIntoMor(spark, ledgerA, genA, src2, "c_custkey")
+    val cow2 = Lake.mergeInto(spark, ledgerB, genB, src2, "c_custkey")
+    assert(asSet(Lake.readAt(spark, ledgerA, mor2)) ==
+      asSet(Lake.readAt(spark, ledgerB, cow2)))
+
+    // compaction materializes every vector; the table is unchanged
+    val head = asSet(Lake.readAt(spark, ledgerA, mor2))
+    Lake.compactIngested(spark, ledgerA, genA, 100000)
+    assert(Lake.dvRows(spark, ledgerA) == 0)
+    assert(asSet(Lake.readAt(spark, ledgerA,
+      Lake.currentSnapshot(spark, ledgerA))) == head)
+
+    // empty source: no snapshot, no reservation
+    val cur = Lake.currentSnapshot(spark, ledgerA)
+    assert(Lake.mergeIntoMor(spark, ledgerA, genA,
+      cust.filter(lit(false)), "c_custkey") == cur)
+    assert(Lake.orphanedCommits(spark, ledgerA).isEmpty)
+  }
+
+  test("MOR merge change feed classifies like the COW merge feed") {
+    val (landingA, ledgerA, genA) = fresh()
+    val (landingB, ledgerB, genB) = fresh()
+    val a0 = land(landingA, ledgerA)
+    val b0 = land(landingB, ledgerB)
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+    val src = cust.filter(col("c_custkey") % 5 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 10)
+      .unionByName(cust.filter(col("c_custkey") % 101 === 0)
+        .withColumn("c_custkey", col("c_custkey") + 20000000))
+    val del = Some(col("c_acctbal") < 0) // matched negatives delete
+    Lake.mergeIntoMor(spark, ledgerA, genA, src, "c_custkey", del,
+      changeFeed = true)
+    Lake.mergeInto(spark, ledgerB, genB, src, "c_custkey", del,
+      changeFeed = true)
+    def feed(ledger: String, s: Long) =
+      Lake.readChanges(spark, ledger, s)
+        .select(col("c_custkey"), col("c_acctbal").cast("string"),
+          col("_change_type"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .toSet
+    val morFeed = feed(ledgerA, a0)
+    assert(morFeed == feed(ledgerB, b0))
+    assert(Set("insert", "update_preimage", "update_postimage", "delete")
+      .subsetOf(morFeed.map(_._3)))
+  }
 }
