@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.CountMinSketch
+import graft.Tables
+
+/** §2.C/§2.D widening — MERGEABLE-SKETCH analytics, the bounded-memory
+  * single-pass shapes a 100 TB corpus forces when exact per-key state
+  * would itself be data-scaled:
+  *
+  *  - heavy hitters WITHOUT a vocabulary shuffle: a KPS frequent-items
+  *    pass bounds the candidate set at 1/support items and a Count-Min
+  *    sketch (one mergeable binary, map-side combined — only KB-sized
+  *    counter arrays ever shuffle) supplies their estimated counts;
+  *  - distinct-count sketches that PERSIST and UNION: per-source HLL
+  *    sketches whose binary registers merge losslessly (the same
+  *    estimate as sketching the union directly — the property that lets
+  *    per-day/per-partition sketches roll up without rescanning), the
+  *    incremental-analytics primitive behind every "distinct users this
+  *    quarter" dashboard.
+  *
+  * Both collect ONLY sketch-sized state to the driver (a ≤1/support
+  * candidate list + a KB binary; the control-plane exception of §3 rule
+  * 3) — the corpus passes stay fully distributed and single-scan.
+  */
+object Sketches {
+
+  /** Sketch-based heavy hitters over the token stream: tokens whose
+    * frequency exceeds `support` of the corpus, with Count-Min estimated
+    * counts. The KPS pass guarantees every true heavy hitter is a
+    * candidate (superset property); CMS never underestimates, so no true
+    * heavy hitter can be filtered out — precision is bounded by the CMS
+    * overestimate (≤ eps·N with the configured confidence, spec-bounded).
+    * [rows]: estimates are engine-specific (SketchSpec bounds them
+    * against exact counts). */
+  def qTokHeavyHitters(s: SparkSession, d: String): DataFrame = {
+    val support = 0.005
+    val toks = Tables.documents(s, d)
+      .select(explode(TextOps.tokens(col("text"))).as("token"))
+    val cand: Seq[String] = toks.stat.freqItems(Seq("token"), support)
+      .head.getSeq[String](0)
+    val skBytes = toks
+      .agg(count_min_sketch(col("token"), lit(1e-4), lit(0.99), lit(42))
+        .as("sk"))
+      .head.getAs[Array[Byte]]("sk")
+    val cms = CountMinSketch.readFrom(skBytes)
+    val thresh = (support * cms.totalCount()).toLong
+    val rows = cand.map(t => (t, cms.estimateCount(t)))
+      .filter(_._2 >= thresh)
+      .sortBy { case (t, c) => (-c, t) }
+    s.createDataFrame(rows).toDF("token", "est_cnt")
+  }
+
+  /** Distinct-document estimation via PERSISTABLE per-source HLL
+    * sketches: one sketch row per source (distinct normalized texts) plus
+    * the lossless union of all sources ("__all__") — computed by MERGING
+    * the per-source register arrays, never re-scanning the corpus (the
+    * roll-up property). Estimates ride datasketches HLL (lgK 14 ≈ 0.8%
+    * RSE, spec-bounded vs exact). [rows]. */
+  def qDocDistinctSketch(s: SparkSession, d: String): DataFrame = {
+    val perSource = Tables.documents(s, d)
+      .select(col("source"), md5(col("text")).as("h"))
+      .groupBy(col("source"))
+      .agg(hll_sketch_agg(col("h"), lit(14)).as("sk"))
+    val union = perSource
+      .agg(hll_union_agg(col("sk")).as("sk"))
+      .select(lit("__all__").as("source"), col("sk"))
+    perSource.select(col("source"), col("sk"))
+      .unionByName(union)
+      .select(col("source"),
+        hll_sketch_estimate(col("sk")).as("est_distinct"))
+  }
+}
