@@ -167,6 +167,16 @@ final case class GraftTable(spark: SparkSession, ledgerDir: String,
     Lake.mergeIntoMor(spark, ledgerDir, genRoot, source, key, deleteWhen,
       changeFeed)
 
+  /** Streaming CDC upsert sink into this table: each micro-batch of the
+    * keyed feed applies as one metadata-sized MOR merge (latest row per
+    * key wins, `deleteWhen` rows are tombstones, replayed batches no-op —
+    * see streaming.UpsertLoop). Caller sets checkpointLocation + starts. */
+  def upsertStream(stream: DataFrame, key: String, orderCol: String,
+      deleteWhen: Option[Column] = None, changeFeed: Boolean = false)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    graft.streaming.UpsertLoop.upsertStream(stream, ledgerDir, genRoot,
+      key, orderCol, deleteWhen, changeFeed)
+
   /** Active deletion-vector rows at the current snapshot — the table's
     * accumulated MOR debt (0 right after a full compaction). */
   def dvRows(): Long = Lake.dvRows(spark, ledgerDir)

@@ -1398,7 +1398,8 @@ object Lake {
   def mergeIntoMor(spark: SparkSession, ledgerDir: String, genRoot: String,
       source: DataFrame, key: String,
       deleteWhen: Option[org.apache.spark.sql.Column] = None,
-      changeFeed: Boolean = false): Long = {
+      changeFeed: Boolean = false,
+      genSuffix: Option[String] = None): Long = {
     val snap = currentSnapshot(spark, ledgerDir)
     if (source.isEmpty) return snap // empty source: no snapshot, no marker
     val next = snap + 1
@@ -1441,7 +1442,11 @@ object Lake {
       case _ => source
     }
     reserving(spark, ledgerDir, next) {
-      val genDir = s"$genRoot/gen-$next"
+      // `genSuffix` tags the generation DIRECTORY (e.g. a streaming
+      // sink's batch id) so the commit is PROBEABLE from the ledger's
+      // paths alone — the exactly-once replay marker UpsertLoop keys on
+      val genDir = s"$genRoot/gen-$next" +
+        genSuffix.map("-" + _).getOrElse("")
       if (changeFeed) {
         def tag(df: DataFrame, t: String): DataFrame =
           conform(df).withColumn("_change_type", lit(t))
