@@ -183,6 +183,32 @@ object ScaleProbe {
         t
       }
       report(f"mv_round 10x/1x ratio ${roundTimes(1) / roundTimes(0)}%5.2f (flat = maintenance cost tracks the batch, not the table)")
+      // MOR merge: upsert the SAME fixed batch into a 1x and a 10x
+      // orders lake ingested WITH o_orderkey stats (the synth replicas
+      // are key-shifted, so files are key-clustered). The match scan is
+      // scoped to the batch's key range and pruned by manifest min/max
+      // stats to the batch's file footprint; the writes are one DV
+      // sidecar + one delta regardless of table size — so the merge
+      // round should be near-FLAT at 10x (the file-targeted-merge
+      // claim, measured).
+      val morRoot = "/tmp/sf1_synth_mor"
+      rmrf(new java.io.File(morRoot))
+      val morBatch = spark.read.parquet(s"$src/orders.parquet")
+        .filter(col("o_orderkey") % 97 === 1)
+        .withColumn("o_totalprice", col("o_totalprice") + 1)
+        .localCheckpoint()
+      report("mor change batch rows: " + morBatch.count())
+      val morTimes = for ((tag, dataDir) <- Seq("1x" -> src, "10x" -> out)) yield {
+        val ledger = s"$morRoot/$tag/ledger"
+        val gen = s"$morRoot/$tag/gen"
+        Lake.ingestNewFiles(spark, s"$dataDir/orders.parquet", ledger,
+          statsCols = Seq("o_orderkey"))
+        val t = timed { Lake.mergeIntoMor(spark, ledger, gen, morBatch,
+          "o_orderkey") }
+        report(f"mor_merge_$tag%-13s ${t}%6.2f s   (fixed ~1.5k-row batch)")
+        t
+      }
+      report(f"mor_merge 10x/1x ratio ${morTimes(1) / morTimes(0)}%5.2f (flat = stats-pruned match scan + DV/delta-only writes track the batch)")
     }
     sys.env.get("SPARK_GRAFT_PROBE_OUT").foreach { path =>
       java.nio.file.Files.write(java.nio.file.Paths.get(path),

@@ -1011,8 +1011,11 @@ object Lake {
       // the rewrite set: live files containing at least one matched key —
       // bounded by files-with-matches (the merge's blast radius), the only
       // file list a COW merge puts on the driver
+      // discovery scan scoped to the batch's key range (sound superset;
+      // pushable — manifest stats prune it to the batch's file footprint
+      // on a key-clustered table, see keyRangeScope)
       val affectedNorm: Set[String] = target match {
-        case Some(t) => t
+        case Some(t) => keyRangeScope(t, srcKeys, key)
           .withColumn("_file", regexp_replace(input_file_name(), "^file:/+", "/"))
           .join(srcKeys, Seq(key), "left_semi")
           .select(col("_file")).distinct()
@@ -1274,6 +1277,22 @@ object Lake {
     }
   }
 
+  /** Scope a table scan to the key range of a merge batch: a SOUND
+    * superset of the equality matches (a key outside [min, max] of the
+    * batch's keys can never equal one of them) expressed as a pushable
+    * BETWEEN on the bare key column — so on a key-clustered table the
+    * manifest's per-file min/max stats prune the match scan to the
+    * batch's file footprint instead of the whole table (the
+    * file-targeted-merge property; a hash-scattered table degrades
+    * gracefully to the full scan it needed anyway). One tiny driver
+    * action on the already-distinct key set. */
+  private def keyRangeScope(scan: DataFrame, srcKeys: DataFrame,
+      key: String): DataFrame = {
+    val b = srcKeys.agg(min(col(key)), max(col(key))).head()
+    if (b.isNullAt(0)) scan // empty/all-null batch: nothing can match
+    else scan.filter(col(key).between(lit(b.get(0)), lit(b.get(1))))
+  }
+
   /** The dv-typed ledger action rows committed at or before `snapshot`
     * (path/size/stats of the SIDECAR files — sizes are real file lengths,
     * so the sidecar scan plans through [[LedgerFileIndex]] like every
@@ -1421,9 +1440,15 @@ object Lake {
     // ONCE and feeds the emptiness check, the matched-key set, and the
     // sidecar write; only the change feed's pre-images re-scan (they
     // need full rows, key-filter pushed — the COW affectedScan shape).
+    // The scan is SCOPED to the batch's key range (a sound superset of
+    // the matches — equality can never hold outside it), a pushable
+    // literal predicate, so on a key-clustered table manifest min/max
+    // stats prune the match scan to the batch's file footprint instead
+    // of the whole table (see keyRangeScope).
     val matched: Option[DataFrame] = index.map { idx =>
       applyDvsAt(spark, ledgerDir, snap,
-          tableScan(spark, ledgerDir, idx), keepPos = true)
+          keyRangeScope(tableScan(spark, ledgerDir, idx), srcKeys, key),
+          keepPos = true)
         .join(srcKeys, Seq(key), "left_semi")
     }
     val matchedIds: Option[DataFrame] = matched.map(
