@@ -116,6 +116,77 @@ object Analytics {
       |UNION ALL SELECT c_mktsegment, 'max_bal', max_bal FROM wide""".stripMargin
 
   // -------------------------------------------------------------------
+  // q_profile — per-column data profiling (the DESCRIBE EXTENDED /
+  // SUMMARIZE analog, the report a lake runs on every new table): one
+  // row per column with non-null count, exact distinct count, and
+  // min/max rendered to engine-portable strings (dates/longs verbatim;
+  // money via DECIMAL so neither engine's double formatter is trusted).
+  // ONE aggregate pass — the distinct counts share a single Expand
+  // (bounded at #columns × rows, never per-column scans) — then a stack
+  // melt to rows. Output bounded at #columns at any scale.
+  // -------------------------------------------------------------------
+  def qProfile(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    def str(c: org.apache.spark.sql.Column) = c.cast("string")
+    val money = col("o_totalprice").cast("decimal(12,2)")
+    val wide = o.agg(
+      count(col("o_orderkey")).as("nn_orderkey"),
+      countDistinct(col("o_orderkey")).as("nd_orderkey"),
+      str(min(col("o_orderkey"))).as("mn_orderkey"),
+      str(max(col("o_orderkey"))).as("mx_orderkey"),
+      count(col("o_custkey")).as("nn_custkey"),
+      countDistinct(col("o_custkey")).as("nd_custkey"),
+      str(min(col("o_custkey"))).as("mn_custkey"),
+      str(max(col("o_custkey"))).as("mx_custkey"),
+      count(col("o_orderstatus")).as("nn_status"),
+      countDistinct(col("o_orderstatus")).as("nd_status"),
+      str(min(col("o_orderstatus"))).as("mn_status"),
+      str(max(col("o_orderstatus"))).as("mx_status"),
+      count(col("o_totalprice")).as("nn_price"),
+      countDistinct(col("o_totalprice")).as("nd_price"),
+      str(min(money)).as("mn_price"),
+      str(max(money)).as("mx_price"),
+      count(col("o_orderdate")).as("nn_date"),
+      countDistinct(col("o_orderdate")).as("nd_date"),
+      str(min(col("o_orderdate")).cast("date")).as("mn_date"),
+      str(max(col("o_orderdate")).cast("date")).as("mx_date"),
+      count(col("o_orderpriority")).as("nn_prio"),
+      countDistinct(col("o_orderpriority")).as("nd_prio"),
+      str(min(col("o_orderpriority"))).as("mn_prio"),
+      str(max(col("o_orderpriority"))).as("mx_prio"))
+    wide.select(expr(
+      """stack(6,
+        | 'o_orderkey', nn_orderkey, nd_orderkey, mn_orderkey, mx_orderkey,
+        | 'o_custkey', nn_custkey, nd_custkey, mn_custkey, mx_custkey,
+        | 'o_orderstatus', nn_status, nd_status, mn_status, mx_status,
+        | 'o_totalprice', nn_price, nd_price, mn_price, mx_price,
+        | 'o_orderdate', nn_date, nd_date, mn_date, mx_date,
+        | 'o_orderpriority', nn_prio, nd_prio, mn_prio, mx_prio
+        |) AS (column_name, n_nonnull, n_distinct, min_str, max_str)""".stripMargin))
+  }
+
+  def qProfileSql: String = {
+    def block(c: String, minExpr: String, maxExpr: String): String =
+      s"""SELECT '$c' AS column_name,
+         | CAST(count($c) AS BIGINT) AS n_nonnull,
+         | CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         | CAST($minExpr AS VARCHAR) AS min_str,
+         | CAST($maxExpr AS VARCHAR) AS max_str
+         |FROM orders""".stripMargin
+    Seq(
+      block("o_orderkey", "min(o_orderkey)", "max(o_orderkey)"),
+      block("o_custkey", "min(o_custkey)", "max(o_custkey)"),
+      block("o_orderstatus", "min(o_orderstatus)", "max(o_orderstatus)"),
+      block("o_totalprice",
+        "min(CAST(o_totalprice AS DECIMAL(12,2)))",
+        "max(CAST(o_totalprice AS DECIMAL(12,2)))"),
+      block("o_orderdate",
+        "CAST(min(o_orderdate) AS DATE)", "CAST(max(o_orderdate) AS DATE)"),
+      block("o_orderpriority", "min(o_orderpriority)", "max(o_orderpriority)")
+    ).mkString("\nUNION ALL\n")
+  }
+
+  // -------------------------------------------------------------------
   // q_evt_gapfill — time-series gap filling: the complete hour×type grid
   // over the stream's span with zero-filled counts/sums and a
   // forward-filled "last known hourly sum" (the dashboard line that must

@@ -391,6 +391,51 @@ object Dedup {
       .agg(min(col("dup_of")).as("dup_of"))
   }
 
+  /** SEMANTIC dedup decisions via coarse k-means clustering — the
+    * SemDeDup shape (cluster the embedding space, compare only within a
+    * cluster, keep one representative per near-dup group): candidates are
+    * rep pairs sharing a k-means CLUSTER — the IVF coarse quantizer's
+    * persisted `assignments` table reused verbatim (built once per
+    * content fingerprint, §2.E; the dedup pass pays NO extra clustering
+    * cost on a corpus that already has an ANN index — the operational
+    * point of SemDeDup at 100 TB). Where the LSH path's candidate recall
+    * comes from random hyperplane collision probability, the semantic
+    * path's comes from cluster granularity (list width ≈ n/k is the
+    * dial); both verify with the exact cosine, so per-pair precision is 1
+    * by construction. Byte-identical vectors collapse to a rep FIRST (the
+    * corpus's duplication never inflates a cluster), each rep links to
+    * its smallest verified partner — decisions, never pair lists.
+    * Rows-only driver check; DedupSpec bounds recall vs the exact anchor
+    * and proves per-pair precision. */
+  def qDedupSemantic(s: SparkSession, d: String): DataFrame = {
+    val e = embWithReps(s, d)
+    val reps = e.filter(col("vec_id") === col("rep_id"))
+      .select(col("vec_id"), col("vec"), col("nrm"))
+    val asg = s.read.parquet(s"${Similarity.ivfIndexDir(s, d)}/assignments")
+      .select(col("vec_id"), col("list_id"))
+    // narrow (list, id) relation — vectors do not travel through the join
+    val keys = reps.join(asg, "vec_id").select(col("list_id"), col("vec_id"))
+    val cands = keys.select(col("list_id"), col("vec_id").as("vec_a"))
+      .join(keys.select(col("list_id"), col("vec_id").as("vec_b")),
+        Seq("list_id"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b")) // one cluster per vec: no dups
+    val va = reps.select(col("vec_id").as("vec_a"), col("vec").as("va"),
+      col("nrm").as("na"))
+    val vb = reps.select(col("vec_id").as("vec_b"), col("vec").as("vb"),
+      col("nrm").as("nb"))
+    val pairLinks = cands.join(va, "vec_a").join(vb, "vec_b")
+      .filter(Similarity.dot(col("va"), col("vb"))
+        / (col("na") * col("nb")) >= 0.4)
+      .groupBy(col("vec_b").as("vec_id"))
+      .agg(min(col("vec_a")).as("dup_of"))
+    val exactLinks = e.filter(col("vec_id") =!= col("rep_id"))
+      .select(col("vec_id"), col("rep_id").as("dup_of"))
+    exactLinks.union(pairLinks)
+      .groupBy(col("vec_id"))
+      .agg(min(col("dup_of")).as("dup_of"))
+  }
+
   /** Cross-source duplication matrix — which sources carry the SAME
     * content (the report that drives a mixing policy: two crawls sharing
     * half their documents should not both be upweighted). Identity is the

@@ -106,4 +106,19 @@ class DedupSpec extends GraftSpec {
     val recall = anchorDupDocs.count(decided.contains).toDouble / anchorDupDocs.size
     assert(recall >= 0.5, s"embed LSH recall $recall vs exact anchor too low")
   }
+
+  test("semantic (cluster-bucketed) dedup is precise and recalls the anchor") {
+    val sem = Dedup.qDedupSemantic(spark, sf)
+    val pairs = sem.collect().map(r => (r.getLong(1), r.getLong(0)))
+    pairs.foreach { case (a, b) =>
+      assert(a < b, s"decision must link to a smaller partner: ($a, $b)")
+      assert(bruteCosine((a, b)) >= 0.4,
+        s"pair ($a,$b) cosine ${bruteCosine((a, b))} below threshold")
+    }
+    val anchorDupDocs = Dedup.qDedupEmbed(spark, sf).collect()
+      .map(_.getAs[Long]("vec_b")).toSet
+    val decided = sem.collect().map(_.getAs[Long]("vec_id")).toSet
+    val recall = anchorDupDocs.count(decided.contains).toDouble / anchorDupDocs.size
+    assert(recall >= 0.5, s"semantic dedup recall $recall vs exact anchor too low")
+  }
 }
