@@ -266,6 +266,47 @@ object Multimodal {
     }
   }
 
+  case class ImageProbe(media_id: Long, format: String, width: Int,
+    height: Int, n_images: Int)
+
+  /** HEADER-ONLY image probe — the metadata fast path a pipeline runs on
+    * billions of payloads BEFORE deciding what to decode (filter by
+    * dimensions/format/frame count, route oversized or exotic payloads
+    * away, budget the decode pass): `ImageReader.getWidth/getHeight(0)`
+    * parse container headers without ever decoding a pixel plane, so the
+    * per-payload cost is header-sized, not pixel-sized — on a corpus of
+    * multi-megapixel images the probe pass is orders of magnitude cheaper
+    * than [[decodeImages]] and its selectivity is what makes the full
+    * decode affordable. `n_images` counts the frame sequence (animated
+    * GIF), 1 for stills. Unparseable payloads are data
+    * (format="undecodable"), never an exception. Partition-local narrow
+    * pass, zero shuffles. */
+  def probeImages(items: Dataset[MediaItem]): Dataset[ImageProbe] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { it =>
+      it.map { m =>
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(m.payload))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext)
+          ImageProbe(m.media_id, "undecodable", -1, -1, 0)
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            val n = try r.getNumImages(true)
+              catch { case _: java.io.IOException => 1 }
+            ImageProbe(m.media_id, r.getFormatName.toLowerCase,
+              r.getWidth(0), r.getHeight(0), n)
+          } catch {
+            case _: java.io.IOException =>
+              ImageProbe(m.media_id, "undecodable", -1, -1, 0)
+          } finally r.dispose()
+        }
+      }
+    }
+  }
+
   // -------------------------------- REAL frame sampling (animated GIF)
 
   case class DecodedFrame(media_id: Long, frame_idx: Int, width: Int,

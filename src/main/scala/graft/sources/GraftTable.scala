@@ -177,6 +177,18 @@ final case class GraftTable(spark: SparkSession, ledgerDir: String,
     graft.streaming.UpsertLoop.upsertStream(stream, ledgerDir, genRoot,
       key, orderCol, deleteWhen, changeFeed)
 
+  /** Tag a snapshot by name (current by default) — time travel by name;
+    * `readTag`/`tags`/`deleteTag` complete the surface. */
+  def tag(name: String, snapshot: Long = -1L): Unit =
+    Lake.tagSnapshot(spark, ledgerDir, name,
+      if (snapshot < 0) Lake.currentSnapshot(spark, ledgerDir) else snapshot)
+
+  def readTag(name: String): DataFrame = Lake.readTag(spark, ledgerDir, name)
+
+  def tags(): Seq[(String, Long)] = Lake.tags(spark, ledgerDir)
+
+  def deleteTag(name: String): Boolean = Lake.deleteTag(ledgerDir, name)
+
   /** Active deletion-vector rows at the current snapshot — the table's
     * accumulated MOR debt (0 right after a full compaction). */
   def dvRows(): Long = Lake.dvRows(spark, ledgerDir)

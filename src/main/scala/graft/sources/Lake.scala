@@ -1934,6 +1934,58 @@ object Lake {
     * table format exposes (what changed, when, how big): snapshot id,
     * commit time, the snapshot_op mix, add/remove/expire file counts, and
     * bytes added. Pure aggregation over the KB-scale ledger. */
+  // ----------------------------------------------- snapshot tags
+
+  /** TAG a snapshot with a name — the Iceberg tag / Delta "named
+    * version" analog: a durable human-readable pointer ("v1-training-set",
+    * "pre-backfill") into the time-travel history, so downstream jobs pin
+    * datasets by NAME instead of copying snapshot ids around. Pure
+    * metadata (one KB file under the underscore-hidden `_tags/`, invisible
+    * to every reader like `_commits`); re-tagging an existing name moves
+    * it (last write wins — the mutable-branch-head behavior; delete +
+    * re-tag for immutable discipline). Rejects ids above the current
+    * snapshot (a tag must point at history that exists). */
+  def tagSnapshot(spark: SparkSession, ledgerDir: String, name: String,
+      snapshot: Long): Unit = {
+    require(name.nonEmpty && !name.contains("/") && !name.contains(".."),
+      s"invalid tag name: $name")
+    val cur = currentSnapshot(spark, ledgerDir)
+    require(snapshot >= 1 && snapshot <= cur,
+      s"tag $name -> $snapshot outside committed history [1, $cur]")
+    val dir = new java.io.File(s"$ledgerDir/_tags")
+    dir.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$ledgerDir/_tags/$name"),
+      snapshot.toString.getBytes("UTF-8"))
+  }
+
+  /** Resolve a tag to its snapshot id (None if absent). */
+  def tagged(ledgerDir: String, name: String): Option[Long] = {
+    val f = new java.io.File(s"$ledgerDir/_tags/$name")
+    if (!f.isFile) None
+    else Some(new String(java.nio.file.Files.readAllBytes(f.toPath),
+      "UTF-8").trim.toLong)
+  }
+
+  /** Read the table AT a tag (time travel by name). */
+  def readTag(spark: SparkSession, ledgerDir: String, name: String): DataFrame =
+    readAt(spark, ledgerDir,
+      tagged(ledgerDir, name).getOrElse(
+        throw new IllegalArgumentException(s"no such tag: $name")))
+
+  /** All tags as (tag, snapshot_id) — KB-scale metadata listing. */
+  def tags(spark: SparkSession, ledgerDir: String): Seq[(String, Long)] = {
+    val dir = new java.io.File(s"$ledgerDir/_tags")
+    if (!dir.isDirectory) Seq.empty
+    else dir.listFiles().filter(_.isFile).toSeq
+      .map(f => f.getName -> tagged(ledgerDir, f.getName).get)
+      .sortBy(_._1)
+  }
+
+  /** Drop a tag (idempotent). */
+  def deleteTag(ledgerDir: String, name: String): Boolean =
+    new java.io.File(s"$ledgerDir/_tags/$name").delete()
+
   def history(spark: SparkSession, ledgerDir: String): DataFrame = {
     val ledger = readLedger(spark, ledgerDir).getOrElse(return spark.emptyDataFrame)
     ledger.groupBy(col("snapshot_id"))

@@ -87,4 +87,32 @@ class HistorySpec extends GraftSpec {
     assert(bySnap(3L).getAs[Long]("n_removed") > 0, "compaction removes files")
     assert(bySnap(4L).getAs[Long]("n_expired") > 0, "expiry audits deletions")
   }
+
+  test("snapshot tags: time travel by name, stable across later writes") {
+    val t = Files.createTempDirectory("graft_tags").toString
+    val (landing, ledger, gen) = (s"$t/landing", s"$t/ledger", s"$t/gen")
+    spark.read.parquet(s"$sf/customer.parquet").limit(500)
+      .repartition(2).write.parquet(landing)
+    Lake.ingestNewFiles(spark, landing, ledger)
+    val tbl = GraftTable(spark, ledger, gen)
+    tbl.tag("v1-training-set") // tags the current snapshot
+    val v1Rows = tbl.readTag("v1-training-set").count()
+
+    // later writes move the table but not the tag
+    Lake.deleteWhere(spark, ledger, gen, col("c_custkey") % 2 === 0)
+    assert(tbl.read().count() < v1Rows)
+    assert(tbl.readTag("v1-training-set").count() == v1Rows)
+    assert(tbl.tags() == Seq("v1-training-set" -> 1L))
+
+    // retag moves the pointer; delete removes it; invalid ids refused
+    tbl.tag("v1-training-set")
+    assert(Lake.tagged(ledger, "v1-training-set").contains(2L))
+    assert(tbl.readTag("v1-training-set").count() == tbl.read().count())
+    assert(tbl.deleteTag("v1-training-set"))
+    intercept[IllegalArgumentException] { tbl.readTag("v1-training-set") }
+    intercept[IllegalArgumentException] { tbl.tag("nope", 99L) }
+    intercept[IllegalArgumentException] { tbl.tag("../escape") }
+    // the _tags sidecar never perturbs ledger reads
+    assert(Lake.currentSnapshot(spark, ledger) == 2L)
+  }
 }

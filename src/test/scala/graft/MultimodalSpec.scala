@@ -262,6 +262,30 @@ class MultimodalSpec extends GraftSpec {
     assert(out.forall(d => d.format == "undecodable" && d.pixels.isEmpty))
   }
 
+  test("header-only probe reports dims/format/frames without pixel decode") {
+    // stills: dims equal the generator's, format png, one image
+    val png = Multimodal.probeImages(Multimodal.pngMediaTable(spark, 12))
+      .collect().map(p => p.media_id -> p).toMap
+    (0 until 12).foreach { i =>
+      val p = png(i.toLong)
+      val (w, h) = (16 + (i % 5) * 8, 16 + (i % 3) * 8)
+      assert(p.format == "png" && p.n_images == 1
+        && p.width == w && p.height == h, s"probe $i: $p")
+    }
+    // animations: frame count equals the generator's sequence length
+    val gif = Multimodal.probeImages(Multimodal.gifMediaTable(spark, 8))
+      .collect().map(p => p.media_id -> p).toMap
+    (0 until 8).foreach { i =>
+      val p = gif(i.toLong)
+      assert(p.format == "gif" && p.n_images == 3 + (i % 4), s"probe $i: $p")
+    }
+    // junk payloads are data, never exceptions
+    val junk = Multimodal.probeImages(
+      Multimodal.mediaTable(spark, sf).limit(10)).collect()
+    assert(junk.length == 10)
+    assert(junk.forall(_.format == "undecodable"))
+  }
+
   test("metadata predicate filters without touching payloads") {
     val imgs = Multimodal.selectKind(Multimodal.mediaTable(spark, sf), "image")
     assert(imgs.count() > 0)
