@@ -116,6 +116,7 @@ object ScaleProbe {
       // bounded (identical at 10x: replicated docs repeat trigrams), so
       // only the explode/scan and the per-doc map-side agg scale
       "q_doc_typicality" -> (TextOps.qDocTypicality _),
+      "q_doc_len_quantiles" -> (Sketches.qDocLenQuantiles _),
       "q_dedup_minhash" -> (Dedup.qDedupMinhash _),
       "q_dedup_ssjoin" -> (SetSim.qDedupSsjoin _),
       "q_dedup_incremental" -> (SetSim.qDedupIncremental _),

@@ -564,6 +564,115 @@ object Multimodal {
     }
   }
 
+  // ------------------------------------- REAL audio featurization (FFT)
+
+  /** In-place iterative radix-2 Cooley-Tukey FFT — ~30 lines of textbook
+    * numerics, no external DSP library (none ships in this container; the
+    * JDK has no FFT). Power-of-two length enforced by the caller. */
+  object Fft {
+    def fft(re: Array[Double], im: Array[Double]): Unit = {
+      val n = re.length
+      require(n == im.length && (n & (n - 1)) == 0, s"FFT length $n not a power of 2")
+      // bit-reversal permutation
+      var i = 1; var j = 0
+      while (i < n) {
+        var bit = n >> 1
+        while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+        j |= bit
+        if (i < j) {
+          val tr = re(i); re(i) = re(j); re(j) = tr
+          val ti = im(i); im(i) = im(j); im(j) = ti
+        }
+        i += 1
+      }
+      // butterflies
+      var len = 2
+      while (len <= n) {
+        val ang = -2.0 * math.Pi / len
+        val wr = math.cos(ang); val wi = math.sin(ang)
+        var blk = 0
+        while (blk < n) {
+          var cr = 1.0; var ci = 0.0
+          var k = 0
+          while (k < len / 2) {
+            val ur = re(blk + k); val ui = im(blk + k)
+            val vr = re(blk + k + len / 2) * cr - im(blk + k + len / 2) * ci
+            val vi = re(blk + k + len / 2) * ci + im(blk + k + len / 2) * cr
+            re(blk + k) = ur + vr; im(blk + k) = ui + vi
+            re(blk + k + len / 2) = ur - vr; im(blk + k + len / 2) = ui - vi
+            val ncr = cr * wr - ci * wi; ci = cr * wi + ci * wr; cr = ncr
+            k += 1
+          }
+          blk += len
+        }
+        len <<= 1
+      }
+    }
+  }
+
+  case class AudioFeatures(media_id: Long, window_idx: Int, rms: Double,
+    dominant_hz: Double, centroid_hz: Double)
+
+  /** Spectral features over decoded PCM — the REAL audio-featurize hop a
+    * training pipeline runs after decode (language/music/noise routing,
+    * silence trimming, corrupt-payload triage all key off these): per
+    * non-overlapping `windowSize`-sample window of the channel-mixed
+    * signal, RMS energy plus FFT-derived dominant frequency and spectral
+    * centroid in Hz. The FFT is the in-JVM kernel above — the whole hop
+    * stays a partition-local typed map like every media kernel here (the
+    * payload column never shuffles; output is a few doubles per window).
+    * Undecodable rows pass through as `window_idx = -1` markers — decode
+    * failures stay data through the WHOLE chain, never exceptions.
+    * Rectangular windowing (exact for bin-aligned test tones; swap-in
+    * windows are a caller-side multiply on `samples` before this hop). */
+  def spectralFeatures(audio: Dataset[DecodedAudio],
+      windowSize: Int = 256): Dataset[AudioFeatures] = {
+    require(windowSize > 0 && (windowSize & (windowSize - 1)) == 0,
+      s"windowSize $windowSize must be a power of 2")
+    import audio.sparkSession.implicits._
+    audio.flatMap { a =>
+      if (a.format == "undecodable" || a.channels <= 0)
+        Seq(AudioFeatures(a.media_id, -1, 0.0, 0.0, 0.0))
+      else {
+        // channel-mix to mono: average the interleaved frame's samples
+        val mono = new Array[Double](a.samples.length / a.channels)
+        var f = 0
+        while (f < mono.length) {
+          var s = 0.0; var c = 0
+          while (c < a.channels) { s += a.samples(f * a.channels + c); c += 1 }
+          mono(f) = s / a.channels
+          f += 1
+        }
+        val nWin = mono.length / windowSize
+        (0 until nWin).map { w =>
+          val re = java.util.Arrays.copyOfRange(mono,
+            w * windowSize, (w + 1) * windowSize)
+          val im = new Array[Double](windowSize)
+          var rms = 0.0
+          var i = 0
+          while (i < windowSize) { rms += re(i) * re(i); i += 1 }
+          rms = math.sqrt(rms / windowSize)
+          Fft.fft(re, im)
+          // one-sided power spectrum, DC excluded from the dominant pick
+          // (a constant offset is not a tone)
+          val half = windowSize / 2
+          var best = 1; var bestP = 0.0; var pSum = 0.0; var fSum = 0.0
+          var k = 1
+          while (k <= half) {
+            val p = re(k) * re(k) + im(k) * im(k)
+            if (p > bestP) { bestP = p; best = k }
+            pSum += p; fSum += p * k
+            k += 1
+          }
+          val hzPerBin = a.sample_rate.toDouble / windowSize
+          AudioFeatures(a.media_id, w, rms,
+            best * hzPerBin,
+            if (pSum == 0.0) 0.0 else fSum / pSum * hzPerBin)
+        }
+      }
+    }
+  }
+
   /** Metadata-level filtering happens BEFORE any kernel touches payload
     * bytes — the predicate is a plain column filter on the struct, so at
     * scale it prunes row groups without reading the (huge) binary column. */

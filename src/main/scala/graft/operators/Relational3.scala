@@ -328,6 +328,35 @@ object Relational3 {
       |         ORDER BY o_totalprice, o_orderkey
       |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin
 
+  /** Distribution-rank window coverage — percent_rank + cume_dist, the
+    * two relative-position functions the rank/ntile/frames family leaves
+    * untested: each customer's exact standing within its (segment,
+    * nation) balance distribution. Both are ratios of exact integers
+    * ((rank−1)/(n−1), rows≤/n) divided in identical op order on both
+    * engines — IEEE division on identical operands is bit-identical, so
+    * they oracle exactly; (balance, custkey) ordering is deterministic.
+    * Partitioning is (segment, nation) — 125 bounded-fraction frames.
+    * CORPUS-scaled distribution ranks (one global frame) are the KLL
+    * sketch path's job (q_doc_len_quantiles), not a window's: a single
+    * window partition over 100 TB is one task sorting the corpus. */
+  def qWindowDist(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("c_mktsegment"), col("c_nationkey"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+  }
+
+  def qWindowDistSql: String =
+    """SELECT c_custkey, c_mktsegment, c_nationkey,
+      |  percent_rank() OVER w AS pr,
+      |  cume_dist() OVER w AS cd
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment, c_nationkey
+      |             ORDER BY c_acctbal, c_custkey)""".stripMargin
+
   /** Per-row PROFIT in exact 10^-4 units — the one money shape the other
     * TPC-H queries don't exercise: a DIFFERENCE of two scaled product
     * terms (revenue − cost). Both products are non-negative BIGINTs before

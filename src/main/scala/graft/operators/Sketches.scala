@@ -52,6 +52,36 @@ object Sketches {
     s.createDataFrame(rows).toDF("token", "est_cnt")
   }
 
+  /** Corpus length-distribution quantiles via PERSISTABLE per-source KLL
+    * sketches: one row per source with estimated p10/p50/p90/p99 of the
+    * document character-length distribution, plus the "__all__" row whose
+    * sketch is the MERGE of the per-source binaries — rank queries over
+    * the whole corpus answered from roll-up state, never a global sort or
+    * rescan (the length histogram every dataset card reports, kept
+    * incremental). KLL at k=200 bounds single-sided rank error at ~1.65%
+    * for any distribution; per-group state is a few KB, map-side combined
+    * (functions/Kll.scala). [rows]: estimates are sketch-specific
+    * (SketchSpec bounds every reported value's true rank against the
+    * target fraction, per source and for the merged row). */
+  def qDocLenQuantiles(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Kll._
+    val fracs = Array(0.10, 0.50, 0.90, 0.99)
+    val perSource = Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(kllAgg(col("n_chars").cast("double")).as("sk"),
+        count(lit(1)).as("n_docs"))
+    val union = perSource
+      .agg(kllMergeAgg(col("sk")).as("sk"), sum(col("n_docs")).as("n_docs"))
+      .select(lit("__all__").as("source"), col("sk"), col("n_docs"))
+    perSource.unionByName(union)
+      .select(col("source"), col("n_docs"),
+        kllQuantiles(col("sk"), fracs).as("qs"))
+      .select(col("source"), col("n_docs"),
+        col("qs").getItem(0).as("p10"), col("qs").getItem(1).as("p50"),
+        col("qs").getItem(2).as("p90"), col("qs").getItem(3).as("p99"))
+      .orderBy(col("source"))
+  }
+
   /** Distinct-document estimation via PERSISTABLE per-source HLL
     * sketches: one sketch row per source (distinct normalized texts) plus
     * the lossless union of all sources ("__all__") — computed by MERGING

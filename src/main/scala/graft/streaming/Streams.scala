@@ -180,6 +180,31 @@ object Streams {
         col("purchase_ts"), col("signup_ts"))
   }
 
+  /** Watermarked stream-stream LEFT OUTER interval join — the conversion
+    * funnel's complement: EVERY signup emits, matched to its user's
+    * purchases within 7 days, or with a NULL purchase once the watermark
+    * has passed the whole match window and proven no match can still
+    * arrive. The null row emission is the semantically hard part of outer
+    * streaming joins (an inner join just drops state; an outer join must
+    * emit exactly once AT eviction) — state stays bounded at the same
+    * 7-day horizon as the inner form above. */
+  def signupPurchaseOuterJoin(signups: DataFrame,
+      purchases: DataFrame): DataFrame = {
+    val sgn = signups.withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("event_id").as("signup_id"),
+        col("ts").as("signup_ts"))
+    val p = purchases.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+    sgn.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("signup_ts") &&
+        col("purchase_ts") <= col("signup_ts") + expr("INTERVAL 7 DAYS"),
+      "leftOuter")
+      .select(col("user_id"), col("signup_id"), col("purchase_id"),
+        col("signup_ts"), col("purchase_ts"))
+  }
+
   /** Stream-static enrichment: the event stream joined against a static
     * readout-map dim (cf. the dromap join, §2.B) — Spark broadcasts the
     * static side into every micro-batch; no stream-side state. */

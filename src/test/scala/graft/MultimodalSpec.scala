@@ -244,6 +244,71 @@ class MultimodalSpec extends GraftSpec {
     }
   }
 
+  test("FFT kernel matches a naive DFT") {
+    val n = 16
+    val rnd = new scala.util.Random(7)
+    val re0 = Array.fill(n)(rnd.nextDouble() * 2 - 1)
+    val re = re0.clone(); val im = new Array[Double](n)
+    Multimodal.Fft.fft(re, im)
+    (0 until n).foreach { k =>
+      var dr = 0.0; var di = 0.0
+      (0 until n).foreach { t =>
+        val a = -2.0 * math.Pi * k * t / n
+        dr += re0(t) * math.cos(a); di += re0(t) * math.sin(a)
+      }
+      assert(math.abs(re(k) - dr) < 1e-9 && math.abs(im(k) - di) < 1e-9,
+        s"bin $k: (${re(k)},${im(k)}) vs naive ($dr,$di)")
+    }
+  }
+
+  test("REAL audio featurize: a bin-aligned WAV test tone lands on its " +
+      "exact frequency, mono and stereo alike; junk passes through") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val sess = spark
+    import sess.implicits._
+    val (rate, win, hz, amp, frames) = (8000, 256, 1000.0, 8000.0, 1024)
+    def toneWav(channels: Int): Array[Byte] = {
+      val bytes = new Array[Byte](frames * channels * 2)
+      (0 until frames).foreach { i =>
+        val s = math.round(amp * math.sin(2 * math.Pi * hz * i / rate)).toInt
+        (0 until channels).foreach { c =>
+          val off = (i * channels + c) * 2
+          bytes(off) = (s & 0xff).toByte
+          bytes(off + 1) = ((s >> 8) & 0xff).toByte
+        }
+      }
+      val fmt = new AudioFormat(rate.toFloat, 16, channels, true, false)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, frames.toLong),
+        AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val items = spark.createDataset(Seq(
+      Multimodal.MediaItem(1L, Multimodal.MediaMeta("audio", 0, 0, rate, 0),
+        toneWav(1)),
+      Multimodal.MediaItem(2L, Multimodal.MediaMeta("audio", 0, 0, rate, 0),
+        toneWav(2)), // same tone on both channels — the mix must not shift it
+      Multimodal.MediaItem(3L, Multimodal.MediaMeta("audio", 0, 0, rate, 0),
+        "not audio at all".getBytes("UTF-8"))))
+    val feats = Multimodal.spectralFeatures(
+      Multimodal.decodeAudio(items), win).collect()
+    val tone = feats.filter(_.media_id <= 2)
+    assert(tone.length == 2 * frames / win)
+    tone.foreach { f =>
+      // 1000 Hz at 8 kHz in a 256 window is EXACTLY bin 32 — the dominant
+      // pick must return it without tolerance
+      assert(f.dominant_hz == 1000.0, s"window ${f.window_idx}: ${f.dominant_hz}")
+      // quantization leaks a little power off-bin; centroid stays close
+      assert(math.abs(f.centroid_hz - 1000.0) < 25.0, s"centroid ${f.centroid_hz}")
+      // RMS of a sine is amp/sqrt(2)
+      assert(math.abs(f.rms - amp / math.sqrt(2)) / (amp / math.sqrt(2)) < 0.02,
+        s"rms ${f.rms}")
+    }
+    val junk = feats.filter(_.media_id == 3)
+    assert(junk.length == 1 && junk.head.window_idx == -1)
+  }
+
   test("undecodable audio payloads surface as data, not exceptions") {
     // text bytes and PNG bytes are both not parseable audio containers
     val text = Multimodal.mediaTable(spark, sf).limit(10)

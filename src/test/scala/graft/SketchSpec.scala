@@ -30,6 +30,36 @@ class SketchSpec extends GraftSpec {
     }
   }
 
+  test("KLL quantile sketches: every estimate's true rank within bound, " +
+      "merged row bounds the GLOBAL distribution") {
+    val fracs = Seq(0.10, 0.50, 0.90, 0.99)
+    // KLL k=200 single-sided normalized rank error ~1.65% @99% conf; the
+    // tie-robust check below needs no extra slack beyond a safety margin.
+    val eps = 0.025
+    val bySource = Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars").cast("double").as("v"))
+      .collect().groupBy(_.getString(0)).map { case (s, rs) =>
+        s -> rs.map(_.getDouble(1)).sorted
+      }
+    val all = bySource.values.flatten.toArray.sorted
+    val out = Sketches.qDocLenQuantiles(spark, sf).collect()
+    assert(out.map(_.getString(0)).toSet == bySource.keySet + "__all__")
+    out.foreach { r =>
+      val vals = if (r.getString(0) == "__all__") all else bySource(r.getString(0))
+      assert(r.getLong(1) == vals.length, s"${r.getString(0)}: n_docs")
+      val ests = Seq(r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      fracs.zip(ests).foreach { case (f, est) =>
+        // tie-robust two-sided rank bound: the mass strictly below the
+        // estimate must not exceed f+eps, the mass at-or-below must
+        // reach f-eps — exact ranks via binary-search on the sorted list
+        val le = vals.count(_ <= est).toDouble / vals.length
+        val lt = vals.count(_ < est).toDouble / vals.length
+        assert(le >= f - eps, s"${r.getString(0)} p$f: rank(<=$est)=$le too low")
+        assert(lt <= f + eps, s"${r.getString(0)} p$f: rank(<$est)=$lt too high")
+      }
+    }
+  }
+
   test("HLL distinct sketches: per-source and union estimates within 3%") {
     val docs = Tables.documents(spark, sf)
       .select(col("source"), md5(col("text")).as("h"))
