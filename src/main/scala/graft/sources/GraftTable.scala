@@ -189,6 +189,31 @@ final case class GraftTable(spark: SparkSession, ledgerDir: String,
 
   def deleteTag(name: String): Boolean = Lake.deleteTag(ledgerDir, name)
 
+  /** Zero-copy BRANCH of this table into `branchDir` — writes on the
+    * branch stay invisible to this table until [[publish]]
+    * (Lake.branch). Returns the fork snapshot. */
+  def branch(branchDir: String): Long = Lake.branch(spark, ledgerDir, branchDir)
+
+  /** Fast-forward this table onto a branch's head; throws
+    * `PublishConflictException` if this table moved since the fork
+    * (Lake.publish). */
+  def publish(branchDir: String): Seq[Long] = Lake.publish(spark, branchDir)
+
+  /** Drop an unpublished branch (Lake.abandonBranch). */
+  def abandonBranch(branchDir: String): Unit = Lake.abandonBranch(branchDir)
+
+  /** Row-level snapshot diff, file-pruned to the write waves' blast
+    * radius (Lake.tableDiff; key-unique tables). */
+  def diff(fromSnap: Long, toSnap: Long, key: String): DataFrame =
+    Lake.tableDiff(spark, ledgerDir, fromSnap, toSnap, key)
+
+  /** WRITE-AUDIT-PUBLISH: fork, run `write(branchLedger, branchGen)`,
+    * gate on `audit(branchHead)`, fast-forward or abandon
+    * (Lake.writeAuditPublish). */
+  def writeAuditPublish(wapDir: String)(write: (String, String) => Unit)(
+      audit: DataFrame => Boolean): Option[Seq[Long]] =
+    Lake.writeAuditPublish(spark, ledgerDir, wapDir)(write)(audit)
+
   /** Active deletion-vector rows at the current snapshot — the table's
     * accumulated MOR debt (0 right after a full compaction). */
   def dvRows(): Long = Lake.dvRows(spark, ledgerDir)

@@ -1673,6 +1673,55 @@ object Lake {
     f.delete()
   }
 
+  /** Oracle-checked WRITE-AUDIT-PUBLISH round-trip: build a lake from
+    * customer, stage a GOOD merge wave on a branch (every 11th key +500
+    * — passes the balance audit, publishes), then stage a BAD wave
+    * (every 13th key +1,000,000 — trips the audit, the whole branch is
+    * abandoned with main bit-untouched), and read main's head. The final
+    * state is pure algebra over `customer` — exactly the good wave and
+    * nothing of the bad one — so DuckDB can oracle the gate's behavior:
+    * a wrong publish OR a leaked abandoned write both hash-mismatch.
+    * Audits run on the BRANCH head; main never serves an unaudited row. */
+  def qLakeWap(spark: SparkSession, sfDir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_wap").toString
+    val (landing, ledger) = (s"$tmp/landing", s"$tmp/ledger")
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+    cust.repartition(8).write.parquet(landing)
+    ingestNewFiles(spark, landing, ledger)
+    def audit(head: DataFrame): Boolean =
+      head.filter(col("c_acctbal") > 100000).isEmpty
+    val published = writeAuditPublish(spark, ledger, s"$tmp/wap_good") {
+      (bl, bg) =>
+        mergeInto(spark, bl, bg,
+          cust.filter(col("c_custkey") % 11 === 0)
+            .withColumn("c_acctbal", col("c_acctbal") + 500),
+          "c_custkey"); ()
+    }(audit)
+    assert(published.exists(_.nonEmpty), "good wave must publish")
+    val rejected = writeAuditPublish(spark, ledger, s"$tmp/wap_bad") {
+      (bl, bg) =>
+        mergeInto(spark, bl, bg,
+          cust.filter(col("c_custkey") % 13 === 0)
+            .withColumn("c_acctbal", col("c_acctbal") + 1000000),
+          "c_custkey"); ()
+    }(audit)
+    assert(rejected.isEmpty, "bad wave must be abandoned")
+    val out = readAt(spark, ledger, currentSnapshot(spark, ledger))
+      .select(col("c_custkey"), col("c_name"),
+        col("c_acctbal").cast("double").as("acctbal"))
+      .localCheckpoint() // eager: materialize before the files vanish
+    deleteRecursively(new java.io.File(tmp))
+    out
+  }
+
+  /** DuckDB mirror of qLakeWap's final table: the good wave applied, the
+    * abandoned wave absent. */
+  def qLakeWapSql: String =
+    """SELECT c_custkey, c_name,
+      |  CAST(CASE WHEN c_custkey % 11 = 0 THEN c_acctbal + 500
+      |            ELSE c_acctbal END AS DOUBLE) AS acctbal
+      |FROM customer""".stripMargin
+
   /** Oracle-checked MERGE-ON-READ delete round-trip: build a lake from
     * customer, MOR-delete MACHINERY rows, MOR-delete negative balances,
     * ROLL BACK over the second delete (the compensating-sidecar path:
@@ -1772,6 +1821,96 @@ object Lake {
       |SELECT c_custkey + 10000000 AS c_custkey, c_name,
       |  CAST(c_acctbal AS DOUBLE) AS acctbal
       |FROM customer WHERE c_custkey % 97 = 0""".stripMargin
+
+  /** SNAPSHOT DIFF — the row-level difference between two snapshots of a
+    * KEY-UNIQUE table (the mergeInto invariant), classified
+    * added / removed / changed with full pre/post images: the audit and
+    * reconciliation read ("what did last night's pipeline actually do")
+    * that doesn't require the writers to have produced a CDC feed —
+    * computed from table STATE, so it works across any mix of appends,
+    * COW merges, MOR deletes and restores.
+    *
+    * FILE-PRUNED, the property that makes it affordable at 100 TB: a
+    * file live in BOTH snapshots whose deletion-vector state didn't
+    * change in `(from, to]` contributes bit-identical rows to both
+    * sides, and (key-unique) those keys cannot pair with rows elsewhere
+    * — such STABLE files are dropped from BOTH scans before the join, so
+    * the diff costs the write wave's blast radius, never the table:
+    * a one-key merge diffs two files, not ten thousand. The join
+    * shuffles both (pruned) sides once on the key; unchanged surviving
+    * pairs drop row-locally via a null-safe struct compare. */
+  def tableDiff(spark: SparkSession, ledgerDir: String, fromSnap: Long,
+      toSnap: Long, key: String): DataFrame = {
+    require(fromSnap <= toSnap, s"tableDiff: from $fromSnap > to $toSnap")
+    val ledger = readLedger(spark, ledgerDir).getOrElse(return spark.emptyDataFrame)
+    val liveF = liveActionsAt(ledger, fromSnap)
+    val liveT = liveActionsAt(ledger, toSnap)
+    // data files whose deletion-vector state changed inside the window:
+    // read the window's dv SIDECARS (KB-scale) for their target paths
+    val dvWindow = withLedgerStats(ledger)
+      .filter(col("op") === "dv" && col("snapshot_id") > fromSnap
+        && col("snapshot_id") <= toSnap)
+      .select(col("path"), col("size"), col("stats"))
+    val dvTouched: DataFrame =
+      if (dvWindow.isEmpty) spark.emptyDataFrame.select(lit("").as("npath")).limit(0)
+      else org.apache.spark.sql.GraftShim.parquetScan(spark,
+        new LedgerFileIndex(dvWindow)).select(col("dpath").as("npath")).distinct()
+    val stable = liveF.select(col("path"))
+      .join(liveT.select(col("path")), Seq("path"), "left_semi")
+      .withColumn("npath", regexp_replace(col("path"), "^file:/+", "/"))
+      .join(dvTouched, Seq("npath"), "left_anti")
+      .select(col("path"))
+    val pre = applyDvsAt(spark, ledgerDir, fromSnap, scanActions(spark,
+      ledgerDir, liveF.join(stable, Seq("path"), "left_anti")))
+    val post = applyDvsAt(spark, ledgerDir, toSnap, scanActions(spark,
+      ledgerDir, liveT.join(stable, Seq("path"), "left_anti")))
+    val preS = pre.select(col(key).as("__k"), struct(pre.columns.map(col): _*).as("pre"))
+    val postS = post.select(col(key).as("__k"), struct(post.columns.map(col): _*).as("post"))
+    preS.join(postS, Seq("__k"), "full_outer")
+      .withColumn("change",
+        when(col("pre").isNull, "added")
+          .when(col("post").isNull, "removed")
+          .when(!(col("pre") <=> col("post")), "changed"))
+      .filter(col("change").isNotNull)
+      .select(col("__k").as(key), col("change"), col("pre"), col("post"))
+  }
+
+  /** Oracle-checked SNAPSHOT DIFF round-trip: build a lake from customer,
+    * run the qLakeMerge wave (updates + shifted inserts + a matched-
+    * MACHINERY delete arm), and diff the pre/post snapshots. The
+    * classification is pure algebra over `customer`, so DuckDB oracles
+    * the diff operator itself — a missed delete, a phantom add, or an
+    * unchanged row leaking through all hash-mismatch. */
+  def qLakeDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_diff").toString
+    val (landing, ledger, gen) = (s"$tmp/landing", s"$tmp/ledger", s"$tmp/gen")
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+    cust.repartition(8).write.parquet(landing)
+    ingestNewFiles(spark, landing, ledger)
+    val base = currentSnapshot(spark, ledger)
+    val updates = cust.filter(col("c_custkey") % 7 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 1000)
+    val inserts = cust.filter(col("c_custkey") % 97 === 0)
+      .withColumn("c_custkey", col("c_custkey") + 10000000)
+    val snap = mergeInto(spark, ledger, gen, updates.unionByName(inserts),
+      "c_custkey", deleteWhen = Some(col("c_mktsegment") === "MACHINERY"))
+    val out = tableDiff(spark, ledger, base, snap, "c_custkey")
+      .select(col("c_custkey"), col("change"))
+      .localCheckpoint() // eager: materialize before the files vanish
+    deleteRecursively(new java.io.File(tmp))
+    out
+  }
+
+  /** DuckDB mirror of qLakeDiff's classification. */
+  def qLakeDiffSql: String =
+    """SELECT c_custkey + 10000000 AS c_custkey, 'added' AS change
+      |FROM customer WHERE c_custkey % 97 = 0
+      |UNION ALL
+      |SELECT c_custkey, 'removed' AS change
+      |FROM customer WHERE c_custkey % 7 = 0 AND c_mktsegment = 'MACHINERY'
+      |UNION ALL
+      |SELECT c_custkey, 'changed' AS change
+      |FROM customer WHERE c_custkey % 7 = 0 AND c_mktsegment <> 'MACHINERY'""".stripMargin
 
   /** Snapshot ids that CHANGED ROWS (added files under an append/merge
     * snapshot) — the units an incremental consumer must process exactly
@@ -1985,6 +2124,149 @@ object Lake {
   /** Drop a tag (idempotent). */
   def deleteTag(ledgerDir: String, name: String): Boolean =
     new java.io.File(s"$ledgerDir/_tags/$name").delete()
+
+  // ===== BRANCHES / WRITE-AUDIT-PUBLISH =====
+
+  /** Publish found the main table moved past the branch's fork point —
+    * fast-forward is impossible; re-branch from the new head and replay
+    * the branch's writes (the rebase is a re-run, same as
+    * [[commitRetry]]'s discipline). */
+  final case class PublishConflictException(branchDir: String,
+      mainDir: String, forkSnapshot: Long, mainHead: Long)
+    extends RuntimeException(
+      s"cannot publish $branchDir: $mainDir is at snapshot $mainHead, " +
+        s"branch forked at $forkSnapshot — re-branch and replay")
+
+  private def branchMeta(branchDir: String) =
+    new java.io.File(branchDir, "_branch.json")
+
+  /** BRANCH the table: a ZERO-COPY fork of `ledgerDir` at its current
+    * snapshot into `branchDir` — the Iceberg-refs / Delta-shallow-clone
+    * primitive, and the write half of WRITE-AUDIT-PUBLISH. The fork
+    * copies only the LEDGER ROWS (KB-scale metadata; the data files are
+    * shared by reference — nothing table-sized moves), so the branch is
+    * immediately a fully functional table: reads, time travel, CDC,
+    * merges, deletes, MOR vectors and restores all work on it through the
+    * same code paths, and its writes land in its OWN ledger — invisible
+    * to every reader of main until [[publish]]. Lineage (source dir +
+    * fork snapshot) rides in an underscore-hidden `_branch.json` the
+    * parquet reader ignores.
+    *
+    * Contracts: never `expireSnapshots` a branch (its pre-fork history
+    * references files OWNED by main — a branch vacuum would delete them
+    * under main; expire main instead, after abandoned branches are
+    * dropped), and expiring MAIN past the fork point invalidates the
+    * branch (the same horizon rule as any time-travel reader). */
+  def branch(spark: SparkSession, ledgerDir: String,
+      branchDir: String): Long = {
+    val head = currentSnapshot(spark, ledgerDir)
+    require(head > 0, s"cannot branch an empty table at $ledgerDir")
+    val bd = new java.io.File(branchDir)
+    require(!bd.exists() || Option(bd.listFiles()).forall(_.isEmpty),
+      s"branch target $branchDir is not empty")
+    // pin the fork to `head`: a row appended between the head read and
+    // the copy must not ride into the branch (the fork would be torn)
+    readLedger(spark, ledgerDir).get
+      .filter(col("snapshot_id") <= head)
+      .write.mode("append").parquet(branchDir)
+    java.nio.file.Files.write(branchMeta(branchDir).toPath,
+      s"""{"source": "$ledgerDir", "fork_snapshot": $head}"""
+        .getBytes("UTF-8"))
+    head
+  }
+
+  /** Branch lineage: (source ledger dir, fork snapshot), None when
+    * `branchDir` is not a branch. */
+  def branchInfo(branchDir: String): Option[(String, Long)] = {
+    val f = branchMeta(branchDir)
+    if (!f.isFile) return None
+    val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+    val src = """"source"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(txt)
+      .map(_.group(1))
+    val fork = """"fork_snapshot"\s*:\s*(\d+)""".r.findFirstMatchIn(txt)
+      .map(_.group(1).toLong)
+    for (s <- src; k <- fork) yield (s, k)
+  }
+
+  /** PUBLISH a branch: FAST-FORWARD main onto the branch's head — the
+    * audit half of write-audit-publish. Requires main untouched since the
+    * fork (its head still equals the fork snapshot): then the branch's
+    * post-fork ledger rows describe exactly the transitions that carry
+    * main's live set to the branch's, and publishing is appending those
+    * rows VERBATIM (same snapshot ids, same gen-file paths — data files
+    * never move; main adopts them by reference). Every published id is
+    * OCC-reserved in main BEFORE any row lands, so a concurrent writer
+    * racing the publish collides exactly as two writers do
+    * ([[ConcurrentCommitException]]); a moved main head throws
+    * [[PublishConflictException]] with nothing appended — rebase is
+    * re-branch + replay. After publish, main's history / time travel /
+    * CDC / incremental reads all surface the branch's snapshots as if
+    * written in place. Returns the published snapshot ids (empty when the
+    * branch has no post-fork writes). */
+  def publish(spark: SparkSession, branchDir: String): Seq[Long] = {
+    val (mainDir, fork) = branchInfo(branchDir).getOrElse(
+      sys.error(s"$branchDir is not a branch (no _branch.json)"))
+    val branchHead = currentSnapshot(spark, branchDir)
+    if (branchHead <= fork) return Seq.empty
+    val mainHead = currentSnapshot(spark, mainDir)
+    if (mainHead != fork)
+      throw PublishConflictException(branchDir, mainDir, fork, mainHead)
+    val ids = (fork + 1) to branchHead
+    var acquired = List.empty[Long]
+    try ids.foreach { id => reserveCommit(mainDir, id); acquired ::= id }
+    catch {
+      case e: ConcurrentCommitException =>
+        // nothing landed — give back what this publish took and bail
+        acquired.foreach(id =>
+          try commitStore.delete(s"$mainDir/_commits", id.toString)
+          catch { case _: Throwable => () })
+        throw e
+    }
+    try readLedger(spark, branchDir).get
+      .filter(col("snapshot_id") > fork && col("snapshot_id") <= branchHead)
+      .write.mode("append").parquet(mainDir)
+    catch {
+      case e: Throwable =>
+        acquired.foreach(id =>
+          try releaseCommit(spark, mainDir, id)
+          catch { case _: Throwable => () })
+        throw e
+    }
+    ids
+  }
+
+  /** Drop a branch that will NOT be published (the failed-audit exit).
+    * Refuses anything without a `_branch.json` — this deletes a
+    * directory tree and must never point at a real table. Deleting the
+    * branch deletes only ITS ledger copy; the shared pre-fork data files
+    * belong to main and are untouched (gen files the branch wrote under
+    * its own work dir die with it when they are inside `branchDir`). */
+  def abandonBranch(branchDir: String): Unit = {
+    require(branchMeta(branchDir).isFile,
+      s"$branchDir is not a branch — refusing to delete")
+    deleteRecursively(new java.io.File(branchDir))
+  }
+
+  /** WRITE-AUDIT-PUBLISH composed: fork main into `wapDir/ledger`, run
+    * `write` against the branch (its data files under `wapDir/gen` — the
+    * branch work dir owns everything it creates), evaluate `audit` on the
+    * branch's post-write head, and either fast-forward main (audit true;
+    * `wapDir` must then OUTLIVE the table — main references the gen files
+    * by path) or abandon the whole work dir leaving main bit-untouched
+    * (audit false). The quality gate every warehouse stages risky
+    * backfills behind; composes with [[Expectations]] naturally — run
+    * the expectation set inside `audit`. Returns the published ids, or
+    * None when the audit rejected. */
+  def writeAuditPublish(spark: SparkSession, ledgerDir: String,
+      wapDir: String)(write: (String, String) => Unit)(
+      audit: DataFrame => Boolean): Option[Seq[Long]] = {
+    val bl = s"$wapDir/ledger"
+    branch(spark, ledgerDir, bl)
+    write(bl, s"$wapDir/gen")
+    val ok = audit(readAt(spark, bl, currentSnapshot(spark, bl)))
+    if (ok) Some(publish(spark, bl))
+    else { abandonBranch(bl); deleteRecursively(new java.io.File(wapDir)); None }
+  }
 
   def history(spark: SparkSession, ledgerDir: String): DataFrame = {
     val ledger = readLedger(spark, ledgerDir).getOrElse(return spark.emptyDataFrame)
