@@ -94,4 +94,81 @@ object Joins {
       .agg(collect_set(value).as("vals"))
       .groupBy(col("key"))
       .agg(array_distinct(flatten(collect_list(col("vals")))).as("distinct_vals"))
+
+  /** Generalized AS-OF JOIN — the merge-asof operator Spark lacks as a
+    * built-in (pandas merge_asof / kdb aj / QuestDB-DuckDB ASOF JOIN):
+    * every left row picks up the LATEST right row with the same key whose
+    * timestamp is AT OR BEFORE its own. The scalable shape is NOT a range
+    * join (no per-row subquery, no interval explosion): tag both sides,
+    * UNION them, and take one running `last(_, ignoreNulls)` over a
+    * (keys)-partitioned (ts, side) window — both sides shuffle exactly
+    * once on the keys, state is one row per frame position, and the right
+    * side sorts BEFORE the left at equal timestamps so ties match
+    * (at-or-before includes equality).
+    *
+    * The matched right row lands as one STRUCT column `matched` carrying
+    * every non-key right column (null when nothing precedes — left-outer
+    * semantics; filter `matched.isNotNull` for inner). `tolerance` (an
+    * interval Column, e.g. `expr("INTERVAL 1 HOUR")`) nulls matches
+    * older than `leftTs − tolerance`, evaluated row-locally after the
+    * window. Right rows should be unique per (keys, rightTs) — pre-
+    * aggregate ties (the window would pick one deterministically only
+    * with a caller-supplied order). */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String,
+      tolerance: Option[Column] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rightVals = right.columns.filterNot(keys.contains).map(col)
+    val matchType = right.select(struct(rightVals: _*).as("m"))
+      .schema("m").dataType
+    val leftCols = left.columns.map(col)
+    val lpart = left.select(
+      keys.map(col) ++ Seq(col(leftTs).as("__t"), lit(1).as("__side"),
+        struct(leftCols: _*).as("__lrow"),
+        lit(null).cast(matchType).as("__m")): _*)
+    val rpart = right.select(
+      keys.map(col) ++ Seq(col(rightTs).as("__t"), lit(0).as("__side"),
+        lit(null).cast(lpart.schema("__lrow").dataType).as("__lrow"),
+        struct(rightVals: _*).as("__m")): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = lpart.unionByName(rpart)
+      .withColumn("__asof", last(col("__m"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    val bounded = tolerance match {
+      case Some(tol) => matched.withColumn("__asof",
+        when(col(s"__asof.$rightTs") >= col("__t") - tol, col("__asof")))
+      case None => matched
+    }
+    bounded.select(col("__lrow.*"), col("__asof").as("matched"))
+  }
+
+  /** AS-OF JOIN, oracle-checked against DuckDB's NATIVE `ASOF JOIN`
+    * operator (a real independent implementation of the semantics, not a
+    * window re-derivation): each purchase matched to its user's latest
+    * at-or-before view. Right ties pre-collapsed to max event_id per
+    * (user, ts) on both engines; inner form (unmatched filtered). */
+  def qEvtAsofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Events.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts").as("view_ts"))
+      .agg(max(col("event_id")).as("view_id"))
+    asofJoin(purchases, views, Seq("user_id"), "ts", "view_ts")
+      .filter(col("matched").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("matched.view_id").as("view_id"),
+        col("matched.view_ts").as("view_ts"))
+  }
+
+  def qEvtAsofJoinSql: String =
+    """WITH v AS (SELECT user_id, ts AS view_ts, max(event_id) AS view_id
+      |           FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+      |     p AS (SELECT event_id, user_id, ts FROM events
+      |           WHERE event_type = 'purchase')
+      |SELECT p.event_id, p.user_id, p.ts, v.view_id, v.view_ts
+      |FROM p ASOF JOIN v
+      |  ON p.user_id = v.user_id AND p.ts >= v.view_ts""".stripMargin
 }
