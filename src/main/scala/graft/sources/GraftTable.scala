@@ -207,6 +207,21 @@ final case class GraftTable(spark: SparkSession, ledgerDir: String,
   def diff(fromSnap: Long, toSnap: Long, key: String): DataFrame =
     Lake.tableDiff(spark, ledgerDir, fromSnap, toSnap, key)
 
+  /** Fold the per-commit ledger files into one checkpoint and prune them
+    * — metadata compaction; every read surface is unchanged
+    * (Lake.compactLedger). */
+  def compactLedger(): Long = Lake.compactLedger(spark, ledgerDir)
+
+  /** Crashed-writer debris under the gen root: parquet no ledger row
+    * references, older than the safety horizon (Lake.orphanFiles;
+    * distinct from `orphans()`, the orphaned COMMIT-id surface). */
+  def orphanedFiles(olderThanMs: Long): Seq[String] =
+    Lake.orphanFiles(spark, ledgerDir, genRoot, olderThanMs)
+
+  /** Delete the orphan set (Lake.removeOrphans). */
+  def removeOrphans(olderThanMs: Long): Seq[String] =
+    Lake.removeOrphans(spark, ledgerDir, genRoot, olderThanMs)
+
   /** WRITE-AUDIT-PUBLISH: fork, run `write(branchLedger, branchGen)`,
     * gate on `audit(branchHead)`, fast-forward or abandon
     * (Lake.writeAuditPublish). */

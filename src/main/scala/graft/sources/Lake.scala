@@ -311,15 +311,87 @@ object Lake {
     * DATA files, not _SUCCESS: after a partially failed append the marker
     * may be missing while committed rows exist, and restarting snapshot
     * ids at 1 would re-ingest every path (breaking exactly-once). */
+  /** Latest ledger CHECKPOINT under `_ckpt/` as (path, covered snapshot),
+    * None when the ledger has never been compacted. */
+  private def latestCkpt(ledgerDir: String): Option[(String, Long)] = {
+    val d = new java.io.File(s"$ledgerDir/_ckpt")
+    if (!d.isDirectory) return None
+    Option(d.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("ckpt-"))
+      .flatMap(f => f.getName.stripPrefix("ckpt-").toLongOption
+        .map(n => (f.getPath, n)))
+      .sortBy(-_._2).headOption
+  }
+
   private def readLedger(spark: SparkSession, ledgerDir: String): Option[DataFrame] = {
     val dir = new java.io.File(ledgerDir)
     val hasData = dir.isDirectory &&
       dir.listFiles().exists(f => f.getName.endsWith(".parquet") && f.length() > 0)
     // mergeSchema: a ledger can carry generations with a narrower stats
     // struct (pre-bloom rows) — merged read nulls the missing fields
-    if (hasData)
-      Some(spark.read.option("mergeSchema", "true").parquet(ledgerDir))
-    else None
+    latestCkpt(ledgerDir) match {
+      case None =>
+        if (hasData)
+          Some(spark.read.option("mergeSchema", "true").parquet(ledgerDir))
+        else None
+      case Some((ckptPath, n)) =>
+        // checkpointed ledger = checkpoint rows (everything <= n, exactly
+        // once) + post-checkpoint appends. ONE multi-path read so
+        // mergeSchema unifies nested stats structs across generations;
+        // rows a data file duplicates with the checkpoint (a compaction
+        // that crashed before its prune, or one whose prune is simply
+        // pending) filter out by provenance — correctness never depends
+        // on the prune having happened. `_ckpt/` itself is underscore-
+        // hidden, so the ledger-dir side of the read can't recurse into it.
+        val paths = if (hasData) Seq(ckptPath, ledgerDir) else Seq(ckptPath)
+        Some(spark.read.option("mergeSchema", "true").parquet(paths: _*)
+          .filter(col("_metadata.file_path").contains("/_ckpt/")
+            || col("snapshot_id") > n))
+    }
+  }
+
+  /** LEDGER CHECKPOINT — the Delta `checkpoint.parquet` / Iceberg
+    * manifest-list analog, for the METADATA scale axis: every commit
+    * appends small parquet files to the ledger dir, so a table with 10^5
+    * commits pays 10^5 file opens at every plan. `compactLedger` folds
+    * all rows ≤ the current snapshot into one consolidated checkpoint
+    * under the underscore-hidden `_ckpt/` (written to a temp dir, then
+    * atomically renamed — a half-written checkpoint is never visible),
+    * after which reads are checkpoint + post-checkpoint tail, and the
+    * superseded per-commit files are PRUNED. History is untouched: the
+    * checkpoint carries every row verbatim (time travel, incremental
+    * reads, CDC, restore and vacuum semantics are byte-identical) — this
+    * compacts the METADATA's file count, never its content, exactly like
+    * data-file compaction below it. Crash-safe at every point: before
+    * the rename nothing changed; after it, covered rows deduplicate by
+    * provenance in [[readLedger]] whether or not the prune ran. */
+  def compactLedger(spark: SparkSession, ledgerDir: String): Long = {
+    val ledger = readLedger(spark, ledgerDir).getOrElse(return 0L)
+    val head = currentSnapshot(spark, ledgerDir)
+    val rows = ledger.filter(col("snapshot_id") <= head).localCheckpoint()
+    val tmp = new java.io.File(s"$ledgerDir/_ckpt/.tmp-$head")
+    rows.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+    val fin = new java.io.File(s"$ledgerDir/_ckpt/ckpt-$head")
+    if (!tmp.renameTo(fin)) {
+      deleteRecursively(tmp)
+      sys.error(s"checkpoint ckpt-$head already exists under $ledgerDir/_ckpt")
+    }
+    // prune the superseded per-commit files: only files ALL of whose rows
+    // the checkpoint covers (per-file max snapshot_id <= head) — a file
+    // carrying a concurrent later append stays
+    val covered = spark.read.option("mergeSchema", "true").parquet(ledgerDir)
+      .select(col("_metadata.file_path").as("f"), col("snapshot_id"))
+      .groupBy(col("f")).agg(max(col("snapshot_id")).as("mx"))
+      .filter(col("mx") <= head)
+      .collect().map(_.getString(0))
+    covered.foreach(f => new java.io.File(normPath(f)).delete())
+    // earlier checkpoints are strict subsets of this one
+    Option(new java.io.File(s"$ledgerDir/_ckpt").listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("ckpt-")
+        && f.getName.stripPrefix("ckpt-").toLongOption.exists(_ < head))
+      .foreach(deleteRecursively)
+    head
   }
 
   /** Highest snapshot id in the ledger (0 = empty ledger). */
@@ -1911,6 +1983,134 @@ object Lake {
       |UNION ALL
       |SELECT c_custkey, 'changed' AS change
       |FROM customer WHERE c_custkey % 7 = 0 AND c_mktsegment <> 'MACHINERY'""".stripMargin
+
+  /** SCD TYPE-2 dimension off the CHANGE FEED — every key's attribute
+    * HISTORY as validity intervals (the slowly-changing-dimension shape
+    * every warehouse keeps for "what did this customer look like when
+    * the order shipped" joins): one row per version with
+    * `valid_from`/`valid_to` commit snapshots (`valid_to` null = current).
+    * Input is [[readChanges]] output (any snapshot window). The build is
+    * ONE key-shuffle + window pass, change-feed-sized (never
+    * table-sized): creations (insert / update_postimage) open a version;
+    * terminators (delete / update_preimage) close the one before them;
+    * `valid_to` is simply the NEXT event's snapshot in (snapshot,
+    * terminator-first) order per key — an update at S closes the old
+    * version and opens the new one at S without special-casing. */
+  def scd2(changes: DataFrame, key: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val attrCols = changes.columns
+      .filterNot(Seq(key, "_change_type", "_commit_snapshot").contains)
+    val creations = changes
+      .filter(col("_change_type").isin("insert", "update_postimage"))
+      .select(Seq(col(key), col("_commit_snapshot").as("valid_from"),
+        lit(1).as("__creation")) ++ attrCols.map(col): _*)
+    val terminators = changes
+      .filter(col("_change_type").isin("delete", "update_preimage"))
+      .select(Seq(col(key), col("_commit_snapshot").as("valid_from"),
+        lit(0).as("__creation")) ++ attrCols.map(c =>
+          lit(null).cast(changes.schema(c).dataType).as(c)): _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("valid_from"), col("__creation"))
+    creations.unionByName(terminators)
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .filter(col("__creation") === 1)
+      .select(Seq(col(key), col("valid_from"), col("valid_to")) ++
+        attrCols.map(col): _*)
+  }
+
+  /** Oracle-checked SCD2 round-trip: build a lake from customer, run two
+    * change-feed merge waves (every 7th key +1000; then every 14th
+    * +1500-from-base with matched BUILDING rows deleted), and build the
+    * dimension from the full feed. Version intervals are pure algebra
+    * over `customer` (ingest=1, waves=2,3), so DuckDB oracles the
+    * open/close logic — a missed termination, a phantom version, or a
+    * wrong interval all hash-mismatch. */
+  def qLakeScd2(spark: SparkSession, sfDir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_scd2").toString
+    val (landing, ledger, gen) = (s"$tmp/landing", s"$tmp/ledger", s"$tmp/gen")
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+    cust.repartition(8).write.parquet(landing)
+    ingestNewFiles(spark, landing, ledger)
+    mergeInto(spark, ledger, gen,
+      cust.filter(col("c_custkey") % 7 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 1000),
+      "c_custkey", changeFeed = true)
+    mergeInto(spark, ledger, gen,
+      cust.filter(col("c_custkey") % 14 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 1500),
+      "c_custkey", deleteWhen = Some(col("c_mktsegment") === "BUILDING"),
+      changeFeed = true)
+    val out = scd2(readChanges(spark, ledger, 0), "c_custkey")
+      .select(col("c_custkey"), col("valid_from"), col("valid_to"),
+        col("c_acctbal").cast("double").as("acctbal"))
+      .localCheckpoint() // eager: materialize before the files vanish
+    deleteRecursively(new java.io.File(tmp))
+    out
+  }
+
+  /** DuckDB mirror of qLakeScd2's version intervals. */
+  def qLakeScd2Sql: String =
+    """SELECT c_custkey, CAST(2 AS BIGINT) AS valid_from,
+      |  CAST(CASE WHEN c_custkey % 14 = 0 THEN 3 END AS BIGINT) AS valid_to,
+      |  CAST(c_acctbal + 1000 AS DOUBLE) AS acctbal
+      |FROM customer WHERE c_custkey % 7 = 0
+      |UNION ALL
+      |SELECT c_custkey, CAST(3 AS BIGINT) AS valid_from,
+      |  CAST(NULL AS BIGINT) AS valid_to,
+      |  CAST(c_acctbal + 1500 AS DOUBLE) AS acctbal
+      |FROM customer WHERE c_custkey % 14 = 0 AND c_mktsegment <> 'BUILDING'""".stripMargin
+
+  /** ORPHAN GEN-FILE GC — the other half of storage reclamation next to
+    * [[expireSnapshots]] (which walks the LEDGER and can only delete
+    * files it knows about): parquet under `genRoot` that NO ledger row
+    * has ever referenced is a crashed writer's debris — a merge that
+    * reserved its id, wrote (some of) its generation files, and died
+    * before its append; OCC auto-release frees the id, the FILES stay,
+    * invisible to every reader but paying storage forever (Delta's
+    * VACUUM cleans exactly this class). `olderThanMs` is the safety
+    * horizon: a writer IN FLIGHT right now also has unreferenced files —
+    * never collect below the longest plausible write duration.
+    * Quarantine partitions (`graft_expect=<violation>`) are deliberate
+    * unledgered data and are exempt. Driver-side listing bounded by the
+    * gen tree's file count — the same control-plane class as expiry
+    * accounting, never data-scaled. */
+  def orphanFiles(spark: SparkSession, ledgerDir: String, genRoot: String,
+      olderThanMs: Long = 0L): Seq[String] = {
+    val referenced: Set[String] = readLedger(spark, ledgerDir)
+      .map(_.select(col("path")).distinct()
+        .collect().map(r => normPath(r.getString(0))).toSet)
+      .getOrElse(Set.empty)
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+      else Seq(f)
+    walk(new java.io.File(genRoot))
+      .filter(_.getName.endsWith(".parquet"))
+      .filterNot(f => f.getPath.contains(s"/${Expectations.PartCol}=")
+        && !f.getPath.contains(s"/${Expectations.PartCol}=${Expectations.PartOk}"))
+      .filter(_.lastModified() < cutoff)
+      .map(f => normPath(f.getPath))
+      .filterNot(referenced)
+      .sorted
+  }
+
+  /** Delete the [[orphanFiles]] set (and any generation directories the
+    * deletions emptied). Returns the deleted paths. */
+  def removeOrphans(spark: SparkSession, ledgerDir: String, genRoot: String,
+      olderThanMs: Long = 0L): Seq[String] = {
+    val orphans = orphanFiles(spark, ledgerDir, genRoot, olderThanMs)
+    orphans.foreach(p => new java.io.File(p).delete())
+    def pruneEmpty(f: java.io.File): Boolean = { // true = removed
+      if (!f.isDirectory) return false
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(pruneEmpty)
+      val empty = Option(f.listFiles()).getOrElse(Array.empty).isEmpty
+      if (empty) f.delete() else false
+    }
+    Option(new java.io.File(genRoot).listFiles()).getOrElse(Array.empty)
+      .foreach(pruneEmpty)
+    orphans
+  }
 
   /** Snapshot ids that CHANGED ROWS (added files under an append/merge
     * snapshot) — the units an incremental consumer must process exactly
