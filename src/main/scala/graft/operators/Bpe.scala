@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** BPE TOKENIZER TRAINING, distributed — the capability a training-data
+  * engine owes the model side of the pipeline (every corpus ships with
+  * the tokenizer trained ON it; cf. Sennrich et al. 2016, the
+  * GPT-2/SentencePiece lineage).
+  *
+  * Scale shape: the classic algorithm trains on the WORD-FREQUENCY table,
+  * not the corpus — ONE corpus scan (map-side-combined word count)
+  * reduces 100 TB to a vocabulary-sized relation (Heaps-law sublinear),
+  * and every merge iteration is a pair-count aggregate + a rewrite over
+  * THAT table. The iterations follow the repo's loop discipline
+  * (SetSim/CC): one localCheckpoint per round to keep plans flat, one
+  * driver-visible row per round (the winning pair — argmax via
+  * TakeOrdered, never a table collect). The learned artifact is N merge
+  * rules — KB-scale, broadcastable anywhere.
+  *
+  * Determinism: ties on pair count break lexicographically, so the same
+  * corpus always learns the same rules on any cluster layout (the spec
+  * proves rule-sequence equality against a driver-side reference).
+  */
+object Bpe {
+
+  /** End-of-word sentinel (classic BPE): lets the model distinguish
+    * "er" inside a word from "er" ending one; merges never cross it. */
+  val Eow = "</w>"
+
+  /** A word as its current symbol sequence. */
+  private def initSymbols(word: String): Array[String] =
+    word.map(_.toString).toArray :+ Eow
+
+  /** Apply one merge rule everywhere in one word (left-to-right). */
+  def applyMerge(syms: Array[String], a: String, b: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Train `nMerges` BPE rules over a corpus of texts. Returns the rules
+    * in learned order. One corpus pass; then vocabulary-sized rounds.
+    * Loop discipline (the Graph/Dedup pattern): a CHILD session carries
+    * AQE-off + a vocabulary-scaled shuffle width so the ~2·nMerges round
+    * jobs stay flat and the confs never leak to concurrent queries. */
+  def train(docs0: DataFrame, textCol: String, nMerges: Int): Seq[(String, String)] = {
+    val caller = docs0.sparkSession
+    val spark = caller.newSession()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    import org.apache.spark.sql.GraftShim
+    val docs = GraftShim.ofRows(spark, GraftShim.logicalPlan(docs0))
+    import spark.implicits._
+    // corpus pass: word frequencies (map-side combined; output
+    // vocabulary-sized)
+    var words = docs
+      .select(explode(TextOps.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").count()
+      .as[(String, Long)]
+      .map { case (w, n) => (initSymbols(w), n) }
+      .localCheckpoint()
+    val vocab = words.count()
+    spark.conf.set("spark.sql.shuffle.partitions", math.max(1L,
+      math.min(caller.conf.get("spark.sql.shuffle.partitions").toLong,
+        vocab / 200000L + 1L)).toString)
+    val rules = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var round = 0
+    while (round < nMerges) {
+      // pair counts over the word table; winner = (count desc, pair asc)
+      val top = words.flatMap { case (syms, n) =>
+        (0 until syms.length - 1).map(i => ((syms(i), syms(i + 1)), n))
+      }.groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
+        .map { case (p, n) => (p._1, p._2, n) }
+        .toDF("a", "b", "n")
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) round = nMerges
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        rules += ((a, b))
+        words = words.map { case (syms, n) => (applyMerge(syms, a, b), n) }
+          .localCheckpoint()
+        round += 1
+      }
+    }
+    rules.toSeq
+  }
+
+  /** Encode texts with learned rules: rules applied IN RANK ORDER per
+    * word — exactly the training rewrite, so a training word's encoding
+    * equals its final training state. Partition-local; the rule table
+    * rides the closure (KB-scale). Returns (doc_id, n_tokens, tokens). */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+      rules: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val local = rules.toArray
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val toks = text.trim.split(" +").filter(_.nonEmpty).flatMap { w =>
+          var syms = initSymbols(w)
+          var i = 0
+          while (i < local.length) {
+            syms = applyMerge(syms, local(i)._1, local(i)._2); i += 1
+          }
+          syms
+        }
+        (id, toks.length.toLong, toks)
+      }
+      .toDF(idCol, "n_tokens", "tokens")
+  }
+
+  /** Train-and-report: the learned merge table as a relation —
+    * deterministic given the corpus (count-desc, pair-lexicographic tie
+    * break), so the driver's rows-check is stable run to run. [rows]:
+    * the rule SEQUENCE is the artifact; BpeSpec proves it equals a
+    * driver-side reference implementation and that encoding reproduces
+    * training states. */
+  def qDocBpe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rules = train(Tables.documents(s, d), "text", 24)
+    rules.zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, a, b) }
+      .toDF("rank", "left", "right")
+  }
+}
