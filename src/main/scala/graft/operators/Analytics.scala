@@ -271,4 +271,107 @@ object Analytics {
       | CAST(count(DISTINCT uw.user_id) AS BIGINT) AS n_users
       |FROM uw JOIN cohort c ON uw.user_id = c.user_id
       |GROUP BY 1, 2""".stripMargin
+
+  /** DISTRIBUTION-DRIFT report between two relations — per-bin counts of
+    * a numeric column over a FIXED equal-width grid plus the Population
+    * Stability Index, the dataset-shift alarm every ML data pipeline
+    * monitors between corpus eras / table snapshots (PSI < 0.1 stable,
+    * > 0.25 drifted, by convention). Determinism discipline: bin counts
+    * are exact conditional-sum integers from ONE pass per side; PSI is
+    * assembled as a SINGLE row-local expression over the FIXED bin
+    * sequence (a Σ over bin ROWS would re-order floating adds), with
+    * ε-smoothing so empty bins stay finite. Out-of-range values clamp
+    * into the edge bins (no silent row loss). Output: one row per bin +
+    * one '__psi' summary row — bounded by the bin count at any scale. */
+  def psiReport(a: DataFrame, b: DataFrame, column: String,
+      lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins >= 2 && hi > lo)
+    val width = (hi - lo) / bins
+    def binned(df: DataFrame, side: String) = {
+      val idx = least(lit(bins - 1), greatest(lit(0),
+        floor((col(column) - lit(lo)) / lit(width)).cast("int")))
+      df.filter(col(column).isNotNull)
+        .groupBy(idx.as("bin")).agg(count(lit(1)).as(side))
+    }
+    val base = binned(a, "n_a")
+    val comp = binned(b, "n_b")
+    val spark = a.sparkSession
+    import spark.implicits._
+    val grid = (0 until bins).map(i => (i, lo + i * width)).toDF("bin", "bin_lo")
+    val cells = grid
+      .join(base, Seq("bin"), "left").join(comp, Seq("bin"), "left")
+      .select(col("bin"), col("bin_lo"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    // one row carrying every bin in fixed order -> PSI in one expression
+    val tot = cells.agg(
+      sum(col("n_a")).as("ta"), sum(col("n_b")).as("tb"),
+      array_sort(collect_list(struct(col("bin"), col("n_a"), col("n_b"))))
+        .as("cs"))
+    val eps = 1e-6
+    val psi = tot.select(
+      expr(s"""aggregate(cs, CAST(0.0 AS DOUBLE), (acc, c) ->
+        acc + ((CAST(c.n_a AS DOUBLE) / CAST(ta AS DOUBLE) + $eps) -
+               (CAST(c.n_b AS DOUBLE) / CAST(tb AS DOUBLE) + $eps)) *
+              ln((CAST(c.n_a AS DOUBLE) / CAST(ta AS DOUBLE) + $eps) /
+                 (CAST(c.n_b AS DOUBLE) / CAST(tb AS DOUBLE) + $eps)))""")
+        .as("psi"))
+      // ln is not correctly-rounded in either engine's libm — a few-ulp
+      // slack between Java Math.log and C log is possible; 9 dp is far
+      // below any decision threshold and far above the ulp noise
+      .select(round(col("psi"), 9).as("psi"))
+      .select(lit(-1).as("bin"), lit(null).cast("double").as("bin_lo"),
+        lit(null).cast("long").as("n_a"), lit(null).cast("long").as("n_b"),
+        col("psi"))
+    cells.withColumn("psi", lit(null).cast("double"))
+      .unionByName(psi)
+      .orderBy(col("bin"))
+  }
+
+  /** PSI drift between two customer segments' balance distributions —
+    * deterministic end to end (exact bin counts; PSI as one fixed-order
+    * fold), so DuckDB mirrors it exactly with the same fold written as
+    * a fixed arithmetic expression. */
+  def qPsiDrift(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+    psiReport(
+      cust.filter(col("c_mktsegment") === "BUILDING"),
+      cust.filter(col("c_mktsegment") === "MACHINERY"),
+      "c_acctbal", -1000.0, 10000.0, 8)
+  }
+
+  def qPsiDriftSql: String = {
+    val bins = 8; val lo = -1000.0; val hi = 10000.0
+    val width = (hi - lo) / bins
+    val eps = "1e-6"
+    def cnt(side: String, i: Int) =
+      s"""sum(CASE WHEN c_mktsegment = '$side' AND least(${bins - 1},
+         | greatest(0, CAST(floor((c_acctbal - ($lo)) / $width) AS INT))) = $i
+         | THEN 1 ELSE 0 END)""".stripMargin.replace("\n", " ")
+    val cells = (0 until bins).map(i =>
+      s"SELECT CAST($i AS INT) AS bin, CAST(${lo + i * width} AS DOUBLE) AS bin_lo, " +
+        s"CAST(${cnt("BUILDING", i)} AS BIGINT) AS n_a, " +
+        s"CAST(${cnt("MACHINERY", i)} AS BIGINT) AS n_b, " +
+        "CAST(NULL AS DOUBLE) AS psi FROM customer"
+    ).mkString("\nUNION ALL\n")
+    val term = (i: Int) =>
+      s"((CAST(b$i.n_a AS DOUBLE) / ta + $eps) - (CAST(b$i.n_b AS DOUBLE) / tb + $eps)) * " +
+        s"ln((CAST(b$i.n_a AS DOUBLE) / ta + $eps) / (CAST(b$i.n_b AS DOUBLE) / tb + $eps))"
+    val joins = (0 until bins).map(i => s"(SELECT n_a, n_b FROM cells WHERE bin = $i) b$i")
+      .mkString(", ")
+    // the fold accumulates left to right in bin order — written as the
+    // same left-associated chain here
+    val psiExpr = (1 until bins).foldLeft(s"(0.0 + ${term(0)})") {
+      (acc, i) => s"($acc + ${term(i)})"
+    }
+    s"""WITH cells AS ($cells),
+       |tots AS (SELECT CAST(sum(n_a) AS DOUBLE) AS ta,
+       |                CAST(sum(n_b) AS DOUBLE) AS tb FROM cells)
+       |SELECT bin, bin_lo, n_a, n_b, psi FROM cells
+       |UNION ALL
+       |SELECT CAST(-1 AS INT) AS bin, CAST(NULL AS DOUBLE) AS bin_lo,
+       |  CAST(NULL AS BIGINT) AS n_a, CAST(NULL AS BIGINT) AS n_b,
+       |  round(CAST($psiExpr AS DOUBLE), 9) AS psi
+       |FROM tots, $joins""".stripMargin
+  }
 }

@@ -357,6 +357,51 @@ object Relational3 {
       |WINDOW w AS (PARTITION BY c_mktsegment, c_nationkey
       |             ORDER BY c_acctbal, c_custkey)""".stripMargin
 
+  /** Statistical moments the profile report doesn't cover — per-group
+    * VARIANCE, STDDEV, COVARIANCE and CORRELATION of quantity vs price —
+    * computed CROSS-ENGINE-EXACTLY: never the engines' corr/covar/stddev
+    * aggregates (their floating co-moment accumulation order differs run
+    * to run and engine to engine), but the closed forms over EXACT
+    * integer-unit power sums (Σx, Σy, Σx², Σy², Σxy in 10^-4 units,
+    * DECIMAL(28,0) — lineitem products bounded ≤5e14/row) with ONE
+    * double expression per statistic in identical op order at the end.
+    * The aggregate is one map-side-combined pass; output bounded at the
+    * group count. */
+  def qStatMoments(s: SparkSession, d: String): DataFrame = {
+    val x = "CAST(round(l_quantity * 10000) AS BIGINT)"
+    val y = "CAST(round(l_extendedprice * 10000) AS BIGINT)"
+    def dec(e: String) = s"CAST($e AS DECIMAL(28,0))"
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        expr(s"sum(${dec(x)})").as("sx"), expr(s"sum(${dec(y)})").as("sy"),
+        expr(s"sum(${dec(s"$x * $x")})").as("sxx"),
+        expr(s"sum(${dec(s"$y * $y")})").as("syy"),
+        expr(s"sum(${dec(s"$x * $y")})").as("sxy"))
+      .select(col("l_returnflag"), col("n"),
+        expr("CAST((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS DOUBLE) / 1e8").as("var_qty"),
+        expr("sqrt(CAST((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS DOUBLE) / 1e8)").as("std_qty"),
+        expr("CAST((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS DOUBLE) / 1e8").as("cov_qty_price"),
+        expr("CAST(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS DOUBLE) / sqrt(CAST(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS DOUBLE) * CAST(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS DOUBLE))").as("corr_qty_price"))
+  }
+
+  def qStatMomentsSql: String =
+    """WITH m AS (
+      |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      |    sum(CAST(CAST(round(l_quantity * 10000) AS BIGINT) AS DECIMAL(28,0))) AS sx,
+      |    sum(CAST(CAST(round(l_extendedprice * 10000) AS BIGINT) AS DECIMAL(28,0))) AS sy,
+      |    sum(CAST(CAST(round(l_quantity * 10000) AS BIGINT) * CAST(round(l_quantity * 10000) AS BIGINT) AS DECIMAL(28,0))) AS sxx,
+      |    sum(CAST(CAST(round(l_extendedprice * 10000) AS BIGINT) * CAST(round(l_extendedprice * 10000) AS BIGINT) AS DECIMAL(28,0))) AS syy,
+      |    sum(CAST(CAST(round(l_quantity * 10000) AS BIGINT) * CAST(round(l_extendedprice * 10000) AS BIGINT) AS DECIMAL(28,0))) AS sxy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  CAST((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS DOUBLE) / 1e8 AS var_qty,
+      |  sqrt(CAST((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS DOUBLE) / 1e8) AS std_qty,
+      |  CAST((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS DOUBLE) / 1e8 AS cov_qty_price,
+      |  CAST(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS DOUBLE) / sqrt(CAST(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS DOUBLE) * CAST(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS DOUBLE)) AS corr_qty_price
+      |FROM m""".stripMargin
+
   /** Per-row PROFIT in exact 10^-4 units — the one money shape the other
     * TPC-H queries don't exercise: a DIFFERENCE of two scaled product
     * terms (revenue − cost). Both products are non-negative BIGINTs before

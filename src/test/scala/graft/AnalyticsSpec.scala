@@ -63,4 +63,28 @@ class AnalyticsSpec extends GraftSpec {
     assert(over == 0L)
     out.unpersist()
   }
+
+  test("PSI drift: self-comparison ~0, a shifted distribution alarms, " +
+      "counts conserve rows") {
+    import graft.operators.Analytics
+    val sess = spark
+    import sess.implicits._
+    val a = (1 to 4000).map(i => (i % 100).toDouble).toDF("v")
+    val same = Analytics.psiReport(a, a, "v", 0, 100, 10).collect()
+    val psiSame = same.filter(_.getInt(0) == -1).head.getDouble(4)
+    assert(math.abs(psiSame) < 1e-6, s"self-PSI $psiSame")
+    // a hard shift: second population lives in the top half only
+    val b = (1 to 4000).map(i => 50.0 + (i % 50)).toDF("v")
+    val out = Analytics.psiReport(a, b, "v", 0, 100, 10).collect()
+    val psi = out.filter(_.getInt(0) == -1).head.getDouble(4)
+    assert(psi > 0.25, s"shifted PSI $psi below the drift threshold")
+    // exact conservation: bin counts sum to the populations
+    val cells = out.filter(_.getInt(0) >= 0)
+    assert(cells.map(_.getLong(2)).sum == 4000L)
+    assert(cells.map(_.getLong(3)).sum == 4000L)
+    // clamping: values at the edges stay counted
+    val edge = Analytics.psiReport(a, b, "v", 20, 80, 6).collect()
+      .filter(_.getInt(0) >= 0)
+    assert(edge.map(_.getLong(2)).sum == 4000L, "out-of-range rows lost")
+  }
 }
