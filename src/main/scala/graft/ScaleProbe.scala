@@ -117,6 +117,8 @@ object ScaleProbe {
       // only the explode/scan and the per-doc map-side agg scale
       "q_doc_typicality" -> (TextOps.qDocTypicality _),
       "q_doc_len_quantiles" -> (Sketches.qDocLenQuantiles _),
+      "q_stat_moments" -> (Relational3.qStatMoments _),
+      "q_doc_bpe" -> (Bpe.qDocBpe _),
       "q_dedup_minhash" -> (Dedup.qDedupMinhash _),
       "q_dedup_ssjoin" -> (SetSim.qDedupSsjoin _),
       "q_dedup_incremental" -> (SetSim.qDedupIncremental _),

@@ -2215,12 +2215,16 @@ object Lake {
       // > 0: compact (materializing every deletion vector) once the
       // table's active MOR-delete debt reaches this many rows — the
       // read-amplification bound on merge-on-read deletes. 0 = ignore.
-      maxDvRows: Long = 0)
+      maxDvRows: Long = 0,
+      // > 0: checkpoint the LEDGER once its per-commit parquet file
+      // count reaches this many — the metadata planning-cost bound
+      // ([[compactLedger]]). 0 = never checkpoint.
+      maxLedgerFiles: Int = 0)
 
   /** What one [[maintain]] pass actually did (0 / false = not needed). */
   final case class MaintenanceReport(smallFiles: Long, compacted: Boolean,
       restatted: Long, expired: Long, snapshot: Long,
-      dvMaterialized: Long = 0)
+      dvMaterialized: Long = 0, ledgerCheckpointed: Boolean = false)
 
   /** One policy-driven maintenance pass; idempotent — a second call on a
     * maintained table reports all-zeros. Order matters: restat BEFORE
@@ -2262,9 +2266,19 @@ object Lake {
         expireSnapshots(spark, ledgerDir,
           retainFrom = math.max(1L, cur - policy.retainSnapshots + 1))
       else 0L
+    // 4. metadata: checkpoint the ledger once the per-commit file count
+    // crosses the bound (expiry above may itself have appended a commit)
+    val ledgerFiles =
+      if (policy.maxLedgerFiles > 0)
+        Option(new java.io.File(ledgerDir).listFiles()).getOrElse(Array.empty)
+          .count(f => f.getName.endsWith(".parquet") && f.length() > 0)
+      else 0
+    val ckpt = policy.maxLedgerFiles > 0 && ledgerFiles >= policy.maxLedgerFiles
+    if (ckpt) compactLedger(spark, ledgerDir)
     MaintenanceReport(small, compacted, restatted, expired,
       currentSnapshot(spark, ledgerDir),
-      dvMaterialized = if (compacted) dvDebt else 0L)
+      dvMaterialized = if (compacted) dvDebt else 0L,
+      ledgerCheckpointed = ckpt)
   }
 
   // ------------------------------------------------- history + AS-OF reads

@@ -51,4 +51,31 @@ class MaintainSpec extends GraftSpec {
     assert(r2.snapshot == r1.snapshot)
     assert(t.read().count() == rows)
   }
+
+  test("maintain: ledger-checkpoint threshold fires once, then idles") {
+    import graft.sources.{GraftTable, Lake}
+    import org.apache.spark.sql.functions._
+    val tdir = java.nio.file.Files.createTempDirectory("graft_maint_ckpt").toString
+    val t = GraftTable(spark, s"$tdir/ledger", s"$tdir/gen")
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    (0 until 5).foreach { i =>
+      nation.filter(col("n_nationkey") % 5 === i)
+        .write.parquet(s"$tdir/landing/w$i")
+      t.ingest(s"$tdir/landing/w$i")
+    }
+    def ledgerFiles() =
+      Option(new java.io.File(s"$tdir/ledger").listFiles())
+        .getOrElse(Array.empty)
+        .count(_.getName.endsWith(".parquet"))
+    assert(ledgerFiles() >= 4)
+    val rows = t.read().count()
+    val policy = Lake.MaintenancePolicy(compactMinSmallFiles = 999,
+      maxLedgerFiles = 4)
+    val r1 = t.maintain(policy)
+    assert(r1.ledgerCheckpointed, s"threshold crossed but no checkpoint: $r1")
+    assert(ledgerFiles() < 4)
+    assert(t.read().count() == rows)
+    val r2 = t.maintain(policy)
+    assert(!r2.ledgerCheckpointed, s"idle table re-checkpointed: $r2")
+  }
 }
