@@ -194,6 +194,17 @@ final case class GraftTable(spark: SparkSession, ledgerDir: String,
     * (Lake.branch). Returns the fork snapshot. */
   def branch(branchDir: String): Long = Lake.branch(spark, ledgerDir, branchDir)
 
+  /** Shallow CLONE pinned to a past snapshot (experimentation fork —
+    * cannot publish; Lake.branchAt). */
+  def cloneAt(branchDir: String, atSnapshot: Long): Long =
+    Lake.branchAt(spark, ledgerDir, branchDir, atSnapshot)
+
+  /** Shallow clone pinned to a TAG (Lake.branchAt ∘ Lake.tagged). */
+  def cloneTag(branchDir: String, tag: String): Long =
+    Lake.branchAt(spark, ledgerDir, branchDir,
+      Lake.tagged(ledgerDir, tag).getOrElse(
+        throw new IllegalArgumentException(s"no such tag: $tag")))
+
   /** Fast-forward this table onto a branch's head; throws
     * `PublishConflictException` if this table moved since the fork
     * (Lake.publish). */

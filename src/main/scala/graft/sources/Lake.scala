@@ -2372,21 +2372,37 @@ object Lake {
     * dropped), and expiring MAIN past the fork point invalidates the
     * branch (the same horizon rule as any time-travel reader). */
   def branch(spark: SparkSession, ledgerDir: String,
-      branchDir: String): Long = {
+      branchDir: String): Long =
+    branchAt(spark, ledgerDir, branchDir, -1L)
+
+  /** [[branch]] pinned to a PAST snapshot — the shallow CLONE-AT form
+    * ("fork the table as it was before the backfill and experiment
+    * there"): only ledger rows ≤ `atSnapshot` copy, so the branch IS the
+    * historical table, fully writable. A past-pinned branch can never
+    * fast-forward-publish (main's head has necessarily moved past the
+    * fork) — it is the experimentation/debugging clone; only a
+    * head-pinned branch publishes. The vacuum caveat sharpens: the fork
+    * must sit at or above main's expiry horizon. `atSnapshot = -1` =
+    * current head. Compose with [[tagged]] for clone-by-name. */
+  def branchAt(spark: SparkSession, ledgerDir: String,
+      branchDir: String, atSnapshot: Long): Long = {
     val head = currentSnapshot(spark, ledgerDir)
     require(head > 0, s"cannot branch an empty table at $ledgerDir")
+    val fork = if (atSnapshot < 0) head else atSnapshot
+    require(fork >= 1 && fork <= head,
+      s"branch point $fork outside committed history [1, $head]")
     val bd = new java.io.File(branchDir)
     require(!bd.exists() || Option(bd.listFiles()).forall(_.isEmpty),
       s"branch target $branchDir is not empty")
-    // pin the fork to `head`: a row appended between the head read and
-    // the copy must not ride into the branch (the fork would be torn)
+    // pin the fork: a row appended between the head read and the copy
+    // must not ride into the branch (the fork would be torn)
     readLedger(spark, ledgerDir).get
-      .filter(col("snapshot_id") <= head)
+      .filter(col("snapshot_id") <= fork)
       .write.mode("append").parquet(branchDir)
     java.nio.file.Files.write(branchMeta(branchDir).toPath,
-      s"""{"source": "$ledgerDir", "fork_snapshot": $head}"""
+      s"""{"source": "$ledgerDir", "fork_snapshot": $fork}"""
         .getBytes("UTF-8"))
-    head
+    fork
   }
 
   /** Branch lineage: (source ledger dir, fork snapshot), None when

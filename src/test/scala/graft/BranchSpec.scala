@@ -149,6 +149,40 @@ class BranchSpec extends GraftSpec {
     assert(new java.io.File(s"$ledger2/_commits/${fork2 + 1}").isFile)
   }
 
+  test("cloneAt: a past-pinned branch IS the historical table, writable, " +
+      "and can never fast-forward-publish") {
+    val (landing, ledger, gen) = fresh()
+    land(landing, ledger)
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+    val s1 = Lake.currentSnapshot(spark, ledger)
+    val historical = state(ledger)
+    Lake.mergeInto(spark, ledger, gen + "_main",
+      cust.filter(col("c_custkey") % 4 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 99),
+      "c_custkey")
+    assert(state(ledger) != historical)
+    // clone the PRE-merge table by snapshot and write on it
+    val cl = ledger.replace("/ledger", "/clone")
+    assert(Lake.branchAt(spark, ledger, cl, s1) == s1)
+    assert(state(cl) == historical, "clone is not the historical table")
+    Lake.mergeInto(spark, cl, gen + "_cl",
+      cust.limit(10).withColumn("c_acctbal", lit(0.5)),
+      "c_custkey")
+    assert(state(cl) != historical)
+    // past-pinned -> fast-forward impossible by construction
+    intercept[Lake.PublishConflictException] { Lake.publish(spark, cl) }
+    // clone-by-tag resolves through the tag store
+    Lake.tagSnapshot(spark, ledger, "pre-backfill", s1)
+    val cl2 = ledger.replace("/ledger", "/clone2")
+    assert(Lake.branchAt(spark, ledger, cl2,
+      Lake.tagged(ledger, "pre-backfill").get) == s1)
+    assert(state(cl2) == historical)
+    // out-of-history pin refused
+    intercept[IllegalArgumentException] {
+      Lake.branchAt(spark, ledger, ledger.replace("/ledger", "/clone3"), 99L)
+    }
+  }
+
   test("writeAuditPublish: failing audit abandons — main bit-untouched, " +
       "work dir gone; abandonBranch refuses a non-branch dir") {
     val (landing, ledger, _) = fresh()
