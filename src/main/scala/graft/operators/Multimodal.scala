@@ -673,6 +673,87 @@ object Multimodal {
     }
   }
 
+  // ------------------------------- perceptual image hash (dHash) + dedup
+
+  /** 64-bit DIFFERENCE HASH of an image payload — the perceptual
+    * fingerprint image dedup keys on (the classic dHash: decode → luma →
+    * 9×8 bilinear downsample → adjacent-gradient signs). Robust to
+    * re-encoding, resizing and mild noise BY CONSTRUCTION (the 9×8 grid
+    * sees shapes, not pixels), so Hamming distance ≈ visual difference —
+    * the image-side analog of simhash on text. None = undecodable
+    * (data, not exceptions, as everywhere in this file). */
+  def dhash64(payload: Array[Byte]): Option[Long] = {
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) return None
+      val small = new java.awt.image.BufferedImage(9, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = small.createGraphics()
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, 9, 8, null)
+      g.dispose()
+      def luma(x: Int, y: Int): Int = {
+        val rgb = small.getRGB(x, y)
+        (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff)
+          + 114 * (rgb & 0xff)) / 1000
+      }
+      var bits = 0L
+      var k = 0
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          if (luma(x + 1, y) > luma(x, y)) bits |= (1L << k)
+          k += 1; x += 1
+        }
+        y += 1
+      }
+      Some(bits)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Distributed dHash pass: (media_id, dhash) with null for
+    * undecodable payloads. Partition-local narrow map — the payload
+    * column never shuffles; only 8-byte hashes flow downstream. */
+  def imageDhash(items: Dataset[MediaItem]): DataFrame = {
+    import items.sparkSession.implicits._
+    items.map(m => (m.media_id, dhash64(m.payload)))
+      .toDF("media_id", "dhash")
+  }
+
+  /** NEAR-DUP IMAGE DECISIONS over a (media_id, dhash) relation — the
+    * multimodal member of the dedup family (§2.D), same discipline:
+    * banded candidate generation (8 bands × 8 bits; pigeonhole-COMPLETE
+    * for Hamming ≤ 7 — any pair within the radius shares at least one
+    * clean band), exact Hamming verification (bit_count(xor) — codegen,
+    * precision 1 by construction), per-item DECISIONS (rep = smallest
+    * matched id), never transitive pair lists. Only (band, 8-bit key)
+    * buckets shuffle — the 100 TB shape. */
+  def imageNearDups(hashes: DataFrame, maxHamming: Int = 7): DataFrame = {
+    require(maxHamming <= 7, "8x8-bit banding is only complete for <= 7")
+    val h = hashes.filter(col("dhash").isNotNull)
+    val bands = h.select(col("media_id"), col("dhash"),
+        explode(expr("sequence(0, 7)")).as("band"))
+      .withColumn("key", expr("(CAST(dhash AS BIGINT) >> (band * 8)) & 255"))
+    val pairs = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key")
+          && col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("ida"), col("b.media_id").as("idb"),
+        col("a.dhash").as("ha"), col("b.dhash").as("hb"))
+      .distinct()
+      .filter(expr(s"bit_count(ha ^ hb) <= $maxHamming"))
+    val repOf = pairs.select(col("idb").as("media_id"), col("ida").as("cand"))
+      .groupBy(col("media_id")).agg(min(col("cand")).as("rep"))
+    h.select(col("media_id"))
+      .join(repOf, Seq("media_id"), "left")
+      .select(col("media_id"),
+        coalesce(col("rep"), col("media_id")).as("rep_id"),
+        (col("rep").isNotNull).as("is_dup"))
+  }
+
   /** Metadata-level filtering happens BEFORE any kernel touches payload
     * bytes — the predicate is a plain column filter on the struct, so at
     * scale it prunes row groups without reading the (huge) binary column. */

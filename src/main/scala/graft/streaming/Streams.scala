@@ -205,6 +205,50 @@ object Streams {
         col("signup_ts"), col("purchase_ts"))
   }
 
+  case class EwmaState(mean: Double, varr: Double, n: Long)
+  case class EwmaAlarm(event_type: String, event_id: Long, ts: Timestamp,
+    value: Double, ewma: Double, band: Double)
+
+  /** Streaming EWMA ANOMALY MONITOR — the live data-quality alarm over a
+    * metric stream (the z-score query's continuous twin, but with
+    * exponential forgetting so the baseline tracks drift): per key,
+    * maintain an exponentially-weighted mean and variance of `value`;
+    * a point outside mean ± k·σ BEFORE being folded in is an alarm row.
+    * State is three numbers per key (bounded at the key cardinality —
+    * the 100 TB shape); each micro-batch folds its rows in (ts,
+    * event_id) order so the recurrence is deterministic and equals the
+    * batch-computed recurrence (StreamsSpec proves both, including
+    * across a batch split). `warmup` points must fold before the first
+    * alarm can fire (a 2-point history has no variance to trust). */
+  def ewmaAnomalies(spark: SparkSession, events: DataFrame,
+      alpha: Double = 0.1, k: Double = 4.0,
+      warmup: Long = 20): Dataset[EwmaAlarm] = {
+    import spark.implicits._
+    events.select(col("event_type"), col("event_id"), col("ts"), col("value"))
+      .as[(String, Long, Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[EwmaState, EwmaAlarm](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, it, state) =>
+          val rows = it.toSeq.sortBy(r => (r._3.getTime, r._2))
+          var st = state.getOption.getOrElse(EwmaState(0.0, 0.0, 0L))
+          val alarms = Seq.newBuilder[EwmaAlarm]
+          rows.foreach { case (_, id, ts, v) =>
+            val band = k * math.sqrt(st.varr)
+            if (st.n >= warmup && math.abs(v - st.mean) > band)
+              alarms += EwmaAlarm(key, id, ts, v, st.mean, band)
+            if (st.n == 0L) st = EwmaState(v, 0.0, 1L)
+            else {
+              val d = v - st.mean
+              st = EwmaState(st.mean + alpha * d,
+                (1 - alpha) * (st.varr + alpha * d * d), st.n + 1)
+            }
+          }
+          state.update(st)
+          alarms.result().iterator
+      }
+  }
+
   /** Stream-static enrichment: the event stream joined against a static
     * readout-map dim (cf. the dromap join, §2.B) — Spark broadcasts the
     * static side into every micro-batch; no stream-side state. */

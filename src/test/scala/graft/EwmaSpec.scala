@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.Events
+import graft.streaming.Streams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Streaming EWMA anomaly monitor (Streams.ewmaAnomalies): alarms equal
+  * the driver-computed recurrence exactly, across micro-batch splits. */
+class EwmaSpec extends GraftSpec {
+
+  case class RawEvt(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+  private val (alpha, k, warmup) = (0.1, 4.0, 20L)
+
+  /** The same recurrence, straight-line. */
+  private def refAlarms(evts: Seq[RawEvt]): Set[Long] = {
+    val out = Set.newBuilder[Long]
+    evts.groupBy(_.event_type).foreach { case (_, es) =>
+      var (mean, varr, n) = (0.0, 0.0, 0L)
+      es.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        if (n >= warmup && math.abs(e.value - mean) > k * math.sqrt(varr))
+          out += e.event_id
+        if (n == 0L) { mean = e.value; n = 1 }
+        else {
+          val d = e.value - mean
+          mean += alpha * d; varr = (1 - alpha) * (varr + alpha * d * d)
+          n += 1
+        }
+      }
+    }
+    out.result()
+  }
+
+  test("alarms equal the batch recurrence, in one batch and across a " +
+      "time-ordered split") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sq = spark.sqlContext
+    val base = Events.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value").collect()
+      .map(r => RawEvt(r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    // guarantee at least one alarm: a spike far outside any band,
+    // landing after the warmup region of its type
+    val spikeTs = new Timestamp(base.last.ts.getTime + 1000)
+    val all = base :+ RawEvt(990001L, spikeTs, 1L, base.head.event_type, 1e9)
+    val want = refAlarms(all)
+    assert(want.contains(990001L), "spike must alarm")
+
+    def run(batches: Seq[Seq[RawEvt]], name: String): Set[Long] = {
+      val mem = MemoryStream[RawEvt]
+      val q = Streams.ewmaAnomalies(spark, mem.toDF(), alpha, k, warmup)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+        spark.table(name).select("event_id").collect()
+          .map(_.getLong(0)).toSet
+      } finally q.stop()
+    }
+    val oneShot = run(Seq(all), "ewma_one")
+    assert(oneShot == want, s"one-batch: ${oneShot.size} vs ${want.size}")
+    val mid = all.length / 2
+    val split = run(Seq(all.take(mid), all.drop(mid)), "ewma_split")
+    assert(split == want, s"split run diverged: ${split.size} vs ${want.size}")
+  }
+}

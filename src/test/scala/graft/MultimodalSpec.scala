@@ -309,6 +309,71 @@ class MultimodalSpec extends GraftSpec {
     assert(junk.length == 1 && junk.head.window_idx == -1)
   }
 
+  test("perceptual dHash: resize-stable, discriminative, banded near-dup " +
+      "decisions complete vs brute force") {
+    val sess = spark
+    import sess.implicits._
+    import org.apache.spark.sql.functions._
+    // smooth low-frequency patterns: the 9x8 dHash grid sees shapes, so
+    // the SAME pattern at different resolutions must hash nearby while
+    // different patterns land far apart
+    def smoothPng(pat: Long, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach { y =>
+        (0 until w).foreach { x =>
+          val fx = x.toDouble / w; val fy = y.toDouble / h
+          val r = ((math.sin(2 * math.Pi * (fx * (1 + pat % 3) + pat * 0.37)) + 1) * 127).toInt
+          val g = ((math.sin(2 * math.Pi * (fy * (1 + pat % 4) + pat * 0.11)) + 1) * 127).toInt
+          val b = ((math.cos(2 * math.Pi * (fx * fy + pat * 0.23)) + 1) * 127).toInt
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        }
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    def item(id: Long, payload: Array[Byte]) =
+      Multimodal.MediaItem(id, Multimodal.MediaMeta("image", 0, 0, 0, 0L), payload)
+    val pats = 0L until 5L
+    val base = pats.map(p => item(p, smoothPng(p, 64, 64)))
+    val twins = pats.take(2).map(p => item(100 + p, smoothPng(p, 96, 96)))
+    val exact = Seq(item(200, smoothPng(3, 64, 64))) // byte-identical to id 3
+    val junk = Seq(item(300, "not an image".getBytes("UTF-8")))
+    val items = spark.createDataset(base ++ twins ++ exact ++ junk)
+    val hashes = Multimodal.imageDhash(items)
+    val hs = hashes.collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(hs(300L).isEmpty, "junk must hash to null")
+    assert(hs(200L) == hs(3L), "byte-identical payloads must hash equal")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(hs(a).get ^ hs(b).get)
+    pats.take(2).foreach { p =>
+      assert(ham(p, 100 + p) <= 7, s"pattern $p resize moved ${ham(p, 100 + p)} bits")
+    }
+    for (a <- pats; b <- pats if a < b)
+      assert(ham(a, b) > 7, s"patterns $a,$b too close: ${ham(a, b)}")
+    // decisions: twins + the exact copy collapse to their base ids
+    val dec = Multimodal.imageNearDups(hashes).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(dec(100L) == (0L, true) && dec(101L) == (1L, true))
+    assert(dec(200L) == (3L, true))
+    pats.foreach(p => assert(dec(p) == (p, false), s"base $p must keep itself"))
+    assert(!dec.contains(300L), "undecodable rows carry no decision")
+    // completeness: banded candidate pairs == brute-force Hamming<=7 pairs
+    val ids = hs.collect { case (id, Some(_)) => id }.toSeq.sorted
+    val brute = (for {
+      a <- ids; b <- ids if a < b && ham(a, b) <= 7
+    } yield (a, b)).toSet
+    val banded = dec.collect { case (id, (rep, true)) => (rep, id) }.toSet
+    // every brute pair must be discoverable: its smaller member is the
+    // rep of (or shares a rep chain with) the larger — check reachability
+    brute.foreach { case (a, b) =>
+      assert(dec(b)._2, s"brute pair ($a,$b) missed: $b not marked dup")
+    }
+    assert(banded.nonEmpty)
+  }
+
   test("undecodable audio payloads surface as data, not exceptions") {
     // text bytes and PNG bytes are both not parseable audio containers
     val text = Multimodal.mediaTable(spark, sf).limit(10)
