@@ -145,16 +145,16 @@ final case class GraftTable(spark: SparkSession, ledgerDir: String,
       checkpointDir)
 
   /** Row-level copy-on-write DELETE WHERE. */
-  def delete(cond: Column): Long =
-    Lake.deleteWhere(spark, ledgerDir, genRoot, cond)
+  def delete(cond: Column, changeFeed: Boolean = false): Long =
+    Lake.deleteWhere(spark, ledgerDir, genRoot, cond, changeFeed)
 
   /** Row-level MERGE-ON-READ delete: records the matching rows' positions
     * as deletion vectors instead of rewriting files — the write-optimized
     * half of the COW/MOR trade (see Lake.deleteWhereMor). Readers apply
     * vectors automatically; any rewrite (merge/delete/compact) of a file
     * materializes them. */
-  def deleteMor(cond: Column): Long =
-    Lake.deleteWhereMor(spark, ledgerDir, genRoot, cond)
+  def deleteMor(cond: Column, changeFeed: Boolean = false): Long =
+    Lake.deleteWhereMor(spark, ledgerDir, genRoot, cond, changeFeed)
 
   /** Row-level MERGE-ON-READ merge: identical row semantics to `merge`
     * but superseded target rows become deletion vectors and the

@@ -1223,7 +1223,7 @@ object Lake {
     * incremental consumers see nothing — COW delete semantics). Time travel
     * to any prior snapshot still sees the deleted rows. */
   def deleteWhere(spark: SparkSession, ledgerDir: String, genRoot: String,
-      cond: org.apache.spark.sql.Column): Long = {
+      cond: org.apache.spark.sql.Column, changeFeed: Boolean = false): Long = {
     val snap = currentSnapshot(spark, ledgerDir)
     val liveActs = readLedger(spark, ledgerDir).map(l => liveActionsAt(l, snap))
     val index = liveActs.map(new LedgerFileIndex(_)).filterNot(_.isEmpty)
@@ -1252,15 +1252,34 @@ object Lake {
         .filter(!coalesce(cond, lit(false)))
         .select(cols: _*)
       carry.write.mode("overwrite").parquet(s"$genDir/carry")
+      // opt-in CHANGE FEED (the mergeInto discipline): the deleted rows'
+      // PRE-IMAGES as _change_type='delete' cdc rows, bounded by the
+      // delete's blast radius — without it a readChanges-maintained
+      // mirror would silently keep rows this table dropped
+      if (changeFeed)
+        applyDvsAt(spark, ledgerDir, snap,
+            scanActions(spark, ledgerDir, affectedActs))
+          .filter(coalesce(cond, lit(false)))
+          .select(cols: _*)
+          .withColumn("_change_type", lit("delete"))
+          .withColumn("_commit_snapshot", lit(next))
+          .write.mode("overwrite").parquet(s"$genDir/changes")
       // surviving-row rewrites inherit the skipping contract (see mergeInto)
       val (dStatsCols, dBloomCols) = liveStatsContract(liveActs.get)
-      val adds = addsWithStats(spark, fileAdds(spark, s"$genDir/carry"),
+      val adds0 = addsWithStats(spark, fileAdds(spark, s"$genDir/carry"),
           s"$genDir/carry", dStatsCols, dBloomCols)
         .withColumn("op", lit("add"))
         .withColumn("snapshot_op", lit("replace"))
+      val adds =
+        if (changeFeed)
+          withLedgerStats(adds0).unionByName(withLedgerStats(
+            fileAdds(spark, s"$genDir/changes")
+              .withColumn("op", lit("cdc"))
+              .withColumn("snapshot_op", lit("replace"))))
+        else withLedgerStats(adds0)
       appendSnapshot(spark, ledgerDir, next,
         preReserved = true, actions =
-        withLedgerStats(adds).unionByName(affectedActs.select(col("path"))
+        adds.unionByName(affectedActs.select(col("path"))
           .withColumn("size", lit(null).cast("long"))
           .withColumn("adler32", lit(null).cast("long"))
           .withColumn("op", lit("remove"))
@@ -1315,7 +1334,7 @@ object Lake {
     * auto-releases. Returns the delete's snapshot id (or the current one
     * when nothing matched). */
   def deleteWhereMor(spark: SparkSession, ledgerDir: String, genRoot: String,
-      cond: org.apache.spark.sql.Column): Long = {
+      cond: org.apache.spark.sql.Column, changeFeed: Boolean = false): Long = {
     val snap = currentSnapshot(spark, ledgerDir)
     val liveActs = readLedger(spark, ledgerDir).map(l => liveActionsAt(l, snap))
     val index = liveActs.map(new LedgerFileIndex(_)).filterNot(_.isEmpty)
@@ -1341,9 +1360,26 @@ object Lake {
       val dvDir = s"$genRoot/gen-$next/dv"
       hits.withColumn("dv_snap", lit(next))
         .write.mode("overwrite").parquet(dvDir)
-      val adds = fileAdds(spark, dvDir)
+      // opt-in CHANGE FEED: deleted pre-images, same rows the sidecar
+      // points at (cost bounded by the delete size, like the sidecar)
+      if (changeFeed) {
+        val dataCols = target.columns
+          .filterNot(Seq("__graft_fp", "__graft_pos").contains).map(col)
+        target.filter(coalesce(cond, lit(false)))
+          .select(dataCols: _*)
+          .withColumn("_change_type", lit("delete"))
+          .withColumn("_commit_snapshot", lit(next))
+          .write.mode("overwrite").parquet(s"$genRoot/gen-$next/changes")
+      }
+      val adds0 = fileAdds(spark, dvDir)
         .withColumn("op", lit("dv"))
         .withColumn("snapshot_op", lit("mor-delete"))
+      val adds =
+        if (changeFeed)
+          adds0.unionByName(fileAdds(spark, s"$genRoot/gen-$next/changes")
+            .withColumn("op", lit("cdc"))
+            .withColumn("snapshot_op", lit("mor-delete")))
+        else adds0
       appendSnapshot(spark, ledgerDir, next, adds, preReserved = true)
       next
     }

@@ -382,4 +382,37 @@ class MergeSpec extends GraftSpec {
       all.filter(col("_commit_snapshot") === snap2), "c_custkey")
     assert(canon(stepped) == truth, "per-snapshot mirror diverged")
   }
+
+  test("deleteWhere change feed: deleted pre-images land, a mirror folds " +
+      "to the table; default-off stays silent") {
+    val (landing, ledger, gen) = fresh()
+    val snap0 = landCustomers(landing, ledger)
+    val before = Lake.readAt(spark, ledger, snap0).localCheckpoint()
+    // default OFF: no cdc rows
+    val sOff = Lake.deleteWhere(spark, ledger, gen,
+      col("c_custkey") % 13 === 0)
+    assert(Lake.readChanges(spark, ledger, snap0).count() == 0,
+      "feed-off delete leaked cdc rows")
+    // feed ON: exactly the deleted rows, typed delete, stamped
+    val sOn = Lake.deleteWhere(spark, ledger, gen,
+      col("c_mktsegment") === "MACHINERY", changeFeed = true)
+    val ch = Lake.readChanges(spark, ledger, sOff)
+    assert(ch.select("_change_type").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("delete"))
+    assert(ch.agg(org.apache.spark.sql.functions.min("_commit_snapshot"))
+      .head().getLong(0) == sOn)
+    val wantGone = Lake.readAt(spark, ledger, sOff)
+      .filter(col("c_mktsegment") === "MACHINERY")
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    assert(ch.select("c_custkey").collect().map(_.getLong(0)).toSet
+      == wantGone && wantGone.nonEmpty)
+    // a mirror of the pre-delete table folds the feed to the live table
+    val folded = Lake.applyChanges(
+      Lake.readAt(spark, ledger, sOff),
+      ch, "c_custkey")
+    val want = Lake.readAt(spark, ledger, sOn)
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    assert(folded.select("c_custkey").collect().map(_.getLong(0)).toSet
+      == want)
+  }
 }

@@ -308,4 +308,32 @@ class MorSpec extends GraftSpec {
     assert(Set("insert", "update_preimage", "update_postimage", "delete")
       .subsetOf(morFeed.map(_._3)))
   }
+
+  test("deleteWhereMor change feed: pre-images equal the vectored rows; " +
+      "default-off stays silent") {
+    import org.apache.spark.sql.functions._
+    val t = java.nio.file.Files.createTempDirectory("graft_mor_cdc").toString
+    val (landing, ledger, gen) = (s"$t/landing", s"$t/ledger", s"$t/gen")
+    spark.read.parquet(s"$sf/customer.parquet")
+      .repartition(4).write.parquet(landing)
+    Lake.ingestNewFiles(spark, landing, ledger)
+    val snap0 = Lake.currentSnapshot(spark, ledger)
+    val sOff = Lake.deleteWhereMor(spark, ledger, gen,
+      col("c_custkey") % 11 === 0)
+    assert(Lake.readChanges(spark, ledger, snap0).count() == 0)
+    val sOn = Lake.deleteWhereMor(spark, ledger, gen,
+      col("c_mktsegment") === "FURNITURE", changeFeed = true)
+    val ch = Lake.readChanges(spark, ledger, sOff)
+    assert(ch.select("_change_type").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("delete"))
+    // the feed's keys are exactly the rows the new vectors removed
+    val gone = Lake.readAt(spark, ledger, sOff)
+      .filter(col("c_mktsegment") === "FURNITURE")
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    assert(ch.select("c_custkey").collect().map(_.getLong(0)).toSet == gone
+      && gone.nonEmpty)
+    // and the head no longer serves them
+    assert(Lake.readAt(spark, ledger, sOn)
+      .filter(col("c_mktsegment") === "FURNITURE").count() == 0)
+  }
 }
