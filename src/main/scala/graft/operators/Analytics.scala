@@ -272,6 +272,57 @@ object Analytics {
       |FROM uw JOIN cohort c ON uw.user_id = c.user_id
       |GROUP BY 1, 2""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q_evt_m4 — M4 downsampling (Jugel et al., VLDB 2014): the
+  // visualization-lossless time-series reduction every monitoring UI
+  // should run SERVER-side — per (series, pixel-column bucket) keep
+  // min, max, first and last, which is exactly the set of points a
+  // line-rendering of that bucket can ever need; everything else cannot
+  // change a pixel. Reduces any event volume to 4 values x bounded
+  // buckets (hours-in-span x types — the q_evt_gapfill grid bound).
+  // first/last are deterministic via (ts, event_id) row_number on BOTH
+  // engines; values pass through verbatim (no arithmetic), so the
+  // oracle is exact.
+  // -------------------------------------------------------------------
+  def qEvtM4(s: SparkSession, d: String): DataFrame = {
+    val ev = Events.events(s, d)
+      .select(col("event_type"),
+        floor(unix_timestamp(col("ts")) / 3600).as("h"),
+        col("ts"), col("event_id"), col("value"))
+    val wAsc = Window.partitionBy(col("event_type"), col("h"))
+      .orderBy(col("ts"), col("event_id"))
+    val wDesc = Window.partitionBy(col("event_type"), col("h"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    ev.withColumn("rn", row_number().over(wAsc))
+      .withColumn("rnd", row_number().over(wDesc))
+      .groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("n"),
+        min(col("value")).as("v_min"), max(col("value")).as("v_max"),
+        max(when(col("rn") === 1, col("value"))).as("v_first"),
+        max(when(col("rnd") === 1, col("value"))).as("v_last"))
+      .select(col("event_type"),
+        timestamp_seconds(col("h") * 3600).as("hour_start"),
+        col("n"), col("v_min"), col("v_max"), col("v_first"), col("v_last"))
+  }
+
+  def qEvtM4Sql: String =
+    """WITH ev AS (SELECT event_type,
+      |  CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h, ts, event_id, value
+      |  FROM events),
+      |r AS (SELECT *,
+      |  row_number() OVER (PARTITION BY event_type, h
+      |    ORDER BY ts, event_id) AS rn,
+      |  row_number() OVER (PARTITION BY event_type, h
+      |    ORDER BY ts DESC, event_id DESC) AS rnd
+      | FROM ev)
+      |SELECT event_type,
+      | make_timestamp(h * 3600 * 1000000) AS hour_start,
+      | CAST(count(*) AS BIGINT) AS n,
+      | min(value) AS v_min, max(value) AS v_max,
+      | max(CASE WHEN rn = 1 THEN value END) AS v_first,
+      | max(CASE WHEN rnd = 1 THEN value END) AS v_last
+      |FROM r GROUP BY event_type, h""".stripMargin
+
   /** DISTRIBUTION-DRIFT report between two relations — per-bin counts of
     * a numeric column over a FIXED equal-width grid plus the Population
     * Stability Index, the dataset-shift alarm every ML data pipeline
