@@ -80,6 +80,11 @@ object Expectations {
     require(!rows.columns.contains(PartCol),
       s"input already has a '$PartCol' column")
     require(expectations.nonEmpty, "no expectations given — use a plain append")
+    // the table's standing CHECK constraints are a HARD contract on every
+    // writer — enforced before the soft per-append gates regardless of
+    // onViolation (a constrained table cannot quarantine its way past
+    // its own contract)
+    Lake.enforceConstraints(spark, ledgerDir, rows)
     val next = Lake.currentSnapshot(spark, ledgerDir) + 1
     // genName override: streaming gates key the generation by BATCH id
     // (not snapshot) so a replayed micro-batch targets the same directory

@@ -213,6 +213,18 @@ final case class GraftTable(spark: SparkSession, ledgerDir: String,
   /** Drop an unpublished branch (Lake.abandonBranch). */
   def abandonBranch(branchDir: String): Unit = Lake.abandonBranch(branchDir)
 
+  /** Add a standing CHECK constraint every row-writing operation must
+    * satisfy (refused if current data violates it; Lake.addConstraint). */
+  def addConstraint(name: String, expression: String): Unit =
+    Lake.addConstraint(spark, ledgerDir, name, expression)
+
+  /** The table's standing constraints. */
+  def constraints(): Seq[(String, String)] = Lake.constraints(ledgerDir)
+
+  /** Drop a constraint (idempotent). */
+  def dropConstraint(name: String): Boolean =
+    Lake.dropConstraint(ledgerDir, name)
+
   /** Row-level snapshot diff, file-pruned to the write waves' blast
     * radius (Lake.tableDiff; key-unique tables). */
   def diff(fromSnap: Long, toSnap: Long, key: String): DataFrame =

@@ -1121,6 +1121,9 @@ object Lake {
             .drop("_matched")
         case _ => source // no delete clause, or empty table (nothing matched)
       }
+      // standing CHECK constraints gate every row about to land — a
+      // violation aborts here (reservation auto-releases, nothing written)
+      enforceConstraints(spark, ledgerDir, conform(srcLive))
       // CHANGE DATA FEED (the Delta CDF / Iceberg changelog analog): when
       // `changeFeed` is on, classify this merge's row-level effects and
       // persist them as cdc-typed ledger files so incremental consumers
@@ -1574,6 +1577,10 @@ object Lake {
           .drop("_matched")
       case _ => source
     }
+    // standing CHECK constraints gate the rows about to land — checked
+    // BEFORE the reservation (read-only; a violating merge never even
+    // contends for the id)
+    enforceConstraints(spark, ledgerDir, conform(srcLive))
     reserving(spark, ledgerDir, next) {
       // `genSuffix` tags the generation DIRECTORY (e.g. a streaming
       // sink's batch id) so the commit is PROBEABLE from the ledger's
@@ -2374,6 +2381,76 @@ object Lake {
   /** Drop a tag (idempotent). */
   def deleteTag(ledgerDir: String, name: String): Boolean =
     new java.io.File(s"$ledgerDir/_tags/$name").delete()
+
+  // ===== CHECK CONSTRAINTS =====
+
+  final case class ConstraintViolationException(name: String,
+      expression: String, violations: Long)
+    extends RuntimeException(
+      s"CHECK constraint '$name' ($expression) violated by " +
+        s"$violations row(s) — nothing was written")
+
+  /** Persisted table-level CHECK CONSTRAINTS — the Delta `ALTER TABLE
+    * ADD CONSTRAINT` analog: named boolean SQL expressions every
+    * ROW-WRITING operation (merge, MOR merge, gated append) must satisfy
+    * or the write fails atomically with nothing landed. Distinct from
+    * [[Expectations]] on purpose: expectations are per-append SOFT gates
+    * (quarantine/drop) the caller chooses each time; constraints are the
+    * TABLE's standing hard contract, enforced on every writer without
+    * the caller remembering. KB metadata under the underscore-hidden
+    * `_constraints/`; enforcement is ONE aggregate pass over the rows
+    * being written (blast-radius cost, never table-scaled). Adding a
+    * constraint the CURRENT data already violates is refused (the Delta
+    * semantics) — the contract must hold before it binds. */
+  def addConstraint(spark: SparkSession, ledgerDir: String, name: String,
+      expression: String): Unit = {
+    require(name.matches("[A-Za-z][A-Za-z0-9_]*"),
+      s"invalid constraint name: $name")
+    // parse check first (a typo must fail here, not at the next merge)
+    org.apache.spark.sql.GraftShim.parseExpression(spark, expression)
+    val head = currentSnapshot(spark, ledgerDir)
+    if (head > 0) {
+      val bad = readAt(spark, ledgerDir, head)
+        .filter(!coalesce(expr(expression), lit(false))).count()
+      if (bad > 0) throw ConstraintViolationException(name, expression, bad)
+    }
+    val dir = new java.io.File(s"$ledgerDir/_constraints")
+    dir.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$ledgerDir/_constraints/$name"),
+      expression.getBytes("UTF-8"))
+  }
+
+  /** The table's standing constraints as (name, expression). */
+  def constraints(ledgerDir: String): Seq[(String, String)] = {
+    val dir = new java.io.File(s"$ledgerDir/_constraints")
+    if (!dir.isDirectory) Seq.empty
+    else Option(dir.listFiles()).getOrElse(Array.empty).filter(_.isFile)
+      .map(f => f.getName -> new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+      .sortBy(_._1).toSeq
+  }
+
+  /** Drop a constraint (idempotent). */
+  def dropConstraint(ledgerDir: String, name: String): Boolean =
+    new java.io.File(s"$ledgerDir/_constraints/$name").delete()
+
+  /** ONE aggregate pass checking every standing constraint over the rows
+    * about to land; throws on the first (alphabetically) violated one.
+    * False AND NULL both violate (a CHECK must prove itself). */
+  private[sources] def enforceConstraints(spark: SparkSession,
+      ledgerDir: String, rows: DataFrame): Unit = {
+    val cs = constraints(ledgerDir)
+    if (cs.isEmpty) return
+    val aggs = cs.map { case (n, e) =>
+      sum(when(!coalesce(expr(e), lit(false)), 1L).otherwise(0L)).as(n)
+    }
+    val row = rows.agg(aggs.head, aggs.drop(1): _*).head()
+    cs.zipWithIndex.foreach { case ((n, e), i) =>
+      val bad = if (row.isNullAt(i)) 0L else row.getLong(i)
+      if (bad > 0) throw ConstraintViolationException(n, e, bad)
+    }
+  }
 
   // ===== BRANCHES / WRITE-AUDIT-PUBLISH =====
 

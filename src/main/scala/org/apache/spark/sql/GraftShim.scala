@@ -10,6 +10,10 @@ object GraftShim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Parse a SQL expression string (syntax check without evaluation). */
+  def parseExpression(spark: SparkSession, sql: String): Expression =
+    spark.sessionState.sqlParser.parseExpression(sql)
+
   import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   def logicalPlan(df: DataFrame): LogicalPlan =
     df.asInstanceOf[classic.Dataset[_]].logicalPlan
