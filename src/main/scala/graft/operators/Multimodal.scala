@@ -754,6 +754,62 @@ object Multimodal {
         (col("rep").isNotNull).as("is_dup"))
   }
 
+  /** Deterministic SMOOTH-pattern PNG (low-frequency gradients keyed by
+    * `pat`) — the resize-stable fixture class for perceptual-hash work:
+    * the 9×8 dHash grid sees the same shapes at any render resolution
+    * (a noise pattern would alias differently per resolution). */
+  def smoothPngBytes(pat: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val fx = x.toDouble / w; val fy = y.toDouble / h
+        val r = ((math.sin(2 * math.Pi * (fx * (1 + pat % 3) + pat * 0.37)) + 1) * 127).toInt
+        val g = ((math.sin(2 * math.Pi * (fy * (1 + pat % 4) + pat * 0.11)) + 1) * 127).toInt
+        val b = ((math.cos(2 * math.Pi * (fx * fy + pat * 0.23)) + 1) * 127).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** A media table with BUILT-IN near-duplicates, generated distributed:
+    * `n` base patterns at 64², the first `nTwins` re-rendered at 96²
+    * (media_id = 100000 + pat — the near-dup class an image crawl is
+    * full of: same asset, different resolution), plus junk payloads
+    * every 17th id. */
+  def nearDupMediaTable(s: SparkSession, n: Int,
+      nTwins: Int): Dataset[MediaItem] = {
+    import s.implicits._
+    val base = s.range(n).map { pat =>
+      if (pat % 17 == 16)
+        MediaItem(pat, MediaMeta("junk", 0, 0, 0, 0L),
+          s"junk payload $pat".getBytes("UTF-8"))
+      else MediaItem(pat, MediaMeta("image", 64, 64, 0, 0L),
+        smoothPngBytes(pat, 64, 64))
+    }
+    val twins = s.range(nTwins).map { pat =>
+      MediaItem(100000L + pat, MediaMeta("image", 96, 96, 0, 0L),
+        smoothPngBytes(pat, 96, 96))
+    }
+    base.union(twins)
+  }
+
+  /** IMAGE NEAR-DUP decisions end to end over a generated corpus with
+    * planted twins — the multimodal dedup query ([rows]: hash bits are
+    * platform-deterministic but engine-specific; MultimodalSpec anchors
+    * the semantics — resize stability, discrimination, banding
+    * completeness vs brute force). */
+  def qMediaDedup(s: SparkSession, d: String): DataFrame =
+    imageNearDups(imageDhash(nearDupMediaTable(s, 48, 12)))
+      .orderBy(col("media_id"))
+
   /** Metadata-level filtering happens BEFORE any kernel touches payload
     * bytes — the predicate is a plain column filter on the struct, so at
     * scale it prunes row groups without reading the (huge) binary column. */
