@@ -94,6 +94,26 @@ object Pipeline {
       .agg(count(lit(1)).as("n_spans"),
         sum(col("doc_to") - col("doc_from")).as("n_tokens"))
 
+  /** TOKENIZER-TRUE packing — the chain a real trainer consumes: train
+    * BPE ON the shipped corpus (operators.Bpe — the tokenizer belongs to
+    * the data), encode it, and pack by the ACTUAL token counts instead
+    * of the regex proxy (a proxy over/under-counts against the learned
+    * vocabulary; packing by the wrong count overflows sequence slots or
+    * wastes them). Same two-phase prefix-sum pack, same mix/split
+    * filters as the census queries — what packs is exactly what the
+    * reports describe, measured in the tokenizer's own units. */
+  def tokenizePack(spark: SparkSession, dir: String,
+      nMerges: Int = 24): DataFrame = {
+    val docs = trainSurvivors(spark, dir).select(col("doc_id"), col("text"))
+    val rules = operators.Bpe.train(docs, "text", nMerges)
+    TextOps.packSpans(
+        operators.Bpe.encode(docs, "doc_id", "text", rules)
+          .select(col("doc_id"), col("n_tokens").as("n_tok")))
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("doc_to") - col("doc_from")).as("n_tokens"))
+  }
+
   /** The mixed TRAIN-split survivor documents — the rows `exportShards`
     * ships and `curateMixSplitPack` packs (one definition, two sinks). */
   def trainSurvivors(spark: SparkSession, dir: String): DataFrame =

@@ -138,4 +138,23 @@ class PipelineSpec extends GraftSpec {
         (r.getAs[Long]("n"), r.getAs[Long]("t"))).toMap
     assert(manifest == recount)
   }
+
+  test("tokenizePack: token conservation in tokenizer units, sequences " +
+      "within budget") {
+    import graft.operators.{Bpe, TextOps}
+    import org.apache.spark.sql.functions._
+    val docs = Pipeline.trainSurvivors(spark, sf).select("doc_id", "text")
+    val rules = Bpe.train(docs, "text", 8)
+    val total = Bpe.encode(docs, "doc_id", "text", rules)
+      .filter(col("n_tokens") > 0)
+      .agg(sum("n_tokens")).head().getLong(0)
+    val packed = Pipeline.tokenizePack(spark, sf, nMerges = 8)
+      .localCheckpoint()
+    assert(packed.agg(sum("n_tokens")).head().getLong(0) == total,
+      "packing lost or invented tokens")
+    assert(packed.filter(col("n_tokens") > TextOps.PackSeqLen).count() == 0,
+      "a sequence exceeds the budget")
+    assert(packed.count() >= total / TextOps.PackSeqLen,
+      "fewer sequences than the token volume can fit")
+  }
 }
