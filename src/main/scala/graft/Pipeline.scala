@@ -103,7 +103,7 @@ object Pipeline {
     * filters as the census queries — what packs is exactly what the
     * reports describe, measured in the tokenizer's own units. */
   def tokenizePack(spark: SparkSession, dir: String,
-      nMerges: Int = 24): DataFrame = {
+      nMerges: Int = 16): DataFrame = {
     val docs = trainSurvivors(spark, dir).select(col("doc_id"), col("text"))
     val rules = operators.Bpe.train(docs, "text", nMerges)
     TextOps.packSpans(
