@@ -401,4 +401,47 @@ class PlanSpec extends GraftSpec {
         s"$name missing the bounded-heap cut:\n${p.take(1200)}")
     }
   }
+
+  test("asofJoin plans as ONE key exchange + window — no join operator, " +
+      "no range explosion") {
+    import graft.operators.{Events, Joins}
+    import org.apache.spark.sql.functions.{col, max}
+    val ev = Events.events(spark, sf)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts").as("view_ts"))
+      .agg(max(col("event_id")).as("view_id"))
+    val plan = planString(
+      Joins.asofJoin(p, v, Seq("user_id"), "ts", "view_ts"))
+    // the union-window shape: a Window over the tagged union — the whole
+    // point is that NO physical join touches the two sides
+    assert(plan.contains("Window"), plan.take(400))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin")
+      && !plan.contains("BroadcastNestedLoopJoin"),
+      "asofJoin must not plan a physical join")
+    // exchanges: v's pre-aggregate shuffles once on (user_id, ts), the
+    // union window once on user_id — nothing else
+    val nEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(nEx <= 2, s"expected <=2 hash exchanges, got $nEx\n$plan")
+  }
+
+  test("q_stat_moments is one two-phase aggregate pass — no Expand, one " +
+      "exchange, power sums inside") {
+    val plan = planString(graft.operators.Relational3.qStatMoments(spark, sf))
+    assert(plan.contains("HashAggregate"), plan.take(300))
+    assert(!plan.contains("Expand"),
+      "moments must not plan a distinct-style Expand")
+    val nEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(nEx == 1, s"expected exactly 1 exchange, got $nEx")
+    assert(plan.contains("partial_"), "map-side partial aggregation missing")
+  }
+
+  test("q_evt_m4's two windows and the aggregate share ONE exchange") {
+    val plan = planString(graft.operators.Analytics.qEvtM4(spark, sf))
+    val nEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    // asc window, desc window and the groupBy all cluster on
+    // (event_type, h): one shuffle serves all three (re-sorts are local)
+    assert(nEx == 1, s"expected exactly 1 exchange, got $nEx\n$plan")
+  }
 }
