@@ -260,8 +260,10 @@ final case class GraftTable(spark: SparkSession, ledgerDir: String,
     * `zOrder=true` and ≥2 numeric stats columns, the rewrite clusters on
     * the Morton interleave of the first two so filters on EITHER keep
     * data-skipping after the rewrite (OPTIMIZE ZORDER). */
-  def compact(targetRowsPerFile: Long, zOrder: Boolean = false): Long =
-    Lake.compactIngested(spark, ledgerDir, genRoot, targetRowsPerFile, zOrder)
+  def compact(targetRowsPerFile: Long, zOrder: Boolean = false,
+      where: Option[Column] = None): Long =
+    Lake.compactIngested(spark, ledgerDir, genRoot, targetRowsPerFile, zOrder,
+      where)
 
   /** Backfill data-skipping stats (and blooms) for live files lacking
     * them — zero data movement, invisible to incremental consumers (see

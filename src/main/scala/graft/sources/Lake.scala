@@ -667,12 +667,36 @@ object Lake {
 
   def compactIngested(spark: SparkSession, ledgerDir: String,
       compactDir: String, targetRowsPerFile: Long,
-      zOrder: Boolean = false): Long = {
+      zOrder: Boolean = false,
+      where: Option[org.apache.spark.sql.Column] = None): Long = {
     val ledger = readLedger(spark, ledgerDir).getOrElse(return 0L)
     val snap = currentSnapshot(spark, ledgerDir)
     val liveActs = liveActionsAt(ledger, snap)
     val index = new LedgerFileIndex(liveActs)
     if (index.isEmpty) return 0L
+    // SCOPED compaction (OPTIMIZE WHERE): `where` selects FILES, never
+    // rows — every file that MAY hold a matching row is rewritten WHOLE
+    // (all its rows carry), the rest of the table is untouched (no
+    // remove rows, no read). The match scan prunes via the manifest like
+    // any read, so on a clustered table the rewrite cost is the
+    // predicate's file footprint — never rewrite 100 TB to fix one hot
+    // partition. Read-only scan BEFORE the reservation (the deleteWhere
+    // discipline); an empty footprint is a no-op without a snapshot.
+    val scopeNorm: Option[Set[String]] = where.map { w =>
+      tableScan(spark, ledgerDir, index)
+        .withColumn("_file",
+          regexp_replace(input_file_name(), "^file:/+", "/"))
+        .filter(coalesce(w, lit(false)))
+        .select(col("_file")).distinct().collect().map(_.getString(0)).toSet
+    }
+    if (scopeNorm.exists(_.isEmpty)) return 0L
+    val compactActs = scopeNorm match {
+      case Some(ps) => liveActs.filter(
+        regexp_replace(col("path"), "^file:/+", "/").isin(ps.toSeq: _*))
+      case None => liveActs
+    }
+    val compactIndex = scopeNorm.map(_ =>
+      new LedgerFileIndex(compactActs)).getOrElse(index)
     // carry the data-skipping capability through the rewrite: recompute
     // stats for every column the live ledger rows record stats for
     // (column-NAME list only — KB-scale, never a path list). Bloom-ONLY
@@ -690,7 +714,7 @@ object Lake {
       // the rewrite drops the deleted rows and replaces every file, so
       // all prior vectors go inert (dvRows() returns 0 afterwards)
       val df = applyDvsAt(spark, ledgerDir, snap,
-        tableScan(spark, ledgerDir, index))
+        tableScan(spark, ledgerDir, compactIndex))
       val n = df.count()
       val files = math.max(1, math.ceil(n.toDouble / targetRowsPerFile).toInt)
       // stats columns make compaction CLUSTERING-preserving: range-partition
@@ -749,9 +773,9 @@ object Lake {
           .drop("_np")
         case None => added0
       }
-      // remove rows straight from the live-actions RELATION — the full live
-      // path set never touches the driver even for the rewrite's bookkeeping
-      val removed = liveActs.select(col("path"))
+      // remove rows straight from the scoped actions RELATION — the full
+      // live path set never touches the driver even for the bookkeeping
+      val removed = compactActs.select(col("path"))
         .withColumn("size", lit(null).cast("long"))
         .withColumn("adler32", lit(null).cast("long"))
         .withColumn("op", lit("remove"))

@@ -78,4 +78,41 @@ class MaintainSpec extends GraftSpec {
     val r2 = t.maintain(policy)
     assert(!r2.ledgerCheckpointed, s"idle table re-checkpointed: $r2")
   }
+
+  test("scoped compaction (OPTIMIZE WHERE): only the predicate's file " +
+      "footprint rewrites; rows and untouched files intact") {
+    import graft.sources.{GraftTable, Lake}
+    import org.apache.spark.sql.functions._
+    val tdir = java.nio.file.Files.createTempDirectory("graft_opt_where").toString
+    val t = GraftTable(spark, s"$tdir/ledger", s"$tdir/gen")
+    // range-clustered landing: each file owns a disjoint custkey range,
+    // stats recorded so the match scan can prune
+    spark.read.parquet(s"$sf/customer.parquet")
+      .repartitionByRange(6, col("c_custkey"))
+      .write.parquet(s"$tdir/landing")
+    t.ingest(s"$tdir/landing", statsCols = Seq("c_custkey"))
+    val rows = t.read().count()
+    val filesBefore = t.files().select("path").collect()
+      .map(_.getString(0)).toSet
+    assert(filesBefore.size == 6)
+    val cut = spark.read.parquet(s"$sf/customer.parquet")
+      .selectExpr("percentile(c_custkey, 0.25)").head().getDouble(0).toLong
+    val snap = t.compact(targetRowsPerFile = 1000000,
+      where = Some(col("c_custkey") <= cut))
+    assert(snap > 0)
+    val filesAfter = t.files().select("path").collect()
+      .map(_.getString(0)).toSet
+    val untouched = filesBefore.intersect(filesAfter)
+    assert(untouched.nonEmpty, "scoped compaction rewrote everything")
+    assert(filesAfter.size < filesBefore.size, "nothing was compacted")
+    // the low range's files are exactly the rewritten ones: every
+    // surviving original file's range must sit ABOVE the cut
+    assert(t.read().count() == rows)
+    assert(t.read().select("c_custkey").distinct().count() ==
+      spark.read.parquet(s"$sf/customer.parquet").count())
+    // a predicate matching nothing is a snapshot-free no-op
+    val head = t.snapshot
+    assert(t.compact(1000000, where = Some(col("c_custkey") < -5)) == 0L)
+    assert(t.snapshot == head && t.orphans().isEmpty)
+  }
 }
