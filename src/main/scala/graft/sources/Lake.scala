@@ -2536,6 +2536,17 @@ object Lake {
     readLedger(spark, ledgerDir).get
       .filter(col("snapshot_id") <= fork)
       .write.mode("append").parquet(branchDir)
+    // the table's standing CHECK constraints are part of the TABLE, not
+    // of main's directory: a branch that dropped them could stage — and
+    // publish — rows the contract forbids (the WAP write phase must face
+    // exactly main's gates)
+    constraints(ledgerDir).foreach { case (n, e) =>
+      val d = new java.io.File(s"$branchDir/_constraints")
+      d.mkdirs()
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$branchDir/_constraints/$n"),
+        e.getBytes("UTF-8"))
+    }
     java.nio.file.Files.write(branchMeta(branchDir).toPath,
       s"""{"source": "$ledgerDir", "fork_snapshot": $fork}"""
         .getBytes("UTF-8"))

@@ -72,4 +72,24 @@ class ConstraintSpec extends GraftSpec {
     val s2 = t.merge(bad, "c_custkey")
     assert(s2 > head + 2)
   }
+
+  test("branches inherit the table's constraints — a WAP write faces " +
+      "exactly main's gates") {
+    val (t, tmp) = fixture()
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+    t.addConstraint("bal_sane", "c_acctbal > -1000000")
+    val branchDir = s"$tmp/branch"
+    t.branch(branchDir)
+    assert(Lake.constraints(branchDir) == t.constraints())
+    // the violating write fails ON THE BRANCH, before any audit/publish
+    intercept[Lake.ConstraintViolationException] {
+      Lake.mergeInto(spark, branchDir, s"$tmp/bgen",
+        cust.limit(5).withColumn("c_acctbal", lit(-2e6)), "c_custkey")
+    }
+    // a clean branch write + publish carries through
+    Lake.mergeInto(spark, branchDir, s"$tmp/bgen",
+      cust.limit(5).withColumn("c_acctbal", col("c_acctbal") + 1),
+      "c_custkey")
+    assert(Lake.publish(spark, branchDir).nonEmpty)
+  }
 }
