@@ -89,6 +89,10 @@ object Scale100Probe {
         // bounded by part cardinality (1×); the scan and one partkey
         // shuffle scale, the scalar broadcast is 1 row at any SF.
         "q9_profit" -> (Relational3.q9Profit _),
+        // r10-late: the exact second-moment pass — pure scan-bound (one
+        // two-phase aggregate, output bounded at the group count); the
+        // 100x ratio records the power-sum pass's sustained linearity
+        "q_stat_moments" -> (Relational3.qStatMoments _),
         "q2_mincost_supp" -> (Relational3.q2MincostSupp _),
         "q11_top_share" -> (Relational3.q11TopShare _),
         // sampling trio at 100×: split/mix are pure narrow passes (the
