@@ -34,32 +34,53 @@ object Analytics {
     * reference anything). */
   def fkEdge(name: String, child: DataFrame, key: String,
       parent: DataFrame, pkey: String): DataFrame =
-    child.select(col(key))
-      .join(parent.select(col(pkey)).distinct().withColumn("__hit", lit(1)),
-        col(key) === col(pkey), "left")
-      .agg(count(lit(1)).as("n_rows"),
-        count(when(col("__hit").isNull, 1)).as("n_orphans"))
-      .select(lit(name).as("fk_edge"), col("n_rows"), col("n_orphans"))
+    fkEdges(child, Seq((name, key, parent, pkey)))
+
+  /** ALL of one child table's FK edges from a SINGLE child scan: the
+    * parent left-joins chain off one pass (each parent's distinct key set
+    * joins on its own key — dims AQE-broadcast, a fact-sized parent
+    * shuffles the chain on that key once), ONE aggregate computes every
+    * edge's orphan count, and a `stack` melt emits one row per edge.
+    * n_rows is identical across a child's edges by construction (each
+    * join adds ≤1 hit flag per distinct parent key — never a fanout). A
+    * 100 TB post-load audit must not scan the fact once per edge. */
+  def fkEdges(child: DataFrame,
+      edges: Seq[(String, String, DataFrame, String)]): DataFrame = {
+    require(edges.nonEmpty)
+    val keys = edges.map(_._2).distinct.map(col)
+    val joined = edges.zipWithIndex.foldLeft(child.select(keys: _*)) {
+      case (acc, ((_, key, parent, pkey), i)) =>
+        acc.join(
+          parent.select(col(pkey)).distinct().withColumn(s"__hit$i", lit(1)),
+          col(key) === col(pkey), "left").drop(pkey)
+    }
+    val aggs = count(lit(1)).as("n_rows") +:
+      edges.indices.map(i =>
+        count(when(col(s"__hit$i").isNull, 1)).as(s"__orph$i"))
+    val wide = joined.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = edges.zipWithIndex
+      .map { case ((name, _, _, _), i) => s"'$name', n_rows, __orph$i" }
+      .mkString(", ")
+    wide.selectExpr(
+      s"stack(${edges.size}, $stackArgs) AS (fk_edge, n_rows, n_orphans)")
+  }
 
   def qFkCheck(s: SparkSession, d: String): DataFrame = {
-    def edge(name: String, child: DataFrame, key: String,
-        parent: DataFrame, pkey: String): DataFrame =
-      fkEdge(name, child, key, parent, pkey)
-
     val li = Tables.lineitem(s, d); val o = Tables.orders(s, d)
     val c = Tables.customer(s, d); val p = Tables.part(s, d)
     val su = Tables.supplier(s, d); val n = Tables.nation(s, d)
     val r = Tables.region(s, d)
     val ev = Events.events(s, d)
     Seq(
-      edge("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey"),
-      edge("lineitem.l_partkey->part", li, "l_partkey", p, "p_partkey"),
-      edge("lineitem.l_suppkey->supplier", li, "l_suppkey", su, "s_suppkey"),
-      edge("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey"),
-      edge("customer.c_nationkey->nation", c, "c_nationkey", n, "n_nationkey"),
-      edge("supplier.s_nationkey->nation", su, "s_nationkey", n, "n_nationkey"),
-      edge("nation.n_regionkey->region", n, "n_regionkey", r, "r_regionkey"),
-      edge("events.user_id->customer", ev, "user_id", c, "c_custkey")
+      fkEdges(li, Seq(
+        ("lineitem.l_orderkey->orders", "l_orderkey", o, "o_orderkey"),
+        ("lineitem.l_partkey->part", "l_partkey", p, "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "l_suppkey", su, "s_suppkey"))),
+      fkEdge("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey"),
+      fkEdge("customer.c_nationkey->nation", c, "c_nationkey", n, "n_nationkey"),
+      fkEdge("supplier.s_nationkey->nation", su, "s_nationkey", n, "n_nationkey"),
+      fkEdge("nation.n_regionkey->region", n, "n_regionkey", r, "r_regionkey"),
+      fkEdge("events.user_id->customer", ev, "user_id", c, "c_custkey")
     ).reduce(_.unionAll(_))
   }
 
@@ -280,26 +301,36 @@ object Analytics {
   // line-rendering of that bucket can ever need; everything else cannot
   // change a pixel. Reduces any event volume to 4 values x bounded
   // buckets (hours-in-span x types — the q_evt_gapfill grid bound).
-  // first/last are deterministic via (ts, event_id) row_number on BOTH
-  // engines; values pass through verbatim (no arithmetic), so the
-  // oracle is exact.
+  // first/last are min_by/max_by(value, ord) over ONE sortless
+  // map-side-combined HashAggregate (no window: a per-(type, hour)
+  // row_number would SORT every event of a cell, and cell population
+  // scales with data volume while the partition count stays time-bounded
+  // — the per-cell sorts become the stragglers at 100x on exactly the
+  // query whose purpose is reducing huge series). The ordering is the
+  // (ts, event_id) pair packed into ONE exact DECIMAL(38,0)
+  // (ts_micros * 10^18 + event_id): a STRUCT ordering demotes the whole
+  // aggregate to SortAggregate (struct buffers aren't UnsafeRow-mutable),
+  // while a wide decimal keeps the fixed-width hash buffer — the packing
+  // is an order-preserving bijection whenever 0 <= event_id < 10^18 and
+  // ts < year 5138 (10^20 us), both require()-able corpus invariants.
+  // event_id disambiguates ts ties, so the pick is deterministic;
+  // ts/event_id are non-null on every row (no row is excluded, so the
+  // max_by null-seeding rule is moot here). Values pass through verbatim
+  // (no arithmetic), so the oracle is exact; the oracle keeps the
+  // equivalent window form.
   // -------------------------------------------------------------------
   def qEvtM4(s: SparkSession, d: String): DataFrame = {
     val ev = Events.events(s, d)
       .select(col("event_type"),
         floor(unix_timestamp(col("ts")) / 3600).as("h"),
         col("ts"), col("event_id"), col("value"))
-    val wAsc = Window.partitionBy(col("event_type"), col("h"))
-      .orderBy(col("ts"), col("event_id"))
-    val wDesc = Window.partitionBy(col("event_type"), col("h"))
-      .orderBy(col("ts").desc, col("event_id").desc)
-    ev.withColumn("rn", row_number().over(wAsc))
-      .withColumn("rnd", row_number().over(wDesc))
-      .groupBy(col("event_type"), col("h"))
+    val ord = (unix_micros(col("ts")).cast("decimal(20,0)")
+      * lit(1000000000000000000L)) + col("event_id")
+    ev.groupBy(col("event_type"), col("h"))
       .agg(count(lit(1)).as("n"),
         min(col("value")).as("v_min"), max(col("value")).as("v_max"),
-        max(when(col("rn") === 1, col("value"))).as("v_first"),
-        max(when(col("rnd") === 1, col("value"))).as("v_last"))
+        min_by(col("value"), ord).as("v_first"),
+        max_by(col("value"), ord).as("v_last"))
       .select(col("event_type"),
         timestamp_seconds(col("h") * 3600).as("hour_start"),
         col("n"), col("v_min"), col("v_max"), col("v_first"), col("v_last"))

@@ -164,9 +164,14 @@ object IvfDelta {
   def driftReport(spark: SparkSession, indexRoot: String): DataFrame = {
     val ledger = assignLedger(indexRoot)
     def byList(df: DataFrame, tag: String): DataFrame = {
-      val n = df.count().toDouble
-      df.groupBy(col("list_id"))
-        .agg((count(lit(1)) / lit(n)).as(s"frac_$tag"))
+      // one pass: per-list counts, normalized by a window total over the
+      // k-row aggregated frame (k = list count, bounded) — never a
+      // separate count() job per side
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+      df.groupBy(col("list_id")).agg(count(lit(1)).as("__n"))
+        .select(col("list_id"),
+          (col("__n") / sum(col("__n")).over(w)).as(s"frac_$tag"))
     }
     byList(Lake.readAt(spark, ledger, 1L).select(col("list_id")), "bootstrap")
       .join(byList(table(spark, indexRoot).read().select(col("list_id")),

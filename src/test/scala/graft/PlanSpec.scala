@@ -437,11 +437,22 @@ class PlanSpec extends GraftSpec {
     assert(plan.contains("partial_"), "map-side partial aggregation missing")
   }
 
-  test("q_evt_m4's two windows and the aggregate share ONE exchange") {
+  test("q_evt_m4 is one sortless map-side-combined aggregate — no Window, " +
+      "no Sort, one exchange") {
     val plan = planString(graft.operators.Analytics.qEvtM4(spark, sf))
+    assert(!plan.contains("Window"),
+      s"m4 must not plan a window (per-cell sorts scale with data):\n$plan")
+    assert(!plan.contains("Sort "), s"m4 must not sort:\n$plan")
     val nEx = "Exchange hashpartitioning".r.findAllIn(plan).length
-    // asc window, desc window and the groupBy all cluster on
-    // (event_type, h): one shuffle serves all three (re-sorts are local)
     assert(nEx == 1, s"expected exactly 1 exchange, got $nEx\n$plan")
+    assert(plan.contains("partial_"), "map-side partial aggregation missing")
+  }
+
+  test("q_fk_check scans lineitem exactly once (chained-edge audit)") {
+    val plan = planString(graft.operators.Analytics.qFkCheck(spark, sf))
+    // the fact table must back exactly ONE FileScan (its 3 edges chain off
+    // one pass); parent DIM key-set scans may repeat across edges — tiny
+    val nLi = "lineitem\\.parquet".r.findAllIn(plan).length
+    assert(nLi == 1, s"lineitem scanned $nLi times — edges must chain:\n$plan")
   }
 }
