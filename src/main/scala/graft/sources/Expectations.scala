@@ -80,11 +80,6 @@ object Expectations {
     require(!rows.columns.contains(PartCol),
       s"input already has a '$PartCol' column")
     require(expectations.nonEmpty, "no expectations given — use a plain append")
-    // the table's standing CHECK constraints are a HARD contract on every
-    // writer — enforced before the soft per-append gates regardless of
-    // onViolation (a constrained table cannot quarantine its way past
-    // its own contract)
-    Lake.enforceConstraints(spark, ledgerDir, rows)
     val next = Lake.currentSnapshot(spark, ledgerDir) + 1
     // genName override: streaming gates key the generation by BATCH id
     // (not snapshot) so a replayed micro-batch targets the same directory
@@ -97,6 +92,14 @@ object Expectations {
       when(coalesce(e.predicate, lit(false)), lit(null).cast("string"))
         .otherwise(lit(e.name))
     }: _*)))
+    // the table's standing CHECK constraints are a HARD contract on every
+    // row that LANDS — enforced on exactly the rows the expectation gate
+    // passes (a row an expectation quarantines or drops never reaches the
+    // table, so it must not abort the valid rows' append with it), and
+    // BEFORE the generation write so a violating append dies atomically
+    // with zero generation debris. The promotion ingest below skips its
+    // own constraint pass — these are provably the same rows.
+    Lake.enforceConstraints(spark, ledgerDir, rows.filter(size(viols) === 0))
     rows
       .withColumn(PartCol,
         when(size(viols) === 0, lit(PartOk)).otherwise(concat_ws(",", viols)))
@@ -130,7 +133,8 @@ object Expectations {
     val snapshot =
       if (passed > 0) {
         Lake.ingestNewFiles(spark, s"$genDir/$PartCol=$PartOk", ledgerDir,
-          statsCols = statsCols, bloomCols = bloomCols)
+          statsCols = statsCols, bloomCols = bloomCols,
+          enforceChecks = false)
         Lake.currentSnapshot(spark, ledgerDir)
       } else -1L
     ExpectReport(snapshot, passed, quarantined, byExpectation)

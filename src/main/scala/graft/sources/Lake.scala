@@ -84,7 +84,19 @@ object Lake {
     * the driver. Returns the number of files ingested. */
   def ingestNewFiles(spark: SparkSession, landingDir: String,
       ledgerDir: String, statsCols: Seq[String] = Nil,
-      bloomCols: Seq[String] = Nil): Long = {
+      bloomCols: Seq[String] = Nil): Long =
+    ingestNewFiles(spark, landingDir, ledgerDir, statsCols, bloomCols,
+      enforceChecks = true)
+
+  /** `enforceChecks = false` is for [[Expectations.appendExpect]]'s
+    * promotion of its ok partition ONLY — it has already enforced the
+    * table's constraints on exactly those rows before the generation
+    * write (pre-write enforcement keeps its abort atomic, with no
+    * generation debris); every other caller goes through the public
+    * overload and gets the check. */
+  private[sources] def ingestNewFiles(spark: SparkSession,
+      landingDir: String, ledgerDir: String, statsCols: Seq[String],
+      bloomCols: Seq[String], enforceChecks: Boolean): Long = {
     val current0 = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.parquet")
       .load(landingDir)
@@ -148,6 +160,16 @@ object Lake {
       else cand.filter(!col("path").isin(badPaths.toSeq: _*))
     val goodPaths = candPaths.filterNot(badPaths).map(normPath).toSeq
     if (goodPaths.isEmpty) return 0L
+    // the table's standing CHECK constraints bind EVERY row-landing path,
+    // and plain file ingest is the primary one: one aggregate pass over
+    // only the new batch's rows, BEFORE any path enters the ledger — a
+    // violating batch aborts with nothing ledgered (the landing files are
+    // untouched; fix and re-ingest). A constraint referencing a column
+    // the batch lacks entirely fails the ingest at analysis (it cannot
+    // prove itself).
+    if (enforceChecks && constraints(ledgerDir).nonEmpty)
+      enforceConstraints(spark, ledgerDir,
+        spark.read.option("mergeSchema", "true").parquet(goodPaths: _*))
     // per-file, per-column stats for manifest data skipping, computed
     // over ONLY the new batch's good files (fileStatsPaths — an ingest's
     // stats cost scales with the batch, never with how much history the
@@ -368,6 +390,12 @@ object Lake {
   def compactLedger(spark: SparkSession, ledgerDir: String): Long = {
     val ledger = readLedger(spark, ledgerDir).getOrElse(return 0L)
     val head = currentSnapshot(spark, ledgerDir)
+    // idempotent: a checkpoint already covering the current snapshot
+    // makes this a no-op (a second call with no intervening commits must
+    // not die renaming onto the existing ckpt-<head> directory)
+    latestCkpt(ledgerDir).foreach { case (_, at) =>
+      if (at >= head) return at
+    }
     val rows = ledger.filter(col("snapshot_id") <= head).localCheckpoint()
     val tmp = new java.io.File(s"$ledgerDir/_ckpt/.tmp-$head")
     rows.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
@@ -2416,7 +2444,8 @@ object Lake {
 
   /** Persisted table-level CHECK CONSTRAINTS — the Delta `ALTER TABLE
     * ADD CONSTRAINT` analog: named boolean SQL expressions every
-    * ROW-WRITING operation (merge, MOR merge, gated append) must satisfy
+    * ROW-WRITING operation (merge, MOR merge, gated append, and plain
+    * file ingest — the primary landing path) must satisfy
     * or the write fails atomically with nothing landed. Distinct from
     * [[Expectations]] on purpose: expectations are per-append SOFT gates
     * (quarantine/drop) the caller chooses each time; constraints are the

@@ -73,6 +73,47 @@ class ConstraintSpec extends GraftSpec {
     assert(s2 > head + 2)
   }
 
+  test("plain file ingest — the primary landing path — enforces the " +
+      "table's constraints; a quarantined violator does not abort the " +
+      "gated append") {
+    val (t, tmp) = fixture()
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+    t.addConstraint("bal_sane", "c_acctbal > -1000000")
+    val head = t.snapshot
+    val state = t.read().count()
+    // a landing batch violating the contract never enters the ledger
+    cust.limit(10).withColumn("c_acctbal", lit(-2e6))
+      .write.parquet(s"$tmp/landing_bad")
+    intercept[Lake.ConstraintViolationException] { t.ingest(s"$tmp/landing_bad") }
+    assert(t.snapshot == head && t.read().count() == state)
+    // a clean batch still lands through the same path
+    cust.limit(10).withColumn("c_custkey", col("c_custkey") + 8000000)
+      .write.parquet(s"$tmp/landing_ok")
+    assert(t.ingest(s"$tmp/landing_ok") >= 1) // files ingested
+    assert(t.snapshot == head + 1)
+    // constraints bind only rows that LAND: a violating row an
+    // expectation quarantines never reaches the table, so it must not
+    // block the valid rows' append
+    val mixed = cust.limit(10)
+      .withColumn("c_custkey", col("c_custkey") + 8100000)
+      .withColumn("c_acctbal",
+        when(col("c_custkey") % 2 === 0, lit(-2e6)).otherwise(col("c_acctbal")))
+    val rep = t.appendExpect(mixed,
+      Seq(Expectations.Expectation("bal_ok", col("c_acctbal") > -1000000)))
+    assert(rep.passed + rep.quarantined == 10 && rep.quarantined > 0,
+      s"expected a mixed split, got $rep")
+    // but an UNQUARANTINED violator still aborts atomically pre-write
+    val gens = Option(new java.io.File(s"$tmp/gen").listFiles())
+      .getOrElse(Array()).length
+    intercept[Lake.ConstraintViolationException] {
+      t.appendExpect(cust.limit(5).withColumn("c_acctbal", lit(-2e6)),
+        Seq(Expectations.Expectation("always", lit(true))))
+    }
+    assert(Option(new java.io.File(s"$tmp/gen").listFiles())
+      .getOrElse(Array()).length == gens,
+      "aborted gated append left generation debris")
+  }
+
   test("branches inherit the table's constraints — a WAP write faces " +
       "exactly main's gates") {
     val (t, tmp) = fixture()

@@ -51,6 +51,9 @@ class LedgerCkptSpec extends GraftSpec {
 
     assert(Lake.compactLedger(spark, ledger) == head)
     assert(ledgerFiles(ledger) < filesBefore, "commit files not pruned")
+    // idempotent: a re-run with no intervening commits is a covered
+    // no-op, never a rename-collision error
+    assert(Lake.compactLedger(spark, ledger) == head)
     // every surface identical
     (1L to head).foreach(s => assert(state(ledger, s) == before(s),
       s"time travel to $s diverged after checkpoint"))
