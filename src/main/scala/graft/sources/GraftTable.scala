@@ -148,6 +148,23 @@ final case class GraftTable(spark: SparkSession, ledgerDir: String,
   def delete(cond: Column, changeFeed: Boolean = false): Long =
     Lake.deleteWhere(spark, ledgerDir, genRoot, cond, changeFeed)
 
+  /** Row-level copy-on-write UPDATE … SET … WHERE (see Lake.updateWhere —
+    * affected-file rewrites, pre-image assignment semantics, CHECK
+    * constraints on the post-image). */
+  def update(cond: Column, sets: Seq[(String, Column)],
+      changeFeed: Boolean = false): Long =
+    Lake.updateWhere(spark, ledgerDir, genRoot, cond, sets, changeFeed)
+
+  /** Bind `name` for SQL: reads via a temp view AND `MERGE INTO` /
+    * `UPDATE` / `DELETE FROM` / `VERSION AS OF` text routed to this
+    * table's merge/update/delete/readAt (see [[GraftSql]]). */
+  def bindSql(name: String): Unit = GraftSql.bind(name, this)
+
+  /** Execute SQL (one statement or a `;`-separated script) with this
+    * session's bound lake tables DML-routable; returns the last
+    * statement's result. */
+  def sql(text: String): DataFrame = GraftSql.sql(spark, text)
+
   /** Row-level MERGE-ON-READ delete: records the matching rows' positions
     * as deletion vectors instead of rewriting files — the write-optimized
     * half of the COW/MOR trade (see Lake.deleteWhereMor). Readers apply

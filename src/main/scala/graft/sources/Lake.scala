@@ -1346,6 +1346,103 @@ object Lake {
     }
   }
 
+  /** Row-level copy-on-write UPDATE … SET … WHERE — [[deleteWhere]]'s
+    * sibling and the third leg of the SQL DML triad: files containing
+    * matching rows rewrite with the assignments applied to exactly those
+    * rows (untouched files never move — blast-radius cost, O(affected
+    * files) at any table size). Assignments evaluate against the
+    * PRE-image row (standard UPDATE semantics: `SET a = b, b = a` swaps)
+    * and cast back to the column's existing type — an UPDATE never
+    * changes the table schema. The table's CHECK constraints are
+    * enforced on the POST-image of the updated rows before anything is
+    * reserved or written (read-only scan; a refused update aborts with
+    * the table bit-unchanged). Opt-in `changeFeed` records
+    * update_preimage/update_postimage pairs, the [[mergeInto]] CDC
+    * shape. Returns the new snapshot (or the current one when nothing
+    * matched). */
+  def updateWhere(spark: SparkSession, ledgerDir: String, genRoot: String,
+      cond: org.apache.spark.sql.Column,
+      sets: Seq[(String, org.apache.spark.sql.Column)],
+      changeFeed: Boolean = false): Long = {
+    require(sets.nonEmpty, "UPDATE with no assignments")
+    val snap = currentSnapshot(spark, ledgerDir)
+    val liveActs = readLedger(spark, ledgerDir).map(l => liveActionsAt(l, snap))
+    val index = liveActs.map(new LedgerFileIndex(_)).filterNot(_.isEmpty)
+    if (index.isEmpty) return snap // empty table: nothing to update
+    val next = snap + 1
+    val target = tableScan(spark, ledgerDir, index.get)
+    val setMap = sets.toMap
+    sets.foreach { case (c, _) =>
+      require(target.columns.contains(c), s"UPDATE SET unknown column '$c'") }
+    // post-image projection over a frame: assignments all read the
+    // pre-image (select evaluates every expression against the input
+    // row), each cast to the column's standing type
+    def postImage(df: DataFrame): DataFrame = df.select(target.schema.map {
+      f => setMap.get(f.name)
+        .map(v => v.cast(f.dataType).as(f.name)).getOrElse(col(f.name))
+    }: _*)
+    val affectedNorm = target
+      .withColumn("_file", regexp_replace(input_file_name(), "^file:/+", "/"))
+      .filter(coalesce(cond, lit(false)))
+      .select(col("_file")).distinct()
+      .collect().map(_.getString(0)).toSet
+    if (affectedNorm.isEmpty) return snap // nothing matches: no snapshot
+    val affectedActs = liveActs.get.filter(
+      regexp_replace(col("path"), "^file:/+", "/")
+        .isin(affectedNorm.toSeq: _*))
+    def affectedRows() = applyDvsAt(spark, ledgerDir, snap,
+      scanActions(spark, ledgerDir, affectedActs))
+    // hard contract on the rows that land — still read-only, pre-reserve
+    enforceConstraints(spark, ledgerDir,
+      postImage(affectedRows().filter(coalesce(cond, lit(false)))))
+    reserving(spark, ledgerDir, next) {
+      val genDir = s"$genRoot/gen-$next"
+      // the mergeInto carry/delta discipline: carry = the affected files'
+      // UNCHANGED rows (snapshot_op "replace" — incremental consumers
+      // skip them), delta = the matching rows POST-image (snapshot_op
+      // "merge" — consumers see exactly the changed rows). DV-applied:
+      // MOR-deleted rows must not resurrect into the rewrite.
+      val cols = target.columns.map(col)
+      affectedRows().filter(!coalesce(cond, lit(false))).select(cols: _*)
+        .write.mode("overwrite").parquet(s"$genDir/carry")
+      val pre = affectedRows().filter(coalesce(cond, lit(false)))
+        .select(cols: _*)
+      postImage(pre).write.mode("overwrite").parquet(s"$genDir/delta")
+      if (changeFeed)
+        pre.withColumn("_change_type", lit("update_preimage"))
+          .unionByName(postImage(pre)
+            .withColumn("_change_type", lit("update_postimage")))
+          .withColumn("_commit_snapshot", lit(next))
+          .write.mode("overwrite").parquet(s"$genDir/changes")
+      val (uStatsCols, uBloomCols) = liveStatsContract(liveActs.get)
+      val carryAdds = addsWithStats(spark, fileAdds(spark, s"$genDir/carry"),
+          s"$genDir/carry", uStatsCols, uBloomCols)
+        .withColumn("op", lit("add"))
+        .withColumn("snapshot_op", lit("replace"))
+      val deltaAdds = addsWithStats(spark, fileAdds(spark, s"$genDir/delta"),
+          s"$genDir/delta", uStatsCols, uBloomCols)
+        .withColumn("op", lit("add"))
+        .withColumn("snapshot_op", lit("merge"))
+      val adds0 = withLedgerStats(carryAdds).unionByName(withLedgerStats(deltaAdds))
+      val adds =
+        if (changeFeed)
+          adds0.unionByName(withLedgerStats(
+            fileAdds(spark, s"$genDir/changes")
+              .withColumn("op", lit("cdc"))
+              .withColumn("snapshot_op", lit("merge"))))
+        else adds0
+      appendSnapshot(spark, ledgerDir, next,
+        preReserved = true, actions =
+        adds.unionByName(affectedActs.select(col("path"))
+          .withColumn("size", lit(null).cast("long"))
+          .withColumn("adler32", lit(null).cast("long"))
+          .withColumn("op", lit("remove"))
+          .withColumn("snapshot_op", lit("merge"))
+          .withColumn("stats", lit(null).cast(StatsType))))
+      next
+    }
+  }
+
   // ------------------------------------- merge-on-read deletion vectors
 
   /** MERGE-ON-READ row-level DELETE — the Delta deletion-vector / Iceberg

@@ -1,0 +1,203 @@
+package graft
+
+import graft.sources.{GraftSql, GraftTable, Lake}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** SQL DML surface (GraftSql): MERGE INTO / UPDATE / DELETE FROM text
+  * routed to the ledger's merge/updateWhere/deleteWhere, VERSION AS OF
+  * time travel, view re-pinning after DML, blast-radius writes, the
+  * unsupported-form refusals, and updateWhere's own semantics (pre-image
+  * assignments, carry/delta change-feed split, CHECK constraints on the
+  * post-image). */
+class GraftSqlSpec extends GraftSpec {
+
+  private def fixture(name: String): (GraftTable, String) = {
+    val t = Files.createTempDirectory("graft_sql_spec").toString
+    val tbl = GraftTable(spark, s"$t/ledger", s"$t/gen")
+    spark.read.parquet(s"$sf/nation.parquet")
+      .repartition(4).write.parquet(s"$t/landing")
+    tbl.ingest(s"$t/landing")
+    tbl.bindSql(name)
+    (tbl, t)
+  }
+
+  test("UPDATE text routes to updateWhere: pre-image semantics, schema " +
+      "unchanged, view re-pins, time travel keeps the old rows") {
+    val (t, _) = fixture("nat_u")
+    val before = t.read().schema
+    val head = t.snapshot
+    val res = t.sql(
+      "UPDATE nat_u SET n_name = concat(n_name, '!'), n_regionkey = " +
+        "n_regionkey + 10 WHERE n_regionkey = 2")
+    assert(res.head().getLong(0) == head + 1)
+    assert(t.read().schema == before, "UPDATE must not change the schema")
+    // view re-pinned: spark.sql sees the update
+    val upd = spark.sql(
+      "SELECT count(*) FROM nat_u WHERE n_name LIKE '%!'").head().getLong(0)
+    assert(upd == 5, s"expected 5 region-2 nations updated, got $upd")
+    assert(spark.sql(
+      "SELECT count(*) FROM nat_u WHERE n_regionkey = 12").head().getLong(0) == 5)
+    assert(spark.sql(
+      "SELECT count(*) FROM nat_u WHERE n_regionkey = 2").head().getLong(0) == 0)
+    // untouched rows verbatim; time travel sees the pre-image
+    assert(t.readAt(head).filter(col("n_name").endsWith("!")).count() == 0)
+    assert(t.read().count() == 25)
+  }
+
+  test("UPDATE with a swap assignment reads the pre-image row") {
+    val tmp = Files.createTempDirectory("graft_sql_swap").toString
+    val tbl = GraftTable(spark, s"$tmp/ledger", s"$tmp/gen")
+    val sp = spark; import sp.implicits._
+    Seq((1L, 10L, 20L), (2L, 30L, 40L)).toDF("k", "a", "b")
+      .write.parquet(s"$tmp/landing")
+    tbl.ingest(s"$tmp/landing")
+    tbl.bindSql("swap_t")
+    tbl.sql("UPDATE swap_t SET a = b, b = a WHERE k = 1")
+    val r = tbl.read().filter(col("k") === 1).head()
+    assert(r.getAs[Long]("a") == 20L && r.getAs[Long]("b") == 10L,
+      s"swap must read pre-images, got $r")
+  }
+
+  test("DELETE FROM routes to deleteWhere; MERGE upsert + delete clause " +
+      "+ insert-only + update-only forms all route") {
+    val (t, _) = fixture("nat_m")
+    // DELETE
+    t.sql("DELETE FROM nat_m WHERE n_regionkey = 4")
+    assert(t.read().count() == 20)
+    // MERGE upsert: update one nation's name, insert a new key
+    val sp = spark; import sp.implicits._
+    Seq((7L, "PATCHED", 2L, "x"), (99L, "NEWLAND", 2L, "y"))
+      .toDF("n_nationkey", "n_name", "n_regionkey", "n_comment")
+      .createOrReplaceTempView("nat_src")
+    t.sql("MERGE INTO nat_m USING nat_src ON nat_m.n_nationkey = " +
+      "nat_src.n_nationkey WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    assert(t.read().count() == 21)
+    assert(t.read().filter(col("n_name") === "PATCHED").count() == 1)
+    assert(t.read().filter(col("n_nationkey") === 99).count() == 1)
+    // MERGE with delete clause: delete NEWLAND, update PATCHED back
+    Seq((7L, "RESTORED", 2L, "x"), (99L, "NEWLAND", 2L, "drop"))
+      .toDF("n_nationkey", "n_name", "n_regionkey", "n_comment")
+      .createOrReplaceTempView("nat_src2")
+    t.sql("MERGE INTO nat_m USING nat_src2 ON nat_m.n_nationkey = " +
+      "nat_src2.n_nationkey WHEN MATCHED AND nat_src2.n_comment = 'drop' " +
+      "THEN DELETE WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    assert(t.read().count() == 20)
+    assert(t.read().filter(col("n_nationkey") === 99).count() == 0)
+    assert(t.read().filter(col("n_name") === "RESTORED").count() == 1)
+    // insert-only MERGE: matched rows stay untouched
+    Seq((7L, "MUST_NOT_LAND", 2L, "x"), (100L, "INSERTED", 3L, "z"))
+      .toDF("n_nationkey", "n_name", "n_regionkey", "n_comment")
+      .createOrReplaceTempView("nat_src3")
+    t.sql("MERGE INTO nat_m USING nat_src3 ON nat_m.n_nationkey = " +
+      "nat_src3.n_nationkey WHEN NOT MATCHED THEN INSERT *")
+    assert(t.read().count() == 21)
+    assert(t.read().filter(col("n_name") === "MUST_NOT_LAND").count() == 0)
+    assert(t.read().filter(col("n_name") === "RESTORED").count() == 1)
+    // update-only MERGE: unmatched source rows must not insert
+    Seq((7L, "FINAL", 2L, "x"), (777L, "GHOST", 3L, "z"))
+      .toDF("n_nationkey", "n_name", "n_regionkey", "n_comment")
+      .createOrReplaceTempView("nat_src4")
+    t.sql("MERGE INTO nat_m USING nat_src4 ON nat_m.n_nationkey = " +
+      "nat_src4.n_nationkey WHEN MATCHED THEN UPDATE SET *")
+    assert(t.read().count() == 21)
+    assert(t.read().filter(col("n_name") === "GHOST").count() == 0)
+    assert(t.read().filter(col("n_name") === "FINAL").count() == 1)
+  }
+
+  test("MERGE source can be an arbitrary subquery over views, and " +
+      "VERSION AS OF reads resolve through bound tables") {
+    val (t, _) = fixture("nat_v")
+    val head = t.snapshot
+    t.sql("MERGE INTO nat_v USING (SELECT n_nationkey, concat(n_name, '*') AS " +
+      "n_name, n_regionkey FROM nat_v WHERE n_regionkey = 0) s " +
+      "ON nat_v.n_nationkey = s.n_nationkey " +
+      "WHEN MATCHED THEN UPDATE SET *")
+    // VERSION AS OF the pre-merge snapshot inside plain SQL text
+    val mixed = t.sql(
+      s"SELECT CAST(count(*) AS BIGINT) AS n FROM nat_v a JOIN nat_v " +
+        s"VERSION AS OF $head b ON a.n_nationkey = b.n_nationkey " +
+        "WHERE a.n_name <> b.n_name").head().getLong(0)
+    assert(mixed == 5, s"expected 5 rows changed vs VERSION AS OF, got $mixed")
+  }
+
+  test("unsupported DML forms are refused with the supported list; " +
+      "unbound tables are named") {
+    val (t, _) = fixture("nat_x")
+    val e1 = intercept[RuntimeException] {
+      t.sql("MERGE INTO nat_x USING nat_x s ON nat_x.n_nationkey = " +
+        "s.n_regionkey WHEN MATCHED THEN UPDATE SET *")
+    }
+    assert(e1.getMessage.contains("ON keys differ"))
+    val e2 = intercept[RuntimeException] {
+      t.sql("MERGE INTO nat_x USING nat_x s ON nat_x.n_nationkey = " +
+        "s.n_nationkey WHEN MATCHED THEN UPDATE SET n_name = 'x'")
+    }
+    assert(e2.getMessage.contains("SET *"))
+    val e3 = intercept[RuntimeException] {
+      t.sql("DELETE FROM not_bound WHERE 1 = 1")
+    }
+    assert(e3.getMessage.contains("not SQL-bound")
+      && e3.getMessage.contains("nat_x"))
+    // conditional delete without UPDATE SET * would corrupt kept rows
+    val e4 = intercept[RuntimeException] {
+      t.sql("MERGE INTO nat_x USING nat_x s ON nat_x.n_nationkey = " +
+        "s.n_nationkey WHEN MATCHED AND s.n_regionkey = 1 THEN DELETE")
+    }
+    assert(e4.getMessage.contains("without an UPDATE SET *"))
+  }
+
+  test("updateWhere is blast-radius-bounded (untouched files never " +
+      "rewrite), splits carry/delta for incremental consumers, and " +
+      "feeds update pre/post images") {
+    val tmp = Files.createTempDirectory("graft_sql_blast").toString
+    val tbl = GraftTable(spark, s"$tmp/ledger", s"$tmp/gen")
+    // 4 files clustered by n_regionkey → a one-region update touches
+    // only that region's file(s)
+    spark.read.parquet(s"$sf/nation.parquet")
+      .repartitionByRange(4, col("n_regionkey"))
+      .write.parquet(s"$tmp/landing")
+    tbl.ingest(s"$tmp/landing")
+    val pathsBefore = tbl.files().select("path").collect().map(_.getString(0)).toSet
+    val head = tbl.snapshot
+    val snap = tbl.update(col("n_regionkey") === 0,
+      Seq("n_name" -> concat(col("n_name"), lit("_U"))), changeFeed = true)
+    assert(snap == head + 1)
+    val pathsAfter = tbl.files().select("path").collect().map(_.getString(0)).toSet
+    val kept = pathsBefore.intersect(pathsAfter)
+    assert(kept.nonEmpty, "update rewrote files that contain no matching row")
+    // incremental consumers see EXACTLY the changed rows
+    val inc = tbl.readSnapshot(snap)
+    assert(inc.count() == 5 && inc.filter(col("n_name").endsWith("_U")).count() == 5,
+      "delta must carry only the updated rows' post-images")
+    // change feed has pre+post pairs
+    val ch = tbl.readChanges(head)
+    assert(ch.filter(col("_change_type") === "update_preimage").count() == 5)
+    assert(ch.filter(col("_change_type") === "update_postimage").count() == 5)
+    assert(ch.filter(col("_change_type") === "update_postimage")
+      .filter(col("n_name").endsWith("_U")).count() == 5)
+  }
+
+  test("updateWhere enforces CHECK constraints on the post-image and " +
+      "aborts atomically; no-match update is a no-op snapshot") {
+    val tmp = Files.createTempDirectory("graft_sql_constraint").toString
+    val tbl = GraftTable(spark, s"$tmp/ledger", s"$tmp/gen")
+    spark.read.parquet(s"$sf/nation.parquet").write.parquet(s"$tmp/landing")
+    tbl.ingest(s"$tmp/landing")
+    tbl.addConstraint("region_sane", "n_regionkey BETWEEN 0 AND 100")
+    val head = tbl.snapshot
+    intercept[Lake.ConstraintViolationException] {
+      tbl.update(col("n_regionkey") === 1, Seq("n_regionkey" -> lit(999L)))
+    }
+    assert(tbl.snapshot == head && tbl.orphans().isEmpty)
+    assert(tbl.read().filter(col("n_regionkey") === 999).count() == 0)
+    // post-images inside the contract land
+    assert(tbl.update(col("n_regionkey") === 1,
+      Seq("n_regionkey" -> lit(100L))) == head + 1)
+    // nothing matches → current snapshot back, no commit
+    assert(tbl.update(col("n_regionkey") === 55, Seq("n_name" -> lit("x")))
+      == head + 1)
+  }
+}
