@@ -34,6 +34,8 @@ object Bench {
     catch { case _: Throwable => () }
 
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val phases =
+      scala.collection.mutable.LinkedHashMap[String, Seq[(String, Double)]]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // optional args = subset of query names (iteration aid; driver passes none)
     val subset = args.toSet
@@ -45,10 +47,13 @@ object Bench {
       if (subset.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter(kv => subset.contains(kv._1))
     selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      BenchPhase.drain(): Unit // a failed prior query must not leak phases
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         timings(name) = (System.nanoTime() - t0) / 1e9
+        val ph = BenchPhase.drain()
+        if (ph.nonEmpty) phases(name) = ph
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -58,10 +63,14 @@ object Bench {
     }
     val qs = timings.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val phs = phases.map { case (k, ps) =>
+      "\"" + k + "\":" + ps.map { case (p, v) => "\"" + p + "\":" + v }
+        .mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = timings.values.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_failed":${errors.size},"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"phases":$phs,"errors":$errs,"n_failed":${errors.size},"sf":"$sfDir"}"""
     println(line)
     // Also persist the COMPLETE line to a file: the driver's stdout capture can
     // truncate (r3's BENCH_r03.json lost its head), so the repo must carry an

@@ -212,6 +212,53 @@ object ScaleProbe {
         t
       }
       report(f"mor_merge 10x/1x ratio ${morTimes(1) / morTimes(0)}%5.2f (flat = stats-pruned match scan + DV/delta-only writes track the batch)")
+      // --- r11: the remaining lake-lifecycle blast-radius claims at 10x.
+      // tableDiff after a FIXED merge wave (file-pruned: stable files drop
+      // from both scans before the join — expect flat), publish of a fixed
+      // branch wave (KB-scale ledger-row copy — expect flat), and scd2
+      // over the wave's change feed (change-feed-sized — expect flat).
+      // Same fixed ~1.5k-row batch as mv/mor; lakes ingest with
+      // o_orderkey stats so the waves themselves stay file-targeted.
+      val lcRoot = "/tmp/sf1_synth_lc"
+      rmrf(new java.io.File(lcRoot))
+      val lcBatch = spark.read.parquet(s"$src/orders.parquet")
+        .filter(col("o_orderkey") % 97 === 1)
+        .withColumn("o_totalprice", col("o_totalprice") + 1)
+        .localCheckpoint()
+      val lcBatch2 = spark.read.parquet(s"$src/orders.parquet")
+        .filter(col("o_orderkey") % 97 === 2)
+        .withColumn("o_totalprice", col("o_totalprice") + 2)
+        .localCheckpoint()
+      report("lifecycle change batch rows: " + lcBatch.count())
+      val lcTimes = for ((tag, dataDir) <- Seq("1x" -> src, "10x" -> out)) yield {
+        val ledger = s"$lcRoot/$tag/ledger"
+        val gen = s"$lcRoot/$tag/gen"
+        Lake.ingestNewFiles(spark, s"$dataDir/orders.parquet", ledger,
+          statsCols = Seq("o_orderkey"))
+        val base = Lake.currentSnapshot(spark, ledger)
+        val snap = Lake.mergeInto(spark, ledger, gen, lcBatch, "o_orderkey",
+          changeFeed = true)
+        val tDiff = timed {
+          Lake.tableDiff(spark, ledger, base, snap, "o_orderkey")
+            .write.format("noop").mode("overwrite").save()
+        }
+        report(f"diff_$tag%-18s ${tDiff}%6.2f s   (fixed 1-wave diff)")
+        val branchDir = s"$lcRoot/$tag/branch"
+        Lake.branch(spark, ledger, branchDir)
+        Lake.mergeInto(spark, branchDir, s"$lcRoot/$tag/bgen", lcBatch2,
+          "o_orderkey")
+        val tPub = timed { Lake.publish(spark, branchDir): Unit }
+        report(f"publish_$tag%-15s ${tPub}%6.2f s   (fixed 1-wave branch)")
+        val tScd = timed {
+          Lake.scd2(Lake.readChanges(spark, ledger, base), "o_orderkey")
+            .write.format("noop").mode("overwrite").save()
+        }
+        report(f"scd2_$tag%-18s ${tScd}%6.2f s   (fixed change feed)")
+        (tDiff, tPub, tScd)
+      }
+      report(f"diff    10x/1x ratio ${lcTimes(1)._1 / lcTimes(0)._1}%5.2f (flat = file-pruned to the wave)")
+      report(f"publish 10x/1x ratio ${lcTimes(1)._2 / lcTimes(0)._2}%5.2f (flat = KB ledger copy)")
+      report(f"scd2    10x/1x ratio ${lcTimes(1)._3 / lcTimes(0)._3}%5.2f (flat = change-feed-sized)")
     }
     sys.env.get("SPARK_GRAFT_PROBE_OUT").foreach { path =>
       java.nio.file.Files.write(java.nio.file.Paths.get(path),

@@ -258,17 +258,21 @@ object IvfDelta {
     val (landing, ledger, gen, idx) =
       (s"$tmp/landing", s"$tmp/ledger", s"$tmp/gen", s"$tmp/idx")
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    emb.repartition(4).write.parquet(landing)
     val t = GraftTable(spark, ledger, gen)
-    t.ingest(landing)
-    bootstrap(spark, ledger, idx, maxIter = 2)
+    graft.BenchPhase("fixture") {
+      emb.repartition(4).write.parquet(landing)
+      t.ingest(landing)
+      bootstrap(spark, ledger, idx, maxIter = 2): Unit
+    }
     val maxId = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
     val wave = emb.filter(col("vec_id") % 31 === 0)
       .withColumn("vec_id", col("vec_id") + maxId)
-    t.merge(wave, "vec_id", changeFeed = true)
-    applyRound(spark, ledger, idx)
-    val probeId = wave.agg(min(col("vec_id"))).head().getLong(0)
-    val out = probe(spark, idx, t.read(), probeId).localCheckpoint()
+    graft.BenchPhase("fixture") { t.merge(wave, "vec_id", changeFeed = true): Unit }
+    val out = graft.BenchPhase("op") {
+      applyRound(spark, ledger, idx)
+      val probeId = wave.agg(min(col("vec_id"))).head().getLong(0)
+      probe(spark, idx, t.read(), probeId).localCheckpoint()
+    }
     MirrorLoop.rmrf(new java.io.File(tmp))
     out
   }

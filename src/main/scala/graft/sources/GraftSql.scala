@@ -284,11 +284,13 @@ object GraftSql {
   def qSqlDml(spark: SparkSession, sfDir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_sqldml").toString
     val t = GraftTable(spark, s"$tmp/ledger", s"$tmp/gen")
-    spark.read.parquet(s"$sfDir/customer.parquet")
-      .repartition(8).write.parquet(s"$tmp/landing")
-    t.ingest(s"$tmp/landing")
+    graft.BenchPhase("fixture") {
+      spark.read.parquet(s"$sfDir/customer.parquet")
+        .repartition(8).write.parquet(s"$tmp/landing")
+      t.ingest(s"$tmp/landing")
+    }
     t.bindSql("sqldml_cust")
-    val out = t.sql(
+    val out = graft.BenchPhase("op") { t.sql(
       """UPDATE sqldml_cust SET c_acctbal =
         |  CAST(CAST(c_acctbal AS DECIMAL(12,2)) + 100.00 AS DOUBLE)
         |WHERE c_mktsegment = 'BUILDING';
@@ -317,6 +319,7 @@ object GraftSql {
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
         |FROM sqldml_cust VERSION AS OF 1 GROUP BY c_mktsegment""".stripMargin)
       .localCheckpoint() // eager: materialize before the files vanish
+    }
     unbind(spark, "sqldml_cust")
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).getOrElse(Array()).foreach(rm)

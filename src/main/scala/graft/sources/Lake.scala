@@ -195,6 +195,17 @@ object Lake {
     if (n > 0) reserving(spark, ledgerDir, nextSnapshot) {
       delta.write.mode("append").parquet(ledgerDir)
     }
+    // schema-in-manifest: the FIRST batch that lands records the table
+    // schema (the union of the batch's footers — already computed for
+    // the conflict check above), so every later plan skips footer
+    // inference entirely; evolving merges re-record (see mergeInto)
+    if (n > 0 && recordedSchemaAt(ledgerDir, Long.MaxValue).isEmpty) {
+      val sch =
+        if (badPaths.isEmpty && merged.isDefined) merged.get
+        else spark.read.option("mergeSchema", "true")
+          .parquet(goodPaths: _*).schema
+      recordSchema(ledgerDir, nextSnapshot, sch)
+    }
     n
   }
 
@@ -476,15 +487,15 @@ object Lake {
     * resolved from the current live set (callers project columns and
     * would otherwise crash only in the empty case). */
   private def scanActions(spark: SparkSession, ledgerDir: String,
-      actions: DataFrame): DataFrame = {
+      actions: DataFrame, atSnapshot: Long = -1L): DataFrame = {
     val index = new LedgerFileIndex(actions)
     if (!index.isEmpty)
-      tableScan(spark, ledgerDir, index)
+      tableScan(spark, ledgerDir, index, atSnapshot)
     else {
       val liveIdx = readLedger(spark, ledgerDir)
         .map(l => new LedgerFileIndex(liveActionsAt(l, Long.MaxValue)))
       liveIdx.filterNot(_.isEmpty)
-        .map(i => tableScan(spark, ledgerDir, i).limit(0))
+        .map(i => tableScan(spark, ledgerDir, i, atSnapshot).limit(0))
         .getOrElse(spark.emptyDataFrame)
     }
   }
@@ -499,7 +510,8 @@ object Lake {
     // merge-on-read: deletion vectors active at this snapshot anti-join
     // out their rows (no-op scan pass-through when the table has none)
     applyDvsAt(spark, ledgerDir, snapshot,
-      scanActions(spark, ledgerDir, liveActionsAt(ledger, snapshot)))
+      scanActions(spark, ledgerDir, liveActionsAt(ledger, snapshot),
+        atSnapshot = snapshot))
   }
 
   /** The add-file action rows of row-changing snapshots matching `pred` —
@@ -527,7 +539,7 @@ object Lake {
     val ledger = readLedger(spark, ledgerDir).getOrElse(return spark.emptyDataFrame)
     val adds = rowChangingAdds(ledger, col("snapshot_id") > sinceSnapshot)
     checkHorizon(ledger, adds, s"readSince($sinceSnapshot)")
-    scanActions(spark, ledgerDir, adds)
+    scanActions(spark, ledgerDir, adds, atSnapshot = Long.MaxValue)
   }
 
   /** CHANGE DATA FEED read — the Delta `table_changes` / Iceberg changelog
@@ -836,11 +848,64 @@ object Lake {
   private def isEvolved(ledgerDir: String): Boolean =
     new java.io.File(s"$ledgerDir/_evolved").exists()
 
-  /** [[GraftShim.parquetScan]] with the table's evolution mode applied. */
+  // ---------------------------------------------- schema-in-manifest
+
+  /** SCHEMA-IN-MANIFEST (the Iceberg metadata-schema analog): the table
+    * schema is RECORDED in the ledger dir (`_schema/schema-<snapshot>.json`,
+    * KB metadata like `_constraints`) at first ingest and re-recorded by
+    * every schema-evolving commit, so PLAN TIME pays ZERO parquet footer
+    * reads — an `_evolved` table previously paid a merged-footer
+    * inference job over every live file per plan (10^5 files = 10^5
+    * footer opens per plan), and even un-evolved tables paid a
+    * single-footer driver read. Reads resolve the schema AS OF their
+    * snapshot (max recorded ≤ read snapshot), so time travel below an
+    * evolution sees the pre-evolution schema; the parquet reader
+    * reconciles files against the declared schema at execution (missing
+    * columns null-fill — the standard evolution read). Tables created
+    * before this feature have no recording and keep the footer path
+    * byte-identically. */
+  private def schemaDirF(ledgerDir: String) =
+    new java.io.File(s"$ledgerDir/_schema")
+
+  private[sources] def recordSchema(ledgerDir: String, snapshot: Long,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    schemaDirF(ledgerDir).mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$ledgerDir/_schema/schema-$snapshot.json"),
+      schema.json.getBytes("UTF-8")): Unit
+  }
+
+  /** Latest recorded schema at-or-before `snapshot`, None when the table
+    * predates schema recording. */
+  private[sources] def recordedSchemaAt(ledgerDir: String, snapshot: Long)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val re = """schema-(\d+)\.json""".r
+    Option(schemaDirF(ledgerDir).listFiles()).getOrElse(Array.empty)
+      .flatMap(f => f.getName match {
+        case re(s) if s.toLong <= snapshot => Some((s.toLong, f))
+        case _ => None
+      })
+      .sortBy(_._1).lastOption
+      .map { case (_, f) =>
+        org.apache.spark.sql.types.DataType.fromJson(new String(
+          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+      }
+  }
+
+  /** [[GraftShim.parquetScan]] with the table's schema resolution
+    * applied: `atSnapshot >= 0` reads TABLE-shaped data and takes the
+    * recorded schema as of that snapshot (zero footer reads at plan
+    * time) when one exists; `atSnapshot = -1` (cdc/sidecar scans, and
+    * tables without a recording) keeps the footer-inference path. */
   private def tableScan(spark: SparkSession, ledgerDir: String,
-      index: LedgerFileIndex): DataFrame =
+      index: LedgerFileIndex, atSnapshot: Long = -1L): DataFrame = {
+    val recorded =
+      if (atSnapshot >= 0) recordedSchemaAt(ledgerDir, atSnapshot) else None
     org.apache.spark.sql.GraftShim.parquetScan(spark, index,
-      mergeSchemas = isEvolved(ledgerDir))
+      mergeSchemas = recorded.isEmpty && isEvolved(ledgerDir),
+      dataSchema = recorded)
+  }
 
   /** The table's recorded SKIPPING CONTRACT — the (range/stats, bloom)
     * column-name lists observed in the live ledger rows' stats maps
@@ -1106,7 +1171,7 @@ object Lake {
       val genDir = s"$genRoot/gen-$next"
       val liveActs = readLedger(spark, ledgerDir).map(l => liveActionsAt(l, snap))
       val index = liveActs.map(new LedgerFileIndex(_)).filterNot(_.isEmpty)
-      val target = index.map(tableScan(spark, ledgerDir, _))
+      val target = index.map(tableScan(spark, ledgerDir, _, snap))
       // merge into an EMPTY table = pure insert; take the schema from source.
       // Default: source columns the target lacks are DROPPED (callers ride
       // this for merge-control columns like deleteWhen flags). With
@@ -1155,7 +1220,7 @@ object Lake {
       // MATERIALIZES its affected files' vectors (the rewritten files'
       // winning add postdates them, so they go inert)
       def affectedScan: DataFrame = applyDvsAt(spark, ledgerDir, snap,
-        scanActions(spark, ledgerDir, affectedActs))
+        scanActions(spark, ledgerDir, affectedActs, atSnapshot = snap))
       // matched keys live ONLY in affected files — computable without a
       // full scan; shared by the deleteWhen filter and the change feed
       val matchedKeys: Option[DataFrame] =
@@ -1266,8 +1331,14 @@ object Lake {
       appendSnapshot(spark, ledgerDir, next, actions, preReserved = true)
       // AFTER the rows land: a crash before here leaves no evolved files
       // live, so the cheap single-footer read path stays valid
-      if (newCols.nonEmpty)
+      if (newCols.nonEmpty) {
         new java.io.File(s"$ledgerDir/_evolved").createNewFile()
+        // re-record the schema AT the evolving snapshot: reads at or
+        // above it see the union, time travel below keeps the old shape
+        recordSchema(ledgerDir, next, org.apache.spark.sql.types.StructType(
+          unionNames.map(nm =>
+            org.apache.spark.sql.types.StructField(nm, dtypeOf(nm)))))
+      }
       next
     }
   }
@@ -1284,7 +1355,7 @@ object Lake {
     val index = liveActs.map(new LedgerFileIndex(_)).filterNot(_.isEmpty)
     if (index.isEmpty) return snap // empty table: nothing to delete
     val next = snap + 1
-    val target = tableScan(spark, ledgerDir, index.get)
+    val target = tableScan(spark, ledgerDir, index.get, snap)
     val cols = target.columns.map(col)
     val affectedNorm = target
       .withColumn("_file", regexp_replace(input_file_name(), "^file:/+", "/"))
@@ -1303,7 +1374,7 @@ object Lake {
       // DV-applied: rows already MOR-deleted must not resurrect into the
       // carry rewrite (the rewrite materializes the affected files' DVs)
       val carry = applyDvsAt(spark, ledgerDir, snap,
-          scanActions(spark, ledgerDir, affectedActs))
+          scanActions(spark, ledgerDir, affectedActs, atSnapshot = snap))
         .filter(!coalesce(cond, lit(false)))
         .select(cols: _*)
       carry.write.mode("overwrite").parquet(s"$genDir/carry")
@@ -1313,7 +1384,7 @@ object Lake {
       // mirror would silently keep rows this table dropped
       if (changeFeed)
         applyDvsAt(spark, ledgerDir, snap,
-            scanActions(spark, ledgerDir, affectedActs))
+            scanActions(spark, ledgerDir, affectedActs, atSnapshot = snap))
           .filter(coalesce(cond, lit(false)))
           .select(cols: _*)
           .withColumn("_change_type", lit("delete"))
@@ -1370,7 +1441,7 @@ object Lake {
     val index = liveActs.map(new LedgerFileIndex(_)).filterNot(_.isEmpty)
     if (index.isEmpty) return snap // empty table: nothing to update
     val next = snap + 1
-    val target = tableScan(spark, ledgerDir, index.get)
+    val target = tableScan(spark, ledgerDir, index.get, snap)
     val setMap = sets.toMap
     sets.foreach { case (c, _) =>
       require(target.columns.contains(c), s"UPDATE SET unknown column '$c'") }
@@ -1391,7 +1462,7 @@ object Lake {
       regexp_replace(col("path"), "^file:/+", "/")
         .isin(affectedNorm.toSeq: _*))
     def affectedRows() = applyDvsAt(spark, ledgerDir, snap,
-      scanActions(spark, ledgerDir, affectedActs))
+      scanActions(spark, ledgerDir, affectedActs, atSnapshot = snap))
     // hard contract on the rows that land — still read-only, pre-reserve
     enforceConstraints(spark, ledgerDir,
       postImage(affectedRows().filter(coalesce(cond, lit(false)))))
@@ -1898,6 +1969,13 @@ object Lake {
         case None => baseActions
       }
       appendSnapshot(spark, ledgerDir, next, actions, preReserved = true)
+      // reads at/after the restore must resolve the RESTORED state's
+      // schema (a rollback over a schema-evolving merge rolls the shape
+      // back too — the merged-footer read of the restored live set would
+      // have said the same)
+      val tgtSchema = recordedSchemaAt(ledgerDir, toSnapshot)
+      if (tgtSchema != recordedSchemaAt(ledgerDir, Long.MaxValue))
+        tgtSchema.foreach(recordSchema(ledgerDir, next, _))
       next
     }
   }
@@ -1916,18 +1994,22 @@ object Lake {
     val tmp = java.nio.file.Files.createTempDirectory("graft_merge").toString
     val (landing, ledger, gen) = (s"$tmp/landing", s"$tmp/ledger", s"$tmp/gen")
     val cust = spark.read.parquet(s"$sfDir/customer.parquet")
-    cust.repartition(8).write.parquet(landing)
-    ingestNewFiles(spark, landing, ledger)
+    graft.BenchPhase("fixture") {
+      cust.repartition(8).write.parquet(landing)
+      ingestNewFiles(spark, landing, ledger)
+    }
     val updates = cust.filter(col("c_custkey") % 7 === 0)
       .withColumn("c_acctbal", col("c_acctbal") + 1000)
     val inserts = cust.filter(col("c_custkey") % 97 === 0)
       .withColumn("c_custkey", col("c_custkey") + 10000000)
-    val snap = mergeInto(spark, ledger, gen, updates.unionByName(inserts),
-      "c_custkey", deleteWhen = Some(col("c_mktsegment") === "MACHINERY"))
-    val out = readAt(spark, ledger, snap)
-      .select(col("c_custkey"), col("c_name"),
-        col("c_acctbal").cast("double").as("acctbal"))
-      .localCheckpoint() // eager: materialize before the files vanish
+    val out = graft.BenchPhase("op") {
+      val snap = mergeInto(spark, ledger, gen, updates.unionByName(inserts),
+        "c_custkey", deleteWhen = Some(col("c_mktsegment") === "MACHINERY"))
+      readAt(spark, ledger, snap)
+        .select(col("c_custkey"), col("c_name"),
+          col("c_acctbal").cast("double").as("acctbal"))
+        .localCheckpoint() // eager: materialize before the files vanish
+    }
     deleteRecursively(new java.io.File(tmp))
     out
   }
@@ -1950,10 +2032,13 @@ object Lake {
     val tmp = java.nio.file.Files.createTempDirectory("graft_wap").toString
     val (landing, ledger) = (s"$tmp/landing", s"$tmp/ledger")
     val cust = spark.read.parquet(s"$sfDir/customer.parquet")
-    cust.repartition(8).write.parquet(landing)
-    ingestNewFiles(spark, landing, ledger)
+    graft.BenchPhase("fixture") {
+      cust.repartition(8).write.parquet(landing)
+      ingestNewFiles(spark, landing, ledger)
+    }
     def audit(head: DataFrame): Boolean =
       head.filter(col("c_acctbal") > 100000).isEmpty
+    val out = graft.BenchPhase("op") {
     val published = writeAuditPublish(spark, ledger, s"$tmp/wap_good") {
       (bl, bg) =>
         mergeInto(spark, bl, bg,
@@ -1970,10 +2055,11 @@ object Lake {
           "c_custkey"); ()
     }(audit)
     assert(rejected.isEmpty, "bad wave must be abandoned")
-    val out = readAt(spark, ledger, currentSnapshot(spark, ledger))
+    readAt(spark, ledger, currentSnapshot(spark, ledger))
       .select(col("c_custkey"), col("c_name"),
         col("c_acctbal").cast("double").as("acctbal"))
       .localCheckpoint() // eager: materialize before the files vanish
+    }
     deleteRecursively(new java.io.File(tmp))
     out
   }
@@ -1999,8 +2085,10 @@ object Lake {
     val tmp = java.nio.file.Files.createTempDirectory("graft_mor").toString
     val (landing, ledger, gen) = (s"$tmp/landing", s"$tmp/ledger", s"$tmp/gen")
     val cust = spark.read.parquet(s"$sfDir/customer.parquet")
-    cust.repartition(8).write.parquet(landing)
-    ingestNewFiles(spark, landing, ledger)
+    graft.BenchPhase("fixture") {
+      cust.repartition(8).write.parquet(landing)
+      ingestNewFiles(spark, landing, ledger)
+    }
     val s1 = deleteWhereMor(spark, ledger, gen,
       col("c_mktsegment") === "MACHINERY")
     deleteWhereMor(spark, ledger, gen, col("c_acctbal") < 0)
@@ -2035,8 +2123,10 @@ object Lake {
     val tmp = java.nio.file.Files.createTempDirectory("graft_mor_merge").toString
     val (landing, ledger, gen) = (s"$tmp/landing", s"$tmp/ledger", s"$tmp/gen")
     val cust = spark.read.parquet(s"$sfDir/customer.parquet")
-    cust.repartition(8).write.parquet(landing)
-    ingestNewFiles(spark, landing, ledger)
+    graft.BenchPhase("fixture") {
+      cust.repartition(8).write.parquet(landing)
+      ingestNewFiles(spark, landing, ledger)
+    }
     val updates = cust.filter(col("c_custkey") % 7 === 0)
       .withColumn("c_acctbal", col("c_acctbal") + 1000)
     val inserts = cust.filter(col("c_custkey") % 97 === 0)
@@ -2125,9 +2215,11 @@ object Lake {
       .join(dvTouched, Seq("npath"), "left_anti")
       .select(col("path"))
     val pre = applyDvsAt(spark, ledgerDir, fromSnap, scanActions(spark,
-      ledgerDir, liveF.join(stable, Seq("path"), "left_anti")))
+      ledgerDir, liveF.join(stable, Seq("path"), "left_anti"),
+      atSnapshot = fromSnap))
     val post = applyDvsAt(spark, ledgerDir, toSnap, scanActions(spark,
-      ledgerDir, liveT.join(stable, Seq("path"), "left_anti")))
+      ledgerDir, liveT.join(stable, Seq("path"), "left_anti"),
+      atSnapshot = toSnap))
     val preS = pre.select(col(key).as("__k"), struct(pre.columns.map(col): _*).as("pre"))
     val postS = post.select(col(key).as("__k"), struct(post.columns.map(col): _*).as("post"))
     preS.join(postS, Seq("__k"), "full_outer")
@@ -2149,18 +2241,24 @@ object Lake {
     val tmp = java.nio.file.Files.createTempDirectory("graft_diff").toString
     val (landing, ledger, gen) = (s"$tmp/landing", s"$tmp/ledger", s"$tmp/gen")
     val cust = spark.read.parquet(s"$sfDir/customer.parquet")
-    cust.repartition(8).write.parquet(landing)
-    ingestNewFiles(spark, landing, ledger)
+    graft.BenchPhase("fixture") {
+      cust.repartition(8).write.parquet(landing)
+      ingestNewFiles(spark, landing, ledger)
+    }
     val base = currentSnapshot(spark, ledger)
     val updates = cust.filter(col("c_custkey") % 7 === 0)
       .withColumn("c_acctbal", col("c_acctbal") + 1000)
     val inserts = cust.filter(col("c_custkey") % 97 === 0)
       .withColumn("c_custkey", col("c_custkey") + 10000000)
-    val snap = mergeInto(spark, ledger, gen, updates.unionByName(inserts),
-      "c_custkey", deleteWhen = Some(col("c_mktsegment") === "MACHINERY"))
-    val out = tableDiff(spark, ledger, base, snap, "c_custkey")
-      .select(col("c_custkey"), col("change"))
-      .localCheckpoint() // eager: materialize before the files vanish
+    val snap = graft.BenchPhase("fixture") {
+      mergeInto(spark, ledger, gen, updates.unionByName(inserts),
+        "c_custkey", deleteWhen = Some(col("c_mktsegment") === "MACHINERY"))
+    }
+    val out = graft.BenchPhase("op") {
+      tableDiff(spark, ledger, base, snap, "c_custkey")
+        .select(col("c_custkey"), col("change"))
+        .localCheckpoint() // eager: materialize before the files vanish
+    }
     deleteRecursively(new java.io.File(tmp))
     out
   }
@@ -2221,21 +2319,25 @@ object Lake {
     val tmp = java.nio.file.Files.createTempDirectory("graft_scd2").toString
     val (landing, ledger, gen) = (s"$tmp/landing", s"$tmp/ledger", s"$tmp/gen")
     val cust = spark.read.parquet(s"$sfDir/customer.parquet")
-    cust.repartition(8).write.parquet(landing)
-    ingestNewFiles(spark, landing, ledger)
-    mergeInto(spark, ledger, gen,
-      cust.filter(col("c_custkey") % 7 === 0)
-        .withColumn("c_acctbal", col("c_acctbal") + 1000),
-      "c_custkey", changeFeed = true)
-    mergeInto(spark, ledger, gen,
-      cust.filter(col("c_custkey") % 14 === 0)
-        .withColumn("c_acctbal", col("c_acctbal") + 1500),
-      "c_custkey", deleteWhen = Some(col("c_mktsegment") === "BUILDING"),
-      changeFeed = true)
-    val out = scd2(readChanges(spark, ledger, 0), "c_custkey")
-      .select(col("c_custkey"), col("valid_from"), col("valid_to"),
-        col("c_acctbal").cast("double").as("acctbal"))
-      .localCheckpoint() // eager: materialize before the files vanish
+    graft.BenchPhase("fixture") {
+      cust.repartition(8).write.parquet(landing)
+      ingestNewFiles(spark, landing, ledger)
+      mergeInto(spark, ledger, gen,
+        cust.filter(col("c_custkey") % 7 === 0)
+          .withColumn("c_acctbal", col("c_acctbal") + 1000),
+        "c_custkey", changeFeed = true)
+      mergeInto(spark, ledger, gen,
+        cust.filter(col("c_custkey") % 14 === 0)
+          .withColumn("c_acctbal", col("c_acctbal") + 1500),
+        "c_custkey", deleteWhen = Some(col("c_mktsegment") === "BUILDING"),
+        changeFeed = true)
+    }
+    val out = graft.BenchPhase("op") {
+      scd2(readChanges(spark, ledger, 0), "c_custkey")
+        .select(col("c_custkey"), col("valid_from"), col("valid_to"),
+          col("c_acctbal").cast("double").as("acctbal"))
+        .localCheckpoint() // eager: materialize before the files vanish
+    }
     deleteRecursively(new java.io.File(tmp))
     out
   }
@@ -2323,7 +2425,7 @@ object Lake {
     val ledger = readLedger(spark, ledgerDir).getOrElse(return spark.emptyDataFrame)
     val adds = rowChangingAdds(ledger, col("snapshot_id") === snapshot)
     checkHorizon(ledger, adds, s"readSnapshot($snapshot)")
-    scanActions(spark, ledgerDir, adds)
+    scanActions(spark, ledgerDir, adds, atSnapshot = snapshot)
   }
 
   /** Expire snapshots older than `retainFrom` (VACUUM): physically delete
@@ -2673,6 +2775,20 @@ object Lake {
         java.nio.file.Paths.get(s"$branchDir/_constraints/$n"),
         e.getBytes("UTF-8"))
     }
+    // schema recordings up to the fork (and the evolution marker) are
+    // part of the TABLE, like constraints — a branch read must resolve
+    // the same schema main would
+    val schemaRe = """schema-(\d+)\.json""".r
+    Option(schemaDirF(ledgerDir).listFiles()).getOrElse(Array.empty)
+      .foreach(f => f.getName match {
+        case schemaRe(sid) if sid.toLong <= fork =>
+          schemaDirF(branchDir).mkdirs()
+          java.nio.file.Files.copy(f.toPath, java.nio.file.Paths.get(
+            s"$branchDir/_schema/${f.getName}")): Unit
+        case _ => ()
+      })
+    if (isEvolved(ledgerDir))
+      new java.io.File(s"$branchDir/_evolved").createNewFile()
     java.nio.file.Files.write(branchMeta(branchDir).toPath,
       s"""{"source": "$ledgerDir", "fork_snapshot": $fork}"""
         .getBytes("UTF-8"))
@@ -2736,6 +2852,20 @@ object Lake {
           catch { case _: Throwable => () })
         throw e
     }
+    // schema evolutions staged on the branch publish with their
+    // snapshots (KB metadata, same fast-forward semantics as the rows)
+    val schemaRe = """schema-(\d+)\.json""".r
+    Option(schemaDirF(branchDir).listFiles()).getOrElse(Array.empty)
+      .foreach(f => f.getName match {
+        case schemaRe(sid) if sid.toLong > fork && sid.toLong <= branchHead =>
+          schemaDirF(mainDir).mkdirs()
+          java.nio.file.Files.copy(f.toPath, java.nio.file.Paths.get(
+            s"$mainDir/_schema/${f.getName}"),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+        case _ => ()
+      })
+    if (new java.io.File(s"$branchDir/_evolved").exists())
+      new java.io.File(s"$mainDir/_evolved").createNewFile(): Unit
     ids
   }
 

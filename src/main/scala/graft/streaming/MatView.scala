@@ -236,29 +236,35 @@ object MatView {
     val (landing, ledger, gen, viewDir) =
       (s"$tmp/landing", s"$tmp/ledger", s"$tmp/gen", s"$tmp/view")
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
-    orders.repartitionByRange(8, col("o_orderkey")).write.parquet(landing)
-    Lake.ingestNewFiles(spark, landing, ledger)
     val spec = AggSpec(Seq("o_orderpriority"), Seq("o_totalprice"),
       Seq("o_totalprice"))
-    bootstrap(spark, ledger, viewDir, spec)
+    graft.BenchPhase("fixture") {
+      orders.repartitionByRange(8, col("o_orderkey")).write.parquet(landing)
+      Lake.ingestNewFiles(spark, landing, ledger)
+      bootstrap(spark, ledger, viewDir, spec)
+    }
     val upd1 = orders.filter(col("o_orderkey") % 7 === 0
         && col("o_orderkey") < 20000)
       .withColumn("o_totalprice", col("o_totalprice") + 100)
     val ins1 = orders.filter(col("o_orderkey") % 97 === 0)
       .withColumn("o_orderkey", col("o_orderkey") + 10000000)
+    graft.BenchPhase("op") {
     Lake.mergeInto(spark, ledger, gen, upd1.unionByName(ins1), "o_orderkey",
       deleteWhen = Some(col("o_orderstatus") === "F"), changeFeed = true)
-    applyRound(spark, ledger, viewDir, spec)
+    applyRound(spark, ledger, viewDir, spec): Unit
+    }
     val ins2 = orders.filter(col("o_orderkey") % 101 === 0)
       .withColumn("o_orderkey", col("o_orderkey") + 20000000)
+    val out = graft.BenchPhase("op") {
     Lake.mergeInto(spark, ledger, gen, ins2, "o_orderkey", changeFeed = true)
-    applyRound(spark, ledger, viewDir, spec)
-    val out = view(spark, viewDir)
+    applyRound(spark, ledger, viewDir, spec): Unit
+    view(spark, viewDir)
       .select(col("o_orderpriority"), col("mv_cnt").as("n_orders"),
         col("sum_o_totalprice").cast("double").as("sum_total"),
         col("min_o_totalprice").cast("double").as("min_total"),
         col("max_o_totalprice").cast("double").as("max_total"))
       .localCheckpoint() // eager: materialize before the files vanish
+    }
     MirrorLoop.rmrf(new java.io.File(tmp))
     out
   }

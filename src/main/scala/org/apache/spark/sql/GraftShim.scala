@@ -27,22 +27,28 @@ object GraftShim {
     * from the indexed files' footers via the parquet format itself. */
   def parquetScan(spark: SparkSession,
       index: org.apache.spark.sql.execution.datasources.FileIndex,
-      mergeSchemas: Boolean = false): DataFrame = {
+      mergeSchemas: Boolean = false,
+      dataSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
     val cs = spark.asInstanceOf[classic.SparkSession]
     val fmt = new ParquetFileFormat
-    val statuses = index.listFiles(Nil, Nil).flatMap(_.files.map(_.fileStatus))
-    // mergeSchemas: union the per-file footers (schema-EVOLVED tables:
+    // dataSchema given (schema-in-manifest): ZERO footer reads at plan
+    // time — the parquet reader reconciles each file against the declared
+    // schema at execution (missing columns surface as null, the standard
+    // evolution read). Otherwise infer from footers:
+    // mergeSchemas unions the per-file footers (schema-EVOLVED tables:
     // files written before a column existed must surface it as null) —
     // costs a footer pass per file at plan time, so callers only set it
     // for tables marked as evolved
+    lazy val statuses = index.listFiles(Nil, Nil).flatMap(_.files.map(_.fileStatus))
     val opts =
       if (mergeSchemas) Map("mergeSchema" -> "true")
       else Map.empty[String, String]
-    val schema = fmt.inferSchema(cs, opts, statuses)
+    val schema = dataSchema.getOrElse(fmt.inferSchema(cs, opts, statuses)
       .getOrElse(throw new IllegalStateException(
-        s"cannot infer schema from ${statuses.size} indexed parquet file(s)"))
+        s"cannot infer schema from ${statuses.size} indexed parquet file(s)")))
     val rel = HadoopFsRelation(index, partitionSchema = index.partitionSchema,
       dataSchema = schema, bucketSpec = None, fileFormat = fmt,
       options = Map.empty)(cs)

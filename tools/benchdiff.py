@@ -25,7 +25,8 @@ def load_queries(path):
         d = json.loads(text)
         if isinstance(d, dict):
             if isinstance(d.get("parsed"), dict) and "queries" in d["parsed"]:
-                return d["parsed"]["queries"], d["parsed"].get("errors", {})
+                return (d["parsed"]["queries"], d["parsed"].get("errors", {}),
+                        d["parsed"].get("phases", {}))
             if "tail" in d:
                 # A driver artifact must contain the COMPLETE one-line bench
                 # JSON. A truncated tail (r3's BENCH_r03.json lost its first
@@ -44,9 +45,9 @@ def load_queries(path):
                     sys.exit(
                         f"benchdiff: {path} 'tail' bench JSON is corrupt — "
                         "refusing to diff a partial artifact")
-                return b["queries"], b.get("errors", {})
+                return b["queries"], b.get("errors", {}), b.get("phases", {})
             if "queries" in d:
-                return d["queries"], d.get("errors", {})
+                return d["queries"], d.get("errors", {}), d.get("phases", {})
     except json.JSONDecodeError:
         pass
     # raw bench stdout: take the LAST {"metric"...} line
@@ -62,7 +63,7 @@ def load_queries(path):
     except json.JSONDecodeError:
         sys.exit(f"benchdiff: bench JSON in {path} is truncated/corrupt — "
                  "refusing to diff a partial artifact")
-    return b["queries"], b.get("errors", {})
+    return b["queries"], b.get("errors", {}), b.get("phases", {})
 
 
 def main():
@@ -83,8 +84,8 @@ def main():
         i += 1
     if len(args) != 2:
         sys.exit(__doc__)
-    old_q, old_e = load_queries(args[0])
-    new_q, new_e = load_queries(args[1])
+    old_q, old_e, old_p = load_queries(args[0])
+    new_q, new_e, new_p = load_queries(args[1])
 
     regressed, improved = [], []
     for name in sorted(set(old_q) | set(new_q)):
@@ -97,13 +98,22 @@ def main():
             if name in new_e:
                 regressed.append(name)
         else:
+            # fixture-heavy entries report an operator phase: gate on it
+            # (the fixture rides cold-file-cache drift of 2-4x between
+            # same-HEAD runs — gating on the total would flag temp-dir
+            # I/O, not the operator)
+            op_o = (old_p.get(name) or {}).get("op")
+            op_n = (new_p.get(name) or {}).get("op")
+            tag = ""
+            if op_o is not None and op_n is not None:
+                o, n, tag = op_o, op_n, " [op]"
             r = n / o if o > 0 else float("inf")
             if r > thresh and n - o > 0.5:  # ratio + absolute floor (noise guard)
                 regressed.append(name)
-                print(f"REGRESS  {name:28s} {o:8.2f}s -> {n:8.2f}s  ({r:5.1f}x)")
+                print(f"REGRESS  {name:28s} {o:8.2f}s -> {n:8.2f}s  ({r:5.1f}x){tag}")
             elif r < 1 / thresh and o - n > 0.5:
                 improved.append(name)
-                print(f"improve  {name:28s} {o:8.2f}s -> {n:8.2f}s  ({r:5.2f}x)")
+                print(f"improve  {name:28s} {o:8.2f}s -> {n:8.2f}s  ({r:5.2f}x){tag}")
     ot, nt = sum(old_q.values()), sum(new_q.values())
     print(f"TOTAL    {'':28s} {ot:8.2f}s -> {nt:8.2f}s")
     print(f"{len(regressed)} regression(s) > {thresh}x, {len(improved)} improvement(s)")
