@@ -810,6 +810,108 @@ object Multimodal {
     imageNearDups(imageDhash(nearDupMediaTable(s, 48, 12)))
       .orderBy(col("media_id"))
 
+  // ---------------------------------------------- oracle-able raw-byte dedup
+
+  case class GrayItem(media_id: Long, w: Int, h: Int, payload: Array[Byte])
+
+  /** Deterministic RAW-GRAYSCALE payloads (one byte per pixel, integer
+    * pattern over resolution-NORMALIZED coordinates u=(16x)/w, v=(16y)/h
+    * — the 9x8 sampling grid sees identical values at 64x64 and 96x96,
+    * so twins hash equal by construction). Junk rows (pat%17==16) carry
+    * empty payloads — the undecodable class. Pure integer math end to
+    * end, which is what makes the whole dedup DuckDB-oracle-able. */
+  def grayRawTable(s: SparkSession, n: Int, nTwins: Int): DataFrame = {
+    import s.implicits._
+    def img(pat: Long, w: Int, h: Int): Array[Byte] = {
+      val a = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val u = (16L * x) / w; val v = (16L * y) / h
+          val value = ((pat * 73 + u * u * 5 + v * 19
+            + u * v * ((pat % 7) + 1)) % 251).toInt
+          a(y * w + x) = (value & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      a
+    }
+    val base = s.range(n).map { pat =>
+      if (pat % 17 == 16) GrayItem(pat, 64, 64, Array.empty[Byte])
+      else GrayItem(pat, 64, 64, img(pat, 64, 64))
+    }
+    val twins = s.range(nTwins).map(pat =>
+      GrayItem(100000L + pat, 96, 96, img(pat, 96, 96)))
+    base.union(twins).toDF()
+  }
+
+  /** ORACLE-ABLE perceptual-hash image dedup — [[qMediaDedup]]'s sibling
+    * with the JVM-specific decode/resize swapped for exact integer math
+    * the oracle can replay: the 9x8 luma grid is sampled straight off
+    * raw grayscale payload BYTES in SQL (substring → hex → conv: all
+    * codegen'd built-ins — the payload column never shuffles, only the
+    * 8-byte hash flows downstream), the dHash packs with an OR-chain
+    * (no arithmetic overflow at bit 63), and the decisions run through
+    * the SAME [[imageNearDups]] operator (banded candidates + exact
+    * Hamming + rep collapse). The DuckDB oracle recomputes the grid from
+    * the pattern's closed form and BRUTE-FORCES all pairs — so the
+    * oracle independently proves the banding COMPLETE, not just the
+    * hash math right. Empty payloads hash NULL and drop, like
+    * undecodables in the PNG path. */
+  def qMediaHashdup(s: SparkSession, d: String): DataFrame = {
+    val items = grayRawTable(s, 48, 12)
+    def luma(gx: Int, gy: Int) = expr(
+      s"CAST(conv(hex(substring(payload, CAST((($gy * h) DIV 8) * w + " +
+        s"(($gx * w) DIV 9) + 1 AS INT), 1)), 16, 10) AS INT)")
+    val packed = (0 until 8).flatMap { gy =>
+      (0 until 8).map { gx =>
+        val k = gy * 8 + gx
+        when(luma(gx + 1, gy) > luma(gx, gy), lit(1L << k)).otherwise(lit(0L))
+      }
+    }.reduce(_ bitwiseOR _)
+    val hashes = items.select(col("media_id"),
+      when(luma(0, 0).isNull, lit(null).cast("long"))
+        .otherwise(packed).as("dhash"))
+    imageNearDups(hashes).orderBy(col("media_id"))
+  }
+
+  /** DuckDB mirror of [[qMediaHashdup]]: grid from the closed form,
+    * Hamming by brute-force bit comparison, rep = min matched id. */
+  def qMediaHashdupSql: String =
+    """WITH items AS (
+      |  SELECT CAST(pat AS BIGINT) AS media_id, 64 AS w, 64 AS h,
+      |    CAST(pat AS BIGINT) AS pat
+      |  FROM range(0, 48) t(pat) WHERE pat % 17 <> 16
+      |  UNION ALL
+      |  SELECT CAST(100000 + pat AS BIGINT), 96, 96, CAST(pat AS BIGINT)
+      |  FROM range(0, 12) t(pat)),
+      |grid AS (
+      |  SELECT media_id, gx, gy,
+      |    ((pat*73 + u*u*5 + v*19 + u*v*((pat%7)+1)) % 251) AS luma
+      |  FROM (
+      |    SELECT media_id, pat, gx, gy,
+      |      (16 * ((gx * w) // 9)) // w AS u,
+      |      (16 * ((gy * h) // 8)) // h AS v
+      |    FROM items, range(0, 9) g(gx), range(0, 8) r(gy))),
+      |bits AS (
+      |  SELECT a.media_id, a.gy * 8 + a.gx AS k, (b.luma > a.luma) AS bit
+      |  FROM grid a JOIN grid b
+      |    ON a.media_id = b.media_id AND b.gy = a.gy AND b.gx = a.gx + 1
+      |  WHERE a.gx < 8),
+      |pairs AS (
+      |  SELECT a.media_id AS ida, b.media_id AS idb,
+      |    sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS ham
+      |  FROM bits a JOIN bits b ON a.k = b.k AND a.media_id < b.media_id
+      |  GROUP BY 1, 2),
+      |rep AS (SELECT idb AS media_id, min(ida) AS rep
+      |  FROM pairs WHERE ham <= 7 GROUP BY 1)
+      |SELECT i.media_id, coalesce(rep.rep, i.media_id) AS rep_id,
+      |  rep.rep IS NOT NULL AS is_dup
+      |FROM items i LEFT JOIN rep ON i.media_id = rep.media_id
+      |ORDER BY i.media_id""".stripMargin
+
   /** Metadata-level filtering happens BEFORE any kernel touches payload
     * bytes — the predicate is a plain column filter on the struct, so at
     * scale it prunes row groups without reading the (huge) binary column. */

@@ -101,4 +101,46 @@ object Sketches {
       .select(col("source"),
         hll_sketch_estimate(col("sk")).as("est_distinct"))
   }
+
+  /** ORACLE-ABLE KLL check — the sketch ESTIMATES are engine-specific
+    * ([[qDocLenQuantiles]] stays [rows]), but the sketch's RANK BOUND is
+    * a theorem both engines can verify exactly: for every per-source and
+    * merged estimate, the exact mass strictly below it must not exceed
+    * frac+eps and the mass at-or-below must reach frac-eps (the
+    * SketchSpec two-sided tie-robust bound, eps = 2.5% at k = 200,
+    * integer-scaled so no division is ever compared). One melt of the
+    * sketch output + ONE conditional-count pass over (source, n_chars)
+    * per frac — bounded at (sources+1) x 4 output rows. The DuckDB
+    * oracle is the materialized truth relation (all-true): a sketch
+    * violating its bound flips a boolean and hash-mismatches. */
+  def qDocLenCheck(s: SparkSession, d: String): DataFrame = {
+    val epsBp = 250L // 2.5% in basis points (the SketchSpec bound)
+    val fracsBp = Seq(1000L, 5000L, 9000L, 9900L)
+    val est = qDocLenQuantiles(s, d)
+      .select(col("source"), col("n_docs"), expr(
+        """stack(4, 1000L, p10, 5000L, p50, 9000L, p90, 9900L, p99)
+          | AS (frac_bp, est)""".stripMargin))
+    val docs = Tables.documents(s, d)
+      .select(col("source"), col("n_chars").cast("double").as("len"))
+    val all = docs.withColumn("source", lit("__all__"))
+    val ranks = docs.unionByName(all)
+      .join(est, Seq("source"))
+      .groupBy(col("source"), col("frac_bp"), col("est"))
+      .agg(count(when(col("len") < col("est"), 1)).as("n_lt"),
+        count(when(col("len") <= col("est"), 1)).as("n_le"),
+        count(lit(1)).as("n"))
+    ranks.select(col("source"), (col("frac_bp") / 100).cast("int").as("pct"),
+        (col("n_lt") * 10000L <= col("n") * (col("frac_bp") + epsBp)
+          && col("n_le") * 10000L >= col("n") * (col("frac_bp") - epsBp))
+          .as("within_bound"))
+      .orderBy(col("source"), col("pct"))
+  }
+
+  /** DuckDB mirror of [[qDocLenCheck]]: the truth relation the bound
+    * guarantees — one all-true row per (source incl. __all__, frac). */
+  def qDocLenCheckSql: String =
+    """WITH srcs AS (SELECT DISTINCT source FROM documents
+      | UNION ALL SELECT '__all__')
+      |SELECT source, CAST(f.pct AS INT) AS pct, TRUE AS within_bound
+      |FROM srcs, (SELECT unnest([10, 50, 90, 99]) AS pct) f""".stripMargin
 }
