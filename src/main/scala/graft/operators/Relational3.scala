@@ -584,4 +584,50 @@ object Relational3 {
        |FROM pv, t
        |WHERE val4 * nparts > 2 * tot4
        |ORDER BY value DESC, l_partkey""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q12_late_lines — TPC-H Q12 shape, the last classic: shipping-delay
+  // priority audit. The canonical query counts high/low-priority orders
+  // per l_shipmode among late lines; this corpus carries no
+  // shipmode/commit/receipt dates, so the mode dimension becomes
+  // l_linestatus and lateness becomes shipped >= 30 days after the
+  // order date (the q21 lateness discipline) inside one ship-year.
+  // Spark-first shape: the ship-year window pushes to the LINEITEM
+  // scan; the cross-table lateness predicate evaluates after the single
+  // orderkey shuffle join; both CASE-sums fold in ONE map-side-combined
+  // aggregate; output bounded at the status count. Dates are
+  // midnight-aligned timestamps, so Spark datediff == DuckDB
+  // date_diff('day') exactly (the q_window_leadlag discipline); counts
+  // are exact integers — the oracle is exact.
+  // -------------------------------------------------------------------
+  def q12LateLines(s: SparkSession, d: String): DataFrame = {
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01")
+        && col("l_shipdate") < lit("1997-01-01"))
+      .select(col("l_orderkey"), col("l_linestatus"), col("l_shipdate"))
+      .join(Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(datediff(col("l_shipdate").cast("date"),
+        col("o_orderdate").cast("date")) >= 30)
+      .groupBy(col("l_linestatus"))
+      .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!hi, 1L).otherwise(0L)).as("low_line_count"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  def q12LateLinesSql: String =
+    """SELECT l_linestatus,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND date_diff('day', CAST(o_orderdate AS DATE),
+      |        CAST(l_shipdate AS DATE)) >= 30
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus""".stripMargin
 }

@@ -448,6 +448,16 @@ class PlanSpec extends GraftSpec {
     assert(plan.contains("partial_"), "map-side partial aggregation missing")
   }
 
+  test("q12_late_lines pushes the ship-year window to the lineitem scan " +
+      "and folds both CASE-sums in one map-side-combined aggregate") {
+    val p = formatted(graft.operators.Relational3.q12LateLines(spark, sf))
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
+      s"ship window not pushed:\n${p.take(800)}")
+    val plan = planString(graft.operators.Relational3.q12LateLines(spark, sf))
+    assert(plan.contains("partial_sum"), "CASE-sums not map-side combined")
+    assert(!plan.contains("Expand"), "q12 must not plan an Expand")
+  }
+
   test("q_fk_check scans lineitem exactly once (chained-edge audit)") {
     val plan = planString(graft.operators.Analytics.qFkCheck(spark, sf))
     // the fact table must back exactly ONE FileScan (its 3 edges chain off
