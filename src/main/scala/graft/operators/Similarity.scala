@@ -107,6 +107,85 @@ object Similarity {
       | WHERE e.vec_id >= 5)
       |WHERE rank <= 5""".stripMargin
 
+  /** HYBRID (keyword + vector) search — the retrieval shape RAG and
+    * search pipelines actually run: a TEXT predicate over the documents
+    * table prunes FIRST (the keyword/metadata filter is the cheapest
+    * index at 100 TB — here it keeps ~11% of the corpus), the surviving
+    * ids join to their embeddings (hint-free key join: both sides
+    * data-scaled, AQE broadcasts when one is genuinely small), and the
+    * EXACT cosine top-10 per probe comes from the two-phase bounded
+    * heap. Filtered-EXACT is the reference semantics every filtered-ANN
+    * index is measured against — and it oracles exactly (ids+rank only,
+    * float-rounding-proof). */
+  def qAnnHybrid(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(s, d)
+    val probes = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("probe_id"), col("vec").as("probe_vec"),
+        norm(col("vec")).as("probe_nrm"))
+    val keep = Tables.documents(s, d)
+      .filter(col("lang") === "de" && col("text").contains("merge"))
+      .select(col("doc_id").as("vec_id"))
+    val scored = e.filter(col("vec_id") >= 3)
+      .join(keep, "vec_id")
+      .crossJoin(broadcast(probes))
+      .select(col("probe_id"), col("vec_id"),
+        (dot(col("vec"), col("probe_vec"))
+          / (norm(col("vec")) * col("probe_nrm"))).as("cos"))
+    graft.plans.TopKPerGroup.twoPhase(scored, 10, "probe_id", "cos", "vec_id")
+      .withColumn("rank", row_number().over(Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("vec_id")))) // ≤ 3·10 rows: bounded
+      .select(col("probe_id"), col("rank"), col("vec_id"))
+  }
+
+  def qAnnHybridSql: String =
+    """SELECT probe_id, CAST(rank AS INT) AS rank, vec_id FROM (
+      | SELECT p.vec_id AS probe_id, e.vec_id,
+      |  row_number() OVER (PARTITION BY p.vec_id
+      |    ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], p.embedding::DOUBLE[]) DESC,
+      |             e.vec_id) AS rank
+      | FROM embeddings e
+      | JOIN documents doc ON doc.doc_id = e.vec_id
+      | CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3) p
+      | WHERE e.vec_id >= 3 AND doc.lang = 'de' AND doc.text LIKE '%merge%')
+      |WHERE rank <= 10""".stripMargin
+
+  /** FILTERED IVF probe — the "metadata-filtered vector search" every
+    * vector store ships, composed with the persisted index: the label
+    * predicate keeps ~1/3 of vectors, so the probe OVERSAMPLES the
+    * index (2x nProbe lists — the standard selectivity compensation;
+    * recall under a filter comes from probing wider, not from scanning
+    * everything) and applies the predicate on the candidate fetch
+    * BEFORE any scoring — only surviving candidates pay the cosine.
+    * Exact top-20 over survivors. [rows]: SimilaritySpec bounds recall
+    * against the exact FILTERED baseline (the qAnnHybrid discipline). */
+  def qAnnIvfFiltered(s: SparkSession, d: String): DataFrame = {
+    val idx = ivfIndexDir(s, d)
+    val e = emb(s, d)
+    val probe = e.filter(col("vec_id") === 0)
+      .select(col("vec").as("probe_vec"), norm(col("vec")).as("probe_nrm"))
+    val topLists = s.read.parquet(s"$idx/centroids")
+      .crossJoin(broadcast(probe))
+      .select(col("list_id"),
+        aggregate(zip_with(col("centroid"), col("probe_vec"), (c, p) => (c - p) * (c - p)),
+          lit(0.0), _ + _).as("dist"))
+      .orderBy(col("dist"), col("list_id"))
+      .limit(IvfNProbe * 2) // oversample: the filter thins each list
+      .select(col("list_id"))
+    val candIds = s.read.parquet(s"$idx/assignments")
+      .join(broadcast(topLists), Seq("list_id"), "left_semi")
+      .select(col("vec_id"))
+    e.join(candIds, "vec_id")
+      .filter(col("vec_id") =!= 0 && col("label") % 3 === 0)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), col("label"),
+        (dot(col("vec"), col("probe_vec")) / (norm(col("vec")) * col("probe_nrm")))
+          .as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(20)
+      .select(col("vec_id"), col("label"))
+  }
+
   /** Multi-table random-hyperplane LSH: L independent tables of k sign-bits
     * each. A neighbor is a candidate if it matches the probe's signature in
     * ANY table — the standard recall/candidate-count dial (k shrinks

@@ -223,4 +223,39 @@ class SimilaritySpec extends GraftSpec {
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.3, s"batched IVF mean recall $mean collapsed (per-probe: $recalls)")
   }
+
+  test("hybrid search: exact filtered top-10, every hit satisfies the " +
+      "text predicate; filtered IVF holds recall vs the exact filtered " +
+      "baseline and never returns a filtered-out row") {
+    import org.apache.spark.sql.functions._
+    // the hybrid result IS the exact filtered baseline (oracle-checked in
+    // the driver gate); here: decision sanity + the IVF variant's recall
+    val keep = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("lang") === "de" && col("text").contains("merge"))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val hybrid = Similarity.qAnnHybrid(spark, sf).collect()
+    assert(hybrid.nonEmpty && hybrid.forall(r => keep(r.getAs[Long]("vec_id"))),
+      "hybrid returned a row failing the text predicate")
+    // exact filtered baseline for probe 0 with the label predicate
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val probeVec = e.filter(col("vec_id") === 0)
+      .head().getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble)
+    def cos(v: Seq[Double]): Double = {
+      val d = v.zip(probeVec).map { case (a, b) => a * b }.sum
+      d / (math.sqrt(v.map(x => x * x).sum) * math.sqrt(probeVec.map(x => x * x).sum))
+    }
+    val exact = e.filter(col("vec_id") =!= 0 && col("label") % 3 === 0)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        cos(r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toSeq)))
+      .sortBy { case (id, c) => (-c, id) }.take(20).map(_._1).toSet
+    val ivf = Similarity.qAnnIvfFiltered(spark, sf).collect()
+    assert(ivf.forall(_.getAs[Int]("label") % 3 == 0),
+      "filtered IVF returned a filtered-out label")
+    val got = ivf.map(_.getAs[Long]("vec_id")).toSet
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.5,
+      s"filtered-IVF recall $recall < 0.5 vs exact filtered top-20 " +
+        "(oversampled 8-of-16 lists)")
+  }
 }
