@@ -71,6 +71,11 @@ final case class GraftTable(spark: SparkSession, ledgerDir: String,
     * metadata view for inspecting data-skipping bounds. */
   def files(): DataFrame = Lake.filesAt(spark, ledgerDir, snapshot)
 
+  /** `count(*)` from MANIFEST metadata alone — zero data-file reads (see
+    * Lake.statsCount); None when a live file lacks recorded row counts. */
+  def statsCount(at: Long = Long.MaxValue): Option[Long] =
+    Lake.statsCount(spark, ledgerDir, at)
+
   /** Rows of every row-changing snapshot after `s`, exactly once. */
   def readSince(s: Long): DataFrame = Lake.readSince(spark, ledgerDir, s)
 

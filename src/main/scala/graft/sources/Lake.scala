@@ -1707,6 +1707,34 @@ object Lake {
     }
   }
 
+  /** MANIFEST-ONLY COUNT(*) — the metadata-aggregate every table format
+    * serves without touching data (Iceberg answers `count(*)` from
+    * manifest totals): Σ nrows over the live files' WINNING-add stats
+    * minus the active deletion-vector positions on those files — ledger
+    * rows + KB sidecars only, ZERO data-file reads at any table size.
+    * Exact across appends, COW/MOR merges and deletes, compaction and
+    * restore (rewrites re-stat; the winning-add rule keeps re-added
+    * generations straight; DV subtraction mirrors the read path's
+    * anti-join). Returns None when any live file lacks recorded row
+    * counts (a statless ingest — the count cannot be known without a
+    * scan; ingest with `statsCols` to enable). `Some(0)` for an empty
+    * table. */
+  def statsCount(spark: SparkSession, ledgerDir: String,
+      snapshot: Long = Long.MaxValue): Option[Long] = {
+    val ledger = readLedger(spark, ledgerDir).getOrElse(return Some(0L))
+    val s = if (snapshot == Long.MaxValue) currentSnapshot(spark, ledgerDir)
+      else snapshot
+    val agg = liveActionsAt(ledger, s)
+      .select(try_element_at(map_values(col("stats")), lit(1))
+        .getField("nrows").as("nr"))
+      .agg(sum(col("nr")).as("tot"),
+        count(when(col("nr").isNull, 1)).as("miss"),
+        count(lit(1)).as("nf")).head()
+    if (agg.getLong(2) == 0L) return Some(0L) // empty live set
+    if (agg.getLong(1) > 0L) return None // statless live file: cannot know
+    Some(agg.getLong(0) - dvRows(spark, ledgerDir, s))
+  }
+
   /** MERGE-ON-READ MERGE INTO — the write-optimized upsert (Iceberg v2
     * merge-on-read MERGE / Delta DV-merge analog), the shape a
     * high-frequency CDC sink wants: identical row semantics to

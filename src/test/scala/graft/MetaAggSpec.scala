@@ -1,0 +1,77 @@
+package graft
+
+import graft.sources.{GraftTable, Lake}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Manifest-only aggregates (Lake.statsCount): `count(*)` answered from
+  * ledger stats + DV sidecars with ZERO data-file reads — exact across
+  * the whole write lifecycle, proven by physically stashing the data
+  * files away before asking. */
+class MetaAggSpec extends GraftSpec {
+
+  test("statsCount equals read().count() across append / COW merge / " +
+      "MOR delete / COW delete / restore, per snapshot, and still " +
+      "answers with every data file stashed away") {
+    val tmp = Files.createTempDirectory("graft_metaagg").toString
+    val t = GraftTable(spark, s"$tmp/ledger", s"$tmp/gen")
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+    cust.repartition(4).write.parquet(s"$tmp/landing")
+    t.ingest(s"$tmp/landing", statsCols = Seq("c_custkey"))
+    assert(t.statsCount() == Some(t.read().count()))
+
+    // COW merge (update + insert): rewrites re-stat
+    t.merge(cust.limit(30).withColumn("c_acctbal", col("c_acctbal") + 1)
+      .unionByName(cust.limit(10)
+        .withColumn("c_custkey", col("c_custkey") + 7000000)), "c_custkey")
+    assert(t.statsCount() == Some(t.read().count()))
+    // MOR delete: untouched files, sidecar subtraction
+    t.deleteMor(col("c_custkey") % 5 === 0)
+    assert(t.statsCount() == Some(t.read().count()))
+    // COW delete on the MOR state (materializes vectors on affected files)
+    t.delete(col("c_custkey") % 7 === 1)
+    assert(t.statsCount() == Some(t.read().count()))
+    // every committed snapshot answers exactly (time travel)
+    (1L to t.snapshot).foreach { s0 =>
+      assert(t.statsCount(s0) == Some(t.readAt(s0).count()),
+        s"statsCount diverged at snapshot $s0")
+    }
+    // restore: re-adds carry the winning add's stats
+    val restored = Lake.restore(spark, t.ledgerDir, 2L)
+    assert(restored > 2L)
+    assert(t.statsCount() == Some(t.read().count()))
+
+    // the zero-data-read proof: stash EVERY data file (landing + gen
+    // carry/delta), keeping only the ledger and the KB-scale DV sidecars
+    // (they ARE the metadata the subtraction reads) — the count must
+    // still answer, and equal what the (now impossible) scan said
+    val expected = t.statsCount().get
+    val stash = new java.io.File(s"$tmp/stash"); stash.mkdirs()
+    var moved = 0
+    def stashData(f: java.io.File): Unit = {
+      if (f.isDirectory) {
+        if (f.getName == "dv") () // sidecars stay
+        else Option(f.listFiles()).getOrElse(Array()).foreach(stashData)
+      } else if (f.getName.endsWith(".parquet")) {
+        assert(f.renameTo(new java.io.File(stash, s"f$moved.parquet")))
+        moved += 1
+      }
+    }
+    stashData(new java.io.File(s"$tmp/landing"))
+    stashData(new java.io.File(s"$tmp/gen"))
+    assert(moved > 0, "stash moved nothing — proof vacuous")
+    assert(t.statsCount() == Some(expected),
+      "statsCount touched data files (failed after stash)")
+  }
+
+  test("a statless live file makes statsCount refuse (None), never guess") {
+    val tmp = Files.createTempDirectory("graft_metaagg_none").toString
+    val t = GraftTable(spark, s"$tmp/ledger", s"$tmp/gen")
+    spark.read.parquet(s"$sf/nation.parquet").write.parquet(s"$tmp/landing")
+    t.ingest(s"$tmp/landing") // no statsCols: no nrows recorded
+    assert(t.statsCount().isEmpty)
+    // empty table answers 0
+    val t2 = GraftTable(spark, s"$tmp/ledger2", s"$tmp/gen2")
+    assert(t2.statsCount() == Some(0L))
+  }
+}
