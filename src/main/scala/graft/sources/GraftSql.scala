@@ -34,6 +34,8 @@ import org.apache.spark.sql.functions._
   *    `WITH SCHEMA EVOLUTION` maps to `evolveSchema`.
   *  - `UPDATE t SET col = expr, … [WHERE c]`
   *  - `DELETE FROM t WHERE c`
+  *  - `INSERT INTO t [BY NAME] SELECT …` (whole-row; positional
+  *    store-assignment coercion — OVERWRITE/partitioned forms refused)
   * Qualified column references (`t.col`, `src.col`) are resolved by NAME
   * (qualifiers stripped — the lake table is a single flat relation; a
   * MERGE delete condition must reference source columns, standard MERGE
@@ -99,8 +101,39 @@ object GraftSql {
       case m: MergeIntoTable => runMerge(spark, m)
       case u: UpdateTable => runUpdate(spark, u)
       case d: DeleteFromTable => runDelete(spark, d)
+      case i: InsertIntoStatement => runInsert(spark, i)
       case _ => spark.sql(rewritten)
     }
+  }
+
+  private def runInsert(spark: SparkSession,
+      i: InsertIntoStatement): DataFrame = {
+    val t = lookup(spark, i.table)
+    if (i.overwrite) sys.error(
+      "INSERT OVERWRITE is not routed (not atomic on this surface) — " +
+        "use DELETE FROM + INSERT INTO, or mergeInto")
+    if (i.partitionSpec.nonEmpty || i.userSpecifiedCols.nonEmpty) sys.error(
+      "partitioned / column-list INSERT is not routed — whole-row " +
+        "INSERT INTO t SELECT … only")
+    val rows0 = GraftShim.ofRows(spark, i.query)
+    // store-assignment coercion by POSITION (standard INSERT semantics;
+    // BY NAME arrives pre-named and coerces by name)
+    val tgt = t.read().schema
+    val rows =
+      if (i.byName) rows0.select(rows0.columns.map { c =>
+        tgt.find(_.name == c)
+          .map(f => col(c).cast(f.dataType).as(c)).getOrElse(col(c))
+      }: _*)
+      else {
+        require(rows0.columns.length == tgt.length,
+          s"INSERT arity ${rows0.columns.length} != table arity ${tgt.length}")
+        rows0.select(rows0.columns.zip(tgt.fields).map { case (c, f) =>
+          col(c).cast(f.dataType).as(f.name)
+        }: _*)
+      }
+    val snap = t.append(rows)
+    refresh(spark, tableName(i.table))
+    snapFrame(spark, snap)
   }
 
   /** `name VERSION AS OF <n>` / `name TIMESTAMP AS OF '<ts>'` over a
@@ -309,6 +342,10 @@ object GraftSql {
         |WHEN MATCHED AND src.c_mktsegment = 'MACHINERY' THEN DELETE
         |WHEN MATCHED THEN UPDATE SET *
         |WHEN NOT MATCHED THEN INSERT *;
+        |INSERT INTO sqldml_cust
+        |SELECT c_custkey + 20000000, c_name, c_nationkey, c_acctbal,
+        |  c_mktsegment
+        |FROM sqldml_cust WHERE c_custkey % 101 = 0;
         |SELECT 'now' AS era, c_mktsegment,
         |  CAST(count(*) AS BIGINT) AS n_cust,
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
@@ -357,6 +394,10 @@ object GraftSql {
       |FROM sqldml_src s WHERE sqldml_cust.c_custkey = s.c_custkey;
       |INSERT INTO sqldml_cust SELECT * FROM sqldml_src
       |WHERE c_custkey NOT IN (SELECT c_custkey FROM sqldml_matched);
+      |INSERT INTO sqldml_cust
+      |SELECT c_custkey + 20000000, c_name, c_nationkey, c_acctbal,
+      |  c_mktsegment
+      |FROM sqldml_cust WHERE c_custkey % 101 = 0;
       |SELECT 'now' AS era, c_mktsegment,
       |  CAST(count(*) AS BIGINT) AS n_cust,
       |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal

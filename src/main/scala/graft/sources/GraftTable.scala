@@ -149,6 +149,11 @@ final case class GraftTable(spark: SparkSession, ledgerDir: String,
     graft.streaming.MatView.viewStream(spark, ledgerDir, viewDir, spec,
       checkpointDir)
 
+  /** Plain row append (the INSERT INTO leg — constraints, quarantine and
+    * the table's skipping contract all apply; see Lake.appendRows). */
+  def append(rows: DataFrame): Long =
+    Lake.appendRows(spark, ledgerDir, genRoot, rows)
+
   /** Row-level copy-on-write DELETE WHERE. */
   def delete(cond: Column, changeFeed: Boolean = false): Long =
     Lake.deleteWhere(spark, ledgerDir, genRoot, cond, changeFeed)

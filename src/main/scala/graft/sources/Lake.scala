@@ -1707,6 +1707,26 @@ object Lake {
     }
   }
 
+  /** Plain ROW APPEND — the INSERT INTO leg of the DML surface: land
+    * `rows` as a new generation and ledger it through the normal ingest
+    * (PAR1 + schema quarantine, CHECK constraints, adler32 + stats all
+    * apply). The table's standing skipping contract (stats/bloom column
+    * lists observed on the live files) carries onto the new files
+    * automatically, so appends never erode manifest pruning. Returns the
+    * new snapshot (the current one when `rows` is empty). */
+  def appendRows(spark: SparkSession, ledgerDir: String, genRoot: String,
+      rows: DataFrame): Long = {
+    val dir = s"$genRoot/append-${java.util.UUID.randomUUID()}"
+    rows.write.parquet(dir)
+    val (statsCols, bloomCols) = readLedger(spark, ledgerDir) match {
+      case Some(l) => liveStatsContract(
+        liveActionsAt(l, currentSnapshot(spark, ledgerDir)))
+      case None => (Nil, Nil)
+    }
+    ingestNewFiles(spark, dir, ledgerDir, statsCols, bloomCols)
+    currentSnapshot(spark, ledgerDir)
+  }
+
   /** MANIFEST-ONLY COUNT(*) — the metadata-aggregate every table format
     * serves without touching data (Iceberg answers `count(*)` from
     * manifest totals): Σ nrows over the live files' WINNING-add stats

@@ -123,6 +123,39 @@ class GraftSqlSpec extends GraftSpec {
     assert(mixed == 5, s"expected 5 rows changed vs VERSION AS OF, got $mixed")
   }
 
+  test("INSERT INTO routes to append: positional coercion, BY NAME form, " +
+      "constraints bind, refused forms name themselves") {
+    val (t, _) = fixture("nat_i")
+    val n0 = t.read().count()
+    t.sql("INSERT INTO nat_i SELECT n_nationkey + 500, concat('NEW_', " +
+      "n_name), n_regionkey FROM nat_i WHERE n_regionkey = 1")
+    assert(t.read().count() == n0 + 5)
+    assert(t.read().filter(col("n_name").startsWith("NEW_")).count() == 5)
+    assert(t.read().schema == t.readAt(1).schema)
+    // BY NAME with shuffled column order
+    t.sql("INSERT INTO nat_i BY NAME SELECT n_regionkey, " +
+      "concat('BN_', n_name) AS n_name, n_nationkey + 600 AS n_nationkey " +
+      "FROM nat_i WHERE n_regionkey = 2 AND n_nationkey < 500")
+    assert(t.read().filter(col("n_name").startsWith("BN_")).count() == 5)
+    // constraints bind the routed INSERT
+    t.addConstraint("region_sane", "n_regionkey BETWEEN 0 AND 100")
+    val head = t.snapshot
+    intercept[Exception] {
+      t.sql("INSERT INTO nat_i SELECT n_nationkey + 700, n_name, " +
+        "n_regionkey + 999 FROM nat_i WHERE n_regionkey = 3")
+    }
+    assert(t.snapshot == head)
+    // refusals
+    val e = intercept[RuntimeException] {
+      t.sql("INSERT OVERWRITE nat_i SELECT * FROM nat_i")
+    }
+    assert(e.getMessage.contains("INSERT OVERWRITE"))
+    val e2 = intercept[Exception] {
+      t.sql("INSERT INTO nat_i SELECT n_nationkey FROM nat_i LIMIT 1")
+    }
+    assert(e2.getMessage.contains("arity"))
+  }
+
   test("unsupported DML forms are refused with the supported list; " +
       "unbound tables are named") {
     val (t, _) = fixture("nat_x")
