@@ -164,4 +164,114 @@ object Sampling {
        |  GROUP BY source
        |)""".stripMargin
   }
+
+  // -------------------------------------------------------------------
+  // q_doc_curriculum — quality-curriculum sampling + epoch upsampling
+  // (the data-mixing recipe modern pretraining runs: high-quality docs
+  // are kept whole and seen for SEVERAL epochs, mid-tier is downsampled,
+  // junk is heavily cut). Tier assignment is pure INTEGER comparisons
+  // over token counts (cross-engine exact); keep decisions are the same
+  // salted-hash draw as split/mix under a curriculum salt; upsampling is
+  // a per-tier epoch constant. Everything is a pure function of
+  // (doc_id, text) — reproducible across runs, engines and partitioning.
+  // -------------------------------------------------------------------
+
+  private val CurrSalt = "curr1:"
+
+  /** (keep fraction, training epochs) per quality tier — declared once,
+    * rendered into both the Spark plan and the oracle SQL. */
+  private[graft] val CurriculumPolicy: Seq[(String, (Double, Int))] = Seq(
+    "high" -> (1.0, 3), // diverse, long enough: keep all, 3 epochs
+    "mid" -> (0.5, 1),
+    "low" -> (0.1, 1)) // short/repetitive tier: heavy cut
+
+  /** Quality tier from integer token statistics (the q_corpus_card
+    * quality rule, stratified): diverse long docs are "high", long but
+    * repetitive are "mid", short docs are "low". Expects `n_tokens` and
+    * `n_distinct` columns. */
+  private def tierCol: Column =
+    when(col("n_tokens") >= 12 && col("n_distinct") * 2 >= col("n_tokens"),
+      lit("high"))
+      .when(col("n_tokens") >= 12, lit("mid"))
+      .otherwise(lit("low"))
+
+  private def epochsCol: Column =
+    CurriculumPolicy.foldRight(lit(1): Column) { case ((t, (_, e)), acc) =>
+      when(col("tier") === lit(t), lit(e)).otherwise(acc)
+    }
+
+  private def currKeepCol: Column = {
+    val cut = CurriculumPolicy.foldRight(lit("g"): Column) {
+      case ((t, (f, _)), acc) =>
+        when(col("tier") === lit(t), lit(hexCutoff(f))).otherwise(acc)
+    }
+    saltedHash4(CurrSalt) < cut
+  }
+
+  private def withTier(docs: DataFrame): DataFrame = docs
+    .withColumn("toks", graft.operators.TextOps.tokens(col("text")))
+    .withColumn("n_tokens", size(col("toks")))
+    .withColumn("n_distinct", size(array_distinct(col("toks"))))
+    .withColumn("tier", tierCol)
+
+  /** The actual TRAINING-STREAM relation: one row per (kept doc, epoch)
+    * — kept docs replicate `epochs(tier)` times with an epoch stamp
+    * (explode of a ≤3-element sequence: narrow, no shuffle; the stream
+    * feeds Pipeline.pack downstream). */
+  def curriculumExamples(docs: DataFrame): DataFrame =
+    withTier(docs)
+      .filter(currKeepCol)
+      .select(col("doc_id"), col("source"), col("tier"), col("n_chars"),
+        explode(sequence(lit(1), epochsCol)).as("epoch"))
+
+  /** Census of the curriculum policy in ONE scan-shaped pass (no
+    * explode — n_examples folds as n_kept × epochs, a per-tier
+    * constant; SamplingSpec proves the census ≡ the exploded stream):
+    * per (source, tier) totals, kept counts/chars, training examples,
+    * achieved rate. Output bounded at sources × 3. */
+  def qDocCurriculum(s: SparkSession, d: String): DataFrame = {
+    withTier(Tables.documents(s, d))
+      .select(col("source"), col("tier"), col("n_chars"),
+        currKeepCol.as("keep"), epochsCol.as("epochs"))
+      .groupBy(col("source"), col("tier"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("epochs").cast("long")).otherwise(0L))
+          .as("n_examples"),
+        sum(when(col("keep"), col("n_chars")).otherwise(0L)).as("kept_chars"))
+  }
+
+  def qDocCurriculumSql: String = {
+    val h = saltedHash4Sql(CurrSalt)
+    val cutArms = CurriculumPolicy.map { case (t, (f, _)) =>
+      s"WHEN tier = '$t' THEN '${hexCutoff(f)}'"
+    }.mkString(" ")
+    val epochArms = CurriculumPolicy.map { case (t, (_, e)) =>
+      s"WHEN tier = '$t' THEN $e"
+    }.mkString(" ")
+    s"""SELECT source, tier,
+       | CAST(count(*) AS BIGINT) AS n_total,
+       | CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       | CAST(sum(CASE WHEN keep THEN epochs ELSE 0 END) AS BIGINT)
+       |   AS n_examples,
+       | CAST(sum(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT)
+       |   AS kept_chars
+       |FROM (
+       | SELECT source, n_chars,
+       |  $h < CASE $cutArms ELSE 'g' END AS keep,
+       |  CASE $epochArms ELSE 1 END AS epochs, tier
+       | FROM (
+       |  SELECT doc_id, source, n_chars,
+       |   CASE WHEN n_tokens >= 12 AND 2 * n_distinct >= n_tokens
+       |     THEN 'high'
+       |    WHEN n_tokens >= 12 THEN 'mid' ELSE 'low' END AS tier
+       |  FROM (
+       |   SELECT doc_id, source, n_chars,
+       |    CAST(len(toks) AS INT) AS n_tokens,
+       |    CAST(len(list_distinct(toks)) AS INT) AS n_distinct
+       |   FROM (SELECT doc_id, source, n_chars,
+       |     regexp_split_to_array(trim(text), ' +') AS toks
+       |    FROM documents) a) b) c)
+       |GROUP BY 1, 2""".stripMargin
+  }
 }

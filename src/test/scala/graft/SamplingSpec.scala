@@ -93,4 +93,37 @@ class SamplingSpec extends GraftSpec {
         s"$k: sampled $n, expected ~$expect (sigma $sigma)")
     }
   }
+
+  test("curriculum: the census equals the exploded training stream, " +
+      "high tier upsamples 3x, decisions are partitioning-stable") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val census = Sampling.qDocCurriculum(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val stream = Sampling.curriculumExamples(docs)
+    val fromStream = stream.groupBy("source", "tier")
+      .agg(countDistinct(col("doc_id")).as("kept"),
+        count(lit(1)).as("examples"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    fromStream.foreach { case (k, (kept, ex)) =>
+      val (_, cKept, cEx, _) = census(k)
+      assert(cKept == kept && cEx == ex, s"census diverges at $k")
+    }
+    // high tier: examples = 3x kept; others 1x
+    census.foreach { case ((_, tier), (_, kept, ex, _)) =>
+      val expectedEpochs = if (tier == "high") 3L else 1L
+      assert(ex == kept * expectedEpochs, s"$tier epochs wrong: $kept -> $ex")
+    }
+    // partitioning must not move a single decision
+    val a = stream.select("doc_id", "epoch").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val b = Sampling.curriculumExamples(docs.repartition(13))
+      .select("doc_id", "epoch").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(a == b, "curriculum decisions moved under repartitioning")
+    assert(a.nonEmpty)
+  }
 }
