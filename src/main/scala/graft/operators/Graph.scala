@@ -110,4 +110,72 @@ object Graph {
       GraftShim.ofRows(caller,
         GraftShim.logicalPlan(labels.select(col("node"), col("label").as("cluster_id"))))
   }
+
+  /** PAGERANK over a directed edge list — the link-centrality score a
+    * crawl-curation pipeline uses to pick canonical pages and weight
+    * sources (and, over a near-dup SIMILARITY graph, to pick the most
+    * central representative of each duplicate cluster). Fixed iteration
+    * count + damping (deterministic given the graph); dangling mass
+    * redistributes uniformly per round (rank sums to n every round —
+    * spec-conserved). Loop discipline identical to
+    * [[connectedComponents]] (the round-2 lesson): dedicated child
+    * session, AQE OFF inside the loop, graph-scaled shuffle width,
+    * edges pre-partitioned+sorted ONCE on the join key, exactly ONE
+    * localCheckpoint barrier per round plus one scalar job (the
+    * dangling-mass sum — the convergence-count analog). Returns
+    * (node, rank); ranks are floats whose summation order is
+    * engine-specific → [rows]/spec, never oracle-hashed. */
+  def pageRank(edges0: DataFrame, src: String, dst: String,
+      iterations: Int = 8, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1 && damping > 0 && damping < 1)
+    val caller = edges0.sparkSession
+    val spark = caller.newSession()
+    val partsWas = caller.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    import org.apache.spark.sql.GraftShim
+    val e0 = GraftShim.ofRows(spark, GraftShim.logicalPlan(edges0))
+      .select(col(src).cast("long").as("s"), col(dst).cast("long").as("t"))
+      .distinct()
+      .localCheckpoint()
+    val eRows = e0.count()
+    val loopParts = math.max(1L,
+      math.min(partsWas.toLong, eRows / 1000000L + 1L))
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    // out-weights baked in once; pre-partition+sort on the per-round join
+    // key so the big side never re-exchanges (the cc discipline)
+    val outDeg = e0.groupBy(col("s")).agg(count(lit(1)).as("deg"))
+    val w = e0.join(outDeg, "s")
+      .select(col("s"), col("t"), (lit(1.0) / col("deg")).as("w"))
+      .repartition(loopParts.toInt, col("s"))
+      .sortWithinPartitions(col("s"))
+      .localCheckpoint()
+    val nodes = e0.select(col("s").as("node"))
+      .union(e0.select(col("t").as("node"))).distinct()
+      .localCheckpoint()
+    val n = nodes.count().toDouble
+    var ranks = nodes.withColumn("rank", lit(1.0))
+    var round = 0
+    while (round < iterations) {
+      // dangling nodes (no out-edges) spread their mass uniformly — the
+      // 1-row mass aggregate rides INSIDE the round's plan via a cross
+      // join (no per-round driver sync, no separate scalar job)
+      val dang = ranks.join(outDeg.select(col("s").as("node")),
+          Seq("node"), "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
+      val contrib = w
+        .join(ranks.select(col("node").as("s"), col("rank").as("sr")), "s")
+        .groupBy(col("t")).agg(sum(col("sr") * col("w")).as("c"))
+        .select(col("t").as("node"), col("c"))
+      ranks = ranks.select(col("node"))
+        .join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("node"),
+          (lit(1.0 - damping)
+            + lit(damping) * (coalesce(col("c"), lit(0.0))
+              + col("dm") / lit(n))).as("rank"))
+        .localCheckpoint() // the round's single materialization barrier
+      round += 1
+    }
+    GraftShim.ofRows(caller, GraftShim.logicalPlan(ranks))
+  }
 }

@@ -865,15 +865,28 @@ object Multimodal {
     def luma(gx: Int, gy: Int) = expr(
       s"CAST(conv(hex(substring(payload, CAST((($gy * h) DIV 8) * w + " +
         s"(($gx * w) DIV 9) + 1 AS INT), 1)), 16, 10) AS INT)")
+    // materialize the 72 grid lumas ONCE; the 64 comparisons then
+    // reference columns — inlining the byte-extraction tree into every
+    // comparison (≈130 substring/hex/conv calls in one projection) blows
+    // the codegen unit up into seconds of JIT for a constant-cost hash
+    val grid = items.select(col("media_id") +:
+      (for (gy <- 0 until 8; gx <- 0 until 9)
+        yield luma(gx, gy).as(s"l_${gx}_$gy")): _*)
     val packed = (0 until 8).flatMap { gy =>
       (0 until 8).map { gx =>
         val k = gy * 8 + gx
-        when(luma(gx + 1, gy) > luma(gx, gy), lit(1L << k)).otherwise(lit(0L))
+        when(col(s"l_${gx + 1}_$gy") > col(s"l_${gx}_$gy"), lit(1L << k))
+          .otherwise(lit(0L))
       }
     }.reduce(_ bitwiseOR _)
-    val hashes = items.select(col("media_id"),
-      when(luma(0, 0).isNull, lit(null).cast("long"))
+    // checkpoint barrier: CollapseProject would re-inline the 72 luma
+    // trees into all 64 comparisons (and the banding explode would then
+    // duplicate that tree 8x more — an optimizer/codegen blowup); the
+    // materialized frame is corpus-rows x 16 bytes, nothing at any scale
+    val hashes = grid.select(col("media_id"),
+      when(col("l_0_0").isNull, lit(null).cast("long"))
         .otherwise(packed).as("dhash"))
+      .localCheckpoint()
     imageNearDups(hashes).orderBy(col("media_id"))
   }
 

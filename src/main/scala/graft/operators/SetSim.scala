@@ -331,6 +331,31 @@ object SetSim {
           .select(col("doc_id"), col("cluster_id")))
   }
 
+  /** PAGERANK over the near-dup similarity graph ([rows]) — the
+    * centrality read of the dedup pipeline: within a duplicate cluster
+    * the highest-ranked member is the natural CANONICAL representative
+    * (well-connected to many near-copies), and across the corpus rank
+    * weights sources by how much near-duplicated mass points at them.
+    * Edges = the exact ssjoin rep pairs, fed in both directions
+    * (undirected); 8 fixed rounds under the Graph loop discipline.
+    * Fixture (tokenize + ssjoin) vs operator (the rounds) are
+    * bench-phase-split. Ranks are floats (summation order
+    * engine-specific) → rows-only driver check; GraphPropertySpec pins
+    * the semantics against a driver-computed reference. */
+  def qDocPagerank(s: SparkSession, d: String): DataFrame = {
+    val pairs = graft.BenchPhase("fixture") {
+      ssjoinOnReps(withReps(s, d).localCheckpoint())
+        .select(col("doc_a"), col("doc_b"))
+        .localCheckpoint()
+    }
+    graft.BenchPhase("op") {
+      val und = pairs.union(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      Graph.pageRank(und, "doc_a", "doc_b", iterations = 8)
+        .orderBy(col("rank").desc, col("node"))
+    }
+  }
+
   /** DuckDB mirror: recursive-CTE reachability closure over the undirected
     * rep-pair edges → per-node min label; members join through their rep. */
   def qDedupClustersSql: String =

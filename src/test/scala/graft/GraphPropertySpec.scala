@@ -57,4 +57,66 @@ class GraphPropertySpec extends GraftSpec {
     val ring = (50L until 58L).map(i => (i, i + 1)) :+ ((58L, 50L))
     check(star ++ ring, "star+ring")
   }
+
+  /** Driver-side PageRank reference: identical formula (uniform init at
+    * 1.0, per-round dangling redistribution, (1-d) + d*(contrib +
+    * dangling/n)) so the distributed loop must agree to float noise. */
+  private def refPageRank(edges: Seq[(Long, Long)], iters: Int,
+      d: Double): Map[Long, Double] = {
+    val dedup = edges.distinct
+    val nodes = dedup.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = nodes.size.toDouble
+    val out = dedup.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var rank = nodes.map(_ -> 1.0).toMap
+    (1 to iters).foreach { _ =>
+      val dangling = nodes.filterNot(out.contains).map(rank).sum
+      val contrib = scala.collection.mutable.Map[Long, Double]()
+        .withDefaultValue(0.0)
+      out.foreach { case (s0, ts) =>
+        val share = rank(s0) / ts.size
+        ts.foreach(t => contrib(t) += share)
+      }
+      rank = nodes.map(v =>
+        v -> ((1.0 - d) + d * (contrib(v) + dangling / n))).toMap
+    }
+    rank
+  }
+
+  test("pageRank matches the driver reference, conserves total rank, " +
+      "ranks hubs above leaves, and stays in its job budget") {
+    val edges = Seq[(Long, Long)](
+      (1L, 2L), (2L, 3L), (3L, 1L), // cycle
+      (4L, 1L), (5L, 1L), (6L, 1L), // a hub at 1
+      (7L, 8L), // 8 is dangling (no out-edges)
+      (2L, 3L) // duplicate edge (deduped)
+    )
+    val expect = refPageRank(edges, 8, 0.85)
+    val counted = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        counted.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val got =
+      try {
+        val r = Graph.pageRank(edges.toDF("s", "t"), "s", "t",
+          iterations = 8).as[(Long, Double)].collect().toMap
+        org.apache.spark.sql.GraftShim.drainListenerBus(spark)
+        r
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (node, r) =>
+      assert(math.abs(r - expect(node)) < 1e-9,
+        s"rank($node) = $r, expected ${expect(node)}")
+    }
+    assert(math.abs(got.values.sum - got.size) < 1e-6,
+      "total rank not conserved at n")
+    assert(got(1L) > got(4L) && got(1L) > got(7L), "hub must out-rank leaves")
+    val jobs = counted.get()
+    // storm guard (the 120-job CC regression class), not exact accounting:
+    // ~5 jobs/round observed (broadcast builds + barrier), linear in rounds
+    assert(jobs < 8 * 6 + 12, s"pageRank launched $jobs jobs (budget ${8 * 6 + 12})")
+  }
 }
