@@ -1,0 +1,112 @@
+package graft.operators
+
+import graft.Tables
+import graft.sources.GraftTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.C — INVERTED TEXT INDEX as a lake artifact: a SERVED keyword-search
+  * surface at 100 TB is posting-list intersection, never a `contains()`
+  * scan of the text column (qAnnHybrid's predicate scans text — right
+  * for one-off filters; a repeated search workload amortizes ONE
+  * tokenize pass into an index). Postings are the DISTINCT
+  * (token, doc_id) pairs, written CLUSTERED by token and ledgered with
+  * min/max stats AND bloom filters on `token` — a query's terms prune
+  * posting FILES at the manifest level (the lake-native form of
+  * token-sharded posting lists), and the text column is never read at
+  * query time. Search is AND-intersection: filter postings to the terms
+  * (a pushed In + manifest skipping), count distinct matched terms per
+  * doc, keep docs matching all — one shuffle on doc_id, output
+  * query-sized. The index is built once per corpus CONTENT fingerprint
+  * (the ivfIndexDir discipline — the query path never fits or scans the
+  * corpus); a changed corpus gets a fresh index. At scale the same
+  * build lands via GraftTable.ingest into a shared lake location, and
+  * arrivals maintain it through the change feed like IvfDelta.
+  */
+object TextIndex {
+
+  private val dirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def fingerprint(d: String): String = {
+    val root = new java.io.File(s"$d/documents.parquet")
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+          .sortBy(_.getName).toSeq.flatMap(walk)
+      else Seq(f)
+    val rootPath = root.getAbsolutePath
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    digest.update(rootPath.getBytes("UTF-8"))
+    walk(root).foreach { f =>
+      val rel = f.getAbsolutePath.stripPrefix(rootPath)
+      digest.update(s"$rel:${f.length}:${f.lastModified}".getBytes("UTF-8"))
+    }
+    digest.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Build the posting-list lake at `indexRoot`: one tokenize pass,
+    * distinct pairs, token-clustered files (range partitioning keeps
+    * each token's postings in few files so the stats bounds are tight),
+    * ledgered with stats + blooms on token. */
+  def buildIndex(s: SparkSession, d: String, indexRoot: String): Unit = {
+    val postings = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(TextOps.tokens(col("text")))).as("token"))
+    postings
+      .repartitionByRange(8, col("token"))
+      .sortWithinPartitions(col("token"))
+      .write.parquet(s"$indexRoot/landing")
+    GraftTable(s, s"$indexRoot/ledger", s"$indexRoot/gen")
+      .ingest(s"$indexRoot/landing",
+        statsCols = Seq("token"), bloomCols = Seq("token"))
+  }
+
+  /** Index dir for a dataset, built at most once per content. */
+  def indexDir(s: SparkSession, d: String): String = {
+    val fp = fingerprint(d)
+    dirs.computeIfAbsent(fp, { _ =>
+      val idx = sys.props("java.io.tmpdir") + s"/graft_textidx_$fp"
+      if (!new java.io.File(s"$idx/landing/_SUCCESS").exists())
+        buildIndex(s, d, idx)
+      idx
+    })
+  }
+
+  /** The posting relation (manifest-driven lake read — data skipping on
+    * pushed token predicates included). */
+  def postings(s: SparkSession, d: String): DataFrame = {
+    val idx = indexDir(s, d)
+    GraftTable(s, s"$idx/ledger", s"$idx/gen").read()
+  }
+
+  /** Docs containing ALL of `terms` (exact whitespace-token semantics —
+    * the tokenizer the index was built with). */
+  def search(s: SparkSession, d: String, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "empty search")
+    postings(s, d)
+      .filter(col("token").isin(terms: _*))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("token")).as("__n"))
+      .filter(col("__n") === terms.size)
+      .select(col("doc_id"))
+  }
+
+  private[graft] val SearchTerms = Seq("spark", "merge", "window")
+
+  /** Driver-gate query: three-term AND search through the index; the
+    * oracle re-derives membership from the text directly (identical
+    * whitespace-token semantics — an index that dropped or invented a
+    * posting hash-mismatches). */
+  def qDocSearch(s: SparkSession, d: String): DataFrame =
+    search(s, d, SearchTerms).orderBy(col("doc_id"))
+
+  def qDocSearchSql: String = {
+    val conds = SearchTerms
+      .map(t => s"list_contains(regexp_split_to_array(trim(text), ' +'), '$t')")
+      .mkString(" AND ")
+    s"""SELECT doc_id FROM documents
+       |WHERE $conds
+       |ORDER BY doc_id""".stripMargin
+  }
+}
