@@ -56,19 +56,23 @@ object TextIndex {
     postings
       .repartitionByRange(8, col("token"))
       .sortWithinPartitions(col("token"))
-      .write.parquet(s"$indexRoot/landing")
+      .write.mode("overwrite").parquet(s"$indexRoot/landing")
     GraftTable(s, s"$indexRoot/ledger", s"$indexRoot/gen")
       .ingest(s"$indexRoot/landing",
         statsCols = Seq("token"), bloomCols = Seq("token"))
   }
 
-  /** Index dir for a dataset, built at most once per content. */
+  /** Index dir for a dataset, built at most once per content. The
+    * completion guard checks the LEDGER (the build's LAST artifact —
+    * the ivfIndexDir discipline): a crash between the landing write and
+    * the ingest must rebuild, never serve an empty index. */
   def indexDir(s: SparkSession, d: String): String = {
     val fp = fingerprint(d)
     dirs.computeIfAbsent(fp, { _ =>
       val idx = sys.props("java.io.tmpdir") + s"/graft_textidx_$fp"
-      if (!new java.io.File(s"$idx/landing/_SUCCESS").exists())
-        buildIndex(s, d, idx)
+      val ledgered = Option(new java.io.File(s"$idx/ledger").listFiles())
+        .exists(_.exists(_.getName.endsWith(".parquet")))
+      if (!ledgered) buildIndex(s, d, idx)
       idx
     })
   }
@@ -82,8 +86,9 @@ object TextIndex {
 
   /** Docs containing ALL of `terms` (exact whitespace-token semantics —
     * the tokenizer the index was built with). */
-  def search(s: SparkSession, d: String, terms: Seq[String]): DataFrame = {
-    require(terms.nonEmpty, "empty search")
+  def search(s: SparkSession, d: String, terms0: Seq[String]): DataFrame = {
+    val terms = terms0.distinct // AND of distinct terms: duplicates must
+    require(terms.nonEmpty, "empty search") // not make the query unsatisfiable
     postings(s, d)
       .filter(col("token").isin(terms: _*))
       .groupBy(col("doc_id"))

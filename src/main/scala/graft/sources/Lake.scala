@@ -193,6 +193,8 @@ object Lake {
       .localCheckpoint() // materialize BEFORE appending to the dir we read
     val n = delta.count()
     if (n > 0) reserving(spark, ledgerDir, nextSnapshot) {
+      sweepOrphanRecordings(ledgerDir, nextSnapshot,
+        stagedAtCommitting = false)
       delta.write.mode("append").parquet(ledgerDir)
     }
     // schema-in-manifest: the FIRST batch that lands records the table
@@ -1095,9 +1097,28 @@ object Lake {
     * winner's just-committed live files — and must not re-reserve here.
     * Purely-relational commits (restore, restat, ingest) reserve late,
     * after their compute, to shrink the crash window. */
+  /** Sweep schema recordings no landed snapshot can own: recordings are
+    * written BEFORE their snapshot's ledger rows (a crash must never
+    * land evolved files without their recording), so a crashed writer
+    * may orphan a recording at an id that never landed — every commit
+    * of snapshot `committing` deletes recordings ABOVE it, and AT it
+    * unless this writer staged that recording itself. */
+  private def sweepOrphanRecordings(ledgerDir: String, committing: Long,
+      stagedAtCommitting: Boolean): Unit = {
+    val re = """schema-(\d+)\.json""".r
+    Option(schemaDirF(ledgerDir).listFiles()).getOrElse(Array.empty)
+      .foreach(f => f.getName match {
+        case re(sid) if sid.toLong > committing
+          || (sid.toLong == committing && !stagedAtCommitting) =>
+          f.delete(): Unit
+        case _ => ()
+      })
+  }
+
   private def appendSnapshot(spark: SparkSession, ledgerDir: String,
       snapshot: Long, actions: DataFrame,
-      preReserved: Boolean = false): Unit = {
+      preReserved: Boolean = false, stagedSchema: Boolean = false): Unit = {
+    sweepOrphanRecordings(ledgerDir, snapshot, stagedSchema)
     val rows = withLedgerStats(actions)
       .withColumn("snapshot_id", lit(snapshot))
       .withColumn("ingested_at", current_timestamp())
@@ -1328,17 +1349,23 @@ object Lake {
             .withColumn("snapshot_op", lit("merge"))
             .withColumn("stats", lit(null).cast(StatsType)))
         else adds
-      appendSnapshot(spark, ledgerDir, next, actions, preReserved = true)
-      // AFTER the rows land: a crash before here leaves no evolved files
-      // live, so the cheap single-footer read path stays valid
+      // BEFORE the rows land: a crash between the append and a
+      // post-append recording would leave evolved files LIVE with a
+      // pre-evolution recording — the new column silently invisible
+      // forever. Recording first is safe: a recording for a snapshot
+      // that never lands is swept by the next appendSnapshot (ids are
+      // reserved monotonically), and the marker merely re-enables
+      // merged-footer reads for legacy tables.
       if (newCols.nonEmpty) {
         new java.io.File(s"$ledgerDir/_evolved").createNewFile()
-        // re-record the schema AT the evolving snapshot: reads at or
+        // record the schema AT the evolving snapshot: reads at or
         // above it see the union, time travel below keeps the old shape
         recordSchema(ledgerDir, next, org.apache.spark.sql.types.StructType(
           unionNames.map(nm =>
             org.apache.spark.sql.types.StructField(nm, dtypeOf(nm)))))
       }
+      appendSnapshot(spark, ledgerDir, next, actions, preReserved = true,
+        stagedSchema = newCols.nonEmpty)
       next
     }
   }
@@ -1461,11 +1488,15 @@ object Lake {
     val affectedActs = liveActs.get.filter(
       regexp_replace(col("path"), "^file:/+", "/")
         .isin(affectedNorm.toSeq: _*))
-    def affectedRows() = applyDvsAt(spark, ledgerDir, snap,
+    // the DV-applied affected rows feed FOUR consumers (constraint
+    // check, carry, delta, change feed) — materialize the blast radius
+    // once instead of re-scanning the affected files per consumer
+    val affectedRows = applyDvsAt(spark, ledgerDir, snap,
       scanActions(spark, ledgerDir, affectedActs, atSnapshot = snap))
+      .localCheckpoint()
     // hard contract on the rows that land — still read-only, pre-reserve
     enforceConstraints(spark, ledgerDir,
-      postImage(affectedRows().filter(coalesce(cond, lit(false)))))
+      postImage(affectedRows.filter(coalesce(cond, lit(false)))))
     reserving(spark, ledgerDir, next) {
       val genDir = s"$genRoot/gen-$next"
       // the mergeInto carry/delta discipline: carry = the affected files'
@@ -1474,9 +1505,9 @@ object Lake {
       // "merge" — consumers see exactly the changed rows). DV-applied:
       // MOR-deleted rows must not resurrect into the rewrite.
       val cols = target.columns.map(col)
-      affectedRows().filter(!coalesce(cond, lit(false))).select(cols: _*)
+      affectedRows.filter(!coalesce(cond, lit(false))).select(cols: _*)
         .write.mode("overwrite").parquet(s"$genDir/carry")
-      val pre = affectedRows().filter(coalesce(cond, lit(false)))
+      val pre = affectedRows.filter(coalesce(cond, lit(false)))
         .select(cols: _*)
       postImage(pre).write.mode("overwrite").parquet(s"$genDir/delta")
       if (changeFeed)
@@ -1716,6 +1747,12 @@ object Lake {
     * new snapshot (the current one when `rows` is empty). */
   def appendRows(spark: SparkSession, ledgerDir: String, genRoot: String,
       rows: DataFrame): Long = {
+    if (rows.isEmpty) return currentSnapshot(spark, ledgerDir)
+    // constraints enforce BEFORE the generation write (read-only pass on
+    // the input), so a refused append leaves ZERO generation debris —
+    // the appendExpect atomicity discipline; the promotion ingest skips
+    // its redundant re-check (provably the same rows)
+    enforceConstraints(spark, ledgerDir, rows)
     val dir = s"$genRoot/append-${java.util.UUID.randomUUID()}"
     rows.write.parquet(dir)
     val (statsCols, bloomCols) = readLedger(spark, ledgerDir) match {
@@ -1723,7 +1760,8 @@ object Lake {
         liveActionsAt(l, currentSnapshot(spark, ledgerDir)))
       case None => (Nil, Nil)
     }
-    ingestNewFiles(spark, dir, ledgerDir, statsCols, bloomCols)
+    ingestNewFiles(spark, dir, ledgerDir, statsCols, bloomCols,
+      enforceChecks = false)
     currentSnapshot(spark, ledgerDir)
   }
 
@@ -2016,14 +2054,28 @@ object Lake {
             .withColumn("snapshot_op", lit("restore"))))
         case None => baseActions
       }
-      appendSnapshot(spark, ledgerDir, next, actions, preReserved = true)
       // reads at/after the restore must resolve the RESTORED state's
       // schema (a rollback over a schema-evolving merge rolls the shape
-      // back too — the merged-footer read of the restored live set would
-      // have said the same)
+      // back too). Recorded BEFORE the rows land (the mergeInto crash
+      // discipline). A target that PREDATES schema recording on a table
+      // that has one now (legacy table evolved later) records the
+      // restored live set's footer-inferred schema instead — leaving it
+      // unrecorded would let the later recording leak a phantom column
+      // into the restored head.
+      val cur2 = recordedSchemaAt(ledgerDir, Long.MaxValue)
       val tgtSchema = recordedSchemaAt(ledgerDir, toSnapshot)
-      if (tgtSchema != recordedSchemaAt(ledgerDir, Long.MaxValue))
-        tgtSchema.foreach(recordSchema(ledgerDir, next, _))
+      val staged = cur2.nonEmpty && tgtSchema != cur2
+      if (staged) {
+        val sch = tgtSchema.getOrElse {
+          val idx = new LedgerFileIndex(liveActionsAt(
+            readLedger(spark, ledgerDir).get, toSnapshot))
+          org.apache.spark.sql.GraftShim.parquetScan(spark, idx,
+            mergeSchemas = true).schema
+        }
+        recordSchema(ledgerDir, next, sch)
+      }
+      appendSnapshot(spark, ledgerDir, next, actions, preReserved = true,
+        stagedSchema = staged)
       next
     }
   }
@@ -2890,18 +2942,11 @@ object Lake {
           catch { case _: Throwable => () })
         throw e
     }
-    try readLedger(spark, branchDir).get
-      .filter(col("snapshot_id") > fork && col("snapshot_id") <= branchHead)
-      .write.mode("append").parquet(mainDir)
-    catch {
-      case e: Throwable =>
-        acquired.foreach(id =>
-          try releaseCommit(spark, mainDir, id)
-          catch { case _: Throwable => () })
-        throw e
-    }
     // schema evolutions staged on the branch publish with their
-    // snapshots (KB metadata, same fast-forward semantics as the rows)
+    // snapshots (KB metadata, same fast-forward semantics as the rows) —
+    // copied BEFORE the rows land (the mergeInto ordering: evolved rows
+    // must never be live without their recording; a crash after the copy
+    // leaves recordings for unlanded ids, swept by the next commit)
     val schemaRe = """schema-(\d+)\.json""".r
     Option(schemaDirF(branchDir).listFiles()).getOrElse(Array.empty)
       .foreach(f => f.getName match {
@@ -2914,6 +2959,16 @@ object Lake {
       })
     if (new java.io.File(s"$branchDir/_evolved").exists())
       new java.io.File(s"$mainDir/_evolved").createNewFile(): Unit
+    try readLedger(spark, branchDir).get
+      .filter(col("snapshot_id") > fork && col("snapshot_id") <= branchHead)
+      .write.mode("append").parquet(mainDir)
+    catch {
+      case e: Throwable =>
+        acquired.foreach(id =>
+          try releaseCommit(spark, mainDir, id)
+          catch { case _: Throwable => () })
+        throw e
+    }
     ids
   }
 

@@ -5,6 +5,19 @@ import org.apache.spark.sql.functions._
 
 class AnalyticsSpec extends GraftSpec {
 
+  test("q_evt_m4's decimal ordering pack is a bijection on this corpus " +
+      "(event_id < 10^18, ts in [1970, 5138)) — the packing invariant") {
+    import org.apache.spark.sql.functions._
+    val b = graft.operators.Events.events(spark, sf)
+      .agg(min(col("event_id")), max(col("event_id")),
+        min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+    assert(b.getLong(0) >= 0L && b.getLong(1) < 1000000000000000000L,
+      s"event_id out of packing range: [${b.getLong(0)}, ${b.getLong(1)}]")
+    assert(b.getLong(2) >= 0L && b.getLong(3) < 100000000000000000L * 1000L,
+      s"ts out of packing range")
+  }
+
+
   test("fkEdge counts orphans and null keys on injected-dirty data") {
     val ss = spark
     import ss.implicits._

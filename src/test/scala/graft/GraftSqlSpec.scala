@@ -180,6 +180,40 @@ class GraftSqlSpec extends GraftSpec {
         "s.n_nationkey WHEN MATCHED AND s.n_regionkey = 1 THEN DELETE")
     }
     assert(e4.getMessage.contains("without an UPDATE SET *"))
+    // clause ORDER is semantics: Spark's parser already refuses a
+    // non-last unconditional clause (so UPDATE SET * before a DELETE
+    // cannot parse); the shadowed-second-DELETE form DOES parse and must
+    // refuse here, never silently drop the first condition
+    intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+      t.sql("MERGE INTO nat_x USING nat_x s ON nat_x.n_nationkey = " +
+        "s.n_nationkey WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN MATCHED AND s.n_regionkey = 1 THEN DELETE")
+    }
+    val e5 = intercept[RuntimeException] {
+      t.sql("MERGE INTO nat_x USING nat_x s ON nat_x.n_nationkey = " +
+        "s.n_nationkey WHEN MATCHED AND s.n_regionkey = 1 THEN DELETE " +
+        "WHEN MATCHED THEN DELETE")
+    }
+    assert(e5.getMessage.contains("multiple DELETE"), e5.getMessage)
+    // a delete condition referencing the TARGET evaluates against source
+    // rows on this surface — refuse rather than read the wrong relation
+    val e6 = intercept[RuntimeException] {
+      t.sql("MERGE INTO nat_x USING (SELECT n_nationkey FROM nat_x) s " +
+        "ON nat_x.n_nationkey = s.n_nationkey " +
+        "WHEN MATCHED AND nat_x.n_regionkey = 1 THEN DELETE " +
+        "WHEN MATCHED THEN UPDATE SET *")
+    }
+    assert(e6.getMessage.contains("TARGET"), e6.getMessage)
+    val e7 = intercept[RuntimeException] {
+      t.sql("MERGE INTO nat_x USING (SELECT n_nationkey FROM nat_x) s " +
+        "ON nat_x.n_nationkey = s.n_nationkey " +
+        "WHEN MATCHED AND n_regionkey = 1 THEN DELETE " +
+        "WHEN MATCHED THEN UPDATE SET *")
+    }
+    assert(e7.getMessage.contains("not a source column"), e7.getMessage)
+    // comments must not split statements
+    assert(t.sql("-- a comment; with a semicolon\nSELECT 1 AS one")
+      .head().getInt(0) == 1)
   }
 
   test("updateWhere is blast-radius-bounded (untouched files never " +
