@@ -45,18 +45,30 @@ object TextIndex {
     digest.digest().map("%02x".format(_)).mkString
   }
 
-  /** Build the posting-list lake at `indexRoot`: one tokenize pass,
-    * distinct pairs, token-clustered files (range partitioning keeps
-    * each token's postings in few files so the stats bounds are tight),
-    * ledgered with stats + blooms on token. */
+  /** Build the posting-list lake at `indexRoot`: ONE tokenize pass
+    * yields (token, doc_id, tf) postings (term frequency — the ranked
+    * retrieval needs it; boolean search ignores it) written
+    * token-clustered (range partitioning keeps each token's postings in
+    * few files so the stats bounds are tight) and ledgered with stats +
+    * blooms on token, plus the per-doc length sidecar `doclens`
+    * (doc_id, dl) and a 1-row `corpus` stats file (N, total length) —
+    * the BM25 normalization terms, KB-scale. */
   def buildIndex(s: SparkSession, d: String, indexRoot: String): Unit = {
-    val postings = Tables.documents(s, d)
+    val toks = Tables.documents(s, d)
       .select(col("doc_id"),
-        explode(array_distinct(TextOps.tokens(col("text")))).as("token"))
+        explode(TextOps.tokens(col("text"))).as("token"))
+    val postings = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
     postings
       .repartitionByRange(8, col("token"))
       .sortWithinPartitions(col("token"))
       .write.mode("overwrite").parquet(s"$indexRoot/landing")
+    val doclens = postings.groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("dl"))
+      .localCheckpoint()
+    doclens.write.mode("overwrite").parquet(s"$indexRoot/doclens")
+    doclens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexRoot/corpus")
     GraftTable(s, s"$indexRoot/ledger", s"$indexRoot/gen")
       .ingest(s"$indexRoot/landing",
         statsCols = Seq("token"), bloomCols = Seq("token"))
@@ -69,7 +81,10 @@ object TextIndex {
   def indexDir(s: SparkSession, d: String): String = {
     val fp = fingerprint(d)
     dirs.computeIfAbsent(fp, { _ =>
-      val idx = sys.props("java.io.tmpdir") + s"/graft_textidx_$fp"
+      // "textidx2": the layout now carries tf + doclens + corpus stats —
+      // a new dir name so a pre-tf index on disk can never satisfy the
+      // completion check (the ivfq lesson)
+      val idx = sys.props("java.io.tmpdir") + s"/graft_textidx2_$fp"
       val ledgered = Option(new java.io.File(s"$idx/ledger").listFiles())
         .exists(_.exists(_.getName.endsWith(".parquet")))
       if (!ledgered) buildIndex(s, d, idx)
@@ -99,12 +114,113 @@ object TextIndex {
 
   private[graft] val SearchTerms = Seq("spark", "merge", "window")
 
+  /** BM25-RANKED search — boolean retrieval's other half: score every
+    * doc matching ANY query term by Okapi BM25 (k1=1.2, b=0.75) and
+    * return ALL matches with their score. Cross-engine determinism
+    * discipline (the q_psi_drift lesson): per-term scores assemble in a
+    * FIXED term order as one row-local expression (a Σ over posting
+    * ROWS would re-order floating adds), df/N/dl/avgdl are exact
+    * integers or exact-ratio doubles, and the final score rounds to
+    * 9 dp to absorb the engines' ln() ulp slack — so DuckDB replays the
+    * whole ranking exactly. Plan shape: terms prune posting files at
+    * the manifest (pushed In), a PIVOT on the bounded term list turns
+    * postings into per-term tf columns (one doc_id shuffle), doclens
+    * joins on doc_id, corpus stats broadcast as a 1-row cross join. */
+  def searchRanked(s: SparkSession, d: String, terms0: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val terms = terms0.distinct
+    require(terms.nonEmpty, "empty search")
+    val idx = indexDir(s, d)
+    val hits = postings(s, d)
+      .filter(col("token").isin(terms: _*))
+      .groupBy(col("doc_id"))
+      .pivot("token", terms)
+      .agg(first(col("tf")))
+    val scored = hits
+      .join(s.read.parquet(s"$idx/doclens"), "doc_id")
+      .crossJoin(broadcast(s.read.parquet(s"$idx/corpus")))
+    // per-term df as exact literals resolved at PLAN time from the
+    // KB-scale postings metadata would still be a job; keep them in-plan
+    // as a broadcast 1-row aggregate per term folded into the cross join
+    val dfs = postings(s, d)
+      .filter(col("token").isin(terms: _*))
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val dfCols = terms.zipWithIndex.map { case (t, i) =>
+      max(when(col("token") === t, col("df"))).as(s"df_$i")
+    }
+    val dfRow = dfs.agg(dfCols.head, dfCols.tail: _*)
+    val withDf = scored.crossJoin(broadcast(dfRow))
+    def termScore(t: String, i: Int) = {
+      val tf = coalesce(col(t).cast("double"), lit(0.0))
+      val df = coalesce(col(s"df_$i").cast("double"), lit(0.0))
+      val idf = log(
+        (col("n_docs").cast("double") - df + lit(0.5)) / (df + lit(0.5))
+          + lit(1.0))
+      val avgdl = col("total_dl").cast("double") / col("n_docs").cast("double")
+      val norm = tf * lit(k1 + 1.0) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
+      when(tf > 0, idf * norm).otherwise(lit(0.0))
+    }
+    // fixed LEFT-ASSOCIATED term order — both engines add identically
+    val score = terms.zipWithIndex.map { case (t, i) => termScore(t, i) }
+      .reduce(_ + _)
+    withDf.select(col("doc_id"), round(score, 9).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+  }
+
   /** Driver-gate query: three-term AND search through the index; the
     * oracle re-derives membership from the text directly (identical
     * whitespace-token semantics — an index that dropped or invented a
     * posting hash-mismatches). */
   def qDocSearch(s: SparkSession, d: String): DataFrame =
     search(s, d, SearchTerms).orderBy(col("doc_id"))
+
+  /** Driver-gate ranked query: BM25 over the three standard terms, all
+    * matches + 9-dp scores (rank omitted on purpose: the VALUE set is
+    * order-insensitive-hash-robust; a rank column would hinge on ulp
+    * ties the rounding already absorbs). */
+  def qDocSearchRanked(s: SparkSession, d: String): DataFrame =
+    searchRanked(s, d, SearchTerms)
+
+  def qDocSearchRankedSql: String = {
+    val (k1, b) = (1.2, 0.75)
+    val terms = SearchTerms
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"sum(CASE WHEN token = '$t' THEN tf ELSE 0 END) AS tf_$i"
+    }.mkString(", ")
+    val dfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"(SELECT count(*) FROM postings WHERE token = '$t') AS df_$i"
+    }.mkString(", ")
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    val scoreExpr = terms.indices.map { i =>
+      s"""(CASE WHEN tf_$i > 0 THEN
+         | ln((n_docs - df_$i + 0.5) / (df_$i + 0.5) + 1.0)
+         | * (tf_$i * ${k1 + 1.0})
+         |   / (tf_$i + $k1 * ((1.0 - $b) + $b * dl / (total_dl * 1.0 / n_docs)))
+         | ELSE 0.0 END)""".stripMargin.replace("\n", " ")
+    }.reduce((a, c) => s"($a + $c)")
+    s"""WITH toks AS (
+       | SELECT doc_id, unnest(regexp_split_to_array(trim(text), ' +'))
+       |   AS token FROM documents),
+       |postings AS (
+       | SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+       | FROM toks GROUP BY 1, 2),
+       |doclens AS (
+       | SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl
+       | FROM postings GROUP BY 1),
+       |corpus AS (
+       | SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+       |        CAST(sum(dl) AS DOUBLE) AS total_dl FROM doclens),
+       |hits AS (
+       | SELECT doc_id, $tfCols
+       | FROM postings WHERE token IN ($termList) GROUP BY doc_id)
+       |SELECT h.doc_id, round($scoreExpr, 9) AS score
+       |FROM hits h
+       |JOIN doclens USING (doc_id)
+       |CROSS JOIN corpus
+       |CROSS JOIN (SELECT $dfCols)
+       |ORDER BY score DESC, h.doc_id""".stripMargin
+  }
 
   def qDocSearchSql: String = {
     val conds = SearchTerms
