@@ -1,0 +1,174 @@
+package graft.operators
+
+import graft.sources.GraftTable
+import graft.sources.Lake
+import graft.streaming.MirrorLoop
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.C — INCREMENTALLY-MAINTAINED inverted text index off the change
+  * feed: the [[IvfDelta]] discipline applied to search. A 100 TB corpus
+  * with daily arrivals cannot rebuild its search index per batch — it
+  * must be MAINTAINED. The design tension is real and the lake solves
+  * it: posting STORAGE wants token clustering (query-side manifest
+  * pruning) while MAINTENANCE is doc-keyed (a changed doc's postings
+  * scatter across every token shard — a doc-keyed COW delete would
+  * rewrite the whole index). Merge-on-read is exactly the missing
+  * piece:
+  *
+  *  - changed/deleted docs' old postings drop as MOR DELETION VECTORS
+  *    (KB sidecars; no token-clustered file ever rewrites),
+  *  - new/updated docs' postings APPEND as a fresh token-clustered
+  *    segment (the table's stats/bloom contract carries on — appends
+  *    never erode pruning),
+  *  - `maintain()`'s maxDvRows policy re-clusters via compaction once
+  *    MOR debt accumulates — the standard segment-merge.
+  *
+  * Doc lengths (the BM25 normalization side) live in their OWN
+  * doc-clustered lake and maintain by a plain file-targeted COW merge
+  * with a delete arm. Per-id resolution over a multi-snapshot window
+  * picks the latest image (max_by on commit snapshot, post-images over
+  * pre-images — the IvfDelta rule), so insert-then-delete nets to
+  * absent and re-inserts win. The maintenance round's only driver list
+  * is the changed doc-id batch (change-batch-sized — the §3
+  * control-plane exception); its one index-sized cost is the MOR match
+  * scan, column-pruned to doc_id.
+  */
+object TextIndexDelta {
+
+  /** The maintained postings lake (token, doc_id, tf). */
+  def table(spark: SparkSession, indexRoot: String): GraftTable =
+    GraftTable(spark, s"$indexRoot/ledger", s"$indexRoot/gen")
+
+  /** The maintained doc-length lake (doc_id, dl). */
+  def dlTable(spark: SparkSession, indexRoot: String): GraftTable =
+    GraftTable(spark, s"$indexRoot/dl_ledger", s"$indexRoot/dl_gen")
+
+  private def postingsOf(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+    .groupBy(col("doc_id"), col("token"))
+    .agg(count(lit(1)).as("tf"))
+
+  /** Index the source lake's current snapshot; no-op when already
+    * bootstrapped (cursor returned). */
+  def bootstrap(spark: SparkSession, srcLedger: String,
+      indexRoot: String): Long =
+    MirrorLoop.cursorOf(spark, indexRoot).getOrElse {
+      val snap = Lake.currentSnapshot(spark, srcLedger)
+      val posts = postingsOf(Lake.readAt(spark, srcLedger, snap))
+        .localCheckpoint()
+      posts
+        .repartitionByRange(8, col("token"))
+        .sortWithinPartitions(col("token"))
+        .write.mode("overwrite").parquet(s"$indexRoot/landing")
+      table(spark, indexRoot).ingest(s"$indexRoot/landing",
+        statsCols = Seq("token"), bloomCols = Seq("token"))
+      posts.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+        .repartitionByRange(4, col("doc_id"))
+        .write.mode("overwrite").parquet(s"$indexRoot/dl_landing")
+      dlTable(spark, indexRoot).ingest(s"$indexRoot/dl_landing",
+        statsCols = Seq("doc_id"))
+      MirrorLoop.markCursor(spark, indexRoot, snap)
+      snap
+    }
+
+  /** Fold every source change past the cursor into the index: one
+    * change-batch tokenize + one MOR tombstone wave + one fresh segment
+    * append + one doc-keyed doclens merge. Returns the new cursor. */
+  def applyRound(spark: SparkSession, srcLedger: String,
+      indexRoot: String): Long = {
+    val cur = MirrorLoop.cursorOf(spark, indexRoot).getOrElse(
+      throw new IllegalStateException(s"index at $indexRoot not bootstrapped"))
+    val changes = Lake.readChanges(spark, srcLedger, cur)
+    if (changes.isEmpty) return cur
+    val target = changes.agg(max(col("_commit_snapshot"))).head().getLong(0)
+    // latest image per doc across the window (IvfDelta rule)
+    val rank = when(col("_change_type")
+      .isin("insert", "update_postimage"), lit(1)).otherwise(lit(0))
+    val latest = changes
+      .groupBy(col("doc_id"))
+      .agg(max_by(struct(col("_change_type"), col("text")),
+        struct(col("_commit_snapshot"), rank)).as("w"))
+      .select(col("doc_id"), col("w._change_type").as("_change_type"),
+        col("w.text").as("text"))
+      .localCheckpoint() // feeds tombstones, new postings, and doclens
+    // change-batch-sized driver list (control-plane exception): the MOR
+    // tombstone predicate and the merge arms key on these ids
+    val changedIds = latest.select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSeq
+    val t = table(spark, indexRoot)
+    // 1. tombstone EVERY changed doc's old postings (update = replace
+    //    whole posting set; delete = drop it) — KB sidecars, no rewrite
+    t.deleteMor(col("doc_id").isin(changedIds: _*))
+    // 2. fresh token-clustered segment for the surviving docs
+    val live = latest
+      .filter(col("_change_type").isin("insert", "update_postimage"))
+    val newPosts = postingsOf(live).localCheckpoint()
+    if (!newPosts.isEmpty)
+      t.append(newPosts
+        .repartitionByRange(2, col("token"))
+        .sortWithinPartitions(col("token")))
+    // 3. doclens: file-targeted COW merge with a delete arm
+    val dl = dlTable(spark, indexRoot)
+    val dlUpserts = newPosts.groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("dl"))
+      .withColumn("_drop", lit(false))
+    val deleted = latest.filter(col("_change_type") === "delete")
+      .select(col("doc_id"), lit(null).cast("long").as("dl"),
+        lit(true).as("_drop"))
+      .join(dl.read().select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), lit(null).cast("long").as("dl"),
+        lit(true).as("_drop"))
+    dl.merge(dlUpserts.unionByName(deleted), "doc_id",
+      deleteWhen = Some(col("_drop")))
+    MirrorLoop.markCursor(spark, indexRoot, target)
+    target
+  }
+
+  /** Driver-gate entry ([rows]): lake the documents table, bootstrap,
+    * fold one mixed wave (inserts + updates + a delete) through the
+    * change feed, search the maintained index. Fixture (lake build +
+    * bootstrap + wave) vs operator (the round + search) are
+    * bench-phase-split; TextIndexDeltaSpec proves maintained ≡
+    * from-scratch. */
+  def qDocSearchDelta(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tidxd").toString
+    val src = GraftTable(spark, s"$tmp/src_ledger", s"$tmp/src_gen")
+    val idx = s"$tmp/idx"
+    graft.BenchPhase("fixture") {
+      graft.Tables.documents(spark, d).select("doc_id", "text")
+        .repartition(4).write.parquet(s"$tmp/landing")
+      src.ingest(s"$tmp/landing")
+      bootstrap(spark, src.ledgerDir, idx): Unit
+      val maxId = src.read().agg(max(col("doc_id"))).head().getLong(0)
+      src.merge(Seq(
+        (maxId + 1, "spark merge window fresh doc"),
+        (maxId + 2, "spark merge another fresh doc"),
+        (1L, "rewritten without the terms")).toDF("doc_id", "text"),
+        "doc_id", changeFeed = true)
+      src.merge(Seq((2L, "tombstoned")).toDF("doc_id", "text"), "doc_id",
+        deleteWhen = Some(lit(true)), changeFeed = true): Unit
+    }
+    val out = graft.BenchPhase("op") {
+      applyRound(spark, src.ledgerDir, idx)
+      search(spark, idx, Seq("spark", "merge"))
+        .orderBy(col("doc_id")).localCheckpoint()
+    }
+    MirrorLoop.rmrf(new java.io.File(tmp))
+    out
+  }
+
+  /** Boolean AND search over the MAINTAINED index (DV-applied read). */
+  def search(spark: SparkSession, indexRoot: String,
+      terms0: Seq[String]): DataFrame = {
+    val terms = terms0.distinct
+    require(terms.nonEmpty, "empty search")
+    table(spark, indexRoot).read()
+      .filter(col("token").isin(terms: _*))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("token")).as("__n"))
+      .filter(col("__n") === terms.size)
+      .select(col("doc_id"))
+  }
+}

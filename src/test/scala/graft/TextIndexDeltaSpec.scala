@@ -1,0 +1,99 @@
+package graft
+
+import graft.operators.{TextIndexDelta, TextOps}
+import graft.sources.GraftTable
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Maintained inverted index: after any mix of insert/update/delete
+  * waves folded through the change feed, search over the maintained
+  * index EQUALS search over an index rebuilt from scratch — updates
+  * replace whole posting sets (vanished tokens stop matching), deletes
+  * tombstone without rewriting token-clustered files, re-inserts win,
+  * and the doclens lake tracks. */
+class TextIndexDeltaSpec extends GraftSpec {
+
+  private def tokenBaseline(docs: org.apache.spark.sql.DataFrame,
+      terms: Seq[String]): Set[Long] =
+    docs.withColumn("toks", TextOps.tokens(col("text")))
+      .filter(terms.map(t => array_contains(col("toks"), t)).reduce(_ && _))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+
+  test("maintained index == from-scratch across insert/update/delete " +
+      "waves; tombstones never rewrite posting files; doclens track") {
+    val sp = spark; import sp.implicits._
+    val tmp = Files.createTempDirectory("graft_tidx_delta").toString
+    val src = GraftTable(spark, s"$tmp/src_ledger", s"$tmp/src_gen")
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+      .limit(120).repartition(4)
+      .write.parquet(s"$tmp/landing")
+    src.ingest(s"$tmp/landing")
+    val idx = s"$tmp/idx"
+    TextIndexDelta.bootstrap(spark, src.ledgerDir, idx)
+    val terms = Seq("spark", "merge")
+    def check(tag: String): Unit = {
+      val got = TextIndexDelta.search(spark, idx, terms).collect()
+        .map(_.getLong(0)).toSet
+      val expect = tokenBaseline(src.read(), terms)
+      assert(got == expect, s"$tag: maintained index diverged " +
+        s"(${got.size} vs ${expect.size})")
+      // doclens equal the recomputed lengths
+      val dls = TextIndexDelta.dlTable(spark, idx).read().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val ref = src.read()
+        .select(col("doc_id"), size(TextOps.tokens(col("text"))).as("dl"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+      assert(dls == ref, s"$tag: doclens diverged")
+    }
+    check("bootstrap")
+
+    val postingFiles0 = TextIndexDelta.table(spark, idx).files()
+      .select("path").collect().map(_.getString(0)).toSet
+
+    // wave 1: INSERT new docs containing the terms
+    src.merge(Seq(
+      (900001L, "spark merge window alpha"),
+      (900002L, "spark only here")).toDF("doc_id", "text"),
+      "doc_id", changeFeed = true)
+    TextIndexDelta.applyRound(spark, src.ledgerDir, idx)
+    check("insert wave")
+
+    // wave 2: UPDATE — 900001 loses 'merge' (its old postings must stop
+    // matching), an existing doc gains both terms
+    val gain = src.read().filter(col("doc_id") === 5L).head()
+    src.merge(Seq(
+      (900001L, "spark window beta no-longer-matching"),
+      (5L, gain.getString(1) + " spark merge")).toDF("doc_id", "text"),
+      "doc_id", changeFeed = true)
+    TextIndexDelta.applyRound(spark, src.ledgerDir, idx)
+    check("update wave")
+
+    // wave 3: DELETE one matching doc + re-insert another with new text
+    src.merge(Seq(
+      (5L, "tombstoned")).toDF("doc_id", "text"), "doc_id",
+      deleteWhen = Some(lit(true)), changeFeed = true)
+    src.merge(Seq(
+      (5L, "spark merge resurrected")).toDF("doc_id", "text"),
+      "doc_id", changeFeed = true)
+    TextIndexDelta.applyRound(spark, src.ledgerDir, idx)
+    check("delete + re-insert wave")
+
+    // the bootstrap's token-clustered posting files never rewrote:
+    // tombstones are sidecars, new postings are fresh segments
+    val postingFilesN = TextIndexDelta.table(spark, idx).files()
+      .select("path").collect().map(_.getString(0)).toSet
+    assert(postingFiles0.subsetOf(postingFilesN),
+      "a maintenance round rewrote bootstrap posting files " +
+        "(tombstones must be MOR sidecars)")
+    // catch-up equivalence: a SECOND index folding all waves in ONE
+    // round equals the per-wave-maintained one
+    val idx2 = s"$tmp/idx2"
+    TextIndexDelta.bootstrap(spark, src.ledgerDir, idx2)
+    val a = TextIndexDelta.search(spark, idx, terms).collect()
+      .map(_.getLong(0)).toSet
+    val b = TextIndexDelta.search(spark, idx2, terms).collect()
+      .map(_.getLong(0)).toSet
+    assert(a == b, "per-wave maintenance diverged from one-shot rebuild")
+  }
+}
