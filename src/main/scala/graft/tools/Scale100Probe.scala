@@ -95,6 +95,7 @@ object Scale100Probe {
         "q_stat_moments" -> (Relational3.qStatMoments _),
         "q2_mincost_supp" -> (Relational3.q2MincostSupp _),
         "q11_top_share" -> (Relational3.q11TopShare _),
+      "q12_late_lines" -> (Relational3.q12LateLines _),
         // sampling trio at 100×: split/mix are pure narrow passes (the
         // ratio records scan-boundedness); overlap's replicated docs
         // repeat token sets, so distinct (fingerprint, source) keeps its
