@@ -259,6 +259,32 @@ object ScaleProbe {
       report(f"diff    10x/1x ratio ${lcTimes(1)._1 / lcTimes(0)._1}%5.2f (flat = file-pruned to the wave)")
       report(f"publish 10x/1x ratio ${lcTimes(1)._2 / lcTimes(0)._2}%5.2f (flat = KB ledger copy)")
       report(f"scd2    10x/1x ratio ${lcTimes(1)._3 / lcTimes(0)._3}%5.2f (flat = change-feed-sized)")
+      // r11: maintained-text-index round at 10x corpus with a FIXED wave.
+      // The round's one index-sized cost is the MOR tombstone match scan
+      // (doc-keyed predicate over token-clustered postings cannot prune
+      // files — documented in TextIndexDelta); everything else is
+      // wave-sized. The ratio quantifies that honest scan cost.
+      val tiRoot = "/tmp/sf1_synth_tidx"
+      rmrf(new java.io.File(tiRoot))
+      val tiTimes = for ((tag, dataDir) <- Seq("1x" -> src, "10x" -> out)) yield {
+        val srcT = graft.sources.GraftTable(spark,
+          s"$tiRoot/$tag/src_ledger", s"$tiRoot/$tag/src_gen")
+        spark.read.parquet(s"$dataDir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+          .repartition(8).write.parquet(s"$tiRoot/$tag/landing")
+        srcT.ingest(s"$tiRoot/$tag/landing")
+        val idx = s"$tiRoot/$tag/idx"
+        graft.operators.TextIndexDelta.bootstrap(spark, srcT.ledgerDir, idx)
+        import spark.implicits._
+        srcT.merge((0L until 200L)
+          .map(i => (900000000L + i, s"spark merge window probe doc $i"))
+          .toDF("doc_id", "text"), "doc_id", changeFeed = true)
+        val t = timed { graft.operators.TextIndexDelta
+          .applyRound(spark, srcT.ledgerDir, idx): Unit }
+        report(f"tidx_round_$tag%-12s ${t}%6.2f s   (fixed 200-doc wave)")
+        t
+      }
+      report(f"tidx_round 10x/1x ratio ${tiTimes(1) / tiTimes(0)}%5.2f (sub-10x = only the column-pruned tombstone match scan is index-sized)")
     }
     sys.env.get("SPARK_GRAFT_PROBE_OUT").foreach { path =>
       java.nio.file.Files.write(java.nio.file.Paths.get(path),
