@@ -57,8 +57,11 @@ object TextIndex {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"),
         explode(TextOps.tokens(col("text"))).as("token"))
+    // materialize the tokenize ONCE — both the landing write and the
+    // doclens rollup read the checkpointed postings, not the lineage
     val postings = toks.groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     postings
       .repartitionByRange(8, col("token"))
       .sortWithinPartitions(col("token"))
@@ -99,18 +102,25 @@ object TextIndex {
     GraftTable(s, s"$idx/ledger", s"$idx/gen").read()
   }
 
-  /** Docs containing ALL of `terms` (exact whitespace-token semantics —
-    * the tokenizer the index was built with). */
-  def search(s: SparkSession, d: String, terms0: Seq[String]): DataFrame = {
-    val terms = terms0.distinct // AND of distinct terms: duplicates must
-    require(terms.nonEmpty, "empty search") // not make the query unsatisfiable
-    postings(s, d)
+  /** The AND-intersection body shared by the static and maintained
+    * indexes (one copy of the semantics — duplicate terms must not make
+    * the query unsatisfiable, hence the distinct). */
+  private[operators] def searchPostings(postings: DataFrame,
+      terms0: Seq[String]): DataFrame = {
+    val terms = terms0.distinct
+    require(terms.nonEmpty, "empty search")
+    postings
       .filter(col("token").isin(terms: _*))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("token")).as("__n"))
       .filter(col("__n") === terms.size)
       .select(col("doc_id"))
   }
+
+  /** Docs containing ALL of `terms` (exact whitespace-token semantics —
+    * the tokenizer the index was built with). */
+  def search(s: SparkSession, d: String, terms0: Seq[String]): DataFrame =
+    searchPostings(postings(s, d), terms0)
 
   private[graft] val SearchTerms = Seq("spark", "merge", "window")
 
@@ -131,24 +141,24 @@ object TextIndex {
     val terms = terms0.distinct
     require(terms.nonEmpty, "empty search")
     val idx = indexDir(s, d)
+    // ONE manifest-pruned posting scan feeds both the per-doc tf pivot
+    // and the per-term df counts: the pivoted frame is query-sized, so
+    // checkpoint it and read df off its non-null column counts (a doc
+    // holds a non-null tf_t exactly when it contains t — every doc with
+    // any query term is in the frame, so count(t) IS df_t).
     val hits = postings(s, d)
       .filter(col("token").isin(terms: _*))
       .groupBy(col("doc_id"))
       .pivot("token", terms)
       .agg(first(col("tf")))
+      .localCheckpoint()
     val scored = hits
       .join(s.read.parquet(s"$idx/doclens"), "doc_id")
       .crossJoin(broadcast(s.read.parquet(s"$idx/corpus")))
-    // per-term df as exact literals resolved at PLAN time from the
-    // KB-scale postings metadata would still be a job; keep them in-plan
-    // as a broadcast 1-row aggregate per term folded into the cross join
-    val dfs = postings(s, d)
-      .filter(col("token").isin(terms: _*))
-      .groupBy(col("token")).agg(count(lit(1)).as("df"))
     val dfCols = terms.zipWithIndex.map { case (t, i) =>
-      max(when(col("token") === t, col("df"))).as(s"df_$i")
+      count(col(t)).as(s"df_$i")
     }
-    val dfRow = dfs.agg(dfCols.head, dfCols.tail: _*)
+    val dfRow = hits.agg(dfCols.head, dfCols.tail: _*)
     val withDf = scored.crossJoin(broadcast(dfRow))
     def termScore(t: String, i: Int) = {
       val tf = coalesce(col(t).cast("double"), lit(0.0))
@@ -195,8 +205,8 @@ object TextIndex {
     val scoreExpr = terms.indices.map { i =>
       s"""(CASE WHEN tf_$i > 0 THEN
          | ln((n_docs - df_$i + 0.5) / (df_$i + 0.5) + 1.0)
-         | * (tf_$i * ${k1 + 1.0})
-         |   / (tf_$i + $k1 * ((1.0 - $b) + $b * dl / (total_dl * 1.0 / n_docs)))
+         | * ((tf_$i * ${k1 + 1.0})
+         |   / (tf_$i + $k1 * ((1.0 - $b) + $b * dl / (total_dl * 1.0 / n_docs))))
          | ELSE 0.0 END)""".stripMargin.replace("\n", " ")
     }.reduce((a, c) => s"($a + $c)")
     s"""WITH toks AS (

@@ -50,10 +50,15 @@ object TextIndexDelta {
     .agg(count(lit(1)).as("tf"))
 
   /** Index the source lake's current snapshot; no-op when already
-    * bootstrapped (cursor returned). */
+    * bootstrapped (cursor returned). Crash-idempotent: the cursor is the
+    * LAST artifact, so a missing cursor means the index never went live —
+    * any partial state (a crash between the two ingests and the cursor
+    * write left ledgered rows pointing at landing files a re-run's
+    * overwrite would delete) is wiped before rebuilding. */
   def bootstrap(spark: SparkSession, srcLedger: String,
       indexRoot: String): Long =
     MirrorLoop.cursorOf(spark, indexRoot).getOrElse {
+      MirrorLoop.rmrf(new java.io.File(indexRoot))
       val snap = Lake.currentSnapshot(spark, srcLedger)
       val posts = postingsOf(Lake.readAt(spark, srcLedger, snap))
         .localCheckpoint()
@@ -82,15 +87,19 @@ object TextIndexDelta {
     val changes = Lake.readChanges(spark, srcLedger, cur)
     if (changes.isEmpty) return cur
     val target = changes.agg(max(col("_commit_snapshot"))).head().getLong(0)
-    // latest image per doc across the window (IvfDelta rule)
+    // latest image per doc across the window (IvfDelta rule). The
+    // composite ordering (snapshot, post-over-pre) packs into ONE long —
+    // a struct ordering OR value demotes the aggregate to SortAggregate
+    // (struct buffers aren't UnsafeRow-mutable); two max_by over the
+    // same packed key pick the same row (within a doc's group each
+    // change row has a distinct (snapshot, rank) pair).
     val rank = when(col("_change_type")
       .isin("insert", "update_postimage"), lit(1)).otherwise(lit(0))
+    val ord = col("_commit_snapshot") * lit(2L) + rank
     val latest = changes
       .groupBy(col("doc_id"))
-      .agg(max_by(struct(col("_change_type"), col("text")),
-        struct(col("_commit_snapshot"), rank)).as("w"))
-      .select(col("doc_id"), col("w._change_type").as("_change_type"),
-        col("w.text").as("text"))
+      .agg(max_by(col("_change_type"), ord).as("_change_type"),
+        max_by(col("text"), ord).as("text"))
       .localCheckpoint() // feeds tombstones, new postings, and doclens
     // change-batch-sized driver list (control-plane exception): the MOR
     // tombstone predicate and the merge arms key on these ids
@@ -108,15 +117,21 @@ object TextIndexDelta {
       t.append(newPosts
         .repartitionByRange(2, col("token"))
         .sortWithinPartitions(col("token")))
-    // 3. doclens: file-targeted COW merge with a delete arm
+    // 3. doclens: file-targeted COW merge with a delete arm. EVERY
+    //    changed doc that ends the round with no postings loses its dl
+    //    row — explicit deletes AND updates to token-less text (a
+    //    from-scratch bootstrap has no dl row for either). The
+    //    had-a-row guard keeps never-indexed deletes out of the merge
+    //    source, and its isin filter keeps the probe file-pruned
+    //    (change-batch-sized) instead of a full doclens scan.
     val dl = dlTable(spark, indexRoot)
     val dlUpserts = newPosts.groupBy(col("doc_id"))
       .agg(sum(col("tf")).as("dl"))
       .withColumn("_drop", lit(false))
-    val deleted = latest.filter(col("_change_type") === "delete")
-      .select(col("doc_id"), lit(null).cast("long").as("dl"),
-        lit(true).as("_drop"))
-      .join(dl.read().select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val deleted = latest.select(col("doc_id"))
+      .join(dlUpserts.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .join(dl.read().filter(col("doc_id").isin(changedIds: _*))
+        .select(col("doc_id")), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), lit(null).cast("long").as("dl"),
         lit(true).as("_drop"))
     dl.merge(dlUpserts.unionByName(deleted), "doc_id",
@@ -159,16 +174,10 @@ object TextIndexDelta {
     out
   }
 
-  /** Boolean AND search over the MAINTAINED index (DV-applied read). */
+  /** Boolean AND search over the MAINTAINED index (DV-applied read) —
+    * the same intersection semantics as the static index, via the one
+    * shared body. */
   def search(spark: SparkSession, indexRoot: String,
-      terms0: Seq[String]): DataFrame = {
-    val terms = terms0.distinct
-    require(terms.nonEmpty, "empty search")
-    table(spark, indexRoot).read()
-      .filter(col("token").isin(terms: _*))
-      .groupBy(col("doc_id"))
-      .agg(countDistinct(col("token")).as("__n"))
-      .filter(col("__n") === terms.size)
-      .select(col("doc_id"))
-  }
+      terms0: Seq[String]): DataFrame =
+    TextIndex.searchPostings(table(spark, indexRoot).read(), terms0)
 }

@@ -42,6 +42,7 @@ class TextIndexDeltaSpec extends GraftSpec {
       val dls = TextIndexDelta.dlTable(spark, idx).read().collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       val ref = src.read()
+        .filter(col("text").isNotNull) // null text → no postings, no dl row
         .select(col("doc_id"), size(TextOps.tokens(col("text"))).as("dl"))
         .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
       assert(dls == ref, s"$tag: doclens diverged")
@@ -60,24 +61,42 @@ class TextIndexDeltaSpec extends GraftSpec {
     check("insert wave")
 
     // wave 2: UPDATE — 900001 loses 'merge' (its old postings must stop
-    // matching), an existing doc gains both terms
-    val gain = src.read().filter(col("doc_id") === 5L).head()
+    // matching), an existing doc gains both terms. The target is picked
+    // from the ACTUALLY-ingested ids (limit() takes an unspecified
+    // subset — assuming any literal id survived it is flaky).
+    val gainId = src.read().filter(col("doc_id") < 900000L)
+      .agg(min(col("doc_id"))).head().getLong(0)
+    val gain = src.read().filter(col("doc_id") === gainId).head()
     src.merge(Seq(
       (900001L, "spark window beta no-longer-matching"),
-      (5L, gain.getString(1) + " spark merge")).toDF("doc_id", "text"),
+      (gainId, gain.getString(1) + " spark merge")).toDF("doc_id", "text"),
       "doc_id", changeFeed = true)
     TextIndexDelta.applyRound(spark, src.ledgerDir, idx)
     check("update wave")
 
     // wave 3: DELETE one matching doc + re-insert another with new text
     src.merge(Seq(
-      (5L, "tombstoned")).toDF("doc_id", "text"), "doc_id",
+      (gainId, "tombstoned")).toDF("doc_id", "text"), "doc_id",
       deleteWhen = Some(lit(true)), changeFeed = true)
     src.merge(Seq(
-      (5L, "spark merge resurrected")).toDF("doc_id", "text"),
+      (gainId, "spark merge resurrected")).toDF("doc_id", "text"),
       "doc_id", changeFeed = true)
     TextIndexDelta.applyRound(spark, src.ledgerDir, idx)
     check("delete + re-insert wave")
+
+    // wave 4: UPDATE a doc's text to NULL — its postings must tombstone
+    // AND its doclens row must drop (a from-scratch bootstrap has
+    // neither; a stale dl row would poison future BM25 normalization)
+    val nullId = src.read()
+      .filter(col("doc_id") < 900000L && col("doc_id") =!= gainId)
+      .agg(min(col("doc_id"))).head().getLong(0)
+    src.merge(Seq((nullId, null.asInstanceOf[String]))
+      .toDF("doc_id", "text"), "doc_id", changeFeed = true)
+    TextIndexDelta.applyRound(spark, src.ledgerDir, idx)
+    check("null-text update wave")
+    assert(TextIndexDelta.dlTable(spark, idx).read()
+      .filter(col("doc_id") === nullId).isEmpty,
+      "null-text update left a stale doclens row")
 
     // the bootstrap's token-clustered posting files never rewrote:
     // tombstones are sidecars, new postings are fresh segments
