@@ -76,6 +76,12 @@ final case class GraftTable(spark: SparkSession, ledgerDir: String,
   def statsCount(at: Long = Long.MaxValue): Option[Long] =
     Lake.statsCount(spark, ledgerDir, at)
 
+  /** Manifest-only min/max + count for integral/string columns (see
+    * Lake.statsMinMax); None whenever exactness can't be guaranteed. */
+  def statsMinMax(cols: Seq[String],
+      at: Long = Long.MaxValue): Option[org.apache.spark.sql.DataFrame] =
+    Lake.statsMinMax(spark, ledgerDir, cols, at)
+
   /** Rows of every row-changing snapshot after `s`, exactly once. */
   def readSince(s: Long): DataFrame = Lake.readSince(spark, ledgerDir, s)
 

@@ -1793,6 +1793,111 @@ object Lake {
     Some(agg.getLong(0) - dvRows(spark, ledgerDir, s))
   }
 
+  /** MANIFEST-ONLY MIN/MAX — `min(c)`/`max(c)` answered from the live
+    * files' winning-add stats with ZERO data-file reads (the metadata
+    * fast path every bounds probe wants at 100 TB: KB of ledger rows
+    * instead of a table scan). Served ONLY where the recorded bounds
+    * are exact, refusing (None) rather than guessing when any of these
+    * hold: the table has no recorded schema ([[recordSchema]] — footer
+    * inference would break the zero-read guarantee), a requested column
+    * is neither integral nor string (numeric bounds store floor/ceil —
+    * conservative OUTER bounds, not exact values; other types record no
+    * bounds at all), any live file lacks servable bounds for a
+    * requested column (statless ingest, or a bloom-only entry), any
+    * live file lacks row counts (the count side), or ACTIVE DELETION
+    * VECTORS exist at the snapshot (a MOR-deleted row may hold the
+    * bound — only a scan can know which). A file whose column is
+    * entirely null keeps its entry with null bounds + a full null
+    * count: min/max skip it, matching SQL null semantics; a table whose
+    * column is all-null everywhere answers null. Returns a 1-row frame
+    * `min_<c>, max_<c>` per column, typed per the recorded schema, plus
+    * `cnt` ([[statsCount]]'s DV-subtraction-exact total). */
+  def statsMinMax(spark: SparkSession, ledgerDir: String,
+      cols: Seq[String],
+      snapshot: Long = Long.MaxValue): Option[DataFrame] = {
+    import org.apache.spark.sql.types._
+    val s = if (snapshot == Long.MaxValue) currentSnapshot(spark, ledgerDir)
+      else snapshot
+    val schema = recordedSchemaAt(ledgerDir, s).getOrElse(return None)
+    val kinds: Seq[(String, DataType, Boolean)] = cols.map { c =>
+      val f = schema.find(_.name == c).getOrElse(return None)
+      f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          (c, f.dataType, true)
+        case StringType => (c, f.dataType, false)
+        case _ => return None // no exact bounds recorded for this type
+      }
+    }
+    val total = statsCount(spark, ledgerDir, s).getOrElse(return None)
+    def out(vals: Seq[org.apache.spark.sql.Column]) =
+      Some(spark.range(1).select(vals: _*))
+    val ledger = readLedger(spark, ledgerDir).getOrElse(
+      return out(kinds.flatMap { case (c, dt, _) =>
+        Seq(lit(null).cast(dt).as(s"min_$c"),
+          lit(null).cast(dt).as(s"max_$c"))
+      } :+ lit(0L).as("cnt")))
+    if (dvRows(spark, ledgerDir, s) > 0) return None
+    val aggs = kinds.flatMap { case (c, _, num) =>
+      val e = try_element_at(col("stats"), lit(c))
+      val lo = if (num) e.getField("lo") else e.getField("slo")
+      val hi = if (num) e.getField("hi") else e.getField("shi")
+      // a file is unservable when the column's entry is absent entirely,
+      // or carries no bounds while holding non-null values (bloom-only)
+      val unservable = e.isNull || (lo.isNull &&
+        not(coalesce(e.getField("nulls") === e.getField("nrows"),
+          lit(false))))
+      Seq(min(lo).as(s"__mn_$c"), max(hi).as(s"__mx_$c"),
+        count(when(unservable, 1)).as(s"__miss_$c"))
+    }
+    val row = liveActionsAt(ledger, s).agg(aggs.head, aggs.tail: _*).head()
+    kinds.indices.foreach { i =>
+      if (row.getLong(i * 3 + 2) > 0) return None
+    }
+    out(kinds.zipWithIndex.flatMap { case ((c, dt, _), i) =>
+      def l(v: Any) = (if (v == null) lit(null) else lit(v)).cast(dt)
+      Seq(l(row.get(i * 3)).as(s"min_$c"),
+        l(row.get(i * 3 + 1)).as(s"max_$c"))
+    } :+ lit(total).as("cnt"))
+  }
+
+  /** Driver-gate query [oracle]: manifest-only aggregates over a lake
+    * whose lifecycle (an ingest wave, an append wave, a COW delete)
+    * exercises the winning-add stats carry — min/max/count answered
+    * with zero data-file reads must equal the scan the DuckDB oracle
+    * runs over the same final content. The refusal path is the honest
+    * part: the query DIES rather than silently scanning
+    * (MetaAggSpec proves the zero-read claim by stashing the data
+    * files away and covers every refusal branch). */
+  def qLakeMetaAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val tmp =
+      java.nio.file.Files.createTempDirectory("graft_metaagg_q").toString
+    val t = GraftTable(spark, s"$tmp/ledger", s"$tmp/gen")
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    graft.BenchPhase("fixture") {
+      orders.filter(col("o_orderkey") % 2 === 0)
+        .repartition(4).write.parquet(s"$tmp/landing")
+      t.ingest(s"$tmp/landing", statsCols = Seq("o_orderkey", "o_orderpriority"))
+      t.append(orders.filter(col("o_orderkey") % 2 === 1))
+      t.delete(col("o_orderkey") % 10 === 7): Unit
+    }
+    val out = graft.BenchPhase("op") {
+      statsMinMax(spark, t.ledgerDir, Seq("o_orderkey", "o_orderpriority"))
+        .getOrElse(sys.error(
+          "manifest refused a fully-stats'd lifecycle — carry broke"))
+        .localCheckpoint()
+    }
+    deleteRecursively(new java.io.File(tmp))
+    out
+  }
+
+  def qLakeMetaAggSql: String =
+    """SELECT min(o_orderkey) AS min_o_orderkey,
+      |       max(o_orderkey) AS max_o_orderkey,
+      |       min(o_orderpriority) AS min_o_orderpriority,
+      |       max(o_orderpriority) AS max_o_orderpriority,
+      |       count(*) AS cnt
+      |FROM orders WHERE o_orderkey % 10 <> 7""".stripMargin
+
   /** MERGE-ON-READ MERGE INTO — the write-optimized upsert (Iceberg v2
     * merge-on-read MERGE / Delta DV-merge analog), the shape a
     * high-frequency CDC sink wants: identical row semantics to

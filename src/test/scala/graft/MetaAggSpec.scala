@@ -64,6 +64,93 @@ class MetaAggSpec extends GraftSpec {
       "statsCount touched data files (failed after stash)")
   }
 
+  test("statsMinMax equals read().agg(min/max) across the lifecycle, " +
+      "answers with data stashed away, and refuses on every inexact path") {
+    val tmp = Files.createTempDirectory("graft_metamm").toString
+    val t = GraftTable(spark, s"$tmp/ledger", s"$tmp/gen")
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+    cust.repartition(4).write.parquet(s"$tmp/landing")
+    t.ingest(s"$tmp/landing",
+      statsCols = Seq("c_custkey", "c_name", "c_acctbal"))
+
+    def scanAgg(): (Long, Long, String, String, Long) = {
+      val r = t.read().agg(min(col("c_custkey")), max(col("c_custkey")),
+        min(col("c_name")), max(col("c_name")), count(lit(1))).head()
+      (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getLong(4))
+    }
+    def metaAgg(): Option[(Long, Long, String, String, Long)] =
+      t.statsMinMax(Seq("c_custkey", "c_name")).map { df =>
+        val r = df.head()
+        (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+          r.getLong(4))
+      }
+    assert(metaAgg() == Some(scanAgg()), "post-ingest")
+
+    // append inherits the stats contract; COW merge re-stats rewrites —
+    // the new global max comes from the appended generation's stats
+    t.append(cust.limit(10)
+      .withColumn("c_custkey", col("c_custkey") + 9000000)
+      .withColumn("c_name", concat(lit("zz_"), col("c_name"))))
+    assert(metaAgg() == Some(scanAgg()), "post-append")
+    t.merge(cust.limit(5).withColumn("c_acctbal", col("c_acctbal") + 1),
+      "c_custkey")
+    assert(metaAgg() == Some(scanAgg()), "post-merge")
+    // COW delete of the current min key: the bound must MOVE
+    val oldMin = scanAgg()._1
+    t.delete(col("c_custkey") === oldMin)
+    assert(metaAgg() == Some(scanAgg()), "post-delete (bound moved)")
+    assert(metaAgg().get._1 != oldMin)
+    // time travel: per-snapshot resolution
+    (1L to t.snapshot).foreach { s0 =>
+      val r = t.readAt(s0).agg(min(col("c_custkey")), max(col("c_custkey")),
+        count(lit(1))).head()
+      val m = t.statsMinMax(Seq("c_custkey"), s0)
+      assert(m.isDefined, s"refused at snapshot $s0")
+      assert(m.get.head() == org.apache.spark.sql.Row(
+        r.getLong(0), r.getLong(1), r.getLong(2)),
+        s"diverged at snapshot $s0")
+    }
+
+    // refusals — never guess:
+    // (a) non-integral numeric: DECIMAL bounds are floor/ceil, inexact
+    assert(t.statsMinMax(Seq("c_acctbal")).isEmpty, "decimal must refuse")
+    // (b) servable-typed column without recorded stats
+    assert(t.statsMinMax(Seq("c_mktsegment")).isEmpty,
+      "statless col must refuse")
+    // (b') column absent from the recorded schema
+    assert(t.statsMinMax(Seq("no_such_col")).isEmpty)
+    // (c) active deletion vectors: a MOR-deleted row may hold the bound
+    val expected = metaAgg().get
+    t.deleteMor(col("c_custkey") % 11 === 3)
+    assert(t.statsMinMax(Seq("c_custkey", "c_name")).isEmpty,
+      "active DVs must refuse")
+    // materializing the vectors (COW pass over them) restores service
+    t.delete(col("c_custkey") % 11 === 3)
+    assert(metaAgg() == Some(scanAgg()), "post-DV-materialization")
+
+    // the zero-data-read proof: stash EVERY data file; min/max must
+    // still answer, equal to what the (now impossible) scan said
+    val want = metaAgg().get
+    assert(want != expected) // the MOR+COW delete really changed content
+    val stash = new java.io.File(s"$tmp/stash"); stash.mkdirs()
+    var moved = 0
+    def stashData(f: java.io.File): Unit = {
+      if (f.isDirectory) {
+        if (f.getName == "dv") ()
+        else Option(f.listFiles()).getOrElse(Array()).foreach(stashData)
+      } else if (f.getName.endsWith(".parquet")) {
+        assert(f.renameTo(new java.io.File(stash, s"f$moved.parquet")))
+        moved += 1
+      }
+    }
+    stashData(new java.io.File(s"$tmp/landing"))
+    stashData(new java.io.File(s"$tmp/gen"))
+    assert(moved > 0, "stash moved nothing — proof vacuous")
+    assert(metaAgg() == Some(want),
+      "statsMinMax touched data files (failed after stash)")
+  }
+
   test("a statless live file makes statsCount refuse (None), never guess") {
     val tmp = Files.createTempDirectory("graft_metaagg_none").toString
     val t = GraftTable(spark, s"$tmp/ledger", s"$tmp/gen")
