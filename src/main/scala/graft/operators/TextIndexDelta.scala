@@ -174,6 +174,30 @@ object TextIndexDelta {
     out
   }
 
+  /** The streaming form — the index stays fresh CONTINUOUSLY: a file
+    * stream watches the source LEDGER dir as the arrival signal; each
+    * micro-batch fires one maintenance round. The batch's rows are
+    * deliberately unused — the cursor decides what is new, so replays
+    * after a checkpoint recovery fold nothing twice (the IvfDelta /
+    * MirrorLoop discipline, applied to the search index). */
+  def maintainStream(spark: SparkSession, srcLedger: String,
+      indexRoot: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val ledgerSchema = spark.read.parquet(srcLedger).schema
+    spark.readStream
+      .schema(ledgerSchema)
+      .option("maxFilesPerTrigger", "8")
+      .parquet(srcLedger)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        applyRound(spark, srcLedger, indexRoot)
+        ()
+      }
+      .start()
+  }
+
   /** Boolean AND search over the MAINTAINED index (DV-applied read) —
     * the same intersection semantics as the static index, via the one
     * shared body. */

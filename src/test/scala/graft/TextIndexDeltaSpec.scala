@@ -105,6 +105,20 @@ class TextIndexDeltaSpec extends GraftSpec {
     assert(postingFiles0.subsetOf(postingFilesN),
       "a maintenance round rewrote bootstrap posting files " +
         "(tombstones must be MOR sidecars)")
+    // streaming maintenance: a merge lands, the stream folds it; a
+    // restart with nothing new no-ops past the cursor
+    val ckpt = s"$tmp/ckpt"
+    src.merge(Seq(
+      (900003L, "spark merge streamed in"),
+      (900002L, "spark merge gained here too")).toDF("doc_id", "text"),
+      "doc_id", changeFeed = true)
+    TextIndexDelta.maintainStream(spark, src.ledgerDir, idx, ckpt)
+      .awaitTermination()
+    check("streamed wave")
+    TextIndexDelta.maintainStream(spark, src.ledgerDir, idx, ckpt)
+      .awaitTermination()
+    check("stream restart (no-op)")
+
     // catch-up equivalence: a SECOND index folding all waves in ONE
     // round equals the per-wave-maintained one
     val idx2 = s"$tmp/idx2"
