@@ -178,4 +178,86 @@ object Graph {
     }
     GraftShim.ofRows(caller, GraftShim.logicalPlan(ranks))
   }
+
+  /** PER-NODE TRIANGLE COUNTS of an undirected graph — the clustering/
+    * cohesion primitive (community detection, spam-graph features, dedup
+    * cluster sanity). Exact, each triangle counted once, via DEGREE
+    * ORIENTATION: orient every edge from its (degree, id)-lexicographic
+    * smaller endpoint to the larger, making a DAG where each triangle
+    * {x,y,z} survives as exactly one (u→v, u→w, v→w) pattern. The wedge
+    * join then fans out on OUT-degree under this orientation, which is
+    * O(√E) per node even for hubs — the standard bound that keeps a
+    * celebrity node from generating deg² wedges (a naive id-ordered
+    * orientation leaves a low-id hub with its full degree as fan-out).
+    * Plan shape: distinct edge set, one degree aggregate, a self-join on
+    * the oriented heads' shared tail (the wedge), one LEFT SEMI closure
+    * probe — all shuffle equi-joins, nothing driver-side, no windows.
+    * Output: (node, tri_cnt) for nodes in ≥1 triangle. */
+  def triangleCounts(edges0: DataFrame, src: String, dst: String)
+      : DataFrame = {
+    // canonical undirected edge set: (a<b), distinct
+    val raw = edges0
+      .select(col(src).cast("long").as("x"), col(dst).cast("long").as("y"))
+      .filter(col("x") =!= col("y"))
+    val und = raw.select(least(col("x"), col("y")).as("a"),
+      greatest(col("x"), col("y")).as("b")).distinct()
+    val deg = und.select(col("a").as("n"))
+      .unionAll(und.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    // orient by (degree, id); carry the head's degree for the wedge
+    // ordering (rank(v) < rank(w) picks each closure pair once)
+    val oriented = und
+      .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+      .select(
+        when(col("da") < col("db")
+            || (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("v"), col("db").as("dv")))
+        .otherwise(
+          struct(col("b").as("u"), col("a").as("v"), col("da").as("dv")))
+        .as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"), col("e.dv").as("dv"))
+      .localCheckpoint() // reused three times: two wedge sides + closure
+    val wedges = oriented.as("p").join(oriented.as("q"), "u")
+      .filter(col("p.dv") < col("q.dv")
+        || (col("p.dv") === col("q.dv") && col("p.v") < col("q.v")))
+      .select(col("u"), col("p.v").as("v"), col("q.v").as("w"))
+    val tri = wedges.join(
+      oriented.select(col("u").as("v"), col("v").as("w")),
+      Seq("v", "w"), "left_semi")
+    tri.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("tri_cnt"))
+  }
+
+  /** Driver-gate query [oracle]: per-part triangle counts of the
+    * CO-PURCHASE graph (parts are adjacent when some order contains
+    * both) — the classic market-basket cohesion profile. The DuckDB
+    * oracle counts the same triangles via the orientation-free
+    * canonical a<b<c three-way join; both count each triangle exactly
+    * once, so the per-node profiles hash-match. */
+  def qGraphTriangles(spark: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val li = spark.read.parquet(s"$d/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val edges = li.as("x").join(li.as("y"), "ok")
+      .filter(col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("a"), col("y.pk").as("b"))
+    triangleCounts(edges, "a", "b")
+      .select(col("node").as("part_id"), col("tri_cnt"))
+      .orderBy(col("part_id"))
+  }
+
+  def qGraphTrianglesSql: String =
+    """WITH e AS (
+      |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+      |  FROM lineitem x JOIN lineitem y
+      |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+      |t AS (
+      |  SELECT e1.a, e1.b, e2.b AS c
+      |  FROM e e1
+      |  JOIN e e2 ON e2.a = e1.b
+      |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+      |SELECT part_id, CAST(count(*) AS BIGINT) AS tri_cnt
+      |FROM (SELECT unnest([a, b, c]) AS part_id FROM t)
+      |GROUP BY part_id ORDER BY part_id""".stripMargin
 }

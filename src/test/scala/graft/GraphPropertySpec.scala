@@ -119,4 +119,39 @@ class GraphPropertySpec extends GraftSpec {
     // ~5 jobs/round observed (broadcast builds + barrier), linear in rounds
     assert(jobs < 8 * 6 + 12, s"pageRank launched $jobs jobs (budget ${8 * 6 + 12})")
   }
+
+  private def refTriangles(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val und = edges.collect { case (a, b) if a != b =>
+      (math.min(a, b), math.max(a, b)) }.toSet
+    val adj = und.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupMap(_._1)(_._2).map { case (k, v) => k -> v.toSet }
+    val counts = scala.collection.mutable.Map[Long, Long]()
+    for ((a, b) <- und; c <- adj(a).intersect(adj(b)); if c > b)
+      Seq(a, b, c).foreach(n => counts(n) = counts.getOrElse(n, 0L) + 1L)
+    counts.toMap
+  }
+
+  test("triangleCounts matches brute force on K4, random graphs, and " +
+      "degenerate shapes (self-loops, duplicates, reversed edges)") {
+    def check(edges: Seq[(Long, Long)], tag: String): Unit = {
+      val got = Graph.triangleCounts(edges.toDF("s", "t"), "s", "t")
+        .as[(Long, Long)].collect().toMap
+      assert(got == refTriangles(edges), s"triangle profile diverged: $tag")
+    }
+    // K4: four triangles, every node in exactly 3
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    check(k4, "K4")
+    // triangle + pendant + disconnected edge + self-loop + dup + reversed
+    check(Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (5L, 6L),
+      (7L, 7L), (2L, 1L), (1L, 2L)), "degenerate")
+    // triangle-free (bipartite): empty profile
+    check(Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L)), "bipartite")
+    // seeded random graphs across densities
+    val rnd = new scala.util.Random(41)
+    for ((n, m) <- Seq((30, 60), (40, 300), (12, 66))) {
+      val edges = Seq.fill(m)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      check(edges, s"random n=$n m=$m")
+    }
+  }
 }
