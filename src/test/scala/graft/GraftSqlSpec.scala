@@ -267,4 +267,45 @@ class GraftSqlSpec extends GraftSpec {
     assert(tbl.update(col("n_regionkey") === 55, Seq("n_name" -> lit("x")))
       == head + 1)
   }
+
+  test("ALTER TABLE ADD/DROP CONSTRAINT route to the persisted CHECK " +
+      "surface; DESCRIBE HISTORY and metadata tables read the ledger") {
+    val (t, _) = fixture("nat_ddl")
+    // ADD CONSTRAINT: subsequent violating writes refuse atomically
+    val r = t.sql(
+      "ALTER TABLE nat_ddl ADD CONSTRAINT reg_range CHECK " +
+        "(n_regionkey BETWEEN 0 AND 4)")
+    assert(r.head().getString(1) == "added")
+    assert(t.constraints().exists(_._1 == "reg_range"))
+    val bad = intercept[Exception] {
+      t.sql("INSERT INTO nat_ddl SELECT 99, 'zz', 77")
+    }
+    assert(bad.getMessage.contains("reg_range"),
+      s"violating INSERT must name the constraint: ${bad.getMessage}")
+    assert(t.read().count() == 25)
+    // constraints metadata table
+    assert(t.sql("SELECT expression FROM nat_ddl.constraints WHERE " +
+        "`constraint` = 'reg_range'").head().getString(0)
+      .contains("BETWEEN"))
+    // DROP: the write now lands
+    assert(t.sql("ALTER TABLE nat_ddl DROP CONSTRAINT reg_range")
+      .head().getString(1) == "dropped")
+    t.sql("INSERT INTO nat_ddl SELECT 99, 'zz', 77")
+    assert(t.read().count() == 26)
+    assert(t.sql("ALTER TABLE nat_ddl DROP CONSTRAINT reg_range")
+      .head().getString(1) == "absent")
+    // DESCRIBE HISTORY = history(): every commit surfaced
+    val hist = t.sql("DESCRIBE HISTORY nat_ddl")
+    assert(hist.count() == t.history().count() && hist.count() >= 2)
+    // files metadata table: live file inventory, KB ledger read
+    val nFiles = t.sql("SELECT count(*) FROM nat_ddl.files").head().getLong(0)
+    assert(nFiles == t.files().count() && nFiles > 0)
+    // tags metadata table joins like any relation
+    t.tag("v1")
+    assert(t.sql("SELECT snapshot_id FROM nat_ddl.tags WHERE tag = 'v1'")
+      .head().getLong(0) == t.snapshot)
+    // unbound names pass through untouched (normal column qualifiers)
+    assert(t.sql("SELECT n.n_name FROM nat_ddl n WHERE n.n_nationkey = 3")
+      .count() == 1)
+  }
 }
