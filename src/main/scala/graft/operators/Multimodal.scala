@@ -673,6 +673,84 @@ object Multimodal {
     }
   }
 
+  case class MelFeatures(media_id: Long, window_idx: Int,
+    logmel: Seq[Double])
+
+  /** LOG-MEL FILTERBANK energies — the standard acoustic front-end an
+    * audio model trains on (speech/music/noise classifiers, audio
+    * near-dup embeddings): per non-overlapping window, the one-sided FFT
+    * power spectrum folded through `nMels` triangular filters equally
+    * spaced on the mel scale (HTK convention, mel = 2595·log10(1+f/700),
+    * 0..rate/2), then log with a 1e-10 floor. Same execution shape as
+    * [[spectralFeatures]]: partition-local typed map, payloads never
+    * shuffle, output is nMels doubles per window; undecodable rows pass
+    * through as `window_idx = -1` markers. Filterbank weights build once
+    * per (sample_rate) per partition — continuous bin-frequency
+    * triangles, not rounded-bin ones, so narrow low-frequency filters
+    * never collapse to zero width. */
+  def melFeatures(audio: Dataset[DecodedAudio], windowSize: Int = 256,
+      nMels: Int = 24): Dataset[MelFeatures] = {
+    require(windowSize > 0 && (windowSize & (windowSize - 1)) == 0,
+      s"windowSize $windowSize must be a power of 2")
+    require(nMels > 0, "nMels must be positive")
+    import audio.sparkSession.implicits._
+    def mel(f: Double) = 2595.0 * math.log10(1.0 + f / 700.0)
+    def melInv(m: Double) = 700.0 * (math.pow(10.0, m / 2595.0) - 1.0)
+    audio.mapPartitions { it =>
+      // per-rate weight cache: (nMels x half) triangles, built once
+      val cache = scala.collection.mutable.Map[Int, Array[Array[Double]]]()
+      def weights(rate: Int): Array[Array[Double]] =
+        cache.getOrElseUpdate(rate, {
+          val half = windowSize / 2
+          val mLo = mel(0.0); val mHi = mel(rate / 2.0)
+          val centers = Array.tabulate(nMels + 2)(i =>
+            melInv(mLo + (mHi - mLo) * i / (nMels + 1)))
+          Array.tabulate(nMels) { m =>
+            val (fl, fc, fr) = (centers(m), centers(m + 1), centers(m + 2))
+            Array.tabulate(half) { k0 =>
+              val fk = (k0 + 1).toDouble * rate / windowSize // bins 1..half
+              if (fk <= fl || fk >= fr) 0.0
+              else if (fk <= fc) (fk - fl) / (fc - fl)
+              else (fr - fk) / (fr - fc)
+            }
+          }
+        })
+      it.flatMap { a =>
+        if (a.format == "undecodable" || a.channels <= 0)
+          Seq(MelFeatures(a.media_id, -1, Seq.empty))
+        else {
+          val w = weights(a.sample_rate)
+          val mono = new Array[Double](a.samples.length / a.channels)
+          var f = 0
+          while (f < mono.length) {
+            var s = 0.0; var c = 0
+            while (c < a.channels) { s += a.samples(f * a.channels + c); c += 1 }
+            mono(f) = s / a.channels
+            f += 1
+          }
+          val half = windowSize / 2
+          val nWin = mono.length / windowSize
+          (0 until nWin).map { win =>
+            val re = java.util.Arrays.copyOfRange(mono,
+              win * windowSize, (win + 1) * windowSize)
+            val im = new Array[Double](windowSize)
+            Fft.fft(re, im)
+            val power = Array.tabulate(half)(k0 => {
+              val k = k0 + 1
+              re(k) * re(k) + im(k) * im(k)
+            })
+            val bands = Array.tabulate(nMels) { m =>
+              var e = 0.0; var k = 0
+              while (k < half) { e += w(m)(k) * power(k); k += 1 }
+              math.log(math.max(e, 1e-10))
+            }
+            MelFeatures(a.media_id, win, bands.toSeq)
+          }
+        }
+      }
+    }
+  }
+
   // ------------------------------- perceptual image hash (dHash) + dedup
 
   /** 64-bit DIFFERENCE HASH of an image payload — the perceptual

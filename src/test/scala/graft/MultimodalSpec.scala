@@ -309,6 +309,109 @@ class MultimodalSpec extends GraftSpec {
     assert(junk.length == 1 && junk.head.window_idx == -1)
   }
 
+  test("log-mel filterbank: tones land in the right mel band, energies " +
+      "equal a naive direct computation, stereo mix doesn't shift, junk " +
+      "passes through") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val (rate, win, nMels, frames) = (8000, 256, 20, 512)
+    def toneWav(hz: Double, channels: Int): Array[Byte] = {
+      val bytes = new Array[Byte](frames * channels * 2)
+      (0 until frames).foreach { i =>
+        val s = math.round(8000.0 * math.sin(2 * math.Pi * hz * i / rate)).toInt
+        (0 until channels).foreach { c =>
+          val off = (i * channels + c) * 2
+          bytes(off) = (s & 0xff).toByte
+          bytes(off + 1) = ((s >> 8) & 0xff).toByte
+        }
+      }
+      val fmt = new AudioFormat(rate.toFloat, 16, channels, true, false)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, frames.toLong),
+        AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val items = spark.createDataset(Seq(
+      Multimodal.MediaItem(1L, Multimodal.MediaMeta("audio", 0, 0, rate, 0),
+        toneWav(250.0, 1)),
+      Multimodal.MediaItem(2L, Multimodal.MediaMeta("audio", 0, 0, rate, 0),
+        toneWav(1000.0, 1)),
+      Multimodal.MediaItem(3L, Multimodal.MediaMeta("audio", 0, 0, rate, 0),
+        toneWav(3000.0, 1)),
+      Multimodal.MediaItem(4L, Multimodal.MediaMeta("audio", 0, 0, rate, 0),
+        toneWav(1000.0, 2)), // stereo, same tone both channels
+      Multimodal.MediaItem(5L, Multimodal.MediaMeta("audio", 0, 0, rate, 0),
+        "junk".getBytes("UTF-8"))))(
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaItem])
+    val decoded = Multimodal.decodeAudio(items)
+    val feats = Multimodal.melFeatures(decoded, win, nMels).collect()
+
+    // mel-band geometry recomputed independently in the test
+    def mel(f: Double) = 2595.0 * math.log10(1.0 + f / 700.0)
+    def melInv(m: Double) = 700.0 * (math.pow(10.0, m / 2595.0) - 1.0)
+    val edges = (0 to nMels + 1).map(i =>
+      melInv(mel(rate / 2.0) * i / (nMels + 1)))
+    def bandOf(hz: Double): Int = // band with max triangle height at hz
+      (0 until nMels).maxBy { m =>
+        val (fl, fc, fr) = (edges(m), edges(m + 1), edges(m + 2))
+        if (hz <= fl || hz >= fr) 0.0
+        else if (hz <= fc) (hz - fl) / (fc - fl)
+        else (fr - hz) / (fr - fc)
+      }
+    for ((id, hz) <- Seq(1L -> 250.0, 2L -> 1000.0, 3L -> 3000.0)) {
+      val rows = feats.filter(_.media_id == id)
+      assert(rows.length == frames / win)
+      rows.foreach { r =>
+        assert(r.logmel.size == nMels)
+        val got = r.logmel.zipWithIndex.maxBy(_._1)._2
+        assert(got == bandOf(hz),
+          s"media $id tone $hz Hz: argmax band $got != ${bandOf(hz)}")
+      }
+    }
+    // stereo same-tone mix equals the mono result exactly
+    val mono = feats.filter(_.media_id == 2L).sortBy(_.window_idx)
+    val stereo = feats.filter(_.media_id == 4L).sortBy(_.window_idx)
+    mono.zip(stereo).foreach { case (a, b) =>
+      a.logmel.zip(b.logmel).foreach { case (x, y) =>
+        assert(math.abs(x - y) < 1e-9, "stereo mix shifted the bands") }
+    }
+    // naive direct cross-check on one window of the 1 kHz tone: DFT
+    // power + the same triangle formula, written independently
+    val d2 = decoded.collect().find(_.media_id == 2L).get
+    val sig = d2.samples.take(win).map(_.toDouble)
+    val half = win / 2
+    val power = (1 to half).map { k =>
+      var dr = 0.0; var di = 0.0
+      (0 until win).foreach { t =>
+        val a = -2.0 * math.Pi * k * t / win
+        dr += sig(t) * math.cos(a); di += sig(t) * math.sin(a)
+      }
+      dr * dr + di * di
+    }
+    val expect = (0 until nMels).map { m =>
+      val (fl, fc, fr) = (edges(m), edges(m + 1), edges(m + 2))
+      var e = 0.0
+      (1 to half).foreach { k =>
+        val fk = k.toDouble * rate / win
+        val w =
+          if (fk <= fl || fk >= fr) 0.0
+          else if (fk <= fc) (fk - fl) / (fc - fl)
+          else (fr - fk) / (fr - fc)
+        e += w * power(k - 1)
+      }
+      math.log(math.max(e, 1e-10))
+    }
+    val got0 = feats.filter(_.media_id == 2L).minBy(_.window_idx).logmel
+    got0.zip(expect).zipWithIndex.foreach { case ((g, e), m) =>
+      assert(math.abs(g - e) < 1e-6 * math.max(1.0, math.abs(e)),
+        s"band $m: $g vs naive $e")
+    }
+    // junk passes through as the -1 marker with no bands
+    val junk = feats.filter(_.media_id == 5L)
+    assert(junk.length == 1 && junk.head.window_idx == -1
+      && junk.head.logmel.isEmpty)
+  }
+
   test("perceptual dHash: resize-stable, discriminative, banded near-dup " +
       "decisions complete vs brute force") {
     val sess = spark
