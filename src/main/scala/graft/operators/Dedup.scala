@@ -475,4 +475,53 @@ object Dedup {
       | CAST(count(*) AS BIGINT) AS n_shared
       |FROM f a JOIN f b ON a.h = b.h AND a.source < b.source
       |GROUP BY 1, 2""".stripMargin
+
+  /** EDIT-DISTANCE-1 NEAR-NEIGHBOR profile — typo-level fuzzy matching,
+    * the record-linkage / entity-resolution primitive exact and token-set
+    * dedup both miss (one substituted character is a DIFFERENT md5 and
+    * usually a different token). Candidate generation is the SymSpell
+    * DELETION NEIGHBORHOOD: every string joins on (itself ∪ its
+    * one-char-deletion variants); ed(a,b) ≤ 1 GUARANTEES a shared
+    * variant (deletion → b ∈ del(a); insertion → a ∈ del(b);
+    * substitution → deleting the substituted position from both gives
+    * the same string), so the equi-join is a COMPLETE candidate set and
+    * a final `levenshtein ≤ 1` filter removes the ed=2 hangers-on
+    * (shared-deletion pairs like abc/bca). Scale shape: variant rows are
+    * Σ(len+1) — LINEAR in the corpus, one shuffle on the variant key —
+    * versus the quadratic block-join a naive first-char/length blocking
+    * runs; the verify is candidate-sized. Output is the per-entity
+    * NEIGHBOR COUNT (the house rule: per-item decisions, never pair
+    * lists — pair output is quadratic on clustered data). */
+  def qDedupEditdist(s: SparkSession, d: String): DataFrame = {
+    val vocab = s.read.parquet(s"$d/customer.parquet")
+      .select(col("c_name").as("t")).distinct()
+    val dels = vocab
+      .withColumn("i", explode(sequence(lit(1), length(col("t")))))
+      .select(col("t"),
+        expr("concat(substring(t, 1, i-1), substring(t, i+1, length(t)))")
+          .as("var"))
+      .unionByName(vocab.select(col("t"), col("t").as("var")))
+    val cand = dels.as("a").join(dels.as("b"),
+        col("a.var") === col("b.var") && col("a.t") < col("b.t"))
+      .select(col("a.t").as("ta"), col("b.t").as("tb")).distinct()
+    cand.filter(levenshtein(col("ta"), col("tb")) <= 1)
+      .select(explode(array(col("ta"), col("tb"))).as("name"))
+      .groupBy(col("name")).agg(count(lit(1)).as("n_near"))
+      .orderBy(col("name"))
+  }
+
+  def qDedupEditdistSql: String =
+    """WITH vocab AS (SELECT DISTINCT c_name AS t FROM customer),
+      |pos AS (SELECT t, unnest(range(1, length(t)+1)) AS i FROM vocab),
+      |dels AS (
+      |  SELECT t, substr(t,1,CAST(i-1 AS INT))||substr(t,CAST(i+1 AS INT))
+      |    AS var FROM pos
+      |  UNION ALL SELECT t, t FROM vocab),
+      |cand AS (SELECT DISTINCT a.t AS ta, b.t AS tb
+      |         FROM dels a JOIN dels b ON a.var = b.var AND a.t < b.t),
+      |pairs AS (SELECT ta, tb FROM cand WHERE levenshtein(ta, tb) <= 1)
+      |SELECT name, CAST(count(*) AS BIGINT) AS n_near
+      |FROM (SELECT ta AS name FROM pairs
+      |      UNION ALL SELECT tb AS name FROM pairs)
+      |GROUP BY name ORDER BY name""".stripMargin
 }

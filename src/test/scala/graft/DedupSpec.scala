@@ -121,4 +121,64 @@ class DedupSpec extends GraftSpec {
     val recall = anchorDupDocs.count(decided.contains).toDouble / anchorDupDocs.size
     assert(recall >= 0.5, s"semantic dedup recall $recall vs exact anchor too low")
   }
+
+  test("editdist-1 neighborhood join is COMPLETE vs brute force (the " +
+      "oracle shares the candidate algorithm — this is the independent " +
+      "check), incl. adversarial insert/delete/substitute/transpose") {
+    import org.apache.spark.sql.functions._
+    // brute force over the real sf corpus names
+    val names = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_name").distinct().collect().map(_.getString(0))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = d(0); d(0) = j
+        for (i <- 1 to a.length) {
+          val t = d(i)
+          d(i) = math.min(math.min(d(i) + 1, d(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = t
+        }
+      }
+      d(a.length)
+    }
+    val brute = scala.collection.mutable.Map[String, Long]()
+    for (i <- names.indices; j <- (i + 1) until names.length
+         if lev(names(i), names(j)) <= 1) {
+      brute(names(i)) = brute.getOrElse(names(i), 0L) + 1
+      brute(names(j)) = brute.getOrElse(names(j), 0L) + 1
+    }
+    val got = graft.operators.Dedup.qDedupEditdist(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == brute.toMap,
+      s"neighborhood profile diverged from brute force " +
+        s"(${got.size} vs ${brute.size} entities)")
+
+    // adversarial shapes through the same candidate+verify pipeline:
+    // insertion, deletion, substitution (must match), transposition and
+    // double-substitution (ed=2 — must NOT), plus an exact duplicate
+    // pair (distinct() collapses it: no self-match)
+    val sp2 = spark; import sp2.implicits._
+    val toy = Seq("abcd", "abxd", "abd", "abcde", "bacd", "axyd", "abcd")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ed").toString
+    toy.toDF("c_name").write.parquet(s"$tmp/customer.parquet")
+    val toyGot = graft.operators.Dedup.qDedupEditdist(spark, tmp)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val toyNames = toy.distinct
+    val toyBrute = scala.collection.mutable.Map[String, Long]()
+    for (i <- toyNames.indices; j <- (i + 1) until toyNames.length
+         if lev(toyNames(i), toyNames(j)) <= 1) {
+      toyBrute(toyNames(i)) = toyBrute.getOrElse(toyNames(i), 0L) + 1
+      toyBrute(toyNames(j)) = toyBrute.getOrElse(toyNames(j), 0L) + 1
+    }
+    assert(toyGot == toyBrute.toMap, s"toy diverged: $toyGot vs $toyBrute")
+    // sanity on the shapes themselves: abcd matches abxd (substitution),
+    // abd (deletion), abcde (insertion) — and NOT bacd (transposition,
+    // ed=2) or axyd (double substitution, ed=2); the duplicate "abcd"
+    // collapses via distinct, so no self-pair inflates the count
+    assert(toyGot("abcd") == 3, s"abcd neighbors: ${toyGot.get("abcd")}")
+    assert(!toyGot.contains("bacd"),
+      "transposition (ed=2) must not match at the ed<=1 threshold")
+    graft.streaming.MirrorLoop.rmrf(new java.io.File(tmp))
+  }
 }
