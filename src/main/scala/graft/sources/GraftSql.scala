@@ -45,6 +45,11 @@ import org.apache.spark.sql.functions._
   *    appear — rewritten to views over the ledger-derived frames (KB
   *    metadata, zero data-file reads). The suffixes are reserved on
   *    bound names (Iceberg's own shadowing caveat).
+  *  - `OPTIMIZE t [WHERE c] [ZORDER]` → scoped compaction
+  *    ([[GraftTable.compact]]; WHERE rewrites only the predicate's file
+  *    footprint, ZORDER clusters the rewrite on the Morton interleave);
+  *    `VACUUM t [RETAIN n HOURS]` → orphan gen-file GC
+  *    ([[GraftTable.removeOrphans]], default 168 h — the Delta default).
   * Qualified column references (`t.col`, `src.col`) are resolved by NAME
   * (qualifiers stripped — the lake table is a single flat relation; a
   * MERGE delete condition must reference source columns, standard MERGE
@@ -126,6 +131,13 @@ object GraftSql {
     """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*$""".r
   private val DescribeHistoryRe =
     """(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+(\w+)\s*$""".r
+  private val OptimizeRe =
+    """(?is)^\s*OPTIMIZE\s+(\w+)(?:\s+WHERE\s+(.+?))?(?:\s+(ZORDER))?\s*$""".r
+  private val VacuumRe =
+    """(?is)^\s*VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*$""".r
+
+  /** Default OPTIMIZE bin-pack target (rows per rewritten file). */
+  val OptimizeTargetRows = 1000000L
 
   private def lookupName(spark: SparkSession, name: String): GraftTable = {
     val t = registry.get((spark, name))
@@ -146,6 +158,18 @@ object GraftSql {
       Seq((cname, if (dropped) "dropped" else "absent"))
         .toDF("constraint", "status")
     case DescribeHistoryRe(name) => lookupName(spark, name).history()
+    case OptimizeRe(name, whereText, zorder) =>
+      val t = lookupName(spark, name)
+      val snap = t.compact(OptimizeTargetRows, zOrder = zorder != null,
+        where = Option(whereText).map(expr))
+      refresh(spark, name)
+      snapFrame(spark, snap)
+    case VacuumRe(name, hours) =>
+      import spark.implicits._
+      val t = lookupName(spark, name)
+      val h = Option(hours).map(_.toLong).getOrElse(168L)
+      Seq(t.removeOrphans(h * 3600L * 1000L).size.toLong)
+        .toDF("files_removed")
     case _ =>
       val rewritten =
         rewriteMetaTables(spark, rewriteTimeTravel(spark, stmt))

@@ -308,4 +308,31 @@ class GraftSqlSpec extends GraftSpec {
     assert(t.sql("SELECT n.n_name FROM nat_ddl n WHERE n.n_nationkey = 3")
       .count() == 1)
   }
+
+  test("OPTIMIZE routes to scoped compaction and VACUUM to orphan GC") {
+    val (t, tmp) = fixture("nat_opt")
+    val before = t.read().orderBy(col("n_nationkey")).collect().toSeq
+    val filesBefore = t.files().count()
+    assert(filesBefore >= 4, s"fixture should be multi-file: $filesBefore")
+    val snap = t.sql("OPTIMIZE nat_opt").head().getLong(0)
+    assert(snap > 1, "OPTIMIZE must commit a new snapshot")
+    assert(t.files().count() < filesBefore, "OPTIMIZE must bin-pack")
+    assert(t.read().orderBy(col("n_nationkey")).collect().toSeq == before,
+      "OPTIMIZE must not change content")
+    // the bound view re-pinned to the compacted snapshot
+    assert(spark.sql("SELECT count(*) FROM nat_opt").head().getLong(0) == 25)
+
+    // VACUUM: plant aged orphan debris in the gen root; default
+    // retention keeps it, RETAIN 0 HOURS removes it
+    val stray = new java.io.File(s"$tmp/gen/stray-debris.parquet")
+    stray.getParentFile.mkdirs()
+    java.nio.file.Files.write(stray.toPath, Array[Byte](1, 2, 3))
+    stray.setLastModified(System.currentTimeMillis() - 10000): Unit
+    assert(t.sql("VACUUM nat_opt").head().getLong(0) == 0,
+      "default retention must keep recent debris")
+    assert(t.sql("VACUUM nat_opt RETAIN 0 HOURS").head().getLong(0) >= 1,
+      "RETAIN 0 HOURS must remove the aged orphan")
+    assert(!stray.exists(), "the orphan file must be gone")
+    assert(t.read().count() == 25, "VACUUM must never touch live data")
+  }
 }
