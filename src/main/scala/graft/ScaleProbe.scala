@@ -127,6 +127,11 @@ object ScaleProbe {
       "q_ann_brute" -> (Similarity.qAnnBrute _),
       "q_ann_lsh" -> (Similarity.qAnnLsh _),
       "q20_dominant_supp" -> (Relational2.q20DominantSupp _),
+      // r11: triangle counting — the 10x orders replicate with UNSHIFTED
+      // part keys, so the distinct co-purchase edge set is IDENTICAL at
+      // 10x (crawl-shaped duplication): only the edge-derivation scan +
+      // distinct scale; the wedge/closure joins are constant
+      "q_graph_triangles" -> (Graph.qGraphTriangles _),
       "q_emb_quant" -> (Similarity.qEmbQuant _),
       "q_ann_ivf_quant" -> (Similarity.qAnnIvfQuant _))) {
       // index BUILD is a once-per-dataset artifact, not probe cost — land
@@ -186,6 +191,37 @@ object ScaleProbe {
         t
       }
       report(f"mv_round 10x/1x ratio ${roundTimes(1) / roundTimes(0)}%5.2f (flat = maintenance cost tracks the batch, not the table)")
+      // r11 JOIN-VIEW round: same discipline for the TWO-SIDED view —
+      // bootstrap revenue-by-segment (orders ⋈ customer) over a 1x and a
+      // 10x fact lake (customer is 1x in both — the dim doesn't grow),
+      // merge the SAME fixed orders batch, time ONLY the round. The
+      // round is ΔA ⋈ key-pruned(B₁) + the group-sized fold — neither
+      // term sees the fact table, so the ratio must stay flat.
+      import graft.streaming.JoinView
+      val jvRoot = "/tmp/sf1_synth_jv"
+      rmrf(new java.io.File(jvRoot))
+      val jvSpec = JoinView.JoinAggSpec("o_custkey", "c_custkey",
+        Seq("c_mktsegment"), Seq("o_totalprice"))
+      val jvBatch = spark.read.parquet(s"$src/orders.parquet")
+        .filter(col("o_orderkey") % 97 === 1)
+        .withColumn("o_totalprice", col("o_totalprice") + 1)
+        .localCheckpoint()
+      report("jv change batch rows: " + jvBatch.count())
+      val jvTimes = for ((tag, dataDir) <- Seq("1x" -> src, "10x" -> out)) yield {
+        val lo = s"$jvRoot/$tag/o_ledger"; val go = s"$jvRoot/$tag/o_gen"
+        val lc = s"$jvRoot/$tag/c_ledger"
+        val viewDir = s"$jvRoot/$tag/view"
+        Lake.ingestNewFiles(spark, s"$dataDir/orders.parquet", lo,
+          statsCols = Seq("o_orderkey", "o_custkey"))
+        Lake.ingestNewFiles(spark, s"$dataDir/customer.parquet", lc,
+          statsCols = Seq("c_custkey"))
+        JoinView.bootstrap(spark, lo, lc, viewDir, jvSpec)
+        Lake.mergeInto(spark, lo, go, jvBatch, "o_orderkey", changeFeed = true)
+        val t = timed { JoinView.applyRound(spark, lo, lc, viewDir, jvSpec) }
+        report(f"jv_round_$tag%-14s ${t}%6.2f s   (fixed ~1.5k-row batch)")
+        t
+      }
+      report(f"jv_round 10x/1x ratio ${jvTimes(1) / jvTimes(0)}%5.2f (flat = the two-sided round never re-joins the fact table)")
       // MOR merge: upsert the SAME fixed batch into a 1x and a 10x
       // orders lake ingested WITH o_orderkey stats (the synth replicas
       // are key-shifted, so files are key-clustered). The match scan is
