@@ -495,12 +495,17 @@ object Dedup {
   def qDedupEditdist(s: SparkSession, d: String): DataFrame = {
     val vocab = s.read.parquet(s"$d/customer.parquet")
       .select(col("c_name").as("t")).distinct()
+    // distinct (t, var): deleting any char of a repeated run yields the
+    // SAME variant (zero-padded ids have 6-char zero runs → 6 duplicate
+    // rows per name), and duplicate variant rows inflate the self-join
+    // QUADRATICALLY per shared variant — dedup before joining
     val dels = vocab
       .withColumn("i", explode(sequence(lit(1), length(col("t")))))
       .select(col("t"),
         expr("concat(substring(t, 1, i-1), substring(t, i+1, length(t)))")
           .as("var"))
       .unionByName(vocab.select(col("t"), col("t").as("var")))
+      .distinct()
     val cand = dels.as("a").join(dels.as("b"),
         col("a.var") === col("b.var") && col("a.t") < col("b.t"))
       .select(col("a.t").as("ta"), col("b.t").as("tb")).distinct()
