@@ -50,6 +50,11 @@ import org.apache.spark.sql.functions._
   *    footprint, ZORDER clusters the rewrite on the Morton interleave);
   *    `VACUUM t [RETAIN n HOURS]` → orphan gen-file GC
   *    ([[GraftTable.removeOrphans]], default 168 h — the Delta default).
+  *  - `CREATE TABLE name LOCATION 'dir' AS SELECT …` — materialize a
+  *    query as a NEW ledger-backed lake table at `dir` (landing write →
+  *    the normal ingest gates → bound for reads and DML under `name`).
+  *    The full lifecycle is then SQL end-to-end: CREATE → INSERT/MERGE
+  *    → ALTER → OPTIMIZE → VACUUM.
   * Qualified column references (`t.col`, `src.col`) are resolved by NAME
   * (qualifiers stripped — the lake table is a single flat relation; a
   * MERGE delete condition must reference source columns, standard MERGE
@@ -133,6 +138,8 @@ object GraftSql {
     """(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+(\w+)\s*$""".r
   private val OptimizeRe =
     """(?is)^\s*OPTIMIZE\s+(\w+)(?:\s+WHERE\s+(.+?))?(?:\s+(ZORDER))?\s*$""".r
+  private val CtasRe =
+    """(?is)^\s*CREATE\s+TABLE\s+(\w+)\s+LOCATION\s+'([^']+)'\s+AS\s+(SELECT\b.+)$""".r
   private val VacuumRe =
     """(?is)^\s*VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*$""".r
 
@@ -170,6 +177,18 @@ object GraftSql {
       val h = Option(hours).map(_.toLong).getOrElse(168L)
       Seq(t.removeOrphans(h * 3600L * 1000L).size.toLong)
         .toDF("files_removed")
+    case CtasRe(name, dir, query) =>
+      require(registry.get((spark, name)) == null,
+        s"table '$name' is already SQL-bound — CTAS creates, not replaces")
+      // the SELECT may itself use time travel / metadata tables
+      val rows = spark.sql(
+        rewriteMetaTables(spark, rewriteTimeTravel(spark, query)))
+      val t = GraftTable(spark, s"$dir/ledger", s"$dir/gen")
+      rows.write.parquet(s"$dir/landing-ctas")
+      val snap = Lake.ingestNewFiles(spark, s"$dir/landing-ctas",
+        t.ledgerDir)
+      bind(name, t)
+      snapFrame(spark, snap)
     case _ =>
       val rewritten =
         rewriteMetaTables(spark, rewriteTimeTravel(spark, stmt))

@@ -335,4 +335,31 @@ class GraftSqlSpec extends GraftSpec {
     assert(!stray.exists(), "the orphan file must be gone")
     assert(t.read().count() == 25, "VACUUM must never touch live data")
   }
+
+  test("CREATE TABLE AS SELECT materializes a new bound lake table; " +
+      "the full lifecycle runs SQL end-to-end") {
+    val (t, _) = fixture("nat_src_ctas")
+    val tmp = Files.createTempDirectory("graft_ctas").toString
+    val snap = t.sql(
+      s"CREATE TABLE big_nat LOCATION '$tmp/big' AS " +
+        "SELECT n_nationkey, n_name FROM nat_src_ctas WHERE n_regionkey > 1")
+      .head().getLong(0)
+    assert(snap >= 1)
+    // bound for reads
+    assert(spark.sql("SELECT count(*) FROM big_nat").head().getLong(0) == 15)
+    // and for DML + maintenance under the same name
+    t.sql("INSERT INTO big_nat SELECT 990, 'ctasland'")
+    t.sql("DELETE FROM big_nat WHERE n_nationkey = 990")
+    t.sql("OPTIMIZE big_nat")
+    assert(t.sql("SELECT count(*) FROM big_nat").head().getLong(0) == 15)
+    assert(t.sql("SELECT count(*) FROM big_nat.history").head().getLong(0)
+      >= 3, "CTAS table must carry its own history")
+    // re-CREATE under the same name refuses
+    val e = intercept[Exception] {
+      t.sql(s"CREATE TABLE big_nat LOCATION '$tmp/big2' AS " +
+        "SELECT * FROM nat_src_ctas")
+    }
+    assert(e.getMessage.contains("already SQL-bound"))
+    GraftSql.unbind(spark, "big_nat")
+  }
 }
