@@ -56,11 +56,15 @@ object TextIndex {
   def buildIndex(s: SparkSession, d: String, indexRoot: String): Unit = {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"),
-        explode(TextOps.tokens(col("text"))).as("token"))
+        posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "token")))
     // materialize the tokenize ONCE — both the landing write and the
-    // doclens rollup read the checkpointed postings, not the lineage
+    // doclens rollup read the checkpointed postings, not the lineage.
+    // `positions` (sorted in-doc offsets) is the POSITIONAL index the
+    // phrase search intersects — tf-only consumers never read it
+    // (column pruning drops it at the scan).
     val postings = toks.groupBy(col("doc_id"), col("token"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
       .localCheckpoint()
     postings
       .repartitionByRange(8, col("token"))
@@ -84,10 +88,10 @@ object TextIndex {
   def indexDir(s: SparkSession, d: String): String = {
     val fp = fingerprint(d)
     dirs.computeIfAbsent(fp, { _ =>
-      // "textidx2": the layout now carries tf + doclens + corpus stats —
-      // a new dir name so a pre-tf index on disk can never satisfy the
-      // completion check (the ivfq lesson)
-      val idx = sys.props("java.io.tmpdir") + s"/graft_textidx2_$fp"
+      // "textidx3": the layout now carries POSITIONS (+ tf + doclens +
+      // corpus stats) — a new dir name so a pre-positions index on disk
+      // can never satisfy the completion check (the ivfq lesson)
+      val idx = sys.props("java.io.tmpdir") + s"/graft_textidx3_$fp"
       val ledgered = Option(new java.io.File(s"$idx/ledger").listFiles())
         .exists(_.exists(_.getName.endsWith(".parquet")))
       if (!ledgered) buildIndex(s, d, idx)
@@ -123,6 +127,35 @@ object TextIndex {
     searchPostings(postings(s, d), terms0)
 
   private[graft] val SearchTerms = Seq("spark", "merge", "window")
+
+  /** PHRASE SEARCH — docs containing `terms` as CONSECUTIVE tokens, the
+    * canonical positional-index query (boolean AND can't tell "big
+    * order scan" from the words scattered across the doc). Plan: each
+    * term's postings prune at the manifest (pushed Equals + blooms),
+    * then a doc_id-equi join chain intersects SHIFTED position sets —
+    * `array_intersect(positions_so_far + 1, positions_next)` keeps the
+    * end offsets of every partial phrase match, all inside codegen'd
+    * array expressions (no explode — a posting's position list is
+    * tf-bounded). Join count = phrase length − 1, each frame
+    * term-posting-sized, never corpus-sized. */
+  def searchPhrase(s: SparkSession, d: String,
+      terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "empty phrase")
+    val all = postings(s, d)
+    def post(t: String, alias: String) =
+      all.filter(col("token") === t)
+        .select(col("doc_id"), col("positions").as(alias))
+    val first = post(terms.head, "p")
+    val chained = terms.zipWithIndex.drop(1).foldLeft(first) {
+      case (acc, (t, i)) =>
+        acc.join(post(t, s"p_$i"), "doc_id")
+          .withColumn("p", array_intersect(
+            transform(col("p"), x => x + 1), col(s"p_$i")))
+          .filter(size(col("p")) > 0)
+          .drop(s"p_$i")
+    }
+    chained.select(col("doc_id"))
+  }
 
   /** BM25-RANKED search — boolean retrieval's other half: score every
     * doc matching ANY query term by Okapi BM25 (k1=1.2, b=0.75) and
@@ -230,6 +263,27 @@ object TextIndex {
        |CROSS JOIN corpus
        |CROSS JOIN (SELECT $dfCols)
        |ORDER BY score DESC, h.doc_id""".stripMargin
+  }
+
+  private[graft] val PhraseTerms = Seq("big", "order", "scan")
+
+  /** Driver-gate phrase query: three-token phrase through the
+    * positional index; the oracle re-derives adjacency from the raw
+    * token arrays (an index with a wrong or unsorted position list
+    * hash-mismatches). */
+  def qDocPhrase(s: SparkSession, d: String): DataFrame =
+    searchPhrase(s, d, PhraseTerms).orderBy(col("doc_id"))
+
+  def qDocPhraseSql: String = {
+    val conds = PhraseTerms.zipWithIndex.map { case (t, k) =>
+      if (k == 0) s"ts[i] = '$t'" else s"ts[i+$k] = '$t'"
+    }.mkString(" AND ")
+    s"""WITH toks AS (
+       | SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS ts
+       | FROM documents)
+       |SELECT doc_id FROM toks
+       |WHERE len(list_filter(range(1, len(ts)+1), i -> $conds)) > 0
+       |ORDER BY doc_id""".stripMargin
   }
 
   def qDocSearchSql: String = {

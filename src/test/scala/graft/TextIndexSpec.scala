@@ -45,4 +45,28 @@ class TextIndexSpec extends GraftSpec {
     assert(!plan.contains("text#") && !plan.contains("documents.parquet"),
       "search plan references the text column / the corpus scan")
   }
+
+  test("phrase search: adjacency only (scattered words excluded), " +
+      "repeated-token phrases, chain length 3") {
+    val sp = spark; import sp.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_phr").toString
+    Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha gamma beta alpha beta"), // 'alpha beta' at 3-4 only
+      (3L, "beta alpha"), // reversed: NOT the phrase
+      (4L, "alpha beta beta alpha beta"), // 'beta beta' at 1-2
+      (5L, "gamma gamma alpha")) // scattered, no phrase
+      .toDF("doc_id", "text")
+      .write.parquet(s"$tmp/documents.parquet")
+    def phrase(ts: String*): Set[Long] =
+      TextIndex.searchPhrase(spark, tmp, ts)
+        .collect().map(_.getLong(0)).toSet
+    assert(phrase("alpha", "beta") == Set(1L, 2L, 4L))
+    assert(phrase("alpha", "beta", "gamma") == Set(1L))
+    assert(phrase("beta", "beta") == Set(4L))
+    assert(phrase("beta", "alpha") == Set(2L, 3L, 4L))
+    assert(phrase("gamma", "alpha") == Set(5L))
+    assert(phrase("alpha") == Set(1L, 2L, 3L, 4L, 5L)) // 1-term = boolean
+    graft.streaming.MirrorLoop.rmrf(new java.io.File(tmp))
+  }
 }
