@@ -108,6 +108,42 @@ object Scale100Probe {
       val t100 = timed { q(spark, out).write.format("noop").mode("overwrite").save() }
       report(f"$n%-18s 1x ${t1}%6.2f s   100x ${t100}%7.2f s   ratio ${t100 / t1}%6.1f")
     }
+    // r11 metadata-aggregate proof: min/max/count answered from ledger
+    // stats must be LEDGER-ROW-scaled (file count), not data-scaled —
+    // ingest a 1x and a 100x orders lake (fixture, untimed: the stats
+    // pass is ingest cost, paid once per landing) and time the manifest
+    // answer against the scan answer at both sizes.
+    {
+      import graft.sources.Lake
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmrf)
+        f.delete(); ()
+      }
+      val maRoot = "/tmp/sf10_synth_ma"
+      rmrf(new java.io.File(maRoot))
+      val times = for ((tag, dataDir) <- Seq("1x" -> src, "100x" -> out)) yield {
+        val ledger = s"$maRoot/$tag/ledger"
+        Lake.ingestNewFiles(spark, s"$dataDir/orders.parquet", ledger,
+          statsCols = Seq("o_orderkey", "o_orderpriority"))
+        val cols = Seq("o_orderkey", "o_orderpriority")
+        val tMeta = timed {
+          val r = Lake.statsMinMax(spark, ledger, cols)
+            .getOrElse(sys.error("manifest refused"))
+          r.write.format("noop").mode("overwrite").save()
+        }
+        val tScan = timed {
+          Lake.readAt(spark, ledger, Lake.currentSnapshot(spark, ledger))
+            .agg(min(col("o_orderkey")), max(col("o_orderkey")),
+              min(col("o_orderpriority")), max(col("o_orderpriority")),
+              count(lit(1)))
+            .write.format("noop").mode("overwrite").save()
+        }
+        report(f"meta_agg_$tag%-12s manifest ${tMeta}%6.2f s   scan ${tScan}%6.2f s")
+        (tMeta, tScan)
+      }
+      report(f"meta_agg manifest 100x/1x ratio ${times(1)._1 / times(0)._1}%5.2f " +
+        f"(flat = ledger-row-scaled); scan ratio ${times(1)._2 / times(0)._2}%5.2f (data-scaled)")
+    }
     // Join-strategy proof: with no forced hint the customer join strategy is
     // SIZE-DRIVEN. The 100× replicated customer still compresses to ~6 MB
     // (duplicate rows), below the 64 MB threshold, so the planner rightly
