@@ -192,21 +192,11 @@ object IvfDelta {
     * MatView.viewStream discipline, applied to the ANN index). */
   def maintainStream(spark: SparkSession, srcLedger: String,
       indexRoot: String, checkpointDir: String)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    val ledgerSchema = spark.read.parquet(srcLedger).schema
-    spark.readStream
-      .schema(ledgerSchema)
-      .option("maxFilesPerTrigger", "8")
-      .parquet(srcLedger)
-      .writeStream
-      .option("checkpointLocation", checkpointDir)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (_: DataFrame, _: Long) =>
-        applyRound(spark, srcLedger, indexRoot)
-        ()
-      }
-      .start()
-  }
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.MirrorLoop.ledgerWatcher(spark, srcLedger,
+      checkpointDir) { () =>
+      applyRound(spark, srcLedger, indexRoot): Unit
+    }
 
   /** ANN probe over the MAINTAINED index — qAnnIvf's plan shape reading
     * the assignment lake: nProbe nearest lists picked in-plan from the

@@ -182,21 +182,10 @@ object TextIndexDelta {
     * MirrorLoop discipline, applied to the search index). */
   def maintainStream(spark: SparkSession, srcLedger: String,
       indexRoot: String, checkpointDir: String)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    val ledgerSchema = spark.read.parquet(srcLedger).schema
-    spark.readStream
-      .schema(ledgerSchema)
-      .option("maxFilesPerTrigger", "8")
-      .parquet(srcLedger)
-      .writeStream
-      .option("checkpointLocation", checkpointDir)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (_: DataFrame, _: Long) =>
-        applyRound(spark, srcLedger, indexRoot)
-        ()
-      }
-      .start()
-  }
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    MirrorLoop.ledgerWatcher(spark, srcLedger, checkpointDir) { () =>
+      applyRound(spark, srcLedger, indexRoot): Unit
+    }
 
   /** Boolean AND search over the MAINTAINED index (DV-applied read) —
     * the same intersection semantics as the static index, via the one

@@ -180,10 +180,16 @@ object GraftSql {
     case CtasRe(name, dir, query) =>
       require(registry.get((spark, name)) == null,
         s"table '$name' is already SQL-bound — CTAS creates, not replaces")
+      val t = GraftTable(spark, s"$dir/ledger", s"$dir/gen")
+      require(t.snapshot <= 0, s"table data already exists at '$dir' — " +
+        "bind it with bindSql, or CREATE at a fresh location")
+      // a CRASHED earlier attempt may have left a landing dir with no
+      // ledger; the name was never bound and no snapshot committed, so
+      // the slate is clean — wipe it (retryable CTAS)
+      graft.streaming.MirrorLoop.rmrf(new java.io.File(dir))
       // the SELECT may itself use time travel / metadata tables
       val rows = spark.sql(
         rewriteMetaTables(spark, rewriteTimeTravel(spark, query)))
-      val t = GraftTable(spark, s"$dir/ledger", s"$dir/gen")
       rows.write.parquet(s"$dir/landing-ctas")
       val snap = Lake.ingestNewFiles(spark, s"$dir/landing-ctas",
         t.ledgerDir)
@@ -201,13 +207,36 @@ object GraftSql {
       }
   }
 
+  /** Apply `f` to the UNQUOTED segments of `stmt` only — textual
+    * rewrites must never touch string LITERALS ('see nat.history' is
+    * data, not a relation reference; the splitStatements scanner's
+    * quote rule, reused for rewriting). Identifiers can't straddle a
+    * quote boundary, so segment-wise rewriting is complete. */
+  private def outsideQuotes(stmt: String)(f: String => String): String = {
+    val out = new StringBuilder
+    val seg = new StringBuilder
+    var quote: Char = 0
+    var i = 0
+    def flush(): Unit = { out ++= f(seg.toString); seg.clear() }
+    while (i < stmt.length) {
+      val c = stmt.charAt(i)
+      if (quote != 0) { out += c; if (c == quote) quote = 0 }
+      else if (c == '\'' || c == '"') { flush(); quote = c; out += c }
+      else seg += c
+      i += 1
+    }
+    flush()
+    out.toString
+  }
+
   /** `t.files` / `t.history` / `t.tags` / `t.constraints` over a bound
     * table → a view over the ledger-derived frame (Iceberg's metadata
     * tables; textual rewrite like time travel — the suffixes are
     * reserved on bound names). KB-scale ledger reads, never data. */
-  private def rewriteMetaTables(spark: SparkSession, stmt: String): String = {
+  private def rewriteMetaTables(spark: SparkSession, stmt: String): String =
+    outsideQuotes(stmt) { seg =>
     val meta = """(?i)\b(\w+)\.(files|history|tags|constraints)\b""".r
-    meta.replaceAllIn(stmt, m => {
+    meta.replaceAllIn(seg, m => {
       val (name, kind) = (m.group(1), m.group(2).toLowerCase)
       val t = registry.get((spark, name))
       if (t == null) m.matched
@@ -239,16 +268,20 @@ object GraftSql {
     // store-assignment coercion by POSITION (standard INSERT semantics;
     // BY NAME arrives pre-named and coerces by name)
     val tgt = t.read().schema
+    // backtick-quote source column references: an auto-generated name
+    // for a literal expression can contain DOTS ('a.b' AS ...), which an
+    // unquoted col() would mis-parse as a qualifier
+    def bq(c: String) = col(s"`$c`")
     val rows =
       if (i.byName) rows0.select(rows0.columns.map { c =>
         tgt.find(_.name == c)
-          .map(f => col(c).cast(f.dataType).as(c)).getOrElse(col(c))
+          .map(f => bq(c).cast(f.dataType).as(c)).getOrElse(bq(c))
       }: _*)
       else {
         require(rows0.columns.length == tgt.length,
           s"INSERT arity ${rows0.columns.length} != table arity ${tgt.length}")
         rows0.select(rows0.columns.zip(tgt.fields).map { case (c, f) =>
-          col(c).cast(f.dataType).as(f.name)
+          bq(c).cast(f.dataType).as(f.name)
         }: _*)
       }
     val snap = t.append(rows)

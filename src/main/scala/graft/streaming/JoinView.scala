@@ -116,11 +116,16 @@ object JoinView {
 
   /** Key-pruned table side: the scan only needs rows whose join key is
     * in the change batch — push the touched-key In list down to the
-    * manifest unless it is backfill-sized. */
+    * manifest unless it is backfill-sized. The cap is enforced BEFORE
+    * the collect (`limit(cap+1)`): a backfill batch must never
+    * materialize its full key set on the driver just to be discarded. */
   private def pruned(side: DataFrame, keyCol: String,
-      touched: Array[Any]): DataFrame =
+      changeKeys: DataFrame): DataFrame = {
+    val touched = changeKeys.distinct().limit(PruneKeyCap + 1)
+      .collect().map(_.get(0))
     if (touched.length > PruneKeyCap) side
     else side.filter(col(keyCol).isin(touched.toIndexedSeq: _*))
+  }
 
   /** One maintenance round: fold every change past either cursor into
     * the view. Returns the new cursor pair (unchanged when no commit
@@ -130,27 +135,28 @@ object JoinView {
     val (curA, curB) = cursorOf(spark, viewDir).getOrElse(
       throw new IllegalStateException(s"view at $viewDir not bootstrapped"))
     val v = spark.read.parquet(genDir(viewDir, curA, curB))
-    val dA = Lake.readChanges(spark, ledgerA, curA)
-    val dB = Lake.readChanges(spark, ledgerB, curB)
-    val (hasA, hasB) = (!dA.isEmpty, !dB.isEmpty)
+    val dA0 = Lake.readChanges(spark, ledgerA, curA)
+    val dB0 = Lake.readChanges(spark, ledgerB, curB)
+    val (hasA, hasB) = (!dA0.isEmpty, !dB0.isEmpty)
     if (!hasA && !hasB) return (curA, curB)
+    // each change frame feeds up to three consumers (max-snapshot agg,
+    // touched-key collect, the joined fold) — materialize once
+    val dA = if (hasA) dA0.localCheckpoint() else dA0
+    val dB = if (hasB) dB0.localCheckpoint() else dB0
     val tgtA = if (!hasA) curA
       else dA.agg(max(col("_commit_snapshot"))).head().getLong(0)
     val tgtB = if (!hasB) curB
       else dB.agg(max(col("_commit_snapshot"))).head().getLong(0)
-    val meta = Seq("_change_type", "_commit_snapshot")
     // ΔA ⋈ B₁ — the joined row carries ΔA's sign
     val dAj = if (!hasA) None else {
-      val keys = dA.select(col(spec.leftKey)).distinct()
-        .collect().map(_.get(0))
-      val b1 = pruned(Lake.readAt(spark, ledgerB, tgtB), spec.rightKey, keys)
+      val b1 = pruned(Lake.readAt(spark, ledgerB, tgtB), spec.rightKey,
+        dA.select(col(spec.leftKey)))
       Some(joined(dA.drop("_commit_snapshot"), b1, spec))
     }
     // A₀ ⋈ ΔB — the joined row carries ΔB's sign
     val dBj = if (!hasB) None else {
-      val keys = dB.select(col(spec.rightKey)).distinct()
-        .collect().map(_.get(0))
-      val a0 = pruned(Lake.readAt(spark, ledgerA, curA), spec.leftKey, keys)
+      val a0 = pruned(Lake.readAt(spark, ledgerA, curA), spec.leftKey,
+        dB.select(col(spec.rightKey)))
       Some(joined(a0, dB.drop("_commit_snapshot"), spec))
     }
     val cols = (spec.key ++ spec.sumCols).distinct :+ "_change_type"
@@ -165,29 +171,27 @@ object JoinView {
     (tgtA, tgtB)
   }
 
-  /** The streaming form: one file stream per source ledger as the
-    * arrival signal; each micro-batch fires one round (cursor-replay-
-    * safe, the [[MirrorLoop]] discipline). Both streams run under
-    * AvailableNow and this call blocks until both drain. */
+  // one lock per viewDir: rounds are read-modify-write on one cursor,
+  // but UNRELATED views maintained in the same JVM must not serialize
+  private val viewLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** The streaming form: one [[MirrorLoop.ledgerWatcher]] per source
+    * ledger as the arrival signal; each micro-batch fires one round
+    * (cursor-replay-safe — a round fired by one side's arrival folds
+    * BOTH feeds, so the other watcher's batch no-ops on the cursor).
+    * Both streams run under AvailableNow; this call blocks until both
+    * drain. */
   def maintainOnce(spark: SparkSession, ledgerA: String, ledgerB: String,
       viewDir: String, spec: JoinAggSpec, checkpointRoot: String): Unit = {
-    def one(ledger: String, tag: String): StreamingQuery = {
-      val schema = spark.read.parquet(ledger).schema
-      spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "8").parquet(ledger)
-        .writeStream
-        .option("checkpointLocation", s"$checkpointRoot/$tag")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .foreachBatch { (_: DataFrame, _: Long) =>
-          // serialize rounds across the two watchers: applyRound is
-          // read-modify-write on one cursor
-          JoinView.synchronized {
-            applyRound(spark, ledgerA, ledgerB, viewDir, spec): Unit
-          }
-        }
-        .start()
+    val lock = viewLocks.computeIfAbsent(viewDir, _ => new Object)
+    def round(): Unit = lock.synchronized {
+      applyRound(spark, ledgerA, ledgerB, viewDir, spec): Unit
     }
-    val qa = one(ledgerA, "a"); val qb = one(ledgerB, "b")
+    val qa = MirrorLoop.ledgerWatcher(spark, ledgerA,
+      s"$checkpointRoot/a")(round _)
+    val qb = MirrorLoop.ledgerWatcher(spark, ledgerB,
+      s"$checkpointRoot/b")(round _)
     qa.awaitTermination(); qb.awaitTermination()
   }
 

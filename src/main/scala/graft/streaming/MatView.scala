@@ -196,21 +196,10 @@ object MatView {
     * batch's rows are deliberately unused — the cursor decides what is new
     * (exactly-once under checkpoint replay, the [[MirrorLoop]] shape). */
   def viewStream(spark: SparkSession, ledgerDir: String, viewDir: String,
-      spec: AggSpec, checkpointDir: String): StreamingQuery = {
-    val ledgerSchema = spark.read.parquet(ledgerDir).schema
-    spark.readStream
-      .schema(ledgerSchema)
-      .option("maxFilesPerTrigger", "8")
-      .parquet(ledgerDir)
-      .writeStream
-      .option("checkpointLocation", checkpointDir)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (_: DataFrame, _: Long) =>
-        applyRound(spark, ledgerDir, viewDir, spec)
-        ()
-      }
-      .start()
-  }
+      spec: AggSpec, checkpointDir: String): StreamingQuery =
+    MirrorLoop.ledgerWatcher(spark, ledgerDir, checkpointDir) { () =>
+      applyRound(spark, ledgerDir, viewDir, spec): Unit
+    }
 
   /** Oracle-checked incremental-view round-trip: build a lake from the
     * orders table, bootstrap a by-priority revenue view, then two

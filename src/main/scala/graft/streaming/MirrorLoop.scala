@@ -114,7 +114,19 @@ object MirrorLoop {
     * exactly-once under checkpoint replay and restarts (a replayed batch
     * re-runs a round that sees no changes past the cursor and no-ops). */
   def changeStream(spark: SparkSession, ledgerDir: String, mirrorDir: String,
-      key: String, checkpointDir: String): StreamingQuery = {
+      key: String, checkpointDir: String): StreamingQuery =
+    ledgerWatcher(spark, ledgerDir, checkpointDir) { () =>
+      applyRound(spark, ledgerDir, mirrorDir, key): Unit
+    }
+
+  /** THE cursor-replay-safe ledger watcher every maintained artifact
+    * shares (mirror, MatView, IvfDelta, TextIndexDelta, JoinView): a
+    * file stream on the ledger dir as the arrival signal, one
+    * consumer-supplied round per micro-batch, AvailableNow. The batch's
+    * rows are deliberately unused — the consumer's CURSOR decides what
+    * is new, so checkpoint replays and restarts fold nothing twice. */
+  private[graft] def ledgerWatcher(spark: SparkSession, ledgerDir: String,
+      checkpointDir: String)(round: () => Unit): StreamingQuery = {
     val ledgerSchema = spark.read.parquet(ledgerDir).schema
     spark.readStream
       .schema(ledgerSchema)
@@ -124,8 +136,7 @@ object MirrorLoop {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (_: DataFrame, _: Long) =>
-        applyRound(spark, ledgerDir, mirrorDir, key)
-        ()
+        round()
       }
       .start()
   }

@@ -115,12 +115,8 @@ object Scale100Probe {
     // answer against the scan answer at both sizes.
     {
       import graft.sources.Lake
-      def rmrf(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmrf)
-        f.delete(); ()
-      }
       val maRoot = "/tmp/sf10_synth_ma"
-      rmrf(new java.io.File(maRoot))
+      graft.streaming.MirrorLoop.rmrf(new java.io.File(maRoot))
       val times = for ((tag, dataDir) <- Seq("1x" -> src, "100x" -> out)) yield {
         val ledger = s"$maRoot/$tag/ledger"
         Lake.ingestNewFiles(spark, s"$dataDir/orders.parquet", ledger,

@@ -361,5 +361,28 @@ class GraftSqlSpec extends GraftSpec {
     }
     assert(e.getMessage.contains("already SQL-bound"))
     GraftSql.unbind(spark, "big_nat")
+
+    // a CRASHED earlier attempt (landing dir, no ledger) must not make
+    // the statement un-retryable
+    new java.io.File(s"$tmp/crashed/landing-ctas").mkdirs()
+    java.nio.file.Files.write(java.nio.file.Paths.get(
+      s"$tmp/crashed/landing-ctas/debris.parquet"), Array[Byte](9))
+    t.sql(s"CREATE TABLE retry_nat LOCATION '$tmp/crashed' AS " +
+      "SELECT n_nationkey FROM nat_src_ctas")
+    assert(spark.sql("SELECT count(*) FROM retry_nat").head().getLong(0)
+      == 25)
+    GraftSql.unbind(spark, "retry_nat")
+    // CREATE onto a COMPLETE table's location refuses (never wipes)
+    val e2 = intercept[Exception] {
+      t.sql(s"CREATE TABLE other LOCATION '$tmp/crashed' AS " +
+        "SELECT * FROM nat_src_ctas")
+    }
+    assert(e2.getMessage.contains("already exists"))
+
+    // string literals are DATA: a metadata-table suffix inside a quote
+    // must never rewrite
+    t.sql("INSERT INTO nat_src_ctas SELECT 991, 'see nat_src_ctas.history', 0")
+    assert(t.read().filter(col("n_name") === "see nat_src_ctas.history")
+      .count() == 1, "literal containing t.history was rewritten")
   }
 }
