@@ -213,6 +213,77 @@ object TextOps {
       | FROM (SELECT regexp_split_to_array(trim(text), ' +') AS toks FROM documents) t)
       |GROUP BY bigram ORDER BY n_occurrences DESC, bigram LIMIT 20""".stripMargin
 
+  /** COLLOCATION MINING via pointwise mutual information — the corpus-
+    * linguistics signal behind phrase vocabularies and tokenizer merge
+    * seeds ("how much more often do a,b appear ADJACENT than chance"):
+    * PMI(a,b) = ln( P(ab) / (P(a)·P(b)) ) over adjacent-pair space vs
+    * unigram space, min support 5. Cross-engine determinism: counts are
+    * exact BIGINTs, the ln argument assembles as one FIXED-association
+    * double expression (((n_ab·Ntok)·Ntok) / ((Nbig·n_a)·n_b) — IEEE
+    * multiplication is deterministic, so both engines feed ln the
+    * identical double), and the score rounds to 9 dp to absorb ln() ULP
+    * slack (the BM25 discipline). Plan: one tokenize feeding bigram and
+    * unigram aggregates, two broadcast joins of the KB-scale unigram
+    * relation onto the bigram relation, scalar totals as broadcast
+    * 1-row cross joins — everything after the scan is vocabulary-sized. */
+  def qDocCollocations(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= 2)
+      .localCheckpoint() // one tokenize feeds bigram AND unigram counts
+    val bigrams = docs.select(explode(transform(
+        sequence(lit(0), size(col("toks")) - 2),
+        i => struct(element_at(col("toks"), i + 1).as("a"),
+          element_at(col("toks"), i + 2).as("b")))).as("bg"))
+      .select(col("bg.a").as("a"), col("bg.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+    val unigrams = docs
+      .select(explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val totals = bigrams.agg(sum(col("n_ab")).as("n_big"))
+      .crossJoin(unigrams.agg(sum(col("n")).as("n_tok")))
+    val arg = ((col("n_ab").cast("double") * col("n_tok").cast("double"))
+      * col("n_tok").cast("double")) /
+      ((col("n_big").cast("double") * col("n_a").cast("double"))
+        * col("n_b").cast("double"))
+    bigrams.filter(col("n_ab") >= 5)
+      .join(broadcast(unigrams.select(col("tok").as("a"),
+        col("n").as("n_a"))), "a")
+      .join(broadcast(unigrams.select(col("tok").as("b"),
+        col("n").as("n_b"))), "b")
+      .crossJoin(broadcast(totals))
+      .select(col("a"), col("b"), col("n_ab"),
+        round(log(arg), 9).as("pmi"))
+      .orderBy(col("pmi").desc, col("a"), col("b"))
+  }
+
+  def qDocCollocationsSql: String =
+    """WITH docs AS (
+      | SELECT regexp_split_to_array(trim(text), ' +') AS toks
+      | FROM documents WHERE len(regexp_split_to_array(trim(text), ' +')) >= 2),
+      |big AS (
+      | SELECT bg['a'] AS a, bg['b'] AS b, CAST(count(*) AS BIGINT) AS n_ab
+      | FROM (SELECT unnest(list_transform(range(1, len(toks)),
+      |   i -> {'a': toks[i], 'b': toks[i+1]})) AS bg FROM docs)
+      | GROUP BY 1, 2),
+      |uni AS (
+      | SELECT tok, CAST(count(*) AS BIGINT) AS n
+      | FROM (SELECT unnest(toks) AS tok FROM docs) GROUP BY 1),
+      |tot AS (
+      | SELECT (SELECT CAST(sum(n_ab) AS BIGINT) FROM big) AS n_big,
+      |        (SELECT CAST(sum(n) AS BIGINT) FROM uni) AS n_tok)
+      |SELECT big.a, big.b, n_ab,
+      | round(ln(((CAST(n_ab AS DOUBLE) * CAST(n_tok AS DOUBLE))
+      |     * CAST(n_tok AS DOUBLE))
+      |   / ((CAST(n_big AS DOUBLE) * CAST(ua.n AS DOUBLE))
+      |     * CAST(ub.n AS DOUBLE))), 9) AS pmi
+      |FROM big
+      |JOIN uni ua ON ua.tok = big.a
+      |JOIN uni ub ON ub.tok = big.b
+      |CROSS JOIN tot
+      |WHERE n_ab >= 5
+      |ORDER BY pmi DESC, big.a, big.b""".stripMargin
+
   /** Token RARITY scoring — the frequency-based curation signal (rare
     * vocabulary ≈ specialized or noisy text; a cheap relational stand-in
     * for model-based perplexity, which needs no model): per document, the
