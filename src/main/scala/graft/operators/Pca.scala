@@ -120,7 +120,16 @@ object Pca {
       comps(c) = v
       eigs(c) = dot(v, matVec(v))
     }
-    Model(mean, comps, eigs)
+    // NEAR-DEGENERATE spectra (λ_c ≈ λ_{c+1}) separate at rate
+    // (λ_{c+1}/λ_c)^iters — power iteration can return two such
+    // components slightly rotated within their shared subspace, i.e.
+    // marginally OUT of eigenvalue order. The returned contract is
+    // "descending", so sort the pairs by Rayleigh quotient: the
+    // projected variance of component c IS vᵀCv, making the ordering
+    // exact for the emitted model (1.2e-3 relative inversion observed
+    // at 50 vectors / 64 dims before this sort).
+    val order = eigs.zipWithIndex.sortBy(-_._1).map(_._2)
+    Model(mean, order.map(comps), order.map(eigs))
   }
 
   /** In-plan projection: `embCol` → `outCol` as the k-dim array of
@@ -143,18 +152,86 @@ object Pca {
     emb.withColumn(outCol, projectCol(col(embCol), model))
 
   /** Driver-gate entry ([rows] — float eigensolves are not
-    * SQL-oracle-able; PcaSpec carries the correctness proof): fit the
-    * top-8 components of the embeddings table (one covariance pass +
-    * driver eigensolve) and project every vector in-plan. Output is
-    * (vec_id, 6-dp projection) — rounded so the driver's hash stays
-    * stable across codegen fusion orders. */
+    * SQL-oracle-able; PcaSpec carries the correctness proof and
+    * [[qEmbPcaCheck]] puts the projection's data-grounded invariants
+    * under the hard oracle): fit the top-8 components of the embeddings
+    * table (one covariance pass + driver eigensolve) and project every
+    * vector in-plan. Output EXPLODES to scalar (vec_id, dim, value)
+    * rows — the driver's rows-check sorts and hashes scalar cells, so an
+    * array column would crash it (the r11 gate lesson) — with 6-dp
+    * rounding so the hash stays stable across codegen fusion orders. */
   def qEmbPca(spark: org.apache.spark.sql.SparkSession,
       d: String): DataFrame = {
     val emb = spark.read.parquet(s"$d/embeddings.parquet")
     val model = fit(emb, k = 8)
     project(emb, model)
       .select(col("vec_id"),
-        transform(col("proj"), v => round(v, 6)).as("proj"))
-      .orderBy(col("vec_id"))
+        posexplode(transform(col("proj"), v => round(v, 6)))
+          .as(Seq("dim", "value")))
+      .orderBy(col("vec_id"), col("dim"))
   }
+
+  /** ORACLE-ABLE PCA check (the q_doc_len_check structure: engine-
+    * specific ESTIMATES stay [rows], but the math they must satisfy is a
+    * theorem both engines verify): Spark computes three data-grounded
+    * truth relations over its OWN projection and the raw embeddings —
+    *
+    *  - `parseval` (one row per vector): an orthonormal projection never
+    *    inflates — Σ_c proj_c² ≤ ‖x − mean‖² (relative slack 1e-9);
+    *  - `mean_zero` (one row per component): projections of centered
+    *    data average to 0 (|avg| ≤ 1e-6 — avg, not sum, so the bound is
+    *    n-independent);
+    *  - `var_order` (one row per adjacent pair): deflated power
+    *    iteration returns components in DESCENDING eigenvalue order, and
+    *    the population variance of projection c IS its eigenvalue —
+    *    var_c ≥ var_{c+1} − 1e-6·var_c.
+    *
+    * The DuckDB oracle is the materialized all-true relation (vec_ids
+    * from the table + the literal dim ranges): a mis-centered,
+    * non-orthonormal, or mis-ordered solve flips a boolean and
+    * hash-mismatches. One covariance pass + one projection scan + one
+    * grouped pass — everything after the scan is k-scaled. */
+  def qEmbPcaCheck(spark: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val k = 8
+    val emb = spark.read.parquet(s"$d/embeddings.parquet")
+    val model = fit(emb, k = k)
+    val projected = project(emb, model).localCheckpoint()
+    val meanLit = typedLit(model.mean.toSeq)
+    val centered = zip_with(transform(col("embedding"), v => v.cast("double")),
+      meanLit, (a, b) => a - b)
+    val sq = (c: Column) => aggregate(
+      zip_with(c, c, (a, b) => a * b), lit(0.0), _ + _)
+    val parseval = projected
+      .select(lit("parseval").as("chk"), col("vec_id").as("id"),
+        (sq(col("proj")) <= sq(centered) * lit(1.0 + 1e-9) + lit(1e-9))
+          .as("ok"))
+    val perDim = projected
+      .select(posexplode(col("proj")).as(Seq("dim", "v")))
+      .groupBy(col("dim"))
+      .agg(avg(col("v")).as("m"), var_pop(col("v")).as("s2"))
+      .localCheckpoint() // k rows; feeds mean_zero AND the lag window
+    val meanZero = perDim.select(lit("mean_zero").as("chk"),
+      col("dim").cast("long").as("id"), (abs(col("m")) <= 1e-6).as("ok"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("dim"))
+    val varOrder = perDim
+      .withColumn("s2_next", lead(col("s2"), 1).over(w))
+      .filter(col("s2_next").isNotNull)
+      .select(lit("var_order").as("chk"), col("dim").cast("long").as("id"),
+        (col("s2") >= col("s2_next") - lit(1e-6) * col("s2")).as("ok"))
+    parseval.unionByName(meanZero).unionByName(varOrder)
+      .orderBy(col("chk"), col("id"))
+  }
+
+  /** DuckDB mirror of [[qEmbPcaCheck]]: the truth relation the PCA
+    * invariants guarantee (all-true over the vec_ids + dim ranges). */
+  def qEmbPcaCheckSql: String =
+    """SELECT 'parseval' AS chk, vec_id AS id, TRUE AS ok FROM embeddings
+      |UNION ALL
+      |SELECT 'mean_zero', CAST(d AS BIGINT), TRUE
+      |FROM (SELECT unnest(range(0, 8)) AS d)
+      |UNION ALL
+      |SELECT 'var_order', CAST(d AS BIGINT), TRUE
+      |FROM (SELECT unnest(range(0, 7)) AS d)
+      |ORDER BY 1, 2""".stripMargin
 }

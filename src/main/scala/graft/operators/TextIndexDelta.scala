@@ -30,11 +30,19 @@ import org.apache.spark.sql.functions._
   * picks the latest image (max_by on commit snapshot, post-images over
   * pre-images — the IvfDelta rule), so insert-then-delete nets to
   * absent and re-inserts win. The maintenance round's only driver list
-  * is the changed doc-id batch (change-batch-sized — the §3
-  * control-plane exception); its one index-sized cost is the MOR match
-  * scan, column-pruned to doc_id.
+  * is the changed doc-id batch, and ONLY while it is small (`IdListCap`
+  * — the JoinView PruneKeyCap discipline, `limit(cap+1)` BEFORE the
+  * collect): a backfill-sized wave tombstones and probes RELATIONALLY
+  * (semi-joins), with nothing on the driver. The round's one
+  * index-sized cost is the MOR match scan, column-pruned to doc_id.
   */
 object TextIndexDelta {
+
+  /** Max changed-doc ids materialized on the driver per round (the
+    * JoinView PruneKeyCap discipline); larger waves stay relational.
+    * Overridable for tests (the backfill-wave spec exercises the
+    * relational path without building a 10k-doc fixture). */
+  @volatile private[graft] var IdListCap = 10000
 
   /** The maintained postings lake (token, doc_id, tf). */
   def table(spark: SparkSession, indexRoot: String): GraftTable =
@@ -101,14 +109,20 @@ object TextIndexDelta {
       .agg(max_by(col("_change_type"), ord).as("_change_type"),
         max_by(col("text"), ord).as("text"))
       .localCheckpoint() // feeds tombstones, new postings, and doclens
-    // change-batch-sized driver list (control-plane exception): the MOR
-    // tombstone predicate and the merge arms key on these ids
+    // driver list ONLY while change-batch-sized (the JoinView
+    // PruneKeyCap discipline — `limit(cap+1)` BEFORE the collect): a
+    // daily increment's In list prunes posting files at the manifest; a
+    // BACKFILL wave (a corpus slice re-ingested through the change feed)
+    // must never materialize millions of ids on the driver — past the
+    // cap the tombstone and the doclens probe go relational instead
     val changedIds = latest.select(col("doc_id"))
-      .collect().map(_.getLong(0)).toSeq
+      .limit(IdListCap + 1).collect().map(_.getLong(0)).toSeq
+    val smallWave = changedIds.length <= IdListCap
     val t = table(spark, indexRoot)
     // 1. tombstone EVERY changed doc's old postings (update = replace
     //    whole posting set; delete = drop it) — KB sidecars, no rewrite
-    t.deleteMor(col("doc_id").isin(changedIds: _*))
+    if (smallWave) t.deleteMor(col("doc_id").isin(changedIds: _*))
+    else t.deleteMorKeys(latest.select(col("doc_id")), "doc_id")
     // 2. fresh token-clustered segment for the surviving docs
     val live = latest
       .filter(col("_change_type").isin("insert", "update_postimage"))
@@ -128,10 +142,14 @@ object TextIndexDelta {
     val dlUpserts = newPosts.groupBy(col("doc_id"))
       .agg(sum(col("tf")).as("dl"))
       .withColumn("_drop", lit(false))
+    val dlHad = // had-a-row probe: file-pruned In under the cap, a
+      // relational semi-join for a backfill wave (same guard as above)
+      if (smallWave) dl.read().filter(col("doc_id").isin(changedIds: _*))
+      else dl.read().join(latest.select(col("doc_id")), Seq("doc_id"),
+        "left_semi")
     val deleted = latest.select(col("doc_id"))
       .join(dlUpserts.select(col("doc_id")), Seq("doc_id"), "left_anti")
-      .join(dl.read().filter(col("doc_id").isin(changedIds: _*))
-        .select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .join(dlHad.select(col("doc_id")), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), lit(null).cast("long").as("dl"),
         lit(true).as("_drop"))
     dl.merge(dlUpserts.unionByName(deleted), "doc_id",

@@ -223,9 +223,12 @@ object TextOps {
     * multiplication is deterministic, so both engines feed ln the
     * identical double), and the score rounds to 9 dp to absorb ln() ULP
     * slack (the BM25 discipline). Plan: one tokenize feeding bigram and
-    * unigram aggregates, two broadcast joins of the KB-scale unigram
-    * relation onto the bigram relation, scalar totals as broadcast
-    * 1-row cross joins — everything after the scan is vocabulary-sized. */
+    * unigram aggregates, two HINT-FREE joins of the unigram relation
+    * onto the bigram relation (the distinct-token relation is
+    * VOCABULARY-scaled — Heaps-sublinear but unbounded with web junk, so
+    * AQE size-drives the broadcast while it fits and falls back to a
+    * shuffle join past the threshold, the §3 rule-1 / q_doc_rarity
+    * discipline), scalar totals as broadcast 1-row cross joins. */
   def qDocCollocations(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .withColumn("toks", tokens(col("text")))
@@ -247,10 +250,8 @@ object TextOps {
       ((col("n_big").cast("double") * col("n_a").cast("double"))
         * col("n_b").cast("double"))
     bigrams.filter(col("n_ab") >= 5)
-      .join(broadcast(unigrams.select(col("tok").as("a"),
-        col("n").as("n_a"))), "a")
-      .join(broadcast(unigrams.select(col("tok").as("b"),
-        col("n").as("n_b"))), "b")
+      .join(unigrams.select(col("tok").as("a"), col("n").as("n_a")), "a")
+      .join(unigrams.select(col("tok").as("b"), col("n").as("n_b")), "b")
       .crossJoin(broadcast(totals))
       .select(col("a"), col("b"), col("n_ab"),
         round(log(arg), 9).as("pmi"))

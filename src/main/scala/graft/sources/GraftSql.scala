@@ -118,7 +118,13 @@ object GraftSql {
         cur += c
         if (c == '*' && peek == '/') { cur += peek; i += 1; blockComment = false }
       }
-      else if (quote != 0) { cur += c; if (c == quote) quote = 0 }
+      else if (quote != 0) {
+        cur += c
+        // Spark's lexer accepts backslash escapes ('it\'s') — the
+        // escaped char must not close the literal (or hide a ';' split)
+        if (c == '\\' && i + 1 < text.length) { cur += peek; i += 1 }
+        else if (c == quote) quote = 0
+      }
       else if (c == '\'' || c == '"') { quote = c; cur += c }
       else if (c == '-' && peek == '-') { lineComment = true; cur += c }
       else if (c == '/' && peek == '*') { blockComment = true; cur += c }
@@ -185,8 +191,12 @@ object GraftSql {
         "bind it with bindSql, or CREATE at a fresh location")
       // a CRASHED earlier attempt may have left a landing dir with no
       // ledger; the name was never bound and no snapshot committed, so
-      // the slate is clean — wipe it (retryable CTAS)
-      graft.streaming.MirrorLoop.rmrf(new java.io.File(dir))
+      // CTAS is retryable — but only by wiping debris THIS path created
+      // (the landing dir and the uncommitted ledger/gen dirs), never the
+      // user-supplied LOCATION wholesale: 'dir' may hold unrelated data,
+      // including files the CTAS query itself is about to read
+      Seq("landing-ctas", "ledger", "gen").foreach(sub =>
+        graft.streaming.MirrorLoop.rmrf(new java.io.File(s"$dir/$sub")))
       // the SELECT may itself use time travel / metadata tables
       val rows = spark.sql(
         rewriteMetaTables(spark, rewriteTimeTravel(spark, query)))
@@ -220,7 +230,13 @@ object GraftSql {
     def flush(): Unit = { out ++= f(seg.toString); seg.clear() }
     while (i < stmt.length) {
       val c = stmt.charAt(i)
-      if (quote != 0) { out += c; if (c == quote) quote = 0 }
+      if (quote != 0) {
+        out += c
+        if (c == '\\' && i + 1 < stmt.length) { // escaped char in literal
+          out += stmt.charAt(i + 1); i += 1
+        }
+        else if (c == quote) quote = 0
+      }
       else if (c == '\'' || c == '"') { flush(); quote = c; out += c }
       else seg += c
       i += 1
@@ -268,10 +284,6 @@ object GraftSql {
     // store-assignment coercion by POSITION (standard INSERT semantics;
     // BY NAME arrives pre-named and coerces by name)
     val tgt = t.read().schema
-    // backtick-quote source column references: an auto-generated name
-    // for a literal expression can contain DOTS ('a.b' AS ...), which an
-    // unquoted col() would mis-parse as a qualifier
-    def bq(c: String) = col(s"`$c`")
     val rows =
       if (i.byName) rows0.select(rows0.columns.map { c =>
         tgt.find(_.name == c)
@@ -296,9 +308,14 @@ object GraftSql {
   private def rewriteTimeTravel(spark: SparkSession, stmt: String): String = {
     val version =
       """(?i)\b(\w+)\s+VERSION\s+AS\s+OF\s+(\d+)""".r
+    // the TIMESTAMP form carries its own quoted literal, so it rewrites
+    // over the RAW statement with segment-level care below; the VERSION
+    // form is literal-free and must never fire inside a string literal
+    // ('see nat VERSION AS OF 3' is data) — outsideQuotes guards it,
+    // same as rewriteMetaTables
     val tstamp =
       """(?i)\b(\w+)\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'""".r
-    val afterV = version.replaceAllIn(stmt, m => {
+    val afterV = outsideQuotes(stmt)(seg => version.replaceAllIn(seg, m => {
       val (name, snap) = (m.group(1), m.group(2).toLong)
       val t = registry.get((spark, name))
       if (t == null) m.matched
@@ -307,11 +324,14 @@ object GraftSql {
         t.readAt(snap).createOrReplaceTempView(view)
         view
       }
-    })
+    }))
+    // matches STARTING inside a quoted run are data, not time travel
+    // (a literal can still contain the full pattern via escaped quotes)
     tstamp.replaceAllIn(afterV, m => {
       val name = m.group(1)
       val t = registry.get((spark, name))
-      if (t == null) m.matched
+      if (t == null || insideQuote(afterV, m.start))
+        java.util.regex.Matcher.quoteReplacement(m.matched)
       else {
         val ts = java.sql.Timestamp.valueOf(m.group(2))
         val view = s"${name}__t${ts.getTime}"
@@ -319,6 +339,23 @@ object GraftSql {
         view
       }
     })
+  }
+
+  /** Is position `pos` inside a quoted literal/identifier? Same scanner
+    * rules as [[splitStatements]] (incl. backslash escapes). */
+  private def insideQuote(s: String, pos: Int): Boolean = {
+    var quote: Char = 0
+    var i = 0
+    while (i < pos) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        if (c == '\\') i += 1 // escaped char inside a literal
+        else if (c == quote) quote = 0
+      }
+      else if (c == '\'' || c == '"') quote = c
+      i += 1
+    }
+    quote != 0
   }
 
   // ---------------------------------------------------------- routing
@@ -388,6 +425,11 @@ object GraftSql {
     Seq(snap).toDF("snapshot")
   }
 
+  /** Backtick-quote a column reference: an auto-generated name for a
+    * literal expression can contain DOTS ('a.b' AS …), which an unquoted
+    * col() would mis-parse as a qualified reference. */
+  private def bq(c: String): Column = col(s"`$c`")
+
   private def runDelete(spark: SparkSession, d: DeleteFromTable): DataFrame = {
     val t = lookup(spark, d.table)
     val snap = t.delete(toColumn(d.condition))
@@ -431,7 +473,7 @@ object GraftSql {
         val tgt = t.read().schema
         source0.select(source0.columns.map { c =>
           tgt.find(_.name == c)
-            .map(f => col(c).cast(f.dataType).as(c)).getOrElse(col(c))
+            .map(f => bq(c).cast(f.dataType).as(c)).getOrElse(bq(c))
         }: _*)
       }
     // matched clauses → whole-row replace + optional deleteWhen. SQL

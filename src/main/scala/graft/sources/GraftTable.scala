@@ -189,6 +189,14 @@ final case class GraftTable(spark: SparkSession, ledgerDir: String,
   def deleteMor(cond: Column, changeFeed: Boolean = false): Long =
     Lake.deleteWhereMor(spark, ledgerDir, genRoot, cond, changeFeed)
 
+  /** MOR delete keyed by a RELATION: rows whose `keyCol` appears in
+    * `keys` tombstone via a semi-join — the backfill-safe form (no
+    * driver-side key list; see Lake.deleteWhereMorKeys). */
+  def deleteMorKeys(keys: DataFrame, keyCol: String,
+      changeFeed: Boolean = false): Long =
+    Lake.deleteWhereMorKeys(spark, ledgerDir, genRoot, keys, keyCol,
+      changeFeed)
+
   /** Row-level MERGE-ON-READ merge: identical row semantics to `merge`
     * but superseded target rows become deletion vectors and the
     * update+insert rows land as one delta — no file rewrites (see

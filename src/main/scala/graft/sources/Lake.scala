@@ -1588,7 +1588,26 @@ object Lake {
     * auto-releases. Returns the delete's snapshot id (or the current one
     * when nothing matched). */
   def deleteWhereMor(spark: SparkSession, ledgerDir: String, genRoot: String,
-      cond: org.apache.spark.sql.Column, changeFeed: Boolean = false): Long = {
+      cond: org.apache.spark.sql.Column, changeFeed: Boolean = false): Long =
+    deleteMorMatching(spark, ledgerDir, genRoot,
+      df => df.filter(coalesce(cond, lit(false))), changeFeed)
+
+  /** [[deleteWhereMor]] with a RELATIONAL key predicate: delete the rows
+    * whose `keyCol` appears in `keys` (a semi-join, never a driver-side
+    * In list — the backfill-wave form: a Column predicate would need the
+    * key set materialized on the driver, unbounded for a change-feed
+    * wave re-ingesting a corpus slice). Same sidecar/ledger semantics. */
+  def deleteWhereMorKeys(spark: SparkSession, ledgerDir: String,
+      genRoot: String, keys: org.apache.spark.sql.DataFrame, keyCol: String,
+      changeFeed: Boolean = false): Long = {
+    val k = keys.select(col(keyCol)).distinct()
+    deleteMorMatching(spark, ledgerDir, genRoot,
+      df => df.join(k, Seq(keyCol), "left_semi"), changeFeed)
+  }
+
+  private def deleteMorMatching(spark: SparkSession, ledgerDir: String,
+      genRoot: String, matches: DataFrame => DataFrame,
+      changeFeed: Boolean): Long = {
     val snap = currentSnapshot(spark, ledgerDir)
     val liveActs = readLedger(spark, ledgerDir).map(l => liveActionsAt(l, snap))
     val index = liveActs.map(new LedgerFileIndex(_)).filterNot(_.isEmpty)
@@ -1605,8 +1624,7 @@ object Lake {
     // ONE match scan: the position set is delete-sized (exactly what the
     // sidecar will hold), so materialize it once instead of re-scanning
     // the table for the emptiness check and again for the sidecar write
-    val hits = target
-      .filter(coalesce(cond, lit(false)))
+    val hits = matches(target)
       .select(col("__graft_fp").as("dpath"), col("__graft_pos").as("pos"))
       .localCheckpoint()
     if (hits.isEmpty) return snap // nothing matches: no snapshot, no marker
@@ -1619,7 +1637,7 @@ object Lake {
       if (changeFeed) {
         val dataCols = target.columns
           .filterNot(Seq("__graft_fp", "__graft_pos").contains).map(col)
-        target.filter(coalesce(cond, lit(false)))
+        matches(target)
           .select(dataCols: _*)
           .withColumn("_change_type", lit("delete"))
           .withColumn("_commit_snapshot", lit(next))

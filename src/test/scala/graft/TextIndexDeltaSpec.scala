@@ -129,4 +129,53 @@ class TextIndexDeltaSpec extends GraftSpec {
       .map(_.getLong(0)).toSet
     assert(a == b, "per-wave maintenance diverged from one-shot rebuild")
   }
+
+  test("BACKFILL wave past IdListCap maintains relationally (no driver " +
+      "id list) and still equals from-scratch") {
+    val sp = spark; import sp.implicits._
+    val tmp = Files.createTempDirectory("graft_tidx_backfill").toString
+    val src = GraftTable(spark, s"$tmp/src_ledger", s"$tmp/src_gen")
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+      .limit(100).repartition(4)
+      .write.parquet(s"$tmp/landing")
+    src.ingest(s"$tmp/landing")
+    val idx = s"$tmp/idx"
+    TextIndexDelta.bootstrap(spark, src.ledgerDir, idx)
+    // a backfill: re-ingest HALF the corpus through the change feed
+    // (rewritten text) + fresh inserts + a delete — one big wave whose
+    // id count exceeds the (test-lowered) cap, forcing the relational
+    // tombstone + doclens-probe path end to end
+    val half = src.read().filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" spark backfill")).as("text"))
+    val maxId = src.read().agg(max(col("doc_id"))).head().getLong(0)
+    val delId = src.read().filter(col("doc_id") % 2 === 1)
+      .agg(min(col("doc_id"))).head().getLong(0)
+    src.merge(half.unionByName(Seq(
+      (maxId + 1, "spark merge backfill fresh")).toDF("doc_id", "text")),
+      "doc_id", changeFeed = true)
+    src.merge(Seq((delId, "x")).toDF("doc_id", "text"), "doc_id",
+      deleteWhen = Some(lit(true)), changeFeed = true)
+    val saved = TextIndexDelta.IdListCap
+    try {
+      TextIndexDelta.IdListCap = 3 // force the over-cap relational path
+      TextIndexDelta.applyRound(spark, src.ledgerDir, idx)
+    } finally TextIndexDelta.IdListCap = saved
+    val terms = Seq("spark", "backfill")
+    val got = TextIndexDelta.search(spark, idx, terms).collect()
+      .map(_.getLong(0)).toSet
+    val expect = tokenBaseline(src.read(), terms)
+    assert(got == expect,
+      s"backfill wave diverged (${got.size} vs ${expect.size})")
+    // doclens equal the recomputed lengths (the relational had-a-row
+    // probe and the delete arm must have tracked the whole wave)
+    val dls = TextIndexDelta.dlTable(spark, idx).read().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ref = src.read()
+      .select(col("doc_id"), size(TextOps.tokens(col("text"))).as("dl"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(dls == ref, "backfill wave: doclens diverged")
+    assert(!dls.contains(delId), "deleted doc kept its doclens row")
+  }
 }
