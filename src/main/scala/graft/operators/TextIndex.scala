@@ -211,6 +211,35 @@ object TextIndex {
       .orderBy(col("score").desc, col("doc_id"))
   }
 
+  /** BOUNDED top-K ranked retrieval — the SERVING form of
+    * [[searchRanked]]: a 100 TB corpus meeting a stopword-adjacent term
+    * scores a corpus-scaled match set, and a serving path must never
+    * globally sort or return that frame. Same scoring plan (manifest-
+    * pruned postings → per-doc pivot → BM25), then `sort+limit` — which
+    * Spark plans as TakeOrderedAndProject: each partition keeps a
+    * BOUNDED K-row heap, the driver merges #partitions × K rows, no
+    * global sort ever materializes (TopKSpec pins the plan shape). Ties
+    * break on (score DESC, doc_id) so the cut is deterministic and
+    * equals head-K of the full ranking. */
+  def searchRankedTopK(s: SparkSession, d: String, terms: Seq[String],
+      k: Int): DataFrame = {
+    require(k >= 1, s"k=$k")
+    searchRanked(s, d, terms).limit(k)
+  }
+
+  /** OR-semantics boolean search — docs containing ANY of `terms`, with
+    * the matched-term count (the cheap recall-first retrieval a ranked
+    * pass narrows): same manifest-pruned posting scan as [[search]],
+    * one doc_id shuffle, output match-sized. */
+  def searchAny(s: SparkSession, d: String, terms0: Seq[String]): DataFrame = {
+    val terms = terms0.distinct
+    require(terms.nonEmpty, "empty search")
+    postings(s, d)
+      .filter(col("token").isin(terms: _*))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("token")).as("n_terms"))
+  }
+
   /** Driver-gate query: three-term AND search through the index; the
     * oracle re-derives membership from the text directly (identical
     * whitespace-token semantics — an index that dropped or invented a
@@ -263,6 +292,31 @@ object TextIndex {
        |CROSS JOIN corpus
        |CROSS JOIN (SELECT $dfCols)
        |ORDER BY score DESC, h.doc_id""".stripMargin
+  }
+
+  /** Driver-gate top-K query: BM25 top-10 through the bounded cut; the
+    * oracle replays the whole ranking and LIMITs it — hash equality
+    * proves the heap cut == head-K of the full sort. */
+  def qDocSearchTopk(s: SparkSession, d: String): DataFrame =
+    searchRankedTopK(s, d, SearchTerms, 10)
+
+  def qDocSearchTopkSql: String =
+    qDocSearchRankedSql + "\nLIMIT 10"
+
+  /** Driver-gate OR query: docs matching ANY of the three standard
+    * terms with their matched-term counts; the oracle re-derives both
+    * from the text. */
+  def qDocSearchAny(s: SparkSession, d: String): DataFrame =
+    searchAny(s, d, SearchTerms).orderBy(col("doc_id"))
+
+  def qDocSearchAnySql: String = {
+    val sums = SearchTerms
+      .map(t =>
+        s"CAST(list_contains(regexp_split_to_array(trim(text), ' +'), '$t') AS BIGINT)")
+      .mkString(" + ")
+    s"""SELECT doc_id, ($sums) AS n_terms FROM documents
+       |WHERE $sums > 0
+       |ORDER BY doc_id""".stripMargin
   }
 
   private[graft] val PhraseTerms = Seq("big", "order", "scan")

@@ -26,16 +26,20 @@ import org.apache.spark.sql.functions._
   * sources work unmodified.
   *
   * Supported DML surface (anything else raises with this list):
-  *  - `MERGE INTO t USING src ON t.k = src.k` with clauses drawn from:
-  *    `WHEN MATCHED [AND c] THEN DELETE`, `WHEN MATCHED THEN UPDATE SET *`,
-  *    `WHEN NOT MATCHED THEN INSERT *` — the whole-row-replace merge
-  *    [[Lake.mergeInto]] implements (column-list SET/INSERT forms are
-  *    refused: the lake merge is whole-row by design);
-  *    `WITH SCHEMA EVOLUTION` maps to `evolveSchema`.
+  *  - `MERGE INTO t USING src ON t.k = src.k` with ordered first-hit
+  *    clauses: `WHEN MATCHED [AND c] THEN DELETE | UPDATE SET * |
+  *    UPDATE SET col = expr, …` and `WHEN NOT MATCHED [AND c] THEN
+  *    INSERT * | INSERT (cols) VALUES (…)`. Pure star forms route
+  *    straight to the whole-row-replace merge [[Lake.mergeInto]];
+  *    column-list / conditional forms assemble the post-image
+  *    relationally first (see [[runMergeColumnList]] — conditions there
+  *    may reference the target). `WITH SCHEMA EVOLUTION` maps to
+  *    `evolveSchema` (star forms only).
   *  - `UPDATE t SET col = expr, … [WHERE c]`
   *  - `DELETE FROM t WHERE c`
-  *  - `INSERT INTO t [BY NAME] SELECT …` (whole-row; positional
-  *    store-assignment coercion — OVERWRITE/partitioned forms refused)
+  *  - `INSERT INTO t [(cols)] [BY NAME] SELECT …` (positional
+  *    store-assignment coercion; a column list null-fills unlisted
+  *    columns — OVERWRITE/partitioned forms refused)
   *  - `ALTER TABLE t ADD CONSTRAINT name CHECK (expr)` /
   *    `ALTER TABLE t DROP CONSTRAINT name` → the persisted CHECK
   *    constraint surface ([[Lake.addConstraint]]); `DESCRIBE HISTORY t`
@@ -277,15 +281,33 @@ object GraftSql {
     if (i.overwrite) sys.error(
       "INSERT OVERWRITE is not routed (not atomic on this surface) — " +
         "use DELETE FROM + INSERT INTO, or mergeInto")
-    if (i.partitionSpec.nonEmpty || i.userSpecifiedCols.nonEmpty) sys.error(
-      "partitioned / column-list INSERT is not routed — whole-row " +
-        "INSERT INTO t SELECT … only")
+    if (i.partitionSpec.nonEmpty) sys.error(
+      "partitioned INSERT is not routed — INSERT INTO t [(cols)] SELECT …")
     val rows0 = GraftShim.ofRows(spark, i.query)
     // store-assignment coercion by POSITION (standard INSERT semantics;
     // BY NAME arrives pre-named and coerces by name)
     val tgt = t.read().schema
     val rows =
-      if (i.byName) rows0.select(rows0.columns.map { c =>
+      if (i.userSpecifiedCols.nonEmpty) {
+        // column-list INSERT: query output maps positionally onto the
+        // listed columns; every unlisted target column null-fills at its
+        // standing type (standard SQL column-list semantics)
+        val listed = i.userSpecifiedCols
+        require(rows0.columns.length == listed.length,
+          s"INSERT arity ${rows0.columns.length} != column-list arity " +
+            s"${listed.length}")
+        require(listed.map(_.toLowerCase).distinct.length == listed.length,
+          s"duplicate column in INSERT list: ${listed.mkString(", ")}")
+        val byListed = rows0.columns.zip(listed).map { case (c, n) =>
+          val f = tgt.find(_.name.equalsIgnoreCase(n)).getOrElse(
+            sys.error(s"INSERT column '$n' is not a table column"))
+          f.name -> bq(c).cast(f.dataType)
+        }.toMap
+        rows0.select(tgt.fields.map(f =>
+          byListed.getOrElse(f.name,
+            lit(null).cast(f.dataType)).as(f.name)): _*)
+      }
+      else if (i.byName) rows0.select(rows0.columns.map { c =>
         tgt.find(_.name == c)
           .map(f => bq(c).cast(f.dataType).as(c)).getOrElse(bq(c))
       }: _*)
@@ -447,12 +469,21 @@ object GraftSql {
   }
 
   private def runMerge(spark: SparkSession, m: MergeIntoTable): DataFrame = {
+    // COLUMN-LIST arms (UPDATE SET col = expr / INSERT (cols) VALUES /
+    // conditional UPDATE) route to the assembled-post-image path; pure
+    // star-form merges keep the direct whole-row route below
+    val hasColumnList = (m.matchedActions ++ m.notMatchedActions).exists {
+      case _: UpdateAction | _: InsertAction => true
+      case UpdateStarAction(Some(_)) => true
+      case _ => false
+    }
+    if (hasColumnList) return runMergeColumnList(spark, m)
     val t = lookup(spark, m.targetTable)
     val name = tableName(m.targetTable)
     def unsupported(what: String): Nothing = sys.error(
       s"unsupported MERGE form ($what) — supported: WHEN MATCHED " +
-        "[AND c] THEN DELETE, WHEN MATCHED THEN UPDATE SET *, " +
-        "WHEN NOT MATCHED THEN INSERT *")
+        "[AND c] THEN DELETE, WHEN MATCHED [AND c] THEN UPDATE SET …, " +
+        "WHEN NOT MATCHED [AND c] THEN INSERT …")
     if (m.notMatchedBySourceActions.nonEmpty)
       unsupported("WHEN NOT MATCHED BY SOURCE")
     val key = m.mergeCondition match {
@@ -542,17 +573,197 @@ object GraftSql {
     snapFrame(spark, snap)
   }
 
+  /** COLUMN-LIST MERGE arms — the form Delta/Iceberg users write daily
+    * (`WHEN MATCHED [AND c] THEN UPDATE SET col = expr, …`,
+    * `WHEN NOT MATCHED [AND c] THEN INSERT (cols) VALUES (…)`). The lake
+    * merge is whole-row by key, so this path ASSEMBLES the post-image
+    * relationally:
+    *
+    *  - ONE key-range-scoped scan of the target joins the source — the
+    *    matched PRE-IMAGE pairs, materialized once (source-batch-sized;
+    *    the BETWEEN scope is pushable, so a key-clustered table prunes
+    *    the scan to the batch's file footprint, Lake.keyRangeScope's
+    *    argument);
+    *  - matched arms claim pair rows FIRST-HIT-WINS under their
+    *    conditions (evaluated against the pair — target-qualified
+    *    references are fine here, unlike the star path's source-only
+    *    delete scoping); UPDATE arms project the post-image (SET
+    *    expressions over pre-image + source, cast to each column's
+    *    standing type — an UPDATE never changes the table schema),
+    *    DELETE arms flag drop rows, and matched keys NO arm claims stay
+    *    OUT of the assembled source, so the target keeps those rows
+    *    untouched;
+    *  - NOT MATCHED arms see only the source and build insert images
+    *    with unlisted columns null-filled (standard column-list
+    *    semantics).
+    *
+    * One [[GraftTable.merge]] call lands the union with the usual
+    * blast-radius guarantees. Unqualified column references resolve to
+    * whichever side uniquely holds the name; a name both sides carry
+    * must be qualified (t.c / src.c — the standard ambiguity rule).
+    * Assigning the merge key is refused (a keyed merge cannot re-key).
+    * Caller contract unchanged from merge: source keys unique. */
+  private def runMergeColumnList(spark: SparkSession,
+      m: MergeIntoTable): DataFrame = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    val t = lookup(spark, m.targetTable)
+    val name = tableName(m.targetTable)
+    require(t.snapshot > 0, "column-list MERGE into an empty table — " +
+      "create it first (CTAS or INSERT INTO)")
+    if (m.withSchemaEvolution) sys.error(
+      "WITH SCHEMA EVOLUTION needs whole-row arms (UPDATE SET * / " +
+        "INSERT *) — column-list arms pin the target schema")
+    if (m.notMatchedBySourceActions.nonEmpty)
+      sys.error("WHEN NOT MATCHED BY SOURCE is not routed")
+    val key = m.mergeCondition match {
+      case EqualTo(l, r) =>
+        val (ln, rn) = (attrName(l), attrName(r))
+        if (ln != rn) sys.error(s"ON keys differ: $ln vs $rn")
+        ln
+      case other => sys.error(s"ON must be a single equality, got $other")
+    }
+    val source = GraftShim.ofRows(spark, m.sourceTable)
+    val tgt = t.read()
+    val tgtFields = tgt.schema.fields.toSeq
+    val srcCols = source.columns.toSeq
+    def tgtColOf(n: String) = tgtFields.map(_.name).find(_.equalsIgnoreCase(n))
+    def srcColOf(n: String) = srcCols.find(_.equalsIgnoreCase(n))
+    val targetNames: Set[String] = (m.targetTable match {
+      case SubqueryAlias(id, child) => Set(id.name, tableName(child))
+      case other => Set(tableName(other))
+    }).map(_.toLowerCase)
+    val sourceNames: Set[String] = (m.sourceTable match {
+      case SubqueryAlias(id, _) => Set(id.name)
+      case r: UnresolvedRelation => Set(r.multipartIdentifier.mkString("."))
+      case _ => Set.empty[String]
+    }).map(_.toLowerCase)
+    /** Resolve `e` against the renamed pre-image pair (`sourceOnly`:
+      * NOT MATCHED arms see no target row). */
+    def resolve(e: Expression, sourceOnly: Boolean): Column =
+      GraftShim.column(e.transform {
+        case a: UnresolvedAttribute =>
+          val last = a.nameParts.last
+          def tRef = tgtColOf(last) match {
+            case Some(c) if !sourceOnly => UnresolvedAttribute(Seq(s"__t_$c"))
+            case Some(_) => sys.error(s"NOT MATCHED arm references the " +
+              s"target column '${a.name}' — there is no target row")
+            case None => sys.error(s"unknown target column '${a.name}'")
+          }
+          def sRef = srcColOf(last) match {
+            case Some(c) => UnresolvedAttribute(Seq(s"__s_$c"))
+            case None => sys.error(s"unknown source column '${a.name}'")
+          }
+          if (a.nameParts.size > 1) {
+            val q = a.nameParts.init.mkString(".").toLowerCase
+            if (targetNames(q)) tRef
+            else if (sourceNames(q)) sRef
+            else sys.error(s"unknown qualifier '${a.name}' — use the " +
+              "target or source name/alias")
+          }
+          else if (sourceOnly) sRef
+          else (tgtColOf(last).isDefined, srcColOf(last).isDefined) match {
+            case (true, true) => sys.error(s"ambiguous column '$last' — " +
+              "qualify it with the target or source name/alias")
+            case (true, false) => tRef
+            case (false, _) => sRef
+          }
+      })
+    def setsOf(assignments: Seq[Assignment],
+        sourceOnly: Boolean): Map[String, Column] =
+      assignments.map { a =>
+        val n = attrName(a.key)
+        val f = tgtColOf(n).getOrElse(sys.error(s"SET/INSERT column '$n' " +
+          "is not a table column"))
+        if (f.equalsIgnoreCase(key) && !sourceOnly) sys.error(
+          s"UPDATE SET on the merge key '$key' — a keyed merge cannot re-key")
+        f -> resolve(a.value, sourceOnly)
+      }.toMap
+    // renamed sides; the pre-image pair materializes ONCE (it feeds one
+    // frame per matched arm) and is source-batch-sized by construction
+    val srcR = source.select(srcCols.map(c => bq(c).as(s"__s_$c")): _*)
+    val kb = source.agg(min(bq(key)), max(bq(key))).head()
+    val tgtScoped =
+      if (kb.isNullAt(0)) tgt.limit(0) // empty/all-null batch
+      else tgt.filter(col(key).between(lit(kb.get(0)), lit(kb.get(1))))
+    val tgtR = tgtScoped.select(
+      tgtFields.map(f => col(f.name).as(s"__t_${f.name}")): _*)
+    val onPair = col(s"__s_$key") === col(s"__t_$key")
+    val pair =
+      if (m.matchedActions.isEmpty) srcR.limit(0).join(tgtR.limit(0), onPair)
+      else srcR.join(tgtR, onPair, "inner").localCheckpoint()
+    def typed(img: Seq[(String, Column)], drop: Boolean)
+        : Seq[Column] = tgtFields.map { f =>
+      img.toMap.getOrElse(f.name, lit(null)).cast(f.dataType).as(f.name)
+    } :+ lit(drop).as("__graft_merge_drop")
+    // first-hit-wins: arm i claims rows no earlier arm's condition took
+    var claimed: Column = lit(false)
+    val matchedFrames = m.matchedActions.map { act =>
+      val (condE, build) = act match {
+        case UpdateAction(c, as, _) =>
+          val sets = setsOf(as, sourceOnly = false)
+          (c, () => typed(tgtFields.map(f => f.name ->
+            sets.getOrElse(f.name, col(s"__t_${f.name}"))), drop = false))
+        case UpdateStarAction(c) =>
+          // star = every source column that is a target column, by name
+          (c, () => typed(tgtFields.map(f => f.name ->
+            srcColOf(f.name).map(sc => col(s"__s_$sc"))
+              .getOrElse(col(s"__t_${f.name}"))), drop = false))
+        case DeleteAction(c) =>
+          (c, () => typed(
+            tgtFields.map(f => f.name -> col(s"__t_${f.name}")), drop = true))
+        case other => sys.error(s"unsupported matched action $other")
+      }
+      val ci = condE.map(e => coalesce(resolve(e, sourceOnly = false),
+        lit(false))).getOrElse(lit(true))
+      val guard = !claimed && ci
+      claimed = claimed || ci
+      pair.filter(guard).select(build(): _*)
+    }
+    val unmatched =
+      if (m.notMatchedActions.isEmpty) srcR.limit(0)
+      else srcR.join(tgtR.select(col(s"__t_$key")), onPair, "left_anti")
+    var uClaimed: Column = lit(false)
+    val insertFrames = m.notMatchedActions.map { act =>
+      val (condE, img) = act match {
+        case InsertAction(c, as) =>
+          (c, setsOf(as, sourceOnly = true).toSeq)
+        case InsertStarAction(c) =>
+          (c, tgtFields.map(f => f.name -> col(s"__s_${srcColOf(f.name)
+            .getOrElse(sys.error(s"INSERT * needs source column " +
+              s"'${f.name}'"))}")))
+        case other => sys.error(s"unsupported not-matched action $other")
+      }
+      val ci = condE.map(e => coalesce(resolve(e, sourceOnly = true),
+        lit(false))).getOrElse(lit(true))
+      val guard = !uClaimed && ci
+      uClaimed = uClaimed || ci
+      unmatched.filter(guard).select(typed(img, drop = false): _*)
+    }
+    val frames = matchedFrames ++ insertFrames
+    require(frames.nonEmpty, "MERGE with no actions")
+    val assembled = frames.reduce(_ unionByName _)
+    val snap = t.merge(assembled, key,
+      deleteWhen = Some(col("__graft_merge_drop")))
+    refresh(spark, name)
+    snapFrame(spark, snap)
+  }
+
   /** Oracle-checked SQL DML round-trip — the statement TEXT a reference
     * user would type, end to end: build a lake from customer, then run
     * one `;`-script through [[sql]]: an UPDATE (decimal-exact balance
     * bump), a DELETE, a three-arm MERGE (conditional delete +
     * `UPDATE SET *` + `INSERT *`, source = a subquery over the table's
-    * own re-pinned view), and a final report joining the current state
-    * against `VERSION AS OF 1` (the pre-DML snapshot). Every effect is
-    * pure algebra over `customer`, so DuckDB mirrors the script with its
-    * own UPDATE/DELETE/INSERT (DuckDB 1.0 has no MERGE — its effect is
-    * the matched-delete / matched-update / unmatched-insert triple with
-    * the matched set computed BEFORE the delete, the MERGE scoping).
+    * own re-pinned view), a COLUMN-LIST MERGE (a target-referencing
+    * matched condition + `UPDATE SET col = expr` over pre-image +
+    * source + `INSERT (cols) VALUES` null-filling the unlisted
+    * columns), a column-list INSERT, and a final report joining the
+    * current state against `VERSION AS OF 1` (the pre-DML snapshot).
+    * Every effect is pure algebra over `customer`, so DuckDB mirrors
+    * the script with its own UPDATE/DELETE/INSERT (DuckDB 1.0 has no
+    * MERGE — its effect is the matched-delete / matched-update /
+    * unmatched-insert triple with the matched set computed BEFORE the
+    * delete, the MERGE scoping; the column-list MERGE mirrors as
+    * UPDATE…FROM + a NOT IN insert).
     * Money discipline: all balance arithmetic runs in DECIMAL(12,2) and
     * casts back to double per row; sums aggregate in DECIMAL. */
   def qSqlDml(spark: SparkSession, sfDir: String): DataFrame = {
@@ -587,6 +798,21 @@ object GraftSql {
         |SELECT c_custkey + 20000000, c_name, c_nationkey, c_acctbal,
         |  c_mktsegment
         |FROM sqldml_cust WHERE c_custkey % 101 = 0;
+        |MERGE INTO sqldml_cust USING (
+        |  SELECT c_custkey, CAST(25.50 AS DOUBLE) AS bonus
+        |  FROM sqldml_cust WHERE c_custkey % 13 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 30000000, CAST(75.25 AS DOUBLE)
+        |  FROM sqldml_cust WHERE c_custkey % 131 = 0
+        |) b ON sqldml_cust.c_custkey = b.c_custkey
+        |WHEN MATCHED AND sqldml_cust.c_acctbal < 5000 THEN UPDATE SET
+        |  c_acctbal = CAST(CAST(c_acctbal AS DECIMAL(12,2))
+        |    + CAST(bonus AS DECIMAL(12,2)) AS DOUBLE)
+        |WHEN NOT MATCHED THEN INSERT (c_custkey, c_name, c_acctbal)
+        |  VALUES (b.c_custkey, 'column-listed', bonus);
+        |INSERT INTO sqldml_cust (c_custkey, c_name, c_mktsegment)
+        |SELECT c_custkey + 40000000, c_name, c_mktsegment
+        |FROM sqldml_cust WHERE c_custkey % 149 = 0;
         |SELECT 'now' AS era, c_mktsegment,
         |  CAST(count(*) AS BIGINT) AS n_cust,
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
@@ -639,6 +865,24 @@ object GraftSql {
       |SELECT c_custkey + 20000000, c_name, c_nationkey, c_acctbal,
       |  c_mktsegment
       |FROM sqldml_cust WHERE c_custkey % 101 = 0;
+      |CREATE OR REPLACE TEMP TABLE sqldml_b AS
+      |  SELECT c_custkey, CAST(25.50 AS DOUBLE) AS bonus
+      |  FROM sqldml_cust WHERE c_custkey % 13 = 0
+      |  UNION ALL
+      |  SELECT c_custkey + 30000000, CAST(75.25 AS DOUBLE)
+      |  FROM sqldml_cust WHERE c_custkey % 131 = 0;
+      |UPDATE sqldml_cust SET c_acctbal =
+      |  CAST(CAST(c_acctbal AS DECIMAL(12,2))
+      |    + CAST(b.bonus AS DECIMAL(12,2)) AS DOUBLE)
+      |FROM sqldml_b b
+      |WHERE sqldml_cust.c_custkey = b.c_custkey
+      |  AND sqldml_cust.c_acctbal < 5000;
+      |INSERT INTO sqldml_cust (c_custkey, c_name, c_acctbal)
+      |SELECT c_custkey, 'column-listed', bonus FROM sqldml_b
+      |WHERE c_custkey NOT IN (SELECT c_custkey FROM sqldml_cust);
+      |INSERT INTO sqldml_cust (c_custkey, c_name, c_mktsegment)
+      |SELECT c_custkey + 40000000, c_name, c_mktsegment
+      |FROM sqldml_cust WHERE c_custkey % 149 = 0;
       |SELECT 'now' AS era, c_mktsegment,
       |  CAST(count(*) AS BIGINT) AS n_cust,
       |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal

@@ -156,6 +156,68 @@ class GraftSqlSpec extends GraftSpec {
     assert(e2.getMessage.contains("arity"))
   }
 
+  test("column-list MERGE: first-hit arms over target-referencing " +
+      "conditions, SET expressions read pre-image + source, unclaimed " +
+      "matched rows keep, INSERT (cols) null-fills; column-list INSERT") {
+    val sp = spark; import sp.implicits._
+    val tmp = Files.createTempDirectory("graft_sql_cl").toString
+    val tbl = GraftTable(spark, s"$tmp/ledger", s"$tmp/gen")
+    Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L), (4L, "d", 40L))
+      .toDF("k", "name", "v").write.parquet(s"$tmp/landing")
+    tbl.ingest(s"$tmp/landing")
+    tbl.bindSql("cl_t")
+    Seq((1L, 100L), (2L, 200L), (3L, 5L), (9L, 900L), (10L, 7L))
+      .toDF("k", "amt").createOrReplaceTempView("cl_src")
+    tbl.sql("""MERGE INTO cl_t USING cl_src src ON cl_t.k = src.k
+      |WHEN MATCHED AND cl_t.v >= 30 THEN DELETE
+      |WHEN MATCHED AND amt > 150 THEN UPDATE SET v = v + amt,
+      |  name = concat(name, '_u')
+      |WHEN NOT MATCHED AND amt > 100 THEN INSERT (k, name)
+      |  VALUES (src.k, concat('i_', CAST(amt AS STRING)))""".stripMargin)
+    val got = tbl.read().collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
+    assert(got == Map(
+      1L -> ((Some("a"), Some(10L))),    // matched, no arm claimed: kept
+      2L -> ((Some("b_u"), Some(220L))), // updated from pre-image + source
+      4L -> ((Some("d"), Some(40L))),    // not in source: kept
+      9L -> ((Some("i_900"), None))),    // inserted, v null-filled
+      s"got $got") // 3 deleted (v>=30); 10 claimed no arm
+    // column-list INSERT INTO null-fills the unlisted column
+    tbl.sql("INSERT INTO cl_t (k, v) SELECT 20, 5")
+    val ins = tbl.read().filter(col("k") === 20L).head()
+    assert(ins.isNullAt(1) && ins.getLong(2) == 5L)
+    // ambiguity + re-key + unknown-column refusals
+    val ea = intercept[RuntimeException] {
+      tbl.sql("MERGE INTO cl_t USING cl_src src ON cl_t.k = src.k " +
+        "WHEN MATCHED THEN UPDATE SET name = CAST(k AS STRING)")
+    }
+    assert(ea.getMessage.contains("ambiguous"), ea.getMessage)
+    val ek = intercept[RuntimeException] {
+      tbl.sql("MERGE INTO cl_t USING cl_src src ON cl_t.k = src.k " +
+        "WHEN MATCHED THEN UPDATE SET k = 99")
+    }
+    assert(ek.getMessage.contains("re-key"), ek.getMessage)
+    val eu = intercept[RuntimeException] {
+      tbl.sql("MERGE INTO cl_t USING cl_src src ON cl_t.k = src.k " +
+        "WHEN MATCHED THEN UPDATE SET nope = 1")
+    }
+    assert(eu.getMessage.contains("not a table column"), eu.getMessage)
+    // NOT MATCHED arms see no target row
+    val et = intercept[RuntimeException] {
+      tbl.sql("MERGE INTO cl_t USING cl_src src ON cl_t.k = src.k " +
+        "WHEN NOT MATCHED THEN INSERT (k, name) VALUES (src.k, cl_t.name)")
+    }
+    assert(et.getMessage.contains("no target row"), et.getMessage)
+    // UPDATE-before-DELETE arm order: first hit wins per row
+    Seq((2L, 1000L)).toDF("k", "amt").createOrReplaceTempView("cl_src2")
+    tbl.sql("""MERGE INTO cl_t USING cl_src2 src ON cl_t.k = src.k
+      |WHEN MATCHED AND amt > 500 THEN UPDATE SET v = amt
+      |WHEN MATCHED THEN DELETE""".stripMargin)
+    assert(tbl.read().filter(col("k") === 2L).head().getLong(2) == 1000L,
+      "UPDATE arm should claim before the DELETE arm")
+    GraftSql.unbind(spark, "cl_t")
+  }
+
   test("unsupported DML forms are refused with the supported list; " +
       "unbound tables are named") {
     val (t, _) = fixture("nat_x")
@@ -164,11 +226,13 @@ class GraftSqlSpec extends GraftSpec {
         "s.n_regionkey WHEN MATCHED THEN UPDATE SET *")
     }
     assert(e1.getMessage.contains("ON keys differ"))
+    // column-list arms pin the target schema — evolution needs star forms
     val e2 = intercept[RuntimeException] {
-      t.sql("MERGE INTO nat_x USING nat_x s ON nat_x.n_nationkey = " +
-        "s.n_nationkey WHEN MATCHED THEN UPDATE SET n_name = 'x'")
+      t.sql("MERGE WITH SCHEMA EVOLUTION INTO nat_x USING nat_x s " +
+        "ON nat_x.n_nationkey = s.n_nationkey " +
+        "WHEN MATCHED THEN UPDATE SET n_name = 'x'")
     }
-    assert(e2.getMessage.contains("SET *"))
+    assert(e2.getMessage.contains("SCHEMA EVOLUTION"), e2.getMessage)
     val e3 = intercept[RuntimeException] {
       t.sql("DELETE FROM not_bound WHERE 1 = 1")
     }

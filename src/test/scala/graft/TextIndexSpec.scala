@@ -69,4 +69,34 @@ class TextIndexSpec extends GraftSpec {
     assert(phrase("alpha") == Set(1L, 2L, 3L, 4L, 5L)) // 1-term = boolean
     graft.streaming.MirrorLoop.rmrf(new java.io.File(tmp))
   }
+
+  test("topK ranked == head-K of the full ranking; plan is a bounded " +
+      "TakeOrderedAndProject (no global sort); searchAny == OR baseline") {
+    val terms = TextIndex.SearchTerms
+    val full = TextIndex.searchRanked(spark, sf, terms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    for (k <- Seq(1, 10, 25)) {
+      val topk = TextIndex.searchRankedTopK(spark, sf, terms, k)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(topk.toSeq == full.take(k).toSeq,
+        s"topK($k) diverged from head-$k of the full ranking")
+    }
+    val topDf = TextIndex.searchRankedTopK(spark, sf, terms, 10)
+    topDf.collect() // finalize the adaptive plan
+    val p = topDf.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"topK must be a bounded heap cut, got:\n$p")
+    assert(!p.replace("TakeOrderedAndProject", "").contains("Sort "),
+      s"topK plan has a global sort:\n$p")
+    // OR semantics: ANY-match + matched-term counts == the token baseline
+    val any = TextIndex.searchAny(spark, sf, terms).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .select(col("doc_id"), terms.map(t =>
+        array_contains(col("toks"), t).cast("long")).reduce(_ + _).as("n"))
+      .filter(col("n") > 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(any == base, s"searchAny diverged (${any.size} vs ${base.size})")
+  }
 }
