@@ -132,6 +132,15 @@ object ScaleProbe {
       // 10x (crawl-shaped duplication): only the edge-derivation scan +
       // distinct scale; the wedge/closure joins are constant
       "q_graph_triangles" -> (Graph.qGraphTriangles _),
+      // r12: PageRank — the 10x corpus is crawl-shaped duplication
+      // (identical texts), so the REP graph is IDENTICAL at 10x: the
+      // rounds (op phase) must be flat and only the tokenize +
+      // rep-collapse fixture scales → expect a ratio well under 10
+      "q_doc_pagerank" -> (SetSim.qDocPagerank _),
+      // r12: bounded top-K BM25 — posting scan is manifest-pruned to the
+      // query terms, the cut is a per-partition heap; index build is a
+      // once-per-corpus artifact landed outside the timed window below
+      "q_doc_search_topk" -> (TextIndex.qDocSearchTopk _),
       "q_emb_quant" -> (Similarity.qEmbQuant _),
       "q_ann_ivf_quant" -> (Similarity.qAnnIvfQuant _))) {
       // index BUILD is a once-per-dataset artifact, not probe cost — land
@@ -139,11 +148,42 @@ object ScaleProbe {
       if (n == "q_ann_ivf_quant") {
         Similarity.ivfIndexDir(spark, src); Similarity.ivfIndexDir(spark, out)
       }
+      if (n == "q_doc_search_topk") {
+        TextIndex.indexDir(spark, src); TextIndex.indexDir(spark, out)
+      }
       q(spark, src).write.format("noop").mode("overwrite").save() // warm-up
       val t1 = timed { q(spark, src).write.format("noop").mode("overwrite").save() }
       val t10 = timed { q(spark, out).write.format("noop").mode("overwrite").save() }
       report(f"$n%-18s 1x ${t1}%6.2f s   10x ${t10}%6.2f s   ratio ${t10 / t1}%5.2f")
     }
+    // --- r12: SymSpell edit-distance dedup at a true 10x VOCABULARY.
+    // The synth customer table replicates by KEY with identical names
+    // (distinct() would collapse them — a vacuous probe), so this block
+    // builds a genuinely 10x-distinct vocab: each replica suffixes the
+    // name with its index. The claim under test: variant rows are
+    // Σ(len+1)-LINEAR in the vocab, so the probe should track ~10x, not
+    // the quadratic blow-up a naive block-join would show.
+    // (q_media_hashdup is NOT probed: its fixture is a fixed synthetic
+    // 60-item table, corpus-size-independent by construction.)
+    if (!args.contains("skew-only")) {
+      val edDir = "/tmp/sf1_synth_ed"
+      if (!new java.io.File(edDir).exists()) {
+        new java.io.File(edDir).mkdirs()
+        val cust = spark.read.parquet(s"$src/customer.parquet")
+        (0 until 10).map(i => cust.withColumn("c_name",
+            concat(col("c_name"), lit(s"#$i"))))
+          .reduce(_ union _)
+          .write.mode("overwrite").parquet(s"$edDir/customer.parquet")
+      }
+      Dedup.qDedupEditdist(spark, src)
+        .write.format("noop").mode("overwrite").save() // warm-up
+      val t1 = timed { Dedup.qDedupEditdist(spark, src)
+        .write.format("noop").mode("overwrite").save() }
+      val t10 = timed { Dedup.qDedupEditdist(spark, edDir)
+        .write.format("noop").mode("overwrite").save() }
+      report(f"q_dedup_editdist   1x ${t1}%6.2f s   10x ${t10}%6.2f s   ratio ${t10 / t1}%5.2f (10x-DISTINCT vocab; linear = the SymSpell Σ(len+1) variant claim)")
+    }
+
     // --- r10: PQ ANN at 10x (the codes-only scan claim) + a MatView
     // maintenance round whose cost must track the CHANGE BATCH, not the
     // table size (the IVM claim).

@@ -436,6 +436,99 @@ object Dedup {
       .agg(min(col("dup_of")).as("dup_of"))
   }
 
+  /** Closed-form PINNED fixture for the oracle-checked SemDeDup leg
+    * (the grayRawTable discipline): 40 planted groups (sizes cycling
+    * 1..5 → 120 vectors), 16 integer dims. Group centers come from a
+    * NONLINEAR hash (cubing mod 97 — an affine-in-g form collapses to
+    * parallel centers mod small primes; measured max inter-group cosine
+    * 0.7096), members perturb the scaled center by ±1 (min intra-group
+    * cosine 0.9989) — so τ = 0.9 separates with ≥0.09 margin BOTH ways
+    * and no float-ulp disagreement between engines can flip a decision.
+    * All values are small integers: dots and norms² are EXACT BIGINTs in
+    * both engines. vec_id = g*5 + k (closed form, no enumeration
+    * ordering to agree on). */
+  private[graft] def semanticFixture(s: SparkSession): DataFrame = {
+    import s.implicits._
+    (for {
+      g <- 0 until 40
+      k <- 0 to (g % 5)
+    } yield {
+      val v = (0 until 16).map { j =>
+        val a = (g * 41 + j * 29 + 7) % 97
+        ((a * a * a % 97) % 7 - 3) * 16 + ((k * 13 + j * 5) % 3) - 1
+      }
+      (g * 5L + k, v)
+    }).toDF("vec_id", "vec")
+  }
+
+  /** ORACLE-CHECKED SemDeDup — [[qDedupSemantic]]'s sibling over the
+    * pinned fixture, the q_media_hashdup model applied to the k-means
+    * leg: Spark runs the REAL pipeline (seeded Lloyd clustering →
+    * within-cluster candidates only → exact cosine ≥ 0.9 verify →
+    * per-vector min-partner decisions) while DuckDB regenerates the
+    * fixture from its closed form and BRUTE-FORCES all pairs — so hash
+    * equality proves the cluster restriction lost NOTHING (no planted
+    * group straddles clusters; no qualifying pair crosses one) and the
+    * cosine/decision math is right, end to end. k = 8 over 40 groups:
+    * clusters hold several whole groups; the verify rejects the
+    * cross-group co-residents (inter cosine ≤ 0.71). */
+  def qDedupSemanticPinned(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val fix = semanticFixture(s)
+      .withColumn("v", transform(col("vec"), x => x.cast("double")))
+      .localCheckpoint() // feeds the fit AND both candidate sides
+    val model = new KMeans().setK(8).setSeed(42L).setMaxIter(5)
+      .setFeaturesCol("features")
+      .fit(fix.withColumn("features", array_to_vector(col("v"))))
+    val asg = model.transform(fix.withColumn("features",
+        array_to_vector(col("v"))))
+      .select(col("vec_id"), col("v"), col("prediction").as("list_id"))
+    val a = asg.select(col("list_id"), col("vec_id").as("va"),
+      col("v").as("xa"))
+    val b = asg.select(col("list_id"), col("vec_id").as("vb"),
+      col("v").as("xb"))
+    val cos = Similarity.dot(col("xa"), col("xb")) /
+      (sqrt(Similarity.dot(col("xa"), col("xa")))
+        * sqrt(Similarity.dot(col("xb"), col("xb"))))
+    a.join(b, Seq("list_id"))
+      .filter(col("va") < col("vb"))
+      .filter(cos >= 0.9)
+      .groupBy(col("vb").as("vec_id"))
+      .agg(min(col("va")).as("dup_of"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** DuckDB mirror of [[qDedupSemanticPinned]]: the fixture from its
+    * closed form, ALL pairs brute-forced (no clustering — that is the
+    * point), integer dots/norms, min-partner decisions. */
+  def qDedupSemanticPinnedSql: String =
+    """WITH gk AS (
+      |  SELECT g, k FROM (SELECT unnest(range(0, 40)) AS g),
+      |                   (SELECT unnest(range(0, 5)) AS k)
+      |  WHERE k <= g % 5),
+      |vecs AS (
+      |  SELECT g*5 + k AS vec_id,
+      |    list_transform(range(0, 16), j ->
+      |      (((((g*41 + j*29 + 7) % 97) * ((g*41 + j*29 + 7) % 97)
+      |         * ((g*41 + j*29 + 7) % 97)) % 97) % 7 - 3) * 16
+      |      + ((k*13 + j*5) % 3) - 1) AS v
+      |  FROM gk),
+      |pairs AS (
+      |  SELECT a.vec_id AS va, b.vec_id AS vb,
+      |    list_sum(list_transform(range(1, 17),
+      |      i -> a.v[i] * b.v[i])) AS d,
+      |    list_sum(list_transform(range(1, 17),
+      |      i -> a.v[i] * a.v[i])) AS na2,
+      |    list_sum(list_transform(range(1, 17),
+      |      i -> b.v[i] * b.v[i])) AS nb2
+      |  FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id)
+      |SELECT vb AS vec_id, CAST(min(va) AS BIGINT) AS dup_of
+      |FROM pairs
+      |WHERE d / (sqrt(na2) * sqrt(nb2)) >= 0.9
+      |GROUP BY vb
+      |ORDER BY vec_id""".stripMargin
+
   /** Cross-source duplication matrix — which sources carry the SAME
     * content (the report that drives a mixing policy: two crawls sharing
     * half their documents should not both be upweighted). Identity is the

@@ -427,14 +427,22 @@ class GraftSqlSpec extends GraftSpec {
     GraftSql.unbind(spark, "big_nat")
 
     // a CRASHED earlier attempt (landing dir, no ledger) must not make
-    // the statement un-retryable
+    // the statement un-retryable — AND the retry must wipe ONLY the
+    // CTAS's own debris, never unrelated files living under the
+    // user-supplied LOCATION (a CTAS pointed at a data directory used to
+    // rmrf the whole thing, including files its own SELECT reads)
     new java.io.File(s"$tmp/crashed/landing-ctas").mkdirs()
     java.nio.file.Files.write(java.nio.file.Paths.get(
       s"$tmp/crashed/landing-ctas/debris.parquet"), Array[Byte](9))
+    new java.io.File(s"$tmp/crashed/user_data").mkdirs()
+    java.nio.file.Files.write(java.nio.file.Paths.get(
+      s"$tmp/crashed/user_data/precious.txt"), "keep me".getBytes)
     t.sql(s"CREATE TABLE retry_nat LOCATION '$tmp/crashed' AS " +
       "SELECT n_nationkey FROM nat_src_ctas")
     assert(spark.sql("SELECT count(*) FROM retry_nat").head().getLong(0)
       == 25)
+    assert(new java.io.File(s"$tmp/crashed/user_data/precious.txt").exists,
+      "CTAS wiped unrelated user data under its LOCATION")
     GraftSql.unbind(spark, "retry_nat")
     // CREATE onto a COMPLETE table's location refuses (never wipes)
     val e2 = intercept[Exception] {
