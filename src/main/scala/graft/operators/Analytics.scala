@@ -354,6 +354,141 @@ object Analytics {
       | max(CASE WHEN rnd = 1 THEN value END) AS v_last
       |FROM r GROUP BY event_type, h""".stripMargin
 
+  // -------------------------------------------------------------------
+  // LTTB downsampling (q_evt_lttb) — M4's perceptual sibling: M4 keeps
+  // the 4 pixel-exact extremes per bucket; LTTB (largest-triangle-three-
+  // buckets) keeps the ONE point per bucket that preserves the line's
+  // SHAPE (the point forming the largest triangle with its neighbor
+  // buckets — the standard time-series downsampler). This is the
+  // PARALLEL variant: anchors are the neighbor buckets' MEAN points
+  // (canonical LTTB anchors on the previously SELECTED point — a
+  // sequential chain no engine can parallelize exactly; mean-anchor LTTB
+  // is the documented parallel form, with the next-bucket side already
+  // canonical). Exactness discipline (the product-sum rule, pushed
+  // through geometry): bucket means are RATIONAL (Σx, Σy4, n — exact
+  // BIGINT sums of seconds + DECIMAL(12,4)-scaled values), and the
+  // triangle-area argmax multiplies through by the positive common
+  // denominator n_p²·n_n, leaving an EXACT integer score
+  //   |(Σxp·nn − Σxn·np)(y·np − Σyp) − (Σxp − x·np)(Σyn·np − Σyp·nn)|
+  // computed in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) after
+  // translating x by the bucket start (area is translation-invariant —
+  // algebraically cancelled, so the translation only SHRINKS the
+  // integers; all widths fit 38 digits for |value| < 10^5, cell rows
+  // < 10^6, neighbor span < 3 years — far beyond the corpus, and a
+  // violated bound shows up as a null score, never a wrong pick).
+  // Selection is SORTLESS (the q_evt_m4 rule): per-bucket max(score),
+  // an equality join back, then min_by over the packed (ts, event_id)
+  // DECIMAL for deterministic ties. Edge buckets (no prev/next
+  // anchor) keep their earliest/latest point — the global-endpoint
+  // convention. Everything after the scan is bucket-bounded except one
+  // broadcastable anchor join; values pass through verbatim.
+  // -------------------------------------------------------------------
+  def qEvtLttb(s: SparkSession, d: String): DataFrame = {
+    val ev = Events.events(s, d)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 1000000").as("xs"),
+        expr("unix_micros(ts)").as("xus"),
+        col("event_id"), col("value"),
+        (col("value").cast("decimal(12,4)") * 10000).cast("long").as("v4"))
+      .withColumn("h", expr("xs div 3600"))
+    val anchors = ev.groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("n"), sum(col("xs")).as("sx"),
+        sum(col("v4")).as("sy"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val nb = anchors.select(col("event_type"), col("h"),
+      lag(col("n"), 1).over(w).as("np"),
+      lag(col("sx"), 1).over(w).as("sxp0"),
+      lag(col("sy"), 1).over(w).as("syp"),
+      lead(col("n"), 1).over(w).as("nn"),
+      lead(col("sx"), 1).over(w).as("sxn0"),
+      lead(col("sy"), 1).over(w).as("syn"))
+    val j = ev.join(nb, Seq("event_type", "h"))
+    val start = col("h") * lit(3600L)
+    def dec(c: org.apache.spark.sql.Column, p: Int) =
+      c.cast(s"decimal($p,0)")
+    val sxp = dec(col("sxp0") - col("np") * start, 20)
+    val sxn = dec(col("sxn0") - col("nn") * start, 20)
+    val xrel = dec(col("xs") - start, 20)
+    val npD = dec(col("np"), 10)
+    val nnD = dec(col("nn"), 10)
+    val t1 = (sxp * nnD - sxn * npD) *
+      (dec(col("v4"), 12) * npD - dec(col("syp"), 20))
+    val t2 = (sxp - xrel * npD) *
+      (dec(col("syn"), 20) * npD - dec(col("syp"), 20) * nnD)
+    val score = when(col("np").isNotNull && col("nn").isNotNull,
+      abs(t1 - t2))
+    val pack = col("xus").cast("decimal(20,0)") *
+      lit(1000000000000000000L) + col("event_id")
+    val scored = j.withColumn("score", score).withColumn("pack", pack)
+      .localCheckpoint() // feeds the max, the equality probe, and edges
+    val smax = scored.filter(col("score").isNotNull)
+      .groupBy(col("event_type"), col("h"))
+      .agg(max(col("score")).as("smax"))
+    val selI = scored.join(smax, Seq("event_type", "h"))
+      .filter(col("score") === col("smax"))
+      .groupBy(col("event_type"), col("h"))
+      .agg(min_by(col("xus"), col("pack")).as("sel_xus"),
+        min_by(col("value"), col("pack")).as("sel_value"))
+    val selFirst = scored.filter(col("np").isNull)
+      .groupBy(col("event_type"), col("h"))
+      .agg(min_by(col("xus"), col("pack")).as("sel_xus"),
+        min_by(col("value"), col("pack")).as("sel_value"))
+    val selLast = scored.filter(col("nn").isNull && col("np").isNotNull)
+      .groupBy(col("event_type"), col("h"))
+      .agg(max_by(col("xus"), col("pack")).as("sel_xus"),
+        max_by(col("value"), col("pack")).as("sel_value"))
+    selI.unionByName(selFirst).unionByName(selLast)
+      .select(col("event_type"),
+        timestamp_seconds(col("h") * 3600).as("hour_start"),
+        expr("timestamp_micros(sel_xus)").as("sel_ts"),
+        col("sel_value"))
+      .orderBy(col("event_type"), col("hour_start"))
+  }
+
+  /** DuckDB mirror of [[qEvtLttb]] — HUGEINT replays the exact integer
+    * score; arg_min/arg_max over the same (ts, event_id) pack. */
+  def qEvtLttbSql: String =
+    """WITH ev AS (SELECT event_type,
+      |  epoch_us(ts) // 1000000 AS xs, epoch_us(ts) AS xus,
+      |  event_id, value,
+      |  CAST(CAST(value AS DECIMAL(12,4)) * 10000 AS HUGEINT) AS v4,
+      |  (epoch_us(ts) // 1000000) // 3600 AS h
+      |  FROM events),
+      |anchors AS (SELECT event_type, h, CAST(count(*) AS HUGEINT) AS n,
+      |  CAST(sum(xs) AS HUGEINT) AS sx, sum(v4) AS sy
+      |  FROM ev GROUP BY 1, 2),
+      |nb AS (SELECT event_type, h,
+      |  lag(n) OVER w AS np, lag(sx) OVER w AS sxp0, lag(sy) OVER w AS syp,
+      |  lead(n) OVER w AS nn, lead(sx) OVER w AS sxn0, lead(sy) OVER w AS syn
+      |  FROM anchors WINDOW w AS (PARTITION BY event_type ORDER BY h)),
+      |scored AS (SELECT ev.*, np, sxp0, syp, nn, sxn0, syn,
+      |  CASE WHEN np IS NOT NULL AND nn IS NOT NULL THEN
+      |    abs( ((sxp0 - np*(h*3600)) * nn - (sxn0 - nn*(h*3600)) * np)
+      |         * (v4 * np - syp)
+      |       - ((sxp0 - np*(h*3600)) - CAST(xs - h*3600 AS HUGEINT) * np)
+      |         * (syn * np - syp * nn) )
+      |  END AS score,
+      |  CAST(xus AS HUGEINT) * 1000000000000000000 + event_id AS pack
+      |  FROM ev JOIN nb USING (event_type, h)),
+      |sel AS (
+      |  SELECT event_type, h, arg_min(xus, pack) AS sel_xus,
+      |    arg_min(value, pack) AS sel_value
+      |  FROM (SELECT s.* FROM scored s
+      |    JOIN (SELECT event_type, h, max(score) AS smax FROM scored
+      |          WHERE score IS NOT NULL GROUP BY 1, 2) m
+      |    USING (event_type, h)
+      |    WHERE s.score = m.smax)
+      |  GROUP BY 1, 2
+      |  UNION ALL
+      |  SELECT event_type, h, arg_min(xus, pack), arg_min(value, pack)
+      |  FROM scored WHERE np IS NULL GROUP BY 1, 2
+      |  UNION ALL
+      |  SELECT event_type, h, arg_max(xus, pack), arg_max(value, pack)
+      |  FROM scored WHERE nn IS NULL AND np IS NOT NULL GROUP BY 1, 2)
+      |SELECT event_type, make_timestamp(h * 3600 * 1000000) AS hour_start,
+      |  make_timestamp(sel_xus) AS sel_ts, sel_value
+      |FROM sel ORDER BY event_type, hour_start""".stripMargin
+
   /** DISTRIBUTION-DRIFT report between two relations — per-bin counts of
     * a numeric column over a FIXED equal-width grid plus the Population
     * Stability Index, the dataset-shift alarm every ML data pipeline

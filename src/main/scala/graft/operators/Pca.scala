@@ -31,14 +31,19 @@ object Pca {
     def d: Int = mean.length
   }
 
-  /** One-pass (mean, covariance, n) of `embCol` (array<float/double>).
-    * Covariance is the biased (1/n) form — the eigen-spectrum scale the
-    * variance checks use. */
-  def covariance(emb: DataFrame, embCol: String = "embedding")
-      : (Array[Double], Array[Array[Double]], Long) = {
+  /** One-pass RAW MOMENTS (n, Σx, Σxxᵀ flattened row-major) of `embCol`
+    * — the sufficient statistics mean/covariance derive from. These are
+    * ADDITIVE (and subtractive), which is what makes the change-feed
+    * maintenance in [[MomentsDelta]] exact-in-structure: a batch's
+    * moments add, a removed batch's subtract, and the table is never
+    * rescanned. Map-side combine, no shuffle; partials are KB and
+    * collect to the driver. */
+  def rawMoments(emb: DataFrame, embCol: String = "embedding")
+      : (Long, Array[Double], Array[Double]) = {
     val sp = emb.sparkSession
     import sp.implicits._
     val parts = emb
+      .filter(col(embCol).isNotNull)
       .select(transform(col(embCol), v => v.cast("double")).as("v"))
       .as[Array[Double]]
       .mapPartitions { it =>
@@ -62,20 +67,38 @@ object Pca {
       .collect() // ≤ #partitions rows of d(d+1)+1 doubles — KB-scale
     require(parts.nonEmpty, "empty embedding set")
     val d = parts.head._2.size
-    val (n, s, ss) = (new Array[Double](1), new Array[Double](d),
+    val (n, s, ss) = (new Array[Long](1), new Array[Double](d),
       new Array[Double](d * d))
     parts.foreach { case (pn, ps, pss) =>
-      n(0) += pn.toDouble
+      n(0) += pn
       var i = 0
       while (i < d) { s(i) += ps(i); i += 1 }
       i = 0
       while (i < d * d) { ss(i) += pss(i); i += 1 }
     }
-    val nn = n(0)
+    (n(0), s, ss)
+  }
+
+  /** Derive (mean, biased covariance) from raw moments. */
+  def momentsToMeanCov(n: Long, s: Array[Double], ss: Array[Double])
+      : (Array[Double], Array[Array[Double]]) = {
+    require(n > 0, "empty moment state")
+    val d = s.length
+    val nn = n.toDouble
     val mean = s.map(_ / nn)
     val cov = Array.tabulate(d, d)((i, j) =>
       ss(i * d + j) / nn - mean(i) * mean(j))
-    (mean, cov, nn.toLong)
+    (mean, cov)
+  }
+
+  /** One-pass (mean, covariance, n) of `embCol` (array<float/double>).
+    * Covariance is the biased (1/n) form — the eigen-spectrum scale the
+    * variance checks use. */
+  def covariance(emb: DataFrame, embCol: String = "embedding")
+      : (Array[Double], Array[Array[Double]], Long) = {
+    val (n, s, ss) = rawMoments(emb, embCol)
+    val (mean, cov) = momentsToMeanCov(n, s, ss)
+    (mean, cov, n)
   }
 
   /** Top-`k` principal components by deterministic power iteration with
@@ -83,6 +106,14 @@ object Pca {
   def fit(emb: DataFrame, k: Int, iters: Int = 100,
       embCol: String = "embedding"): Model = {
     val (mean, cov, _) = covariance(emb, embCol)
+    fitFromCov(mean, cov, k, iters)
+  }
+
+  /** The eigensolve alone — (mean, covariance) in, model out; the entry
+    * a MAINTAINED moment state refreshes its model through without ever
+    * rescanning the data ([[MomentsDelta.model]]). */
+  def fitFromCov(mean: Array[Double], cov: Array[Array[Double]], k: Int,
+      iters: Int = 100): Model = {
     val d = mean.length
     require(k >= 1 && k <= d, s"k=$k out of range for d=$d")
     def matVec(v: Array[Double]): Array[Double] =

@@ -227,6 +227,96 @@ object TextIndex {
     searchRanked(s, d, terms).limit(k)
   }
 
+  /** WAND-CLASS pruned top-K — [[searchRankedTopK]] with IMPACT-ORDERED
+    * candidate pruning, the batch form of document-at-a-time upper-bound
+    * retrieval: most ANY-matchers of a common term cannot reach the
+    * top-K, and a serving path should never pay their doclens join +
+    * scoring. Three bounded phases over the manifest-pruned postings:
+    *
+    *  1. SEED — exact-score only the docs holding the RAREST query term
+    *    (the smallest posting list); the k-th best seed score is a LOWER
+    *    bound θ on the final k-th score (top-K over a superset can only
+    *    be larger).
+    *  2. PRUNE — per-term score upper bound ub_t = idf_t·(k1+1) (BM25's
+    *    norm is < k1+1 for any tf/dl); a doc's bound is the sum over its
+    *    PRESENT terms, computable from postings alone (one groupBy — no
+    *    pivot, no doclens join). Docs with Σub < θ − 1e-9 can never
+    *    displace a seed: dropped before any scoring (the ε absorbs the
+    *    arbitrary-order float sum vs the fixed-order exact score).
+    *  3. SCORE — the exact BM25 plan over SURVIVORS only (df stays
+    *    GLOBAL — computed once from the postings, never subset-local),
+    *    then the TakeOrderedAndProject cut.
+    *
+    * Result is IDENTICAL to the unpruned top-K (TextIndexSpec proves
+    * equality and that pruning strictly shrinks the scored set on a
+    * skew-planted corpus); the oracle replays the FULL ranking + LIMIT.
+    * Driver state: the ≤|terms| df map and k seed scores — bounded. */
+  def searchRankedTopKPruned(s: SparkSession, d: String, terms0: Seq[String],
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    topKPrunedParts(s, d, terms0, k, k1, b)._2
+
+  /** (survivor set, final top-K) — split so the spec can prove pruning
+    * effectiveness without production-path counters. */
+  private[graft] def topKPrunedParts(s: SparkSession, d: String,
+      terms0: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75)
+      : (DataFrame, DataFrame) = {
+    val terms = terms0.distinct
+    require(terms.nonEmpty, "empty search")
+    require(k >= 1, s"k=$k")
+    val idx = indexDir(s, d)
+    val post = postings(s, d).filter(col("token").isin(terms: _*))
+      .select(col("doc_id"), col("token"), col("tf"))
+    val dfMap = post.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cs = s.read.parquet(s"$idx/corpus").head()
+    val (nDocs, totalDl) = (cs.getLong(0), cs.getLong(1))
+    val avgdl = totalDl.toDouble / nDocs
+    def idf(t: String): Double = {
+      val df = dfMap.getOrElse(t, 0L).toDouble
+      math.log((nDocs - df + 0.5) / (df + 0.5) + 1.0)
+    }
+    // exact BM25 over a doc subset; df are global literals
+    def scoreSubset(docs: DataFrame): DataFrame = {
+      val hits = post.join(docs.select(col("doc_id")), Seq("doc_id"),
+          "left_semi")
+        .groupBy(col("doc_id")).pivot("token", terms).agg(first(col("tf")))
+      val scored = hits.join(s.read.parquet(s"$idx/doclens"), "doc_id")
+      def termScore(t: String) = {
+        val tf = coalesce(col(t).cast("double"), lit(0.0))
+        val norm = tf * lit(k1 + 1.0) /
+          (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double")
+            / lit(avgdl)))
+        when(tf > 0, lit(idf(t)) * norm).otherwise(lit(0.0))
+      }
+      val score = terms.map(termScore).reduce(_ + _) // fixed order
+      scored.select(col("doc_id"), round(score, 9).as("score"))
+    }
+    val rarest = terms.minBy(t => dfMap.getOrElse(t, 0L))
+    val seed = scoreSubset(
+      post.filter(col("token") === rarest).select(col("doc_id")))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+      .collect() // ≤ k rows
+    val theta =
+      if (seed.length < k) Double.NegativeInfinity
+      else seed.last.getDouble(1)
+    val sp = s
+    import sp.implicits._
+    val ubs = terms.map(t => t -> idf(t) * (k1 + 1.0)).toDF("token", "ub")
+    val survivors = post.join(broadcast(ubs), "token")
+      .groupBy(col("doc_id")).agg(sum(col("ub")).as("__ub"))
+      .filter(col("__ub") >= lit(theta - 1e-9))
+    (survivors, scoreSubset(survivors)
+      .orderBy(col("score").desc, col("doc_id")).limit(k))
+  }
+
+  /** Driver-gate pruned top-K: same oracle as the unpruned cut (the
+    * full ranking LIMIT K) — hash equality proves the upper-bound
+    * pruning dropped nothing. */
+  def qDocSearchTopkPruned(s: SparkSession, d: String): DataFrame =
+    searchRankedTopKPruned(s, d, SearchTerms, 10)
+
+  def qDocSearchTopkPrunedSql: String = qDocSearchTopkSql
+
   /** OR-semantics boolean search — docs containing ANY of `terms`, with
     * the matched-term count (the cheap recall-first retrieval a ranked
     * pass narrows): same manifest-pruned posting scan as [[search]],

@@ -43,7 +43,11 @@ import org.apache.spark.sql.functions._
   *  - `ALTER TABLE t ADD CONSTRAINT name CHECK (expr)` /
   *    `ALTER TABLE t DROP CONSTRAINT name` → the persisted CHECK
   *    constraint surface ([[Lake.addConstraint]]); `DESCRIBE HISTORY t`
-  *    (the Delta verb) → [[Lake.history]].
+  *    (the Delta verb) → [[Lake.history]]; `RESTORE [TABLE] t TO
+  *    VERSION AS OF n` → [[Lake.restore]] (rollback lands as a NEW
+  *    commit, history preserved); `DESCRIBE DETAIL t` → one KB
+  *    metadata row off the ledger (name/location/snapshot/numFiles/
+  *    sizeInBytes — zero data reads).
   *  - METADATA TABLES (the Iceberg read surface): `t.files`,
   *    `t.history`, `t.tags`, `t.constraints` anywhere a relation can
   *    appear — rewritten to views over the ledger-derived frames (KB
@@ -152,6 +156,10 @@ object GraftSql {
     """(?is)^\s*CREATE\s+TABLE\s+(\w+)\s+LOCATION\s+'([^']+)'\s+AS\s+(SELECT\b.+)$""".r
   private val VacuumRe =
     """(?is)^\s*VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*$""".r
+  private val RestoreRe =
+    """(?is)^\s*RESTORE\s+(?:TABLE\s+)?(\w+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*$""".r
+  private val DescribeDetailRe =
+    """(?is)^\s*DESC(?:RIBE)?\s+DETAIL\s+(\w+)\s*$""".r
 
   /** Default OPTIMIZE bin-pack target (rows per rewritten file). */
   val OptimizeTargetRows = 1000000L
@@ -175,6 +183,24 @@ object GraftSql {
       Seq((cname, if (dropped) "dropped" else "absent"))
         .toDF("constraint", "status")
     case DescribeHistoryRe(name) => lookupName(spark, name).history()
+    case RestoreRe(name, snap) =>
+      // the Delta verb: roll the table back to a prior snapshot as a NEW
+      // commit (history preserved; re-added files resurrect MOR-deleted
+      // rows by the winning-add rule)
+      val t = lookupName(spark, name)
+      val s2 = t.restore(snap.toLong)
+      refresh(spark, name)
+      snapFrame(spark, s2)
+    case DescribeDetailRe(name) =>
+      // the Delta verb: one KB metadata row off the ledger — zero data
+      // reads (numFiles/sizeInBytes from the live file actions)
+      val t = lookupName(spark, name)
+      t.files().agg(
+        count(lit(1)).as("numFiles"),
+        coalesce(sum(col("size")), lit(0L)).as("sizeInBytes"))
+        .select(lit(name).as("name"), lit(t.ledgerDir).as("location"),
+          lit(t.snapshot).as("snapshot"), col("numFiles"),
+          col("sizeInBytes"))
     case OptimizeRe(name, whereText, zorder) =>
       val t = lookupName(spark, name)
       val snap = t.compact(OptimizeTargetRows, zOrder = zorder != null,

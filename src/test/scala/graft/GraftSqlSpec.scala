@@ -400,6 +400,27 @@ class GraftSqlSpec extends GraftSpec {
     assert(t.read().count() == 25, "VACUUM must never touch live data")
   }
 
+  test("RESTORE TO VERSION AS OF rolls back as a new commit; " +
+      "DESCRIBE DETAIL is one ledger-derived metadata row") {
+    val (t, _) = fixture("nat_rest")
+    val v1 = t.snapshot
+    t.sql("DELETE FROM nat_rest WHERE n_regionkey = 0")
+    assert(t.read().count() == 20)
+    val res = t.sql(s"RESTORE TABLE nat_rest TO VERSION AS OF $v1")
+    assert(res.head().getLong(0) > v1, "restore must land a NEW commit")
+    assert(t.read().count() == 25, "restore must bring the rows back")
+    // the bound view re-pinned
+    assert(spark.sql("SELECT count(*) FROM nat_rest").head().getLong(0) == 25)
+    // history preserved (restore adds, never rewrites)
+    assert(t.history().count() >= 3)
+    val detail = t.sql("DESCRIBE DETAIL nat_rest").head()
+    assert(detail.getAs[String]("name") == "nat_rest")
+    assert(detail.getAs[Long]("numFiles") >= 1)
+    assert(detail.getAs[Long]("sizeInBytes") > 0)
+    assert(detail.getAs[Long]("snapshot") == t.snapshot)
+    GraftSql.unbind(spark, "nat_rest")
+  }
+
   test("CREATE TABLE AS SELECT materializes a new bound lake table; " +
       "the full lifecycle runs SQL end-to-end") {
     val (t, _) = fixture("nat_src_ctas")

@@ -88,6 +88,14 @@ class TextIndexSpec extends GraftSpec {
       s"topK must be a bounded heap cut, got:\n$p")
     assert(!p.replace("TakeOrderedAndProject", "").contains("Sort "),
       s"topK plan has a global sort:\n$p")
+    // WAND-class pruned cut == the unpruned cut at several k
+    for (k <- Seq(1, 10, 25)) {
+      val pruned = TextIndex.searchRankedTopK(spark, sf, terms, k)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val viaUb = TextIndex.searchRankedTopKPruned(spark, sf, terms, k)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(pruned == viaUb, s"pruned topK($k) diverged")
+    }
     // OR semantics: ANY-match + matched-term counts == the token baseline
     val any = TextIndex.searchAny(spark, sf, terms).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -98,5 +106,33 @@ class TextIndexSpec extends GraftSpec {
       .filter(col("n") > 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(any == base, s"searchAny diverged (${any.size} vs ${base.size})")
+  }
+
+  test("upper-bound pruning strictly shrinks the scored set on a " +
+      "skew-planted corpus, and the cut still equals the full ranking") {
+    val sp = spark; import sp.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_wand").toString
+    // 'common' in every doc (low idf — matching it alone cannot reach
+    // the top-k); 'rare' in 4 docs (high idf). Common-only docs must be
+    // PRUNED before scoring.
+    val docs = (1L to 200L).map { i =>
+      if (i <= 4) (i, s"rare common filler_$i")
+      else (i, s"common filler_$i pad_$i")
+    }
+    docs.toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
+    val terms = Seq("rare", "common")
+    val (survivors, result) =
+      TextIndex.topKPrunedParts(spark, tmp, terms, k = 3)
+    val nSurv = survivors.count()
+    val nMatch = TextIndex.searchAny(spark, tmp, terms).count()
+    assert(nMatch == 200L, s"planted corpus: $nMatch matchers")
+    assert(nSurv < nMatch / 10,
+      s"pruning kept $nSurv of $nMatch matchers — no effective cut")
+    val full = TextIndex.searchRanked(spark, tmp, terms)
+      .limit(3).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val got = result.collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == full, "pruned cut diverged on the planted corpus")
+    graft.streaming.MirrorLoop.rmrf(new java.io.File(tmp))
   }
 }
