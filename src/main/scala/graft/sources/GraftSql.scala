@@ -648,7 +648,11 @@ object GraftSql {
         ln
       case other => sys.error(s"ON must be a single equality, got $other")
     }
-    val source = GraftShim.ofRows(spark, m.sourceTable)
+    // materialize the USING relation ONCE — it feeds the key-range probe,
+    // the pre-image join, and the unmatched anti-join (a merge source is
+    // batch-sized by contract; re-running an arbitrary subquery per
+    // consumer is slow and wrong for a non-deterministic source)
+    val source = GraftShim.ofRows(spark, m.sourceTable).localCheckpoint()
     val tgt = t.read()
     val tgtFields = tgt.schema.fields.toSeq
     val srcCols = source.columns.toSeq
@@ -767,7 +771,12 @@ object GraftSql {
     }
     val frames = matchedFrames ++ insertFrames
     require(frames.nonEmpty, "MERGE with no actions")
-    val assembled = frames.reduce(_ unionByName _)
+    // materialize the assembled post-image ONCE (source-batch-sized):
+    // the merge walks its source several times (key set, affected-file
+    // discovery, deleteWhen filter, carry/delta writes), and each walk
+    // would otherwise re-run the USING subquery and the anti-join —
+    // slow, and wrong for a non-deterministic source
+    val assembled = frames.reduce(_ unionByName _).localCheckpoint()
     val snap = t.merge(assembled, key,
       deleteWhen = Some(col("__graft_merge_drop")))
     refresh(spark, name)
