@@ -361,6 +361,39 @@ object ScaleProbe {
         t
       }
       report(f"tidx_round 10x/1x ratio ${tiTimes(1) / tiTimes(0)}%5.2f (sub-10x = only the column-pruned tombstone match scan is index-sized)")
+
+      // r12 MAINTAINED-MOMENTS round: bootstrap the (n, Σx, Σxxᵀ) state
+      // over a 1x and a 10x embeddings lake, merge the SAME fixed batch
+      // (fresh vectors + updates), time ONLY the fold. The round is two
+      // partial passes over the BATCH + a KB state write — nothing is
+      // table-sized, so the ratio must stay flat (the bootstrap, timed
+      // separately, is the one full pass and should track ~10x).
+      val mdRoot = "/tmp/sf1_synth_momd"
+      rmrf(new java.io.File(mdRoot))
+      val mdTimes = for ((tag, dataDir) <- Seq("1x" -> src, "10x" -> out)) yield {
+        val ledger = s"$mdRoot/$tag/ledger"
+        val gen = s"$mdRoot/$tag/gen"
+        val root = s"$mdRoot/$tag/moments"
+        Lake.ingestNewFiles(spark, s"$dataDir/embeddings.parquet", ledger)
+        val tBoot = timed {
+          graft.operators.MomentsDelta.bootstrap(spark, ledger, root): Unit }
+        val maxId = Lake.readAt(spark, ledger,
+            Lake.currentSnapshot(spark, ledger))
+          .agg(max(col("vec_id"))).head().getLong(0)
+        val emb1 = spark.read.parquet(s"$src/embeddings.parquet")
+        val mdBatch = emb1.filter(col("vec_id") % 37 === 1)
+          .select((col("vec_id") + maxId + 1).as("vec_id"), col("embedding"))
+          .union(emb1.filter(col("vec_id") % 41 === 1)
+            .select(col("vec_id"),
+              transform(col("embedding"), v => v * lit(2.0f)).as("embedding")))
+          .localCheckpoint()
+        Lake.mergeInto(spark, ledger, gen, mdBatch, "vec_id", changeFeed = true)
+        val t = timed {
+          graft.operators.MomentsDelta.applyRound(spark, ledger, root): Unit }
+        report(f"momd_round_$tag%-12s ${t}%6.2f s   boot ${tBoot}%6.2f s   (fixed ~250-row batch)")
+        t
+      }
+      report(f"momd_round 10x/1x ratio ${mdTimes(1) / mdTimes(0)}%5.2f (flat = two batch-sized partial passes + KB state; bootstrap is the one full pass)")
     }
     sys.env.get("SPARK_GRAFT_PROBE_OUT").foreach { path =>
       java.nio.file.Files.write(java.nio.file.Paths.get(path),

@@ -751,6 +751,102 @@ object Multimodal {
     }
   }
 
+  case class VadWindow(media_id: Long, window_idx: Int, rms: Double,
+    flatness: Double, active: Boolean)
+  case class VadSegment(media_id: Long, seg_idx: Int, start_window: Int,
+    n_windows: Int, active: Boolean)
+
+  /** ACTIVITY DETECTION (VAD-class) — the silence/noise-trimming hop a
+    * speech-data pipeline runs before featurizing or transcribing: per
+    * window, RMS energy plus SPECTRAL FLATNESS (geometric / arithmetic
+    * mean of the one-sided power spectrum — ~0 for tonal/structured
+    * signal, ~1 for broadband noise); a window is ACTIVE when it is both
+    * loud enough (rms ≥ `rmsFloor`, PCM16 sample units) and structured
+    * (flatness ≤ `flatMax`) — so silence AND loud broadband noise both
+    * read inactive, the standard flatness-VAD decision. Same execution
+    * shape as [[spectralFeatures]]: partition-local typed map, payloads
+    * never shuffle, a few doubles per window out; undecodable rows pass
+    * through as `window_idx = -1` markers. */
+  def activityWindows(audio: Dataset[DecodedAudio], windowSize: Int = 256,
+      rmsFloor: Double = 100.0, flatMax: Double = 0.5)
+      : Dataset[VadWindow] = {
+    import audio.sparkSession.implicits._
+    audio.flatMap(itemWindows(_, windowSize, rmsFloor, flatMax))
+  }
+
+  private def itemWindows(a: DecodedAudio, windowSize: Int,
+      rmsFloor: Double, flatMax: Double): Seq[VadWindow] = {
+    require(windowSize > 0 && (windowSize & (windowSize - 1)) == 0,
+      s"windowSize $windowSize must be a power of 2")
+    if (a.format == "undecodable" || a.channels <= 0)
+      Seq(VadWindow(a.media_id, -1, 0.0, 0.0, active = false))
+    else {
+        val mono = new Array[Double](a.samples.length / a.channels)
+        var f = 0
+        while (f < mono.length) {
+          var s = 0.0; var c = 0
+          while (c < a.channels) { s += a.samples(f * a.channels + c); c += 1 }
+          mono(f) = s / a.channels
+          f += 1
+        }
+        val half = windowSize / 2
+        val nWin = mono.length / windowSize
+        (0 until nWin).map { w =>
+          val re = java.util.Arrays.copyOfRange(mono,
+            w * windowSize, (w + 1) * windowSize)
+          val im = new Array[Double](windowSize)
+          var rms = 0.0
+          var i = 0
+          while (i < windowSize) { rms += re(i) * re(i); i += 1 }
+          rms = math.sqrt(rms / windowSize)
+          Fft.fft(re, im)
+          // flatness over bins 1..half (DC excluded — an offset is not
+          // structure); powers floored so a silent window's ln is finite
+          var lnSum = 0.0; var pSum = 0.0
+          var k = 1
+          while (k <= half) {
+            val p = math.max(re(k) * re(k) + im(k) * im(k), 1e-12)
+            lnSum += math.log(p); pSum += p
+            k += 1
+          }
+          val flatness = math.exp(lnSum / half) / (pSum / half)
+          VadWindow(a.media_id, w, rms, flatness,
+            active = rms >= rmsFloor && flatness <= flatMax)
+      }
+    }
+  }
+
+  /** Merge adjacent same-class windows into SEGMENTS — the run-length
+    * form a trimming/chunking pass consumes (keep active runs, drop or
+    * clip inactive ones). Merging is per-ITEM and sequential inside the
+    * same partition-local pass (an item's windows live on one row — no
+    * shuffle, no window function over a data-scaled relation); output is
+    * segments-per-item, bounded by the window count. */
+  def activitySegments(audio: Dataset[DecodedAudio], windowSize: Int = 256,
+      rmsFloor: Double = 100.0, flatMax: Double = 0.5)
+      : Dataset[VadSegment] = {
+    import audio.sparkSession.implicits._
+    audio.flatMap { a =>
+      val ws = itemWindows(a, windowSize, rmsFloor, flatMax)
+      if (ws.exists(_.window_idx == -1))
+        Seq(VadSegment(a.media_id, -1, -1, 0, active = false))
+      else {
+        val segs = Seq.newBuilder[VadSegment]
+        var segIdx = 0; var start = 0
+        var i = 1
+        while (i <= ws.length) {
+          if (i == ws.length || ws(i).active != ws(start).active) {
+            segs += VadSegment(a.media_id, segIdx, ws(start).window_idx,
+              i - start, ws(start).active)
+            segIdx += 1; start = i
+          }
+          i += 1
+        }
+        segs.result()
+      }
+    }
+  }
+
   // ------------------------------- perceptual image hash (dHash) + dedup
 
   /** 64-bit DIFFERENCE HASH of an image payload — the perceptual

@@ -477,6 +477,57 @@ class MultimodalSpec extends GraftSpec {
     assert(banded.nonEmpty)
   }
 
+  test("activity detection: silence/tone/noise windows classify by " +
+      "energy + spectral flatness; adjacent classes merge into segments; " +
+      "undecodables pass through") {
+    val sess = spark
+    import sess.implicits._
+    val win = 256
+    // planted mono signal: 4 windows silence, 4 windows of a bin-aligned
+    // tone (8 cycles per window — phase-continuous), 2 windows of
+    // splitmix broadband noise (loud but unstructured), 1 window silence
+    val samples = new Array[Int](11 * win)
+    (4 * win until 8 * win).foreach { i =>
+      samples(i) = math.round(10000.0 *
+        math.sin(2 * math.Pi * 8 * i / win)).toInt
+    }
+    (8 * win until 10 * win).foreach { i =>
+      var z = 7L * 1000003L + i.toLong * 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      samples(i) = ((z >>> 37) % 20001 - 10000).toInt
+    }
+    val audio = Seq(
+      Multimodal.DecodedAudio(1L, "wav", 8000, 1, samples.length.toLong,
+        samples),
+      Multimodal.DecodedAudio(2L, "undecodable", 0, 0, 0L,
+        Array.empty[Int])).toDS()
+    val ws = Multimodal.activityWindows(audio, win, rmsFloor = 100.0,
+        flatMax = 0.2)
+      .collect().filter(_.media_id == 1L).sortBy(_.window_idx)
+    assert(ws.length == 11)
+    // measured physics: tone windows are structured, noise windows are not
+    (4 to 7).foreach(i => assert(ws(i).flatness < 0.1 && ws(i).rms > 1000,
+      s"tone window $i: ${ws(i)}"))
+    (8 to 9).foreach(i => assert(ws(i).flatness > 0.3 && ws(i).rms > 1000,
+      s"noise window $i: ${ws(i)}"))
+    (0 to 3).foreach(i => assert(ws(i).rms < 1e-9, s"silence window $i"))
+    assert(ws.map(_.active).toSeq ==
+      Seq(false, false, false, false, true, true, true, true, false,
+        false, false))
+    // segments: silence+noise are both inactive → 3 runs
+    val segs = Multimodal.activitySegments(audio, win, rmsFloor = 100.0,
+        flatMax = 0.2)
+      .collect().filter(_.media_id == 1L).sortBy(_.seg_idx)
+    assert(segs.map(s => (s.start_window, s.n_windows, s.active)).toSeq ==
+      Seq((0, 4, false), (4, 4, true), (8, 3, false)), segs.toSeq)
+    // undecodable → marker rows in both shapes
+    assert(Multimodal.activityWindows(audio, win).collect()
+      .filter(_.media_id == 2L).map(_.window_idx).toSeq == Seq(-1))
+    assert(Multimodal.activitySegments(audio, win).collect()
+      .filter(_.media_id == 2L).map(_.seg_idx).toSeq == Seq(-1))
+  }
+
   test("undecodable audio payloads surface as data, not exceptions") {
     // text bytes and PNG bytes are both not parseable audio containers
     val text = Multimodal.mediaTable(spark, sf).limit(10)
