@@ -39,7 +39,10 @@ import org.apache.spark.sql.functions._
   *  - `DELETE FROM t WHERE c`
   *  - `INSERT INTO t [(cols)] [BY NAME] SELECT …` (positional
   *    store-assignment coercion; a column list null-fills unlisted
-  *    columns — OVERWRITE/partitioned forms refused)
+  *    columns; partitioned forms refused); `INSERT OVERWRITE t
+  *    SELECT …` → [[Lake.overwriteWith]] (ONE atomic replace snapshot —
+  *    never a DELETE+INSERT window); `TRUNCATE TABLE t` → the empty
+  *    overwrite (recorded schema keeps the table readable/insertable)
   *  - `ALTER TABLE t ADD CONSTRAINT name CHECK (expr)` /
   *    `ALTER TABLE t DROP CONSTRAINT name` → the persisted CHECK
   *    constraint surface ([[Lake.addConstraint]]); `DESCRIBE HISTORY t`
@@ -160,6 +163,8 @@ object GraftSql {
     """(?is)^\s*RESTORE\s+(?:TABLE\s+)?(\w+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*$""".r
   private val DescribeDetailRe =
     """(?is)^\s*DESC(?:RIBE)?\s+DETAIL\s+(\w+)\s*$""".r
+  private val TruncateRe =
+    """(?is)^\s*TRUNCATE\s+TABLE\s+(\w+)\s*$""".r
 
   /** Default OPTIMIZE bin-pack target (rows per rewritten file). */
   val OptimizeTargetRows = 1000000L
@@ -189,6 +194,13 @@ object GraftSql {
       // rows by the winning-add rule)
       val t = lookupName(spark, name)
       val s2 = t.restore(snap.toLong)
+      refresh(spark, name)
+      snapFrame(spark, s2)
+    case TruncateRe(name) =>
+      // atomic empty overwrite: one remove-everything snapshot; the
+      // recorded schema keeps the (empty) table readable and insertable
+      val t = lookupName(spark, name)
+      val s2 = t.overwrite(t.read().limit(0))
       refresh(spark, name)
       snapFrame(spark, s2)
     case DescribeDetailRe(name) =>
@@ -304,9 +316,6 @@ object GraftSql {
   private def runInsert(spark: SparkSession,
       i: InsertIntoStatement): DataFrame = {
     val t = lookup(spark, i.table)
-    if (i.overwrite) sys.error(
-      "INSERT OVERWRITE is not routed (not atomic on this surface) — " +
-        "use DELETE FROM + INSERT INTO, or mergeInto")
     if (i.partitionSpec.nonEmpty) sys.error(
       "partitioned INSERT is not routed — INSERT INTO t [(cols)] SELECT …")
     val rows0 = GraftShim.ofRows(spark, i.query)
@@ -344,7 +353,15 @@ object GraftSql {
           bq(c).cast(f.dataType).as(f.name)
         }: _*)
       }
-    val snap = t.append(rows)
+    // OVERWRITE routes to the atomic whole-table replace (one snapshot:
+    // removes of every live file + the new rows' adds — never the
+    // two-commit DELETE+INSERT window). The coerced frame is
+    // checkpointed first: overwriteWith consumes it more than once
+    // (emptiness probe, gen write), and a nondeterministic SELECT must
+    // evaluate exactly once — the runMergeColumnList discipline.
+    val snap =
+      if (i.overwrite) t.overwrite(rows.localCheckpoint())
+      else t.append(rows)
     refresh(spark, tableName(i.table))
     snapFrame(spark, snap)
   }

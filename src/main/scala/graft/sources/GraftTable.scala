@@ -160,6 +160,11 @@ final case class GraftTable(spark: SparkSession, ledgerDir: String,
   def append(rows: DataFrame): Long =
     Lake.appendRows(spark, ledgerDir, genRoot, rows)
 
+  /** Atomic whole-table overwrite (the INSERT OVERWRITE / TRUNCATE leg —
+    * one snapshot replaces every live file; see Lake.overwriteWith). */
+  def overwrite(rows: DataFrame, changeFeed: Boolean = false): Long =
+    Lake.overwriteWith(spark, ledgerDir, genRoot, rows, changeFeed)
+
   /** Row-level copy-on-write DELETE WHERE. */
   def delete(cond: Column, changeFeed: Boolean = false): Long =
     Lake.deleteWhere(spark, ledgerDir, genRoot, cond, changeFeed)

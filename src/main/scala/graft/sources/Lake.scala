@@ -225,6 +225,19 @@ object Lake {
   private val StatsType = "map<string,struct<lo:bigint,hi:bigint," +
     "slo:string,shi:string,nulls:bigint,nrows:bigint,bloom:binary>>"
 
+  /** The ledger's CANONICAL read schema — pinned so every `readLedger`
+    * plans with ZERO footer-inference work (profiling showed ~8 ledger
+    * re-reads per DML commit, each paying a schema-inference job; the
+    * schema is fixed by construction — this code is the only writer).
+    * Narrower historical rows (a pre-bloom stats struct, a pre-dv
+    * ledger) null-fill by name exactly as the old mergeSchema read did,
+    * via parquet's requested-schema clipping. */
+  private lazy val LedgerSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "path string, size bigint, adler32 bigint, snapshot_id bigint, " +
+        "ingested_at timestamp, op string, snapshot_op string, " +
+        s"stats $StatsType")
+
   /** Per-file stats map for `cols` over the parquet files of `dir`, keyed
     * by normalized path; None when no stats columns are requested.
     * NUMERIC columns store `[floor(min), ceil(max)]` — floor/ceil (not a
@@ -362,24 +375,26 @@ object Lake {
     val dir = new java.io.File(ledgerDir)
     val hasData = dir.isDirectory &&
       dir.listFiles().exists(f => f.getName.endsWith(".parquet") && f.length() > 0)
-    // mergeSchema: a ledger can carry generations with a narrower stats
-    // struct (pre-bloom rows) — merged read nulls the missing fields
+    // the PINNED canonical schema (LedgerSchema) replaces the old
+    // mergeSchema footer scan: generations with a narrower stats struct
+    // (pre-bloom rows) null-fill by name via requested-schema clipping,
+    // and the read plans with zero inference jobs (profiled at ~8 ledger
+    // re-reads per DML commit)
     latestCkpt(ledgerDir) match {
       case None =>
         if (hasData)
-          Some(spark.read.option("mergeSchema", "true").parquet(ledgerDir))
+          Some(spark.read.schema(LedgerSchema).parquet(ledgerDir))
         else None
       case Some((ckptPath, n)) =>
         // checkpointed ledger = checkpoint rows (everything <= n, exactly
-        // once) + post-checkpoint appends. ONE multi-path read so
-        // mergeSchema unifies nested stats structs across generations;
+        // once) + post-checkpoint appends, as ONE multi-path read;
         // rows a data file duplicates with the checkpoint (a compaction
         // that crashed before its prune, or one whose prune is simply
         // pending) filter out by provenance — correctness never depends
         // on the prune having happened. `_ckpt/` itself is underscore-
         // hidden, so the ledger-dir side of the read can't recurse into it.
         val paths = if (hasData) Seq(ckptPath, ledgerDir) else Seq(ckptPath)
-        Some(spark.read.option("mergeSchema", "true").parquet(paths: _*)
+        Some(spark.read.schema(LedgerSchema).parquet(paths: _*)
           .filter(col("_metadata.file_path").contains("/_ckpt/")
             || col("snapshot_id") > n))
     }
@@ -498,6 +513,13 @@ object Lake {
         .map(l => new LedgerFileIndex(liveActionsAt(l, Long.MaxValue)))
       liveIdx.filterNot(_.isEmpty)
         .map(i => tableScan(spark, ledgerDir, i, atSnapshot).limit(0))
+        // zero live files anywhere (e.g. a truncated table): the
+        // RECORDED schema still carries a schema-shaped empty frame —
+        // zero reads, and never a dead path (expireSnapshots deletes
+        // history, so ever-added paths are off limits)
+        .orElse((if (atSnapshot >= 0) recordedSchemaAt(ledgerDir, atSnapshot)
+          else None).map(sch => spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), sch)))
         .getOrElse(spark.emptyDataFrame)
     }
   }
@@ -936,10 +958,15 @@ object Lake {
     * per the table's contract; a contract-less table passes through. */
   private def addsWithStats(spark: SparkSession, adds: DataFrame,
       dir: String, statsCols: Seq[String], bloomCols: Seq[String]): DataFrame =
+    addsWithStatsPaths(spark, adds, Seq(dir), statsCols, bloomCols)
+
+  private def addsWithStatsPaths(spark: SparkSession, adds: DataFrame,
+      dirs: Seq[String], statsCols: Seq[String],
+      bloomCols: Seq[String]): DataFrame =
     if (statsCols.isEmpty && bloomCols.isEmpty) adds
     else {
-      val schemaCols = spark.read.parquet(dir).schema.fieldNames.toSet
-      fileStats(spark, dir, statsCols.filter(schemaCols),
+      val schemaCols = spark.read.parquet(dirs: _*).schema.fieldNames.toSet
+      fileStatsPaths(spark, dirs, statsCols.filter(schemaCols),
           bloomCols = bloomCols.filter(schemaCols)) match {
         case Some(st) => adds
           .withColumn("_np", regexp_replace(col("path"), "^file:/+", "/"))
@@ -948,6 +975,58 @@ object Lake {
         case None => adds
       }
     }
+
+  /** One combined adler32 + stats pass over a commit's freshly-written
+    * generation dirs, tagging each file's `snapshot_op` by its dir NAME
+    * (carry/delta/changes are fixed leaf names under gen-N): the per-dir
+    * form pays a binaryFile scan + a parquet stats scan PER dir, and a
+    * COW commit writes 2-3 dirs — per-commit fixed job count, halved.
+    * `statDirs` limits the stats scan to the table-shaped dirs (cdc
+    * files carry change-typed columns and record no stats). Dirs with no
+    * parquet output (an all-matched carry) contribute no rows. */
+  private def addsTagged(spark: SparkSession,
+      dirOps: Seq[(String, String, String)], // (dir, opCol, snapshotOp)
+      statsCols: Seq[String], bloomCols: Seq[String]): DataFrame = {
+    val present = dirOps.filter { case (d, _, _) =>
+      val f = new java.io.File(d)
+      f.isDirectory && Option(f.listFiles()).getOrElse(Array.empty)
+        .exists(x => x.getName.endsWith(".parquet") && x.length > 0)
+    }
+    if (present.isEmpty) // e.g. a delete that empties its affected files
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "path string, size bigint, adler32 bigint, op string, " +
+            s"snapshot_op string, stats $StatsType"))
+    val raw = fileAddsPaths(spark, present.map(_._1))
+    val statDirs = present.collect { case (d, "add", _) => d }
+    val adds =
+      if (statDirs.isEmpty) withLedgerStats(raw)
+      else withLedgerStats(
+        addsWithStatsPaths(spark, raw, statDirs, statsCols, bloomCols))
+    val leaf = element_at(split(col("path"), "/"), -2)
+    val opFor = present.foldLeft(lit(null).cast("string")) {
+      case (acc, (d, o, _)) =>
+        when(leaf === new java.io.File(d).getName, lit(o)).otherwise(acc)
+    }
+    val snapOpFor = present.foldLeft(lit(null).cast("string")) {
+      case (acc, (d, _, so)) =>
+        when(leaf === new java.io.File(d).getName, lit(so)).otherwise(acc)
+    }
+    // stats recorded only for table-shaped add rows (cdc rows stay null,
+    // exactly as the per-dir form recorded them)
+    adds.withColumn("op", opFor).withColumn("snapshot_op", snapOpFor)
+      .withColumn("stats", when(opFor === "add", col("stats"))
+        .otherwise(lit(null).cast(StatsType)))
+  }
+
+  /** Multi-dir [[fileAdds]] — one binaryFile scan over all dirs. */
+  private def fileAddsPaths(spark: SparkSession, dirs: Seq[String]): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.parquet")
+      .load(dirs: _*)
+      .select(col("path"), col("length").as("size"),
+        graft.functions.GraftFunctions.adler32(col("content")).as("adler32"))
 
   /** The file-action rows for every parquet file under `dir` (distributed
     * size+adler32 scan, same shape ingestNewFiles records). */
@@ -1190,7 +1269,8 @@ object Lake {
     // a failed job must not block the table behind an orphaned marker.
     reserving(spark, ledgerDir, next) {
       val genDir = s"$genRoot/gen-$next"
-      val liveActs = readLedger(spark, ledgerDir).map(l => liveActionsAt(l, snap))
+      val liveActs = readLedger(spark, ledgerDir)
+      .map(l => liveActionsAt(l, snap).localCheckpoint())
       val index = liveActs.map(new LedgerFileIndex(_)).filterNot(_.isEmpty)
       val target = index.map(tableScan(spark, ledgerDir, _, snap))
       // merge into an EMPTY table = pure insert; take the schema from source.
@@ -1314,30 +1394,13 @@ object Lake {
         case Some(acts) => liveStatsContract(acts)
         case None => (Nil, Nil)
       }
-      val carryAdds =
-        if (affectedNorm.nonEmpty)
-          addsWithStats(spark, fileAdds(spark, s"$genDir/carry"),
-              s"$genDir/carry", mStatsCols, mBloomCols)
-            .withColumn("op", lit("add"))
-            .withColumn("snapshot_op", lit("replace"))
-        else spark.emptyDataFrame
-      val deltaAdds = addsWithStats(spark, fileAdds(spark, s"$genDir/delta"),
-          s"$genDir/delta", mStatsCols, mBloomCols)
-        .withColumn("op", lit("add"))
-        .withColumn("snapshot_op", lit("merge"))
-      // carry/delta may carry a stats column the cdc/remove rows lack —
-      // null-fill every branch to the canonical ledger schema pre-union
-      val adds0 =
-        if (affectedNorm.nonEmpty)
-          withLedgerStats(carryAdds).unionByName(withLedgerStats(deltaAdds))
-        else withLedgerStats(deltaAdds)
-      val adds =
-        if (changeFeed)
-          adds0.unionByName(withLedgerStats(
-            fileAdds(spark, s"$genDir/changes")
-              .withColumn("op", lit("cdc"))
-              .withColumn("snapshot_op", lit("merge"))))
-        else adds0
+      val adds = addsTagged(spark,
+        (if (affectedNorm.nonEmpty)
+          Seq((s"$genDir/carry", "add", "replace")) else Nil) ++
+          Seq((s"$genDir/delta", "add", "merge")) ++
+          (if (changeFeed) Seq((s"$genDir/changes", "cdc", "merge"))
+           else Nil),
+        mStatsCols, mBloomCols)
       val actions =
         if (affectedNorm.nonEmpty)
           // remove rows straight from the affected action rows (ledger-form
@@ -1378,7 +1441,8 @@ object Lake {
   def deleteWhere(spark: SparkSession, ledgerDir: String, genRoot: String,
       cond: org.apache.spark.sql.Column, changeFeed: Boolean = false): Long = {
     val snap = currentSnapshot(spark, ledgerDir)
-    val liveActs = readLedger(spark, ledgerDir).map(l => liveActionsAt(l, snap))
+    val liveActs = readLedger(spark, ledgerDir)
+      .map(l => liveActionsAt(l, snap).localCheckpoint())
     val index = liveActs.map(new LedgerFileIndex(_)).filterNot(_.isEmpty)
     if (index.isEmpty) return snap // empty table: nothing to delete
     val next = snap + 1
@@ -1419,17 +1483,11 @@ object Lake {
           .write.mode("overwrite").parquet(s"$genDir/changes")
       // surviving-row rewrites inherit the skipping contract (see mergeInto)
       val (dStatsCols, dBloomCols) = liveStatsContract(liveActs.get)
-      val adds0 = addsWithStats(spark, fileAdds(spark, s"$genDir/carry"),
-          s"$genDir/carry", dStatsCols, dBloomCols)
-        .withColumn("op", lit("add"))
-        .withColumn("snapshot_op", lit("replace"))
-      val adds =
-        if (changeFeed)
-          withLedgerStats(adds0).unionByName(withLedgerStats(
-            fileAdds(spark, s"$genDir/changes")
-              .withColumn("op", lit("cdc"))
-              .withColumn("snapshot_op", lit("replace"))))
-        else withLedgerStats(adds0)
+      val adds = addsTagged(spark,
+        Seq((s"$genDir/carry", "add", "replace")) ++
+          (if (changeFeed) Seq((s"$genDir/changes", "cdc", "replace"))
+           else Nil),
+        dStatsCols, dBloomCols)
       appendSnapshot(spark, ledgerDir, next,
         preReserved = true, actions =
         adds.unionByName(affectedActs.select(col("path"))
@@ -1464,7 +1522,8 @@ object Lake {
       changeFeed: Boolean = false): Long = {
     require(sets.nonEmpty, "UPDATE with no assignments")
     val snap = currentSnapshot(spark, ledgerDir)
-    val liveActs = readLedger(spark, ledgerDir).map(l => liveActionsAt(l, snap))
+    val liveActs = readLedger(spark, ledgerDir)
+      .map(l => liveActionsAt(l, snap).localCheckpoint())
     val index = liveActs.map(new LedgerFileIndex(_)).filterNot(_.isEmpty)
     if (index.isEmpty) return snap // empty table: nothing to update
     val next = snap + 1
@@ -1517,22 +1576,12 @@ object Lake {
           .withColumn("_commit_snapshot", lit(next))
           .write.mode("overwrite").parquet(s"$genDir/changes")
       val (uStatsCols, uBloomCols) = liveStatsContract(liveActs.get)
-      val carryAdds = addsWithStats(spark, fileAdds(spark, s"$genDir/carry"),
-          s"$genDir/carry", uStatsCols, uBloomCols)
-        .withColumn("op", lit("add"))
-        .withColumn("snapshot_op", lit("replace"))
-      val deltaAdds = addsWithStats(spark, fileAdds(spark, s"$genDir/delta"),
-          s"$genDir/delta", uStatsCols, uBloomCols)
-        .withColumn("op", lit("add"))
-        .withColumn("snapshot_op", lit("merge"))
-      val adds0 = withLedgerStats(carryAdds).unionByName(withLedgerStats(deltaAdds))
-      val adds =
-        if (changeFeed)
-          adds0.unionByName(withLedgerStats(
-            fileAdds(spark, s"$genDir/changes")
-              .withColumn("op", lit("cdc"))
-              .withColumn("snapshot_op", lit("merge"))))
-        else adds0
+      val adds = addsTagged(spark,
+        Seq((s"$genDir/carry", "add", "replace"),
+          (s"$genDir/delta", "add", "merge")) ++
+          (if (changeFeed) Seq((s"$genDir/changes", "cdc", "merge"))
+           else Nil),
+        uStatsCols, uBloomCols)
       appendSnapshot(spark, ledgerDir, next,
         preReserved = true, actions =
         adds.unionByName(affectedActs.select(col("path"))
@@ -1609,7 +1658,8 @@ object Lake {
       genRoot: String, matches: DataFrame => DataFrame,
       changeFeed: Boolean): Long = {
     val snap = currentSnapshot(spark, ledgerDir)
-    val liveActs = readLedger(spark, ledgerDir).map(l => liveActionsAt(l, snap))
+    val liveActs = readLedger(spark, ledgerDir)
+      .map(l => liveActionsAt(l, snap).localCheckpoint())
     val index = liveActs.map(new LedgerFileIndex(_)).filterNot(_.isEmpty)
     if (index.isEmpty) return snap // empty table: nothing to delete
     val next = snap + 1
@@ -1701,7 +1751,7 @@ object Lake {
         regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
       .withColumn("__graft_pos", col("_metadata.row_index"))
     val activeOpt = readLedger(spark, ledgerDir)
-      .flatMap(l => activeDvRows(spark, l, snapshot))
+      .flatMap(l => activeDvRows(spark, ledgerDir, l, snapshot))
     activeOpt match {
       case None => if (keepPos) withPos(scan) else scan
       case Some(active) =>
@@ -1716,13 +1766,46 @@ object Lake {
     }
   }
 
+  /** Driver-side memo of "does this ledger contain ANY dv action row",
+    * keyed by an append-only directory fingerprint: the ledger only ever
+    * gains immutable files (per-commit parquet appends; checkpoints land
+    * by atomic rename), so a matching (name:length) listing proves the
+    * row set is unchanged and the cached answer still holds — any new
+    * commit changes the listing and forces a re-probe, in this process
+    * or another. Profiling showed 4 DV-presence probes per DML statement
+    * (each a ledger-scan job) on tables that never had a vector — the
+    * memo makes the common no-MOR path zero-job after the first probe. */
+  private val dvPresence =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Boolean)]()
+
+  private def ledgerFingerprint(ledgerDir: String): String = {
+    val root = new java.io.File(ledgerDir)
+    val parts = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(f => f.getName + ":" + f.length)
+    val ckpts = Option(new java.io.File(root, "_ckpt").listFiles())
+      .getOrElse(Array.empty).filter(_.isDirectory).map(_.getName)
+    (parts ++ ckpts).sorted.mkString(",")
+  }
+
   /** The (dpath, pos) rows of every vector ACTIVE at `snapshot`:
     * committed by it (`dv_snap <= snapshot`) and not superseded by a
     * later rewrite/re-add of their file (`dv_snap >=` the file's
     * winning-add snapshot at `snapshot`). None when the table carries no
-    * vectors at all (the common-path zero-cost check). */
-  private def activeDvRows(spark: SparkSession, ledger: DataFrame,
-      snapshot: Long): Option[DataFrame] = {
+    * vectors at all (the common-path zero-cost check, memoized per
+    * ledger fingerprint — see [[dvPresence]]). */
+  private def activeDvRows(spark: SparkSession, ledgerDir: String,
+      ledger: DataFrame, snapshot: Long): Option[DataFrame] = {
+    val fp = ledgerFingerprint(ledgerDir)
+    val cached = dvPresence.get(ledgerDir)
+    val hasAnyDv =
+      if (cached != null && cached._1 == fp) cached._2
+      else {
+        val h = !ledger.filter(col("op") === "dv").isEmpty
+        dvPresence.put(ledgerDir, (fp, h))
+        h
+      }
+    if (!hasAnyDv) return None
     val dvActs = dvActionsAt(ledger, snapshot)
     if (dvActs.isEmpty) None
     else {
@@ -1747,7 +1830,7 @@ object Lake {
     val ledger = readLedger(spark, ledgerDir).getOrElse(return 0L)
     val s = if (snapshot == Long.MaxValue) currentSnapshot(spark, ledgerDir)
       else snapshot
-    activeDvRows(spark, ledger, s) match {
+    activeDvRows(spark, ledgerDir, ledger, s) match {
       case None => 0L
       case Some(active) =>
         val live = liveActionsAt(ledger, s)
@@ -1781,6 +1864,80 @@ object Lake {
     ingestNewFiles(spark, dir, ledgerDir, statsCols, bloomCols,
       enforceChecks = false)
     currentSnapshot(spark, ledgerDir)
+  }
+
+  /** ATOMIC whole-table OVERWRITE — `INSERT OVERWRITE` / `TRUNCATE`
+    * semantics as ONE snapshot: removes for every live file plus adds of
+    * `rows`' files land together, so a reader sees the old table or the
+    * new one, never a mix (the two-statement DELETE-then-INSERT form has
+    * a visible empty window and two history entries — this is why every
+    * table format ships overwrite as a primitive). Time travel holds:
+    * `readAt(prior)` still reads the pre-overwrite files. Constraints
+    * enforce on the incoming rows BEFORE any generation write (refusal
+    * leaves zero debris); the standing recorded schema carries (callers
+    * coerce `rows` to the table schema — the INSERT surface's
+    * store-assignment contract). Adds land `snapshot_op="merge"` (the
+    * rows are genuinely new content — `readSince` consumers see them
+    * exactly once); removes land `snapshot_op="overwrite"` (display-only
+    * on remove rows — `history()` shows the op distinctly). Opt-in
+    * CHANGE FEED records delete pre-images for every old row plus
+    * inserts for every new row (a full-table cost by definition of
+    * overwrite — the one lake op whose blast radius IS the table); the
+    * insert side re-reads the LANDED delta files, so cdc rows match the
+    * committed bytes even for a nondeterministic `rows` plan. An empty
+    * `rows` is TRUNCATE: pure removes, no generation write. An empty
+    * table delegates to [[appendRows]]. Scale: cost is O(new data +
+    * old FILE COUNT) — the removes are ledger rows, old data is never
+    * read (except under the opt-in change feed). */
+  def overwriteWith(spark: SparkSession, ledgerDir: String, genRoot: String,
+      rows: DataFrame, changeFeed: Boolean = false): Long = {
+    val snap = currentSnapshot(spark, ledgerDir)
+    val liveActs = readLedger(spark, ledgerDir)
+      .map(l => liveActionsAt(l, snap)).filterNot(_.isEmpty)
+    if (liveActs.isEmpty) return appendRows(spark, ledgerDir, genRoot, rows)
+    enforceConstraints(spark, ledgerDir, rows)
+    val newEmpty = rows.isEmpty
+    val next = snap + 1
+    reserving(spark, ledgerDir, next) {
+      val genDir = s"$genRoot/gen-$next"
+      if (!newEmpty) rows.write.mode("overwrite").parquet(s"$genDir/delta")
+      if (changeFeed) {
+        val oldRows = applyDvsAt(spark, ledgerDir, snap,
+            scanActions(spark, ledgerDir, liveActs.get, atSnapshot = snap))
+          .withColumn("_change_type", lit("delete"))
+        val inserted =
+          if (newEmpty) oldRows.limit(0)
+          else spark.read.parquet(s"$genDir/delta")
+            .withColumn("_change_type", lit("insert"))
+        oldRows.unionByName(inserted)
+          .withColumn("_commit_snapshot", lit(next))
+          .write.mode("overwrite").parquet(s"$genDir/changes")
+      }
+      val (oStatsCols, oBloomCols) = liveStatsContract(liveActs.get)
+      val removes = liveActs.get.select(col("path"))
+        .withColumn("size", lit(null).cast("long"))
+        .withColumn("adler32", lit(null).cast("long"))
+        .withColumn("op", lit("remove"))
+        .withColumn("snapshot_op", lit("overwrite"))
+        .withColumn("stats", lit(null).cast(StatsType))
+      val withAdds =
+        if (newEmpty) removes
+        else withLedgerStats(
+          addsWithStats(spark, fileAdds(spark, s"$genDir/delta"),
+              s"$genDir/delta", oStatsCols, oBloomCols)
+            .withColumn("op", lit("add"))
+            .withColumn("snapshot_op", lit("merge")))
+          .unionByName(removes)
+      val actions =
+        if (changeFeed) withAdds.unionByName(withLedgerStats(
+          fileAdds(spark, s"$genDir/changes")
+            .withColumn("op", lit("cdc"))
+            .withColumn("snapshot_op", lit("merge"))))
+        else withAdds
+      appendSnapshot(spark, ledgerDir, next, preReserved = true,
+        actions = actions)
+      next
+    }
   }
 
   /** MANIFEST-ONLY COUNT(*) — the metadata-aggregate every table format
@@ -1962,7 +2119,8 @@ object Lake {
     val snap = currentSnapshot(spark, ledgerDir)
     if (source.isEmpty) return snap // empty source: no snapshot, no marker
     val next = snap + 1
-    val liveActs = readLedger(spark, ledgerDir).map(l => liveActionsAt(l, snap))
+    val liveActs = readLedger(spark, ledgerDir)
+      .map(l => liveActionsAt(l, snap).localCheckpoint())
     val index = liveActs.map(new LedgerFileIndex(_)).filterNot(_.isEmpty)
     val targetSchema = index.map(tableScan(spark, ledgerDir, _).schema)
     val baseCols: Seq[String] =
@@ -2161,7 +2319,7 @@ object Lake {
     // activity rule holds with equality). KB-scale: bounded by the
     // deletions on re-added files, never the table.
     val compRows: Option[DataFrame] =
-      activeDvRows(spark, ledger, toSnapshot).map { act =>
+      activeDvRows(spark, ledgerDir, ledger, toSnapshot).map { act =>
         act.join(adds.select(
             regexp_replace(col("path"), "^file:/+", "/").as("dpath")),
           Seq("dpath"), "left_semi")

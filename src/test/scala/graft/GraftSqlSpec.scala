@@ -147,13 +147,75 @@ class GraftSqlSpec extends GraftSpec {
     assert(t.snapshot == head)
     // refusals
     val e = intercept[RuntimeException] {
-      t.sql("INSERT OVERWRITE nat_i SELECT * FROM nat_i")
+      t.sql("INSERT INTO nat_i PARTITION (n_regionkey = 1) " +
+        "SELECT n_nationkey + 800, n_name FROM nat_i")
     }
-    assert(e.getMessage.contains("INSERT OVERWRITE"))
+    assert(e.getMessage.contains("partitioned INSERT"))
     val e2 = intercept[Exception] {
       t.sql("INSERT INTO nat_i SELECT n_nationkey FROM nat_i LIMIT 1")
     }
     assert(e2.getMessage.contains("arity"))
+  }
+
+  test("INSERT OVERWRITE is ONE atomic replace snapshot; TRUNCATE " +
+      "empties but keeps the table readable and insertable") {
+    val (t, _) = fixture("nat_ow")
+    val head = t.snapshot
+    // self-referencing overwrite: the SELECT reads the table it replaces
+    val res = t.sql(
+      """INSERT OVERWRITE nat_ow
+        |SELECT n_nationkey, upper(n_name), n_regionkey
+        |FROM nat_ow WHERE n_regionkey <= 1""".stripMargin)
+    assert(res.head().getLong(0) == head + 1,
+      "overwrite must land exactly one snapshot")
+    assert(t.read().count() == 10)
+    assert(t.read().filter(col("n_name") =!= upper(col("n_name"))).count() == 0)
+    // time travel: the pre-overwrite table is intact
+    assert(t.readAt(head).count() == 25)
+    // incremental consumers see exactly the new rows, exactly once
+    assert(t.readSince(head).count() == 10)
+    // history shows the overwrite op on the remove rows
+    val ops = t.history().filter(col("snapshot_id") === head + 1)
+      .select(col("ops")).head().getSeq[String](0)
+    assert(ops.contains("overwrite"), s"ops=$ops")
+    // TRUNCATE: one more snapshot, empty but schema-carrying
+    t.sql("TRUNCATE TABLE nat_ow")
+    assert(t.snapshot == head + 2)
+    assert(t.read().count() == 0)
+    assert(t.read().columns.toSeq ==
+      Seq("n_nationkey", "n_name", "n_regionkey"))
+    assert(spark.sql("SELECT count(*) FROM nat_ow").head().getLong(0) == 0)
+    // the truncated table still accepts INSERT (recorded-schema read)
+    t.sql("INSERT INTO nat_ow SELECT 99, 'NEWLAND', 0")
+    assert(t.read().count() == 1)
+    assert(t.readAt(head + 1).count() == 10, "time travel spans truncate")
+  }
+
+  test("overwrite change feed records delete pre-images for every old " +
+      "row plus inserts for the new ones; constraints gate the rows") {
+    val tmp = Files.createTempDirectory("graft_sql_owcf").toString
+    val tbl = GraftTable(spark, s"$tmp/ledger", s"$tmp/gen")
+    val sp = spark; import sp.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").write.parquet(s"$tmp/landing")
+    tbl.ingest(s"$tmp/landing")
+    val head = tbl.snapshot
+    tbl.overwrite(Seq((3L, "c"), (4L, "d"), (5L, "e")).toDF("k", "v"),
+      changeFeed = true)
+    val ch = tbl.readChanges(head)
+    assert(ch.filter(col("_change_type") === "delete").select(col("k"))
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    assert(ch.filter(col("_change_type") === "insert").select(col("k"))
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 4L, 5L))
+    assert(ch.select(col("_commit_snapshot")).distinct().head().getLong(0)
+      == head + 1)
+    // a CHECK constraint refuses the overwrite BEFORE anything lands
+    tbl.addConstraint("pos_k", "k > 0")
+    val snapBefore = tbl.snapshot
+    intercept[Exception] {
+      tbl.overwrite(Seq((-1L, "bad")).toDF("k", "v"))
+    }
+    assert(tbl.snapshot == snapBefore, "refused overwrite must not commit")
+    assert(tbl.read().count() == 3, "table unchanged after refusal")
   }
 
   test("column-list MERGE: first-hit arms over target-referencing " +
