@@ -885,6 +885,88 @@ object GraftSql {
     out
   }
 
+  /** Oracle-checked OVERWRITE lifecycle — the two whole-table verbs
+    * under the hard gate: build a lake from customer, then one script
+    * runs `INSERT OVERWRITE` (self-referencing — the SELECT reads the
+    * table it atomically replaces, balances bumped in DECIMAL(12,2)),
+    * `TRUNCATE TABLE`, an `INSERT INTO … FROM t VERSION AS OF 2` that
+    * re-seeds the EMPTY table from the post-overwrite snapshot (the
+    * recorded schema keeps a zero-file table insertable; the time-travel
+    * source proves overwrite/truncate never destroy history), and a
+    * final per-segment report over now / v1 / v2. Every effect is pure
+    * algebra over `customer`, so DuckDB mirrors the three states as temp
+    * tables. Money discipline: balance bumps in DECIMAL(12,2), sums in
+    * DECIMAL, double casts in final projections only. */
+  def qSqlOverwrite(spark: SparkSession, sfDir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sqlow").toString
+    val t = GraftTable(spark, s"$tmp/ledger", s"$tmp/gen")
+    graft.BenchPhase("fixture") {
+      spark.read.parquet(s"$sfDir/customer.parquet")
+        .repartition(4).write.parquet(s"$tmp/landing")
+      t.ingest(s"$tmp/landing")
+    }
+    t.bindSql("sqlow_cust")
+    val out = graft.BenchPhase("op") { t.sql(
+      """INSERT OVERWRITE sqlow_cust
+        |SELECT c_custkey, c_name, c_nationkey,
+        |  CAST(CAST(c_acctbal AS DECIMAL(12,2)) + 200.00 AS DOUBLE)
+        |    AS c_acctbal,
+        |  c_mktsegment
+        |FROM sqlow_cust WHERE c_custkey % 3 = 0;
+        |TRUNCATE TABLE sqlow_cust;
+        |INSERT INTO sqlow_cust
+        |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM sqlow_cust VERSION AS OF 2 WHERE c_custkey % 6 = 0;
+        |SELECT 'now' AS era, c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS n_cust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+        |FROM sqlow_cust GROUP BY c_mktsegment
+        |UNION ALL
+        |SELECT 'v1' AS era, c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS n_cust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+        |FROM sqlow_cust VERSION AS OF 1 GROUP BY c_mktsegment
+        |UNION ALL
+        |SELECT 'v2' AS era, c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS n_cust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+        |FROM sqlow_cust VERSION AS OF 2 GROUP BY c_mktsegment""".stripMargin)
+      .localCheckpoint() // eager: materialize before the files vanish
+    }
+    unbind(spark, "sqlow_cust")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array()).foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(tmp))
+    out
+  }
+
+  /** DuckDB mirror of [[qSqlOverwrite]]'s three table states. */
+  def qSqlOverwriteSql: String =
+    """CREATE OR REPLACE TEMP TABLE sqlow_v2 AS
+      |  SELECT c_custkey, c_name, c_nationkey,
+      |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) + 200.00 AS DOUBLE)
+      |      AS c_acctbal,
+      |    c_mktsegment
+      |  FROM customer WHERE c_custkey % 3 = 0;
+      |CREATE OR REPLACE TEMP TABLE sqlow_now AS
+      |  SELECT * FROM sqlow_v2 WHERE c_custkey % 6 = 0;
+      |SELECT 'now' AS era, c_mktsegment,
+      |  CAST(count(*) AS BIGINT) AS n_cust,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+      |FROM sqlow_now GROUP BY c_mktsegment
+      |UNION ALL
+      |SELECT 'v1' AS era, c_mktsegment,
+      |  CAST(count(*) AS BIGINT) AS n_cust,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+      |FROM customer GROUP BY c_mktsegment
+      |UNION ALL
+      |SELECT 'v2' AS era, c_mktsegment,
+      |  CAST(count(*) AS BIGINT) AS n_cust,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+      |FROM sqlow_v2 GROUP BY c_mktsegment""".stripMargin
+
   /** DuckDB mirror of [[qSqlDml]]'s script (see its scaladoc for the
     * MERGE decomposition). */
   def qSqlDmlSql: String =
