@@ -374,8 +374,13 @@ object Analytics {
   // translating x by the bucket start (area is translation-invariant —
   // algebraically cancelled, so the translation only SHRINKS the
   // integers; all widths fit 38 digits for |value| < 10^5, cell rows
-  // < 10^6, neighbor span < 3 years — far beyond the corpus, and a
-  // violated bound shows up as a null score, never a wrong pick).
+  // < 10^6, neighbor span < 3 years — far beyond the corpus. A violated
+  // bound would NULL the overflowing score — and a null on the true
+  // max-area candidate would silently EXCLUDE it from the per-bucket
+  // max/equality-join selection, a wrong pick rather than a failure
+  // (DuckDB's HUGEINT errors instead, breaking parity asymmetrically) —
+  // so the plan ASSERTS no interior row scored null before selecting;
+  // the check rides the already-materialized checkpoint).
   // Selection is SORTLESS (the q_evt_m4 rule): per-bucket max(score),
   // an equality join back, then min_by over the packed (ts, event_id)
   // DECIMAL for deterministic ties. Edge buckets (no prev/next
@@ -421,6 +426,14 @@ object Analytics {
       lit(1000000000000000000L) + col("event_id")
     val scored = j.withColumn("score", score).withColumn("pack", pack)
       .localCheckpoint() // feeds the max, the equality probe, and edges
+    // overflow tripwire (see header comment): an interior row whose exact
+    // integer score overflowed DECIMAL(38,0) nulls out and would silently
+    // lose the argmax — refuse instead of picking wrong
+    val overflowed = scored.filter(col("np").isNotNull
+      && col("nn").isNotNull && col("score").isNull).count()
+    if (overflowed > 0) sys.error(
+      s"qEvtLttb: $overflowed interior rows overflowed the DECIMAL(38,0) " +
+        "triangle score — input magnitudes exceed the documented bounds")
     val smax = scored.filter(col("score").isNotNull)
       .groupBy(col("event_type"), col("h"))
       .agg(max(col("score")).as("smax"))

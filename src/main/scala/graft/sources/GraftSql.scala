@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.GraftShim
 import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression}
+import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.functions._
 
@@ -26,7 +26,8 @@ import org.apache.spark.sql.functions._
   * sources work unmodified.
   *
   * Supported DML surface (anything else raises with this list):
-  *  - `MERGE INTO t USING src ON t.k = src.k` with ordered first-hit
+  *  - `MERGE INTO t USING src ON t.k = src.k [AND t.k2 = src.k2 …]`
+  *    (single or COMPOSITE equality key) with ordered first-hit
   *    clauses: `WHEN MATCHED [AND c] THEN DELETE | UPDATE SET * |
   *    UPDATE SET col = expr, …` and `WHEN NOT MATCHED [AND c] THEN
   *    INSERT * | INSERT (cols) VALUES (…)`. Pure star forms route
@@ -511,6 +512,27 @@ object GraftSql {
     snapFrame(spark, snap)
   }
 
+  /** Parse a MERGE ON clause into its key column list: a single equality
+    * or an AND of equalities, each `t.k = s.k` on the SAME column name —
+    * the composite-key form ((date, id), (tenant, key)) real tables
+    * merge on. Order preserved as written; duplicates refused. */
+  private def mergeOnKeys(cond: Expression,
+      unsupported: String => Nothing): Seq[String] = {
+    def eqCols(e: Expression): Seq[String] = e match {
+      case And(l, r) => eqCols(l) ++ eqCols(r)
+      case EqualTo(l, r) =>
+        val (ln, rn) = (attrName(l), attrName(r))
+        if (ln != rn) unsupported(s"ON keys differ: $ln vs $rn")
+        Seq(ln)
+      case other => unsupported(
+        s"ON must be an equality or AND of equalities, got $other")
+    }
+    val keys = eqCols(cond)
+    if (keys.distinct != keys)
+      unsupported(s"duplicate ON key in ${keys.mkString(", ")}")
+    keys
+  }
+
   private def runMerge(spark: SparkSession, m: MergeIntoTable): DataFrame = {
     // COLUMN-LIST arms (UPDATE SET col = expr / INSERT (cols) VALUES /
     // conditional UPDATE) route to the assembled-post-image path; pure
@@ -518,6 +540,11 @@ object GraftSql {
     val hasColumnList = (m.matchedActions ++ m.notMatchedActions).exists {
       case _: UpdateAction | _: InsertAction => true
       case UpdateStarAction(Some(_)) => true
+      // conditional INSERT * is column-list territory too: the star path
+      // only supports the single unconditional InsertStarAction(None), so
+      // `WHEN NOT MATCHED AND c THEN INSERT *` would be refused there even
+      // though runMergeColumnList handles it correctly
+      case InsertStarAction(Some(_)) => true
       case _ => false
     }
     if (hasColumnList) return runMergeColumnList(spark, m)
@@ -529,13 +556,7 @@ object GraftSql {
         "WHEN NOT MATCHED [AND c] THEN INSERT …")
     if (m.notMatchedBySourceActions.nonEmpty)
       unsupported("WHEN NOT MATCHED BY SOURCE")
-    val key = m.mergeCondition match {
-      case EqualTo(l, r) =>
-        val (ln, rn) = (attrName(l), attrName(r))
-        if (ln != rn) unsupported(s"ON keys differ: $ln vs $rn")
-        ln
-      case other => unsupported(s"ON must be a single equality, got $other")
-    }
+    val keys = mergeOnKeys(m.mergeCondition, unsupported)
     val source0 = GraftShim.ofRows(spark, m.sourceTable)
     // SQL store-assignment coercion: source columns cast to the target
     // schema's types by name (an INT64 literal frame merging into an
@@ -596,8 +617,8 @@ object GraftSql {
       // plain merge degenerates to the pure insert it should be (the
       // anti-join is source-sized; target contributes its key column)
       val src = source.join(
-        t.read().select(col(key)).distinct(), Seq(key), "left_anti")
-      val snap = t.merge(src, key, evolveSchema = m.withSchemaEvolution)
+        t.read().select(keys.map(col): _*).distinct(), keys, "left_anti")
+      val snap = t.mergeKeys(src, keys, evolveSchema = m.withSchemaEvolution)
       refresh(spark, name)
       return snapFrame(spark, snap)
     }
@@ -608,9 +629,9 @@ object GraftSql {
       if (inserts) source
       else if (t.snapshot == 0) source.limit(0)
       // update/delete-only merge: unmatched source rows must not insert
-      else source.join(t.read().select(col(key)).distinct(), Seq(key),
+      else source.join(t.read().select(keys.map(col): _*).distinct(), keys,
         "left_semi")
-    val snap = t.merge(src, key, deleteWhen = deleteWhen,
+    val snap = t.mergeKeys(src, keys, deleteWhen = deleteWhen,
       evolveSchema = m.withSchemaEvolution)
     refresh(spark, name)
     snapFrame(spark, snap)
@@ -658,13 +679,7 @@ object GraftSql {
         "INSERT *) — column-list arms pin the target schema")
     if (m.notMatchedBySourceActions.nonEmpty)
       sys.error("WHEN NOT MATCHED BY SOURCE is not routed")
-    val key = m.mergeCondition match {
-      case EqualTo(l, r) =>
-        val (ln, rn) = (attrName(l), attrName(r))
-        if (ln != rn) sys.error(s"ON keys differ: $ln vs $rn")
-        ln
-      case other => sys.error(s"ON must be a single equality, got $other")
-    }
+    val keys = mergeOnKeys(m.mergeCondition, msg => sys.error(msg))
     // materialize the USING relation ONCE — it feeds the key-range probe,
     // the pre-image join, and the unmatched anti-join (a merge source is
     // batch-sized by contract; re-running an arbitrary subquery per
@@ -721,20 +736,29 @@ object GraftSql {
         val n = attrName(a.key)
         val f = tgtColOf(n).getOrElse(sys.error(s"SET/INSERT column '$n' " +
           "is not a table column"))
-        if (f.equalsIgnoreCase(key) && !sourceOnly) sys.error(
-          s"UPDATE SET on the merge key '$key' — a keyed merge cannot re-key")
+        if (keys.exists(f.equalsIgnoreCase) && !sourceOnly) sys.error(
+          s"UPDATE SET on the merge key '$f' — a keyed merge cannot re-key")
         f -> resolve(a.value, sourceOnly)
       }.toMap
     // renamed sides; the pre-image pair materializes ONCE (it feeds one
     // frame per matched arm) and is source-batch-sized by construction
     val srcR = source.select(srcCols.map(c => bq(c).as(s"__s_$c")): _*)
-    val kb = source.agg(min(bq(key)), max(bq(key))).head()
+    // per-column BETWEEN scoping (one bounds action; AND of pushable
+    // predicates — the Lake.keyRangeScope discipline): a key column whose
+    // batch values are all null contributes no bound
+    val kbAggs = keys.flatMap(k => Seq(min(bq(k)), max(bq(k))))
+    val kb = source.agg(kbAggs.head, kbAggs.tail: _*).head()
+    val kbPreds = keys.zipWithIndex.flatMap { case (k, i) =>
+      if (kb.isNullAt(2 * i)) None
+      else Some(col(k).between(lit(kb.get(2 * i)), lit(kb.get(2 * i + 1))))
+    }
     val tgtScoped =
-      if (kb.isNullAt(0)) tgt.limit(0) // empty/all-null batch
-      else tgt.filter(col(key).between(lit(kb.get(0)), lit(kb.get(1))))
+      if (kbPreds.isEmpty) tgt.limit(0) // empty/all-null batch
+      else tgt.filter(kbPreds.reduce(_ && _))
     val tgtR = tgtScoped.select(
       tgtFields.map(f => col(f.name).as(s"__t_${f.name}")): _*)
-    val onPair = col(s"__s_$key") === col(s"__t_$key")
+    val onPair = keys.map(k => col(s"__s_$k") === col(s"__t_$k"))
+      .reduce(_ && _)
     val pair =
       if (m.matchedActions.isEmpty) srcR.limit(0).join(tgtR.limit(0), onPair)
       else srcR.join(tgtR, onPair, "inner").localCheckpoint()
@@ -768,7 +792,8 @@ object GraftSql {
     }
     val unmatched =
       if (m.notMatchedActions.isEmpty) srcR.limit(0)
-      else srcR.join(tgtR.select(col(s"__t_$key")), onPair, "left_anti")
+      else srcR.join(tgtR.select(keys.map(k => col(s"__t_$k")): _*),
+        onPair, "left_anti")
     var uClaimed: Column = lit(false)
     val insertFrames = m.notMatchedActions.map { act =>
       val (condE, img) = act match {
@@ -794,7 +819,7 @@ object GraftSql {
     // would otherwise re-run the USING subquery and the anti-join —
     // slow, and wrong for a non-deterministic source
     val assembled = frames.reduce(_ unionByName _).localCheckpoint()
-    val snap = t.merge(assembled, key,
+    val snap = t.mergeKeys(assembled, keys,
       deleteWhen = Some(col("__graft_merge_drop")))
     refresh(spark, name)
     snapFrame(spark, snap)
@@ -808,8 +833,11 @@ object GraftSql {
     * own re-pinned view), a COLUMN-LIST MERGE (a target-referencing
     * matched condition + `UPDATE SET col = expr` over pre-image +
     * source + `INSERT (cols) VALUES` null-filling the unlisted
-    * columns), a column-list INSERT, and a final report joining the
-    * current state against `VERSION AS OF 1` (the pre-DML snapshot).
+    * columns), a COMPOSITE-KEY MERGE (`ON … c_custkey AND … c_mktsegment`
+    * — rows sharing a custkey but mismatching the segment must NOT
+    * match, update-only arms), a column-list INSERT, and a final report
+    * joining the current state against `VERSION AS OF 1` (the pre-DML
+    * snapshot).
     * Every effect is pure algebra over `customer`, so DuckDB mirrors
     * the script with its own UPDATE/DELETE/INSERT (DuckDB 1.0 has no
     * MERGE — its effect is the matched-delete / matched-update /
@@ -862,6 +890,17 @@ object GraftSql {
         |    + CAST(bonus AS DECIMAL(12,2)) AS DOUBLE)
         |WHEN NOT MATCHED THEN INSERT (c_custkey, c_name, c_acctbal)
         |  VALUES (b.c_custkey, 'column-listed', bonus);
+        |MERGE INTO sqldml_cust USING (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 2 = 0 THEN c_mktsegment
+        |         ELSE 'NOMATCH' END AS c_mktsegment,
+        |    CAST(10.00 AS DOUBLE) AS adj
+        |  FROM sqldml_cust WHERE c_custkey % 17 = 0
+        |) ck ON sqldml_cust.c_custkey = ck.c_custkey
+        |  AND sqldml_cust.c_mktsegment = ck.c_mktsegment
+        |WHEN MATCHED THEN UPDATE SET c_acctbal =
+        |  CAST(CAST(c_acctbal AS DECIMAL(12,2))
+        |    + CAST(adj AS DECIMAL(12,2)) AS DOUBLE);
         |INSERT INTO sqldml_cust (c_custkey, c_name, c_mktsegment)
         |SELECT c_custkey + 40000000, c_name, c_mktsegment
         |FROM sqldml_cust WHERE c_custkey % 149 = 0;
@@ -1014,6 +1053,17 @@ object GraftSql {
       |INSERT INTO sqldml_cust (c_custkey, c_name, c_acctbal)
       |SELECT c_custkey, 'column-listed', bonus FROM sqldml_b
       |WHERE c_custkey NOT IN (SELECT c_custkey FROM sqldml_cust);
+      |CREATE OR REPLACE TEMP TABLE sqldml_ck AS
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey % 2 = 0 THEN c_mktsegment
+      |         ELSE 'NOMATCH' END AS seg
+      |  FROM sqldml_cust WHERE c_custkey % 17 = 0;
+      |UPDATE sqldml_cust SET c_acctbal =
+      |  CAST(CAST(c_acctbal AS DECIMAL(12,2))
+      |    + CAST(10.00 AS DECIMAL(12,2)) AS DOUBLE)
+      |FROM sqldml_ck ck
+      |WHERE sqldml_cust.c_custkey = ck.c_custkey
+      |  AND sqldml_cust.c_mktsegment = ck.seg;
       |INSERT INTO sqldml_cust (c_custkey, c_name, c_mktsegment)
       |SELECT c_custkey + 40000000, c_name, c_mktsegment
       |FROM sqldml_cust WHERE c_custkey % 149 = 0;

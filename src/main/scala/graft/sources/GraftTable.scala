@@ -102,6 +102,14 @@ final case class GraftTable(spark: SparkSession, ledgerDir: String,
     Lake.mergeInto(spark, ledgerDir, genRoot, source, key, deleteWhen,
       changeFeed, evolveSchema)
 
+  /** [[merge]] on a COMPOSITE key — equality on every column of `keys`
+    * (see Lake.mergeIntoKeys). */
+  def mergeKeys(source: DataFrame, keys: Seq[String],
+      deleteWhen: Option[Column] = None, changeFeed: Boolean = false,
+      evolveSchema: Boolean = false): Long =
+    Lake.mergeIntoKeys(spark, ledgerDir, genRoot, source, keys, deleteWhen,
+      changeFeed, evolveSchema)
+
   /** Change feed after snapshot `s`: insert / update_preimage /
     * update_postimage / delete rows stamped `_commit_snapshot`. */
   def readChanges(s: Long): DataFrame = Lake.readChanges(spark, ledgerDir, s)
@@ -212,6 +220,13 @@ final case class GraftTable(spark: SparkSession, ledgerDir: String,
       changeFeed: Boolean = false): Long =
     Lake.mergeIntoMor(spark, ledgerDir, genRoot, source, key, deleteWhen,
       changeFeed)
+
+  /** [[mergeMor]] on a COMPOSITE key (see Lake.mergeIntoMorKeys). */
+  def mergeMorKeys(source: DataFrame, keys: Seq[String],
+      deleteWhen: Option[Column] = None,
+      changeFeed: Boolean = false): Long =
+    Lake.mergeIntoMorKeys(spark, ledgerDir, genRoot, source, keys,
+      deleteWhen, changeFeed)
 
   /** Streaming CDC upsert sink into this table: each micro-batch of the
     * keyed feed applies as one metadata-sized MOR merge (latest row per

@@ -232,7 +232,7 @@ object Lake {
     * Narrower historical rows (a pre-bloom stats struct, a pre-dv
     * ledger) null-fill by name exactly as the old mergeSchema read did,
     * via parquet's requested-schema clipping. */
-  private lazy val LedgerSchema: org.apache.spark.sql.types.StructType =
+  private[graft] lazy val LedgerSchema: org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType.fromDDL(
       "path string, size bigint, adler32 bigint, snapshot_id bigint, " +
         "ingested_at timestamp, op string, snapshot_op string, " +
@@ -1260,7 +1260,24 @@ object Lake {
       source: DataFrame, key: String,
       deleteWhen: Option[org.apache.spark.sql.Column] = None,
       changeFeed: Boolean = false,
+      evolveSchema: Boolean = false): Long =
+    mergeIntoKeys(spark, ledgerDir, genRoot, source, Seq(key), deleteWhen,
+      changeFeed, evolveSchema)
+
+  /** [[mergeInto]] on a COMPOSITE key — the (date, id) / (tenant, key)
+    * tables every real warehouse has. Identical semantics with the match
+    * defined as equality on EVERY column of `keys`; the blast-radius
+    * discovery scan scopes by the AND of per-column BETWEEN ranges over
+    * the batch (each pushable, so a table clustered by any prefix of the
+    * key still prunes to the batch's file footprint — the
+    * [[keyRangeScope]] argument applied per column). */
+  def mergeIntoKeys(spark: SparkSession, ledgerDir: String, genRoot: String,
+      source: DataFrame, keys: Seq[String],
+      deleteWhen: Option[org.apache.spark.sql.Column] = None,
+      changeFeed: Boolean = false,
       evolveSchema: Boolean = false): Long = {
+    require(keys.nonEmpty, "merge needs at least one key column")
+    require(keys.distinct == keys, s"duplicate merge key in $keys")
     val snap = currentSnapshot(spark, ledgerDir)
     val next = snap + 1
     // reserve BEFORE writing gen-$next data files: a concurrent commit must
@@ -1297,7 +1314,7 @@ object Lake {
       def conform(df: DataFrame): DataFrame = df.select(unionNames.map(n =>
         if (df.columns.contains(n)) col(n)
         else lit(null).cast(dtypeOf(n)).as(n)): _*)
-      val srcKeys = source.select(col(key)).distinct()
+      val srcKeys = source.select(keys.map(col): _*).distinct()
       // the rewrite set: live files containing at least one matched key —
       // bounded by files-with-matches (the merge's blast radius), the only
       // file list a COW merge puts on the driver
@@ -1305,9 +1322,9 @@ object Lake {
       // pushable — manifest stats prune it to the batch's file footprint
       // on a key-clustered table, see keyRangeScope)
       val affectedNorm: Set[String] = target match {
-        case Some(t) => keyRangeScope(t, srcKeys, key)
+        case Some(t) => keyRangeScope(t, srcKeys, keys)
           .withColumn("_file", regexp_replace(input_file_name(), "^file:/+", "/"))
-          .join(srcKeys, Seq(key), "left_semi")
+          .join(srcKeys, keys, "left_semi")
           .select(col("_file")).distinct()
           .collect().map(_.getString(0)).toSet
         case None => Set.empty
@@ -1326,14 +1343,14 @@ object Lake {
       // full scan; shared by the deleteWhen filter and the change feed
       val matchedKeys: Option[DataFrame] =
         if (affectedNorm.nonEmpty)
-          Some(affectedScan.join(srcKeys, Seq(key), "left_semi")
-            .select(col(key)).distinct())
+          Some(affectedScan.join(srcKeys, keys, "left_semi")
+            .select(keys.map(col): _*).distinct())
         else None
       // deleteWhen governs MATCHED source rows only (SQL MERGE semantics)
       val srcLive = (deleteWhen, matchedKeys) match {
         case (Some(c), Some(mk)) =>
           source.join(mk.withColumn("_matched", lit(true)),
-              Seq(key), "left")
+              keys, "left")
             .filter(!(coalesce(col("_matched"), lit(false))
               && coalesce(c, lit(false))))
             .drop("_matched")
@@ -1360,16 +1377,16 @@ object Lake {
           conform(df).withColumn("_change_type", lit(t))
         val changes = matchedKeys match {
           case Some(mk) =>
-            val liveKeys = srcLive.select(col(key)).distinct()
-            val updKeys = mk.join(liveKeys, Seq(key), "left_semi")
-            val delKeys = mk.join(liveKeys, Seq(key), "left_anti")
-            tag(affectedScan.join(delKeys, Seq(key), "left_semi"),
+            val liveKeys = srcLive.select(keys.map(col): _*).distinct()
+            val updKeys = mk.join(liveKeys, keys, "left_semi")
+            val delKeys = mk.join(liveKeys, keys, "left_anti")
+            tag(affectedScan.join(delKeys, keys, "left_semi"),
                 "delete")
-              .unionByName(tag(affectedScan.join(updKeys, Seq(key),
+              .unionByName(tag(affectedScan.join(updKeys, keys,
                 "left_semi"), "update_preimage"))
-              .unionByName(tag(srcLive.join(mk, Seq(key), "left_semi"),
+              .unionByName(tag(srcLive.join(mk, keys, "left_semi"),
                 "update_postimage"))
-              .unionByName(tag(srcLive.join(mk, Seq(key), "left_anti"),
+              .unionByName(tag(srcLive.join(mk, keys, "left_anti"),
                 "insert"))
           case None => tag(srcLive, "insert")
         }
@@ -1383,7 +1400,7 @@ object Lake {
         // rows the merge deletes/replaces live ONLY in affected files, so the
         // carry rewrite scans just those files
         conform(affectedScan
-            .join(srcKeys, Seq(key), "left_anti"))
+            .join(srcKeys, keys, "left_anti"))
           .write.mode("overwrite").parquet(s"$genDir/carry")
       }
       delta.write.mode("overwrite").parquet(s"$genDir/delta")
@@ -1717,10 +1734,19 @@ object Lake {
     * gracefully to the full scan it needed anyway). One tiny driver
     * action on the already-distinct key set. */
   private def keyRangeScope(scan: DataFrame, srcKeys: DataFrame,
-      key: String): DataFrame = {
-    val b = srcKeys.agg(min(col(key)), max(col(key))).head()
-    if (b.isNullAt(0)) scan // empty/all-null batch: nothing can match
-    else scan.filter(col(key).between(lit(b.get(0)), lit(b.get(1))))
+      keys: Seq[String]): DataFrame = {
+    // ONE driver action carries every column's bounds; composite keys AND
+    // the per-column BETWEENs (each independently sound — a row outside
+    // ANY column's range cannot equal a batch row on ALL columns, and
+    // each stays a bare-column pushable predicate)
+    val aggs = keys.flatMap(k => Seq(min(col(k)), max(col(k))))
+    val b = srcKeys.agg(aggs.head, aggs.tail: _*).head()
+    val preds = keys.zipWithIndex.flatMap { case (k, i) =>
+      if (b.isNullAt(2 * i)) None // all-null column: no sound bound
+      else Some(col(k).between(lit(b.get(2 * i)), lit(b.get(2 * i + 1))))
+    }
+    if (preds.isEmpty) scan // empty/all-null batch: semi-join empties it
+    else scan.filter(preds.reduce(_ && _))
   }
 
   /** The dv-typed ledger action rows committed at or before `snapshot`
@@ -1778,15 +1804,17 @@ object Lake {
   private val dvPresence =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Boolean)]()
 
-  private def ledgerFingerprint(ledgerDir: String): String = {
-    val root = new java.io.File(ledgerDir)
-    val parts = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-      .map(f => f.getName + ":" + f.length)
-    val ckpts = Option(new java.io.File(root, "_ckpt").listFiles())
-      .getOrElse(Array.empty).filter(_.isDirectory).map(_.getName)
-    (parts ++ ckpts).sorted.mkString(",")
-  }
+  /** Fingerprint of the file listing a ledger DataFrame ACTUALLY reads
+    * (`inputFiles`, normalized + sorted) — NOT a fresh directory listing.
+    * Sampling the directory independently is a TOCTOU hazard: a
+    * concurrent commit landing between the caller's [[readLedger]] and
+    * the probe would cache the PRE-commit probe answer under the
+    * POST-commit directory state. Ledger files are immutable once
+    * visible (per-commit appends get unique names; checkpoints rename
+    * atomically into `_ckpt/` under new names), so the name set the scan
+    * resolved identifies its row set exactly. */
+  private def ledgerFingerprint(ledger: DataFrame): String =
+    ledger.inputFiles.map(normPath).sorted.mkString(",")
 
   /** The (dpath, pos) rows of every vector ACTIVE at `snapshot`:
     * committed by it (`dv_snap <= snapshot`) and not superseded by a
@@ -1796,7 +1824,7 @@ object Lake {
     * ledger fingerprint — see [[dvPresence]]). */
   private def activeDvRows(spark: SparkSession, ledgerDir: String,
       ledger: DataFrame, snapshot: Long): Option[DataFrame] = {
-    val fp = ledgerFingerprint(ledgerDir)
+    val fp = ledgerFingerprint(ledger)
     val cached = dvPresence.get(ledgerDir)
     val hasAnyDv =
       if (cached != null && cached._1 == fp) cached._2
@@ -1894,40 +1922,55 @@ object Lake {
     val snap = currentSnapshot(spark, ledgerDir)
     val liveActs = readLedger(spark, ledgerDir)
       .map(l => liveActionsAt(l, snap)).filterNot(_.isEmpty)
-    if (liveActs.isEmpty) return appendRows(spark, ledgerDir, genRoot, rows)
+    // an empty table may only delegate to the plain append when NO change
+    // feed is requested: appendRows records no cdc rows, and a feed
+    // consumer (MomentsDelta/TextIndexDelta maintenance) would silently
+    // miss every inserted row of the overwrite — an overwrite's inserts
+    // must land insert-images regardless of prior emptiness (the Delta
+    // CDF contract). The empty+changeFeed path below commits adds + cdc
+    // with no removes in the same one-snapshot shape.
+    if (liveActs.isEmpty && !changeFeed)
+      return appendRows(spark, ledgerDir, genRoot, rows)
     enforceConstraints(spark, ledgerDir, rows)
     val newEmpty = rows.isEmpty
+    // truncating an already-empty table: nothing to remove, nothing to
+    // add, no change rows — a genuine no-op at the current snapshot
+    if (liveActs.isEmpty && newEmpty) return snap
     val next = snap + 1
     reserving(spark, ledgerDir, next) {
       val genDir = s"$genRoot/gen-$next"
       if (!newEmpty) rows.write.mode("overwrite").parquet(s"$genDir/delta")
       if (changeFeed) {
-        val oldRows = applyDvsAt(spark, ledgerDir, snap,
-            scanActions(spark, ledgerDir, liveActs.get, atSnapshot = snap))
-          .withColumn("_change_type", lit("delete"))
         val inserted =
-          if (newEmpty) oldRows.limit(0)
-          else spark.read.parquet(s"$genDir/delta")
-            .withColumn("_change_type", lit("insert"))
-        oldRows.unionByName(inserted)
+          if (newEmpty) None
+          else Some(spark.read.parquet(s"$genDir/delta")
+            .withColumn("_change_type", lit("insert")))
+        val oldRows = liveActs.map(acts =>
+          applyDvsAt(spark, ledgerDir, snap,
+              scanActions(spark, ledgerDir, acts, atSnapshot = snap))
+            .withColumn("_change_type", lit("delete")))
+        // liveActs.isEmpty && newEmpty returned above, so at least one side
+        // is present here
+        (oldRows ++ inserted).reduce(_.unionByName(_))
           .withColumn("_commit_snapshot", lit(next))
           .write.mode("overwrite").parquet(s"$genDir/changes")
       }
-      val (oStatsCols, oBloomCols) = liveStatsContract(liveActs.get)
-      val removes = liveActs.get.select(col("path"))
+      val (oStatsCols, oBloomCols) =
+        liveActs.map(liveStatsContract).getOrElse((Nil, Nil))
+      val removes = liveActs.map(_.select(col("path"))
         .withColumn("size", lit(null).cast("long"))
         .withColumn("adler32", lit(null).cast("long"))
         .withColumn("op", lit("remove"))
         .withColumn("snapshot_op", lit("overwrite"))
-        .withColumn("stats", lit(null).cast(StatsType))
-      val withAdds =
-        if (newEmpty) removes
-        else withLedgerStats(
+        .withColumn("stats", lit(null).cast(StatsType)))
+      val adds =
+        if (newEmpty) None
+        else Some(withLedgerStats(
           addsWithStats(spark, fileAdds(spark, s"$genDir/delta"),
               s"$genDir/delta", oStatsCols, oBloomCols)
             .withColumn("op", lit("add"))
-            .withColumn("snapshot_op", lit("merge")))
-          .unionByName(removes)
+            .withColumn("snapshot_op", lit("merge"))))
+      val withAdds = (adds ++ removes).reduce(_.unionByName(_))
       val actions =
         if (changeFeed) withAdds.unionByName(withLedgerStats(
           fileAdds(spark, s"$genDir/changes")
@@ -2115,7 +2158,20 @@ object Lake {
       source: DataFrame, key: String,
       deleteWhen: Option[org.apache.spark.sql.Column] = None,
       changeFeed: Boolean = false,
+      genSuffix: Option[String] = None): Long =
+    mergeIntoMorKeys(spark, ledgerDir, genRoot, source, Seq(key), deleteWhen,
+      changeFeed, genSuffix)
+
+  /** [[mergeIntoMor]] on a COMPOSITE key — equality on every column of
+    * `keys`, per-column BETWEEN range scoping on the match scan (the
+    * [[mergeIntoKeys]] discipline on the MOR write path). */
+  def mergeIntoMorKeys(spark: SparkSession, ledgerDir: String,
+      genRoot: String, source: DataFrame, keys: Seq[String],
+      deleteWhen: Option[org.apache.spark.sql.Column] = None,
+      changeFeed: Boolean = false,
       genSuffix: Option[String] = None): Long = {
+    require(keys.nonEmpty, "merge needs at least one key column")
+    require(keys.distinct == keys, s"duplicate merge key in $keys")
     val snap = currentSnapshot(spark, ledgerDir)
     if (source.isEmpty) return snap // empty source: no snapshot, no marker
     val next = snap + 1
@@ -2131,7 +2187,7 @@ object Lake {
     def conform(df: DataFrame): DataFrame = df.select(baseCols.map(n =>
       if (df.columns.contains(n)) col(n)
       else lit(null).cast(dtypeOf(n)).as(n)): _*)
-    val srcKeys = source.select(col(key)).distinct()
+    val srcKeys = source.select(keys.map(col): _*).distinct()
     // DV-applied match scan WITH row identity: the (file, position) rows
     // this merge supersedes. The NARROW identity projection (key, file,
     // pos — match-sized, exactly what the sidecar holds) materializes
@@ -2145,20 +2201,20 @@ object Lake {
     // of the whole table (see keyRangeScope).
     val matched: Option[DataFrame] = index.map { idx =>
       applyDvsAt(spark, ledgerDir, snap,
-          keyRangeScope(tableScan(spark, ledgerDir, idx), srcKeys, key),
+          keyRangeScope(tableScan(spark, ledgerDir, idx), srcKeys, keys),
           keepPos = true)
-        .join(srcKeys, Seq(key), "left_semi")
+        .join(srcKeys, keys, "left_semi")
     }
     val matchedIds: Option[DataFrame] = matched.map(
-      _.select(col(key), col("__graft_fp"), col("__graft_pos"))
+      _.select(keys.map(col) ++ Seq(col("__graft_fp"), col("__graft_pos")): _*)
         .localCheckpoint())
     val anyMatches = matchedIds.exists(!_.isEmpty)
     val matchedKeys: Option[DataFrame] =
-      if (anyMatches) matchedIds.map(_.select(col(key)).distinct()) else None
+      if (anyMatches) matchedIds.map(_.select(keys.map(col): _*).distinct()) else None
     // deleteWhen governs MATCHED source rows only (SQL MERGE semantics)
     val srcLive = (deleteWhen, matchedKeys) match {
       case (Some(c), Some(mk)) =>
-        source.join(mk.withColumn("_matched", lit(true)), Seq(key), "left")
+        source.join(mk.withColumn("_matched", lit(true)), keys, "left")
           .filter(!(coalesce(col("_matched"), lit(false))
             && coalesce(c, lit(false))))
           .drop("_matched")
@@ -2179,16 +2235,16 @@ object Lake {
           conform(df).withColumn("_change_type", lit(t))
         val changes = matchedKeys match {
           case Some(mk) =>
-            val liveKeys = srcLive.select(col(key)).distinct()
-            val updKeys = mk.join(liveKeys, Seq(key), "left_semi")
-            val delKeys = mk.join(liveKeys, Seq(key), "left_anti")
+            val liveKeys = srcLive.select(keys.map(col): _*).distinct()
+            val updKeys = mk.join(liveKeys, keys, "left_semi")
+            val delKeys = mk.join(liveKeys, keys, "left_anti")
             val pre = matched.get.drop("__graft_fp", "__graft_pos")
-            tag(pre.join(delKeys, Seq(key), "left_semi"), "delete")
-              .unionByName(tag(pre.join(updKeys, Seq(key), "left_semi"),
+            tag(pre.join(delKeys, keys, "left_semi"), "delete")
+              .unionByName(tag(pre.join(updKeys, keys, "left_semi"),
                 "update_preimage"))
-              .unionByName(tag(srcLive.join(mk, Seq(key), "left_semi"),
+              .unionByName(tag(srcLive.join(mk, keys, "left_semi"),
                 "update_postimage"))
-              .unionByName(tag(srcLive.join(mk, Seq(key), "left_anti"),
+              .unionByName(tag(srcLive.join(mk, keys, "left_anti"),
                 "insert"))
           case None => tag(srcLive, "insert")
         }

@@ -280,6 +280,73 @@ class GraftSqlSpec extends GraftSpec {
     GraftSql.unbind(spark, "cl_t")
   }
 
+  test("composite-key MERGE: star arms (update/delete/insert) match on " +
+      "the AND of equalities, key-order independent") {
+    val sp = spark; import sp.implicits._
+    val tmp = Files.createTempDirectory("graft_sql_ck").toString
+    val tbl = GraftTable(spark, s"$tmp/ledger", s"$tmp/gen")
+    // composite key (d, id): same id under different d must NOT match
+    Seq(("d1", 1L, 10.0), ("d1", 2L, 20.0), ("d2", 1L, 30.0),
+        ("d2", 3L, 40.0))
+      .toDF("d", "id", "v").write.parquet(s"$tmp/landing")
+    tbl.ingest(s"$tmp/landing")
+    tbl.bindSql("ck_t")
+    Seq(("d1", 1L, 11.0),  // matched -> update
+        ("d2", 3L, -1.0),  // matched -> delete (v < 0 arm)
+        ("d1", 3L, 33.0),  // id 3 exists only under d2 -> INSERT
+        ("d3", 9L, 99.0))  // new -> insert
+      .toDF("d", "id", "v").createOrReplaceTempView("ck_src")
+    // key order in ON deliberately REVERSED vs column order
+    tbl.sql("""MERGE INTO ck_t USING ck_src s
+      |ON ck_t.id = s.id AND ck_t.d = s.d
+      |WHEN MATCHED AND s.v < 0 THEN DELETE
+      |WHEN MATCHED THEN UPDATE SET *
+      |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = tbl.read().orderBy(col("d"), col("id")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq(("d1", 1L, 11.0), ("d1", 2L, 20.0), ("d1", 3L, 33.0),
+      ("d2", 1L, 30.0), ("d3", 9L, 99.0)), s"got $got")
+  }
+
+  test("composite-key COLUMN-LIST merge: SET over pre-image + source, " +
+      "insert arms null-fill, merge-key reassignment refused") {
+    val sp = spark; import sp.implicits._
+    val tmp = Files.createTempDirectory("graft_sql_ckcl").toString
+    val tbl = GraftTable(spark, s"$tmp/ledger", s"$tmp/gen")
+    Seq(("d1", 1L, 10.0, "a"), ("d1", 2L, 20.0, "b"), ("d2", 1L, 30.0, "c"))
+      .toDF("d", "id", "v", "tag").write.parquet(s"$tmp/landing")
+    tbl.ingest(s"$tmp/landing")
+    tbl.bindSql("ckcl_t")
+    Seq(("d1", 1L, 5.0), ("d2", 1L, 7.0), ("d2", 9L, 90.0))
+      .toDF("d", "id", "amt").createOrReplaceTempView("ckcl_src")
+    tbl.sql("""MERGE INTO ckcl_t USING ckcl_src s
+      |ON ckcl_t.d = s.d AND ckcl_t.id = s.id
+      |WHEN MATCHED AND ckcl_t.v >= 30 THEN UPDATE SET v = v + amt * 2
+      |WHEN MATCHED THEN UPDATE SET v = v + amt
+      |WHEN NOT MATCHED THEN INSERT (d, id, v) VALUES (s.d, s.id, amt)
+      |""".stripMargin)
+    val got = tbl.read().orderBy(col("d"), col("id")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        Option(r.getString(3)))).toSeq
+    assert(got == Seq(("d1", 1L, 15.0, Some("a")),
+      ("d1", 2L, 20.0, Some("b")), ("d2", 1L, 44.0, Some("c")),
+      ("d2", 9L, 90.0, None)), s"got $got")
+    // re-keying ANY column of the composite key is refused
+    val e = intercept[RuntimeException] {
+      tbl.sql("""MERGE INTO ckcl_t USING ckcl_src s
+        |ON ckcl_t.d = s.d AND ckcl_t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET id = 0""".stripMargin)
+    }
+    assert(e.getMessage.contains("cannot re-key"), e.getMessage)
+    // duplicate ON key refused
+    val e2 = intercept[RuntimeException] {
+      tbl.sql("""MERGE INTO ckcl_t USING ckcl_src s
+        |ON ckcl_t.d = s.d AND ckcl_t.d = s.d
+        |WHEN MATCHED THEN UPDATE SET v = 0""".stripMargin)
+    }
+    assert(e2.getMessage.contains("duplicate ON key"), e2.getMessage)
+  }
+
   test("unsupported DML forms are refused with the supported list; " +
       "unbound tables are named") {
     val (t, _) = fixture("nat_x")
