@@ -43,7 +43,14 @@ import org.apache.spark.sql.functions._
   *    columns; partitioned forms refused); `INSERT OVERWRITE t
   *    SELECT …` → [[Lake.overwriteWith]] (ONE atomic replace snapshot —
   *    never a DELETE+INSERT window); `TRUNCATE TABLE t` → the empty
-  *    overwrite (recorded schema keeps the table readable/insertable)
+  *    overwrite (recorded schema keeps the table readable/insertable);
+  *    `INSERT OVERWRITE t WHERE p SELECT …` (also the Delta spelling
+  *    `INSERT INTO t REPLACE WHERE p SELECT …`) → [[Lake.overwriteWhere]]
+  *    (scoped replace bounded by the predicate's file footprint)
+  *  - `ALTER TABLE t ADD COLUMN[S] (c TYPE, …)` → [[Lake.addColumns]]
+  *    (explicit widening evolution: a KB-scale schema-recording commit,
+  *    zero data files touched; pre-evolution rows read null — time
+  *    travel below the evolution keeps the old shape)
   *  - `ALTER TABLE t ADD CONSTRAINT name CHECK (expr)` /
   *    `ALTER TABLE t DROP CONSTRAINT name` → the persisted CHECK
   *    constraint surface ([[Lake.addConstraint]]); `DESCRIBE HISTORY t`
@@ -57,6 +64,9 @@ import org.apache.spark.sql.functions._
   *    appear — rewritten to views over the ledger-derived frames (KB
   *    metadata, zero data-file reads). The suffixes are reserved on
   *    bound names (Iceberg's own shadowing caveat).
+  *  - CDC AS SQL: `table_changes('t', since)` (the Delta function) and
+  *    the full-feed relation `t.changes` → views over
+  *    [[Lake.readChanges]] — a downstream mirror folds purely in SQL.
   *  - `OPTIMIZE t [WHERE c] [ZORDER]` → scoped compaction
   *    ([[GraftTable.compact]]; WHERE rewrites only the predicate's file
   *    footprint, ZORDER clusters the rewrite on the Morton interleave);
@@ -152,6 +162,10 @@ object GraftSql {
     """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*$""".r
   private val DropConstraintRe =
     """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*$""".r
+  private val AddColumnsRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMNS?\s*\((.+)\)\s*$""".r
+  private val AddColumnBareRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(\w+\s+[^,()]+)\s*$""".r
   private val DescribeHistoryRe =
     """(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+(\w+)\s*$""".r
   private val OptimizeRe =
@@ -166,6 +180,13 @@ object GraftSql {
     """(?is)^\s*DESC(?:RIBE)?\s+DETAIL\s+(\w+)\s*$""".r
   private val TruncateRe =
     """(?is)^\s*TRUNCATE\s+TABLE\s+(\w+)\s*$""".r
+  // scoped overwrite, both spellings: `INSERT OVERWRITE t WHERE p SELECT…`
+  // and the Delta form `INSERT INTO t REPLACE WHERE p SELECT…`; the
+  // predicate runs to the first top-level SELECT (subquery predicates are
+  // not routed — use the API form for those)
+  private val ReplaceWhereRe =
+    ("""(?is)^\s*INSERT\s+(?:OVERWRITE\s+(\w+)\s+WHERE""" +
+      """|INTO\s+(\w+)\s+REPLACE\s+WHERE)\s+(.+?)\s*(SELECT\b.+)$""").r
 
   /** Default OPTIMIZE bin-pack target (rows per rewritten file). */
   val OptimizeTargetRows = 1000000L
@@ -188,6 +209,18 @@ object GraftSql {
       val dropped = lookupName(spark, name).dropConstraint(cname)
       Seq((cname, if (dropped) "dropped" else "absent"))
         .toDF("constraint", "status")
+    case AddColumnsRe(name, colsDdl) =>
+      // explicit widening evolution: a KB-scale schema-recording commit
+      // (zero data files touched); old rows read null in the new columns
+      val t = lookupName(spark, name)
+      val s2 = t.addColumns(colsDdl)
+      refresh(spark, name)
+      snapFrame(spark, s2)
+    case AddColumnBareRe(name, colDdl) =>
+      val t = lookupName(spark, name)
+      val s2 = t.addColumns(colDdl)
+      refresh(spark, name)
+      snapFrame(spark, s2)
     case DescribeHistoryRe(name) => lookupName(spark, name).history()
     case RestoreRe(name, snap) =>
       // the Delta verb: roll the table back to a prior snapshot as a NEW
@@ -195,6 +228,23 @@ object GraftSql {
       // rows by the winning-add rule)
       val t = lookupName(spark, name)
       val s2 = t.restore(snap.toLong)
+      refresh(spark, name)
+      snapFrame(spark, s2)
+    case ReplaceWhereRe(n1, n2, predText, query) =>
+      // scoped overwrite: replace exactly the predicate's region with the
+      // SELECT's rows (one snapshot; footprint-bounded — see
+      // Lake.overwriteWhere). Store-assignment coercion by position, the
+      // INSERT discipline; checkpointed once for the multi-consumer op.
+      val name = if (n1 != null) n1 else n2
+      val t = lookupName(spark, name)
+      val rows0 = spark.sql(
+        rewriteMetaTables(spark, rewriteTimeTravel(spark, query)))
+      val tgt = t.read().schema
+      require(rows0.columns.length == tgt.length,
+        s"INSERT arity ${rows0.columns.length} != table arity ${tgt.length}")
+      val rows = rows0.select(rows0.columns.zip(tgt.fields).map {
+        case (c, f) => bq(c).cast(f.dataType).as(f.name) }: _*)
+      val s2 = t.overwriteWhere(expr(predText), rows.localCheckpoint())
       refresh(spark, name)
       snapFrame(spark, s2)
     case TruncateRe(name) =>
@@ -292,9 +342,33 @@ object GraftSql {
     * table → a view over the ledger-derived frame (Iceberg's metadata
     * tables; textual rewrite like time travel — the suffixes are
     * reserved on bound names). KB-scale ledger reads, never data. */
+  /** CDC as SQL — `table_changes('t', since)` (the Delta function form)
+    * anywhere a relation can appear, rewritten to a view over
+    * [[GraftTable.readChanges]] (typed `_change_type` +
+    * `_commit_snapshot` rows; KB metadata resolves the file set, the
+    * cdc files themselves are blast-radius-sized). Runs over the RAW
+    * statement because the table name sits INSIDE a string literal —
+    * matches STARTING inside a quoted run are data and left alone (the
+    * TIMESTAMP AS OF discipline). */
+  private def rewriteTableChanges(spark: SparkSession, stmt: String): String = {
+    val re = """(?i)\btable_changes\s*\(\s*'(\w+)'\s*,\s*(\d+)\s*\)""".r
+    re.replaceAllIn(stmt, m => {
+      val name = m.group(1)
+      val t = registry.get((spark, name))
+      if (t == null || insideQuote(stmt, m.start))
+        java.util.regex.Matcher.quoteReplacement(m.matched)
+      else {
+        val since = m.group(2).toLong
+        val view = s"${name}__ch$since"
+        t.readChanges(since).createOrReplaceTempView(view)
+        view
+      }
+    })
+  }
+
   private def rewriteMetaTables(spark: SparkSession, stmt: String): String =
-    outsideQuotes(stmt) { seg =>
-    val meta = """(?i)\b(\w+)\.(files|history|tags|constraints)\b""".r
+    outsideQuotes(rewriteTableChanges(spark, stmt)) { seg =>
+    val meta = """(?i)\b(\w+)\.(files|history|tags|constraints|changes)\b""".r
     meta.replaceAllIn(seg, m => {
       val (name, kind) = (m.group(1), m.group(2).toLowerCase)
       val t = registry.get((spark, name))
@@ -306,6 +380,9 @@ object GraftSql {
           case "files" => t.files()
           case "history" => t.history()
           case "tags" => t.tags().toDF("tag", "snapshot_id")
+          // the FULL feed (since table creation) — the bare-relation
+          // convenience; cursor-disciplined consumers use table_changes
+          case "changes" => t.readChanges(0)
           case _ => t.constraints().toDF("constraint", "expression")
         }
         df.createOrReplaceTempView(view)

@@ -102,6 +102,14 @@ final case class GraftTable(spark: SparkSession, ledgerDir: String,
     Lake.mergeInto(spark, ledgerDir, genRoot, source, key, deleteWhen,
       changeFeed, evolveSchema)
 
+  /** Explicit widening schema evolution: append `colsDdl` (e.g.
+    * `"note STRING, score DOUBLE"`) to the table schema as a KB-scale
+    * metadata commit — zero data files touched; pre-evolution rows read
+    * null in the new columns (see Lake.addColumns). */
+  def addColumns(colsDdl: String): Long =
+    Lake.addColumns(spark, ledgerDir,
+      org.apache.spark.sql.types.StructType.fromDDL(colsDdl))
+
   /** [[merge]] on a COMPOSITE key — equality on every column of `keys`
     * (see Lake.mergeIntoKeys). */
   def mergeKeys(source: DataFrame, keys: Seq[String],
@@ -170,6 +178,14 @@ final case class GraftTable(spark: SparkSession, ledgerDir: String,
 
   /** Atomic whole-table overwrite (the INSERT OVERWRITE / TRUNCATE leg —
     * one snapshot replaces every live file; see Lake.overwriteWith). */
+  /** SCOPED overwrite (Delta replaceWhere): atomically replace exactly
+    * the rows matching `pred` with `rows` — cost bounded by the
+    * predicate's file footprint, survivors rewrite-carried; every
+    * incoming row must satisfy `pred` (see Lake.overwriteWhere). */
+  def overwriteWhere(pred: Column, rows: DataFrame,
+      changeFeed: Boolean = false): Long =
+    Lake.overwriteWhere(spark, ledgerDir, genRoot, pred, rows, changeFeed)
+
   def overwrite(rows: DataFrame, changeFeed: Boolean = false): Long =
     Lake.overwriteWith(spark, ledgerDir, genRoot, rows, changeFeed)
 

@@ -1983,6 +1983,164 @@ object Lake {
     }
   }
 
+  /** SCOPED OVERWRITE — the Delta `replaceWhere` / `INSERT OVERWRITE …
+    * WHERE` verb, the most common production overwrite (reload one day of
+    * a date-partitioned fact without touching the rest): atomically
+    * replace exactly the rows matching `pred` with `rows`, as ONE
+    * snapshot. Cost is bounded by the PREDICATE'S FILE FOOTPRINT, not the
+    * table: the match scan pushes `pred` through the manifest
+    * (stats/bloom skipping prunes non-candidate files before any read),
+    * only files actually containing a matching row are removed, and their
+    * surviving non-matching rows are rewrite-carried (the COW discipline
+    * — never lost, never a refusal). Files wholly outside the predicate
+    * are neither read nor written.
+    *
+    * CONTRACT (Delta's replaceWhere rule): every incoming row must
+    * satisfy `pred` — a row outside the replaced region would make the
+    * op not an overwrite OF THAT REGION; violating batches are refused
+    * BEFORE anything lands. CHECK constraints gate `rows` the same way.
+    * Empty `rows` = a scoped delete (pure removes+carry). Ledger shape:
+    * carry adds land snapshot_op="replace" (incremental consumers skip
+    * them), delta adds "merge" (consumers see the new rows exactly
+    * once), removes "overwrite" (history() shows the verb). Opt-in
+    * change feed records delete pre-images for every replaced row plus
+    * insert images for `rows` — cost bounded by the region, like
+    * everything else here. Returns the new snapshot (current one when
+    * the region is empty and `rows` is too). */
+  def overwriteWhere(spark: SparkSession, ledgerDir: String, genRoot: String,
+      pred: org.apache.spark.sql.Column, rows: DataFrame,
+      changeFeed: Boolean = false): Long = {
+    val snap = currentSnapshot(spark, ledgerDir)
+    val newEmpty = rows.isEmpty
+    // the replaceWhere contract, checked read-only before anything lands
+    if (!newEmpty) {
+      val astray = rows.filter(!coalesce(pred, lit(false))).count()
+      require(astray == 0, s"replaceWhere: $astray incoming rows do not " +
+        "satisfy the predicate — they lie outside the replaced region")
+      enforceConstraints(spark, ledgerDir, rows)
+    }
+    val liveActs = readLedger(spark, ledgerDir)
+      .map(l => liveActionsAt(l, snap).localCheckpoint())
+    val index = liveActs.map(new LedgerFileIndex(_)).filterNot(_.isEmpty)
+    if (index.isEmpty) {
+      // empty table: the region is trivially empty — a pure append
+      return if (newEmpty) snap
+        else appendRows(spark, ledgerDir, genRoot, rows)
+    }
+    val target = tableScan(spark, ledgerDir, index.get, snap)
+    val cols = target.columns.map(col)
+    // predicate pushed straight at the manifest-pruned scan: only files
+    // whose stats admit a match are read at all, only files actually
+    // holding a match enter the blast radius
+    val affectedNorm = target
+      .withColumn("_file", regexp_replace(input_file_name(), "^file:/+", "/"))
+      .filter(coalesce(pred, lit(false)))
+      .select(col("_file")).distinct()
+      .collect().map(_.getString(0)).toSet
+    if (affectedNorm.isEmpty && newEmpty) return snap
+    val next = snap + 1
+    reserving(spark, ledgerDir, next) {
+      val genDir = s"$genRoot/gen-$next"
+      val affectedActs = liveActs.get.filter(
+        regexp_replace(col("path"), "^file:/+", "/")
+          .isin(affectedNorm.toSeq: _*))
+      // DV-applied: MOR-deleted rows neither resurrect into the carry
+      // nor surface as change-feed pre-images
+      def affectedScan: DataFrame = applyDvsAt(spark, ledgerDir, snap,
+        scanActions(spark, ledgerDir, affectedActs, atSnapshot = snap))
+      if (affectedNorm.nonEmpty)
+        affectedScan.filter(!coalesce(pred, lit(false)))
+          .select(cols: _*)
+          .write.mode("overwrite").parquet(s"$genDir/carry")
+      if (!newEmpty)
+        rows.write.mode("overwrite").parquet(s"$genDir/delta")
+      if (changeFeed) {
+        val deleted =
+          if (affectedNorm.nonEmpty)
+            affectedScan.filter(coalesce(pred, lit(false)))
+              .select(cols: _*)
+              .withColumn("_change_type", lit("delete"))
+          else target.limit(0).select(cols: _*)
+            .withColumn("_change_type", lit("delete"))
+        val inserted =
+          if (newEmpty) deleted.limit(0)
+          else spark.read.parquet(s"$genDir/delta")
+            .withColumn("_change_type", lit("insert"))
+        deleted.unionByName(inserted)
+          .withColumn("_commit_snapshot", lit(next))
+          .write.mode("overwrite").parquet(s"$genDir/changes")
+      }
+      val (oStatsCols, oBloomCols) = liveStatsContract(liveActs.get)
+      val adds = addsTagged(spark,
+        (if (affectedNorm.nonEmpty)
+          Seq((s"$genDir/carry", "add", "replace")) else Nil) ++
+          (if (!newEmpty) Seq((s"$genDir/delta", "add", "merge")) else Nil) ++
+          (if (changeFeed) Seq((s"$genDir/changes", "cdc", "merge"))
+           else Nil),
+        oStatsCols, oBloomCols)
+      val actions =
+        if (affectedNorm.nonEmpty)
+          adds.unionByName(affectedActs.select(col("path"))
+            .withColumn("size", lit(null).cast("long"))
+            .withColumn("adler32", lit(null).cast("long"))
+            .withColumn("op", lit("remove"))
+            .withColumn("snapshot_op", lit("overwrite"))
+            .withColumn("stats", lit(null).cast(StatsType)))
+        else adds
+      appendSnapshot(spark, ledgerDir, next, actions, preReserved = true)
+      next
+    }
+  }
+
+  /** ALTER TABLE … ADD COLUMN(S) — explicit widening schema evolution as
+    * a KB-SCALE METADATA COMMIT (the Delta/Iceberg `ADD COLUMNS` DDL):
+    * record the widened schema at a new snapshot and land ONE inert
+    * op="schema" ledger row pointing at the recording — ZERO data files
+    * are read or written at any table size. The read path already does
+    * the rest: reads at/above the evolution plan with the new recorded
+    * schema and null-fill pre-evolution files (the `MERGE WITH SCHEMA
+    * EVOLUTION` machinery); time travel below it resolves the prior
+    * recording and keeps the old shape. The `_evolved` marker keeps
+    * legacy no-recording fallback paths on merged-footer inference. New
+    * columns append AT THE END (the only position parquet evolution
+    * serves without rewrites). Names clashing with existing columns
+    * (case-insensitive, the resolver's rule) are refused. Returns the
+    * evolution's snapshot id. */
+  def addColumns(spark: SparkSession, ledgerDir: String,
+      cols: org.apache.spark.sql.types.StructType): Long = {
+    require(cols.nonEmpty, "ADD COLUMNS with no columns")
+    val snap = currentSnapshot(spark, ledgerDir)
+    require(snap > 0,
+      "ALTER TABLE ADD COLUMNS on a table with no snapshots — ingest or " +
+        "CTAS first (the schema to widen comes from the table)")
+    val cur = recordedSchemaAt(ledgerDir, snap)
+      .getOrElse(readAt(spark, ledgerDir, snap).schema)
+    val clash = cols.fieldNames.filter(n =>
+      cur.fieldNames.exists(_.equalsIgnoreCase(n)))
+    require(clash.isEmpty,
+      s"column(s) already exist: ${clash.mkString(", ")}")
+    val widened =
+      org.apache.spark.sql.types.StructType(cur.fields ++ cols.fields)
+    val next = snap + 1
+    reserving(spark, ledgerDir, next) {
+      new java.io.File(s"$ledgerDir/_evolved").createNewFile()
+      // recording BEFORE the row lands (the mergeInto crash discipline:
+      // an unlanded recording is swept; a landed row without its
+      // recording would serve the old schema silently)
+      recordSchema(ledgerDir, next, widened)
+      // one inert audit row (op neither add/remove/dv/cdc — invisible to
+      // every live-set / incremental / CDC reader, like expire rows);
+      // its path names the recording it committed
+      val action = removeActions(spark, Seq(s"_schema/schema-$next.json"))
+        .withColumn("op", lit("schema"))
+        .withColumn("snapshot_op", lit("add-columns"))
+        .withColumn("stats", lit(null).cast(StatsType))
+      appendSnapshot(spark, ledgerDir, next, action, preReserved = true,
+        stagedSchema = true)
+      next
+    }
+  }
+
   /** MANIFEST-ONLY COUNT(*) — the metadata-aggregate every table format
     * serves without touching data (Iceberg answers `count(*)` from
     * manifest totals): Σ nrows over the live files' WINNING-add stats

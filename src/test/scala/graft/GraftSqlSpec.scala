@@ -347,6 +347,104 @@ class GraftSqlSpec extends GraftSpec {
     assert(e2.getMessage.contains("duplicate ON key"), e2.getMessage)
   }
 
+  test("ALTER TABLE ADD COLUMNS: zero-data-file schema commit, old rows " +
+      "read null, INSERT with the new column works, time travel below " +
+      "the evolution keeps the old shape") {
+    val sp = spark; import sp.implicits._
+    val tmp = Files.createTempDirectory("graft_sql_addcol").toString
+    val tbl = GraftTable(spark, s"$tmp/ledger", s"$tmp/gen")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").write.parquet(s"$tmp/landing")
+    tbl.ingest(s"$tmp/landing")
+    tbl.bindSql("addcol_t")
+    val head = tbl.snapshot
+    val filesBefore = tbl.files().count()
+    val res = tbl.sql(
+      "ALTER TABLE addcol_t ADD COLUMNS (note STRING, score DOUBLE)")
+    assert(res.head().getLong(0) == head + 1, "DDL must land one snapshot")
+    // ZERO data files written by the DDL itself
+    assert(tbl.files().count() == filesBefore)
+    // old rows surface the new columns as null
+    assert(tbl.read().columns.toSeq == Seq("k", "v", "note", "score"))
+    assert(tbl.read().filter(col("note").isNull && col("score").isNull)
+      .count() == 2)
+    // SQL reads see the widened schema immediately (view re-pinned)
+    assert(spark.sql("SELECT note FROM addcol_t").count() == 2)
+    // INSERT with the new columns
+    tbl.sql("INSERT INTO addcol_t SELECT 3, 'c', 'hello', 1.5")
+    assert(tbl.read().filter(col("note") === "hello").count() == 1)
+    // time travel below the evolution keeps the old two-column shape
+    assert(tbl.readAt(head).columns.toSeq == Seq("k", "v"))
+    // a second evolution stacks; duplicate names are refused
+    tbl.sql("ALTER TABLE addcol_t ADD COLUMN flag BOOLEAN")
+    assert(tbl.read().columns.toSeq ==
+      Seq("k", "v", "note", "score", "flag"))
+    val e = intercept[Exception] {
+      tbl.sql("ALTER TABLE addcol_t ADD COLUMNS (NOTE INT)")
+    }
+    assert(e.getMessage.contains("already exist"), e.getMessage)
+    // incremental consumers see only genuine row changes (the schema
+    // row is inert) — one add batch from the INSERT, nothing else
+    assert(tbl.readSince(head).count() == 1)
+    // update a pre-evolution row's new column: null-filled pre-image,
+    // post-image lands
+    tbl.sql("UPDATE addcol_t SET note = 'filled' WHERE k = 1")
+    assert(tbl.read().filter(col("k") === 1).head().getString(2)
+      == "filled")
+  }
+
+  test("CDC as SQL: table_changes('t', n) and t.changes resolve to the " +
+      "change feed; a mirror folds purely in SQL") {
+    val sp = spark; import sp.implicits._
+    val tmp = Files.createTempDirectory("graft_sql_cdc").toString
+    val tbl = GraftTable(spark, s"$tmp/ledger", s"$tmp/gen")
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "v").write.parquet(s"$tmp/landing")
+    tbl.ingest(s"$tmp/landing")
+    tbl.bindSql("cdc_t")
+    val head = tbl.snapshot
+    // two change-feed commits: an upsert merge and a delete
+    tbl.merge(Seq((2L, "b2", 25.0), (4L, "d", 40.0)).toDF("k", "name", "v"),
+      "k", changeFeed = true)
+    tbl.delete(col("k") === 1L, changeFeed = true)
+    // the function form joins like any relation
+    val typed = tbl.sql(
+      s"""SELECT _change_type AS ct, CAST(count(*) AS BIGINT) AS n
+         |FROM table_changes('cdc_t', $head) GROUP BY 1 ORDER BY 1"""
+        .stripMargin).collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(typed.toSeq == Seq(("delete", 1L), ("insert", 1L),
+      ("update_postimage", 1L), ("update_preimage", 1L)), typed.toSeq)
+    // a literal containing the pattern is data, not a rewrite
+    assert(tbl.sql("SELECT 'table_changes(''cdc_t'', 0)' AS s")
+      .head().getString(0).contains("table_changes"))
+    // fold a mirror PURELY in SQL: last terminal change per key applied
+    // to the pre-change state (insert/update_postimage upsert, delete
+    // drops) must equal the current table
+    val mirror = tbl.sql(
+      s"""WITH last_ch AS (
+         |  SELECT * FROM (
+         |    SELECT k, name, v, _change_type, _commit_snapshot,
+         |      row_number() OVER (PARTITION BY k
+         |        ORDER BY _commit_snapshot DESC) AS rn
+         |    FROM table_changes('cdc_t', $head)
+         |    WHERE _change_type <> 'update_preimage'
+         |  ) WHERE rn = 1
+         |)
+         |SELECT k, name, v FROM cdc_t VERSION AS OF $head
+         |WHERE k NOT IN (SELECT k FROM last_ch)
+         |UNION ALL
+         |SELECT k, name, v FROM last_ch
+         |WHERE _change_type <> 'delete'""".stripMargin)
+      .orderBy(col("k")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val now = tbl.read().orderBy(col("k")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(mirror.toSeq == now.toSeq, s"mirror=$mirror now=$now")
+    // the bare relation form is the full feed
+    // 4 rows: update pre+post (k=2), insert (k=4), delete (k=1)
+    assert(tbl.sql("SELECT count(*) AS n FROM cdc_t.changes")
+      .head().getLong(0) == 4)
+  }
+
   test("unsupported DML forms are refused with the supported list; " +
       "unbound tables are named") {
     val (t, _) = fixture("nat_x")
