@@ -584,7 +584,12 @@ object Dedup {
     * versus the quadratic block-join a naive first-char/length blocking
     * runs; the verify is candidate-sized. Output is the per-entity
     * NEIGHBOR COUNT (the house rule: per-item decisions, never pair
-    * lists — pair output is quadratic on clustered data). */
+    * lists — pair output is quadratic on clustered data). One cost term
+    * is irreducibly OUTPUT-SCALED: the shared-variant join's row count
+    * grows with the corpus's true ed-1 PAIR DENSITY (the thing the
+    * report counts), so a 10x vocabulary with 10x-denser typo pairs
+    * probes above the scan-bound ~1.5x — that is the report's own size,
+    * not a plan defect (PROBE_local_r12's 2.75 line). */
   def qDedupEditdist(s: SparkSession, d: String): DataFrame = {
     val vocab = s.read.parquet(s"$d/customer.parquet")
       .select(col("c_name").as("t")).distinct()

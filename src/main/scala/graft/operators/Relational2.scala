@@ -187,7 +187,11 @@ object Relational2 {
     * the order window of the same bucketed value band. Composed as an
     * equi-join on the band key plus residual range predicates so the
     * physical plan stays a hash join (a pure theta join would be a
-    * cartesian product at scale). */
+    * cartesian product at scale). COST IS OUTPUT-SCALED BY SEMANTICS:
+    * rows per $100 band grow linearly with SF, so within-band pairs grow
+    * quadratically before the count aggregates — the probe's ~10-15x
+    * ratio at 10x data is the query's own pair count, not a plan defect
+    * (a 100x user should band tighter or pre-aggregate per band). */
   def qRangeJoin(s: SparkSession, d: String): DataFrame = {
     val ord = Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_totalprice"),

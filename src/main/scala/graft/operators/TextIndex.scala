@@ -430,6 +430,109 @@ object TextIndex {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** PHRASE-RANKED top-K — the standard "quoted query" serving shape:
+    * the positional phrase filter narrows to docs containing the EXACT
+    * consecutive phrase (candidate-sized — [[searchPhrase]]'s shifted
+    * position intersection), then BM25 scores ONLY those candidates
+    * (semi-join before the pivot/doclens join — the expensive scoring
+    * never touches a non-phrase ANY-matcher) and the
+    * TakeOrderedAndProject cut returns the top K. df stays GLOBAL (true
+    * per-term document frequencies off the manifest-pruned posting scan
+    * — subset-local df would re-rank against the unphrased query), so a
+    * candidate's score equals its [[searchRanked]] score exactly; the
+    * oracle replays the full BM25 ranking restricted to re-derived
+    * adjacency matches and LIMITs it. */
+  def searchPhraseRankedTopK(s: SparkSession, d: String,
+      phrase: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    require(k >= 1, s"k=$k")
+    val terms = phrase.distinct
+    val idx = indexDir(s, d)
+    val cands = searchPhrase(s, d, phrase)
+    val post = postings(s, d).filter(col("token").isin(terms: _*))
+      .select(col("doc_id"), col("token"), col("tf"))
+    val dfMap = post.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cs = s.read.parquet(s"$idx/corpus").head()
+    val (nDocs, totalDl) = (cs.getLong(0), cs.getLong(1))
+    val avgdl = totalDl.toDouble / nDocs
+    def idf(t: String): Double = {
+      val df = dfMap.getOrElse(t, 0L).toDouble
+      math.log((nDocs - df + 0.5) / (df + 0.5) + 1.0)
+    }
+    val hits = post.join(cands, Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id")).pivot("token", terms).agg(first(col("tf")))
+    val scored = hits.join(s.read.parquet(s"$idx/doclens"), "doc_id")
+    def termScore(t: String) = {
+      val tf = coalesce(col(t).cast("double"), lit(0.0))
+      val norm = tf * lit(k1 + 1.0) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double")
+          / lit(avgdl)))
+      when(tf > 0, lit(idf(t)) * norm).otherwise(lit(0.0))
+    }
+    val score = terms.map(termScore).reduce(_ + _) // fixed order
+    scored.select(col("doc_id"), round(score, 9).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+  }
+
+  /** Driver-gate phrase-ranked query: BM25 top-10 over the docs
+    * containing the exact phrase; the oracle re-derives adjacency from
+    * the raw token arrays AND replays the full restricted ranking —
+    * hash equality proves both the candidate set and the cut. */
+  def qDocPhraseRanked(s: SparkSession, d: String): DataFrame =
+    searchPhraseRankedTopK(s, d, PhraseTerms, 10)
+
+  def qDocPhraseRankedSql: String = {
+    val (k1, b) = (1.2, 0.75)
+    val terms = PhraseTerms.distinct
+    val adjConds = PhraseTerms.zipWithIndex.map { case (t, j) =>
+      if (j == 0) s"ts[i] = '$t'" else s"ts[i+$j] = '$t'"
+    }.mkString(" AND ")
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"sum(CASE WHEN token = '$t' THEN tf ELSE 0 END) AS tf_$i"
+    }.mkString(", ")
+    val dfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"(SELECT count(*) FROM postings WHERE token = '$t') AS df_$i"
+    }.mkString(", ")
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    val scoreExpr = terms.indices.map { i =>
+      s"""(CASE WHEN tf_$i > 0 THEN
+         | ln((n_docs - df_$i + 0.5) / (df_$i + 0.5) + 1.0)
+         | * ((tf_$i * ${k1 + 1.0})
+         |   / (tf_$i + $k1 * ((1.0 - $b) + $b * dl / (total_dl * 1.0 / n_docs))))
+         | ELSE 0.0 END)""".stripMargin.replace("\n", " ")
+    }.reduce((a, c) => s"($a + $c)")
+    s"""WITH toksa AS (
+       | SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS ts
+       | FROM documents),
+       |cands AS (
+       | SELECT doc_id FROM toksa
+       | WHERE len(list_filter(range(1, len(ts)+1), i -> $adjConds)) > 0),
+       |toks AS (SELECT doc_id, unnest(ts) AS token FROM toksa),
+       |postings AS (
+       | SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+       | FROM toks GROUP BY 1, 2),
+       |doclens AS (
+       | SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl
+       | FROM postings GROUP BY 1),
+       |corpus AS (
+       | SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+       |        CAST(sum(dl) AS DOUBLE) AS total_dl FROM doclens),
+       |hits AS (
+       | SELECT doc_id, $tfCols
+       | FROM postings WHERE token IN ($termList)
+       |   AND doc_id IN (SELECT doc_id FROM cands)
+       | GROUP BY doc_id)
+       |SELECT h.doc_id, round($scoreExpr, 9) AS score
+       |FROM hits h
+       |JOIN doclens USING (doc_id)
+       |CROSS JOIN corpus
+       |CROSS JOIN (SELECT $dfCols)
+       |ORDER BY score DESC, h.doc_id
+       |LIMIT 10""".stripMargin
+  }
+
   def qDocSearchSql: String = {
     val conds = SearchTerms
       .map(t => s"list_contains(regexp_split_to_array(trim(text), ' +'), '$t')")

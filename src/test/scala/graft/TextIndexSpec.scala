@@ -108,6 +108,24 @@ class TextIndexSpec extends GraftSpec {
     assert(any == base, s"searchAny diverged (${any.size} vs ${base.size})")
   }
 
+  test("phrase-ranked topK == BM25 full ranking restricted to phrase " +
+      "matches, head-K; scores equal the unrestricted searchRanked " +
+      "scores (global df)") {
+    val phrase = TextIndex.PhraseTerms
+    val cands = TextIndex.searchPhrase(spark, sf, phrase)
+      .collect().map(_.getLong(0)).toSet
+    assert(cands.nonEmpty, "fixture corpus must contain the phrase")
+    val full = TextIndex.searchRanked(spark, sf, phrase.distinct)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val restricted = full.filter(p => cands(p._1))
+    for (k <- Seq(1, 5, 10)) {
+      val got = TextIndex.searchPhraseRankedTopK(spark, sf, phrase, k)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == restricted.take(k).toSeq,
+        s"phrase-ranked topK($k) diverged")
+    }
+  }
+
   test("upper-bound pruning strictly shrinks the scored set on a " +
       "skew-planted corpus, and the cut still equals the full ranking") {
     val sp = spark; import sp.implicits._
