@@ -195,7 +195,8 @@ object Lake {
     if (n > 0) reserving(spark, ledgerDir, nextSnapshot) {
       sweepOrphanRecordings(ledgerDir, nextSnapshot,
         stagedAtCommitting = false)
-      delta.write.mode("append").parquet(ledgerDir)
+      // one ledger file per commit (the appendSnapshot discipline)
+      delta.coalesce(1).write.mode("append").parquet(ledgerDir)
     }
     // schema-in-manifest: the FIRST batch that lands records the table
     // schema (the union of the batch's footers — already computed for
@@ -1203,6 +1204,12 @@ object Lake {
       .withColumn("ingested_at", current_timestamp())
       .select(LedgerCols.map(col): _*)
       .localCheckpoint()
+      // ONE ledger file per commit: the rows are KB-scale but the write
+      // otherwise lands a part-file per upstream partition (3-6 tiny
+      // files per DML commit, profiled) — and every later plan LISTS and
+      // SCANS each of them; a DML-heavy table degraded its own metadata
+      // path linearly until the next compactLedger
+      .coalesce(1)
     if (preReserved) rows.write.mode("append").parquet(ledgerDir)
     else reserving(spark, ledgerDir, snapshot) {
       rows.write.mode("append").parquet(ledgerDir)
@@ -1337,8 +1344,11 @@ object Lake {
       // counted matched, or surface as cdc pre-images — the merge
       // MATERIALIZES its affected files' vectors (the rewritten files'
       // winning add postdates them, so they go inert)
+      // affected scan plans through a SUB-INDEX of the already-
+      // materialized live index (entries reused — no second collect job)
       def affectedScan: DataFrame = applyDvsAt(spark, ledgerDir, snap,
-        scanActions(spark, ledgerDir, affectedActs, atSnapshot = snap))
+        tableScan(spark, ledgerDir, index.get.subIndex(affectedNorm),
+          atSnapshot = snap))
       // matched keys live ONLY in affected files — computable without a
       // full scan; shared by the deleteWhen filter and the change feed
       val matchedKeys: Option[DataFrame] =
@@ -1481,8 +1491,10 @@ object Lake {
           .isin(affectedNorm.toSeq: _*))
       // DV-applied: rows already MOR-deleted must not resurrect into the
       // carry rewrite (the rewrite materializes the affected files' DVs)
+      // sub-index of the live index: entries reused, no second collect
+      val affectedIdx = index.get.subIndex(affectedNorm)
       val carry = applyDvsAt(spark, ledgerDir, snap,
-          scanActions(spark, ledgerDir, affectedActs, atSnapshot = snap))
+          tableScan(spark, ledgerDir, affectedIdx, atSnapshot = snap))
         .filter(!coalesce(cond, lit(false)))
         .select(cols: _*)
       carry.write.mode("overwrite").parquet(s"$genDir/carry")
@@ -1492,7 +1504,7 @@ object Lake {
       // mirror would silently keep rows this table dropped
       if (changeFeed)
         applyDvsAt(spark, ledgerDir, snap,
-            scanActions(spark, ledgerDir, affectedActs, atSnapshot = snap))
+            tableScan(spark, ledgerDir, affectedIdx, atSnapshot = snap))
           .filter(coalesce(cond, lit(false)))
           .select(cols: _*)
           .withColumn("_change_type", lit("delete"))
@@ -1568,7 +1580,8 @@ object Lake {
     // check, carry, delta, change feed) — materialize the blast radius
     // once instead of re-scanning the affected files per consumer
     val affectedRows = applyDvsAt(spark, ledgerDir, snap,
-      scanActions(spark, ledgerDir, affectedActs, atSnapshot = snap))
+      tableScan(spark, ledgerDir, index.get.subIndex(affectedNorm),
+        atSnapshot = snap))
       .localCheckpoint()
     // hard contract on the rows that land — still read-only, pre-reserve
     enforceConstraints(spark, ledgerDir,
@@ -1824,14 +1837,22 @@ object Lake {
     * ledger fingerprint — see [[dvPresence]]). */
   private def activeDvRows(spark: SparkSession, ledgerDir: String,
       ledger: DataFrame, snapshot: Long): Option[DataFrame] = {
-    val fp = ledgerFingerprint(ledger)
     val cached = dvPresence.get(ledgerDir)
+    // MONOTONE shortcut: a dv action row never leaves an append-only
+    // ledger (per-commit files are immutable; checkpoints carry every
+    // row verbatim), so a cached TRUE stays true under ANY later listing
+    // — no fingerprint check, no probe job. Only a cached FALSE needs
+    // the listing match (a commit since could have added the first dv).
     val hasAnyDv =
-      if (cached != null && cached._1 == fp) cached._2
+      if (cached != null && cached._2) true
       else {
-        val h = !ledger.filter(col("op") === "dv").isEmpty
-        dvPresence.put(ledgerDir, (fp, h))
-        h
+        val fp = ledgerFingerprint(ledger)
+        if (cached != null && cached._1 == fp) cached._2
+        else {
+          val h = !ledger.filter(col("op") === "dv").isEmpty
+          dvPresence.put(ledgerDir, (fp, h))
+          h
+        }
       }
     if (!hasAnyDv) return None
     val dvActs = dvActionsAt(ledger, snapshot)
@@ -2046,8 +2067,11 @@ object Lake {
           .isin(affectedNorm.toSeq: _*))
       // DV-applied: MOR-deleted rows neither resurrect into the carry
       // nor surface as change-feed pre-images
+      // affected scan plans through a SUB-INDEX of the already-
+      // materialized live index (entries reused — no second collect job)
       def affectedScan: DataFrame = applyDvsAt(spark, ledgerDir, snap,
-        scanActions(spark, ledgerDir, affectedActs, atSnapshot = snap))
+        tableScan(spark, ledgerDir, index.get.subIndex(affectedNorm),
+          atSnapshot = snap))
       if (affectedNorm.nonEmpty)
         affectedScan.filter(!coalesce(pred, lit(false)))
           .select(cols: _*)

@@ -44,15 +44,15 @@ import org.apache.spark.sql.types.StructType
   * the column to double, whose rounding can admit rows an exact
   * comparison would reject. Any literal/shape not understood keeps the
   * file — never skip on uncertainty. */
-final class LedgerFileIndex(liveActions: DataFrame) extends FileIndex {
-
+object LedgerFileIndex {
   /** A file's value bounds for one column: numeric `[lo, hi]` longs or
     * string `[lo, hi]` in Spark's binary UTF8 ordering (the ordering its
     * string min/max aggregates use — NOT java.lang.String's UTF-16 char
     * order, which diverges beyond the BMP). */
-  private sealed trait Bounds
-  private final case class NumBounds(lo: Long, hi: Long) extends Bounds
-  private final case class StrBounds(
+  private[sources] sealed trait Bounds
+  private[sources] final case class NumBounds(lo: Long, hi: Long)
+    extends Bounds
+  private[sources] final case class StrBounds(
     lo: org.apache.spark.unsafe.types.UTF8String,
     hi: org.apache.spark.unsafe.types.UTF8String) extends Bounds
 
@@ -62,17 +62,36 @@ final class LedgerFileIndex(liveActions: DataFrame) extends FileIndex {
     * filter over the column's canonical string values — the point-lookup
     * pruner for hash-scattered columns whose min/max bounds are
     * full-range in every file. */
-  private final case class ColStats(bounds: Option[Bounds],
+  private[sources] final case class ColStats(bounds: Option[Bounds],
     nulls: Option[Long], rows: Option[Long], bloom: Option[Array[Byte]]) {
     def allNull: Boolean = rows.exists(r => r > 0 && nulls.contains(r))
   }
+}
+
+final class LedgerFileIndex private (liveActions: DataFrame,
+    pre: Option[Seq[(FileStatus, Map[String, LedgerFileIndex.ColStats])]])
+  extends FileIndex {
+  import LedgerFileIndex._
+
+  def this(liveActions: DataFrame) = this(liveActions, None)
+
+  /** Sub-index over the files whose NORMALIZED path is in `keepNorm` —
+    * reuses the already-materialized entries, so the affected-file scan
+    * of a blast-radius write (update/delete/merge/replaceWhere) costs
+    * ZERO extra collect jobs on top of the live index it derived its
+    * file set from (profiled: the second `entries` job was one of the
+    * fixed per-commit metadata jobs). */
+  def subIndex(keepNorm: Set[String]): LedgerFileIndex =
+    new LedgerFileIndex(liveActions,
+      Some(entries.filter(e => keepNorm(
+        e._1.getPath.toString.replaceFirst("^file:/+", "/")))))
 
   /** (path, size, per-column stats) of the live file set, materialized
     * once at first scan planning. Sizes/stats ride along from the ledger
     * (recorded at ingest), so Spark can split scan tasks and skip files
     * without statting or opening any of them. */
   private lazy val entries: Seq[(FileStatus, Map[String, ColStats])] =
-    liveActions
+    pre.getOrElse(liveActions
       .select(col("path"), col("size"), col("stats"))
       .collect()
       .map { r =>
@@ -100,7 +119,7 @@ final class LedgerFileIndex(liveActions: DataFrame) extends FileIndex {
             cs.bounds.isDefined || cs.nulls.isDefined || cs.bloom.isDefined
           }
         (st, stats)
-      }.toSeq
+      }.toSeq)
 
   def isEmpty: Boolean = entries.isEmpty
 
