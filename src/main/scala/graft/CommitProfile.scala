@@ -23,10 +23,14 @@ object CommitProfile {
     val done = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String, Long)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
-        val site = Option(j.properties.getProperty("callSite.short"))
-          .orElse(j.stageInfos.flatMap(s => s.details.linesIterator
+        // a graft. frame in ANY stage's details beats callSite.short:
+        // AQE/broadcast subquery jobs all report the useless
+        // withThreadLocalCaptured site while their stage stacks still
+        // carry the graft caller
+        val site = j.stageInfos.flatMap(s => s.details.linesIterator
               .find(l => l.contains("graft.") && !l.contains("CommitProfile")))
-            .headOption.map(_.trim.take(100)))
+            .headOption.map(_.trim.take(120))
+          .orElse(Option(j.properties.getProperty("callSite.short")))
           .orElse(j.stageInfos.lastOption.map(s => s.name.take(60) + " | " +
             s.details.linesIterator.filter(_.contains("at "))
               .take(3).mkString(" <- ").take(160)))

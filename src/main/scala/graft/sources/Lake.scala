@@ -451,11 +451,29 @@ object Lake {
     head
   }
 
+  /** Driver-side memo of the ledger head, keyed by the probed
+    * DataFrame's own file listing (the [[dvPresence]] discipline: ledger
+    * files are immutable once visible, so a matching listing proves the
+    * row set — and therefore max(snapshot_id) — unchanged). Every lake
+    * op asks for the head at least once and view re-pins ask again;
+    * each miss is a full ledger aggregation JOB, profiled as one of the
+    * fixed per-commit metadata jobs. The memo makes all but the first
+    * ask per listing zero-job. */
+  private val headMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+
   /** Highest snapshot id in the ledger (0 = empty ledger). */
   def currentSnapshot(spark: SparkSession, ledgerDir: String): Long =
-    readLedger(spark, ledgerDir)
-      .map(_.agg(max(col("snapshot_id"))).head().getLong(0))
-      .getOrElse(0L)
+    readLedger(spark, ledgerDir).map { ledger =>
+      val fp = ledgerFingerprint(ledger)
+      val cached = headMemo.get(ledgerDir)
+      if (cached != null && cached._1 == fp) cached._2
+      else {
+        val h = ledger.agg(max(col("snapshot_id"))).head().getLong(0)
+        headMemo.put(ledgerDir, (fp, h))
+        h
+      }
+    }.getOrElse(0L)
 
   /** The live file actions AT `snapshot` as a RELATION (path, size):
     * added in some snapshot ≤ it and not removed by any snapshot ≤ it.
