@@ -150,6 +150,109 @@ object Similarity {
       | WHERE e.vec_id >= 3 AND doc.lang = 'de' AND doc.text LIKE '%merge%')
       |WHERE rank <= 10""".stripMargin
 
+  /** RECIPROCAL-RANK FUSION — the list-fusion step every hybrid search
+    * stack ships (Elastic/OpenSearch/Vespa expose exactly this): fuse
+    * the BM25 keyword top-K and the exact-cosine vector top-K by
+    * Σ 1/(60 + rank) (Cormack et al.'s constant), rank ties broken on
+    * doc_id in both lists. Unlike [[qAnnHybrid]] (filter THEN rank one
+    * modality), RRF ranks each modality INDEPENDENTLY and fuses — the
+    * shape used when neither signal should gate the other. Scale: both
+    * inputs are bounded cuts (TakeOrderedAndProject / two-phase heap) so
+    * the fusion join is K-row trivia; the fused score is a pure
+    * function of integer ranks (floats never cross the fusion), which
+    * is what makes the op exactly oracle-able. */
+  def qHybridRrf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val K = 20
+    val txt = graft.operators.TextIndex
+      .searchRankedTopK(s, d, graft.operators.TextIndex.SearchTerms, K)
+      .withColumn("trank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id")))) // ≤ K rows
+      .select(col("doc_id"), col("trank"))
+    val e = emb(s, d)
+    val probe = e.filter(col("vec_id") === 0)
+      .select(col("vec").as("probe_vec"), norm(col("vec")).as("probe_nrm"))
+    val vec = e.filter(col("vec_id") > 0)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id").as("doc_id"),
+        (dot(col("vec"), col("probe_vec"))
+          / (norm(col("vec")) * col("probe_nrm"))).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id")).limit(K)
+      .withColumn("vrank", row_number().over(
+        Window.orderBy(col("cos").desc, col("doc_id")))) // ≤ K rows
+      .select(col("doc_id"), col("vrank"))
+    txt.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        round(coalesce(lit(1.0) / (col("trank") + lit(60)), lit(0.0))
+          + coalesce(lit(1.0) / (col("vrank") + lit(60)), lit(0.0)), 9)
+          .as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("doc_id")).limit(10)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("rrf_score").desc, col("doc_id"))))
+      .select(col("rank").cast("int").as("rank"), col("doc_id"),
+        col("rrf_score"))
+  }
+
+  def qHybridRrfSql: String = {
+    val (k1, b) = (1.2, 0.75)
+    val terms = graft.operators.TextIndex.SearchTerms
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"sum(CASE WHEN token = '$t' THEN tf ELSE 0 END) AS tf_$i"
+    }.mkString(", ")
+    val dfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"(SELECT count(*) FROM postings WHERE token = '$t') AS df_$i"
+    }.mkString(", ")
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    val scoreExpr = terms.indices.map { i =>
+      s"""(CASE WHEN tf_$i > 0 THEN
+         | ln((n_docs - df_$i + 0.5) / (df_$i + 0.5) + 1.0)
+         | * ((tf_$i * ${k1 + 1.0})
+         |   / (tf_$i + $k1 * ((1.0 - $b) + $b * dl / (total_dl * 1.0 / n_docs))))
+         | ELSE 0.0 END)""".stripMargin.replace("\n", " ")
+    }.reduce((a, c) => s"($a + $c)")
+    s"""WITH toks AS (
+       | SELECT doc_id, unnest(regexp_split_to_array(trim(text), ' +'))
+       |   AS token FROM documents),
+       |postings AS (
+       | SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+       | FROM toks GROUP BY 1, 2),
+       |doclens AS (
+       | SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl
+       | FROM postings GROUP BY 1),
+       |corpus AS (
+       | SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+       |        CAST(sum(dl) AS DOUBLE) AS total_dl FROM doclens),
+       |hits AS (
+       | SELECT doc_id, $tfCols
+       | FROM postings WHERE token IN ($termList) GROUP BY doc_id),
+       |txt AS (
+       | SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
+       |     AS trank
+       | FROM (SELECT h.doc_id, round($scoreExpr, 9) AS score
+       |   FROM hits h JOIN doclens USING (doc_id)
+       |   CROSS JOIN corpus CROSS JOIN (SELECT $dfCols)
+       |   ORDER BY score DESC, h.doc_id LIMIT 20)),
+       |vec AS (
+       | SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id)
+       |     AS vrank
+       | FROM (SELECT e.vec_id AS doc_id,
+       |     list_cosine_similarity(e.embedding::DOUBLE[],
+       |       p.embedding::DOUBLE[]) AS cos
+       |   FROM embeddings e,
+       |     (SELECT embedding FROM embeddings WHERE vec_id = 0) p
+       |   WHERE e.vec_id > 0
+       |   ORDER BY cos DESC, doc_id LIMIT 20))
+       |SELECT CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id)
+       |    AS INT) AS rank, doc_id, rrf_score
+       |FROM (
+       | SELECT doc_id,
+       |   round(COALESCE(CAST(1.0 AS DOUBLE) / (trank + 60), 0.0)
+       |     + COALESCE(CAST(1.0 AS DOUBLE) / (vrank + 60), 0.0), 9)
+       |     AS rrf_score
+       | FROM txt FULL OUTER JOIN vec USING (doc_id)
+       | ORDER BY rrf_score DESC, doc_id LIMIT 10)""".stripMargin
+  }
+
   /** FILTERED IVF probe — the "metadata-filtered vector search" every
     * vector store ships, composed with the persisted index: the label
     * predicate keeps ~1/3 of vectors, so the probe OVERSAMPLES the

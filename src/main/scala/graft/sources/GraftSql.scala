@@ -166,6 +166,8 @@ object GraftSql {
     """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMNS?\s*\((.+)\)\s*$""".r
   private val AddColumnBareRe =
     """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(\w+\s+[^,()]+)\s*$""".r
+  private val DropColumnsRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMNS?\s*\(?\s*([\w\s,]+?)\s*\)?\s*$""".r
   private val DescribeHistoryRe =
     """(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+(\w+)\s*$""".r
   private val OptimizeRe =
@@ -180,6 +182,10 @@ object GraftSql {
     """(?is)^\s*DESC(?:RIBE)?\s+DETAIL\s+(\w+)\s*$""".r
   private val TruncateRe =
     """(?is)^\s*TRUNCATE\s+TABLE\s+(\w+)\s*$""".r
+  private val DescribeBareRe =
+    """(?is)^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?(\w+)\s*$""".r
+  private val ShowTablesRe =
+    """(?is)^\s*SHOW\s+TABLES\s*$""".r
   // scoped overwrite, both spellings: `INSERT OVERWRITE t WHERE p SELECT…`
   // and the Delta form `INSERT INTO t REPLACE WHERE p SELECT…`; the
   // predicate runs to the first top-level SELECT (subquery predicates are
@@ -221,6 +227,23 @@ object GraftSql {
       val s2 = t.addColumns(colDdl)
       refresh(spark, name)
       snapFrame(spark, s2)
+    case DropColumnsRe(name, colList) =>
+      val t = lookupName(spark, name)
+      val s2 = t.dropColumns(
+        colList.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      refresh(spark, name)
+      snapFrame(spark, s2)
+    case DescribeBareRe(name) if registry.get((spark, name)) != null =>
+      // DESCRIBE t: the column listing off the table's resolved schema
+      // (recorded-schema path — zero data reads on recorded tables)
+      import spark.implicits._
+      lookupName(spark, name).read().schema.fields.toSeq
+        .map(f => (f.name, f.dataType.simpleString,
+          if (f.nullable) "YES" else "NO"))
+        .toDF("col_name", "data_type", "nullable")
+    case ShowTablesRe() =>
+      import spark.implicits._
+      boundNames(spark).sorted.toDF("table_name")
     case DescribeHistoryRe(name) => lookupName(spark, name).history()
     case RestoreRe(name, snap) =>
       // the Delta verb: roll the table back to a prior snapshot as a NEW

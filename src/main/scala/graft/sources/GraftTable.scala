@@ -110,6 +110,12 @@ final case class GraftTable(spark: SparkSession, ledgerDir: String,
     Lake.addColumns(spark, ledgerDir,
       org.apache.spark.sql.types.StructType.fromDDL(colsDdl))
 
+  /** Narrowing schema evolution: drop columns as a KB-scale metadata
+    * commit — no data rewritten; time travel below still reads them
+    * (see Lake.dropColumns; re-adding a dropped name is refused). */
+  def dropColumns(names: Seq[String]): Long =
+    Lake.dropColumns(spark, ledgerDir, names)
+
   /** [[merge]] on a COMPOSITE key — equality on every column of `keys`
     * (see Lake.mergeIntoKeys). */
   def mergeKeys(source: DataFrame, keys: Seq[String],

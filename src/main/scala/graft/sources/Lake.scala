@@ -1696,10 +1696,19 @@ object Lake {
     * wave re-ingesting a corpus slice). Same sidecar/ledger semantics. */
   def deleteWhereMorKeys(spark: SparkSession, ledgerDir: String,
       genRoot: String, keys: org.apache.spark.sql.DataFrame, keyCol: String,
-      changeFeed: Boolean = false): Long = {
-    val k = keys.select(col(keyCol)).distinct()
+      changeFeed: Boolean = false): Long =
+    deleteWhereMorKeysCols(spark, ledgerDir, genRoot, keys, Seq(keyCol),
+      changeFeed)
+
+  /** [[deleteWhereMorKeys]] on a COMPOSITE key — the semi-join matches
+    * on every column of `keyCols` (the mergeIntoKeys convention). */
+  def deleteWhereMorKeysCols(spark: SparkSession, ledgerDir: String,
+      genRoot: String, keys: org.apache.spark.sql.DataFrame,
+      keyCols: Seq[String], changeFeed: Boolean = false): Long = {
+    require(keyCols.nonEmpty, "delete needs at least one key column")
+    val k = keys.select(keyCols.map(col): _*).distinct()
     deleteMorMatching(spark, ledgerDir, genRoot,
-      df => df.join(k, Seq(keyCol), "left_semi"), changeFeed)
+      df => df.join(k, keyCols, "left_semi"), changeFeed)
   }
 
   private def deleteMorMatching(spark: SparkSession, ledgerDir: String,
@@ -2161,6 +2170,17 @@ object Lake {
       cur.fieldNames.exists(_.equalsIgnoreCase(n)))
     require(clash.isEmpty,
       s"column(s) already exist: ${clash.mkString(", ")}")
+    // re-add guard: a name recorded by a PRIOR schema but absent from
+    // the current one was DROPPED — pre-drop files still hold its old
+    // values, and a same-name re-add would silently resurface them
+    // (the hazard Delta's column-mapping ids solve); refuse
+    val prior = everRecordedNames(ledgerDir)
+    val curNames = cur.fieldNames.map(_.toLowerCase).toSet
+    val readds = cols.fieldNames.filter(n =>
+      prior(n.toLowerCase) && !curNames(n.toLowerCase))
+    require(readds.isEmpty, s"column(s) ${readds.mkString(", ")} were " +
+      "previously dropped — re-adding the same name would resurface the " +
+      "old values still present in pre-drop files; use a new name")
     val widened =
       org.apache.spark.sql.types.StructType(cur.fields ++ cols.fields)
     val next = snap + 1
@@ -2181,6 +2201,73 @@ object Lake {
         stagedSchema = true)
       next
     }
+  }
+
+  /** ALTER TABLE … DROP COLUMN(S) — the narrowing half of explicit
+    * schema evolution, same KB-scale shape as [[addColumns]]: record the
+    * narrowed schema at a new snapshot + one inert op="schema" row; no
+    * data file is read or rewritten (parquet readers simply stop
+    * requesting the column — requested-schema clipping). Time travel
+    * below the drop still reads the column. Refusals: dropping a column
+    * a standing CHECK constraint references (the constraint could never
+    * re-prove itself), dropping every column, unknown/duplicate names.
+    * Note the RE-ADD rule enforced by [[addColumns]]: a name that
+    * appears in any PRIOR schema recording but not the current one was
+    * dropped — re-adding it would silently resurface the old values
+    * still present in pre-drop files (the hazard Delta's column-mapping
+    * ids exist to solve), so it is refused; use a new name. */
+  def dropColumns(spark: SparkSession, ledgerDir: String,
+      names: Seq[String]): Long = {
+    require(names.nonEmpty, "DROP COLUMNS with no columns")
+    require(names.map(_.toLowerCase).distinct.size == names.size,
+      s"duplicate column in ${names.mkString(", ")}")
+    val snap = currentSnapshot(spark, ledgerDir)
+    require(snap > 0, "ALTER TABLE DROP COLUMNS on a table with no snapshots")
+    val cur = recordedSchemaAt(ledgerDir, snap)
+      .getOrElse(readAt(spark, ledgerDir, snap).schema)
+    val missing = names.filterNot(n =>
+      cur.fieldNames.exists(_.equalsIgnoreCase(n)))
+    require(missing.isEmpty, s"no such column(s): ${missing.mkString(", ")}")
+    val remaining = cur.fields.filterNot(f =>
+      names.exists(f.name.equalsIgnoreCase))
+    require(remaining.nonEmpty, "cannot drop every column of the table")
+    constraints(ledgerDir).foreach { case (cn, ce) =>
+      val refs = org.apache.spark.sql.GraftShim
+        .parseExpression(spark, ce).collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            a.nameParts.last.toLowerCase
+        }.toSet
+      val hit = names.filter(n => refs(n.toLowerCase))
+      require(hit.isEmpty, s"CHECK constraint '$cn' references column(s) " +
+        s"${hit.mkString(", ")} — drop the constraint first")
+    }
+    val next = snap + 1
+    reserving(spark, ledgerDir, next) {
+      recordSchema(ledgerDir, next,
+        org.apache.spark.sql.types.StructType(remaining))
+      val action = removeActions(spark, Seq(s"_schema/schema-$next.json"))
+        .withColumn("op", lit("schema"))
+        .withColumn("snapshot_op", lit("drop-columns"))
+        .withColumn("stats", lit(null).cast(StatsType))
+      appendSnapshot(spark, ledgerDir, next, action, preReserved = true,
+        stagedSchema = true)
+      next
+    }
+  }
+
+  /** Column names that appear in any PRIOR schema recording of this
+    * table (KB driver-side read of the `_schema` JSON recordings) —
+    * [[addColumns]]'s re-add guard input. */
+  private def everRecordedNames(ledgerDir: String): Set[String] = {
+    val re = """schema-(\d+)\.json""".r
+    Option(schemaDirF(ledgerDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => re.findFirstIn(f.getName).isDefined)
+      .flatMap { f =>
+        org.apache.spark.sql.types.DataType.fromJson(new String(
+          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+          .fieldNames
+      }.map(_.toLowerCase).toSet
   }
 
   /** MANIFEST-ONLY COUNT(*) — the metadata-aggregate every table format

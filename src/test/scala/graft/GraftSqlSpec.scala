@@ -445,6 +445,57 @@ class GraftSqlSpec extends GraftSpec {
       .head().getLong(0) == 4)
   }
 
+  test("ALTER TABLE DROP COLUMNS: zero-data-file narrowing commit; time " +
+      "travel below keeps the column; constraint/re-add refusals; " +
+      "DESCRIBE and SHOW TABLES verbs") {
+    val sp = spark; import sp.implicits._
+    val tmp = Files.createTempDirectory("graft_sql_dropcol").toString
+    val tbl = GraftTable(spark, s"$tmp/ledger", s"$tmp/gen")
+    Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "v", "x")
+      .write.parquet(s"$tmp/landing")
+    tbl.ingest(s"$tmp/landing")
+    tbl.bindSql("dropcol_t")
+    val head = tbl.snapshot
+    val filesBefore = tbl.files().count()
+    // a constraint referencing the column blocks the drop
+    tbl.addConstraint("pos_x", "x > 0")
+    val e0 = intercept[Exception] {
+      tbl.sql("ALTER TABLE dropcol_t DROP COLUMN x")
+    }
+    assert(e0.getMessage.contains("pos_x"), e0.getMessage)
+    tbl.dropConstraint("pos_x")
+    tbl.sql("ALTER TABLE dropcol_t DROP COLUMN x")
+    assert(tbl.read().columns.toSeq == Seq("k", "v"))
+    assert(tbl.files().count() == filesBefore, "DDL writes no data files")
+    assert(spark.sql("SELECT * FROM dropcol_t").columns.toSeq
+      == Seq("k", "v"))
+    // time travel below the drop still reads the column
+    assert(tbl.readAt(head).columns.toSeq == Seq("k", "v", "x"))
+    // re-adding the dropped name is refused (old values would resurface)
+    val e1 = intercept[Exception] {
+      tbl.sql("ALTER TABLE dropcol_t ADD COLUMN x DOUBLE")
+    }
+    assert(e1.getMessage.contains("previously dropped"), e1.getMessage)
+    // a FRESH name is fine
+    tbl.sql("ALTER TABLE dropcol_t ADD COLUMN y DOUBLE")
+    assert(tbl.read().columns.toSeq == Seq("k", "v", "y"))
+    // INSERT against the narrowed+widened shape
+    tbl.sql("INSERT INTO dropcol_t SELECT 3, 'c', 9.0")
+    assert(tbl.read().count() == 3)
+    // DESCRIBE lists the current shape; SHOW TABLES lists the binding
+    val desc = tbl.sql("DESCRIBE dropcol_t").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(desc.toSeq == Seq(("k", "bigint"), ("v", "string"),
+      ("y", "double")), desc.toSeq)
+    assert(tbl.sql("SHOW TABLES").collect().map(_.getString(0))
+      .contains("dropcol_t"))
+    // dropping every column is refused
+    val e2 = intercept[Exception] {
+      tbl.sql("ALTER TABLE dropcol_t DROP COLUMNS (k, v, y)")
+    }
+    assert(e2.getMessage.contains("every column"), e2.getMessage)
+  }
+
   test("unsupported DML forms are refused with the supported list; " +
       "unbound tables are named") {
     val (t, _) = fixture("nat_x")
