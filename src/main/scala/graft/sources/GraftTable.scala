@@ -232,6 +232,13 @@ final case class GraftTable(spark: SparkSession, ledgerDir: String,
     Lake.deleteWhereMorKeys(spark, ledgerDir, genRoot, keys, keyCol,
       changeFeed)
 
+  /** [[deleteMorKeys]] on a COMPOSITE key (see
+    * Lake.deleteWhereMorKeysCols). */
+  def deleteMorKeysCols(keys: DataFrame, keyCols: Seq[String],
+      changeFeed: Boolean = false): Long =
+    Lake.deleteWhereMorKeysCols(spark, ledgerDir, genRoot, keys, keyCols,
+      changeFeed)
+
   /** Row-level MERGE-ON-READ merge: identical row semantics to `merge`
     * but superseded target rows become deletion vectors and the
     * update+insert rows land as one delta — no file rewrites (see

@@ -109,6 +109,33 @@ class LedgerSchemaSpec extends GraftSpec {
     assert(t2.snapshot == empHead, "truncate of empty table must no-op")
   }
 
+  test("composite-key MOR merge + relational MOR delete: same-id rows " +
+      "under a different partition value must not match") {
+    val sp = spark; import sp.implicits._
+    val tmp = Files.createTempDirectory("graft_morck").toString
+    val t = GraftTable(spark, s"$tmp/ledger", s"$tmp/gen")
+    Seq(("d1", 1L, 10.0), ("d1", 2L, 20.0), ("d2", 1L, 30.0),
+        ("d2", 2L, 40.0))
+      .toDF("d", "id", "v").write.parquet(s"$tmp/landing")
+    t.ingest(s"$tmp/landing")
+    // MOR merge on (d, id): updates (d1,1), inserts (d3,1) — (d2,1)
+    // shares the id but must stay untouched
+    t.mergeMorKeys(Seq(("d1", 1L, 11.0), ("d3", 1L, 99.0))
+      .toDF("d", "id", "v"), Seq("d", "id"))
+    val got = t.read().orderBy(col("d"), col("id")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq(("d1", 1L, 11.0), ("d1", 2L, 20.0),
+      ("d2", 1L, 30.0), ("d2", 2L, 40.0), ("d3", 1L, 99.0)), s"got $got")
+    assert(t.dvRows() == 1, "exactly the superseded (d1,1) row tombstoned")
+    // relational composite-key MOR delete: only the exact pairs drop
+    t.deleteMorKeysCols(Seq(("d1", 2L), ("d2", 9L)).toDF("d", "id"),
+      Seq("d", "id"))
+    val after = t.read().orderBy(col("d"), col("id")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(after == Seq(("d1", 1L), ("d2", 1L), ("d2", 2L), ("d3", 1L)),
+      s"after $after")
+  }
+
   test("WHEN NOT MATCHED AND c THEN INSERT * with star-only matched arms " +
       "routes to the column-list path instead of being refused") {
     val sp = spark; import sp.implicits._
