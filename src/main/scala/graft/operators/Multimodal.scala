@@ -847,6 +847,161 @@ object Multimodal {
     }
   }
 
+  // ------------------------- audio fingerprinting (constellation hashing)
+
+  case class AudioFp(media_id: Long, hash: Long, t: Int)
+
+  /** AUDIO FINGERPRINTS — constellation hashing, the Shazam/content-ID
+    * family and the audio analog of [[imageDhash]]: the capability that
+    * lets a pipeline near-dup/match AUDIO content across containers,
+    * offsets and padding (same clip re-encoded, embedded in a longer
+    * stream, or silence-padded — exact byte/sample dedup misses all
+    * three). Per non-overlapping `windowSize` window of the mono mix:
+    * the FFT power spectrum's top `peaksPerFrame` LOCAL MAXIMA (strictly
+    * above the left neighbor, at least the right — dedups plateaus;
+    * ranked by power, ties to the lower bin) become constellation
+    * points (t, f); each anchor pairs with up to `fanout` later peaks
+    * within `maxDt` frames, hashed as the (f1, f2, Δt) triple — the
+    * classic landmark pair, invariant to WHEN the content occurs.
+    * Partition-local typed map like every kernel here: payloads never
+    * shuffle, output is a handful of (hash, t) longs per second of
+    * audio. Undecodable rows emit nothing (VAD/decode markers carry the
+    * triage). */
+  def audioFingerprints(audio: Dataset[DecodedAudio], windowSize: Int = 256,
+      peaksPerFrame: Int = 3, fanout: Int = 3, maxDt: Int = 16)
+      : Dataset[AudioFp] = {
+    require(windowSize > 0 && (windowSize & (windowSize - 1)) == 0,
+      s"windowSize $windowSize must be a power of 2")
+    import audio.sparkSession.implicits._
+    audio.flatMap { a =>
+      if (a.format == "undecodable" || a.channels <= 0) Seq.empty[AudioFp]
+      else {
+        val mono = new Array[Double](a.samples.length / a.channels)
+        var f = 0
+        while (f < mono.length) {
+          var s = 0.0; var c = 0
+          while (c < a.channels) { s += a.samples(f * a.channels + c); c += 1 }
+          mono(f) = s / a.channels
+          f += 1
+        }
+        val half = windowSize / 2
+        val nWin = mono.length / windowSize
+        // constellation: per window, the top local-maximum bins
+        val peaks = (0 until nWin).flatMap { w =>
+          val re = java.util.Arrays.copyOfRange(mono,
+            w * windowSize, (w + 1) * windowSize)
+          val im = new Array[Double](windowSize)
+          Fft.fft(re, im)
+          val p = new Array[Double](half + 1)
+          var k = 1
+          while (k <= half) { p(k) = re(k) * re(k) + im(k) * im(k); k += 1 }
+          (2 until half).filter(k => p(k) > p(k - 1) && p(k) >= p(k + 1))
+            .sortBy(k => (-p(k), k)).take(peaksPerFrame).sorted
+            .map(k => (w, k))
+        }
+        // landmark pairs: anchor -> up to `fanout` following peaks
+        peaks.indices.flatMap { i =>
+          val (t1, f1) = peaks(i)
+          peaks.drop(i + 1)
+            .filter { case (t2, _) => t2 > t1 && t2 - t1 <= maxDt }
+            .take(fanout)
+            .map { case (t2, f2) =>
+              AudioFp(a.media_id,
+                (f1.toLong << 32) | (f2.toLong << 16) | (t2 - t1).toLong, t1)
+            }
+        }
+      }
+    }
+  }
+
+  /** MATCH audio by fingerprint — the offset-histogram vote (the
+    * constellation scheme's verification step): candidate pairs come
+    * from an equi-join on the landmark hash (bucketed — never a
+    * cross product), and a TRUE content match shows as many hashes
+    * agreeing on ONE time offset t_a − t_b, so the per-pair vote is the
+    * max count over offsets, not the raw collision count (random
+    * spectral collisions scatter across offsets and stay under
+    * `minVotes`). Stop-hash discipline (the posting-list cap): a
+    * landmark appearing in more than `maxItemsPerHash` items carries no
+    * discriminative power and would inflate the join quadratically —
+    * dropped relationally before the join. Output is per matched PAIR
+    * (sparse by construction), each with its dominant offset and vote
+    * count. */
+  def audioMatches(fps: Dataset[AudioFp], minVotes: Int = 5,
+      maxItemsPerHash: Int = 32): DataFrame = {
+    val f = fps.toDF()
+    val rare = f.groupBy(col("hash"))
+      .agg(countDistinct(col("media_id")).as("__n"))
+      .filter(col("__n") <= maxItemsPerHash)
+      .select(col("hash"))
+    val pruned = f.join(rare, "hash")
+    val a = pruned.select(col("hash"), col("media_id").as("id_a"),
+      col("t").as("t_a"))
+    val b = pruned.select(col("hash"), col("media_id").as("id_b"),
+      col("t").as("t_b"))
+    a.join(b, Seq("hash"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"),
+        (col("t_a") - col("t_b")).as("offset"))
+      .agg(count(lit(1)).as("votes"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max_by(struct(col("votes"), col("offset")), col("votes"))
+        .as("w"))
+      .select(col("id_a"), col("id_b"), col("w.offset").as("offset"),
+        col("w.votes").as("votes"))
+      .filter(col("votes") >= minVotes)
+  }
+
+  /** Windowed "melody" PCM fixture for the fingerprint specs: window w
+    * of `media_id` carries two bin-aligned tones whose bins follow an
+    * id-keyed pattern that CHANGES per window (a constant tone would
+    * make every window hash-identical and the offset histogram flat —
+    * useless for alignment testing). Deterministic pure-integer bin
+    * choices; rectangular windows keep bin-aligned tones exact. */
+  def melodySamples(id: Long, nWindows: Int, windowSize: Int,
+      delayWindows: Int = 0): Array[Short] = {
+    val out = new Array[Short](nWindows * windowSize)
+    var w = 0
+    while (w < nWindows) {
+      val src = w - delayWindows
+      if (src >= 0) {
+        val b1 = (7 + ((id * 31 + src * 13) % 40)).toInt
+        val b2 = (60 + ((id * 17 + src * 29) % 50)).toInt
+        var t = 0
+        while (t < windowSize) {
+          val v = 6000.0 * math.cos(2 * math.Pi * b1 * t / windowSize) +
+            4000.0 * math.cos(2 * math.Pi * b2 * t / windowSize)
+          out(w * windowSize + t) = v.toShort
+          t += 1
+        }
+      }
+      w += 1
+    }
+    out
+  }
+
+  /** WAV-encode a melody clip (mono PCM16 — reuses the container writer
+    * path of [[audioBytes]]). */
+  def melodyWavBytes(id: Long, nWindows: Int, windowSize: Int,
+      delayWindows: Int = 0): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val samples = melodySamples(id, nWindows, windowSize, delayWindows)
+    val bytes = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      val s = samples(i).toInt
+      bytes(2 * i) = (s & 0xff).toByte
+      bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(16000f, 16, 1, true, false)
+    val in = new AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(in, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
   // ------------------------------- perceptual image hash (dHash) + dedup
 
   /** 64-bit DIFFERENCE HASH of an image payload — the perceptual
