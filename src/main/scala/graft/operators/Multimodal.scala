@@ -965,8 +965,18 @@ object Multimodal {
     while (w < nWindows) {
       val src = w - delayWindows
       if (src >= 0) {
-        val b1 = (7 + ((id * 31 + src * 13) % 40)).toInt
-        val b2 = (60 + ((id * 17 + src * 29) % 50)).toInt
+        // NONLINEAR bin choice (the planted-fixture rule: anything affine
+        // in the id under a modulus collapses to aligned progressions
+        // between ids — two "different" melodies would share landmark
+        // pairs at a consistent offset and spuriously match)
+        def mix(a: Long, b: Long): Long = {
+          var z = a * 0x9E3779B97F4A7C15L + b * 0xBF58476D1CE4E5B9L
+          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+          z ^ (z >>> 31)
+        }
+        val b1 = (7 + java.lang.Math.floorMod(mix(id, src), 40L)).toInt
+        val b2 = (60 + java.lang.Math.floorMod(mix(id + 1000, src), 50L)).toInt
         var t = 0
         while (t < windowSize) {
           val v = 6000.0 * math.cos(2 * math.Pi * b1 * t / windowSize) +
@@ -1000,6 +1010,27 @@ object Multimodal {
     val out = new java.io.ByteArrayOutputStream()
     AudioSystem.write(in, AudioFileFormat.Type.WAVE, out)
     out.toByteArray
+  }
+
+  /** Driver-gate audio-dedup query ([rows] — landmark hashes are
+    * engine-specific; AudioFpSpec pins offsets/votes on planted twins):
+    * a fixed synthetic fixture of 20 melodies where ids 15..19 are
+    * DELAYED COPIES of melodies 0..4 embedded after 3 windows of
+    * silence — the fingerprint match must recover exactly those five
+    * pairs with the true offset, and nothing else. sf-independent by
+    * construction (the qMediaDedup discipline). */
+  def qMediaAudiodup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val items = s.range(20).map { i =>
+      val id: Long = i
+      val (melody, delay, nWin) =
+        if (id >= 15) (id - 15, 3, 19) else (id, 0, 16)
+      MediaItem(id, MediaMeta("audio", 0, 0, 16000, nWin * 256000L / 16000),
+        melodyWavBytes(melody, nWin, 256, delay))
+    }
+    val fps = audioFingerprints(decodeAudio(items), windowSize = 256)
+    audioMatches(fps, minVotes = 8)
+      .orderBy(col("id_a"), col("id_b"))
   }
 
   // ------------------------------- perceptual image hash (dHash) + dedup

@@ -24,7 +24,7 @@ class AudioFpSpec extends GraftSpec {
     // id 2 is a different melody
     val items = Seq(item(1L, 24), item(101L, 29, delay = 5), item(2L, 24))
     val fps = Multimodal.audioFingerprints(
-      sess.createDataset(items), windowSize = W)
+      Multimodal.decodeAudio(sess.createDataset(items)), windowSize = W)
     val m = Multimodal.audioMatches(fps, minVotes = 5).collect()
     val pairs = m.map(r => ((r.getLong(0), r.getLong(1)),
       (r.getInt(2), r.getLong(3)))).toMap
@@ -43,15 +43,18 @@ class AudioFpSpec extends GraftSpec {
     val sess = spark
     import sess.implicits._
     val base = Multimodal.audioFingerprints(
-      sess.createDataset(Seq(item(7L, 16))), windowSize = W)
+      Multimodal.decodeAudio(sess.createDataset(Seq(item(7L, 16)))),
+      windowSize = W)
       .collect().map(f => (f.hash, f.t)).sortBy(x => (x._2, x._1))
     val again = Multimodal.audioFingerprints(
-      sess.createDataset(Seq(item(7L, 16))), windowSize = W)
+      Multimodal.decodeAudio(sess.createDataset(Seq(item(7L, 16)))),
+      windowSize = W)
       .collect().map(f => (f.hash, f.t)).sortBy(x => (x._2, x._1))
     assert(base.sameElements(again), "fingerprints must be deterministic")
     // the delayed twin's hash SET is a superset restricted to shifted t
     val delayed = Multimodal.audioFingerprints(
-      sess.createDataset(Seq(item(7L, 21, delay = 5))), windowSize = W)
+      Multimodal.decodeAudio(
+        sess.createDataset(Seq(item(7L, 21, delay = 5)))), windowSize = W)
       .collect().map(f => (f.hash, f.t)).toSet
     val shifted = base.map { case (h, t) => (h, t + 5) }.toSet
     val missing = shifted -- delayed
@@ -68,7 +71,7 @@ class AudioFpSpec extends GraftSpec {
     val items = (0 until 6).map(i => item(1000L + i, 12).copy(
       payload = Multimodal.melodyWavBytes(50, 12, W)))
     val fps = Multimodal.audioFingerprints(
-      sess.createDataset(items), windowSize = W)
+      Multimodal.decodeAudio(sess.createDataset(items)), windowSize = W)
     val m = Multimodal.audioMatches(fps, minVotes = 1, maxItemsPerHash = 5)
     assert(m.count() == 0, "capped hashes must not produce matches")
     // raising the cap restores the matches
