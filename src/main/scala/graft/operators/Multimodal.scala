@@ -939,16 +939,24 @@ object Multimodal {
       col("t").as("t_a"))
     val b = pruned.select(col("hash"), col("media_id").as("id_b"),
       col("t").as("t_b"))
+    // dominant-offset pick PACKED into one BIGINT (votes·2^32 +
+    // (2^31 − offset)) — the q_evt_m4 rule: a struct-valued max_by
+    // demotes the whole aggregate to SortAggregate, and a vote TIE
+    // between offsets would return an arbitrary one; the packing keeps
+    // the sortless HashAggregate and breaks ties deterministically
+    // toward the SMALLER offset.
     a.join(b, Seq("hash"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"),
         (col("t_a") - col("t_b")).as("offset"))
       .agg(count(lit(1)).as("votes"))
       .groupBy(col("id_a"), col("id_b"))
-      .agg(max_by(struct(col("votes"), col("offset")), col("votes"))
-        .as("w"))
-      .select(col("id_a"), col("id_b"), col("w.offset").as("offset"),
-        col("w.votes").as("votes"))
+      .agg(max(col("votes") * lit(4294967296L)
+        + (lit(2147483648L) - col("offset"))).as("pk"))
+      .select(col("id_a"), col("id_b"),
+        (lit(2147483648L) - pmod(col("pk"), lit(4294967296L)))
+          .cast("int").as("offset"),
+        expr("pk div 4294967296").as("votes"))
       .filter(col("votes") >= minVotes)
   }
 

@@ -194,22 +194,9 @@ object Similarity {
   }
 
   def qHybridRrfSql: String = {
-    val (k1, b) = (1.2, 0.75)
     val terms = graft.operators.TextIndex.SearchTerms
-    val tfCols = terms.zipWithIndex.map { case (t, i) =>
-      s"sum(CASE WHEN token = '$t' THEN tf ELSE 0 END) AS tf_$i"
-    }.mkString(", ")
-    val dfCols = terms.zipWithIndex.map { case (t, i) =>
-      s"(SELECT count(*) FROM postings WHERE token = '$t') AS df_$i"
-    }.mkString(", ")
-    val termList = terms.map(t => s"'$t'").mkString(", ")
-    val scoreExpr = terms.indices.map { i =>
-      s"""(CASE WHEN tf_$i > 0 THEN
-         | ln((n_docs - df_$i + 0.5) / (df_$i + 0.5) + 1.0)
-         | * ((tf_$i * ${k1 + 1.0})
-         |   / (tf_$i + $k1 * ((1.0 - $b) + $b * dl / (total_dl * 1.0 / n_docs))))
-         | ELSE 0.0 END)""".stripMargin.replace("\n", " ")
-    }.reduce((a, c) => s"($a + $c)")
+    val (tfCols, dfCols, termList, scoreExpr) =
+      graft.operators.TextIndex.bm25SqlParts(terms)
     s"""WITH toks AS (
        | SELECT doc_id, unnest(regexp_split_to_array(trim(text), ' +'))
        |   AS token FROM documents),

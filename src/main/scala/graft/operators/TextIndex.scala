@@ -344,9 +344,17 @@ object TextIndex {
   def qDocSearchRanked(s: SparkSession, d: String): DataFrame =
     searchRanked(s, d, SearchTerms)
 
-  def qDocSearchRankedSql: String = {
-    val (k1, b) = (1.2, 0.75)
-    val terms = SearchTerms
+  /** The DuckDB BM25 oracle-SQL building blocks — ONE copy of the
+    * determinism discipline (k1/b constants, 9-dp rounding target, the
+    * exact ln((N−df+0.5)/(df+0.5)+1) score expression) shared by every
+    * ranked-retrieval oracle (plain/top-K/pruned/phrase-ranked here,
+    * RRF fusion in Similarity): a future tweak cannot silently diverge
+    * for a subset of queries. Returns (tfCols, dfCols, termList,
+    * scoreExpr) over the conventional `postings`/`doclens`/`corpus`
+    * CTE names. */
+  private[operators] def bm25SqlParts(terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75)
+      : (String, String, String, String) = {
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
       s"sum(CASE WHEN token = '$t' THEN tf ELSE 0 END) AS tf_$i"
     }.mkString(", ")
@@ -361,6 +369,12 @@ object TextIndex {
          |   / (tf_$i + $k1 * ((1.0 - $b) + $b * dl / (total_dl * 1.0 / n_docs))))
          | ELSE 0.0 END)""".stripMargin.replace("\n", " ")
     }.reduce((a, c) => s"($a + $c)")
+    (tfCols, dfCols, termList, scoreExpr)
+  }
+
+  def qDocSearchRankedSql: String = {
+    val terms = SearchTerms
+    val (tfCols, dfCols, termList, scoreExpr) = bm25SqlParts(terms)
     s"""WITH toks AS (
        | SELECT doc_id, unnest(regexp_split_to_array(trim(text), ' +'))
        |   AS token FROM documents),
@@ -484,25 +498,11 @@ object TextIndex {
     searchPhraseRankedTopK(s, d, PhraseTerms, 10)
 
   def qDocPhraseRankedSql: String = {
-    val (k1, b) = (1.2, 0.75)
     val terms = PhraseTerms.distinct
     val adjConds = PhraseTerms.zipWithIndex.map { case (t, j) =>
       if (j == 0) s"ts[i] = '$t'" else s"ts[i+$j] = '$t'"
     }.mkString(" AND ")
-    val tfCols = terms.zipWithIndex.map { case (t, i) =>
-      s"sum(CASE WHEN token = '$t' THEN tf ELSE 0 END) AS tf_$i"
-    }.mkString(", ")
-    val dfCols = terms.zipWithIndex.map { case (t, i) =>
-      s"(SELECT count(*) FROM postings WHERE token = '$t') AS df_$i"
-    }.mkString(", ")
-    val termList = terms.map(t => s"'$t'").mkString(", ")
-    val scoreExpr = terms.indices.map { i =>
-      s"""(CASE WHEN tf_$i > 0 THEN
-         | ln((n_docs - df_$i + 0.5) / (df_$i + 0.5) + 1.0)
-         | * ((tf_$i * ${k1 + 1.0})
-         |   / (tf_$i + $k1 * ((1.0 - $b) + $b * dl / (total_dl * 1.0 / n_docs))))
-         | ELSE 0.0 END)""".stripMargin.replace("\n", " ")
-    }.reduce((a, c) => s"($a + $c)")
+    val (tfCols, dfCols, termList, scoreExpr) = bm25SqlParts(terms)
     s"""WITH toksa AS (
        | SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS ts
        | FROM documents),

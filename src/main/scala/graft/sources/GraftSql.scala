@@ -260,6 +260,23 @@ object GraftSql {
       // INSERT discipline; checkpointed once for the multi-consumer op.
       val name = if (n1 != null) n1 else n2
       val t = lookupName(spark, name)
+      // the regex splits the predicate at the first top-level SELECT, so
+      // a subquery (or SELECT-containing literal) inside the predicate
+      // mis-splits — refuse with the actual rule instead of letting a
+      // garbled fragment die deep inside the Catalyst parser
+      val predCol =
+        try {
+          // force the parse NOW: functions.expr may defer to analysis
+          GraftShim.parseExpression(spark, predText)
+          expr(predText)
+        }
+        catch {
+          case e: Exception => sys.error(
+            s"REPLACE WHERE predicate '$predText' does not parse — the " +
+              "predicate must be subquery-free (it runs to the first " +
+              "SELECT); use the overwriteWhere API for subquery " +
+              s"predicates (${e.getMessage})")
+        }
       val rows0 = spark.sql(
         rewriteMetaTables(spark, rewriteTimeTravel(spark, query)))
       val tgt = t.read().schema
@@ -267,7 +284,7 @@ object GraftSql {
         s"INSERT arity ${rows0.columns.length} != table arity ${tgt.length}")
       val rows = rows0.select(rows0.columns.zip(tgt.fields).map {
         case (c, f) => bq(c).cast(f.dataType).as(f.name) }: _*)
-      val s2 = t.overwriteWhere(expr(predText), rows.localCheckpoint())
+      val s2 = t.overwriteWhere(predCol, rows.localCheckpoint())
       refresh(spark, name)
       snapFrame(spark, s2)
     case TruncateRe(name) =>
@@ -365,11 +382,14 @@ object GraftSql {
     * table → a view over the ledger-derived frame (Iceberg's metadata
     * tables; textual rewrite like time travel — the suffixes are
     * reserved on bound names). KB-scale ledger reads, never data. */
-  /** CDC as SQL — `table_changes('t', since)` (the Delta function form)
-    * anywhere a relation can appear, rewritten to a view over
+  /** CDC as SQL — `table_changes('t', starting_version)` (the Delta
+    * function form, INCLUSIVE starting version exactly like Delta's:
+    * the changes committed AT `starting_version` are part of the
+    * result) anywhere a relation can appear, rewritten to a view over
     * [[GraftTable.readChanges]] (typed `_change_type` +
     * `_commit_snapshot` rows; KB metadata resolves the file set, the
-    * cdc files themselves are blast-radius-sized). Runs over the RAW
+    * cdc files themselves are blast-radius-sized). readChanges is
+    * EXCLUSIVE ("after snapshot s"), hence the −1. Runs over the RAW
     * statement because the table name sits INSIDE a string literal —
     * matches STARTING inside a quoted run are data and left alone (the
     * TIMESTAMP AS OF discipline). */
@@ -381,9 +401,9 @@ object GraftSql {
       if (t == null || insideQuote(stmt, m.start))
         java.util.regex.Matcher.quoteReplacement(m.matched)
       else {
-        val since = m.group(2).toLong
-        val view = s"${name}__ch$since"
-        t.readChanges(since).createOrReplaceTempView(view)
+        val from = m.group(2).toLong
+        val view = s"${name}__ch$from"
+        t.readChanges(from - 1).createOrReplaceTempView(view)
         view
       }
     })

@@ -879,7 +879,8 @@ object Lake {
     * `file:/x` and `/x` all compare equal. input_file_name() and the
     * binaryFile source disagree on the URI prefix form, and a remove row
     * whose path string differs from its add row would break liveFilesAt. */
-  private def normPath(p: String): String = p.replaceFirst("^file:/+", "/")
+  private[sources] def normPath(p: String): String =
+    p.replaceFirst("^file:/+", "/")
 
   /** True once a schema-evolving merge landed on this table (persistent
     * `_evolved` marker): reads must then UNION the per-file footers so
@@ -2025,8 +2026,16 @@ object Lake {
             .withColumn("op", lit("cdc"))
             .withColumn("snapshot_op", lit("merge"))))
         else withAdds
+      // a table whose FIRST row-landing snapshot comes through this path
+      // (empty ledger + changeFeed — the appendRows delegate normally
+      // records via ingestNewFiles) must still get a schema recording,
+      // or every later plan pays footer inference and a subsequent
+      // TRUNCATE leaves the zero-file table schema-less (unreadable)
+      val needSchema = !newEmpty &&
+        recordedSchemaAt(ledgerDir, Long.MaxValue).isEmpty
+      if (needSchema) recordSchema(ledgerDir, next, rows.schema)
       appendSnapshot(spark, ledgerDir, next, preReserved = true,
-        actions = actions)
+        actions = actions, stagedSchema = needSchema)
       next
     }
   }
@@ -2071,9 +2080,12 @@ object Lake {
       .map(l => liveActionsAt(l, snap).localCheckpoint())
     val index = liveActs.map(new LedgerFileIndex(_)).filterNot(_.isEmpty)
     if (index.isEmpty) {
-      // empty table: the region is trivially empty — a pure append
+      // empty table: the region is trivially empty — a pure insert.
+      // Delegate to the whole-table overwrite (NOT appendRows): its
+      // empty-table path carries the change feed's insert images, which
+      // appendRows does not record (the overwriteWith lesson)
       return if (newEmpty) snap
-        else appendRows(spark, ledgerDir, genRoot, rows)
+        else overwriteWith(spark, ledgerDir, genRoot, rows, changeFeed)
     }
     val target = tableScan(spark, ledgerDir, index.get, snap)
     val cols = target.columns.map(col)
@@ -2093,26 +2105,33 @@ object Lake {
         regexp_replace(col("path"), "^file:/+", "/")
           .isin(affectedNorm.toSeq: _*))
       // DV-applied: MOR-deleted rows neither resurrect into the carry
-      // nor surface as change-feed pre-images
-      // affected scan plans through a SUB-INDEX of the already-
-      // materialized live index (entries reused — no second collect job)
-      def affectedScan: DataFrame = applyDvsAt(spark, ledgerDir, snap,
-        tableScan(spark, ledgerDir, index.get.subIndex(affectedNorm),
-          atSnapshot = snap))
-      if (affectedNorm.nonEmpty)
-        affectedScan.filter(!coalesce(pred, lit(false)))
+      // nor surface as change-feed pre-images. Plans through a SUB-INDEX
+      // of the already-materialized live index (entries reused — no
+      // second collect job); with the change feed on, the blast radius
+      // feeds TWO consumers (carry + delete pre-images), so it
+      // materializes once (the updateWhere discipline) instead of
+      // re-reading the affected files per consumer.
+      val affectedRowsOpt: Option[DataFrame] =
+        if (affectedNorm.isEmpty) None
+        else {
+          val scan = applyDvsAt(spark, ledgerDir, snap,
+            tableScan(spark, ledgerDir, index.get.subIndex(affectedNorm),
+              atSnapshot = snap))
+          Some(if (changeFeed) scan.localCheckpoint() else scan)
+        }
+      affectedRowsOpt.foreach(
+        _.filter(!coalesce(pred, lit(false)))
           .select(cols: _*)
-          .write.mode("overwrite").parquet(s"$genDir/carry")
+          .write.mode("overwrite").parquet(s"$genDir/carry"))
       if (!newEmpty)
         rows.write.mode("overwrite").parquet(s"$genDir/delta")
       if (changeFeed) {
-        val deleted =
-          if (affectedNorm.nonEmpty)
-            affectedScan.filter(coalesce(pred, lit(false)))
-              .select(cols: _*)
-              .withColumn("_change_type", lit("delete"))
-          else target.limit(0).select(cols: _*)
-            .withColumn("_change_type", lit("delete"))
+        val deleted = affectedRowsOpt
+          .map(_.filter(coalesce(pred, lit(false)))
+            .select(cols: _*)
+            .withColumn("_change_type", lit("delete")))
+          .getOrElse(target.limit(0).select(cols: _*)
+            .withColumn("_change_type", lit("delete")))
         val inserted =
           if (newEmpty) deleted.limit(0)
           else spark.read.parquet(s"$genDir/delta")

@@ -83,8 +83,8 @@ final class LedgerFileIndex private (liveActions: DataFrame,
     * fixed per-commit metadata jobs). */
   def subIndex(keepNorm: Set[String]): LedgerFileIndex =
     new LedgerFileIndex(liveActions,
-      Some(entries.filter(e => keepNorm(
-        e._1.getPath.toString.replaceFirst("^file:/+", "/")))))
+      Some(entries.filter(e =>
+        keepNorm(Lake.normPath(e._1.getPath.toString)))))
 
   /** (path, size, per-column stats) of the live file set, materialized
     * once at first scan planning. Sizes/stats ride along from the ledger

@@ -409,7 +409,7 @@ class GraftSqlSpec extends GraftSpec {
     // the function form joins like any relation
     val typed = tbl.sql(
       s"""SELECT _change_type AS ct, CAST(count(*) AS BIGINT) AS n
-         |FROM table_changes('cdc_t', $head) GROUP BY 1 ORDER BY 1"""
+         |FROM table_changes('cdc_t', ${head + 1}) GROUP BY 1 ORDER BY 1"""
         .stripMargin).collect().map(r => (r.getString(0), r.getLong(1)))
     assert(typed.toSeq == Seq(("delete", 1L), ("insert", 1L),
       ("update_postimage", 1L), ("update_preimage", 1L)), typed.toSeq)
@@ -425,7 +425,7 @@ class GraftSqlSpec extends GraftSpec {
          |    SELECT k, name, v, _change_type, _commit_snapshot,
          |      row_number() OVER (PARTITION BY k
          |        ORDER BY _commit_snapshot DESC) AS rn
-         |    FROM table_changes('cdc_t', $head)
+         |    FROM table_changes('cdc_t', ${head + 1})
          |    WHERE _change_type <> 'update_preimage'
          |  ) WHERE rn = 1
          |)
@@ -443,6 +443,13 @@ class GraftSqlSpec extends GraftSpec {
     // 4 rows: update pre+post (k=2), insert (k=4), delete (k=1)
     assert(tbl.sql("SELECT count(*) AS n FROM cdc_t.changes")
       .head().getLong(0) == 4)
+    // Delta semantics: starting_version is INCLUSIVE — asking at the
+    // merge's own version includes that commit's changes (head+1 is the
+    // merge, head+2 the delete)
+    assert(tbl.sql(s"SELECT count(*) AS n FROM " +
+      s"table_changes('cdc_t', ${head + 1})").head().getLong(0) == 4)
+    assert(tbl.sql(s"SELECT count(*) AS n FROM " +
+      s"table_changes('cdc_t', ${head + 2})").head().getLong(0) == 1)
   }
 
   test("ALTER TABLE DROP COLUMNS: zero-data-file narrowing commit; time " +

@@ -89,6 +89,34 @@ class OverwriteWhereSpec extends GraftSpec {
       .head().getLong(0) == 200L)
   }
 
+  test("replaceWhere on an EMPTY table with changeFeed records insert " +
+      "images (the appendRows-delegate gap); and on a FRESH ledger the " +
+      "first commit still records the schema (truncate stays readable)") {
+    val sp = spark; import sp.implicits._
+    // empty (truncated) table: scoped overwrite must land cdc inserts
+    val (t, _) = dayTable()
+    t.overwrite(t.read().limit(0))
+    val head = t.snapshot
+    t.overwriteWhere(col("day") === "d1",
+      Seq(("d1", 500L, 1.0)).toDF("day", "id", "v"), changeFeed = true)
+    val ch = t.readChanges(head)
+    assert(ch.filter(col("_change_type") === "insert").count() == 1,
+      "empty-table scoped overwrite must record insert images")
+    // brand-new ledger whose FIRST commit is a change-feed overwrite:
+    // the schema must still be recorded (truncate must stay readable)
+    val tmp = Files.createTempDirectory("graft_owfresh").toString
+    val t2 = GraftTable(spark, s"$tmp/ledger", s"$tmp/gen")
+    t2.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      changeFeed = true)
+    assert(t2.readChanges(0).filter(col("_change_type") === "insert")
+      .count() == 2)
+    t2.overwrite(t2.read().limit(0)) // truncate
+    assert(t2.read().columns.toSeq == Seq("k", "v"),
+      "truncated table must keep its recorded schema")
+    t2.append(Seq((3L, "c")).toDF("k", "v"))
+    assert(t2.read().count() == 1)
+  }
+
   test("both SQL spellings route: INSERT OVERWRITE t WHERE … SELECT and " +
       "INSERT INTO t REPLACE WHERE … SELECT; constraints gate the rows") {
     val sp = spark; import sp.implicits._
@@ -113,5 +141,12 @@ class OverwriteWhereSpec extends GraftSpec {
       t.sql("INSERT OVERWRITE rw_t WHERE day = 'dX' SELECT 'dX', 2, -5.0")
     }
     assert(t.snapshot == head)
+    // a subquery predicate mis-splits at the first SELECT — refuse with
+    // the actual rule, not a garbled Catalyst parse error
+    val e = intercept[Exception] {
+      t.sql("INSERT OVERWRITE rw_t WHERE day IN (SELECT day FROM rw_t) " +
+        "SELECT 'dX', 3, 1.0")
+    }
+    assert(e.getMessage.contains("subquery-free"), e.getMessage)
   }
 }
