@@ -1101,6 +1101,93 @@ object GraftSql {
     out
   }
 
+  /** Oracle-checked SCOPED-OVERWRITE lifecycle — replaceWhere under the
+    * HARD gate: build a lake from customer, then one script runs both
+    * SQL spellings self-referencingly (`INSERT OVERWRITE … WHERE
+    * c_mktsegment = 'BUILDING'` keeps every other segment's rows
+    * physically untouched while halving + bumping BUILDING;
+    * `INSERT INTO … REPLACE WHERE c_mktsegment = 'MACHINERY'` the
+    * Delta spelling on a second region), and a final per-segment
+    * now/v1 report over the current state and the pre-DML snapshot.
+    * DuckDB mirrors each region replace as DELETE-region + INSERT.
+    * Money discipline: bumps in DECIMAL(12,2), sums in DECIMAL, double
+    * casts in final projections only. */
+  def qSqlReplaceWhere(spark: SparkSession, sfDir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sqlrw").toString
+    val t = GraftTable(spark, s"$tmp/ledger", s"$tmp/gen")
+    graft.BenchPhase("fixture") {
+      spark.read.parquet(s"$sfDir/customer.parquet")
+        .repartition(4).write.parquet(s"$tmp/landing")
+      t.ingest(s"$tmp/landing")
+    }
+    t.bindSql("sqlrw_cust")
+    val out = graft.BenchPhase("op") { t.sql(
+      """INSERT OVERWRITE sqlrw_cust WHERE c_mktsegment = 'BUILDING'
+        |SELECT c_custkey, c_name, c_nationkey,
+        |  CAST(CAST(c_acctbal AS DECIMAL(12,2)) + 300.00 AS DOUBLE)
+        |    AS c_acctbal,
+        |  c_mktsegment
+        |FROM sqlrw_cust
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey % 2 = 0;
+        |INSERT INTO sqlrw_cust REPLACE WHERE c_mktsegment = 'MACHINERY'
+        |SELECT c_custkey, c_name, c_nationkey,
+        |  CAST(CAST(c_acctbal AS DECIMAL(12,2)) - 50.00 AS DOUBLE)
+        |    AS c_acctbal,
+        |  c_mktsegment
+        |FROM sqlrw_cust
+        |WHERE c_mktsegment = 'MACHINERY' AND c_custkey % 3 = 0;
+        |SELECT 'now' AS era, c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS n_cust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+        |FROM sqlrw_cust GROUP BY c_mktsegment
+        |UNION ALL
+        |SELECT 'v1' AS era, c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS n_cust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+        |FROM sqlrw_cust VERSION AS OF 1 GROUP BY c_mktsegment""".stripMargin)
+      .localCheckpoint() // eager: materialize before the files vanish
+    }
+    unbind(spark, "sqlrw_cust")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array()).foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(tmp))
+    out
+  }
+
+  /** DuckDB mirror of [[qSqlReplaceWhere]]'s two region replaces. */
+  def qSqlReplaceWhereSql: String =
+    """CREATE OR REPLACE TEMP TABLE sqlrw_cust AS
+      |  SELECT * FROM customer;
+      |CREATE OR REPLACE TEMP TABLE sqlrw_b AS
+      |  SELECT c_custkey, c_name, c_nationkey,
+      |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) + 300.00 AS DOUBLE)
+      |      AS c_acctbal,
+      |    c_mktsegment
+      |  FROM sqlrw_cust
+      |  WHERE c_mktsegment = 'BUILDING' AND c_custkey % 2 = 0;
+      |DELETE FROM sqlrw_cust WHERE c_mktsegment = 'BUILDING';
+      |INSERT INTO sqlrw_cust SELECT * FROM sqlrw_b;
+      |CREATE OR REPLACE TEMP TABLE sqlrw_m AS
+      |  SELECT c_custkey, c_name, c_nationkey,
+      |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) - 50.00 AS DOUBLE)
+      |      AS c_acctbal,
+      |    c_mktsegment
+      |  FROM sqlrw_cust
+      |  WHERE c_mktsegment = 'MACHINERY' AND c_custkey % 3 = 0;
+      |DELETE FROM sqlrw_cust WHERE c_mktsegment = 'MACHINERY';
+      |INSERT INTO sqlrw_cust SELECT * FROM sqlrw_m;
+      |SELECT 'now' AS era, c_mktsegment,
+      |  CAST(count(*) AS BIGINT) AS n_cust,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+      |FROM sqlrw_cust GROUP BY c_mktsegment
+      |UNION ALL
+      |SELECT 'v1' AS era, c_mktsegment,
+      |  CAST(count(*) AS BIGINT) AS n_cust,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+      |FROM customer GROUP BY c_mktsegment""".stripMargin
+
   /** DuckDB mirror of [[qSqlOverwrite]]'s three table states. */
   def qSqlOverwriteSql: String =
     """CREATE OR REPLACE TEMP TABLE sqlow_v2 AS
