@@ -577,7 +577,9 @@ object GraftSql {
     * condition evaluates against source rows (standard first-hit MERGE
     * scoping on this whole-row surface), so a target-qualified attribute
     * (`t.status`) or an unqualified name the source doesn't carry would
-    * silently read the wrong relation. */
+    * silently read the wrong relation. NOT MATCHED BY SOURCE arms are
+    * the opposite scope (target-only) and route to the column-list
+    * path, which resolves them there. */
   private def requireSourceScoped(cond: Expression, target: LogicalPlan,
       sourceCols: Set[String]): Unit = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
@@ -667,7 +669,10 @@ object GraftSql {
       case InsertStarAction(Some(_)) => true
       case _ => false
     }
-    if (hasColumnList) return runMergeColumnList(spark, m)
+    // NOT MATCHED BY SOURCE arms (UPDATE/DELETE of target rows the source
+    // lacks — the sync shape) are assembled relationally too
+    if (hasColumnList || m.notMatchedBySourceActions.nonEmpty)
+      return runMergeColumnList(spark, m)
     val t = lookup(spark, m.targetTable)
     val name = tableName(m.targetTable)
     def unsupported(what: String): Nothing = sys.error(
@@ -779,7 +784,13 @@ object GraftSql {
     *    untouched;
     *  - NOT MATCHED arms see only the source and build insert images
     *    with unlisted columns null-filled (standard column-list
-    *    semantics).
+    *    semantics);
+    *  - NOT MATCHED BY SOURCE arms (the sync shape) anti-join the FULL
+    *    target against the source keys and claim the unmatched target
+    *    rows first-hit-wins — UPDATE arms project a target-only
+    *    post-image, DELETE arms flag drops; cost is target-bound by
+    *    semantics (every row outside the batch is a candidate), with
+    *    arm conditions pushing through the anti-join into the scan.
     *
     * One [[GraftTable.merge]] call lands the union with the usual
     * blast-radius guarantees. Unqualified column references resolve to
@@ -797,8 +808,6 @@ object GraftSql {
     if (m.withSchemaEvolution) sys.error(
       "WITH SCHEMA EVOLUTION needs whole-row arms (UPDATE SET * / " +
         "INSERT *) — column-list arms pin the target schema")
-    if (m.notMatchedBySourceActions.nonEmpty)
-      sys.error("WHEN NOT MATCHED BY SOURCE is not routed")
     val keys = mergeOnKeys(m.mergeCondition, msg => sys.error(msg))
     // materialize the USING relation ONCE — it feeds the key-range probe,
     // the pre-image join, and the unmatched anti-join (a merge source is
@@ -820,8 +829,10 @@ object GraftSql {
       case _ => Set.empty[String]
     }).map(_.toLowerCase)
     /** Resolve `e` against the renamed pre-image pair (`sourceOnly`:
-      * NOT MATCHED arms see no target row). */
-    def resolve(e: Expression, sourceOnly: Boolean): Column =
+      * NOT MATCHED arms see no target row; `targetOnly`: NOT MATCHED BY
+      * SOURCE arms see no source row). */
+    def resolve(e: Expression, sourceOnly: Boolean,
+        targetOnly: Boolean = false): Column =
       GraftShim.column(e.transform {
         case a: UnresolvedAttribute =>
           val last = a.nameParts.last
@@ -832,7 +843,10 @@ object GraftSql {
             case None => sys.error(s"unknown target column '${a.name}'")
           }
           def sRef = srcColOf(last) match {
-            case Some(c) => UnresolvedAttribute(Seq(s"__s_$c"))
+            case Some(c) if !targetOnly => UnresolvedAttribute(Seq(s"__s_$c"))
+            case Some(_) => sys.error(s"NOT MATCHED BY SOURCE arm " +
+              s"references the source column '${a.name}' — there is no " +
+              "source row")
             case None => sys.error(s"unknown source column '${a.name}'")
           }
           if (a.nameParts.size > 1) {
@@ -843,6 +857,7 @@ object GraftSql {
               "target or source name/alias")
           }
           else if (sourceOnly) sRef
+          else if (targetOnly) { if (tgtColOf(last).isDefined) tRef else sRef }
           else (tgtColOf(last).isDefined, srcColOf(last).isDefined) match {
             case (true, true) => sys.error(s"ambiguous column '$last' — " +
               "qualify it with the target or source name/alias")
@@ -850,15 +865,15 @@ object GraftSql {
             case (false, _) => sRef
           }
       })
-    def setsOf(assignments: Seq[Assignment],
-        sourceOnly: Boolean): Map[String, Column] =
+    def setsOf(assignments: Seq[Assignment], sourceOnly: Boolean,
+        targetOnly: Boolean = false): Map[String, Column] =
       assignments.map { a =>
         val n = attrName(a.key)
         val f = tgtColOf(n).getOrElse(sys.error(s"SET/INSERT column '$n' " +
           "is not a table column"))
         if (keys.exists(f.equalsIgnoreCase) && !sourceOnly) sys.error(
           s"UPDATE SET on the merge key '$f' — a keyed merge cannot re-key")
-        f -> resolve(a.value, sourceOnly)
+        f -> resolve(a.value, sourceOnly, targetOnly)
       }.toMap
     // renamed sides; the pre-image pair materializes ONCE (it feeds one
     // frame per matched arm) and is source-batch-sized by construction
@@ -931,7 +946,45 @@ object GraftSql {
       uClaimed = uClaimed || ci
       unmatched.filter(guard).select(typed(img, drop = false): _*)
     }
-    val frames = matchedFrames ++ insertFrames
+    // WHEN NOT MATCHED BY SOURCE — target rows with no source match (the
+    // sync shape: prune/flag target rows the source no longer carries).
+    // Candidates are by semantics the WHOLE table (a row outside the
+    // batch's key range is unmatched by construction), so the anti-join
+    // scans the full target — the one arm family whose cost is
+    // target-bound, exactly as in Delta; a scoped arm condition
+    // (`AND t.ds = …`) pushes through the anti-join into the scan and
+    // restores file pruning. Keys no arm claims stay OUT of the assembled
+    // source, so those target rows are untouched.
+    val nmbsFrames =
+      if (m.notMatchedBySourceActions.isEmpty) Seq.empty[DataFrame]
+      else {
+        val tgtRFull = tgt.select(
+          tgtFields.map(f => col(f.name).as(s"__t_${f.name}")): _*)
+        val unmatchedTgt = tgtRFull.join(
+          srcR.select(keys.map(k => col(s"__s_$k")): _*), onPair, "left_anti")
+        var nClaimed: Column = lit(false)
+        m.notMatchedBySourceActions.map { act =>
+          val (condE, build) = act match {
+            case UpdateAction(c, as, _) =>
+              val sets = setsOf(as, sourceOnly = false, targetOnly = true)
+              (c, () => typed(tgtFields.map(f => f.name ->
+                sets.getOrElse(f.name, col(s"__t_${f.name}"))), drop = false))
+            case DeleteAction(c) =>
+              (c, () => typed(tgtFields.map(f =>
+                f.name -> col(s"__t_${f.name}")), drop = true))
+            case other => sys.error("unsupported not-matched-by-source " +
+              s"action $other (UPDATE SET col = expr / DELETE only — " +
+              "there is no source row to SET * or INSERT from)")
+          }
+          val ci = condE.map(e => coalesce(
+            resolve(e, sourceOnly = false, targetOnly = true), lit(false)))
+            .getOrElse(lit(true))
+          val guard = !nClaimed && ci
+          nClaimed = nClaimed || ci
+          unmatchedTgt.filter(guard).select(build(): _*)
+        }
+      }
+    val frames = matchedFrames ++ insertFrames ++ nmbsFrames
     require(frames.nonEmpty, "MERGE with no actions")
     // materialize the assembled post-image ONCE (source-batch-sized):
     // the merge walks its source several times (key set, affected-file
@@ -955,7 +1008,11 @@ object GraftSql {
     * source + `INSERT (cols) VALUES` null-filling the unlisted
     * columns), a COMPOSITE-KEY MERGE (`ON … c_custkey AND … c_mktsegment`
     * — rows sharing a custkey but mismatching the segment must NOT
-    * match, update-only arms), a column-list INSERT, and a final report
+    * match, update-only arms), a column-list INSERT, a NOT-MATCHED-BY-
+    * SOURCE MERGE (matched tip bump + first-hit-wins NMBS arms over the
+    * target rows the source lacks: a conditional DELETE, then a flag
+    * UPDATE that claims what the DELETE's condition — null-safe — did
+    * not), and a final report
     * joining the current state against `VERSION AS OF 1` (the pre-DML
     * snapshot).
     * Every effect is pure algebra over `customer`, so DuckDB mirrors
@@ -1024,13 +1081,28 @@ object GraftSql {
         |INSERT INTO sqldml_cust (c_custkey, c_name, c_mktsegment)
         |SELECT c_custkey + 40000000, c_name, c_mktsegment
         |FROM sqldml_cust WHERE c_custkey % 149 = 0;
+        |MERGE INTO sqldml_cust USING (
+        |  SELECT c_custkey, CAST(5.00 AS DOUBLE) AS tip
+        |  FROM sqldml_cust WHERE c_custkey % 11 = 0
+        |) kp ON sqldml_cust.c_custkey = kp.c_custkey
+        |WHEN MATCHED THEN UPDATE SET c_acctbal =
+        |  CAST(CAST(c_acctbal AS DECIMAL(12,2))
+        |    + CAST(tip AS DECIMAL(12,2)) AS DOUBLE)
+        |WHEN NOT MATCHED BY SOURCE AND c_mktsegment = 'FURNITURE'
+        |  AND c_acctbal > 9000 THEN DELETE
+        |WHEN NOT MATCHED BY SOURCE AND c_mktsegment = 'FURNITURE'
+        |  THEN UPDATE SET c_name = 'nmbs-flagged';
         |SELECT 'now' AS era, c_mktsegment,
         |  CAST(count(*) AS BIGINT) AS n_cust,
+        |  CAST(count(CASE WHEN c_name = 'nmbs-flagged' THEN 1 END)
+        |    AS BIGINT) AS n_flag,
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
         |FROM sqldml_cust GROUP BY c_mktsegment
         |UNION ALL
         |SELECT 'v1' AS era, c_mktsegment,
         |  CAST(count(*) AS BIGINT) AS n_cust,
+        |  CAST(count(CASE WHEN c_name = 'nmbs-flagged' THEN 1 END)
+        |    AS BIGINT) AS n_flag,
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
         |FROM sqldml_cust VERSION AS OF 1 GROUP BY c_mktsegment""".stripMargin)
       .localCheckpoint() // eager: materialize before the files vanish
@@ -1274,13 +1346,29 @@ object GraftSql {
       |INSERT INTO sqldml_cust (c_custkey, c_name, c_mktsegment)
       |SELECT c_custkey + 40000000, c_name, c_mktsegment
       |FROM sqldml_cust WHERE c_custkey % 149 = 0;
+      |CREATE OR REPLACE TEMP TABLE sqldml_kp AS
+      |  SELECT c_custkey FROM sqldml_cust WHERE c_custkey % 11 = 0;
+      |UPDATE sqldml_cust SET c_acctbal =
+      |  CAST(CAST(c_acctbal AS DECIMAL(12,2))
+      |    + CAST(5.00 AS DECIMAL(12,2)) AS DOUBLE)
+      |WHERE c_custkey IN (SELECT c_custkey FROM sqldml_kp);
+      |DELETE FROM sqldml_cust
+      |WHERE c_custkey NOT IN (SELECT c_custkey FROM sqldml_kp)
+      |  AND c_mktsegment = 'FURNITURE' AND c_acctbal > 9000;
+      |UPDATE sqldml_cust SET c_name = 'nmbs-flagged'
+      |WHERE c_custkey NOT IN (SELECT c_custkey FROM sqldml_kp)
+      |  AND c_mktsegment = 'FURNITURE';
       |SELECT 'now' AS era, c_mktsegment,
       |  CAST(count(*) AS BIGINT) AS n_cust,
+      |  CAST(count(CASE WHEN c_name = 'nmbs-flagged' THEN 1 END)
+      |    AS BIGINT) AS n_flag,
       |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
       |FROM sqldml_cust GROUP BY c_mktsegment
       |UNION ALL
       |SELECT 'v1' AS era, c_mktsegment,
       |  CAST(count(*) AS BIGINT) AS n_cust,
+      |  CAST(count(CASE WHEN c_name = 'nmbs-flagged' THEN 1 END)
+      |    AS BIGINT) AS n_flag,
       |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
       |FROM customer GROUP BY c_mktsegment""".stripMargin
 }

@@ -347,6 +347,60 @@ class GraftSqlSpec extends GraftSpec {
     assert(e2.getMessage.contains("duplicate ON key"), e2.getMessage)
   }
 
+  test("MERGE WHEN NOT MATCHED BY SOURCE: sync-shape arms claim unmatched " +
+      "target rows first-hit-wins; unclaimed rows untouched; source " +
+      "references and re-keying refused") {
+    val sp = spark; import sp.implicits._
+    val tmp = Files.createTempDirectory("graft_sql_nmbs").toString
+    val tbl = GraftTable(spark, s"$tmp/ledger", s"$tmp/gen")
+    Seq((1L, 10.0, "keep"), (2L, 20.0, "keep"), (3L, 300.0, "prune"),
+        (4L, 40.0, "prune"), (5L, 50.0, "other"))
+      .toDF("k", "v", "grp").write.parquet(s"$tmp/landing")
+    tbl.ingest(s"$tmp/landing")
+    tbl.bindSql("nmbs_t")
+    Seq((1L, 11.0), (9L, 99.0)).toDF("k", "amt")
+      .createOrReplaceTempView("nmbs_src")
+    // matched update + insert + two NMBS arms: the DELETE claims prune
+    // rows with v > 100 first, the UPDATE flags the remaining prune rows;
+    // keep/other rows are claimed by no arm and stay untouched
+    tbl.sql("""MERGE INTO nmbs_t USING nmbs_src s ON nmbs_t.k = s.k
+      |WHEN MATCHED THEN UPDATE SET v = amt
+      |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, amt)
+      |WHEN NOT MATCHED BY SOURCE AND grp = 'prune' AND v > 100 THEN DELETE
+      |WHEN NOT MATCHED BY SOURCE AND grp = 'prune'
+      |  THEN UPDATE SET grp = 'stale', v = v + 1""".stripMargin)
+    val got = tbl.read().orderBy(col("k")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), Option(r.getString(2)))).toSeq
+    assert(got == Seq(
+      (1L, 11.0, Some("keep")),  // matched -> updated
+      (2L, 20.0, Some("keep")),  // unmatched, no NMBS arm claims: untouched
+      // 3 deleted (prune & v > 100, the first NMBS arm)
+      (4L, 41.0, Some("stale")), // second NMBS arm (first-hit-wins)
+      (5L, 50.0, Some("other")), // untouched
+      (9L, 99.0, None)), s"got $got") // inserted, grp null-filled
+    // an NMBS arm referencing a source column refuses (no source row)
+    val es = intercept[RuntimeException] {
+      tbl.sql("""MERGE INTO nmbs_t USING nmbs_src s ON nmbs_t.k = s.k
+        |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = amt""".stripMargin)
+    }
+    assert(es.getMessage.contains("no source row"), es.getMessage)
+    // NMBS re-key refused like every other arm
+    val ek = intercept[RuntimeException] {
+      tbl.sql("""MERGE INTO nmbs_t USING nmbs_src s ON nmbs_t.k = s.k
+        |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET k = 0""".stripMargin)
+    }
+    assert(ek.getMessage.contains("cannot re-key"), ek.getMessage)
+    // the pure sync form (NMBS-only, no column-list arms — exercises the
+    // star-path routing): target shrinks to exactly the source's keys
+    tbl.sql("""MERGE INTO nmbs_t USING (
+      |  SELECT k FROM nmbs_t WHERE k IN (1, 4)
+      |) s ON nmbs_t.k = s.k
+      |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    assert(tbl.read().select("k").as[Long].collect().sorted.toSeq
+      == Seq(1L, 4L))
+    GraftSql.unbind(spark, "nmbs_t")
+  }
+
   test("ALTER TABLE ADD COLUMNS: zero-data-file schema commit, old rows " +
       "read null, INSERT with the new column works, time travel below " +
       "the evolution keeps the old shape") {
