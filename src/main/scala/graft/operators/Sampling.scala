@@ -274,4 +274,144 @@ object Sampling {
        |    FROM documents) a) b) c)
        |GROUP BY 1, 2""".stripMargin
   }
+
+  // --------------------------------------------------------------- DSIR
+
+  /** Feature-model vocabulary bound (top-V by raw count + one OOV
+    * bucket). The published method hashes features into 10k buckets to
+    * bound model size; an explicit top-V cut plays the same
+    * bounded-memory role (V+1 rows broadcast anywhere) and — unlike a
+    * hash — is exactly replayable in oracle SQL. */
+  val DsirV = 4096
+
+  /** DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every raw
+    * document by how much more likely its unigram+bigram feature stream
+    * is under a TARGET domain's bag-of-features model than under the raw
+    * corpus's own model, and keep the docs whose importance weight
+    * exceeds 1. The target here is the `lang = 'en'` slice (the "domain
+    * sample" role the paper fills with Wikipedia+books). Both models are
+    * add-1-smoothed multinomials over the SAME top-V + OOV buckets.
+    *
+    * Exactness discipline (cross-engine hash parity): each feature's
+    * log-ratio quantizes ONCE into a scaled BIGINT,
+    *   L_f = floor(1e6 · ln((tgt_f + 1) / (raw_f + 1))),
+    * with the normalizer folded into a per-feature constant
+    *   L0 = floor(1e6 · ln((N_raw + V') / (N_tgt + V'))),
+    * so a per-doc score is an exact integer sum Σ (L_f + L0) — never a
+    * float accumulation whose ordering could diverge between engines.
+    * The only floats are the V'+1 distinct ln() calls, each quantized
+    * identically by both engines (a divergence needs the true value
+    * within ~1e-9 of the 1e-6 grid; the tgt_f = raw_f boundary case is
+    * ln 1 = 0, exact in both). `selected = score > 0` is the
+    * importance-weight-above-1 keep decision.
+    *
+    * Scale shape (100 TB): the feature stream explodes in-place from the
+    * scan (built-in split/transform — no UDF; bigrams come from the
+    * MATERIALIZED token array, never a re-evaluated lambda split); the
+    * model is one map-side-combined groupBy of that stream cut to V rows
+    * by a bounded TakeOrdered; scoring joins the stream against the
+    * V+1-row model (broadcast by size, hint-free) and re-aggregates per
+    * doc — the only corpus-sized shuffle carries (doc_id, long) partial
+    * sums, never text. Three scan passes (model, totals, scoring); a
+    * 100 TB deployment would fold the first two into one hashed-bucket
+    * pass, the paper's own shape. */
+  def qDocDsir(s: SparkSession, d: String): DataFrame =
+    dsirScores(Tables.documents(s, d), col("lang") === "en", DsirV)
+
+  /** Core of [[qDocDsir]], parametric in the target predicate and the
+    * vocabulary bound so the spec can plant a tiny corpus and force the
+    * OOV bucket (the sf corpora fit entirely inside DsirV). `docs` needs
+    * (doc_id, text) plus whatever `isTarget` reads. */
+  private[graft] def dsirScores(docs: DataFrame, isTarget: Column,
+      v: Int): DataFrame = {
+    val feats = docs
+      .select(col("doc_id"), isTarget.as("__tgt"),
+        TextOps.tokens(col("text")).as("t"))
+      // Spark's sequence(1, 0) counts DOWN (it is not empty) — guard the
+      // single-token doc explicitly
+      .withColumn("feats", concat(col("t"),
+        when(size(col("t")) >= 2,
+          transform(sequence(lit(1), size(col("t")) - 1),
+            i => concat(element_at(col("t"), i), lit(" "),
+              element_at(col("t"), i + 1))))
+          .otherwise(array())))
+      .select(col("doc_id"), col("__tgt"), explode(col("feats")).as("f"))
+    val isTgt = col("__tgt")
+    val counts = feats.groupBy(col("f")).agg(
+      count(lit(1)).as("raw_c"),
+      count(when(isTgt, 1)).as("tgt_c"))
+    // top-V vocabulary — bounded global cut, ties on the feature string
+    // (binary collation in both engines on this ASCII corpus)
+    val vocab = counts.orderBy(col("raw_c").desc, col("f")).limit(v)
+      .localCheckpoint() // ≤ V rows; feeds the stats row and the join
+    val tot = feats.agg(count(lit(1)).as("n_raw"),
+      count(when(isTgt, 1)).as("n_tgt")).head()
+    val (nRaw, nTgt) = (tot.getLong(0), tot.getLong(1))
+    val vs = vocab.agg(sum(col("raw_c")), sum(col("tgt_c")),
+      count(lit(1))).head()
+    val (vRaw, vTgt, vp) = (vs.getLong(0), vs.getLong(1), vs.getLong(2) + 1)
+    def lq(a: Long, b: Long): Long =
+      math.floor(1e6 * math.log(a.toDouble / b.toDouble)).toLong
+    val l0 = lq(nRaw + vp, nTgt + vp)
+    val lOov = lq(nTgt - vTgt + 1, nRaw - vRaw + 1)
+    val lf = vocab.select(col("f"),
+      floor(lit(1e6) * log((col("tgt_c") + 1).cast("double") /
+        (col("raw_c") + 1))).cast("long").as("lf"))
+    feats.join(lf, Seq("f"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feat"),
+        sum(coalesce(col("lf"), lit(lOov)) + lit(l0)).cast("long")
+          .as("score_scaled"))
+      .select(col("doc_id"), col("n_feat"), col("score_scaled"),
+        (col("score_scaled") > 0).as("selected"))
+  }
+
+  def qDocDsirSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, lang, regexp_split_to_array(trim(text), ' +') AS t
+       |  FROM documents
+       |), feats AS (
+       |  SELECT doc_id, lang, unnest(t) AS f FROM base
+       |  UNION ALL
+       |  SELECT doc_id, lang, t[i] || ' ' || t[i + 1] AS f
+       |  FROM (SELECT doc_id, lang, t,
+       |          unnest(generate_series(1, len(t) - 1)) AS i
+       |        FROM base) b
+       |), counts AS (
+       |  SELECT f, CAST(count(*) AS BIGINT) AS raw_c,
+       |    CAST(count(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS tgt_c
+       |  FROM feats GROUP BY f
+       |), vocab AS (
+       |  SELECT f, raw_c, tgt_c FROM counts ORDER BY raw_c DESC, f
+       |  LIMIT $DsirV
+       |), tot AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_raw,
+       |    CAST(count(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS n_tgt
+       |  FROM feats
+       |), vs AS (
+       |  SELECT CAST(sum(raw_c) AS BIGINT) AS v_raw,
+       |    CAST(sum(tgt_c) AS BIGINT) AS v_tgt,
+       |    CAST(count(*) AS BIGINT) + 1 AS vp
+       |  FROM vocab
+       |), consts AS (
+       |  SELECT CAST(floor(CAST(1000000 AS DOUBLE)
+       |      * ln(CAST(n_raw + vp AS DOUBLE) / (n_tgt + vp))) AS BIGINT)
+       |      AS l0,
+       |    CAST(floor(CAST(1000000 AS DOUBLE)
+       |      * ln(CAST(n_tgt - v_tgt + 1 AS DOUBLE) / (n_raw - v_raw + 1)))
+       |      AS BIGINT) AS l_oov
+       |  FROM tot, vs
+       |), lf AS (
+       |  SELECT f, CAST(floor(CAST(1000000 AS DOUBLE)
+       |    * ln(CAST(tgt_c + 1 AS DOUBLE) / (raw_c + 1))) AS BIGINT) AS lf
+       |  FROM vocab
+       |)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feat,
+       |  CAST(sum(COALESCE(lf.lf, consts.l_oov) + consts.l0) AS BIGINT)
+       |    AS score_scaled,
+       |  CAST(sum(COALESCE(lf.lf, consts.l_oov) + consts.l0) AS BIGINT) > 0
+       |    AS selected
+       |FROM feats LEFT JOIN lf USING (f) CROSS JOIN consts
+       |GROUP BY doc_id""".stripMargin
 }

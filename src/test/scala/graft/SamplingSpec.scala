@@ -126,4 +126,59 @@ class SamplingSpec extends GraftSpec {
     assert(a == b, "curriculum decisions moved under repartitioning")
     assert(a.nonEmpty)
   }
+
+  test("DSIR importance scores: exact vs a local reference model with a " +
+      "forced-small vocab (OOV bucket live), target-like docs selected") {
+    val sp = spark; import sp.implicits._
+    // target docs speak {alpha, beta}; raw-only docs {zeta, eta}; doc 6
+    // is a raw doc written in the target's vocabulary (the doc DSIR
+    // exists to find); doc 5 mixes. V = 3 keeps only the top-3 features
+    // in vocab, so bigrams and rarer unigrams flow through the OOV bucket.
+    val rows = Seq(
+      (1L, "alpha beta alpha", true),
+      (2L, "beta alpha beta alpha", true),
+      (3L, "zeta eta zeta eta", false),
+      (4L, "eta zeta eta", false),
+      (5L, "alpha zeta", false),
+      (6L, "alpha beta beta", false))
+    val v = 3
+    val got = Sampling.dsirScores(
+      rows.toDF("doc_id", "text", "is_tgt"), col("is_tgt"), v)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))).toMap
+
+    // independent local reference (same model, plain Scala)
+    def feats(t: String): Seq[String] = {
+      val toks = t.trim.split(" +").toSeq
+      toks ++ toks.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+    }
+    val byDoc = rows.map { case (id, t, tgt) => (id, feats(t), tgt) }
+    val all = byDoc.flatMap { case (_, fs, tgt) => fs.map(f => (f, tgt)) }
+    val rawC = all.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val tgtC = all.filter(_._2).groupBy(_._1).view
+      .mapValues(_.size.toLong).toMap
+    val vocab = rawC.toSeq.sortBy { case (f, c) => (-c, f) }.take(v).map(_._1)
+    val (nRaw, nTgt) = (all.size.toLong, all.count(_._2).toLong)
+    val vRaw = vocab.map(rawC).sum
+    val vTgt = vocab.map(f => tgtC.getOrElse(f, 0L)).sum
+    val vp = vocab.size + 1L
+    def lq(a: Long, b: Long): Long =
+      math.floor(1e6 * math.log(a.toDouble / b.toDouble)).toLong
+    val l0 = lq(nRaw + vp, nTgt + vp)
+    val lOov = lq(nTgt - vTgt + 1, nRaw - vRaw + 1)
+    val lf = vocab.map(f =>
+      f -> lq(tgtC.getOrElse(f, 0L) + 1, rawC(f) + 1)).toMap
+    val expected = byDoc.map { case (id, fs, _) =>
+      val score = fs.map(f => lf.getOrElse(f, lOov) + l0).sum
+      id -> ((fs.size.toLong, score, score > 0))
+    }.toMap
+    assert(got == expected, s"got $got\nexpected $expected")
+    // the semantic point: the raw doc written in the target vocabulary is
+    // kept, the off-domain raw docs are dropped
+    assert(got(6L)._3, "target-like raw doc must be selected")
+    assert(!got(3L)._3 && !got(4L)._3, "off-domain docs must not be selected")
+    // OOV bucket is live under the forced vocab cut
+    assert(rawC.size > v, "fixture must overflow the vocabulary")
+  }
 }
