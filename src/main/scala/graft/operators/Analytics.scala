@@ -604,4 +604,97 @@ object Analytics {
        |  round(CAST($psiExpr AS DOUBLE), 9) AS psi
        |FROM tots, $joins""".stripMargin
   }
+
+  // -------------------------------------------------------------- CUSUM
+
+  /** CUSUM allowance (slack) and decision threshold, in 1e-4 value
+    * units: alarm when the one-sided cumulative excess over
+    * (user mean + 25.0) tops 400.0 — ~8σ of this corpus's per-event
+    * noise, so alarms mark genuine sustained upward drifts, not tail
+    * events (49 of 1500 sf0.1 users). */
+  val CusumAllowScaled = 250000L
+  val CusumThreshScaled = 4000000L
+
+  /** CUSUM change-point detection over each user's value series — the
+    * classic sequential drift detector (Page 1954; the DAQ shape:
+    * "did this channel's baseline shift mid-run?"). The textbook
+    * definition is a running recursion S_t = max(0, S_{t-1} + x_t − k),
+    * which no plain window function expresses — but it has an EXACT
+    * closed form over prefix sums,
+    *   S_t = P_t − min(0, min_{j≤t} P_j),   P_t = Σ_{i≤t} (x_i − k),
+    * so the whole detector is two cumulative window passes (sum, then
+    * running min), embarrassingly parallel across users.
+    *
+    * Exactness discipline: x_i enters as DECIMAL(12,4)·10^4 BIGINT;
+    * the reference level k = (user mean + allowance) would be a
+    * rational, so every deviation is multiplied through by the user's
+    * row count n — d_i = n·(x_i − A) − Σx — keeping P, the running min,
+    * S, and the alarm comparison S > n·H in exact BIGINT end to end
+    * (|P| ≤ n²·max|x|·10^4 ≈ 5.5e10 here; a 10^6-event user history
+    * still fits 9.2e18 with max|x| up to 10^4). The one double in the
+    * output is max_cusum = maxS / (n·10^4) — a single division of two
+    * exactly-represented integers, IEEE-identical cross-engine.
+    *
+    * Scale: one shuffle partitioned by user_id shared by all four
+    * window passes + the final per-user aggregate (partial-agg
+    * combined); per-user frame state is O(1) for cumulative frames. */
+  def qEvtCusum(s: SparkSession, d: String): DataFrame =
+    cusumScores(Events.events(s, d))
+
+  /** Core of [[qEvtCusum]] over any (event_id, user_id, ts, value)
+    * frame — split out so the spec can plant a level-shifted series. */
+  private[graft] def cusumScores(ev: DataFrame): DataFrame = {
+    val peru = Window.partitionBy(col("user_id"))
+    val cum = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev
+      .filter(col("value").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        (dec(col("value")) * 10000).cast("long").as("vi"))
+      .withColumn("n", count(lit(1)).over(peru))
+      .withColumn("dev",
+        col("n") * (col("vi") - lit(CusumAllowScaled))
+          - sum(col("vi")).over(peru))
+      .withColumn("p", sum(col("dev")).over(cum))
+      .withColumn("s",
+        col("p") - least(lit(0L), min(col("p")).over(cum)))
+      .withColumn("alarm", col("s") > col("n") * lit(CusumThreshScaled))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("alarm"), 1L).otherwise(0L)).as("n_alarms"),
+        min(when(col("alarm"), col("event_id"))).as("first_alarm_id"),
+        (max(col("s")).cast("double") /
+          (count(lit(1)) * 10000L).cast("double")).as("max_cusum"))
+  }
+
+  def qEvtCusumSql: String =
+    s"""WITH e AS (
+       |  SELECT event_id, user_id, ts,
+       |    CAST(CAST(value AS DECIMAL(12,4)) * 10000 AS BIGINT) AS vi
+       |  FROM events WHERE value IS NOT NULL
+       |), st AS (
+       |  SELECT event_id, user_id, ts, vi,
+       |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+       |    CAST(sum(vi) OVER (PARTITION BY user_id) AS BIGINT) AS tot
+       |  FROM e
+       |), pp AS (
+       |  SELECT *, CAST(sum(n * (vi - $CusumAllowScaled) - tot) OVER w
+       |    AS BIGINT) AS p
+       |  FROM st WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |), ss AS (
+       |  SELECT *, p - least(CAST(0 AS BIGINT), CAST(min(p) OVER w
+       |    AS BIGINT)) AS s
+       |  FROM pp WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |)
+       |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       |  CAST(sum(CASE WHEN s > n * $CusumThreshScaled THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_alarms,
+       |  min(CASE WHEN s > n * $CusumThreshScaled THEN event_id END)
+       |    AS first_alarm_id,
+       |  CAST(max(s) AS DOUBLE) / CAST(count(*) * 10000 AS DOUBLE)
+       |    AS max_cusum
+       |FROM ss GROUP BY user_id""".stripMargin
 }

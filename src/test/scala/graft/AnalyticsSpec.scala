@@ -100,4 +100,52 @@ class AnalyticsSpec extends GraftSpec {
       .filter(_.getInt(0) >= 0)
     assert(edge.map(_.getLong(2)).sum == 4000L, "out-of-range rows lost")
   }
+
+  test("CUSUM closed form ≡ the textbook max(0, S+d) recursion; a planted " +
+      "level shift alarms only after the shift; flat series never alarms") {
+    val sp = spark; import sp.implicits._
+    import java.sql.Timestamp
+    def series(uid: Long, vs: Seq[Double]) = vs.zipWithIndex.map {
+      case (v, i) =>
+        (uid * 1000 + i, uid, new Timestamp(1700000000000L + i * 1000L), v)
+    }
+    // user 1: baseline 10.0 then a +100 level shift (the detection case);
+    // user 2: flat (never alarms); user 3: deterministic sawtooth noise
+    // (exercises the reset-to-zero path of the recursion repeatedly)
+    val fixtures = Map(
+      1L -> (Seq.fill(30)(10.0) ++ Seq.fill(10)(110.0)),
+      2L -> Seq.fill(40)(50.0),
+      3L -> (0 until 60).map(i => (i * 37 % 97).toDouble))
+    val df = fixtures.toSeq.flatMap { case (u, vs) => series(u, vs) }
+      .toDF("event_id", "user_id", "ts", "value")
+    val got = Analytics.cusumScores(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getDouble(4)))).toMap
+    // independent local reference: the TEXTBOOK recursion on the same
+    // integerized model (the operator computes the prefix-sum closed form)
+    def ref(uid: Long, vs: Seq[Double]) = {
+      val vi = vs.map(v => (BigDecimal(v)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP) * 10000).toLongExact)
+      val n = vi.size.toLong
+      val tot = vi.sum
+      var s = 0L; var alarms = 0L; var first: Option[Long] = None
+      var maxS = 0L
+      vi.indices.foreach { i =>
+        val d = n * (vi(i) - Analytics.CusumAllowScaled) - tot
+        s = math.max(0L, s + d)
+        maxS = math.max(maxS, s)
+        if (s > n * Analytics.CusumThreshScaled) {
+          alarms += 1
+          if (first.isEmpty) first = Some(uid * 1000 + i)
+        }
+      }
+      (n, alarms, first, maxS.toDouble / (n * 10000L).toDouble)
+    }
+    fixtures.foreach { case (u, vs) =>
+      assert(got(u) == ref(u, vs), s"user $u: got ${got(u)}, ref ${ref(u, vs)}")
+    }
+    assert(got(1L)._2 > 0, "level shift must alarm")
+    assert(got(1L)._3.get >= 1030L, "no alarm before the shift")
+    assert(got(2L)._2 == 0 && got(2L)._4 == 0.0, "flat series must not alarm")
+  }
 }
