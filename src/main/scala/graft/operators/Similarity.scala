@@ -768,4 +768,125 @@ object Similarity {
       |  CAST(list_aggregate(codes, 'sum') AS BIGINT) AS code_sum,
       |  md5(array_to_string(codes, ',')) AS code_md5
       |FROM c""".stripMargin
+
+  // ----------------------------------------------------------------- MMR
+
+  /** MMR candidate pool (top-N by relevance), picks, and the integerized
+    * λ = 0.7 trade-off (7·rel − 3·redundancy in scaled units). */
+  val MmrPoolN = 40
+  val MmrK = 10
+
+  /** MAXIMAL MARGINAL RELEVANCE re-ranking (Carbonell & Goldstein 1998)
+    * — the standard serving-side diversity step between retrieval and
+    * response: from the top-[[MmrPoolN]] relevance candidates, greedily
+    * pick [[MmrK]] results maximizing
+    *   λ·rel(c) − (1−λ)·max_{s∈picked} sim(c, s),
+    * so near-duplicate hits don't crowd the answer set.
+    *
+    * Exactness discipline: every cosine quantizes ONCE to a scaled
+    * BIGINT (floor(1e6·cos) — the DSIR grid argument: a cross-engine
+    * divergence needs the true value within ~1e-9 of a grid line, over
+    * ~N²/2 values), the candidate CUT keys on the quantized score (so
+    * the pool is grid-stable, unlike a raw-float rank cut), and the
+    * greedy argmax compares pure integers (7·rel_q − 3·max sim_q), ties
+    * on vec_id — making the whole trajectory exactly replayable: the
+    * oracle UNROLLS the K greedy steps as chained SQL CTEs.
+    *
+    * Scale shape: the pool cut is a bounded TakeOrdered over the one
+    * corpus scan (the qAnnBrute shape); everything after operates on N
+    * rows BY CONSTRUCTION (N fixed, corpus-independent) — the pairwise
+    * sims are an N×N broadcast self-join and the greedy walks K·N
+    * integer comparisons on the driver, the same final-re-rank-on-one-
+    * node architecture every production retrieval stack uses (the
+    * collect is the documented bounded-list class, ≤ N + N²/2 ints). */
+  def qAnnMmr(s: SparkSession, d: String): DataFrame =
+    mmrRerank(s, emb(s, d).select(col("vec_id"), col("vec")))
+
+  /** Core of [[qAnnMmr]] over any (vec_id, vec: array&lt;double&gt;) frame
+    * (vec_id 0 is the probe) — split out so the spec can plant duplicate
+    * clusters. */
+  private[graft] def mmrRerank(s: SparkSession, e: DataFrame): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    val probe = e.filter(col("vec_id") === 0)
+      .select(col("vec").as("pv"), norm(col("vec")).as("pn"))
+    val cand = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), col("vec"), col("pv"), col("pn"))
+      .select(col("vec_id"), col("vec"),
+        floor(lit(1e6) * (dot(col("vec"), col("pv")) /
+          (norm(col("vec")) * col("pn")))).cast("long").as("rel_q"))
+      .orderBy(col("rel_q").desc, col("vec_id")).limit(MmrPoolN)
+      .localCheckpoint() // N rows; feeds the pair join + the collects
+    val a = cand.select(col("vec_id").as("ia"), col("vec").as("va"),
+      norm(col("vec")).as("na"))
+    val b = cand.select(col("vec_id").as("ib"), col("vec").as("vb"),
+      norm(col("vec")).as("nb"))
+    val sims = a.join(b, col("ia") < col("ib"))
+      .select(col("ia"), col("ib"),
+        floor(lit(1e6) * (dot(col("va"), col("vb")) /
+          (col("na") * col("nb")))).cast("long").as("sim_q"))
+      .collect().flatMap(r => {
+        val (i, j, v) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        Seq((i, j) -> v, (j, i) -> v)
+      }).toMap
+    val rels = cand.select(col("vec_id"), col("rel_q")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // greedy: first pick pure relevance, then 7·rel − 3·max-sim-to-picked
+    val picked = scala.collection.mutable.ArrayBuffer.empty[Long]
+    (1 to math.min(MmrK, rels.size)).foreach { _ =>
+      val best = rels.keysIterator.filterNot(picked.contains).map { c =>
+        val red =
+          if (picked.isEmpty) 0L
+          else picked.iterator.map(p => sims((c, p))).max
+        val score = if (picked.isEmpty) 7L * rels(c)
+          else 7L * rels(c) - 3L * red
+        (score, c)
+      }.minBy { case (score, c) => (-score, c) }
+      picked += best._2
+    }
+    picked.toSeq.zipWithIndex
+      .map { case (id, i) => (i + 1, id, rels(id)) }
+      .toDF("rank", "vec_id", "rel_q")
+  }
+
+  /** The K greedy steps unrolled as chained CTEs — DuckDB replays the
+    * exact integer trajectory, argmax ties and all. */
+  def qAnnMmrSql: String = {
+    val selOf = (t: Int) => (1 until t)
+      .map(i => s"SELECT vec_id FROM s$i").mkString(" UNION ALL ")
+    val steps = (1 to MmrK).map { t =>
+      if (t == 1)
+        s"s1 AS MATERIALIZED (SELECT vec_id, rel_q FROM cand ORDER BY rel_q DESC, vec_id LIMIT 1)"
+      else
+        s"""s$t AS MATERIALIZED (
+           |  SELECT c.vec_id, c.rel_q FROM cand c
+           |  WHERE c.vec_id NOT IN (${selOf(t)})
+           |  ORDER BY 7 * c.rel_q - 3 * (SELECT max(sim_q) FROM sims
+           |    WHERE ia = c.vec_id AND ib IN (${selOf(t)})) DESC, c.vec_id
+           |  LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to MmrK)
+      .map(t => s"SELECT $t AS rank, vec_id, rel_q FROM s$t")
+      .mkString("\nUNION ALL\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |), probe AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+       |cand AS MATERIALIZED (
+       |  SELECT vec_id, v, CAST(floor(CAST(1000000 AS DOUBLE)
+       |    * list_cosine_similarity(v, pv)) AS BIGINT) AS rel_q
+       |  FROM e, probe WHERE vec_id <> 0
+       |  ORDER BY rel_q DESC, vec_id LIMIT $MmrPoolN
+       |),
+       |sims AS MATERIALIZED (
+       |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+       |    CAST(floor(CAST(1000000 AS DOUBLE)
+       |      * list_cosine_similarity(a.v, b.v)) AS BIGINT) AS sim_q
+       |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+       |),
+       |$steps
+       |SELECT CAST(rank AS INT) AS rank, vec_id, rel_q FROM (
+       |$out
+       |) z""".stripMargin
+  }
 }

@@ -258,4 +258,60 @@ class SimilaritySpec extends GraftSpec {
       s"filtered-IVF recall $recall < 0.5 vs exact filtered top-20 " +
         "(oversampled 8-of-16 lists)")
   }
+
+  test("MMR re-ranking equals a local greedy reference and spreads its " +
+      "head across planted duplicate clusters where pure relevance stays " +
+      "inside one") {
+    val sp = spark; import sp.implicits._
+    val dim = 8
+    // three near-duplicate clusters on axes 0/1/2 (within-cluster cosine
+    // ~1.0 — distinct jitter axis per cluster keeps cross-cluster cosine
+    // ~0), probe prefers cluster 0 > 1 > 2
+    val vecs: Seq[(Long, Array[Double])] = for {
+      c <- 0 until 3; m <- 0 until 6
+    } yield {
+      val a = new Array[Double](dim)
+      a(c) = 1.0
+      a(4 + c) = 0.01 * (m + 1)
+      ((c * 100 + m + 1).toLong, a)
+    }
+    val probeV = {
+      val a = new Array[Double](dim)
+      a(0) = 0.9; a(1) = 0.8; a(2) = 0.7; a
+    }
+    val df = ((0L, probeV) +: vecs)
+      .map { case (id, a) => (id, a.toSeq) }.toDF("vec_id", "vec")
+    val got = Similarity.mmrRerank(sp, df).orderBy(col("rank")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+
+    // independent local greedy on the same quantized-integer model
+    def relq(a: Array[Double]): Long =
+      math.floor(1e6 * cos(a, probeV)).toLong
+    val byId = vecs.toMap
+    val rels = vecs.map { case (id, a) => id -> relq(a) }.toMap
+    val pool = rels.toSeq.sortBy { case (id, r) => (-r, id) }
+      .take(Similarity.MmrPoolN).map(_._1)
+    def simq(i: Long, j: Long): Long =
+      math.floor(1e6 * cos(byId(i), byId(j))).toLong
+    val picked = scala.collection.mutable.ArrayBuffer.empty[Long]
+    (1 to Similarity.MmrK).foreach { _ =>
+      val best = pool.iterator.filterNot(picked.contains).map { c =>
+        val score =
+          if (picked.isEmpty) 7L * rels(c)
+          else 7L * rels(c) - 3L * picked.iterator.map(simq(c, _)).max
+        (score, c)
+      }.minBy { case (s, c) => (-s, c) }
+      picked += best._2
+    }
+    val expected = picked.toSeq.zipWithIndex.map { case (id, i) =>
+      (i + 1, id, rels(id)) }
+    assert(got == expected, s"got $got\nexpected $expected")
+    // diversity: the MMR head covers all three clusters; pure relevance's
+    // head is all cluster 0
+    def cluster(id: Long) = id / 100
+    assert(got.take(3).map(t => cluster(t._2)).toSet == Set(0L, 1L, 2L),
+      s"MMR head must span the clusters: $got")
+    assert(pool.take(3).map(cluster).toSet == Set(0L),
+      "fixture broken: relevance head should sit inside cluster 0")
+  }
 }
