@@ -77,6 +77,10 @@ import org.apache.spark.sql.functions._
   *    the normal ingest gates → bound for reads and DML under `name`).
   *    The full lifecycle is then SQL end-to-end: CREATE → INSERT/MERGE
   *    → ALTER → OPTIMIZE → VACUUM.
+  *  - `COPY INTO t FROM 'dir' [FILEFORMAT = PARQUET]` — idempotent bulk
+  *    file ingest (the Delta verb): already-ledgered paths skip by file
+  *    identity, torn/garbage files quarantine, CHECK constraints gate
+  *    the batch — the retry-safe landing-zone load, as SQL.
   * Qualified column references (`t.col`, `src.col`) are resolved by NAME
   * (qualifiers stripped — the lake table is a single flat relation; a
   * MERGE delete condition must reference source columns, standard MERGE
@@ -186,6 +190,12 @@ object GraftSql {
     """(?is)^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?(\w+)\s*$""".r
   private val ShowTablesRe =
     """(?is)^\s*SHOW\s+TABLES\s*$""".r
+  // idempotent bulk file ingest (the Delta verb): files already ledgered
+  // are skipped by path identity, so re-running the same COPY INTO is a
+  // no-op — the retry-safe landing-zone load
+  private val CopyIntoRe =
+    ("""(?is)^\s*COPY\s+INTO\s+(\w+)\s+FROM\s+'([^']+)'""" +
+      """(?:\s+FILEFORMAT\s*=\s*(\w+))?\s*$""").r
   // scoped overwrite, both spellings: `INSERT OVERWRITE t WHERE p SELECT…`
   // and the Delta form `INSERT INTO t REPLACE WHERE p SELECT…`; the
   // predicate runs to the first top-level SELECT (subquery predicates are
@@ -244,6 +254,14 @@ object GraftSql {
     case ShowTablesRe() =>
       import spark.implicits._
       boundNames(spark).sorted.toDF("table_name")
+    case CopyIntoRe(name, path, fmt) =>
+      import spark.implicits._
+      if (fmt != null && !fmt.equalsIgnoreCase("PARQUET")) sys.error(
+        s"COPY INTO supports FILEFORMAT = PARQUET only (got $fmt)")
+      val t = lookupName(spark, name)
+      val added = t.ingest(path)
+      refresh(spark, name)
+      Seq((added, t.snapshot)).toDF("files_loaded", "snapshot")
     case DescribeHistoryRe(name) => lookupName(spark, name).history()
     case RestoreRe(name, snap) =>
       // the Delta verb: roll the table back to a prior snapshot as a NEW

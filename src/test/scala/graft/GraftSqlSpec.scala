@@ -401,6 +401,38 @@ class GraftSqlSpec extends GraftSpec {
     GraftSql.unbind(spark, "nmbs_t")
   }
 
+  test("COPY INTO: idempotent bulk ingest — a re-run loads nothing, new " +
+      "files load incrementally, torn junk never ledgered, format guard") {
+    val sp = spark; import sp.implicits._
+    val tmp = Files.createTempDirectory("graft_sql_copy").toString
+    val tbl = GraftTable(spark, s"$tmp/ledger", s"$tmp/gen")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1)
+      .write.mode("append").parquet(s"$tmp/landing")
+    tbl.bindSql("copy_t") // SQL-first: bind precedes the first load
+    val r1 = tbl.sql(s"COPY INTO copy_t FROM '$tmp/landing'").head()
+    assert(r1.getLong(0) == 1L, s"one landing part-file expected: $r1")
+    assert(tbl.read().count() == 2)
+    // idempotent: the identical statement is a no-op (path identity)
+    val snapBefore = tbl.snapshot
+    val r2 = tbl.sql(
+      s"COPY INTO copy_t FROM '$tmp/landing' FILEFORMAT = PARQUET").head()
+    assert(r2.getLong(0) == 0L && tbl.snapshot == snapBefore,
+      s"re-run must load nothing: $r2")
+    // a new landing file loads alone; a torn *.parquet upload quarantines
+    Seq((3L, "c")).toDF("k", "v").coalesce(1)
+      .write.mode("append").parquet(s"$tmp/landing")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$tmp/landing/junk.parquet"), "not parquet")
+    val r3 = tbl.sql(s"COPY INTO copy_t FROM '$tmp/landing'").head()
+    assert(r3.getLong(0) == 1L, s"only the new valid file loads: $r3")
+    assert(tbl.read().count() == 3)
+    val e = intercept[RuntimeException] {
+      tbl.sql(s"COPY INTO copy_t FROM '$tmp/landing' FILEFORMAT = CSV")
+    }
+    assert(e.getMessage.contains("PARQUET"), e.getMessage)
+    GraftSql.unbind(spark, "copy_t")
+  }
+
   test("ALTER TABLE ADD COLUMNS: zero-data-file schema commit, old rows " +
       "read null, INSERT with the new column works, time travel below " +
       "the evolution keeps the old shape") {
