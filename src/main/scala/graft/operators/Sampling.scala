@@ -338,15 +338,21 @@ object Sampling {
           .otherwise(array())))
       .select(col("doc_id"), col("__tgt"), explode(col("feats")).as("f"))
     val isTgt = col("__tgt")
+    // the feature-count model materializes ONCE (feature-space-sized —
+    // the checkpoint is this design's analog of the paper's hashed model
+    // table; a 100 TB corpus with an unbounded bigram space would hash
+    // first and keep this bounded) and feeds vocabulary, totals, and the
+    // scoring lookup — so the corpus explodes exactly twice: model build
+    // and scoring
     val counts = feats.groupBy(col("f")).agg(
       count(lit(1)).as("raw_c"),
       count(when(isTgt, 1)).as("tgt_c"))
+      .localCheckpoint()
     // top-V vocabulary — bounded global cut, ties on the feature string
     // (binary collation in both engines on this ASCII corpus)
     val vocab = counts.orderBy(col("raw_c").desc, col("f")).limit(v)
       .localCheckpoint() // ≤ V rows; feeds the stats row and the join
-    val tot = feats.agg(count(lit(1)).as("n_raw"),
-      count(when(isTgt, 1)).as("n_tgt")).head()
+    val tot = counts.agg(sum(col("raw_c")), sum(col("tgt_c"))).head()
     val (nRaw, nTgt) = (tot.getLong(0), tot.getLong(1))
     val vs = vocab.agg(sum(col("raw_c")), sum(col("tgt_c")),
       count(lit(1))).head()
