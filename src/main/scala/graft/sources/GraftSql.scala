@@ -196,6 +196,11 @@ object GraftSql {
   private val CopyIntoRe =
     ("""(?is)^\s*COPY\s+INTO\s+(\w+)\s+FROM\s+'([^']+)'""" +
       """(?:\s+FILEFORMAT\s*=\s*(\w+))?\s*$""").r
+  private val ShowCreateRe =
+    """(?is)^\s*SHOW\s+CREATE\s+TABLE\s+(\w+)\s*$""".r
+  private val AnalyzeRe =
+    ("""(?is)^\s*ANALYZE\s+TABLE\s+(\w+)\s+COMPUTE\s+STATISTICS""" +
+      """\s+FOR\s+COLUMNS\s+([\w\s,]+?)\s*$""").r
   // scoped overwrite, both spellings: `INSERT OVERWRITE t WHERE p SELECT…`
   // and the Delta form `INSERT INTO t REPLACE WHERE p SELECT…`; the
   // predicate runs to the first top-level SELECT (subquery predicates are
@@ -262,6 +267,26 @@ object GraftSql {
       val added = t.ingest(path)
       refresh(spark, name)
       Seq((added, t.snapshot)).toDF("files_loaded", "snapshot")
+    case ShowCreateRe(name) =>
+      // re-creatable DDL off the resolved schema + standing constraints
+      // (zero data reads on recorded tables — the DESCRIBE discipline)
+      import spark.implicits._
+      val t = lookupName(spark, name)
+      val cols = t.read().schema.fields.map(f =>
+        s"  ${f.name} ${f.dataType.sql}${if (f.nullable) "" else " NOT NULL"}")
+      val ddl = s"CREATE TABLE $name (\n${cols.mkString(",\n")}\n) " +
+        s"USING graft LOCATION '${t.ledgerDir}'"
+      val cstr = Lake.constraints(t.ledgerDir).map { case (n, e) =>
+        s"ALTER TABLE $name ADD CONSTRAINT $n CHECK ($e)" }
+      (ddl +: cstr).toSeq.toDF("createtab_stmt")
+    case AnalyzeRe(name, colList) =>
+      // backfill per-file min/max stats for the named columns into the
+      // ledger (manifest data skipping picks them up on the next plan)
+      import spark.implicits._
+      val t = lookupName(spark, name)
+      val cols = colList.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val snap = t.analyze(cols)
+      Seq((cols.mkString(","), snap)).toDF("analyzed_columns", "snapshot")
     case DescribeHistoryRe(name) => lookupName(spark, name).history()
     case RestoreRe(name, snap) =>
       // the Delta verb: roll the table back to a prior snapshot as a NEW

@@ -249,6 +249,48 @@ object Streams {
       }
   }
 
+  case class CusumState(s: Long, n: Long)
+  case class CusumAlarm(user_id: Long, event_id: Long, ts: Timestamp,
+    value: Double, cusum: Double)
+
+  /** Streaming one-sided CUSUM drift monitor — the live twin of the
+    * batch `q_evt_cusum`: per user, S ← max(0, S + (x − k)); every point
+    * while S > h is an alarm row. The batch op centers on the user's
+    * FULL-HISTORY mean (its prefix-sum closed form needs the whole
+    * series); a live monitor cannot know that mean, so the streaming
+    * form runs Page's original KNOWN-REFERENCE variant — k = baseline +
+    * allowance with the baseline configured (the DAQ "monitor a channel
+    * against its commissioning value" semantics). State is exact
+    * integers (x scales to 1e-4 units, the batch op's discipline; S is
+    * one Long), so a replayed micro-batch reproduces state bit-for-bit —
+    * exactly-once across restarts with no float-order caveat, unlike the
+    * EWMA monitor above. Two longs per user; rows fold in (ts, event_id)
+    * order within each batch so the recurrence is deterministic. */
+  def cusumAlarms(spark: SparkSession, events: DataFrame, refScaled: Long,
+      allowScaled: Long, threshScaled: Long): Dataset[CusumAlarm] = {
+    import spark.implicits._
+    events.select(col("user_id"), col("event_id"), col("ts"),
+        (col("value").cast("decimal(12,4)") * 10000).cast("long").as("vi"),
+        col("value"))
+      .as[(Long, Long, Timestamp, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CusumState, CusumAlarm](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, it, state) =>
+          val rows = it.toSeq.sortBy(r => (r._3.getTime, r._2))
+          var st = state.getOption.getOrElse(CusumState(0L, 0L))
+          val alarms = Seq.newBuilder[CusumAlarm]
+          rows.foreach { case (_, id, ts, vi, v) =>
+            val s1 = math.max(0L, st.s + (vi - refScaled - allowScaled))
+            st = CusumState(s1, st.n + 1)
+            if (s1 > threshScaled)
+              alarms += CusumAlarm(key, id, ts, v, s1.toDouble / 10000.0)
+          }
+          state.update(st)
+          alarms.result().iterator
+      }
+  }
+
   /** Stream-static enrichment: the event stream joined against a static
     * readout-map dim (cf. the dromap join, §2.B) — Spark broadcasts the
     * static side into every micro-batch; no stream-side state. */

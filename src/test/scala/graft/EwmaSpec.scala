@@ -68,4 +68,41 @@ class EwmaSpec extends GraftSpec {
     val split = run(Seq(all.take(mid), all.drop(mid)), "ewma_split")
     assert(split == want, s"split run diverged: ${split.size} vs ${want.size}")
   }
+
+  test("streaming CUSUM: a planted level shift alarms only after drifting " +
+      "past the threshold; state is exact across a batch split; flat " +
+      "series never alarms") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sq = spark.sqlContext
+    val (refS, allowS, threshS) = (500000L, 250000L, 2000000L) // 50/25/200
+    def evt(uid: Long, i: Int, v: Double) =
+      RawEvt(uid * 1000 + i, new Timestamp(1700000000000L + i * 1000L),
+        uid, "m", v)
+    // user 1: on-baseline 50.0 then a shift to 125.0 (+50 over ref+allow
+    // per event → S crosses 200.0 after 4 shifted points); user 2 flat
+    val all = (0 until 30).map(i => evt(1, i, 50.0)) ++
+      (30 until 40).map(i => evt(1, i, 125.0)) ++
+      (0 until 40).map(i => evt(2, i, 50.0))
+    def run(batches: Seq[Seq[RawEvt]], name: String): Seq[(Long, Long)] = {
+      val mem = MemoryStream[RawEvt]
+      val q = graft.streaming.Streams
+        .cusumAlarms(spark, mem.toDF(), refS, allowS, threshS)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+        spark.table(name).select("user_id", "event_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      } finally q.stop()
+    }
+    val oneShot = run(Seq(all), "cusum_one")
+    // +50.0 excess per shifted event: S = 50,100,150,200,250,… — strict
+    // `>` crosses at the 5th shifted point (index 34) and stays up
+    assert(oneShot == (34 until 40).map(i => (1L, 1000L + i)),
+      s"got $oneShot")
+    // exact integer state ⇒ a mid-shift batch split changes nothing
+    val split = run(Seq(all.take(33), all.drop(33)), "cusum_split")
+    assert(split == oneShot, s"split diverged: $split")
+  }
 }

@@ -433,6 +433,33 @@ class GraftSqlSpec extends GraftSpec {
     GraftSql.unbind(spark, "copy_t")
   }
 
+  test("SHOW CREATE TABLE emits re-creatable DDL + constraint statements; " +
+      "ANALYZE TABLE backfills per-file stats into the manifest") {
+    val sp = spark; import sp.implicits._
+    val tmp = Files.createTempDirectory("graft_sql_showc").toString
+    val tbl = GraftTable(spark, s"$tmp/ledger", s"$tmp/gen")
+    Seq((1L, 5.0, "x"), (2L, 6.0, "y")).toDF("k", "v", "tag")
+      .write.parquet(s"$tmp/landing")
+    tbl.ingest(s"$tmp/landing") // plain ingest: no stats recorded yet
+    tbl.bindSql("showc_t")
+    tbl.sql("ALTER TABLE showc_t ADD CONSTRAINT v_pos CHECK (v > 0)")
+    val rows = tbl.sql("SHOW CREATE TABLE showc_t").collect()
+      .map(_.getString(0))
+    assert(rows.head.contains("CREATE TABLE showc_t")
+      && rows.head.contains("k BIGINT")
+      && rows.head.contains(s"LOCATION '$tmp/ledger'"), rows.head)
+    assert(rows.exists(r => r.contains("CONSTRAINT v_pos")
+      && r.contains("v > 0")), rows.mkString("\n"))
+    val r = tbl.sql(
+      "ANALYZE TABLE showc_t COMPUTE STATISTICS FOR COLUMNS k, tag").head()
+    assert(r.getString(0) == "k,tag", r.toString)
+    val stats = tbl.files().select(col("stats")).collect()
+    assert(stats.nonEmpty && stats.forall(s => !s.isNullAt(0)
+        && s.getMap[String, String](0).keysIterator.exists(_.startsWith("k"))),
+      s"every live file must carry backfilled k stats: ${stats.toSeq}")
+    GraftSql.unbind(spark, "showc_t")
+  }
+
   test("ALTER TABLE ADD COLUMNS: zero-data-file schema commit, old rows " +
       "read null, INSERT with the new column works, time travel below " +
       "the evolution keeps the old shape") {
