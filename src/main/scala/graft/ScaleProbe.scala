@@ -35,7 +35,18 @@ object ScaleProbe {
       val maxVec = emb.agg(max("vec_id")).head().getLong(0) + 1
       rep(emb, Seq("vec_id"), maxVec)
         .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
-      for (t <- Seq("customer","supplier","nation","region","part","events"))
+      // events replicate with BOTH ids shifted: 10x users, each keeping
+      // its original per-user series — the exactly-linear case a per-user
+      // windowed op (q_evt_cusum) must track
+      val ev = spark.read.parquet(s"$src/events.parquet")
+      val maxEid = ev.agg(max("event_id")).head().getLong(0) + 1
+      val maxUid = ev.agg(max("user_id")).head().getLong(0) + 1
+      (0 until 10).map(i => ev
+          .withColumn("event_id", col("event_id") + lit(i * maxEid))
+          .withColumn("user_id", col("user_id") + lit(i * maxUid)))
+        .reduce(_ union _)
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
+      for (t <- Seq("customer","supplier","nation","region","part"))
         spark.read.parquet(s"$src/$t.parquet").write.mode("overwrite").parquet(s"$out/$t.parquet")
     }
     // mirror every probe line to SPARK_GRAFT_PROBE_OUT so the run is an
@@ -142,7 +153,21 @@ object ScaleProbe {
       // once-per-corpus artifact landed outside the timed window below
       "q_doc_search_topk" -> (TextIndex.qDocSearchTopk _),
       "q_emb_quant" -> (Similarity.qEmbQuant _),
-      "q_ann_ivf_quant" -> (Similarity.qAnnIvfQuant _))) {
+      "q_ann_ivf_quant" -> (Similarity.qAnnIvfQuant _),
+      // r13: DSIR — the 10x corpus is duplicated texts, so the feature
+      // vocabulary (and the V-row model) is IDENTICAL at 10x; only the
+      // two explode passes scale
+      "q_doc_dsir" -> (Sampling.qDocDsir _),
+      // r13: per-user CUSUM — the 10x events are 10x users each keeping
+      // the 1x series: per-user window frames unchanged, expect ~linear
+      "q_evt_cusum" -> (Analytics.qEvtCusum _),
+      // r13: MMR — the pool cut is the one corpus-sized pass; everything
+      // after is N-bounded by construction
+      "q_ann_mmr" -> (Similarity.qAnnMmr _),
+      // r13: classifier — 50 Adagrad iterations over the cached feature
+      // frame; featurize + per-iteration scan both corpus-sized, expect
+      // ~linear (the model/gradient stay B-sized)
+      "q_doc_classifier" -> (Classifier.qDocClassifier _))) {
       // index BUILD is a once-per-dataset artifact, not probe cost — land
       // it outside the timed window (first access builds, later reuse)
       if (n == "q_ann_ivf_quant") {
@@ -405,6 +430,40 @@ object ScaleProbe {
         t
       }
       report(f"momd_round 10x/1x ratio ${mdTimes(1) / mdTimes(0)}%5.2f (flat = two batch-sized partial passes + KB state; bootstrap is the one full pass)")
+
+      // r13 MAINTAINED-DSIR round: same shape as momd_round over the
+      // documents lake — the fold is two batch-sized hashed-featurize
+      // passes + a 2·B-long state write, nothing table-sized, so the
+      // round must stay flat while the bootstrap tracks ~10x.
+      val ddRoot = "/tmp/sf1_synth_dsird"
+      rmrf(new java.io.File(ddRoot))
+      val ddTimes = for ((tag, dataDir) <- Seq("1x" -> src, "10x" -> out)) yield {
+        val ledger = s"$ddRoot/$tag/ledger"
+        val root = s"$ddRoot/$tag/dsir"
+        Lake.ingestNewFiles(spark, s"$dataDir/documents.parquet", ledger)
+        val tBoot = timed {
+          graft.operators.DsirDelta.bootstrap(spark, ledger, root): Unit }
+        val maxId = Lake.readAt(spark, ledger,
+            Lake.currentSnapshot(spark, ledger))
+          .agg(max(col("doc_id"))).head().getLong(0)
+        val docs1 = spark.read.parquet(s"$src/documents.parquet")
+          .select("doc_id", "text", "lang")
+        val ddBatch = docs1.filter(col("doc_id") % 37 === 1)
+          .select((col("doc_id") + maxId + 1).as("doc_id"), col("text"),
+            col("lang"))
+          .union(docs1.filter(col("doc_id") % 41 === 1)
+            .select(col("doc_id"),
+              concat(col("text"), lit(" probe tail")).as("text"),
+              col("lang")))
+          .localCheckpoint()
+        Lake.mergeInto(spark, ledger, s"$ddRoot/$tag/gen", ddBatch,
+          "doc_id", changeFeed = true)
+        val t = timed {
+          graft.operators.DsirDelta.applyRound(spark, ledger, root): Unit }
+        report(f"dsird_round_$tag%-12s ${t}%6.2f s   boot ${tBoot}%6.2f s   (fixed ~250-doc batch)")
+        t
+      }
+      report(f"dsird_round 10x/1x ratio ${ddTimes(1) / ddTimes(0)}%5.2f (flat = batch-sized featurize passes + 2·B-long integer state; bootstrap is the one full pass)")
     }
     sys.env.get("SPARK_GRAFT_PROBE_OUT").foreach { path =>
       java.nio.file.Files.write(java.nio.file.Paths.get(path),

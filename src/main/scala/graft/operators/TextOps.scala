@@ -636,6 +636,82 @@ object TextOps {
           .as("typicality"))
   }
 
+  /** FILTER-CASCADE ATTRITION REPORT — the per-source funnel table every
+    * published curation pipeline ships (CCNet/FineWeb report exactly
+    * this: how many documents each successive gate kills): input →
+    * language-consistency gate (the marker-word langid heuristic must
+    * agree with the labeled lang) → quality floor (≥12 tokens, distinct
+    * ratio ≥ 1/2 — the curriculum tiers' floor) → exact dedup (keep =
+    * min doc_id per md5 among SURVIVORS — dedup ranks after the cheap
+    * gates, so a duplicate of a killed doc can still be kept; the
+    * real-pipeline stage order). Counts are sequential survivals, all
+    * exact integers.
+    *
+    * Scale shape: ONE scan; the only corpus-sized shuffle is the
+    * md5-partition window for the survivor-min (the rep-collapse rule —
+    * a window min, never groupBy+self-join), moving 32-char hashes +
+    * flags, never text; the funnel aggregate map-side-combines to
+    * #sources rows. */
+  def qDocCascade(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(md5(col("text")))
+    Tables.documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_distinct", size(array_distinct(col("toks"))))
+      .withColumn("pred",
+        when(col("text").contains("data"), "en")
+          .when(col("text").contains("table"), "de")
+          .when(col("text").contains("query"), "fr")
+          .when(col("text").contains("row"), "es")
+          .otherwise("zh"))
+      .withColumn("lang_ok", col("pred") === col("lang"))
+      .withColumn("surv", col("lang_ok") && col("n_tokens") >= 12 &&
+        col("n_distinct") * 2 >= col("n_tokens"))
+      .withColumn("min_surv",
+        min(when(col("surv"), col("doc_id"))).over(w))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_input"),
+        count(when(col("lang_ok"), 1)).as("n_lang"),
+        count(when(col("surv"), 1)).as("n_quality"),
+        count(when(col("surv") && col("doc_id") === col("min_surv"), 1))
+          .as("n_unique"),
+        sum(when(col("surv") && col("doc_id") === col("min_surv"),
+          col("n_chars")).otherwise(0L)).as("kept_chars"))
+  }
+
+  def qDocCascadeSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, source, n_chars, lang, md5(text) AS h,
+      |    CAST(len(regexp_split_to_array(trim(text), ' +')) AS INT)
+      |      AS n_tokens,
+      |    CAST(len(list_distinct(regexp_split_to_array(trim(text), ' +')))
+      |      AS INT) AS n_distinct,
+      |    CASE WHEN text LIKE '%data%' THEN 'en'
+      |         WHEN text LIKE '%table%' THEN 'de'
+      |         WHEN text LIKE '%query%' THEN 'fr'
+      |         WHEN text LIKE '%row%' THEN 'es'
+      |         ELSE 'zh' END AS pred
+      |  FROM documents
+      |), f AS (
+      |  SELECT *, (pred = lang) AS lang_ok,
+      |    (pred = lang AND n_tokens >= 12
+      |      AND 2 * n_distinct >= n_tokens) AS surv
+      |  FROM b
+      |), g AS (
+      |  SELECT *, min(CASE WHEN surv THEN doc_id END)
+      |    OVER (PARTITION BY h) AS min_surv
+      |  FROM f
+      |)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_input,
+      |  CAST(count(CASE WHEN lang_ok THEN 1 END) AS BIGINT) AS n_lang,
+      |  CAST(count(CASE WHEN surv THEN 1 END) AS BIGINT) AS n_quality,
+      |  CAST(count(CASE WHEN surv AND doc_id = min_surv THEN 1 END)
+      |    AS BIGINT) AS n_unique,
+      |  CAST(sum(CASE WHEN surv AND doc_id = min_surv THEN n_chars
+      |    ELSE 0 END) AS BIGINT) AS kept_chars
+      |FROM g GROUP BY source""".stripMargin
+
   def qDocTypicalitySql: String =
     """WITH tg AS (
       |  SELECT doc_id, substr(text, CAST(i AS INT), 3) AS g FROM (
