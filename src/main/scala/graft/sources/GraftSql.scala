@@ -67,7 +67,7 @@ import org.apache.spark.sql.functions._
   *  - CDC AS SQL: `table_changes('t', since)` (the Delta function) and
   *    the full-feed relation `t.changes` → views over
   *    [[Lake.readChanges]] — a downstream mirror folds purely in SQL.
-  *  - `OPTIMIZE t [WHERE c] [ZORDER]` → scoped compaction
+  *  - `OPTIMIZE t [WHERE c] [ZORDER [BY (c1, c2)]]` → scoped compaction
   *    ([[GraftTable.compact]]; WHERE rewrites only the predicate's file
   *    footprint, ZORDER clusters the rewrite on the Morton interleave);
   *    `VACUUM t [RETAIN n HOURS]` → orphan gen-file GC
@@ -175,7 +175,8 @@ object GraftSql {
   private val DescribeHistoryRe =
     """(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+(\w+)\s*$""".r
   private val OptimizeRe =
-    """(?is)^\s*OPTIMIZE\s+(\w+)(?:\s+WHERE\s+(.+?))?(?:\s+(ZORDER))?\s*$""".r
+    ("""(?is)^\s*OPTIMIZE\s+(\w+)(?:\s+WHERE\s+(.+?))?""" +
+      """(?:\s+(ZORDER)(?:\s+BY\s*\(([\w\s,]+)\))?)?\s*$""").r
   private val CtasRe =
     """(?is)^\s*CREATE\s+TABLE\s+(\w+)\s+LOCATION\s+'([^']+)'\s+AS\s+(SELECT\b.+)$""".r
   private val VacuumRe =
@@ -347,10 +348,12 @@ object GraftSql {
         .select(lit(name).as("name"), lit(t.ledgerDir).as("location"),
           lit(t.snapshot).as("snapshot"), col("numFiles"),
           col("sizeInBytes"))
-    case OptimizeRe(name, whereText, zorder) =>
+    case OptimizeRe(name, whereText, zorder, zcols) =>
       val t = lookupName(spark, name)
       val snap = t.compact(OptimizeTargetRows, zOrder = zorder != null,
-        where = Option(whereText).map(expr))
+        where = Option(whereText).map(expr),
+        zOrderBy = Option(zcols).toSeq.flatMap(
+          _.split(",").map(_.trim).filter(_.nonEmpty)))
       refresh(spark, name)
       snapFrame(spark, snap)
     case VacuumRe(name, hours) =>

@@ -351,9 +351,9 @@ final case class GraftTable(spark: SparkSession, ledgerDir: String,
     * the Morton interleave of the first two so filters on EITHER keep
     * data-skipping after the rewrite (OPTIMIZE ZORDER). */
   def compact(targetRowsPerFile: Long, zOrder: Boolean = false,
-      where: Option[Column] = None): Long =
+      where: Option[Column] = None, zOrderBy: Seq[String] = Nil): Long =
     Lake.compactIngested(spark, ledgerDir, genRoot, targetRowsPerFile, zOrder,
-      where)
+      where, zOrderBy)
 
   /** Backfill data-skipping stats (and blooms) for live files lacking
     * them — zero data movement, invisible to incremental consumers (see

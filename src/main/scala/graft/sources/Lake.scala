@@ -751,7 +751,8 @@ object Lake {
   def compactIngested(spark: SparkSession, ledgerDir: String,
       compactDir: String, targetRowsPerFile: Long,
       zOrder: Boolean = false,
-      where: Option[org.apache.spark.sql.Column] = None): Long = {
+      where: Option[org.apache.spark.sql.Column] = None,
+      zOrderBy: Seq[String] = Nil): Long = {
     val ledger = readLedger(spark, ledgerDir).getOrElse(return 0L)
     val snap = currentSnapshot(spark, ledgerDir)
     val liveActs = liveActionsAt(ledger, snap)
@@ -812,9 +813,28 @@ object Lake {
       // cheap aggregate over the rewrite input (already being fully read).
       val numericCols = statsCols.filter(c => df.schema(c).dataType
         .isInstanceOf[org.apache.spark.sql.types.NumericType])
+      // ZORDER BY (a, b): caller-named clustering columns. The contract
+      // composing with ANALYZE: named columns must already carry recorded
+      // stats (else the rewrite would cluster on a column the manifest
+      // can't prune on — run ANALYZE first), be numeric (the Morton
+      // interleave normalizes min-max to 32 bits), and be exactly two
+      // (zorder64 is the 2-D interleave).
+      if (zOrderBy.nonEmpty) {
+        require(zOrderBy.size == 2,
+          s"ZORDER BY takes exactly two columns (got $zOrderBy)")
+        zOrderBy.foreach { c =>
+          require(statsCols.contains(c), s"ZORDER BY column '$c' has no " +
+            "recorded stats — ANALYZE TABLE ... FOR COLUMNS it first, or " +
+            "it could never prune")
+          require(df.schema(c).dataType
+            .isInstanceOf[org.apache.spark.sql.types.NumericType],
+            s"ZORDER BY column '$c' is not numeric")
+        }
+      }
+      val zPick = if (zOrderBy.nonEmpty) zOrderBy else numericCols
       val zBounds: Option[(String, String, org.apache.spark.sql.Row)] =
-        if (zOrder && numericCols.size >= 2) {
-          val (a, b) = (numericCols(0), numericCols(1))
+        if ((zOrder || zOrderBy.nonEmpty) && zPick.size >= 2) {
+          val (a, b) = (zPick(0), zPick(1))
           val r = df.agg(min(col(a)).cast("double"), max(col(a)).cast("double"),
             min(col(b)).cast("double"), max(col(b)).cast("double")).head()
           // an entirely-null column yields null aggregate bounds — fall back

@@ -321,6 +321,48 @@ class DataSkipSpec extends GraftSpec {
     assert(band.count() == cust.filter(col("c_acctbal") > lit(hiBal * 0.9)).count())
   }
 
+  test("ZORDER BY names the interleave columns (SQL verb); un-analyzed " +
+      "or non-numeric columns refuse") {
+    val root = Files.createTempDirectory("graft_skip_zby").toString
+    val t = GraftTable(spark, s"$root/ledger", s"$root/gen")
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+        col("c_mktsegment"))
+    cust.repartitionByRange(8, col("c_custkey"))
+      .write.parquet(s"$root/landing")
+    // stats recorded for three numerics: the AUTO pick would interleave
+    // (c_custkey, c_nationkey); BY names (c_custkey, c_acctbal) instead
+    t.ingest(s"$root/landing",
+      statsCols = Seq("c_custkey", "c_nationkey", "c_acctbal"))
+    t.bindSql("zby_t")
+    // the SQL verb parses BY and routes the column list (its 1M-row
+    // default target packs this small table into one file, so the
+    // multi-file layout assertion below re-compacts through the API
+    // with a test-sized target)
+    t.sql(s"OPTIMIZE zby_t ZORDER BY (c_custkey, c_acctbal)")
+    t.compact(cust.count() / 16 + 1,
+      zOrderBy = Seq("c_custkey", "c_acctbal"))
+    val total = scannedFiles(t.read())
+    assert(total >= 8, s"expected a multi-file layout, got $total")
+    val hiBal = cust.agg(max(col("c_acctbal"))).head().getDouble(0)
+    val band = t.read().filter(col("c_acctbal") > lit(hiBal * 0.9))
+    assert(scannedFiles(band) < total,
+      "named second z-column must stay prunable")
+    assert(band.count()
+      == cust.filter(col("c_acctbal") > lit(hiBal * 0.9)).count())
+    // refusals: no recorded stats (the ANALYZE-first contract), wrong
+    // type, wrong arity
+    val e1 = intercept[Exception] {
+      t.sql("OPTIMIZE zby_t ZORDER BY (c_custkey, c_comment)")
+    }
+    assert(e1.getMessage.contains("ANALYZE"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      t.compact(1000, zOrderBy = Seq("c_custkey"))
+    }
+    assert(e2.getMessage.contains("exactly two"), e2.getMessage)
+    graft.sources.GraftSql.unbind(spark, "zby_t")
+  }
+
   test("files re-added after removal take size and stats from the winning add") {
     // regression for the liveActionsAt generation-mixing hazard: a path
     // removed and later re-added (with different content) must surface the
