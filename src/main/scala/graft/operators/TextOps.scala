@@ -158,6 +158,142 @@ object TextOps {
       |        ELSE 'zh' END AS pred
       |  FROM documents) p GROUP BY lang) t""".stripMargin
 
+  /** Languages this corpus labels (fixed, like the marker rule above —
+    * the q_doc_langid precedent of hardcoding the label set in both
+    * engines' text). */
+  val LangSet = Seq("de", "en", "es", "fr", "zh")
+
+  /** MODEL-BASED LANGUAGE ID — the real form of the marker heuristic
+    * above: a Naive Bayes classifier over CHARACTER-TRIGRAM profiles,
+    * TRAINED IN THE ENGINE on half the corpus (even doc_ids) and
+    * evaluated on both splits — the fastText-langid shape (char n-gram
+    * profiles + additive smoothing + argmax log-likelihood), which is
+    * how production pipelines actually tag language.
+    *
+    * Exactness discipline (the DSIR grid): every log factor quantizes
+    * ONCE to floor(1e6·ln(count+1)) — counts are integers, so the
+    * distinct ln() inputs are bounded — and a doc's per-language score
+    * is the exact BIGINT sum Σ_g L_g(lang) − n_g·floor(1e6·ln(N_lang+V))
+    * (add-1 smoothing; an unseen trigram contributes ln 1 = 0 exactly in
+    * both engines). Argmax ties break by the fixed language order via an
+    * identical CASE chain in both engines — fully oracle-replayable,
+    * unlike any float-likelihood formulation.
+    *
+    * Scale shape: the profile is TRIGRAM-ALPHABET-BOUNDED (≤128³ ASCII —
+    * broadcastable at any corpus size, the q_doc_typicality argument);
+    * scoring is one explode + profile join + per-doc map-side-combined
+    * re-aggregation; the report is langs×2 rows. */
+  def qDocLangidModel(s: SparkSession, d: String): DataFrame =
+    langidModel(Tables.documents(s, d))
+
+  /** Core of [[qDocLangidModel]] over any (doc_id, text, lang) frame —
+    * split out so the spec can plant a corpus with REAL per-language
+    * character distributions: on THIS synthetic corpus the lang labels
+    * are ~text-independent (even the generator's own marker rule scores
+    * 35% overall), so holdout accuracy sits at chance — which is the
+    * honest behavior (the model finds no structure because none exists;
+    * the spec proves 100% holdout where signal is planted). */
+  private[graft] def langidModel(docs: DataFrame): DataFrame = {
+    def lq1p(c: Column): Column =
+      floor(lit(1e6) * log(c.cast("double") + 1)).cast("long")
+    val tris = docs
+      .filter(length(col("text")) >= 3)
+      .select(col("doc_id"), col("lang"),
+        (col("doc_id") % 2 === 0).as("train"),
+        explode(transform(sequence(lit(1), length(col("text")) - 2),
+          i => col("text").substr(i, lit(3)))).as("g"))
+    val aggs = LangSet.map(L =>
+      count(when(col("lang") === L && col("train"), 1)).as(s"c_$L"))
+    val prof = tris.groupBy(col("g")).agg(aggs.head, aggs.tail: _*)
+      .localCheckpoint() // alphabet-bounded; feeds totals + the join
+    val trow = prof.agg(count(lit(1)),
+      LangSet.map(L => sum(col(s"c_$L"))): _*).head()
+    val v = trow.getLong(0)
+    val lqNorm: Map[String, Long] = LangSet.zipWithIndex.map {
+      case (l, i) =>
+        l -> math.floor(1e6 * math.log((trow.getLong(i + 1) + v)
+          .toDouble)).toLong
+    }.toMap
+    val perDoc = tris.join(prof, Seq("g"), "left")
+      .groupBy(col("doc_id"), col("lang"), col("train"))
+      .agg(count(lit(1)).as("n_g"),
+        LangSet.map(L => sum(lq1p(coalesce(col(s"c_$L"), lit(0L))))
+          .cast("long").as(s"sum_$L")): _*)
+    val scored = perDoc.select(
+      Seq(col("doc_id"), col("lang"), col("train"), col("n_g")) ++
+        LangSet.map(L => (col(s"sum_$L") - col("n_g") * lit(lqNorm(L)))
+          .as(s"s_$L")): _*)
+    // argmax with fixed-order tie-break: the earliest language whose
+    // score is >= every later one wins (same CASE chain as the oracle)
+    val pred = LangSet.init.zipWithIndex.foldRight(
+      lit(LangSet.last): Column) { case ((l, i), els) =>
+      val beats = LangSet.drop(i + 1)
+        .map(r => col(s"s_$l") >= col(s"s_$r")).reduce(_ && _)
+      when(beats, l).otherwise(els)
+    }
+    scored.withColumn("pred", pred)
+      .groupBy(col("lang"), col("train"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("pred") === col("lang"), 1)).as("n_correct"))
+      .select(col("lang"),
+        when(col("train"), "train").otherwise("holdout").as("split"),
+        col("n_docs"), col("n_correct"),
+        (col("n_correct").cast("double") / col("n_docs")).as("accuracy"))
+  }
+
+  def qDocLangidModelSql: String = {
+    val cCols = LangSet.map(L =>
+      s"CAST(count(CASE WHEN lang = '$L' AND train THEN 1 END) AS BIGINT) AS c_$L")
+      .mkString(",\n      |    ")
+    val sumCols = LangSet.map(L =>
+      s"CAST(sum(CAST(floor(CAST(1000000 AS DOUBLE) * ln(CAST(COALESCE(c_$L, 0) AS DOUBLE) + 1)) AS BIGINT)) AS BIGINT) AS sum_$L")
+      .mkString(",\n      |    ")
+    val nCols = LangSet.map(L =>
+      s"CAST(sum(c_$L) AS BIGINT) AS n_$L").mkString(", ")
+    val sCols = LangSet.map(L =>
+      (s"sum_$L - n_g * CAST(floor(CAST(1000000 AS DOUBLE) " +
+        s"* ln(CAST(n_$L + v AS DOUBLE))) AS BIGINT) AS s_$L"))
+      .mkString(",\n      |    ")
+    val predArms = LangSet.init.zipWithIndex.map { case (l, i) =>
+      val beats = LangSet.drop(i + 1).map(r => s"s_$l >= s_$r")
+        .mkString(" AND ")
+      s"WHEN $beats THEN '$l'"
+    }.mkString(" ")
+    s"""WITH tg AS (
+      |  SELECT doc_id, lang, doc_id % 2 = 0 AS train,
+      |    substr(text, CAST(i AS INT), 3) AS g
+      |  FROM (SELECT doc_id, lang, text,
+      |      unnest(generate_series(1, length(text) - 2)) AS i
+      |    FROM documents WHERE length(text) >= 3)
+      |), prof AS MATERIALIZED (
+      |  SELECT g,
+      |    $cCols
+      |  FROM tg GROUP BY g
+      |), tot AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS v, $nCols FROM prof
+      |), perdoc AS (
+      |  SELECT doc_id, lang, train, CAST(count(*) AS BIGINT) AS n_g,
+      |    $sumCols
+      |  FROM tg LEFT JOIN prof USING (g)
+      |  GROUP BY doc_id, lang, train
+      |), scored AS (
+      |  SELECT doc_id, lang, train,
+      |    $sCols
+      |  FROM perdoc CROSS JOIN tot
+      |), p AS (
+      |  SELECT lang, train,
+      |    CASE $predArms ELSE '${LangSet.last}' END AS pred
+      |  FROM scored
+      |)
+      |SELECT lang, CASE WHEN train THEN 'train' ELSE 'holdout' END AS split,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(count(CASE WHEN pred = lang THEN 1 END) AS BIGINT)
+      |    AS n_correct,
+      |  CAST(count(CASE WHEN pred = lang THEN 1 END) AS DOUBLE) / count(*)
+      |    AS accuracy
+      |FROM p GROUP BY lang, train""".stripMargin
+  }
+
   /** TF-IDF: term frequencies per doc joined to corpus-level document
     * frequencies, each doc keeping its top-scored term. Two shuffles (per-doc
     * term counts; per-term doc frequency). The DF side is vocabulary-sized —

@@ -179,6 +179,15 @@ object GraftSql {
       """(?:\s+(ZORDER)(?:\s+BY\s*\(([\w\s,]+)\))?)?\s*$""").r
   private val CtasRe =
     """(?is)^\s*CREATE\s+TABLE\s+(\w+)\s+LOCATION\s+'([^']+)'\s+AS\s+(SELECT\b.+)$""".r
+  // CREATE OR REPLACE: on a bound table, ONE atomic overwrite snapshot
+  // (content replace, history preserved — time travel still sees the old
+  // rows); on an unbound name, plain CTAS (LOCATION then required)
+  private val CtasReplaceRe =
+    ("""(?is)^\s*CREATE\s+OR\s+REPLACE\s+TABLE\s+(\w+)""" +
+      """(?:\s+LOCATION\s+'([^']+)')?\s+AS\s+(SELECT\b.+)$""").r
+  private val RestoreTsRe =
+    ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?(\w+)\s+TO\s+TIMESTAMP\s+AS\s+OF""" +
+      """\s+'([^']+)'\s*$""").r
   private val VacuumRe =
     """(?is)^\s*VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*$""".r
   private val RestoreRe =
@@ -362,6 +371,34 @@ object GraftSql {
       val h = Option(hours).map(_.toLong).getOrElse(168L)
       Seq(t.removeOrphans(h * 3600L * 1000L).size.toLong)
         .toDF("files_removed")
+    case RestoreTsRe(name, ts) =>
+      // RESTORE … TO TIMESTAMP AS OF: resolve the wall-clock instant to
+      // the snapshot the table was at, then the usual rollback-as-a-new-
+      // commit (the Delta pairing of its VERSION form above)
+      val t = lookupName(spark, name)
+      val snap = Lake.resolveAsOf(spark, t.ledgerDir,
+        java.sql.Timestamp.valueOf(ts))
+      val s2 = t.restore(snap)
+      refresh(spark, name)
+      snapFrame(spark, s2)
+    case CtasReplaceRe(name, dir, query) =>
+      registry.get((spark, name)) match {
+        case t: GraftTable =>
+          // replace changes CONTENT, never identity: a LOCATION that
+          // disagrees with the standing table refuses
+          if (dir != null) require(t.ledgerDir == s"$dir/ledger",
+            s"table '$name' is bound at '${t.ledgerDir}' — CREATE OR " +
+              s"REPLACE cannot relocate it to '$dir'")
+          val rows = spark.sql(
+            rewriteMetaTables(spark, rewriteTimeTravel(spark, query)))
+          val snap = t.overwrite(rows)
+          refresh(spark, name)
+          snapFrame(spark, snap)
+        case null =>
+          require(dir != null, s"table '$name' is not bound — CREATE OR " +
+            "REPLACE needs LOCATION 'dir' to create it")
+          one(spark, s"CREATE TABLE $name LOCATION '$dir' AS $query")
+      }
     case CtasRe(name, dir, query) =>
       require(registry.get((spark, name)) == null,
         s"table '$name' is already SQL-bound — CTAS creates, not replaces")

@@ -460,6 +460,43 @@ class GraftSqlSpec extends GraftSpec {
     GraftSql.unbind(spark, "showc_t")
   }
 
+  test("CREATE OR REPLACE TABLE: creates when unbound, atomically " +
+      "replaces content when bound (history preserved), refuses " +
+      "relocation; RESTORE TO TIMESTAMP AS OF rolls back by wall clock") {
+    val sp = spark; import sp.implicits._
+    val tmp = Files.createTempDirectory("graft_sql_corpl").toString
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .createOrReplaceTempView("corpl_src")
+    // unbound: OR REPLACE degrades to plain CTAS
+    GraftSql.sql(spark,
+      s"CREATE OR REPLACE TABLE corpl_t LOCATION '$tmp/t' AS " +
+        "SELECT * FROM corpl_src")
+    val t = GraftTable(spark, s"$tmp/t/ledger", s"$tmp/t/gen")
+    assert(t.read().count() == 2)
+    Thread.sleep(1100) // wall-clock gap so TIMESTAMP AS OF is unambiguous
+    val tsBetween = new java.sql.Timestamp(System.currentTimeMillis())
+    // bound: OR REPLACE = one atomic overwrite snapshot
+    GraftSql.sql(spark,
+      "CREATE OR REPLACE TABLE corpl_t AS SELECT 9 AS k, 'z' AS v")
+    assert(t.read().count() == 1
+      && t.read().head().getString(1) == "z")
+    // history preserved: time travel below the replace sees the old rows
+    assert(t.readAt(1).count() == 2)
+    // relocation refused
+    val e = intercept[Exception] {
+      GraftSql.sql(spark, "CREATE OR REPLACE TABLE corpl_t LOCATION " +
+        s"'$tmp/elsewhere' AS SELECT 1 AS k, 'q' AS v")
+    }
+    assert(e.getMessage.contains("cannot relocate"), e.getMessage)
+    // RESTORE by wall clock: back to the pre-replace state, as a NEW
+    // commit (history keeps growing)
+    Thread.sleep(50)
+    GraftSql.sql(spark,
+      s"RESTORE corpl_t TO TIMESTAMP AS OF '$tsBetween'")
+    assert(t.read().count() == 2, "timestamp restore must roll back")
+    GraftSql.unbind(spark, "corpl_t")
+  }
+
   test("ALTER TABLE ADD COLUMNS: zero-data-file schema commit, old rows " +
       "read null, INSERT with the new column works, time travel below " +
       "the evolution keeps the old shape") {

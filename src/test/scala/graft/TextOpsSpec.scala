@@ -104,4 +104,30 @@ class TextOpsSpec extends GraftSpec {
       assert(w > 0 && r.getAs[Long]("seq_from") + w <= TextOps.PackSeqLen)
     }
   }
+
+  test("trained language model: 100% holdout accuracy on a planted " +
+      "corpus with real per-language character distributions (the sf " +
+      "corpus's labels are ~text-independent, so chance there is honest)") {
+    val sp = spark; import sp.implicits._
+    // disjoint alphabets per language: trigram profiles fully separate
+    val alphabets = Map("de" -> "abcd", "en" -> "efgh", "es" -> "ijkl",
+      "fr" -> "mnop", "zh" -> "qrst")
+    def word(alpha: String, seed: Int): String =
+      (0 until 5).map(i => alpha((seed * 7 + i * 3) % alpha.length)).mkString
+    val docs = TextOps.LangSet.zipWithIndex.flatMap { case (l, li) =>
+      (0 until 40).map { i =>
+        ((li * 100 + i).toLong,
+          (0 until 8).map(j => word(alphabets(l), i + j)).mkString(" "), l)
+      }
+    }
+    val got = TextOps.langidModel(docs.toDF("doc_id", "text", "lang"))
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    TextOps.LangSet.foreach { l =>
+      val (hn, hc) = got((l, "holdout"))
+      val (tn, tc) = got((l, "train"))
+      assert(hn > 0 && hc == hn, s"$l holdout $hc/$hn")
+      assert(tn > 0 && tc == tn, s"$l train $tc/$tn")
+    }
+  }
 }
