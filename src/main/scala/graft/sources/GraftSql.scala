@@ -188,6 +188,11 @@ object GraftSql {
   private val RestoreTsRe =
     ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?(\w+)\s+TO\s+TIMESTAMP\s+AS\s+OF""" +
       """\s+'([^']+)'\s*$""").r
+  // zero-copy fork (the Delta verb): the clone references the source's
+  // data files; writes on the clone stay invisible to the source
+  private val CloneRe =
+    ("""(?is)^\s*CREATE\s+TABLE\s+(\w+)\s+SHALLOW\s+CLONE\s+(\w+)""" +
+      """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s+LOCATION\s+'([^']+)'\s*$""").r
   private val VacuumRe =
     """(?is)^\s*VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*$""".r
   private val RestoreRe =
@@ -371,6 +376,17 @@ object GraftSql {
       val h = Option(hours).map(_.toLong).getOrElse(168L)
       Seq(t.removeOrphans(h * 3600L * 1000L).size.toLong)
         .toDF("files_removed")
+    case CloneRe(name, srcName, ver, dir) =>
+      require(registry.get((spark, name)) == null,
+        s"table '$name' is already SQL-bound — CLONE creates, not replaces")
+      val srcT = lookupName(spark, srcName)
+      // zero-copy: only ledger rows copy (≤ the version when pinned);
+      // the clone is fully writable, and a past-pinned clone is the
+      // experimentation fork (it can never publish — see Lake.branchAt)
+      val fork = srcT.cloneAt(s"$dir/ledger",
+        Option(ver).map(_.toLong).getOrElse(-1L))
+      bind(name, GraftTable(spark, s"$dir/ledger", s"$dir/gen"))
+      snapFrame(spark, fork)
     case RestoreTsRe(name, ts) =>
       // RESTORE … TO TIMESTAMP AS OF: resolve the wall-clock instant to
       // the snapshot the table was at, then the usual rollback-as-a-new-

@@ -497,6 +497,56 @@ class GraftSqlSpec extends GraftSpec {
     GraftSql.unbind(spark, "corpl_t")
   }
 
+  test("CREATE TABLE ... SHALLOW CLONE: zero-copy fork, version pinning, " +
+      "clone writes invisible to the source") {
+    val sp = spark; import sp.implicits._
+    val tmp = Files.createTempDirectory("graft_sql_clone").toString
+    val src = GraftTable(spark, s"$tmp/src/ledger", s"$tmp/src/gen")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").write.parquet(s"$tmp/landing")
+    src.ingest(s"$tmp/landing")
+    src.bindSql("clone_src")
+    GraftSql.sql(spark, "INSERT INTO clone_src SELECT 3, 'c'")
+    // clone at head + clone pinned below the insert
+    GraftSql.sql(spark, "CREATE TABLE clone_head SHALLOW CLONE clone_src " +
+      s"LOCATION '$tmp/head'")
+    GraftSql.sql(spark, "CREATE TABLE clone_v1 SHALLOW CLONE clone_src " +
+      s"VERSION AS OF 1 LOCATION '$tmp/v1'")
+    val head = GraftTable(spark, s"$tmp/head/ledger", s"$tmp/head/gen")
+    val v1 = GraftTable(spark, s"$tmp/v1/ledger", s"$tmp/v1/gen")
+    assert(head.read().count() == 3 && v1.read().count() == 2)
+    // zero-copy: the clone's live files ARE the source's (by path)
+    val srcFiles = src.files().select("path").collect().map(_.getString(0))
+      .toSet
+    val headFiles = head.files().select("path").collect()
+      .map(_.getString(0)).toSet
+    assert(headFiles == srcFiles, "clone must reference, not copy")
+    // writes on the clone stay invisible to the source — and are SQL-
+    // routable (the clone is a first-class bound table)
+    GraftSql.sql(spark, "INSERT INTO clone_head SELECT 9, 'z'")
+    assert(head.read().count() == 4 && src.read().count() == 3)
+    Seq("clone_src", "clone_head", "clone_v1")
+      .foreach(GraftSql.unbind(spark, _))
+  }
+
+  test("DELETE and UPDATE accept IN (SELECT ...) subquery conditions") {
+    val sp = spark; import sp.implicits._
+    val tmp = Files.createTempDirectory("graft_sql_subq").toString
+    val tbl = GraftTable(spark, s"$tmp/ledger", s"$tmp/gen")
+    Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0))
+      .toDF("k", "v").write.parquet(s"$tmp/landing")
+    tbl.ingest(s"$tmp/landing")
+    tbl.bindSql("subq_t")
+    Seq(2L, 3L).toDF("kk").createOrReplaceTempView("subq_keys")
+    tbl.sql(
+      "UPDATE subq_t SET v = v + 1 WHERE k IN (SELECT kk FROM subq_keys)")
+    tbl.sql(
+      "DELETE FROM subq_t WHERE k IN (SELECT kk FROM subq_keys WHERE kk > 2)")
+    val got = tbl.read().orderBy(col("k")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == Seq((1L, 10.0), (2L, 21.0), (4L, 40.0)), s"got $got")
+    GraftSql.unbind(spark, "subq_t")
+  }
+
   test("ALTER TABLE ADD COLUMNS: zero-data-file schema commit, old rows " +
       "read null, INSERT with the new column works, time travel below " +
       "the evolution keeps the old shape") {
