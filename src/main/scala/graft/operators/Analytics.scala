@@ -629,9 +629,12 @@ object Analytics {
     * the reference level k = (user mean + allowance) would be a
     * rational, so every deviation is multiplied through by the user's
     * row count n — d_i = n·(x_i − A) − Σx — keeping P, the running min,
-    * S, and the alarm comparison S > n·H in exact BIGINT end to end
-    * (|P| ≤ n²·max|x|·10^4 ≈ 5.5e10 here; a 10^6-event user history
-    * still fits 9.2e18 with max|x| up to 10^4). The one double in the
+    * S, and the alarm comparison S > n·H in exact BIGINT end to end.
+    * Overflow bound: |P| ≤ 2·n²·max|x|·10^4 (the n-multiplied deviations
+    * accumulate over n rows) — ≈ 5.5e10 on this corpus (n ≤ 99,
+    * |x| ≤ 561) and safe to n ≈ 2e4 events at |x| ≤ 10^4; a longer user
+    * history must chunk into epochs or widen P to DECIMAL(38,0)/HUGEINT
+    * (the q_evt_lttb discipline). The one double in the
     * output is max_cusum = maxS / (n·10^4) — a single division of two
     * exactly-represented integers, IEEE-identical cross-engine.
     *

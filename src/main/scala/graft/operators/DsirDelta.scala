@@ -56,11 +56,14 @@ object DsirDelta {
   }
 
   /** Hashed unigram+bigram bucket stream for a documents frame:
-    * (doc_id, __tgt, b) — one row per feature occurrence, the target
-    * flag carried through the explode (no join-back). */
-  private def bucketed(docs: DataFrame): DataFrame =
+    * (doc_id, __tgt, b) — one row per feature occurrence, the flag
+    * carried through the explode (no join-back). Scoring passes
+    * `lit(false)` so UNLABELED docs score fine — only the count folds
+    * need the lang column. */
+  private def bucketed(docs: DataFrame,
+      flag: Column = isTarget): DataFrame =
     docs
-      .select(col("doc_id"), isTarget.as("__tgt"),
+      .select(col("doc_id"), flag.as("__tgt"),
         TextOps.tokens(col("text")).as("t"))
       .withColumn("feats", concat(col("t"),
         when(size(col("t")) >= 2,
@@ -153,7 +156,7 @@ object DsirDelta {
     val l0 = lq(nRaw + vp, nTgt + vp)
     val lf = (0 until Buckets).map(b =>
       (b, lq(tgtC(b) + 1, rawC(b) + 1))).toDF("b", "lf")
-    bucketed(docs).join(lf, Seq("b"))
+    bucketed(docs, lit(false)).join(lf, Seq("b"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_feat"),
         sum(col("lf") + lit(l0)).cast("long").as("score_scaled"))
