@@ -465,4 +465,34 @@ class PlanSpec extends GraftSpec {
     val nLi = "lineitem\\.parquet".r.findAllIn(plan).length
     assert(nLi == 1, s"lineitem scanned $nLi times — edges must chain:\n$plan")
   }
+
+  test("cusum shares ONE user_id exchange across all three window passes " +
+      "and the two-phase per-user aggregate") {
+    val plan = planString(graft.operators.Analytics.qEvtCusum(spark, sf))
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(n == 1, s"expected exactly one exchange:\n$plan")
+    assert(plan.contains("partial_count"), "funnel agg must be two-phase")
+    assert("Window\\b".r.findAllIn(plan).length >= 3,
+      "all window passes must sit on the shared partitioning")
+  }
+
+  test("dsir scoring joins the model by SIZE-DRIVEN broadcast (no hint in " +
+      "source) with a two-phase per-doc aggregate") {
+    val plan = planString(graft.operators.Sampling.qDocDsir(spark, sf))
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("BuildRight"),
+      s"the V-row model must broadcast:\n$plan")
+    assert(plan.contains("partial_count"), "per-doc agg must be two-phase")
+  }
+
+  test("cascade runs in one scan: a single md5 window exchange plus the " +
+      "two-phase funnel aggregate — no self-joins") {
+    val plan = planString(graft.operators.TextOps.qDocCascade(spark, sf))
+    val nEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(nEx == 2, s"window + funnel agg = two exchanges, got $nEx:\n$plan")
+    assert("Window\\b".r.findAllIn(plan).length == 1, "one md5 window")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      "the rep-collapse must be a window, never a join")
+    val nDoc = "documents\\.parquet".r.findAllIn(plan).length
+    assert(nDoc == 1, s"documents scanned $nDoc times — must be one pass")
+  }
 }
