@@ -168,8 +168,11 @@ object GraftSql {
     """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*$""".r
   private val AddColumnsRe =
     """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMNS?\s*\((.+)\)\s*$""".r
+  // the type may carry parenthesized args (DECIMAL(10,2), VARCHAR(20));
+  // commas only INSIDE those parens — a top-level comma means a list and
+  // must use the ADD COLUMNS (…) form
   private val AddColumnBareRe =
-    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(\w+\s+[^,()]+)\s*$""".r
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(\w+\s+[^,()]+(?:\([\w\s,]*\))?)\s*$""".r
   private val DropColumnsRe =
     """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMNS?\s*\(?\s*([\w\s,]+?)\s*\)?\s*$""".r
   private val DescribeHistoryRe =
@@ -315,7 +318,7 @@ object GraftSql {
       // scoped overwrite: replace exactly the predicate's region with the
       // SELECT's rows (one snapshot; footprint-bounded — see
       // Lake.overwriteWhere). Store-assignment coercion by position, the
-      // INSERT discipline; checkpointed once for the multi-consumer op.
+      // INSERT discipline; materialized once inside the op.
       val name = if (n1 != null) n1 else n2
       val t = lookupName(spark, name)
       // the regex splits the predicate at the first top-level SELECT, so
@@ -342,7 +345,9 @@ object GraftSql {
         s"INSERT arity ${rows0.columns.length} != table arity ${tgt.length}")
       val rows = rows0.select(rows0.columns.zip(tgt.fields).map {
         case (c, f) => bq(c).cast(f.dataType).as(f.name) }: _*)
-      val s2 = t.overwriteWhere(predCol, rows.localCheckpoint())
+      // Lake.overwriteWhere materializes the frame itself (r14) — no
+      // second checkpoint here
+      val s2 = t.overwriteWhere(predCol, rows)
       refresh(spark, name)
       snapFrame(spark, s2)
     case TruncateRe(name) =>
@@ -742,7 +747,18 @@ object GraftSql {
     def eqCols(e: Expression): Seq[String] = e match {
       case And(l, r) => eqCols(l) ++ eqCols(r)
       case EqualTo(l, r) =>
-        val (ln, rn) = (attrName(l), attrName(r))
+        // a literal conjunct (ON t.k = s.k AND t.ds = '2024-01-01') must
+        // refuse with the ON-clause rule, not attrName's misleading
+        // "unsupported assignment target"
+        def name(e: Expression): String = e match {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            a.nameParts.last
+          case other => unsupported(
+            "ON must be an equality or AND of equalities over columns " +
+              s"(t.k = s.k); got non-column operand $other — fold literal " +
+              "predicates into the WHEN clause conditions instead")
+        }
+        val (ln, rn) = (name(l), name(r))
         if (ln != rn) unsupported(s"ON keys differ: $ln vs $rn")
         Seq(ln)
       case other => unsupported(

@@ -2088,13 +2088,19 @@ object Lake {
       pred: org.apache.spark.sql.Column, rows: DataFrame,
       changeFeed: Boolean = false): Long = {
     val snap = currentSnapshot(spark, ledgerDir)
-    val newEmpty = rows.isEmpty
+    // materialize the incoming frame ONCE (the runMergeColumnList USING
+    // discipline): it is evaluated several times below (emptiness, the
+    // replaceWhere contract count, constraints, the delta write) — a
+    // non-deterministic source could pass the out-of-region check yet
+    // write rows violating the predicate
+    val rowsM = rows.localCheckpoint()
+    val newEmpty = rowsM.isEmpty
     // the replaceWhere contract, checked read-only before anything lands
     if (!newEmpty) {
-      val astray = rows.filter(!coalesce(pred, lit(false))).count()
+      val astray = rowsM.filter(!coalesce(pred, lit(false))).count()
       require(astray == 0, s"replaceWhere: $astray incoming rows do not " +
         "satisfy the predicate — they lie outside the replaced region")
-      enforceConstraints(spark, ledgerDir, rows)
+      enforceConstraints(spark, ledgerDir, rowsM)
     }
     val liveActs = readLedger(spark, ledgerDir)
       .map(l => liveActionsAt(l, snap).localCheckpoint())
@@ -2105,7 +2111,7 @@ object Lake {
       // empty-table path carries the change feed's insert images, which
       // appendRows does not record (the overwriteWith lesson)
       return if (newEmpty) snap
-        else overwriteWith(spark, ledgerDir, genRoot, rows, changeFeed)
+        else overwriteWith(spark, ledgerDir, genRoot, rowsM, changeFeed)
     }
     val target = tableScan(spark, ledgerDir, index.get, snap)
     val cols = target.columns.map(col)
@@ -2144,7 +2150,7 @@ object Lake {
           .select(cols: _*)
           .write.mode("overwrite").parquet(s"$genDir/carry"))
       if (!newEmpty)
-        rows.write.mode("overwrite").parquet(s"$genDir/delta")
+        rowsM.write.mode("overwrite").parquet(s"$genDir/delta")
       if (changeFeed) {
         val deleted = affectedRowsOpt
           .map(_.filter(coalesce(pred, lit(false)))

@@ -269,7 +269,11 @@ object Streams {
   def cusumAlarms(spark: SparkSession, events: DataFrame, refScaled: Long,
       allowScaled: Long, threshScaled: Long): Dataset[CusumAlarm] = {
     import spark.implicits._
-    events.select(col("user_id"), col("event_id"), col("ts"),
+    events
+      // null values would make vi null and blow the non-nullable Long
+      // encoder at runtime (the batch twin filters identically)
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), col("event_id"), col("ts"),
         (col("value").cast("decimal(12,4)") * 10000).cast("long").as("vi"),
         col("value"))
       .as[(Long, Long, Timestamp, Long, Double)]

@@ -105,4 +105,35 @@ class EwmaSpec extends GraftSpec {
     val split = run(Seq(all.take(33), all.drop(33)), "cusum_split")
     assert(split == oneShot, s"split diverged: $split")
   }
+
+  case class NullableEvt(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Option[Double])
+
+  test("streaming CUSUM: null values are dropped, not fatal — alarms " +
+      "match the null-free feed (the batch twin's filter)") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sq = spark.sqlContext
+    val (refS, allowS, threshS) = (500000L, 250000L, 2000000L)
+    def evt(i: Int, v: Option[Double]) =
+      NullableEvt(1000L + i, new Timestamp(1700000000000L + i * 1000L),
+        1L, "m", v)
+    // nulls interleaved through the shift — a null used to kill the
+    // query at the non-nullable encoder before any alarm surfaced
+    val all = (0 until 30).map(i => evt(i, Some(50.0))) ++
+      Seq(evt(100, None)) ++
+      (30 until 40).map(i => evt(i, Some(125.0))) ++
+      Seq(evt(101, None))
+    val mem = MemoryStream[NullableEvt]
+    val q = graft.streaming.Streams
+      .cusumAlarms(spark, mem.toDF(), refS, allowS, threshS)
+      .writeStream.format("memory").queryName("cusum_null")
+      .outputMode("append").start()
+    val got = try {
+      mem.addData(all); q.processAllAvailable()
+      spark.table("cusum_null").select("event_id").collect()
+        .map(_.getLong(0)).sorted.toSeq
+    } finally q.stop()
+    assert(got == (1034L to 1039L), s"got $got")
+  }
 }

@@ -578,6 +578,13 @@ class GraftSqlSpec extends GraftSpec {
     tbl.sql("ALTER TABLE addcol_t ADD COLUMN flag BOOLEAN")
     assert(tbl.read().columns.toSeq ==
       Seq("k", "v", "note", "score", "flag"))
+    // parenthesized type args in the bare form (DECIMAL(10,2) used to
+    // fall through to the Spark parser with an unrelated error)
+    tbl.sql("ALTER TABLE addcol_t ADD COLUMN amt DECIMAL(10,2)")
+    assert(tbl.read().columns.toSeq ==
+      Seq("k", "v", "note", "score", "flag", "amt"))
+    assert(tbl.read().schema("amt").dataType ==
+      org.apache.spark.sql.types.DecimalType(10, 2))
     val e = intercept[Exception] {
       tbl.sql("ALTER TABLE addcol_t ADD COLUMNS (NOTE INT)")
     }
@@ -711,6 +718,15 @@ class GraftSqlSpec extends GraftSpec {
         "s.n_regionkey WHEN MATCHED THEN UPDATE SET *")
     }
     assert(e1.getMessage.contains("ON keys differ"))
+    // a literal conjunct in ON (the Delta partition-pin idiom) refuses
+    // with the ON-clause rule, not attrName's "assignment target" text
+    val eLit = intercept[RuntimeException] {
+      t.sql("MERGE INTO nat_x USING nat_x s ON nat_x.n_nationkey = " +
+        "s.n_nationkey AND nat_x.n_name = 'FRANCE' " +
+        "WHEN MATCHED THEN UPDATE SET *")
+    }
+    assert(eLit.getMessage.contains("non-column operand")
+      && !eLit.getMessage.contains("assignment target"), eLit.getMessage)
     // column-list arms pin the target schema — evolution needs star forms
     val e2 = intercept[RuntimeException] {
       t.sql("MERGE WITH SCHEMA EVOLUTION INTO nat_x USING nat_x s " +
