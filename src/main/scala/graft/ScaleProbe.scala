@@ -158,6 +158,12 @@ object ScaleProbe {
       // vocabulary (and the V-row model) is IDENTICAL at 10x; only the
       // two explode passes scale
       "q_doc_dsir" -> (Sampling.qDocDsir _),
+      // r14: ExactSubstr — the 10x corpus duplicates texts verbatim, so
+      // EVERY L-gram is duplicated at 10x (each replica covers fully):
+      // the gram build and the hit-side window both scale ~linearly, the
+      // distinct gram key space is IDENTICAL; expect ~linear, never
+      // quadratic (per-doc decisions, no pair lists)
+      "q_doc_substrdup" -> (TextOps.qDocSubstrdup _),
       // r13: per-user CUSUM — the 10x events are 10x users each keeping
       // the 1x series: per-user window frames unchanged, expect ~linear
       "q_evt_cusum" -> (Analytics.qEvtCusum _),

@@ -727,6 +727,94 @@ object TextOps {
        |    ELSE least(${SpanLen}, pos - prev) END) AS DOUBLE) / n_tokens AS dup_frac
        |FROM h GROUP BY doc_id, n_tokens""".stripMargin
 
+  /** Exact-substring minimum duplicate length, in tokens (Lee et al. use
+    * 50 on web-scale corpora; the gate corpus averages ~55 tokens/doc, so
+    * 15 plays the same role at this scale). */
+  val SubstrLen = 15
+
+  /** EXACT-SUBSTRING dedup profile (cf. Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better" — the ExactSubstr
+    * method): for every doc, the maximal contiguous regions covered by a
+    * substring of ≥ SubstrLen tokens that occurs ≥2 times ANYWHERE in
+    * the corpus (another doc or a second position in the same doc —
+    * unlike [[qDocDupspans]]' cross-doc-only 5-gram overlap). The
+    * suffix-array reduction that makes this Spark-shaped: a position is
+    * covered by a duplicated substring of length ≥ L iff it lies in some
+    * window [p, p+L) whose L-gram occurs ≥2 times — so duplicated
+    * L-grams alone reproduce ExactSubstr's coverage EXACTLY, no suffix
+    * array needed, and coverage unions via the dupspans interval
+    * machinery. Spans here are maximal contiguous covered regions
+    * (gap > L breaks; nested/overlapping repeats union without double
+    * counting). Output per affected doc: merged span count, covered
+    * tokens, longest covered run, exact-ratio coverage.
+    *
+    * Scale shape: one scan; grams hash to md5 keys inside one generated
+    * projection (the gram string is per-row temporary, never shuffled);
+    * the occurrence count map-side-combines; the join back is
+    * gram-key-partitioned; the island windows ride ONE (doc_id, pos)
+    * sort over HIT rows only (candidate-sized, not corpus-sized). Per-doc
+    * decisions, never pair lists. */
+  def qDocSubstrdup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val L = SubstrLen
+    val g = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n_tokens", size(col("toks")))
+      .filter(col("n_tokens") >= L)
+      .select(col("doc_id"), col("n_tokens"), posexplode(
+        expr(s"transform(sequence(0, size(toks) - $L)," +
+          s" i -> concat_ws(' ', slice(toks, i + 1, $L)))")).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("n_tokens"), col("pos"),
+        md5(col("gram")).as("gkey"))
+      .localCheckpoint() // fed to BOTH the occurrence count and the hit
+      // join — without it the tokenize+explode+md5 chain runs twice
+    val dup = g.groupBy(col("gkey"))
+      .agg(count(lit(1)).as("nocc"))
+      .filter(col("nocc") >= 2) // total occurrences, NOT distinct docs:
+      // a second position in the same doc duplicates too (ExactSubstr)
+      .select(col("gkey"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    g.join(dup, "gkey")
+      .withColumn("brk",
+        when(coalesce(col("pos") - lag(col("pos"), 1).over(w),
+          lit(L + 1)) > L, lit(1)).otherwise(lit(0)))
+      .withColumn("island", sum(col("brk"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("n_tokens"), col("island"))
+      .agg((max(col("pos")) + lit(L) - min(col("pos"))).as("span_len"))
+      .groupBy(col("doc_id"), col("n_tokens"))
+      .agg(sum(col("span_len")).cast("bigint").as("dup_tokens"),
+        count(lit(1)).as("n_spans"),
+        max(col("span_len")).cast("bigint").as("longest_span"))
+      .withColumn("dup_frac",
+        col("dup_tokens").cast("double") / col("n_tokens"))
+  }
+
+  def qDocSubstrdupSql: String = {
+    val L = SubstrLen
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks FROM documents),
+       |g AS (SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+       |    CAST(i - 1 AS INT) AS pos,
+       |    md5(array_to_string(toks[i:i + ${L - 1}], ' ')) AS gkey
+       |  FROM t, unnest(range(1, len(toks) - $L + 2)) AS r(i)
+       |  WHERE len(toks) >= $L),
+       |dup AS (SELECT gkey FROM g GROUP BY gkey HAVING count(*) >= 2),
+       |h AS (SELECT g.doc_id, g.n_tokens, g.pos,
+       |    lag(g.pos) OVER (PARTITION BY g.doc_id ORDER BY g.pos) AS prev
+       |  FROM g JOIN dup USING (gkey)),
+       |i AS (SELECT doc_id, n_tokens, pos,
+       |    CAST(SUM(CASE WHEN prev IS NULL OR pos - prev > $L THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+       |  FROM h),
+       |s AS (SELECT doc_id, n_tokens, island, max(pos) + $L - min(pos) AS span_len
+       |  FROM i GROUP BY doc_id, n_tokens, island)
+       |SELECT doc_id, n_tokens, CAST(sum(span_len) AS BIGINT) AS dup_tokens,
+       |  CAST(count(*) AS BIGINT) AS n_spans,
+       |  CAST(max(span_len) AS BIGINT) AS longest_span,
+       |  CAST(sum(span_len) AS DOUBLE) / n_tokens AS dup_frac
+       |FROM s GROUP BY doc_id, n_tokens""".stripMargin
+  }
+
   /** 64-bit document fingerprints — the cheap dup keys a pipeline persists
     * per shard: an exact-dup key (xxHash64 of normalized text) plus a
     * winnowing-style rolling-hash fingerprint (native codegen expression,
