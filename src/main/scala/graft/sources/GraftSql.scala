@@ -442,6 +442,10 @@ object GraftSql {
         t.ledgerDir)
       bind(name, t)
       snapFrame(spark, snap)
+    case UpdateHeadRe(name, tail) if topLevelKeyword(tail, "FROM") >= 0 =>
+      runJoinSourcedDml(spark, name, tail, isDelete = false)
+    case DeleteUsingRe(name, tail) =>
+      runJoinSourcedDml(spark, name, tail, isDelete = true)
     case _ =>
       val rewritten =
         rewriteMetaTables(spark, rewriteTimeTravel(spark, stmt))
@@ -736,6 +740,112 @@ object GraftSql {
     val snap = t.update(cond, sets)
     refresh(spark, tableName(u.table))
     snapFrame(spark, snap)
+  }
+
+  // ---- join-sourced DML (r14): `UPDATE t SET … FROM s WHERE …` and
+  // `DELETE FROM t USING s WHERE …` — the statements a migrating
+  // warehouse user types next after MERGE. Spark's grammar has neither;
+  // both rewrite TEXTUALLY to a matched-arm column-list MERGE (Spark's
+  // own parser then handles the SET list, source subqueries, and
+  // aliases), and the WHERE splits into same-name key equalities (the
+  // merge keys) and a RESIDUAL that becomes the WHEN MATCHED condition —
+  // exactly equivalent for matched-only arms, and evaluated against the
+  // pre-image PAIR, so cross-name equalities (t.k = s.kk) and
+  // target-referencing predicates all work as residuals.
+  private val UpdateHeadRe =
+    """(?is)^\s*UPDATE\s+(\w+)\s+SET\s+([\s\S]+)$""".r
+  private val DeleteUsingRe =
+    """(?is)^\s*DELETE\s+FROM\s+(\w+)\s+USING\s+([\s\S]+)$""".r
+
+  /** Start index of the first occurrence of the word `kw` at paren depth
+    * 0 outside string literals / quoted identifiers, or -1 — so a FROM
+    * inside a scalar-subquery SET expression or an IN (SELECT …) never
+    * splits the statement. */
+  private def topLevelKeyword(s: String, kw: String): Int = {
+    var depth = 0; var quote: Char = 0; var i = 0
+    val n = kw.length
+    def isWord(c: Char) = c.isLetterOrDigit || c == '_'
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else if (c == '\'' || c == '"') quote = c
+      else if (c == '(') depth += 1
+      else if (c == ')') depth -= 1
+      else if (depth == 0 && i + n <= s.length &&
+          s.regionMatches(true, i, kw, 0, n) &&
+          (i == 0 || !isWord(s.charAt(i - 1))) &&
+          (i + n == s.length || !isWord(s.charAt(i + n))))
+        return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Split a join-DML WHERE into (merge keys, residual): AND-leaves that
+    * are same-name attribute equalities become keys; everything else
+    * folds into the matched-arm condition. */
+  private def splitJoinCond(cond: Expression)
+      : (Expression, Option[Expression]) = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    def leaves(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => leaves(l) ++ leaves(r)
+      case x => Seq(x)
+    }
+    val (ks, rest) = leaves(cond).partition {
+      case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute) =>
+        a.nameParts.last == b.nameParts.last
+      case _ => false
+    }
+    require(ks.nonEmpty, "join-sourced DML needs at least one same-name " +
+      "key equality (t.k = s.k) in the WHERE to join on — other " +
+      "predicates (cross-name equalities included) run as residual " +
+      "conditions against the matched pair")
+    (ks.reduce(And), rest.reduceOption(And))
+  }
+
+  private def runJoinSourcedDml(spark: SparkSession, name: String,
+      tail: String, isDelete: Boolean): DataFrame = {
+    val verb = if (isDelete) "DELETE FROM … USING" else "UPDATE … FROM"
+    val (setsText, rest) =
+      if (isDelete) ("", tail)
+      else {
+        val fi = topLevelKeyword(tail, "FROM")
+        (tail.take(fi).trim, tail.substring(fi + 4))
+      }
+    val wi = topLevelKeyword(rest, "WHERE")
+    require(wi >= 0, s"$verb needs a WHERE join condition — an " +
+      "unconditioned join-source would touch every target row; write " +
+      "the predicate explicitly")
+    val srcText = rest.take(wi).trim
+    val condText = rest.substring(wi + 5).trim
+    val arm = if (isDelete) "DELETE" else s"UPDATE SET $setsText"
+    val mergeText = s"MERGE INTO $name USING $srcText ON $condText " +
+      s"WHEN MATCHED THEN $arm"
+    val m = spark.sessionState.sqlParser.parsePlan(
+      rewriteMetaTables(spark, rewriteTimeTravel(spark, mergeText))) match {
+      case mi: MergeIntoTable => mi
+      case other => sys.error(s"$verb did not rewrite to a MERGE: $other")
+    }
+    val (keyCond, residual) = splitJoinCond(m.mergeCondition)
+    val keys = mergeOnKeys(keyCond, msg => sys.error(msg))
+    // the key-unique source contract, checked HERE rather than silently
+    // violated: a key matching several source rows makes the post-image
+    // ambiguous for UPDATE, and duplicate drop rows for DELETE —
+    // aggregate or SELECT DISTINCT the source first (ANSI and Delta both
+    // refuse the multi-match). One source-batch-sized probe job.
+    val srcDf = GraftShim.ofRows(spark, m.sourceTable)
+    val dup = srcDf.groupBy(keys.map(bq): _*).count()
+      .filter(col("count") > 1).limit(1).count()
+    require(dup == 0, s"$verb source is not key-unique on " +
+      s"(${keys.mkString(", ")}) — a target row would match several " +
+      "source rows; aggregate or SELECT DISTINCT the source first")
+    val m2 = m.copy(mergeCondition = keyCond,
+      matchedActions = m.matchedActions.map {
+        case UpdateAction(None, as, fs) => UpdateAction(residual, as, fs)
+        case DeleteAction(None) => DeleteAction(residual)
+        case other => other
+      })
+    runMergeColumnList(spark, m2)
   }
 
   /** Parse a MERGE ON clause into its key column list: a single equality
@@ -1128,14 +1238,19 @@ object GraftSql {
     * target rows the source lacks: a conditional DELETE, then a flag
     * UPDATE that claims what the DELETE's condition — null-safe — did
     * not), and a final report
+    * a JOIN-SOURCED UPDATE (`UPDATE … FROM (subquery) d WHERE t.k = d.k
+    * AND residual` — the r14 surface, subtracting a fee from matched
+    * high-balance rows) and a JOIN-SOURCED DELETE (`DELETE … USING …` on
+    * a segment residual), and a final report
     * joining the current state against `VERSION AS OF 1` (the pre-DML
-    * snapshot).
+    * snapshot). NINE commit cycles total.
     * Every effect is pure algebra over `customer`, so DuckDB mirrors
     * the script with its own UPDATE/DELETE/INSERT (DuckDB 1.0 has no
     * MERGE — its effect is the matched-delete / matched-update /
     * unmatched-insert triple with the matched set computed BEFORE the
     * delete, the MERGE scoping; the column-list MERGE mirrors as
-    * UPDATE…FROM + a NOT IN insert).
+    * UPDATE…FROM + a NOT IN insert; the JOIN-SOURCED UPDATE/DELETE pair
+    * — NEW r14 — mirrors verbatim, DuckDB speaking both forms natively).
     * Money discipline: all balance arithmetic runs in DECIMAL(12,2) and
     * casts back to double per row; sums aggregate in DECIMAL. */
   def qSqlDml(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1207,6 +1322,17 @@ object GraftSql {
         |  AND c_acctbal > 9000 THEN DELETE
         |WHEN NOT MATCHED BY SOURCE AND c_mktsegment = 'FURNITURE'
         |  THEN UPDATE SET c_name = 'nmbs-flagged';
+        |UPDATE sqldml_cust SET c_acctbal =
+        |  CAST(CAST(c_acctbal AS DECIMAL(12,2))
+        |    - CAST(d.fee AS DECIMAL(12,2)) AS DOUBLE)
+        |FROM (SELECT c_custkey, CAST(2.50 AS DOUBLE) AS fee
+        |      FROM sqldml_cust WHERE c_custkey % 19 = 0) d
+        |WHERE sqldml_cust.c_custkey = d.c_custkey
+        |  AND sqldml_cust.c_acctbal > 1000;
+        |DELETE FROM sqldml_cust USING (SELECT c_custkey FROM sqldml_cust
+        |  WHERE c_custkey % 23 = 0) x
+        |WHERE sqldml_cust.c_custkey = x.c_custkey
+        |  AND sqldml_cust.c_mktsegment = 'AUTOMOBILE';
         |SELECT 'now' AS era, c_mktsegment,
         |  CAST(count(*) AS BIGINT) AS n_cust,
         |  CAST(count(CASE WHEN c_name = 'nmbs-flagged' THEN 1 END)
@@ -1473,6 +1599,17 @@ object GraftSql {
       |UPDATE sqldml_cust SET c_name = 'nmbs-flagged'
       |WHERE c_custkey NOT IN (SELECT c_custkey FROM sqldml_kp)
       |  AND c_mktsegment = 'FURNITURE';
+      |UPDATE sqldml_cust SET c_acctbal =
+      |  CAST(CAST(c_acctbal AS DECIMAL(12,2))
+      |    - CAST(d.fee AS DECIMAL(12,2)) AS DOUBLE)
+      |FROM (SELECT c_custkey, CAST(2.50 AS DOUBLE) AS fee
+      |      FROM sqldml_cust WHERE c_custkey % 19 = 0) d
+      |WHERE sqldml_cust.c_custkey = d.c_custkey
+      |  AND sqldml_cust.c_acctbal > 1000;
+      |DELETE FROM sqldml_cust USING (SELECT c_custkey FROM sqldml_cust
+      |  WHERE c_custkey % 23 = 0) x
+      |WHERE sqldml_cust.c_custkey = x.c_custkey
+      |  AND sqldml_cust.c_mktsegment = 'AUTOMOBILE';
       |SELECT 'now' AS era, c_mktsegment,
       |  CAST(count(*) AS BIGINT) AS n_cust,
       |  CAST(count(CASE WHEN c_name = 'nmbs-flagged' THEN 1 END)

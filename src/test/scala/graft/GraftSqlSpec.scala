@@ -979,4 +979,82 @@ class GraftSqlSpec extends GraftSpec {
     assert(t.read().filter(col("n_name") === "see nat_src_ctas.history")
       .count() == 1, "literal containing t.history was rewritten")
   }
+
+  test("UPDATE … FROM: join-sourced update with residual conditions; " +
+      "subquery sources; non-matched and non-residual rows untouched") {
+    val sp = spark; import sp.implicits._
+    val (t, _) = fixture("nat_uf")
+    Seq((0, 100, 1), (1, 200, 0), (2, 300, 1), (99, 400, 1))
+      .toDF("n_nationkey", "bump", "flag")
+      .createOrReplaceTempView("uf_src")
+    val before = t.read().collect()
+      .map(r => r.getInt(0) -> r.getInt(2)).toMap
+    // residual s.flag = 1: key 1 matches but its flag is 0 → untouched;
+    // key 99 does not exist in the target → no insert
+    t.sql("UPDATE nat_uf SET n_regionkey = n_regionkey + s.bump " +
+      "FROM uf_src s WHERE nat_uf.n_nationkey = s.n_nationkey " +
+      "AND s.flag = 1")
+    val after = t.read().collect()
+      .map(r => r.getInt(0) -> r.getInt(2)).toMap
+    assert(after(0) == before(0) + 100 && after(2) == before(2) + 300)
+    assert(after(1) == before(1), "residual-failing row was updated")
+    assert(!after.contains(99) && after.size == before.size,
+      "unmatched source row must not insert")
+    // subquery source + target-referencing residual
+    t.sql("UPDATE nat_uf SET n_name = 'agg' FROM (SELECT " +
+      "n_nationkey, count(*) AS c FROM uf_src GROUP BY n_nationkey) s " +
+      "WHERE nat_uf.n_nationkey = s.n_nationkey AND nat_uf.n_regionkey " +
+      ">= 100")
+    val renamed = t.read().filter(col("n_name") === "agg")
+      .select("n_nationkey").collect().map(_.getInt(0)).toSet
+    assert(renamed == Set(0, 2), s"got $renamed")
+    // plain UPDATE (no FROM) still routes to updateWhere
+    t.sql("UPDATE nat_uf SET n_name = 'plain' WHERE n_nationkey = 5")
+    assert(t.read().filter(col("n_name") === "plain").count() == 1)
+    // a FROM inside an IN-subquery is NOT a join source
+    t.sql("UPDATE nat_uf SET n_name = 'subq' WHERE n_nationkey IN " +
+      "(SELECT n_nationkey FROM uf_src WHERE flag = 0)")
+    assert(t.read().filter(col("n_name") === "subq").count() == 1)
+  }
+
+  test("DELETE … USING: join-sourced delete; refusals for missing " +
+      "WHERE, missing key equality, non-unique source, ambiguity") {
+    val sp = spark; import sp.implicits._
+    val (t, _) = fixture("nat_du")
+    Seq((3, 1), (4, 0), (98, 1)).toDF("n_nationkey", "kill")
+      .createOrReplaceTempView("du_src")
+    val n0 = t.read().count()
+    t.sql("DELETE FROM nat_du USING du_src s " +
+      "WHERE nat_du.n_nationkey = s.n_nationkey AND s.kill = 1")
+    assert(t.read().count() == n0 - 1, "exactly key 3 deleted")
+    assert(t.read().filter(col("n_nationkey") === 3).count() == 0)
+    assert(t.read().filter(col("n_nationkey") === 4).count() == 1,
+      "residual-failing row survived")
+    // refusal: no WHERE
+    val e1 = intercept[Exception] {
+      t.sql("DELETE FROM nat_du USING du_src s")
+    }
+    assert(e1.getMessage.contains("WHERE join condition"), e1.getMessage)
+    // refusal: WHERE without a same-name key equality
+    val e2 = intercept[Exception] {
+      t.sql("DELETE FROM nat_du USING du_src s WHERE s.kill = 1")
+    }
+    assert(e2.getMessage.contains("same-name key equality"), e2.getMessage)
+    // refusal: key-duplicated source (multi-match is ambiguous)
+    Seq((5, 10), (5, 20)).toDF("n_nationkey", "bump")
+      .createOrReplaceTempView("du_dup")
+    val e3 = intercept[Exception] {
+      t.sql("UPDATE nat_du SET n_regionkey = s.bump FROM du_dup s " +
+        "WHERE nat_du.n_nationkey = s.n_nationkey")
+    }
+    assert(e3.getMessage.contains("not key-unique"), e3.getMessage)
+    // refusal: unqualified column both sides carry is ambiguous
+    Seq((6, 7)).toDF("n_nationkey", "n_regionkey")
+      .createOrReplaceTempView("du_amb")
+    val e4 = intercept[Exception] {
+      t.sql("UPDATE nat_du SET n_name = 'x' FROM du_amb s " +
+        "WHERE nat_du.n_nationkey = s.n_nationkey AND n_regionkey = 2")
+    }
+    assert(e4.getMessage.contains("ambiguous"), e4.getMessage)
+  }
 }
