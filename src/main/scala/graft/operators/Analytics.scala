@@ -629,14 +629,17 @@ object Analytics {
     * the reference level k = (user mean + allowance) would be a
     * rational, so every deviation is multiplied through by the user's
     * row count n — d_i = n·(x_i − A) − Σx — keeping P, the running min,
-    * S, and the alarm comparison S > n·H in exact BIGINT end to end.
-    * Overflow bound: |P| ≤ 2·n²·max|x|·10^4 (the n-multiplied deviations
-    * accumulate over n rows) — ≈ 5.5e10 on this corpus (n ≤ 99,
-    * |x| ≤ 561) and safe to n ≈ 2e4 events at |x| ≤ 10^4; a longer user
-    * history must chunk into epochs or widen P to DECIMAL(38,0)/HUGEINT
-    * (the q_evt_lttb discipline). The one double in the
+    * S, and the alarm comparison S > n·H exact end to end. The
+    * deviations, prefix sums, and scores run in DECIMAL(38,0) on the
+    * Spark side and HUGEINT in the oracle (the q_evt_lttb discipline,
+    * r14): |P| ≤ 2·n²·max|x|·10^4 stays exact to n ≈ 7e14 events/user
+    * at |x| ≤ 10^4 — a corpus-scale per-key history can no longer hit
+    * the old BIGINT bound (n ≈ 2e4), and ANSI decimal overflow past
+    * even that fails loudly, never wrongly. The one double in the
     * output is max_cusum = maxS / (n·10^4) — a single division of two
-    * exactly-represented integers, IEEE-identical cross-engine.
+    * exactly-represented integers (gate-scale S < 2^53, so the
+    * decimal/HUGEINT→double casts are exact in both engines),
+    * IEEE-identical cross-engine.
     *
     * Scale: one shuffle partitioned by user_id shared by all four
     * window passes + the final per-user aggregate (partial-agg
@@ -656,13 +659,23 @@ object Analytics {
       .select(col("event_id"), col("user_id"), col("ts"),
         (dec(col("value")) * 10000).cast("long").as("vi"))
       .withColumn("n", count(lit(1)).over(peru))
+      // dev/p/s run in DECIMAL(38,0) (r14 — the widening the r13 bound
+      // note documented): |P| ≤ 2·n²·max|x|·10^4 stays exact to
+      // n ≈ 7e14 events/user at |x| ≤ 10^4 — no realistic per-key
+      // history reaches it, and ANSI decimal overflow would still fail
+      // loudly rather than wrongly. The product runs in decimal FROM the
+      // n· multiply (a LONG n·(vi−A) already overflows near the old
+      // bound).
       .withColumn("dev",
-        col("n") * (col("vi") - lit(CusumAllowScaled))
-          - sum(col("vi")).over(peru))
-      .withColumn("p", sum(col("dev")).over(cum))
+        col("n").cast("decimal(38,0)")
+          * (col("vi") - lit(CusumAllowScaled))
+          - sum(col("vi")).over(peru).cast("decimal(38,0)"))
+      .withColumn("p", sum(col("dev")).over(cum).cast("decimal(38,0)"))
       .withColumn("s",
-        col("p") - least(lit(0L), min(col("p")).over(cum)))
-      .withColumn("alarm", col("s") > col("n") * lit(CusumThreshScaled))
+        col("p") - least(lit(0L).cast("decimal(38,0)"),
+          min(col("p")).over(cum)))
+      .withColumn("alarm", col("s") >
+        col("n").cast("decimal(38,0)") * lit(CusumThreshScaled))
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"),
         sum(when(col("alarm"), 1L).otherwise(0L)).as("n_alarms"),
@@ -682,13 +695,12 @@ object Analytics {
        |    CAST(sum(vi) OVER (PARTITION BY user_id) AS BIGINT) AS tot
        |  FROM e
        |), pp AS (
-       |  SELECT *, CAST(sum(n * (vi - $CusumAllowScaled) - tot) OVER w
-       |    AS BIGINT) AS p
+       |  SELECT *, sum(CAST(n AS HUGEINT) * (vi - $CusumAllowScaled)
+       |      - tot) OVER w AS p
        |  FROM st WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
        |), ss AS (
-       |  SELECT *, p - least(CAST(0 AS BIGINT), CAST(min(p) OVER w
-       |    AS BIGINT)) AS s
+       |  SELECT *, p - least(CAST(0 AS HUGEINT), min(p) OVER w) AS s
        |  FROM pp WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
        |)

@@ -148,4 +148,47 @@ class AnalyticsSpec extends GraftSpec {
     assert(got(1L)._3.get >= 1030L, "no alarm before the shift")
     assert(got(2L)._2 == 0 && got(2L)._4 == 0.0, "flat series must not alarm")
   }
+
+  test("CUSUM long-history widening: a 30k-event series whose " +
+      "n-multiplied prefix sums leave the BIGINT range still equals the " +
+      "textbook recursion (the r14 DECIMAL(38,0)/HUGEINT path)") {
+    val sp = spark; import sp.implicits._
+    import java.sql.Timestamp
+    // 15k baseline-0 events then 15k at 1e7: dev ≈ ∓1.5e15 per row,
+    // so |P| peaks ≈ 2.25e19 — past Long.MaxValue (9.2e18); the old
+    // BIGINT pipeline would wrap, the widened one must stay exact
+    val vs = Seq.fill(15000)(0.0) ++ Seq.fill(15000)(1.0e7)
+    val df = vs.zipWithIndex.map { case (v, i) =>
+      (1000000L + i, 7L, new Timestamp(1700000000000L + i * 1000L), v)
+    }.toDF("event_id", "user_id", "ts", "value")
+    // BigInt textbook recursion — the independent reference
+    val vi = vs.map(v => BigInt((BigDecimal(v)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP) * 10000).toLongExact))
+    val n = BigInt(vi.size)
+    val tot = vi.sum
+    var s = BigInt(0); var alarms = 0L; var first: Option[Long] = None
+    var maxS = BigInt(0); var minP = BigInt(0); var p = BigInt(0)
+    vi.indices.foreach { i =>
+      val dv = n * (vi(i) - Analytics.CusumAllowScaled) - tot
+      p += dv
+      if (p < minP) minP = p
+      s = (s + dv).max(BigInt(0))
+      if (s > maxS) maxS = s
+      if (s > n * Analytics.CusumThreshScaled) {
+        alarms += 1
+        if (first.isEmpty) first = Some(1000000L + i)
+      }
+    }
+    assert(minP < BigInt(Long.MinValue) || maxS > BigInt(Long.MaxValue),
+      s"fixture too small to exercise the widening: minP $minP maxS $maxS")
+    val got = Analytics.cusumScores(df).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(1) == vi.size.toLong)
+    assert(r.getLong(2) == alarms, s"alarms ${r.getLong(2)} vs $alarms")
+    assert(Option(r.get(3)).map(_.asInstanceOf[Long]) == first)
+    val wantMax = maxS.toDouble / (vi.size.toLong * 10000L).toDouble
+    assert(math.abs(r.getDouble(4) - wantMax) <= math.ulp(wantMax) * 4,
+      s"max_cusum ${r.getDouble(4)} vs $wantMax")
+  }
 }

@@ -481,7 +481,8 @@ class PlanSpec extends GraftSpec {
     val plan = planString(graft.operators.Sampling.qDocDsir(spark, sf))
     assert(plan.contains("BroadcastHashJoin") && plan.contains("BuildRight"),
       s"the V-row model must broadcast:\n$plan")
-    assert(plan.contains("partial_count"), "per-doc agg must be two-phase")
+    // r14: the per-doc agg folds sum(c) over per-(doc,feature) counts
+    assert(plan.contains("partial_sum"), "per-doc agg must be two-phase")
   }
 
   test("cascade runs in one scan: a single md5 window exchange plus the " +
