@@ -98,9 +98,46 @@ object GraftSql {
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), GraftTable]()
 
+  // ---- logical views (r14): CREATE [OR REPLACE] VIEW name AS SELECT …
+  // over bound tables. A view stores its TEXT and re-registers
+  // (re-analyzes) after every DML re-pin, so it always reads the
+  // CURRENT table state — the same discipline as the bound tables' own
+  // temp-view re-pinning (a Spark temp view captures the plan at
+  // creation; without the refresh a view would silently pin the pre-DML
+  // snapshot). Insertion-ordered so views over views refresh
+  // dependencies-first (SQL requires a view's dependencies to exist at
+  // creation, and OR REPLACE keeps the original slot).
+  private val viewRegistry = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(SparkSession, String), String]())
+
+  private def viewText(spark: SparkSession, name: String): Option[String] =
+    Option(viewRegistry.get((spark, name)))
+
+  private def refreshViews(spark: SparkSession): Unit = {
+    import scala.jdk.CollectionConverters._
+    val mine = viewRegistry.synchronized {
+      viewRegistry.asScala.toSeq.collect {
+        case ((s, n), q) if s eq spark => (n, q) }
+    }
+    mine.foreach { case (n, q) =>
+      try spark.sql(rewriteMetaTables(spark, rewriteTimeTravel(spark, q)))
+        .createOrReplaceTempView(n)
+      catch { case _: Exception =>
+        // a view broken by a later DDL (dropped dependency, dropped
+        // column) must not fail UNRELATED statements' re-pins — drop its
+        // temp view so the next query of the VIEW errors "not found"
+        // instead of serving stale pre-refresh rows
+        spark.catalog.dropTempView(n): Unit
+      }
+    }
+  }
+
   /** Bind `name` for both reads (a temp view over the current snapshot)
     * and DML routing in `table`'s session. Re-binding replaces. */
   def bind(name: String, table: GraftTable): Unit = {
+    require(viewText(table.spark, name).isEmpty,
+      s"'$name' is a view in this session — DROP VIEW it first (the " +
+        "view refresh would shadow the table binding)")
     registry.put((table.spark, name), table)
     refresh(table.spark, name)
   }
@@ -113,6 +150,7 @@ object GraftSql {
   private def refresh(spark: SparkSession, name: String): Unit = {
     val t = registry.get((spark, name))
     if (t != null && t.snapshot > 0) t.read().createOrReplaceTempView(name)
+    refreshViews(spark)
   }
 
   private def boundNames(spark: SparkSession): Seq[String] = {
@@ -208,6 +246,11 @@ object GraftSql {
     """(?is)^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?(\w+)\s*$""".r
   private val ShowTablesRe =
     """(?is)^\s*SHOW\s+TABLES\s*$""".r
+  private val CreateViewRe =
+    ("""(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+(\w+)\s+AS\s+""" +
+      """(SELECT\b[\s\S]+)$""").r
+  private val DropViewRe =
+    """(?is)^\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?(\w+)\s*$""".r
   // idempotent bulk file ingest (the Delta verb): files already ledgered
   // are skipped by path identity, so re-running the same COPY INTO is a
   // no-op — the retry-safe landing-zone load
@@ -276,7 +319,34 @@ object GraftSql {
         .toDF("col_name", "data_type", "nullable")
     case ShowTablesRe() =>
       import spark.implicits._
-      boundNames(spark).sorted.toDF("table_name")
+      import scala.jdk.CollectionConverters._
+      val views = viewRegistry.synchronized {
+        viewRegistry.asScala.keys.collect {
+          case (s, n) if s eq spark => n }.toSeq
+      }
+      (boundNames(spark).map((_, "table")) ++ views.map((_, "view")))
+        .sortBy(_._1).toDF("table_name", "kind")
+    case CreateViewRe(orRepl, name, query) =>
+      import spark.implicits._
+      require(registry.get((spark, name)) == null,
+        s"'$name' is SQL-bound to a table — a view cannot shadow it")
+      require(orRepl != null || viewText(spark, name).isEmpty,
+        s"view '$name' already exists — use CREATE OR REPLACE VIEW")
+      // validate NOW: unknown relations/columns fail at DDL time, and
+      // the registration doubles as the first refresh
+      spark.sql(rewriteMetaTables(spark, rewriteTimeTravel(spark, query)))
+        .createOrReplaceTempView(name)
+      viewRegistry.synchronized {
+        viewRegistry.put((spark, name), query): Unit }
+      Seq(name).toDF("view")
+    case DropViewRe(ifExists, name) =>
+      import spark.implicits._
+      val existed = viewRegistry.synchronized(
+        viewRegistry.remove((spark, name)) != null)
+      require(existed || ifExists != null,
+        s"view '$name' does not exist")
+      if (existed) { spark.catalog.dropTempView(name): Unit }
+      Seq(name).toDF("view")
     case CopyIntoRe(name, path, fmt) =>
       import spark.implicits._
       if (fmt != null && !fmt.equalsIgnoreCase("PARQUET")) sys.error(

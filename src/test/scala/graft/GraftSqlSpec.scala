@@ -980,6 +980,51 @@ class GraftSqlSpec extends GraftSpec {
       .count() == 1, "literal containing t.history was rewritten")
   }
 
+  test("CREATE VIEW lifecycle: queries track the table THROUGH DML " +
+      "re-pins, views over views, OR REPLACE, DROP, shadowing refusals") {
+    val sp = spark; import sp.implicits._
+    val (t, _) = fixture("nat_v")
+    t.sql("CREATE VIEW v_low AS SELECT n_nationkey, n_regionkey " +
+      "FROM nat_v WHERE n_regionkey <= 1")
+    val n0 = spark.sql("SELECT count(*) FROM v_low").head().getLong(0)
+    assert(n0 == 10, s"got $n0")
+    // a view over a view
+    t.sql("CREATE VIEW v_low2 AS SELECT count(*) AS c FROM v_low")
+    assert(spark.sql("SELECT c FROM v_low2").head().getLong(0) == n0)
+    // DML re-pins flow THROUGH the view (a raw temp view would pin the
+    // pre-DML snapshot — the re-registration discipline under test)
+    t.sql("UPDATE nat_v SET n_regionkey = 9 WHERE n_regionkey = 1")
+    assert(spark.sql("SELECT count(*) FROM v_low").head().getLong(0) < n0)
+    assert(spark.sql("SELECT c FROM v_low2").head().getLong(0) < n0,
+      "the stacked view must track too")
+    // OR REPLACE; plain re-create refuses
+    val e1 = intercept[Exception] {
+      t.sql("CREATE VIEW v_low AS SELECT 1 AS one")
+    }
+    assert(e1.getMessage.contains("already exists"), e1.getMessage)
+    t.sql("CREATE OR REPLACE VIEW v_low AS SELECT n_nationkey " +
+      "FROM nat_v WHERE n_regionkey = 9")
+    assert(spark.sql("SELECT count(*) FROM v_low").head().getLong(0) == 5)
+    // SHOW TABLES lists both kinds
+    val listed = t.sql("SHOW TABLES").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(listed("nat_v") == "table" && listed("v_low") == "view")
+    // a view name cannot shadow a bound table, nor bind over a view
+    val e2 = intercept[Exception] {
+      t.sql("CREATE VIEW nat_v AS SELECT 1 AS one")
+    }
+    assert(e2.getMessage.contains("SQL-bound"), e2.getMessage)
+    val e3 = intercept[Exception] { t.bindSql("v_low") }
+    assert(e3.getMessage.contains("view"), e3.getMessage)
+    // DROP (dependents refresh lazily; dropping the base first breaks
+    // v_low2's next refresh, so drop top-down)
+    t.sql("DROP VIEW v_low2")
+    t.sql("DROP VIEW v_low")
+    val e4 = intercept[Exception] { t.sql("DROP VIEW v_low") }
+    assert(e4.getMessage.contains("does not exist"), e4.getMessage)
+    t.sql("DROP VIEW IF EXISTS v_low") // no-op, no error
+  }
+
   test("UPDATE … FROM: join-sourced update with residual conditions; " +
       "subquery sources; non-matched and non-residual rows untouched") {
     val sp = spark; import sp.implicits._
