@@ -99,40 +99,72 @@ object Classifier {
   }
 
   /** Train logistic regression by full-batch GD over a featurized frame
-    * (must be materialized — the loop scans it [[Iters]] times). */
-  private[graft] def fit(feats: DataFrame, nDocs: Long): Model = {
+    * (must be materialized — the loop scans it [[Iters]] times).
+    *
+    * `sampleFrac` < 1 turns each iteration's gradient into a SEEDED
+    * DETERMINISTIC SAMPLE (r14 — the 100× scale path: full-batch fit
+    * cost is iterations × corpus by design, so at corpus scale sample
+    * the featurized frame instead): iteration i keeps the docs with
+    * pmod(xxhash64(doc_id, i, seed), 10^6) < frac·10^6 — a pure
+    * function of (doc identity, iteration, seed) like every other prep
+    * decision, so reruns are reproducible and each iteration sees a
+    * DIFFERENT deterministic slice (the minibatch-SGD effect). The
+    * gradient normalizes by the iteration's ACTUAL sampled count
+    * (read from the bias sentinel's ride-along count — still one job).
+    * Flag-off (frac = 1) the filter is skipped and the normalizer
+    * equals nDocs — the exact full-batch arithmetic. Ceiling-check
+    * epsilon (documented for callers): a sampled fit sees ~frac·n docs
+    * per step, so expect accuracy within a few points of the full-batch
+    * fit at the same iteration count — ClassifierSpec pins 100% holdout
+    * on the separable fixture at frac = 0.5 and a widened ceiling band
+    * on the overlap fixture. */
+  private[graft] def fit(feats: DataFrame, nDocs: Long,
+      sampleFrac: Double = 1.0, seed: Long = 42L): Model = {
     var w = new Array[Double](Buckets)
     var bias = 0.0
     val gAcc = new Array[Double](Buckets) // Adagrad accumulators
     var gAccB = 0.0
-    (1 to Iters).foreach { _ =>
+    (1 to Iters).foreach { it =>
       val m = Model(w, bias)
+      val base =
+        if (sampleFrac >= 1.0) feats
+        else feats.filter(
+          pmod(xxhash64(col("doc_id"), lit(it), lit(seed)), lit(1000000L))
+            < lit((sampleFrac * 1e6).toLong))
       // ONE job per iteration: margins fold per doc, then the exploded
       // (bucket, x·err) pairs re-aggregate to ≤ B+1 rows (map-side
-      // combined); the bias gradient rides along as sentinel bucket -1
-      val rows = feats
+      // combined); the bias gradient rides along as sentinel bucket -1,
+      // whose count is the iteration's sampled-doc count (one per doc)
+      val rows = base
         .withColumn("err", lit(1.0) /
           (lit(1.0) + exp(-m.marginCol(col("fx")))) - col("y"))
         .select(col("err"), explode(concat(col("fx"),
           array(struct(lit(-1).cast("int").as("b"), lit(1.0).as("x")))))
           .as("e"))
         .groupBy(col("e.b").as("b"))
-        .agg(sum(col("err") * col("e.x")).as("g"))
+        .agg(sum(col("err") * col("e.x")).as("g"),
+          count(lit(1)).as("cnt"))
         .collect()
-      val w2 = w.clone()
-      rows.foreach { r =>
-        val b = r.getInt(0)
-        if (b < 0) {
-          val g = r.getDouble(1) / nDocs
-          gAccB += g * g
-          bias -= Lr * g / (math.sqrt(gAccB) + 1e-8)
-        } else {
-          val g = r.getDouble(1) / nDocs + L2 * w(b)
-          gAcc(b) += g * g
-          w2(b) -= Lr * g / (math.sqrt(gAcc(b)) + 1e-8)
+      val nIt =
+        if (sampleFrac >= 1.0) nDocs
+        else rows.collectFirst {
+          case r if r.getInt(0) == -1 => r.getLong(2) }.getOrElse(0L)
+      if (nIt > 0) {
+        val w2 = w.clone()
+        rows.foreach { r =>
+          val b = r.getInt(0)
+          if (b < 0) {
+            val g = r.getDouble(1) / nIt
+            gAccB += g * g
+            bias -= Lr * g / (math.sqrt(gAccB) + 1e-8)
+          } else {
+            val g = r.getDouble(1) / nIt + L2 * w(b)
+            gAcc(b) += g * g
+            w2(b) -= Lr * g / (math.sqrt(gAcc(b)) + 1e-8)
+          }
         }
+        w = w2
       }
-      w = w2
     }
     Model(w, bias)
   }

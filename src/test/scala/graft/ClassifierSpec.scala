@@ -74,5 +74,45 @@ class ClassifierSpec extends GraftSpec {
     // the bases are identical token SETS, so no other signal exists
     assert(acc > 0.85 && acc <= 0.90, s"accuracy $acc outside the " +
       "ceiling band (0.85, 0.90] — under-trained or leaking")
+    // SEEDED GRADIENT SAMPLE (the 100× scale path): each iteration sees
+    // a deterministic ~half slice; the documented epsilon is a few
+    // points around the full-batch fit — the widened band still sits
+    // between majority-class and the 0.90 Bayes ceiling
+    val mS = Classifier.fit(feats, feats.count(), sampleFrac = 0.5)
+    val accS = feats.select(
+      ((mS.marginCol(col("fx")) > 0) === (col("y") > 0.5)).as("ok"))
+      .collect().count(_.getBoolean(0)).toDouble / docs.size
+    assert(accS > 0.80 && accS <= 0.90,
+      s"sampled-fit accuracy $accS outside (0.80, 0.90]")
+    // determinism: the same seed reproduces the same model exactly —
+    // per-iteration doc slices are pure functions of (doc, iter, seed)
+    val mS2 = Classifier.fit(feats, feats.count(), sampleFrac = 0.5)
+    assert(mS.bias == mS2.bias && mS.w.sameElements(mS2.w),
+      "seeded sampled fit must be reproducible")
+  }
+
+  test("seeded gradient-sample fit still reaches 100% holdout on the " +
+      "separable fixture (the r14 scale path)") {
+    val sp = spark; import sp.implicits._
+    val tgtVocab = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+    val rawVocab = Seq("zeta", "eta", "theta", "iota", "kappa")
+    def text(vocab: Seq[String], seed: Int): String =
+      (0 until 8).map(i => vocab((seed * 7 + i * 3) % vocab.size))
+        .mkString(" ")
+    val docs = (0 until 80).map { i =>
+      val tgt = i % 2 == 0
+      (i.toLong, text(if (tgt) tgtVocab else rawVocab, i), tgt)
+    }
+    val feats = Classifier
+      .featurize(docs.toDF("doc_id", "text", "is_tgt"), col("is_tgt"))
+      .localCheckpoint()
+    val train = feats.filter(col("doc_id") % 4 < 2).localCheckpoint()
+    val hold = feats.filter(col("doc_id") % 4 >= 2)
+    val model = Classifier.fit(train, train.count(), sampleFrac = 0.5)
+    val verdicts = hold.select(
+      ((model.marginCol(col("fx")) > 0) === (col("y") > 0.5)).as("ok"))
+      .collect().map(_.getBoolean(0))
+    assert(verdicts.nonEmpty && verdicts.forall(identity),
+      s"sampled holdout ${verdicts.count(identity)}/${verdicts.length}")
   }
 }
