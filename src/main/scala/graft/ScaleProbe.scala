@@ -164,6 +164,11 @@ object ScaleProbe {
       // distinct gram key space is IDENTICAL; expect ~linear, never
       // quadratic (per-doc decisions, no pair lists)
       "q_doc_substrdup" -> (TextOps.qDocSubstrdup _),
+      // r14: ExactSubstr REMOVAL — at 10x every doc is a verbatim
+      // replica, so ~9/10 of the corpus collapses to empty and the
+      // rewrite arm covers nearly everything (worst case for the
+      // blast-radius split): expect ~linear, the rewrite is per-doc
+      "q_doc_substrclean" -> (TextOps.qDocSubstrclean _),
       // r13: per-user CUSUM — the 10x events are 10x users each keeping
       // the 1x series: per-user window frames unchanged, expect ~linear
       "q_evt_cusum" -> (Analytics.qEvtCusum _),

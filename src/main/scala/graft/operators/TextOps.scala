@@ -815,6 +815,130 @@ object TextOps {
        |FROM s GROUP BY doc_id, n_tokens""".stripMargin
   }
 
+  /** EXACT-SUBSTRING REMOVAL — [[qDocSubstrdup]]'s rewrite half, the
+    * operator Lee et al. 2022 actually run (ExactSubstr REMOVES all but
+    * one occurrence of every duplicated substring, it does not just
+    * report them): for each duplicated L-gram, the corpus-FIRST
+    * occurrence (min (doc_id, pos)) is canonical; a token position is
+    * excised iff some non-canonical duplicated window covers it and no
+    * canonical window does. Later copies of a duplicated run vanish,
+    * the earliest copy survives verbatim, and a verbatim whole-doc
+    * duplicate cleans to the EMPTY string (exact dedup of later copies
+    * falls out as a special case). Output per doc: token counts and
+    * md5(cleaned text) — the cross-engine redaction-hash discipline
+    * (q_doc_pii), so the oracle checks the ACTUAL rewrite.
+    *
+    * Scale shape: one gram build (the substrdup projection) feeds ONE
+    * gkey-partitioned window pass (row_number picks canonicals, a
+    * partition count marks duplicates — same exchange); excised
+    * positions explode only from DUPLICATED windows (candidate-sized
+    * ×L); and the REWRITE is blast-radius-bounded — docs with no
+    * removal pass through a narrow md5 projection untouched, only
+    * AFFECTED docs pay the token-explode + anti-join + re-aggregate
+    * (the updateWhere carry/delta discipline applied to text). */
+  def qDocSubstrclean(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val L = SubstrLen
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n_tokens", size(col("toks")))
+      .localCheckpoint() // feeds the gram build AND both rewrite arms
+    val g = docs
+      .filter(col("n_tokens") >= L)
+      .select(col("doc_id"), posexplode(
+        expr(s"transform(sequence(0, size(toks) - $L)," +
+          s" i -> concat_ws(' ', slice(toks, i + 1, $L)))")).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"), md5(col("gram")).as("gkey"))
+    val wOrd = Window.partitionBy(col("gkey"))
+      .orderBy(col("doc_id"), col("pos"))
+    val occ = g
+      .withColumn("rk", row_number().over(wOrd))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("gkey"))))
+      .filter(col("cnt") >= 2)
+      .localCheckpoint() // candidate-sized; feeds both position explodes
+    def positions(df: DataFrame) = df
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + L - 1)).as("i"))
+      .distinct()
+    val removed = positions(occ.filter(col("rk") > 1))
+      .join(positions(occ.filter(col("rk") === 1)), Seq("doc_id", "i"),
+        "left_anti")
+      .localCheckpoint() // feeds the affected-doc set AND the anti-join
+    val affected = removed.select(col("doc_id")).distinct()
+    // untouched docs: narrow pass-through (no explode, no shuffle beyond
+    // the anti-join probe) — the blast-radius arm
+    val untouched = docs.join(affected, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_tokens"),
+        lit(0L).as("n_removed"), col("n_tokens").cast("long").as("n_kept"),
+        md5(concat_ws(" ", col("toks"))).as("clean_md5"))
+    val rewritten = docs.join(affected, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("n_tokens"),
+        posexplode(col("toks")).as(Seq("i", "tok")))
+      .join(removed, Seq("doc_id", "i"), "left_anti")
+      .groupBy(col("doc_id"), col("n_tokens"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("i"), col("tok")))),
+          e => e.getField("tok"))).as("clean"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - col("n_kept")).cast("long").as("n_removed"),
+        col("n_kept"), md5(col("clean")).as("clean_md5"))
+    // a FULLY-removed doc drops out of the re-aggregate — restore it as
+    // an empty-string row (the exact-duplicate collapse case)
+    val emptied = docs.join(affected, Seq("doc_id"), "left_semi")
+      .join(rewritten.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_tokens"),
+        col("n_tokens").cast("long").as("n_removed"), lit(0L).as("n_kept"),
+        md5(lit("")).as("clean_md5"))
+    untouched.unionByName(rewritten).unionByName(emptied)
+  }
+
+  def qDocSubstrcleanSql: String = {
+    val L = SubstrLen
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks FROM documents),
+       |d AS (SELECT doc_id, toks, CAST(len(toks) AS INT) AS n_tokens FROM t),
+       |g AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+       |    md5(array_to_string(toks[i:i + ${L - 1}], ' ')) AS gkey
+       |  FROM d, unnest(range(1, len(toks) - $L + 2)) AS r(i)
+       |  WHERE n_tokens >= $L),
+       |o AS (SELECT doc_id, pos,
+       |    row_number() OVER (PARTITION BY gkey ORDER BY doc_id, pos) AS rk,
+       |    count(*) OVER (PARTITION BY gkey) AS cnt
+       |  FROM g),
+       |rempos AS (SELECT DISTINCT doc_id, pos + u.i AS i
+       |  FROM o, unnest(range(0, $L)) AS u(i) WHERE cnt >= 2 AND rk > 1),
+       |canpos AS (SELECT DISTINCT doc_id, pos + u.i AS i
+       |  FROM o, unnest(range(0, $L)) AS u(i) WHERE cnt >= 2 AND rk = 1),
+       |removed AS (SELECT doc_id, i FROM rempos
+       |  ANTI JOIN canpos USING (doc_id, i)),
+       |affected AS (SELECT DISTINCT doc_id FROM removed),
+       |untouched AS (
+       |  SELECT doc_id, n_tokens, CAST(0 AS BIGINT) AS n_removed,
+       |    CAST(n_tokens AS BIGINT) AS n_kept,
+       |    md5(array_to_string(toks, ' ')) AS clean_md5
+       |  FROM d ANTI JOIN affected USING (doc_id)),
+       |toksx AS (
+       |  SELECT d.doc_id, d.n_tokens, CAST(u.i - 1 AS INT) AS i,
+       |    toks[u.i] AS tok
+       |  FROM d SEMI JOIN affected USING (doc_id),
+       |    unnest(range(1, len(toks) + 1)) AS u(i)),
+       |kept AS (SELECT * FROM toksx ANTI JOIN removed USING (doc_id, i)),
+       |rewritten AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(n_tokens - count(*) AS BIGINT) AS n_removed,
+       |    CAST(count(*) AS BIGINT) AS n_kept,
+       |    md5(string_agg(tok, ' ' ORDER BY i)) AS clean_md5
+       |  FROM kept GROUP BY doc_id, n_tokens),
+       |emptied AS (
+       |  SELECT doc_id, n_tokens, CAST(n_tokens AS BIGINT) AS n_removed,
+       |    CAST(0 AS BIGINT) AS n_kept, md5('') AS clean_md5
+       |  FROM d SEMI JOIN affected USING (doc_id)
+       |  ANTI JOIN rewritten USING (doc_id))
+       |SELECT * FROM untouched UNION ALL
+       |SELECT * FROM rewritten UNION ALL
+       |SELECT * FROM emptied""".stripMargin
+  }
+
   /** 64-bit document fingerprints — the cheap dup keys a pipeline persists
     * per shard: an exact-dup key (xxHash64 of normalized text) plus a
     * winnowing-style rolling-hash fingerprint (native codegen expression,

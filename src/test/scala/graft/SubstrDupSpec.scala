@@ -104,6 +104,101 @@ class SubstrDupSpec extends GraftSpec {
     assert(!got.contains(3L))
   }
 
+  /** Brute-force ExactSubstr REMOVAL: canonical window per duplicated
+    * gram = min (doc_id, pos); a position is excised iff a non-canonical
+    * duplicated window covers it and no canonical one does. */
+  private def refClean(docs: Seq[(Long, String)])
+      : Map[Long, (Int, Long, Long, String)] = {
+    val toks = docs.map { case (id, t) =>
+      id -> t.trim.split(" +").filter(_.nonEmpty) }
+    val occ = scala.collection.mutable.Map[String,
+      scala.collection.mutable.Buffer[(Long, Int)]]()
+    toks.foreach { case (id, ts) =>
+      (0 to ts.length - L).foreach { i =>
+        occ.getOrElseUpdate(ts.slice(i, i + L).mkString(" "),
+          scala.collection.mutable.Buffer()) += ((id, i))
+      }
+    }
+    val canon = occ.values.filter(_.size >= 2).map(_.minBy(identity)).toSet
+    val dupAll = occ.values.filter(_.size >= 2).flatten.toSet
+    toks.map { case (id, ts) =>
+      val rem = Array.fill(ts.length)(false)
+      val keep = Array.fill(ts.length)(false)
+      dupAll.filter(_._1 == id).foreach { case (_, p) =>
+        if (canon((id, p))) (p until p + L).foreach(keep(_) = true)
+        else (p until p + L).foreach(rem(_) = true)
+      }
+      val kept = ts.indices.filterNot(i => rem(i) && !keep(i)).map(ts)
+      id -> ((ts.length, (ts.length - kept.length).toLong,
+        kept.length.toLong, kept.mkString(" ")))
+    }.toMap
+  }
+
+  private def runClean(docs: Seq[(Long, String)])
+      : Map[Long, (Int, Long, Long, String)] = {
+    val sess = spark; import sess.implicits._
+    val tmp = Files.createTempDirectory("graft_substrclean").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("fix"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    TextOps.qDocSubstrclean(spark, tmp).collect().map { r =>
+      r.getAs[Long]("doc_id") -> ((r.getAs[Int]("n_tokens"),
+        r.getAs[Long]("n_removed"), r.getAs[Long]("n_kept"),
+        r.getAs[String]("clean_md5")))
+    }.toMap
+  }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+      .map("%02x".format(_)).mkString
+
+  test("substring removal keeps the corpus-first copy, excises later " +
+      "copies, collapses exact duplicates to empty, and leaves clean " +
+      "docs untouched — against a brute-force reference") {
+    val shared = words(30, 25)
+    val selfRep = words(31, L)
+    val docA = (words(32, 5) ++ shared ++ words(33, 6)).mkString(" ")
+    val docB = (words(34, 4) ++ shared ++ words(35, 9)).mkString(" ")
+    val docC = docA // verbatim duplicate of A → must clean to empty
+    val docD = (selfRep ++ words(36, 6) ++ selfRep).mkString(" ")
+    val docE = words(37, 40).mkString(" ") // untouched
+    val docs = Seq(1L -> docA, 2L -> docB, 3L -> docC, 4L -> docD,
+      5L -> docE)
+    val want = refClean(docs).view.mapValues { case (n, r, k, clean) =>
+      (n, r, k, md5hex(clean)) }.toMap
+    val got = runClean(docs)
+    assert(got == want, s"got $got\nwant $want")
+    // the construction's own invariants, asserted directly:
+    assert(got(1L)._2 == 0 && got(1L)._4 == md5hex(docA),
+      "doc A holds every canonical copy — it must survive verbatim")
+    assert(got(2L)._2 == 25, "doc B loses exactly the shared 25-run")
+    assert(got(3L) == ((got(1L)._1, got(1L)._1.toLong, 0L, md5hex(""))),
+      "the verbatim duplicate must clean to the empty string")
+    assert(got(4L)._2 == L && got(4L)._3 == L + 6,
+      "the within-doc second copy is excised, the first kept")
+    assert(got(5L)._2 == 0 && got(5L)._4 == md5hex(docE))
+  }
+
+  test("cleaning conservation at sf0.001: n_kept + n_removed = n_tokens " +
+      "everywhere, removals equal the dup-report's later-copy mass class") {
+    val out = TextOps.qDocSubstrclean(spark, sf).collect()
+    assert(out.length == 500)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_removed")
+        == r.getAs[Int]("n_tokens").toLong)
+    }
+    // some docs are rewritten at this SF (the corpus carries dups), and
+    // every doc flagged clean by the detector stays untouched here
+    val removedDocs = out.filter(_.getAs[Long]("n_removed") > 0)
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(removedDocs.nonEmpty)
+    val flagged = TextOps.qDocSubstrdup(spark, sf).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(removedDocs.subsetOf(flagged),
+      "a doc can only lose tokens if the detector saw duplication in it")
+  }
+
   test("corpus invariants at sf0.001: affected docs exist, coverage " +
       "bounded by doc length, spans consistent") {
     val out = TextOps.qDocSubstrdup(spark, sf).collect()
