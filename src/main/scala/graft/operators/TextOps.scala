@@ -984,6 +984,56 @@ object TextOps {
           .as("typicality"))
   }
 
+  /** UNIGRAM-ENTROPY quality signal (the Gopher-family diversity
+    * measure: repetitive/templated text carries low token-distribution
+    * entropy, gibberish with a flat distribution carries high) — per
+    * doc, H = ln n − (1/n)·Σ c·ln c over token counts c, kept
+    * cross-engine EXACT via the DSIR quantized-log discipline
+    * (Sampling.qDocDsir): each ln evaluates on a SMALL INTEGER (a count
+    * ≤ doc length) and quantizes ONCE to L(x) = floor(1e6·ln x), so the
+    * per-doc score H_scaled = n·L(n) − Σ c·L(c) is an exact BIGINT sum
+    * (a divergence needs 1e6·ln(int) within ~5e-10 of an integer grid
+    * line; ln 1 = 0 is exact in both engines) and the one output double
+    * is a division of exactly-represented integers.
+    *
+    * Scale: explode → (doc, token) counts (map-side combined) → per-doc
+    * re-aggregation carrying only (doc_id, longs). Two narrow shuffles,
+    * no joins, no text past the first projection. */
+  def qDocEntropy(s: SparkSession, d: String): DataFrame = {
+    def lq(c: org.apache.spark.sql.Column) =
+      floor(lit(1e6) * log(c.cast("double"))).cast("long")
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c") * lq(col("c"))).cast("long").as("sc"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        ((col("n_tokens") * lq(col("n_tokens")) - col("sc")).cast("double")
+          / (col("n_tokens") * lit(1000000L)).cast("double"))
+          .as("entropy"))
+  }
+
+  def qDocEntropySql: String =
+    """WITH c AS (
+      |  SELECT doc_id, u.tok, CAST(count(*) AS BIGINT) AS c
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks
+      |        FROM documents) t, unnest(toks) AS u(tok)
+      |  GROUP BY doc_id, u.tok),
+      |a AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |    CAST(count(*) AS BIGINT) AS n_distinct,
+      |    CAST(sum(c * CAST(floor(1e6 * ln(CAST(c AS DOUBLE))) AS BIGINT))
+      |      AS BIGINT) AS sc
+      |  FROM c GROUP BY doc_id)
+      |SELECT doc_id, n_tokens, n_distinct,
+      |  CAST(n_tokens * CAST(floor(1e6 * ln(CAST(n_tokens AS DOUBLE)))
+      |      AS BIGINT) - sc AS DOUBLE)
+      |    / CAST(n_tokens * 1000000 AS DOUBLE) AS entropy
+      |FROM a""".stripMargin
+
   /** FILTER-CASCADE ATTRITION REPORT — the per-source funnel table every
     * published curation pipeline ships (CCNet/FineWeb report exactly
     * this: how many documents each successive gate kills): input →

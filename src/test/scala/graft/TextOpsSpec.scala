@@ -130,4 +130,47 @@ class TextOpsSpec extends GraftSpec {
       assert(tn > 0 && tc == tn, s"$l train $tc/$tn")
     }
   }
+
+  test("unigram entropy: exact quantized-grid values on a planted " +
+      "fixture, repetitive < mixed < all-distinct, corpus bounds hold") {
+    val sess = spark; import sess.implicits._
+    import java.nio.file.Files
+    def lq(x: Long): Long = math.floor(1e6 * math.log(x.toDouble)).toLong
+    def ref(ts: Seq[String]): Double = {
+      val n = ts.size.toLong
+      val sc = ts.groupBy(identity).values
+        .map(g => g.size.toLong * lq(g.size.toLong)).sum
+      (n * lq(n) - sc).toDouble / (n * 1000000L).toDouble
+    }
+    val fixtures = Map(
+      1L -> Seq.fill(12)("spam"),                       // entropy 0
+      2L -> (Seq.fill(6)("a") ++ Seq.fill(6)("b")),     // ln 2
+      3L -> (0 until 12).map(i => s"w$i"))              // ln 12
+    val tmp = Files.createTempDirectory("graft_entropy").toString
+    fixtures.toSeq.map { case (id, ts) => (id, ts.mkString(" ")) }
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("fix"))
+      .withColumn("n_chars", length(col("text")))
+      .write.parquet(s"$tmp/documents.parquet")
+    val got = TextOps.qDocEntropy(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_distinct"),
+          r.getAs[Double]("entropy")))).toMap
+    fixtures.foreach { case (id, ts) =>
+      val (n, d, h) = got(id)
+      assert(n == ts.size.toLong && d == ts.distinct.size.toLong)
+      assert(h == ref(ts), s"doc $id: $h vs ${ref(ts)}")
+    }
+    assert(got(1L)._3 == 0.0 && got(1L)._3 < got(2L)._3
+      && got(2L)._3 < got(3L)._3)
+    assert(math.abs(got(2L)._3 - math.log(2)) < 1e-5)
+    // corpus: entropy ∈ [0, ln n] everywhere, nonzero spread
+    val corpus = TextOps.qDocEntropy(spark, sf).collect()
+    corpus.foreach { r =>
+      val (n, h) = (r.getAs[Long]("n_tokens"), r.getAs[Double]("entropy"))
+      assert(h >= 0.0 && h <= math.log(n.toDouble) + 1e-6,
+        s"entropy $h outside [0, ln $n]")
+    }
+    assert(corpus.map(_.getAs[Double]("entropy")).distinct.length > 10)
+  }
 }
