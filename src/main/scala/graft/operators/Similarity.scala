@@ -753,6 +753,71 @@ object Similarity {
       .select(col("probe_id"), col("rank"), col("vec_id"))
   }
 
+  /** Outlier-report size. */
+  val OutlierK = 20
+
+  /** EMBEDDING-SPACE OUTLIER REPORT — the "what doesn't belong in this
+    * corpus" diversity/contamination signal (SemDeDup's complement:
+    * instead of near-duplicate clusters, the vectors FARTHEST from the
+    * corpus centroid): top-[[OutlierK]] vectors by squared Euclidean
+    * distance to the mean, computed over the SAME int8 codes the ANN
+    * ladder persists (q_emb_quant's oracle-checked quantizer) and kept
+    * cross-engine EXACT by the CUSUM n-multiplication trick — the mean
+    * is a rational S_d/n, so score every vector by
+    *   n²·‖x − μ‖² = Σ_d (n·c_d − S_d)²,
+    * an exact integer (DECIMAL(38,0) here, HUGEINT in the oracle — safe
+    * to n ≈ 1e12 vectors; the BIGINT output column is exact while
+    * n²·255²·D fits, n ≲ 3e6 — past that emit the decimal unscaled).
+    * Ties break on vec_id.
+    *
+    * Scale shape: one global-bounds agg, one dim-sum pass whose 64-row
+    * result collects to a LITERAL (the broadcast-model discipline), one
+    * narrow scoring pass, and a bounded TakeOrdered — no joins, nothing
+    * corpus-sized ever shuffles. */
+  def qEmbOutliers(s: SparkSession, d: String): DataFrame = {
+    val q = quantized(s, d).select(col("vec_id"), col("codes"))
+      .localCheckpoint() // feeds the dim-sum collect AND the scoring pass
+    val dims = q.select(posexplode(col("codes")).as(Seq("dim", "c")))
+      .groupBy(col("dim"))
+      .agg(sum(col("c")).as("sd"), count(lit(1)).as("n"))
+      .collect()
+    val n = dims.head.getAs[Long]("n")
+    val sArr = dims.sortBy(_.getAs[Int]("dim")).map(_.getAs[Long]("sd")).toSeq
+    val nD = lit(n).cast("decimal(38,0)")
+    q.select(col("vec_id"),
+        aggregate(zip_with(col("codes"), typedLit(sArr),
+          (c, sd) => (nD * c - sd) * (nD * c - sd)),
+          lit(0L).cast("decimal(38,0)"), (a, x) => a + x).as("d2"))
+      .orderBy(col("d2").desc, col("vec_id"))
+      .limit(OutlierK)
+      .select(col("vec_id"), col("d2").cast("long").as("dist2_scaled"))
+  }
+
+  def qEmbOutliersSql: String =
+    s"""WITH s AS (
+       |  SELECT min(list_min(embedding::DOUBLE[])) AS gmin,
+       |         max(list_max(embedding::DOUBLE[])) AS gmax
+       |  FROM embeddings
+       |), c AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding::DOUBLE[], x ->
+       |           CAST(floor((x - gmin) * 255.0 / (gmax - gmin)) AS BIGINT)) AS codes
+       |  FROM embeddings CROSS JOIN s
+       |), x AS (
+       |  SELECT vec_id, r.i AS dim, codes[r.i] AS cv
+       |  FROM c, unnest(range(1, len(codes) + 1)) AS r(i)
+       |), sd AS (
+       |  SELECT dim, CAST(sum(cv) AS BIGINT) AS sd,
+       |         CAST(count(*) AS BIGINT) AS n
+       |  FROM x GROUP BY dim
+       |), d2 AS (
+       |  SELECT vec_id,
+       |    sum((CAST(n AS HUGEINT) * cv - sd) * (CAST(n AS HUGEINT) * cv - sd)) AS d2
+       |  FROM x JOIN sd USING (dim) GROUP BY vec_id
+       |)
+       |SELECT vec_id, CAST(d2 AS BIGINT) AS dist2_scaled
+       |FROM d2 ORDER BY d2 DESC, vec_id LIMIT $OutlierK""".stripMargin
+
   def qEmbQuantSql: String =
     """WITH s AS (
       |  SELECT min(list_min(embedding::DOUBLE[])) AS gmin,

@@ -314,4 +314,30 @@ class SimilaritySpec extends GraftSpec {
     assert(pool.take(3).map(cluster).toSet == Set(0L),
       "fixture broken: relevance head should sit inside cluster 0")
   }
+
+  test("embedding outliers equal the driver-computed exact integer " +
+      "distances to the code-space centroid, ordering included") {
+    val gmin = vecs.values.flatten.min
+    val gmax = vecs.values.flatten.max
+    val codes = vecs.view.mapValues(_.map(x =>
+      math.floor((x - gmin) * 255.0 / (gmax - gmin)).toLong)).toMap
+    val n = codes.size.toLong
+    val dims = codes.values.head.length
+    val sd = (0 until dims).map(d => codes.values.map(_(d)).sum)
+    def d2(c: Array[Long]): BigInt =
+      (0 until dims).map { d =>
+        val t = BigInt(n) * c(d) - sd(d); t * t }.sum
+    val want = codes.toSeq.map { case (id, c) => (id, d2(c)) }
+      .sortBy { case (id, dd) => (-dd, id) }.take(Similarity.OutlierK)
+    val got = Similarity.qEmbOutliers(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), BigInt(r.getAs[Long]("dist2_scaled"))))
+    assert(got.toSeq == want, s"got ${got.toSeq.take(5)}… want ${want.take(5)}…")
+    // and the integer score ranks EXACTLY like the true float distance
+    // to the centroid in code space (monotone by construction)
+    val mu = (0 until dims).map(d => sd(d).toDouble / n)
+    val floatRank = codes.toSeq.map { case (id, c) =>
+      (id, (0 until dims).map(d => math.pow(c(d) - mu(d), 2)).sum) }
+      .sortBy { case (id, dd) => (-dd, id) }.take(5).map(_._1)
+    assert(got.take(5).map(_._1).toSeq == floatRank)
+  }
 }
