@@ -118,6 +118,55 @@ object Bpe {
       .toDF(idCol, "n_tokens", "tokens")
   }
 
+  /** TOKENIZER-FERTILITY REPORT (NEW r14) — the diagnostic every
+    * tokenizer paper tabulates and every pipeline re-checks per data
+    * source: pieces-per-word (fertility) and the whole-word rate under
+    * the trained merge table. A source whose fertility spikes is one
+    * the tokenizer under-serves (different language, encoding damage,
+    * jargon) — the data-mix signal this report exists for. Per source:
+    * docs, words, BPE pieces, words emerging as a SINGLE piece,
+    * fertility = pieces/words and whole_frac = whole/words (exact
+    * integer ratios cast double). Deterministic given the corpus (the
+    * BPE trainer's count-desc/pair-lex tie break), [rows]-checked;
+    * BpeSpec proves the counts against a driver-side re-encode and the
+    * frequent-word/rare-word fertility split on a planted corpus.
+    *
+    * Scale: training is the bounded-vocab loop [[train]] documents;
+    * the measurement pass is ONE narrow typed map (per doc: words,
+    * pieces, whole-words — no shuffle) + a #sources-row aggregate. */
+  def qTokFertility(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val rules = train(docs, "text", 24)
+    val local = rules.toArray
+    docs.select(col("source"), col("text"))
+      .as[(String, String)]
+      .map { case (src, text) =>
+        val words = text.trim.split(" +").filter(_.nonEmpty)
+        var pieces = 0L; var whole = 0L
+        words.foreach { w =>
+          var syms = initSymbols(w)
+          var i = 0
+          while (i < local.length) {
+            syms = applyMerge(syms, local(i)._1, local(i)._2); i += 1
+          }
+          pieces += syms.length
+          if (syms.length == 1) whole += 1
+        }
+        (src, 1L, words.length.toLong, pieces, whole)
+      }
+      .toDF("source", "n_docs", "n_words", "n_pieces", "n_whole")
+      .groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_pieces")).as("n_pieces"),
+        sum(col("n_whole")).as("n_whole"))
+      .select(col("source"), col("n_docs"), col("n_words"),
+        col("n_pieces"), col("n_whole"),
+        (col("n_pieces").cast("double") / col("n_words")).as("fertility"),
+        (col("n_whole").cast("double") / col("n_words")).as("whole_frac"))
+  }
+
   /** Train-and-report: the learned merge table as a relation —
     * deterministic given the corpus (count-desc, pair-lexicographic tie
     * break), so the driver's rows-check is stable run to run. [rows]:

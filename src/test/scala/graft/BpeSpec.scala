@@ -84,4 +84,44 @@ class BpeSpec extends GraftSpec {
       ._2.take(viaTrain.length)
     assert(viaEncode == viaTrain)
   }
+
+  test("tokenizer fertility report: counts equal a driver re-encode per " +
+      "source; the tokenizer-served source reads lower fertility") {
+    val sess = spark; import sess.implicits._
+    import java.nio.file.Files
+    // source 'hot': a tiny repeated vocabulary the 24 merges will fully
+    // absorb; source 'cold': long unique words the table can't cover
+    val hotWords = Seq("aa", "ab", "ba")
+    val hot = (0 until 30).map(i =>
+      (i.toLong, Seq.fill(6)(hotWords(i % 3)).mkString(" "), "hot"))
+    val cold = (0 until 10).map(i =>
+      (100L + i, (0 until 4).map(j => s"zq${i}x${j}wtf").mkString(" "), "cold"))
+    val tmp = Files.createTempDirectory("graft_fert").toString
+    (hot ++ cold).toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+      .write.parquet(s"$tmp/documents.parquet")
+    val got = Bpe.qTokFertility(spark, tmp).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_words"), r.getAs[Long]("n_pieces"),
+        r.getAs[Long]("n_whole"), r.getAs[Double]("fertility"),
+        r.getAs[Double]("whole_frac")))).toMap
+    // driver re-encode with the same trainer
+    val docsDf = (hot ++ cold).toDF("doc_id", "text", "source")
+    val rules = Bpe.train(docsDf, "text", 24)
+    def enc(w: String): Int = rules.foldLeft(
+      w.map(_.toString).toArray :+ Bpe.Eow) {
+        case (s2, (a, b)) => Bpe.applyMerge(s2, a, b) }.length
+    Seq("hot" -> hot, "cold" -> cold).foreach { case (src, docs) =>
+      val words = docs.flatMap(_._2.trim.split(" +"))
+      val pieces = words.map(enc(_).toLong).sum
+      val whole = words.count(enc(_) == 1).toLong
+      val want = (docs.size.toLong, words.size.toLong, pieces, whole,
+        pieces.toDouble / words.size, whole.toDouble / words.size)
+      assert(got(src) == want, s"$src: ${got(src)} vs $want")
+    }
+    assert(got("hot")._5 < got("cold")._5,
+      "the tokenizer-served source must read lower fertility")
+    assert(got("hot")._6 == 1.0, "3-char repeated vocab fully merges")
+  }
 }
