@@ -77,6 +77,25 @@ object Pipeline {
       .agg(count(lit(1)).as("n_spans"),
         sum(col("doc_to") - col("doc_from")).as("n_tokens"))
 
+  /** Stage 4.5 — SPAN-LEVEL cleaning before packing (the Lee et al.
+    * order: ExactSubstr removal runs AFTER doc-level dedup, over the
+    * surviving set — a span duplicated only against dropped docs is not
+    * this corpus's duplication): clean the survivors with
+    * [[TextOps.substrClean]] (corpus-first copy kept, later copies
+    * excised; a doc fully consumed by removal drops out), then pack by
+    * the CLEANED token counts — what packs is exactly the text that
+    * would ship, not the pre-cleaning proxy. Same two-phase prefix-sum
+    * pack; the cleaning's rewrite arm is blast-radius-bounded. */
+  def curateCleanPack(spark: SparkSession, dir: String): DataFrame =
+    TextOps.packSpans(
+        TextOps.substrClean(
+            survivors(spark, dir).select(col("doc_id"), col("text")))
+          .filter(col("n_kept") > 0)
+          .select(col("doc_id"), col("n_kept").as("n_tok")))
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("doc_to") - col("doc_from")).as("n_tokens"))
+
   /** The FULL batch-prep chain: curate → mixture-sample (per-source
     * policy) → deterministic split → pack the TRAIN split into training
     * sequences. The mix and split decisions are the same salted-hash

@@ -836,10 +836,16 @@ object TextOps {
     * removal pass through a narrow md5 projection untouched, only
     * AFFECTED docs pay the token-explode + anti-join + re-aggregate
     * (the updateWhere carry/delta discipline applied to text). */
-  def qDocSubstrclean(s: SparkSession, d: String): DataFrame = {
+  def qDocSubstrclean(s: SparkSession, d: String): DataFrame =
+    substrClean(Tables.documents(s, d).select(col("doc_id"), col("text")))
+
+  /** Core of [[qDocSubstrclean]] over ANY (doc_id, text) relation — the
+    * pipeline composition cleans the SURVIVOR set (span cleaning ranks
+    * after doc-level dedup, the published order). */
+  private[graft] def substrClean(docsIn: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val L = SubstrLen
-    val docs = Tables.documents(s, d)
+    val docs = docsIn
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .withColumn("n_tokens", size(col("toks")))
       .localCheckpoint() // feeds the gram build AND both rewrite arms

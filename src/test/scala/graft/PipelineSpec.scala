@@ -57,6 +57,33 @@ class PipelineSpec extends GraftSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("curate-clean-pack: packs exactly the span-cleaned survivor " +
+      "tokens, full sequences, cleaning only ever removes") {
+    val seqs = Pipeline.curateCleanPack(spark, sf).collect()
+      .map(r => (r.getAs[Long]("seq_id"), r.getAs[Long]("n_tokens")))
+      .sortBy(_._1)
+    assert(seqs.nonEmpty)
+    val C = graft.operators.TextOps.PackSeqLen.toLong
+    seqs.dropRight(1).foreach { case (id, nTok) =>
+      assert(nTok == C, s"sequence $id holds $nTok of $C tokens")
+    }
+    assert(seqs.last._2 <= C && seqs.last._2 > 0)
+    // conservation: packed tokens == the survivors' CLEANED token mass
+    val cleaned = graft.operators.TextOps.substrClean(
+        Pipeline.survivors(spark, sf).select(col("doc_id"), col("text")))
+      .collect()
+    val cleanedTokens = cleaned.map(_.getAs[Long]("n_kept")).sum
+    assert(seqs.map(_._2).sum == cleanedTokens)
+    // cleaning only removes, never adds — and the survivor set at this
+    // SF genuinely loses spans (doc-level dedup leaves partial overlaps)
+    val survivorTokens = Pipeline.survivors(spark, sf)
+      .agg(sum(col("n_tokens"))).head().getLong(0)
+    assert(cleanedTokens <= survivorTokens)
+    assert(cleaned.forall(r =>
+      r.getAs[Long]("n_kept") + r.getAs[Long]("n_removed")
+        == r.getAs[Int]("n_tokens").toLong))
+  }
+
   test("curate-mix-split-pack: packs exactly the mixed train survivors") {
     import graft.operators.Sampling
     val seqs = Pipeline.curateMixSplitPack(spark, sf).collect()
