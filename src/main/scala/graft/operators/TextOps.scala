@@ -945,6 +945,86 @@ object TextOps {
        |SELECT * FROM emptied""".stripMargin
   }
 
+  /** Winnowing gram length (k) and window size (w), in tokens/grams. */
+  val WinnowK = 4
+  val WinnowW = 4
+
+  /** WINNOWING fingerprint selection (Schleimer, Wilkerson & Aiken 2003
+    * — the MOSS algorithm, the position-robust document-fingerprinting
+    * standard): over each doc's k-gram hash sequence, select the minimum
+    * hash of every length-w window; the selected set is the document's
+    * fingerprint, guaranteed to share entries with any doc overlapping
+    * by ≥ w+k−1 tokens, at expected density 2/(w+1). The selection is
+    * computed by the nearest-smaller-distance characterization — with
+    * distinct hashes, position p is a window minimum for SOME window iff
+    *   a + b > w,  a/b = distance to the nearest smaller hash on the
+    * left/right capped at w —
+    * which for small w is a fixed fan of lag/lead comparisons, identical
+    * in both engines (md5 hex strings compare bytewise; ties, measure-
+    * zero under md5, resolve by the same comparisons on both sides).
+    * Output per doc: gram count, selected-fingerprint count, exact-ratio
+    * density, and md5 over the ordered (pos:hash) fingerprint list — the
+    * digest discipline, so the oracle checks the ACTUAL selected set.
+    *
+    * Scale: one narrow gram pass; ONE per-doc window sort shared by all
+    * 2(w−1) lag/lead comparisons; a per-doc re-aggregate. Nothing
+    * corpus-sized shuffles twice, no joins. */
+  def qDocWinnow(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (k, w) = (WinnowK, WinnowW)
+    val g = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), posexplode(
+        expr(s"transform(sequence(0, size(toks) - $k)," +
+          s" i -> concat_ws(' ', slice(toks, i + 1, $k)))")).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"), md5(col("gram")).as("h"))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    def dist(off: Int => org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (1 until w).foldRight(lit(w)) { (i, rest) =>
+        when(off(i) < col("h"), lit(i)).otherwise(rest)
+      }
+    g.withColumn("a", dist(i => lag(col("h"), i).over(win)))
+      .withColumn("b", dist(i => lead(col("h"), i).over(win)))
+      .withColumn("sel", col("a") + col("b") > w)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("sel"), 1L).otherwise(0L)).as("n_selected"),
+        md5(concat_ws("|", transform(
+          array_sort(collect_list(when(col("sel"),
+            struct(col("pos"), col("h"))))),
+          e => concat(e.getField("pos").cast("string"), lit(":"),
+            e.getField("h"))))).as("fp_md5"))
+      .select(col("doc_id"), col("n_grams"), col("n_selected"),
+        (col("n_selected").cast("double") / col("n_grams")).as("density"),
+        col("fp_md5"))
+  }
+
+  def qDocWinnowSql: String = {
+    val (k, w) = (WinnowK, WinnowW)
+    def dist(fn: String): String =
+      (1 until w).map(i =>
+        s"WHEN $fn(h, $i) OVER win < h THEN $i").mkString(
+        "CASE ", " ", s" ELSE $w END")
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks FROM documents),
+       |g AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+       |    md5(array_to_string(toks[i:i + ${k - 1}], ' ')) AS h
+       |  FROM t, unnest(range(1, len(toks) - $k + 2)) AS r(i)
+       |  WHERE len(toks) >= $k),
+       |d AS (SELECT doc_id, pos, h,
+       |    ${dist("lag")} AS a,
+       |    ${dist("lead")} AS b
+       |  FROM g WINDOW win AS (PARTITION BY doc_id ORDER BY pos))
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |  CAST(sum(CASE WHEN a + b > $w THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_selected,
+       |  CAST(sum(CASE WHEN a + b > $w THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*) AS density,
+       |  md5(string_agg(CASE WHEN a + b > $w
+       |      THEN pos || ':' || h END, '|' ORDER BY pos)) AS fp_md5
+       |FROM d GROUP BY doc_id""".stripMargin
+  }
+
   /** 64-bit document fingerprints — the cheap dup keys a pipeline persists
     * per shard: an exact-dup key (xxHash64 of normalized text) plus a
     * winnowing-style rolling-hash fingerprint (native codegen expression,

@@ -211,6 +211,13 @@ object GraftSql {
   // must use the ADD COLUMNS (…) form
   private val AddColumnBareRe =
     """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(\w+\s+[^,()]+(?:\([\w\s,]*\))?)\s*$""".r
+  // RENAME COLUMN needs Delta-style column-mapping ids to be safe: the
+  // pre-rename files still carry the old name, so a rename would either
+  // lose those values on read or silently resurface them under a
+  // re-added old name (the DROP/re-add hazard's sibling) — refuse with
+  // the workaround instead of failing in the Spark parser
+  private val RenameColumnRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*$""".r
   private val DropColumnsRe =
     """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMNS?\s*\(?\s*([\w\s,]+?)\s*\)?\s*$""".r
   private val DescribeHistoryRe =
@@ -303,6 +310,14 @@ object GraftSql {
       val s2 = t.addColumns(colDdl)
       refresh(spark, name)
       snapFrame(spark, s2)
+    case RenameColumnRe(name, from, to) =>
+      lookupName(spark, name): Unit // unbound names get the standard error
+      sys.error(s"ALTER TABLE $name RENAME COLUMN is not supported: " +
+        s"pre-rename data files still carry '$from', so a rename needs " +
+        "column-mapping ids to stay readable (the Delta requirement). " +
+        s"Equivalent: ADD COLUMNS ($to <type>), UPDATE … SET $to = $from, " +
+        s"then DROP COLUMNS ($from) — three explicit commits, " +
+        "time-travel-safe")
     case DropColumnsRe(name, colList) =>
       val t = lookupName(spark, name)
       val s2 = t.dropColumns(

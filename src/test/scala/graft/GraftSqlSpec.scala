@@ -708,6 +708,13 @@ class GraftSqlSpec extends GraftSpec {
       tbl.sql("ALTER TABLE dropcol_t DROP COLUMNS (k, v, y)")
     }
     assert(e2.getMessage.contains("every column"), e2.getMessage)
+    // RENAME COLUMN refuses with the column-mapping rationale and the
+    // three-commit workaround, never an opaque parser error
+    val e3 = intercept[Exception] {
+      tbl.sql("ALTER TABLE dropcol_t RENAME COLUMN v TO w")
+    }
+    assert(e3.getMessage.contains("column-mapping")
+      && e3.getMessage.contains("DROP COLUMNS"), e3.getMessage)
   }
 
   test("unsupported DML forms are refused with the supported list; " +

@@ -199,6 +199,65 @@ class SubstrDupSpec extends GraftSpec {
       "a doc can only lose tokens if the detector saw duplication in it")
   }
 
+  test("winnowing: the lag/lead formula equals brute-force window-min " +
+      "selection, the overlap guarantee holds, density near 2/(w+1)") {
+    val sess = spark; import sess.implicits._
+    val (k, w) = (TextOps.WinnowK, TextOps.WinnowW)
+    def md5hex2(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+        .map("%02x".format(_)).mkString
+    // brute force: a position is selected iff it is the min of SOME
+    // length-w window (truncated at the ends, matching the capped-dist
+    // formula), ties selecting every minimal position
+    def brute(ts: Array[String]): Set[Int] = {
+      val hs = (0 to ts.length - k)
+        .map(i => md5hex2(ts.slice(i, i + k).mkString(" ")))
+      val sel = scala.collection.mutable.Set[Int]()
+      (-(w - 1) to hs.length - 1).foreach { j =>
+        val lo = math.max(0, j); val hi = math.min(hs.length - 1, j + w - 1)
+        if (lo <= hi) {
+          val m = (lo to hi).map(hs).min
+          (lo to hi).filter(i => hs(i) == m).foreach(sel += _)
+        }
+      }
+      sel.toSet
+    }
+    val shared = words(50, w + k - 1 + 4) // past the guarantee threshold
+    val docs = Seq(
+      1L -> (words(51, 9) ++ shared ++ words(52, 7)).mkString(" "),
+      2L -> (words(53, 5) ++ shared ++ words(54, 11)).mkString(" "),
+      3L -> (0 until 60).map(i => s"t${(i * 37) % 23}").mkString(" "))
+    val tmp = Files.createTempDirectory("graft_winnow").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("fix"))
+      .withColumn("n_chars", length(col("text")))
+      .write.parquet(s"$tmp/documents.parquet")
+    val got = TextOps.qDocWinnow(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_grams"),
+        r.getAs[Long]("n_selected"), r.getAs[String]("fp_md5")))).toMap
+    docs.foreach { case (id, text) =>
+      val ts = text.trim.split(" +")
+      val hs = (0 to ts.length - k)
+        .map(i => md5hex2(ts.slice(i, i + k).mkString(" ")))
+      val sel = brute(ts).toSeq.sorted
+      val fp = md5hex2(sel.map(i => s"$i:${hs(i)}").mkString("|"))
+      assert(got(id) == ((hs.length.toLong, sel.length.toLong, fp)),
+        s"doc $id: ${got(id)} vs (${hs.length}, ${sel.length}, $fp)")
+    }
+    // overlap guarantee: ≥ w+k−1 shared tokens ⇒ a shared fingerprint
+    def fps(id: Long): Set[String] = {
+      val ts = docs.toMap.apply(id).trim.split(" +")
+      val hs = (0 to ts.length - k)
+        .map(i => md5hex2(ts.slice(i, i + k).mkString(" ")))
+      brute(ts).map(hs)
+    }
+    assert(fps(1L).intersect(fps(2L)).nonEmpty, "overlap guarantee broken")
+    assert(fps(1L).intersect(fps(3L)).isEmpty)
+    // density: expected 2/(w+1) = 0.4; the sawtooth doc sits near it
+    val d3 = got(3L)._2.toDouble / got(3L)._1
+    assert(d3 > 0.2 && d3 < 0.65, s"density $d3 implausible")
+  }
+
   test("corpus invariants at sf0.001: affected docs exist, coverage " +
       "bounded by doc length, spans consistent") {
     val out = TextOps.qDocSubstrdup(spark, sf).collect()
