@@ -130,6 +130,118 @@ object TextOps {
        |WHERE n_tokens >= 12""".stripMargin
   }
 
+  /** GOPHER RULE-SET QUALITY FILTER (Rae et al. 2021, "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher",
+    * Appendix A1.1 — the named rule battery MassiveText/RefinedWeb/
+    * FineWeb all start from): per document, the seven published gates —
+    * word count in [50, 100000]; mean word length in [3, 10]; symbol-to-
+    * word ratio ('#' chars + '...' occurrences) ≤ 0.1; ≤90% of lines
+    * bullet-started; ≤30% of lines ellipsis-ended; ≥80% of words contain
+    * an alphabetic char; ≥2 of the 8 canonical stop words present — with
+    * a per-source report of each rule's kill count and the all-rules
+    * survivor count. Every ratio gate is an exact INTEGER
+    * cross-multiplication (10·sym > words, 5·alpha < 4·words, …) — no
+    * float ever decides a rule, so the oracle is plain arithmetic SQL.
+    *
+    * Scale shape: ONE scan, pure column/lambda expressions (no UDF, no
+    * join, no explode — the arrays fold in place), one map-side-combined
+    * aggregation to #sources rows. */
+  def qDocGopher(s: SparkSession, d: String): DataFrame = {
+    val gopherStops =
+      Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val docs = Tables.documents(s, d)
+      .withColumn("t", tokens(col("text")))
+      .withColumn("lns", split(col("text"), "\n"))
+      .withColumn("n_words", size(col("t")).cast("long"))
+      .withColumn("n_chars_w",
+        aggregate(col("t"), lit(0L), (acc, x) => acc + length(x)))
+      .withColumn("n_sym",
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "#", ""))).cast("long") +
+          ((length(col("text")) -
+            length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3)
+            .cast("long"))
+      .withColumn("n_lines", size(col("lns")).cast("long"))
+      .withColumn("n_bullet",
+        size(filter(col("lns"), l => l.startsWith("- ") ||
+          l.startsWith("* ") || l.startsWith("• "))).cast("long"))
+      .withColumn("n_ell",
+        size(filter(col("lns"), l => l.endsWith("..."))).cast("long"))
+      .withColumn("n_alpha",
+        size(filter(col("t"), x => x.rlike("[a-zA-Z]"))).cast("long"))
+      .withColumn("n_stop",
+        size(array_intersect(array_distinct(col("t")),
+          array(gopherStops.map(lit): _*))).cast("long"))
+    val fWc = !(col("n_words") >= 50 && col("n_words") <= 100000L)
+    val fMwl = !(lit(3) * col("n_words") <= col("n_chars_w") &&
+      col("n_chars_w") <= lit(10) * col("n_words"))
+    val fSym = lit(10) * col("n_sym") > col("n_words")
+    val fBul = lit(10) * col("n_bullet") > lit(9) * col("n_lines")
+    val fEll = lit(10) * col("n_ell") > lit(3) * col("n_lines")
+    val fAlp = lit(5) * col("n_alpha") < lit(4) * col("n_words")
+    val fStp = col("n_stop") < 2
+    def cnt(c: Column, n: String) = count(when(c, 1)).as(n)
+    docs.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      cnt(fWc, "n_fail_wordcount"), cnt(fMwl, "n_fail_meanwordlen"),
+      cnt(fSym, "n_fail_symbol"), cnt(fBul, "n_fail_bullet"),
+      cnt(fEll, "n_fail_ellipsis"), cnt(fAlp, "n_fail_alpha"),
+      cnt(fStp, "n_fail_stopword"),
+      cnt(!(fWc || fMwl || fSym || fBul || fEll || fAlp || fStp),
+        "n_pass"))
+  }
+
+  def qDocGopherSql: String =
+    """WITH m AS (
+      |  SELECT source,
+      |    CAST(len(t) AS BIGINT) AS n_words,
+      |    CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT)
+      |      AS n_chars_w,
+      |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+      |      + CAST((length(text) - length(replace(text, '...', ''))) / 3
+      |          AS BIGINT) AS n_sym,
+      |    CAST(len(lns) AS BIGINT) AS n_lines,
+      |    CAST(len(list_filter(lns, l -> l LIKE '- %' OR l LIKE '* %'
+      |      OR l LIKE chr(8226) || ' %')) AS BIGINT) AS n_bullet,
+      |    CAST(len(list_filter(lns, l -> l LIKE '%...')) AS BIGINT)
+      |      AS n_ell,
+      |    CAST(len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]')))
+      |      AS BIGINT) AS n_alpha,
+      |    CAST(len(list_intersect(list_distinct(t),
+      |      ['the','be','to','of','and','that','have','with']))
+      |      AS BIGINT) AS n_stop
+      |  FROM (SELECT source, text,
+      |          regexp_split_to_array(trim(text), ' +') AS t,
+      |          string_split(text, chr(10)) AS lns
+      |        FROM documents) x
+      |), f AS (
+      |  SELECT source,
+      |    NOT (n_words >= 50 AND n_words <= 100000) AS f_wc,
+      |    NOT (3 * n_words <= n_chars_w AND n_chars_w <= 10 * n_words)
+      |      AS f_mwl,
+      |    10 * n_sym > n_words AS f_sym,
+      |    10 * n_bullet > 9 * n_lines AS f_bul,
+      |    10 * n_ell > 3 * n_lines AS f_ell,
+      |    5 * n_alpha < 4 * n_words AS f_alp,
+      |    n_stop < 2 AS f_stp
+      |  FROM m
+      |)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(count(CASE WHEN f_wc THEN 1 END) AS BIGINT)
+      |    AS n_fail_wordcount,
+      |  CAST(count(CASE WHEN f_mwl THEN 1 END) AS BIGINT)
+      |    AS n_fail_meanwordlen,
+      |  CAST(count(CASE WHEN f_sym THEN 1 END) AS BIGINT) AS n_fail_symbol,
+      |  CAST(count(CASE WHEN f_bul THEN 1 END) AS BIGINT) AS n_fail_bullet,
+      |  CAST(count(CASE WHEN f_ell THEN 1 END) AS BIGINT)
+      |    AS n_fail_ellipsis,
+      |  CAST(count(CASE WHEN f_alp THEN 1 END) AS BIGINT) AS n_fail_alpha,
+      |  CAST(count(CASE WHEN f_stp THEN 1 END) AS BIGINT)
+      |    AS n_fail_stopword,
+      |  CAST(count(CASE WHEN NOT (f_wc OR f_mwl OR f_sym OR f_bul OR f_ell
+      |    OR f_alp OR f_stp) THEN 1 END) AS BIGINT) AS n_pass
+      |FROM f GROUP BY source""".stripMargin
+
   /** Marker-word language-ID heuristic + accuracy against the labeled
     * `lang` column. (A real n-gram profile model is engine-side identical;
     * the fixed marker rule keeps the oracle expressible in ANSI SQL.) */
@@ -1119,6 +1231,150 @@ object TextOps {
       |      AS BIGINT) - sc AS DOUBLE)
       |    / CAST(n_tokens * 1000000 AS DOUBLE) AS entropy
       |FROM a""".stripMargin
+
+  /** CCNET-STYLE PERPLEXITY FILTER (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl Data" —
+    * the KenLM-perplexity head/middle/tail split that every published
+    * web-corpus pipeline since has shipped): a word-BIGRAM language
+    * model with add-1 smoothing is TRAINED IN THE ENGINE on the
+    * reference half of the corpus (even doc_ids — the langid_model
+    * split), every document is scored by its total negative
+    * log-likelihood under that model, and documents bucket
+    * head/middle/tail against the pooled reference rate (head = at or
+    * below the reference mean NLL/token; tail = above 1.5× it — CCNet's
+    * "keep the head, drop the tail" shape with engine-exact thresholds).
+    *
+    * Exactness discipline (the DSIR/entropy grid): each bigram (a,b)
+    * contributes L(ctx(a)+V) − L(cnt(a,b)+1) with L(x) = floor(1e6·ln x)
+    * over INTEGER train-half counts (ctx = count of a as a bigram left
+    * context, V = context-vocabulary size; an unseen bigram's numerator
+    * is ln 1 = 0, exact in both engines), so per-doc NLL is an exact
+    * BIGINT sum. The bucket decision cross-multiplies exact integers
+    * (nll·B vs S·n_bg) in DECIMAL(38,0) — HUGEINT on the oracle side,
+    * the q_evt_lttb width rule — so no float division ever decides a
+    * bucket. The only doubles are the per-group report rates, each one
+    * division of exactly-represented integers.
+    *
+    * Scale shape (100 TB): ONE corpus pass — the per-(doc, bigram) count
+    * frame materializes once (the DSIR fold) and feeds the model counts,
+    * the reference totals, and the scoring join; the model relations are
+    * vocabulary-bounded (a real web corpus hash-buckets them to stay
+    * bounded — the DsirDelta argument) and join hint-free (AQE
+    * broadcasts small models); every corpus-sized shuffle carries
+    * (doc_id, longs), never text. The report is sources×3 rows. */
+  def qDocPerplexity(s: SparkSession, d: String): DataFrame =
+    perplexityBuckets(Tables.documents(s, d))
+
+  /** Core of [[qDocPerplexity]] over any (doc_id, source, text) frame —
+    * split out so the spec can plant a corpus with a known-gibberish
+    * tail and assert the bucket assignment end-to-end. */
+  private[graft] def perplexityBuckets(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def lq(c: Column): Column =
+      floor(lit(1e6) * log(c.cast("double"))).cast("long")
+    // one corpus pass: per-(doc, bigram) counts materialize once and feed
+    // the model, the normalizer totals, and the scoring join
+    val bg = docs
+      .select(col("doc_id"), col("source"),
+        (col("doc_id") % 2 === 0).as("train"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2) // also guards sequence(1,0) counting DOWN
+      .select(col("doc_id"), col("source"), col("train"),
+        explode(transform(sequence(lit(1), size(col("t")) - 1),
+          i => struct(element_at(col("t"), i).as("a"),
+            element_at(col("t"), i + 1).as("b")))).as("p"))
+      .select(col("doc_id"), col("source"), col("train"),
+        col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy(col("doc_id"), col("source"), col("train"),
+        col("a"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val bigr = bg.filter(col("train"))
+      .groupBy(col("a"), col("b")).agg(sum(col("c")).as("cb"))
+    val ctx = bg.filter(col("train"))
+      .groupBy(col("a")).agg(sum(col("c")).as("ca"))
+      .localCheckpoint() // vocabulary-bounded; feeds V and the join
+    val vCount = ctx.count() // context-vocabulary size for add-1 smoothing
+    val scored = bg
+      .join(bigr, Seq("a", "b"), "left")
+      .join(ctx, Seq("a"), "left")
+      .groupBy(col("doc_id"), col("source"), col("train"))
+      .agg(sum(col("c")).cast("long").as("n_bg"),
+        sum(col("c") * (lq(coalesce(col("ca"), lit(0L)) + lit(vCount)) -
+          lq(coalesce(col("cb"), lit(0L)) + 1))).cast("long").as("nll"))
+      .localCheckpoint() // per-doc longs; feeds the totals AND the buckets
+    val tot = scored.filter(col("train"))
+      .agg(sum(col("nll")).cast("long"), sum(col("n_bg")).cast("long"))
+      .head()
+    val (sRef, bRef) = (tot.getLong(0), tot.getLong(1))
+    def dec(c: Column): Column = c.cast(DecimalType(38, 0))
+    val lhs = dec(col("nll")) * dec(lit(bRef))
+    val rhs = dec(lit(sRef)) * dec(col("n_bg"))
+    val bucket = when(lhs <= rhs, "head")
+      .when(lhs * dec(lit(2)) > rhs * dec(lit(3)), "tail")
+      .otherwise("middle")
+    scored.withColumn("bucket", bucket)
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bg")).cast("long").as("n_bigrams"),
+        sum(col("nll")).cast("long").as("nll_scaled"))
+      .withColumn("nll_per_token",
+        col("nll_scaled").cast("double") /
+          (col("n_bigrams") * lit(1000000L)).cast("double"))
+  }
+
+  def qDocPerplexitySql: String =
+    """WITH base AS (
+      |  SELECT doc_id, source, doc_id % 2 = 0 AS train, t
+      |  FROM (SELECT doc_id, source,
+      |          regexp_split_to_array(trim(text), ' +') AS t
+      |        FROM documents) x
+      |  WHERE len(t) >= 2
+      |), bg AS MATERIALIZED (
+      |  SELECT doc_id, source, train, t[i] AS a, t[i + 1] AS b,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM (SELECT doc_id, source, train, t,
+      |          unnest(generate_series(1, len(t) - 1)) AS i FROM base) y
+      |  GROUP BY doc_id, source, train, a, b
+      |), bigr AS MATERIALIZED (
+      |  SELECT a, b, CAST(sum(c) AS BIGINT) AS cb
+      |  FROM bg WHERE train GROUP BY a, b
+      |), ctx AS MATERIALIZED (
+      |  SELECT a, CAST(sum(c) AS BIGINT) AS ca
+      |  FROM bg WHERE train GROUP BY a
+      |), vt AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS v FROM ctx
+      |), scored AS MATERIALIZED (
+      |  SELECT doc_id, source, train, CAST(sum(c) AS BIGINT) AS n_bg,
+      |    CAST(sum(c * (
+      |      CAST(floor(1e6 * ln(CAST(COALESCE(ca, 0) + v AS DOUBLE)))
+      |        AS BIGINT)
+      |      - CAST(floor(1e6 * ln(CAST(COALESCE(cb, 0) + 1 AS DOUBLE)))
+      |        AS BIGINT))) AS BIGINT) AS nll
+      |  FROM bg LEFT JOIN bigr USING (a, b) LEFT JOIN ctx USING (a)
+      |  CROSS JOIN vt
+      |  GROUP BY doc_id, source, train
+      |), tot AS (
+      |  SELECT CAST(sum(nll) AS BIGINT) AS s_ref,
+      |    CAST(sum(n_bg) AS BIGINT) AS b_ref
+      |  FROM scored WHERE train
+      |), lab AS (
+      |  SELECT source,
+      |    CASE WHEN CAST(nll AS HUGEINT) * CAST(b_ref AS HUGEINT)
+      |           <= CAST(s_ref AS HUGEINT) * CAST(n_bg AS HUGEINT)
+      |         THEN 'head'
+      |         WHEN CAST(nll AS HUGEINT) * CAST(b_ref AS HUGEINT) * 2
+      |           > CAST(s_ref AS HUGEINT) * CAST(n_bg AS HUGEINT) * 3
+      |         THEN 'tail'
+      |         ELSE 'middle' END AS bucket,
+      |    n_bg, nll
+      |  FROM scored CROSS JOIN tot
+      |)
+      |SELECT source, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_bg) AS BIGINT) AS n_bigrams,
+      |  CAST(sum(nll) AS BIGINT) AS nll_scaled,
+      |  CAST(sum(nll) AS DOUBLE) / CAST(sum(n_bg) * 1000000 AS DOUBLE)
+      |    AS nll_per_token
+      |FROM lab GROUP BY source, bucket""".stripMargin
 
   /** FILTER-CASCADE ATTRITION REPORT — the per-source funnel table every
     * published curation pipeline ships (CCNet/FineWeb report exactly

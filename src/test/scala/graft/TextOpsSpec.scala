@@ -173,4 +173,81 @@ class TextOpsSpec extends GraftSpec {
     }
     assert(corpus.map(_.getAs[Double]("entropy")).distinct.length > 10)
   }
+
+  test("perplexity buckets: planted gibberish lands in the tail, " +
+      "reference-identical docs in the head, doc counts conserve") {
+    val sess = spark; import sess.implicits._
+    val fluent = "the cat sat on the mat"
+    // even doc_ids train the model; the gibberish docs are odd-only so
+    // they never pollute the reference counts
+    val docs =
+      (0 until 40).map(i => (i.toLong, "fluent", fluent)) ++
+        Seq((41L, "gib", "zz qq vv jj kk ww"),
+          (43L, "gib", "xq qx zj jz vk kv"))
+    val got = TextOps.perplexityBuckets(
+      docs.toDF("doc_id", "source", "text")).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("bucket")) ->
+        r.getAs[Long]("n_docs")).toMap
+    assert(got(("fluent", "head")) == 40L, s"fluent: $got")
+    assert(got(("gib", "tail")) == 2L, s"gib: $got")
+    assert(got.values.sum == 42L)
+    // corpus sanity: buckets partition the >=2-token docs, head is
+    // nonempty (the reference half is its own head by construction)
+    val corpus = TextOps.qDocPerplexity(spark, sf).collect()
+    assert(corpus.map(_.getAs[Long]("n_docs")).sum ==
+      Tables.documents(spark, sf)
+        .filter(size(split(trim(col("text")), " +")) >= 2).count())
+    assert(corpus.exists(_.getAs[String]("bucket") == "head"))
+    corpus.foreach { r =>
+      assert(r.getAs[Double]("nll_per_token") >= 0.0)
+    }
+  }
+
+  test("gopher rules: eight planted docs — seven single-rule failures " +
+      "and one survivor — report exactly their own kill") {
+    val sess = spark; import sess.implicits._
+    import java.nio.file.Files
+    val filler = (1 to 58).map(i => s"word$i")
+    val docs = Seq(
+      (0L, "pass", ("the" +: "and" +: filler).mkString(" ")),
+      (1L, "wc", "the and word1 word2 word3"),
+      (2L, "mwl", ("the" +: "and" +:
+        (1 to 58).map(_ => "abcdefghijklmno")).mkString(" ")),
+      (3L, "sym", ("the" +: "and" +: (1 to 58).map(i =>
+        if (i <= 7) s"aa#b$i" else s"word$i")).mkString(" ")),
+      (4L, "bullet", (1 to 10).map(_ =>
+        "- the and fooa foob fooc food").mkString("\n")),
+      (5L, "ell", (1 to 10).map(i =>
+        if (i <= 4) "the and fooa foob fooc food..."
+        else "the and fooa foob fooc food").mkString("\n")),
+      (6L, "alpha", ("the" +: "and" +: ((1 to 38).map(i => s"abcw$i") ++
+        (1 to 20).map(_ => "12345"))).mkString(" ")),
+      (7L, "stop", (1 to 60).map(i => s"zeta$i").mkString(" ")))
+    val tmp = Files.createTempDirectory("graft_gopher").toString
+    docs.toDF("doc_id", "source", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+      .write.parquet(s"$tmp/documents.parquet")
+    val got = TextOps.qDocGopher(spark, tmp).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val ruleCol = Map("wc" -> "n_fail_wordcount", "mwl" -> "n_fail_meanwordlen",
+      "sym" -> "n_fail_symbol", "bullet" -> "n_fail_bullet",
+      "ell" -> "n_fail_ellipsis", "alpha" -> "n_fail_alpha",
+      "stop" -> "n_fail_stopword")
+    val allCols = ruleCol.values.toSeq
+    ruleCol.foreach { case (src, c) =>
+      val r = got(src)
+      assert(r.getAs[Long](c) == 1L, s"$src should fail $c")
+      allCols.filterNot(_ == c).foreach(o =>
+        assert(r.getAs[Long](o) == 0L, s"$src unexpectedly fails $o"))
+      assert(r.getAs[Long]("n_pass") == 0L)
+    }
+    val p = got("pass")
+    allCols.foreach(c => assert(p.getAs[Long](c) == 0L, s"pass fails $c"))
+    assert(p.getAs[Long]("n_pass") == 1L)
+    // corpus: report covers every source and every doc exactly once
+    val corpus = TextOps.qDocGopher(spark, sf).collect()
+    assert(corpus.map(_.getAs[Long]("n_docs")).sum ==
+      Tables.documents(spark, sf).count())
+  }
 }
