@@ -834,6 +834,165 @@ object Similarity {
       |  md5(array_to_string(codes, ',')) AS code_md5
       |FROM c""".stripMargin
 
+  // -------------------------------------------------------------- k-means
+
+  /** k-means cluster count and Lloyd update rounds (bounded, like the
+    * MMR pool: model size k·D is corpus-independent). */
+  val KmeansK = 8
+  val KmeansIters = 4
+
+  /** IN-ENGINE K-MEANS over the int8 embedding codes (Lloyd 1982) — the
+    * clustering layer semantic curation pipelines build on (SemDeDup
+    * groups by cluster before pairwise checks; cluster-balanced sampling
+    * draws per cluster), TRAINED INSIDE THE ENGINE like the classifier
+    * and the NB language model, and kept cross-engine EXACT: distances
+    * are integer Σ(x_d−c_d)² over the oracle-checked q_emb_quant codes,
+    * centroid updates are INTEGER floor-divisions Σx_d ÷ n (operands
+    * nonnegative, so Spark DIV and DuckDB // agree), seeds are the
+    * [[KmeansK]] lowest md5(vec_id) (identical hex in both engines), an
+    * argmin tie takes the lowest cluster index, and an emptied cluster
+    * keeps its previous centroid. The oracle UNROLLS all
+    * [[KmeansIters]] assign→update rounds plus the final assignment as
+    * chained MATERIALIZED CTEs (the q_ann_mmr trajectory-replay
+    * discipline) — the whole trained model is hash-checked, not just
+    * its shape.
+    *
+    * Scale shape: the model is a k·D-int literal (broadcast-model /
+    * aggregate-centroid loop — ONE corpus aggregation per round whose
+    * shuffle carries k·D partial sums, the classifier's one-job-per-
+    * iteration shape); assignment is a narrow zip_with projection (no
+    * join); the final report is k rows. 100× data changes only the scan
+    * width of each round, never the shuffle or driver state. */
+  def qEmbKmeans(s: SparkSession, d: String): DataFrame =
+    kmeansCodes(quantized(s, d).select(col("vec_id"), col("codes")),
+      KmeansK, KmeansIters)
+
+  /** Core of [[qEmbKmeans]] over any (vec_id, codes: array<int>) frame,
+    * parametric in k and rounds so the spec can plant tight separated
+    * groups and cross-check invariants. */
+  private[graft] def kmeansCodes(codesDf: DataFrame, k: Int,
+      iters: Int): DataFrame = {
+    val q = codesDf.localCheckpoint() // feeds seeds + every round
+    val seeds = q
+      .withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy(col("h"), col("vec_id")).limit(k)
+      .collect()
+      .map(_.getAs[Seq[Int]]("codes").map(_.toLong).toArray)
+    var cents: Array[Array[Long]] = seeds
+    def distCols(cs: Array[Array[Long]]): Seq[Column] =
+      cs.toSeq.zipWithIndex.map { case (c, j) =>
+        aggregate(zip_with(col("codes"), typedLit(c.toSeq),
+          (x, cv) => (x - cv) * (x - cv)), lit(0L), _ + _).as(s"d$j")
+      }
+    // earliest-index argmin as a CASE chain (the langid argmax rule):
+    // cluster j wins iff it strictly beats every earlier and ties-or-
+    // beats every later distance
+    def assignCol(n: Int): Column =
+      (0 until n - 1).foldRight(lit(n - 1): Column) { case (j, els) =>
+        val wins = ((0 until j).map(i => col(s"d$j") < col(s"d$i")) ++
+          (j + 1 until n).map(i => col(s"d$j") <= col(s"d$i")))
+          .reduce(_ && _)
+        when(wins, j).otherwise(els)
+      }
+    for (_ <- 1 to iters) {
+      val sums = q.select(distCols(cents) :+ col("codes"): _*)
+        .withColumn("cluster", assignCol(k))
+        .select(col("cluster"), posexplode(col("codes")).as(Seq("dim", "cv")))
+        .groupBy(col("cluster"), col("dim"))
+        .agg(sum(col("cv")).as("sd"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone())
+      sums.foreach { r =>
+        next(r.getAs[Int]("cluster"))(r.getAs[Int]("dim")) =
+          r.getAs[Long]("sd") / r.getAs[Long]("n") // nonneg: floor ≡ trunc
+      }
+      cents = next
+    }
+    val centMd5 = cents.toSeq.zipWithIndex.map { case (c, j) =>
+      (j, c.mkString(","))
+    }
+    import q.sparkSession.implicits._
+    val centDf = centMd5.toDF("cluster", "cent_str")
+      .select(col("cluster"), md5(col("cent_str")).as("centroid_md5"))
+    val fin = q.select(distCols(cents) :+ col("vec_id"): _*)
+      .withColumn("cluster", assignCol(k))
+      .withColumn("d2", (0 until k).map(j => col(s"d$j"))
+        .reduce((a, b) => least(a, b)))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("d2")).as("inertia"))
+    centDf.join(fin, Seq("cluster"), "left")
+      .select(col("cluster"), coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
+        coalesce(col("inertia"), lit(0L)).cast("long").as("inertia"),
+        col("centroid_md5"))
+  }
+
+  def qEmbKmeansSql: String = {
+    val k = KmeansK
+    def distCte(cent: String, asgn: String): String =
+      s"""$asgn AS MATERIALIZED (
+         |  SELECT vec_id, cluster - 1 AS cluster, d2 FROM (
+         |    SELECT x.vec_id, c.cluster + 1 AS cluster,
+         |      CAST(sum((x.cv - c.cv) * (x.cv - c.cv)) AS BIGINT) AS d2,
+         |      row_number() OVER (PARTITION BY x.vec_id
+         |        ORDER BY sum((x.cv - c.cv) * (x.cv - c.cv)), c.cluster)
+         |        AS rn
+         |    FROM x JOIN $cent c USING (dim)
+         |    GROUP BY x.vec_id, c.cluster) z
+         |  WHERE rn = 1
+         |)""".stripMargin
+    def updCte(prev: String, asgn: String, next: String): String =
+      s"""$next AS MATERIALIZED (
+         |  SELECT p.cluster, p.dim, CAST(COALESCE(n.cv, p.cv) AS BIGINT)
+         |    AS cv
+         |  FROM $prev p LEFT JOIN (
+         |    SELECT a.cluster, x.dim,
+         |      CAST(sum(x.cv) // count(*) AS BIGINT) AS cv
+         |    FROM $asgn a JOIN x USING (vec_id)
+         |    GROUP BY a.cluster, x.dim) n
+         |  USING (cluster, dim)
+         |)""".stripMargin
+    val rounds = (1 to KmeansIters).map { i =>
+      distCte(s"cent${i - 1}", s"asgn$i") + ", " +
+        updCte(s"cent${i - 1}", s"asgn$i", s"cent$i")
+    }.mkString(", ")
+    s"""WITH s AS (
+       |  SELECT min(list_min(embedding::DOUBLE[])) AS gmin,
+       |         max(list_max(embedding::DOUBLE[])) AS gmax
+       |  FROM embeddings
+       |), c AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(embedding::DOUBLE[], v ->
+       |      CAST(floor((v - gmin) * 255.0 / (gmax - gmin)) AS BIGINT))
+       |      AS codes
+       |  FROM embeddings CROSS JOIN s
+       |), x AS MATERIALIZED (
+       |  SELECT vec_id, r.i - 1 AS dim, codes[r.i] AS cv
+       |  FROM c, unnest(range(1, len(codes) + 1)) AS r(i)
+       |), seeds AS (
+       |  SELECT vec_id, rn - 1 AS cluster FROM (
+       |    SELECT vec_id, row_number() OVER (
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+       |    FROM c) z
+       |  WHERE rn <= $k
+       |), cent0 AS MATERIALIZED (
+       |  SELECT s.cluster, x.dim, x.cv FROM seeds s
+       |  JOIN x ON s.vec_id = x.vec_id
+       |), $rounds, ${distCte(s"cent$KmeansIters", "fin")},
+       |rep AS (
+       |  SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs,
+       |    CAST(sum(d2) AS BIGINT) AS inertia
+       |  FROM fin GROUP BY cluster
+       |), cm AS (
+       |  SELECT cluster,
+       |    md5(string_agg(CAST(cv AS VARCHAR), ',' ORDER BY dim))
+       |      AS centroid_md5
+       |  FROM cent$KmeansIters GROUP BY cluster
+       |)
+       |SELECT cm.cluster, COALESCE(rep.n_vecs, 0) AS n_vecs,
+       |  COALESCE(rep.inertia, 0) AS inertia, cm.centroid_md5
+       |FROM cm LEFT JOIN rep USING (cluster)""".stripMargin
+  }
+
   // ----------------------------------------------------------------- MMR
 
   /** MMR candidate pool (top-N by relevance), picks, and the integerized

@@ -340,4 +340,50 @@ class SimilaritySpec extends GraftSpec {
       .sortBy { case (id, dd) => (-dd, id) }.take(5).map(_._1)
     assert(got.take(5).map(_._1).toSeq == floatRank)
   }
+
+  test("k-means: a driver-side replay of the exact integer Lloyd loop " +
+      "reproduces the engine's report bit-for-bit, and counts conserve") {
+    val gmin = vecs.values.flatten.min
+    val gmax = vecs.values.flatten.max
+    val codes: Map[Long, Array[Long]] = vecs.view.mapValues(_.map(x =>
+      math.floor((x - gmin) * 255.0 / (gmax - gmin)).toLong)).toMap
+    val dims = codes.values.head.length
+    val k = Similarity.KmeansK
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(
+        s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // seeds: k lowest md5(vec_id), ties on vec_id
+    val seedIds = codes.keys.toSeq
+      .sortBy(id => (md5hex(id.toString), id)).take(k)
+    var cents: Array[Array[Long]] = seedIds.map(codes(_)).toArray
+    def assign(c: Array[Long]): Int =
+      (0 until k).map { j =>
+        ((0 until dims).map { d =>
+          val t = c(d) - cents(j)(d); t * t }.sum, j)
+      }.minBy { case (d2, j) => (d2, j) }._2
+    for (_ <- 1 to Similarity.KmeansIters) {
+      val byCl = codes.values.toSeq.groupBy(assign)
+      cents = Array.tabulate(k) { j =>
+        byCl.get(j) match {
+          case Some(members) => Array.tabulate(dims)(d =>
+            members.map(_(d)).sum / members.size) // nonneg: floor ≡ trunc
+          case None => cents(j)
+        }
+      }
+    }
+    val want = (0 until k).map { j =>
+      val members = codes.values.filter(c => assign(c) == j).toSeq
+      val inertia = members.map(c => (0 until dims).map { d =>
+        val t = c(d) - cents(j)(d); t * t }.sum).sum
+      (j, members.size.toLong, inertia, md5hex(cents(j).mkString(",")))
+    }
+    val got = Similarity.qEmbKmeans(spark, sf).collect()
+      .map(r => (r.getAs[Int]("cluster"), r.getAs[Long]("n_vecs"),
+        r.getAs[Long]("inertia"), r.getAs[String]("centroid_md5")))
+      .sortBy(_._1).toSeq
+    assert(got == want, s"got $got\nwant $want")
+    assert(got.map(_._2).sum == codes.size.toLong)
+    // the clustering is non-degenerate on this corpus
+    assert(got.count(_._2 > 0) >= 2, s"all mass in one cluster: $got")
+  }
 }
