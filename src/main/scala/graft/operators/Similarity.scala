@@ -867,11 +867,12 @@ object Similarity {
     kmeansCodes(quantized(s, d).select(col("vec_id"), col("codes")),
       KmeansK, KmeansIters)
 
-  /** Core of [[qEmbKmeans]] over any (vec_id, codes: array<int>) frame,
-    * parametric in k and rounds so the spec can plant tight separated
-    * groups and cross-check invariants. */
-  private[graft] def kmeansCodes(codesDf: DataFrame, k: Int,
-      iters: Int): DataFrame = {
+  /** Fit of the exact integer Lloyd loop over any (vec_id, codes:
+    * array<int>) frame: returns the final per-vector assignment
+    * (vec_id, cluster, d2) plus the trained centroids — shared by the
+    * report query and the cluster-balanced sampler. */
+  private[graft] def kmeansFit(codesDf: DataFrame, k: Int,
+      iters: Int): (DataFrame, Array[Array[Long]]) = {
     val q = codesDf.localCheckpoint() // feeds seeds + every round
     val seeds = q
       .withColumn("h", md5(col("vec_id").cast("string")))
@@ -908,16 +909,24 @@ object Similarity {
       }
       cents = next
     }
-    val centMd5 = cents.toSeq.zipWithIndex.map { case (c, j) =>
-      (j, c.mkString(","))
-    }
-    import q.sparkSession.implicits._
-    val centDf = centMd5.toDF("cluster", "cent_str")
-      .select(col("cluster"), md5(col("cent_str")).as("centroid_md5"))
-    val fin = q.select(distCols(cents) :+ col("vec_id"): _*)
+    val assigned = q.select(distCols(cents) :+ col("vec_id"): _*)
       .withColumn("cluster", assignCol(k))
       .withColumn("d2", (0 until k).map(j => col(s"d$j"))
         .reduce((a, b) => least(a, b)))
+      .select(col("vec_id"), col("cluster"), col("d2"))
+    (assigned, cents)
+  }
+
+  /** Core of [[qEmbKmeans]]: fit, then the k-row report. */
+  private[graft] def kmeansCodes(codesDf: DataFrame, k: Int,
+      iters: Int): DataFrame = {
+    val (assigned, cents) = kmeansFit(codesDf, k, iters)
+    import codesDf.sparkSession.implicits._
+    val centDf = cents.toSeq.zipWithIndex
+      .map { case (c, j) => (j, c.mkString(",")) }
+      .toDF("cluster", "cent_str")
+      .select(col("cluster"), md5(col("cent_str")).as("centroid_md5"))
+    val fin = assigned
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_vecs"), sum(col("d2")).as("inertia"))
     centDf.join(fin, Seq("cluster"), "left")
@@ -926,7 +935,75 @@ object Similarity {
         col("centroid_md5"))
   }
 
-  def qEmbKmeansSql: String = {
+  /** Per-cluster sample size for [[qEmbClusterSample]]. */
+  val ClusterSampleM = 5
+
+  /** CLUSTER-BALANCED SAMPLING over the k-means fit — the coreset /
+    * curation draw the clustering exists for (SemDeDup-style pipelines
+    * and DataComp-class curation sample per cluster so dense regions
+    * don't drown sparse ones): from each of the [[KmeansK]] trained
+    * clusters, the [[ClusterSampleM]] members with the lowest
+    * deterministic hash h = (vec_id mod p)·2654435761 mod p
+    * (p = 1000000007 — exact BIGINT in both engines; ties on vec_id).
+    * The oracle replays the ENTIRE trained model (the unrolled Lloyd
+    * CTE chain) and then the per-cluster cut — so the sample is checked
+    * against the model it came from, not a shape.
+    *
+    * Scale shape: the per-cluster cut is TopKPerGroup.twoPhase (partial
+    * bounded heaps, NO corpus-sized exchange — the CLAUDE rule: never a
+    * per-group row_number window over a corpus-scaled relation); the
+    * final rank window runs over the ≤ k·M survivor rows only. */
+  def qEmbClusterSample(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (assigned, _) = kmeansFit(
+      quantized(s, d).select(col("vec_id"), col("codes")),
+      KmeansK, KmeansIters)
+    val p = 1000000007L
+    val scored = assigned.select(
+      col("cluster").cast("long").as("ckey"), col("vec_id"),
+      (col("vec_id") % p * lit(2654435761L) % p).as("h"))
+      .withColumn("ord", -col("h").cast("double"))
+    val cut = graft.plans.TopKPerGroup.twoPhase(
+      scored, ClusterSampleM, "ckey", "ord", "vec_id")
+    cut // ≤ k·M rows — the rank window is bounded by construction
+      .withColumn("sample_rank", row_number().over(
+        Window.partitionBy(col("ckey"))
+          .orderBy(col("h"), col("vec_id"))).cast("long"))
+      .select(col("ckey").cast("int").as("cluster"),
+        col("sample_rank"), col("vec_id"))
+  }
+
+  def qEmbClusterSampleSql: String =
+    kmeansCtePrefix +
+      s"""
+         |SELECT cluster, CAST(rn AS BIGINT) AS sample_rank, vec_id FROM (
+         |  SELECT f.cluster, f.vec_id, row_number() OVER (
+         |    PARTITION BY f.cluster
+         |    ORDER BY f.vec_id % 1000000007 * 2654435761 % 1000000007,
+         |      f.vec_id) AS rn
+         |  FROM fin f) z
+         |WHERE rn <= $ClusterSampleM""".stripMargin
+
+  def qEmbKmeansSql: String =
+    kmeansCtePrefix +
+      s""", rep AS (
+         |  SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs,
+         |    CAST(sum(d2) AS BIGINT) AS inertia
+         |  FROM fin GROUP BY cluster
+         |), cm AS (
+         |  SELECT cluster,
+         |    md5(string_agg(CAST(cv AS VARCHAR), ',' ORDER BY dim))
+         |      AS centroid_md5
+         |  FROM cent$KmeansIters GROUP BY cluster
+         |)
+         |SELECT cm.cluster, COALESCE(rep.n_vecs, 0) AS n_vecs,
+         |  COALESCE(rep.inertia, 0) AS inertia, cm.centroid_md5
+         |FROM cm LEFT JOIN rep USING (cluster)""".stripMargin
+
+  /** The shared oracle CTE chain: codes → exploded dims → seeds → the
+    * [[KmeansIters]] unrolled assign/update rounds → the final
+    * assignment `fin(vec_id, cluster, d2)`. */
+  private def kmeansCtePrefix: String = {
     val k = KmeansK
     def distCte(cent: String, asgn: String): String =
       s"""$asgn AS MATERIALIZED (
@@ -977,20 +1054,7 @@ object Similarity {
        |), cent0 AS MATERIALIZED (
        |  SELECT s.cluster, x.dim, x.cv FROM seeds s
        |  JOIN x ON s.vec_id = x.vec_id
-       |), $rounds, ${distCte(s"cent$KmeansIters", "fin")},
-       |rep AS (
-       |  SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs,
-       |    CAST(sum(d2) AS BIGINT) AS inertia
-       |  FROM fin GROUP BY cluster
-       |), cm AS (
-       |  SELECT cluster,
-       |    md5(string_agg(CAST(cv AS VARCHAR), ',' ORDER BY dim))
-       |      AS centroid_md5
-       |  FROM cent$KmeansIters GROUP BY cluster
-       |)
-       |SELECT cm.cluster, COALESCE(rep.n_vecs, 0) AS n_vecs,
-       |  COALESCE(rep.inertia, 0) AS inertia, cm.centroid_md5
-       |FROM cm LEFT JOIN rep USING (cluster)""".stripMargin
+       |), $rounds, ${distCte(s"cent$KmeansIters", "fin")}""".stripMargin
   }
 
   // ----------------------------------------------------------------- MMR

@@ -385,5 +385,21 @@ class SimilaritySpec extends GraftSpec {
     assert(got.map(_._2).sum == codes.size.toLong)
     // the clustering is non-degenerate on this corpus
     assert(got.count(_._2 > 0) >= 2, s"all mass in one cluster: $got")
+
+    // cluster-balanced sample: exactly the M lowest-hash members of each
+    // cluster, rank order included (driver replay of the same fit)
+    val p = 1000000007L
+    def h(id: Long) = id % p * 2654435761L % p
+    val assignOf: Map[Long, Int] =
+      codes.map { case (id, c) => id -> assign(c) }
+    val wantSample = assignOf.groupBy(_._2).toSeq.flatMap { case (j, m) =>
+      m.keys.toSeq.sortBy(id => (h(id), id)).take(Similarity.ClusterSampleM)
+        .zipWithIndex.map { case (id, i) => (j, (i + 1).toLong, id) }
+    }.sortBy(t => (t._1, t._2))
+    val gotSample = Similarity.qEmbClusterSample(spark, sf).collect()
+      .map(r => (r.getAs[Int]("cluster"), r.getAs[Long]("sample_rank"),
+        r.getAs[Long]("vec_id"))).sortBy(t => (t._1, t._2)).toSeq
+    assert(gotSample == wantSample,
+      s"sample mismatch: got ${gotSample.take(8)} want ${wantSample.take(8)}")
   }
 }
