@@ -426,4 +426,108 @@ object Sampling {
        |    AS selected
        |FROM feats LEFT JOIN lf USING (f) CROSS JOIN consts
        |GROUP BY doc_id""".stripMargin
+
+  /** UniMax epoch cap and budget fraction (numerator/denominator of the
+    * total-token budget — integer math end to end). */
+  val UnimaxEpochCap = 2L
+  val UnimaxBudgetNum = 2L
+  val UnimaxBudgetDen = 5L
+
+  /** UNIMAX SOURCE-BUDGET ALLOCATION (Chung et al. 2023, "UniMax:
+    * Fairer and More Effective Language Sampling for Large-Scale
+    * Multilingual Pretraining"): distribute a total token budget
+    * (2/5 of the corpus here) across sources as uniformly as possible
+    * subject to a per-source epoch cap (≤ [[UnimaxEpochCap]] passes
+    * over each source) — the published fix for both
+    * proportional-sampling's head-domination and uniform-sampling's
+    * tail over-epoching.
+    *
+    * The sequential water-filling greedy collapses to a CLOSED FORM
+    * both engines compute exactly: sort sources by cap ascending; a
+    * source is CAPPED iff cap_i·(m−i+1) ≤ B − prefix_{i−1} (the capped
+    * set is a prefix of the sort — proven monotone since caps ascend);
+    * the remaining budget levels uniformly over the m−t uncapped
+    * sources via integer division, with the remainder going +1 to the
+    * first r uncapped sources in sort order (the deterministic
+    * integerization, documented in-line). Every quantity is an exact
+    * BIGINT; the only double is the reported epochs ratio.
+    *
+    * Scale shape: ONE corpus scan folds token counts to #sources rows;
+    * all window math runs on that bounded frame (the documented
+    * KB-frame exception to the no-global-window rule). */
+  def qDocUnimax(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = Tables.documents(s, d)
+      .select(col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).as("n_tokens"))
+    // bounded (#sources) frame from here on
+    val wOrd = Window.orderBy(col("cap_tokens"), col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wRn = Window.orderBy(col("cap_tokens"), col("source"))
+    val wAll = Window.partitionBy()
+    val f = per
+      .withColumn("cap_tokens", col("n_tokens") * lit(UnimaxEpochCap))
+      .withColumn("i", row_number().over(wRn).cast("long"))
+      .withColumn("prefix", sum(col("cap_tokens")).over(wOrd))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("budget",
+        expr(s"sum(n_tokens) OVER () * $UnimaxBudgetNum DIV $UnimaxBudgetDen"))
+      .withColumn("capped",
+        col("cap_tokens") * (col("m") - col("i") + 1) <=
+          col("budget") - (col("prefix") - col("cap_tokens")))
+      .withColumn("t",
+        coalesce(max(when(col("capped"), col("i"))).over(wAll), lit(0L)))
+      .withColumn("pt",
+        coalesce(max(when(col("capped"), col("prefix"))).over(wAll), lit(0L)))
+    f.withColumn("alloc_tokens",
+        when(col("capped"), col("cap_tokens"))
+          .otherwise(expr("(budget - pt) DIV (m - t)") +
+            when(col("i") - col("t") <= expr("(budget - pt) % (m - t)"),
+              lit(1L)).otherwise(lit(0L))))
+      .select(col("source"), col("n_tokens"), col("cap_tokens"),
+        col("alloc_tokens").cast("long").as("alloc_tokens"),
+        (col("alloc_tokens").cast("double") /
+          col("n_tokens").cast("double")).as("epochs_alloc"))
+  }
+
+  def qDocUnimaxSql: String =
+    s"""WITH per AS (
+       |  SELECT source,
+       |    CAST(sum(len(regexp_split_to_array(trim(text), ' +')))
+       |      AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source
+       |), f AS (
+       |  SELECT source, n_tokens,
+       |    n_tokens * $UnimaxEpochCap AS cap_tokens,
+       |    CAST(row_number() OVER (
+       |      ORDER BY n_tokens * $UnimaxEpochCap, source) AS BIGINT) AS i,
+       |    CAST(sum(n_tokens * $UnimaxEpochCap) OVER (
+       |      ORDER BY n_tokens * $UnimaxEpochCap, source
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS prefix,
+       |    CAST(count(*) OVER () AS BIGINT) AS m,
+       |    CAST((sum(n_tokens) OVER ()) * $UnimaxBudgetNum
+       |      // $UnimaxBudgetDen AS BIGINT) AS budget
+       |  FROM per
+       |), g AS (
+       |  SELECT *, cap_tokens * (m - i + 1)
+       |    <= budget - (prefix - cap_tokens) AS capped
+       |  FROM f
+       |), h AS (
+       |  SELECT *,
+       |    COALESCE(max(CASE WHEN capped THEN i END) OVER (), 0) AS t,
+       |    COALESCE(max(CASE WHEN capped THEN prefix END) OVER (), 0) AS pt
+       |  FROM g
+       |)
+       |SELECT source, n_tokens, cap_tokens,
+       |  CAST(CASE WHEN capped THEN cap_tokens
+       |    ELSE (budget - pt) // (m - t)
+       |      + CASE WHEN i - t <= (budget - pt) % (m - t)
+       |        THEN 1 ELSE 0 END END AS BIGINT) AS alloc_tokens,
+       |  CAST(CASE WHEN capped THEN cap_tokens
+       |    ELSE (budget - pt) // (m - t)
+       |      + CASE WHEN i - t <= (budget - pt) % (m - t)
+       |        THEN 1 ELSE 0 END END AS DOUBLE) / n_tokens
+       |    AS epochs_alloc
+       |FROM h""".stripMargin
 }

@@ -181,4 +181,49 @@ class SamplingSpec extends GraftSpec {
     // OOV bucket is live under the forced vocab cut
     assert(rawC.size > v, "fixture must overflow the vocabulary")
   }
+
+  test("unimax: hand-computed water-filling on a planted fixture, exact " +
+      "budget/cap invariants on the corpus") {
+    val sess = spark; import sess.implicits._
+    import java.nio.file.Files
+    // per-source token counts 5 / 10 / 250 / 250 → caps 10/20/500/500,
+    // budget = 2·515 DIV 5 = 206; i=1: 10·4 ≤ 206 capped, i=2: 20·3 ≤ 196
+    // capped, i=3: 500·2 > 176 uncapped → level 176 DIV 2 = 88, r = 0
+    def doc(n: Int): String = (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, "sA", doc(5)), (2L, "sB", doc(10)),
+      (3L, "sC", doc(125)), (4L, "sC", doc(125)),
+      (5L, "sD", doc(250)))
+    val tmp = Files.createTempDirectory("graft_unimax").toString
+    docs.toDF("doc_id", "source", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+      .write.parquet(s"$tmp/documents.parquet")
+    val got = Sampling.qDocUnimax(spark, tmp).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("cap_tokens"),
+          r.getAs[Long]("alloc_tokens")))).toMap
+    assert(got == Map(
+      "sA" -> ((5L, 10L, 10L)), "sB" -> ((10L, 20L, 20L)),
+      "sC" -> ((250L, 500L, 88L)), "sD" -> ((250L, 500L, 88L))), s"$got")
+
+    // corpus invariants: alloc ≤ cap everywhere; total alloc spends the
+    // budget exactly (caps sum to 2× corpus > 2/5 budget, so never
+    // cap-bound here); uncapped allocations level within 1 token
+    val rows = Sampling.qDocUnimax(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("n_tokens")).sum
+    val budget = total * Sampling.UnimaxBudgetNum / Sampling.UnimaxBudgetDen
+    rows.foreach { r =>
+      assert(r.getAs[Long]("alloc_tokens") <= r.getAs[Long]("cap_tokens"))
+      assert(r.getAs[Double]("epochs_alloc") <=
+        Sampling.UnimaxEpochCap.toDouble + 1e-9)
+    }
+    assert(rows.map(_.getAs[Long]("alloc_tokens")).sum == budget)
+    val uncapped = rows.filter(r =>
+      r.getAs[Long]("alloc_tokens") < r.getAs[Long]("cap_tokens"))
+      .map(_.getAs[Long]("alloc_tokens"))
+    if (uncapped.nonEmpty)
+      assert(uncapped.max - uncapped.min <= 1L,
+        s"uncapped allocations must level: ${uncapped.toSeq.sorted}")
+  }
 }
