@@ -247,6 +247,118 @@ object Graph {
       .orderBy(col("part_id"))
   }
 
+  /** Synchronous rounds for [[qGraphCommunities]] (fixed — the oracle
+    * replays exactly this many). */
+  val LpaRounds = 3
+
+  /** LABEL-PROPAGATION COMMUNITY DETECTION (Raghavan, Albert & Kumara
+    * 2007 — the near-linear community algorithm curation pipelines use
+    * to group near-duplicate/related items beyond connected
+    * components): every node starts labeled with its own id; each
+    * SYNCHRONOUS round relabels a node with the label most frequent
+    * among its neighbors, ties to the SMALLEST label — fully
+    * deterministic, so a fixed [[LpaRounds]]-round run is exactly
+    * replayable (async/random variants are not). The per-node argmax
+    * packs (count, label) into ONE BIGINT key cnt·2³¹ − label so the
+    * aggregate stays a sortless HashAggregate (the q_evt_m4 packing
+    * rule; ids are require()d < 2³¹).
+    *
+    * Loop discipline = [[pageRank]]'s: dedicated child session, AQE
+    * OFF inside the loop, graph-scaled shuffle width, the neighbor
+    * list pre-partitioned+sorted ONCE on the per-round join key,
+    * exactly ONE localCheckpoint barrier per round. Two map-side-
+    * combined shuffles per round ((v,lab) counts, per-v argmax), both
+    * carrying longs only. */
+  def labelPropagation(edges0: DataFrame, src: String, dst: String,
+      rounds: Int = LpaRounds): DataFrame = {
+    require(rounds >= 1)
+    val caller = edges0.sparkSession
+    val spark = caller.newSession()
+    val partsWas = caller.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    import org.apache.spark.sql.GraftShim
+    // canonical undirected edge set (least/greatest + distinct — the
+    // triangleCounts rule): an input carrying BOTH orientations of an
+    // edge must not double-count that neighbor's label vote
+    val e0 = GraftShim.ofRows(spark, GraftShim.logicalPlan(edges0))
+      .select(col(src).cast("long").as("x"), col(dst).cast("long").as("y"))
+      .filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"))
+      .distinct()
+      .localCheckpoint()
+    val eRows = e0.count()
+    val loopParts = math.max(1L,
+      math.min(partsWas.toLong, eRows / 1000000L + 1L)).toInt
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    val nbr = e0.select(col("a").as("v"), col("b").as("u"))
+      .union(e0.select(col("b").as("v"), col("a").as("u")))
+      .repartition(loopParts, col("u")).sortWithinPartitions(col("u"))
+      .localCheckpoint()
+    val maxId = nbr.agg(max(col("v"))).head().getLong(0)
+    require(maxId < (1L << 31),
+      s"LPA argmax packing needs node ids < 2^31, got $maxId")
+    var labels = nbr.select(col("v").as("node")).distinct()
+      .withColumn("lab", col("node"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      labels = nbr
+        .join(labels.select(col("node").as("u"), col("lab")), "u")
+        .groupBy(col("v"), col("lab")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("v"))
+        // max (cnt, -lab) lexicographic as ONE long key: sortless agg
+        .agg(max_by(col("lab"),
+          col("cnt") * lit(1L << 31) - col("lab")).as("lab"))
+        .select(col("v").as("node"), col("lab"))
+        .localCheckpoint() // the round's single materialization barrier
+    }
+    GraftShim.ofRows(caller, GraftShim.logicalPlan(labels))
+  }
+
+  /** Driver-gate query [oracle]: [[LpaRounds]]-round label-propagation
+    * communities of the co-purchase graph (the q_graph_triangles edge
+    * set). The DuckDB oracle unrolls the synchronous rounds as chained
+    * MATERIALIZED CTEs with the identical packed-argmax tie rule, so
+    * the full label trajectory is hash-checked. */
+  def qGraphCommunities(spark: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val li = spark.read.parquet(s"$d/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val edges = li.as("x").join(li.as("y"), "ok")
+      .filter(col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("a"), col("y.pk").as("b"))
+    labelPropagation(edges, "a", "b", LpaRounds)
+      .select(col("node").as("part_id"), col("lab").as("community"))
+      .orderBy(col("part_id"))
+  }
+
+  def qGraphCommunitiesSql: String = {
+    def roundCte(prev: String, next: String): String =
+      s"""$next AS MATERIALIZED (
+         |  SELECT v AS node,
+         |    arg_max(lab, cnt * 2147483648 - lab) AS lab
+         |  FROM (
+         |    SELECT n.v, l.lab, CAST(count(*) AS BIGINT) AS cnt
+         |    FROM nbr n JOIN $prev l ON n.u = l.node
+         |    GROUP BY n.v, l.lab) g
+         |  GROUP BY v
+         |)""".stripMargin
+    val rounds = (1 to LpaRounds).map(i =>
+      roundCte(s"l${i - 1}", s"l$i")).mkString(", ")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+       |  FROM lineitem x JOIN lineitem y
+       |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+       |nbr AS MATERIALIZED (
+       |  SELECT a AS v, b AS u FROM e
+       |  UNION ALL SELECT b AS v, a AS u FROM e),
+       |l0 AS MATERIALIZED (
+       |  SELECT DISTINCT v AS node, v AS lab FROM nbr),
+       |$rounds
+       |SELECT node AS part_id, CAST(lab AS BIGINT) AS community
+       |FROM l$LpaRounds ORDER BY part_id""".stripMargin
+  }
+
   def qGraphTrianglesSql: String =
     """WITH e AS (
       |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b

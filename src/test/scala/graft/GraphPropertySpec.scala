@@ -154,4 +154,46 @@ class GraphPropertySpec extends GraftSpec {
       check(edges, s"random n=$n m=$m")
     }
   }
+
+  test("labelPropagation matches a driver-side synchronous replay on " +
+      "cliques, bridges, and random graphs; separated cliques get " +
+      "distinct uniform communities") {
+    val sess = spark; import sess.implicits._
+    def replay(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+      val und = edges.filter(e => e._1 != e._2)
+        .flatMap(e => Seq(e, e.swap)).distinct
+      val nbrs = und.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      var lab: Map[Long, Long] = nbrs.keys.map(v => v -> v).toMap
+      for (_ <- 1 to rounds) {
+        lab = nbrs.map { case (v, us) =>
+          val cnt = us.groupBy(lab).view.mapValues(_.size).toMap
+          v -> cnt.toSeq.minBy { case (l, c) => (-c, l) }._1
+        }
+      }
+      lab
+    }
+    def check(edges: Seq[(Long, Long)], tag: String): Map[Long, Long] = {
+      val got = graft.operators.Graph.labelPropagation(
+        edges.toDF("a", "b"), "a", "b").collect()
+        .map(r => r.getAs[Long]("node") -> r.getAs[Long]("lab")).toMap
+      val want = replay(edges, graft.operators.Graph.LpaRounds)
+      assert(got == want, s"$tag: got $got\nwant $want")
+      got
+    }
+    def clique(ids: Seq[Long]): Seq[(Long, Long)] =
+      for (i <- ids.indices; j <- i + 1 until ids.size)
+        yield (ids(i), ids(j))
+    // two disjoint cliques → each uniform under its own label
+    val sep = check(clique(1L to 5L) ++ clique(20L to 24L), "separated")
+    assert((1L to 5L).map(sep).toSet.size == 1, s"clique A split: $sep")
+    assert((20L to 24L).map(sep).toSet.size == 1, s"clique B split: $sep")
+    assert(sep(1L) != sep(20L), "disjoint cliques must differ")
+    // bridged cliques and random graphs: replay equality is the contract
+    check(clique(1L to 5L) ++ clique(20L to 24L) :+ ((5L, 20L)), "bridged")
+    val rnd = new scala.util.Random(97)
+    for ((n, m) <- Seq((25, 40), (30, 200))) {
+      check(Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2), s"random n=$n m=$m")
+    }
+  }
 }
