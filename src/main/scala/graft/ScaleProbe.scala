@@ -178,7 +178,25 @@ object ScaleProbe {
       // r13: classifier — 50 Adagrad iterations over the cached feature
       // frame; featurize + per-iteration scan both corpus-sized, expect
       // ~linear (the model/gradient stay B-sized)
-      "q_doc_classifier" -> (Classifier.qDocClassifier _))) {
+      "q_doc_classifier" -> (Classifier.qDocClassifier _),
+      // r14 late: CCNet perplexity — the 10x corpus duplicates texts, so
+      // the bigram model is IDENTICAL at 10x; one materialized count pass
+      // + the model join scale ~linearly
+      "q_doc_perplexity" -> (TextOps.qDocPerplexity _),
+      // r14 late: Gopher rules — one scan, no joins; pure linear
+      "q_doc_gopher" -> (TextOps.qDocGopher _),
+      // r14 late: C4 blocklist — one scan, in-plan literal list; linear
+      "q_doc_badwords" -> (TextOps.qDocBadwords _),
+      // r14 late: k-means — 5 corpus aggregations (4 rounds + final),
+      // model k·D-bounded; expect ~linear in scan width
+      "q_emb_kmeans" -> (Similarity.qEmbKmeans _),
+      // r14 late: UniMax — one scan to #sources rows, window math on the
+      // bounded frame; pure linear
+      "q_doc_unimax" -> (Sampling.qDocUnimax _),
+      // r14 late: LPA communities — 3 rounds x two long-only shuffles
+      // over the co-purchase edge set; edge build dominates (the
+      // q_graph_triangles profile), expect ~linear-ish in edges
+      "q_graph_communities" -> (Graph.qGraphCommunities _))) {
       // index BUILD is a once-per-dataset artifact, not probe cost — land
       // it outside the timed window (first access builds, later reuse)
       if (n == "q_ann_ivf_quant") {

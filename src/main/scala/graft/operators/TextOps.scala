@@ -242,6 +242,53 @@ object TextOps {
       |    OR f_alp OR f_stp) THEN 1 END) AS BIGINT) AS n_pass
       |FROM f GROUP BY source""".stripMargin
 
+  /** The fixed blocklist for [[qDocBadwords]] (stand-in for C4's
+    * published "bad words" list; `dup` is deliberately a live corpus
+    * token so the filter has real kills, the others exercise the
+    * absent-term path). */
+  val Blocklist = Seq("dup", "stale", "panic")
+
+  /** C4-STYLE BLOCKLIST FILTER (Raffel et al. 2020 §2.2 — C4 drops any
+    * page containing a word from a fixed blocklist; every web-corpus
+    * pipeline since ships the same gate for URLs and content): per
+    * source, how many documents contain ≥1 blocklisted TOKEN
+    * (whole-token match — the published rule; substring matching
+    * over-kills), total blocklisted-token occurrences, and the
+    * survivor count. Pure integer counting — trivially oracle-exact.
+    *
+    * Scale shape: ONE scan, a per-row lambda filter over the
+    * materialized token array (no explode, no join — the blocklist is
+    * a literal in the plan), one map-side-combined agg to #sources
+    * rows. A large real-world list would broadcast-join an exploded
+    * token stream instead; at list sizes like C4's (~400 terms) the
+    * in-plan literal is still the right call. */
+  def qDocBadwords(s: SparkSession, d: String): DataFrame = {
+    val hits = size(filter(col("t"), x => x.isin(Blocklist: _*)))
+    Tables.documents(s, d)
+      .withColumn("t", tokens(col("text")))
+      .withColumn("hits", hits.cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("hits") > 0, 1)).as("n_flagged"),
+        sum(col("hits")).cast("long").as("blocked_hits"),
+        count(when(col("hits") === 0, 1)).as("n_pass"))
+  }
+
+  def qDocBadwordsSql: String = {
+    val list = Blocklist.map(w => s"'$w'").mkString(", ")
+    s"""WITH m AS (
+       |  SELECT source,
+       |    CAST(len(list_filter(regexp_split_to_array(trim(text), ' +'),
+       |      x -> x IN ($list))) AS BIGINT) AS hits
+       |  FROM documents
+       |)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(CASE WHEN hits > 0 THEN 1 END) AS BIGINT) AS n_flagged,
+       |  CAST(sum(hits) AS BIGINT) AS blocked_hits,
+       |  CAST(count(CASE WHEN hits = 0 THEN 1 END) AS BIGINT) AS n_pass
+       |FROM m GROUP BY source""".stripMargin
+  }
+
   /** Marker-word language-ID heuristic + accuracy against the labeled
     * `lang` column. (A real n-gram profile model is engine-side identical;
     * the fixed marker rule keeps the oracle expressible in ANSI SQL.) */

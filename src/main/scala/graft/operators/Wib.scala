@@ -187,6 +187,142 @@ object Wib {
 
   /** Hex-pair value of 0-based byte `off` of the frame, as DuckDB SQL over
     * `hx` = hex(payload). */
+  /** Hit threshold in ADC counts above the per-(frame, channel)
+    * pedestal — comfortably above the fixture's ~40-count noise
+    * envelope and far below its ~3000-count planted pulses. */
+  val HitThresholdAdc = 256L
+
+  /** TPC HIT FINDING — the core signal primitive every LArTPC analysis
+    * chain runs after pedestal subtraction (a "hit" = a run of
+    * consecutive ticks where a channel's waveform exceeds its pedestal
+    * by a threshold; cf. the reference's WIB streams,
+    * wibs/power_fembs.sh — these ADC pulses ARE the physics): per
+    * (frame, channel), pedestal P = Σ of its T ticks; tick t is hot iff
+    * T·s_t − P > T·[[HitThresholdAdc]] (the n-multiplication rule — the
+    * rational pedestal never divides); consecutive hot ticks group into
+    * hits via the gaps-and-islands run id (tick − row_number, the
+    * q_deadtime_runs machinery); per channel the report carries hit
+    * count, hot-tick count, total charge Σ(T·s − P) (exact BIGINT,
+    * ≤ T²·2¹⁶ per hit), and the peak ADC.
+    *
+    * Scale shape: pedestals compute IN-ROW (all of a frame's samples
+    * live in its decoded row — a per-channel aggregate over the
+    * interleaved array, the qWibCoherent rule: never a window over the
+    * exploded sample stream); the explode pipelines inside the scan;
+    * only ABOVE-THRESHOLD ticks (sparse by construction) reach the
+    * bounded (frame, channel)-partition run window; the final shuffle
+    * carries one row per hit. Channel-count-bounded output. */
+  def qWibHits(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = WibFrame.Channels
+    val t = WibFrame.TicksPerChannel
+    val dim = Dromap.flat(s, Configs.absDir(DromapPath))
+      .select(col("src_id").cast("long").as("src_id"),
+        col("det_id"), col("crate_id"), col("slot_id"))
+    val ex = frames(s)
+      .select(GraftFunctions.wibDecode(col("payload")).as("f"))
+      .select(col("f.src_id").as("src_id"), col("f.ts").as("ts"),
+        col("f.samples").as("samples"))
+      // per-channel pedestal sums, computed inside the frame row
+      .withColumn("chansums", expr(
+        s"transform(sequence(0, ${c - 1}), ch -> " +
+          s"aggregate(sequence(0, ${t - 1}), CAST(0 AS BIGINT), " +
+          s"(a, tk) -> a + element_at(samples, tk * $c + ch + 1)))"))
+      .select(col("src_id"), col("ts"), col("chansums"),
+        posexplode(col("samples")).as(Seq("j", "sample")))
+      .select(col("src_id"), col("ts"),
+        (col("src_id") * c + col("j") % c).as("channel"),
+        expr(s"j DIV $c").as("tick"),
+        col("sample").cast("long").as("sample"),
+        (col("sample").cast("long") * t
+          - element_at(col("chansums"), (col("j") % c + 1).cast("int")))
+          .as("excess"))
+      .filter(col("excess") > t * HitThresholdAdc)
+    val w = Window.partitionBy(col("src_id"), col("ts"), col("channel"))
+      .orderBy(col("tick"))
+    val hits = ex
+      .withColumn("run", col("tick") - row_number().over(w))
+      .groupBy(col("src_id"), col("ts"), col("channel"), col("run"))
+      .agg(count(lit(1)).as("width"), sum(col("excess")).as("charge"),
+        max(col("sample")).as("peak"))
+    hits.groupBy(col("src_id"), col("channel"))
+      .agg(count(lit(1)).as("n_hits"),
+        sum(col("width")).cast("long").as("n_hit_ticks"),
+        sum(col("charge")).cast("long").as("charge_scaled"),
+        max(col("peak")).as("peak_adc"))
+      .join(broadcast(dim), "src_id")
+      .select(col("det_id"), col("crate_id"), col("slot_id"),
+        col("channel"), col("n_hits"), col("n_hit_ticks"),
+        col("charge_scaled"), col("peak_adc"))
+  }
+
+  def qWibHitsSql: String = {
+    val c = WibFrame.Channels
+    val t = WibFrame.TicksPerChannel
+    val nSamples = c * t
+    val tsTerms = (0 until 8)
+      .map(k => s"CAST(${byteSql((4 + k).toString)} AS BIGINT) * ${1L << (8 * k)}")
+      .mkString(" + ")
+    val srcTerms = (0 until 4)
+      .map(k => s"${byteSql(k.toString)} * ${1L << (8 * k)}")
+      .mkString(" + ")
+    s"""WITH h AS (
+       |  SELECT hex(payload) AS hx
+       |  FROM read_parquet('${Configs.absDir(FramesPath)}')
+       |),
+       |frames AS (
+       |  SELECT CAST($srcTerms AS BIGINT) AS src_id,
+       |         CAST($tsTerms AS BIGINT) AS ts, hx FROM h
+       |),
+       |samples AS MATERIALIZED (
+       |  SELECT src_id, ts,
+       |         src_id * $c + j % $c AS channel,
+       |         CAST(j // $c AS BIGINT) AS tick,
+       |         CAST(${byteSql("12 + 2*j")} + 256 * ${byteSql("13 + 2*j")}
+       |           AS BIGINT) AS sample
+       |  FROM frames, generate_series(0, ${nSamples - 1}) AS g(j)
+       |),
+       |ped AS (
+       |  SELECT src_id, ts, channel, CAST(sum(sample) AS BIGINT) AS p
+       |  FROM samples GROUP BY src_id, ts, channel
+       |),
+       |ex AS (
+       |  SELECT s.src_id, s.ts, s.channel, s.tick, s.sample,
+       |         $t * s.sample - p.p AS excess
+       |  FROM samples s JOIN ped p USING (src_id, ts, channel)
+       |  WHERE $t * s.sample - p.p > $t * $HitThresholdAdc
+       |),
+       |runs AS (
+       |  SELECT *, tick - row_number() OVER (
+       |    PARTITION BY src_id, ts, channel ORDER BY tick) AS run
+       |  FROM ex
+       |),
+       |hits AS (
+       |  SELECT src_id, ts, channel, run,
+       |    CAST(count(*) AS BIGINT) AS width,
+       |    CAST(sum(excess) AS BIGINT) AS charge,
+       |    max(sample) AS peak
+       |  FROM runs GROUP BY src_id, ts, channel, run
+       |),
+       |per_ch AS (
+       |  SELECT src_id, channel, CAST(count(*) AS BIGINT) AS n_hits,
+       |    CAST(sum(width) AS BIGINT) AS n_hit_ticks,
+       |    CAST(sum(charge) AS BIGINT) AS charge_scaled,
+       |    max(peak) AS peak_adc
+       |  FROM hits GROUP BY src_id, channel
+       |),
+       |dim AS (
+       |  SELECT CAST(src_id AS BIGINT) AS src_id,
+       |         CAST(geo_id.det_id AS INTEGER) AS det_id,
+       |         CAST(geo_id.crate_id AS INTEGER) AS crate_id,
+       |         CAST(geo_id.slot_id AS INTEGER) AS slot_id
+       |  FROM read_json('${Configs.absDir(DromapPath)}', format='array')
+       |)
+       |SELECT det_id, crate_id, slot_id, channel, n_hits, n_hit_ticks,
+       |       charge_scaled, peak_adc
+       |FROM per_ch JOIN dim USING (src_id)""".stripMargin
+  }
+
   private def byteSql(off: String): String =
     s"((strpos('0123456789ABCDEF', substr(hx, 2*($off)+1, 1))-1)*16" +
       s" + (strpos('0123456789ABCDEF', substr(hx, 2*($off)+2, 1))-1))"

@@ -66,6 +66,60 @@ object Streams {
         max(col("sample")).as("peak_adc"))
   }
 
+  /** Online TPC hit monitor — the STREAMING twin of `Wib.qWibHits`
+    * (the live hit-rate board: which channels are seeing pulses as
+    * frames land). Hit finding is fully PER-FRAME (pedestal from the
+    * frame's own ticks; runs bounded by the frame), so the whole finder
+    * folds IN-ROW with higher-order functions — run starts count as
+    * hot∧¬prev transitions inside one `aggregate` fold per channel, no
+    * window anywhere — and the only stateful stage is the per-channel
+    * accumulation of exact BIGINT totals (det-scale state, bounded
+    * complete-mode output). The spec proves the streamed totals equal
+    * the batch q_wib_hits aggregates over the same frames, across
+    * micro-batch splits. */
+  def wibHitMonitor(frames: DataFrame): DataFrame = {
+    import graft.functions.{GraftFunctions, WibFrame}
+    val c = WibFrame.Channels
+    val t = WibFrame.TicksPerChannel
+    val cut = t * graft.operators.Wib.HitThresholdAdc
+    def hot(sample: String): String =
+      s"CAST($sample AS BIGINT) * $t - element_at(chansums, ch + 1) > $cut"
+    val samp = s"element_at(samples, tk * $c + ch + 1)"
+    frames
+      .select(GraftFunctions.wibDecode(col("payload")).as("f"))
+      .select(col("f.src_id").as("src_id"), col("f.samples").as("samples"))
+      .withColumn("chansums", expr(
+        s"transform(sequence(0, ${c - 1}), ch -> " +
+          s"aggregate(sequence(0, ${t - 1}), CAST(0 AS BIGINT), " +
+          s"(a, tk) -> a + element_at(samples, tk * $c + ch + 1)))"))
+      .withColumn("chstats", expr(
+        s"""transform(sequence(0, ${c - 1}), ch ->
+           |  aggregate(sequence(0, ${t - 1}),
+           |    named_struct('nh', CAST(0 AS BIGINT), 'prev', false,
+           |      'nt', CAST(0 AS BIGINT), 'chg', CAST(0 AS BIGINT),
+           |      'pk', CAST(0 AS BIGINT)),
+           |    (acc, tk) -> named_struct(
+           |      'nh', acc.nh + IF(${hot(samp)} AND NOT acc.prev,
+           |        CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+           |      'prev', ${hot(samp)},
+           |      'nt', acc.nt + IF(${hot(samp)},
+           |        CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+           |      'chg', acc.chg + IF(${hot(samp)},
+           |        CAST($samp AS BIGINT) * $t
+           |          - element_at(chansums, ch + 1), CAST(0 AS BIGINT)),
+           |      'pk', greatest(acc.pk, IF(${hot(samp)},
+           |        CAST($samp AS BIGINT), CAST(0 AS BIGINT))))))""".stripMargin))
+      .select(col("src_id"), posexplode(col("chstats")).as(Seq("ch", "st")))
+      .select((col("src_id") * c + col("ch")).as("channel"),
+        col("st.nh").as("nh"), col("st.nt").as("nt"),
+        col("st.chg").as("chg"), col("st.pk").as("pk"))
+      .groupBy(col("channel"))
+      .agg(sum(col("nh")).as("n_hits"),
+        sum(col("nt")).as("n_hit_ticks"),
+        sum(col("chg")).as("charge_scaled"),
+        max(col("pk")).as("peak_adc"))
+  }
+
   /** Online operational-log monitor — the STREAMING twin of
     * `Logs.qLogErrors` (the live "which script is failing" board): raw
     * log lines stream in (file source tailing a log directory, or any

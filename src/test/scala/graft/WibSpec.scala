@@ -89,6 +89,56 @@ class WibSpec extends GraftSpec {
     assert(row.getAs[Int]("slot_id") == 2)
   }
 
+  test("hit finding equals a driver-side reference over the committed " +
+      "fixture: pedestal subtraction, threshold runs, charge and peaks") {
+    val c = WibFrame.Channels
+    val t = WibFrame.TicksPerChannel
+    val frames = Wib.frames(spark).collect()
+      .map(_.getAs[Array[Byte]]("payload"))
+    // reference decode + hit finder, straight off the bytes
+    case class Hit(src: Long, ch: Long, width: Long, charge: Long, peak: Long)
+    val hits = frames.flatMap { b =>
+      val src = (0 until 4).map(k => (b(k) & 0xffL) << (8 * k)).sum
+      val samples = Array.tabulate(c * t) { j =>
+        val off = WibFrame.HeaderBytes + 2 * j
+        ((b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)).toLong
+      }
+      (0 until c).flatMap { ch =>
+        val series = Array.tabulate(t)(tk => samples(tk * c + ch))
+        val p = series.sum
+        val hot = series.zipWithIndex
+          .filter { case (s, _) => t * s - p > t * Wib.HitThresholdAdc }
+        // group consecutive ticks into runs
+        val runs = hot.foldLeft(List.empty[List[(Long, Int)]]) {
+          case (acc, (s, tk)) => acc match {
+            case (h @ ((_, prev) :: _)) :: rest if tk == prev + 1 =>
+              ((s, tk) :: h) :: rest
+            case _ => List((s, tk)) :: acc
+          }
+        }
+        runs.map { r =>
+          Hit(src, src * c + ch, r.size.toLong,
+            r.map { case (s, _) => t * s - p }.sum,
+            r.map(_._1).max)
+        }
+      }
+    }
+    val want = hits.groupBy(h => (h.src, h.ch)).map { case ((_, ch), hs) =>
+      ch -> ((hs.size.toLong, hs.map(_.width).sum, hs.map(_.charge).sum,
+        hs.map(_.peak).max))
+    }
+    val got = Wib.qWibHits(spark, sf).collect()
+      .map(r => r.getAs[Long]("channel") ->
+        ((r.getAs[Long]("n_hits"), r.getAs[Long]("n_hit_ticks"),
+          r.getAs[Long]("charge_scaled"), r.getAs[Long]("peak_adc"))))
+      .toMap
+    assert(got == want,
+      s"hits mismatch: got ${got.toSeq.sortBy(_._1).take(6)} " +
+        s"want ${want.toSeq.sortBy(_._1).take(6)}")
+    assert(got.nonEmpty, "fixture must contain planted pulses")
+    assert(got.values.map(_._1).sum > 0)
+  }
+
   test("the frame scan stays in whole-stage codegen (no UDF boundary)") {
     val df = Wib.qWibPedestal(spark, sf)
     df.collect() // finalize the adaptive plan so codegen spans materialize

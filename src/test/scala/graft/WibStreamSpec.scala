@@ -49,4 +49,48 @@ class WibStreamSpec extends GraftSpec {
       assert(streamed.values.forall(_._1 == 10L * WibFrame.TicksPerChannel))
     } finally query.stop()
   }
+
+  test("streamed hit totals equal the batch hit finder over the committed " +
+      "fixture, across micro-batch splits; zero-hit channels report zero") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sq = spark.sqlContext
+    val frames = graft.operators.Wib.frames(spark).collect()
+      .zipWithIndex
+      .map { case (r, i) => RawFrame(i.toLong, r.getAs[Array[Byte]]("payload")) }
+      .toSeq
+    val (first, second) = frames.splitAt(frames.size / 3)
+    val mem = MemoryStream[RawFrame]
+    val query = Streams.wibHitMonitor(mem.toDF()).writeStream
+      .format("memory").queryName("wib_hits_out")
+      .outputMode("complete").start()
+    try {
+      mem.addData(first)
+      query.processAllAvailable()
+      mem.addData(second)
+      query.processAllAvailable()
+      val streamed = spark.table("wib_hits_out").collect()
+        .map(r => r.getAs[Long]("channel") ->
+          ((r.getAs[Long]("n_hits"), r.getAs[Long]("n_hit_ticks"),
+            r.getAs[Long]("charge_scaled"), r.getAs[Long]("peak_adc"))))
+        .toMap
+      val batch = graft.operators.Wib.qWibHits(spark, sf).collect()
+        .map(r => r.getAs[Long]("channel") ->
+          ((r.getAs[Long]("n_hits"), r.getAs[Long]("n_hit_ticks"),
+            r.getAs[Long]("charge_scaled"), r.getAs[Long]("peak_adc"))))
+        .toMap
+      // every batch hit channel matches exactly; monitor-only channels
+      // are the zero-hit ones (the batch query emits hits-only rows)
+      batch.foreach { case (ch, v) =>
+        assert(streamed.get(ch).contains(v), s"channel $ch: " +
+          s"streamed ${streamed.get(ch)} vs batch $v")
+      }
+      streamed.filterNot { case (ch, _) => batch.contains(ch) }
+        .foreach { case (ch, (nh, nt, chg, _)) =>
+          assert(nh == 0L && nt == 0L && chg == 0L,
+            s"monitor-only channel $ch must be hitless")
+        }
+      assert(batch.nonEmpty, "fixture must contain planted pulses")
+    } finally query.stop()
+  }
 }
