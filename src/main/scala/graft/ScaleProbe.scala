@@ -193,6 +193,8 @@ object ScaleProbe {
       // r14 late: UniMax — one scan to #sources rows, window math on the
       // bounded frame; pure linear
       "q_doc_unimax" -> (Sampling.qDocUnimax _),
+      // r14 late: temperature sampler — same shape as UniMax; linear
+      "q_doc_temperature" -> (Sampling.qDocTemperature _),
       // r14 late: LPA communities — 3 rounds x two long-only shuffles
       // over the co-purchase edge set; edge build dominates (the
       // q_graph_triangles profile), expect ~linear-ish in edges

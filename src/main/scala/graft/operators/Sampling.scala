@@ -427,6 +427,80 @@ object Sampling {
        |FROM feats LEFT JOIN lf USING (f) CROSS JOIN consts
        |GROUP BY doc_id""".stripMargin
 
+  /** TEMPERATURE-SCALED SOURCE SAMPLING (the multilingual-mixing rule
+    * of mT5 / XLM-R: sample source s with probability ∝ n_s^α, α < 1,
+    * upweighting tails without UniMax's hard cap; α = 1/2 here — the
+    * one exponent computable EXACTLY cross-engine, because IEEE sqrt
+    * is correctly rounded in both engines where pow is not): per
+    * source, weight w_s = floor(1e6·sqrt(n_s)) (one quantization of a
+    * correctly-rounded double — the DSIR grid argument), allocation
+    * b_s = B·w_s div Σw with the remainder going +1 to the first r
+    * sources in (w desc, source) order — all integer, no float ever
+    * divides. B = 2/5 of corpus tokens (the UniMax budget, so the two
+    * samplers read side by side).
+    *
+    * Scale: ONE corpus scan to #sources rows; window math on the
+    * bounded frame (the KB-frame exception). B·w products run in
+    * DECIMAL(38,0)/HUGEINT (the q_evt_lttb width rule). */
+  def qDocTemperature(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = Tables.documents(s, d)
+      .select(col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).as("n_tokens"))
+    val wAll = Window.partitionBy()
+    val wRn = Window.orderBy(col("w").desc, col("source"))
+    per
+      .withColumn("w",
+        floor(lit(1e6) * sqrt(col("n_tokens").cast("double"))).cast("long"))
+      .withColumn("sw", sum(col("w")).over(wAll))
+      .withColumn("budget",
+        expr(s"sum(n_tokens) OVER () * $UnimaxBudgetNum DIV $UnimaxBudgetDen"))
+      .withColumn("i", row_number().over(wRn).cast("long"))
+      .withColumn("base", expr(
+        "CAST(CAST(budget AS DECIMAL(38,0)) * w DIV sw AS BIGINT)"))
+      // deterministic integerization: budget − Σ base leftover tokens go
+      // +1 to the first r sources in (w desc, source) order
+      .withColumn("leftover",
+        col("budget") - sum(col("base")).over(wAll))
+      .withColumn("alloc_tokens",
+        col("base") + when(col("i") <= col("leftover"), 1L).otherwise(0L))
+      .select(col("source"), col("n_tokens"), col("w").as("weight_scaled"),
+        col("alloc_tokens"),
+        (col("alloc_tokens").cast("double") /
+          col("n_tokens").cast("double")).as("epochs_alloc"))
+  }
+
+  def qDocTemperatureSql: String =
+    s"""WITH per AS (
+       |  SELECT source,
+       |    CAST(sum(len(regexp_split_to_array(trim(text), ' +')))
+       |      AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source
+       |), f AS (
+       |  SELECT source, n_tokens,
+       |    CAST(floor(1e6 * sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS w,
+       |    CAST(sum(CAST(floor(1e6 * sqrt(CAST(n_tokens AS DOUBLE)))
+       |      AS BIGINT)) OVER () AS BIGINT) AS sw,
+       |    CAST((sum(n_tokens) OVER ()) * $UnimaxBudgetNum
+       |      // $UnimaxBudgetDen AS BIGINT) AS budget
+       |  FROM per
+       |), g AS (
+       |  SELECT *, CAST(row_number() OVER (ORDER BY w DESC, source)
+       |      AS BIGINT) AS i,
+       |    CAST(CAST(budget AS HUGEINT) * w // sw AS BIGINT) AS base
+       |  FROM f
+       |), h AS (
+       |  SELECT *, budget - CAST(sum(base) OVER () AS BIGINT) AS leftover
+       |  FROM g
+       |)
+       |SELECT source, n_tokens, w AS weight_scaled,
+       |  CAST(base + CASE WHEN i <= leftover THEN 1 ELSE 0 END AS BIGINT)
+       |    AS alloc_tokens,
+       |  CAST(base + CASE WHEN i <= leftover THEN 1 ELSE 0 END AS DOUBLE)
+       |    / n_tokens AS epochs_alloc
+       |FROM h""".stripMargin
+
   /** UniMax epoch cap and budget fraction (numerator/denominator of the
     * total-token budget — integer math end to end). */
   val UnimaxEpochCap = 2L

@@ -226,4 +226,42 @@ class SamplingSpec extends GraftSpec {
       assert(uncapped.max - uncapped.min <= 1L,
         s"uncapped allocations must level: ${uncapped.toSeq.sorted}")
   }
+
+  test("temperature sampling: hand-computed sqrt weights on a planted " +
+      "fixture; budget spent exactly and tails upweighted on the corpus") {
+    val sess = spark; import sess.implicits._
+    import java.nio.file.Files
+    // token counts 100/400/2500 → weights 1e7/2e7/5e7, Σw=8e7,
+    // budget = 2·3000 DIV 5 = 1200 → allocs 150/300/750 (zero leftover),
+    // epochs 1.5 / 0.75 / 0.3 — the α=1/2 tail upweighting, visibly
+    def doc(n: Int): String = (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, "sA", doc(100)), (2L, "sB", doc(400))) ++
+      (3L to 7L).map(i => (i, "sC", doc(500)))
+    val tmp = Files.createTempDirectory("graft_temp").toString
+    docs.toDF("doc_id", "source", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+      .write.parquet(s"$tmp/documents.parquet")
+    val got = Sampling.qDocTemperature(spark, tmp).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("weight_scaled"),
+          r.getAs[Long]("alloc_tokens"),
+          r.getAs[Double]("epochs_alloc")))).toMap
+    assert(got == Map(
+      "sA" -> ((100L, 10000000L, 150L, 1.5)),
+      "sB" -> ((400L, 20000000L, 300L, 0.75)),
+      "sC" -> ((2500L, 50000000L, 750L, 0.3))), s"$got")
+
+    // corpus: the budget is spent exactly; a source with >2x the tokens
+    // of another gets strictly fewer epochs (sqrt upweighting)
+    val rows = Sampling.qDocTemperature(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("n_tokens")).sum
+    assert(rows.map(_.getAs[Long]("alloc_tokens")).sum ==
+      total * Sampling.UnimaxBudgetNum / Sampling.UnimaxBudgetDen)
+    for {
+      a <- rows; b <- rows
+      if a.getAs[Long]("n_tokens") * 2 < b.getAs[Long]("n_tokens")
+    } assert(a.getAs[Double]("epochs_alloc") > b.getAs[Double]("epochs_alloc"),
+      s"tail must be upweighted: $a vs $b")
+  }
 }
