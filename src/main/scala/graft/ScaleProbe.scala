@@ -195,6 +195,9 @@ object ScaleProbe {
       "q_doc_unimax" -> (Sampling.qDocUnimax _),
       // r14 late: temperature sampler — same shape as UniMax; linear
       "q_doc_temperature" -> (Sampling.qDocTemperature _),
+      // r14 late: RAKE — per-doc bounded windows + vocab-bounded word
+      // stats; linear in tokens
+      "q_doc_rake" -> (TextOps.qDocRake _),
       // r14 late: LPA communities — 3 rounds x two long-only shuffles
       // over the co-purchase edge set; edge build dominates (the
       // q_graph_triangles profile), expect ~linear-ish in edges

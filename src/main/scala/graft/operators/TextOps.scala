@@ -1279,6 +1279,116 @@ object TextOps {
       |    / CAST(n_tokens * 1000000 AS DOUBLE) AS entropy
       |FROM a""".stripMargin
 
+  /** Candidate-phrase length cap for [[qDocRake]] (the practical RAKE
+    * variant: unbounded runs on low-stopword text degenerate into
+    * whole-document "phrases" and unbounded strings at scale). */
+  val RakeMaxLen = 8
+
+  /** RAKE KEYPHRASE EXTRACTION (Rose, Engel, Cramer & Cowley 2010,
+    * "Automatic Keyword Extraction from Individual Documents" — the
+    * standard unsupervised keyphrase baseline): candidate phrases are
+    * maximal stopword-free token runs (capped at [[RakeMaxLen]] words);
+    * each word scores deg(w)/freq(w) over the candidate set (deg = Σ of
+    * the lengths of phrases containing w, freq = occurrences); a phrase
+    * scores the sum of its words' scores; report the corpus top-20.
+    *
+    * Exactness: deg and freq are INTEGERS, so the word score quantizes
+    * as (1e6·deg) DIV freq — an exact integer floor of an exact
+    * rational, NO float anywhere (stronger than the ln-grid ops: not
+    * even a correctly-rounded libm call to agree on). Phrase scores are
+    * exact BIGINT sums; ties break on the phrase string (ASCII binary
+    * collation in both engines). The 1e6·deg product rides
+    * DECIMAL(38,0)/HUGEINT (deg is corpus-token-scaled — the
+    * q_evt_lttb width rule).
+    *
+    * Scale shape: one posexplode stream; the phrase-id running count is
+    * a PER-DOC window (bounded frames — a document's own length); the
+    * phrase build and word stats are map-side-combined aggs (word
+    * relation is vocabulary-bounded, joins hint-free); the final cut is
+    * a bounded TakeOrdered. */
+  def qDocRake(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
+      .withColumn("is_stop", col("w").isin(stopwords: _*))
+      .withColumn("pid", sum(col("is_stop").cast("int")).over(wDoc))
+      .filter(!col("is_stop"))
+    val phrases = toks
+      .groupBy(col("doc_id"), col("pid"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("w")))).as("ws"))
+      .select(col("doc_id"), col("pid"),
+        transform(col("ws"), x => x.getField("w")).as("words"))
+      .withColumn("len", size(col("words")))
+      .filter(col("len") <= RakeMaxLen)
+      .localCheckpoint() // feeds the word stats AND the scoring pass
+    val wordStats = phrases
+      .select(col("len"), explode(col("words")).as("w"))
+      .groupBy(col("w"))
+      .agg(sum(col("len")).cast("long").as("deg"),
+        count(lit(1)).as("freq"))
+      .withColumn("wscore", expr(
+        "CAST(CAST(1000000 AS DECIMAL(38,0)) * deg DIV freq AS BIGINT)"))
+    phrases
+      .select(col("doc_id"), col("pid"), col("len"),
+        concat_ws(" ", col("words")).as("phrase"),
+        explode(col("words")).as("w"))
+      .join(wordStats.select(col("w"), col("wscore")), "w")
+      .groupBy(col("doc_id"), col("pid"), col("phrase"), col("len"))
+      .agg(sum(col("wscore")).cast("long").as("score"))
+      .groupBy(col("phrase"))
+      .agg(max(col("len")).cast("int").as("n_words"),
+        count(lit(1)).as("n_occurrences"),
+        max(col("score")).as("score_scaled")) // identical across instances
+      .orderBy(col("score_scaled").desc, col("phrase"))
+      .limit(20)
+  }
+
+  def qDocRakeSql: String = {
+    val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, i AS pos, t[i] AS w,
+       |    t[i] IN ($stopList) AS is_stop
+       |  FROM (SELECT doc_id,
+       |          regexp_split_to_array(trim(text), ' +') AS t
+       |        FROM documents) x,
+       |    unnest(generate_series(1, len(t))) AS g(i)
+       |), marked AS (
+       |  SELECT doc_id, pos, w,
+       |    sum(CASE WHEN is_stop THEN 1 ELSE 0 END) OVER (
+       |      PARTITION BY doc_id ORDER BY pos
+       |      ROWS UNBOUNDED PRECEDING) AS pid
+       |  FROM toks
+       |  QUALIFY NOT is_stop
+       |), phrases AS MATERIALIZED (
+       |  SELECT doc_id, pid,
+       |    string_agg(w, ' ' ORDER BY pos) AS phrase,
+       |    CAST(count(*) AS BIGINT) AS len,
+       |    list(w ORDER BY pos) AS words
+       |  FROM marked GROUP BY doc_id, pid
+       |  HAVING count(*) <= $RakeMaxLen
+       |), ws AS MATERIALIZED (
+       |  SELECT u.w,
+       |    CAST(sum(len) AS BIGINT) AS deg,
+       |    CAST(count(*) AS BIGINT) AS freq
+       |  FROM phrases, unnest(words) AS u(w)
+       |  GROUP BY u.w
+       |), scored AS (
+       |  SELECT p.doc_id, p.pid, p.phrase, p.len,
+       |    CAST(sum(CAST(CAST(1000000 AS HUGEINT) * ws.deg // ws.freq
+       |      AS BIGINT)) AS BIGINT) AS score
+       |  FROM phrases p, unnest(p.words) AS u(w)
+       |  JOIN ws ON ws.w = u.w
+       |  GROUP BY p.doc_id, p.pid, p.phrase, p.len
+       |)
+       |SELECT phrase, CAST(max(len) AS INT) AS n_words,
+       |  CAST(count(*) AS BIGINT) AS n_occurrences,
+       |  CAST(max(score) AS BIGINT) AS score_scaled
+       |FROM scored GROUP BY phrase
+       |ORDER BY score_scaled DESC, phrase LIMIT 20""".stripMargin
+  }
+
   /** CCNET-STYLE PERPLEXITY FILTER (Wenzek et al. 2020, "CCNet:
     * Extracting High Quality Monolingual Datasets from Web Crawl Data" —
     * the KenLM-perplexity head/middle/tail split that every published

@@ -203,6 +203,40 @@ class TextOpsSpec extends GraftSpec {
     }
   }
 
+  test("rake keyphrases: exact hand-computed deg/freq scores on a " +
+      "planted fixture; over-cap runs are excluded") {
+    val sess = spark; import sess.implicits._
+    import java.nio.file.Files
+    // phrases: "deep learning"(2), "deep learning models"(3),
+    // "fast inference"(2); deg/freq: deep 5/2, learning 5/2, models 3/1,
+    // fast 2/1, inference 2/1 → scores 5e6 / 8e6 / 4e6
+    val docs = Seq(
+      (1L, "deep learning and deep learning models of fast inference"),
+      // an over-cap stopword-free run must produce NO phrase
+      (2L, (1 to (TextOps.RakeMaxLen + 1)).map(i => s"run$i").mkString(" ")))
+    val tmp = Files.createTempDirectory("graft_rake").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("fix"))
+      .withColumn("n_chars", length(col("text")))
+      .write.parquet(s"$tmp/documents.parquet")
+    val got = TextOps.qDocRake(spark, tmp).collect()
+      .map(r => (r.getAs[String]("phrase"), r.getAs[Int]("n_words"),
+        r.getAs[Long]("n_occurrences"), r.getAs[Long]("score_scaled")))
+      .toSeq
+    assert(got == Seq(
+      ("deep learning models", 3, 1L, 8000000L),
+      ("deep learning", 2, 1L, 5000000L),
+      ("fast inference", 2, 1L, 4000000L)), s"$got")
+    assert(!got.exists(_._1.contains("run1")), "over-cap run leaked")
+    // corpus: scores positive, phrases within cap, 20 rows
+    val corpus = TextOps.qDocRake(spark, sf).collect()
+    assert(corpus.length == 20)
+    corpus.foreach { r =>
+      assert(r.getAs[Int]("n_words") <= TextOps.RakeMaxLen)
+      assert(r.getAs[Long]("score_scaled") > 0L)
+    }
+  }
+
   test("gopher rules: eight planted docs — seven single-rule failures " +
       "and one survivor — report exactly their own kill") {
     val sess = spark; import sess.implicits._
