@@ -198,6 +198,9 @@ object ScaleProbe {
       // r14 late: RAKE — per-doc bounded windows + vocab-bounded word
       // stats; linear in tokens
       "q_doc_rake" -> (TextOps.qDocRake _),
+      // r14 late: association rules — the triangles edge-build shape;
+      // basket-size-bounded fan-out, linear-ish in lineitem
+      "q_assoc_rules" -> (Analytics.qAssocRules _),
       // r14 late: LPA communities — 3 rounds x two long-only shuffles
       // over the co-purchase edge set; edge build dominates (the
       // q_graph_triangles profile), expect ~linear-ish in edges

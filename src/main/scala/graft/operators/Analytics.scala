@@ -712,4 +712,79 @@ object Analytics {
        |  CAST(max(s) AS DOUBLE) / CAST(count(*) * 10000 AS DOUBLE)
        |    AS max_cusum
        |FROM ss GROUP BY user_id""".stripMargin
+
+  /** Minimum pair support for [[qAssocRules]] (transactions containing
+    * both items). */
+  val AssocMinSupport = 2L
+
+  /** ASSOCIATION-RULE MINING (Agrawal & Srikant 1994 — the classic
+    * market-basket support/confidence/lift report, here over the
+    * co-purchase baskets of `lineitem`): itemsets of size 2 with
+    * support ≥ [[AssocMinSupport]], scored by
+    *   support = c(ab)/n, confidence(a→b) = c(ab)/c(a),
+    *   lift = n·c(ab)/(c(a)·c(b)),
+    * top-20 rules by lift. Like q_doc_rake, the scores are exact
+    * integer floors of exact rationals — (1e6·…) DIV (…) with products
+    * in DECIMAL(38,0)/HUGEINT — so NO float (not even libm) exists
+    * anywhere and both engines agree bit-for-bit; ties break on the
+    * item pair.
+    *
+    * Scale shape: distinct baskets materialize once and feed the item
+    * counts and the pair self-join (the q_graph_triangles edge build —
+    * per-order fan-out is basket-size-bounded); pair counts map-side
+    * combine; the support filter cuts the relation before the two
+    * vocabulary-bounded item joins; the final cut is a bounded
+    * TakeOrdered. */
+  def qAssocRules(s: SparkSession, d: String): DataFrame = {
+    val b = s.read.parquet(s"$d/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+      .localCheckpoint() // feeds n, the item counts, and both join sides
+    val n = b.select(col("ok")).distinct().count()
+    val items = b.groupBy(col("pk")).agg(count(lit(1)).as("ci"))
+    val pairs = b.as("x").join(b.as("y"), "ok")
+      .filter(col("x.pk") < col("y.pk"))
+      .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
+      .agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= AssocMinSupport)
+    pairs
+      .join(items.select(col("pk").as("a"), col("ci").as("ca")), "a")
+      .join(items.select(col("pk").as("b"), col("ci").as("cb")), "b")
+      .select(col("a"), col("b"), col("cab").as("n_ab"),
+        expr(s"CAST(CAST(1000000 AS DECIMAL(38,0)) * cab DIV $n AS BIGINT)")
+          .as("support_scaled"),
+        expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * cab DIV ca AS BIGINT)")
+          .as("confidence_scaled"),
+        expr(s"CAST(CAST(1000000 AS DECIMAL(38,0)) * $n * cab" +
+          " DIV (CAST(ca AS DECIMAL(38,0)) * cb) AS BIGINT)")
+          .as("lift_scaled"))
+      .orderBy(col("lift_scaled").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
+  def qAssocRulesSql: String =
+    s"""WITH b AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+       |), nt AS (
+       |  SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n FROM b
+       |), items AS MATERIALIZED (
+       |  SELECT pk, CAST(count(*) AS BIGINT) AS ci FROM b GROUP BY pk
+       |), pairs AS (
+       |  SELECT x.pk AS a, y.pk AS b, CAST(count(*) AS BIGINT) AS cab
+       |  FROM b x JOIN b y ON x.ok = y.ok AND x.pk < y.pk
+       |  GROUP BY x.pk, y.pk
+       |  HAVING count(*) >= $AssocMinSupport
+       |)
+       |SELECT a, b, cab AS n_ab,
+       |  CAST(CAST(1000000 AS HUGEINT) * cab // n AS BIGINT)
+       |    AS support_scaled,
+       |  CAST(CAST(1000000 AS HUGEINT) * cab // ia.ci AS BIGINT)
+       |    AS confidence_scaled,
+       |  CAST(CAST(1000000 AS HUGEINT) * n * cab
+       |    // (CAST(ia.ci AS HUGEINT) * ib.ci) AS BIGINT) AS lift_scaled
+       |FROM pairs
+       |JOIN items ia ON ia.pk = a
+       |JOIN items ib ON ib.pk = b
+       |CROSS JOIN nt
+       |ORDER BY lift_scaled DESC, a, b LIMIT 20""".stripMargin
 }

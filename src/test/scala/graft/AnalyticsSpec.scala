@@ -191,4 +191,37 @@ class AnalyticsSpec extends GraftSpec {
     assert(math.abs(r.getDouble(4) - wantMax) <= math.ulp(wantMax) * 4,
       s"max_cusum ${r.getDouble(4)} vs $wantMax")
   }
+
+  test("association rules equal a driver-side brute force over the " +
+      "baskets, ordering and integer scores included") {
+    import graft.operators.Analytics
+    val baskets = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nOrders = baskets.map(_._1).size.toLong
+    val ci = baskets.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val byOrder = baskets.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSeq.sorted).toMap
+    val cab = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    byOrder.values.foreach { pks =>
+      for (i <- pks.indices; j <- i + 1 until pks.size)
+        cab((pks(i), pks(j))) = cab.getOrElse((pks(i), pks(j)), 0L) + 1
+    }
+    def divq(num: BigInt, den: BigInt): Long = (num / den).toLong
+    val want = cab.toSeq
+      .filter(_._2 >= Analytics.AssocMinSupport)
+      .map { case ((a, b), c) =>
+        (a, b, c, divq(BigInt(1000000) * c, nOrders),
+          divq(BigInt(1000000) * c, ci(a)),
+          divq(BigInt(1000000) * nOrders * c, BigInt(ci(a)) * ci(b)))
+      }
+      .sortBy { case (a, b, _, _, _, lift) => (-lift, a, b) }
+      .take(20)
+    val got = Analytics.qAssocRules(spark, sf).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Long]("n_ab"), r.getAs[Long]("support_scaled"),
+        r.getAs[Long]("confidence_scaled"), r.getAs[Long]("lift_scaled")))
+      .toSeq
+    assert(got == want, s"got ${got.take(4)}\nwant ${want.take(4)}")
+  }
 }
