@@ -307,6 +307,129 @@ object Events {
       |FROM events JOIN stats USING (event_type)
       |WHERE abs(value - mean) > sd * 3""".stripMargin
 
+  /** ROBUST (median/MAD) OUTLIER REPORT — the heavy-tail-safe twin of
+    * [[qEvtZscore]] (mean/σ break on the very outliers they hunt; the
+    * Hampel rule |x − med| > 3·MAD is the standard robust gate): per
+    * event_type, the exact median, the exact median absolute
+    * deviation, and the outlier count.
+    *
+    * NO interpolation anywhere — the cross-engine trap in quantiles is
+    * the lerp arithmetic, so both statistics are pure ORDER
+    * STATISTICS kept in integers: values scale exactly to BIGINT
+    * v4 = value·10⁴ (≤4-dp values, the q_evt_zscore decimal
+    * discipline); the doubled median med2 = x₍(n+1)÷2₎ + x₍(n+2)÷2₎
+    * (odd n counts the middle twice); deviations d = |2·v4 − med2| are
+    * exact BIGINTs; mad2 = the doubled median of d (= 4·MAD·10⁴); and
+    * the Hampel rule |x−med| > 3·MAD becomes the integer compare
+    * 2·d > 3·mad2. The reported double median/mad are single divisions
+    * of exact integers.
+    *
+    * Scale shape: medians select WITHOUT a corpus-sized sort — per
+    * (type, v4) counts map-side combine to a DISTINCT-VALUE relation
+    * (bounded by the 4-dp value space, not the corpus), a running-sum
+    * window over that bounded relation locates the middle positions
+    * (x₍k₎ covered ⟺ cum−c < k ≤ cum), and the deviation median
+    * reuses the same counts re-keyed by d — the exact-median shape for
+    * discrete-valued data; a per-type window over raw events would
+    * instead drag each type into one task. */
+  def qEvtMad(s: SparkSession, d: String): DataFrame = {
+    val vc = events(s, d)
+      .select(col("event_type"),
+        (dec(col("value")) * 10000).cast("long").as("v4"))
+      .groupBy(col("event_type"), col("v4")).agg(count(lit(1)).as("c"))
+    def med2Of(counts: DataFrame, key: String): DataFrame = {
+      val w = Window.partitionBy(col("event_type")).orderBy(col(key))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("event_type"))
+      counts
+        .withColumn("cum", sum(col("c")).over(w))
+        .withColumn("n", sum(col("c")).over(wAll))
+        .withColumn("k1", expr("(n + 1) DIV 2"))
+        .withColumn("k2", expr("(n + 2) DIV 2"))
+        .withColumn("m2",
+          when(col("cum") - col("c") < col("k1") && col("k1") <= col("cum"),
+            col(key)).otherwise(lit(0L)) +
+            when(col("cum") - col("c") < col("k2") && col("k2") <= col("cum"),
+              col(key)).otherwise(lit(0L)))
+        .groupBy(col("event_type"))
+        .agg(sum(col("m2")).cast("long").as("med2"),
+          max(col("n")).cast("long").as("n"))
+    }
+    val med = med2Of(vc, "v4")
+    val dev = vc.join(med.select(col("event_type"), col("med2")), "event_type")
+      .select(col("event_type"),
+        abs(lit(2) * col("v4") - col("med2")).as("dv"), col("c"))
+      .groupBy(col("event_type"), col("dv")).agg(sum(col("c")).as("c"))
+    val mad = med2Of(dev, "dv")
+      .select(col("event_type"), col("med2").as("mad2"))
+    val outliers = dev.join(mad, "event_type")
+      .filter(lit(2) * col("dv") > lit(3) * col("mad2"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("c")).cast("long").as("n_outliers"))
+    med.join(mad, "event_type")
+      .join(outliers, Seq("event_type"), "left")
+      .select(col("event_type"), col("n").as("n_events"),
+        col("med2"), col("mad2"),
+        coalesce(col("n_outliers"), lit(0L)).as("n_outliers"),
+        (col("med2").cast("double") / lit(20000.0)).as("median_value"),
+        (col("mad2").cast("double") / lit(40000.0)).as("mad_value"))
+  }
+
+  def qEvtMadSql: String =
+    """WITH vc AS MATERIALIZED (
+      |  SELECT event_type,
+      |    CAST(CAST(value AS DECIMAL(12,4)) * 10000 AS BIGINT) AS v4,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2
+      |), med AS MATERIALIZED (
+      |  SELECT event_type, CAST(sum(m2) AS BIGINT) AS med2,
+      |    CAST(max(n) AS BIGINT) AS n
+      |  FROM (
+      |    SELECT event_type, n,
+      |      CASE WHEN cum - c < (n + 1) // 2 AND (n + 1) // 2 <= cum
+      |        THEN v4 ELSE 0 END +
+      |      CASE WHEN cum - c < (n + 2) // 2 AND (n + 2) // 2 <= cum
+      |        THEN v4 ELSE 0 END AS m2
+      |    FROM (
+      |      SELECT event_type, v4, c,
+      |        sum(c) OVER (PARTITION BY event_type ORDER BY v4
+      |          ROWS UNBOUNDED PRECEDING) AS cum,
+      |        sum(c) OVER (PARTITION BY event_type) AS n
+      |      FROM vc) x) y
+      |  GROUP BY event_type
+      |), dev AS MATERIALIZED (
+      |  SELECT event_type, abs(2 * v4 - med2) AS dv,
+      |    CAST(sum(c) AS BIGINT) AS c
+      |  FROM vc JOIN med USING (event_type)
+      |  GROUP BY 1, 2
+      |), mad AS MATERIALIZED (
+      |  SELECT event_type, CAST(sum(m2) AS BIGINT) AS mad2
+      |  FROM (
+      |    SELECT event_type,
+      |      CASE WHEN cum - c < (n + 1) // 2 AND (n + 1) // 2 <= cum
+      |        THEN dv ELSE 0 END +
+      |      CASE WHEN cum - c < (n + 2) // 2 AND (n + 2) // 2 <= cum
+      |        THEN dv ELSE 0 END AS m2
+      |    FROM (
+      |      SELECT event_type, dv, c,
+      |        sum(c) OVER (PARTITION BY event_type ORDER BY dv
+      |          ROWS UNBOUNDED PRECEDING) AS cum,
+      |        sum(c) OVER (PARTITION BY event_type) AS n
+      |      FROM dev) x) y
+      |  GROUP BY event_type
+      |), outl AS (
+      |  SELECT event_type, CAST(sum(c) AS BIGINT) AS n_outliers
+      |  FROM dev JOIN mad USING (event_type)
+      |  WHERE 2 * dv > 3 * mad2
+      |  GROUP BY event_type
+      |)
+      |SELECT event_type, n AS n_events, med2, mad2,
+      |  COALESCE(n_outliers, 0) AS n_outliers,
+      |  CAST(med2 AS DOUBLE) / CAST(20000 AS DOUBLE) AS median_value,
+      |  CAST(mad2 AS DOUBLE) / CAST(40000 AS DOUBLE) AS mad_value
+      |FROM med JOIN mad USING (event_type)
+      |LEFT JOIN outl USING (event_type)""".stripMargin
+
   /** Local-maximum detection in each user's value series — the trigger-
     * candidate (peak-finding) primitive of a DAQ readout chain. */
   def qEvtPeaks(s: SparkSession, d: String): DataFrame = {

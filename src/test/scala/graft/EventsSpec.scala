@@ -41,4 +41,33 @@ class EventsSpec extends GraftSpec {
     assert(out.count() ==
       out.select("user_id", "event_type").distinct().count())
   }
+
+  test("robust median/MAD report equals a driver-side order-statistic " +
+      "reference, Hampel outlier counts included") {
+    val vals = Events.events(spark, sf)
+      .select(col("event_type"),
+        (col("value").cast("decimal(12,4)") * 10000).cast("long").as("v4"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
+    def med2(xs: Seq[Long]): Long = {
+      val n = xs.size
+      xs((n + 1) / 2 - 1) + xs((n + 2) / 2 - 1) // 1-based (n+1)/2,(n+2)/2
+    }
+    val want = vals.map { case (t, xs) =>
+      val m2 = med2(xs)
+      val ds = xs.map(x => math.abs(2 * x - m2)).sorted
+      val mad2 = med2(ds)
+      val out = ds.count(d => 2 * d > 3 * mad2).toLong
+      t -> ((xs.size.toLong, m2, mad2, out))
+    }
+    val got = Events.qEvtMad(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("med2"),
+          r.getAs[Long]("mad2"), r.getAs[Long]("n_outliers"))))
+      .toMap
+    assert(got == want, s"got $got\nwant $want")
+    // the robust gate is live on this corpus (some outliers somewhere)
+    assert(got.values.map(_._4).sum > 0, "no outliers anywhere is implausible")
+  }
 }
