@@ -225,6 +225,17 @@ object ScaleProbe {
           "quadratically before the count aggregates — the band " +
           "equi-join + residual plan is the right one; expect ~100x at " +
           "10x data)"
+        case "q_assoc_rules" => " (support-relation-scaled BY " +
+          "SEMANTICS: the duplicated 10x corpus doubles every pair " +
+          "count, so nearly ALL once-only pairs cross min-support and " +
+          "the post-HAVING relation grows ~30x — real data at 10x " +
+          "grows it linearly; the per-order fan-out stays " +
+          "basket-bounded)"
+        case "q_doc_rake" => " (the duplicated 10x corpus multiplies " +
+          "phrase INSTANCES while the phrase/vocab key spaces stay " +
+          "fixed — the instance agg and score join ride the heavier " +
+          "grouped relation; sub-2s absolute, linear in tokens on " +
+          "real data)"
         case _ => ""
       }
       report(f"$n%-18s 1x ${t1}%6.2f s   10x ${t10}%6.2f s   ratio ${t10 / t1}%5.2f$note")
