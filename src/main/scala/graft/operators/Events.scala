@@ -337,6 +337,8 @@ object Events {
       .select(col("event_type"),
         (dec(col("value")) * 10000).cast("long").as("v4"))
       .groupBy(col("event_type"), col("v4")).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // distinct-value-bounded; ONE events scan feeds
+      //                    the median, deviation, MAD, and outlier passes
     def med2Of(counts: DataFrame, key: String): DataFrame = {
       val w = Window.partitionBy(col("event_type")).orderBy(col(key))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -360,6 +362,7 @@ object Events {
       .select(col("event_type"),
         abs(lit(2) * col("v4") - col("med2")).as("dv"), col("c"))
       .groupBy(col("event_type"), col("dv")).agg(sum(col("c")).as("c"))
+      .localCheckpoint() // feeds the MAD selection AND the outlier count
     val mad = med2Of(dev, "dv")
       .select(col("event_type"), col("med2").as("mad2"))
     val outliers = dev.join(mad, "event_type")

@@ -496,4 +496,46 @@ class PlanSpec extends GraftSpec {
     val nDoc = "documents\\.parquet".r.findAllIn(plan).length
     assert(nDoc == 1, s"documents scanned $nDoc times — must be one pass")
   }
+
+  test("gopher/badwords/unimax/temperature fold in ONE documents scan " +
+      "with no joins on the corpus path") {
+    for ((name, q) <- Seq[(String, DataFrame)](
+      "gopher" -> graft.operators.TextOps.qDocGopher(spark, sf),
+      "badwords" -> graft.operators.TextOps.qDocBadwords(spark, sf),
+      "unimax" -> graft.operators.Sampling.qDocUnimax(spark, sf),
+      "temperature" -> graft.operators.Sampling.qDocTemperature(spark, sf))) {
+      val plan = planString(q)
+      val nDoc = "documents\\.parquet".r.findAllIn(plan).length
+      assert(nDoc == 1, s"$name: documents scanned $nDoc times:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"$name: no corpus-sized join belongs here")
+    }
+  }
+
+  test("perplexity scores off the ONE materialized count frame — no " +
+      "documents re-scan after the fold (the DSIR single-pass rule)") {
+    val plan = planString(
+      graft.operators.TextOps.qDocPerplexity(spark, sf))
+    val nDoc = "documents\\.parquet".r.findAllIn(plan).length
+    assert(nDoc == 0, // the count frame is a localCheckpoint: scan-free
+      s"scoring must read the checkpointed counts, got $nDoc scans:\n$plan")
+    assert(plan.contains("Scan ExistingRDD") || plan.contains("LocalTableScan"),
+      "the materialized count frame must feed the plan")
+  }
+
+  test("mad medians select over distinct-value count relations — the " +
+      "windows sit above aggregates, never over raw events") {
+    val df = graft.operators.Events.qEvtMad(spark, sf)
+    val plan = planString(df)
+    // every Window input must be an aggregated (partial_count/sum) frame:
+    // the raw per-event relation never reaches a window operator
+    assert("Window\\b".r.findAllIn(plan).nonEmpty, "selection windows exist")
+    // the distinct-value count frame is checkpointed — the final plan
+    // reads the materialized counts; events scanned exactly once, at
+    // checkpoint time (0 scans here = the single-pass property)
+    val nEvt = "events\\.parquet".r.findAllIn(plan).length
+    assert(nEvt == 0, s"events re-scanned $nEvt times after the fold:\n$plan")
+    assert(plan.contains("Scan ExistingRDD") || plan.contains("LocalTableScan"),
+      "the materialized count frame must feed the plan")
+  }
 }
