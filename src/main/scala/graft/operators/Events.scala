@@ -433,6 +433,76 @@ object Events {
       |FROM med JOIN mad USING (event_type)
       |LEFT JOIN outl USING (event_type)""".stripMargin
 
+  /** LAG-1 AUTOCORRELATION per user series — the periodicity /
+    * baseline-drift QA signal (white noise ⇒ r₁ ≈ 0; a drifting or
+    * oscillating channel shows |r₁| ≫ 0; Box–Jenkins' first
+    * diagnostic): r₁ = Σ(x_t−μ)(x_{t+1}−μ) / Σ(x_t−μ)², kept
+    * cross-engine EXACT by the CUSUM n-multiplication rule — with
+    * v = value·10⁴ BIGINT and S = Σv, every centered term is the exact
+    * integer n·v_t − S, so numerator and denominator are exact
+    * DECIMAL(38,0)/HUGEINT sums (bound n³·max|v|² ≈ 1e29 at the 2e4
+    * events/user CUSUM envelope — inside 38 digits) and the reported
+    * ratio is the integer floor (1e6·num) DIV den (truncation toward
+    * zero on BOTH engines — the money-path rule); its double form is
+    * exact (|r₁_scaled| ≤ 1e6).
+    *
+    * Scale shape: ONE user_id exchange shared by the stats window and
+    * the lead pass (the CUSUM discipline), then a per-user aggregate of
+    * decimal partial sums. Per-user frames are history-bounded. */
+  def qEvtAutocorr(s: SparkSession, d: String): DataFrame = {
+    val wu = Window.partitionBy(col("user_id"))
+    val wo = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    events(s, d)
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        (dec(col("value")) * 10000).cast("long").as("v"))
+      .withColumn("n", count(lit(1)).over(wu))
+      .withColumn("sv", sum(col("v")).over(wu))
+      .withColumn("c", d38(col("n") * col("v") - col("sv")))
+      .withColumn("cn", lead(col("c"), 1).over(wo))
+      .groupBy(col("user_id"))
+      .agg(max(col("n")).cast("long").as("n_events"),
+        sum(col("c") * col("c")).as("den"),
+        sum(when(col("cn").isNotNull, col("c") * col("cn"))
+          .otherwise(d38(lit(0)))).as("num"))
+      .filter(col("den") =!= 0) // constant series: r1 undefined, dropped
+      .select(col("user_id"), col("n_events"),
+        expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * num DIV den AS BIGINT)")
+          .as("r1_scaled"))
+      .withColumn("r1", col("r1_scaled").cast("double") / lit(1000000.0))
+  }
+
+  def qEvtAutocorrSql: String =
+    """WITH v AS (
+      |  SELECT user_id, ts, event_id,
+      |    CAST(CAST(value AS DECIMAL(12,4)) * 10000 AS BIGINT) AS v
+      |  FROM events WHERE value IS NOT NULL
+      |), c0 AS (
+      |  SELECT user_id, ts, event_id,
+      |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+      |    CAST(CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) * v
+      |      - CAST(sum(v) OVER (PARTITION BY user_id) AS BIGINT)
+      |      AS HUGEINT) AS c
+      |  FROM v
+      |), c AS (
+      |  SELECT user_id, n, c,
+      |    lead(c) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS cn
+      |  FROM c0
+      |), a AS (
+      |  SELECT user_id, CAST(max(n) AS BIGINT) AS n_events,
+      |    sum(c * c) AS den,
+      |    sum(CASE WHEN cn IS NOT NULL THEN c * cn ELSE 0::HUGEINT END)
+      |      AS num
+      |  FROM c GROUP BY user_id
+      |)
+      |SELECT user_id, n_events,
+      |  CAST(CAST(1000000 AS HUGEINT) * num // den AS BIGINT) AS r1_scaled,
+      |  CAST(CAST(CAST(1000000 AS HUGEINT) * num // den AS BIGINT)
+      |    AS DOUBLE) / CAST(1000000 AS DOUBLE) AS r1
+      |FROM a WHERE den <> 0""".stripMargin
+
   /** Local-maximum detection in each user's value series — the trigger-
     * candidate (peak-finding) primitive of a DAQ readout chain. */
   def qEvtPeaks(s: SparkSession, d: String): DataFrame = {

@@ -70,4 +70,33 @@ class EventsSpec extends GraftSpec {
     // the robust gate is live on this corpus (some outliers somewhere)
     assert(got.values.map(_._4).sum > 0, "no outliers anywhere is implausible")
   }
+
+  test("lag-1 autocorrelation equals a driver-side exact BigInt replay") {
+    val series = Events.events(spark, sf)
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        (col("value").cast("decimal(12,4)") * 10000).cast("long").as("v"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getTimestamp(1), r.getLong(2), r.getLong(3))))
+      .groupBy(_._1).view
+      .mapValues(_.map(_._2).sortBy(t => (t._1.getTime, t._2)).map(_._3))
+      .toMap
+    val want = series.flatMap { case (u, vs) =>
+      val n = BigInt(vs.size)
+      val sv = vs.map(BigInt(_)).sum
+      val c = vs.map(v => n * v - sv)
+      val den = c.map(x => x * x).sum
+      if (den == 0) None
+      else {
+        val num = c.zip(c.tail).map { case (a, b) => a * b }.sum
+        Some(u -> ((vs.size.toLong, (BigInt(1000000) * num / den).toLong)))
+      }
+    }
+    val got = Events.qEvtAutocorr(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("r1_scaled")))).toMap
+    assert(got == want, s"got ${got.toSeq.sortBy(_._1).take(4)}\n" +
+      s"want ${want.toSeq.sortBy(_._1).take(4)}")
+    assert(got.nonEmpty)
+  }
 }
