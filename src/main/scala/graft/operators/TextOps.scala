@@ -1279,6 +1279,88 @@ object TextOps {
       |    / CAST(n_tokens * 1000000 AS DOUBLE) AS entropy
       |FROM a""".stripMargin
 
+  /** Top ranks used for the Zipf slope fit (bounded by construction). */
+  val ZipfK = 100
+
+  /** ZIPF / VOCABULARY REPORT (Zipf 1949; the corpus-statistics card —
+    * natural language shows rank-frequency slope ≈ −1 on log-log axes,
+    * and the vocabulary/hapax profile diagnoses templated or truncated
+    * corpora): corpus token count, vocabulary size, hapax-legomenon
+    * count, and the OLS log-log slope over the top-[[ZipfK]] ranks.
+    * Exactness: ranks and frequencies are integers, so x = L(rank) and
+    * y = L(freq) quantize once on the 1e6 ln-grid (≤ K + K distinct
+    * bounded-integer ln calls), the OLS numerator K·Σxy − Σx·Σy and
+    * denominator K·Σx² − (Σx)² are exact BIGINT sums, and the slope
+    * reports as the integer floor (1e6·num) DIV den (DECIMAL(38,0)/
+    * HUGEINT product, both engines truncate toward zero).
+    *
+    * Scale shape: one token-count aggregate (vocabulary-bounded), a
+    * bounded TakeOrdered top-K, a rank window over those K rows only,
+    * one K-row fold; the stats aggregate is 1 row. */
+  def qDocZipf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def lq(c: Column): Column =
+      floor(lit(1e6) * log(c.cast("double"))).cast("long")
+    val counts = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // vocabulary-bounded; feeds stats + the top-K
+    val stats = counts.agg(
+      sum(col("c")).cast("long").as("n_tokens"),
+      count(lit(1)).as("vocab_size"),
+      count(when(col("c") === 1, 1)).as("hapax_count"))
+    val top = counts.orderBy(col("c").desc, col("tok")).limit(ZipfK)
+      .withColumn("rank", row_number().over( // bounded: ≤ K rows
+        Window.orderBy(col("c").desc, col("tok"))).cast("long"))
+      .select(lq(col("rank")).as("x"), lq(col("c")).as("y"))
+    val fit = top.agg(
+      count(lit(1)).as("k"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+      .select(col("k"),
+        expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * (k * sxy - sx * sy)" +
+          " DIV (CAST(k AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0))" +
+          " * sx) AS BIGINT)").as("slope_scaled"))
+    stats.crossJoin(fit)
+      .select(col("n_tokens"), col("vocab_size"), col("hapax_count"),
+        col("k"), col("slope_scaled"),
+        (col("slope_scaled").cast("double") / lit(1000000.0)).as("slope"))
+  }
+
+  def qDocZipfSql: String =
+    s"""WITH counts AS MATERIALIZED (
+       |  SELECT u.tok, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT regexp_split_to_array(trim(text), ' +') AS t
+       |        FROM documents) x, unnest(t) AS u(tok)
+       |  GROUP BY u.tok
+       |), stats AS (
+       |  SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+       |    CAST(count(*) AS BIGINT) AS vocab_size,
+       |    CAST(count(CASE WHEN c = 1 THEN 1 END) AS BIGINT)
+       |      AS hapax_count
+       |  FROM counts
+       |), top AS (
+       |  SELECT CAST(floor(1e6 * ln(CAST(rank AS DOUBLE))) AS BIGINT) AS x,
+       |    CAST(floor(1e6 * ln(CAST(c AS DOUBLE))) AS BIGINT) AS y
+       |  FROM (SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS rank
+       |        FROM counts ORDER BY c DESC, tok LIMIT $ZipfK) z
+       |), fit AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS k,
+       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |    CAST(sum(x * y) AS BIGINT) AS sxy,
+       |    CAST(sum(x * x) AS BIGINT) AS sxx
+       |  FROM top
+       |)
+       |SELECT n_tokens, vocab_size, hapax_count, k,
+       |  CAST(CAST(1000000 AS HUGEINT) * (k * sxy - sx * sy)
+       |    // (CAST(k AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+       |    AS BIGINT) AS slope_scaled,
+       |  CAST(CAST(CAST(1000000 AS HUGEINT) * (k * sxy - sx * sy)
+       |    // (CAST(k AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+       |    AS BIGINT) AS DOUBLE) / CAST(1000000 AS DOUBLE) AS slope
+       |FROM stats CROSS JOIN fit""".stripMargin
+
   /** Candidate-phrase length cap for [[qDocRake]] (the practical RAKE
     * variant: unbounded runs on low-stopword text degenerate into
     * whole-document "phrases" and unbounded strings at scale). */

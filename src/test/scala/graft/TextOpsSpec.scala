@@ -237,6 +237,49 @@ class TextOpsSpec extends GraftSpec {
     }
   }
 
+  test("zipf report: exact quantized-OLS replay on the corpus; a planted " +
+      "power law fits slope ~ -1; hapax/vocab stats match brute force") {
+    val sess = spark; import sess.implicits._
+    import java.nio.file.Files
+    def lq(x: Long): Long = math.floor(1e6 * math.log(x.toDouble)).toLong
+    def replay(freqs: Map[String, Long]): (Long, Long, Long, Long, Long) = {
+      val top = freqs.toSeq.sortBy { case (t, c) => (-c, t) }
+        .take(TextOps.ZipfK)
+      val xy = top.zipWithIndex.map { case ((_, c), i) =>
+        (lq(i + 1L), lq(c)) }
+      val k = xy.size.toLong
+      val (sx, sy) = (xy.map(_._1).sum, xy.map(_._2).sum)
+      val sxy = xy.map { case (x, y) => x * y }.sum
+      val sxx = xy.map { case (x, _) => x * x }.sum
+      val num = BigInt(1000000) * (BigInt(k) * sxy - BigInt(sx) * sy)
+      val den = BigInt(k) * sxx - BigInt(sx) * sx
+      (freqs.values.sum, freqs.size.toLong,
+        freqs.values.count(_ == 1L).toLong, k, (num / den).toLong)
+    }
+    val corpusFreqs = Tables.documents(spark, sf)
+      .select(explode(split(trim(col("text")), " +")).as("t"))
+      .groupBy("t").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = TextOps.qDocZipf(spark, sf).collect().head
+    val want = replay(corpusFreqs)
+    assert((got.getAs[Long]("n_tokens"), got.getAs[Long]("vocab_size"),
+      got.getAs[Long]("hapax_count"), got.getAs[Long]("k"),
+      got.getAs[Long]("slope_scaled")) == want, s"corpus: $got vs $want")
+
+    // planted power law c_r = floor(2000 / r): slope within 10% of -1
+    val planted = (1 to 80).flatMap(r =>
+      Seq.fill(2000 / r)(s"w$r")).mkString(" ")
+    val tmp = Files.createTempDirectory("graft_zipf").toString
+    Seq((1L, planted)).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("fix"))
+      .withColumn("n_chars", length(col("text")))
+      .write.parquet(s"$tmp/documents.parquet")
+    val slope = TextOps.qDocZipf(spark, tmp).collect()
+      .head.getAs[Long]("slope_scaled")
+    assert(slope > -1100000L && slope < -900000L,
+      s"planted power law must fit ~ -1, got $slope")
+  }
+
   test("gopher rules: eight planted docs — seven single-rule failures " +
       "and one survivor — report exactly their own kill") {
     val sess = spark; import sess.implicits._
