@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -731,4 +731,181 @@ object Events {
       | AND abs(epoch_us(o.ts) - epoch_us(e.ts)) <= 60000000
       |WHERE e.event_type = 'error'
       |GROUP BY e.event_id, o.event_type""".stripMargin
+
+  /** FANO-FACTOR / DISPERSION-INDEX audit per event type — the standard
+    * Poisson-consistency check on a counting process (a steady trigger or
+    * decay source gives Fano = var/mean ≈ 1 over fixed time bins; F ≫ 1
+    * flags bursting/pile-up, F ≪ 1 a rate-limited or clock-driven
+    * source). Counts bin per minute; EMPTY minutes inside each type's
+    * [first, last] span count as zeros WITHOUT materializing them: with
+    * k = span minutes, S = Σc (all events) and Σc² over occupied bins
+    * only, sample variance = (k·Σc² − S²)/(k(k−1)) and
+    * F = var/mean = (k·Σc² − S²)/((k−1)·S) — every term an exact
+    * integer. The ratio reports as (1e6·num) DIV den in
+    * DECIMAL(38,0)/HUGEINT (both engines truncate toward zero — the
+    * money-path rule); the double form is a single division of exact
+    * integer-valued operands. Width bound: k·Σc² ≤ k·S·max c — inside
+    * 38 digits to ~1e12 events over a 30-day minute span.
+    *
+    * Scale shape: one map-side-combined (type, minute) count, then a
+    * per-type re-aggregation of longs — two narrow shuffles, no joins,
+    * no minute dimension ever generated (contrast q_evt_deadtime, which
+    * needs the dead minutes themselves). */
+  def qEvtFano(s: SparkSession, d: String): DataFrame = {
+    events(s, d)
+      .select(col("event_type"),
+        floor(unix_timestamp(col("ts")) / 60).cast("long").as("m"))
+      .groupBy(col("event_type"), col("m"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("c")).cast("long").as("n_events"),
+        (max(col("m")) - min(col("m")) + 1).cast("long").as("k"),
+        count(lit(1)).as("n_occupied"),
+        sum(col("c") * col("c")).cast("long").as("sc2"))
+      .filter(col("k") >= 2) // a single-minute span has no variance
+      .withColumn("fano_scaled", expr(
+        "CAST(CAST(1000000 AS DECIMAL(38,0))" +
+          " * (CAST(k AS DECIMAL(38,0)) * sc2" +
+          "    - CAST(n_events AS DECIMAL(38,0)) * n_events)" +
+          " DIV (CAST(k - 1 AS DECIMAL(38,0)) * n_events) AS BIGINT)"))
+      .select(col("event_type"), col("n_events"), col("k").as("n_minutes"),
+        col("n_occupied"), col("fano_scaled"),
+        (col("fano_scaled").cast("double") / 1000000.0).as("fano"))
+  }
+
+  def qEvtFanoSql: String =
+    """WITH c AS (
+      |  SELECT event_type, CAST(floor(epoch(ts) / 60) AS BIGINT) AS m,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2
+      |), a AS (
+      |  SELECT event_type, CAST(sum(c) AS BIGINT) AS n_events,
+      |    max(m) - min(m) + 1 AS k,
+      |    CAST(count(*) AS BIGINT) AS n_occupied,
+      |    CAST(sum(c * c) AS BIGINT) AS sc2
+      |  FROM c GROUP BY event_type
+      |)
+      |SELECT event_type, n_events, k AS n_minutes, n_occupied,
+      |  CAST(CAST(1000000 AS HUGEINT)
+      |    * (CAST(k AS HUGEINT) * sc2 - CAST(n_events AS HUGEINT) * n_events)
+      |    // (CAST(k - 1 AS HUGEINT) * n_events) AS BIGINT) AS fano_scaled,
+      |  CAST(CAST(CAST(1000000 AS HUGEINT)
+      |    * (CAST(k AS HUGEINT) * sc2 - CAST(n_events AS HUGEINT) * n_events)
+      |    // (CAST(k - 1 AS HUGEINT) * n_events) AS BIGINT) AS DOUBLE)
+      |    / CAST(1000000 AS DOUBLE) AS fano
+      |FROM a WHERE k >= 2""".stripMargin
+
+  /** Autocorrelation lags scanned by [[qEvtPeriodicity]] (bounded fan of
+    * lead columns — model-size, not data-size). */
+  val AcfLagMax = 8
+
+  /** DOMINANT-PERIODICITY detection per user series — the multi-lag
+    * extension of q_evt_autocorr (Box–Jenkins ACF scan: a series with
+    * period p shows its ACF maximum at lag p; the periodic-noise /
+    * clock-pickup QA signal): r_k = Σ c_t·c_{t+k} / Σ c_t² for
+    * k = 1..[[AcfLagMax]] with c_t = n·v_t − S the exact n-multiplied
+    * centered integers (the CUSUM rule), all numerators exact
+    * DECIMAL(38,0)/HUGEINT sums over ONE shared denominator. Because the
+    * denominator is shared and positive, the best lag is the argmax of
+    * the NUMERATORS — no division decides anything; ties take the
+    * SMALLEST lag via the earliest-index CASE chain (the kmeans/langid
+    * argmax rule: lag k wins iff it strictly beats every earlier and
+    * ties-or-beats every later numerator). Only the winning ratio is
+    * reported, as (1e6·num) DIV den (exact, money-path truncation).
+    *
+    * Scale shape: ONE user_id exchange shared by the stats window and
+    * all [[AcfLagMax]] lead passes (one window sort serves every lead),
+    * then a per-user aggregate of decimal partial sums. Requires
+    * n > AcfLagMax (shorter series have no lag-8 pair and the scan
+    * degenerates); constant series (den = 0) drop. */
+  def qEvtPeriodicity(s: SparkSession, d: String): DataFrame = {
+    val wu = Window.partitionBy(col("user_id"))
+    val wo = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val lags = 1 to AcfLagMax
+    val base = events(s, d)
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        (dec(col("value")) * 10000).cast("long").as("v"))
+      .withColumn("n", count(lit(1)).over(wu))
+      .withColumn("sv", sum(col("v")).over(wu))
+      .withColumn("c", d38(col("n") * col("v") - col("sv")))
+    val withLeads = lags.foldLeft(base) { (df, k) =>
+      df.withColumn(s"c$k", lead(col("c"), k).over(wo))
+    }
+    val agg = withLeads.groupBy(col("user_id"))
+      .agg(max(col("n")).cast("long").as("n_events"),
+        sum(col("c") * col("c")).as("den") +:
+          lags.map(k => sum(when(col(s"c$k").isNotNull, col("c") * col(s"c$k"))
+            .otherwise(d38(lit(0)))).as(s"num$k")): _*)
+      .filter(col("n_events") > AcfLagMax && col("den") =!= 0)
+    // earliest-lag argmax over the shared-denominator numerators
+    val bestLag = lags.dropRight(1).foldRight(lit(AcfLagMax): Column) {
+      case (k, els) =>
+        val wins = (lags.filter(_ < k).map(i => col(s"num$k") > col(s"num$i"))
+          ++ lags.filter(_ > k).map(i => col(s"num$k") >= col(s"num$i")))
+          .reduce(_ && _)
+        when(wins, k).otherwise(els)
+    }
+    val bestNum = lags.dropRight(1).foldRight(col(s"num$AcfLagMax")) {
+      case (k, els) => when(col("best_lag") === k, col(s"num$k")).otherwise(els)
+    }
+    agg.withColumn("best_lag", bestLag.cast("int"))
+      .withColumn("bn", bestNum)
+      .withColumn("r_scaled", expr(
+        "CAST(CAST(1000000 AS DECIMAL(38,0)) * bn DIV den AS BIGINT)"))
+      .select(col("user_id"), col("n_events"), col("best_lag"),
+        col("r_scaled"),
+        (col("r_scaled").cast("double") / 1000000.0).as("r_best"))
+  }
+
+  def qEvtPeriodicitySql: String = {
+    val lags = 1 to AcfLagMax
+    val leadCols = lags.map(k =>
+      s"lead(c, $k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS c$k")
+      .mkString(",\n      |    ")
+    val numCols = lags.map(k =>
+      s"sum(CASE WHEN c$k IS NOT NULL THEN c * c$k ELSE 0::HUGEINT END) AS num$k")
+      .mkString(",\n      |    ")
+    val caseChain = lags.dropRight(1).reverse.foldLeft(s"$AcfLagMax") {
+      case (els, k) =>
+        val wins = (lags.filter(_ < k).map(i => s"num$k > num$i")
+          ++ lags.filter(_ > k).map(i => s"num$k >= num$i")).mkString(" AND ")
+        s"CASE WHEN $wins THEN $k ELSE $els END"
+    }
+    val numChain = lags.dropRight(1).reverse.foldLeft(s"num$AcfLagMax") {
+      case (els, k) => s"CASE WHEN best_lag = $k THEN num$k ELSE $els END"
+    }
+    s"""WITH v AS (
+      |  SELECT user_id, ts, event_id,
+      |    CAST(CAST(value AS DECIMAL(12,4)) * 10000 AS BIGINT) AS v
+      |  FROM events WHERE value IS NOT NULL
+      |), c0 AS (
+      |  SELECT user_id, ts, event_id,
+      |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+      |    CAST(CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) * v
+      |      - CAST(sum(v) OVER (PARTITION BY user_id) AS BIGINT)
+      |      AS HUGEINT) AS c
+      |  FROM v
+      |), c AS (
+      |  SELECT user_id, n, c,
+      |    $leadCols
+      |  FROM c0
+      |), a AS (
+      |  SELECT user_id, CAST(max(n) AS BIGINT) AS n_events,
+      |    sum(c * c) AS den,
+      |    $numCols
+      |  FROM c GROUP BY user_id
+      |), b AS (
+      |  SELECT *, $caseChain AS best_lag
+      |  FROM a WHERE n_events > $AcfLagMax AND den <> 0
+      |)
+      |SELECT user_id, n_events, CAST(best_lag AS INT) AS best_lag,
+      |  CAST(CAST(1000000 AS HUGEINT) * ($numChain) // den AS BIGINT)
+      |    AS r_scaled,
+      |  CAST(CAST(CAST(1000000 AS HUGEINT) * ($numChain) // den AS BIGINT)
+      |    AS DOUBLE) / CAST(1000000 AS DOUBLE) AS r_best
+      |FROM b""".stripMargin
+  }
 }

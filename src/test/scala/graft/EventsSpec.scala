@@ -99,4 +99,103 @@ class EventsSpec extends GraftSpec {
       s"want ${want.toSeq.sortBy(_._1).take(4)}")
     assert(got.nonEmpty)
   }
+
+  test("Fano factor equals a driver-side exact replay (zero bins implicit)") {
+    val counts = Events.events(spark, sf)
+      .select(col("event_type"),
+        floor(unix_timestamp(col("ts")) / 60).cast("long").as("m"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view
+      .mapValues(_.groupBy(_._2).map { case (_, g) => g.size.toLong }.toSeq)
+      .toMap
+    val minMax = Events.events(spark, sf)
+      .select(col("event_type"),
+        floor(unix_timestamp(col("ts")) / 60).cast("long").as("m"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(ms => (ms.map(_._2).min, ms.map(_._2).max))
+      .toMap
+    val want = counts.flatMap { case (t, cs) =>
+      val (lo, hi) = minMax(t)
+      val k = BigInt(hi - lo + 1)
+      val sTot = BigInt(cs.sum)
+      val sc2 = cs.map(c => BigInt(c) * c).sum
+      if (k < 2) None
+      else Some(t -> ((cs.sum, hi - lo + 1, cs.size.toLong,
+        (BigInt(1000000) * (k * sc2 - sTot * sTot)
+          / ((k - 1) * sTot)).toLong)))
+    }
+    val got = Events.qEvtFano(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("n_minutes"),
+          r.getAs[Long]("n_occupied"), r.getAs[Long]("fano_scaled")))).toMap
+    assert(got == want, s"got $got\nwant $want")
+    assert(got.nonEmpty)
+  }
+
+  test("periodicity: best lag equals a driver-side exact multi-lag replay") {
+    val series = Events.events(spark, sf)
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        (col("value").cast("decimal(12,4)") * 10000).cast("long").as("v"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getTimestamp(1), r.getLong(2), r.getLong(3))))
+      .groupBy(_._1).view
+      .mapValues(_.map(_._2).sortBy(t => (t._1.getTime, t._2)).map(_._3))
+      .toMap
+    val L = Events.AcfLagMax
+    val want = series.flatMap { case (u, vs) =>
+      val n = BigInt(vs.size)
+      val sv = vs.map(BigInt(_)).sum
+      val c = vs.map(v => n * v - sv).toIndexedSeq
+      val den = c.map(x => x * x).sum
+      if (vs.size <= L || den == 0) None
+      else {
+        val nums = (1 to L).map(k =>
+          (0 until c.size - k).map(t => c(t) * c(t + k)).sum)
+        // earliest-lag argmax: k wins iff strictly beats all earlier
+        // and ties-or-beats all later
+        val best = (1 to L).find(k =>
+          (1 until k).forall(i => nums(k - 1) > nums(i - 1)) &&
+            (k + 1 to L).forall(i => nums(k - 1) >= nums(i - 1))).get
+        Some(u -> ((vs.size.toLong, best,
+          (BigInt(1000000) * nums(best - 1) / den).toLong)))
+      }
+    }
+    val got = Events.qEvtPeriodicity(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Int]("best_lag"),
+          r.getAs[Long]("r_scaled")))).toMap
+    assert(got == want, s"got ${got.toSeq.sortBy(_._1).take(4)}\n" +
+      s"want ${want.toSeq.sortBy(_._1).take(4)}")
+    assert(got.nonEmpty)
+  }
+
+  test("periodicity: a planted period-4 series reports best_lag = 4") {
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_period").toString
+    // one user, 48 events on a strict period-4 sawtooth; a second user
+    // of white-ish noise must not leak into the first's report
+    val base = 1700000000000000L
+    val rows =
+      (0 until 48).map { i =>
+        (i.toLong, base + i * 60000000L, 1L, "click",
+          Seq(10.0, 20.0, 30.0, 40.0)(i % 4), "{}")
+      } ++ (0 until 48).map { i =>
+        (100L + i, base + i * 60000000L, 2L, "view",
+          ((i * 2654435761L) % 97).toDouble, "{}")
+      }
+    rows.toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
+      .select(col("event_id"),
+        expr("timestamp_micros(ts_us)").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = Events.qEvtPeriodicity(spark, tmp).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Int]("best_lag"), r.getAs[Long]("r_scaled")))).toMap
+    assert(got(1L)._1 == 4, s"planted period-4 user got ${got(1L)}")
+    assert(got(1L)._2 > 900000, // ACF at the true period is ~1
+      s"planted periodic series should show r ≈ 1, got ${got(1L)}")
+  }
 }

@@ -9,12 +9,15 @@ import sys, json, glob, os
 import duckdb
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
+subset = set(sys.argv[3:])  # optional query names: check only these
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+if subset:
+    oracle = {k: v for k, v in oracle.items() if k in subset}
 
 def canon(df):
     # sort columns by name, round-trip values to strings, sort rows
