@@ -372,4 +372,96 @@ object Graph {
       |SELECT part_id, CAST(count(*) AS BIGINT) AS tri_cnt
       |FROM (SELECT unnest([a, b, c]) AS part_id FROM t)
       |GROUP BY part_id ORDER BY part_id""".stripMargin
+
+  /** DEGREE ASSORTATIVITY (Newman 2002 — do high-degree nodes attach to
+    * high-degree nodes?): the Pearson correlation of endpoint degrees
+    * over all edge orientations. Social/co-occurrence graphs run
+    * positive, technological/dependency graphs negative — the one-number
+    * structural fingerprint next to the triangle profile. On an
+    * UNDIRECTED graph summed over both orientations the x and y marginals
+    * coincide, so the usual sqrt-denominator collapses and
+    * r = (M₂·Σxy − Sx²) / (M₂·Σx² − Sx²) with M₂ = 2·|E|,
+    * Sx = Σ_e (deg_a + deg_b), Σxy = Σ_e 2·deg_a·deg_b,
+    * Σx² = Σ_e (deg_a² + deg_b²) — every term an exact integer
+    * (DECIMAL(38,0)/HUGEINT products; NO sqrt, NO float), reported via
+    * the (1e6·num) DIV den rule. A degree-regular graph (den = 0) drops.
+    *
+    * Scale shape: distinct canonical edges materialize once and feed the
+    * degree count (one exploded long shuffle) and two hint-free
+    * degree joins (degree relation is node-bounded); the fold is one
+    * row. Never an adjacency matrix, never a per-node collect. */
+  def qGraphAssortativity(spark: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val li = spark.read.parquet(s"$d/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val edges = li.as("x").join(li.as("y"), "ok")
+      .filter(col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("a"), col("y.pk").as("b"))
+    assortativity(edges, "a", "b")
+  }
+
+  /** Core of [[qGraphAssortativity]] over any edge relation (canonical
+    * least/greatest + distinct applied here — an input carrying both
+    * orientations or duplicates must not double-count; self-loops
+    * drop). */
+  def assortativity(edges0: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val edges = edges0
+      .filter(col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .distinct()
+      .localCheckpoint() // feeds the degree count + the stats pass
+    val deg = edges
+      .select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val stats = edges
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+      .agg(count(lit(1)).cast("long").as("n_edges"),
+        sum(d38(col("da")) + col("db")).as("sx"),
+        sum(d38(col("da")) * col("db") * 2).as("sxy"),
+        sum(d38(col("da")) * col("da") + d38(col("db")) * col("db"))
+          .as("sxx"))
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"))
+    stats.crossJoin(nodes)
+      .withColumn("num", expr(
+        "CAST(2 AS DECIMAL(38,0)) * n_edges * sxy - sx * sx"))
+      .withColumn("den", expr(
+        "CAST(2 AS DECIMAL(38,0)) * n_edges * sxx - sx * sx"))
+      .filter(col("den") =!= 0)
+      .withColumn("r_scaled", expr(
+        "CAST(CAST(1000000 AS DECIMAL(38,0)) * num DIV den AS BIGINT)"))
+      .select(col("n_nodes"), col("n_edges"), col("r_scaled"),
+        (col("r_scaled").cast("double") / 1000000.0).as("assortativity"))
+  }
+
+  def qGraphAssortativitySql: String =
+    """WITH e AS MATERIALIZED (
+      |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+      |  FROM lineitem x JOIN lineitem y
+      |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+      |deg AS MATERIALIZED (
+      |  SELECT v, CAST(count(*) AS BIGINT) AS deg
+      |  FROM (SELECT unnest([a, b]) AS v FROM e) GROUP BY v),
+      |st AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_edges,
+      |    sum(CAST(pa.deg AS HUGEINT) + pb.deg) AS sx,
+      |    sum(CAST(pa.deg AS HUGEINT) * pb.deg * 2) AS sxy,
+      |    sum(CAST(pa.deg AS HUGEINT) * pa.deg
+      |      + CAST(pb.deg AS HUGEINT) * pb.deg) AS sxx
+      |  FROM e JOIN deg pa ON pa.v = e.a JOIN deg pb ON pb.v = e.b),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+      |SELECT n_nodes, n_edges,
+      |  CAST(CAST(1000000 AS HUGEINT)
+      |    * (2 * CAST(n_edges AS HUGEINT) * sxy - sx * sx)
+      |    // (2 * CAST(n_edges AS HUGEINT) * sxx - sx * sx) AS BIGINT)
+      |    AS r_scaled,
+      |  CAST(CAST(CAST(1000000 AS HUGEINT)
+      |    * (2 * CAST(n_edges AS HUGEINT) * sxy - sx * sx)
+      |    // (2 * CAST(n_edges AS HUGEINT) * sxx - sx * sx) AS BIGINT)
+      |    AS DOUBLE) / CAST(1000000 AS DOUBLE) AS assortativity
+      |FROM st CROSS JOIN nn
+      |WHERE 2 * CAST(n_edges AS HUGEINT) * sxx - sx * sx <> 0""".stripMargin
 }

@@ -984,6 +984,88 @@ object Similarity {
          |  FROM fin f) z
          |WHERE rn <= $ClusterSampleM""".stripMargin
 
+  /** DAVIES–BOULDIN CLUSTER-QUALITY INDEX (Davies & Bouldin 1979 — the
+    * standard internal clustering validity score: for each cluster, how
+    * close its worst competitor sits relative to their joint spread;
+    * lower = better separated) over the SAME trained k-means model the
+    * gate hash-checks — the "evaluate the model you trained" report.
+    * With integer scatter sums (sd_i = Σ d², an exact integer off the
+    * int8-code fit) and integer centroid distances d_ij, the component
+    * R_i = max_{j≠i} (S_i + S_j)/d_ij is a ratio of exact rationals:
+    * (sd_i·n_j + sd_j·n_i)/(n_i·n_j·d_ij) after clearing denominators —
+    * every comparison and the reported value ride the (1e6·num) DIV den
+    * rule in DECIMAL(38,0)/HUGEINT. The max commutes with the floor
+    * (floor is monotone: max_j floor(x_j) = floor(max_j x_j)), so taking
+    * max over the SCALED integers is exact, not an approximation. Pairs
+    * with d_ij = 0 (coincident centroids) and empty clusters drop —
+    * documented degeneracies, identical in both engines.
+    *
+    * Scale shape: everything after the fit runs on k-row relations (the
+    * per-cluster aggregate of the corpus-sized assignment is the one
+    * data-scaled pass, map-side combined); the k²-pair frame is
+    * model-sized. The oracle replays the ENTIRE trained model (the
+    * unrolled Lloyd CTE chain) and then this report — the index is
+    * checked against the model it came from. */
+  def qEmbDbindex(s: SparkSession, d: String): DataFrame = {
+    val (assigned, cents) = kmeansFit(
+      quantized(s, d).select(col("vec_id"), col("codes")),
+      KmeansK, KmeansIters)
+    import s.implicits._
+    val rep = assigned.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"), sum(col("d2")).cast("long").as("sd2"))
+    val pairs = for {
+      i <- cents.indices; j <- cents.indices if i != j
+    } yield {
+      val dij = cents(i).zip(cents(j))
+        .map { case (x, y) => (x - y) * (x - y) }.sum
+      (i, j, dij)
+    }
+    val pdf = pairs.toDF("ci", "cj", "dij") // k²−k rows: model-sized
+    pdf.join(rep.select(col("cluster").as("ci"),
+        col("n").as("ni"), col("sd2").as("sdi")), "ci")
+      .join(rep.select(col("cluster").as("cj"),
+        col("n").as("nj"), col("sd2").as("sdj")), "cj")
+      .filter(col("dij") > 0)
+      .withColumn("rs", expr(
+        "CAST(CAST(1000000 AS DECIMAL(38,0))" +
+          " * (CAST(sdi AS DECIMAL(38,0)) * nj" +
+          "    + CAST(sdj AS DECIMAL(38,0)) * ni)" +
+          " DIV (CAST(ni AS DECIMAL(38,0)) * nj * dij) AS BIGINT)"))
+      .groupBy(col("ci"))
+      .agg(max(col("ni")).cast("long").as("n_vecs"),
+        max(col("rs")).as("r_scaled"))
+      .select(col("ci").cast("int").as("cluster"), col("n_vecs"),
+        col("r_scaled"),
+        (col("r_scaled").cast("double") / 1000000.0).as("db_component"))
+  }
+
+  def qEmbDbindexSql: String =
+    kmeansCtePrefix +
+      s""", rep AS (
+         |  SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(d2) AS BIGINT) AS sd2
+         |  FROM fin GROUP BY cluster
+         |), pd AS (
+         |  SELECT a.cluster AS ci, b.cluster AS cj,
+         |    CAST(sum((a.cv - b.cv) * (a.cv - b.cv)) AS BIGINT) AS dij
+         |  FROM cent$KmeansIters a JOIN cent$KmeansIters b
+         |    ON a.dim = b.dim AND a.cluster <> b.cluster
+         |  GROUP BY 1, 2
+         |)
+         |SELECT pd.ci AS cluster, CAST(max(ri.n) AS BIGINT) AS n_vecs,
+         |  max(CAST(CAST(1000000 AS HUGEINT)
+         |    * (CAST(ri.sd2 AS HUGEINT) * rj.n + CAST(rj.sd2 AS HUGEINT) * ri.n)
+         |    // (CAST(ri.n AS HUGEINT) * rj.n * pd.dij) AS BIGINT))
+         |    AS r_scaled,
+         |  CAST(max(CAST(CAST(1000000 AS HUGEINT)
+         |    * (CAST(ri.sd2 AS HUGEINT) * rj.n + CAST(rj.sd2 AS HUGEINT) * ri.n)
+         |    // (CAST(ri.n AS HUGEINT) * rj.n * pd.dij) AS BIGINT)) AS DOUBLE)
+         |    / CAST(1000000 AS DOUBLE) AS db_component
+         |FROM pd JOIN rep ri ON ri.cluster = pd.ci
+         |  JOIN rep rj ON rj.cluster = pd.cj
+         |WHERE pd.dij > 0
+         |GROUP BY pd.ci""".stripMargin
+
   def qEmbKmeansSql: String =
     kmeansCtePrefix +
       s""", rep AS (

@@ -1279,6 +1279,90 @@ object TextOps {
       |    / CAST(n_tokens * 1000000 AS DOUBLE) AS entropy
       |FROM a""".stripMargin
 
+  /** PER-SOURCE KL DIVERGENCE to the corpus unigram distribution — the
+    * data-mix drift report (which sources' token distributions sit
+    * farthest from the pooled corpus — the quantity DoReMi-class domain
+    * reweighting and CCNet-class source triage rank on; a source whose
+    * KL jumps between crawls changed character). KL(P_s ‖ P) =
+    * Σ_w (c_sw/n_s)·ln((c_sw·N)/(n_s·c_w)) — absolutely continuous by
+    * construction (every source token occurs in the corpus), kept
+    * cross-engine EXACT on the 1e6 quantized-log grid: the n_s-scaled
+    * sum Σ_w c_sw·(L(c_sw) − L(n_s) − L(c_w) + L(N)) with
+    * L(x) = floor(1e6·ln x) over INTEGER counts is an exact
+    * DECIMAL(38,0)/HUGEINT sum (the q_doc_entropy discipline, termwise
+    * over four single-ln grid values — divergence needs 1e6·ln(int)
+    * within ~5e-10 of a grid line), and the report divides once by n_s
+    * with DIV/​// truncation-toward-zero (identical both engines; grid
+    * floors can leave a slightly negative sum on an identical
+    * distribution — a report property, documented, same in both
+    * engines). Width: |term| ≤ c_sw·1.3e8, so the per-source sum is
+    * inside 38 digits to ~1e28 tokens.
+    *
+    * Scale shape: ONE (source, tok) count aggregation (map-side
+    * combined, vocabulary×sources-bounded) materialized once and
+    * feeding corpus counts, source totals, and the term join; the only
+    * data-scaled exchange is that first count. The tok join is
+    * vocabulary-bounded and hint-free; source totals broadcast. */
+  def qDocKldiv(s: SparkSession, d: String): DataFrame = {
+    def lq(c: Column): Column =
+      floor(lit(1e6) * log(c.cast("double"))).cast("long")
+    val sc = Tables.documents(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("cs"))
+      .localCheckpoint() // vocab×sources-bounded; feeds all three uses
+    val cw = sc.groupBy(col("tok"))
+      .agg(sum(col("cs")).cast("long").as("cw"))
+    val tot = sc.groupBy(col("source"))
+      .agg(sum(col("cs")).cast("long").as("ns"),
+        count(lit(1)).as("n_distinct"))
+    val n = sc.agg(sum(col("cs")).cast("long").as("n"))
+    sc.join(cw, "tok")
+      .join(broadcast(tot), "source")
+      .crossJoin(broadcast(n))
+      .select(col("source"), col("ns"), col("n_distinct"),
+        (col("cs").cast("decimal(38,0)") *
+          (lq(col("cs")) - lq(col("ns")) - lq(col("cw")) + lq(col("n"))))
+          .as("t"))
+      .groupBy(col("source"))
+      .agg(max(col("ns")).as("n_tokens"),
+        max(col("n_distinct")).as("n_distinct"),
+        sum(col("t")).as("ts"))
+      .withColumn("kl_scaled",
+        expr("CAST(ts DIV CAST(n_tokens AS DECIMAL(38,0)) AS BIGINT)"))
+      .select(col("source"), col("n_tokens"), col("n_distinct"),
+        col("kl_scaled"),
+        (col("kl_scaled").cast("double") / 1000000.0).as("kl"))
+  }
+
+  def qDocKldivSql: String =
+    """WITH c AS (
+      |  SELECT source, u.tok, CAST(count(*) AS BIGINT) AS cs
+      |  FROM (SELECT source, regexp_split_to_array(trim(text), ' +') AS toks
+      |        FROM documents) t, unnest(toks) AS u(tok)
+      |  GROUP BY source, u.tok),
+      |cw AS (SELECT tok, CAST(sum(cs) AS BIGINT) AS cw FROM c GROUP BY tok),
+      |tot AS (SELECT source, CAST(sum(cs) AS BIGINT) AS ns,
+      |    CAST(count(*) AS BIGINT) AS n_distinct
+      |  FROM c GROUP BY source),
+      |n AS (SELECT CAST(sum(cs) AS BIGINT) AS n FROM c),
+      |t AS (
+      |  SELECT c.source, tot.ns, tot.n_distinct,
+      |    CAST(c.cs AS HUGEINT) * (
+      |      CAST(floor(1e6 * ln(CAST(c.cs AS DOUBLE))) AS BIGINT)
+      |      - CAST(floor(1e6 * ln(CAST(tot.ns AS DOUBLE))) AS BIGINT)
+      |      - CAST(floor(1e6 * ln(CAST(cw.cw AS DOUBLE))) AS BIGINT)
+      |      + CAST(floor(1e6 * ln(CAST(n.n AS DOUBLE))) AS BIGINT)) AS t
+      |  FROM c JOIN cw USING (tok) JOIN tot USING (source) CROSS JOIN n),
+      |a AS (SELECT source, max(ns) AS n_tokens,
+      |    max(n_distinct) AS n_distinct, sum(t) AS ts
+      |  FROM t GROUP BY source)
+      |SELECT source, n_tokens, n_distinct,
+      |  CAST(ts // CAST(n_tokens AS HUGEINT) AS BIGINT) AS kl_scaled,
+      |  CAST(CAST(ts // CAST(n_tokens AS HUGEINT) AS BIGINT) AS DOUBLE)
+      |    / CAST(1000000 AS DOUBLE) AS kl
+      |FROM a""".stripMargin
+
   /** Top ranks used for the Zipf slope fit (bounded by construction). */
   val ZipfK = 100
 

@@ -323,6 +323,121 @@ object Wib {
        |FROM per_ch JOIN dim USING (src_id)""".stripMargin
   }
 
+  /** CHANNEL-STATUS CLASSIFICATION — the detector QA map every shifter
+    * keeps open (DUNE's "channel status database" semantics: DEAD =
+    * stuck/disconnected ADC, NOISY = variance far above its peers, GOOD
+    * otherwise), computed as pure integers: per channel the n-multiplied
+    * variance a = n·Σs² − (Σs)² is exact, quantized ONCE to
+    * q = (1e6·a) DIV n² (exact DECIMAL(38,0)/HUGEINT floor — channels
+    * with different sample counts compare on the same grid), and the
+    * noisy gate is the Hampel-style integer compare q > 2·med2q against
+    * the DOUBLED median of the per-channel q's (the q_evt_mad order-
+    * statistic discipline — no interpolation anywhere). DEAD ⟺ a = 0.
+    *
+    * Scale shape: one decode+aggregate pass to a CHANNEL-BOUNDED frame
+    * (det-scale: thousands of rows at 100 TB of frames), then all median
+    * and gate math on that bounded frame — the documented KB-frame
+    * exception for the partition-less rank window. */
+  def qWibBadchannels(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dim = Dromap.flat(s, Configs.absDir(DromapPath))
+      .select(col("src_id").cast("long").as("src_id"),
+        col("det_id"), col("crate_id"), col("slot_id"))
+    val g = frames(s)
+      .select(GraftFunctions.wibDecode(col("payload")).as("f"))
+      .select(col("f.src_id").as("src_id"),
+        posexplode(col("f.samples")).as(Seq("j", "sample")))
+      .select(col("src_id"),
+        (col("src_id") * WibFrame.Channels
+          + col("j") % WibFrame.Channels).as("channel"),
+        col("sample").cast("long").as("sample"))
+      .groupBy(col("src_id"), col("channel"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("sample")).as("ss"),
+        sum(col("sample") * col("sample")).as("ssq"))
+      .withColumn("a", expr(
+        "CAST(n AS DECIMAL(38,0)) * ssq - CAST(ss AS DECIMAL(38,0)) * ss"))
+      .withColumn("var_scaled", expr(
+        "CAST(CAST(1000000 AS DECIMAL(38,0)) * a" +
+          " DIV (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"))
+      .localCheckpoint() // channel-bounded; feeds the median + the report
+    val k = g.agg(count(lit(1)).as("k"))
+    val med = g
+      .withColumn("rn", row_number().over( // bounded det-scale frame
+        Window.orderBy(col("var_scaled"), col("channel"))).cast("long"))
+      .crossJoin(broadcast(k))
+      .select(
+        (when(col("rn") === expr("(k + 1) DIV 2"), col("var_scaled"))
+          .otherwise(lit(0L)) +
+          when(col("rn") === expr("(k + 2) DIV 2"), col("var_scaled"))
+            .otherwise(lit(0L))).as("m"))
+      .agg(sum(col("m")).cast("long").as("med2q"))
+    g.crossJoin(broadcast(med))
+      .join(broadcast(dim), "src_id")
+      .select(col("det_id"), col("crate_id"), col("slot_id"),
+        col("channel"), col("n").cast("long").as("n_samples"),
+        col("var_scaled"), col("med2q"),
+        when(col("a") === 0, lit("dead"))
+          .when(col("var_scaled") > col("med2q") * 2, lit("noisy"))
+          .otherwise(lit("good")).as("status"))
+  }
+
+  def qWibBadchannelsSql: String = {
+    val c = WibFrame.Channels
+    val nSamples = c * WibFrame.TicksPerChannel
+    val srcTerms = (0 until 4)
+      .map(k => s"${byteSql(k.toString)} * ${1L << (8 * k)}")
+      .mkString(" + ")
+    s"""WITH h AS (
+       |  SELECT hex(payload) AS hx
+       |  FROM read_parquet('${Configs.absDir(FramesPath)}')
+       |),
+       |s AS (
+       |  SELECT CAST($srcTerms AS BIGINT) AS src_id,
+       |         CAST($srcTerms AS BIGINT) * $c + j % $c AS channel,
+       |         CAST(${byteSql("12 + 2*j")} + 256 * ${byteSql("13 + 2*j")}
+       |           AS BIGINT) AS sample
+       |  FROM h, generate_series(0, ${nSamples - 1}) AS t(j)
+       |),
+       |g AS (
+       |  SELECT src_id, channel, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(sample) AS BIGINT) AS ss,
+       |         CAST(sum(sample * sample) AS BIGINT) AS ssq
+       |  FROM s GROUP BY src_id, channel
+       |),
+       |q AS (
+       |  SELECT src_id, channel, n,
+       |    CAST(n AS HUGEINT) * ssq - CAST(ss AS HUGEINT) * ss AS a,
+       |    CAST(CAST(1000000 AS HUGEINT)
+       |      * (CAST(n AS HUGEINT) * ssq - CAST(ss AS HUGEINT) * ss)
+       |      // (CAST(n AS HUGEINT) * n) AS BIGINT) AS var_scaled
+       |  FROM g
+       |),
+       |kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM q),
+       |med AS (
+       |  SELECT CAST(sum(
+       |    CASE WHEN rn = (k + 1) // 2 THEN var_scaled ELSE 0 END +
+       |    CASE WHEN rn = (k + 2) // 2 THEN var_scaled ELSE 0 END)
+       |    AS BIGINT) AS med2q
+       |  FROM (SELECT var_scaled,
+       |          row_number() OVER (ORDER BY var_scaled, channel) AS rn
+       |        FROM q) r CROSS JOIN kk
+       |),
+       |dim AS (
+       |  SELECT CAST(src_id AS BIGINT) AS src_id,
+       |         CAST(geo_id.det_id AS INTEGER) AS det_id,
+       |         CAST(geo_id.crate_id AS INTEGER) AS crate_id,
+       |         CAST(geo_id.slot_id AS INTEGER) AS slot_id
+       |  FROM read_json('${Configs.absDir(DromapPath)}', format='array')
+       |)
+       |SELECT det_id, crate_id, slot_id, channel, n AS n_samples,
+       |  var_scaled, med2q,
+       |  CASE WHEN a = 0 THEN 'dead'
+       |       WHEN var_scaled > med2q * 2 THEN 'noisy'
+       |       ELSE 'good' END AS status
+       |FROM q CROSS JOIN med JOIN dim USING (src_id)""".stripMargin
+  }
+
   private def byteSql(off: String): String =
     s"((strpos('0123456789ABCDEF', substr(hx, 2*($off)+1, 1))-1)*16" +
       s" + (strpos('0123456789ABCDEF', substr(hx, 2*($off)+2, 1))-1))"

@@ -196,4 +196,43 @@ class GraphPropertySpec extends GraftSpec {
         .filter(e => e._1 != e._2), s"random n=$n m=$m")
     }
   }
+
+  test("degree assortativity: star = -1, exact replay on random graphs, " +
+      "regular graphs drop (den = 0)") {
+    def ref(edges0: Seq[(Long, Long)]): Option[(Long, Long, Long)] = {
+      val edges = edges0.filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+      val deg = edges.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val m = BigInt(edges.size)
+      val sx = edges.map(e => BigInt(deg(e._1)) + deg(e._2)).sum
+      val sxy = edges.map(e => BigInt(deg(e._1)) * deg(e._2) * 2).sum
+      val sxx = edges.map(e =>
+        BigInt(deg(e._1)) * deg(e._1) + BigInt(deg(e._2)) * deg(e._2)).sum
+      val num = 2 * m * sxy - sx * sx
+      val den = 2 * m * sxx - sx * sx
+      if (den == 0) None
+      else Some((deg.size.toLong, edges.size.toLong,
+        (BigInt(1000000) * num / den).toLong))
+    }
+    def got(edges: Seq[(Long, Long)]): Option[(Long, Long, Long)] =
+      Graph.assortativity(edges.toDF("s", "t"), "s", "t").collect()
+        .headOption.map(r => (r.getAs[Long]("n_nodes"),
+          r.getAs[Long]("n_edges"), r.getAs[Long]("r_scaled")))
+    // star K_{1,6}: hub-leaf degrees perfectly anticorrelated → r = −1
+    val star = (1L to 6L).map(i => (0L, i))
+    assert(got(star) == ref(star))
+    assert(got(star).get._3 == -1000000L, s"star r: ${got(star)}")
+    // a triangle is 2-regular: den = 0, row drops
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    assert(got(tri).isEmpty && ref(tri).isEmpty)
+    // duplicates + both orientations must not change the answer
+    assert(got(star ++ star.map(e => (e._2, e._1))) == ref(star))
+    // random graphs: exact replay equality is the contract
+    val rnd = new scala.util.Random(31)
+    for ((n, m) <- Seq((12, 18), (25, 60), (8, 28))) {
+      val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      assert(got(edges) == ref(edges), s"diverged on n=$n m=$m")
+    }
+  }
 }

@@ -402,4 +402,57 @@ class SimilaritySpec extends GraftSpec {
     assert(gotSample == wantSample,
       s"sample mismatch: got ${gotSample.take(8)} want ${wantSample.take(8)}")
   }
+
+  test("Davies-Bouldin components equal a driver-side exact rational " +
+      "replay of the same trained k-means model") {
+    val gmin = vecs.values.flatten.min
+    val gmax = vecs.values.flatten.max
+    val codes: Map[Long, Array[Long]] = vecs.view.mapValues(_.map(x =>
+      math.floor((x - gmin) * 255.0 / (gmax - gmin)).toLong)).toMap
+    val dims = codes.values.head.length
+    val k = Similarity.KmeansK
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(
+        s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val seedIds = codes.keys.toSeq
+      .sortBy(id => (md5hex(id.toString), id)).take(k)
+    var cents: Array[Array[Long]] = seedIds.map(codes(_)).toArray
+    def d2(c: Array[Long], j: Int): Long =
+      (0 until dims).map { d => val t = c(d) - cents(j)(d); t * t }.sum
+    def assign(c: Array[Long]): Int =
+      (0 until k).map(j => (d2(c, j), j)).minBy { case (x, j) => (x, j) }._2
+    for (_ <- 1 to Similarity.KmeansIters) {
+      val byCl = codes.values.toSeq.groupBy(assign)
+      cents = Array.tabulate(k) { j =>
+        byCl.get(j) match {
+          case Some(members) => Array.tabulate(dims)(d =>
+            members.map(_(d)).sum / members.size)
+          case None => cents(j)
+        }
+      }
+    }
+    val byCl = codes.values.toSeq.groupBy(assign)
+    val nOf = (0 until k).map(j => byCl.get(j).map(_.size).getOrElse(0))
+    val sdOf = (0 until k).map(j =>
+      byCl.get(j).map(_.map(c => BigInt(d2(c, j))).sum).getOrElse(BigInt(0)))
+    def cdist(i: Int, j: Int): BigInt =
+      (0 until dims).map { d =>
+        val t = BigInt(cents(i)(d) - cents(j)(d)); t * t }.sum
+    val want = (0 until k).filter(nOf(_) > 0).flatMap { i =>
+      val rs = (0 until k).filter(j => j != i && nOf(j) > 0 &&
+        cdist(i, j) > 0).map { j =>
+        val num = sdOf(i) * nOf(j) + sdOf(j) * nOf(i)
+        val den = BigInt(nOf(i)) * nOf(j) * cdist(i, j)
+        BigInt(1000000) * num / den
+      }
+      if (rs.isEmpty) None
+      else Some((i, nOf(i).toLong, rs.max.toLong))
+    }
+    val got = Similarity.qEmbDbindex(spark, sf).collect()
+      .map(r => (r.getAs[Int]("cluster"), r.getAs[Long]("n_vecs"),
+        r.getAs[Long]("r_scaled"))).sortBy(_._1).toSeq
+    assert(got == want, s"got $got\nwant $want")
+    // separation sanity: every component positive (clusters overlap some)
+    assert(got.forall(_._3 > 0))
+  }
 }

@@ -327,4 +327,60 @@ class TextOpsSpec extends GraftSpec {
     assert(corpus.map(_.getAs[Long]("n_docs")).sum ==
       Tables.documents(spark, sf).count())
   }
+
+  test("per-source KL divergence equals a driver-side exact grid replay; " +
+      "a corpus-matching source scores near zero, a skewed one higher") {
+    val sess = spark; import sess.implicits._
+    import java.nio.file.Files
+    def lq(x: Long): Long = math.floor(1e6 * math.log(x.toDouble)).toLong
+    def ref(bySource: Map[String, Seq[String]])
+        : Map[String, (Long, Long, Long)] = {
+      val corpus = bySource.values.flatten.toSeq
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = BigInt(corpus.values.sum)
+      bySource.map { case (src, toks) =>
+        val cs = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val ns = BigInt(toks.size)
+        val ts = cs.map { case (w, c) =>
+          BigInt(c) * (lq(c) - lq(ns.toLong) - lq(corpus(w)) + lq(n.toLong))
+        }.sum
+        src -> ((toks.size.toLong, cs.size.toLong, (ts / ns).toLong))
+      }
+    }
+    // "match" draws from the corpus-majority distribution; "skew" is
+    // concentrated on one token the rest of the corpus barely uses
+    val bySource = Map(
+      "match" -> (Seq.fill(40)("a") ++ Seq.fill(20)("b") ++ Seq.fill(10)("c")),
+      "also"  -> (Seq.fill(80)("a") ++ Seq.fill(40)("b") ++ Seq.fill(20)("c")),
+      "skew"  -> (Seq.fill(65)("z") ++ Seq.fill(5)("a")))
+    val tmp = Files.createTempDirectory("graft_kldiv").toString
+    bySource.toSeq.zipWithIndex
+      .map { case ((src, ts), i) => (i.toLong, ts.mkString(" "), src) }
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+      .write.parquet(s"$tmp/documents.parquet")
+    val want = ref(bySource)
+    val got = TextOps.qDocKldiv(spark, tmp).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_distinct"),
+          r.getAs[Long]("kl_scaled")))).toMap
+    assert(got == want, s"got $got\nwant $want")
+    // the skewed source must dominate both corpus-shaped ones clearly
+    assert(got("skew")._3 > got("match")._3 + 500000 &&
+      got("skew")._3 > got("also")._3 + 500000, s"got $got")
+    // corpus run: exact replay too (the real gate input)
+    val corpusSrc = Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).view
+      .mapValues(_.flatMap(_._2.trim.split(" +")).toSeq).toMap
+    val wantC = ref(corpusSrc.toMap)
+    val gotC = TextOps.qDocKldiv(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_distinct"),
+          r.getAs[Long]("kl_scaled")))).toMap
+    assert(gotC == wantC)
+    assert(gotC.nonEmpty)
+  }
 }

@@ -139,6 +139,50 @@ class WibSpec extends GraftSpec {
     assert(got.values.map(_._1).sum > 0)
   }
 
+  test("channel status equals a driver-side exact integer reference " +
+      "(quantized variances, doubled median, Hampel gate)") {
+    val c = WibFrame.Channels
+    val t = WibFrame.TicksPerChannel
+    // reference: per-channel samples straight off the generator bytes
+    val byChannel = (for {
+      s <- 0 until WibGen.Streams
+      f <- 0 until WibGen.FramesPerStream
+      bytes = WibGen.payload(s, f)
+      j <- 0 until (c * t)
+    } yield {
+      val off = WibFrame.HeaderBytes + 2 * j
+      val v = ((bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)).toLong
+      (s.toLong * c + j % c, v)
+    }).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val qOf = byChannel.view.mapValues { ss =>
+      val n = BigInt(ss.size)
+      val a = n * ss.map(x => BigInt(x) * x).sum -
+        ss.map(BigInt(_)).sum * ss.map(BigInt(_)).sum
+      (a, (BigInt(1000000) * a / (n * n)).toLong)
+    }.toMap
+    val sorted = qOf.toSeq.map { case (ch, (_, q)) => (q, ch) }.sorted
+    val k = sorted.size
+    val med2q = sorted((k + 1) / 2 - 1)._1 + sorted((k + 2) / 2 - 1)._1
+    val want = qOf.map { case (ch, (a, q)) =>
+      ch -> ((byChannel(ch).size.toLong, q,
+        if (a == 0) "dead" else if (q > 2 * med2q) "noisy" else "good"))
+    }
+    val got = Wib.qWibBadchannels(spark, sf).collect()
+      .map(r => r.getAs[Long]("channel") ->
+        ((r.getAs[Long]("n_samples"), r.getAs[Long]("var_scaled"),
+          r.getAs[String]("status")))).toMap
+    assert(got == want, s"first diffs: ${
+      got.toSeq.sortBy(_._1).zip(want.toSeq.sortBy(_._1))
+        .filter(p => p._1 != p._2).take(3)}")
+    assert(got.size == WibGen.Streams * c)
+    // the fixture's planted-pulse channels carry real variance; nothing
+    // in it is stuck, so no dead channels — and the med2q column agrees
+    assert(got.values.forall(_._3 != "dead"))
+    val medCol = Wib.qWibBadchannels(spark, sf)
+      .select("med2q").distinct().collect()
+    assert(medCol.length == 1 && medCol(0).getLong(0) == med2q)
+  }
+
   test("the frame scan stays in whole-stage codegen (no UDF boundary)") {
     val df = Wib.qWibPedestal(spark, sf)
     df.collect() // finalize the adaptive plan so codegen spans materialize
