@@ -1445,6 +1445,125 @@ object TextOps {
        |    AS BIGINT) AS DOUBLE) / CAST(1000000 AS DOUBLE) AS slope
        |FROM stats CROSS JOIN fit""".stripMargin
 
+  /** Checkpoints for the Heaps'-law vocabulary-growth fit (bounded by
+    * construction). */
+  val HeapsK = 20
+
+  /** HEAPS'-LAW / VOCABULARY-GROWTH REPORT (Heaps 1978 — natural text
+    * grows vocabulary as V(n) ≈ K·n^β with β ≈ 0.4–0.6; a saturating
+    * curve flags a templated/closed-vocabulary corpus, super-linear
+    * growth flags encoding damage — the companion card to q_doc_zipf):
+    * the OLS log-log slope of vocabulary size V(p) against corpus
+    * position p at [[HeapsK]] checkpoints p_j = ⌊j·N/K⌋. Exactness: the
+    * GLOBAL position of every token occurrence is an exact integer (the
+    * q_doc_pack two-phase prefix sum over doc_id order), a word's first
+    * occurrence fp = min pos is exact, the checkpoint a word first
+    * lands in is the integer ceil-division j₀ = ⌈K·fp/N⌉ (floor(j·N/K)
+    * ≥ fp ⟺ j·N ≥ K·fp for integers — no float ever buckets), V(p_j)
+    * cumulates j₀-counts over the K-row frame, and the OLS fold rides
+    * the q_doc_zipf quantized-log grid with the (1e6·num) DIV den rule.
+    *
+    * Scale shape: one corpus scan for offsets + the (tok, pos) explode,
+    * a vocabulary-bounded min-aggregate, a ≤K-row bucket count; all
+    * window math on K-row or bucket-count frames (the pack-bucket
+    * discipline keeps the offset window KB-scale). */
+  def qDocHeaps(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def lq(c: Column): Column =
+      floor(lit(1e6) * log(c.cast("double"))).cast("long")
+    val K = HeapsK
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("long").as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .withColumn("bucket", expr(s"doc_id DIV $PackBucket"))
+    val bw = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketOffsets = docs.groupBy(col("bucket"))
+      .agg(sum(col("n_tok")).as("bsum"))
+      .withColumn("boffset", coalesce(sum(col("bsum")).over(bw), lit(0L)))
+      .select(col("bucket"), col("boffset"))
+    val ww = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val firsts = docs.join(broadcast(bucketOffsets), "bucket")
+      .withColumn("off",
+        col("boffset") + coalesce(sum(col("n_tok")).over(ww), lit(0L)))
+      .select(col("off"), posexplode(col("toks")).as(Seq("i", "tok")))
+      .select(col("tok"), (col("off") + col("i") + 1).as("pos"))
+      .groupBy(col("tok")).agg(min(col("pos")).as("fp"))
+    val nv = docs.agg(sum(col("n_tok")).cast("long").as("n"))
+    val vocab = firsts.agg(count(lit(1)).as("vocab_size"))
+    val j0 = firsts.crossJoin(broadcast(nv))
+      .select(expr(s"($K * fp + n - 1) DIV n").as("j0"))
+      .groupBy(col("j0")).agg(count(lit(1)).as("c"))
+    val ck = s.range(1, K + 1).select(col("id").as("j"))
+    val fit = ck
+      .join(j0, col("j0") <= col("j")) // K×K at most: model-sized
+      .groupBy(col("j")).agg(sum(col("c")).cast("long").as("v"))
+      .crossJoin(broadcast(nv))
+      .select(expr(s"(j * n) DIV $K").as("p"), col("v"))
+      .filter(col("p") >= 1 && col("v") >= 1) // degenerate tiny corpora
+      .select(lq(col("p")).as("x"), lq(col("v")).as("y"))
+      .agg(count(lit(1)).as("k"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("k"),
+        expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * (k * sxy - sx * sy)" +
+          " DIV (CAST(k AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0))" +
+          " * sx) AS BIGINT)").as("slope_scaled"))
+    fit.crossJoin(broadcast(nv)).crossJoin(broadcast(vocab))
+      .select(col("n").as("n_tokens"), col("vocab_size"), col("k"),
+        col("slope_scaled"),
+        (col("slope_scaled").cast("double") / 1000000.0).as("beta"))
+  }
+
+  def qDocHeapsSql: String = {
+    val k = HeapsK
+    s"""WITH t AS (SELECT doc_id,
+       |    regexp_split_to_array(trim(text), ' +') AS toks FROM documents),
+       |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok, toks
+       |  FROM t WHERE len(toks) > 0),
+       |o AS (SELECT doc_id, n_tok, toks,
+       |  CAST(COALESCE(sum(n_tok) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    AS off
+       |  FROM d),
+       |fp AS (SELECT toks[i] AS tok, CAST(min(off + i) AS BIGINT) AS fp
+       |  FROM o, unnest(range(1, CAST(len(toks) AS BIGINT) + 1)) AS r(i)
+       |  GROUP BY 1),
+       |nn AS (SELECT CAST(sum(n_tok) AS BIGINT) AS n FROM d),
+       |vv AS (SELECT CAST(count(*) AS BIGINT) AS vocab_size FROM fp),
+       |j0 AS (SELECT ($k * fp + n - 1) // n AS j0,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM fp CROSS JOIN nn GROUP BY 1),
+       |vj AS (SELECT ck.j, CAST(sum(j0.c) AS BIGINT) AS v
+       |  FROM unnest(range(1, $k + 1)) AS ck(j) JOIN j0 ON j0.j0 <= ck.j
+       |  GROUP BY ck.j),
+       |xy AS (SELECT
+       |    CAST(floor(1e6 * ln(CAST((j * n) // $k AS DOUBLE))) AS BIGINT)
+       |      AS x,
+       |    CAST(floor(1e6 * ln(CAST(v AS DOUBLE))) AS BIGINT) AS y
+       |  FROM vj CROSS JOIN nn
+       |  WHERE (j * n) // $k >= 1 AND v >= 1),
+       |fit AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS k,
+       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |    CAST(sum(x * y) AS BIGINT) AS sxy,
+       |    CAST(sum(x * x) AS BIGINT) AS sxx
+       |  FROM xy
+       |)
+       |SELECT n AS n_tokens, vocab_size, k,
+       |  CAST(CAST(1000000 AS HUGEINT) * (k * sxy - sx * sy)
+       |    // (CAST(k AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+       |    AS BIGINT) AS slope_scaled,
+       |  CAST(CAST(CAST(1000000 AS HUGEINT) * (k * sxy - sx * sy)
+       |    // (CAST(k AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+       |    AS BIGINT) AS DOUBLE) / CAST(1000000 AS DOUBLE) AS beta
+       |FROM fit CROSS JOIN nn CROSS JOIN vv""".stripMargin
+  }
+
   /** Candidate-phrase length cap for [[qDocRake]] (the practical RAKE
     * variant: unbounded runs on low-stopword text degenerate into
     * whole-document "phrases" and unbounded strings at scale). */

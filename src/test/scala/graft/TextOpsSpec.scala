@@ -383,4 +383,62 @@ class TextOpsSpec extends GraftSpec {
     assert(gotC == wantC)
     assert(gotC.nonEmpty)
   }
+
+  test("Heaps' law: exact replay on the corpus; a planted sqrt-growth " +
+      "vocabulary fits beta near 1/2") {
+    val sess = spark; import sess.implicits._
+    import java.nio.file.Files
+    def lq(x: Long): Long = math.floor(1e6 * math.log(x.toDouble)).toLong
+    val K = TextOps.HeapsK
+    // driver reference: doc_id-ordered token stream → first positions →
+    // checkpoint buckets → quantized-log OLS
+    def ref(docs: Seq[(Long, Seq[String])]): (Long, Long, Long) = {
+      val stream = docs.sortBy(_._1).flatMap(_._2)
+      val n = stream.size.toLong
+      val firsts = stream.zipWithIndex
+        .groupBy(_._1).view.mapValues(_.map(_._2 + 1L).min).toMap
+      val pts = (1 to K).map { j =>
+        val p = j * n / K
+        (p, firsts.values.count(_ <= p).toLong)
+      }.filter(t => t._1 >= 1 && t._2 >= 1)
+      val xs = pts.map(t => BigInt(lq(t._1)))
+      val ys = pts.map(t => BigInt(lq(t._2)))
+      val k = BigInt(pts.size)
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+      val sxx = xs.map(x => x * x).sum
+      (n, firsts.size.toLong,
+        (BigInt(1000000) * (k * sxy - sx * sy) / (k * sxx - sx * sx)).toLong)
+    }
+    // planted: token at global position t is w_ceil(sqrt(t)) → V(n) =
+    // ceil(sqrt(n)), the Heaps curve with beta = 1/2 exactly
+    val planted: Seq[(Long, Seq[String])] = (0 until 40).map { d =>
+      d.toLong -> (1 to 25).map { i =>
+        val t = d * 25 + i
+        s"w${math.ceil(math.sqrt(t.toDouble)).toLong}"
+      }
+    }
+    val tmp = Files.createTempDirectory("graft_heaps").toString
+    planted.map { case (id, ts) => (id, ts.mkString(" ")) }
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("fix"))
+      .withColumn("n_chars", length(col("text")))
+      .write.parquet(s"$tmp/documents.parquet")
+    val gotP = TextOps.qDocHeaps(spark, tmp).collect().head
+    val wantP = ref(planted)
+    assert((gotP.getAs[Long]("n_tokens"), gotP.getAs[Long]("vocab_size"),
+      gotP.getAs[Long]("slope_scaled")) == wantP, s"planted: $gotP vs $wantP")
+    assert(gotP.getAs[Double]("beta") > 0.40 &&
+      gotP.getAs[Double]("beta") < 0.60,
+      s"sqrt-growth corpus should fit beta ~ 0.5: ${gotP.getAs[Double]("beta")}")
+    // corpus: replay equality (the saturating word-soup vocabulary reads
+    // a near-zero slope — that IS the diagnostic)
+    val corpus = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split(" +").toSeq).toSeq
+    val gotC = TextOps.qDocHeaps(spark, sf).collect().head
+    val wantC = ref(corpus)
+    assert((gotC.getAs[Long]("n_tokens"), gotC.getAs[Long]("vocab_size"),
+      gotC.getAs[Long]("slope_scaled")) == wantC, s"corpus: $gotC vs $wantC")
+  }
 }
