@@ -349,6 +349,74 @@ object Streams {
       }
   }
 
+  /** Late-arrival horizon for [[fanoMonitor]] (minutes retained per key
+    * for in-place increments — the monitor's watermark analogue). */
+  val FanoHorizonMinutes = 64L
+
+  case class FanoState(open: Map[Long, Long], n: Long, sc2: Long,
+    minM: Long, maxM: Long, occupied: Long)
+  case class FanoReport(event_type: String, n_events: Long,
+    n_minutes: Long, n_occupied: Long, fano_scaled: Long, fano: Double)
+
+  /** Streaming FANO-FACTOR (dispersion) monitor — the live twin of the
+    * batch `q_evt_fano` Poisson-consistency audit: per event type,
+    * maintain exact integer counting-process statistics (total events
+    * n, Σc² over minute bins via the increment identity
+    * (c+1)² − c² = 2c+1, bin span [minM, maxM], occupied-bin count) and
+    * emit one report row per micro-batch with the same
+    * (k·Σc² − n²)/((k−1)·n) dispersion the batch operator computes —
+    * empty minutes counted implicitly, never materialized. State is a
+    * handful of longs plus the open-minute map, BOUNDED by
+    * [[FanoHorizonMinutes]] (older bins evict once their counts are
+    * folded — an event arriving later than the horizon would re-open a
+    * bin at zero, the documented late-data contract; within the horizon
+    * replay is bit-exact like the CUSUM monitor). The report math runs
+    * in BigInt on fold-side longs, so the emitted scaled value is the
+    * exact integer floor — identical to the batch operator on the same
+    * prefix. */
+  def fanoMonitor(spark: SparkSession,
+      events: DataFrame): Dataset[FanoReport] = {
+    import spark.implicits._
+    events
+      .filter(col("ts").isNotNull)
+      .select(col("event_type"),
+        floor(unix_timestamp(col("ts")) / 60).cast("long").as("m"),
+        col("event_id"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FanoState, FanoReport](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, it, state) =>
+          val rows = it.toSeq.sortBy(r => (r._2, r._3))
+          var st = state.getOption.getOrElse(
+            FanoState(Map.empty, 0L, 0L, Long.MaxValue, Long.MinValue, 0L))
+          val open = scala.collection.mutable.Map[Long, Long](
+            st.open.toSeq: _*)
+          var (n, sc2, minM, maxM, occ) =
+            (st.n, st.sc2, st.minM, st.maxM, st.occupied)
+          rows.foreach { case (_, m, _) =>
+            val c = open.getOrElse(m, 0L)
+            if (c == 0L) occ += 1
+            open(m) = c + 1
+            sc2 += 2 * c + 1
+            n += 1
+            if (m < minM) minM = m
+            if (m > maxM) maxM = m
+          }
+          val kept = open.filter { case (m, _) =>
+            m >= maxM - FanoHorizonMinutes }.toMap
+          state.update(FanoState(kept, n, sc2, minM, maxM, occ))
+          val k = maxM - minM + 1
+          if (n == 0L || k < 2) Iterator.empty
+          else {
+            val fs = (BigInt(1000000) * (BigInt(k) * sc2 - BigInt(n) * n) /
+              (BigInt(k - 1) * n)).toLong
+            Iterator.single(FanoReport(key, n, k, occ, fs,
+              fs.toDouble / 1000000.0))
+          }
+      }
+  }
+
   /** Stream-static enrichment: the event stream joined against a static
     * readout-map dim (cf. the dromap join, §2.B) — Spark broadcasts the
     * static side into every micro-batch; no stream-side state. */

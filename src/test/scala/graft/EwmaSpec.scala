@@ -8,6 +8,11 @@ import java.sql.Timestamp
 
 /** Streaming EWMA anomaly monitor (Streams.ewmaAnomalies): alarms equal
   * the driver-computed recurrence exactly, across micro-batch splits. */
+/** Top-level (not spec-inner): product encoders for parquet round-trips
+  * need a class without an outer scope. */
+case class FanoEvt(event_id: Long, ts: Timestamp, user_id: Long,
+  event_type: String, value: Double)
+
 class EwmaSpec extends GraftSpec {
 
   case class RawEvt(event_id: Long, ts: Timestamp, user_id: Long,
@@ -135,5 +140,62 @@ class EwmaSpec extends GraftSpec {
         .map(_.getLong(0)).sorted.toSeq
     } finally q.stop()
     assert(got == (1034L to 1039L), s"got $got")
+  }
+
+  test("streaming Fano monitor: the final per-type report equals the " +
+      "batch q_evt_fano over the same events, one-shot and split") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sq = spark.sqlContext
+    val base = 1700000000000L
+    def evt(id: Long, tpe: String, minute: Long, sub: Int) =
+      FanoEvt(id, new Timestamp(base + minute * 60000L + sub * 1000L),
+        1L, tpe, 1.0)
+    // type "bursty": 5+3 events in two minutes of a 10-minute span;
+    // type "steady": one event per minute for 8 minutes
+    val all =
+      (0 until 5).map(i => evt(100 + i, "bursty", 0, i)) ++
+        (0 until 3).map(i => evt(200 + i, "bursty", 9, i)) ++
+        (0 until 8).map(i => evt(300 + i, "steady", i, 0))
+    // batch reference: the gate operator over the same rows on disk
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fano").toString
+    all.toDF().withColumn("props", lit("{}"))
+      .write.parquet(s"$tmp/events.parquet")
+    val want = graft.operators.Events.qEvtFano(spark, tmp).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("n_minutes"),
+          r.getAs[Long]("n_occupied"), r.getAs[Long]("fano_scaled"))))
+      .toMap
+    def run(batches: Seq[Seq[FanoEvt]], name: String)
+        : Map[String, (Long, Long, Long, Long)] = {
+      val mem = MemoryStream[FanoEvt]
+      val q = graft.streaming.Streams.fanoMonitor(spark, mem.toDF())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+        // last emitted row per type = the final report
+        spark.table(name).collect()
+          .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_events"),
+            r.getAs[Long]("n_minutes"), r.getAs[Long]("n_occupied"),
+            r.getAs[Long]("fano_scaled")))
+          .groupBy(_._1).view
+          .mapValues(rows => {
+            val last = rows.maxBy(_._2) // n_events grows monotonically
+            (last._2, last._3, last._4, last._5)
+          }).toMap
+      } finally q.stop()
+    }
+    val oneShot = run(Seq(all), "fano_one")
+    assert(oneShot == want, s"one-shot: $oneShot vs $want")
+    val split = run(Seq(all.take(7), all.slice(7, 12), all.drop(12)),
+      "fano_split")
+    assert(split == want, s"split diverged: $split vs $want")
+    // hand check: bursty = k 10, S 8, sum c^2 34 →
+    // 1e6*(340-64)/(9*8) = 3833333; steady is exactly Poisson-flat? no:
+    // one per minute every minute has ZERO variance → fano 0... var =
+    // (8*8 - 64)/... = 0 → dispersion 0 (clock-driven source, F << 1)
+    assert(oneShot("bursty")._4 == 3833333L)
+    assert(oneShot("steady")._4 == 0L)
   }
 }
