@@ -751,6 +751,51 @@ object Multimodal {
     }
   }
 
+  case class MfccFeatures(media_id: Long, window_idx: Int,
+    mfcc: Seq[Double])
+
+  /** MFCC — the classic compact acoustic feature (Davis & Mermelstein
+    * 1980; what speech models consumed for four decades and what audio
+    * indexing/clustering pipelines still key on): the orthonormal DCT-II
+    * of the [[melFeatures]] log-mel vector, first `nCoeffs` coefficients
+    * (c₀ = overall log-energy included — the HTK convention). The DCT
+    * decorrelates the overlapping mel bands, so Euclidean distance on
+    * MFCCs behaves — that is the whole point of the transform.
+    *
+    * Execution shape: a NARROW typed map over the mel windows (nMels
+    * doubles in, nCoeffs doubles out, no shuffle anywhere — payloads
+    * were already gone after the mel pass); the cosine basis builds once
+    * per partition. Undecodable markers (window_idx = −1) pass through
+    * with an empty vector, the file-wide discipline. */
+  def mfccFeatures(mel: Dataset[MelFeatures],
+      nCoeffs: Int = 13): Dataset[MfccFeatures] = {
+    require(nCoeffs > 0, "nCoeffs must be positive")
+    import mel.sparkSession.implicits._
+    mel.mapPartitions { it =>
+      val cache = scala.collection.mutable.Map[Int, Array[Array[Double]]]()
+      def basis(n: Int): Array[Array[Double]] =
+        cache.getOrElseUpdate(n, Array.tabulate(math.min(nCoeffs, n)) { i =>
+          val scale = if (i == 0) math.sqrt(1.0 / n) else math.sqrt(2.0 / n)
+          Array.tabulate(n)(j =>
+            scale * math.cos(math.Pi * i * (j + 0.5) / n))
+        })
+      it.map { m =>
+        if (m.window_idx < 0 || m.logmel.isEmpty)
+          MfccFeatures(m.media_id, m.window_idx, Seq.empty)
+        else {
+          val v = m.logmel.toArray
+          val b = basis(v.length)
+          val out = Array.tabulate(b.length) { i =>
+            var s = 0.0; var j = 0
+            while (j < v.length) { s += b(i)(j) * v(j); j += 1 }
+            s
+          }
+          MfccFeatures(m.media_id, m.window_idx, out.toSeq)
+        }
+      }
+    }
+  }
+
   case class VadWindow(media_id: Long, window_idx: Int, rms: Double,
     flatness: Double, active: Boolean)
   case class VadSegment(media_id: Long, seg_idx: Int, start_window: Int,
@@ -1091,6 +1136,78 @@ object Multimodal {
       .toDF("media_id", "dhash")
   }
 
+  /** 64-bit PERCEPTUAL DCT HASH (pHash — the other canonical perceptual
+    * fingerprint next to dHash; keyed on the image's low-frequency
+    * STRUCTURE rather than local gradients, so it tolerates blur and
+    * re-compression better while dHash tolerates crops better — real
+    * dedup pipelines run both and union the decisions): decode → luma →
+    * 32×32 bilinear downsample → 2-D orthogonal DCT-II → the top-left
+    * 8×8 low-frequency block → one bit per coefficient, thresholded at
+    * the MEDIAN of the 63 AC coefficients (DC excluded from the
+    * threshold — it is raw brightness). Pure per-image function of the
+    * bytes (the double DCT is sequential arithmetic, identical on every
+    * partitioning); None = undecodable, data not exceptions. */
+  def phash64(payload: Array[Byte]): Option[Long] = {
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) return None
+      val n = 32
+      val small = new java.awt.image.BufferedImage(n, n,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = small.createGraphics()
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, n, n, null)
+      g.dispose()
+      val luma = Array.tabulate(n, n) { (y, x) =>
+        val rgb = small.getRGB(x, y)
+        ((299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff)
+          + 114 * (rgb & 0xff)) / 1000).toDouble
+      }
+      // separable orthogonal DCT-II: rows then columns (32×32 — tiny)
+      def dct1(v: Array[Double]): Array[Double] =
+        Array.tabulate(v.length) { u =>
+          val scale = if (u == 0) math.sqrt(1.0 / v.length)
+            else math.sqrt(2.0 / v.length)
+          var s = 0.0; var i = 0
+          while (i < v.length) {
+            s += v(i) * math.cos(math.Pi * u * (i + 0.5) / v.length)
+            i += 1
+          }
+          scale * s
+        }
+      val rows = luma.map(dct1)
+      val coef = Array.tabulate(8, 8) { (v, u) =>
+        dct1(Array.tabulate(n)(y => rows(y)(u)))(v)
+      }
+      val ac = (for (v <- 0 until 8; u <- 0 until 8 if v != 0 || u != 0)
+        yield coef(v)(u)).sorted
+      val median = ac(ac.length / 2) // 63 values: the middle one
+      var bits = 0L
+      var k = 0
+      var v = 0
+      while (v < 8) {
+        var u = 0
+        while (u < 8) {
+          if (coef(v)(u) > median) bits |= (1L << k)
+          k += 1; u += 1
+        }
+        v += 1
+      }
+      Some(bits)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Distributed pHash pass — same narrow-map shape as [[imageDhash]];
+    * the `dhash` column name is kept so the banded [[imageNearDups]]
+    * machinery (pigeonhole-complete for Hamming ≤ 7) applies verbatim. */
+  def imagePhash(items: Dataset[MediaItem]): DataFrame = {
+    import items.sparkSession.implicits._
+    items.map(m => (m.media_id, phash64(m.payload)))
+      .toDF("media_id", "dhash")
+  }
+
   /** NEAR-DUP IMAGE DECISIONS over a (media_id, dhash) relation — the
     * multimodal member of the dedup family (§2.D), same discipline:
     * banded candidate generation (8 bands × 8 bits; pigeonhole-COMPLETE
@@ -1176,6 +1293,16 @@ object Multimodal {
     * completeness vs brute force). */
   def qMediaDedup(s: SparkSession, d: String): DataFrame =
     imageNearDups(imageDhash(nearDupMediaTable(s, 48, 12)))
+      .orderBy(col("media_id"))
+
+  /** pHash near-dup decisions over the same planted corpus — the DCT
+    * fingerprint run through the identical banded machinery ([rows]:
+    * like q_media_dedup, hash bits are platform-deterministic but
+    * engine-specific; MultimodalSpec anchors resize stability,
+    * discrimination, the ≤1-bit brightness-offset property, and banding
+    * completeness vs brute force). */
+  def qMediaPhashdup(s: SparkSession, d: String): DataFrame =
+    imageNearDups(imagePhash(nearDupMediaTable(s, 48, 12)))
       .orderBy(col("media_id"))
 
   // ---------------------------------------------- oracle-able raw-byte dedup

@@ -477,6 +477,112 @@ class MultimodalSpec extends GraftSpec {
     assert(banded.nonEmpty)
   }
 
+  test("perceptual pHash: resize-stable, discriminative, brightness " +
+      "offset moves at most the DC bit, banded decisions work") {
+    val sess = spark
+    import sess.implicits._
+    def smoothPng(pat: Long, w: Int, h: Int, bright: Int = 0): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach { y =>
+        (0 until w).foreach { x =>
+          val fx = x.toDouble / w; val fy = y.toDouble / h
+          def clamp(v: Int) = math.max(0, math.min(255, v + bright))
+          val r = clamp(((math.sin(2 * math.Pi * (fx * (1 + pat % 3) + pat * 0.37)) + 1) * 100).toInt)
+          val g = clamp(((math.sin(2 * math.Pi * (fy * (1 + pat % 4) + pat * 0.11)) + 1) * 100).toInt)
+          val b = clamp(((math.cos(2 * math.Pi * (fx * fy + pat * 0.23)) + 1) * 100).toInt)
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        }
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    def item(id: Long, payload: Array[Byte]) =
+      Multimodal.MediaItem(id, Multimodal.MediaMeta("image", 0, 0, 0, 0L), payload)
+    val pats = 0L until 5L
+    val items = spark.createDataset(
+      pats.map(p => item(p, smoothPng(p, 64, 64))) ++
+        pats.take(2).map(p => item(100 + p, smoothPng(p, 96, 96))) ++
+        Seq(item(200, smoothPng(3, 64, 64))) ++          // byte-identical
+        Seq(item(210, smoothPng(2, 64, 64, bright = 25))) ++ // brighter twin
+        Seq(item(300, "not an image".getBytes("UTF-8"))))
+    val hs = Multimodal.imagePhash(items).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(hs(300L).isEmpty, "junk must hash to null")
+    assert(hs(200L) == hs(3L), "byte-identical payloads must hash equal")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(hs(a).get ^ hs(b).get)
+    pats.take(2).foreach { p =>
+      assert(ham(p, 100 + p) <= 7, s"pattern $p resize moved ${ham(p, 100 + p)} bits")
+    }
+    for (a <- pats; b <- pats if a < b)
+      assert(ham(a, b) > 7, s"patterns $a,$b too close: ${ham(a, b)}")
+    // a uniform brightness offset only moves the DC coefficient; the AC
+    // median and AC bits stay — pHash's structural-invariance property
+    // (clamping at 255 can leak a little; allow the DC bit + 2)
+    assert(ham(2L, 210L) <= 3, s"brightness moved ${ham(2L, 210L)} bits")
+    // the gate query runs end to end with planted twins collapsing
+    val dec = Multimodal.qMediaPhashdup(spark, "").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(dec(100000L)._2 && dec(100001L)._2, "planted twins must match")
+    assert(dec.nonEmpty)
+  }
+
+  test("MFCC: coefficients equal a naive DCT-II of the log-mel vector, " +
+      "c0 tracks energy, undecodable rows pass through") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val (rate, win, nMels, frames) = (8000, 256, 20, 512)
+    def toneWav(hz: Double, amp: Double): Array[Byte] = {
+      val bytes = new Array[Byte](frames * 2)
+      (0 until frames).foreach { i =>
+        val s = math.round(amp * math.sin(2 * math.Pi * hz * i / rate)).toInt
+        bytes(i * 2) = (s & 0xff).toByte
+        bytes(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val fmt = new AudioFormat(rate.toFloat, 16, 1, true, false)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, frames.toLong),
+        AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val items = spark.createDataset(Seq(
+      Multimodal.MediaItem(1L, Multimodal.MediaMeta("audio", 0, 0, rate, 0),
+        toneWav(1000.0, 8000.0)),
+      Multimodal.MediaItem(2L, Multimodal.MediaMeta("audio", 0, 0, rate, 0),
+        toneWav(1000.0, 800.0)), // same tone, 20 dB quieter
+      Multimodal.MediaItem(3L, Multimodal.MediaMeta("audio", 0, 0, rate, 0),
+        "junk".getBytes("UTF-8"))))(
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaItem])
+    val mel = Multimodal.melFeatures(Multimodal.decodeAudio(items), win, nMels)
+    val mels = mel.collect().map(m => (m.media_id, m.window_idx) -> m.logmel).toMap
+    val got = Multimodal.mfccFeatures(mel, 13).collect()
+      .map(m => (m.media_id, m.window_idx) -> m.mfcc).toMap
+    // undecodable marker passes through empty
+    assert(got((3L, -1)).isEmpty)
+    // bin-exact naive reference
+    got.foreach { case ((id, w), cs) =>
+      if (w >= 0) {
+        val v = mels((id, w))
+        val n = v.length
+        assert(cs.length == 13)
+        cs.zipWithIndex.foreach { case (c, i) =>
+          val scale = if (i == 0) math.sqrt(1.0 / n) else math.sqrt(2.0 / n)
+          // scale folds into each basis element BEFORE the product, the
+          // operator's evaluation order — bit-equality, not tolerance
+          val want = v.zipWithIndex.map { case (x, j) =>
+            (scale * math.cos(math.Pi * i * (j + 0.5) / n)) * x }.sum
+          assert(c == want, s"($id,$w) c$i: $c vs $want")
+        }
+      }
+    }
+    // c0 = sqrt(1/N)*sum(logmel) is monotone in energy: the quieter tone
+    // scores a smaller c0 in every window
+    val w0 = got.keys.collect { case (1L, w) if w >= 0 => w }
+    w0.foreach { w => assert(got((1L, w))(0) > got((2L, w))(0)) }
+  }
+
   test("activity detection: silence/tone/noise windows classify by " +
       "energy + spectral flatness; adjacent classes merge into segments; " +
       "undecodables pass through") {
