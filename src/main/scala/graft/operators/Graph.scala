@@ -373,6 +373,88 @@ object Graph {
       |FROM (SELECT unnest([a, b, c]) AS part_id FROM t)
       |GROUP BY part_id ORDER BY part_id""".stripMargin
 
+  /** K-CORE DECOMPOSITION (Seidman 1983 — the maximal subgraph where
+    * every node keeps degree ≥ k; the standard "dense-enough
+    * neighborhood" filter a curation pipeline runs between connected
+    * components and communities: periphery nodes peel away, cohesive
+    * cores remain): iterative peeling — drop every node whose CURRENT
+    * degree is below k, restrict the edge set to survivors, repeat to
+    * the fixpoint. Fully deterministic (the fixpoint is unique — the
+    * peel order never matters), so a driver-side replay is an exact
+    * contract even though the ROUND COUNT is data-dependent (which is
+    * why this is [rows]+spec, not oracle: no static CTE unroll exists).
+    *
+    * Loop discipline = [[connectedComponents]]: dedicated child session,
+    * AQE OFF, graph-scaled shuffle width, ONE localCheckpoint barrier +
+    * ONE count per round (the count doubles as the convergence test).
+    * Every frame is edge- or node-scaled; nothing driver-side. The
+    * round cap is a safety net sized for peel DEPTH (a path graph peels
+    * from its ends — depth can reach diameter/2), and non-convergence
+    * fails loudly rather than returning a wrong partial core. */
+  def kCore(edges0: DataFrame, src: String, dst: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val caller = edges0.sparkSession
+    val spark = caller.newSession()
+    val partsWas = caller.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    import org.apache.spark.sql.GraftShim
+    val e = GraftShim.ofRows(spark, GraftShim.logicalPlan(edges0))
+      .filter(col(src) =!= col(dst))
+      .select(least(col(src), col(dst)).cast("long").as("a"),
+        greatest(col(src), col(dst)).cast("long").as("b"))
+      .distinct()
+    var und = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      .select(col("a").as("v"), col("b").as("u"))
+      .localCheckpoint()
+    var prev = und.count()
+    val loopParts = math.max(1L,
+      math.min(partsWas.toLong, prev / 1000000L + 1L))
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < 256) {
+      val keep = und.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("v"))
+      val next = und
+        .join(keep, "v") // v-side survivor restriction
+        .join(keep.select(col("v").as("u")), "u") // u-side
+        .select(col("v"), col("u"))
+        .localCheckpoint() // the round's single materialization barrier
+      val cnt = next.count()
+      changed = prev - cnt
+      prev = cnt
+      und = next
+      round += 1
+    }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"kCore did not converge in $round rounds — refusing to return " +
+          "a partial (non-fixpoint) core")
+    val res = und.groupBy(col("v")).agg(count(lit(1)).as("core_deg"))
+      .select(col("v").as("node"), col("core_deg"))
+    GraftShim.ofRows(caller, GraftShim.logicalPlan(res))
+  }
+
+  /** Core order for the gate query (3-core: the first genuinely cohesive
+    * shell — 2-cores keep every cycle). */
+  val KCoreK = 3
+
+  /** Driver-gate query [rows]: members of the co-purchase graph's
+    * [[KCoreK]]-core with their within-core degrees (GraphPropertySpec
+    * replays the peel exactly on cliques, chains and random graphs). */
+  def qGraphKcore(spark: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val li = spark.read.parquet(s"$d/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val edges = li.as("x").join(li.as("y"), "ok")
+      .filter(col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("a"), col("y.pk").as("b"))
+    kCore(edges, "a", "b", KCoreK)
+      .select(col("node").as("part_id"), col("core_deg"))
+      .orderBy(col("part_id"))
+  }
+
   /** DEGREE ASSORTATIVITY (Newman 2002 — do high-degree nodes attach to
     * high-degree nodes?): the Pearson correlation of endpoint degrees
     * over all edge orientations. Social/co-occurrence graphs run

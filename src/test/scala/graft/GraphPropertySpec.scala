@@ -235,4 +235,49 @@ class GraphPropertySpec extends GraftSpec {
       assert(got(edges) == ref(edges), s"diverged on n=$n m=$m")
     }
   }
+
+  test("k-core: peel fixpoint equals a driver-side replay on cliques, " +
+      "deep chains, and random graphs") {
+    def ref(edges0: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+      var edges = edges0.filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+      var changed = true
+      while (changed) {
+        val deg = edges.flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).view.mapValues(_.size).toMap
+        val keep = deg.filter(_._2 >= k).keySet
+        val next = edges.filter(e => keep(e._1) && keep(e._2))
+        changed = next.size != edges.size
+        edges = next
+      }
+      edges.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    }
+    def got(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] =
+      Graph.kCore(edges.toDF("s", "t"), "s", "t", k).collect()
+        .map(r => r.getAs[Long]("node") -> r.getAs[Long]("core_deg")).toMap
+    // K5 clique + a pendant chain: the clique IS the 3-core, all of the
+    // chain (and nothing of the clique) peels
+    val clique = for (i <- 1L to 5L; j <- (i + 1) to 5L) yield (i, j)
+    val chain = Seq((5L, 10L), (10L, 11L), (11L, 12L))
+    val g1 = got(clique ++ chain, 3)
+    assert(g1 == ref(clique ++ chain, 3))
+    assert(g1.keySet == (1L to 5L).toSet && g1.values.forall(_ == 4L))
+    // k=2 on a long path: peels one layer per round from both ends (the
+    // DEEP-peel case the round cap must survive) until nothing remains
+    val path = (0L until 30L).map(i => (i, i + 1))
+    assert(got(path, 2) == ref(path, 2))
+    assert(got(path, 2).isEmpty)
+    // a cycle is its own 2-core
+    val cycle = path :+ ((30L, 0L))
+    val g2 = got(cycle, 2)
+    assert(g2 == ref(cycle, 2) && g2.size == 31)
+    // random graphs, both orientations + duplicates in the input
+    val rnd = new scala.util.Random(53)
+    for ((n, m, k) <- Seq((20, 40, 3), (15, 70, 4), (25, 35, 2))) {
+      val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val doubled = edges ++ edges.map(e => (e._2, e._1))
+      assert(got(doubled, k) == ref(edges, k), s"diverged on n=$n m=$m k=$k")
+    }
+  }
 }
