@@ -227,6 +227,11 @@ object GraftSql {
       """(?:\s+(ZORDER)(?:\s+BY\s*\(([\w\s,]+)\))?)?\s*$""").r
   private val CtasRe =
     """(?is)^\s*CREATE\s+TABLE\s+(\w+)\s+LOCATION\s+'([^']+)'\s+AS\s+(SELECT\b.+)$""".r
+
+  // column-list CREATE of an EMPTY table: schema-only metadata commit
+  // (no AS SELECT — disjoint from CtasRe by construction)
+  private val CreateColsRe =
+    """(?is)^\s*CREATE\s+TABLE\s+(\w+)\s*\((.+)\)\s+LOCATION\s+'([^']+)'\s*$""".r
   // CREATE OR REPLACE: on a bound table, ONE atomic overwrite snapshot
   // (content replace, history preserved — time travel still sees the old
   // rows); on an unbound name, plain CTAS (LOCATION then required)
@@ -487,6 +492,23 @@ object GraftSql {
       val s2 = t.restore(snap)
       refresh(spark, name)
       snapFrame(spark, s2)
+    case CreateColsRe(name, colsDdl, dir) =>
+      // empty-table DDL: record the declared schema at snapshot 1 (one
+      // inert op="schema" row, zero data files — Lake.createTable); the
+      // table is immediately readable (0 rows, declared shape) and
+      // insertable. Column list parses via Spark's DDL grammar, so
+      // parameterized types (DECIMAL(10,2), ARRAY<...>) work.
+      require(registry.get((spark, name)) == null,
+        s"table '$name' is already SQL-bound — CREATE declares a new table")
+      val schema =
+        try org.apache.spark.sql.types.StructType.fromDDL(colsDdl)
+        catch { case e: Exception => sys.error(
+          s"CREATE TABLE column list '$colsDdl' does not parse: " +
+            e.getMessage) }
+      val t = GraftTable(spark, s"$dir/ledger", s"$dir/gen")
+      val snap = Lake.createTable(spark, t.ledgerDir, schema)
+      bind(name, t)
+      snapFrame(spark, snap)
     case CtasReplaceRe(name, dir, query) =>
       registry.get((spark, name)) match {
         case t: GraftTable =>

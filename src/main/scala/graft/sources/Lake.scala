@@ -2300,6 +2300,40 @@ object Lake {
     }
   }
 
+  /** COLUMN-LIST CREATE TABLE — declare an EMPTY table by schema alone
+    * (the `CREATE TABLE t (a BIGINT, …)` DDL every warehouse user types
+    * before the first load; until r14 only CTAS existed): the declared
+    * schema records at snapshot 1 with ONE inert op="schema" ledger row
+    * and ZERO data files — the same KB-scale metadata-commit shape as
+    * [[addColumns]]. The read path already serves it: an empty live set
+    * with a recorded schema reads as 0 rows of the declared shape (the
+    * TRUNCATE contract), so INSERT/MERGE/constraints work immediately.
+    * Refuses a location that already has snapshots — CREATE declares,
+    * never adopts. */
+  def createTable(spark: SparkSession, ledgerDir: String,
+      schema: org.apache.spark.sql.types.StructType): Long = {
+    require(schema.nonEmpty, "CREATE TABLE with no columns")
+    require(schema.fieldNames.map(_.toLowerCase).distinct.length ==
+      schema.length,
+      s"duplicate column name in ${schema.fieldNames.mkString(", ")}")
+    val snap = currentSnapshot(spark, ledgerDir)
+    require(snap <= 0,
+      s"table at '$ledgerDir' already has snapshots — CREATE TABLE " +
+        "declares a new table; bind or CREATE OR REPLACE the existing one")
+    val next = 1L
+    reserving(spark, ledgerDir, next) {
+      new java.io.File(s"$ledgerDir/_evolved").createNewFile()
+      recordSchema(ledgerDir, next, schema)
+      val action = removeActions(spark, Seq(s"_schema/schema-$next.json"))
+        .withColumn("op", lit("schema"))
+        .withColumn("snapshot_op", lit("create-table"))
+        .withColumn("stats", lit(null).cast(StatsType))
+      appendSnapshot(spark, ledgerDir, next, action, preReserved = true,
+        stagedSchema = true)
+      next
+    }
+  }
+
   /** Column names that appear in any PRIOR schema recording of this
     * table (KB driver-side read of the `_schema` JSON recordings) —
     * [[addColumns]]'s re-add guard input. */

@@ -1109,4 +1109,59 @@ class GraftSqlSpec extends GraftSpec {
     }
     assert(e4.getMessage.contains("ambiguous"), e4.getMessage)
   }
+
+  test("column-list CREATE TABLE: empty declared table reads 0 rows with " +
+      "the schema, takes INSERT/UPDATE/constraints, refuses misuse") {
+    val tmp = Files.createTempDirectory("graft_sql_create").toString
+    GraftSql.sql(spark,
+      s"CREATE TABLE ct_t (id BIGINT, name STRING, amt DECIMAL(10,2)) " +
+        s"LOCATION '$tmp/ct'")
+    // empty but fully shaped
+    val empty = spark.sql("SELECT * FROM ct_t")
+    assert(empty.count() == 0)
+    assert(empty.schema.fieldNames.toSeq == Seq("id", "name", "amt"))
+    assert(empty.schema("amt").dataType.sql == "DECIMAL(10,2)")
+    // DESCRIBE works off the recording; the table lists in SHOW TABLES
+    assert(GraftSql.sql(spark, "SHOW TABLES").collect()
+      .exists(_.getString(0) == "ct_t"))
+    // first INSERT + a constraint on the declared shape
+    GraftSql.sql(spark,
+      "ALTER TABLE ct_t ADD CONSTRAINT amt_pos CHECK (amt >= 0)")
+    GraftSql.sql(spark,
+      "INSERT INTO ct_t VALUES (1, 'a', 10.50), (2, 'b', 0.25)")
+    assert(spark.sql("SELECT sum(amt) FROM ct_t").head().getDecimal(0)
+      .doubleValue() == 10.75)
+    val bad = intercept[Exception] {
+      GraftSql.sql(spark, "INSERT INTO ct_t VALUES (3, 'c', -1.00)")
+    }
+    assert(bad.getMessage.toLowerCase.contains("constraint")
+      || bad.getMessage.contains("amt_pos"), bad.getMessage)
+    // DML through the declared table
+    GraftSql.sql(spark, "UPDATE ct_t SET name = 'z' WHERE id = 2")
+    assert(spark.sql("SELECT name FROM ct_t WHERE id = 2")
+      .head().getString(0) == "z")
+    // refusals: re-CREATE over a standing table (bound or on-disk)
+    val e1 = intercept[Exception] {
+      GraftSql.sql(spark,
+        s"CREATE TABLE ct_t (x INT) LOCATION '$tmp/ct2'")
+    }
+    assert(e1.getMessage.contains("already"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      GraftSql.sql(spark,
+        s"CREATE TABLE ct_other (x INT) LOCATION '$tmp/ct'")
+    }
+    assert(e2.getMessage.contains("snapshots"), e2.getMessage)
+    // refusal: a column list that is not DDL
+    val e3 = intercept[Exception] {
+      GraftSql.sql(spark,
+        s"CREATE TABLE ct_bad (id WIBBLE) LOCATION '$tmp/ct3'")
+    }
+    assert(e3.getMessage.contains("does not parse"), e3.getMessage)
+    // duplicate column names refuse at the Lake layer
+    val e4 = intercept[Exception] {
+      GraftSql.sql(spark,
+        s"CREATE TABLE ct_dup (a INT, A STRING) LOCATION '$tmp/ct4'")
+    }
+    assert(e4.getMessage.contains("duplicate"), e4.getMessage)
+  }
 }
