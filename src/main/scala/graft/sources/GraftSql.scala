@@ -497,16 +497,47 @@ object GraftSql {
       // inert op="schema" row, zero data files — Lake.createTable); the
       // table is immediately readable (0 rows, declared shape) and
       // insertable. Column list parses via Spark's DDL grammar, so
-      // parameterized types (DECIMAL(10,2), ARRAY<...>) work.
+      // parameterized types (DECIMAL(10,2), ARRAY<...>) work. A column
+      // may carry `GENERATED ALWAYS AS (expr)` — recorded via
+      // Lake.addGeneratedColumn (auto-CHECK enforcement on every write;
+      // the column-list INSERT path computes omitted ones).
       require(registry.get((spark, name)) == null,
         s"table '$name' is already SQL-bound — CREATE declares a new table")
+      val GenRe =
+        """(?is)^\s*(\w+)\s+(.+?)\s+GENERATED\s+ALWAYS\s+AS\s*\((.+)\)\s*$""".r
+      val (genCols, plainDdl) = {
+        val parts = splitTopLevel(colsDdl, ',')
+        val gens = Seq.newBuilder[(String, String)]
+        val ddl = parts.map {
+          case GenRe(n, tpe, ex) => gens += (n -> ex.trim); s"$n $tpe"
+          case p => p
+        }
+        (gens.result(), ddl.mkString(", "))
+      }
       val schema =
-        try org.apache.spark.sql.types.StructType.fromDDL(colsDdl)
+        try org.apache.spark.sql.types.StructType.fromDDL(plainDdl)
         catch { case e: Exception => sys.error(
           s"CREATE TABLE column list '$colsDdl' does not parse: " +
             e.getMessage) }
+      // the Delta rule: a generation expression may not reference
+      // another generated column (fill order would be ambiguous)
+      val genNames = genCols.map(_._1.toLowerCase).toSet
+      genCols.foreach { case (n, ex) =>
+        val refs = GraftShim.parseExpression(spark, ex).collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            a.nameParts.last.toLowerCase
+        }.toSet
+        val bad = refs.intersect(genNames - n.toLowerCase)
+        require(bad.isEmpty, s"generated column '$n' references generated " +
+          s"column(s) ${bad.mkString(", ")} — generation expressions may " +
+          "only use regular columns")
+        require(!refs.contains(n.toLowerCase),
+          s"generated column '$n' references itself")
+      }
       val t = GraftTable(spark, s"$dir/ledger", s"$dir/gen")
       val snap = Lake.createTable(spark, t.ledgerDir, schema)
+      genCols.foreach { case (n, ex) =>
+        Lake.addGeneratedColumn(spark, t.ledgerDir, n, ex) }
       bind(name, t)
       snapFrame(spark, snap)
     case CtasReplaceRe(name, dir, query) =>
@@ -674,9 +705,22 @@ object GraftSql {
             sys.error(s"INSERT column '$n' is not a table column"))
           f.name -> bq(c).cast(f.dataType)
         }.toMap
-        rows0.select(tgt.fields.map(f =>
+        val base = rows0.select(tgt.fields.map(f =>
           byListed.getOrElse(f.name,
             lit(null).cast(f.dataType)).as(f.name)): _*)
+        // GENERATED ALWAYS AS: an OMITTED generated column computes from
+        // the listed values (the Delta fill); a listed one stays as
+        // provided — the auto-CHECK proves it on the write either way
+        Lake.generatedColumns(t.ledgerDir)
+          .filterNot { case (n, _) => byListed.contains(
+            tgt.find(_.name.equalsIgnoreCase(n)).fold(n)(_.name)) }
+          .foldLeft(base) { case (df, (n, ex)) =>
+            tgt.find(_.name.equalsIgnoreCase(n)) match {
+              case Some(f) =>
+                df.withColumn(f.name, expr(ex).cast(f.dataType))
+              case None => df // stale registry entry: constraint refuses
+            }
+          }
       }
       else if (i.byName) rows0.select(rows0.columns.map { c =>
         tgt.find(_.name == c)
@@ -863,6 +907,25 @@ object GraftSql {
     """(?is)^\s*UPDATE\s+(\w+)\s+SET\s+([\s\S]+)$""".r
   private val DeleteUsingRe =
     """(?is)^\s*DELETE\s+FROM\s+(\w+)\s+USING\s+([\s\S]+)$""".r
+
+  /** Split at `sep` occurrences at paren depth 0 outside string
+    * literals — the CREATE column-list scanner (a DECIMAL(10,2) comma or
+    * a GENERATED expression comma must not split the list). */
+  private def splitTopLevel(s: String, sep: Char): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0; var quote: Char = 0
+    s.foreach { c =>
+      if (quote != 0) { if (c == quote) quote = 0; cur += c }
+      else if (c == '\'' || c == '"') { quote = c; cur += c }
+      else if (c == '(') { depth += 1; cur += c }
+      else if (c == ')') { depth -= 1; cur += c }
+      else if (c == sep && depth == 0) { out += cur.toString; cur.clear() }
+      else cur += c
+    }
+    out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
 
   /** Start index of the first occurrence of the word `kw` at paren depth
     * 0 outside string literals / quoted identifiers, or -1 — so a FROM

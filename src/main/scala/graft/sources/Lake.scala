@@ -3476,6 +3476,44 @@ object Lake {
       expression.getBytes("UTF-8"))
   }
 
+  /** Register a GENERATED ALWAYS AS column (Delta's generated-column
+    * contract, the enforce-don't-trust half): the expression records as
+    * KB metadata under `_generated/` AND an auto-constraint
+    * `gen_<col> CHECK (col <=> (expr))` binds, so EVERY write path
+    * (INSERT, MERGE, UPDATE post-images, ingest) proves the rule through
+    * the existing constraint gate with zero new enforcement code. The
+    * column-list INSERT path COMPUTES omitted generated columns
+    * (GraftSql.runInsert); other writers must supply matching values.
+    * Documented divergence from Delta: an UPDATE that changes a
+    * generation INPUT without updating the generated column REFUSES
+    * (constraint violation) instead of silently recomputing — loud over
+    * implicit. Generation expressions may not reference other generated
+    * columns (the Delta rule; checked by the SQL layer, which knows the
+    * full set at CREATE time). */
+  def addGeneratedColumn(spark: SparkSession, ledgerDir: String,
+      colName: String, expression: String): Unit = {
+    require(colName.matches("[A-Za-z][A-Za-z0-9_]*"),
+      s"invalid generated-column name: $colName")
+    org.apache.spark.sql.GraftShim.parseExpression(spark, expression)
+    val dir = new java.io.File(s"$ledgerDir/_generated")
+    dir.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$ledgerDir/_generated/$colName"),
+      expression.getBytes("UTF-8"))
+    addConstraint(spark, ledgerDir, s"gen_$colName",
+      s"$colName <=> ($expression)")
+  }
+
+  /** The table's generated columns as (column, expression). */
+  def generatedColumns(ledgerDir: String): Seq[(String, String)] = {
+    val dir = new java.io.File(s"$ledgerDir/_generated")
+    if (!dir.isDirectory) Seq.empty
+    else Option(dir.listFiles()).getOrElse(Array.empty).filter(_.isFile)
+      .map(f => f.getName -> new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+      .sortBy(_._1).toSeq
+  }
+
   /** The table's standing constraints as (name, expression). */
   def constraints(ledgerDir: String): Seq[(String, String)] = {
     val dir = new java.io.File(s"$ledgerDir/_constraints")

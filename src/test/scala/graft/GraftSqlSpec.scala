@@ -1164,4 +1164,59 @@ class GraftSqlSpec extends GraftSpec {
     }
     assert(e4.getMessage.contains("duplicate"), e4.getMessage)
   }
+
+  test("GENERATED ALWAYS AS: omitted columns compute on column-list " +
+      "INSERT, wrong supplied values refuse, UPDATE enforcement is loud") {
+    val tmp = Files.createTempDirectory("graft_sql_gen").toString
+    GraftSql.sql(spark,
+      s"CREATE TABLE gen_t (a BIGINT, b BIGINT, " +
+        s"c BIGINT GENERATED ALWAYS AS (a * 2 + b), " +
+        s"d STRING GENERATED ALWAYS AS (concat('k-', CAST(a AS STRING)))) " +
+        s"LOCATION '$tmp/g'")
+    // schema carries the generated columns as regular fields
+    assert(spark.sql("SELECT * FROM gen_t").schema.fieldNames.toSeq ==
+      Seq("a", "b", "c", "d"))
+    // omitted generated columns COMPUTE on column-list INSERT
+    GraftSql.sql(spark, "INSERT INTO gen_t (a, b) VALUES (3, 4), (10, 0)")
+    val rows = spark.sql("SELECT * FROM gen_t ORDER BY a").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.toSeq == Seq((3L, 4L, 10L, "k-3"), (10L, 0L, 20L, "k-10")))
+    // a full-arity INSERT with CORRECT generated values passes
+    GraftSql.sql(spark, "INSERT INTO gen_t VALUES (5, 1, 11, 'k-5')")
+    assert(spark.sql("SELECT count(*) FROM gen_t").head().getLong(0) == 3)
+    // a wrong supplied value refuses through the auto-CHECK
+    val e1 = intercept[Exception] {
+      GraftSql.sql(spark, "INSERT INTO gen_t VALUES (7, 1, 999, 'k-7')")
+    }
+    assert(e1.getMessage.contains("gen_c"), e1.getMessage)
+    // a LISTED generated column with a wrong value also refuses
+    val e2 = intercept[Exception] {
+      GraftSql.sql(spark,
+        "INSERT INTO gen_t (a, b, c) VALUES (8, 1, 5)")
+    }
+    assert(e2.getMessage.contains("gen_c"), e2.getMessage)
+    // documented divergence from Delta: an UPDATE that moves a generation
+    // INPUT without fixing the generated column refuses LOUDLY (no
+    // silent recompute) — updating both together is the supported form
+    val e3 = intercept[Exception] {
+      GraftSql.sql(spark, "UPDATE gen_t SET a = a + 1 WHERE a = 3")
+    }
+    assert(e3.getMessage.contains("gen_"), e3.getMessage)
+    GraftSql.sql(spark, "UPDATE gen_t SET a = a + 1, c = (a + 1) * 2 + b, " +
+      "d = concat('k-', CAST(a + 1 AS STRING)) WHERE a = 3")
+    assert(spark.sql("SELECT c, d FROM gen_t WHERE a = 4").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((12L, "k-4")))
+    // CREATE-time refusals: generated-over-generated and self-reference
+    val e5 = intercept[Exception] {
+      GraftSql.sql(spark, s"CREATE TABLE gen_bad (a BIGINT, " +
+        s"b BIGINT GENERATED ALWAYS AS (a + 1), " +
+        s"c BIGINT GENERATED ALWAYS AS (b + 1)) LOCATION '$tmp/gb'")
+    }
+    assert(e5.getMessage.contains("generated"), e5.getMessage)
+    val e6 = intercept[Exception] {
+      GraftSql.sql(spark, s"CREATE TABLE gen_self (a BIGINT, " +
+        s"b BIGINT GENERATED ALWAYS AS (b + 1)) LOCATION '$tmp/gs'")
+    }
+    assert(e6.getMessage.contains("itself"), e6.getMessage)
+  }
 }
