@@ -204,7 +204,21 @@ object ScaleProbe {
       // r14 late: LPA communities — 3 rounds x two long-only shuffles
       // over the co-purchase edge set; edge build dominates (the
       // q_graph_triangles profile), expect ~linear-ish in edges
-      "q_graph_communities" -> (Graph.qGraphCommunities _))) {
+      "q_graph_communities" -> (Graph.qGraphCommunities _),
+      // r14 ext: per-source KL — the (source, tok) count relation is
+      // vocab x sources-bounded (identical at 10x on the duplicated
+      // corpus), so only the explode/count scan scales
+      "q_doc_kldiv" -> (TextOps.qDocKldiv _),
+      // r14 ext: Heaps fit — first-occurrence min-agg is vocab-bounded;
+      // the position explode + two-phase prefix sums ride the corpus
+      "q_doc_heaps" -> (TextOps.qDocHeaps _),
+      // r14 ext: Fano — the (type, minute) count relation is span-bounded
+      // (fixed at 10x: replicas share the time span), scan-dominated
+      "q_evt_fano" -> (Events.qEvtFano _),
+      // r14 ext: k-core peel — the DISTINCT co-purchase edge set is fixed
+      // by the key-shifted 10x replication (partkeys unshifted), so the
+      // probe isolates the edge build + distinct over 10x lineitem
+      "q_graph_kcore" -> (Graph.qGraphKcore _))) {
       // index BUILD is a once-per-dataset artifact, not probe cost — land
       // it outside the timed window (first access builds, later reuse)
       if (n == "q_ann_ivf_quant") {
