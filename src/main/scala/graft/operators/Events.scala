@@ -795,6 +795,62 @@ object Events {
       |    / CAST(1000000 AS DOUBLE) AS fano
       |FROM a WHERE k >= 2""".stripMargin
 
+  /** INTERARRIVAL-RATE report per event type — the trigger-rate readout
+    * every DAQ shift screen shows next to occupancy (the MLE of an
+    * exponential arrival process is the closed form λ̂ = gaps/Σdt — no
+    * fit loop), plus the extreme gaps (max gap = the worst stall, the
+    * quantity the dead-time alarm keys on). All exact integers:
+    * interarrival gaps in microseconds off ONE type-partitioned window
+    * pass, λ reported as (10¹²·n_gaps) DIV Σdt_µs — events/sec scaled
+    * 1e6, the money-path DIV on both engines; the double form is a
+    * single exact-integer division. Single-event types (no gap) drop.
+    *
+    * Scale shape: one event_type exchange for the lag, map-side-combined
+    * re-agg to #types rows. */
+  def qEvtRate(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .select(col("event_type"), col("ts"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("dt", col("us") - lag(col("us"), 1).over(w))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("dt")).as("n_gaps"),
+        sum(col("dt")).cast("long").as("sum_dt_us"),
+        max(col("dt")).as("max_gap_us"),
+        min(col("dt")).as("min_gap_us"))
+      .filter(col("n_gaps") > 0 && col("sum_dt_us") > 0)
+      .withColumn("rate_scaled", expr(
+        "CAST(CAST(1000000000000 AS DECIMAL(38,0)) * n_gaps" +
+          " DIV sum_dt_us AS BIGINT)"))
+      .select(col("event_type"), col("n_events"), col("sum_dt_us"),
+        col("max_gap_us"), col("min_gap_us"), col("rate_scaled"),
+        (col("rate_scaled").cast("double") / 1000000.0)
+          .as("rate_per_sec"))
+  }
+
+  def qEvtRateSql: String =
+    """WITH g AS (
+      |  SELECT event_type,
+      |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      |      PARTITION BY event_type ORDER BY ts, event_id) AS dt
+      |  FROM events
+      |), a AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |    CAST(count(dt) AS BIGINT) AS n_gaps,
+      |    CAST(sum(dt) AS BIGINT) AS sum_dt_us,
+      |    CAST(max(dt) AS BIGINT) AS max_gap_us,
+      |    CAST(min(dt) AS BIGINT) AS min_gap_us
+      |  FROM g GROUP BY event_type
+      |)
+      |SELECT event_type, n_events, sum_dt_us, max_gap_us, min_gap_us,
+      |  CAST(CAST(1000000000000 AS HUGEINT) * n_gaps // sum_dt_us
+      |    AS BIGINT) AS rate_scaled,
+      |  CAST(CAST(CAST(1000000000000 AS HUGEINT) * n_gaps // sum_dt_us
+      |    AS BIGINT) AS DOUBLE) / CAST(1000000 AS DOUBLE) AS rate_per_sec
+      |FROM a WHERE n_gaps > 0 AND sum_dt_us > 0""".stripMargin
+
   /** Autocorrelation lags scanned by [[qEvtPeriodicity]] (bounded fan of
     * lead columns — model-size, not data-size). */
   val AcfLagMax = 8

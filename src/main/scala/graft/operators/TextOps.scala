@@ -1445,6 +1445,42 @@ object TextOps {
        |    AS BIGINT) AS DOUBLE) / CAST(1000000 AS DOUBLE) AS slope
        |FROM stats CROSS JOIN fit""".stripMargin
 
+  /** COMPRESSIBILITY quality signal [rows] — the deflate-ratio filter
+    * (repetitive/templated text compresses far below natural prose;
+    * random gibberish barely compresses — the cheap two-sided quality
+    * gate published web-corpus pipelines run next to the Gopher rules):
+    * per doc, UTF-8 byte count, deflate(level 6) byte count, and the
+    * exact-ratio double. Engine-specific (no SQL deflate exists) →
+    * [rows] + spec; DETERMINISTIC for a given zlib (fixed level, fixed
+    * strategy, one-shot input), so re-runs and partitionings agree.
+    *
+    * Scale shape: one NARROW typed map (text in, three numbers out — no
+    * shuffle until the caller aggregates); a per-partition Deflater is
+    * reset per row, never reallocated. */
+  def qDocCompress(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val defl = new java.util.zip.Deflater(6, false)
+        val buf = new Array[Byte](64 * 1024)
+        it.map { case (id, text) =>
+          val bytes = Option(text).getOrElse("").getBytes("UTF-8")
+          defl.reset()
+          defl.setInput(bytes)
+          defl.finish()
+          var n = 0L
+          while (!defl.finished()) n += defl.deflate(buf)
+          (id, bytes.length.toLong, n)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "n_deflate")
+      .withColumn("ratio",
+        when(col("n_bytes") > 0,
+          col("n_deflate").cast("double") / col("n_bytes"))
+          .otherwise(lit(null).cast("double")))
+  }
+
   /** Checkpoints for the Heaps'-law vocabulary-growth fit (bounded by
     * construction). */
   val HeapsK = 20

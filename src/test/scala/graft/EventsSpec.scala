@@ -170,6 +170,29 @@ class EventsSpec extends GraftSpec {
     assert(got.nonEmpty)
   }
 
+  test("interarrival rate equals a driver-side exact replay") {
+    val byType = Events.events(spark, sf)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"),
+        col("event_id"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).view
+      .mapValues(_.map(_._2).sortBy(identity).map(_._1)).toMap
+    val want = byType.flatMap { case (t, us) =>
+      val gaps = us.zip(us.tail).map { case (a, b) => b - a }
+      val sdt = gaps.sum
+      if (gaps.isEmpty || sdt <= 0) None
+      else Some(t -> ((us.size.toLong, sdt, gaps.max, gaps.min,
+        (BigInt("1000000000000") * gaps.size / sdt).toLong)))
+    }
+    val got = Events.qEvtRate(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("sum_dt_us"),
+          r.getAs[Long]("max_gap_us"), r.getAs[Long]("min_gap_us"),
+          r.getAs[Long]("rate_scaled")))).toMap
+    assert(got == want, s"got $got\nwant $want")
+    assert(got.nonEmpty)
+  }
+
   test("periodicity: a planted period-4 series reports best_lag = 4") {
     val s = spark
     import s.implicits._

@@ -384,6 +384,42 @@ class TextOpsSpec extends GraftSpec {
     assert(gotC.nonEmpty)
   }
 
+  test("compressibility: repetitive text compresses far below mixed " +
+      "prose, gibberish barely compresses, sizes are re-run stable") {
+    val sess = spark; import sess.implicits._
+    import java.nio.file.Files
+    val rnd = new scala.util.Random(11)
+    val fixtures = Map(
+      1L -> Seq.fill(200)("spam spam spam").mkString(" "),      // templated
+      2L -> (0 until 600).map(i => s"w${i % 80}").mkString(" "), // mixed
+      3L -> Array.fill(3000)(
+        ('a' + rnd.nextInt(26)).toChar).mkString)               // gibberish
+    val tmp = Files.createTempDirectory("graft_compress").toString
+    fixtures.toSeq.map { case (id, t) => (id, t) }
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("fix"))
+      .withColumn("n_chars", length(col("text")))
+      .write.parquet(s"$tmp/documents.parquet")
+    def run(): Map[Long, (Long, Long, Double)] =
+      TextOps.qDocCompress(spark, tmp).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_bytes"), r.getAs[Long]("n_deflate"),
+            r.getAs[Double]("ratio")))).toMap
+    val got = run()
+    // byte counts are exact UTF-8 lengths
+    fixtures.foreach { case (id, t) =>
+      assert(got(id)._1 == t.getBytes("UTF-8").length.toLong) }
+    // two-sided gate semantics: templated << mixed << gibberish
+    assert(got(1L)._3 < 0.1, s"templated should crush: ${got(1L)}")
+    assert(got(1L)._3 < got(2L)._3 && got(2L)._3 < got(3L)._3, s"$got")
+    assert(got(3L)._3 > 0.5, s"gibberish should resist: ${got(3L)}")
+    // deterministic across runs (fixed level, one-shot input)
+    assert(run() == got)
+    // corpus runs end to end with one row per doc
+    assert(TextOps.qDocCompress(spark, sf).count() ==
+      Tables.documents(spark, sf).count())
+  }
+
   test("Heaps' law: exact replay on the corpus; a planted sqrt-growth " +
       "vocabulary fits beta near 1/2") {
     val sess = spark; import sess.implicits._
