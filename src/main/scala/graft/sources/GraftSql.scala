@@ -1423,6 +1423,79 @@ object GraftSql {
     * — NEW r14 — mirrors verbatim, DuckDB speaking both forms natively).
     * Money discipline: all balance arithmetic runs in DECIMAL(12,2) and
     * casts back to double per row; sums aggregate in DECIMAL. */
+  /** Oracle-checked DDL lifecycle — the column-list CREATE + GENERATED
+    * ALWAYS AS surface under the hard gate: declare an empty table with
+    * two generated columns, column-list INSERT from customer (omitted
+    * generated columns COMPUTE), one full-arity INSERT with correct
+    * generated values, one UPDATE that moves a generation input and its
+    * generated column together (the supported loud-contract form), and
+    * a final per-segment report whose bal_cents sum is an exact BIGINT
+    * (generated-column content is hash-checked, not just row counts).
+    * Every effect is pure algebra over `customer`, so DuckDB mirrors the
+    * computed columns explicitly in a temp table. Money discipline: all
+    * arithmetic in DECIMAL(12,2), cents as truncating casts of exact
+    * integral decimals, double casts in final projections only. */
+  def qSqlCreate(spark: SparkSession, sfDir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sqlct").toString
+    spark.read.parquet(s"$sfDir/customer.parquet")
+      .createOrReplaceTempView("sqlct_src")
+    val out = sql(spark,
+      s"""CREATE TABLE sqlct_t (k BIGINT, seg STRING, bal DOUBLE,
+        |  bal_cents BIGINT GENERATED ALWAYS AS
+        |    (CAST(CAST(bal AS DECIMAL(12,2)) * 100 AS BIGINT)),
+        |  tag STRING GENERATED ALWAYS AS
+        |    (concat(seg, '-', CAST(k % 10 AS STRING))))
+        |  LOCATION '$tmp/ct';
+        |INSERT INTO sqlct_t (k, seg, bal)
+        |SELECT c_custkey, c_mktsegment, c_acctbal
+        |FROM sqlct_src WHERE c_custkey % 3 = 0;
+        |INSERT INTO sqlct_t VALUES
+        |  (10000001, 'DECLARED', CAST(12.25 AS DOUBLE), 1225,
+        |   'DECLARED-1');
+        |UPDATE sqlct_t SET
+        |  bal = CAST(CAST(bal AS DECIMAL(12,2)) + 10.00 AS DOUBLE),
+        |  bal_cents = CAST((CAST(bal AS DECIMAL(12,2)) + 10.00) * 100
+        |    AS BIGINT)
+        |WHERE seg = 'BUILDING';
+        |SELECT seg, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(bal_cents) AS BIGINT) AS sum_cents,
+        |  CAST(count(DISTINCT tag) AS BIGINT) AS n_tags,
+        |  CAST(sum(CAST(bal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+        |FROM sqlct_t GROUP BY seg""".stripMargin)
+      .localCheckpoint() // eager: materialize before the files vanish
+    unbind(spark, "sqlct_t")
+    spark.catalog.dropTempView("sqlct_src")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array()).foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(tmp))
+    out
+  }
+
+  /** DuckDB mirror of [[qSqlCreate]] — the generated columns computed
+    * explicitly (pure algebra over customer). */
+  def qSqlCreateSql: String =
+    """CREATE OR REPLACE TEMP TABLE sqlct_t AS
+      |  SELECT c_custkey AS k, c_mktsegment AS seg, c_acctbal AS bal,
+      |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |      AS bal_cents,
+      |    concat(c_mktsegment, '-', CAST(c_custkey % 10 AS VARCHAR))
+      |      AS tag
+      |  FROM customer WHERE c_custkey % 3 = 0;
+      |INSERT INTO sqlct_t VALUES
+      |  (10000001, 'DECLARED', CAST(12.25 AS DOUBLE), 1225, 'DECLARED-1');
+      |UPDATE sqlct_t SET
+      |  bal = CAST(CAST(bal AS DECIMAL(12,2)) + 10.00 AS DOUBLE),
+      |  bal_cents = CAST((CAST(bal AS DECIMAL(12,2)) + 10.00) * 100
+      |    AS BIGINT)
+      |WHERE seg = 'BUILDING';
+      |SELECT seg, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(bal_cents) AS BIGINT) AS sum_cents,
+      |  CAST(count(DISTINCT tag) AS BIGINT) AS n_tags,
+      |  CAST(sum(CAST(bal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+      |FROM sqlct_t GROUP BY seg""".stripMargin
+
   def qSqlDml(spark: SparkSession, sfDir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_sqldml").toString
     val t = GraftTable(spark, s"$tmp/ledger", s"$tmp/gen")
