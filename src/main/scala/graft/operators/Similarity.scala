@@ -834,6 +834,81 @@ object Similarity {
       |  md5(array_to_string(codes, ',')) AS code_md5
       |FROM c""".stripMargin
 
+  /** Squared-distance threshold for [[qAnnRange]] — ~1-2% of the corpus
+    * per probe on this generator's code distribution (min pair d² ≈
+    * 80-92k, median ≈ 133k at every sf). */
+  val RangeT = 100000L
+
+  /** RANGE (radius) SEARCH — the OTHER exact vector-serving shape next
+    * to top-K (dedup-style "everything within r" queries, recall-at-
+    * radius audits, density probes): for each probe (vec_id 0-4), every
+    * corpus vector whose integer code distance d² = Σ(x−p)² is ≤
+    * [[RangeT]] over the SAME oracle-checked int8 codes q_emb_quant
+    * persists. The report per probe is SCALE-SAFE exact integers —
+    * match count, Σ matched ids, Σ matched d², min d² — never a
+    * collected id list (a 1% radius of a 100 TB corpus is still
+    * corpus-scaled; sums are the content-sensitive digest that
+    * map-side-combines). Zero-match probes report n = 0 via the
+    * left join to the probe dimension.
+    *
+    * Scale shape: probes broadcast (bounded batch), ONE corpus scan
+    * scores all probes per row, one map-side-combined aggregate to
+    * #probes rows — no shuffle ever carries matches. */
+  def qAnnRange(s: SparkSession, d: String): DataFrame = {
+    val q = quantized(s, d).select(col("vec_id"),
+      col("codes").cast("array<long>").as("codes"))
+    val probes = q.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("codes").as("pc"))
+    val matches = q.filter(col("vec_id") >= 5)
+      .crossJoin(broadcast(probes))
+      .select(col("probe_id"), col("vec_id"),
+        aggregate(zip_with(col("codes"), col("pc"),
+          (x, p) => (x - p) * (x - p)), lit(0L), _ + _).as("d2"))
+      .filter(col("d2") <= RangeT)
+      .groupBy(col("probe_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        sum(col("vec_id")).cast("long").as("sum_ids"),
+        sum(col("d2")).cast("long").as("sum_d2"),
+        min(col("d2")).as("min_d2"))
+    probes.select(col("probe_id")).join(matches, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        coalesce(col("sum_ids"), lit(0L)).as("sum_ids"),
+        coalesce(col("sum_d2"), lit(0L)).as("sum_d2"),
+        col("min_d2"))
+  }
+
+  def qAnnRangeSql: String =
+    s"""WITH s AS (
+       |  SELECT min(list_min(embedding::DOUBLE[])) AS gmin,
+       |         max(list_max(embedding::DOUBLE[])) AS gmax
+       |  FROM embeddings
+       |), c AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding::DOUBLE[], x ->
+       |           CAST(floor((x - gmin) * 255.0 / (gmax - gmin)) AS INT))
+       |           AS codes
+       |  FROM embeddings CROSS JOIN s
+       |), p AS (SELECT vec_id AS probe_id, codes AS pc FROM c
+       |         WHERE vec_id < 5),
+       |d AS (
+       |  SELECT p.probe_id, c.vec_id,
+       |    CAST(list_sum(list_transform(list_zip(c.codes, p.pc),
+       |      t -> CAST((t[1] - t[2]) * (t[1] - t[2]) AS BIGINT)))
+       |      AS BIGINT) AS d2
+       |  FROM c, p WHERE c.vec_id >= 5
+       |), m AS (
+       |  SELECT probe_id, CAST(count(*) AS BIGINT) AS n_matches,
+       |    CAST(sum(vec_id) AS BIGINT) AS sum_ids,
+       |    CAST(sum(d2) AS BIGINT) AS sum_d2,
+       |    min(d2) AS min_d2
+       |  FROM d WHERE d2 <= $RangeT GROUP BY probe_id
+       |)
+       |SELECT p.probe_id, COALESCE(m.n_matches, 0) AS n_matches,
+       |  COALESCE(m.sum_ids, 0) AS sum_ids,
+       |  COALESCE(m.sum_d2, 0) AS sum_d2, m.min_d2
+       |FROM p LEFT JOIN m USING (probe_id)""".stripMargin
+
   // -------------------------------------------------------------- k-means
 
   /** k-means cluster count and Lloyd update rounds (bounded, like the

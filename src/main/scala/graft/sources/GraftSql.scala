@@ -505,14 +505,18 @@ object GraftSql {
         s"table '$name' is already SQL-bound — CREATE declares a new table")
       val GenRe =
         """(?is)^\s*(\w+)\s+(.+?)\s+GENERATED\s+ALWAYS\s+AS\s*\((.+)\)\s*$""".r
-      val (genCols, plainDdl) = {
+      val DefRe =
+        """(?is)^\s*(\w+)\s+(.+?)\s+DEFAULT\s+(.+?)\s*$""".r
+      val (genCols, defCols, plainDdl) = {
         val parts = splitTopLevel(colsDdl, ',')
         val gens = Seq.newBuilder[(String, String)]
+        val defs = Seq.newBuilder[(String, String)]
         val ddl = parts.map {
           case GenRe(n, tpe, ex) => gens += (n -> ex.trim); s"$n $tpe"
+          case DefRe(n, tpe, ex) => defs += (n -> ex.trim); s"$n $tpe"
           case p => p
         }
-        (gens.result(), ddl.mkString(", "))
+        (gens.result(), defs.result(), ddl.mkString(", "))
       }
       val schema =
         try org.apache.spark.sql.types.StructType.fromDDL(plainDdl)
@@ -538,6 +542,8 @@ object GraftSql {
       val snap = Lake.createTable(spark, t.ledgerDir, schema)
       genCols.foreach { case (n, ex) =>
         Lake.addGeneratedColumn(spark, t.ledgerDir, n, ex) }
+      defCols.foreach { case (n, ex) =>
+        Lake.addColumnDefault(spark, t.ledgerDir, n, ex) }
       bind(name, t)
       snapFrame(spark, snap)
     case CtasReplaceRe(name, dir, query) =>
@@ -705,9 +711,15 @@ object GraftSql {
             sys.error(s"INSERT column '$n' is not a table column"))
           f.name -> bq(c).cast(f.dataType)
         }.toMap
+        // unlisted columns: a declared DEFAULT fills (constant expr);
+        // otherwise null — standard column-list semantics
+        val defs = Lake.columnDefaults(t.ledgerDir)
+          .map { case (n, e) => n.toLowerCase -> e }.toMap
         val base = rows0.select(tgt.fields.map(f =>
           byListed.getOrElse(f.name,
-            lit(null).cast(f.dataType)).as(f.name)): _*)
+            defs.get(f.name.toLowerCase)
+              .map(e => expr(e).cast(f.dataType))
+              .getOrElse(lit(null).cast(f.dataType))).as(f.name)): _*)
         // GENERATED ALWAYS AS: an OMITTED generated column computes from
         // the listed values (the Delta fill); a listed one stays as
         // provided — the auto-CHECK proves it on the write either way

@@ -3504,6 +3504,41 @@ object Lake {
       s"$colName <=> ($expression)")
   }
 
+  /** Register a column DEFAULT (the `c INT DEFAULT 5` DDL): a
+    * CONSTANT expression (no column references — checked here) that the
+    * column-list INSERT path fills for omitted columns instead of null.
+    * Fill-only — no constraint binds (a caller may still write any
+    * value), matching the SQL standard. KB metadata under
+    * `_defaults/`. */
+  def addColumnDefault(spark: SparkSession, ledgerDir: String,
+      colName: String, expression: String): Unit = {
+    require(colName.matches("[A-Za-z][A-Za-z0-9_]*"),
+      s"invalid column name: $colName")
+    val parsed =
+      org.apache.spark.sql.GraftShim.parseExpression(spark, expression)
+    val refs = parsed.collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a
+    }
+    require(refs.isEmpty, s"DEFAULT for '$colName' references column(s) " +
+      s"${refs.map(_.name).mkString(", ")} — defaults must be constant " +
+      "expressions (use GENERATED ALWAYS AS for computed columns)")
+    val dir = new java.io.File(s"$ledgerDir/_defaults")
+    dir.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$ledgerDir/_defaults/$colName"),
+      expression.getBytes("UTF-8"))
+  }
+
+  /** The table's column defaults as (column, expression). */
+  def columnDefaults(ledgerDir: String): Seq[(String, String)] = {
+    val dir = new java.io.File(s"$ledgerDir/_defaults")
+    if (!dir.isDirectory) Seq.empty
+    else Option(dir.listFiles()).getOrElse(Array.empty).filter(_.isFile)
+      .map(f => f.getName -> new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+      .sortBy(_._1).toSeq
+  }
+
   /** The table's generated columns as (column, expression). */
   def generatedColumns(ledgerDir: String): Seq[(String, String)] = {
     val dir = new java.io.File(s"$ledgerDir/_generated")

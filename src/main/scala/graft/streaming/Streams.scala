@@ -417,6 +417,61 @@ object Streams {
       }
   }
 
+  case class RateState(n: Long, firstUs: Long, lastUs: Long,
+    maxGap: Long, minGap: Long)
+  case class RateReport(event_type: String, n_events: Long,
+    sum_dt_us: Long, max_gap_us: Long, min_gap_us: Long,
+    rate_scaled: Long, rate_per_sec: Double)
+
+  /** Streaming INTERARRIVAL-RATE monitor — the live twin of
+    * `q_evt_rate`: per event type, exact integer state (count,
+    * first/last timestamp, extreme gaps — five longs), one report row
+    * per micro-batch with the same closed-form exponential-MLE rate
+    * λ̂ = gaps/Σdt the batch operator computes (Σdt telescopes to
+    * last − first, so it is never accumulated). Rows fold in (ts,
+    * event_id) order within each batch; the cross-batch contract is the
+    * CUSUM monitor's: per-type event time must not regress across
+    * batches (an out-of-order arrival would fabricate a negative gap —
+    * it is folded but clamps the gap stats, documented). The report math
+    * runs in BigInt on fold-side longs — exact, identical to the batch
+    * operator on the same prefix. */
+  def rateMonitor(spark: SparkSession,
+      events: DataFrame): Dataset[RateReport] = {
+    import spark.implicits._
+    events
+      .filter(col("ts").isNotNull)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"),
+        col("event_id"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[RateState, RateReport](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, it, state) =>
+          val rows = it.toSeq.sortBy(r => (r._2, r._3))
+          var st = state.getOption.getOrElse(
+            RateState(0L, Long.MaxValue, Long.MinValue,
+              Long.MinValue, Long.MaxValue))
+          rows.foreach { case (_, us, _) =>
+            if (st.n > 0L) {
+              val gap = us - st.lastUs
+              st = st.copy(maxGap = math.max(st.maxGap, gap),
+                minGap = math.min(st.minGap, gap))
+            }
+            st = st.copy(n = st.n + 1,
+              firstUs = math.min(st.firstUs, us),
+              lastUs = math.max(st.lastUs, us))
+          }
+          state.update(st)
+          val sumDt = st.lastUs - st.firstUs
+          if (st.n < 2 || sumDt <= 0) Iterator.empty
+          else {
+            val rs = (BigInt("1000000000000") * (st.n - 1) / sumDt).toLong
+            Iterator.single(RateReport(key, st.n, sumDt, st.maxGap,
+              st.minGap, rs, rs.toDouble / 1000000.0))
+          }
+      }
+  }
+
   /** Stream-static enrichment: the event stream joined against a static
     * readout-map dim (cf. the dromap join, §2.B) — Spark broadcasts the
     * static side into every micro-batch; no stream-side state. */

@@ -142,6 +142,55 @@ class EwmaSpec extends GraftSpec {
     assert(got == (1034L to 1039L), s"got $got")
   }
 
+  test("streaming rate monitor: the final per-type report equals the " +
+      "batch q_evt_rate over the same events, one-shot and split") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sq = spark.sqlContext
+    val base = 1700000000000L
+    def evt(id: Long, tpe: String, offsetMs: Long) =
+      FanoEvt(id, new Timestamp(base + offsetMs), 1L, tpe, 1.0)
+    // irregular arrivals for "a" (gaps 1s, 5s, 2s); a single-event type
+    // "solo" must emit nothing (no gap to estimate from)
+    val all = Seq(evt(1, "a", 0), evt(2, "a", 1000), evt(3, "a", 6000),
+      evt(4, "a", 8000), evt(10, "solo", 500))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rate").toString
+    all.toDF().withColumn("props", lit("{}"))
+      .write.parquet(s"$tmp/events.parquet")
+    val want = graft.operators.Events.qEvtRate(spark, tmp).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("sum_dt_us"),
+          r.getAs[Long]("max_gap_us"), r.getAs[Long]("min_gap_us"),
+          r.getAs[Long]("rate_scaled")))).toMap
+    def run(batches: Seq[Seq[FanoEvt]], name: String)
+        : Map[String, (Long, Long, Long, Long, Long)] = {
+      val mem = MemoryStream[FanoEvt]
+      val q = graft.streaming.Streams.rateMonitor(spark, mem.toDF())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+        spark.table(name).collect()
+          .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_events"),
+            r.getAs[Long]("sum_dt_us"), r.getAs[Long]("max_gap_us"),
+            r.getAs[Long]("min_gap_us"), r.getAs[Long]("rate_scaled")))
+          .groupBy(_._1).view
+          .mapValues(rows => {
+            val last = rows.maxBy(_._2)
+            (last._2, last._3, last._4, last._5, last._6)
+          }).toMap
+      } finally q.stop()
+    }
+    val oneShot = run(Seq(all), "rate_one")
+    assert(oneShot == want, s"one-shot: $oneShot vs $want")
+    assert(!oneShot.contains("solo"), "single-event type must not report")
+    val split = run(Seq(all.take(2), all.slice(2, 4), all.drop(4)),
+      "rate_split")
+    assert(split == want, s"split diverged: $split vs $want")
+    // hand check: 3 gaps over 8 s → rate = 0.375/s
+    assert(oneShot("a")._5 == 375000L)
+  }
+
   test("streaming Fano monitor: the final per-type report equals the " +
       "batch q_evt_fano over the same events, one-shot and split") {
     val sess = spark

@@ -1165,6 +1165,38 @@ class GraftSqlSpec extends GraftSpec {
     assert(e4.getMessage.contains("duplicate"), e4.getMessage)
   }
 
+  test("DEFAULT column values: omitted columns fill the constant, " +
+      "supplied values win, column-referencing defaults refuse") {
+    val tmp = Files.createTempDirectory("graft_sql_def").toString
+    GraftSql.sql(spark,
+      s"CREATE TABLE def_t (id BIGINT, status STRING DEFAULT 'new', " +
+        s"score DECIMAL(10,2) DEFAULT 1.50, note STRING) " +
+        s"LOCATION '$tmp/d'")
+    GraftSql.sql(spark, "INSERT INTO def_t (id) VALUES (1), (2)")
+    GraftSql.sql(spark,
+      "INSERT INTO def_t (id, status, score) VALUES (3, 'done', 9.25)")
+    val rows = spark.sql("SELECT * FROM def_t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getDecimal(2).doubleValue(), r.isNullAt(3)))
+    assert(rows.toSeq == Seq(
+      (1L, "new", 1.50, true), (2L, "new", 1.50, true),
+      (3L, "done", 9.25, true)),
+      s"got ${rows.toSeq}")
+    // DEFAULTs must be constant: a column reference refuses at CREATE
+    val e = intercept[Exception] {
+      GraftSql.sql(spark, s"CREATE TABLE def_bad (a BIGINT, " +
+        s"b BIGINT DEFAULT a + 1) LOCATION '$tmp/db'")
+    }
+    assert(e.getMessage.contains("constant"), e.getMessage)
+    // DEFAULT and GENERATED compose in one table (different columns)
+    GraftSql.sql(spark,
+      s"CREATE TABLE def_gen (a BIGINT, s STRING DEFAULT 'x', " +
+        s"d BIGINT GENERATED ALWAYS AS (a * 3)) LOCATION '$tmp/dg'")
+    GraftSql.sql(spark, "INSERT INTO def_gen (a) VALUES (7)")
+    val r2 = spark.sql("SELECT * FROM def_gen").head()
+    assert((r2.getLong(0), r2.getString(1), r2.getLong(2)) == (7L, "x", 21L))
+  }
+
   test("GENERATED ALWAYS AS: omitted columns compute on column-list " +
       "INSERT, wrong supplied values refuse, UPDATE enforcement is loud") {
     val tmp = Files.createTempDirectory("graft_sql_gen").toString
