@@ -523,6 +523,55 @@ class PlanSpec extends GraftSpec {
       "the materialized count frame must feed the plan")
   }
 
+  test("fano aggregates minute counts map-side: two exchanges, no joins, " +
+      "no minute dimension generated") {
+    val df = graft.operators.Events.qEvtFano(spark, sf)
+    val plan = planString(df)
+    assert(!plan.contains("Join"), s"fano must not join:\n$plan")
+    assert(!plan.toLowerCase.contains("generate"),
+      "no explode/sequence — empty minutes are implicit")
+    val nEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(nEx <= 2, s"fano needs at most two narrow exchanges, saw $nEx")
+  }
+
+  test("periodicity shares ONE user_id exchange across the stats window " +
+      "and all eight leads") {
+    val df = graft.operators.Events.qEvtPeriodicity(spark, sf)
+    val plan = planString(df)
+    val nEx = "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).length
+    assert(nEx == 1, s"expected ONE user_id exchange, saw $nEx:\n${
+      plan.linesIterator.filter(_.contains("Exchange")).mkString("\n")}")
+  }
+
+  test("kldiv joins the token relation hint-free and broadcasts the " +
+      "bounded totals; one corpus-scaled count exchange") {
+    val df = graft.operators.TextOps.qDocKldiv(spark, sf)
+    df.write.format("noop").mode("overwrite").save() // finalize AQE
+    val plan = planString(df)
+    // the source-totals and the 1-row N frame ride broadcast joins
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2
+      || plan.contains("BroadcastNestedLoopJoin"),
+      s"bounded relations must broadcast:\n${plan.take(800)}")
+    // the (source, tok) count frame is checkpointed once — the plan
+    // reads the materialized RDD, never re-scanning documents
+    assert(!plan.contains("documents.parquet"),
+      "the count frame must feed all three uses (no re-scan)")
+  }
+
+  test("range search scores all probes in one scan: no shuffle below " +
+      "the per-probe aggregate, probes broadcast") {
+    val df = graft.operators.Similarity.qAnnRange(spark, sf)
+    df.write.format("noop").mode("overwrite").save()
+    val plan = planString(df)
+    assert(plan.contains("BroadcastNestedLoopJoin")
+      || plan.contains("BroadcastHashJoin"),
+      s"the probe batch must broadcast:\n${plan.take(600)}")
+    // matches never shuffle raw: the only hash exchanges carry the
+    // #probes-row aggregate and the final left join
+    val nEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(nEx <= 3, s"range search must not shuffle scored rows, saw $nEx")
+  }
+
   test("mad medians select over distinct-value count relations — the " +
       "windows sit above aggregates, never over raw events") {
     val df = graft.operators.Events.qEvtMad(spark, sf)
