@@ -373,6 +373,71 @@ object Graph {
       |FROM (SELECT unnest([a, b, c]) AS part_id FROM t)
       |GROUP BY part_id ORDER BY part_id""".stripMargin
 
+  /** LOCAL CLUSTERING COEFFICIENT (Watts & Strogatz 1998 — "how close
+    * is each node's neighborhood to a clique": C_v = 2·tri_v /
+    * (deg_v·(deg_v−1)); the third classic structural read next to the
+    * triangle profile and assortativity): per node, degree, triangle
+    * count, and the coefficient as a PURE integer ratio —
+    * (1e6·2·tri) DIV (deg·(deg−1)), nothing but the counts the
+    * triangle machinery already produces. Degree-1 nodes (undefined
+    * denominator) drop; triangle-free nodes report 0 via the left
+    * join. Reuses [[triangleCounts]]'s degree-oriented enumeration
+    * verbatim, so the only new work is the node-bounded degree join.
+    * The DuckDB oracle counts the same triangles via the canonical
+    * a<b<c three-way join and replays the integer ratio. */
+  def qGraphClustering(spark: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val li = spark.read.parquet(s"$d/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val edges0 = li.as("x").join(li.as("y"), "ok")
+      .filter(col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("a"), col("y.pk").as("b"))
+      .distinct()
+      .localCheckpoint() // feeds degrees + the triangle pass
+    val deg = edges0
+      .select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    val tri = triangleCounts(edges0, "a", "b")
+    deg.filter(col("degree") >= 2)
+      .join(tri, Seq("node"), "left")
+      .withColumn("tri_cnt", coalesce(col("tri_cnt"), lit(0L)))
+      .withColumn("cc_scaled", expr(
+        "CAST(CAST(2000000 AS DECIMAL(38,0)) * tri_cnt" +
+          " DIV (CAST(degree AS DECIMAL(38,0)) * (degree - 1)) AS BIGINT)"))
+      .select(col("node").as("part_id"), col("degree"), col("tri_cnt"),
+        col("cc_scaled"),
+        (col("cc_scaled").cast("double") / 1000000.0).as("clustering"))
+      .orderBy(col("part_id"))
+  }
+
+  def qGraphClusteringSql: String =
+    """WITH e AS MATERIALIZED (
+      |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+      |  FROM lineitem x JOIN lineitem y
+      |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+      |deg AS MATERIALIZED (
+      |  SELECT node, CAST(count(*) AS BIGINT) AS degree
+      |  FROM (SELECT unnest([a, b]) AS node FROM e) GROUP BY node),
+      |t AS (
+      |  SELECT e1.a, e1.b, e2.b AS c
+      |  FROM e e1
+      |  JOIN e e2 ON e2.a = e1.b
+      |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |tri AS (
+      |  SELECT node, CAST(count(*) AS BIGINT) AS tri_cnt
+      |  FROM (SELECT unnest([a, b, c]) AS node FROM t) GROUP BY node)
+      |SELECT deg.node AS part_id, deg.degree,
+      |  COALESCE(tri.tri_cnt, 0) AS tri_cnt,
+      |  CAST(CAST(2000000 AS HUGEINT) * COALESCE(tri.tri_cnt, 0)
+      |    // (CAST(deg.degree AS HUGEINT) * (deg.degree - 1)) AS BIGINT)
+      |    AS cc_scaled,
+      |  CAST(CAST(CAST(2000000 AS HUGEINT) * COALESCE(tri.tri_cnt, 0)
+      |    // (CAST(deg.degree AS HUGEINT) * (deg.degree - 1)) AS BIGINT)
+      |    AS DOUBLE) / CAST(1000000 AS DOUBLE) AS clustering
+      |FROM deg LEFT JOIN tri USING (node)
+      |WHERE deg.degree >= 2
+      |ORDER BY part_id""".stripMargin
+
   /** K-CORE DECOMPOSITION (Seidman 1983 — the maximal subgraph where
     * every node keeps degree ≥ k; the standard "dense-enough
     * neighborhood" filter a curation pipeline runs between connected

@@ -236,6 +236,34 @@ class GraphPropertySpec extends GraftSpec {
     }
   }
 
+  test("clustering coefficient: gate query equals a brute-force driver " +
+      "replay over the co-purchase graph") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { g =>
+      val pks = g.map(_._2).distinct.sorted
+      for (i <- pks.indices; j <- (i + 1) until pks.size)
+        yield (pks(i), pks(j))
+    }.toSet
+    val nbrs = edges.toSeq.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val want = nbrs.collect { case (v, ns) if ns.size >= 2 =>
+      val d = ns.size.toLong
+      val tri = ns.toSeq.combinations(2)
+        .count { case Seq(a, b) => nbrs(a)(b) }.toLong
+      v -> ((d, tri, BigInt(2000000) * tri / (BigInt(d) * (d - 1))))
+    }
+    val got = Graph.qGraphClustering(spark, sf).collect()
+      .map(r => r.getAs[Long]("part_id") ->
+        ((r.getAs[Long]("degree"), r.getAs[Long]("tri_cnt"),
+          BigInt(r.getAs[Long]("cc_scaled"))))).toMap
+    assert(got == want.toMap, s"first diffs: ${
+      got.toSeq.sortBy(_._1).zip(want.toSeq.sortBy(_._1))
+        .filter(p => p._1 != p._2).take(3)}")
+    assert(got.nonEmpty && got.values.exists(_._3 > 0))
+  }
+
   test("k-core: peel fixpoint equals a driver-side replay on cliques, " +
       "deep chains, and random graphs") {
     def ref(edges0: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
