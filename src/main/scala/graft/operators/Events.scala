@@ -851,6 +851,69 @@ object Events {
       |    AS BIGINT) AS DOUBLE) / CAST(1000000 AS DOUBLE) AS rate_per_sec
       |FROM a WHERE n_gaps > 0 AND sum_dt_us > 0""".stripMargin
 
+  /** Sliding-window width (minutes) for [[qEvtBurst]]. */
+  val BurstWindowMin = 5
+
+  /** PEAK-RATE / BURST detection per event type — the "worst 5 minutes"
+    * readout a DAQ rate monitor alarms on (pile-up, beam spills, retry
+    * storms): the maximum event count in ANY sliding 5-minute window,
+    * and the earliest minute where that peak occurs. Exact integers end
+    * to end: counts bin per minute (span-bounded relation), the sliding
+    * sum is a RANGE window over the minute VALUE ([m−4, m] — gap-proof:
+    * missing minutes contribute nothing, and a rows-frame would silently
+    * skip them), the peak is a plain max, and the earliest peaking
+    * minute comes from an equality join back on the bounded frame —
+    * both engines replay identically, no packing tricks needed.
+    *
+    * Scale shape: one map-side-combined (type, minute) count, window +
+    * max + the argmin join all on the span-bounded relation. */
+  def qEvtBurst(s: SparkSession, d: String): DataFrame = {
+    val counts = events(s, d)
+      .select(col("event_type"),
+        floor(unix_timestamp(col("ts")) / 60).cast("long").as("m"))
+      .groupBy(col("event_type"), col("m"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("m"))
+      .rangeBetween(-(BurstWindowMin - 1), 0)
+    val sums = counts
+      .withColumn("wsum", sum(col("c")).over(w).cast("long"))
+      .localCheckpoint() // span-bounded; feeds the max + the argmin join
+    val peak = sums.groupBy(col("event_type"))
+      .agg(max(col("wsum")).as("peak_count"),
+        sum(col("c")).cast("long").as("n_events"))
+    peak.join(sums.select(col("event_type"), col("m"), col("wsum")),
+        Seq("event_type"))
+      .filter(col("wsum") === col("peak_count"))
+      .groupBy(col("event_type"))
+      .agg(max(col("peak_count")).as("peak_count"),
+        max(col("n_events")).as("n_events"),
+        min(col("m")).as("peak_minute"))
+      .select(col("event_type"), col("n_events"), col("peak_count"),
+        col("peak_minute"))
+  }
+
+  def qEvtBurstSql: String =
+    s"""WITH c AS (
+       |  SELECT event_type, CAST(floor(epoch(ts) / 60) AS BIGINT) AS m,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM events GROUP BY 1, 2
+       |), s AS (
+       |  SELECT event_type, m, c,
+       |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY m
+       |      RANGE BETWEEN ${BurstWindowMin - 1} PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS wsum
+       |  FROM c
+       |), p AS (
+       |  SELECT event_type, max(wsum) AS peak_count,
+       |    CAST(sum(c) AS BIGINT) AS n_events
+       |  FROM s GROUP BY event_type
+       |)
+       |SELECT p.event_type, p.n_events, p.peak_count,
+       |  min(s.m) AS peak_minute
+       |FROM p JOIN s ON s.event_type = p.event_type
+       |  AND s.wsum = p.peak_count
+       |GROUP BY p.event_type, p.n_events, p.peak_count""".stripMargin
+
   /** Autocorrelation lags scanned by [[qEvtPeriodicity]] (bounded fan of
     * lead columns — model-size, not data-size). */
   val AcfLagMax = 8

@@ -170,6 +170,34 @@ class EventsSpec extends GraftSpec {
     assert(got.nonEmpty)
   }
 
+  test("burst detection equals a driver-side sliding-window replay " +
+      "(gap-proof range frame, earliest peaking minute)") {
+    val W = Events.BurstWindowMin
+    val byType = Events.events(spark, sf)
+      .select(col("event_type"),
+        floor(unix_timestamp(col("ts")) / 60).cast("long").as("m"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view
+      .mapValues(_.groupBy(_._2).view.mapValues(_.size.toLong).toMap).toMap
+    val want = byType.map { case (t, cnt) =>
+      // reference: for every OCCUPIED minute m, the sum over [m-4, m]
+      // (a window can only peak at an occupied right edge)
+      val sums = cnt.keys.map(m =>
+        m -> (m - (W - 1) to m).map(cnt.getOrElse(_, 0L)).sum).toMap
+      val peak = sums.values.max
+      t -> ((cnt.values.sum, peak,
+        sums.collect { case (m, s) if s == peak => m }.min))
+    }
+    val got = Events.qEvtBurst(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("peak_count"),
+          r.getAs[Long]("peak_minute")))).toMap
+    assert(got == want, s"got $got\nwant $want")
+    // peak is at least the densest single minute, at most n
+    got.foreach { case (t, (n, p, _)) =>
+      assert(p >= byType(t).values.max && p <= n) }
+  }
+
   test("interarrival rate equals a driver-side exact replay") {
     val byType = Events.events(spark, sf)
       .select(col("event_type"), unix_micros(col("ts")).as("us"),
