@@ -1463,6 +1463,10 @@ object TextOps {
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         val defl = new java.util.zip.Deflater(6, false)
+        // Release native zlib memory at task end — GC finalization is
+        // too late on long-lived executors (advisor r14 fix).
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => defl.end()))
         val buf = new Array[Byte](64 * 1024)
         it.map { case (id, text) =>
           val bytes = Option(text).getOrElse("").getBytes("UTF-8")

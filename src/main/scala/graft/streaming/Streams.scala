@@ -354,7 +354,8 @@ object Streams {
   val FanoHorizonMinutes = 64L
 
   case class FanoState(open: Map[Long, Long], n: Long, sc2: Long,
-    minM: Long, maxM: Long, occupied: Long)
+    minM: Long, maxM: Long, occupied: Long,
+    evictedUpTo: Long = Long.MinValue)
   case class FanoReport(event_type: String, n_events: Long,
     n_minutes: Long, n_occupied: Long, fano_scaled: Long, fano: Double)
 
@@ -368,9 +369,16 @@ object Streams {
     * empty minutes counted implicitly, never materialized. State is a
     * handful of longs plus the open-minute map, BOUNDED by
     * [[FanoHorizonMinutes]] (older bins evict once their counts are
-    * folded — an event arriving later than the horizon would re-open a
-    * bin at zero, the documented late-data contract; within the horizon
-    * replay is bit-exact like the CUSUM monitor). The report math runs
+    * folded — an event arriving later than the horizon re-opens its bin
+    * at zero, the documented late-data contract: sc2 restarts for that
+    * bin, so the dispersion UNDER-reads relative to the batch twin.
+    * n_occupied stays exact under the same contract: every evicted bin
+    * was occupied (bins only exist once an event lands), so a re-open
+    * at or below the eviction watermark does NOT re-increment occupied —
+    * the only residual skew is a late FIRST-EVER event for an ancient
+    * never-occupied minute, which under-counts by construction, the same
+    * class as the sc2 restart. Within the horizon replay is bit-exact
+    * like the CUSUM monitor. The report math runs
     * in BigInt on fold-side longs, so the emitted scaled value is the
     * exact integer floor — identical to the batch operator on the same
     * prefix. */
@@ -394,18 +402,25 @@ object Streams {
             st.open.toSeq: _*)
           var (n, sc2, minM, maxM, occ) =
             (st.n, st.sc2, st.minM, st.maxM, st.occupied)
+          var evictedUpTo = st.evictedUpTo
           rows.foreach { case (_, m, _) =>
             val c = open.getOrElse(m, 0L)
-            if (c == 0L) occ += 1
+            // A re-open at/below the eviction watermark is a bin that
+            // was already counted occupied before it evicted — only a
+            // genuinely new minute increments occ (advisor r14 fix).
+            if (c == 0L && m > evictedUpTo) occ += 1
             open(m) = c + 1
             sc2 += 2 * c + 1
             n += 1
             if (m < minM) minM = m
             if (m > maxM) maxM = m
           }
-          val kept = open.filter { case (m, _) =>
-            m >= maxM - FanoHorizonMinutes }.toMap
-          state.update(FanoState(kept, n, sc2, minM, maxM, occ))
+          val evictBelow = maxM - FanoHorizonMinutes
+          val kept = open.filter { case (m, _) => m >= evictBelow }.toMap
+          if (kept.size < open.size && evictBelow - 1 > evictedUpTo)
+            evictedUpTo = evictBelow - 1
+          state.update(
+            FanoState(kept, n, sc2, minM, maxM, occ, evictedUpTo))
           val k = maxM - minM + 1
           if (n == 0L || k < 2) Iterator.empty
           else {

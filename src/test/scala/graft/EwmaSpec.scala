@@ -247,4 +247,32 @@ class EwmaSpec extends GraftSpec {
     assert(oneShot("bursty")._4 == 3833333L)
     assert(oneShot("steady")._4 == 0L)
   }
+
+  test("streaming Fano monitor: a late event for an EVICTED minute does " +
+      "not double-count n_occupied (advisor r14 fix)") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sq = spark.sqlContext
+    val base = 1700000000000L
+    def evt(id: Long, minute: Long) =
+      FanoEvt(id, new Timestamp(base + minute * 60000L), 1L, "t", 1.0)
+    val horizon = graft.streaming.Streams.FanoHorizonMinutes
+    val mem = MemoryStream[FanoEvt]
+    val q = graft.streaming.Streams.fanoMonitor(spark, mem.toDF())
+      .writeStream.format("memory").queryName("fano_late")
+      .outputMode("append").start()
+    try {
+      // minute 0 opens (occ 1), far-future minute evicts it, then the
+      // SAME minute 0 arrives late: occ must stay 2, not reach 3.
+      mem.addData(Seq(evt(1, 0))); q.processAllAvailable()
+      mem.addData(Seq(evt(2, horizon + 10))); q.processAllAvailable()
+      mem.addData(Seq(evt(3, 0))); q.processAllAvailable()
+      val last = spark.table("fano_late").collect()
+        .map(r => (r.getAs[Long]("n_events"), r.getAs[Long]("n_occupied")))
+        .maxBy(_._1)
+      assert(last._1 == 3L, s"events: $last")
+      assert(last._2 == 2L,
+        s"occupied double-counted on late re-open: $last")
+    } finally q.stop()
+  }
 }
