@@ -235,14 +235,35 @@ object Graph {
     * oracle counts the same triangles via the orientation-free
     * canonical a<b<c three-way join; both count each triangle exactly
     * once, so the per-node profiles hash-match. */
+  /** CO-PURCHASE edge build shared by the graph gate queries (parts are
+    * adjacent when some order contains both) — the BASKET-COLLECT form
+    * (r15, replacing the per-order self-join): ONE exchange collects
+    * each order's distinct part set (map-side partial collect_set —
+    * shuffle volume is baskets, not lineitems; a self-join shuffled the
+    * lineitem relation twice and then paid a third exchange to distinct
+    * the pairs), the sorted set expands to its a<b pairs in-row (already
+    * canonical — no least/greatest pass), and one distinct dedups pairs
+    * shared across orders. Basket sizes are order-bounded (≤ items per
+    * order), so the in-row expansion is O(k²) with tiny k — skew-safe at
+    * any corpus scale. Output: distinct canonical (a < b) edges. */
+  def coPurchaseEdges(spark: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    spark.read.parquet(s"$d/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .groupBy(col("ok"))
+      .agg(sort_array(collect_set(col("pk"))).as("ps"))
+      .filter(size(col("ps")) >= 2)
+      .select(explode(flatten(expr(
+        """transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps)),
+          |    y -> struct(x AS a, y AS b)))""".stripMargin))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .distinct()
+  }
+
   def qGraphTriangles(spark: org.apache.spark.sql.SparkSession,
       d: String): DataFrame = {
-    val li = spark.read.parquet(s"$d/lineitem.parquet")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val edges = li.as("x").join(li.as("y"), "ok")
-      .filter(col("x.pk") < col("y.pk"))
-      .select(col("x.pk").as("a"), col("y.pk").as("b"))
-    triangleCounts(edges, "a", "b")
+    triangleCounts(coPurchaseEdges(spark, d), "a", "b")
       .select(col("node").as("part_id"), col("tri_cnt"))
       .orderBy(col("part_id"))
   }
@@ -322,12 +343,7 @@ object Graph {
     * the full label trajectory is hash-checked. */
   def qGraphCommunities(spark: org.apache.spark.sql.SparkSession,
       d: String): DataFrame = {
-    val li = spark.read.parquet(s"$d/lineitem.parquet")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val edges = li.as("x").join(li.as("y"), "ok")
-      .filter(col("x.pk") < col("y.pk"))
-      .select(col("x.pk").as("a"), col("y.pk").as("b"))
-    labelPropagation(edges, "a", "b", LpaRounds)
+    labelPropagation(coPurchaseEdges(spark, d), "a", "b", LpaRounds)
       .select(col("node").as("part_id"), col("lab").as("community"))
       .orderBy(col("part_id"))
   }
@@ -387,12 +403,7 @@ object Graph {
     * a<b<c three-way join and replays the integer ratio. */
   def qGraphClustering(spark: org.apache.spark.sql.SparkSession,
       d: String): DataFrame = {
-    val li = spark.read.parquet(s"$d/lineitem.parquet")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val edges0 = li.as("x").join(li.as("y"), "ok")
-      .filter(col("x.pk") < col("y.pk"))
-      .select(col("x.pk").as("a"), col("y.pk").as("b"))
-      .distinct()
+    val edges0 = coPurchaseEdges(spark, d)
       .localCheckpoint() // feeds degrees + the triangle pass
     val deg = edges0
       .select(explode(array(col("a"), col("b"))).as("node"))
@@ -510,12 +521,7 @@ object Graph {
     * replays the peel exactly on cliques, chains and random graphs). */
   def qGraphKcore(spark: org.apache.spark.sql.SparkSession,
       d: String): DataFrame = {
-    val li = spark.read.parquet(s"$d/lineitem.parquet")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val edges = li.as("x").join(li.as("y"), "ok")
-      .filter(col("x.pk") < col("y.pk"))
-      .select(col("x.pk").as("a"), col("y.pk").as("b"))
-    kCore(edges, "a", "b", KCoreK)
+    kCore(coPurchaseEdges(spark, d), "a", "b", KCoreK)
       .select(col("node").as("part_id"), col("core_deg"))
       .orderBy(col("part_id"))
   }
@@ -539,12 +545,7 @@ object Graph {
     * row. Never an adjacency matrix, never a per-node collect. */
   def qGraphAssortativity(spark: org.apache.spark.sql.SparkSession,
       d: String): DataFrame = {
-    val li = spark.read.parquet(s"$d/lineitem.parquet")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val edges = li.as("x").join(li.as("y"), "ok")
-      .filter(col("x.pk") < col("y.pk"))
-      .select(col("x.pk").as("a"), col("y.pk").as("b"))
-    assortativity(edges, "a", "b")
+    assortativity(coPurchaseEdges(spark, d), "a", "b")
   }
 
   /** Core of [[qGraphAssortativity]] over any edge relation (canonical

@@ -211,11 +211,9 @@ object GraftSql {
   // must use the ADD COLUMNS (…) form
   private val AddColumnBareRe =
     """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(\w+\s+[^,()]+(?:\([\w\s,]*\))?)\s*$""".r
-  // RENAME COLUMN needs Delta-style column-mapping ids to be safe: the
-  // pre-rename files still carry the old name, so a rename would either
-  // lose those values on read or silently resurface them under a
-  // re-added old name (the DROP/re-add hazard's sibling) — refuse with
-  // the workaround instead of failing in the Spark parser
+  // RENAME COLUMN rides Delta-style column-mapping ids (r15): the field
+  // keeps its stable id across the rename, and reads resolve pre-rename
+  // files' physical names through their epoch's schema recording
   private val RenameColumnRe =
     """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*$""".r
   private val DropColumnsRe =
@@ -316,13 +314,13 @@ object GraftSql {
       refresh(spark, name)
       snapFrame(spark, s2)
     case RenameColumnRe(name, from, to) =>
-      lookupName(spark, name): Unit // unbound names get the standard error
-      sys.error(s"ALTER TABLE $name RENAME COLUMN is not supported: " +
-        s"pre-rename data files still carry '$from', so a rename needs " +
-        "column-mapping ids to stay readable (the Delta requirement). " +
-        s"Equivalent: ADD COLUMNS ($to <type>), UPDATE … SET $to = $from, " +
-        s"then DROP COLUMNS ($from) — three explicit commits, " +
-        "time-travel-safe")
+      // column-mapping ids (r15): the rename keeps the field's stable id
+      // and reads resolve pre-rename files through their epoch recording
+      // (Lake.renameColumn) — a KB metadata commit, no data file touched
+      val t = lookupName(spark, name)
+      val s2 = t.renameColumn(from, to)
+      refresh(spark, name)
+      snapFrame(spark, s2)
     case DropColumnsRe(name, colList) =>
       val t = lookupName(spark, name)
       val s2 = t.dropColumns(
@@ -331,12 +329,24 @@ object GraftSql {
       snapFrame(spark, s2)
     case DescribeBareRe(name) if registry.get((spark, name)) != null =>
       // DESCRIBE t: the column listing off the table's resolved schema
-      // (recorded-schema path — zero data reads on recorded tables)
+      // (recorded-schema path — zero data reads on recorded tables),
+      // plus the column-mapping id and the rename trail (r15): every
+      // FORMER name the field id bore, oldest first
       import spark.implicits._
-      lookupName(spark, name).read().schema.fields.toSeq
-        .map(f => (f.name, f.dataType.simpleString,
-          if (f.nullable) "YES" else "NO"))
-        .toDF("col_name", "data_type", "nullable")
+      val t = lookupName(spark, name)
+      val renames = Lake.renameLog(t.ledgerDir)
+      t.read().schema.fields.toSeq
+        .map { f =>
+          val id = Lake.fieldId(f)
+          val trail = id.map(i => renames.filter(_.id == i).map(_.from))
+            .getOrElse(Nil)
+          (f.name, f.dataType.simpleString,
+            if (f.nullable) "YES" else "NO",
+            id.map(_.toString).orNull,
+            if (trail.isEmpty) null else trail.mkString(" -> "))
+        }
+        .toDF("col_name", "data_type", "nullable", "field_id",
+          "renamed_from")
     case ShowTablesRe() =>
       import spark.implicits._
       import scala.jdk.CollectionConverters._
@@ -1439,8 +1449,9 @@ object GraftSql {
     * ALWAYS AS surface under the hard gate: declare an empty table with
     * two generated columns, column-list INSERT from customer (omitted
     * generated columns COMPUTE), one full-arity INSERT with correct
-    * generated values, one UPDATE that moves a generation input and its
-    * generated column together (the supported loud-contract form), and
+    * generated values, one UPDATE that moves a generation input ONLY —
+    * the generated column RECOMPUTES from the post-image (the Delta
+    * semantics, r15; a direct SET of a generated column refuses), and
     * a final per-segment report whose bal_cents sum is an exact BIGINT
     * (generated-column content is hash-checked, not just row counts).
     * Every effect is pure algebra over `customer`, so DuckDB mirrors the
@@ -1465,9 +1476,7 @@ object GraftSql {
         |  (10000001, 'DECLARED', CAST(12.25 AS DOUBLE), 1225,
         |   'DECLARED-1');
         |UPDATE sqlct_t SET
-        |  bal = CAST(CAST(bal AS DECIMAL(12,2)) + 10.00 AS DOUBLE),
-        |  bal_cents = CAST((CAST(bal AS DECIMAL(12,2)) + 10.00) * 100
-        |    AS BIGINT)
+        |  bal = CAST(CAST(bal AS DECIMAL(12,2)) + 10.00 AS DOUBLE)
         |WHERE seg = 'BUILDING';
         |SELECT seg, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(bal_cents) AS BIGINT) AS sum_cents,

@@ -116,6 +116,12 @@ final case class GraftTable(spark: SparkSession, ledgerDir: String,
   def dropColumns(names: Seq[String]): Long =
     Lake.dropColumns(spark, ledgerDir, names)
 
+  /** RENAME COLUMN via column-mapping field ids — a KB metadata commit;
+    * pre-rename files keep serving the column through their epoch's
+    * schema recording (see Lake.renameColumn). */
+  def renameColumn(oldName: String, newName: String): Long =
+    Lake.renameColumn(spark, ledgerDir, oldName, newName)
+
   /** [[merge]] on a COMPOSITE key — equality on every column of `keys`
     * (see Lake.mergeIntoKeys). */
   def mergeKeys(source: DataFrame, keys: Seq[String],

@@ -139,7 +139,7 @@ object Lake {
     val tableSchema = readLedger(spark, ledgerDir)
       .map(l => liveActionsAt(l, nextSnapshot - 1))
       .map(new LedgerFileIndex(_)).filterNot(_.isEmpty)
-      .map(tableScan(spark, ledgerDir, _).schema)
+      .map(tableScan(spark, ledgerDir, _, nextSnapshot - 1).schema)
     val merged =
       try Some(spark.read.option("mergeSchema", "true")
         .parquet(candPaths.map(normPath): _*).schema)
@@ -491,7 +491,11 @@ object Lake {
         max_by(when(col("op") === "add", struct(col("size"), col("stats"))),
           when(col("op") === "add", col("snapshot_id"))).as("w"))
       .filter(col("ad").isNotNull && (col("rm").isNull || col("rm") < col("ad")))
-      .select(col("path"), col("w.size").as("size"), col("w.stats").as("stats"))
+      // `snap` = the winning-add snapshot: LedgerFileIndex materializes it
+      // for rename-epoch resolution (tableScan); every other consumer
+      // selects its columns explicitly and ignores it
+      .select(col("path"), col("w.size").as("size"), col("w.stats").as("stats"),
+        col("ad").as("snap"))
 
   /** Paths live AT `snapshot` — the driver-list form, used ONLY where the
     * path set feeds driver-side bookkeeping (expiry accounting). Every
@@ -523,10 +527,11 @@ object Lake {
     * resolved from the current live set (callers project columns and
     * would otherwise crash only in the empty case). */
   private def scanActions(spark: SparkSession, ledgerDir: String,
-      actions: DataFrame, atSnapshot: Long = -1L): DataFrame = {
+      actions: DataFrame, atSnapshot: Long = -1L,
+      keepPos: Boolean = false): DataFrame = {
     val index = new LedgerFileIndex(actions)
     if (!index.isEmpty)
-      tableScan(spark, ledgerDir, index, atSnapshot)
+      tableScan(spark, ledgerDir, index, atSnapshot, keepPos)
     else {
       val liveIdx = readLedger(spark, ledgerDir)
         .map(l => new LedgerFileIndex(liveActionsAt(l, Long.MaxValue)))
@@ -554,7 +559,7 @@ object Lake {
     // out their rows (no-op scan pass-through when the table has none)
     applyDvsAt(spark, ledgerDir, snapshot,
       scanActions(spark, ledgerDir, liveActionsAt(ledger, snapshot),
-        atSnapshot = snapshot))
+        atSnapshot = snapshot, keepPos = true))
   }
 
   /** The add-file action rows of row-changing snapshots matching `pred` —
@@ -566,7 +571,11 @@ object Lake {
     withLedgerStats(ledger)
       .filter(col("op") === "add"
         && col("snapshot_op").isin("append", "merge", "restore") && pred)
-      .select(col("path"), col("size"), col("stats"))
+      // `snap` = the add's own snapshot: incremental consumers of a
+      // RENAMED table must resolve each file's physical names through
+      // the schema recording current when it was added
+      .select(col("path"), col("size"), col("stats"),
+        col("snapshot_id").as("snap"))
 
   /** Manifest-based incremental read: the rows of every file ADDED by a
     * row-changing snapshot AFTER `sinceSnapshot` — the "what's new since my
@@ -767,7 +776,7 @@ object Lake {
     // partition. Read-only scan BEFORE the reservation (the deleteWhere
     // discipline); an empty footprint is a no-op without a snapshot.
     val scopeNorm: Option[Set[String]] = where.map { w =>
-      tableScan(spark, ledgerDir, index)
+      tableScan(spark, ledgerDir, index, snap)
         .withColumn("_file",
           regexp_replace(input_file_name(), "^file:/+", "/"))
         .filter(coalesce(w, lit(false)))
@@ -798,7 +807,7 @@ object Lake {
       // the rewrite drops the deleted rows and replaces every file, so
       // all prior vectors go inert (dvRows() returns 0 afterwards)
       val df = applyDvsAt(spark, ledgerDir, snap,
-        tableScan(spark, ledgerDir, compactIndex))
+        tableScan(spark, ledgerDir, compactIndex, snap, keepPos = true))
       val n = df.count()
       val files = math.max(1, math.ceil(n.toDouble / targetRowsPerFile).toInt)
       // stats columns make compaction CLUSTERING-preserving: range-partition
@@ -931,12 +940,221 @@ object Lake {
   private def schemaDirF(ledgerDir: String) =
     new java.io.File(s"$ledgerDir/_schema")
 
+  // -------------------------------- column-mapping field ids (r15)
+
+  /** StructField metadata key carrying a column's STABLE mapping id —
+    * the Delta/Iceberg column-mapping analog: renames keep the id while
+    * the name moves, so reads of pre-rename files resolve the column by
+    * id through the schema recording that was current when the file was
+    * written (see the rename-epoch branch of [[tableScan]]). */
+  private[sources] val FieldIdKey = "graft.field.id"
+
+  private[sources] def fieldId(
+      f: org.apache.spark.sql.types.StructField): Option[Long] =
+    if (f.metadata.contains(FieldIdKey)) Some(f.metadata.getLong(FieldIdKey))
+    else None
+
+  /** Every schema recording of this table, parsed (KB driver-side). */
+  private def allRecordedSchemas(ledgerDir: String)
+      : Seq[org.apache.spark.sql.types.StructType] = {
+    val re = """schema-(\d+)\.json""".r
+    Option(schemaDirF(ledgerDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => re.findFirstIn(f.getName).isDefined)
+      .map(f => org.apache.spark.sql.types.DataType.fromJson(new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]).toSeq
+  }
+
+  /** Every (id, lower-name) pair any recording of this table ever
+    * declared — the trust set for incoming metadata ids and the floor
+    * for fresh-id allocation (a DROPPED column's id must never be
+    * reused: an old file's data would leak into the new column through
+    * epoch resolution). */
+  private def recordedIdPairs(ledgerDir: String): Set[(Long, String)] =
+    allRecordedSchemas(ledgerDir).flatMap(_.fields.flatMap(f =>
+      fieldId(f).map(_ -> f.name.toLowerCase))).toSet
+
+  /** Attach stable field ids to `schema`: a field keeps an incoming
+    * metadata id only when THIS table's recordings already declare that
+    * exact (id, name) pair (restore re-records a prior shape; a frame
+    * sourced from another table must not leak foreign ids); otherwise
+    * the current recording's id for the same name applies, and genuinely
+    * new names draw fresh ids above everything ever allocated. */
+  private def withFieldIds(ledgerDir: String,
+      schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    val ownPairs = recordedIdPairs(ledgerDir)
+    val curIds: Map[String, Long] =
+      recordedSchemaAt(ledgerDir, Long.MaxValue)
+        .map(_.fields.flatMap(f => fieldId(f).map(f.name.toLowerCase -> _))
+          .toMap).getOrElse(Map.empty)
+    var next = (ownPairs.map(_._1) ++ schema.fields.flatMap(f =>
+      fieldId(f).filter(id => ownPairs((id, f.name.toLowerCase))))
+      .toSeq ++ Seq(0L)).max + 1
+    StructType(schema.fields.map { f =>
+      val ln = f.name.toLowerCase
+      val id = fieldId(f).filter(i => ownPairs((i, ln)))
+        .orElse(curIds.get(ln))
+        .getOrElse { val i = next; next += 1; i }
+      f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+        .putLong(FieldIdKey, id).build())
+    })
+  }
+
+  /** `trustIds` (rename only): the caller vouches for the incoming
+    * metadata ids even where the (id, name) pair is new to this table —
+    * a rename is exactly the commit that creates such a pair. */
   private[sources] def recordSchema(ledgerDir: String, snapshot: Long,
-      schema: org.apache.spark.sql.types.StructType): Unit = {
+      schema: org.apache.spark.sql.types.StructType,
+      trustIds: Boolean = false): Unit = {
     schemaDirF(ledgerDir).mkdirs()
+    val toWrite =
+      if (trustIds && schema.fields.forall(fieldId(_).isDefined)) schema
+      else withFieldIds(ledgerDir, schema)
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$ledgerDir/_schema/schema-$snapshot.json"),
-      schema.json.getBytes("UTF-8")): Unit
+      toWrite.json.getBytes("UTF-8")): Unit
+  }
+
+  // ------------------------------------ RENAME COLUMN (r15)
+
+  /** One rename, as logged under `_renames/` at its commit snapshot. */
+  final case class RenameRec(snapshot: Long, id: Long,
+    from: String, to: String)
+
+  private def renamesDirF(ledgerDir: String) =
+    new java.io.File(s"$ledgerDir/_renames")
+
+  /** The table's rename log, ascending by snapshot (KB driver-side). */
+  private[sources] def renameLog(ledgerDir: String): Seq[RenameRec] = {
+    val fre = """rename-(\d+)\.json""".r
+    val jre =
+      """\{"snapshot":(\d+),"id":(\d+),"from":"(\w+)","to":"(\w+)"\}""".r
+    Option(renamesDirF(ledgerDir).listFiles()).getOrElse(Array.empty)
+      .flatMap(f => f.getName match {
+        case fre(_) => new String(java.nio.file.Files.readAllBytes(f.toPath),
+          "UTF-8").trim match {
+          case jre(s, i, o, n) => Some(RenameRec(s.toLong, i.toLong, o, n))
+          case _ => None
+        }
+        case _ => None
+      }).sortBy(_.snapshot).toSeq
+  }
+
+  /** ALTER TABLE … RENAME COLUMN — safe through column-mapping ids (the
+    * Delta analog; until r15 this refused): the renamed field keeps its
+    * stable id, the new name records as a KB schema-recording commit
+    * (one inert op="schema" row, no data file touched), and reads
+    * resolve each file's PHYSICAL column name by id through the schema
+    * recording current at the file's winning-add snapshot (the
+    * rename-epoch branch of [[tableScan]]) — pre-rename files keep
+    * serving the column under its new logical name, data skipping
+    * included (pushed filters reach each epoch's scan bearing that
+    * epoch's physical name, which is how the per-file stats are keyed).
+    * One-time retrofit: the first rename rewrites the existing `_schema`
+    * recordings in place with by-name-reconciled ids (names never change
+    * except through renames, so by-name backfill is exact), and a table
+    * without any recording gets one at the current head so the
+    * pre-rename epoch resolves. Refusals: unknown/duplicate names, a
+    * column any standing CHECK constraint references (generated columns
+    * and their inputs are covered by their auto-constraints — rewrite
+    * texts would silently diverge), and a DEFAULT-bearing column (the
+    * default is keyed by name). After a rename the OLD name becomes
+    * re-addable ([[addColumns]] — the id disambiguates, the exact hazard
+    * column mapping exists to solve). */
+  def renameColumn(spark: SparkSession, ledgerDir: String,
+      oldName: String, newName: String): Long = {
+    require(newName.matches("[A-Za-z][A-Za-z0-9_]*"),
+      s"invalid column name: $newName")
+    val snap = currentSnapshot(spark, ledgerDir)
+    require(snap > 0, "RENAME COLUMN on a table with no snapshots")
+    val cur0 = recordedSchemaAt(ledgerDir, snap)
+      .getOrElse(readAt(spark, ledgerDir, snap).schema)
+    val fOld = cur0.fields.find(_.name.equalsIgnoreCase(oldName))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no such column: $oldName"))
+    require(!cur0.fieldNames.exists(_.equalsIgnoreCase(newName)),
+      s"column '$newName' already exists")
+    constraints(ledgerDir).foreach { case (cn, ce) =>
+      val refs = org.apache.spark.sql.GraftShim
+        .parseExpression(spark, ce).collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            a.nameParts.last.toLowerCase
+        }.toSet
+      require(!refs(oldName.toLowerCase), s"CHECK constraint '$cn' " +
+        s"references column '${fOld.name}' — drop the constraint first " +
+        "(generated-column auto-constraints pin their inputs the same way)")
+    }
+    require(!columnDefaults(ledgerDir).exists(
+        _._1.equalsIgnoreCase(oldName)),
+      s"column '${fOld.name}' carries a DEFAULT — drop it first")
+    // one-time retrofit: every prior recording gains by-name ids so the
+    // epoch resolver reads ids uniformly; a recording-less table records
+    // its current shape at the head (the pre-rename epoch)
+    retrofitFieldIds(ledgerDir, snap, cur0)
+    val pre = recordedSchemaAt(ledgerDir, snap).get
+    val preField = pre.fields.find(_.name.equalsIgnoreCase(oldName)).get
+    val id = fieldId(preField).get
+    val renamed = org.apache.spark.sql.types.StructType(pre.fields.map(f =>
+      if (f.name.equalsIgnoreCase(oldName)) f.copy(name = newName) else f))
+    val next = snap + 1
+    reserving(spark, ledgerDir, next) {
+      recordSchema(ledgerDir, next, renamed, trustIds = true)
+      renamesDirF(ledgerDir).mkdirs()
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$ledgerDir/_renames/rename-$next.json"),
+        (s"""{"snapshot":$next,"id":$id,"from":"${preField.name}",""" +
+          s""""to":"$newName"}""").getBytes("UTF-8"))
+      val action = removeActions(spark, Seq(s"_schema/schema-$next.json"))
+        .withColumn("op", lit("schema"))
+        .withColumn("snapshot_op", lit("rename-column"))
+        .withColumn("stats", lit(null).cast(StatsType))
+      appendSnapshot(spark, ledgerDir, next, action, preReserved = true,
+        stagedSchema = true)
+      next
+    }
+  }
+
+  /** First-rename retrofit: attach by-name-reconciled ids to every
+    * id-less `_schema` recording (in place — names unchanged, so every
+    * reader sees the same schema it always did), and ensure a recording
+    * exists at-or-before the current head so pre-rename files have an
+    * epoch to resolve through. Names are stable before the first rename
+    * by construction (renames are the only name-changing commit), so
+    * by-name backfill is exact; names that only exist in OLD recordings
+    * (dropped columns) draw fresh ids nothing references. */
+  private def retrofitFieldIds(ledgerDir: String, head: Long,
+      cur: org.apache.spark.sql.types.StructType): Unit = {
+    import org.apache.spark.sql.types._
+    if (recordedSchemaAt(ledgerDir, head).isEmpty)
+      recordSchema(ledgerDir, head, cur) // assigns fresh ids 1..n
+    // assignment = the head recording's name→id map
+    val assign: Map[String, Long] = recordedSchemaAt(ledgerDir, head).get
+      .fields.flatMap(f => fieldId(f).map(f.name.toLowerCase -> _)).toMap
+    var next = (recordedIdPairs(ledgerDir).map(_._1) ++ Seq(0L)).max + 1
+    val re = """schema-(\d+)\.json""".r
+    Option(schemaDirF(ledgerDir).listFiles()).getOrElse(Array.empty)
+      .foreach { f =>
+        if (re.findFirstIn(f.getName).isDefined) {
+          val sch = DataType.fromJson(new String(
+            java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+            .asInstanceOf[StructType]
+          if (sch.fields.exists(fieldId(_).isEmpty)) {
+            val fixed = StructType(sch.fields.map { fl =>
+              if (fieldId(fl).isDefined) fl
+              else {
+                val id = assign.getOrElse(fl.name.toLowerCase,
+                  { val i = next; next += 1; i })
+                fl.copy(metadata = new MetadataBuilder()
+                  .withMetadata(fl.metadata).putLong(FieldIdKey, id).build())
+              }
+            })
+            java.nio.file.Files.write(f.toPath,
+              fixed.json.getBytes("UTF-8")): Unit
+          }
+        }
+      }
   }
 
   /** Latest recorded schema at-or-before `snapshot`, None when the table
@@ -962,13 +1180,97 @@ object Lake {
     * recorded schema as of that snapshot (zero footer reads at plan
     * time) when one exists; `atSnapshot = -1` (cdc/sidecar scans, and
     * tables without a recording) keeps the footer-inference path. */
+  /** `keepPos`: materialize the `__graft_fp`/`__graft_pos` row-identity
+    * columns (normalized file path + row index) INSIDE the scan — the
+    * DV anti-join and MOR sidecar writers need them, and on a renamed
+    * table `_metadata` is only resolvable per epoch BRANCH, below the
+    * union ([[applyDvsAt]] drops them when unused). */
   private def tableScan(spark: SparkSession, ledgerDir: String,
-      index: LedgerFileIndex, atSnapshot: Long = -1L): DataFrame = {
+      index: LedgerFileIndex, atSnapshot: Long = -1L,
+      keepPos: Boolean = false): DataFrame = {
     val recorded =
       if (atSnapshot >= 0) recordedSchemaAt(ledgerDir, atSnapshot) else None
-    org.apache.spark.sql.GraftShim.parquetScan(spark, index,
-      mergeSchemas = recorded.isEmpty && isEvolved(ledgerDir),
-      dataSchema = recorded)
+    val renames =
+      if (recorded.isDefined) renameLog(ledgerDir).filter(_.snapshot <= atSnapshot)
+      else Nil
+    if (renames.isEmpty) {
+      val scan = org.apache.spark.sql.GraftShim.parquetScan(spark, index,
+        mergeSchemas = recorded.isEmpty && isEvolved(ledgerDir),
+        dataSchema = recorded)
+      if (keepPos) withRowIdentity(scan) else scan
+    }
+    else renameEpochScan(spark, ledgerDir, index, atSnapshot, recorded.get,
+      keepPos)
+  }
+
+  /** The (file, position) identity columns off a scan\'s `_metadata` —
+    * must be applied BELOW any union (metadata columns resolve on the
+    * file-source relation, not above it). */
+  private def withRowIdentity(df: DataFrame): DataFrame = df
+    .withColumn("__graft_fp",
+      regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
+    .withColumn("__graft_pos", col("_metadata.row_index"))
+
+  /** RENAME-EPOCH scan (r15): when renames exist at-or-below the read
+    * snapshot, a file's on-disk column names are the LOGICAL names that
+    * were current when it was written. Resolve per file: its epoch = the
+    * latest schema recording ≤ its winning-add snapshot; the physical
+    * name of each logical column is the name its FIELD ID bore in that
+    * recording (absent id → the column did not exist yet → an impossible
+    * name the reader null-fills). Files sharing a physical-name vector
+    * scan as ONE branch (renames are rare: almost always 2 branches),
+    * each branch aliases back to logical names, and the branches union
+    * BY POSITION. Filters and column pruning push through the alias
+    * Project into each branch — a pushed filter reaches an epoch's scan
+    * bearing that epoch's physical name, which is exactly how the
+    * per-file stats maps are keyed, so manifest data skipping survives
+    * renames per epoch. Driver cost: the index's already-materialized
+    * entries grouped once (no extra jobs), plus one KB recording read
+    * per distinct epoch. */
+  private def renameEpochScan(spark: SparkSession, ledgerDir: String,
+      index: LedgerFileIndex, atSnapshot: Long,
+      logical: org.apache.spark.sql.types.StructType,
+      keepPos: Boolean): DataFrame = {
+    import org.apache.spark.sql.types._
+    val re = """schema-(\d+)\.json""".r
+    val versions: Seq[Long] =
+      Option(schemaDirF(ledgerDir).listFiles()).getOrElse(Array.empty)
+        .flatMap(_.getName match {
+          case re(s) if s.toLong <= atSnapshot => Some(s.toLong)
+          case _ => None
+        }).sorted.toSeq
+    require(versions.nonEmpty, // recorded.isDefined implies this
+      s"rename-epoch scan with no schema recordings at $ledgerDir")
+    def epochOf(s: Long): Long = {
+      val le = versions.filter(_ <= s)
+      if (le.isEmpty) versions.head else le.max
+    }
+    val schemaCache = scala.collection.mutable.Map[Long, StructType]()
+    def physNames(v: Long): Seq[String] = {
+      val vs = schemaCache.getOrElseUpdate(v,
+        recordedSchemaAt(ledgerDir, v).get)
+      val byId: Map[Long, String] =
+        vs.fields.flatMap(f => fieldId(f).map(_ -> f.name)).toMap
+      logical.fields.toSeq.map { f =>
+        fieldId(f).flatMap(byId.get)
+          .getOrElse(s"__graft_absent_${fieldId(f).getOrElse(-1L)}")
+      }
+    }
+    // group live files by their epoch's physical-name VECTOR — add/drop
+    // recordings between renames share one vector, so branches ≈ renames+1
+    val branches: Seq[(Seq[String], Set[String])] = index.pathAddSnapshots
+      .toSeq.groupBy { case (_, s) => physNames(epochOf(s)) }
+      .map { case (pn, xs) => pn -> xs.map(_._1).toSet }.toSeq
+      .sortBy(_._1.mkString(","))
+    val scans = branches.map { case (pn, paths) =>
+      val phys = StructType(logical.fields.zip(pn).map { case (f, n) =>
+        f.copy(name = n, nullable = true) })
+      val branch = org.apache.spark.sql.GraftShim.parquetScan(spark,
+          index.subIndex(paths), dataSchema = Some(phys))
+        .toDF(logical.fieldNames.toSeq: _*)
+      if (keepPos) withRowIdentity(branch) else branch
+    }
+    scans.reduce(_.union(_))
   }
 
   /** The table's recorded SKIPPING CONTRACT — the (range/stats, bloom)
@@ -1387,7 +1689,7 @@ object Lake {
       // materialized live index (entries reused — no second collect job)
       def affectedScan: DataFrame = applyDvsAt(spark, ledgerDir, snap,
         tableScan(spark, ledgerDir, index.get.subIndex(affectedNorm),
-          atSnapshot = snap))
+          atSnapshot = snap, keepPos = true))
       // matched keys live ONLY in affected files — computable without a
       // full scan; shared by the deleteWhen filter and the change feed
       val matchedKeys: Option[DataFrame] =
@@ -1533,7 +1835,8 @@ object Lake {
       // sub-index of the live index: entries reused, no second collect
       val affectedIdx = index.get.subIndex(affectedNorm)
       val carry = applyDvsAt(spark, ledgerDir, snap,
-          tableScan(spark, ledgerDir, affectedIdx, atSnapshot = snap))
+          tableScan(spark, ledgerDir, affectedIdx, atSnapshot = snap,
+            keepPos = true))
         .filter(!coalesce(cond, lit(false)))
         .select(cols: _*)
       carry.write.mode("overwrite").parquet(s"$genDir/carry")
@@ -1543,7 +1846,8 @@ object Lake {
       // mirror would silently keep rows this table dropped
       if (changeFeed)
         applyDvsAt(spark, ledgerDir, snap,
-            tableScan(spark, ledgerDir, affectedIdx, atSnapshot = snap))
+            tableScan(spark, ledgerDir, affectedIdx, atSnapshot = snap,
+              keepPos = true))
           .filter(coalesce(cond, lit(false)))
           .select(cols: _*)
           .withColumn("_change_type", lit("delete"))
@@ -1577,7 +1881,10 @@ object Lake {
     * files) at any table size). Assignments evaluate against the
     * PRE-image row (standard UPDATE semantics: `SET a = b, b = a` swaps)
     * and cast back to the column's existing type — an UPDATE never
-    * changes the table schema. The table's CHECK constraints are
+    * changes the table schema. GENERATED ALWAYS AS columns recompute
+    * from the post-image whenever a generation input is assigned, and
+    * refuse direct assignment (Delta semantics). The table's CHECK
+    * constraints are
     * enforced on the POST-image of the updated rows before anything is
     * reserved or written (read-only scan; a refused update aborts with
     * the table bit-unchanged). Opt-in `changeFeed` records
@@ -1599,13 +1906,42 @@ object Lake {
     val setMap = sets.toMap
     sets.foreach { case (c, _) =>
       require(target.columns.contains(c), s"UPDATE SET unknown column '$c'") }
+    // GENERATED ALWAYS AS discipline (the Delta semantics, r15): a
+    // generated column cannot be SET directly — update its inputs and it
+    // recomputes; any generated column whose generation INPUT is
+    // assigned recomputes against the POST-image in a second projection
+    // stage (generation expressions may not reference other generated
+    // columns, so one stage suffices).
+    val genCols = generatedColumns(ledgerDir)
+    val genNames = genCols.map(_._1).toSet
+    sets.foreach { case (c, _) =>
+      require(!genNames.contains(c), s"column '$c' is GENERATED ALWAYS " +
+        "AS — it cannot be SET directly; update its generation inputs " +
+        "and it recomputes") }
+    val regen: Map[String, org.apache.spark.sql.Column] =
+      genCols.flatMap { case (g, e) =>
+        val refs = org.apache.spark.sql.GraftShim
+          .parseExpression(spark, e).collect {
+            case a: org.apache.spark.sql.catalyst.analysis
+              .UnresolvedAttribute => a.nameParts.last
+          }.toSet
+        if (refs.exists(setMap.contains)) Some(g -> expr(e)) else None
+      }.toMap
     // post-image projection over a frame: assignments all read the
     // pre-image (select evaluates every expression against the input
-    // row), each cast to the column's standing type
-    def postImage(df: DataFrame): DataFrame = df.select(target.schema.map {
-      f => setMap.get(f.name)
-        .map(v => v.cast(f.dataType).as(f.name)).getOrElse(col(f.name))
-    }: _*)
+    // row), each cast to the column's standing type; generated columns
+    // then recompute from the applied row
+    def postImage(df: DataFrame): DataFrame = {
+      val applied = df.select(target.schema.map { f =>
+        setMap.get(f.name)
+          .map(v => v.cast(f.dataType).as(f.name)).getOrElse(col(f.name))
+      }: _*)
+      if (regen.isEmpty) applied
+      else applied.select(target.schema.map { f =>
+        regen.get(f.name)
+          .map(v => v.cast(f.dataType).as(f.name)).getOrElse(col(f.name))
+      }: _*)
+    }
     val affectedNorm = target
       .withColumn("_file", regexp_replace(input_file_name(), "^file:/+", "/"))
       .filter(coalesce(cond, lit(false)))
@@ -1620,7 +1956,7 @@ object Lake {
     // once instead of re-scanning the affected files per consumer
     val affectedRows = applyDvsAt(spark, ledgerDir, snap,
       tableScan(spark, ledgerDir, index.get.subIndex(affectedNorm),
-        atSnapshot = snap))
+        atSnapshot = snap, keepPos = true))
       .localCheckpoint()
     // hard contract on the rows that land — still read-only, pre-reserve
     enforceConstraints(spark, ledgerDir,
@@ -1748,7 +2084,8 @@ object Lake {
     // anti-join — `_metadata` is unresolvable/ambiguous above a join of
     // two file scans.
     val target = applyDvsAt(spark, ledgerDir, snap,
-      tableScan(spark, ledgerDir, index.get), keepPos = true)
+      tableScan(spark, ledgerDir, index.get, snap, keepPos = true),
+      keepPos = true)
     // ONE match scan: the position set is delete-sized (exactly what the
     // sidecar will hold), so materialize it once instead of re-scanning
     // the table for the emptiness check and again for the sidecar write
@@ -1833,14 +2170,18 @@ object Lake {
     * since `_metadata` is unresolvable above a join of two file scans. */
   private def applyDvsAt(spark: SparkSession, ledgerDir: String,
       snapshot: Long, scan: DataFrame, keepPos: Boolean = false): DataFrame = {
-    def withPos(df: DataFrame): DataFrame = df
-      .withColumn("__graft_fp",
-        regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
-      .withColumn("__graft_pos", col("_metadata.row_index"))
+    // row identity: already materialized when the scan was built with
+    // tableScan(keepPos = true) — REQUIRED for renamed tables, where
+    // `_metadata` only resolves below the epoch union; computed here
+    // otherwise (legacy direct scans)
+    def withPos(df: DataFrame): DataFrame =
+      if (df.columns.contains("__graft_fp")) df else withRowIdentity(df)
+    def dropPos(df: DataFrame): DataFrame =
+      df.drop("__graft_fp", "__graft_pos")
     val activeOpt = readLedger(spark, ledgerDir)
       .flatMap(l => activeDvRows(spark, ledgerDir, l, snapshot))
     activeOpt match {
-      case None => if (keepPos) withPos(scan) else scan
+      case None => if (keepPos) withPos(scan) else dropPos(scan)
       case Some(active) =>
         val joined = withPos(scan)
           .join(active
@@ -2016,7 +2357,8 @@ object Lake {
             .withColumn("_change_type", lit("insert")))
         val oldRows = liveActs.map(acts =>
           applyDvsAt(spark, ledgerDir, snap,
-              scanActions(spark, ledgerDir, acts, atSnapshot = snap))
+              scanActions(spark, ledgerDir, acts, atSnapshot = snap,
+                keepPos = true))
             .withColumn("_change_type", lit("delete")))
         // liveActs.isEmpty && newEmpty returned above, so at least one side
         // is present here
@@ -2142,7 +2484,7 @@ object Lake {
         else {
           val scan = applyDvsAt(spark, ledgerDir, snap,
             tableScan(spark, ledgerDir, index.get.subIndex(affectedNorm),
-              atSnapshot = snap))
+              atSnapshot = snap, keepPos = true))
           Some(if (changeFeed) scan.localCheckpoint() else scan)
         }
       affectedRowsOpt.foreach(
@@ -2218,11 +2560,17 @@ object Lake {
     // re-add guard: a name recorded by a PRIOR schema but absent from
     // the current one was DROPPED — pre-drop files still hold its old
     // values, and a same-name re-add would silently resurface them
-    // (the hazard Delta's column-mapping ids solve); refuse
+    // (the hazard Delta's column-mapping ids solve); refuse. EXCEPTION
+    // (r15): a name RENAMED AWAY is legal — renames activate the
+    // epoch-resolving read path, where the re-added column's fresh field
+    // id is absent from every pre-rename recording, so old files
+    // null-fill it instead of resurfacing the renamed column's data
     val prior = everRecordedNames(ledgerDir)
+    val renamedAway = renameLog(ledgerDir).map(_.from.toLowerCase).toSet
     val curNames = cur.fieldNames.map(_.toLowerCase).toSet
     val readds = cols.fieldNames.filter(n =>
-      prior(n.toLowerCase) && !curNames(n.toLowerCase))
+      prior(n.toLowerCase) && !curNames(n.toLowerCase) &&
+        !renamedAway(n.toLowerCase))
     require(readds.isEmpty, s"column(s) ${readds.mkString(", ")} were " +
       "previously dropped — re-adding the same name would resurface the " +
       "old values still present in pre-drop files; use a new name")
@@ -2544,7 +2892,7 @@ object Lake {
     val liveActs = readLedger(spark, ledgerDir)
       .map(l => liveActionsAt(l, snap).localCheckpoint())
     val index = liveActs.map(new LedgerFileIndex(_)).filterNot(_.isEmpty)
-    val targetSchema = index.map(tableScan(spark, ledgerDir, _).schema)
+    val targetSchema = index.map(tableScan(spark, ledgerDir, _, snap).schema)
     val baseCols: Seq[String] =
       targetSchema.map(_.fieldNames.toSeq).getOrElse(source.columns.toSeq)
     def dtypeOf(n: String): org.apache.spark.sql.types.DataType =
@@ -2567,7 +2915,8 @@ object Lake {
     // of the whole table (see keyRangeScope).
     val matched: Option[DataFrame] = index.map { idx =>
       applyDvsAt(spark, ledgerDir, snap,
-          keyRangeScope(tableScan(spark, ledgerDir, idx), srcKeys, keys),
+          keyRangeScope(tableScan(spark, ledgerDir, idx, snap,
+            keepPos = true), srcKeys, keys),
           keepPos = true)
         .join(srcKeys, keys, "left_semi")
     }
@@ -3019,10 +3368,10 @@ object Lake {
       .select(col("path"))
     val pre = applyDvsAt(spark, ledgerDir, fromSnap, scanActions(spark,
       ledgerDir, liveF.join(stable, Seq("path"), "left_anti"),
-      atSnapshot = fromSnap))
+      atSnapshot = fromSnap, keepPos = true))
     val post = applyDvsAt(spark, ledgerDir, toSnap, scanActions(spark,
       ledgerDir, liveT.join(stable, Seq("path"), "left_anti"),
-      atSnapshot = toSnap))
+      atSnapshot = toSnap, keepPos = true))
     val preS = pre.select(col(key).as("__k"), struct(pre.columns.map(col): _*).as("pre"))
     val postS = post.select(col(key).as("__k"), struct(post.columns.map(col): _*).as("post"))
     preS.join(postS, Seq("__k"), "full_outer")
@@ -3483,13 +3832,16 @@ object Lake {
     * (INSERT, MERGE, UPDATE post-images, ingest) proves the rule through
     * the existing constraint gate with zero new enforcement code. The
     * column-list INSERT path COMPUTES omitted generated columns
-    * (GraftSql.runInsert); other writers must supply matching values.
-    * Documented divergence from Delta: an UPDATE that changes a
-    * generation INPUT without updating the generated column REFUSES
-    * (constraint violation) instead of silently recomputing — loud over
-    * implicit. Generation expressions may not reference other generated
-    * columns (the Delta rule; checked by the SQL layer, which knows the
-    * full set at CREATE time). */
+    * (GraftSql.runInsert); [[updateWhere]] RECOMPUTES any generated
+    * column whose generation input is assigned (and refuses a direct SET
+    * of the generated column itself — the Delta semantics, r15); other
+    * writers must supply matching values. Documented divergence from
+    * Delta, now narrowed to MERGE: a WHEN MATCHED UPDATE that changes a
+    * generation input without supplying the matching generated value
+    * REFUSES (constraint violation) instead of silently recomputing —
+    * loud over implicit. Generation expressions may not reference other
+    * generated columns (the Delta rule; checked by the SQL layer, which
+    * knows the full set at CREATE time). */
   def addGeneratedColumn(spark: SparkSession, ledgerDir: String,
       colName: String, expression: String): Unit = {
     require(colName.matches("[A-Za-z][A-Za-z0-9_]*"),

@@ -5,7 +5,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types.StructType
 
 /** Manifest-driven `FileIndex` — the production form of the ledger reads
@@ -69,7 +69,7 @@ object LedgerFileIndex {
 }
 
 final class LedgerFileIndex private (liveActions: DataFrame,
-    pre: Option[Seq[(FileStatus, Map[String, LedgerFileIndex.ColStats])]])
+    pre: Option[Seq[(FileStatus, Map[String, LedgerFileIndex.ColStats], Long)]])
   extends FileIndex {
   import LedgerFileIndex._
 
@@ -86,13 +86,23 @@ final class LedgerFileIndex private (liveActions: DataFrame,
       Some(entries.filter(e =>
         keepNorm(Lake.normPath(e._1.getPath.toString)))))
 
-  /** (path, size, per-column stats) of the live file set, materialized
-    * once at first scan planning. Sizes/stats ride along from the ledger
-    * (recorded at ingest), so Spark can split scan tasks and skip files
-    * without statting or opening any of them. */
-  private lazy val entries: Seq[(FileStatus, Map[String, ColStats])] =
-    pre.getOrElse(liveActions
-      .select(col("path"), col("size"), col("stats"))
+  /** Normalized path → winning-add snapshot of each live file (-1 when
+    * the backing relation carries no `snap` column — sidecar scans).
+    * Rename-epoch resolution input (Lake.tableScan); reads the SAME
+    * materialized entries, zero extra jobs. */
+  def pathAddSnapshots: Map[String, Long] =
+    entries.map(e => Lake.normPath(e._1.getPath.toString) -> e._3).toMap
+
+  /** (path, size, per-column stats, winning-add snapshot) of the live
+    * file set, materialized once at first scan planning. Sizes/stats
+    * ride along from the ledger (recorded at ingest), so Spark can split
+    * scan tasks and skip files without statting or opening any of them. */
+  private lazy val entries: Seq[(FileStatus, Map[String, ColStats], Long)] =
+    pre.getOrElse {
+      val hasSnap = liveActions.columns.contains("snap")
+      val snapCol = if (hasSnap) col("snap") else lit(-1L).as("snap")
+      liveActions
+      .select(col("path"), col("size"), col("stats"), snapCol)
       .collect()
       .map { r =>
         val st = new FileStatus(r.getLong(1), false, 1, 128L * 1024 * 1024, 0L,
@@ -118,8 +128,9 @@ final class LedgerFileIndex private (liveActions: DataFrame,
           }.filter { case (_, cs) =>
             cs.bounds.isDefined || cs.nulls.isDefined || cs.bloom.isDefined
           }
-        (st, stats)
-      }.toSeq)
+        (st, stats, if (r.isNullAt(3)) -1L else r.getLong(3))
+      }.toSeq
+    }
 
   def isEmpty: Boolean = entries.isEmpty
 
@@ -127,7 +138,7 @@ final class LedgerFileIndex private (liveActions: DataFrame,
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val kept = entries.filter { case (_, stats) =>
+    val kept = entries.filter { case (_, stats, _) =>
       stats.isEmpty || dataFilters.forall { f =>
         f.references.map(_.name).toSeq.distinct match {
           // a filter prunes only against the stats of the ONE column it

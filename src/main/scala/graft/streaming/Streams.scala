@@ -487,6 +487,96 @@ object Streams {
       }
   }
 
+  case class BurstState(open: Map[Long, Long], n: Long,
+    bestCount: Long, bestMinute: Long,
+    finalizedUpTo: Long, evictedUpTo: Long)
+  case class BurstReport(event_type: String, n_events: Long,
+    peak_count: Long, peak_minute: Long)
+
+  /** Streaming PEAK-RATE / BURST monitor — the live twin of the batch
+    * `q_evt_burst` worst-[[graft.operators.Events.BurstWindowMin]]-minutes
+    * readout: per event type, maintain minute-bin counts (the fanoMonitor
+    * state discipline — horizon-bounded open map, eviction watermark) and
+    * emit per micro-batch the maximum sliding-window event count over all
+    * windows ENDING at an occupied minute plus the EARLIEST such minute,
+    * exactly the batch operator's (peak_count, peak_minute). Two-tier
+    * exactness: window ends at-or-below the FINALIZATION watermark fold
+    * into a frozen (best count, earliest minute) pair BEFORE their bins
+    * can evict (ends ≤ cutoff+window−1 may need evicted bins, so they
+    * finalize first — the freeze-then-evict order is what makes eviction
+    * sound); ends above it recompute per batch from the open bins, which
+    * are all still present. Ties prefer the earlier minute: frozen ends
+    * precede every live end by construction, so the frozen pair wins
+    * equalities. Late-data contract (the fanoMonitor one, one window
+    * wider): an event for a minute at-or-below the finalization
+    * watermark folds into n_events and its bin, but its already-frozen
+    * window sums do not reopen — the peak UNDER-reads relative to the
+    * batch twin; within the horizon replay is bit-exact across any batch
+    * split. State: the open-minute map plus four longs. */
+  def burstMonitor(spark: SparkSession,
+      events: DataFrame): Dataset[BurstReport] = {
+    import spark.implicits._
+    val win = graft.operators.Events.BurstWindowMin.toLong
+    events
+      .filter(col("ts").isNotNull)
+      .select(col("event_type"),
+        floor(unix_timestamp(col("ts")) / 60).cast("long").as("m"),
+        col("event_id"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[BurstState, BurstReport](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, it, state) =>
+          val rows = it.toSeq.sortBy(r => (r._2, r._3))
+          var st = state.getOption.getOrElse(BurstState(Map.empty, 0L,
+            0L, Long.MinValue, Long.MinValue, Long.MinValue))
+          val open = scala.collection.mutable.Map[Long, Long](
+            st.open.toSeq: _*)
+          var n = st.n
+          rows.foreach { case (_, m, _) =>
+            open(m) = open.getOrElse(m, 0L) + 1L
+            n += 1
+          }
+          val maxM = (open.keysIterator ++ Iterator.single(Long.MinValue)).max
+          // window sum ending at e over the open bins (absent bins are 0)
+          def wsum(e: Long): Long =
+            (0L until win).map(i => open.getOrElse(e - i, 0L)).sum
+          var (bestC, bestM) = (st.bestCount, st.bestMinute)
+          // freeze-then-evict: finalize every occupied end that the next
+          // eviction could starve of its trailing bins
+          val evictBelow = maxM - FanoHorizonMinutes
+          val finalizeTo = evictBelow + win - 1
+          if (finalizeTo > st.finalizedUpTo) {
+            open.keysIterator
+              .filter(e => e > st.finalizedUpTo && e <= finalizeTo)
+              .toSeq.sorted
+              .foreach { e =>
+                val c = wsum(e)
+                if (c > bestC) { bestC = c; bestM = e }
+              }
+            st = st.copy(finalizedUpTo = finalizeTo)
+          }
+          val kept = open.filter { case (m, _) => m >= evictBelow }.toMap
+          val newEvicted =
+            if (kept.size < open.size && evictBelow - 1 > st.evictedUpTo)
+              evictBelow - 1 else st.evictedUpTo
+          state.update(BurstState(kept, n, bestC, bestM,
+            st.finalizedUpTo, newEvicted))
+          if (n == 0L) Iterator.empty
+          else {
+            // live tier: ends above the finalization watermark, all bins
+            // present — recomputed per batch, never frozen
+            var (pc, pm) = (bestC, bestM)
+            open.keysIterator.filter(_ > st.finalizedUpTo).toSeq.sorted
+              .foreach { e =>
+                val c = wsum(e)
+                if (c > pc) { pc = c; pm = e }
+              }
+            Iterator.single(BurstReport(key, n, pc, pm))
+          }
+      }
+  }
+
   /** Stream-static enrichment: the event stream joined against a static
     * readout-map dim (cf. the dromap join, §2.B) — Spark broadcasts the
     * static side into every micro-batch; no stream-side state. */

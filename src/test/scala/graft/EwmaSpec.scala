@@ -248,6 +248,103 @@ class EwmaSpec extends GraftSpec {
     assert(oneShot("steady")._4 == 0L)
   }
 
+  test("streaming burst monitor: the final per-type report equals the " +
+      "batch q_evt_burst over the same events, one-shot and split") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sq = spark.sqlContext
+    val base = 1700000000000L
+    def evt(id: Long, tpe: String, minute: Long, sub: Int) =
+      FanoEvt(id, new Timestamp(base + minute * 60000L + sub * 1000L),
+        1L, tpe, 1.0)
+    // "spiky": a 3-event burst at minutes 6-8 inside a 20-minute span
+    // (peak window [4,8] = [5,9]? no — earliest 5-min window holding all
+    // three plus neighbors decides; the batch operator is the referee);
+    // "flat": one event per minute — every full window ties at 5, the
+    // EARLIEST peaking minute must win; "gappy": counts astride a hole.
+    val all =
+      (Seq((0L, 1), (6L, 3), (7L, 4), (8L, 3), (19L, 1))
+        .flatMap { case (m, k) => (0 until k).map(i =>
+          evt(100 + m * 10 + i, "spiky", m, i)) }) ++
+        (0 until 12).map(i => evt(300 + i, "flat", i, 0)) ++
+        Seq(0, 1, 9, 10, 11).zipWithIndex.map { case (m, i) =>
+          evt(400 + i, "gappy", m.toLong, 0) }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_burst").toString
+    all.toDF().withColumn("props", lit("{}"))
+      .write.parquet(s"$tmp/events.parquet")
+    val want = graft.operators.Events.qEvtBurst(spark, tmp).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("peak_count"),
+          r.getAs[Long]("peak_minute"))))
+      .toMap
+    def run(batches: Seq[Seq[FanoEvt]], name: String)
+        : Map[String, (Long, Long, Long)] = {
+      val mem = MemoryStream[FanoEvt]
+      val q = graft.streaming.Streams.burstMonitor(spark, mem.toDF())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+        spark.table(name).collect()
+          .map(r => (r.getAs[String]("event_type"),
+            r.getAs[Long]("n_events"), r.getAs[Long]("peak_count"),
+            r.getAs[Long]("peak_minute")))
+          .groupBy(_._1).view
+          .mapValues(rows => {
+            val last = rows.maxBy(_._2) // n_events grows monotonically
+            (last._2, last._3, last._4)
+          }).toMap
+      } finally q.stop()
+    }
+    val oneShot = run(Seq(all), "burst_one")
+    // both sides bin on ABSOLUTE epoch minutes — apples to apples
+    assert(oneShot.keySet == want.keySet)
+    oneShot.foreach { case (k, (n, pc, pm)) =>
+      val (wn, wpc, wpm) = want(k)
+      assert(n == wn && pc == wpc && pm == wpm,
+        s"$k: stream ($n,$pc,$pm) vs batch ($wn,$wpc,$wpm)")
+    }
+    val split = run(Seq(all.take(5), all.slice(5, 17), all.drop(17)),
+      "burst_split")
+    assert(split == oneShot, s"split diverged: $split vs $oneShot")
+    // hand checks (relative to the base epoch minute): flat ties at 5 →
+    // the EARLIEST full window (relative minute 4) wins; spiky peaks at
+    // 10 = bins 6,7,8 inside the window ending at relative minute 8
+    val m0 = 1700000000L / 60
+    assert(oneShot("flat")._2 == 5L && oneShot("flat")._3 == m0 + 4, oneShot)
+    assert(oneShot("spiky")._2 == 10L
+      && oneShot("spiky")._3 == m0 + 8, oneShot)
+  }
+
+  test("streaming burst monitor: eviction freezes finalized windows " +
+      "before their bins evict (span wider than the horizon)") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sq = spark.sqlContext
+    val base = 1700000000000L
+    def evt(id: Long, minute: Long) =
+      FanoEvt(id, new Timestamp(base + minute * 60000L), 1L, "t", 1.0)
+    val horizon = graft.streaming.Streams.FanoHorizonMinutes
+    // a 4-event burst at minutes 2-3, then a far-future tail that evicts
+    // those bins: the frozen peak must survive eviction
+    val burst = Seq(evt(1, 2), evt(2, 2), evt(3, 3), evt(4, 3))
+    val tail = Seq(evt(5, horizon + 20), evt(6, horizon + 21))
+    val mem = MemoryStream[FanoEvt]
+    val q = graft.streaming.Streams.burstMonitor(spark, mem.toDF())
+      .writeStream.format("memory").queryName("burst_evict")
+      .outputMode("append").start()
+    try {
+      mem.addData(burst); q.processAllAvailable()
+      mem.addData(tail); q.processAllAvailable()
+      val last = spark.table("burst_evict").collect()
+        .map(r => (r.getAs[Long]("n_events"), r.getAs[Long]("peak_count"),
+          r.getAs[Long]("peak_minute")))
+        .maxBy(_._1)
+      assert(last == ((6L, 4L, 1700000000L / 60 + 3)),
+        s"frozen peak lost across eviction: $last")
+    } finally q.stop()
+  }
+
   test("streaming Fano monitor: a late event for an EVICTED minute does " +
       "not double-count n_occupied (advisor r14 fix)") {
     val sess = spark

@@ -708,13 +708,12 @@ class GraftSqlSpec extends GraftSpec {
       tbl.sql("ALTER TABLE dropcol_t DROP COLUMNS (k, v, y)")
     }
     assert(e2.getMessage.contains("every column"), e2.getMessage)
-    // RENAME COLUMN refuses with the column-mapping rationale and the
-    // three-commit workaround, never an opaque parser error
-    val e3 = intercept[Exception] {
-      tbl.sql("ALTER TABLE dropcol_t RENAME COLUMN v TO w")
-    }
-    assert(e3.getMessage.contains("column-mapping")
-      && e3.getMessage.contains("DROP COLUMNS"), e3.getMessage)
+    // RENAME COLUMN works via column-mapping ids (r15 — see
+    // RenameColumnSpec for the full surface); here: composes with the
+    // drop/re-add history this lifecycle built up
+    tbl.sql("ALTER TABLE dropcol_t RENAME COLUMN v TO w")
+    assert(tbl.read().columns.toSeq == Seq("k", "w", "y"))
+    assert(tbl.read().filter(col("w").isNull).count() == 0)
   }
 
   test("unsupported DML forms are refused with the supported list; " +
@@ -1198,7 +1197,8 @@ class GraftSqlSpec extends GraftSpec {
   }
 
   test("GENERATED ALWAYS AS: omitted columns compute on column-list " +
-      "INSERT, wrong supplied values refuse, UPDATE enforcement is loud") {
+      "INSERT, wrong supplied values refuse, UPDATE recomputes from " +
+      "the post-image and refuses direct SETs") {
     val tmp = Files.createTempDirectory("graft_sql_gen").toString
     GraftSql.sql(spark,
       s"CREATE TABLE gen_t (a BIGINT, b BIGINT, " +
@@ -1227,17 +1227,22 @@ class GraftSqlSpec extends GraftSpec {
         "INSERT INTO gen_t (a, b, c) VALUES (8, 1, 5)")
     }
     assert(e2.getMessage.contains("gen_c"), e2.getMessage)
-    // documented divergence from Delta: an UPDATE that moves a generation
-    // INPUT without fixing the generated column refuses LOUDLY (no
-    // silent recompute) — updating both together is the supported form
-    val e3 = intercept[Exception] {
-      GraftSql.sql(spark, "UPDATE gen_t SET a = a + 1 WHERE a = 3")
-    }
-    assert(e3.getMessage.contains("gen_"), e3.getMessage)
-    GraftSql.sql(spark, "UPDATE gen_t SET a = a + 1, c = (a + 1) * 2 + b, " +
-      "d = concat('k-', CAST(a + 1 AS STRING)) WHERE a = 3")
+    // r15 (closes the r14 documented divergence): an UPDATE that moves
+    // a generation INPUT recomputes the generated columns from the
+    // POST-image — the Delta semantics
+    GraftSql.sql(spark, "UPDATE gen_t SET a = a + 1 WHERE a = 3")
     assert(spark.sql("SELECT c, d FROM gen_t WHERE a = 4").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((12L, "k-4")))
+    // an input the generation expression does NOT read leaves the
+    // generated values alone (b feeds c but not d)
+    GraftSql.sql(spark, "UPDATE gen_t SET b = b + 10 WHERE a = 4")
+    assert(spark.sql("SELECT c, d FROM gen_t WHERE a = 4").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((22L, "k-4")))
+    // a direct SET of a generated column refuses loudly
+    val e3 = intercept[Exception] {
+      GraftSql.sql(spark, "UPDATE gen_t SET c = 5 WHERE a = 4")
+    }
+    assert(e3.getMessage.contains("GENERATED"), e3.getMessage)
     // CREATE-time refusals: generated-over-generated and self-reference
     val e5 = intercept[Exception] {
       GraftSql.sql(spark, s"CREATE TABLE gen_bad (a BIGINT, " +
