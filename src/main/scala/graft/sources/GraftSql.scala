@@ -1597,14 +1597,15 @@ object GraftSql {
         |  WHERE c_custkey % 23 = 0) x
         |WHERE sqldml_cust.c_custkey = x.c_custkey
         |  AND sqldml_cust.c_mktsegment = 'AUTOMOBILE';
-        |SELECT 'now' AS era, c_mktsegment,
+        |ALTER TABLE sqldml_cust RENAME COLUMN c_mktsegment TO segment;
+        |SELECT 'now' AS era, segment,
         |  CAST(count(*) AS BIGINT) AS n_cust,
         |  CAST(count(CASE WHEN c_name = 'nmbs-flagged' THEN 1 END)
         |    AS BIGINT) AS n_flag,
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
-        |FROM sqldml_cust GROUP BY c_mktsegment
+        |FROM sqldml_cust GROUP BY segment
         |UNION ALL
-        |SELECT 'v1' AS era, c_mktsegment,
+        |SELECT 'v1' AS era, c_mktsegment AS segment,
         |  CAST(count(*) AS BIGINT) AS n_cust,
         |  CAST(count(CASE WHEN c_name = 'nmbs-flagged' THEN 1 END)
         |    AS BIGINT) AS n_flag,
@@ -1874,14 +1875,15 @@ object GraftSql {
       |  WHERE c_custkey % 23 = 0) x
       |WHERE sqldml_cust.c_custkey = x.c_custkey
       |  AND sqldml_cust.c_mktsegment = 'AUTOMOBILE';
-      |SELECT 'now' AS era, c_mktsegment,
+      |ALTER TABLE sqldml_cust RENAME COLUMN c_mktsegment TO segment;
+      |SELECT 'now' AS era, segment,
       |  CAST(count(*) AS BIGINT) AS n_cust,
       |  CAST(count(CASE WHEN c_name = 'nmbs-flagged' THEN 1 END)
       |    AS BIGINT) AS n_flag,
       |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
-      |FROM sqldml_cust GROUP BY c_mktsegment
+      |FROM sqldml_cust GROUP BY segment
       |UNION ALL
-      |SELECT 'v1' AS era, c_mktsegment,
+      |SELECT 'v1' AS era, c_mktsegment AS segment,
       |  CAST(count(*) AS BIGINT) AS n_cust,
       |  CAST(count(CASE WHEN c_name = 'nmbs-flagged' THEN 1 END)
       |    AS BIGINT) AS n_flag,
