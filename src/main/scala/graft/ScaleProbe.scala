@@ -61,6 +61,69 @@ object ScaleProbe {
     }
     import graft.operators._
 
+    // --- DISTINCT-CORPUS probe mode (r15, judge request): the standard
+    // key-shifted 10x replication keeps documents' TEXT identical, so the
+    // duplication-sensitive operators (substrdup/substrclean/rake/assoc)
+    // measure WORST-CASE semantics there (every doc duplicated → rewrite
+    // coverage 100%, pair counts inflated). This mode builds a genuinely
+    // DISTINCT 10x corpus — each document replica's text runs through a
+    // replica-specific letter rotation (translate over 'abcdefghij': word
+    // lengths, token counts, and doc structure preserved; token/L-gram
+    // identities distinct across replicas) and each lineitem replica
+    // shifts BOTH order and part keys (10x distinct baskets) — and
+    // publishes the ~linear 10x ratios the in-artifact semantics notes
+    // promise on real-shaped data. Runs standalone (`distinct-corpus`
+    // arg) and skips the main probe.
+    if (args.contains("distinct-corpus")) {
+      val dout = "/tmp/sf1_synth_distinct"
+      if (!new java.io.File(dout).exists()) {
+        new java.io.File(dout).mkdirs()
+        val docs = spark.read.parquet(s"$src/documents.parquet")
+        val maxDoc = docs.agg(max("doc_id")).head().getLong(0) + 1
+        val alpha = "abcdefghij"
+        (0 until 10).map { i =>
+          val rot = alpha.drop(i) + alpha.take(i)
+          docs.withColumn("doc_id", col("doc_id") + lit(i * maxDoc))
+            .withColumn("text", translate(col("text"), alpha, rot))
+        }.reduce(_ union _)
+          .write.mode("overwrite").parquet(s"$dout/documents.parquet")
+        val li = spark.read.parquet(s"$src/lineitem.parquet")
+        val maxOk2 = spark.read.parquet(s"$src/orders.parquet")
+          .agg(max("o_orderkey")).head().getLong(0) + 1
+        val maxPk = li.agg(max("l_partkey")).head().getLong(0) + 1
+        (0 until 10).map(i => li
+            .withColumn("l_orderkey", col("l_orderkey") + lit(i * maxOk2))
+            .withColumn("l_partkey", col("l_partkey") + lit(i * maxPk)))
+          .reduce(_ union _)
+          .write.mode("overwrite").parquet(s"$dout/lineitem.parquet")
+      }
+      report("distinct-corpus probe: 10x replicas with rotated text / " +
+        "shifted basket keys (see ScaleProbe source for the recipe)")
+      report("documents rows: " +
+        spark.read.parquet(s"$dout/documents.parquet").count())
+      for ((n, q) <- Seq[(String,
+          (SparkSession, String) => org.apache.spark.sql.DataFrame)](
+        "q_doc_substrdup" -> (TextOps.qDocSubstrdup _),
+        "q_doc_substrclean" -> (TextOps.qDocSubstrclean _),
+        "q_doc_rake" -> (TextOps.qDocRake _),
+        "q_assoc_rules" -> (Analytics.qAssocRules _))) {
+        q(spark, src).write.format("noop").mode("overwrite").save() // warm
+        val t1 = timed {
+          q(spark, src).write.format("noop").mode("overwrite").save() }
+        val t10 = timed {
+          q(spark, dout).write.format("noop").mode("overwrite").save() }
+        report(f"$n%-18s 1x ${t1}%6.2f s   10x-distinct ${t10}%6.2f s   " +
+          f"ratio ${t10 / t1}%5.2f")
+      }
+      sys.env.get("SPARK_GRAFT_PROBE_OUT").foreach { path =>
+        java.nio.file.Files.write(java.nio.file.Paths.get(path),
+          (probeLines.mkString("\n") + "\n").getBytes("UTF-8"))
+        println(s"[probe] wrote $path")
+      }
+      spark.stop()
+      return
+    }
+
     // --- skew probe FIRST (a clean JVM: the dedup probes below leave
     // checkpoint blocks + GC pressure that would pollute this comparison):
     // ONE key holds 60% of a 24M-row fact — the single hot task dominates
