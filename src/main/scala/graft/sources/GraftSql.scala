@@ -204,6 +204,12 @@ object GraftSql {
     """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*$""".r
   private val DropConstraintRe =
     """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*$""".r
+  // NOT NULL rides the CHECK gate as the auto-constraint nn_<col> (the
+  // GENERATED discipline): SET refuses when current rows violate, every
+  // writer then proves it, DROP removes the rider
+  private val NotNullRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ALTER\s+COLUMN\s+(\w+)\s+""" +
+      """(SET|DROP)\s+NOT\s+NULL\s*$""").r
   private val AddColumnsRe =
     """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMNS?\s*\((.+)\)\s*$""".r
   // the type may carry parenthesized args (DECIMAL(10,2), VARCHAR(20));
@@ -296,6 +302,19 @@ object GraftSql {
       import spark.implicits._
       lookupName(spark, name).addConstraint(cname, expr)
       Seq((cname, "added")).toDF("constraint", "status")
+    case NotNullRe(name, colName, verb) =>
+      import spark.implicits._
+      val t = lookupName(spark, name)
+      require(t.read().columns.exists(_.equalsIgnoreCase(colName)),
+        s"no such column: $colName")
+      if (verb.equalsIgnoreCase("SET")) {
+        t.addConstraint(s"nn_$colName", s"$colName IS NOT NULL")
+        Seq((colName, "NOT NULL")).toDF("col_name", "constraint")
+      } else {
+        val dropped = Lake.dropConstraint(t.ledgerDir, s"nn_$colName")
+        Seq((colName, if (dropped) "nullable" else "no nn constraint"))
+          .toDF("col_name", "constraint")
+      }
     case DropConstraintRe(name, cname) =>
       import spark.implicits._
       val dropped = lookupName(spark, name).dropConstraint(cname)
@@ -335,13 +354,16 @@ object GraftSql {
       import spark.implicits._
       val t = lookupName(spark, name)
       val renames = Lake.renameLog(t.ledgerDir)
+      val notNull = Lake.constraints(t.ledgerDir).collect {
+        case (cn, _) if cn.startsWith("nn_") =>
+          cn.stripPrefix("nn_").toLowerCase }.toSet
       t.read().schema.fields.toSeq
         .map { f =>
           val id = Lake.fieldId(f)
           val trail = id.map(i => renames.filter(_.id == i).map(_.from))
             .getOrElse(Nil)
           (f.name, f.dataType.simpleString,
-            if (f.nullable) "YES" else "NO",
+            if (f.nullable && !notNull(f.name.toLowerCase)) "YES" else "NO",
             id.map(_.toString).orNull,
             if (trail.isEmpty) null else trail.mkString(" -> "))
         }

@@ -1658,10 +1658,22 @@ object Lake {
         targetSchema.flatMap(_.find(_.name == n)).map(_.dataType)
           .getOrElse(source.schema(n).dataType)
       // conform a frame to the union schema: absent columns null-fill at
-      // the authoritative type (target's for old columns, source's for new)
-      def conform(df: DataFrame): DataFrame = df.select(unionNames.map(n =>
-        if (df.columns.contains(n)) col(n)
-        else lit(null).cast(dtypeOf(n)).as(n)): _*)
+      // the authoritative type (target's for old columns, source's for new);
+      // absent GENERATED columns COMPUTE from the conformed row instead
+      // (the Delta merge fill, r15 — supplied values still ride the
+      // constraint gate)
+      val genExprs: Map[String, String] = generatedColumns(ledgerDir).toMap
+      def conform(df: DataFrame): DataFrame = {
+        val base = df.select(unionNames.map(n =>
+          if (df.columns.contains(n)) col(n)
+          else lit(null).cast(dtypeOf(n)).as(n)): _*)
+        val fills = unionNames.filter(n =>
+          !df.columns.contains(n) && genExprs.contains(n))
+        if (fills.isEmpty) base
+        else base.select(unionNames.map(n =>
+          if (fills.contains(n)) expr(genExprs(n)).cast(dtypeOf(n)).as(n)
+          else col(n)): _*)
+      }
       val srcKeys = source.select(keys.map(col): _*).distinct()
       // the rewrite set: live files containing at least one matched key —
       // bounded by files-with-matches (the merge's blast radius), the only
@@ -2898,9 +2910,20 @@ object Lake {
     def dtypeOf(n: String): org.apache.spark.sql.types.DataType =
       targetSchema.flatMap(_.find(_.name == n)).map(_.dataType)
         .getOrElse(source.schema(n).dataType)
-    def conform(df: DataFrame): DataFrame = df.select(baseCols.map(n =>
-      if (df.columns.contains(n)) col(n)
-      else lit(null).cast(dtypeOf(n)).as(n)): _*)
+    // absent GENERATED columns compute from the conformed row (the Delta
+    // merge fill, r15) — the COW conform's twin
+    val genExprsMor: Map[String, String] = generatedColumns(ledgerDir).toMap
+    def conform(df: DataFrame): DataFrame = {
+      val base = df.select(baseCols.map(n =>
+        if (df.columns.contains(n)) col(n)
+        else lit(null).cast(dtypeOf(n)).as(n)): _*)
+      val fills = baseCols.filter(n =>
+        !df.columns.contains(n) && genExprsMor.contains(n))
+      if (fills.isEmpty) base
+      else base.select(baseCols.map(n =>
+        if (fills.contains(n)) expr(genExprsMor(n)).cast(dtypeOf(n)).as(n)
+        else col(n)): _*)
+    }
     val srcKeys = source.select(keys.map(col): _*).distinct()
     // DV-applied match scan WITH row identity: the (file, position) rows
     // this merge supersedes. The NARROW identity projection (key, file,

@@ -1196,6 +1196,40 @@ class GraftSqlSpec extends GraftSpec {
     assert((r2.getLong(0), r2.getString(1), r2.getLong(2)) == (7L, "x", 21L))
   }
 
+  test("ALTER COLUMN SET/DROP NOT NULL rides the CHECK gate: refuses " +
+      "on standing nulls, blocks null writes, DESCRIBE reflects it, " +
+      "DROP re-allows") {
+    val tmp = Files.createTempDirectory("graft_sql_nn").toString
+    GraftSql.sql(spark,
+      s"CREATE TABLE nn_t (k BIGINT, v STRING) LOCATION '$tmp/t'")
+    GraftSql.sql(spark, "INSERT INTO nn_t VALUES (1, 'a'), (2, NULL)")
+    // standing nulls refuse the SET
+    val e1 = intercept[Exception] {
+      GraftSql.sql(spark, "ALTER TABLE nn_t ALTER COLUMN v SET NOT NULL") }
+    assert(e1.getMessage.contains("nn_v"), e1.getMessage)
+    GraftSql.sql(spark, "UPDATE nn_t SET v = 'fixed' WHERE v IS NULL")
+    GraftSql.sql(spark, "ALTER TABLE nn_t ALTER COLUMN v SET NOT NULL")
+    // a null write now refuses through the constraint gate
+    val e2 = intercept[Exception] {
+      GraftSql.sql(spark, "INSERT INTO nn_t VALUES (3, NULL)") }
+    assert(e2.getMessage.contains("nn_v"), e2.getMessage)
+    // DESCRIBE reflects the rider
+    val desc = GraftSql.sql(spark, "DESCRIBE nn_t").collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(desc("v") == "NO" && desc("k") == "YES", desc)
+    // unknown column refuses loudly
+    val e3 = intercept[Exception] {
+      GraftSql.sql(spark, "ALTER TABLE nn_t ALTER COLUMN nope SET NOT NULL") }
+    assert(e3.getMessage.contains("nope"), e3.getMessage)
+    // DROP re-allows nulls
+    GraftSql.sql(spark, "ALTER TABLE nn_t ALTER COLUMN v DROP NOT NULL")
+    GraftSql.sql(spark, "INSERT INTO nn_t VALUES (3, NULL)")
+    assert(GraftSql.sql(spark,
+      "SELECT count(*) AS n FROM nn_t WHERE v IS NULL").head().getLong(0)
+      == 1L)
+    GraftSql.unbind(spark, "nn_t")
+  }
+
   test("GENERATED ALWAYS AS: omitted columns compute on column-list " +
       "INSERT, wrong supplied values refuse, UPDATE recomputes from " +
       "the post-image and refuses direct SETs") {
@@ -1243,6 +1277,24 @@ class GraftSqlSpec extends GraftSpec {
       GraftSql.sql(spark, "UPDATE gen_t SET c = 5 WHERE a = 4")
     }
     assert(e3.getMessage.contains("GENERATED"), e3.getMessage)
+    // r15: a MERGE whose source OMITS the generated columns computes
+    // them from the conformed row (the Delta merge fill) — matched rows
+    // recompute, unmatched rows insert computed
+    val t = graft.sources.GraftTable(spark, s"$tmp/g/ledger", s"$tmp/g/gen")
+    val sess = spark
+    import sess.implicits._
+    t.merge(Seq((4L, 100L), (50L, 2L)).toDF("a", "b"), "a")
+    val merged = t.read().filter(col("a").isin(4L, 50L))
+      .orderBy(col("a"))
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Long]("c"), r.getAs[String]("d")))
+    assert(merged.toSeq == Seq((4L, 100L, 108L, "k-4"),
+      (50L, 2L, 102L, "k-50")), merged.toSeq)
+    // a source SUPPLYING a wrong generated value still refuses
+    val e4 = intercept[Exception] {
+      t.merge(Seq((60L, 1L, 999L, "k-60")).toDF("a", "b", "c", "d"), "a")
+    }
+    assert(e4.getMessage.contains("gen_c"), e4.getMessage)
     // CREATE-time refusals: generated-over-generated and self-reference
     val e5 = intercept[Exception] {
       GraftSql.sql(spark, s"CREATE TABLE gen_bad (a BIGINT, " +
