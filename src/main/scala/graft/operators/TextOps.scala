@@ -1244,6 +1244,67 @@ object TextOps {
     * Scale: explode → (doc, token) counts (map-side combined) → per-doc
     * re-aggregation carrying only (doc_id, longs). Two narrow shuffles,
     * no joins, no text past the first projection. */
+  /** READABILITY (Flesch–Kincaid grade, Kincaid et al. 1975 — the
+    * document-difficulty score quality-curation recipes bucket corpora
+    * by): grade = 0.39·W/S + 11.8·Y/W − 15.59 with W words, S sentences
+    * (floored at 1 — prose without enders is one sentence), Y syllables
+    * under the standard vowel-group heuristic (runs of [aeiouy] count
+    * one syllable; a consonant-only token still counts 1 — the per-word
+    * min). Exactness: every count is an exact integer, the grade
+    * collapses over the common denominator 100·S·W to ONE ratio of
+    * BIGINTs — num = 39·W² + 1180·Y·S − 1559·S·W, den = 100·S·W — and
+    * the reported double is a single correctly-rounded IEEE division of
+    * exactly-represented integers (both engines bit-identical; no libm
+    * anywhere — the ratio-of-counts class, strictly stronger than the
+    * quantized-log grid).
+    *
+    * Scale: ONE narrow projection per doc (regex counts + a token-list
+    * filter), no shuffle, no joins — the cheapest possible per-doc
+    * quality signal at any corpus size. */
+  def qDocReadability(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_words", size(col("toks")).cast("long"))
+      .filter(col("n_words") > 0)
+      .withColumn("n_sentences", greatest(lit(1L),
+        size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+          .cast("long")))
+      .withColumn("n_syllables",
+        (size(regexp_extract_all(col("text"), lit("[aeiouy]+"), lit(0)))
+          + size(filter(col("toks"),
+              t => t.rlike("^[^aeiouy]+$")))).cast("long"))
+      .withColumn("fk_num",
+        lit(39L) * col("n_words") * col("n_words")
+          + lit(1180L) * col("n_syllables") * col("n_sentences")
+          - lit(1559L) * col("n_sentences") * col("n_words"))
+      .withColumn("fk_den", lit(100L) * col("n_sentences") * col("n_words"))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"), col("fk_num"), col("fk_den"),
+        (col("fk_num").cast("double") / col("fk_den").cast("double"))
+          .as("fk_grade"))
+
+  def qDocReadabilitySql: String =
+    """SELECT doc_id, n_words, n_sentences, n_syllables, fk_num, fk_den,
+      |  CAST(fk_num AS DOUBLE) / CAST(fk_den AS DOUBLE) AS fk_grade
+      |FROM (
+      |  SELECT doc_id, n_words, n_sentences, n_syllables,
+      |    39 * n_words * n_words + 1180 * n_syllables * n_sentences
+      |      - 1559 * n_sentences * n_words AS fk_num,
+      |    100 * n_sentences * n_words AS fk_den
+      |  FROM (
+      |    SELECT doc_id,
+      |      CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT)
+      |        AS n_words,
+      |      greatest(CAST(1 AS BIGINT),
+      |        CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))
+      |        AS n_sentences,
+      |      CAST(len(regexp_extract_all(text, '[aeiouy]+'))
+      |        + len(list_filter(regexp_split_to_array(trim(text), ' +'),
+      |            t -> regexp_matches(t, '^[^aeiouy]+$'))) AS BIGINT)
+      |        AS n_syllables
+      |    FROM documents) c
+      |  WHERE n_words > 0) f""".stripMargin
+
   def qDocEntropy(s: SparkSession, d: String): DataFrame = {
     def lq(c: org.apache.spark.sql.Column) =
       floor(lit(1e6) * log(c.cast("double"))).cast("long")
