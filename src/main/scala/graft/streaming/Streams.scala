@@ -577,6 +577,71 @@ object Streams {
       }
   }
 
+  case class MadState(counts: Map[Long, Long])
+  case class MadReport(event_type: String, n_events: Long,
+    med2: Long, mad2: Long, n_outliers: Long,
+    median_value: Double, mad_value: Double)
+
+  /** Streaming ROBUST-OUTLIER (median/MAD, Hampel) monitor — the live
+    * twin of the batch `q_evt_mad`: per event type, the state is the
+    * exact per-quantized-value COUNT MAP (the same distinct-value-bounded
+    * relation the batch operator pivots on — state is O(distinct
+    * DECIMAL(12,4) values per type), value-bounded rather than
+    * time-bounded, so there is NO late-data horizon: every arrival folds
+    * exactly and replay is bit-identical across any batch split, no
+    * contract caveats). Per micro-batch the monitor replays the batch
+    * closed forms over the map — doubled median x_{(n+1)÷2} + x_{(n+2)÷2}
+    * via the running-sum selection, deviation counts, doubled MAD, and
+    * the integer cross-multiply Hampel gate 2d > 3·mad2 — all in exact
+    * longs, emitting the identical (n_events, med2, mad2, n_outliers)
+    * report. For value domains with unbounded cardinality the map grows
+    * with distinct values — the identical bound the batch relation
+    * carries, documented here rather than silently sketched. */
+  def madMonitor(spark: SparkSession,
+      events: DataFrame): Dataset[MadReport] = {
+    import spark.implicits._
+    def med2Of(counts: Map[Long, Long]): Long = {
+      val n = counts.valuesIterator.sum
+      val k1 = (n + 1) / 2
+      val k2 = (n + 2) / 2
+      var cum = 0L; var m = 0L
+      counts.toSeq.sortBy(_._1).foreach { case (v, c) =>
+        val prev = cum; cum += c
+        if (prev < k1 && k1 <= cum) m += v
+        if (prev < k2 && k2 <= cum) m += v
+      }
+      m
+    }
+    events
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(col("event_type"),
+        (col("value").cast("decimal(12,4)") * 10000).cast("long").as("v4"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[MadState, MadReport](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, it, state) =>
+          val counts = scala.collection.mutable.Map[Long, Long](
+            state.getOption.map(_.counts.toSeq).getOrElse(Nil): _*)
+          it.foreach { case (_, v) =>
+            counts(v) = counts.getOrElse(v, 0L) + 1L }
+          state.update(MadState(counts.toMap))
+          val n = counts.valuesIterator.sum
+          if (n == 0L) Iterator.empty
+          else {
+            val med2 = med2Of(counts.toMap)
+            val dev = counts.toSeq
+              .groupBy { case (v, _) => math.abs(2 * v - med2) }
+              .map { case (dv, xs) => dv -> xs.map(_._2).sum }
+            val mad2 = med2Of(dev)
+            val outl = dev.collect {
+              case (dv, c) if 2 * dv > 3 * mad2 => c }.sum
+            Iterator.single(MadReport(key, n, med2, mad2, outl,
+              med2.toDouble / 20000.0, mad2.toDouble / 40000.0))
+          }
+      }
+  }
+
   /** Stream-static enrichment: the event stream joined against a static
     * readout-map dim (cf. the dromap join, §2.B) — Spark broadcasts the
     * static side into every micro-batch; no stream-side state. */

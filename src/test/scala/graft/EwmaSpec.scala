@@ -316,6 +316,62 @@ class EwmaSpec extends GraftSpec {
       && oneShot("spiky")._3 == m0 + 8, oneShot)
   }
 
+  test("streaming MAD monitor: the final per-type report equals the " +
+      "batch q_evt_mad over the same events, one-shot and split " +
+      "(exact count-map state — no horizon, no caveats)") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sq = spark.sqlContext
+    val base = 1700000000000L
+    def evt(id: Long, tpe: String, v: Double) =
+      FanoEvt(id, new Timestamp(base + id * 1000L), 1L, tpe, v)
+    // "spread": median 50 with two gross outliers; "tight": all equal
+    // (MAD 0 → every deviation > 0 is an outlier under 2d > 3·0)
+    val all =
+      Seq(48.5, 49.0, 50.0, 50.0, 51.25, 52.0, 500.0, -400.0)
+        .zipWithIndex.map { case (v, i) => evt(100 + i, "spread", v) } ++
+        (0 until 5).map(i => evt(200 + i, "tight", 7.75)) :+
+        evt(205, "tight", 7.7501)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mad").toString
+    all.toDF().withColumn("props", lit("{}"))
+      .write.parquet(s"$tmp/events.parquet")
+    val want = graft.operators.Events.qEvtMad(spark, tmp).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("med2"),
+          r.getAs[Long]("mad2"), r.getAs[Long]("n_outliers"))))
+      .toMap
+    def run(batches: Seq[Seq[FanoEvt]], name: String)
+        : Map[String, (Long, Long, Long, Long)] = {
+      val mem = MemoryStream[FanoEvt]
+      val q = graft.streaming.Streams.madMonitor(spark, mem.toDF())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+        spark.table(name).collect()
+          .map(r => (r.getAs[String]("event_type"),
+            r.getAs[Long]("n_events"), r.getAs[Long]("med2"),
+            r.getAs[Long]("mad2"), r.getAs[Long]("n_outliers")))
+          .groupBy(_._1).view
+          .mapValues(rows => {
+            val last = rows.maxBy(_._2)
+            (last._2, last._3, last._4, last._5)
+          }).toMap
+      } finally q.stop()
+    }
+    val oneShot = run(Seq(all), "mad_one")
+    assert(oneShot == want, s"one-shot: $oneShot vs $want")
+    val split = run(Seq(all.take(3), all.slice(3, 10), all.drop(10)),
+      "mad_split")
+    assert(split == want, s"split diverged: $split vs $want")
+    // hand check: spread median = (50+50)/2 → med2 = 1000000; the two
+    // gross points must be outliers
+    assert(oneShot("spread")._2 == 1000000L, oneShot)
+    assert(oneShot("spread")._4 >= 2L, oneShot)
+    // tight: MAD 0 → the one off-by-0.0001 reading flags
+    assert(oneShot("tight")._3 == 0L && oneShot("tight")._4 == 1L, oneShot)
+  }
+
   test("streaming burst monitor: eviction freezes finalized windows " +
       "before their bins evict (span wider than the horizon)") {
     val sess = spark
