@@ -4038,6 +4038,29 @@ object Lake {
             s"$branchDir/_schema/${f.getName}")): Unit
         case _ => ()
       })
+    // the rename log, generated-column expressions, and column defaults
+    // are part of the TABLE like constraints (r15): a branch missing the
+    // rename log would read pre-rename files through the wrong physical
+    // names; missing generated/default metadata would lose the fills
+    // (the copied gen_ constraints would then refuse writes the source
+    // accepts)
+    val renRe = """rename-(\d+)\.json""".r
+    Option(renamesDirF(ledgerDir).listFiles()).getOrElse(Array.empty)
+      .foreach(f => f.getName match {
+        case renRe(sid) if sid.toLong <= fork =>
+          renamesDirF(branchDir).mkdirs()
+          java.nio.file.Files.copy(f.toPath, java.nio.file.Paths.get(
+            s"$branchDir/_renames/${f.getName}")): Unit
+        case _ => ()
+      })
+    Seq("_generated", "_defaults").foreach { sub =>
+      Option(new java.io.File(s"$ledgerDir/$sub").listFiles())
+        .getOrElse(Array.empty).filter(_.isFile).foreach { f =>
+          new java.io.File(s"$branchDir/$sub").mkdirs()
+          java.nio.file.Files.copy(f.toPath, java.nio.file.Paths.get(
+            s"$branchDir/$sub/${f.getName}")): Unit
+        }
+    }
     if (isEvolved(ledgerDir))
       new java.io.File(s"$branchDir/_evolved").createNewFile()
     java.nio.file.Files.write(branchMeta(branchDir).toPath,
@@ -4105,6 +4128,19 @@ object Lake {
           schemaDirF(mainDir).mkdirs()
           java.nio.file.Files.copy(f.toPath, java.nio.file.Paths.get(
             s"$mainDir/_schema/${f.getName}"),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+        case _ => ()
+      })
+    // renames staged on the branch fast-forward with their snapshots
+    // (KB metadata; the schema-recording ordering above — a published
+    // rename row must never be live without its log entry)
+    val renRe = """rename-(\d+)\.json""".r
+    Option(renamesDirF(branchDir).listFiles()).getOrElse(Array.empty)
+      .foreach(f => f.getName match {
+        case renRe(sid) if sid.toLong > fork && sid.toLong <= branchHead =>
+          renamesDirF(mainDir).mkdirs()
+          java.nio.file.Files.copy(f.toPath, java.nio.file.Paths.get(
+            s"$mainDir/_renames/${f.getName}"),
             java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
         case _ => ()
       })

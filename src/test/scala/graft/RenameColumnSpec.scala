@@ -181,6 +181,31 @@ class RenameColumnSpec extends GraftSpec {
     assert(tbl.read().filter(col("balance") > 9000).count() == 0L)
   }
 
+  test("branch and publish carry the rename machinery: a branch of a " +
+      "renamed table reads pre-rename files correctly; a rename staged " +
+      "ON a branch publishes to main") {
+    val (tbl, tmp) = fixture()
+    val sumBefore = tbl.read()
+      .agg(sum(col("c_acctbal").cast("decimal(18,2)"))).head().getDecimal(0)
+    tbl.renameColumn("c_acctbal", "balance")
+    // branch AFTER the rename: the branch must resolve old files by id
+    Lake.branch(spark, tbl.ledgerDir, s"$tmp/br")
+    val br = GraftTable(spark, s"$tmp/br", s"$tmp/br_gen")
+    assert(br.read().schema.fieldNames.contains("balance"))
+    val sumBranch = br.read()
+      .agg(sum(col("balance").cast("decimal(18,2)"))).head().getDecimal(0)
+    assert(sumBranch == sumBefore, "branch lost pre-rename values")
+    // rename staged ON a fresh head-pinned branch publishes to main
+    val (tbl2, tmp2) = fixture()
+    Lake.branch(spark, tbl2.ledgerDir, s"$tmp2/br2")
+    val br2 = GraftTable(spark, s"$tmp2/br2", s"$tmp2/br2_gen")
+    br2.renameColumn("c_name", "customer_name")
+    Lake.publish(spark, s"$tmp2/br2")
+    assert(tbl2.read().schema.fieldNames.contains("customer_name"))
+    assert(tbl2.read().filter(col("customer_name").isNull).count() == 0L,
+      "published rename lost the log — main read the wrong physical name")
+  }
+
   test("compaction migrates renamed files to the new physical name and " +
       "the scan collapses back to one branch") {
     val (tbl, _) = fixture()
