@@ -1925,9 +1925,11 @@ object Lake {
     // stage (generation expressions may not reference other generated
     // columns, so one stage suffices).
     val genCols = generatedColumns(ledgerDir)
-    val genNames = genCols.map(_._1).toSet
+    val genNames = genCols.map(_._1.toLowerCase).toSet
+    val setLower = setMap.keySet.map(_.toLowerCase)
     sets.foreach { case (c, _) =>
-      require(!genNames.contains(c), s"column '$c' is GENERATED ALWAYS " +
+      require(!genNames.contains(c.toLowerCase),
+        s"column '$c' is GENERATED ALWAYS " +
         "AS — it cannot be SET directly; update its generation inputs " +
         "and it recomputes") }
     val regen: Map[String, org.apache.spark.sql.Column] =
@@ -1935,9 +1937,9 @@ object Lake {
         val refs = org.apache.spark.sql.GraftShim
           .parseExpression(spark, e).collect {
             case a: org.apache.spark.sql.catalyst.analysis
-              .UnresolvedAttribute => a.nameParts.last
+              .UnresolvedAttribute => a.nameParts.last.toLowerCase
           }.toSet
-        if (refs.exists(setMap.contains)) Some(g -> expr(e)) else None
+        if (refs.exists(setLower)) Some(g -> expr(e)) else None
       }.toMap
     // post-image projection over a frame: assignments all read the
     // pre-image (select evaluates every expression against the input
@@ -1949,10 +1951,13 @@ object Lake {
           .map(v => v.cast(f.dataType).as(f.name)).getOrElse(col(f.name))
       }: _*)
       if (regen.isEmpty) applied
-      else applied.select(target.schema.map { f =>
-        regen.get(f.name)
-          .map(v => v.cast(f.dataType).as(f.name)).getOrElse(col(f.name))
-      }: _*)
+      else {
+        val regenLower = regen.map { case (k, v) => k.toLowerCase -> v }
+        applied.select(target.schema.map { f =>
+          regenLower.get(f.name.toLowerCase)
+            .map(v => v.cast(f.dataType).as(f.name)).getOrElse(col(f.name))
+        }: _*)
+      }
     }
     val affectedNorm = target
       .withColumn("_file", regexp_replace(input_file_name(), "^file:/+", "/"))
