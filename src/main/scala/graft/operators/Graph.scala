@@ -193,14 +193,17 @@ object Graph {
     * the oriented heads' shared tail (the wedge), one LEFT SEMI closure
     * probe — all shuffle equi-joins, nothing driver-side, no windows.
     * Output: (node, tri_cnt) for nodes in ≥1 triangle. */
-  def triangleCounts(edges0: DataFrame, src: String, dst: String)
-      : DataFrame = {
-    // canonical undirected edge set: (a<b), distinct
+  def triangleCounts(edges0: DataFrame, src: String, dst: String,
+      assumeCanonical: Boolean = false): DataFrame = {
+    // canonical undirected edge set: (a<b), distinct — skipped (one
+    // exchange saved) when the caller guarantees it (coPurchaseEdges)
     val raw = edges0
       .select(col(src).cast("long").as("x"), col(dst).cast("long").as("y"))
       .filter(col("x") =!= col("y"))
-    val und = raw.select(least(col("x"), col("y")).as("a"),
-      greatest(col("x"), col("y")).as("b")).distinct()
+    val und =
+      if (assumeCanonical) raw.select(col("x").as("a"), col("y").as("b"))
+      else raw.select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b")).distinct()
     val deg = und.select(col("a").as("n"))
       .unionAll(und.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
@@ -263,7 +266,8 @@ object Graph {
 
   def qGraphTriangles(spark: org.apache.spark.sql.SparkSession,
       d: String): DataFrame = {
-    triangleCounts(coPurchaseEdges(spark, d), "a", "b")
+    triangleCounts(coPurchaseEdges(spark, d), "a", "b",
+      assumeCanonical = true)
       .select(col("node").as("part_id"), col("tri_cnt"))
       .orderBy(col("part_id"))
   }
@@ -291,7 +295,8 @@ object Graph {
     * combined shuffles per round ((v,lab) counts, per-v argmax), both
     * carrying longs only. */
   def labelPropagation(edges0: DataFrame, src: String, dst: String,
-      rounds: Int = LpaRounds): DataFrame = {
+      rounds: Int = LpaRounds,
+      assumeCanonical: Boolean = false): DataFrame = {
     require(rounds >= 1)
     val caller = edges0.sparkSession
     val spark = caller.newSession()
@@ -301,12 +306,14 @@ object Graph {
     // canonical undirected edge set (least/greatest + distinct — the
     // triangleCounts rule): an input carrying BOTH orientations of an
     // edge must not double-count that neighbor's label vote
-    val e0 = GraftShim.ofRows(spark, GraftShim.logicalPlan(edges0))
+    val eIn = GraftShim.ofRows(spark, GraftShim.logicalPlan(edges0))
       .select(col(src).cast("long").as("x"), col(dst).cast("long").as("y"))
       .filter(col("x") =!= col("y"))
-      .select(least(col("x"), col("y")).as("a"),
-        greatest(col("x"), col("y")).as("b"))
-      .distinct()
+    val e0 = (if (assumeCanonical)
+        eIn.select(col("x").as("a"), col("y").as("b"))
+      else eIn.select(least(col("x"), col("y")).as("a"),
+          greatest(col("x"), col("y")).as("b"))
+        .distinct())
       .localCheckpoint()
     val eRows = e0.count()
     val loopParts = math.max(1L,
@@ -343,7 +350,8 @@ object Graph {
     * the full label trajectory is hash-checked. */
   def qGraphCommunities(spark: org.apache.spark.sql.SparkSession,
       d: String): DataFrame = {
-    labelPropagation(coPurchaseEdges(spark, d), "a", "b", LpaRounds)
+    labelPropagation(coPurchaseEdges(spark, d), "a", "b", LpaRounds,
+      assumeCanonical = true)
       .select(col("node").as("part_id"), col("lab").as("community"))
       .orderBy(col("part_id"))
   }
@@ -408,7 +416,7 @@ object Graph {
     val deg = edges0
       .select(explode(array(col("a"), col("b"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
-    val tri = triangleCounts(edges0, "a", "b")
+    val tri = triangleCounts(edges0, "a", "b", assumeCanonical = true)
     deg.filter(col("degree") >= 2)
       .join(tri, Seq("node"), "left")
       .withColumn("tri_cnt", coalesce(col("tri_cnt"), lit(0L)))
@@ -468,18 +476,22 @@ object Graph {
     * from its ends — depth can reach diameter/2), and non-convergence
     * fails loudly rather than returning a wrong partial core. */
   def kCore(edges0: DataFrame, src: String, dst: String,
-      k: Int): DataFrame = {
+      k: Int, assumeCanonical: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val caller = edges0.sparkSession
     val spark = caller.newSession()
     val partsWas = caller.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     import org.apache.spark.sql.GraftShim
-    val e = GraftShim.ofRows(spark, GraftShim.logicalPlan(edges0))
+    val ek = GraftShim.ofRows(spark, GraftShim.logicalPlan(edges0))
       .filter(col(src) =!= col(dst))
-      .select(least(col(src), col(dst)).cast("long").as("a"),
-        greatest(col(src), col(dst)).cast("long").as("b"))
-      .distinct()
+    val e =
+      if (assumeCanonical) ek.select(col(src).cast("long").as("a"),
+        col(dst).cast("long").as("b"))
+      else ek
+        .select(least(col(src), col(dst)).cast("long").as("a"),
+          greatest(col(src), col(dst)).cast("long").as("b"))
+        .distinct()
     var und = e.union(e.select(col("b").as("a"), col("a").as("b")))
       .select(col("a").as("v"), col("b").as("u"))
       .localCheckpoint()
@@ -521,7 +533,8 @@ object Graph {
     * replays the peel exactly on cliques, chains and random graphs). */
   def qGraphKcore(spark: org.apache.spark.sql.SparkSession,
       d: String): DataFrame = {
-    kCore(coPurchaseEdges(spark, d), "a", "b", KCoreK)
+    kCore(coPurchaseEdges(spark, d), "a", "b", KCoreK,
+      assumeCanonical = true)
       .select(col("node").as("part_id"), col("core_deg"))
       .orderBy(col("part_id"))
   }
@@ -545,20 +558,23 @@ object Graph {
     * row. Never an adjacency matrix, never a per-node collect. */
   def qGraphAssortativity(spark: org.apache.spark.sql.SparkSession,
       d: String): DataFrame = {
-    assortativity(coPurchaseEdges(spark, d), "a", "b")
+    assortativity(coPurchaseEdges(spark, d), "a", "b",
+      assumeCanonical = true)
   }
 
   /** Core of [[qGraphAssortativity]] over any edge relation (canonical
     * least/greatest + distinct applied here — an input carrying both
     * orientations or duplicates must not double-count; self-loops
-    * drop). */
+    * drop — skipped when the caller guarantees canonical input). */
   def assortativity(edges0: DataFrame, srcCol: String,
-      dstCol: String): DataFrame = {
-    val edges = edges0
-      .filter(col(srcCol) =!= col(dstCol))
-      .select(least(col(srcCol), col(dstCol)).as("a"),
-        greatest(col(srcCol), col(dstCol)).as("b"))
-      .distinct()
+      dstCol: String, assumeCanonical: Boolean = false): DataFrame = {
+    val eIn = edges0.filter(col(srcCol) =!= col(dstCol))
+    val edges = (if (assumeCanonical)
+        eIn.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      else eIn
+        .select(least(col(srcCol), col(dstCol)).as("a"),
+          greatest(col(srcCol), col(dstCol)).as("b"))
+        .distinct())
       .localCheckpoint() // feeds the degree count + the stats pass
     val deg = edges
       .select(explode(array(col("a"), col("b"))).as("v"))
