@@ -44,13 +44,13 @@ object Nsw {
   /** Beam width during search (per probed cell). */
   val NswEfSearch = 48
 
-  private case class GraphRow(list_id: Int, vec_id: Long,
+  private[operators] case class GraphRow(list_id: Int, vec_id: Long,
     nbrs: Seq[Long], codes: Seq[Int])
 
   /** Greedy beam search over one cell's graph: best-first expansion from
     * `entry`, keeping the `ef` best by cosine; returns (cos, id) best
     * first. Ties order by id — fully deterministic. */
-  private def beamSearch(nbrsOf: Long => Seq[Long],
+  private[operators] def beamSearch(nbrsOf: Long => Seq[Long],
       cosOf: Long => Double, entry: Long, ef: Int): Seq[(Double, Long)] = {
     import scala.collection.mutable
     val visited = mutable.Set[Long](entry)
@@ -80,19 +80,19 @@ object Nsw {
     res.toSeq.sortBy(x => (-x._1, x._2))
   }
 
-  private def dequant(codes: Seq[Int], gmin: Double,
+  private[operators] def dequant(codes: Seq[Int], gmin: Double,
       gmax: Double): Array[Double] = {
     val step = (gmax - gmin) / 255.0
     codes.iterator.map(c => gmin + (c + 0.5) * step).toArray
   }
 
-  private def l2(v: Array[Double]): Double = {
+  private[operators] def l2(v: Array[Double]): Double = {
     var s = 0.0; var i = 0
     while (i < v.length) { s += v(i) * v(i); i += 1 }
     math.sqrt(s)
   }
 
-  private def dotd(a: Array[Double], b: Array[Double]): Double = {
+  private[operators] def dotd(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0; var i = 0
     while (i < a.length) { s += a(i) * b(i); i += 1 }
     s
@@ -103,7 +103,7 @@ object Nsw {
     * its [[NswEfBuild]] nearest, links to the top [[NswM]], reciprocal
     * links cap at [[NswMMax]] with closest-kept pruning. Entry = the
     * first (smallest-id) node. O(n·ef·d) per cell — never n². */
-  private def buildCell(listId: Int,
+  private[operators] def buildCell(listId: Int,
       nodes: Seq[(Long, Seq[Int])], gmin: Double, gmax: Double)
       : Iterator[GraphRow] = {
     import scala.collection.mutable
@@ -139,6 +139,85 @@ object Nsw {
       GraphRow(listId, id,
         adj.getOrElse(id, mutable.ArrayBuffer.empty).toSeq.sorted, codes)
     }
+  }
+
+  /** Fold one cell's CHANGE BATCH into its standing graph (the
+    * maintained-index insert/delete discipline — NswDelta): deletes drop
+    * the node and purge it from every neighbor list; upserts re-insert
+    * via the same beam-link-prune construction the bootstrap used
+    * (NSW construction IS incremental insertion — the family's defining
+    * property); the entry point is the smallest surviving id. Emits ONLY
+    * the changed rows — (list_id, vec_id, nbrs, codes, isDrop) — so the
+    * write-back merge stays blast-radius-bounded (the inserted nodes
+    * plus their capped link neighborhoods plus delete purges). Insertion
+    * order is ascending id — deterministic, but intentionally NOT
+    * bit-equal to a from-scratch rebuild of the final corpus: navigable
+    * graphs are insertion-order-dependent (published HNSW/DiskANN
+    * behavior); the maintained contract is INVARIANTS + recall, pinned
+    * by NswDeltaSpec, never byte shape. */
+  private[operators] def applyCellChanges(listId: Int,
+      existing: Seq[(Long, Seq[Long], Seq[Int])],
+      inserts: Seq[(Long, Seq[Int])], deletes: Set[Long],
+      gmin: Double, gmax: Double,
+      purgeOnly: Set[Long] = Set.empty)
+      : Iterator[(Int, Long, Seq[Long], Seq[Int], Boolean)] = {
+    import scala.collection.mutable
+    val vecs = mutable.Map[Long, Array[Double]]()
+    val norms = mutable.Map[Long, Double]()
+    val codesOf = mutable.Map[Long, Seq[Int]]()
+    val adj = mutable.Map[Long, mutable.ArrayBuffer[Long]]()
+    existing.foreach { case (id, nbrs, codes) =>
+      val v = dequant(codes, gmin, gmax)
+      vecs(id) = v; norms(id) = math.max(l2(v), 1e-12)
+      codesOf(id) = codes
+      adj(id) = mutable.ArrayBuffer(nbrs: _*)
+    }
+    val dirty = mutable.Set[Long]()
+    def purge(d: Long): Unit = {
+      adj.remove(d); vecs.remove(d); norms.remove(d); codesOf.remove(d)
+      adj.foreach { case (n, lb) =>
+        if (lb.contains(d)) { lb -= d; dirty += n }
+      }
+    }
+    val reallyDeleted = deletes.filter(adj.contains)
+    reallyDeleted.foreach(purge)
+    // purge-only: the node MOVED to another cell — its row is replaced
+    // by the new cell's insert through the same merge, so this cell only
+    // cleans its adjacency (no drop row: duplicate merge keys forbidden)
+    purgeOnly.filter(adj.contains).foreach(purge)
+    def cosTo(a: Long, v: Array[Double], vn: Double): Double =
+      dotd(vecs(a), v) / (norms(a) * vn)
+    inserts.sortBy(_._1).foreach { case (id, codes) =>
+      if (adj.contains(id)) purge(id) // update = re-insert
+      val v = dequant(codes, gmin, gmax)
+      val vn = math.max(l2(v), 1e-12)
+      val links =
+        if (adj.isEmpty) Seq.empty[Long]
+        else {
+          val entry = adj.keysIterator.min
+          beamSearch(
+            n => adj.getOrElse(n, mutable.ArrayBuffer.empty[Long]).toSeq,
+            cosTo(_, v, vn), entry, NswEfBuild)
+            .filter(_._2 != id).take(NswM).map(_._2)
+        }
+      vecs(id) = v; norms(id) = vn; codesOf(id) = codes
+      adj(id) = mutable.ArrayBuffer(links: _*)
+      dirty += id
+      links.foreach { l =>
+        val lb = adj(l)
+        if (!lb.contains(id)) lb += id
+        if (lb.length > NswMMax) {
+          val kept = lb.toSeq
+            .sortBy(n => (-cosTo(n, vecs(l), norms(l)), n)).take(NswMMax)
+          lb.clear(); lb ++= kept
+        }
+        dirty += l
+      }
+    }
+    reallyDeleted.iterator.map(d =>
+      (listId, d, Seq.empty[Long], Seq.empty[Int], true)) ++
+      dirty.iterator.filter(adj.contains).map(id =>
+        (listId, id, adj(id).toSeq.sorted, codesOf(id), false))
   }
 
   /** Build the per-cell graphs as a persisted lake artifact next to the
