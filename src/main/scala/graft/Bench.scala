@@ -32,6 +32,9 @@ object Bench {
     // index); build it up front so q_ann_ivf times the probe, not the build
     try graft.operators.Similarity.ivfIndexDir(spark, sfDir)
     catch { case _: Throwable => () }
+    // same for the NSW graph artifact: q_ann_hnsw times the probe
+    try graft.operators.Nsw.nswIndexDir(spark, sfDir)
+    catch { case _: Throwable => () }
 
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val phases =
