@@ -534,6 +534,40 @@ class PlanSpec extends GraftSpec {
     assert(nEx <= 2, s"fano needs at most two narrow exchanges, saw $nEx")
   }
 
+  test("readability is one narrow per-doc projection: zero exchanges, " +
+      "no joins, ReadSchema carries only doc_id + text") {
+    val df = graft.operators.TextOps.qDocReadability(spark, sf)
+    val plan = planString(df)
+    assert(!plan.contains("Exchange"), s"readability must not shuffle:\n" +
+      plan.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(!plan.contains("Join"), "readability must not join")
+    assert(!plan.contains("lang") && !plan.contains("source"),
+      "column pruning must drop unprojected document columns")
+  }
+
+  test("rename-epoch scan: a filter on the renamed column pushes into " +
+      "BOTH branches, bearing each epoch's physical name") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_plan_ren").toString
+    val t = graft.sources.GraftTable(spark, s"$tmp/ledger", s"$tmp/gen")
+    spark.read.parquet(s"$sf/customer.parquet")
+      .repartition(2).write.parquet(s"$tmp/landing")
+    t.ingest(s"$tmp/landing")
+    t.renameColumn("c_acctbal", "balance")
+    // one post-rename write so both epochs hold files
+    t.update(org.apache.spark.sql.functions.col("c_custkey") === 1L,
+      Seq("balance" -> org.apache.spark.sql.functions.lit(1.0)))
+    val q = t.read().filter(org.apache.spark.sql.functions.col("balance") > 0)
+      .select(org.apache.spark.sql.functions.col("c_custkey"))
+    val plan = planString(q)
+    val pushed = plan.linesIterator
+      .filter(_.contains("PushedFilters")).toSeq
+    assert(pushed.exists(_.contains("GreaterThan(c_acctbal")),
+      s"old epoch must receive the OLD physical name:\n${pushed.mkString("\n")}")
+    assert(pushed.exists(_.contains("GreaterThan(balance")),
+      s"new epoch must receive the NEW physical name:\n${pushed.mkString("\n")}")
+  }
+
   test("periodicity shares ONE user_id exchange across the stats window " +
       "and all eight leads") {
     val df = graft.operators.Events.qEvtPeriodicity(spark, sf)
