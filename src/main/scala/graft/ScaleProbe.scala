@@ -281,11 +281,24 @@ object ScaleProbe {
       // r14 ext: k-core peel — the DISTINCT co-purchase edge set is fixed
       // by the key-shifted 10x replication (partkeys unshifted), so the
       // probe isolates the edge build + distinct over 10x lineitem
-      "q_graph_kcore" -> (Graph.qGraphKcore _))) {
+      "q_graph_kcore" -> (Graph.qGraphKcore _),
+      // r15: burst — the sliding-max runs over the span-bounded minute
+      // relation (fixed at 10x: replicas share the time span); only the
+      // scan + map-side count scale — expect ~flat-to-linear
+      "q_evt_burst" -> (Events.qEvtBurst _),
+      // r15: graph ANN — probe-side cost is nProbe cells' beam walks +
+      // a bounded re-rank; the 10x corpus grows CELLS (k fixed → cell
+      // size 10x, walk ~log-ish but re-rank candidate pool fixed at
+      // B·nProbe·ef) — expect far under 10; the index build lands
+      // outside the timed window like ivf/text
+      "q_ann_hnsw" -> (Nsw.qAnnHnsw _))) {
       // index BUILD is a once-per-dataset artifact, not probe cost — land
       // it outside the timed window (first access builds, later reuse)
       if (n == "q_ann_ivf_quant") {
         Similarity.ivfIndexDir(spark, src); Similarity.ivfIndexDir(spark, out)
+      }
+      if (n == "q_ann_hnsw") {
+        Nsw.nswIndexDir(spark, src); Nsw.nswIndexDir(spark, out)
       }
       if (n == "q_doc_search_topk") {
         TextIndex.indexDir(spark, src); TextIndex.indexDir(spark, out)
