@@ -1455,9 +1455,13 @@ object GraftSql {
     * a JOIN-SOURCED UPDATE (`UPDATE … FROM (subquery) d WHERE t.k = d.k
     * AND residual` — the r14 surface, subtracting a fee from matched
     * high-balance rows) and a JOIN-SOURCED DELETE (`DELETE … USING …` on
-    * a segment residual), and a final report
+    * a segment residual), an `ALTER TABLE … RENAME COLUMN` (r15 — the
+    * hash-checked report then reads every pre-rename file through the
+    * epoch-resolving scan; the v1 arm aliases the old name, proving the
+    * recording below the rename), and a final report
     * joining the current state against `VERSION AS OF 1` (the pre-DML
-    * snapshot). NINE commit cycles total.
+    * snapshot). NINE row-changing commit cycles plus the rename's
+    * metadata commit.
     * Every effect is pure algebra over `customer`, so DuckDB mirrors
     * the script with its own UPDATE/DELETE/INSERT (DuckDB 1.0 has no
     * MERGE — its effect is the matched-delete / matched-update /
