@@ -294,7 +294,12 @@ object Nsw {
     val probeVecs: Map[Long, Array[Double]] = probes.collect()
       .map(r => r.getLong(0) ->
         r.getSeq[Number](1).map(_.doubleValue()).toArray).toMap
+    // directory-prune the graph read to the PROBED cells (list_id is the
+    // parquet partition column; the routing map is already on the driver)
+    // — at 100x cell counts a bounded probe batch must never pay a full
+    // index scan + shuffle. NswSpec pins files-read ∝ probed cells.
     val candidates = s.read.parquet(s"$idx/graph")
+      .filter(col("list_id").isin(routeMap.keys.toSeq: _*))
       .select(col("list_id").cast("int"), col("vec_id"), col("nbrs"),
         col("codes"))
       .as[(Int, Long, Seq[Long], Seq[Int])]

@@ -107,6 +107,27 @@ class NswSpec extends GraftSpec {
     assert(iso <= singletonCells, s"$iso isolated nodes")
   }
 
+  test("probe graph scan is directory-pruned to the probed cells: the " +
+      "list_id-partitioned graph read carries a static IN partition " +
+      "filter bounded by B x nProbe cells, never a full index scan") {
+    val q = Nsw.qAnnHnsw(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    val graphScan = plan.linesIterator
+      .filter(l => l.contains("graft_nsw1") && l.contains("PartitionFilters"))
+      .mkString("\n")
+    assert(graphScan.nonEmpty,
+      s"no partition-filtered scan over the nsw graph dir:\n${plan.take(3000)}")
+    val pf = graphScan.split("PartitionFilters: \\[")(1)
+    assert(pf.startsWith("list_id") && pf.contains(" INSET "),
+      s"graph scan partition filter is not a list_id INSET prune: $pf")
+    // files read ∝ probed cells: the INSET list is bounded by B·nProbe
+    // (5 probes × IvfNProbe routed cells), independent of the cell count
+    val inList = pf.split(" INSET ")(1).takeWhile(_ != ']')
+    val nCells = inList.split(",").length
+    assert(nCells >= 1 && nCells <= 5 * Similarity.IvfNProbe,
+      s"pruned cell set size $nCells outside (0, B*nProbe]: $inList")
+  }
+
   test("build determinism: rebuilding into a fresh dir is byte-identical " +
       "in content (same nodes, same neighbor lists)") {
     val idx = Nsw.nswIndexDir(spark, sf)
