@@ -31,8 +31,8 @@ import org.apache.spark.sql.functions._
   * graph family's honest maintained contract is invariants + recall,
   * where IvfDelta's assignment relation can promise bit-equality.
   * Heavy sustained deletion degrades navigability over time (the
-  * published caveat); the drift signal is the same re-bootstrap trigger
-  * IvfDelta's report serves. */
+  * published caveat); [[driftReport]] measures it per cell (edit mass
+  * since bootstrap + degree drift) and flags the re-bootstrap trigger. */
 object NswDelta {
 
   private def graphLedger(indexRoot: String) = s"$indexRoot/graph_ledger"
@@ -87,8 +87,10 @@ object NswDelta {
         .toDF()
         .repartition(col("list_id"))
         .write.parquet(s"$indexRoot/landing")
+      // vec_id stats feed applyRound's range-pruned old-cell lookup;
+      // merges re-stat both columns per the liveStatsContract
       table(spark, indexRoot).ingest(s"$indexRoot/landing",
-        statsCols = Seq("list_id"))
+        statsCols = Seq("list_id", "vec_id"))
       MirrorLoop.markCursor(spark, indexRoot, snap)
       snap
     }
@@ -127,7 +129,20 @@ object NswDelta {
           .isin("insert", "update_postimage")), centroids, quant)
       .select(col("list_id").cast("int").as("list_id"), col("vec_id"),
         col("codes"), lit(false).as("_del"))
+    // the OLD cell of every batch id, pruned to the batch's vec_id RANGE
+    // (r16 — the r15 verdict's one table-scaled term): the graph table
+    // records manifest min/max stats on vec_id (bootstrap statsCols +
+    // merge re-stats), so the pushed BETWEEN skips every file whose id
+    // range the batch cannot touch. A fresh-id insert wave (monotone
+    // allocation — ids above every standing file's max) reads ZERO data
+    // files; a bounded edit window reads only the files holding it. The
+    // lookup stays over ALL change types: an APPEND can legally carry an
+    // id the index already holds (the change feed types it "insert"),
+    // and its post-image may route to a different cell — the moves join
+    // below must still see its old cell.
+    val r = latest.agg(min(col("vec_id")), max(col("vec_id"))).head()
     val standingCells = table(spark, indexRoot).read()
+      .filter(col("vec_id").between(r.getLong(0), r.getLong(1)))
       .select(col("list_id").cast("int").as("old_list"), col("vec_id"))
     val deletes = latest.filter(col("_change_type") === "delete")
       .join(standingCells, Seq("vec_id"), "inner")
@@ -177,6 +192,47 @@ object NswDelta {
       deleteWhen = Some(col("_drop")))
     MirrorLoop.markCursor(spark, indexRoot, target)
     target
+  }
+
+  /** Per-cell CHURN-SINCE-BOOTSTRAP report — the documented re-bootstrap
+    * trigger for maintained navigable graphs (r16; the published HNSW
+    * caveat: sustained deletion degrades navigability, and unlike IVF
+    * assignments a graph cannot promise equivalence to a rebuild, so the
+    * operational contract is MEASURE and re-bootstrap). Off the graph's
+    * OWN ledger: the bootstrap state (snapshot 1, the ingest) vs the
+    * current state, full-joined per (cell, vec) and aggregated to ONE
+    * ROW PER CELL (k rows — KB-scale driver output, the
+    * IvfDelta.driftReport shape). A vector that MOVED cells counts as a
+    * delete in its old cell and an insert in the new — both edits thin
+    * the old graph. `rebootstrap` flags cells whose edit mass since
+    * bootstrap exceeds `churnThreshold` of their bootstrap size; mean
+    * degree drift and isolated-node counts ride along as navigability
+    * advisories (a healthy fold keeps them near bootstrap levels — the
+    * NswDeltaSpec invariants). */
+  def driftReport(spark: SparkSession, indexRoot: String,
+      churnThreshold: Double = 0.5): DataFrame = {
+    val boot = Lake.readAt(spark, graphLedger(indexRoot), 1L)
+      .select(col("list_id").cast("int").as("list_id"), col("vec_id"),
+        size(col("nbrs")).as("deg_b"))
+    val now = table(spark, indexRoot).read()
+      .select(col("list_id").cast("int").as("list_id"), col("vec_id"),
+        size(col("nbrs")).as("deg_n"))
+    boot.join(now, Seq("list_id", "vec_id"), "full")
+      .groupBy(col("list_id"))
+      .agg(count(col("deg_b")).as("n_bootstrap"),
+        count(col("deg_n")).as("n_now"),
+        count(when(col("deg_b").isNotNull && col("deg_n").isNull, 1))
+          .as("n_deleted"),
+        count(when(col("deg_b").isNull && col("deg_n").isNotNull, 1))
+          .as("n_inserted"),
+        avg(col("deg_b")).as("mean_deg_bootstrap"),
+        avg(col("deg_n")).as("mean_deg_now"),
+        count(when(col("deg_n") === 0, 1)).as("n_isolated"))
+      .withColumn("churn_frac",
+        (col("n_deleted") + col("n_inserted"))
+          / greatest(col("n_bootstrap"), lit(1L)))
+      .withColumn("rebootstrap", col("churn_frac") >= lit(churnThreshold))
+      .orderBy(col("churn_frac").desc, col("list_id"))
   }
 
   /** Beam-search probe over the MAINTAINED graphs — qAnnHnsw's shape

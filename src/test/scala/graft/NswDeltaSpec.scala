@@ -103,6 +103,41 @@ class NswDeltaSpec extends GraftSpec {
       "one-window insert+delete left a ghost")
   }
 
+  test("drift report flags a heavy-deletion cell for re-bootstrap while " +
+      "a lightly-edited cell stays green; counts are exact per cell") {
+    val (t, idx, _) = fixture()
+    val g0 = NswDelta.table(spark, idx).read()
+      .select(col("list_id").cast("int").as("list_id"), col("vec_id"))
+    val bySize = g0.groupBy(col("list_id")).count()
+      .orderBy(col("count").desc).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    val (heavyCell, heavyN) = bySize.head
+    // delete ~60% of the heaviest cell's members (every id but each 3rd)
+    val victims = g0.filter(col("list_id") === heavyCell)
+      .orderBy(col("vec_id")).collect().map(_.getLong(1))
+      .zipWithIndex.filter(_._2 % 3 != 0).map(_._1)
+    t.delete(col("vec_id").isin(victims: _*), changeFeed = true)
+    NswDelta.applyRound(spark, t.ledgerDir, idx)
+    val rep = NswDelta.driftReport(spark, idx).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    val heavy = rep(heavyCell)
+    assert(heavy.getAs[Boolean]("rebootstrap"),
+      s"heavy-deletion cell not flagged: $heavy")
+    assert(heavy.getAs[Long]("n_deleted") == victims.length.toLong
+      && heavy.getAs[Long]("n_bootstrap") == heavyN
+      && heavy.getAs[Long]("n_now") == heavyN - victims.length,
+      s"drift counts wrong: $heavy")
+    // every untouched cell reads zero churn, no flag
+    val untouched = rep.filter(_._1 != heavyCell).values
+    assert(untouched.nonEmpty)
+    untouched.foreach { r =>
+      assert(!r.getAs[Boolean]("rebootstrap")
+        && r.getAs[Double]("churn_frac") == 0.0
+        && r.getAs[Long]("n_now") == r.getAs[Long]("n_bootstrap"),
+        s"untouched cell shows churn: $r")
+    }
+  }
+
   test("maintenance determinism: the same waves on a fresh index yield " +
       "identical graph content") {
     def run(): Seq[(Long, Seq[Long])] = {
