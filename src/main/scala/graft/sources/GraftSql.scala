@@ -222,6 +222,11 @@ object GraftSql {
   // files' physical names through their epoch's schema recording
   private val RenameColumnRe =
     """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*$""".r
+  // ALTER COLUMN TYPE widening (the Delta type-widening contract, r16):
+  // a KB metadata commit; pre-widen files cast up per epoch on read
+  private val AlterTypeRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+ALTER\s+COLUMN\s+(\w+)\s+""" +
+      """(?:SET\s+DATA\s+)?TYPE\s+([\w]+(?:\([\d\s,]*\))?)\s*$""").r
   private val DropColumnsRe =
     """(?is)^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMNS?\s*\(?\s*([\w\s,]+?)\s*\)?\s*$""".r
   private val DescribeHistoryRe =
@@ -305,14 +310,19 @@ object GraftSql {
     case NotNullRe(name, colName, verb) =>
       import spark.implicits._
       val t = lookupName(spark, name)
-      require(t.read().columns.exists(_.equalsIgnoreCase(colName)),
-        s"no such column: $colName")
+      // resolve the user-typed name to the schema's CANONICAL field name
+      // and key the auto-constraint by LOWERCASE — SET Balance then
+      // balance DROP must hit the same nn_ constraint, and DESCRIBE's
+      // nullable display (which lowercases) must agree with both paths
+      val canon = t.read().columns.find(_.equalsIgnoreCase(colName))
+        .getOrElse(sys.error(s"no such column: $colName"))
       if (verb.equalsIgnoreCase("SET")) {
-        t.addConstraint(s"nn_$colName", s"$colName IS NOT NULL")
-        Seq((colName, "NOT NULL")).toDF("col_name", "constraint")
+        t.addConstraint(s"nn_${canon.toLowerCase}", s"$canon IS NOT NULL")
+        Seq((canon, "NOT NULL")).toDF("col_name", "constraint")
       } else {
-        val dropped = Lake.dropConstraint(t.ledgerDir, s"nn_$colName")
-        Seq((colName, if (dropped) "nullable" else "no nn constraint"))
+        val dropped =
+          Lake.dropConstraint(t.ledgerDir, s"nn_${canon.toLowerCase}")
+        Seq((canon, if (dropped) "nullable" else "no nn constraint"))
           .toDF("col_name", "constraint")
       }
     case DropConstraintRe(name, cname) =>
@@ -338,6 +348,14 @@ object GraftSql {
       // (Lake.renameColumn) — a KB metadata commit, no data file touched
       val t = lookupName(spark, name)
       val s2 = t.renameColumn(from, to)
+      refresh(spark, name)
+      snapFrame(spark, s2)
+    case AlterTypeRe(name, colName, typeDdl) =>
+      // type WIDENING (r16): a KB metadata commit; old files scan with
+      // their epoch's physical type and cast up (Lake.alterColumnType;
+      // narrowing/incompatible changes refuse)
+      val t = lookupName(spark, name)
+      val s2 = t.alterColumnType(colName, typeDdl)
       refresh(spark, name)
       snapFrame(spark, s2)
     case DropColumnsRe(name, colList) =>
@@ -1490,22 +1508,28 @@ object GraftSql {
       .createOrReplaceTempView("sqlct_src")
     val out = sql(spark,
       s"""CREATE TABLE sqlct_t (k BIGINT, seg STRING, bal DOUBLE,
+        |  cnt INT,
         |  bal_cents BIGINT GENERATED ALWAYS AS
         |    (CAST(CAST(bal AS DECIMAL(12,2)) * 100 AS BIGINT)),
         |  tag STRING GENERATED ALWAYS AS
         |    (concat(seg, '-', CAST(k % 10 AS STRING))))
         |  LOCATION '$tmp/ct';
-        |INSERT INTO sqlct_t (k, seg, bal)
-        |SELECT c_custkey, c_mktsegment, c_acctbal
+        |INSERT INTO sqlct_t (k, seg, bal, cnt)
+        |SELECT c_custkey, c_mktsegment, c_acctbal,
+        |  CAST(c_custkey % 1000 AS INT)
         |FROM sqlct_src WHERE c_custkey % 3 = 0;
         |INSERT INTO sqlct_t VALUES
-        |  (10000001, 'DECLARED', CAST(12.25 AS DOUBLE), 1225,
+        |  (10000001, 'DECLARED', CAST(12.25 AS DOUBLE), 7, 1225,
         |   'DECLARED-1');
         |UPDATE sqlct_t SET
         |  bal = CAST(CAST(bal AS DECIMAL(12,2)) + 10.00 AS DOUBLE)
         |WHERE seg = 'BUILDING';
+        |ALTER TABLE sqlct_t ALTER COLUMN cnt TYPE BIGINT;
+        |INSERT INTO sqlct_t (k, seg, bal, cnt) VALUES
+        |  (10000002, 'DECLARED', CAST(0.00 AS DOUBLE), 3000000000);
         |SELECT seg, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(bal_cents) AS BIGINT) AS sum_cents,
+        |  CAST(sum(cnt) AS BIGINT) AS sum_cnt,
         |  CAST(count(DISTINCT tag) AS BIGINT) AS n_tags,
         |  CAST(sum(CAST(bal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
         |FROM sqlct_t GROUP BY seg""".stripMargin)
@@ -1525,20 +1549,26 @@ object GraftSql {
   def qSqlCreateSql: String =
     """CREATE OR REPLACE TEMP TABLE sqlct_t AS
       |  SELECT c_custkey AS k, c_mktsegment AS seg, c_acctbal AS bal,
+      |    CAST(c_custkey % 1000 AS BIGINT) AS cnt,
       |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
       |      AS bal_cents,
       |    concat(c_mktsegment, '-', CAST(c_custkey % 10 AS VARCHAR))
       |      AS tag
       |  FROM customer WHERE c_custkey % 3 = 0;
       |INSERT INTO sqlct_t VALUES
-      |  (10000001, 'DECLARED', CAST(12.25 AS DOUBLE), 1225, 'DECLARED-1');
+      |  (10000001, 'DECLARED', CAST(12.25 AS DOUBLE), 7, 1225,
+      |   'DECLARED-1');
       |UPDATE sqlct_t SET
       |  bal = CAST(CAST(bal AS DECIMAL(12,2)) + 10.00 AS DOUBLE),
       |  bal_cents = CAST((CAST(bal AS DECIMAL(12,2)) + 10.00) * 100
       |    AS BIGINT)
       |WHERE seg = 'BUILDING';
+      |INSERT INTO sqlct_t VALUES
+      |  (10000002, 'DECLARED', CAST(0.00 AS DOUBLE), 3000000000, 0,
+      |   'DECLARED-2');
       |SELECT seg, CAST(count(*) AS BIGINT) AS n_rows,
       |  CAST(sum(bal_cents) AS BIGINT) AS sum_cents,
+      |  CAST(sum(cnt) AS BIGINT) AS sum_cnt,
       |  CAST(count(DISTINCT tag) AS BIGINT) AS n_tags,
       |  CAST(sum(CAST(bal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
       |FROM sqlct_t GROUP BY seg""".stripMargin

@@ -122,6 +122,15 @@ final case class GraftTable(spark: SparkSession, ledgerDir: String,
   def renameColumn(oldName: String, newName: String): Long =
     Lake.renameColumn(spark, ledgerDir, oldName, newName)
 
+  /** ALTER COLUMN TYPE widening (int→bigint, float→double, decimal
+    * growth) — a KB metadata commit; pre-widen files scan with their
+    * epoch's physical type and cast up in the branch projection (see
+    * Lake.alterColumnType; narrowing refuses). */
+  def alterColumnType(colName: String, newTypeDdl: String): Long =
+    Lake.alterColumnType(spark, ledgerDir, colName,
+      org.apache.spark.sql.types.StructType
+        .fromDDL(s"x ${newTypeDdl}").head.dataType)
+
   /** [[merge]] on a COMPOSITE key — equality on every column of `keys`
     * (see Lake.mergeIntoKeys). */
   def mergeKeys(source: DataFrame, keys: Seq[String],

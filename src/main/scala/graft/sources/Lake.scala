@@ -1111,7 +1111,133 @@ object Lake {
         .withColumn("snapshot_op", lit("rename-column"))
         .withColumn("stats", lit(null).cast(StatsType))
       appendSnapshot(spark, ledgerDir, next, action, preReserved = true,
-        stagedSchema = true)
+        stagedSchema = true, stagedRename = true)
+      next
+    }
+  }
+
+  // ------------------------------------ ALTER COLUMN TYPE (r16)
+
+  /** One type widening, as logged under `_widen/` at its commit
+    * snapshot. */
+  final case class WidenRec(snapshot: Long, col: String,
+    from: String, to: String)
+
+  private def widenDirF(ledgerDir: String) =
+    new java.io.File(s"$ledgerDir/_widen")
+
+  /** The table's type-widening log, ascending by snapshot (KB
+    * driver-side). Only its presence gates the epoch scan — per-epoch
+    * TYPES resolve from the schema recordings themselves. */
+  private[sources] def widenLog(ledgerDir: String): Seq[WidenRec] = {
+    val fre = """widen-(\d+)\.json""".r
+    val jre = ("""\{"snapshot":(\d+),"col":"(\w+)","from":"([^"]+)",""" +
+      """"to":"([^"]+)"\}""").r
+    Option(widenDirF(ledgerDir).listFiles()).getOrElse(Array.empty)
+      .flatMap(f => f.getName match {
+        case fre(_) => new String(java.nio.file.Files.readAllBytes(f.toPath),
+          "UTF-8").trim match {
+          case jre(s, c, o, n) => Some(WidenRec(s.toLong, c, o, n))
+          case _ => None
+        }
+        case _ => None
+      }).sortBy(_.snapshot).toSeq
+  }
+
+  /** Is `from` → `to` a SAFE widening (the Delta type-widening
+    * contract): every value representable in `from` is exactly
+    * representable in `to`. Integral up-chain, float→double,
+    * small-integral→double (exact below 2^53; LONG→double is lossy and
+    * refused), and decimal growth that never shrinks integer digits or
+    * scale. */
+  private[sources] def canWiden(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    val intRank = Map[DataType, Int](ByteType -> 1, ShortType -> 2,
+      IntegerType -> 3, LongType -> 4)
+    (from, to) match {
+      case (f, t) if intRank.contains(f) && intRank.contains(t) =>
+        intRank(t) > intRank(f)
+      case (FloatType, DoubleType) => true
+      case (ByteType | ShortType | IntegerType, DoubleType) => true
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale >= f.scale &&
+          (t.precision - t.scale) >= (f.precision - f.scale) &&
+          (t.precision > f.precision || t.scale > f.scale)
+      case _ => false
+    }
+  }
+
+  /** ALTER TABLE … ALTER COLUMN … TYPE — type WIDENING as a KB-scale
+    * metadata commit (the Delta type-widening contract; the next
+    * migration DDL after ADD/DROP/RENAME): record the widened schema at
+    * a new snapshot (field ids unchanged — the column's identity does
+    * not move) plus one `_widen/` log entry and one inert op="schema"
+    * ledger row; ZERO data files are read or rewritten. Reads resolve
+    * per epoch through the SAME branch machinery renames use
+    * ([[renameEpochScan]]): files written before the widening scan with
+    * their epoch's physical type and CAST up in the branch projection —
+    * strictly simpler than the rename name mapping, and Catalyst's
+    * UnwrapCastInBinaryComparison keeps integral filter pushdown alive
+    * through the up-cast. Narrowing and incompatible changes refuse
+    * ([[canWiden]]); so do columns pinned by CHECK constraints
+    * (generated columns and their inputs ride their auto-constraints)
+    * and DEFAULT-bearing columns — the same conservative refusal set as
+    * RENAME. Compaction migrates old files to the new physical type and
+    * collapses the scan back to one branch. */
+  def alterColumnType(spark: SparkSession, ledgerDir: String,
+      colName: String,
+      newType: org.apache.spark.sql.types.DataType): Long = {
+    val snap = currentSnapshot(spark, ledgerDir)
+    require(snap > 0, "ALTER COLUMN TYPE on a table with no snapshots")
+    val cur0 = recordedSchemaAt(ledgerDir, snap)
+      .getOrElse(readAt(spark, ledgerDir, snap).schema)
+    val fOld = cur0.fields.find(_.name.equalsIgnoreCase(colName))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no such column: $colName"))
+    require(fOld.dataType != newType,
+      s"column '${fOld.name}' already has type ${newType.simpleString}")
+    require(canWiden(fOld.dataType, newType),
+      s"cannot change column '${fOld.name}' from " +
+        s"${fOld.dataType.simpleString} to ${newType.simpleString} — " +
+        "only safe widenings are supported (integral up-chain, " +
+        "float->double, small-integral->double, decimal growth)")
+    constraints(ledgerDir).foreach { case (cn, ce) =>
+      val refs = org.apache.spark.sql.GraftShim
+        .parseExpression(spark, ce).collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            a.nameParts.last.toLowerCase
+        }.toSet
+      require(!refs(fOld.name.toLowerCase), s"CHECK constraint '$cn' " +
+        s"references column '${fOld.name}' — drop the constraint first " +
+        "(generated-column auto-constraints pin their inputs the same way)")
+    }
+    require(!columnDefaults(ledgerDir).exists(
+        _._1.equalsIgnoreCase(colName)),
+      s"column '${fOld.name}' carries a DEFAULT — drop it first")
+    // pre-widen files need an epoch to resolve through (the retrofit
+    // rule renames follow)
+    if (recordedSchemaAt(ledgerDir, snap).isEmpty)
+      recordSchema(ledgerDir, snap, cur0)
+    val pre = recordedSchemaAt(ledgerDir, snap).get
+    val widened = org.apache.spark.sql.types.StructType(pre.fields.map(f =>
+      if (f.name.equalsIgnoreCase(colName)) f.copy(dataType = newType)
+      else f))
+    val next = snap + 1
+    reserving(spark, ledgerDir, next) {
+      recordSchema(ledgerDir, next, widened, trustIds = true)
+      widenDirF(ledgerDir).mkdirs()
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$ledgerDir/_widen/widen-$next.json"),
+        (s"""{"snapshot":$next,"col":"${fOld.name}",""" +
+          s""""from":"${fOld.dataType.simpleString}",""" +
+          s""""to":"${newType.simpleString}"}""").getBytes("UTF-8"))
+      val action = removeActions(spark, Seq(s"_schema/schema-$next.json"))
+        .withColumn("op", lit("schema"))
+        .withColumn("snapshot_op", lit("alter-column-type"))
+        .withColumn("stats", lit(null).cast(StatsType))
+      appendSnapshot(spark, ledgerDir, next, action, preReserved = true,
+        stagedSchema = true, stagedWiden = true)
       next
     }
   }
@@ -1150,8 +1276,17 @@ object Lake {
                   .withMetadata(fl.metadata).putLong(FieldIdKey, id).build())
               }
             })
-            java.nio.file.Files.write(f.toPath,
-              fixed.json.getBytes("UTF-8")): Unit
+            // atomic rename-into-place (the _ckpt discipline): a
+            // truncate-then-write here races concurrent recordedSchemaAt
+            // readers into a partial JSON; the retrofit is semantically
+            // idempotent, so rename replacement is safe
+            val tmp = java.nio.file.Files.createTempFile(
+              f.toPath.getParent, ".retrofit", ".tmp") // name must never
+            // match schema-(\d+).json — listings scan this dir
+            java.nio.file.Files.write(tmp, fixed.json.getBytes("UTF-8"))
+            java.nio.file.Files.move(tmp, f.toPath,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
           }
         }
       }
@@ -1193,14 +1328,17 @@ object Lake {
     val renames =
       if (recorded.isDefined) renameLog(ledgerDir).filter(_.snapshot <= atSnapshot)
       else Nil
-    if (renames.isEmpty) {
+    val widens =
+      if (recorded.isDefined) widenLog(ledgerDir).filter(_.snapshot <= atSnapshot)
+      else Nil
+    if (renames.isEmpty && widens.isEmpty) {
       val scan = org.apache.spark.sql.GraftShim.parquetScan(spark, index,
         mergeSchemas = recorded.isEmpty && isEvolved(ledgerDir),
         dataSchema = recorded)
       if (keepPos) withRowIdentity(scan) else scan
     }
     else renameEpochScan(spark, ledgerDir, index, atSnapshot, recorded.get,
-      keepPos)
+      keepPos, byName = renames.isEmpty)
   }
 
   /** The (file, position) identity columns off a scan\'s `_metadata` —
@@ -1227,10 +1365,15 @@ object Lake {
     * renames per epoch. Driver cost: the index's already-materialized
     * entries grouped once (no extra jobs), plus one KB recording read
     * per distinct epoch. */
+  /** `byName` (widen-only tables): resolve each logical field's physical
+    * name as ITSELF — names are stable below the first rename, and a
+    * pre-field-id-era recording has no ids to resolve by. NEVER under an
+    * active rename log: a re-added name would by-name-match an old
+    * epoch's renamed-away column and resurface its data. */
   private def renameEpochScan(spark: SparkSession, ledgerDir: String,
       index: LedgerFileIndex, atSnapshot: Long,
       logical: org.apache.spark.sql.types.StructType,
-      keepPos: Boolean): DataFrame = {
+      keepPos: Boolean, byName: Boolean = false): DataFrame = {
     import org.apache.spark.sql.types._
     val re = """schema-(\d+)\.json""".r
     val versions: Seq[Long] =
@@ -1246,28 +1389,62 @@ object Lake {
       if (le.isEmpty) versions.head else le.max
     }
     val schemaCache = scala.collection.mutable.Map[Long, StructType]()
-    def physNames(v: Long): Seq[String] = {
+    // each logical field's PHYSICAL (name, type) in epoch `v`: the name
+    // its field id bore there (r15), the type that recording declares
+    // for that name (r16 widening — pre-widen files cast up in the
+    // branch projection); an absent id → the column did not exist yet →
+    // an impossible name the reader null-fills
+    def physFields(v: Long): Seq[(String, DataType)] = {
       val vs = schemaCache.getOrElseUpdate(v,
         recordedSchemaAt(ledgerDir, v).get)
       val byId: Map[Long, String] =
         vs.fields.flatMap(f => fieldId(f).map(_ -> f.name)).toMap
+      // loud-failure guard: every recording is retrofitted with ids at
+      // the first rename (and publish syncs pre-fork recordings) — an
+      // id-LESS epoch recording under an active rename log means that
+      // machinery was bypassed, and resolving through an empty byId map
+      // would silently null-fill every pre-rename file
+      require(byName || vs.fields.isEmpty || byId.nonEmpty,
+        s"schema recording at snapshot $v of $ledgerDir carries no field " +
+          "ids while renames exist — refusing the silent null-fill " +
+          "(recordings must be retrofitted before a rename log lands)")
+      val typeOf: Map[String, DataType] =
+        vs.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
       logical.fields.toSeq.map { f =>
-        fieldId(f).flatMap(byId.get)
-          .getOrElse(s"__graft_absent_${fieldId(f).getOrElse(-1L)}")
+        val pn =
+          if (byName) { if (typeOf.contains(f.name.toLowerCase)) f.name
+            else s"__graft_absent_${fieldId(f).getOrElse(-1L)}" }
+          else fieldId(f).flatMap(byId.get)
+            .getOrElse(s"__graft_absent_${fieldId(f).getOrElse(-1L)}")
+        (pn, typeOf.getOrElse(pn.toLowerCase, f.dataType))
       }
     }
-    // group live files by their epoch's physical-name VECTOR — add/drop
-    // recordings between renames share one vector, so branches ≈ renames+1
-    val branches: Seq[(Seq[String], Set[String])] = index.pathAddSnapshots
-      .toSeq.groupBy { case (_, s) => physNames(epochOf(s)) }
-      .map { case (pn, xs) => pn -> xs.map(_._1).toSet }.toSeq
-      .sortBy(_._1.mkString(","))
+    // group live files by their epoch's physical (name, type) VECTOR —
+    // add/drop recordings between renames share one vector, so branches
+    // ≈ renames + widenings + 1
+    val branches: Seq[(Seq[(String, DataType)], Set[String])] =
+      index.pathAddSnapshots
+        .toSeq.groupBy { case (_, s) => physFields(epochOf(s)) }
+        .map { case (pn, xs) => pn -> xs.map(_._1).toSet }.toSeq
+        .sortBy(_._1.map(_._1).mkString(","))
     val scans = branches.map { case (pn, paths) =>
-      val phys = StructType(logical.fields.zip(pn).map { case (f, n) =>
-        f.copy(name = n, nullable = true) })
-      val branch = org.apache.spark.sql.GraftShim.parquetScan(spark,
-          index.subIndex(paths), dataSchema = Some(phys))
-        .toDF(logical.fieldNames.toSeq: _*)
+      val phys = StructType(logical.fields.zip(pn).map { case (f, (n, t)) =>
+        f.copy(name = n, dataType = t, nullable = true) })
+      val raw = org.apache.spark.sql.GraftShim.parquetScan(spark,
+        index.subIndex(paths), dataSchema = Some(phys))
+      // positional alias + up-cast to the logical type. The alias pins
+      // the LOGICAL field metadata explicitly: an Alias over a Cast does
+      // NOT propagate child metadata (only Alias-over-Attribute does),
+      // so a bare .as() would strip the field ids DESCRIBE and the
+      // rename trail read. Same-type columns skip the cast — pure-rename
+      // branches keep their r15 plan shape (per-branch pushdown,
+      // PlanSpec:548)
+      val branch = raw.select(raw.columns.toSeq
+        .zip(phys.fields.toSeq).zip(logical.fields.toSeq)
+        .map { case ((c, pf), f) =>
+          val base = if (pf.dataType == f.dataType) col(s"`$c`")
+            else col(s"`$c`").cast(f.dataType)
+          base.as(f.name, f.metadata) }: _*)
       if (keepPos) withRowIdentity(branch) else branch
     }
     scans.reduce(_.union(_))
@@ -1525,7 +1702,8 @@ object Lake {
     * of snapshot `committing` deletes recordings ABOVE it, and AT it
     * unless this writer staged that recording itself. */
   private def sweepOrphanRecordings(ledgerDir: String, committing: Long,
-      stagedAtCommitting: Boolean): Unit = {
+      stagedAtCommitting: Boolean, stagedRename: Boolean = false,
+      stagedWiden: Boolean = false): Unit = {
     val re = """schema-(\d+)\.json""".r
     Option(schemaDirF(ledgerDir).listFiles()).getOrElse(Array.empty)
       .foreach(f => f.getName match {
@@ -1534,12 +1712,31 @@ object Lake {
           f.delete(): Unit
         case _ => ()
       })
+    // rename/widen log entries are staged BEFORE their snapshot lands
+    // (the schema-recording ordering) — a crashed renameColumn/
+    // alterColumnType orphans a log file that a later unrelated commit
+    // at the same id would otherwise turn into a phantom rename (bogus
+    // DESCRIBE trail, addColumns' renamedAway guard treating the name
+    // as safely re-addable) or a phantom widening epoch
+    def sweepLog(dir: java.io.File, fre: scala.util.matching.Regex,
+        staged: Boolean): Unit =
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .foreach(f => f.getName match {
+          case fre(sid) if sid.toLong > committing
+            || (sid.toLong == committing && !staged) =>
+            f.delete(): Unit
+          case _ => ()
+        })
+    sweepLog(renamesDirF(ledgerDir), """rename-(\d+)\.json""".r, stagedRename)
+    sweepLog(widenDirF(ledgerDir), """widen-(\d+)\.json""".r, stagedWiden)
   }
 
   private def appendSnapshot(spark: SparkSession, ledgerDir: String,
       snapshot: Long, actions: DataFrame,
-      preReserved: Boolean = false, stagedSchema: Boolean = false): Unit = {
-    sweepOrphanRecordings(ledgerDir, snapshot, stagedSchema)
+      preReserved: Boolean = false, stagedSchema: Boolean = false,
+      stagedRename: Boolean = false, stagedWiden: Boolean = false): Unit = {
+    sweepOrphanRecordings(ledgerDir, snapshot, stagedSchema, stagedRename,
+      stagedWiden)
     val rows = withLedgerStats(actions)
       .withColumn("snapshot_id", lit(snapshot))
       .withColumn("ingested_at", current_timestamp())
@@ -4058,6 +4255,15 @@ object Lake {
             s"$branchDir/_renames/${f.getName}")): Unit
         case _ => ()
       })
+    val widRe = """widen-(\d+)\.json""".r
+    Option(widenDirF(ledgerDir).listFiles()).getOrElse(Array.empty)
+      .foreach(f => f.getName match {
+        case widRe(sid) if sid.toLong <= fork =>
+          widenDirF(branchDir).mkdirs()
+          java.nio.file.Files.copy(f.toPath, java.nio.file.Paths.get(
+            s"$branchDir/_widen/${f.getName}")): Unit
+        case _ => ()
+      })
     Seq("_generated", "_defaults").foreach { sub =>
       Option(new java.io.File(s"$ledgerDir/$sub").listFiles())
         .getOrElse(Array.empty).filter(_.isFile).foreach { f =>
@@ -4140,12 +4346,62 @@ object Lake {
     // (KB metadata; the schema-recording ordering above — a published
     // rename row must never be live without its log entry)
     val renRe = """rename-(\d+)\.json""".r
-    Option(renamesDirF(branchDir).listFiles()).getOrElse(Array.empty)
+    val publishedRenames =
+      Option(renamesDirF(branchDir).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName match {
+          case renRe(sid) => sid.toLong > fork && sid.toLong <= branchHead
+          case _ => false
+        })
+    if (publishedRenames.nonEmpty) {
+      // the branch's renameColumn RETROFITTED field ids into the
+      // PRE-fork recordings on the branch's own copy; main's pre-fork
+      // recordings (sid <= fork) were never touched. Landing the rename
+      // log against id-less epoch recordings makes renameEpochScan's
+      // byId map empty → every pre-fork file would silently null-fill.
+      // The branch's pre-fork recordings are main's + exact by-name ids
+      // (names are immutable below the first rename), so copying them
+      // over id-less/missing main copies is a faithful retrofit.
+      val schRe = """schema-(\d+)\.json""".r
+      Option(schemaDirF(branchDir).listFiles()).getOrElse(Array.empty)
+        .foreach(f => f.getName match {
+          case schRe(sid) if sid.toLong <= fork =>
+            val mainF = java.nio.file.Paths.get(
+              s"$mainDir/_schema/${f.getName}")
+            val needsSync = !java.nio.file.Files.exists(mainF) || {
+              val sch = org.apache.spark.sql.types.DataType.fromJson(
+                new String(java.nio.file.Files.readAllBytes(mainF), "UTF-8"))
+                .asInstanceOf[org.apache.spark.sql.types.StructType]
+              sch.fields.exists(fieldId(_).isEmpty)
+            }
+            if (needsSync) {
+              schemaDirF(mainDir).mkdirs()
+              val tmp = java.nio.file.Files.createTempFile(
+                mainF.getParent, ".retrofit", ".tmp")
+              java.nio.file.Files.copy(f.toPath, tmp,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+              java.nio.file.Files.move(tmp, mainF,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+            }
+          case _ => ()
+        })
+    }
+    publishedRenames.foreach { f =>
+      renamesDirF(mainDir).mkdirs()
+      java.nio.file.Files.copy(f.toPath, java.nio.file.Paths.get(
+        s"$mainDir/_renames/${f.getName}"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    }
+    // widening log entries fast-forward like renames (without them main
+    // would fast-path-scan pre-widen files under the published WIDE
+    // recorded schema — a physical type mismatch, not a silent null-fill)
+    val widRe = """widen-(\d+)\.json""".r
+    Option(widenDirF(branchDir).listFiles()).getOrElse(Array.empty)
       .foreach(f => f.getName match {
-        case renRe(sid) if sid.toLong > fork && sid.toLong <= branchHead =>
-          renamesDirF(mainDir).mkdirs()
+        case widRe(sid) if sid.toLong > fork && sid.toLong <= branchHead =>
+          widenDirF(mainDir).mkdirs()
           java.nio.file.Files.copy(f.toPath, java.nio.file.Paths.get(
-            s"$mainDir/_renames/${f.getName}"),
+            s"$mainDir/_widen/${f.getName}"),
             java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
         case _ => ()
       })

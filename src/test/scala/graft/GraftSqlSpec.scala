@@ -1227,6 +1227,18 @@ class GraftSqlSpec extends GraftSpec {
     assert(GraftSql.sql(spark,
       "SELECT count(*) AS n FROM nn_t WHERE v IS NULL").head().getLong(0)
       == 1L)
+    // case-insensitive rider naming: SET through one casing, DROP
+    // through another — both must hit the SAME nn_ constraint (and
+    // DESCRIBE, which lowercases, agrees with both)
+    GraftSql.sql(spark, "ALTER TABLE nn_t ALTER COLUMN K SET NOT NULL")
+    assert(GraftSql.sql(spark, "DESCRIBE nn_t").collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap.apply("k") == "NO")
+    val dropK = GraftSql.sql(spark,
+      "ALTER TABLE nn_t ALTER COLUMN k DROP NOT NULL").head()
+    assert(dropK.getString(1) == "nullable",
+      s"case-mismatched DROP missed the rider: $dropK")
+    assert(GraftSql.sql(spark, "DESCRIBE nn_t").collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap.apply("k") == "YES")
     GraftSql.unbind(spark, "nn_t")
   }
 

@@ -206,6 +206,67 @@ class RenameColumnSpec extends GraftSpec {
       "published rename lost the log — main read the wrong physical name")
   }
 
+  test("publish retrofits main's PRE-FORK id-less recordings before the " +
+      "rename log lands: a pre-field-id-era table never silently " +
+      "null-fills after a branch-staged rename publishes") {
+    import org.apache.spark.sql.types._
+    val (tbl, tmp) = fixture()
+    // simulate a pre-r15 table: strip field ids from main's recordings
+    val schemaDir = new java.io.File(s"${tbl.ledgerDir}/_schema")
+    val re = """schema-(\d+)\.json""".r
+    schemaDir.listFiles().foreach { f =>
+      if (re.findFirstIn(f.getName).isDefined) {
+        val sch = DataType.fromJson(new String(
+          Files.readAllBytes(f.toPath), "UTF-8")).asInstanceOf[StructType]
+        val stripped = StructType(
+          sch.fields.map(_.copy(metadata = Metadata.empty)))
+        Files.write(f.toPath, stripped.json.getBytes("UTF-8"))
+      }
+    }
+    val sumBefore = tbl.read()
+      .agg(sum(col("c_acctbal").cast("decimal(18,2)"))).head().getDecimal(0)
+    Lake.branch(spark, tbl.ledgerDir, s"$tmp/brp")
+    val br = GraftTable(spark, s"$tmp/brp", s"$tmp/brp_gen")
+    br.renameColumn("c_acctbal", "balance")
+    Lake.publish(spark, s"$tmp/brp")
+    // main must read pre-fork files through the new name with VALUES —
+    // an id-less epoch recording would null-fill every row (or now
+    // refuse loudly); neither may happen after the publish-side retrofit
+    val out = tbl.read()
+    assert(out.schema.fieldNames.contains("balance"))
+    assert(out.filter(col("balance").isNull).count() == 0L,
+      "published rename null-filled pre-fork files on main")
+    val sumAfter = out.agg(sum(col("balance").cast("decimal(18,2)")))
+      .head().getDecimal(0)
+    assert(sumAfter == sumBefore, "pre-fork values diverged through publish")
+  }
+
+  test("a crashed renameColumn's orphan rename-log entry is swept by the " +
+      "next commit: no phantom rename trail, no bogus epoch resolution") {
+    val (tbl, tmp) = fixture()
+    val next = tbl.snapshot + 1
+    // simulate the crash window: rename-N.json written, snapshot never
+    // landed (renameColumn stages the log entry before appendSnapshot)
+    val renDir = new java.io.File(s"${tbl.ledgerDir}/_renames")
+    renDir.mkdirs()
+    Files.write(
+      java.nio.file.Paths.get(s"${renDir.getPath}/rename-$next.json"),
+      (s"""{"snapshot":$next,"id":1,"from":"c_name",""" +
+        """"to":"ghost"}""").getBytes("UTF-8"))
+    // an unrelated commit lands AT the orphan's id
+    tbl.read().limit(10).write.parquet(s"$tmp/landing2")
+    tbl.ingest(s"$tmp/landing2")
+    assert(tbl.snapshot == next)
+    val leftover = Option(renDir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.matches("rename-\\d+\\.json"))
+    assert(leftover.isEmpty,
+      "orphan rename entry survived the commit sweep — phantom rename: " +
+        leftover.map(_.getName).mkString(","))
+    // the table still reads under its REAL names (no ghost resolution)
+    assert(tbl.read().schema.fieldNames.contains("c_name"))
+    assert(tbl.read().filter(col("c_name").isNull).count() == 0L)
+  }
+
   test("compaction migrates renamed files to the new physical name and " +
       "the scan collapses back to one branch") {
     val (tbl, _) = fixture()
