@@ -796,7 +796,7 @@ object Lake {
     // columns (null bounds, non-null bloom) rejoin as bloom recomputes,
     // not as range-clustering keys — hash-scattered point-lookup columns
     // must not hijack the rewrite's sort order.
-    val (statsCols, bloomColsLive) = liveStatsContract(liveActs)
+    val (statsCols, bloomColsLive) = liveStatsContract(liveActs, renameLog(ledgerDir))
     val next = snap + 1
     // reserve BEFORE writing gen-$next data files: a concurrent commit must
     // fail here, not after overwriting a winner's generation directory;
@@ -1458,7 +1458,25 @@ object Lake {
     * rewrite that replaces live files (compaction, COW merge, delete)
     * re-stats its output against this contract so data skipping SURVIVES
     * the rewrite instead of dying until a manual analyze(). */
-  private def liveStatsContract(liveActs: DataFrame): (Seq[String], Seq[String]) = {
+  /** Map a stats-contract column name forward through the rename log:
+    * a rewrite after `RENAME c TO d` must re-stat its (new-physical-
+    * name) output under `d`, not drop the column from the contract.
+    * A RE-ADDED old name is conservatively folded into the renamed
+    * target (per-entry field ids would be needed to split them) — the
+    * re-added column loses skipping until an analyze(). */
+  private def contractName(renames: Seq[RenameRec], n: String): String =
+    renames.foldLeft(n)((cur, r) =>
+      if (r.from.equalsIgnoreCase(cur)) r.to else cur)
+
+  private def liveStatsContract(liveActs: DataFrame,
+      renames: Seq[RenameRec] = Nil): (Seq[String], Seq[String]) = {
+    val (s0, b0) = liveStatsContractRaw(liveActs)
+    if (renames.isEmpty) (s0, b0)
+    else (s0.map(contractName(renames, _)).distinct.sorted,
+      b0.map(contractName(renames, _)).distinct.sorted)
+  }
+
+  private def liveStatsContractRaw(liveActs: DataFrame): (Seq[String], Seq[String]) = {
     val statEntries = liveActs.filter(col("stats").isNotNull)
       .select(explode(col("stats")).as(Seq("c", "v")))
     val statsCols: Seq[String] = statEntries
@@ -1968,7 +1986,7 @@ object Lake {
       // re-stat carry + delta so pruning survives the rewrite (cdc files
       // are change records, never live-set scanned — no stats there)
       val (mStatsCols, mBloomCols) = liveActs match {
-        case Some(acts) => liveStatsContract(acts)
+        case Some(acts) => liveStatsContract(acts, renameLog(ledgerDir))
         case None => (Nil, Nil)
       }
       val adds = addsTagged(spark,
@@ -2063,7 +2081,7 @@ object Lake {
           .withColumn("_commit_snapshot", lit(next))
           .write.mode("overwrite").parquet(s"$genDir/changes")
       // surviving-row rewrites inherit the skipping contract (see mergeInto)
-      val (dStatsCols, dBloomCols) = liveStatsContract(liveActs.get)
+      val (dStatsCols, dBloomCols) = liveStatsContract(liveActs.get, renameLog(ledgerDir))
       val adds = addsTagged(spark,
         Seq((s"$genDir/carry", "add", "replace")) ++
           (if (changeFeed) Seq((s"$genDir/changes", "cdc", "replace"))
@@ -2194,7 +2212,7 @@ object Lake {
             .withColumn("_change_type", lit("update_postimage")))
           .withColumn("_commit_snapshot", lit(next))
           .write.mode("overwrite").parquet(s"$genDir/changes")
-      val (uStatsCols, uBloomCols) = liveStatsContract(liveActs.get)
+      val (uStatsCols, uBloomCols) = liveStatsContract(liveActs.get, renameLog(ledgerDir))
       val adds = addsTagged(spark,
         Seq((s"$genDir/carry", "add", "replace"),
           (s"$genDir/delta", "add", "merge")) ++
@@ -2510,7 +2528,8 @@ object Lake {
     rows.write.parquet(dir)
     val (statsCols, bloomCols) = readLedger(spark, ledgerDir) match {
       case Some(l) => liveStatsContract(
-        liveActionsAt(l, currentSnapshot(spark, ledgerDir)))
+        liveActionsAt(l, currentSnapshot(spark, ledgerDir)),
+        renameLog(ledgerDir))
       case None => (Nil, Nil)
     }
     ingestNewFiles(spark, dir, ledgerDir, statsCols, bloomCols,
@@ -2581,7 +2600,7 @@ object Lake {
           .write.mode("overwrite").parquet(s"$genDir/changes")
       }
       val (oStatsCols, oBloomCols) =
-        liveActs.map(liveStatsContract).getOrElse((Nil, Nil))
+        liveActs.map(liveStatsContract(_, renameLog(ledgerDir))).getOrElse((Nil, Nil))
       val removes = liveActs.map(_.select(col("path"))
         .withColumn("size", lit(null).cast("long"))
         .withColumn("adler32", lit(null).cast("long"))
@@ -2722,7 +2741,7 @@ object Lake {
           .withColumn("_commit_snapshot", lit(next))
           .write.mode("overwrite").parquet(s"$genDir/changes")
       }
-      val (oStatsCols, oBloomCols) = liveStatsContract(liveActs.get)
+      val (oStatsCols, oBloomCols) = liveStatsContract(liveActs.get, renameLog(ledgerDir))
       val adds = addsTagged(spark,
         (if (affectedNorm.nonEmpty)
           Seq((s"$genDir/carry", "add", "replace")) else Nil) ++
@@ -2955,9 +2974,12 @@ object Lake {
     * bound — only a scan can know which). A file whose column is
     * entirely null keeps its entry with null bounds + a full null
     * count: min/max skip it, matching SQL null semantics; a table whose
-    * column is all-null everywhere answers null. Returns a 1-row frame
-    * `min_<c>, max_<c>` per column, typed per the recorded schema, plus
-    * `cnt` ([[statsCount]]'s DV-subtraction-exact total). */
+    * column is all-null everywhere answers null. RENAMED columns serve
+    * (r16): each file's stats key resolves through its winning-add
+    * epoch's physical name (the rename-epoch rule), and rewrites re-stat
+    * under the current name via the rename-translated contract. Returns
+    * a 1-row frame `min_<c>, max_<c>` per column, typed per the recorded
+    * schema, plus `cnt` ([[statsCount]]'s DV-subtraction-exact total). */
   def statsMinMax(spark: SparkSession, ledgerDir: String,
       cols: Seq[String],
       snapshot: Long = Long.MaxValue): Option[DataFrame] = {
@@ -2983,8 +3005,49 @@ object Lake {
           lit(null).cast(dt).as(s"max_$c"))
       } :+ lit(0L).as("cnt")))
     if (dvRows(spark, ledgerDir, s) > 0) return None
+    // epoch-aware stats keys (r16): a file keys its stats map by the
+    // PHYSICAL column names current when it was written, so after a
+    // rename the logical name misses pre-rename files' entries. Resolve
+    // per file through its winning-add snapshot (`snap`) and the schema
+    // recordings — the same physical-name resolution the rename-epoch
+    // scan does, expressed as a KB-size CASE chain over the epoch
+    // boundaries. No renames → the literal name, the pre-r16 plan.
+    val renames = renameLog(ledgerDir).filter(_.snapshot <= s)
+    val statsKey: String => org.apache.spark.sql.Column =
+      if (renames.isEmpty) c => lit(c)
+      else {
+        val re = """schema-(\d+)\.json""".r
+        val versions: Seq[Long] =
+          Option(schemaDirF(ledgerDir).listFiles()).getOrElse(Array.empty)
+            .flatMap(_.getName match {
+              case re(v) if v.toLong <= s => Some(v.toLong)
+              case _ => None
+            }).sorted.toSeq
+        val epochSchemas = versions.map(v =>
+          v -> recordedSchemaAt(ledgerDir, v).get)
+        c => {
+          val f = schema.find(_.name == c).get
+          fieldId(f) match {
+            case None => lit(c)
+            case Some(id) =>
+              def nameAt(v: org.apache.spark.sql.types.StructType) =
+                v.fields.find(fieldId(_).contains(id)).map(_.name)
+              // snap < versions(1) → epoch versions(0), … ; a version
+              // where the id is absent yields a null key → that file
+              // reads unservable (conservative, like a statless file)
+              val tail = nameAt(epochSchemas.last._2)
+                .map(lit(_)).getOrElse(lit(null))
+              epochSchemas.dropRight(1).zip(epochSchemas.drop(1))
+                .foldRight(tail) { case (((_, sch), (vNext, _)), acc) =>
+                  when(col("snap") < lit(vNext),
+                    nameAt(sch).map(lit(_)).getOrElse(lit(null)))
+                    .otherwise(acc)
+                }
+          }
+        }
+      }
     val aggs = kinds.flatMap { case (c, _, num) =>
-      val e = try_element_at(col("stats"), lit(c))
+      val e = try_element_at(col("stats"), statsKey(c))
       val lo = if (num) e.getField("lo") else e.getField("slo")
       val hi = if (num) e.getField("hi") else e.getField("shi")
       // a file is unservable when the column's entry is absent entirely,
@@ -3201,7 +3264,7 @@ object Lake {
       // merge/delete discipline); dv sidecars are positional metadata —
       // no stats (they are never live-set scanned)
       val (mStatsCols, mBloomCols) = liveActs match {
-        case Some(acts) => liveStatsContract(acts)
+        case Some(acts) => liveStatsContract(acts, renameLog(ledgerDir))
         case None => (Nil, Nil)
       }
       val deltaAdds = addsWithStats(spark, fileAdds(spark, s"$genDir/delta"),
@@ -3909,7 +3972,7 @@ object Lake {
       return MaintenanceReport(0, compacted = false, 0, 0, 0)
     val ledger = readLedger(spark, ledgerDir).get
     val liveActs = liveActionsAt(ledger, snap0)
-    val (statsCols, bloomCols) = liveStatsContract(liveActs)
+    val (statsCols, bloomCols) = liveStatsContract(liveActs, renameLog(ledgerDir))
     // 1. stats: any live file whose map lacks a contract column
     val restatted =
       if (policy.analyzeMissing && (statsCols ++ bloomCols).nonEmpty) {

@@ -151,6 +151,47 @@ class MetaAggSpec extends GraftSpec {
       "statsMinMax touched data files (failed after stash)")
   }
 
+  test("statsMinMax serves RENAMED columns with zero data reads: " +
+      "pre-rename files resolve their stats key through the epoch's " +
+      "physical name, post-rename writes re-stat under the new name, " +
+      "and both contribute to the bounds") {
+    val tmp = Files.createTempDirectory("graft_metamm_ren").toString
+    val t = GraftTable(spark, s"$tmp/ledger", s"$tmp/gen")
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+    cust.repartition(4).write.parquet(s"$tmp/landing")
+    t.ingest(s"$tmp/landing", statsCols = Seq("c_custkey", "c_name"))
+    t.renameColumn("c_custkey", "cust_id")
+    // post-rename generation: physical column name is cust_id; the
+    // rename-translated stats contract must re-stat it (not drop it)
+    t.append(cust.limit(10)
+      .withColumnRenamed("c_custkey", "cust_id")
+      .withColumn("cust_id", col("cust_id") + 9000000))
+    val scan = t.read().agg(min(col("cust_id")), max(col("cust_id")),
+      min(col("c_name")), max(col("c_name")), count(lit(1))).head()
+    val meta = t.statsMinMax(Seq("cust_id", "c_name"))
+    assert(meta.isDefined, "statsMinMax refused on a renamed column")
+    assert(meta.get.head() == scan, s"meta ${meta.get.head()} != scan $scan")
+    // the MIN comes from a PRE-rename file, the MAX from the POST-rename
+    // append — both epochs really contribute
+    assert(scan.getLong(1) > 9000000L && scan.getLong(0) < 9000000L)
+    // zero-data-read proof (the suite's stash discipline)
+    val stash = new java.io.File(s"$tmp/stash"); stash.mkdirs()
+    var moved = 0
+    def stashData(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array()).foreach(stashData)
+      else if (f.getName.endsWith(".parquet")) {
+        assert(f.renameTo(new java.io.File(stash, s"f$moved.parquet")))
+        moved += 1
+      }
+    }
+    stashData(new java.io.File(s"$tmp/landing"))
+    stashData(new java.io.File(s"$tmp/gen"))
+    assert(moved > 0, "stash moved nothing — proof vacuous")
+    assert(t.statsMinMax(Seq("cust_id", "c_name")).map(_.head())
+      == Some(scan), "renamed-column statsMinMax touched data files")
+  }
+
   test("a statless live file makes statsCount refuse (None), never guess") {
     val tmp = Files.createTempDirectory("graft_metaagg_none").toString
     val t = GraftTable(spark, s"$tmp/ledger", s"$tmp/gen")
