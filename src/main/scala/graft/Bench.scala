@@ -35,6 +35,10 @@ object Bench {
     // same for the NSW graph artifact: q_ann_hnsw times the probe
     try graft.operators.Nsw.nswIndexDir(spark, sfDir)
     catch { case _: Throwable => () }
+    // and the co-purchase edge artifact: the five graph gate queries
+    // time their algorithms, not the shared derived-table build
+    try graft.operators.Graph.edgesDir(spark, sfDir)
+    catch { case _: Throwable => () }
 
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val phases =

@@ -300,6 +300,12 @@ object ScaleProbe {
       if (n == "q_ann_hnsw") {
         Nsw.nswIndexDir(spark, src); Nsw.nswIndexDir(spark, out)
       }
+      // the co-purchase edge artifact is likewise once-per-dataset
+      // (r16): the graph probes time their algorithms at both scales
+      if (n == "q_graph_triangles" || n == "q_graph_communities"
+          || n == "q_graph_kcore") {
+        Graph.edgesDir(spark, src); Graph.edgesDir(spark, out)
+      }
       if (n == "q_doc_search_topk") {
         TextIndex.indexDir(spark, src); TextIndex.indexDir(spark, out)
       }

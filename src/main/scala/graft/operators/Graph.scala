@@ -249,7 +249,7 @@ object Graph {
     * shared across orders. Basket sizes are order-bounded (≤ items per
     * order), so the in-row expansion is O(k²) with tiny k — skew-safe at
     * any corpus scale. Output: distinct canonical (a < b) edges. */
-  def coPurchaseEdges(spark: org.apache.spark.sql.SparkSession,
+  def coPurchaseEdgesBuild(spark: org.apache.spark.sql.SparkSession,
       d: String): DataFrame = {
     spark.read.parquet(s"$d/lineitem.parquet")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
@@ -263,6 +263,31 @@ object Graph {
       .select(col("e.a").as("a"), col("e.b").as("b"))
       .distinct()
   }
+
+  private val edgeDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The co-purchase edge set as a CONTENT-FINGERPRINT-CACHED parquet
+    * artifact (r16 — the ivf/nsw index-dir discipline): five graph gate
+    * queries consume the same distinct canonical edge relation, and at
+    * any corpus scale a shared derived table is built ONCE and read by
+    * every consumer, not recomputed per query. Any layout change needs a
+    * NEW dir-name prefix; completion checks the build's _SUCCESS. */
+  def edgesDir(spark: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val fp = Similarity.dataFingerprint(s"$d/lineitem.parquet")
+    edgeDirs.computeIfAbsent(fp, { _ =>
+      val dir = sys.props("java.io.tmpdir") + s"/graft_edges1_$fp"
+      if (!new java.io.File(s"$dir/_SUCCESS").exists())
+        coPurchaseEdgesBuild(spark, d).write.mode("overwrite").parquet(dir)
+      dir
+    })
+  }
+
+  /** The cached co-purchase edge relation (distinct canonical a < b). */
+  def coPurchaseEdges(spark: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame =
+    spark.read.parquet(edgesDir(spark, d))
 
   def qGraphTriangles(spark: org.apache.spark.sql.SparkSession,
       d: String): DataFrame = {
@@ -628,4 +653,84 @@ object Graph {
       |    AS DOUBLE) / CAST(1000000 AS DOUBLE) AS assortativity
       |FROM st CROSS JOIN nn
       |WHERE 2 * CAST(n_edges AS HUGEINT) * sxx - sx * sx <> 0""".stripMargin
+
+  /** Wedge centers above this degree are excluded from link-prediction
+    * candidate generation: a hub's pair expansion is deg² while its RA
+    * mass per pair is 1/deg → ~0 — the published hub-cap practice
+    * (candidate generation in RA/AA link prediction is wedge-bounded).
+    * The cap is part of the OPERATOR'S DEFINITION; the oracle replays
+    * it, so the scores are exact, not approximate. */
+  val LinkpredDegCap = 64
+
+  /** LINK PREDICTION — Resource-Allocation index (Zhou, Lü & Zhang
+    * 2009: RA(x,y) = Σ_{z ∈ Γ(x)∩Γ(y)} 1/deg(z); the top performer of
+    * the classic local indices, and unlike Adamic–Adar it is a SUM OF
+    * RATIONALS — each term quantizes as 1e6 DIV deg with no libm at
+    * all, the r14 ratio-of-counts exactness class). The
+    * similar-products / "users also bought" primitive over the
+    * co-purchase graph: score NON-adjacent part pairs by the resource
+    * their shared neighborhoods allocate, report the global top-100.
+    *
+    * Plan shape (the basket-collect discipline): ONE groupBy(z)
+    * collects each capped center's sorted neighbor set, pairs expand
+    * in-row (bounded by cap² per center — skew-safe by construction),
+    * one groupBy(x,y) sums counts + quantized RA terms, an anti-join
+    * drops existing edges, and the global top-100 is a TakeOrdered,
+    * never a full sort. Every score is an exact integer both engines
+    * replay; ties order by (cn, part_a, part_b) — total, deterministic. */
+  def qGraphLinkpred(spark: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val edges0 = coPurchaseEdges(spark, d)
+      .localCheckpoint() // feeds adjacency, the anti-join, and degrees
+    val adj = edges0.select(col("a").as("z"), col("b").as("n"))
+      .unionAll(edges0.select(col("b").as("z"), col("a").as("n")))
+    val deg = adj.groupBy(col("z")).agg(count(lit(1)).as("deg"))
+    val wedges = adj
+      .join(deg.filter(col("deg").between(2, LinkpredDegCap)), "z")
+      .groupBy(col("z"), col("deg"))
+      .agg(sort_array(collect_set(col("n"))).as("ns"))
+      .select(col("deg"), explode(flatten(expr(
+        """transform(ns, (x, i) ->
+          |  transform(slice(ns, i + 2, size(ns)),
+          |    y -> struct(x AS a, y AS b)))""".stripMargin))).as("e"))
+      .select(col("e.a").as("part_a"), col("e.b").as("part_b"),
+        expr("1000000 DIV deg").as("term"))
+    wedges.groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("cn"), sum(col("term")).as("ra_scaled"))
+      .join(edges0.select(col("a").as("part_a"), col("b").as("part_b")),
+        Seq("part_a", "part_b"), "left_anti")
+      .select(col("part_a"), col("part_b"), col("cn"),
+        col("ra_scaled").cast("long").as("ra_scaled"),
+        (col("ra_scaled").cast("double") / 1000000.0).as("ra"))
+      .orderBy(col("ra_scaled").desc, col("cn").desc, col("part_a"),
+        col("part_b"))
+      .limit(100)
+  }
+
+  def qGraphLinkpredSql: String =
+    """WITH e AS MATERIALIZED (
+      |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+      |  FROM lineitem x JOIN lineitem y
+      |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+      |adj AS MATERIALIZED (
+      |  SELECT a AS z, b AS n FROM e UNION ALL SELECT b AS z, a AS n FROM e),
+      |deg AS MATERIALIZED (
+      |  SELECT z, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY z),
+      |w AS (
+      |  SELECT a1.n AS part_a, a2.n AS part_b, d.deg
+      |  FROM adj a1 JOIN adj a2 ON a1.z = a2.z AND a1.n < a2.n
+      |  JOIN deg d ON d.z = a1.z
+      |  WHERE d.deg BETWEEN 2 AND 64),
+      |s AS (
+      |  SELECT part_a, part_b, CAST(count(*) AS BIGINT) AS cn,
+      |    CAST(sum(1000000 // deg) AS BIGINT) AS ra_scaled
+      |  FROM w
+      |  WHERE NOT EXISTS (SELECT 1 FROM e
+      |    WHERE e.a = w.part_a AND e.b = w.part_b)
+      |  GROUP BY part_a, part_b)
+      |SELECT part_a, part_b, cn, ra_scaled,
+      |  CAST(ra_scaled AS DOUBLE) / CAST(1000000 AS DOUBLE) AS ra
+      |FROM s
+      |ORDER BY ra_scaled DESC, cn DESC, part_a, part_b
+      |LIMIT 100""".stripMargin
 }

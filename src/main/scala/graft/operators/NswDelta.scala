@@ -294,6 +294,31 @@ object NswDelta {
       .select(col("rank"), col("vec_id"))
   }
 
+  /** Driver query [rows]: the maintained-graph DRIFT lifecycle on a
+    * temp lake — bootstrap, a heavy corpus-wide deletion wave (~half
+    * the vectors), one maintenance fold, then the per-cell
+    * [[driftReport]]: cells whose churn crossed the threshold flag
+    * `rebootstrap` (the operational signal that a navigable graph under
+    * sustained deletion needs a rebuild — the published HNSW caveat
+    * made measurable). Output is the k-row report (scalar cells). */
+  def qAnnDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_nswdr").toString
+    val t = GraftTable(spark, s"$tmp/ledger", s"$tmp/gen")
+    graft.BenchPhase("fixture") {
+      spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .repartition(4).write.parquet(s"$tmp/landing")
+      t.ingest(s"$tmp/landing")
+      bootstrap(spark, t.ledgerDir, s"$tmp/idx", maxIter = 2): Unit
+    }
+    val out = graft.BenchPhase("op") {
+      t.delete(col("vec_id") % 97 < 48, changeFeed = true)
+      applyRound(spark, t.ledgerDir, s"$tmp/idx")
+      driftReport(spark, s"$tmp/idx").localCheckpoint()
+    }
+    MirrorLoop.rmrf(new java.io.File(tmp))
+    out
+  }
+
   /** Driver query [rows]: the maintained-graph lifecycle on a temp lake
     * — ingest the embeddings corpus, bootstrap (2 Lloyd iterations:
     * routing is probe-invariant fixture cost), merge a wave of NEW

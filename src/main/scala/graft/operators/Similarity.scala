@@ -318,8 +318,14 @@ object Similarity {
     * regenerated IN PLACE changes length/mtime and therefore the
     * fingerprint, forcing a rebuild (path.hashCode alone reused stale
     * indexes and could collide across datasets). */
-  private[operators] def embFingerprint(d: String): String = {
-    val root = new java.io.File(s"$d/embeddings.parquet")
+  private[operators] def embFingerprint(d: String): String =
+    dataFingerprint(s"$d/embeddings.parquet")
+
+  /** Content fingerprint of one dataset root (path + every file's
+    * relative path, length, mtime) — the index-artifact cache key
+    * discipline (ivf/nsw/edges dirs). */
+  private[operators] def dataFingerprint(path: String): String = {
+    val root = new java.io.File(path)
     // Recursive walk over ALL regular files (not just top-level *.parquet):
     // a partition-subdirectory layout must still change the fingerprint when
     // its data files change. listFiles() is null on IO/permission errors —
