@@ -311,9 +311,14 @@ object NswDelta {
       bootstrap(spark, t.ledgerDir, s"$tmp/idx", maxIter = 2): Unit
     }
     val out = graft.BenchPhase("op") {
-      t.delete(col("vec_id") % 97 < 48, changeFeed = true)
+      // ~8% deletion wave: enough churn mass that the per-cell fractions
+      // discriminate under the explicit 5% reporting threshold, while
+      // the fold stays change-batch-shaped (a half-corpus wave made the
+      // op corpus-shaped — measured 38.6 s vs ~8 s)
+      t.delete(col("vec_id") % 97 < 8, changeFeed = true)
       applyRound(spark, t.ledgerDir, s"$tmp/idx")
-      driftReport(spark, s"$tmp/idx").localCheckpoint()
+      driftReport(spark, s"$tmp/idx", churnThreshold = 0.05)
+        .localCheckpoint()
     }
     MirrorLoop.rmrf(new java.io.File(tmp))
     out
