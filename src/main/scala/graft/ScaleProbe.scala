@@ -282,6 +282,11 @@ object ScaleProbe {
       // by the key-shifted 10x replication (partkeys unshifted), so the
       // probe isolates the edge build + distinct over 10x lineitem
       "q_graph_kcore" -> (Graph.qGraphKcore _),
+      // r16: RA link prediction — the distinct edge set (and so the
+      // wedge pass, degree caps, top-100) is FIXED under key-shifted
+      // replication; with the cached edge artifact the probe isolates
+      // the wedge expansion + pair fold — expect ~flat
+      "q_graph_linkpred" -> (Graph.qGraphLinkpred _),
       // r15: burst — the sliding-max runs over the span-bounded minute
       // relation (fixed at 10x: replicas share the time span); only the
       // scan + map-side count scale — expect ~flat-to-linear
@@ -303,7 +308,7 @@ object ScaleProbe {
       // the co-purchase edge artifact is likewise once-per-dataset
       // (r16): the graph probes time their algorithms at both scales
       if (n == "q_graph_triangles" || n == "q_graph_communities"
-          || n == "q_graph_kcore") {
+          || n == "q_graph_kcore" || n == "q_graph_linkpred") {
         Graph.edgesDir(spark, src); Graph.edgesDir(spark, out)
       }
       if (n == "q_doc_search_topk") {

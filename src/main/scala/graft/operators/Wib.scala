@@ -488,4 +488,65 @@ object Wib {
        |       peak_adc, t_min, t_max
        |FROM stats JOIN dim USING (src_id)""".stripMargin
   }
+
+  /** Spectrum window length (power of two; 4 frames' worth of ticks per
+    * channel at the fixture's 64 ticks/frame). */
+  val NoiseFftN = 256
+
+  /** Driver query [rows]: per-channel NOISE POWER SPECTRUM — the third
+    * plot on the shifter's screen after pedestals and coherent noise:
+    * WHERE in frequency the noise lives (a mains/clock pickup line shows
+    * as a narrow spectral peak; white electronics noise is flat). Per
+    * channel, the first [[NoiseFftN]] samples in (ts, tick) order are
+    * pedestal-subtracted and FFT'd in-task (the in-JVM radix-2 kernel
+    * the audio path uses — [[Multimodal.Fft]]); output is one row per
+    * (channel, bin) with the one-sided power, plus each channel's peak
+    * bin flagged. Deterministic: the window is ts-ordered, the FFT is a
+    * fixed sequential butterfly, no partial-sum reordering anywhere.
+    *
+    * Scale shape: the analysis window is a TIME SLICE (noise spectra are
+    * computed over a chosen quiet window, not a whole run) — at 100 TB
+    * the ts horizon is a pushed predicate that prunes the frame scan to
+    * the slice before any shuffle; the per-channel series then shuffles
+    * N samples per channel (channel-bounded, detector-scale thousands),
+    * and each channel's FFT runs inside one task. */
+  def qWibNoiseFft(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dim = Dromap.flat(s, Configs.absDir(DromapPath))
+      .select(col("src_id").cast("long").as("src_id"),
+        col("det_id"), col("crate_id"), col("slot_id"))
+    val decoded = frames(s)
+      .select(GraftFunctions.wibDecode(col("payload")).as("f"))
+      .select(col("f.src_id").as("src_id"), col("f.ts").as("ts"),
+        posexplode(col("f.samples")).as(Seq("j", "sample")))
+      .select(col("src_id"),
+        (col("src_id") * WibFrame.Channels
+          + col("j") % WibFrame.Channels).as("channel"),
+        col("ts"), col("j").cast("long").as("j"),
+        col("sample").cast("double").as("sample"))
+      .as[(Long, Long, Long, Long, Double)]
+    val spectra = decoded.groupByKey(_._2)
+      .flatMapGroups { (ch, it) =>
+        val xs = it.toArray.sortBy(r => (r._3, r._4)).take(NoiseFftN)
+        if (xs.length < NoiseFftN) Iterator.empty
+        else {
+          val srcId = xs.head._1
+          val mean = xs.map(_._5).sum / NoiseFftN
+          val re = xs.map(_._5 - mean)
+          val im = new Array[Double](NoiseFftN)
+          Multimodal.Fft.fft(re, im)
+          val pow = (1 to NoiseFftN / 2).map(k =>
+            re(k) * re(k) + im(k) * im(k))
+          val peak = pow.indices.maxBy(i => (pow(i), -i)) // tie: low bin
+          pow.iterator.zipWithIndex.map { case (p, i) =>
+            (srcId, ch, (i + 1).toLong, p, i == peak)
+          }
+        }
+      }
+      .toDF("src_id", "channel", "bin", "power", "is_peak")
+    spectra.join(broadcast(dim), "src_id")
+      .select(col("det_id"), col("crate_id"), col("slot_id"),
+        col("channel"), col("bin"), col("power"), col("is_peak"))
+      .orderBy(col("channel"), col("bin"))
+  }
 }

@@ -614,17 +614,50 @@ object Lake {
       sinceSnapshot: Long): DataFrame = {
     val ledger = readLedger(spark, ledgerDir).getOrElse(return spark.emptyDataFrame)
     val cdcAll = withLedgerStats(ledger).filter(col("op") === "cdc")
+    // cdc files must keep their commit snapshot visible to the scan:
+    // across a rename/widen boundary each file resolves through the
+    // recording current at ITS commit (cdcScan), not a merged footer
     def asIndex(df: DataFrame) = new LedgerFileIndex(
-      df.select(col("path"), col("size"), col("stats")))
+      df.select(col("path"), col("size"), col("stats"),
+        col("snapshot_id").as("snap")))
     val index = asIndex(cdcAll.filter(col("snapshot_id") > sinceSnapshot))
     if (!index.isEmpty)
-      tableScan(spark, ledgerDir, index)
+      cdcScan(spark, ledgerDir, index)
     else {
       // nothing after the cursor: carry the cdc schema from ANY cdc file
       // (limit 0 folds to an empty relation — no data is read)
       val all = asIndex(cdcAll)
       if (all.isEmpty) spark.emptyDataFrame
-      else tableScan(spark, ledgerDir, all).limit(0)
+      else cdcScan(spark, ledgerDir, all).limit(0)
+    }
+  }
+
+  /** Change-file scan with schema resolution (r16): cdc sidecars are
+    * TABLE-SHAPED plus `_change_type`/`_commit_snapshot`, written with
+    * the physical names AND types current at their commit. A merged-
+    * footer read across a widen boundary fails outright (int vs bigint
+    * cannot merge), and across a rename silently splits one logical
+    * column into two half-null ones — so when the table carries
+    * renames/widens, change files group by their commit's epoch and
+    * each branch aligns to the CURRENT logical shape (id-resolved
+    * names, up-cast types) before the union. Tables without rename/
+    * widen history keep the footer-inference fast path untouched. */
+  private def cdcScan(spark: SparkSession, ledgerDir: String,
+      index: LedgerFileIndex): DataFrame = {
+    import org.apache.spark.sql.types._
+    val head = currentSnapshot(spark, ledgerDir)
+    val renames = renameLog(ledgerDir)
+    val widens = widenLog(ledgerDir)
+    val recorded =
+      if (renames.isEmpty && widens.isEmpty) None
+      else recordedSchemaAt(ledgerDir, head)
+    recorded match {
+      case None => tableScan(spark, ledgerDir, index)
+      case Some(logical) =>
+        renameEpochScan(spark, ledgerDir, index, head, logical,
+          keepPos = false, byName = renames.isEmpty,
+          extra = Seq(StructField("_change_type", StringType),
+            StructField("_commit_snapshot", LongType)))
     }
   }
 
@@ -1370,10 +1403,16 @@ object Lake {
     * pre-field-id-era recording has no ids to resolve by. NEVER under an
     * active rename log: a re-added name would by-name-match an old
     * epoch's renamed-away column and resurface its data. */
+  /** `extra`: physical pass-through columns appended to every branch's
+    * read schema and projection unchanged (the cdc sidecar's
+    * `_change_type`/`_commit_snapshot` — present in every epoch under
+    * their own names). */
   private def renameEpochScan(spark: SparkSession, ledgerDir: String,
       index: LedgerFileIndex, atSnapshot: Long,
       logical: org.apache.spark.sql.types.StructType,
-      keepPos: Boolean, byName: Boolean = false): DataFrame = {
+      keepPos: Boolean, byName: Boolean = false,
+      extra: Seq[org.apache.spark.sql.types.StructField] = Nil)
+      : DataFrame = {
     import org.apache.spark.sql.types._
     val re = """schema-(\d+)\.json""".r
     val versions: Seq[Long] =
@@ -1429,7 +1468,7 @@ object Lake {
         .sortBy(_._1.map(_._1).mkString(","))
     val scans = branches.map { case (pn, paths) =>
       val phys = StructType(logical.fields.zip(pn).map { case (f, (n, t)) =>
-        f.copy(name = n, dataType = t, nullable = true) })
+        f.copy(name = n, dataType = t, nullable = true) } ++ extra)
       val raw = org.apache.spark.sql.GraftShim.parquetScan(spark,
         index.subIndex(paths), dataSchema = Some(phys))
       // positional alias + up-cast to the logical type. The alias pins
@@ -1439,12 +1478,13 @@ object Lake {
       // rename trail read. Same-type columns skip the cast — pure-rename
       // branches keep their r15 plan shape (per-branch pushdown,
       // PlanSpec:548)
-      val branch = raw.select(raw.columns.toSeq
+      val branch = raw.select(raw.columns.toSeq.take(logical.length)
         .zip(phys.fields.toSeq).zip(logical.fields.toSeq)
         .map { case ((c, pf), f) =>
           val base = if (pf.dataType == f.dataType) col(s"`$c`")
             else col(s"`$c`").cast(f.dataType)
-          base.as(f.name, f.metadata) }: _*)
+          base.as(f.name, f.metadata)
+        } ++ extra.map(f => col(s"`${f.name}`")): _*)
       if (keepPos) withRowIdentity(branch) else branch
     }
     scans.reduce(_.union(_))

@@ -685,4 +685,59 @@ object Streams {
       .schema(schema)
       .option("maxFilesPerTrigger", "4")
       .parquet(dir)
+
+  case class HHState(n: Long, est: Map[Long, Long], err: Map[Long, Long])
+  case class HHReport(event_type: String, n_events: Long, item: Long,
+    est: Long, err: Long, guaranteed: Boolean)
+
+  /** STREAMING HEAVY HITTERS — Space-Saving (Metwally, Agrawal &
+    * El Abbadi 2005), the standard bounded-memory frequent-items
+    * summary: per event type, a capacity-`k` counter table where an
+    * untracked arrival EVICTS the minimum counter and inherits its
+    * count as its error bound. Published guarantees, both proven by the
+    * spec against exact batch counts for ANY arrival order: every item
+    * with true frequency > n/k is tracked, and for each tracked item
+    * est − err ≤ true ≤ est. `guaranteed` flags items whose LOWER
+    * bound already exceeds n/k — certainly heavy, not an artifact of
+    * eviction inheritance. Eviction ties break by (count, item) —
+    * deterministic; the summary is order-dependent ACROSS different
+    * interleavings (the algorithm's published nature) but identical for
+    * the same arrival order under any micro-batch split. State is O(k)
+    * per event type — bounded at any stream length; a per-batch report
+    * emits the current top-`top` (Append mode, no late-data horizon:
+    * arrival order, not event time, defines the summary). */
+  def heavyHittersMonitor(spark: SparkSession, events: DataFrame,
+      k: Int = 8, top: Int = 5): Dataset[HHReport] = {
+    import spark.implicits._
+    events
+      .filter(col("event_type").isNotNull && col("user_id").isNotNull)
+      .select(col("event_type"), col("user_id").as("item"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[HHState, HHReport](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, it, state) =>
+          val s0 = state.getOption
+            .getOrElse(HHState(0L, Map.empty, Map.empty))
+          val est = scala.collection.mutable.Map(s0.est.toSeq: _*)
+          val err = scala.collection.mutable.Map(s0.err.toSeq: _*)
+          var n = s0.n
+          it.foreach { case (_, item) =>
+            n += 1
+            if (est.contains(item)) est(item) += 1L
+            else if (est.size < k) { est(item) = 1L; err(item) = 0L }
+            else {
+              val (mItem, mCnt) = est.toSeq
+                .minBy { case (i, c) => (c, i) }
+              est.remove(mItem); err.remove(mItem)
+              est(item) = mCnt + 1L; err(item) = mCnt
+            }
+          }
+          state.update(HHState(n, est.toMap, err.toMap))
+          if (n == 0L) Iterator.empty
+          else est.toSeq.sortBy { case (i, c) => (-c, i) }.take(top)
+            .iterator.map { case (i, c) =>
+              HHReport(key, n, i, c, err(i), (c - err(i)) * k > n) }
+      }
+  }
 }

@@ -568,6 +568,34 @@ class PlanSpec extends GraftSpec {
       s"new epoch must receive the NEW physical name:\n${pushed.mkString("\n")}")
   }
 
+  test("widen-epoch scan: an integral filter on the widened column " +
+      "pushes into BOTH branches through the up-cast (UnwrapCast), " +
+      "bearing each epoch's physical type") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_plan_wid").toString
+    graft.sources.GraftSql.sql(spark,
+      s"CREATE TABLE plan_wid (k INT, v STRING) LOCATION '$tmp/t'")
+    graft.sources.GraftSql.sql(spark,
+      "INSERT INTO plan_wid VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    graft.sources.GraftSql.sql(spark,
+      "ALTER TABLE plan_wid ALTER COLUMN k TYPE BIGINT")
+    graft.sources.GraftSql.sql(spark,
+      "INSERT INTO plan_wid VALUES (3000000000, 'big')")
+    val t = graft.sources.GraftTable(spark, s"$tmp/t/ledger", s"$tmp/t/gen")
+    val q = t.read().filter(col("k") >= lit(2L)).select(col("v"))
+    val plan = planString(q)
+    val pushed = plan.linesIterator
+      .filter(_.contains("PushedFilters")).toSeq
+    // the pre-widen branch scans k as INT: the bigint comparison must
+    // unwrap through the cast and reach the parquet scan as an int
+    // bound; the post-widen branch pushes the long bound directly
+    assert(pushed.count(_.contains("GreaterThanOrEqual(k")) >= 2,
+      s"both epoch branches must push the k filter:\n${
+        pushed.mkString("\n")}\nFULL:\n${plan.take(3000)}")
+    graft.sources.GraftSql.unbind(spark, "plan_wid")
+  }
+
   test("periodicity shares ONE user_id exchange across the stats window " +
       "and all eight leads") {
     val df = graft.operators.Events.qEvtPeriodicity(spark, sf)

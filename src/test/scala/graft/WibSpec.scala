@@ -183,6 +183,60 @@ class WibSpec extends GraftSpec {
     assert(medCol.length == 1 && medCol(0).getLong(0) == med2q)
   }
 
+  test("q_wib_noise_fft: one-sided per-channel power equals a brute " +
+      "O(N^2) DFT over an independently decoded window; one peak bin " +
+      "per channel") {
+    val out = Wib.qWibNoiseFft(spark, sf).collect()
+      .map(r => (r.getLong(3), r.getLong(4), r.getDouble(5),
+        r.getBoolean(6)))
+    val byCh = out.groupBy(_._1)
+    assert(byCh.nonEmpty)
+    byCh.foreach { case (ch, rows) =>
+      assert(rows.length == Wib.NoiseFftN / 2, s"bins for channel $ch")
+      assert(rows.count(_._4) == 1, s"peak count for channel $ch")
+    }
+    // independent reference: raw payload bytes decoded by hand (u32 LE
+    // src, u64 LE ts, u16 LE samples), per-channel (ts, j)-ordered
+    // window, mean subtraction, brute DFT
+    val payloads = spark.read
+      .parquet(graft.sources.Configs.absDir(Wib.FramesPath))
+      .collect().map(_.getAs[Array[Byte]]("payload"))
+    val series = scala.collection.mutable.Map[Long,
+      scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]]()
+    payloads.foreach { b =>
+      val src = (0 until 4).map(i => (b(i) & 0xffL) << (8 * i)).sum
+      val ts = (0 until 8).map(i => (b(4 + i) & 0xffL) << (8 * i)).sum
+      val n = (b.length - graft.functions.WibFrame.HeaderBytes) / 2
+      (0 until n).foreach { j =>
+        val off = graft.functions.WibFrame.HeaderBytes + 2 * j
+        val v = ((b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)).toDouble
+        val ch = src * graft.functions.WibFrame.Channels +
+          j % graft.functions.WibFrame.Channels
+        series.getOrElseUpdate(ch,
+          scala.collection.mutable.ArrayBuffer.empty) += ((ts, j.toLong, v))
+      }
+    }
+    series.keys.toSeq.sorted.take(2).foreach { ch =>
+      val w = series(ch).sortBy(r => (r._1, r._2)).take(Wib.NoiseFftN)
+        .map(_._3).toArray
+      assert(w.length == Wib.NoiseFftN)
+      val mean = w.sum / w.length
+      val x = w.map(_ - mean)
+      val got = byCh(ch).sortBy(_._2).map(_._3)
+      (1 to Wib.NoiseFftN / 2).foreach { k =>
+        var re = 0.0; var im = 0.0
+        x.indices.foreach { t =>
+          val a = -2.0 * math.Pi * k * t / Wib.NoiseFftN
+          re += x(t) * math.cos(a); im += x(t) * math.sin(a)
+        }
+        val ref = re * re + im * im
+        val g = got(k - 1)
+        assert(math.abs(g - ref) <= 1e-6 * math.max(1.0, math.abs(ref)),
+          s"channel $ch bin $k: $g vs $ref")
+      }
+    }
+  }
+
   test("the frame scan stays in whole-stage codegen (no UDF boundary)") {
     val df = Wib.qWibPedestal(spark, sf)
     df.collect() // finalize the adaptive plan so codegen spans materialize

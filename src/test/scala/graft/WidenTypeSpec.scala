@@ -156,6 +156,40 @@ class WidenTypeSpec extends GraftSpec {
     GraftSql.unbind(spark, name)
   }
 
+  test("change feed spans widening AND rename boundaries: pre-boundary " +
+      "change files align to the current shape (id-resolved names, " +
+      "up-cast types) instead of failing or splitting columns") {
+    val sess = spark; import sess.implicits._
+    val tmp = Files.createTempDirectory("graft_widen_cdc").toString
+    val t = GraftTable(spark, s"$tmp/ledger", s"$tmp/gen")
+    Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
+      .select(col("k").cast("int").as("k"), col("v"))
+      .write.parquet(s"$tmp/landing")
+    t.ingest(s"$tmp/landing")
+    t.merge(Seq((4, "d")).toDF("k", "v")
+      .select(col("k").cast("int").as("k"), col("v")),
+      "k", changeFeed = true)
+    t.alterColumnType("k", "BIGINT")
+    t.renameColumn("v", "label")
+    t.merge(Seq((3000000000L, "big")).toDF("k", "label"),
+      "k", changeFeed = true)
+    val ch = Lake.readChanges(spark, t.ledgerDir, 0L)
+    assert(ch.schema("k").dataType == org.apache.spark.sql.types.LongType,
+      ch.schema.simpleString)
+    assert(ch.schema.fieldNames.contains("label")
+      && !ch.schema.fieldNames.contains("v"), ch.schema.simpleString)
+    val inserts = ch.filter(col("_change_type") === "insert")
+      .select(col("k"), col("label")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(inserts == Set((4L, "d"), (3000000000L, "big")),
+      s"pre-boundary change rows misaligned: $inserts")
+    // the incremental consumer contract holds across the boundary
+    val zero = t.read().limit(0).select(col("k"), col("label"))
+    val mirror = Lake.applyChanges(zero, ch, "k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(mirror == Set((4L, "d"), (3000000000L, "big")), mirror.toString)
+  }
+
   test("widen composes with rename: rename then widen the same field; " +
       "old files resolve by id AND cast up") {
     val (tbl, name, _) = fixture()
