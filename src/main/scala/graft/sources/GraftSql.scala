@@ -555,18 +555,31 @@ object GraftSql {
         s"table '$name' is already SQL-bound — CREATE declares a new table")
       val GenRe =
         """(?is)^\s*(\w+)\s+(.+?)\s+GENERATED\s+ALWAYS\s+AS\s*\((.+)\)\s*$""".r
+      // IDENTITY (Delta contract): system-allocated, strictly increasing,
+      // gaps allowed; ALWAYS — explicit writes refuse on every path
+      val IdRe =
+        ("""(?is)^\s*(\w+)\s+(.+?)\s+GENERATED\s+ALWAYS\s+AS\s+IDENTITY""" +
+          """(?:\s*\(\s*START\s+WITH\s+(-?\d+)\s+INCREMENT\s+BY\s+""" +
+          """(\d+)\s*\))?\s*$""").r
       val DefRe =
         """(?is)^\s*(\w+)\s+(.+?)\s+DEFAULT\s+(.+?)\s*$""".r
-      val (genCols, defCols, plainDdl) = {
+      val (genCols, defCols, idCols, plainDdl) = {
         val parts = splitTopLevel(colsDdl, ',')
         val gens = Seq.newBuilder[(String, String)]
         val defs = Seq.newBuilder[(String, String)]
+        val ids = Seq.newBuilder[(String, Long, Long)]
         val ddl = parts.map {
+          case IdRe(n, tpe, st, inc) =>
+            require(tpe.trim.toLowerCase.matches("bigint|long|int|integer"),
+              s"IDENTITY column '$n' must be integral (got $tpe)")
+            ids += ((n, Option(st).map(_.toLong).getOrElse(1L),
+              Option(inc).map(_.toLong).getOrElse(1L)))
+            s"$n $tpe"
           case GenRe(n, tpe, ex) => gens += (n -> ex.trim); s"$n $tpe"
           case DefRe(n, tpe, ex) => defs += (n -> ex.trim); s"$n $tpe"
           case p => p
         }
-        (gens.result(), defs.result(), ddl.mkString(", "))
+        (gens.result(), defs.result(), ids.result(), ddl.mkString(", "))
       }
       val schema =
         try org.apache.spark.sql.types.StructType.fromDDL(plainDdl)
@@ -594,6 +607,8 @@ object GraftSql {
         Lake.addGeneratedColumn(spark, t.ledgerDir, n, ex) }
       defCols.foreach { case (n, ex) =>
         Lake.addColumnDefault(spark, t.ledgerDir, n, ex) }
+      idCols.foreach { case (n, st, inc) =>
+        Lake.addIdentityColumn(spark, t.ledgerDir, n, st, inc) }
       bind(name, t)
       snapFrame(spark, snap)
     case CtasReplaceRe(name, dir, query) =>
@@ -745,6 +760,15 @@ object GraftSql {
     // store-assignment coercion by POSITION (standard INSERT semantics;
     // BY NAME arrives pre-named and coerces by name)
     val tgt = t.read().schema
+    // IDENTITY columns: ALWAYS system-allocated — explicit values refuse
+    // on every insert shape; omission allocates below
+    val idents = Lake.identityColumns(t.ledgerDir).flatMap {
+      case (n, sph) =>
+        tgt.find(_.name.equalsIgnoreCase(n)).map(f => (f, sph))
+    }
+    def refuseIdent(n: String): Nothing = sys.error(
+      s"column '$n' is GENERATED ALWAYS AS IDENTITY — values are " +
+        "system-allocated; omit it from the INSERT column list")
     val rows =
       if (i.userSpecifiedCols.nonEmpty) {
         // column-list INSERT: query output maps positionally onto the
@@ -761,6 +785,8 @@ object GraftSql {
             sys.error(s"INSERT column '$n' is not a table column"))
           f.name -> bq(c).cast(f.dataType)
         }.toMap
+        idents.foreach { case (f, _) =>
+          if (byListed.contains(f.name)) refuseIdent(f.name) }
         // unlisted columns: a declared DEFAULT fills (constant expr);
         // otherwise null — standard column-list semantics
         val defs = Lake.columnDefaults(t.ledgerDir)
@@ -784,17 +810,36 @@ object GraftSql {
             }
           }
       }
-      else if (i.byName) rows0.select(rows0.columns.map { c =>
-        tgt.find(_.name == c)
-          .map(f => bq(c).cast(f.dataType).as(c)).getOrElse(bq(c))
-      }: _*)
+      else if (i.byName) {
+        idents.foreach { case (f, _) =>
+          if (rows0.columns.exists(_.equalsIgnoreCase(f.name)))
+            refuseIdent(f.name) }
+        rows0.select(rows0.columns.map { c =>
+          tgt.find(_.name == c)
+            .map(f => bq(c).cast(f.dataType).as(c)).getOrElse(bq(c))
+        }: _*)
+      }
       else {
+        idents.headOption.foreach { case (f, _) => refuseIdent(f.name) }
         require(rows0.columns.length == tgt.length,
           s"INSERT arity ${rows0.columns.length} != table arity ${tgt.length}")
         rows0.select(rows0.columns.zip(tgt.fields).map { case (c, f) =>
           bq(c).cast(f.dataType).as(f.name)
         }: _*)
       }
+    // IDENTITY allocation: hwm + step·(1 + per-partition monotonic id)
+    // — one pass, no shuffle, strictly above every prior allocation,
+    // gaps allowed (the Delta contract). The frame MUST checkpoint:
+    // monotonically_increasing_id is not stable across recomputation,
+    // and the hwm bump below re-reads the allocated column.
+    val rowsF =
+      if (idents.isEmpty) rows
+      else idents.foldLeft(rows) { case (df, (f, (_, step, hwm))) =>
+        df.withColumn(f.name,
+          (lit(hwm) + lit(step)
+            * (monotonically_increasing_id() + lit(1L)))
+            .cast(f.dataType))
+      }.localCheckpoint()
     // OVERWRITE routes to the atomic whole-table replace (one snapshot:
     // removes of every live file + the new rows' adds — never the
     // two-commit DELETE+INSERT window). The coerced frame is
@@ -802,8 +847,20 @@ object GraftSql {
     // (emptiness probe, gen write), and a nondeterministic SELECT must
     // evaluate exactly once — the runMergeColumnList discipline.
     val snap =
-      if (i.overwrite) t.overwrite(rows.localCheckpoint())
-      else t.append(rows)
+      if (i.overwrite) t.overwrite(
+        if (idents.isEmpty) rowsF.localCheckpoint() else rowsF)
+      else t.append(rowsF)
+    if (idents.nonEmpty) {
+      val mx = rowsF.agg(idents.map { case (f, _) =>
+        max(bq(f.name)).as(f.name) }.head,
+        idents.drop(1).map { case (f, _) => max(bq(f.name)).as(f.name) }: _*)
+        .head()
+      idents.zipWithIndex.foreach { case ((f, _), ix) =>
+        if (!mx.isNullAt(ix))
+          Lake.bumpIdentityHwm(t.ledgerDir, f.name,
+            mx.get(ix).asInstanceOf[Number].longValue)
+      }
+    }
     refresh(spark, tableName(i.table))
     snapFrame(spark, snap)
   }

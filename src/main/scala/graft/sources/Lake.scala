@@ -1122,6 +1122,10 @@ object Lake {
     require(!columnDefaults(ledgerDir).exists(
         _._1.equalsIgnoreCase(oldName)),
       s"column '${fOld.name}' carries a DEFAULT — drop it first")
+    require(!identityColumns(ledgerDir).exists(
+        _._1.equalsIgnoreCase(oldName)),
+      s"column '${fOld.name}' is an IDENTITY column — its allocator " +
+        "state is keyed by name")
     // one-time retrofit: every prior recording gains by-name ids so the
     // epoch resolver reads ids uniformly; a recording-less table records
     // its current shape at the head (the pre-rename epoch)
@@ -1881,6 +1885,14 @@ object Lake {
       evolveSchema: Boolean = false): Long = {
     require(keys.nonEmpty, "merge needs at least one key column")
     require(keys.distinct == keys, s"duplicate merge key in $keys")
+    // IDENTITY v1 scope (documented divergence from current Delta, which
+    // only recently gained merge allocation): a merge's unmatched-insert
+    // arm would need system allocation mid-rewrite — refuse loudly,
+    // INSERT the new rows instead
+    require(identityColumns(ledgerDir).isEmpty,
+      "MERGE into a table with GENERATED ALWAYS AS IDENTITY columns is " +
+        "not supported — INSERT new rows (identity allocates there) and " +
+        "UPDATE/DELETE existing ones")
     val snap = currentSnapshot(spark, ledgerDir)
     val next = snap + 1
     // reserve BEFORE writing gen-$next data files: a concurrent commit must
@@ -2187,6 +2199,12 @@ object Lake {
         s"column '$c' is GENERATED ALWAYS " +
         "AS — it cannot be SET directly; update its generation inputs " +
         "and it recomputes") }
+    // IDENTITY is likewise ALWAYS: allocated once at insert, immutable
+    val idNames = identityColumns(ledgerDir).map(_._1.toLowerCase).toSet
+    sets.foreach { case (c, _) =>
+      require(!idNames.contains(c.toLowerCase),
+        s"column '$c' is GENERATED ALWAYS AS IDENTITY — it cannot be " +
+          "SET") }
     val regen: Map[String, org.apache.spark.sql.Column] =
       genCols.flatMap { case (g, e) =>
         val refs = org.apache.spark.sql.GraftShim
@@ -2907,6 +2925,14 @@ object Lake {
       require(hit.isEmpty, s"CHECK constraint '$cn' references column(s) " +
         s"${hit.mkString(", ")} — drop the constraint first")
     }
+    // a dropped IDENTITY column's allocator state dies with it (the
+    // name can never be re-added, so the file can never be misread)
+    names.foreach { n =>
+      identityColumns(ledgerDir).find(_._1.equalsIgnoreCase(n)).foreach {
+        case (cn, _) =>
+          new java.io.File(s"$ledgerDir/_identity/$cn").delete(): Unit
+      }
+    }
     val next = snap + 1
     reserving(spark, ledgerDir, next) {
       recordSchema(ledgerDir, next,
@@ -3203,6 +3229,14 @@ object Lake {
       genSuffix: Option[String] = None): Long = {
     require(keys.nonEmpty, "merge needs at least one key column")
     require(keys.distinct == keys, s"duplicate merge key in $keys")
+    // IDENTITY v1 scope (documented divergence from current Delta, which
+    // only recently gained merge allocation): a merge's unmatched-insert
+    // arm would need system allocation mid-rewrite — refuse loudly,
+    // INSERT the new rows instead
+    require(identityColumns(ledgerDir).isEmpty,
+      "MERGE into a table with GENERATED ALWAYS AS IDENTITY columns is " +
+        "not supported — INSERT new rows (identity allocates there) and " +
+        "UPDATE/DELETE existing ones")
     val snap = currentSnapshot(spark, ledgerDir)
     if (source.isEmpty) return snap // empty source: no snapshot, no marker
     val next = snap + 1
@@ -4209,6 +4243,63 @@ object Lake {
       expression.getBytes("UTF-8"))
   }
 
+  /** Register an IDENTITY column (the Delta `GENERATED ALWAYS AS
+    * IDENTITY [(START WITH s INCREMENT BY p)]` contract): the system
+    * allocates values on INSERT — strictly increasing across commits
+    * (by `step` ≥ 1 from `start`), unique, GAPS ALLOWED (the published
+    * Delta semantics; the allocator is hwm + step·(1 + per-partition
+    * monotonic id), one pass, no shuffle, no global ordering). ALWAYS
+    * means ALWAYS: explicit writes refuse (INSERT listing the column,
+    * positional full-arity INSERT, UPDATE SET). KB metadata under
+    * `_identity/<col>`: `start step hwm`, hwm = highest allocated
+    * (rewritten atomically after each allocating commit, inside the
+    * commit's OCC reservation). */
+  def addIdentityColumn(spark: SparkSession, ledgerDir: String,
+      colName: String, start: Long = 1L, step: Long = 1L): Unit = {
+    require(colName.matches("[A-Za-z][A-Za-z0-9_]*"),
+      s"invalid identity-column name: $colName")
+    require(step >= 1L,
+      s"IDENTITY INCREMENT BY must be >= 1 (got $step)")
+    val dir = new java.io.File(s"$ledgerDir/_identity")
+    dir.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$ledgerDir/_identity/$colName"),
+      s"$start $step ${start - step}".getBytes("UTF-8")): Unit
+  }
+
+  /** The table's identity columns as (column, (start, step, hwm)). */
+  def identityColumns(ledgerDir: String): Seq[(String, (Long, Long, Long))] = {
+    val dir = new java.io.File(s"$ledgerDir/_identity")
+    if (!dir.isDirectory) Seq.empty
+    else Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && !f.getName.startsWith(".")) // skip tmp
+      .map { f =>
+        val parts = new String(java.nio.file.Files.readAllBytes(f.toPath),
+          "UTF-8").trim.split("\\s+")
+        f.getName -> ((parts(0).toLong, parts(1).toLong, parts(2).toLong))
+      }
+      .sortBy(_._1).toSeq
+  }
+
+  /** Raise an identity column's high-water mark (never lowers — a
+    * concurrent reader may have observed the old file, and identity
+    * only promises increase). Atomic rename-into-place. */
+  def bumpIdentityHwm(ledgerDir: String, colName: String,
+      newHwm: Long): Unit = {
+    val f = java.nio.file.Paths.get(s"$ledgerDir/_identity/$colName")
+    val parts = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+      .trim.split("\\s+")
+    if (newHwm > parts(2).toLong) {
+      val tmp = java.nio.file.Files.createTempFile(
+        f.getParent, ".id", ".tmp")
+      java.nio.file.Files.write(tmp,
+        s"${parts(0)} ${parts(1)} $newHwm".getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, f,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    }
+  }
+
   /** The table's column defaults as (column, expression). */
   def columnDefaults(ledgerDir: String): Seq[(String, String)] = {
     val dir = new java.io.File(s"$ledgerDir/_defaults")
@@ -4367,7 +4458,7 @@ object Lake {
             s"$branchDir/_widen/${f.getName}")): Unit
         case _ => ()
       })
-    Seq("_generated", "_defaults").foreach { sub =>
+    Seq("_generated", "_defaults", "_identity").foreach { sub =>
       Option(new java.io.File(s"$ledgerDir/$sub").listFiles())
         .getOrElse(Array.empty).filter(_.isFile).foreach { f =>
           new java.io.File(s"$branchDir/$sub").mkdirs()
@@ -4495,6 +4586,24 @@ object Lake {
         s"$mainDir/_renames/${f.getName}"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
     }
+    // identity high-water marks fast-forward: rows allocated ON the
+    // branch become main's rows at publish — main must never
+    // re-allocate at or below them (duplicate ids)
+    Option(new java.io.File(s"$branchDir/_identity").listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isFile && !f.getName.startsWith("."))
+      .foreach { f =>
+        val mainF = new java.io.File(s"$mainDir/_identity/${f.getName}")
+        if (!mainF.isFile) {
+          new java.io.File(s"$mainDir/_identity").mkdirs()
+          java.nio.file.Files.copy(f.toPath, mainF.toPath): Unit
+        } else {
+          val parts = new String(
+            java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+            .trim.split("\\s+")
+          bumpIdentityHwm(mainDir, f.getName, parts(2).toLong)
+        }
+      }
     // widening log entries fast-forward like renames (without them main
     // would fast-path-scan pre-widen files under the published WIDE
     // recorded schema — a physical type mismatch, not a silent null-fill)
