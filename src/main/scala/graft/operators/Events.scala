@@ -914,6 +914,126 @@ object Events {
        |  AND s.wsum = p.peak_count
        |GROUP BY p.event_type, p.n_events, p.peak_count""".stripMargin
 
+  /** CHANGEPOINT LOCALIZATION per event type — the single-split
+    * Poisson-rate MLE over minute bins (binary-segmentation's first
+    * step; the "WHEN did the rate shift" question CUSUM's "did it
+    * drift" answer leaves open — the rate-step localization every ops/
+    * DAQ shift log wants): over span minutes w with total N, a boundary
+    * after the t-th minute scores the two-segment log-likelihood
+    * n1·ln(n1/t) + n2·ln(n2/(w−t)); the reported split maximizes it and
+    * `llr_scaled` is the gain over the no-split model N·ln(N/w).
+    *
+    * Exactness discipline: every logarithm lands on the 1e6-quantized
+    * grid L(x) = floor(1e6·ln x) evaluated on INTEGERS only (counts and
+    * minute widths — the q_doc_entropy recipe; NEVER a composed ln of a
+    * ratio, the Benford caveat), so the objective is a plain BIGINT sum
+    * of integer products both engines replay bit-for-bit; n2 = 0 takes
+    * the 0·ln 0 = 0 limit. Candidates are the OBSERVED minute
+    * boundaries below the last minute (the data points — part of the
+    * operator's definition, replayed by the oracle); ties take the
+    * EARLIEST boundary. Single-minute spans have no candidate and drop.
+    *
+    * Scale shape: one (type, minute) count exchange, a per-type window
+    * prefix sum over the span-bounded minute relation, and two passes
+    * over that KB-scale candidate frame (argmax + row recovery — the
+    * frame localCheckpoints once; the struct-valued min_by runs on the
+    * type-bounded fold, the documented KB-frame SortAggregate
+    * exception). */
+  def qEvtChangepoint(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def L(c: org.apache.spark.sql.Column) =
+      floor(lit(1000000.0) * log(c.cast("double"))).cast("long")
+    val mc = events(s, d)
+      .select(col("event_type"),
+        floor(unix_timestamp(col("ts")) / 60).cast("long").as("m"))
+      .groupBy(col("event_type"), col("m"))
+      .agg(count(lit(1)).as("c"))
+    val tot = mc.groupBy(col("event_type"))
+      .agg(min(col("m")).as("m0"), max(col("m")).as("mT"),
+        sum(col("c")).cast("long").as("n"))
+    val cand = mc
+      .withColumn("cum", sum(col("c")).over(Window
+        .partitionBy(col("event_type")).orderBy(col("m"))).cast("long"))
+      .join(broadcast(tot), "event_type")
+      .filter(col("m") < col("mT"))
+      .withColumn("t", col("m") - col("m0") + 1)
+      .withColumn("w", col("mT") - col("m0") + 1)
+      .withColumn("n1", col("cum"))
+      .withColumn("n2", col("n") - col("cum"))
+      .withColumn("score",
+        col("n1") * L(col("n1")) - col("n1") * L(col("t"))
+          + when(col("n2") > 0,
+              col("n2") * L(col("n2"))
+                - col("n2") * L(col("w") - col("t")))
+            .otherwise(lit(0L)))
+      .localCheckpoint() // span-bounded KB frame, consumed twice below
+    val best = cand.groupBy(col("event_type"))
+      .agg(max(col("score")).as("best"))
+    cand.join(broadcast(best), "event_type")
+      .filter(col("score") === col("best"))
+      .groupBy(col("event_type"))
+      .agg(min(col("t")).as("t_star"), max(col("best")).as("score_best"),
+        min_by(struct(col("n1"), col("n2"), col("n"), col("w"),
+          col("m0")), col("t")).as("r"))
+      .select(col("event_type"), col("r.n").as("n_events"),
+        col("r.w").as("n_minutes"),
+        (col("r.m0") + col("t_star") - 1).as("split_minute"),
+        col("r.n1").as("n_left"), col("r.n2").as("n_right"),
+        (col("score_best")
+          - (col("r.n") * L(col("r.n")) - col("r.n") * L(col("r.w"))))
+          .as("llr_scaled"))
+      .withColumn("llr", col("llr_scaled").cast("double") / 1000000.0)
+      .orderBy(col("event_type"))
+  }
+
+  def qEvtChangepointSql: String =
+    """WITH mc AS MATERIALIZED (
+      |  SELECT event_type, CAST(floor(epoch(ts) / 60) AS BIGINT) AS m,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |tot AS MATERIALIZED (
+      |  SELECT event_type, min(m) AS m0, max(m) AS mT,
+      |    CAST(sum(c) AS BIGINT) AS n FROM mc GROUP BY 1),
+      |cand AS MATERIALIZED (
+      |  SELECT mc.event_type,
+      |    CAST(sum(c) OVER (PARTITION BY mc.event_type ORDER BY mc.m)
+      |      AS BIGINT) AS n1,
+      |    mc.m - t.m0 + 1 AS t, t.mT - t.m0 + 1 AS w, t.n, t.m0
+      |  FROM mc JOIN tot t USING (event_type)
+      |  WHERE mc.m < t.mT),
+      |sc AS MATERIALIZED (
+      |  SELECT event_type, t, n1, n - n1 AS n2, w, n, m0,
+      |    n1 * CAST(floor(1e6 * ln(CAST(n1 AS DOUBLE))) AS BIGINT)
+      |      - n1 * CAST(floor(1e6 * ln(CAST(t AS DOUBLE))) AS BIGINT)
+      |      + CASE WHEN n - n1 > 0 THEN
+      |          (n - n1) * CAST(floor(1e6 * ln(CAST(n - n1 AS DOUBLE)))
+      |            AS BIGINT)
+      |          - (n - n1) * CAST(floor(1e6 * ln(CAST(w - t AS DOUBLE)))
+      |            AS BIGINT)
+      |        ELSE 0 END AS score
+      |  FROM cand),
+      |best AS MATERIALIZED (
+      |  SELECT event_type, max(score) AS best FROM sc GROUP BY 1),
+      |pick AS MATERIALIZED (
+      |  SELECT sc.event_type, min(sc.t) AS t_star, max(b.best) AS best
+      |  FROM sc JOIN best b ON sc.event_type = b.event_type
+      |    AND sc.score = b.best
+      |  GROUP BY 1)
+      |SELECT p.event_type, s.n AS n_events, s.w AS n_minutes,
+      |  s.m0 + p.t_star - 1 AS split_minute,
+      |  s.n1 AS n_left, s.n2 AS n_right,
+      |  p.best - (s.n * CAST(floor(1e6 * ln(CAST(s.n AS DOUBLE)))
+      |      AS BIGINT)
+      |    - s.n * CAST(floor(1e6 * ln(CAST(s.w AS DOUBLE))) AS BIGINT))
+      |    AS llr_scaled,
+      |  CAST(p.best - (s.n * CAST(floor(1e6 * ln(CAST(s.n AS DOUBLE)))
+      |      AS BIGINT)
+      |    - s.n * CAST(floor(1e6 * ln(CAST(s.w AS DOUBLE))) AS BIGINT))
+      |    AS DOUBLE) / CAST(1000000 AS DOUBLE) AS llr
+      |FROM pick p JOIN sc s ON s.event_type = p.event_type
+      |  AND s.t = p.t_star
+      |ORDER BY p.event_type""".stripMargin
+
   /** Autocorrelation lags scanned by [[qEvtPeriodicity]] (bounded fan of
     * lead columns — model-size, not data-size). */
   val AcfLagMax = 8

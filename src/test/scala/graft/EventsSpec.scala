@@ -249,4 +249,40 @@ class EventsSpec extends GraftSpec {
     assert(got(1L)._2 > 900000, // ACF at the true period is ~1
       s"planted periodic series should show r ≈ 1, got ${got(1L)}")
   }
+
+  test("changepoint: a planted rate step (2/min for 100 min, then " +
+      "10/min) localizes at the step boundary with a large llr; a " +
+      "homogeneous stream reports ~zero llr") {
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_chgpt").toString
+    val base = 1700000000000000L
+    def evts(tag: String, minute: Int, k: Int, off: Long) =
+      (0 until k).map(j => (off + minute.toLong * 100 + j,
+        base + minute * 60000000L + j * 1000000L, 1L, tag, 1.0, "{}"))
+    val stepped = (0 until 100).flatMap(m => evts("step", m, 2, 0L)) ++
+      (100 until 200).flatMap(m => evts("step", m, 10, 1000000L))
+    val flat = (0 until 200).flatMap(m => evts("flat", m, 4, 2000000L))
+    (stepped ++ flat)
+      .toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), expr("timestamp_micros(ts_us)").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = Events.qEvtChangepoint(spark, tmp).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("split_minute"), r.getAs[Long]("n_left"),
+          r.getAs[Long]("n_right"), r.getAs[Double]("llr"))))
+      .toMap
+    val st = got("step")
+    // the boundary after minute 99 splits 200 left / 1000 right
+    val m0 = base / 60000000L
+    assert(st._1 == m0 + 99, s"split localized at ${st._1 - m0}, want 99")
+    assert(st._2 == 200L && st._3 == 1000L, st.toString)
+    // llr ≈ n1·ln(r1/r) + n2·ln(r2/r) with r1=2, r2=10, r=6:
+    // 200·ln(1/3) + 1000·ln(5/3) ≈ 291 — decisive; homogeneous ≈ 0
+    assert(st._4 > 200.0, s"step llr too small: $st")
+    assert(math.abs(got("flat")._4) < 10.0,
+      s"homogeneous stream shows spurious llr: ${got("flat")}")
+  }
 }
