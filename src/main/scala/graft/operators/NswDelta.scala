@@ -194,6 +194,23 @@ object NswDelta {
     target
   }
 
+  /** RE-BOOTSTRAP — the action [[driftReport]]'s flag calls for (r16,
+    * closing the maintained-graph operational loop): rebuild the router
+    * (fresh centroids over the CURRENT corpus) and every cell graph
+    * from scratch at the source's current snapshot, discarding the
+    * drifted state. The rebuild lands in a FRESH indexRoot the caller
+    * supplies (build-then-switch — probes keep serving the old root
+    * until the new one completes; the fingerprint-dir discipline:
+    * never rebuild into a half-live directory). Returns the new
+    * cursor. */
+  def rebootstrap(spark: SparkSession, srcLedger: String,
+      newIndexRoot: String, maxIter: Int = 5): Long = {
+    require(MirrorLoop.cursorOf(spark, newIndexRoot).isEmpty,
+      s"$newIndexRoot already holds a bootstrapped index — re-bootstrap " +
+        "builds into a FRESH root, then the caller switches probes over")
+    bootstrap(spark, srcLedger, newIndexRoot, maxIter)
+  }
+
   /** Per-cell CHURN-SINCE-BOOTSTRAP report — the documented re-bootstrap
     * trigger for maintained navigable graphs (r16; the published HNSW
     * caveat: sustained deletion degrades navigability, and unlike IVF

@@ -686,6 +686,67 @@ object Streams {
       .option("maxFilesPerTrigger", "4")
       .parquet(dir)
 
+  case class ChgptState(counts: Map[Long, Long])
+  case class ChgptReport(event_type: String, n_events: Long,
+    split_minute: Long, n_left: Long, n_right: Long,
+    llr_scaled: Long, llr: Double)
+
+  /** Streaming CHANGEPOINT monitor — the live twin of the batch
+    * `q_evt_changepoint`: per event type the state is the exact
+    * per-MINUTE count map (minute-bounded, the madMonitor value-bounded
+    * discipline: NO late-data horizon, bit-identical replay under any
+    * micro-batch split — a late event simply lands in its minute and
+    * the next report reflects it); each batch replays the batch
+    * operator's quantized-ln closed form over the map — L(x) =
+    * floor(1e6·ln x) on integers only, BIGINT products, earliest-
+    * boundary ties — so the final report is BIT-EQUAL to the batch
+    * query over the same events (spec-pinned). State is O(span
+    * minutes) per type: bounded by wall-clock coverage (1440/day), not
+    * event volume. */
+  def changepointMonitor(spark: SparkSession,
+      events: DataFrame): Dataset[ChgptReport] = {
+    import spark.implicits._
+    def L(x: Long): Long = math.floor(1e6 * math.log(x.toDouble)).toLong
+    events.filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type"),
+        floor(unix_timestamp(col("ts")) / 60).cast("long").as("m"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[ChgptState, ChgptReport](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, it, state) =>
+          val counts = scala.collection.mutable.Map[Long, Long](
+            state.getOption.map(_.counts.toSeq).getOrElse(Nil): _*)
+          it.foreach { case (_, m) =>
+            counts(m) = counts.getOrElse(m, 0L) + 1L }
+          state.update(ChgptState(counts.toMap))
+          val ms = counts.keys.toSeq.sorted
+          if (ms.size < 2) Iterator.empty
+          else {
+            val m0 = ms.head; val mT = ms.last
+            val w = mT - m0 + 1
+            val n = counts.valuesIterator.sum
+            var cum = 0L
+            var bestScore = Long.MinValue; var bestM = 0L; var bestN1 = 0L
+            ms.foreach { m =>
+              cum += counts(m)
+              if (m < mT) {
+                val t = m - m0 + 1
+                val n1 = cum; val n2 = n - cum
+                val score = n1 * L(n1) - n1 * L(t) +
+                  (if (n2 > 0) n2 * L(n2) - n2 * L(w - t) else 0L)
+                if (score > bestScore) { // strict: earliest tie wins
+                  bestScore = score; bestM = m; bestN1 = n1
+                }
+              }
+            }
+            val llrS = bestScore - (n * L(n) - n * L(w))
+            Iterator.single(ChgptReport(key, n, bestM, bestN1,
+              n - bestN1, llrS, llrS.toDouble / 1000000.0))
+          }
+      }
+  }
+
   case class HHState(n: Long, est: Map[Long, Long], err: Map[Long, Long])
   case class HHReport(event_type: String, n_events: Long, item: Long,
     est: Long, err: Long, guaranteed: Boolean)

@@ -428,4 +428,67 @@ class EwmaSpec extends GraftSpec {
         s"occupied double-counted on late re-open: $last")
     } finally q.stop()
   }
+
+  test("streaming changepoint monitor: the final per-type report is " +
+      "BIT-EQUAL to the batch q_evt_changepoint over the same events, " +
+      "one-shot and split (no horizon — a late event just lands)") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sq = spark.sqlContext
+    val base = 1700000000000L
+    def evt(id: Long, tpe: String, minute: Long, sub: Int) =
+      FanoEvt(id, new Timestamp(base + minute * 60000L + sub * 1000L),
+        1L, tpe, 1.0)
+    // "step": 2/min for 30 min then 8/min for 30; "flat": 3/min
+    val all =
+      (0 until 30).flatMap(m => (0 until 2).map(i =>
+        evt(1000 + m * 10 + i, "step", m.toLong, i))) ++
+      (30 until 60).flatMap(m => (0 until 8).map(i =>
+        evt(2000 + m * 10 + i, "step", m.toLong, i))) ++
+      (0 until 60).flatMap(m => (0 until 3).map(i =>
+        evt(4000 + m * 10 + i, "flat", m.toLong, i)))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_chgm").toString
+    all.toDF().withColumn("props", lit("{}"))
+      .write.parquet(s"$tmp/events.parquet")
+    val want = graft.operators.Events.qEvtChangepoint(spark, tmp).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("split_minute"),
+          r.getAs[Long]("n_left"), r.getAs[Long]("n_right"),
+          r.getAs[Long]("llr_scaled"))))
+      .toMap
+    def run(batches: Seq[Seq[FanoEvt]], name: String)
+        : Map[String, (Long, Long, Long, Long, Long)] = {
+      val mem = MemoryStream[FanoEvt]
+      val q = graft.streaming.Streams.changepointMonitor(spark, mem.toDF())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+        spark.table(name).collect()
+          .map(r => (r.getAs[String]("event_type"),
+            r.getAs[Long]("n_events"), r.getAs[Long]("split_minute"),
+            r.getAs[Long]("n_left"), r.getAs[Long]("n_right"),
+            r.getAs[Long]("llr_scaled")))
+          .groupBy(_._1).view
+          .mapValues { rows =>
+            val l = rows.maxBy(_._2)
+            (l._2, l._3, l._4, l._5, l._6)
+          }.toMap
+      } finally q.stop()
+    }
+    val oneShot = run(Seq(all), "chgpt_one")
+    assert(oneShot.keySet == want.keySet)
+    oneShot.foreach { case (k, got) =>
+      assert(got == want(k), s"$k: stream $got vs batch ${want(k)}")
+    }
+    // an out-of-order split (late minutes interleaved) converges to the
+    // same final report — the count-map state has no horizon
+    val shuffled = new scala.util.Random(7).shuffle(all)
+    val split = run(Seq(shuffled.take(100), shuffled.slice(100, 300),
+      shuffled.drop(300)), "chgpt_split")
+    assert(split == oneShot, s"split diverged: $split vs $oneShot")
+    // the planted step localizes at the boundary minute
+    val m0 = 1700000000L / 60
+    assert(oneShot("step")._2 == m0 + 29, oneShot("step").toString)
+  }
 }

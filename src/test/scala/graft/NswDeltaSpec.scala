@@ -136,6 +136,24 @@ class NswDeltaSpec extends GraftSpec {
         && r.getAs[Long]("n_now") == r.getAs[Long]("n_bootstrap"),
         s"untouched cell shows churn: $r")
     }
+    // re-bootstrap (the flag's action): a fresh root rebuilds from the
+    // CURRENT corpus — its own drift report reads zero churn everywhere,
+    // and a probe over the fresh graphs still answers (rank-1 self hit)
+    val idx2 = idx + "_reboot"
+    NswDelta.rebootstrap(spark, t.ledgerDir, idx2, maxIter = 2)
+    val rep2 = NswDelta.driftReport(spark, idx2).collect()
+    assert(rep2.nonEmpty)
+    rep2.foreach { r =>
+      assert(!r.getAs[Boolean]("rebootstrap")
+        && r.getAs[Double]("churn_frac") == 0.0, s"fresh root drifted: $r")
+    }
+    val survivor = t.read().agg(max(col("vec_id"))).head().getLong(0)
+    val top = NswDelta.probe(spark, idx2, t.read(), survivor).collect()
+    assert(top.nonEmpty, "probe over the re-bootstrapped graphs is empty")
+    // refusal: re-bootstrapping INTO a live root is refused
+    val e = intercept[Exception] {
+      NswDelta.rebootstrap(spark, t.ledgerDir, idx2, maxIter = 2) }
+    assert(e.getMessage.contains("FRESH"), e.getMessage)
   }
 
   test("maintenance determinism: the same waves on a fresh index yield " +
