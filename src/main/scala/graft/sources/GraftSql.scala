@@ -656,15 +656,99 @@ object GraftSql {
     case DeleteUsingRe(name, tail) =>
       runJoinSourcedDml(spark, name, tail, isDelete = true)
     case _ =>
-      val rewritten =
-        rewriteMetaTables(spark, rewriteTimeTravel(spark, stmt))
-      spark.sessionState.sqlParser.parsePlan(rewritten) match {
-        case m: MergeIntoTable => runMerge(spark, m)
-        case u: UpdateTable => runUpdate(spark, u)
-        case d: DeleteFromTable => runDelete(spark, d)
-        case i: InsertIntoStatement => runInsert(spark, i)
-        case _ => spark.sql(rewritten)
+      splitQualify(stmt) match {
+        case Some((prefix, pred, tail)) =>
+          runQualify(spark, prefix, pred, tail)
+        case None =>
+          val rewritten =
+            rewriteMetaTables(spark, rewriteTimeTravel(spark, stmt))
+          spark.sessionState.sqlParser.parsePlan(rewritten) match {
+            case m: MergeIntoTable => runMerge(spark, m)
+            case u: UpdateTable => runUpdate(spark, u)
+            case d: DeleteFromTable => runDelete(spark, d)
+            case i: InsertIntoStatement => runInsert(spark, i)
+            case _ => spark.sql(rewritten)
+          }
       }
+  }
+
+  /** QUALIFY (the Snowflake/BigQuery/Databricks post-window filter
+    * Spark's own parser lacks): split a top-level `SELECT … QUALIFY
+    * <pred> [ORDER BY …] [LIMIT …]` into (select-without-qualify,
+    * predicate, tail). Top-level only — a QUALIFY inside a subquery
+    * (paren depth > 0) or a string literal is left alone. Returns None
+    * for non-SELECT statements. */
+  private def splitQualify(stmt: String)
+      : Option[(String, String, String)] = {
+    val t = stmt.trim
+    if (!t.toUpperCase.startsWith("SELECT")
+        && !t.toUpperCase.startsWith("WITH")) return None
+    var depth = 0; var quote: Char = 0
+    var qStart = -1
+    var i = 0
+    def wordAt(j: Int, w: String): Boolean =
+      j + w.length <= t.length &&
+        t.regionMatches(true, j, w, 0, w.length) &&
+        (j == 0 || !t(j - 1).isLetterOrDigit && t(j - 1) != '_') &&
+        (j + w.length == t.length ||
+          (!t(j + w.length).isLetterOrDigit && t(j + w.length) != '_'))
+    while (i < t.length) {
+      val c = t(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '"' | '`' => quote = c
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+          if (depth == 0 && wordAt(i, "QUALIFY")) qStart = i
+      }
+      i += 1
+    }
+    if (qStart < 0) return None
+    // the tail starts at the first depth-0 ORDER/LIMIT after the pred
+    var j = qStart + "QUALIFY".length
+    depth = 0; quote = 0
+    var tailStart = t.length
+    while (j < t.length) {
+      val c = t(j)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '"' | '`' => quote = c
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+          if (depth == 0 && tailStart == t.length
+              && (wordAt(j, "ORDER") || wordAt(j, "LIMIT")))
+            tailStart = j
+      }
+      j += 1
+    }
+    val pred = t.substring(qStart + "QUALIFY".length, tailStart).trim
+    require(pred.nonEmpty, "QUALIFY with an empty predicate")
+    Some((t.substring(0, qStart), pred, t.substring(tailStart)))
+  }
+
+  /** Evaluate QUALIFY semantics: the predicate's window functions run
+    * over the base SELECT's result rows (a hidden boolean projection —
+    * window calls are legal there, never in WHERE), then filter and
+    * drop. A tail ORDER BY/LIMIT applies above the filter through a
+    * uniquely-named session temp view (kept registered — the returned
+    * frame is lazy). */
+  private def runQualify(spark: SparkSession, prefix: String,
+      pred: String, tail: String): DataFrame = {
+    val base = spark.sql(
+      rewriteMetaTables(spark, rewriteTimeTravel(spark, prefix)))
+    val filtered = base
+      .withColumn("__qualify", expr(pred))
+      .filter(col("__qualify"))
+      .drop("__qualify")
+    if (tail.trim.isEmpty) filtered
+    else {
+      val v = s"__graft_qualify_${java.util.UUID.randomUUID()
+        .toString.replace("-", "")}"
+      filtered.createOrReplaceTempView(v)
+      spark.sql(s"SELECT * FROM $v ${tail.trim}")
+    }
   }
 
   /** Apply `f` to the UNQUOTED segments of `stmt` only — textual

@@ -1320,4 +1320,41 @@ class GraftSqlSpec extends GraftSpec {
     }
     assert(e6.getMessage.contains("itself"), e6.getMessage)
   }
+
+  test("QUALIFY: post-window filter equals the subquery form; works " +
+      "with aliases, aggregates, ORDER BY/LIMIT tails, and leaves " +
+      "subquery-level QUALIFY-free text alone") {
+    val tmp = Files.createTempDirectory("graft_sql_qual").toString
+    GraftSql.sql(spark,
+      s"CREATE TABLE qt (k BIGINT, grp STRING, v DOUBLE) " +
+        s"LOCATION '$tmp/t'")
+    GraftSql.sql(spark,
+      "INSERT INTO qt VALUES (1,'a',10.0),(2,'a',30.0),(3,'a',20.0)," +
+        "(4,'b',5.0),(5,'b',50.0),(6,'c',7.0)")
+    // latest-per-group via QUALIFY ≡ the window-subquery form
+    val got = GraftSql.sql(spark,
+      """SELECT k, grp, v FROM qt
+        |QUALIFY row_number() OVER (PARTITION BY grp ORDER BY v DESC) = 1
+        |ORDER BY grp""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    val want = spark.sql(
+      """SELECT k, grp, v FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY grp ORDER BY v DESC)
+        |    AS rn FROM qt) WHERE rn = 1 ORDER BY grp""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSeq
+    assert(got == want, s"$got vs $want")
+    assert(got.map(_._1) == Seq(2L, 5L, 6L), got)
+    // QUALIFY over an AGGREGATED select, referencing a select alias,
+    // with a LIMIT tail
+    val top = GraftSql.sql(spark,
+      """SELECT grp, sum(v) AS total FROM qt GROUP BY grp
+        |QUALIFY rank() OVER (ORDER BY total DESC) <= 2
+        |ORDER BY total DESC LIMIT 1""".stripMargin).collect()
+    assert(top.length == 1 && top.head.getString(0) == "a", top.toSeq)
+    // the no-QUALIFY path is untouched (plain select still routes)
+    assert(GraftSql.sql(spark,
+      "SELECT count(*) AS n FROM qt").head().getLong(0) == 6L)
+    GraftSql.unbind(spark, "qt")
+  }
 }
