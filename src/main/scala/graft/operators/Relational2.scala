@@ -247,6 +247,23 @@ object Relational2 {
     s.sql(SqlSurfaceText)
   }
 
+  /** QUALIFY under the hard gate (r16): the post-window filter runs
+    * through GraftSql's QUALIFY rewrite on the Spark side while DuckDB
+    * executes the IDENTICAL text natively (it speaks QUALIFY) — the
+    * strongest possible check of the rewrite's semantics. Top-3
+    * customers per market segment by balance, deterministic tie order. */
+  val SqlQualifyText: String =
+    """SELECT c_mktsegment AS seg, c_custkey AS k, c_acctbal AS bal
+      |FROM customer
+      |QUALIFY row_number() OVER (PARTITION BY seg
+      |  ORDER BY bal DESC, k) <= 3
+      |ORDER BY seg, bal DESC, k""".stripMargin
+
+  def qSqlQualify(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    graft.sources.GraftSql.sql(s, SqlQualifyText)
+  }
+
   /** MULTISET set operations — EXCEPT ALL / INTERSECT ALL keep
     * per-element multiplicities (the bag semantics `EXCEPT`/`INTERSECT`
     * DISTINCT collapse away): the surplus / common priority bags between
