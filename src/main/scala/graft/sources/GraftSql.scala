@@ -278,6 +278,11 @@ object GraftSql {
   private val CopyIntoRe =
     ("""(?is)^\s*COPY\s+INTO\s+(\w+)\s+FROM\s+'([^']+)'""" +
       """(?:\s+FILEFORMAT\s*=\s*(\w+))?\s*$""").r
+  // the EXPORT half (DuckDB-style): COPY a query result or a table to
+  // parquet/csv/jsonl files — the ad-hoc extract every analyst types
+  private val CopyToRe =
+    ("""(?is)^\s*COPY\s+(?:\((.+)\)|(\w+))\s+TO\s+'([^']+)'""" +
+      """(?:\s*\(\s*FORMAT\s+(\w+)\s*\))?\s*$""").r
   private val ShowCreateRe =
     """(?is)^\s*SHOW\s+CREATE\s+TABLE\s+(\w+)\s*$""".r
   private val AnalyzeRe =
@@ -425,6 +430,31 @@ object GraftSql {
       val added = t.ingest(path)
       refresh(spark, name)
       Seq((added, t.snapshot)).toDF("files_loaded", "snapshot")
+    case CopyToRe(query, name, path, fmt0) =>
+      import spark.implicits._
+      val df =
+        if (query != null) spark.sql(
+          rewriteMetaTables(spark, rewriteTimeTravel(spark, query)))
+        else lookupName(spark, name).read()
+      val fmt = Option(fmt0).map(_.toLowerCase).getOrElse("parquet")
+      val (write, readBack) = fmt match {
+        case "parquet" =>
+          (() => df.write.mode("overwrite").parquet(path),
+            () => spark.read.parquet(path))
+        case "csv" =>
+          (() => df.write.mode("overwrite")
+            .option("header", "true").csv(path),
+            () => spark.read.option("header", "true").csv(path))
+        case "jsonl" | "json" =>
+          (() => df.write.mode("overwrite").json(path),
+            () => spark.read.json(path))
+        case other => sys.error(
+          s"COPY TO supports FORMAT PARQUET | CSV | JSONL (got $other)")
+      }
+      write()
+      // row count from the WRITTEN output — the returned number states
+      // what landed on disk, not what the plan promised
+      Seq((path, fmt, readBack().count())).toDF("path", "format", "rows")
     case ShowCreateRe(name) =>
       // re-creatable DDL off the resolved schema + standing constraints
       // (zero data reads on recorded tables — the DESCRIBE discipline)

@@ -1321,6 +1321,33 @@ class GraftSqlSpec extends GraftSpec {
     assert(e6.getMessage.contains("itself"), e6.getMessage)
   }
 
+  test("COPY TO exports a query result or a table to parquet/csv/jsonl " +
+      "and reports the rows that actually landed") {
+    val tmp = Files.createTempDirectory("graft_sql_copyto").toString
+    GraftSql.sql(spark,
+      s"CREATE TABLE ct_exp (k BIGINT, v STRING) LOCATION '$tmp/t'")
+    GraftSql.sql(spark,
+      "INSERT INTO ct_exp VALUES (1,'a'),(2,'b'),(3,'c'),(4,'d')")
+    val r1 = GraftSql.sql(spark,
+      s"COPY (SELECT k, v FROM ct_exp WHERE k <= 3) TO '$tmp/out_pq'")
+      .head()
+    assert(r1.getString(1) == "parquet" && r1.getLong(2) == 3L, r1)
+    assert(spark.read.parquet(s"$tmp/out_pq").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+      == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    val r2 = GraftSql.sql(spark,
+      s"COPY ct_exp TO '$tmp/out_csv' (FORMAT CSV)").head()
+    assert(r2.getString(1) == "csv" && r2.getLong(2) == 4L, r2)
+    val r3 = GraftSql.sql(spark,
+      s"COPY ct_exp TO '$tmp/out_jl' (FORMAT JSONL)").head()
+    assert(r3.getLong(2) == 4L, r3)
+    assert(spark.read.json(s"$tmp/out_jl").count() == 4L)
+    val e = intercept[Exception] { GraftSql.sql(spark,
+      s"COPY ct_exp TO '$tmp/out_x' (FORMAT XML)") }
+    assert(e.getMessage.contains("FORMAT"), e.getMessage)
+    GraftSql.unbind(spark, "ct_exp")
+  }
+
   test("QUALIFY: post-window filter equals the subquery form; works " +
       "with aliases, aggregates, ORDER BY/LIMIT tails, and leaves " +
       "subquery-level QUALIFY-free text alone") {
