@@ -945,39 +945,59 @@ object GraftSql {
     // — one pass, no shuffle, strictly above every prior allocation,
     // gaps allowed (the Delta contract). The frame MUST checkpoint:
     // monotonically_increasing_id is not stable across recomputation,
-    // and the hwm bump below re-reads the allocated column.
-    val rowsF =
-      if (idents.isEmpty) rows
-      else idents.foldLeft(rows) { case (df, (f, (_, step, hwm))) =>
-        df.withColumn(f.name,
-          (lit(hwm) + lit(step)
-            * (monotonically_increasing_id() + lit(1L)))
-            .cast(f.dataType))
-      }.localCheckpoint()
-    // OVERWRITE routes to the atomic whole-table replace (one snapshot:
-    // removes of every live file + the new rows' adds — never the
-    // two-commit DELETE+INSERT window). The coerced frame is
-    // checkpointed first: overwriteWith consumes it more than once
-    // (emptiness probe, gen write), and a nondeterministic SELECT must
-    // evaluate exactly once — the runMergeColumnList discipline.
-    val snap =
-      if (i.overwrite) t.overwrite(
-        if (idents.isEmpty) rowsF.localCheckpoint() else rowsF)
-      else t.append(rowsF)
-    if (idents.nonEmpty) {
-      val mx = rowsF.agg(idents.map { case (f, _) =>
-        max(bq(f.name)).as(f.name) }.head,
-        idents.drop(1).map { case (f, _) => max(bq(f.name)).as(f.name) }: _*)
-        .head()
-      idents.zipWithIndex.foreach { case ((f, _), ix) =>
-        if (!mx.isNullAt(ix))
-          Lake.bumpIdentityHwm(t.ledgerDir, f.name,
-            mx.get(ix).asInstanceOf[Number].longValue)
+    // and the hwm bump below re-reads the allocated column. The whole
+    // read-hwm → allocate → append → bump sequence holds the table's
+    // IN-PROCESS allocator lock — two concurrent same-JVM inserts would
+    // otherwise both allocate from the same hwm and land duplicate ids
+    // (the OCC serializes their COMMITS, not their allocations).
+    // Cross-PROCESS identity writers are out of the v1 contract
+    // (documented; the CommitStore seam is where a shared allocator
+    // would live).
+    def commitInsert(): Long = {
+      val hwms = Lake.identityColumns(t.ledgerDir).toMap
+      val rowsF =
+        if (idents.isEmpty) rows
+        else idents.foldLeft(rows) { case (df, (f, _)) =>
+          val (_, step, hwm) = hwms(f.name)
+          df.withColumn(f.name,
+            (lit(hwm) + lit(step)
+              * (monotonically_increasing_id() + lit(1L)))
+              .cast(f.dataType))
+        }.localCheckpoint()
+      // OVERWRITE routes to the atomic whole-table replace (one
+      // snapshot: removes of every live file + the new rows' adds —
+      // never the two-commit DELETE+INSERT window). The coerced frame
+      // is checkpointed first: overwriteWith consumes it more than once
+      // (emptiness probe, gen write), and a nondeterministic SELECT
+      // must evaluate exactly once — the runMergeColumnList discipline.
+      val snap =
+        if (i.overwrite) t.overwrite(
+          if (idents.isEmpty) rowsF.localCheckpoint() else rowsF)
+        else t.append(rowsF)
+      if (idents.nonEmpty) {
+        val mx = rowsF.agg(idents.map { case (f, _) =>
+          max(bq(f.name)).as(f.name) }.head,
+          idents.drop(1).map { case (f, _) =>
+            max(bq(f.name)).as(f.name) }: _*)
+          .head()
+        idents.zipWithIndex.foreach { case ((f, _), ix) =>
+          if (!mx.isNullAt(ix))
+            Lake.bumpIdentityHwm(t.ledgerDir, f.name,
+              mx.get(ix).asInstanceOf[Number].longValue)
+        }
       }
+      snap
     }
+    val snap =
+      if (idents.isEmpty) commitInsert()
+      else identityLocks.computeIfAbsent(t.ledgerDir, _ => new Object)
+        .synchronized { commitInsert() }
     refresh(spark, tableName(i.table))
     snapFrame(spark, snap)
   }
+
+  private val identityLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** `name VERSION AS OF <n>` / `name TIMESTAMP AS OF '<ts>'` over a
     * bound table → a snapshot-pinned view (`name__v<n>`), textual

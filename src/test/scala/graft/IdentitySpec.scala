@@ -61,6 +61,32 @@ class IdentitySpec extends GraftSpec {
     GraftSql.unbind(spark, "idt2")
   }
 
+  test("concurrent same-JVM inserts never allocate duplicate ids (the " +
+      "allocator lock serializes read-hwm/allocate/append/bump)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val tmp = Files.createTempDirectory("graft_ident_cc").toString
+    GraftSql.sql(spark,
+      s"CREATE TABLE idcc (id BIGINT GENERATED ALWAYS AS IDENTITY, " +
+        s"v STRING) LOCATION '$tmp/t'")
+    val fs = (0 until 4).map { w =>
+      Future {
+        GraftSql.sql(spark, "INSERT INTO idcc (v) VALUES " +
+          (0 until 50).map(i => s"('w$w-$i')").mkString(", "))
+      }
+    }
+    Await.result(Future.sequence(fs), 120.seconds)
+    val ids = GraftSql.sql(spark, "SELECT id FROM idcc").collect()
+      .map(_.getLong(0))
+    assert(ids.length == 200, s"rows: ${ids.length}")
+    assert(ids.distinct.length == 200,
+      s"duplicate identity values under concurrency: " +
+        ids.groupBy(identity).filter(_._2.length > 1).keys.take(5)
+          .mkString(","))
+    GraftSql.unbind(spark, "idcc")
+  }
+
   test("the allocator hwm fast-forwards through branch + publish: main " +
       "never re-allocates ids the branch handed out") {
     val tmp = Files.createTempDirectory("graft_ident_br").toString
