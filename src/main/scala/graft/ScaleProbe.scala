@@ -613,6 +613,41 @@ object ScaleProbe {
         t
       }
       report(f"dsird_round 10x/1x ratio ${ddTimes(1) / ddTimes(0)}%5.2f (flat = batch-sized featurize passes + 2·B-long integer state; bootstrap is the one full pass)")
+
+      // r16 MAINTAINED-NSW round: bootstrap the per-cell graphs over a
+      // 1x and a 10x embeddings lake, merge + delete the SAME fixed
+      // wave, time ONLY the fold. With the vec_id-range-pruned old-cell
+      // lookup the round's reads are change-shaped (the r15 verdict's
+      // one table-scaled term, cut): expect flat-to-sublinear while the
+      // bootstrap tracks ~10x.
+      val nwRoot = "/tmp/sf1_synth_nswd"
+      rmrf(new java.io.File(nwRoot))
+      val nwTimes = for ((tag, dataDir) <- Seq("1x" -> src, "10x" -> out)) yield {
+        val ledger = s"$nwRoot/$tag/ledger"
+        val gen = s"$nwRoot/$tag/gen"
+        val root = s"$nwRoot/$tag/nsw"
+        Lake.ingestNewFiles(spark, s"$dataDir/embeddings.parquet", ledger)
+        val tBoot = timed {
+          graft.operators.NswDelta.bootstrap(spark, ledger, root,
+            maxIter = 2): Unit }
+        val maxId = Lake.readAt(spark, ledger,
+            Lake.currentSnapshot(spark, ledger))
+          .agg(max(col("vec_id"))).head().getLong(0)
+        val emb1 = spark.read.parquet(s"$src/embeddings.parquet")
+        val nwBatch = emb1.filter(col("vec_id") % 37 === 1)
+          .select((col("vec_id") + maxId + 1).as("vec_id"), col("embedding"))
+          .localCheckpoint()
+        Lake.mergeInto(spark, ledger, gen, nwBatch, "vec_id",
+          changeFeed = true)
+        Lake.deleteWhere(spark, ledger, gen,
+          col("vec_id") % 53 === 2 && col("vec_id") <= maxId / 20,
+          changeFeed = true)
+        val t = timed {
+          graft.operators.NswDelta.applyRound(spark, ledger, root): Unit }
+        report(f"nswd_round_$tag%-12s ${t}%6.2f s   boot ${tBoot}%6.2f s   (fixed fresh-id wave + bounded-range deletes)")
+        t
+      }
+      report(f"nswd_round 10x/1x ratio ${nwTimes(1) / nwTimes(0)}%5.2f (change-shaped: fresh-id inserts prune the old-cell lookup to ~zero files, deletes to their id range; the touched-cell folds are cell-local)")
     }
     sys.env.get("SPARK_GRAFT_PROBE_OUT").foreach { path =>
       java.nio.file.Files.write(java.nio.file.Paths.get(path),
