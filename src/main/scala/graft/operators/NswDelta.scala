@@ -331,8 +331,11 @@ object NswDelta {
       // ~8% deletion wave: enough churn mass that the per-cell fractions
       // discriminate under the explicit 5% reporting threshold, while
       // the fold stays change-batch-shaped (a half-corpus wave made the
-      // op corpus-shaped — measured 38.6 s vs ~8 s)
-      t.delete(col("vec_id") % 97 < 8, changeFeed = true)
+      // op corpus-shaped — measured 38.6 s vs ~8 s). MOR delete: the
+      // wave's scattered ids would COW-rewrite every file for a KB of
+      // row removals — the sidecar path is exactly what MOR exists for,
+      // and its change feed drives the fold identically
+      t.deleteMor(col("vec_id") % 97 < 8, changeFeed = true)
       applyRound(spark, t.ledgerDir, s"$tmp/idx")
       driftReport(spark, s"$tmp/idx", churnThreshold = 0.05)
         .localCheckpoint()

@@ -256,7 +256,8 @@ object GraftSql {
     ("""(?is)^\s*CREATE\s+TABLE\s+(\w+)\s+SHALLOW\s+CLONE\s+(\w+)""" +
       """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s+LOCATION\s+'([^']+)'\s*$""").r
   private val VacuumRe =
-    """(?is)^\s*VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*$""".r
+    ("""(?is)^\s*VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+HOURS)?""" +
+      """(\s+DRY\s+RUN)?\s*$""").r
   private val RestoreRe =
     """(?is)^\s*RESTORE\s+(?:TABLE\s+)?(\w+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*$""".r
   private val DescribeDetailRe =
@@ -545,11 +546,15 @@ object GraftSql {
           _.split(",").map(_.trim).filter(_.nonEmpty)))
       refresh(spark, name)
       snapFrame(spark, snap)
-    case VacuumRe(name, hours) =>
+    case VacuumRe(name, hours, dry) =>
       import spark.implicits._
       val t = lookupName(spark, name)
       val h = Option(hours).map(_.toLong).getOrElse(168L)
-      Seq(t.removeOrphans(h * 3600L * 1000L).size.toLong)
+      if (dry != null)
+        // DRY RUN: list what a real VACUUM would delete, touch nothing
+        // (the Delta surface; the first thing anyone types before a GC)
+        t.orphanedFiles(h * 3600L * 1000L).toDF("would_remove")
+      else Seq(t.removeOrphans(h * 3600L * 1000L).size.toLong)
         .toDF("files_removed")
     case CloneRe(name, srcName, ver, dir) =>
       require(registry.get((spark, name)) == null,

@@ -901,6 +901,11 @@ class GraftSqlSpec extends GraftSpec {
     stray.setLastModified(System.currentTimeMillis() - 10000): Unit
     assert(t.sql("VACUUM nat_opt").head().getLong(0) == 0,
       "default retention must keep recent debris")
+    // DRY RUN lists the would-be deletions and touches NOTHING
+    val dry = t.sql("VACUUM nat_opt RETAIN 0 HOURS DRY RUN").collect()
+      .map(_.getString(0))
+    assert(dry.exists(_.contains("stray-debris")), dry.mkString(","))
+    assert(stray.exists(), "DRY RUN must not delete")
     assert(t.sql("VACUUM nat_opt RETAIN 0 HOURS").head().getLong(0) >= 1,
       "RETAIN 0 HOURS must remove the aged orphan")
     assert(!stray.exists(), "the orphan file must be gone")
