@@ -504,18 +504,35 @@ object Wib {
     * bin flagged. Deterministic: the window is ts-ordered, the FFT is a
     * fixed sequential butterfly, no partial-sum reordering anywhere.
     *
-    * Scale shape: the analysis window is a TIME SLICE (noise spectra are
-    * computed over a chosen quiet window, not a whole run) — at 100 TB
-    * the ts horizon is a pushed predicate that prunes the frame scan to
-    * the slice before any shuffle; the per-channel series then shuffles
-    * N samples per channel (channel-bounded, detector-scale thousands),
-    * and each channel's FFT runs inside one task. */
+    * Scale shape (r16 advisor fix — the window is BOUNDED BEFORE the
+    * shuffle, not after): the earliest ⌈N/ticks⌉ FRAMES per src are
+    * selected by a [[graft.plans.TopKPerGroup]] two-phase pass (a
+    * partial bounded heap per scan partition with NO exchange, then the
+    * clustered final — the shuffle carries ≤ partitions·srcs·k frame
+    * rows, never the run), so the per-channel task buffers exactly N
+    * samples regardless of run length. The heap orders by −ts with a
+    * ts-ASC tiebreak (negation+double rounding is monotone, so the
+    * survivors are exactly the k smallest ts; a ts tie ACROSS the cut
+    * boundary is the same ambiguity the previous sort-everything form
+    * had). The per-channel series then shuffles N samples per channel
+    * (channel-bounded, detector-scale thousands), and each channel's
+    * FFT runs inside one task. */
   def qWibNoiseFft(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val dim = Dromap.flat(s, Configs.absDir(DromapPath))
       .select(col("src_id").cast("long").as("src_id"),
         col("det_id"), col("crate_id"), col("slot_id"))
-    val decoded = frames(s)
+    val kFrames =
+      (NoiseFftN + WibFrame.TicksPerChannel - 1) / WibFrame.TicksPerChannel
+    val sliced = graft.plans.TopKPerGroup.twoPhase(
+      frames(s)
+        .select(col("payload"), GraftFunctions.wibDecode(col("payload"))
+          .getField("src_id").cast("long").as("__src"))
+        .withColumn("__ts", GraftFunctions.wibDecode(col("payload"))
+          .getField("ts").cast("long"))
+        .withColumn("__ord", (-col("__ts")).cast("double")),
+      kFrames, "__src", "__ord", "__ts")
+    val decoded = sliced
       .select(GraftFunctions.wibDecode(col("payload")).as("f"))
       .select(col("f.src_id").as("src_id"), col("f.ts").as("ts"),
         posexplode(col("f.samples")).as(Seq("j", "sample")))

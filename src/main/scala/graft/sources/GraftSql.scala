@@ -326,8 +326,15 @@ object GraftSql {
         t.addConstraint(s"nn_${canon.toLowerCase}", s"$canon IS NOT NULL")
         Seq((canon, "NOT NULL")).toDF("col_name", "constraint")
       } else {
+        // pre-normalization tables may carry nn_<AsTyped> (the key was
+        // the user's casing before the lowercase rule landed) — fall
+        // back to a case-insensitive sweep over standing nn_* riders so
+        // the old constraint doesn't become undroppable (r16 advisor)
         val dropped =
-          Lake.dropConstraint(t.ledgerDir, s"nn_${canon.toLowerCase}")
+          Lake.dropConstraint(t.ledgerDir, s"nn_${canon.toLowerCase}") ||
+            Lake.constraints(t.ledgerDir).map(_._1)
+              .filter(_.equalsIgnoreCase(s"nn_$canon"))
+              .exists(Lake.dropConstraint(t.ledgerDir, _))
         Seq((canon, if (dropped) "nullable" else "no nn constraint"))
           .toDF("col_name", "constraint")
       }
@@ -605,8 +612,15 @@ object GraftSql {
         val ids = Seq.newBuilder[(String, Long, Long)]
         val ddl = parts.map {
           case IdRe(n, tpe, st, inc) =>
-            require(tpe.trim.toLowerCase.matches("bigint|long|int|integer"),
-              s"IDENTITY column '$n' must be integral (got $tpe)")
+            // BIGINT only (r16 advisor): the allocator rides the
+            // partition-salted monotonically_increasing_id (>= 2^33 in
+            // partition 1+), so an INT identity overflows on any insert
+            // whose frame lands in 2+ partitions — refuse loudly rather
+            // than ship the untested narrow path (ANSI cast error at
+            // best, silent wraparound/duplicate ids with ANSI off)
+            require(tpe.trim.toLowerCase.matches("bigint|long"),
+              s"IDENTITY column '$n' must be BIGINT (got $tpe) — the " +
+                "partition-salted allocator exceeds Int range")
             ids += ((n, Option(st).map(_.toLong).getOrElse(1L),
               Option(inc).map(_.toLong).getOrElse(1L)))
             s"$n $tpe"
@@ -771,6 +785,16 @@ object GraftSql {
     * frame is lazy). */
   private def runQualify(spark: SparkSession, prefix: String,
       pred: String, tail: String): DataFrame = {
+    // v1 scope refusal (r16 advisor): this implementation filters the
+    // fully-evaluated base SELECT, i.e. AFTER DISTINCT collapses rows —
+    // Snowflake/DuckDB evaluate QUALIFY BEFORE DISTINCT, so the two
+    // orders diverge whenever the window predicate keeps a different
+    // subset of the pre-DISTINCT rows. Refuse loudly rather than
+    // silently emulate the wrong engine.
+    require(!prefix.matches("(?is)^\\s*SELECT\\s+DISTINCT\\b.*"),
+      "QUALIFY on SELECT DISTINCT is refused (v1): QUALIFY here runs " +
+        "AFTER DISTINCT, but Snowflake/DuckDB evaluate it BEFORE — " +
+        "rewrite as a window subquery with an explicit DISTINCT above")
     val base = spark.sql(
       rewriteMetaTables(spark, rewriteTimeTravel(spark, prefix)))
     val filtered = base
@@ -950,11 +974,15 @@ object GraftSql {
     // — one pass, no shuffle, strictly above every prior allocation,
     // gaps allowed (the Delta contract). The frame MUST checkpoint:
     // monotonically_increasing_id is not stable across recomputation,
-    // and the hwm bump below re-reads the allocated column. The whole
-    // read-hwm → allocate → append → bump sequence holds the table's
-    // IN-PROCESS allocator lock — two concurrent same-JVM inserts would
-    // otherwise both allocate from the same hwm and land duplicate ids
-    // (the OCC serializes their COMMITS, not their allocations).
+    // and the hwm reservation below re-reads the allocated column. The
+    // whole read-hwm → allocate → RESERVE (bump) → append sequence
+    // holds the table's IN-PROCESS allocator lock — two concurrent
+    // same-JVM inserts would otherwise both allocate from the same hwm
+    // and land duplicate ids (the OCC serializes their COMMITS, not
+    // their allocations). The hwm bumps BEFORE the append commits
+    // (r16 advisor): a crash between reserve and append only WASTES
+    // ids (gaps are allowed); the old bump-after-append order could
+    // re-issue the crashed attempt's ids on the next insert.
     // Cross-PROCESS identity writers are out of the v1 contract
     // (documented; the CommitStore seam is where a shared allocator
     // would live).
@@ -969,16 +997,6 @@ object GraftSql {
               * (monotonically_increasing_id() + lit(1L)))
               .cast(f.dataType))
         }.localCheckpoint()
-      // OVERWRITE routes to the atomic whole-table replace (one
-      // snapshot: removes of every live file + the new rows' adds —
-      // never the two-commit DELETE+INSERT window). The coerced frame
-      // is checkpointed first: overwriteWith consumes it more than once
-      // (emptiness probe, gen write), and a nondeterministic SELECT
-      // must evaluate exactly once — the runMergeColumnList discipline.
-      val snap =
-        if (i.overwrite) t.overwrite(
-          if (idents.isEmpty) rowsF.localCheckpoint() else rowsF)
-        else t.append(rowsF)
       if (idents.nonEmpty) {
         val mx = rowsF.agg(idents.map { case (f, _) =>
           max(bq(f.name)).as(f.name) }.head,
@@ -991,18 +1009,25 @@ object GraftSql {
               mx.get(ix).asInstanceOf[Number].longValue)
         }
       }
+      // OVERWRITE routes to the atomic whole-table replace (one
+      // snapshot: removes of every live file + the new rows' adds —
+      // never the two-commit DELETE+INSERT window). The coerced frame
+      // is checkpointed first: overwriteWith consumes it more than once
+      // (emptiness probe, gen write), and a nondeterministic SELECT
+      // must evaluate exactly once — the runMergeColumnList discipline.
+      val snap =
+        if (i.overwrite) t.overwrite(
+          if (idents.isEmpty) rowsF.localCheckpoint() else rowsF)
+        else t.append(rowsF)
       snap
     }
     val snap =
       if (idents.isEmpty) commitInsert()
-      else identityLocks.computeIfAbsent(t.ledgerDir, _ => new Object)
+      else Lake.identityMonitor(t.ledgerDir)
         .synchronized { commitInsert() }
     refresh(spark, tableName(i.table))
     snapFrame(spark, snap)
   }
-
-  private val identityLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** `name VERSION AS OF <n>` / `name TIMESTAMP AS OF '<ts>'` over a
     * bound table → a snapshot-pinned view (`name__v<n>`), textual

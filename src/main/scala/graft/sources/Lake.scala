@@ -4251,9 +4251,11 @@ object Lake {
     * monotonic id), one pass, no shuffle, no global ordering). ALWAYS
     * means ALWAYS: explicit writes refuse (INSERT listing the column,
     * positional full-arity INSERT, UPDATE SET). KB metadata under
-    * `_identity/<col>`: `start step hwm`, hwm = highest allocated
-    * (rewritten atomically after each allocating commit, inside the
-    * commit's OCC reservation). */
+    * `_identity/<col>`: `start step hwm`, hwm = highest RESERVED
+    * (rewritten atomically BEFORE the allocating append commits — a
+    * crash between reserve and append wastes the reserved range, which
+    * the gaps-allowed contract permits; the reverse order could
+    * re-issue a crashed attempt's ids). */
   def addIdentityColumn(spark: SparkSession, ledgerDir: String,
       colName: String, start: Long = 1L, step: Long = 1L): Unit = {
     require(colName.matches("[A-Za-z][A-Za-z0-9_]*"),
@@ -4281,11 +4283,29 @@ object Lake {
       .sortBy(_._1).toSeq
   }
 
+  /** The per-table in-process allocator monitor (keyed by normalized
+    * ledger path so the SQL insert path and publish's fast-forward
+    * contend on the SAME object). [[bumpIdentityHwm]] takes it
+    * internally, so every bump site — insert reservation, publish
+    * fast-forward — is serialized; the SQL insert path additionally
+    * holds it across its whole read-hwm → allocate → reserve → append
+    * sequence. */
+  def identityMonitor(ledgerDir: String): Object =
+    identityMonitors.computeIfAbsent(
+      java.nio.file.Paths.get(ledgerDir).toAbsolutePath.normalize.toString,
+      _ => new Object)
+
+  private val identityMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Raise an identity column's high-water mark (never lowers — a
     * concurrent reader may have observed the old file, and identity
-    * only promises increase). Atomic rename-into-place. */
+    * only promises increase). Atomic rename-into-place; the whole
+    * read-check-write runs under [[identityMonitor]] (r16 advisor: two
+    * unserialized bumps could each read the old hwm and the LOWER
+    * writer land last — the atomic move alone doesn't order them). */
   def bumpIdentityHwm(ledgerDir: String, colName: String,
-      newHwm: Long): Unit = {
+      newHwm: Long): Unit = identityMonitor(ledgerDir).synchronized {
     val f = java.nio.file.Paths.get(s"$ledgerDir/_identity/$colName")
     val parts = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
       .trim.split("\\s+")

@@ -1387,6 +1387,37 @@ class GraftSqlSpec extends GraftSpec {
     // the no-QUALIFY path is untouched (plain select still routes)
     assert(GraftSql.sql(spark,
       "SELECT count(*) AS n FROM qt").head().getLong(0) == 6L)
+    // SELECT DISTINCT ... QUALIFY refuses (r16 advisor): this
+    // implementation would filter AFTER the DISTINCT collapse where
+    // Snowflake/DuckDB filter before it — loud v1 scope, not a silent
+    // divergence
+    val e = intercept[Exception] {
+      GraftSql.sql(spark,
+        """SELECT DISTINCT grp FROM qt
+          |QUALIFY row_number() OVER (ORDER BY grp) = 1""".stripMargin) }
+    assert(e.getMessage.contains("DISTINCT"), e.getMessage)
     GraftSql.unbind(spark, "qt")
+  }
+
+  test("DROP NOT NULL drops a pre-normalization cased nn_ rider (the " +
+      "case-insensitive fallback — old tables keyed nn_<AsTyped>)") {
+    val tmp = Files.createTempDirectory("graft_sql_nncase").toString
+    GraftSql.sql(spark,
+      s"CREATE TABLE nnc (k BIGINT, Balance DOUBLE) LOCATION '$tmp/t'")
+    GraftSql.sql(spark, "INSERT INTO nnc VALUES (1, 10.0)")
+    // simulate a pre-lowercase-rule table: the rider was keyed by the
+    // user's casing (nn_Balance), not the canonical lowercase form
+    val t = GraftTable(spark, s"$tmp/t/ledger", s"$tmp/t/gen")
+    t.addConstraint("nn_Balance", "Balance IS NOT NULL")
+    val r = GraftSql.sql(spark,
+      "ALTER TABLE nnc ALTER COLUMN balance DROP NOT NULL").head()
+    assert(r.getString(1) == "nullable", r.toString)
+    assert(!t.constraints().exists(_._1.equalsIgnoreCase("nn_balance")),
+      t.constraints().mkString(","))
+    // the column really is nullable again
+    GraftSql.sql(spark, "INSERT INTO nnc VALUES (2, NULL)")
+    assert(GraftSql.sql(spark,
+      "SELECT count(*) AS n FROM nnc").head().getLong(0) == 2L)
+    GraftSql.unbind(spark, "nnc")
   }
 }

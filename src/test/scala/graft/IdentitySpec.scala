@@ -87,6 +87,39 @@ class IdentitySpec extends GraftSpec {
     GraftSql.unbind(spark, "idcc")
   }
 
+  test("INT identity refuses at CREATE (the partition-salted allocator " +
+      "exceeds Int range); a FAILED append still burns its reserved " +
+      "ids — the hwm reserves BEFORE the append commits") {
+    val tmp = Files.createTempDirectory("graft_ident_rs").toString
+    // BIGINT-only refusal (r16 advisor): monotonically_increasing_id
+    // is >= 2^33 in partition 1+, so an INT identity would overflow on
+    // any multi-partition insert — the untested path refuses loudly
+    val e = intercept[Exception] {
+      GraftSql.sql(spark,
+        s"CREATE TABLE idint (id INT GENERATED ALWAYS AS IDENTITY, " +
+          s"v STRING) LOCATION '$tmp/ti'") }
+    assert(e.getMessage.contains("BIGINT"), e.getMessage)
+    // reserve-before-append: a CHECK-gate-failed insert must not
+    // re-issue its ids to the next insert (crash-window semantics —
+    // gaps are allowed, duplicates never)
+    GraftSql.sql(spark,
+      s"CREATE TABLE idrs (id BIGINT GENERATED ALWAYS AS IDENTITY, " +
+        s"v INT) LOCATION '$tmp/t'")
+    GraftSql.sql(spark,
+      "ALTER TABLE idrs ADD CONSTRAINT pos CHECK (v > 0)")
+    intercept[Exception] {
+      GraftSql.sql(spark, "INSERT INTO idrs (v) VALUES (-1), (-2)") }
+    GraftSql.sql(spark, "INSERT INTO idrs (v) VALUES (1), (2)")
+    val ids = GraftSql.sql(spark, "SELECT id FROM idrs").collect()
+      .map(_.getLong(0)).toSeq
+    assert(ids.length == 2 && ids.distinct.length == 2, ids)
+    // the failed attempt reserved at least 2 ids starting at 1 — the
+    // landed rows must sit strictly above that burned range
+    assert(ids.forall(_ > 2L),
+      s"failed append's ids re-issued (expected all > 2): $ids")
+    GraftSql.unbind(spark, "idrs")
+  }
+
   test("the allocator hwm fast-forwards through branch + publish: main " +
       "never re-allocates ids the branch handed out") {
     val tmp = Files.createTempDirectory("graft_ident_br").toString

@@ -235,6 +235,13 @@ class WibSpec extends GraftSpec {
           s"channel $ch bin $k: $g vs $ref")
       }
     }
+    // the window bounds BEFORE the per-channel shuffle (r16 advisor):
+    // the plan must carry the TopKPerGroup frame pre-cut, so no task
+    // ever buffers a channel's full history
+    val plan = Wib.qWibNoiseFft(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup"),
+      s"noise-fft plan lost the bounded frame pre-cut:\n$plan")
   }
 
   test("the frame scan stays in whole-stage codegen (no UDF boundary)") {
