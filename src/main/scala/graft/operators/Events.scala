@@ -1147,4 +1147,84 @@ object Events {
       |    AS DOUBLE) / CAST(1000000 AS DOUBLE) AS r_best
       |FROM b""".stripMargin
   }
+
+  /** Fixed (day-of-week × hour-of-day) bucket count — the classic
+    * operational seasonality profile grid. */
+  val SeasonalityK = 7 * 24
+
+  /** SEASONALITY PROFILE + uniformity χ² [oracle] — the
+    * (day-of-week × hour-of-day) load grid every ops dashboard draws,
+    * plus Pearson's χ² against the uniform profile (the detector-uptime
+    * "is arrival rate flat?" check; the q_evt_fano dispersion family).
+    * Exactness (the Fano/variance class): with k = 168 fixed buckets
+    * and N total events, χ² = Σ_b (k·o_b − N)² / (k·N) — empty buckets
+    * contribute (k·0 − N)² = N² IMPLICITLY via (k − B_obs)·N², never a
+    * materialized bin dimension; every per-bucket quantity is a
+    * nonnegative integer ratio (⌊10⁶·x⌋ DIV y), so no negative-division
+    * or libm divergence anywhere. DuckDB's dayofweek is 0=Sunday where
+    * Spark's is 1=Sunday — the oracle text adds 1.
+    *
+    * Scale shape: one groupBy onto ≤ 168 buckets (map-side partials
+    * collapse the corpus before the exchange), a 1-row cross join, and
+    * a bounded 168-row window for the profile-wide χ². */
+  def qEvtSeasonality(s: SparkSession, d: String): DataFrame = {
+    val k = SeasonalityK
+    val b = events(s, d)
+      .select(dayofweek(col("ts")).cast("long").as("dow"),
+        hour(col("ts")).cast("long").as("hod"))
+      .groupBy(col("dow"), col("hod"))
+      .agg(count(lit(1)).as("n_events"))
+    val tot = b.agg(sum(col("n_events")).cast("long").as("n"),
+      count(lit(1)).as("bobs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    b.crossJoin(tot)
+      .withColumn("dev2",
+        (lit(k) * col("n_events") - col("n")).cast("decimal(38,0)")
+          * (lit(k) * col("n_events") - col("n")))
+      .withColumn("chi2num",
+        sum(col("dev2")).over(w)
+          + (lit(k) - col("bobs")).cast("decimal(38,0)")
+          * col("n").cast("decimal(38,0)") * col("n"))
+      .select(col("dow"), col("hod"), col("n_events"),
+        expr(s"CAST(CAST(1000000 AS DECIMAL(38,0)) * $k * n_events " +
+          "DIV n AS BIGINT)").as("load_scaled"),
+        expr(s"CAST(CAST(1000000 AS DECIMAL(38,0)) * chi2num DIV " +
+          s"(CAST($k AS DECIMAL(38,0)) * n) AS BIGINT)")
+          .as("chi2_scaled"))
+      .withColumn("chi2",
+        col("chi2_scaled").cast("double") / lit(1000000.0))
+      .orderBy(col("dow"), col("hod"))
+  }
+
+  def qEvtSeasonalitySql: String = {
+    val k = SeasonalityK
+    s"""WITH b AS MATERIALIZED (
+       |  SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+       |    CAST(hour(ts) AS BIGINT) AS hod,
+       |    CAST(count(*) AS BIGINT) AS n_events
+       |  FROM events GROUP BY 1, 2
+       |), tot AS (
+       |  SELECT CAST(sum(n_events) AS BIGINT) AS n,
+       |    CAST(count(*) AS BIGINT) AS bobs FROM b
+       |), g AS (
+       |  SELECT dow, hod, n_events, n, bobs,
+       |    sum(CAST($k * n_events - n AS HUGEINT)
+       |      * CAST($k * n_events - n AS HUGEINT)) OVER ()
+       |      + CAST($k - bobs AS HUGEINT) * n * n AS chi2num
+       |  FROM b CROSS JOIN tot
+       |)
+       |SELECT dow, hod, n_events,
+       |  CAST(CAST(1000000 AS HUGEINT) * $k * n_events // n AS BIGINT)
+       |    AS load_scaled,
+       |  CAST(CAST(1000000 AS HUGEINT) * chi2num
+       |    // (CAST($k AS HUGEINT) * n) AS BIGINT) AS chi2_scaled,
+       |  CAST(CAST(CAST(1000000 AS HUGEINT) * chi2num
+       |    // (CAST($k AS HUGEINT) * n) AS BIGINT) AS DOUBLE)
+       |    / CAST(1000000 AS DOUBLE) AS chi2
+       |FROM g
+       |ORDER BY dow, hod""".stripMargin
+  }
 }

@@ -733,4 +733,201 @@ object Graph {
       |FROM s
       |ORDER BY ra_scaled DESC, cn DESC, part_a, part_b
       |LIMIT 100""".stripMargin
+
+  /** NODE SIMILARITY [oracle] — Jaccard overlap of neighborhoods
+    * (the SimRank-lite "customers who bought these parts also bought"
+    * score; Salton/Jaccard node similarity, the q_graph_linkpred
+    * sibling): for part pairs sharing ≥1 common neighbor,
+    * J = |N(u)∩N(v)| / (deg u + deg v − |N(u)∩N(v)|), top 100.
+    * Common neighbors enumerate through the SAME degree-capped wedge
+    * relation linkpred uses ([[LinkpredDegCap]] — hub mediators beyond
+    * the cap are excluded from the common-neighbor count by declared
+    * semantics, both engines; a hub z would otherwise fan out deg²
+    * pairs). Degrees in the denominator are the FULL degrees.
+    * jac_scaled = ⌊10⁶·cn⌋ DIV (deg_a + deg_b − cn) — a pure
+    * ratio-of-counts, exact in both engines; `linked` flags pairs that
+    * are already edges (similar-but-unlinked rows are the
+    * recommendation candidates linkpred ranks by RA instead).
+    *
+    * Scale shape: one adjacency exchange + the capped in-row pair
+    * expansion (the linkpred plan), two vocab-bounded degree joins, a
+    * deterministic top-100 cut. */
+  def qGraphNodesim(spark: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val edges0 = coPurchaseEdges(spark, d)
+      .localCheckpoint() // feeds adjacency, the linked flag, and degrees
+    val adj = edges0.select(col("a").as("z"), col("b").as("n"))
+      .unionAll(edges0.select(col("b").as("z"), col("a").as("n")))
+    val deg = adj.groupBy(col("z")).agg(count(lit(1)).as("deg"))
+    val pairs = adj
+      .join(deg.filter(col("deg").between(2, LinkpredDegCap)), "z")
+      .groupBy(col("z"))
+      .agg(sort_array(collect_set(col("n"))).as("ns"))
+      .select(explode(flatten(expr(
+        """transform(ns, (x, i) ->
+          |  transform(slice(ns, i + 2, size(ns)),
+          |    y -> struct(x AS a, y AS b)))""".stripMargin))).as("e"))
+      .select(col("e.a").as("part_a"), col("e.b").as("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("cn"))
+    pairs
+      .join(deg.select(col("z").as("part_a"), col("deg").as("deg_a")),
+        "part_a")
+      .join(deg.select(col("z").as("part_b"), col("deg").as("deg_b")),
+        "part_b")
+      .join(edges0.select(col("a").as("part_a"), col("b").as("part_b"),
+        lit(true).as("linked")), Seq("part_a", "part_b"), "left")
+      .withColumn("linked", coalesce(col("linked"), lit(false)))
+      .select(col("part_a"), col("part_b"), col("cn"),
+        col("deg_a"), col("deg_b"),
+        expr("CAST(1000000 * cn DIV (deg_a + deg_b - cn) AS BIGINT)")
+          .as("jac_scaled"),
+        col("linked"))
+      .withColumn("jaccard",
+        col("jac_scaled").cast("double") / lit(1000000.0))
+      .orderBy(col("jac_scaled").desc, col("cn").desc, col("part_a"),
+        col("part_b"))
+      .limit(100)
+  }
+
+  def qGraphNodesimSql: String =
+    """WITH e AS MATERIALIZED (
+      |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+      |  FROM lineitem x JOIN lineitem y
+      |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+      |adj AS MATERIALIZED (
+      |  SELECT a AS z, b AS n FROM e UNION ALL SELECT b AS z, a AS n FROM e),
+      |deg AS MATERIALIZED (
+      |  SELECT z, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY z),
+      |s AS (
+      |  SELECT a1.n AS part_a, a2.n AS part_b,
+      |    CAST(count(*) AS BIGINT) AS cn
+      |  FROM adj a1 JOIN adj a2 ON a1.z = a2.z AND a1.n < a2.n
+      |  JOIN deg d ON d.z = a1.z
+      |  WHERE d.deg BETWEEN 2 AND 64
+      |  GROUP BY 1, 2),
+      |j AS (
+      |  SELECT s.part_a, s.part_b, s.cn, da.deg AS deg_a,
+      |    db.deg AS deg_b,
+      |    CAST(1000000 * s.cn // (da.deg + db.deg - s.cn) AS BIGINT)
+      |      AS jac_scaled,
+      |    EXISTS (SELECT 1 FROM e
+      |      WHERE e.a = s.part_a AND e.b = s.part_b) AS linked
+      |  FROM s JOIN deg da ON da.z = s.part_a
+      |  JOIN deg db ON db.z = s.part_b)
+      |SELECT part_a, part_b, cn, deg_a, deg_b, jac_scaled,
+      |  CAST(jac_scaled AS DOUBLE) / CAST(1000000 AS DOUBLE) AS jaccard,
+      |  linked
+      |FROM j
+      |ORDER BY jac_scaled DESC, cn DESC, part_a, part_b
+      |LIMIT 100""".stripMargin
+
+  /** Landmark count / BFS horizon for [[qGraphCloseness]]. */
+  val ClosenessLandmarks = 8
+  val ClosenessMaxDepth = 6
+
+  /** LANDMARK HARMONIC CLOSENESS [oracle] — centrality without the
+    * all-pairs cost (the published landmark/pivot estimate: BFS from K
+    * fixed seeds, harmonic sum over reached landmarks; cf. Boldi &
+    * Vigna 2014's harmonic form, which handles disconnection without
+    * infinities). Landmarks = the [[ClosenessLandmarks]] smallest node
+    * ids (deterministic in both engines); BFS depth caps at
+    * [[ClosenessMaxDepth]] (small-world co-purchase graphs saturate in
+    * ~6 hops). Exactness: per node, h60 = Σ_reached ⌊60 / dist⌋ — 60 =
+    * lcm(1..6), so every 1/d term is an EXACT integer (60,30,20,15,
+    * 12,10) and the sum replays bit-identically; the double `closeness`
+    * is h60/60 (exact binary scaling of small ints — no libm). The
+    * oracle walks the same frontier as a recursive CTE and collapses
+    * re-reaches with min(dist); the Spark loop's visited anti-join
+    * never re-adds a node, so both compute first-reach distances.
+    *
+    * Scale shape: the visited frame is ≤ K·V rows of three longs; each
+    * of ≤ 6 rounds is frontier ⋈ adjacency (frontier-sized, shrinking)
+    * with ONE localCheckpoint + one count (the kCore loop discipline,
+    * AQE off in a forked session, shuffle width scaled to the frame). */
+  def qGraphCloseness(spark: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame =
+    harmonicCloseness(coPurchaseEdges(spark, d), "a", "b",
+      assumeCanonical = true)
+
+  /** The reusable BFS core of [[qGraphCloseness]] — landmark harmonic
+    * closeness over any undirected edge relation (canonicalized
+    * least/greatest + distinct unless `assumeCanonical` — the LPA
+    * double-count rule). */
+  def harmonicCloseness(edgesIn: DataFrame, src: String, dst: String,
+      assumeCanonical: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.GraftShim
+    val caller = edgesIn.sparkSession
+    val s = caller.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    val ek = GraftShim.ofRows(s, GraftShim.logicalPlan(edgesIn))
+      .filter(col(src) =!= col(dst))
+    val edges0 =
+      if (assumeCanonical) ek.select(col(src).cast("long").as("a"),
+        col(dst).cast("long").as("b"))
+      else ek
+        .select(least(col(src), col(dst)).cast("long").as("a"),
+          greatest(col(src), col(dst)).cast("long").as("b"))
+        .distinct()
+    val adj = edges0.select(col("a").as("z"), col("b").as("n"))
+      .unionAll(edges0.select(col("b").as("z"), col("a").as("n")))
+      .localCheckpoint()
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val lms = adj.select(col("z")).distinct()
+      .orderBy(col("z")).limit(ClosenessLandmarks)
+    var visited = lms.select(col("z").as("lm"), col("z").as("node"),
+      lit(0L).as("dist")).localCheckpoint()
+    var frontier = visited
+    var depth = 0
+    var newCnt = frontier.count()
+    while (newCnt > 0 && depth < ClosenessMaxDepth) {
+      depth += 1
+      val next = frontier.join(adj, frontier("node") === adj("z"))
+        .select(col("lm"), col("n").as("node"), lit(depth.toLong).as("dist"))
+        .distinct()
+        .join(visited.select(col("lm"), col("node")), Seq("lm", "node"),
+          "left_anti")
+        .localCheckpoint() // the round's single materialization barrier
+      newCnt = next.count()
+      visited = visited.unionAll(next).localCheckpoint()
+      frontier = next
+    }
+    val res = visited.filter(col("dist") > 0)
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr("60 DIV dist")).cast("long").as("h60"))
+      .withColumn("closeness", col("h60").cast("double") / lit(60.0))
+      .orderBy(col("node"))
+    GraftShim.ofRows(caller, GraftShim.logicalPlan(res))
+  }
+
+  def qGraphClosenessSql: String =
+    s"""WITH RECURSIVE e AS MATERIALIZED (
+       |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+       |  FROM lineitem x JOIN lineitem y
+       |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+       |adj AS MATERIALIZED (
+       |  SELECT a AS z, b AS n FROM e UNION ALL SELECT b AS z, a AS n FROM e),
+       |lm AS MATERIALIZED (
+       |  SELECT z FROM (SELECT DISTINCT z FROM adj) t
+       |  ORDER BY z LIMIT $ClosenessLandmarks),
+       |bfs AS (
+       |  SELECT z AS lm, z AS node, 0 AS dist FROM lm
+       |  UNION
+       |  SELECT bfs.lm, adj.n AS node, bfs.dist + 1 AS dist
+       |  FROM bfs JOIN adj ON adj.z = bfs.node
+       |  WHERE bfs.dist < $ClosenessMaxDepth),
+       |md AS (
+       |  SELECT lm, node, min(dist) AS dist FROM bfs GROUP BY 1, 2)
+       |SELECT node,
+       |  CAST(count(CASE WHEN dist > 0 THEN 1 END) AS BIGINT)
+       |    AS n_reached,
+       |  CAST(sum(CASE WHEN dist > 0 THEN 60 // dist ELSE 0 END)
+       |    AS BIGINT) AS h60,
+       |  CAST(CAST(sum(CASE WHEN dist > 0 THEN 60 // dist ELSE 0 END)
+       |    AS BIGINT) AS DOUBLE) / CAST(60 AS DOUBLE) AS closeness
+       |FROM md
+       |WHERE dist > 0
+       |GROUP BY node
+       |ORDER BY node""".stripMargin
 }

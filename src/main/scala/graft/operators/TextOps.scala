@@ -1506,6 +1506,202 @@ object TextOps {
        |    AS BIGINT) AS DOUBLE) / CAST(1000000 AS DOUBLE) AS slope
        |FROM stats CROSS JOIN fit""".stripMargin
 
+  /** Corpus GINI COEFFICIENT [oracle] — inequality of the token
+    * frequency distribution (a uniform word soup sits near 0, a
+    * boilerplate-dominated crawl climbs toward 1 — the concentration
+    * twin of the Zipf slope; cf. Gini 1912 / the Lorenz-curve form).
+    * Exact cross-engine via the RUN-LENGTH closed form (the q_evt_mad
+    * doubled-order-statistic discipline, generalized): with type counts
+    * sorted ascending, Gini = Σᵢ (2i − n − 1)·cᵢ / (n·Σc); a run of m
+    * types sharing count c occupying ranks a+1..a+m contributes
+    * c·m·(2a + m − n) — an arithmetic-series collapse, so the rank sum
+    * needs only the DISTINCT count values with multiplicities and a
+    * running-sum window over them (distinct-value-bounded, never a
+    * corpus or vocab sort). gini_scaled = ⌊10⁶·num⌋ DIV (n·S) is an
+    * exact integer floor of an exact rational — no libm anywhere.
+    *
+    * Scale shape: one vocab-bounded groupBy(tok), then a
+    * DISTINCT-COUNT-VALUE-bounded relation (≤ thousands of rows at any
+    * corpus size — counts repeat massively) through the unpartitioned
+    * running-sum window (bounded input, the documented exception), one
+    * 1-row cross join. */
+  def qDocGini(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val runs = counts.groupBy(col("c")).agg(count(lit(1)).as("m"))
+    val cum = runs.withColumn("a",
+      coalesce(sum(col("m")).over(Window.orderBy(col("c"))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val tot = runs.agg(
+      sum(col("m")).cast("long").as("n_types"),
+      sum(col("c") * col("m")).cast("long").as("n_tokens"))
+    cum.crossJoin(tot)
+      .agg(first(col("n_types")).as("n_types"),
+        first(col("n_tokens")).as("n_tokens"),
+        sum(col("c").cast("decimal(38,0)") * col("m")
+          * (lit(2) * col("a") + col("m") - col("n_types")))
+          .as("num"))
+      .select(col("n_types"), col("n_tokens"),
+        expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * num DIV " +
+          "(CAST(n_types AS DECIMAL(38,0)) * n_tokens) AS BIGINT)")
+          .as("gini_scaled"))
+      .withColumn("gini",
+        col("gini_scaled").cast("double") / lit(1000000.0))
+  }
+
+  def qDocGiniSql: String =
+    """WITH counts AS MATERIALIZED (
+      |  SELECT u.tok, CAST(count(*) AS BIGINT) AS c
+      |  FROM (SELECT regexp_split_to_array(trim(text), ' +') AS t
+      |        FROM documents) x, unnest(t) AS u(tok)
+      |  GROUP BY u.tok
+      |), runs AS MATERIALIZED (
+      |  SELECT c, CAST(count(*) AS BIGINT) AS m FROM counts GROUP BY c
+      |), cum AS (
+      |  SELECT c, m, COALESCE(sum(m) OVER (ORDER BY c
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS a
+      |  FROM runs
+      |), tot AS (
+      |  SELECT CAST(sum(m) AS BIGINT) AS n_types,
+      |    CAST(sum(c * m) AS BIGINT) AS n_tokens FROM runs
+      |)
+      |SELECT n_types, n_tokens,
+      |  CAST(CAST(1000000 AS HUGEINT)
+      |    * sum(CAST(c AS HUGEINT) * m * (2 * a + m - n_types))
+      |    // (CAST(n_types AS HUGEINT) * n_tokens) AS BIGINT)
+      |    AS gini_scaled,
+      |  CAST(CAST(CAST(1000000 AS HUGEINT)
+      |    * sum(CAST(c AS HUGEINT) * m * (2 * a + m - n_types))
+      |    // (CAST(n_types AS HUGEINT) * n_tokens) AS BIGINT) AS DOUBLE)
+      |    / CAST(1000000 AS DOUBLE) AS gini
+      |FROM cum CROSS JOIN tot
+      |GROUP BY n_types, n_tokens""".stripMargin
+
+  /** YULE'S K [oracle] — the classic per-document lexical-repetition
+    * characteristic (Yule 1944; the "vocabulary richness" measure
+    * stylometry and corpus-quality pipelines still run because it is
+    * length-robust): K = C·(Σ_types c² − N)/N² over a doc's token
+    * counts c (N tokens; C = 10⁴ in the literature — reported here as
+    * k_scaled = ⌊10⁶·(S₂−N)⌋ DIV N², a pure ratio of counts, exact in
+    * both engines with zero libm). High K = repetitive/boilerplate;
+    * the uniform word soup sits low. The oracle-able companion to the
+    * sequential-fold [[qDocMtld]] (whose DuckDB replay crashes — see
+    * its scaladoc).
+    *
+    * Scale shape: one corpus-wide groupBy (doc_id, tok) then a per-doc
+    * aggregate — two exchanges on data-scaled keys, partial-agg
+    * friendly, no windows, no joins. */
+  def qDocYule(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("c") * col("c")).cast("long").as("s2"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * (s2 - n_tokens) " +
+          "DIV (CAST(n_tokens AS DECIMAL(38,0)) * n_tokens) AS BIGINT)")
+          .as("k_scaled"))
+      .withColumn("yule_k",
+        col("k_scaled").cast("double") / lit(1000000.0))
+      .orderBy(col("doc_id"))
+
+  def qDocYuleSql: String =
+    """WITH c AS MATERIALIZED (
+      |  SELECT doc_id, u.tok, CAST(count(*) AS BIGINT) AS c
+      |  FROM (SELECT doc_id,
+      |          regexp_split_to_array(trim(text), ' +') AS t
+      |        FROM documents) x, unnest(t) AS u(tok)
+      |  GROUP BY doc_id, u.tok
+      |), a AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |    CAST(count(*) AS BIGINT) AS n_types,
+      |    CAST(sum(c * c) AS BIGINT) AS s2
+      |  FROM c GROUP BY doc_id
+      |)
+      |SELECT doc_id, n_tokens, n_types,
+      |  CAST(CAST(1000000 AS HUGEINT) * (s2 - n_tokens)
+      |    // (CAST(n_tokens AS HUGEINT) * n_tokens) AS BIGINT)
+      |    AS k_scaled,
+      |  CAST(CAST(CAST(1000000 AS HUGEINT) * (s2 - n_tokens)
+      |    // (CAST(n_tokens AS HUGEINT) * n_tokens) AS BIGINT)
+      |    AS DOUBLE) / CAST(1000000 AS DOUBLE) AS yule_k
+      |FROM a
+      |ORDER BY doc_id""".stripMargin
+
+  /** MTLD LEXICAL DIVERSITY [rows] — McCarthy & Jarvis 2010's
+    * Measure of Textual Lexical Diversity, the length-robust TTR
+    * replacement corpus-quality pipelines bucket docs by (repetitive
+    * boilerplate scores low, varied prose high). Forward-pass form
+    * (declared; the published measure averages forward+backward — v1
+    * keeps the single pass both engines replay identically): scan
+    * tokens left→right, close a factor whenever the running factor's
+    * type-token ratio drops below 0.72 (exact integer comparison
+    * 100·types < 72·tokens — the threshold never divides), then
+    * MTLD = N / (F + (1−TTR_rem)/0.28) which collapses to the pure
+    * integer ratio 28·N·c_r / (28·c_r·F + 100·(c_r − ty_r)) over the
+    * remainder's token count c_r and type count ty_r — so
+    * mtld_scaled = ⌊10⁶·MTLD⌋ is exact. Degenerate classes (both
+    * engines, by CASE): empty remainder → N/F; no completed factor AND
+    * all-distinct remainder → NULL (undefined per the paper).
+    * [rows], not [oracle]: DuckDB 1.0 SEGFAULTS extracting struct
+    * fields from a list_reduce result at ≥~100 rows (bisected: the
+    * fold itself evaluates — count(*) over it is fine — but selecting
+    * st.f/st.cnt crashes the process; list_prepend hits a second,
+    * binder-level crash). A segfaulting oracle would take down the
+    * driver's whole gate run, so correctness is pinned by
+    * TextOpsSpec's exact Scala replay of the integer fold instead
+    * (same transitions, planted degenerate classes).
+    *
+    * Scale shape: zero shuffles, zero joins — one narrow projection
+    * whose per-row state is the current factor's type set (bounded by
+    * the 0.72 rule: the set can't exceed ~3.6× its token count before
+    * closing... it CAN grow while TTR ≥ 0.72, i.e. up to the doc's
+    * distinct-type count for highly diverse docs — doc-bounded, the
+    * same bound tokenization itself carries). */
+  def qDocMtld(s: SparkSession, d: String): DataFrame = {
+    val mtldFold =
+      """aggregate(toks,
+        |  named_struct('f', CAST(0 AS BIGINT), 'cnt', CAST(0 AS BIGINT),
+        |    'cur', CAST(array() AS ARRAY<STRING>)),
+        |  (acc, t) -> CASE
+        |    WHEN 100 * size(CASE WHEN array_contains(acc.cur, t)
+        |        THEN acc.cur ELSE array_append(acc.cur, t) END)
+        |      < 72 * (acc.cnt + 1)
+        |    THEN named_struct('f', acc.f + CAST(1 AS BIGINT),
+        |      'cnt', CAST(0 AS BIGINT),
+        |      'cur', CAST(array() AS ARRAY<STRING>))
+        |    ELSE named_struct('f', acc.f, 'cnt', acc.cnt + 1,
+        |      'cur', CASE WHEN array_contains(acc.cur, t)
+        |        THEN acc.cur ELSE array_append(acc.cur, t) END)
+        |  END)""".stripMargin
+    Tables.documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("st", expr(mtldFold))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        col("st.f").as("factors"),
+        col("st.cnt").as("cr"), size(col("st.cur")).cast("long").as("tyr"))
+      .withColumn("mtld_scaled", expr(
+        """CASE
+          |  WHEN cr = 0 AND factors > 0
+          |    THEN CAST(1000000 AS BIGINT) * n_tokens DIV factors
+          |  WHEN 28 * cr * factors + 100 * (cr - tyr) > 0
+          |    THEN CAST(1000000 AS BIGINT) * 28 * n_tokens * cr
+          |      DIV (28 * cr * factors + 100 * (cr - tyr))
+          |  ELSE CAST(NULL AS BIGINT)
+          |END""".stripMargin))
+      .select(col("doc_id"), col("n_tokens"), col("factors"),
+        col("mtld_scaled"),
+        (col("mtld_scaled").cast("double") / lit(1000000.0)).as("mtld"))
+      .orderBy(col("doc_id"))
+  }
+
+
   /** COMPRESSIBILITY quality signal [rows] — the deflate-ratio filter
     * (repetitive/templated text compresses far below natural prose;
     * random gibberish barely compresses — the cheap two-sided quality

@@ -308,4 +308,57 @@ class GraphPropertySpec extends GraftSpec {
       assert(got(doubled, k) == ref(edges, k), s"diverged on n=$n m=$m k=$k")
     }
   }
+
+  test("landmark harmonic closeness: exact BFS replay on paths, stars, " +
+      "disconnected unions and random graphs; h60 terms are the exact " +
+      "60/d integers") {
+    // driver-side reference: BFS from the K smallest node ids, depth
+    // cap 6, h60 = sum of 60/d over reached landmarks (integer division
+    // is exact: 60 = lcm(1..6))
+    def ref(edges0: Seq[(Long, Long)]): Map[Long, (Long, Long)] = {
+      val es = edges0.filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+      val adj = (es ++ es.map(e => (e._2, e._1)))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      val nodes = adj.keys.toSeq.sorted
+      val lms = nodes.take(Graph.ClosenessLandmarks)
+      val dist = scala.collection.mutable.Map[(Long, Long), Long]()
+      lms.foreach { lm =>
+        var frontier = Set(lm); dist((lm, lm)) = 0L
+        (1 to Graph.ClosenessMaxDepth).foreach { d =>
+          frontier = frontier.flatMap(adj.getOrElse(_, Set.empty))
+            .filterNot(n => dist.contains((lm, n)))
+          frontier.foreach(n => dist((lm, n)) = d.toLong)
+        }
+      }
+      dist.toSeq.filter(_._2 > 0).groupBy(_._1._2).map { case (n, ds) =>
+        n -> (ds.size.toLong, ds.map(60L / _._2).sum)
+      }
+    }
+    def got(edges: Seq[(Long, Long)]): Map[Long, (Long, Long)] =
+      Graph.harmonicCloseness(edges.toDF("s", "t"), "s", "t").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // path 0-1-...-12: node 6 sees landmarks 0..7 at known distances
+    val path = (0L until 12L).map(i => (i, i + 1))
+    assert(got(path) == ref(path))
+    // star: center reaches every landmark at 1, leaves at 2 via center
+    val star = (1L to 20L).map(i => (0L, i))
+    val gs = got(star)
+    assert(gs == ref(star))
+    assert(gs(0L) == ((7L, 7L * 60L)), gs(0L)) // center: 7 other landmarks at d=1
+    // disconnected union: landmarks all land in the first component —
+    // the second component's nodes reach none and drop out
+    val comp2 = (100L to 105L).map(i => (i, i + 1))
+    val gd = got(path ++ comp2)
+    assert(gd == ref(path ++ comp2))
+    assert(!gd.keys.exists(_ >= 100L),
+      "unreachable component must not appear")
+    // random graphs, both orientations + duplicates
+    val rnd = new scala.util.Random(97)
+    for ((n, m) <- Seq((20, 30), (30, 45), (15, 60))) {
+      val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val doubled = edges ++ edges.map(e => (e._2, e._1))
+      assert(got(doubled) == ref(edges), s"diverged on n=$n m=$m")
+    }
+  }
 }

@@ -477,4 +477,57 @@ class TextOpsSpec extends GraftSpec {
     assert((gotC.getAs[Long]("n_tokens"), gotC.getAs[Long]("vocab_size"),
       gotC.getAs[Long]("slope_scaled")) == wantC, s"corpus: $gotC vs $wantC")
   }
+
+  test("q_doc_mtld: exact replay of the integer factor fold on the " +
+      "corpus; planted repetitive vs diverse docs and the degenerate " +
+      "classes land where the paper says") {
+    // the reference fold — the same integer transitions the SQL
+    // expression runs (0.72 threshold as 100·types < 72·tokens)
+    def mtldScaled(toks: Seq[String]): (Long, Long, Option[Long]) = {
+      var f = 0L; var cnt = 0L; var cur = Vector.empty[String]
+      toks.foreach { t =>
+        val nc = if (cur.contains(t)) cur else cur :+ t
+        if (100L * nc.size < 72L * (cnt + 1)) { f += 1; cnt = 0; cur = Vector.empty }
+        else { cnt += 1; cur = nc }
+      }
+      val n = toks.size.toLong
+      val (cr, tyr) = (cnt, cur.size.toLong)
+      val den = 28 * cr * f + 100 * (cr - tyr)
+      val scaled =
+        if (cr == 0 && f > 0) Some(1000000L * n / f)
+        else if (den > 0) Some(1000000L * 28 * n * cr / den)
+        else None
+      (n, f, scaled)
+    }
+    // corpus replay: every doc's (n_tokens, factors, mtld_scaled)
+    val want = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> mtldScaled(r.getString(1).trim
+        .split(" +").toSeq)).toMap
+    val got = TextOps.qDocMtld(spark, sf).collect()
+    assert(got.length == want.size)
+    got.foreach { r =>
+      val (n, f, sc) = want(r.getLong(0))
+      assert(r.getAs[Long]("n_tokens") == n &&
+        r.getAs[Long]("factors") == f &&
+        Option(r.getAs[java.lang.Long]("mtld_scaled")).map(_.toLong) == sc,
+        s"doc ${r.getLong(0)}: $r vs ($n, $f, $sc)")
+    }
+    // planted semantics, hand-derived: a the/cat/sat cycle closes a
+    // factor every 5 tokens (types stick at 3; 100·3 < 72·5 first at
+    // token 5 of the factor), so 120 tokens = 24 factors, empty
+    // remainder → MTLD = 120/24 = 5 exactly
+    locally {
+      val rep = Seq.fill(40)(Seq("the", "cat", "sat")).flatten
+      assert(mtldScaled(rep) == ((120L, 24L, Some(5000000L))))
+      // all-distinct doc never closes a factor, TTR_rem = 1 → NULL
+      assert(mtldScaled((0 until 120).map(i => s"w$i")) ==
+        ((120L, 0L, None)))
+      // non-empty remainder: 122 tokens = 24 factors + 2-token
+      // remainder (cr=2, tyr=2) → den = 28·2·24 + 0 = 1344,
+      // MTLD = 28·122·2/1344 = 6832/1344 → scaled 5083333
+      assert(mtldScaled(rep ++ Seq("the", "cat")) ==
+        ((122L, 24L, Some(5083333L))))
+    }
+  }
 }
