@@ -21,6 +21,26 @@ object CommitProfile {
 
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long)]()
     val done = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String, Long)]()
+    // driver-gap attribution: per-action Catalyst phase times (analysis/
+    // optimization/physical planning) from Spark's own QueryPlanningTracker
+    val phaseNs = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    val actions = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit = {
+          actions.incrementAndGet()
+          qe.tracker.phases.foreach { case (ph, summary) =>
+            phaseNs.merge(ph, (summary.endTimeMs - summary.startTimeMs) * 1000000L,
+              (a, b) => a + b)
+          }
+          phaseNs.merge("TOTAL_action", durationNs, (a, b) => a + b)
+        }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            error: Exception): Unit = ()
+      })
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
         // a graft. frame in ANY stage's details beats callSite.short:
@@ -53,6 +73,8 @@ object CommitProfile {
 
     def profiled(label: String)(op: => Unit): Unit = {
       done.clear()
+      phaseNs.clear()
+      actions.set(0)
       val t0 = System.nanoTime()
       op
       Thread.sleep(300) // let the listener bus drain
@@ -60,6 +82,13 @@ object CommitProfile {
       val rows = done.toArray(Array.empty[(Int, String, Long)]).sortBy(_._1)
       val jobSum = rows.map(_._3).sum / 1e9
       println(f"%n== $label: wall $wall%6.2f s, ${rows.length}%d jobs, job-sum $jobSum%6.2f s (gap ${wall - jobSum}%5.2f s driver-side)")
+      val phs = phaseNs.entrySet().toArray(
+          Array.empty[java.util.Map.Entry[String, Long]])
+        .map(e => f"${e.getKey}=${e.getValue / 1e9}%.2fs").sorted.mkString(" ")
+      println(s"   actions=${actions.get()} catalyst phases: $phs")
+      val cg = org.apache.spark.metrics.source.CodegenMetrics
+      println(s"   codegen: compiles=${cg.METRIC_SOURCE_CODE_SIZE.getCount}" +
+        f" compileTime=${cg.METRIC_COMPILATION_TIME.getSnapshot.getMean * cg.METRIC_COMPILATION_TIME.getCount / 1e3}%.2fs (cumulative)")
       rows.foreach { case (id, site, ns) =>
         println(f"   job $id%4d ${ns / 1e6}%8.1f ms  $site")
       }

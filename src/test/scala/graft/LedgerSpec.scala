@@ -62,9 +62,12 @@ class LedgerSpec extends GraftSpec {
     val (landing, ledger) = fresh()
     landFiles(landing, "click", 3)
     Lake.ingestNewFiles(spark, landing, ledger)
+    // r17: ledger commits are driver-written single files — no _SUCCESS
+    // marker is produced at all (ledger presence is decided from DATA
+    // files, never markers). A stray or absent marker must not matter
+    // either way, so delete it if some older path left one.
     val marker = new java.io.File(ledger, "_SUCCESS")
-    assert(marker.exists())
-    assert(marker.delete()) // simulate a torn append: data committed, marker gone
+    if (marker.exists()) assert(marker.delete())
     assert(Lake.ingestNewFiles(spark, landing, ledger) == 0,
       "paths must not be re-ingested after marker loss")
     assert(Lake.currentSnapshot(spark, ledger) == 1, "snapshot ids must not restart")
