@@ -39,6 +39,16 @@ object Bench {
     // time their algorithms, not the shared derived-table build
     try graft.operators.Graph.edgesDir(spark, sfDir)
     catch { case _: Throwable => () }
+    // r17: the PQ codebooks and the text postings index are the same
+    // offline-artifact class (fingerprint-cached, built once per dataset)
+    // but were missing from this list — on a cold box the alphabetically
+    // FIRST consumer (q_ann_pq, q_doc_phrase) silently paid the build
+    // (~7.5 s / ~2 s at sf0.1) while every later consumer timed only its
+    // probe. Pre-build both so all index consumers time the same thing.
+    try graft.operators.Pq.pqIndexDir(spark, sfDir)
+    catch { case _: Throwable => () }
+    try graft.operators.TextIndex.indexDir(spark, sfDir)
+    catch { case _: Throwable => () }
 
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val phases =

@@ -123,7 +123,15 @@ object Pipeline {
     * reports describe, measured in the tokenizer's own units. */
   def tokenizePack(spark: SparkSession, dir: String,
       nMerges: Int = 16): DataFrame = {
+    // BOTH consumers below (the trainer's word-count pass and the encode
+    // pass) re-execute their input plan; without a barrier each one
+    // replays the entire curation pipeline (exact dedup + LSH decisions +
+    // contamination joins + quality filter + mix/split) — materialize the
+    // curated slice ONCE (guide §1/§8: pay one scan, reuse a small
+    // intermediate; the surviving (doc_id, text) rows are the pipeline's
+    // natural narrow waist)
     val docs = trainSurvivors(spark, dir).select(col("doc_id"), col("text"))
+      .localCheckpoint()
     val rules = operators.Bpe.train(docs, "text", nMerges)
     TextOps.packSpans(
         operators.Bpe.encode(docs, "doc_id", "text", rules)

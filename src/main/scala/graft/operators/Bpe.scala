@@ -45,12 +45,29 @@ object Bpe {
     out.result()
   }
 
+  /** Word-table size up to which the merge loop runs ON THE DRIVER
+    * (r17): the corpus pass already reduces 100 TB to a Heaps-law
+    * vocabulary relation, and at ≤ this many distinct words the table is
+    * the same bounded-driver-state class as the repo's routing maps and
+    * classifier gradients (~≤200 MB) — while the distributed loop pays
+    * 2 fixed-cost Spark jobs per merge round (measured ~8 s for 16
+    * rounds over a 30k-word table, >95% fixed job overhead). Above the
+    * bound the distributed loop runs unchanged. Both paths replay the
+    * identical (count desc, pair lexicographic) tie-break, so the rule
+    * sequence is byte-equal either way (BpeSpec pins both against the
+    * reference). */
+  val DriverFitWords = 4000000L
+
   /** Train `nMerges` BPE rules over a corpus of texts. Returns the rules
     * in learned order. One corpus pass; then vocabulary-sized rounds.
     * Loop discipline (the Graph/Dedup pattern): a CHILD session carries
     * AQE-off + a vocabulary-scaled shuffle width so the ~2·nMerges round
     * jobs stay flat and the confs never leak to concurrent queries. */
-  def train(docs0: DataFrame, textCol: String, nMerges: Int): Seq[(String, String)] = {
+  def train(docs0: DataFrame, textCol: String, nMerges: Int): Seq[(String, String)] =
+    train(docs0, textCol, nMerges, DriverFitWords)
+
+  private[graft] def train(docs0: DataFrame, textCol: String,
+      nMerges: Int, driverFitWords: Long): Seq[(String, String)] = {
     val caller = docs0.sparkSession
     val spark = caller.newSession()
     spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -67,6 +84,8 @@ object Bpe {
       .map { case (w, n) => (initSymbols(w), n) }
       .localCheckpoint()
     val vocab = words.count()
+    if (vocab <= driverFitWords) return trainLocal(
+      words.collect().map { case (syms, n) => (syms, n) }, nMerges)
     spark.conf.set("spark.sql.shuffle.partitions", math.max(1L,
       math.min(caller.conf.get("spark.sql.shuffle.partitions").toLong,
         vocab / 200000L + 1L)).toString)
@@ -87,6 +106,40 @@ object Bpe {
         rules += ((a, b))
         words = words.map { case (syms, n) => (applyMerge(syms, a, b), n) }
           .localCheckpoint()
+        round += 1
+      }
+    }
+    rules.toSeq
+  }
+
+  /** The merge loop over a collected word-frequency table — the
+    * [[DriverFitWords]] fast path. Same winner rule as the distributed
+    * rounds: max count, ties to the lexicographically smallest (a, b). */
+  private def trainLocal(words0: Array[(Array[String], Long)],
+      nMerges: Int): Seq[(String, String)] = {
+    var words = words0
+    val rules = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var round = 0
+    while (round < nMerges) {
+      val counts = scala.collection.mutable.HashMap[(String, String), Long]()
+      words.foreach { case (syms, n) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + n)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) round = nMerges
+      else {
+        val (a, b) = counts.foldLeft(("", "", Long.MinValue)) {
+          case (best @ (ba, bb, bn), ((ka, kb), kn)) =>
+            if (kn > bn || (kn == bn
+                && (ka < ba || (ka == ba && kb < bb)))) (ka, kb, kn)
+            else best
+        } match { case (wa, wb, _) => (wa, wb) }
+        rules += ((a, b))
+        words = words.map { case (syms, n) => (applyMerge(syms, a, b), n) }
         round += 1
       }
     }

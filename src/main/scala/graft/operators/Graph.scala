@@ -61,8 +61,11 @@ object Graph {
       // session-width task overhead 2x per round; a billion-edge graph
       // keeps the session's width.
       val undRows = und0.count()
+      // ~100k rows/partition (r17, was 1M) — the labelPropagation rule:
+      // per-round work is a join + two aggregates over every undirected
+      // row; 1M-row partitions under-parallelize dense graphs
       val loopParts = math.max(1L,
-        math.min(partsWas.toLong, undRows / 1000000L + 1L))
+        math.min(partsWas.toLong, undRows / 100000L + 1L))
       spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
       // Pre-partition AND pre-sort the edge relation by the join key ONCE:
       // localCheckpoint preserves outputPartitioning/outputOrdering, so
@@ -209,6 +212,20 @@ object Graph {
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
     // orient by (degree, id); carry the head's degree for the wedge
     // ordering (rank(v) < rank(w) picks each closure pair once)
+    // The wedge fan-out below is Σ d⁺(u)² rows — orders of magnitude more
+    // work than the edge relation itself — and it runs MAP-SIDE (both
+    // downstream joins broadcast), so its parallelism is exactly the
+    // oriented relation's partition count. AQE coalesces the MB-scale
+    // edge relation to 1-2 partitions, which serialized the whole
+    // enumeration on 1-2 cores (r17 measurement: a 1.2M-edge / 20k-node
+    // co-purchase graph ran its ~10⁸-wedge pipeline in 2 tasks — 16.2 s
+    // standalone, 11.3 s in-bench). Widen to the session shuffle width
+    // (scale-adaptive: the conf that already sizes every data-scaled
+    // exchange — guide §2); the explicit column repartition is exempt
+    // from AQE coalescing, and hashing on (u, v) spreads a hub u's
+    // wedge work across partitions instead of pinning it to one task.
+    val wedgeParts = edges0.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
     val oriented = und
       .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
       .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
@@ -220,6 +237,7 @@ object Graph {
           struct(col("b").as("u"), col("a").as("v"), col("da").as("dv")))
         .as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"), col("e.dv").as("dv"))
+      .repartition(wedgeParts, col("u"), col("v"))
       .localCheckpoint() // reused three times: two wedge sides + closure
     val wedges = oriented.as("p").join(oriented.as("q"), "u")
       .filter(col("p.dv") < col("q.dv")
@@ -341,8 +359,14 @@ object Graph {
         .distinct())
       .localCheckpoint()
     val eRows = e0.count()
+    // ~100k edge-rows per partition (r17, was 1M): each round's vote join
+    // fans every edge out BOTH ways and re-aggregates — several rows of
+    // work per edge row — so 1M-rows/partition serialized a 1.2M-edge
+    // graph's rounds onto 2 cores of 32 (guide §2: partition for the
+    // work, not the bytes). Tiny near-dup graphs still run 1-2 partitions;
+    // billion-edge graphs still cap at the session width.
     val loopParts = math.max(1L,
-      math.min(partsWas.toLong, eRows / 1000000L + 1L)).toInt
+      math.min(partsWas.toLong, eRows / 100000L + 1L)).toInt
     spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
     val nbr = e0.select(col("a").as("v"), col("b").as("u"))
       .union(e0.select(col("b").as("v"), col("a").as("u")))
@@ -521,8 +545,11 @@ object Graph {
       .select(col("a").as("v"), col("b").as("u"))
       .localCheckpoint()
     var prev = und.count()
+    // ~100k rows/partition (r17, was 1M) — the labelPropagation rule:
+    // each peel round joins the full undirected relation twice; 1M-row
+    // partitions ran a 2.4M-row graph's rounds on 2-3 cores of 32
     val loopParts = math.max(1L,
-      math.min(partsWas.toLong, prev / 1000000L + 1L))
+      math.min(partsWas.toLong, prev / 100000L + 1L))
     spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
     var changed = 1L
     var round = 0
@@ -689,6 +716,13 @@ object Graph {
       .join(deg.filter(col("deg").between(2, LinkpredDegCap)), "z")
       .groupBy(col("z"), col("deg"))
       .agg(sort_array(collect_set(col("n"))).as("ns"))
+      // the in-row pair expansion below fans each mediator out deg²/2
+      // ways; AQE coalesces the node-bounded grouped relation to 1-2
+      // partitions, serializing the expansion + the next partial
+      // aggregate on 1-2 cores — widen to the session shuffle width
+      // (explicit column repartition: exempt from AQE coalescing)
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("z"))
       .select(col("deg"), explode(flatten(expr(
         """transform(ns, (x, i) ->
           |  transform(slice(ns, i + 2, size(ns)),
@@ -763,6 +797,9 @@ object Graph {
       .join(deg.filter(col("deg").between(2, LinkpredDegCap)), "z")
       .groupBy(col("z"))
       .agg(sort_array(collect_set(col("n"))).as("ns"))
+      // widen before the deg²/2 in-row expansion (the qGraphLinkpred rule)
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("z"))
       .select(explode(flatten(expr(
         """transform(ns, (x, i) ->
           |  transform(slice(ns, i + 2, size(ns)),
@@ -869,33 +906,88 @@ object Graph {
         .select(least(col(src), col(dst)).cast("long").as("a"),
           greatest(col(src), col(dst)).cast("long").as("b"))
         .distinct()
-    val adj = edges0.select(col("a").as("z"), col("b").as("n"))
+    val adj0 = edges0.select(col("a").as("z"), col("b").as("n"))
       .unionAll(edges0.select(col("b").as("z"), col("a").as("n")))
-      .localCheckpoint()
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    val lms = adj.select(col("z")).distinct()
+    // PACKED-LANE BFS (r17 — guide §2.3/§2.4, replacing the per-landmark
+    // frontier walk): K ≤ 8 landmarks ride ONE long bitmask per node
+    // (lane i = i-th landmark) plus ONE long of 8 packed distance bytes,
+    // so a round is a single map-side-combined bit_or aggregate over the
+    // adjacency — the old form materialized the frontier×degree fan-out
+    // (~13M rows/round on a 1.2M-edge co-purchase graph), DISTINCTed it,
+    // and anti-joined the visited set: three shuffles of wedge-scale data
+    // per round vs one ~node-count-sized aggregate output here. First
+    // round a bit appears = exact BFS distance (OR-reach within r hops),
+    // so h60/n_reached replay the old walk bit-identically.
+    require(ClosenessLandmarks <= 8,
+      s"packed-lane BFS carries at most 8 landmarks, got $ClosenessLandmarks")
+    val partsWas = caller.conf.get("spark.sql.shuffle.partitions")
+    // width from the INPUT edge count (a metadata-cheap count on a parquet
+    // edge relation) so the adjacency materializes exactly once, already
+    // partitioned+sorted on the per-round join key (the
+    // connectedComponents discipline) — checkpointing it twice (raw, then
+    // repartitioned) cost more than the whole BFS loop
+    val loopParts = math.max(1L,
+      math.min(partsWas.toLong, 2L * edgesIn.count() / 100000L + 1L)).toInt
+    s.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    val adj = adj0.repartition(loopParts, col("z"))
+      .sortWithinPartitions(col("z")).localCheckpoint()
+    // lane assignment: the K smallest node ids (bounded driver list —
+    // the routing-map class)
+    val lmIds = adj.select(col("z")).distinct()
       .orderBy(col("z")).limit(ClosenessLandmarks)
-    var visited = lms.select(col("z").as("lm"), col("z").as("node"),
-      lit(0L).as("dist")).localCheckpoint()
-    var frontier = visited
+      .collect().map(_.getLong(0))
+    import s.implicits._
+    // state rows carry nb = the bits gained LAST round: a neighbor whose
+    // mask did not change contributes nothing new (its previous mask was
+    // absorbed a round earlier — the standard delta-BFS argument), so each
+    // round joins the adjacency against the CHANGED rows' new bits only.
+    // Round volume is the true frontier fan-out, not |E| every round.
+    // K-row LocalRelation — no shuffle, no checkpoint (round 1's barrier
+    // materializes it; checkpointing 8 rows cost a full fixed job)
+    var state = lmIds.zipWithIndex.toSeq
+      .map { case (id, i) => (id, 1L << i, 0L, 1L << i) }
+      .toDF("node", "m", "d", "nb")
     var depth = 0
-    var newCnt = frontier.count()
-    while (newCnt > 0 && depth < ClosenessMaxDepth) {
+    var changed = 1L
+    while (changed > 0 && depth < ClosenessMaxDepth) {
       depth += 1
-      val next = frontier.join(adj, frontier("node") === adj("z"))
-        .select(col("lm"), col("n").as("node"), lit(depth.toLong).as("dist"))
-        .distinct()
-        .join(visited.select(col("lm"), col("node")), Seq("lm", "node"),
-          "left_anti")
+      val orr = adj
+        .join(state.filter(col("nb") =!= 0L)
+          .select(col("node").as("z"), col("nb").as("sm")), "z")
+        .groupBy(col("n")).agg(expr("bit_or(sm)").as("orr"))
+        .select(col("n").as("node"), col("orr"))
+      // deposit each NEW lane's distance byte: byte i = depth where bit i
+      // first appeared (lanes are disjoint, so the sum never carries)
+      val nb = coalesce(col("orr"), lit(0L))
+        .bitwiseAND(bitwise_not(coalesce(col("m"), lit(0L))))
+      val dep = (0 until ClosenessLandmarks).map(i =>
+        shiftright(col("nb"), i).bitwiseAND(lit(1L)) * lit(1L << (8 * i)))
+        .reduce(_ + _)
+      val next = state.join(orr, Seq("node"), "full_outer")
+        .withColumn("nb", nb)
+        .select(col("node"),
+          (coalesce(col("m"), lit(0L))
+            .bitwiseOR(coalesce(col("orr"), lit(0L)))).as("m"),
+          (coalesce(col("d"), lit(0L)) + dep * lit(depth.toLong)).as("d"),
+          col("nb"))
         .localCheckpoint() // the round's single materialization barrier
-      newCnt = next.count()
-      visited = visited.unionAll(next).localCheckpoint()
-      frontier = next
+      changed = next.filter(col("nb") =!= 0L).count()
+      state = next
     }
-    val res = visited.filter(col("dist") > 0)
-      .groupBy(col("node"))
-      .agg(count(lit(1)).as("n_reached"),
-        sum(expr("60 DIV dist")).cast("long").as("h60"))
+    // per-lane fold: a byte > 0 is a landmark reached at that exact BFS
+    // distance (the landmark's own lane keeps byte 0 and is excluded,
+    // matching the old dist > 0 filter); 60 DIV byte is the exact h60 term
+    val lanes = (0 until ClosenessLandmarks).map(i =>
+      shiftright(col("d"), 8 * i).bitwiseAND(lit(255L)).as(s"b$i"))
+    val res = state.select(col("node") +: lanes: _*)
+      .select(col("node"),
+        (0 until ClosenessLandmarks).map(i =>
+          when(col(s"b$i") > 0, 1L).otherwise(0L)).reduce(_ + _)
+          .as("n_reached"),
+        (0 until ClosenessLandmarks).map(i =>
+          when(col(s"b$i") > 0, expr(s"60 DIV b$i")).otherwise(0L))
+          .reduce(_ + _).as("h60"))
+      .filter(col("n_reached") > 0)
       .withColumn("closeness", col("h60").cast("double") / lit(60.0))
       .orderBy(col("node"))
     GraftShim.ofRows(caller, GraftShim.logicalPlan(res))

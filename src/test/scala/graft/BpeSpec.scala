@@ -47,6 +47,11 @@ class BpeSpec extends GraftSpec {
     val got = Bpe.train(docs, "text", 12)
     assert(got == want, s"\ngot  $got\nwant $want")
     assert(got.length == 12)
+    // r17: the driver-fit fast path and the distributed loop must learn
+    // the SAME rule sequence — force the distributed path by setting the
+    // fit threshold below the vocabulary size
+    val gotDist = Bpe.train(docs, "text", 12, driverFitWords = 0L)
+    assert(gotDist == want, s"\ndistributed path diverged:\ngot  $gotDist\nwant $want")
   }
 
   test("encoding reproduces training segmentation, round-trips, and " +
