@@ -8,7 +8,9 @@ import graft.operators.{Dedup, TextOps}
   * 100 TB corpus goes through, assembled entirely from the library's
   * operators — each stage is the scale-shaped variant (hash dedup, LSH
   * decisions, columnar quality features), so the whole pipeline is two
-  * narrow scans + three shuffles regardless of corpus size.
+  * narrow scans + three shuffles regardless of corpus size (plus the
+  * conditional scan-width exchange of Tables.documentsWide, which is an
+  * identity on any corpus wide enough to feed the cores).
   *
   * documents → exact-dup removal (md5 groupBy) → near-dup removal
   * (MinHash-LSH decisions) → benchmark-decontamination → quality filter →
@@ -22,7 +24,7 @@ object Pipeline {
   /** The curated corpus (stages 1-4): exact dedup, near-dup decisions,
     * decontamination, quality filter — with per-doc token stats. */
   def survivors(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.documentsWide(spark, dir) // r17: scan-width guard
 
     // stage 1: exact dedup — keep the smallest doc_id per md5(text)
     val keepExact = docs

@@ -63,7 +63,7 @@ object TextOps {
     * document bodies — at 100 TB that is the difference between a
     * metadata-sized distinct and re-shuffling the corpus. */
   def qCorpusCard(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    Tables.documentsWide(s, d) // r17: scan-width guard (BPE regex per doc)
       .withColumn("toks", tokens(col("text")))
       .withColumn("n_tokens", size(col("toks")))
       .withColumn("n_distinct", size(array_distinct(col("toks"))))
@@ -343,7 +343,7 @@ object TextOps {
     * scoring is one explode + profile join + per-doc map-side-combined
     * re-aggregation; the report is langs×2 rows. */
   def qDocLangidModel(s: SparkSession, d: String): DataFrame =
-    langidModel(Tables.documents(s, d))
+    langidModel(Tables.documentsWide(s, d)) // r17: scan-width guard (Tables.documentsWide)
 
   /** Core of [[qDocLangidModel]] over any (doc_id, text, lang) frame —
     * split out so the spec can plant a corpus with REAL per-language
@@ -1214,7 +1214,7 @@ object TextOps {
     * per doc before its shuffle. Two passes over text, zero corpus-sized
     * shuffles beyond the count build. */
   def qDocTypicality(s: SparkSession, d: String): DataFrame = {
-    val tris = Tables.documents(s, d)
+    val tris = Tables.documentsWide(s, d) // r17: scan-width guard
       .filter(length(col("text")) >= 3)
       .select(col("doc_id"), explode(
         transform(sequence(lit(1), length(col("text")) - 2),
@@ -1679,7 +1679,7 @@ object TextOps {
         |      'cur', CASE WHEN array_contains(acc.cur, t)
         |        THEN acc.cur ELSE array_append(acc.cur, t) END)
         |  END)""".stripMargin
-    Tables.documents(s, d)
+    Tables.documentsWide(s, d) // r17: scan-width guard (per-token fold)
       .withColumn("toks", tokens(col("text")))
       .withColumn("st", expr(mtldFold))
       .select(col("doc_id"),
