@@ -118,20 +118,8 @@ object Classifier {
     * fit at the same iteration count — ClassifierSpec pins 100% holdout
     * on the separable fixture at frac = 0.5 and a widened ceiling band
     * on the overlap fixture. */
-  private[graft] def fit(feats0: DataFrame, nDocs: Long,
+  private[graft] def fit(feats: DataFrame, nDocs: Long,
       sampleFrac: Double = 1.0, seed: Long = 42L): Model = {
-    // r17 loop discipline (the Graph pattern): each of the [[Iters]]
-    // iterations is one collect() over a ≤(B+1)-row aggregate — with AQE
-    // on, every iteration paid a separate shuffle-stage job plus an AQE
-    // re-plan, doubling the loop's fixed cost. A dedicated child session
-    // (AQE off, width-1 final agg: the output is bucket-bounded) runs
-    // each iteration as ONE job; confs never leak to concurrent queries.
-    val caller = feats0.sparkSession
-    val spark = caller.newSession()
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set("spark.sql.shuffle.partitions", "1")
-    import org.apache.spark.sql.GraftShim
-    val feats = GraftShim.ofRows(spark, GraftShim.logicalPlan(feats0))
     var w = new Array[Double](Buckets)
     var bias = 0.0
     val gAcc = new Array[Double](Buckets) // Adagrad accumulators
@@ -191,23 +179,11 @@ object Classifier {
     * in training) and a near-ceiling check against an in-test ridge
     * probe on an overlapping fixture. */
   def qDocClassifier(s: SparkSession, d: String): DataFrame = {
-    val feats0 = graft.BenchPhase("featurize") {
+    val feats = graft.BenchPhase("featurize") {
       featurize(Tables.documents(s, d), col("lang") === "en")
         .localCheckpoint()
     }
-    val n = feats0.count()
-    // r17: the fit loop launches [[Iters]] actions over this frame, so its
-    // TASK COUNT is a per-iteration fixed cost — a session-width (32-part)
-    // frame measured ~0.3 s/iteration of pure task overhead (fit 6.5 →
-    // 20 s). Bound it doc-count-scaled (~1k docs/task, capped at the
-    // session width): tiny frames run 1-6 tasks per iteration, a
-    // corpus-scaled fit still uses the full width.
-    val fitParts = math.max(1L, math.min(
-      feats0.sparkSession.conf.get("spark.sql.shuffle.partitions").toLong,
-      n / 1000L + 1L)).toInt
-    val feats =
-      if (feats0.rdd.getNumPartitions <= fitParts) feats0
-      else feats0.repartition(fitParts, col("doc_id")).localCheckpoint()
+    val n = feats.count()
     val model = graft.BenchPhase("fit")(fit(feats, n))
     feats.select(col("doc_id"), col("y").cast("boolean").as("label_en"),
       col("n_feat"), model.marginCol(col("fx")).as("margin"))
